@@ -1,13 +1,131 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{GraphBuilder, PropertyGraph}
+import graft.ops.GraphQuery
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one operator from SURVEY.md §2, expressed
+  * through the graft API over the property graph derived from the
+  * TPC-H-ish testdata (SURVEY.md §3). `oracleSql` holds the equivalent
+  * DuckDB SQL over the same parquet files.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def g(spark: SparkSession, dir: String): PropertyGraph =
+    GraphBuilder.tpch(spark, dir)
+
+  private val P = GraphBuilder.oraclePreamble
+
+  /** Flagship: customers + account balance rolled up to region via
+    * 2-hop IN_NATION/IN_REGION traversal. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val graph = g(spark, "/root/testdata/sf0.001")
+    val inNation = graph.outEdges("IN_NATION")
+    val inRegion = graph.outEdges("IN_REGION")
+    val regions = graph.labeled("Region").select(col("id"), col("name"))
+    graph.labeled("Customer")
+      .select(col("id").as("cust"), col("acctbal"))
+      .join(inNation.select(col("src").as("cust"), col("dst").as("nat")), "cust")
+      .join(inRegion.select(col("src").as("nat"), col("dst").as("id")), "nat")
+      .join(broadcast(regions), "id")
+      .groupBy(col("name").as("region"))
+      .agg(count(lit(1)).as("customers"), round(sum(col("acctbal")), 4).as("acctbal"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 graph model ----
+    "q_graph_nodes" -> ((s, d) =>
+      g(s, d).nodes.groupBy("label").agg(count(lit(1)).cast("bigint").as("cnt"))),
+    "q_graph_edges" -> ((s, d) =>
+      g(s, d).edges.groupBy("rel_type").agg(count(lit(1)).cast("bigint").as("cnt"))),
+    "q_degree" -> ((s, d) =>
+      g(s, d).degrees.join(g(s, d).labeled("Nation").select("id", "name"), "id")
+        .select(col("id"), col("name"), col("out_degree"), col("in_degree"), col("degree"))),
+
+    // ---- §2.2 chained query API ----
+    "q_label_scan" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Customer").collectNodes("id", "name", "mktsegment")),
+    "q_prop_eq" -> ((s, d) =>
+      GraphQuery.fromLabelAndPropEq(g(s, d), "Customer", "mktsegment", "BUILDING")
+        .collectNodes("id", "name", "acctbal")),
+    "q_prop_gt" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Part").wherePropIntGt("psize", 40)
+        .collectNodes("id", "name", "psize")),
+    "q_out" -> ((s, d) =>
+      GraphQuery.fromLabelAndPropIntEq(g(s, d), "Customer", "nationkey", 3L)
+        .out("PLACED").count()),
+    "q_in" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Part").wherePropIntGt("psize", 45)
+        .in("CONTAINS").count()),
+    "q_var_length" -> ((s, d) =>
+      GraphQuery.fromLabelAndPropIntEq(g(s, d), "Customer", "nationkey", 1L)
+        .outVariableLength(1, 2, "PLACED", "CONTAINS")
+        .df.groupBy("label").agg(count(lit(1)).cast("bigint").as("cnt"))),
+    "q_distinct" -> ((s, d) =>
+      GraphQuery.fromLabelAndPropIntEq(g(s, d), "Customer", "nationkey", 3L)
+        .out("PLACED").out("CONTAINS").distinct().count()),
+    "q_order_page" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Customer")
+        .orderBy("acctbal", ascending = false).skip(5).limit(10)
+        .collectNodes("id", "name", "acctbal")),
+    "q_count" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Customer").count()),
+    "q_sum_avg" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Part").df
+        .agg(sum(col("psize")).cast("bigint").as("sum_val"),
+             round(avg(col("psize").cast("double")), 6).as("avg_val"))),
+    "q_percentile" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Customer").percentileCont("acctbal", 0.5)),
+    "q_stats" -> ((s, d) =>
+      GraphQuery.fromLabel(g(s, d), "Customer").df
+        .agg(round(stddev_pop(col("acctbal")), 6).as("stdev_val"),
+             round(var_pop(col("acctbal")), 4).as("variance_val")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_graph_nodes" -> (P +
+      "SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes GROUP BY label"),
+    "q_graph_edges" -> (P +
+      "SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM edges GROUP BY rel_type"),
+    "q_degree" -> (P + """, deg AS (
+  SELECT n.id, n.name,
+         CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+         CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree
+  FROM nodes n
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON o.src = n.id
+  LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.dst = n.id
+  WHERE n.label = 'Nation')
+SELECT id, name, out_degree, in_degree, out_degree + in_degree AS degree FROM deg"""),
+    "q_label_scan" ->
+      "SELECT 300000000000000 + c_custkey AS id, c_name AS name, c_mktsegment AS mktsegment FROM customer",
+    "q_prop_eq" ->
+      "SELECT 300000000000000 + c_custkey AS id, c_name AS name, c_acctbal AS acctbal FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "q_prop_gt" ->
+      "SELECT 500000000000000 + p_partkey AS id, p_name AS name, CAST(p_size AS BIGINT) AS psize FROM part WHERE p_size > 40",
+    "q_out" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 3",
+    "q_in" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_size > 45",
+    "q_var_length" -> (P + """, f0 AS (
+  SELECT DISTINCT 300000000000000 + c_custkey AS id FROM customer WHERE c_nationkey = 1),
+f1 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f0 ON e.src = f0.id WHERE e.rel_type IN ('PLACED','CONTAINS')),
+f2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f1 ON e.src = f1.id WHERE e.rel_type IN ('PLACED','CONTAINS')),
+r AS (SELECT DISTINCT id FROM (SELECT id FROM f1 UNION ALL SELECT id FROM f2))
+SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON n.id = r.id GROUP BY n.label"""),
+    "q_distinct" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT DISTINCT l.l_partkey FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_nationkey = 3)",
+    "q_order_page" ->
+      "SELECT 300000000000000 + c_custkey AS id, c_name AS name, c_acctbal AS acctbal FROM customer ORDER BY c_acctbal DESC, id ASC LIMIT 10 OFFSET 5",
+    "q_count" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM customer",
+    "q_sum_avg" ->
+      "SELECT CAST(SUM(p_size) AS BIGINT) AS sum_val, ROUND(AVG(CAST(p_size AS DOUBLE)), 6) AS avg_val FROM part",
+    "q_percentile" ->
+      "SELECT ROUND(quantile_cont(c_acctbal, 0.5), 6) AS percentile_val FROM customer",
+    "q_stats" ->
+      "SELECT ROUND(stddev_pop(c_acctbal), 6) AS stdev_val, ROUND(var_pop(c_acctbal), 4) AS variance_val FROM customer"
+  )
 }

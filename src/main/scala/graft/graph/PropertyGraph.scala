@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A property graph held as two DataFrames, the Spark-native analogue of
+  * the reference's node/relationship store (reference: src/graph/model.rs,
+  * src/graph/db.rs — double adjacency lists become join-keyed edge views).
+  *
+  * Schema contract:
+  *  - nodes: id BIGINT, label STRING, name STRING, + typed property
+  *    columns (sparse across labels: acctbal, mktsegment, brand, ptype,
+  *    psize, retailprice, orderstatus, totalprice, orderdate,
+  *    orderpriority, nationkey…)
+  *  - edges: src BIGINT, dst BIGINT, rel_type STRING, weight DOUBLE,
+  *    quantity/extendedprice/discount DOUBLE (CONTAINS only, else null)
+  *
+  * Multi-edges and self-loops are representable (no uniqueness
+  * constraint on (src,dst,rel_type)), matching the reference model.
+  *
+  * Scale notes: edges is the ~O(|lineitem|) big table. It is
+  * repartitioned by `src` once at build time so every chained out()
+  * traversal starts co-located; `in`-traversals use a dst-keyed view.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  /** Nodes of one label — column-pruned, filter-pushed scan. */
+  def labeled(label: String): DataFrame = nodes.filter(col("label") === label)
+
+  /** Out-adjacency for a relationship type. */
+  def outEdges(relType: String): DataFrame =
+    edges.filter(col("rel_type") === relType)
+
+  /** Undirected view: each edge mirrored (reference undirected traversal,
+    * src/algorithms/traversal.rs:304). */
+  lazy val undirectedEdges: DataFrame =
+    edges.select("src", "dst", "rel_type", "weight")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("rel_type"), col("weight")))
+
+  /** (id, out_degree, in_degree, degree) — reference degree_centrality
+    * input (src/algorithms/centrality.rs:6). Single shuffle per side,
+    * map-side combined. */
+  lazy val degrees: DataFrame = {
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    nodes.select("id")
+      .join(out, Seq("id"), "left_outer")
+      .join(in, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        (coalesce(col("out_degree"), lit(0L)) +
+          coalesce(col("in_degree"), lit(0L))).as("degree"))
+  }
+
+  def persist(): PropertyGraph = {
+    nodes.persist(); edges.persist(); this
+  }
+
+  def unpersist(): PropertyGraph = {
+    nodes.unpersist(); edges.unpersist(); this
+  }
+}
