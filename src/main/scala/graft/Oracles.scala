@@ -1,0 +1,169 @@
+package graft
+
+import graft.graph.{DerivedGraphs, GraphBuilder}
+import graft.graph.GraphBuilder._
+
+/** DuckDB oracle SQL for the algorithm queries. Iterative algorithms are
+  * unrolled into fixed CTE chains computing the *same* fixed-iteration
+  * algorithm as the Spark side, so both engines produce identical output
+  * by construction (SURVEY.md §5). All ids/counters are BIGINT, doubles
+  * rounded identically on both sides.
+  */
+object Oracles {
+  private val P = GraphBuilder.oraclePreamble
+
+  /** Unrolled frontier BFS with per-level visited anti-semantics. */
+  def bfsSql(preamble: String, edgesRel: String, seedId: Long, maxDepth: Int): String = {
+    val sb = new StringBuilder(preamble)
+    sb ++= s", f0 AS (SELECT CAST($seedId AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)"
+    sb ++= ", v0 AS (SELECT * FROM f0)"
+    for (i <- 1 to maxDepth) {
+      sb ++= s", f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS id, CAST($i AS BIGINT) AS dist" +
+        s" FROM $edgesRel e JOIN f${i - 1} f ON e.src = f.id" +
+        s" WHERE e.dst NOT IN (SELECT id FROM v${i - 1}))"
+      sb ++= s", v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM f$i)"
+    }
+    sb ++= s" SELECT id, dist FROM v$maxDepth"
+    sb.toString
+  }
+
+  /** Unrolled Bellman-Ford relaxation, min-dist per node per round. */
+  def bellmanFordSql(preamble: String, wRel: String, seedId: Long, iters: Int): String = {
+    val sb = new StringBuilder(preamble)
+    sb ++= s", d0 AS (SELECT CAST($seedId AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist)"
+    for (i <- 1 to iters) {
+      sb ++= s", d$i AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM (" +
+        s"SELECT id, dist FROM d${i - 1}" +
+        s" UNION ALL SELECT e.dst AS id, f.dist + e.weight AS dist" +
+        s" FROM $wRel e JOIN d${i - 1} f ON e.src = f.id) u GROUP BY id)"
+    }
+    sb ++= s" SELECT id, ROUND(dist, 4) AS dist FROM d$iters"
+    sb.toString
+  }
+
+  /** Unrolled reference PageRank (dangling mass dropped, final
+    * normalization), mirroring Community.pageRank op for op. */
+  def pageRankSql(damping: Double, iters: Int): String = {
+    val d = damping.toString
+    val sb = new StringBuilder(P)
+    sb ++= ", outdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS odeg FROM edges GROUP BY src)"
+    sb ++= ", nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)"
+    sb ++= ", r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+    for (i <- 1 to iters) {
+      sb ++= s""", r$i AS MATERIALIZED (SELECT a.id, (1.0 - $d) / (SELECT n FROM nn) + $d * COALESCE(s.m, 0.0) AS rank
+  FROM nodes a LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / od.odeg) AS m
+    FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN outdeg od ON od.id = e.src
+    GROUP BY e.dst) s ON s.id = a.id)"""
+    }
+    sb ++= s", tot AS (SELECT SUM(rank) AS t FROM r$iters)"
+    sb ++= s" SELECT id, ROUND(rank / (SELECT t FROM tot), 8) AS rank FROM r$iters"
+    sb.toString
+  }
+
+  /** Unrolled k-core peeling on the part co-occurrence graph, then final
+    * induced degrees of the survivors. */
+  def kcoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder("WITH " + DerivedGraphs.cooccurSql)
+    sb ++= ", a0 AS (SELECT id FROM pnodes)"
+    for (i <- 1 to rounds) {
+      sb ++= s", a$i AS MATERIALIZED (SELECT e.src AS id FROM psym e" +
+        s" JOIN a${i - 1} s1 ON e.src = s1.id" +
+        s" JOIN a${i - 1} s2 ON e.dst = s2.id" +
+        s" GROUP BY e.src HAVING COUNT(*) >= $k)"
+    }
+    sb ++= s" SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree" +
+      s" FROM psym e JOIN a$rounds s1 ON e.src = s1.id" +
+      s" JOIN a$rounds s2 ON e.dst = s2.id GROUP BY e.src"
+    sb.toString
+  }
+
+  /** SCC of the nation trade graph via recursive transitive closure;
+    * scc_id = min mutually-reachable id (= Community.sccByClosure). */
+  val sccSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.tradeSql},
+r AS (
+  SELECT id AS src, id AS dst FROM tnodes
+  UNION
+  SELECT r.src, e.dst FROM r JOIN tedges e ON e.src = r.dst),
+mutual AS (
+  SELECT a.src AS id, a.dst AS peer FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src),
+scc AS (SELECT id, MIN(peer) AS scc_id FROM mutual GROUP BY id)
+SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY scc_id"""
+
+  /** Components of the (Customer|Supplier|Nation|Region, IN_NATION ∪
+    * IN_REGION) subgraph — a forest, so the min-id component label is the
+    * region node id, closed-form from the raw tables. */
+  val componentsSql: String =
+    s"""WITH compm AS (
+  SELECT ${RegionTag * TAG} + CAST(r_regionkey AS BIGINT) AS component,
+         ${RegionTag * TAG} + CAST(r_regionkey AS BIGINT) AS id FROM region
+  UNION ALL SELECT ${RegionTag * TAG} + CAST(n_regionkey AS BIGINT),
+         ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) FROM nation
+  UNION ALL SELECT ${RegionTag * TAG} + CAST(n.n_regionkey AS BIGINT),
+         ${CustomerTag * TAG} + CAST(c.c_custkey AS BIGINT)
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL SELECT ${RegionTag * TAG} + CAST(n.n_regionkey AS BIGINT),
+         ${SupplierTag * TAG} + CAST(s.s_suppkey AS BIGINT)
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS size FROM compm GROUP BY component"""
+
+  /** Closed-form betweenness on the same forest subgraph with directed
+    * IN_NATION/IN_REGION edges: the only intermediates are nations, passed
+    * through once per member (customer/supplier) on its unique path to the
+    * region; everything else is 0 (filtered on the Spark side too). */
+  val betweennessSql: String =
+    s"""WITH bn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM (
+  SELECT c_custkey AS k FROM customer
+  UNION ALL SELECT s_suppkey FROM supplier
+  UNION ALL SELECT n_nationkey FROM nation
+  UNION ALL SELECT r_regionkey FROM region) u),
+mem AS (
+  SELECT ${NationTag * TAG} + CAST(k AS BIGINT) AS id, COUNT(*) AS m FROM (
+    SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+    UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier) u GROUP BY k)
+SELECT id, ROUND(CAST(m AS DOUBLE) / (((SELECT n FROM bn) - 1.0) * ((SELECT n FROM bn) - 2.0)), 9) AS bc
+FROM mem"""
+
+  /** Degree centrality over the full graph: (out+in)/(n-1), round 9. */
+  val degreeCentralitySql: String = P +
+    """, od AS (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src),
+idg AS (SELECT dst AS id, COUNT(*) AS c FROM edges GROUP BY dst),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
+SELECT n.id, ROUND((COALESCE(o.c, 0) + COALESCE(i.c, 0)) / ((SELECT n FROM nn) - 1.0), 9) AS centrality
+FROM nodes n LEFT JOIN od o ON o.id = n.id LEFT JOIN idg i ON i.id = n.id"""
+
+  /** One deterministic parallel Louvain pass on the co-occurrence
+    * multigraph: community = neighbor with max incident multiplicity,
+    * ties to the smallest id (= Community.louvainOnePass). */
+  val louvainSql: String =
+    s"""WITH ${DerivedGraphs.cooccurAllSql},
+w AS (SELECT src, dst, COUNT(*) AS wt FROM psymall GROUP BY src, dst)
+SELECT src AS id, dst AS community FROM (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY wt DESC, dst ASC) AS rn FROM w) t
+WHERE rn = 1"""
+
+  /** Global triangle count + global clustering coefficient on the simple
+    * co-occurrence graph. */
+  val trianglesSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+tri AS (SELECT COUNT(*) AS t FROM pedges e1
+  JOIN pedges e2 ON e2.a = e1.b
+  JOIN pedges e3 ON e3.a = e1.a AND e3.b = e2.b),
+wd AS (SELECT SUM(d * (d - 1) / 2) AS w FROM (SELECT COUNT(*) AS d FROM psym GROUP BY src) q)
+SELECT CAST(tri.t AS BIGINT) AS triangles, ROUND(3.0 * tri.t / wd.w, 6) AS global_clustering FROM tri, wd"""
+
+  /** Local clustering coefficient for the first 100 parts. */
+  val clusteringSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM pedges e1
+  JOIN pedges e2 ON e2.a = e1.b
+  JOIN pedges e3 ON e3.a = e1.a AND e3.b = e2.b),
+pertri AS (SELECT v, COUNT(*) AS t FROM (
+  SELECT x AS v FROM tri3 UNION ALL SELECT y FROM tri3 UNION ALL SELECT z FROM tri3) u GROUP BY v),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM psym GROUP BY src)
+SELECT deg.id, CAST(COALESCE(t, 0) AS BIGINT) AS tri_cnt,
+       ROUND(CASE WHEN d >= 2 THEN CAST(COALESCE(t, 0) AS DOUBLE) / (d * (d - 1) / 2.0) ELSE 0.0 END, 6) AS local_coeff
+FROM deg LEFT JOIN pertri ON pertri.v = deg.id
+WHERE deg.id <= ${PartTag * TAG + 100}"""
+}

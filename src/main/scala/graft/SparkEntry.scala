@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{GraphBuilder, PropertyGraph}
+import graft.graph.{DerivedGraphs, GraphBuilder, PropertyGraph}
+import graft.graph.GraphBuilder.{TAG, CustomerTag, PartTag}
 import graft.ops.GraphQuery
+import graft.algorithms.{Centrality, Community, Structure, Traversal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -82,7 +84,87 @@ object SparkEntry {
     "q_stats" -> ((s, d) =>
       GraphQuery.fromLabel(g(s, d), "Customer").df
         .agg(round(stddev_pop(col("acctbal")), 6).as("stdev_val"),
-             round(var_pop(col("acctbal")), 4).as("variance_val")))
+             round(var_pop(col("acctbal")), 4).as("variance_val"))),
+
+    // ---- §2.4 graph algorithms ----
+    "q_reachable" -> ((s, d) => {
+      val seed = s.range(1).select(lit(CustomerTag * TAG + 1L).as("id"))
+      Traversal.bfsDistances(g(s, d).undirectedEdges, seed, 3)
+    }),
+    "q_shortest_path" -> ((s, d) => {
+      val seed = s.range(1).select(lit(PartTag * TAG + 1L).as("id"))
+      val es = DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d))
+      Traversal.bfsDistances(es, seed, 3)
+    }),
+    "q_weighted_path" -> ((s, d) => {
+      val seed = s.range(1).select(lit(CustomerTag * TAG + 1L).as("id"))
+      Traversal.bellmanFord(g(s, d).undirectedEdges, seed, 4)
+        .select(col("id"), round(col("dist"), 4).as("dist"))
+    }),
+    "q_degree_centrality" -> ((s, d) => {
+      val graph = g(s, d)
+      Centrality.degreeCentrality(graph.nodes, graph.edges)
+        .select(col("id"), round(col("centrality"), 9).as("centrality"))
+    }),
+    "q_betweenness" -> ((s, d) => {
+      val graph = g(s, d)
+      val labels = Seq("Customer", "Supplier", "Nation", "Region")
+      val ns = graph.nodes.filter(col("label").isin(labels: _*))
+      val es = graph.edges.filter(col("rel_type").isin("IN_NATION", "IN_REGION"))
+      Centrality.betweenness(ns, es, 3)
+        .filter(col("bc") > 0)
+        .select(col("id"), round(col("bc"), 9).as("bc"))
+    }),
+    "q_components" -> ((s, d) => {
+      val graph = g(s, d)
+      val labels = Seq("Customer", "Supplier", "Nation", "Region")
+      val ns = graph.nodes.filter(col("label").isin(labels: _*))
+      val es = graph.edges.filter(col("rel_type").isin("IN_NATION", "IN_REGION"))
+      val symEs = es.select("src", "dst").unionByName(
+        es.select(col("dst").as("src"), col("src").as("dst")))
+      Community.connectedComponents(ns, symEs, 10)
+        .groupBy("component").agg(count(lit(1)).cast("bigint").as("size"))
+    }),
+    "q_scc" -> ((s, d) =>
+      Community.sccByClosure(DerivedGraphs.tradeNodes(s, d),
+          DerivedGraphs.nationTrade(s, d), 5)
+        .groupBy("scc_id").agg(count(lit(1)).cast("bigint").as("size"))),
+    "q_pagerank" -> ((s, d) => {
+      val graph = g(s, d)
+      Community.pageRank(graph.nodes, graph.edges, 0.85, 10)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+    }),
+    "q_kcore" -> ((s, d) => {
+      val es = DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d))
+      val core = Structure.kcoreMembers(es, 80, 10)
+      Structure.inducedDegrees(es, core)
+    }),
+    "q_louvain" -> ((s, d) =>
+      Community.louvainOnePass(DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)))),
+    "q_triangles" -> ((s, d) => {
+      val pe = DerivedGraphs.partCooccur(s, d)
+      val tri = Structure.triangles(pe).agg(count(lit(1)).as("t"))
+      val wedges = DerivedGraphs.sym(pe)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .agg(sum(col("deg") * (col("deg") - 1) / lit(2)).as("w"))
+      tri.crossJoin(wedges)
+        .select(col("t").cast("bigint").as("triangles"),
+          round(lit(3.0) * col("t") / col("w"), 6).as("global_clustering"))
+    }),
+    "q_clustering" -> ((s, d) => {
+      val pe = DerivedGraphs.partCooccur(s, d)
+      val deg = DerivedGraphs.sym(pe).groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val pertri = Structure.trianglesPerNode(pe)
+      deg.join(pertri, Seq("id"), "left_outer")
+        .filter(col("id") <= PartTag * TAG + 100L)
+        .select(col("id"),
+          coalesce(col("tri_cnt"), lit(0L)).cast("bigint").as("tri_cnt"),
+          round(when(col("d") >= 2,
+              coalesce(col("tri_cnt"), lit(0L)).cast("double") /
+                (col("d") * (col("d") - 1) / lit(2.0)))
+            .otherwise(0.0), 6).as("local_coeff"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,6 +208,25 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_percentile" ->
       "SELECT ROUND(quantile_cont(c_acctbal, 0.5), 6) AS percentile_val FROM customer",
     "q_stats" ->
-      "SELECT ROUND(stddev_pop(c_acctbal), 6) AS stdev_val, ROUND(var_pop(c_acctbal), 4) AS variance_val FROM customer"
+      "SELECT ROUND(stddev_pop(c_acctbal), 6) AS stdev_val, ROUND(var_pop(c_acctbal), 4) AS variance_val FROM customer",
+
+    // ---- §2.4 graph algorithms ----
+    "q_reachable" -> Oracles.bfsSql(
+      P + ", usym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+      "usym", CustomerTag * TAG + 1L, 3),
+    "q_shortest_path" -> Oracles.bfsSql(
+      "WITH " + DerivedGraphs.cooccurSql, "psym", PartTag * TAG + 1L, 3),
+    "q_weighted_path" -> Oracles.bellmanFordSql(
+      P + ", wsym AS (SELECT src, dst, weight FROM edges UNION ALL SELECT dst AS src, src AS dst, weight FROM edges)",
+      "wsym", CustomerTag * TAG + 1L, 4),
+    "q_degree_centrality" -> Oracles.degreeCentralitySql,
+    "q_betweenness" -> Oracles.betweennessSql,
+    "q_components" -> Oracles.componentsSql,
+    "q_scc" -> Oracles.sccSql,
+    "q_pagerank" -> Oracles.pageRankSql(0.85, 10),
+    "q_kcore" -> Oracles.kcoreSql(80, 10),
+    "q_louvain" -> Oracles.louvainSql,
+    "q_triangles" -> Oracles.trianglesSql,
+    "q_clustering" -> Oracles.clusteringSql
   )
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.algorithms.{Centrality, Community, Structure, Traversal}
+
+/** Algorithm semantics on tiny hand-built graphs with known answers
+  * (mirrors the reference's unit tests, e.g. the kcore.rs doc example). */
+class AlgorithmsSpec extends SparkSpec {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("src", "dst")
+  private def ids(xs: Long*): DataFrame = xs.toDF("id")
+  private def symm(e: DataFrame): DataFrame =
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  test("bfsDistances: path graph 1→2→3→4, depth 2") {
+    val d = Traversal.bfsDistances(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), ids(1), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsDistances takes shortest visit on diamond") {
+    // 1→2→4, 1→4 : dist(4) = 1
+    val d = Traversal.bfsDistances(edges(1L -> 2L, 2L -> 4L, 1L -> 4L), ids(1), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(4L) == 1L && d(2L) == 1L)
+  }
+
+  test("bellmanFord picks cheapest path, not fewest hops") {
+    // 1→3 weight 10; 1→2→3 weight 2+3
+    val e = Seq((1L, 3L, 10.0), (1L, 2L, 2.0), (2L, 3L, 3.0)).toDF("src", "dst", "weight")
+    val d = Traversal.bellmanFord(e, ids(1), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(3L) == 5.0 && d(2L) == 2.0 && d(1L) == 0.0)
+  }
+
+  test("connectedComponents: two components, min-id labels") {
+    val e = symm(edges(1L -> 2L, 2L -> 3L, 10L -> 11L))
+    val c = Community.connectedComponents(ids(1, 2, 3, 10, 11, 20), e, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("pageRank sums to 1 and favors the sink of a star") {
+    val e = edges(1L -> 9L, 2L -> 9L, 3L -> 9L, 9L -> 1L)
+    val r = Community.pageRank(ids(1, 2, 3, 9), e, 0.85, 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(9L) > r(1L) && r(1L) > r(2L) && r(2L) == r(3L))
+  }
+
+  test("sccByClosure: 3-cycle + tail") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    val s = Community.sccByClosure(ids(1, 2, 3, 4), e, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("louvainOnePass: heaviest neighbor wins, ties to min id") {
+    // 1=2 double edge, 2-3 single, 3-4 single
+    val e = symm(edges(1L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 4L))
+    val c = Community.louvainOnePass(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == 2L && c(2L) == 1L)
+    assert(c(3L) == 2L) // tie between 2 and 4 → min id
+    assert(c(4L) == 3L)
+  }
+
+  test("betweenness: directed path 1→2→3 gives bc(2)=1/((n-1)(n-2))") {
+    val bc = Centrality.betweenness(ids(1, 2, 3), edges(1L -> 2L, 2L -> 3L), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(bc(2L) - 1.0 / 2.0) < 1e-12)
+    assert(bc(1L) == 0.0 && bc(3L) == 0.0)
+  }
+
+  test("betweenness splits over equal shortest paths (diamond)") {
+    // 1→2→4, 1→3→4: two shortest paths; bc(2)=bc(3)=0.5/((4-1)(4-2))
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val bc = Centrality.betweenness(ids(1, 2, 3, 4), e, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(bc(2L) - 0.5 / 6.0) < 1e-12)
+    assert(math.abs(bc(3L) - 0.5 / 6.0) < 1e-12)
+  }
+
+  test("kcore: reference doc example (triangle + pendant), k=2") {
+    // kcore.rs doc: triangle a-b-c, d hangs off a; 2-core = {a,b,c}
+    val e = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L))
+    val core = Structure.kcoreMembers(e, 2, 5).collect().map(_.getLong(0)).toSet
+    assert(core == Set(1L, 2L, 3L))
+  }
+
+  test("triangles: K4 has 4 oriented triangles, all nodes in 3") {
+    val pe = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    assert(Structure.triangles(pe).count() == 4)
+    val per = Structure.trianglesPerNode(pe)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(per == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("degreeCentrality on a directed triangle") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val c = Centrality.degreeCentrality(ids(1, 2, 3), e)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c.values.forall(v => math.abs(v - 1.0) < 1e-12)) // (1+1)/(3-1)
+  }
+}
