@@ -6,6 +6,7 @@ import graft.graph.{DerivedGraphs, GraphBuilder, PropertyGraph}
 import graft.graph.GraphBuilder.{TAG, CustomerTag, PartTag}
 import graft.ops.GraphQuery
 import graft.algorithms.{Centrality, Community, Structure, Traversal}
+import graft.cypher.Cypher
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,7 +165,47 @@ object SparkEntry {
               coalesce(col("tri_cnt"), lit(0L)).cast("double") /
                 (col("d") * (col("d") - 1) / lit(2.0)))
             .otherwise(0.0), 6).as("local_coeff"))
-    })
+    }),
+
+    // ---- §2.3 Cypher subset (text → AST → DataFrame plan) ----
+    "q_cypher_match" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (c:Customer {mktsegment: 'BUILDING'})-[:PLACED]->(o:Order) " +
+      "RETURN c.name AS cname, o.totalprice AS totalprice")),
+    "q_cypher_optional" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (c:Customer) WHERE c.acctbal < -900 " +
+      "OPTIONAL MATCH (c)-[:PLACED]->(o:Order {orderstatus: 'F'}) " +
+      "RETURN c.name AS cname, o.totalprice AS totalprice")),
+    "q_cypher_varlen" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (c:Customer {nationkey: 1})-[*1..2]->(x) " +
+      "RETURN x.label AS label, COUNT(*) AS cnt")),
+    "q_cypher_where" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (p:Part) WHERE p.psize >= 45 AND (p.brand = 'Brand#13' OR p.brand = 'Brand#42') " +
+      "RETURN p.name AS name, p.psize AS psize, p.brand AS brand")),
+    "q_cypher_regex" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (n:Nation) WHERE n.name =~ 'NATION_1' " +
+      "RETURN n.id AS id, n.name AS name")),
+    "q_cypher_in" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (n:Nation) WHERE n.name IN ['NATION_3', 'NATION_7', 'NATION_12'] " +
+      "RETURN n.id AS id, n.name AS name")),
+    "q_cypher_agg" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) " +
+      "RETURN c.mktsegment AS seg, COUNT(*) AS cnt, SUM(o.totalprice) AS total")
+      .withColumn("total", round(col("total"), 4))),
+    "q_cypher_order" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (sp:Supplier) RETURN sp.name AS name, sp.acctbal AS acctbal " +
+      "ORDER BY sp.acctbal DESC, sp.name ASC SKIP 3 LIMIT 7")),
+    "q_cypher_with" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) " +
+      "WITH c.nationkey AS nk, COUNT(*) AS cnt WHERE cnt > 700 RETURN nk, cnt")),
+    "q_cypher_union" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (r:Region) RETURN r.name AS name " +
+      "UNION ALL MATCH (n:Nation) RETURN n.name AS name")),
+    "q_cypher_undirected" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (n:Nation {name: 'NATION_3'})-[e]-(x) " +
+      "RETURN x.label AS label, COUNT(*) AS cnt")),
+    "q_cypher_incoming" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (o:Order)<-[:PLACED]-(c:Customer {nationkey: 5}) " +
+      "RETURN COUNT(*) AS cnt"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -227,6 +268,37 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_kcore" -> Oracles.kcoreSql(80, 10),
     "q_louvain" -> Oracles.louvainSql,
     "q_triangles" -> Oracles.trianglesSql,
-    "q_clustering" -> Oracles.clusteringSql
+    "q_clustering" -> Oracles.clusteringSql,
+
+    // ---- §2.3 Cypher subset ----
+    "q_cypher_match" ->
+      "SELECT c_name AS cname, o_totalprice AS totalprice FROM customer JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'",
+    "q_cypher_optional" ->
+      "SELECT c_name AS cname, o_totalprice AS totalprice FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'F' WHERE c_acctbal < -900",
+    "q_cypher_varlen" -> (P + """, s0 AS (SELECT id FROM nodes WHERE label = 'Customer' AND nationkey = 1),
+h1 AS MATERIALIZED (SELECT DISTINCT s0.id AS s, e.dst AS t FROM s0 JOIN edges e ON e.src = s0.id),
+h2 AS MATERIALIZED (SELECT DISTINCT h1.s, e.dst AS t FROM h1 JOIN edges e ON e.src = h1.t),
+pairs AS (SELECT DISTINCT s, t FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) u)
+SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs JOIN nodes n ON n.id = pairs.t GROUP BY n.label"""),
+    "q_cypher_where" ->
+      "SELECT p_name AS name, CAST(p_size AS BIGINT) AS psize, p_brand AS brand FROM part WHERE p_size >= 45 AND (p_brand = 'Brand#13' OR p_brand = 'Brand#42')",
+    "q_cypher_regex" ->
+      "SELECT 200000000000000 + CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation WHERE regexp_matches(n_name, 'NATION_1')",
+    "q_cypher_in" ->
+      "SELECT 200000000000000 + CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')",
+    "q_cypher_agg" ->
+      "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(o_totalprice), 4) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1",
+    "q_cypher_order" ->
+      "SELECT s_name AS name, s_acctbal AS acctbal FROM supplier ORDER BY s_acctbal DESC, s_name ASC LIMIT 7 OFFSET 3",
+    "q_cypher_with" ->
+      "SELECT CAST(c_nationkey AS BIGINT) AS nk, CAST(COUNT(*) AS BIGINT) AS cnt FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1 HAVING COUNT(*) > 700",
+    "q_cypher_union" ->
+      "SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation",
+    "q_cypher_undirected" -> (P + """, nid AS (SELECT id FROM nodes WHERE label = 'Nation' AND name = 'NATION_3'),
+nb AS (SELECT e.dst AS t FROM edges e JOIN nid ON e.src = nid.id
+       UNION ALL SELECT e.src FROM edges e JOIN nid ON e.dst = nid.id)
+SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nb JOIN nodes n ON n.id = nb.t GROUP BY n.label"""),
+    "q_cypher_incoming" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 5"
   )
 }

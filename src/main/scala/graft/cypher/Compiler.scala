@@ -1,0 +1,354 @@
+package graft.cypher
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Ast._
+
+/** Cypher → DataFrame compiler (reference: src/cypher/executor.rs — the
+  * executor walks adjacency lists row by row; here every pattern step is a
+  * hash join against the src-partitioned edge table and Catalyst handles
+  * predicate pushdown, join strategy and codegen).
+  *
+  * Binding model: the working DataFrame has one BIGINT column per bound
+  * node variable (the node id, column name = variable name), columns
+  * `r__<prop>` for named relationship variables, and plain columns for
+  * WITH-projected values. Node properties are joined in lazily on first
+  * reference and cached as `v__<prop>` columns.
+  *
+  * Row semantics match Cypher/the reference: one row per path match
+  * (multi-edges duplicate); variable-length steps bind the *distinct*
+  * (start,end) endpoint pairs per SURVEY.md §2.2.
+  */
+final class Compiler(graph: PropertyGraph) {
+  import Compiler._
+
+  private var anonId = 0
+  private def freshVar(): String = { anonId += 1; s"_anon$anonId" }
+
+  def compile(stmt: Statement): DataFrame = stmt match {
+    case q: Query => compileQuery(q)
+    case Union(l, r, all) =>
+      val u = compile(l).unionByName(compile(r))
+      if (all) u else u.distinct()
+    case _ =>
+      throw new IllegalArgumentException(
+        "mutation statements return a graph — use Cypher.mutate")
+  }
+
+  // ---- query pipeline ----
+  private def compileQuery(q: Query): DataFrame = {
+    var ctx: Ctx = null
+    q.clauses.foreach {
+      case MatchClause(pat, optional, where) =>
+        var pctx = compilePattern(pat)
+        if (optional && where.isDefined)
+          pctx = filterCond(pctx, where.get) // optional's WHERE applies inside
+        if (ctx == null) {
+          ctx = pctx
+          if (!optional) where.foreach(w => ctx = filterCond(ctx, w))
+        } else {
+          val shared = ctx.df.columns.toSet
+            .intersect(pctx.nodeVars).intersect(ctx.nodeVars).toSeq.sorted
+          val overlap = pctx.df.columns.filter(c =>
+            ctx.df.columns.contains(c) && !shared.contains(c))
+          val rightDf = pctx.df.drop(overlap: _*)
+          val joined =
+            if (shared.isEmpty) ctx.df.crossJoin(rightDf)
+            else ctx.df.join(rightDf, shared, if (optional) "left_outer" else "inner")
+          ctx = Ctx(joined, ctx.nodeVars ++ pctx.nodeVars)
+          if (!optional) where.foreach(w => ctx = filterCond(ctx, w))
+        }
+      case WithClause(items, where) =>
+        if (ctx == null) ctx = Ctx(singleRow(), Set.empty)
+        ctx = project(ctx, items)
+        where.foreach(w => ctx = filterCond(ctx, w))
+    }
+    if (ctx == null) ctx = Ctx(singleRow(), Set.empty)
+    returnClause(ctx, q.ret)
+  }
+
+  private def singleRow(): DataFrame =
+    graph.nodes.sparkSession.range(1).select(lit(1).as("_one"))
+
+  // ---- patterns ----
+  private[cypher] def patternCtx(pat: Pattern): Ctx = compilePattern(pat)
+  private[cypher] def patternFiltered(m: MatchClause): Ctx = {
+    var ctx = compilePattern(m.pattern)
+    m.where.foreach(w => ctx = filterCond(ctx, w))
+    ctx
+  }
+
+  private def compilePattern(pat: Pattern): Ctx = {
+    val v0 = pat.start.variable.getOrElse(freshVar())
+    var ctx = Ctx(nodeScan(pat.start).select(col("id").as(v0)), Set(v0))
+    var prev = v0
+    pat.steps.foreach { case (rel, node) =>
+      val tgt = node.variable.getOrElse(freshVar())
+      val bound = ctx.df.columns.contains(tgt)
+      val hopDf = rel.varLength match {
+        case None            => singleHop(rel)
+        case Some((mn, mx))  => varLengthHop(rel, mn, mx)
+      }
+      var df = ctx.df.join(hopDf, col(prev) === col("_hsrc")).drop("_hsrc")
+      df =
+        if (bound) df.filter(col("_hdst") === col(tgt)).drop("_hdst")
+        else df.withColumnRenamed("_hdst", tgt)
+      // target node label/prop constraints via semi join (no row inflation)
+      if (!bound && (node.label.isDefined || node.props.nonEmpty))
+        df = df.join(nodeScan(node).select(col("id").as(tgt)), Seq(tgt), "left_semi")
+      ctx = Ctx(df, ctx.nodeVars + tgt)
+      prev = tgt
+    }
+    ctx
+  }
+
+  /** Filter-pushed scan for a node pattern's label + literal props. */
+  private def nodeScan(np: NodePattern): DataFrame = {
+    var df = np.label.map(graph.labeled).getOrElse(graph.nodes)
+    np.props.foreach { case (k, v) =>
+      df = if (k == "id") df.filter(col("id") === lit(v.value))
+           else df.filter(col(k) === lit(v.value))
+    }
+    df
+  }
+
+  /** One relationship hop as (_hsrc, _hdst [, r__props…]). */
+  private def singleHop(rel: RelPattern): DataFrame = {
+    val base = rel.relType.fold(graph.edges)(t => graph.edges.filter(col("rel_type") === t))
+    def oriented(s: String, d: String) = {
+      val core = Seq(col(s).as("_hsrc"), col(d).as("_hdst"))
+      val props = rel.variable.toSeq.flatMap(r => relProps.map(p => col(p).as(s"${r}__$p")))
+      base.select(core ++ props: _*)
+    }
+    rel.direction match {
+      case Direction.Out  => oriented("src", "dst")
+      case Direction.In   => oriented("dst", "src")
+      case Direction.Both => oriented("src", "dst").unionByName(oriented("dst", "src"))
+    }
+  }
+
+  /** Distinct (start,end) pairs reachable by minHops..maxHops — bounded
+    * iteration of hash joins, like ops.GraphQuery.outVariableLength. */
+  private def varLengthHop(rel: RelPattern, minHops: Int, maxHops: Int): DataFrame = {
+    require(minHops >= 0 && maxHops >= minHops && maxHops <= 12, "bad hop bounds")
+    val hop = singleHop(rel.copy(variable = None))
+    val step = hop.select(col("_hsrc").as("_hmid"), col("_hdst").as("_hnext"))
+    var frontier = hop.select(col("_hsrc"), col("_hdst")).distinct()
+    var acc: Option[DataFrame] =
+      if (minHops == 0)
+        Some(graph.nodes.select(col("id").as("_hsrc"), col("id").as("_hdst")))
+      else None
+    for (depth <- 1 to maxHops) {
+      if (depth >= minHops)
+        acc = Some(acc.fold(frontier)(_ unionByName frontier))
+      if (depth < maxHops)
+        frontier = frontier
+          .join(step, col("_hdst") === col("_hmid"))
+          .select(col("_hsrc"), col("_hnext").as("_hdst"))
+          .distinct()
+    }
+    acc.get.distinct()
+  }
+
+  // ---- expressions / conditions ----
+  private def exprCol(ctx0: Ctx, e: Expr): (Ctx, Column) = e match {
+    case Lit(l)        => (ctx0, lit(l.value))
+    case Ident(v)      => (ctx0, col(v))
+    case ListExpr(xs)  =>
+      var ctx = ctx0
+      val cols = xs.map { x => val (c2, c) = exprCol(ctx, x); ctx = c2; c }
+      (ctx, array(cols: _*))
+    case Prop(v, p)    => ensureProp(ctx0, v, p)
+  }
+
+  private def ensureProp(ctx: Ctx, v: String, p: String): (Ctx, Column) = {
+    if (!ctx.df.columns.contains(v) && !ctx.df.columns.contains(s"${v}__$p"))
+      throw new IllegalArgumentException(s"unbound variable '$v'")
+    if (ctx.nodeVars(v) && p == "id") return (ctx, col(v))
+    val name = s"${v}__$p"
+    if (ctx.df.columns.contains(name)) (ctx, col(name))
+    else if (ctx.nodeVars(v)) {
+      val side = graph.nodes.select(col("id").as(v), col(p).as(name))
+      (Ctx(ctx.df.join(side, Seq(v), "left_outer"), ctx.nodeVars), col(name))
+    } else
+      throw new IllegalArgumentException(s"'$v.$p': '$v' is not a node or rel variable")
+  }
+
+  private def condCol(ctx0: Ctx, c: Cond): (Ctx, Column) = c match {
+    case Cmp(op, l, r) =>
+      val (c1, lc) = exprCol(ctx0, l); val (c2, rc) = exprCol(c1, r)
+      val cc = op match {
+        case "="  => lc === rc
+        case "<>" => lc =!= rc
+        case "<"  => lc < rc
+        case ">"  => lc > rc
+        case "<=" => lc <= rc
+        case ">=" => lc >= rc
+      }
+      (c2, cc)
+    case And(l, r) =>
+      val (c1, lc) = condCol(ctx0, l); val (c2, rc) = condCol(c1, r); (c2, lc && rc)
+    case Or(l, r) =>
+      val (c1, lc) = condCol(ctx0, l); val (c2, rc) = condCol(c1, r); (c2, lc || rc)
+    case Not(x) =>
+      val (c1, xc) = condCol(ctx0, x); (c1, !xc)
+    case RegexMatch(l, re) =>
+      // unanchored find, like the reference's Rust regex is_match
+      val (c1, lc) = exprCol(ctx0, l); (c1, lc.rlike(re))
+    case Exists(v, p) =>
+      val (c1, pc) = ensureProp(ctx0, v, p); (c1, pc.isNotNull)
+    case IsNull(e)    => val (c1, ec) = exprCol(ctx0, e); (c1, ec.isNull)
+    case IsNotNull(e) => val (c1, ec) = exprCol(ctx0, e); (c1, ec.isNotNull)
+    case In(e, items) =>
+      val (c1, ec) = exprCol(ctx0, e)
+      var ctx = c1
+      val cols = items.map { x => val (c2, c) = exprCol(ctx, x); ctx = c2; c }
+      (ctx, cols.map(ec === _).reduce(_ || _))
+  }
+
+  private def filterCond(ctx: Ctx, c: Cond): Ctx = {
+    val (c1, cc) = condCol(ctx, c)
+    Ctx(c1.df.filter(cc), c1.nodeVars)
+  }
+
+  // ---- projection (WITH / RETURN) ----
+  private def defaultName(item: RetItem): String = item match {
+    case RetExpr(Ident(v), a)    => a.getOrElse(v)
+    case RetExpr(Prop(v, p), a)  => a.getOrElse(s"${v}_$p")
+    case RetExpr(_, a)           => a.getOrElse(s"expr")
+    case RetAgg(f, e, _, a, _) =>
+      a.getOrElse {
+        val base = f.toString.toLowerCase
+        e match {
+          case Some(Prop(_, p)) => s"${base}_$p"
+          case Some(Ident(v))   => s"${base}_$v"
+          case _                => if (f == AggFunc.Count) "cnt" else base
+        }
+      }
+  }
+
+  private def aggColumn(ctx0: Ctx, item: RetAgg): (Ctx, Column) = {
+    var ctx = ctx0
+    val inner = item.expr.map { e => val (c2, c) = exprCol(ctx, e); ctx = c2; c }
+    val c = item.func match {
+      case AggFunc.Count =>
+        inner match {
+          case None      => count(lit(1))
+          case Some(x)   => if (item.distinct) count_distinct(x) else count(x)
+        }
+      case AggFunc.Sum     => sum(inner.get)
+      case AggFunc.Avg     => avg(inner.get)
+      case AggFunc.Min     => min(inner.get)
+      case AggFunc.Max     => max(inner.get)
+      case AggFunc.Collect => collect_list(inner.get)
+      case AggFunc.StDev   => stddev_pop(inner.get) // population, query.rs:586
+      case AggFunc.PercentileCont =>
+        percentile(inner.get.cast("double"), lit(item.param.getOrElse(0.5)))
+      case AggFunc.PercentileDisc =>
+        // exact discrete percentile: smallest value at cume ≥ p
+        val p = item.param.getOrElse(0.5)
+        element_at(sort_array(collect_list(inner.get)),
+          greatest(ceil(lit(p) * count(inner.get)), lit(1L)).cast("int"))
+    }
+    (ctx, c)
+  }
+
+  /** Compile RETURN/WITH items to a projected frame; aggregates trigger
+    * implicit grouping by the non-aggregated items (Cypher semantics,
+    * = reference executor + test_group_by.rs). */
+  private def project(ctx0: Ctx, items: List[RetItem]): Ctx = {
+    var ctx = ctx0
+    val names = items.map(defaultName)
+    val hasAgg = items.exists(_.isInstanceOf[RetAgg])
+    if (!hasAgg) {
+      val cols = items.map { case RetExpr(e, _) =>
+        val (c2, c) = exprCol(ctx, e); ctx = c2; c
+      case _ => throw new IllegalStateException("unreachable")
+      }
+      val proj = ctx.df.select(cols.zip(names).map { case (c, n) => c.as(n) }: _*)
+      val keptNodeVars = items.zip(names).collect {
+        case (RetExpr(Ident(v), _), n) if ctx.nodeVars(v) => n
+      }.toSet
+      Ctx(proj, keptNodeVars)
+    } else {
+      val keyPairs = items.zip(names).collect { case (RetExpr(e, _), n) =>
+        val (c2, c) = exprCol(ctx, e); ctx = c2; (c, n)
+      }
+      val aggPairs = items.zip(names).collect { case (a: RetAgg, n) =>
+        val (c2, c) = aggColumn(ctx, a); ctx = c2; (c, n)
+      }
+      val aggCols = aggPairs.map { case (c, n) => c.as(n) }
+      val out =
+        if (keyPairs.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
+        else ctx.df
+          .groupBy(keyPairs.map { case (c, n) => c.as(n) }: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(names.map(col): _*) // restore RETURN item order
+      val keptNodeVars = items.zip(names).collect {
+        case (RetExpr(Ident(v), _), n) if ctx.nodeVars(v) => n
+      }.toSet
+      Ctx(out, keptNodeVars)
+    }
+  }
+
+  private def returnClause(ctx0: Ctx, ret: ReturnClause): DataFrame = {
+    var ctx = ctx0
+    val names = ret.items.map(defaultName)
+    val outName: Map[Expr, String] = ret.items.zip(names).collect {
+      case (RetExpr(e, _), n) => e -> n
+    }.toMap
+    val hasAgg = ret.items.exists(_.isInstanceOf[RetAgg])
+
+    // Hidden sort columns for ORDER BY exprs not among returned items
+    // (only legal without aggregation/distinct).
+    val resolved = ret.orderBy.map { oi =>
+      oi.expr match {
+        case e if outName.contains(e)            => Left(col(outName(e)) -> oi.ascending)
+        case Ident(n) if names.contains(n)       => Left(col(n) -> oi.ascending)
+        case e if !hasAgg && !ret.distinct       => Right(e -> oi.ascending)
+        case e => throw new IllegalArgumentException(
+          s"ORDER BY $e must reference a returned item in aggregate/distinct queries")
+      }
+    }
+    val hidden = resolved.zipWithIndex.collect { case (Right((e, _)), i) =>
+      val (c2, c) = exprCol(ctx, e); ctx = c2; (c.as(s"_ord$i"), i)
+    }
+
+    var out: DataFrame =
+      if (hidden.isEmpty) project(ctx, ret.items).df
+      else {
+        val cols = ret.items.map { case RetExpr(e, _) =>
+          val (c2, c) = exprCol(ctx, e); ctx = c2; c
+        case _ => throw new IllegalStateException("unreachable")
+        }
+        ctx.df.select(cols.zip(names).map { case (c, n) => c.as(n) } ++
+          hidden.map(_._1): _*)
+      }
+    if (ret.distinct) out = out.distinct()
+    if (resolved.nonEmpty) {
+      val sortCols = resolved.zipWithIndex.map {
+        case (Left((c, asc)), _)       => if (asc) c.asc_nulls_last else c.desc_nulls_last
+        case (Right((_, asc)), i)      =>
+          val c = col(s"_ord$i"); if (asc) c.asc_nulls_last else c.desc_nulls_last
+      }
+      out = out.orderBy(sortCols: _*)
+    }
+    if (hidden.nonEmpty) out = out.drop(hidden.map { case (_, i) => s"_ord$i" }: _*)
+    ret.skip.foreach(n => out = out.offset(n))
+    ret.limit.foreach(n => out = out.limit(n))
+    out
+  }
+}
+
+object Compiler {
+  private[cypher] final case class Ctx(df: DataFrame, nodeVars: Set[String])
+  private[cypher] val relProps =
+    Seq("rel_type", "weight", "quantity", "extendedprice", "discount")
+}
+
+/** Public API: parse + compile Cypher over a PropertyGraph. */
+object Cypher {
+  def query(graph: PropertyGraph, cypher: String): DataFrame =
+    new Compiler(graph).compile(Parser.parse(cypher))
+}

@@ -1,0 +1,339 @@
+package graft.cypher
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent Cypher parser (reference: src/cypher/parser.rs —
+  * same surface, no parser-combinator dependency).
+  *
+  * statement  := query (UNION [ALL] query)* | CREATE pat | MERGE pat
+  *             | MATCH … SET a.b = lit, … | MATCH … DELETE v, …
+  * query      := clause* RETURN [DISTINCT] items [ORDER BY …] [SKIP n] [LIMIT n]
+  * clause     := [OPTIONAL] MATCH pattern [WHERE cond] | WITH items [WHERE cond]
+  */
+final class Parser(tokens: Vector[Token]) {
+  private var pos = 0
+  private def peek: Token = tokens(pos)
+  private def peek2: Token = if (pos + 1 < tokens.length) tokens(pos + 1) else EOF
+  private def advance(): Token = { val t = peek; pos += 1; t }
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"cypher parse error at token $pos ($peek): $msg")
+
+  private def expectSym(s: String): Unit = advance() match {
+    case Sym(`s`) => ()
+    case t        => fail(s"expected '$s', got $t")
+  }
+  private def expectKw(s: String): Unit = advance() match {
+    case Kw(`s`) => ()
+    case t       => fail(s"expected $s, got $t")
+  }
+  private def at(s: String): Boolean = peek == Sym(s)
+  private def atKw(s: String): Boolean = peek match {
+    case Kw(`s`) => true
+    case _       => false
+  }
+  private def eatSym(s: String): Boolean = { if (at(s)) { pos += 1; true } else false }
+  private def eatKw(s: String): Boolean = { if (atKw(s)) { pos += 1; true } else false }
+  private def ident(): String = advance() match {
+    case Id(s)     => s
+    case k: Kw     => k.raw // allow keywords as labels/props (e.g. Order, count)
+    case t         => fail(s"expected identifier, got $t")
+  }
+
+  def parseStatement(): Statement = {
+    val first = parseSingle()
+    var result = first
+    while (atKw("UNION")) {
+      advance()
+      val all = eatKw("ALL")
+      val right = parseSingle()
+      result = Union(result, right, all)
+    }
+    if (peek != EOF) fail("trailing input")
+    result
+  }
+
+  private def parseSingle(): Statement = {
+    if (atKw("CREATE")) { advance(); return Create(parsePattern()) }
+    if (atKw("MERGE")) { advance(); return Merge(parsePattern()) }
+    val clauses = List.newBuilder[Clause]
+    var done = false
+    while (!done) {
+      if (atKw("OPTIONAL")) {
+        advance(); expectKw("MATCH")
+        val pat = parsePattern()
+        val w = if (eatKw("WHERE")) Some(parseCond()) else None
+        clauses += MatchClause(pat, optional = true, w)
+      } else if (atKw("MATCH")) {
+        advance()
+        val pat = parsePattern()
+        val w = if (eatKw("WHERE")) Some(parseCond()) else None
+        clauses += MatchClause(pat, optional = false, w)
+      } else if (atKw("WITH")) {
+        advance()
+        val items = parseRetItems()
+        val w = if (eatKw("WHERE")) Some(parseCond()) else None
+        clauses += WithClause(items, w)
+      } else done = true
+    }
+    val built = clauses.result()
+    if (atKw("SET")) {
+      advance()
+      val assigns = List.newBuilder[(String, String, Literal)]
+      var more = true
+      while (more) {
+        val v = ident(); expectSym("."); val p = ident(); expectSym("=")
+        assigns += ((v, p, parseLiteral()))
+        more = eatSym(",")
+      }
+      built match {
+        case (m: MatchClause) :: Nil => return SetStmt(m, assigns.result())
+        case _ => fail("SET requires a single MATCH clause")
+      }
+    }
+    if (atKw("DELETE")) {
+      advance()
+      val vars = List.newBuilder[String]
+      vars += ident()
+      while (eatSym(",")) vars += ident()
+      built match {
+        case (m: MatchClause) :: Nil => return DeleteStmt(m, vars.result())
+        case _ => fail("DELETE requires a single MATCH clause")
+      }
+    }
+    expectKw("RETURN")
+    val distinct = eatKw("DISTINCT")
+    val items = parseRetItems()
+    var orderBy = List.empty[OrderItem]
+    if (eatKw("ORDER")) {
+      expectKw("BY")
+      val ob = List.newBuilder[OrderItem]
+      var more = true
+      while (more) {
+        val e = parseExpr()
+        val asc = if (eatKw("DESC")) false else { eatKw("ASC"); true }
+        ob += OrderItem(e, asc)
+        more = eatSym(",")
+      }
+      orderBy = ob.result()
+    }
+    val skip = if (eatKw("SKIP")) Some(parseInt()) else None
+    val limit = if (eatKw("LIMIT")) Some(parseInt()) else None
+    Query(clauses.result(), ReturnClause(items, distinct, orderBy, skip, limit))
+  }
+
+  private def parseInt(): Int = advance() match {
+    case Num(s) if !s.contains('.') => s.toInt
+    case t => fail(s"expected integer, got $t")
+  }
+
+  // ---- patterns ----
+  private def parsePattern(): Pattern = {
+    val start = parseNode()
+    val steps = List.newBuilder[(RelPattern, NodePattern)]
+    var more = true
+    while (more) {
+      if (at("-") || at("<-")) {
+        val rel = parseRel()
+        val node = parseNode()
+        steps += ((rel, node))
+      } else more = false
+    }
+    Pattern(start, steps.result())
+  }
+
+  private def parseNode(): NodePattern = {
+    expectSym("(")
+    val variable = peek match {
+      case Id(s) => advance(); Some(s)
+      case _     => None
+    }
+    val label = if (eatSym(":")) Some(ident()) else None
+    val props = if (at("{")) parseProps() else Nil
+    expectSym(")")
+    NodePattern(variable, label, props)
+  }
+
+  private def parseProps(): List[(String, Literal)] = {
+    expectSym("{")
+    val out = List.newBuilder[(String, Literal)]
+    var more = !at("}")
+    while (more) {
+      val k = ident(); expectSym(":")
+      out += ((k, parseLiteral()))
+      more = eatSym(",")
+    }
+    expectSym("}")
+    out.result()
+  }
+
+  private def parseRel(): RelPattern = {
+    val incoming = eatSym("<-")
+    if (!incoming) expectSym("-")
+    var variable: Option[String] = None
+    var relType: Option[String] = None
+    var varLength: Option[(Int, Int)] = None
+    if (eatSym("[")) {
+      peek match {
+        case Id(s) => advance(); variable = Some(s)
+        case _     => ()
+      }
+      if (eatSym(":")) relType = Some(ident())
+      if (eatSym("*")) {
+        // * | *n | *m..n  (ast.rs:55: * = 1..∞ capped, *n = 1..n)
+        val cap = 8 // bounded expansion for the unbounded form
+        varLength = peek match {
+          case Num(a) =>
+            advance()
+            if (eatSym("..")) {
+              val b = parseInt(); Some((a.toInt, b))
+            } else Some((1, a.toInt))
+          case _ =>
+            if (eatSym("..")) { val b = parseInt(); Some((1, b)) }
+            else Some((1, cap))
+        }
+      }
+      expectSym("]")
+    }
+    val outgoing = eatSym("->")
+    if (!outgoing) expectSym("-") // '-' closes both incoming and undirected rels
+    if (incoming && outgoing) fail("relationship cannot be both <- and ->")
+    val dir =
+      if (incoming) Direction.In
+      else if (outgoing) Direction.Out
+      else Direction.Both
+    RelPattern(variable, relType, dir, varLength)
+  }
+
+  // ---- conditions ----
+  private def parseCond(): Cond = {
+    var l = parseAnd()
+    while (eatKw("OR")) l = Or(l, parseAnd())
+    l
+  }
+  private def parseAnd(): Cond = {
+    var l = parseNot()
+    while (eatKw("AND")) l = And(l, parseNot())
+    l
+  }
+  private def parseNot(): Cond =
+    if (eatKw("NOT")) Not(parseNot()) else parsePrim()
+
+  private def parsePrim(): Cond = {
+    if (atKw("EXISTS")) {
+      advance(); expectSym("(")
+      val v = ident(); expectSym("."); val p = ident()
+      expectSym(")")
+      return Exists(v, p)
+    }
+    if (at("(")) {
+      // lookahead: '(' starts a parenthesized condition (patterns can't
+      // appear in WHERE in this subset)
+      advance()
+      val c = parseCond()
+      expectSym(")")
+      return c
+    }
+    val lhs = parseExpr()
+    peek match {
+      case Sym(op @ ("=" | "<" | ">" | "<=" | ">=" | "<>")) =>
+        advance(); Cmp(if (op == "!=") "<>" else op, lhs, parseExpr())
+      case Sym("!=") => advance(); Cmp("<>", lhs, parseExpr())
+      case Sym("=~") =>
+        advance()
+        advance() match {
+          case Str(re) => RegexMatch(lhs, re)
+          case t       => fail(s"expected regex string after =~, got $t")
+        }
+      case Kw("IS") =>
+        advance()
+        if (eatKw("NOT")) { expectKw("NULL"); IsNotNull(lhs) }
+        else { expectKw("NULL"); IsNull(lhs) }
+      case Kw("IN") =>
+        advance()
+        expectSym("[")
+        val items = List.newBuilder[Expr]
+        if (!at("]")) {
+          items += parseExpr()
+          while (eatSym(",")) items += parseExpr()
+        }
+        expectSym("]")
+        In(lhs, items.result())
+      case t => fail(s"expected comparison operator, got $t")
+    }
+  }
+
+  // ---- expressions ----
+  private def parseLiteral(): Literal = advance() match {
+    case Str(s)       => StrLit(s)
+    case Num(s)       => if (s.contains('.')) DoubleLit(s.toDouble) else IntLit(s.toLong)
+    case Kw("TRUE")   => BoolLit(true)
+    case Kw("FALSE")  => BoolLit(false)
+    case Kw("NULL")   => NullLit
+    case Sym("-") => advance() match {
+      case Num(s) => if (s.contains('.')) DoubleLit(-s.toDouble) else IntLit(-s.toLong)
+      case t      => fail(s"expected number after '-', got $t")
+    }
+    case t => fail(s"expected literal, got $t")
+  }
+
+  private def parseExpr(): Expr = peek match {
+    case Id(v) =>
+      advance()
+      if (eatSym(".")) Prop(v, ident()) else Ident(v)
+    case Str(_) | Num(_) | Kw("TRUE") | Kw("FALSE") | Kw("NULL") | Sym("-") =>
+      Lit(parseLiteral())
+    case Sym("[") =>
+      advance()
+      val items = List.newBuilder[Expr]
+      if (!at("]")) {
+        items += parseExpr()
+        while (eatSym(",")) items += parseExpr()
+      }
+      expectSym("]")
+      ListExpr(items.result())
+    case t => fail(s"expected expression, got $t")
+  }
+
+  // ---- return items ----
+  private val aggKws = Map(
+    "COUNT" -> AggFunc.Count, "SUM" -> AggFunc.Sum, "AVG" -> AggFunc.Avg,
+    "MIN" -> AggFunc.Min, "MAX" -> AggFunc.Max, "COLLECT" -> AggFunc.Collect,
+    "STDEV" -> AggFunc.StDev, "PERCENTILECONT" -> AggFunc.PercentileCont,
+    "PERCENTILEDISC" -> AggFunc.PercentileDisc)
+
+  private def parseRetItems(): List[RetItem] = {
+    val out = List.newBuilder[RetItem]
+    out += parseRetItem()
+    while (eatSym(",")) out += parseRetItem()
+    out.result()
+  }
+
+  private def parseRetItem(): RetItem = peek match {
+    case Kw(k) if aggKws.contains(k) && peek2 == Sym("(") =>
+      advance(); expectSym("(")
+      val func = aggKws(k)
+      val distinct = eatKw("DISTINCT")
+      val expr = if (eatSym("*")) None else Some(parseExpr())
+      val param = if (eatSym(",")) Some(parseLiteral() match {
+        case DoubleLit(d) => d
+        case IntLit(i)    => i.toDouble
+        case l            => fail(s"expected numeric parameter, got $l")
+      }) else None
+      expectSym(")")
+      val alias = if (eatKw("AS")) Some(ident()) else None
+      RetAgg(func, expr, param, alias, distinct)
+    case _ =>
+      val e = parseExpr()
+      val alias = if (eatKw("AS")) Some(ident()) else None
+      RetExpr(e, alias)
+  }
+}
+
+object Parser {
+  def parse(cypher: String): Statement =
+    Lexer.tokenize(cypher) match {
+      case Left(err)   => throw new IllegalArgumentException(s"cypher lex error: $err")
+      case Right(toks) => new Parser(toks).parseStatement()
+    }
+}

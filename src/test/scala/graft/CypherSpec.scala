@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.GraphBuilder
+import graft.cypher.{Ast, Cypher, Parser}
+import Ast._
+
+class CypherSpec extends SparkSpec {
+
+  lazy val graph = GraphBuilder.tpch(spark, sfDir)
+
+  test("parser: node pattern with label, props, alias and aggregates") {
+    val q = Parser.parse(
+      "MATCH (c:Customer {mktsegment: 'BUILDING'})-[r:PLACED]->(o:Order) " +
+      "WHERE o.totalprice > 1000 RETURN c.name AS n, COUNT(*) AS cnt " +
+      "ORDER BY cnt DESC SKIP 1 LIMIT 5").asInstanceOf[Query]
+    val m = q.clauses.head.asInstanceOf[MatchClause]
+    assert(m.pattern.start == NodePattern(Some("c"), Some("Customer"),
+      List("mktsegment" -> StrLit("BUILDING"))))
+    val (rel, node) = m.pattern.steps.head
+    assert(rel == RelPattern(Some("r"), Some("PLACED"), Direction.Out, None))
+    assert(node == NodePattern(Some("o"), Some("Order"), Nil))
+    assert(m.where.contains(Cmp(">", Prop("o", "totalprice"), Lit(IntLit(1000)))))
+    assert(q.ret.items == List(
+      RetExpr(Prop("c", "name"), Some("n")),
+      RetAgg(AggFunc.Count, None, None, Some("cnt"))))
+    assert(q.ret.orderBy == List(OrderItem(Ident("cnt"), ascending = false)))
+    assert(q.ret.skip.contains(1) && q.ret.limit.contains(5))
+  }
+
+  test("parser: directions and var-length") {
+    val q = Parser.parse("MATCH (a)<-[:T]-(b)--(c)-[*2..3]->(d) RETURN a.id").asInstanceOf[Query]
+    val steps = q.clauses.head.asInstanceOf[MatchClause].pattern.steps
+    assert(steps(0)._1.direction == Direction.In)
+    assert(steps(1)._1.direction == Direction.Both)
+    assert(steps(2)._1 == RelPattern(None, None, Direction.Out, Some((2, 3))))
+  }
+
+  test("match + property filter equals direct join") {
+    val viaCypher = Cypher.query(graph,
+      "MATCH (c:Customer {mktsegment: 'BUILDING'})-[:PLACED]->(o:Order) RETURN COUNT(*) AS cnt")
+      .head.getLong(0)
+    val direct = GraphBuilder.table(spark, sfDir, "orders")
+      .join(GraphBuilder.table(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(viaCypher == direct && viaCypher > 0)
+  }
+
+  test("optional match keeps unmatched rows with nulls") {
+    val df = Cypher.query(graph,
+      "MATCH (r:Region) OPTIONAL MATCH (r)<-[:PLACED]-(x) RETURN r.name AS name, x.label AS xl")
+    val rows = df.collect()
+    assert(rows.length == graph.labeled("Region").count())
+    assert(rows.forall(_.isNullAt(1))) // nothing PLACED into a region
+  }
+
+  test("undirected hop counts both directions with multiplicity") {
+    val cnt = Cypher.query(graph,
+      "MATCH (n:Nation {name: 'NATION_3'})-[e]-(x) RETURN COUNT(*) AS cnt")
+      .head.getLong(0)
+    val nid = graph.labeled("Nation").filter(col("name") === "NATION_3")
+      .head.getLong(0)
+    val expected = graph.edges.filter(col("src") === nid || col("dst") === nid).count()
+    assert(cnt == expected && cnt > 0)
+  }
+
+  test("var-length binds distinct endpoint pairs") {
+    val pairs = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*1..2]->(x) RETURN c.id AS s, x.id AS t")
+    assert(pairs.count() == pairs.distinct().count())
+    // 1..1 == single hop distinct
+    val h1 = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*1..1]->(x) RETURN c.id AS s, x.id AS t").count()
+    val h1direct = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-->(x) RETURN DISTINCT c.id AS s, x.id AS t").count()
+    assert(h1 == h1direct)
+  }
+
+  test("WITH pipeline with aggregate + HAVING-style WHERE") {
+    val df = Cypher.query(graph,
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) " +
+      "WITH c.nationkey AS nk, COUNT(*) AS cnt WHERE cnt > 50 RETURN nk, cnt")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 50))
+    assert(rows.length < 25) // threshold actually filtered something
+  }
+
+  test("UNION distinct vs UNION ALL") {
+    val all = Cypher.query(graph,
+      "MATCH (r:Region) RETURN r.label AS l UNION ALL MATCH (n:Region) RETURN n.label AS l")
+    val dist = Cypher.query(graph,
+      "MATCH (r:Region) RETURN r.label AS l UNION MATCH (n:Region) RETURN n.label AS l")
+    assert(all.count() == 10 && dist.count() == 1)
+  }
+
+  test("IS NULL / EXISTS / IN / regex / NOT") {
+    assert(Cypher.query(graph,
+      "MATCH (n) WHERE n.psize IS NOT NULL RETURN COUNT(*) AS c").head.getLong(0)
+      == graph.labeled("Part").count())
+    assert(Cypher.query(graph,
+      "MATCH (n) WHERE EXISTS(n.mktsegment) RETURN COUNT(*) AS c").head.getLong(0)
+      == graph.labeled("Customer").count())
+    assert(Cypher.query(graph,
+      "MATCH (n:Nation) WHERE n.name IN ['NATION_3', 'NO_SUCH'] RETURN COUNT(*) AS c")
+      .head.getLong(0) == 1)
+    assert(Cypher.query(graph,
+      "MATCH (n:Nation) WHERE n.name =~ 'NATION_1' RETURN COUNT(*) AS c")
+      .head.getLong(0) == 11)
+    assert(Cypher.query(graph,
+      "MATCH (n:Nation) WHERE NOT n.name = 'NATION_3' RETURN COUNT(*) AS c")
+      .head.getLong(0) == 24)
+  }
+
+  test("aggregates: min/max/avg/stdev/percentile/collect") {
+    val row = Cypher.query(graph,
+      "MATCH (c:Customer) RETURN MIN(c.acctbal) AS mn, MAX(c.acctbal) AS mx, " +
+      "AVG(c.acctbal) AS av, STDEV(c.acctbal) AS sd, " +
+      "PERCENTILECONT(c.acctbal, 0.5) AS p50, COUNT(DISTINCT c.mktsegment) AS segs").head
+    assert(row.getDouble(0) < row.getDouble(1))
+    assert(row.getDouble(3) > 0)
+    assert(row.getDouble(4) >= row.getDouble(0) && row.getDouble(4) <= row.getDouble(1))
+    assert(row.getLong(5) == 5)
+    val coll = Cypher.query(graph,
+      "MATCH (r:Region) RETURN COLLECT(r.name) AS names").head.getSeq[String](0)
+    assert(coll.toSet.size == 5)
+  }
+
+  test("ORDER BY hidden (non-returned) column") {
+    val names = Cypher.query(graph,
+      "MATCH (sp:Supplier) RETURN sp.name AS name ORDER BY sp.acctbal DESC LIMIT 3")
+      .collect().map(_.getString(0))
+    val direct = graph.labeled("Supplier")
+      .orderBy(col("acctbal").desc).limit(3).select("name")
+      .collect().map(_.getString(0))
+    assert(names.sameElements(direct))
+  }
+
+  test("rel variable property access") {
+    val row = Cypher.query(graph,
+      "MATCH (o:Order)-[l:CONTAINS]->(p:Part) RETURN SUM(l.quantity) AS q").head
+    val direct = GraphBuilder.table(spark, sfDir, "lineitem")
+      .agg(sum(col("l_quantity"))).head.getDouble(0)
+    assert(math.abs(row.getDouble(0) - direct) < 1e-6)
+  }
+}
