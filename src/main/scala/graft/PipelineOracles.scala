@@ -1,0 +1,155 @@
+package graft
+
+/** DuckDB mirrors for the pipeline operators (graft.pipeline.*). The
+  * shared 60-bit hash is ('0x' || substr(md5(s),1,15))::BIGINT — equal to
+  * Spark's conv(substr(md5(s),1,15),16,10) for every input, so MinHash /
+  * SimHash / LSH reproduce bit-identically in both engines.
+  */
+object PipelineOracles {
+
+  private def h60(s: String): String = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+
+  private val shinglesCte =
+    """shingles AS MATERIALIZED (
+  SELECT doc_id, substr(text, i, 5) AS sh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 4, 1))) AS t(i))"""
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(substr(text, 1, 100))) AS fp, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""
+
+  private def minhashCtes(k: Int, bands: Int): String = {
+    val rows = k / bands
+    val hashes = (0 until k).map(j => s"${h60(s"'$j:' || sh")} AS h$j").mkString(", ")
+    val mins = (0 until k).map(j => s"MIN(h$j) AS m$j").mkString(", ")
+    val bandSel = (0 until bands).map { b =>
+      val ms = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(concat_ws('_', $ms)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shinglesCte,
+hs AS MATERIALIZED (SELECT doc_id, $hashes FROM shingles),
+sig AS MATERIALIZED (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+bands AS MATERIALIZED (
+  $bandSel),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+  JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  val dedupMinhashSql: String =
+    s"WITH ${minhashCtes(16, 4)} SELECT a, b FROM pairs"
+
+  val dedupSimhashSql: String = {
+    val sums = (0 until 32)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(i => s"(CASE WHEN s$i >= 0 THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH $shinglesCte,
+hsim AS MATERIALIZED (SELECT doc_id, ${h60("'sim:' || sh")} AS h FROM shingles),
+ssum AS MATERIALIZED (SELECT doc_id, $sums FROM hsim GROUP BY doc_id),
+simh AS MATERIALIZED (SELECT doc_id, $fp AS simhash FROM ssum),
+chunks AS MATERIALIZED (
+  SELECT doc_id, CAST(c AS BIGINT) AS chunk, (simhash >> (c * 8)) & 255 AS cv, simhash
+  FROM simh, unnest(generate_series(0, 3)) AS t(c)),
+p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+      FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
+SELECT a, b, hamming FROM p WHERE hamming <= 3"""
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH ${minhashCtes(16, 4)},
+dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shingles),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (SELECT p.a, p.b, COUNT(*) AS common
+          FROM pairs p JOIN dsh x ON x.doc_id = p.a JOIN dsh y ON y.doc_id = p.b AND y.sh = x.sh
+          GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+       ROUND(COALESCE(i.common, 0) / (sa.sz + sb.sz - COALESCE(i.common, 0)), 6) AS jaccard
+FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b"""
+
+  private val embCtes =
+    """ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id)"""
+
+  val cosineTopKSql: String =
+    s"""WITH $embCtes,
+dots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN ex v ON q.pos = v.pos AND q.vec_id < 10 AND v.vec_id >= 10
+         GROUP BY 1, 2),
+cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
+        FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+rk AS (SELECT qid, vid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn FROM cos)
+SELECT qid, vid, cosine, CAST(rn AS BIGINT) AS rnk FROM rk WHERE rn <= 5"""
+
+  val annLshSql: String =
+    s"""WITH $embCtes,
+w AS MATERIALIZED (
+  SELECT p AS plane, d AS pos, ${h60("'lsh:' || p || ':' || d")} % 2001 - 1000 AS w
+  FROM unnest(generate_series(0, 3)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+proj AS MATERIALIZED (SELECT e.vec_id, w.plane, SUM(w.w * e.x) AS proj
+  FROM ex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+bk AS MATERIALIZED (SELECT vec_id,
+  SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id),
+dots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN bk qb ON qb.vec_id = q.vec_id
+         JOIN ex v ON v.pos = q.pos JOIN bk vb ON vb.vec_id = v.vec_id AND vb.bucket = qb.bucket
+         WHERE q.vec_id < 10 AND v.vec_id >= 10
+         GROUP BY 1, 2),
+cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
+        FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+rk AS (SELECT qid, vid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn FROM cos)
+SELECT qid, vid, cosine, CAST(rn AS BIGINT) AS rnk FROM rk WHERE rn <= 3"""
+
+  private val markerRes = Seq(
+    "en" -> "\\b(the|a|is)\\b",
+    "de" -> "\\b(der|die|das)\\b",
+    "es" -> "\\b(el|los|una)\\b",
+    "fr" -> "\\b(le|la|les)\\b",
+    "zh" -> "的")
+
+  val langIdSql: String = {
+    val scores = markerRes.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val langs = markerRes.map(_._1)
+    val cases = langs.init.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+SELECT doc_id, lang, guess, guess = lang AS matches FROM (
+  SELECT doc_id, lang, CASE $cases ELSE '${langs.last}' END AS guess FROM sc) g"""
+  }
+
+  val qualitySql: String =
+    """WITH q AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\b(the|a|is)\b')) AS BIGINT) AS stop
+  FROM documents)
+SELECT doc_id, chars, words,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality
+FROM q"""
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+FROM documents"""
+
+  val fingerprintSql: String =
+    s"""WITH sh8 AS MATERIALIZED (
+  SELECT doc_id, substr(text, i, 8) AS sh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i))
+SELECT doc_id, MIN(${h60("'fp:' || sh")}) AS fp FROM sh8 GROUP BY doc_id"""
+}

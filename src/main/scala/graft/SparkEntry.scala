@@ -7,6 +7,7 @@ import graft.graph.GraphBuilder.{TAG, CustomerTag, PartTag}
 import graft.ops.GraphQuery
 import graft.algorithms.{Centrality, Community, Structure, Traversal}
 import graft.cypher.Cypher
+import graft.pipeline.{Dedup, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -205,7 +206,30 @@ object SparkEntry {
       "RETURN x.label AS label, COUNT(*) AS cnt")),
     "q_cypher_incoming" -> ((s, d) => Cypher.query(g(s, d),
       "MATCH (o:Order)<-[:PLACED]-(c:Customer {nationkey: 5}) " +
-      "RETURN COUNT(*) AS cnt"))
+      "RETURN COUNT(*) AS cnt")),
+
+    // ---- §2.5 LLM-pipeline operators ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(GraphBuilder.table(s, d, "documents"),
+        lower(substring(col("text"), 1, 100)))),
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(GraphBuilder.table(s, d, "documents"))),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(GraphBuilder.table(s, d, "documents"))),
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(GraphBuilder.table(s, d, "documents"))),
+    "q_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(GraphBuilder.table(s, d, "embeddings"))),
+    "q_lang_id" -> ((s, d) =>
+      TextOps.langId(GraphBuilder.table(s, d, "documents"))),
+    "q_quality" -> ((s, d) =>
+      TextOps.quality(GraphBuilder.table(s, d, "documents"))),
+    "q_token_count" -> ((s, d) =>
+      TextOps.tokenCounts(GraphBuilder.table(s, d, "documents"))),
+    "q_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(GraphBuilder.table(s, d, "documents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -299,6 +323,18 @@ nb AS (SELECT e.dst AS t FROM edges e JOIN nid ON e.src = nid.id
        UNION ALL SELECT e.src FROM edges e JOIN nid ON e.dst = nid.id)
 SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nb JOIN nodes n ON n.id = nb.t GROUP BY n.label"""),
     "q_cypher_incoming" ->
-      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 5"
+      "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 5",
+
+    // ---- §2.5 LLM-pipeline operators ----
+    "q_dedup_exact" -> PipelineOracles.dedupExactSql,
+    "q_dedup_minhash" -> PipelineOracles.dedupMinhashSql,
+    "q_dedup_simhash" -> PipelineOracles.dedupSimhashSql,
+    "q_ngram_jaccard" -> PipelineOracles.ngramJaccardSql,
+    "q_cosine_topk" -> PipelineOracles.cosineTopKSql,
+    "q_ann_lsh" -> PipelineOracles.annLshSql,
+    "q_lang_id" -> PipelineOracles.langIdSql,
+    "q_quality" -> PipelineOracles.qualitySql,
+    "q_token_count" -> PipelineOracles.tokenCountSql,
+    "q_fingerprint" -> PipelineOracles.fingerprintSql
   )
 }

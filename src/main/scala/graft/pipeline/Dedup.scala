@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.{hash60, shingles}
+
+/** Deduplication operators (brief-mandated LLM-pipeline surface).
+  *
+  * Scale notes: exact dedup is one hash-groupBy; MinHash/LSH bounds the
+  * candidate space via banded signatures (groupBy band → bucket join, no
+  * cartesian anywhere); SimHash pairs join on 8-bit chunks (pigeonhole:
+  * hamming ≤ 3 on 32 bits ⇒ some chunk equal). All self-joins are on
+  * hashed keys — uniform distribution, no skew.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash of `key`: groups with >1 member, keeping
+    * the smallest doc_id as representative. */
+  def exact(docs: DataFrame, key: Column): DataFrame =
+    docs.select(col("doc_id"), md5(key).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** MinHash signatures: k independent min-hashes over char-5-gram
+    * shingles → (doc_id, m0..m{k-1}). */
+  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame =
+    shingles(docs)
+      .select(col("doc_id") +:
+        (0 until k).map(j => hash60(col("sh"), s"$j:").as(s"h$j")): _*)
+      .groupBy("doc_id")
+      .agg((0 until k).map(j => min(s"h$j").as(s"m$j")).head,
+           (0 until k).map(j => min(s"h$j").as(s"m$j")).tail: _*)
+
+  /** Banded signature hashes: (doc_id, band, bh). */
+  def minhashBands(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame =
+    (0 until bands).map { b =>
+      sigs.select(col("doc_id"), lit(b).cast("long").as("band"),
+        md5(concat_ws("_", (0 until rows).map(r => col(s"m${b * rows + r}")): _*))
+          .as("bh"))
+    }.reduce(_ unionByName _)
+
+  /** Near-duplicate candidate pairs: docs sharing any full band. */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val b = minhashBands(minhashSignatures(docs, k), bands, k / bands)
+    b.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(b.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 32-bit SimHash over char-5-gram shingles. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val h = shingles(docs).select(col("doc_id"), hash60(col("sh"), "sim:").as("h"))
+    val sums = h.groupBy("doc_id").agg(
+      (0 until 32).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$i")).head,
+      (0 until 32).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$i")).tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 32).map(i =>
+        when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, bucketed by 8-bit
+    * chunks so the join never goes quadratic. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = (0 until 4).map { c =>
+      sh.select(col("doc_id"), lit(c).cast("long").as("chunk"),
+        shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("cv"),
+        col("simhash"))
+    }.reduce(_ unionByName _)
+    chunks.select(col("chunk"), col("cv"), col("doc_id").as("a"), col("simhash").as("fa"))
+      .join(chunks.select(col("chunk"), col("cv"), col("doc_id").as("b"),
+        col("simhash").as("fb")), Seq("chunk", "cv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for the MinHash candidate pairs. */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val pairs = minhashPairs(docs)
+    val sh = shingles(docs).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    pairs.join(inter, Seq("a", "b"), "left_outer")
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(coalesce(col("common"), lit(0L)) /
+          (col("sa") + col("sb") - coalesce(col("common"), lit(0L))), 6)
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * Array[Float], label) — brief-mandated ANN surface.
+  *
+  * Brute-force cosine is the correctness baseline: it explodes vectors to
+  * (id, pos, x) rows and joins on position, bounded by a probe-set limit
+  * (never all-pairs). The LSH variant is the scale path: deterministic
+  * random-hyperplane signs (weights derived from the shared md5 hash, so
+  * the oracle reproduces them) bucket the vectors; probes only score
+  * their own bucket.
+  */
+object Similarity {
+
+  /** (vec_id, pos, x) with pos 0-based and x cast to double. */
+  def exploded(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("col").cast("double").as("x"))
+
+  def norms(emb: DataFrame): DataFrame =
+    exploded(emb).groupBy("vec_id")
+      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+
+  /** Brute-force cosine top-k for probes vec_id < probeMax. Ties and
+    * float-noise are neutralized by ranking on (rounded cosine, vid). */
+  def cosineTopK(emb: DataFrame, probeMax: Long = 10L, k: Int = 5): DataFrame = {
+    val e = exploded(emb)
+    val n = norms(emb)
+    val probes = e.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("qid"), col("pos"), col("x").as("qx"))
+    val dots = probes.join(e.filter(col("vec_id") >= probeMax)
+        .select(col("vec_id").as("vid"), col("pos"), col("x")), Seq("pos"))
+      .groupBy("qid", "vid").agg(sum(col("qx") * col("x")).as("dot"))
+    val cos = dots
+      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qn")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vid"), col("nrm").as("vn")), Seq("vid"))
+      .select(col("qid"), col("vid"),
+        round(col("dot") / (col("qn") * col("vn")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
+    cos.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("vid"), col("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Deterministic hyperplane weights: (plane, pos, w) with
+    * w = hash60("lsh:p:d") % 2001 − 1000 ∈ [−1000, 1000]. */
+  def planeWeights(spark: org.apache.spark.sql.SparkSession,
+                   planes: Int, dims: Int): DataFrame =
+    spark.range(planes).select(col("id").as("plane"))
+      .crossJoin(spark.range(dims).select(col("id").as("pos")))
+      .select(col("plane"), col("pos"),
+        (TextOps.hash60(concat(col("plane"), lit(":"), col("pos")), "lsh:")
+          % 2001L - 1000L).as("w"))
+
+  /** Bucket id per vector: sign bits of `planes` hyperplane projections. */
+  def lshBuckets(emb: DataFrame, planes: Int = 4): DataFrame = {
+    val w = planeWeights(emb.sparkSession, planes, 64)
+    exploded(emb).join(w, Seq("pos"))
+      .groupBy("vec_id", "plane").agg(sum(col("w") * col("x")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** Bucketed ANN: probes score only vectors in their own bucket. */
+  def annLsh(emb: DataFrame, planes: Int = 4, probeMax: Long = 10L, k: Int = 3): DataFrame = {
+    val b = lshBuckets(emb, planes)
+    val e = exploded(emb)
+    val n = norms(emb)
+    val probes = e.filter(col("vec_id") < probeMax)
+      .join(b, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("bucket"), col("pos"), col("x").as("qx"))
+    val cands = e.filter(col("vec_id") >= probeMax)
+      .join(b, Seq("vec_id"))
+      .select(col("vec_id").as("vid"), col("bucket"), col("pos"), col("x"))
+    val dots = probes.join(cands, Seq("bucket", "pos"))
+      .groupBy("qid", "vid").agg(sum(col("qx") * col("x")).as("dot"))
+    val cos = dots
+      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qn")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vid"), col("nrm").as("vn")), Seq("vid"))
+      .select(col("qid"), col("vid"),
+        round(col("dot") / (col("qn") * col("vn")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
+    cos.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("vid"), col("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+}

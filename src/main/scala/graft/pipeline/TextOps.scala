@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over the `documents`
+  * table (brief-mandated; no counterpart in the reference, which is a
+  * graph engine — these follow the standard corpus-prep recipes).
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): shingling is sequence+transform+explode, hashing is
+  * md5→hex→bigint so the DuckDB oracle computes bit-identical values.
+  *
+  * Scale notes: every op here is a narrow map or a single map-side-
+  * combined aggregation keyed by doc_id — embarrassingly parallel, no
+  * shuffle beyond the final groupBy, safe at any corpus size.
+  */
+object TextOps {
+
+  /** Deterministic 60-bit hash shared with the oracle:
+    * Spark  conv(substr(md5(s),1,15),16,10)
+    * DuckDB ('0x' || substr(md5(s),1,15))::BIGINT  — same value. */
+  def hash60(c: Column, prefix: String): Column =
+    conv(substring(md5(concat(lit(prefix), c)), 1, 15), 16, 10).cast("long")
+
+  /** One row per character k-gram: (doc_id, sh). Short docs yield their
+    * (truncated) prefix shingle, mirroring substr semantics in DuckDB. */
+  def shingles(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"explode(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+        s"i -> substring(text, i, $k)))").as("sh"))
+
+  /** Marker-word language heuristic: score per language = total marker
+    * occurrences; highest score wins, ties resolved by fixed priority
+    * order (deterministic, mirrored in the oracle's CASE chain). */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|is)\\b",
+    "de" -> "\\b(der|die|das)\\b",
+    "es" -> "\\b(el|los|una)\\b",
+    "fr" -> "\\b(le|la|les)\\b",
+    "zh" -> "的")
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      col("doc_id") +: col("lang") +: langMarkers.map { case (l, re) =>
+        regexp_count(col("text"), lit(re)).cast("long").as(s"s_$l")
+      }: _*)
+    val langs = langMarkers.map(_._1)
+    val guess = langs.foldRight(lit(langs.last)) { case (l, elseCol) =>
+      val ge = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(elseCol)
+    }
+    scored.select(col("doc_id"), col("lang"), guess.as("guess"))
+      .withColumn("matches", col("guess") === col("lang"))
+  }
+
+  /** Quality score from length / punctuation / stopword ratios —
+    * 0.4·min(words/100,1) + 0.3·(1−punct/chars) + 0.3·min(5·stop/words,1). */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        regexp_count(col("text"), lit("[^ ]+")).cast("long").as("words"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("punct"),
+        regexp_count(col("text"), lit("\\b(the|a|is)\\b")).cast("long").as("stop"))
+      .select(col("doc_id"), col("chars"), col("words"),
+        round(lit(0.4) * least(col("words") / lit(100.0), lit(1.0)) +
+              lit(0.3) * (lit(1.0) - col("punct") / col("chars")) +
+              lit(0.3) * least(lit(5.0) * col("stop") / col("words"), lit(1.0)), 6)
+          .as("quality"))
+
+  /** Whitespace tokens + BPE-ish regex tokens (letter runs, single
+    * digits, single punctuation marks). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("[^ ]+")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"))
+        .cast("long").as("bpe_tokens"))
+
+  /** Document fingerprint: min 8-gram rolling-window hash (min-sampling,
+    * the 1-fingerprint case of winnowing). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    shingles(docs, 8)
+      .select(col("doc_id"), hash60(col("sh"), "fp:").as("h"))
+      .groupBy("doc_id").agg(min("h").as("fp"))
+}

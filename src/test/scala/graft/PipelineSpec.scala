@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextOps}
+
+/** Pipeline operator semantics on hand-built corpora with known answers. */
+class PipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val implicits = spark.implicits
+    import implicits._
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  test("exact dedup groups identical keys, keeps min id") {
+    val d = docs(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc")
+    val g = Dedup.exact(d, col("text")).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("keep_id") == 1L && g(0).getAs[Long]("cnt") == 2L)
+  }
+
+  test("minhash pairs find near-identical docs, not unrelated ones") {
+    val d = docs(
+      1L -> base, 2L -> (base + " extra"),
+      3L -> "completely different words about graphs spark partitions shuffles joins executors memory")
+    val pairs = Dedup.minhashPairs(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close") {
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " tail"))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+  }
+
+  test("ngram jaccard of identical docs is 1") {
+    val d = docs(1L -> base, 2L -> base)
+    val j = Dedup.ngramJaccard(d).collect()
+    assert(j.length == 1 && j(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("cosine topk: duplicate vector ranks first with cosine 1") {
+    val implicits = spark.implicits
+    import implicits._
+    // probe 0 == vec 10; vec 11 orthogonal-ish
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 2.0f, 0.0f)),
+      (11L, Array(0.0f, 3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(emb, probeMax = 10, k = 2).collect()
+    val first = top.find(r => r.getLong(0) == 0L && r.getLong(3) == 1L).get
+    assert(first.getAs[Long]("vid") == 10L && first.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("lsh buckets are deterministic and ann stays within bucket") {
+    val emb = GraphBuilder_table("embeddings")
+    val b1 = Similarity.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Similarity.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1 && b1.values.toSet.size <= 16)
+    val ann = Similarity.annLsh(emb).collect()
+    ann.foreach(r => assert(b1(r.getLong(0)) == b1(r.getLong(1)))) // qid/vid co-bucketed
+  }
+
+  private def GraphBuilder_table(name: String) =
+    graft.graph.GraphBuilder.table(spark, sfDir, name)
+
+  test("langId picks the language with most markers") {
+    val d = docs(
+      1L -> "the cat is on a mat the dog is here",
+      2L -> "der hund und die katze und das haus der garten die strasse")
+    val out = Dedup_langId(d)
+    assert(out(1L) == "en" && out(2L) == "de")
+  }
+
+  private def Dedup_langId(d: DataFrame): Map[Long, String] =
+    TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val d = docs(
+      1L -> ("the data is clean and the words are real " * 3),
+      2L -> "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!")
+    val q = TextOps.quality(d).collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val d = docs(1L -> "hello world, 42 tokens!")
+    val r = TextOps.tokenCounts(d).head
+    assert(r.getLong(1) == 4) // hello | world, | 42 | tokens!
+    assert(r.getLong(2) == 7) // hello, world, ',', '4', '2', tokens, '!'
+  }
+
+  test("fingerprint is stable and equal for identical docs") {
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " changed ending here"))
+    val fp = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+  }
+}
