@@ -8,6 +8,7 @@ import graft.ops.GraphQuery
 import graft.algorithms.{Centrality, Community, Structure, Traversal}
 import graft.cypher.Cypher
 import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -229,7 +230,13 @@ object SparkEntry {
     "q_token_count" -> ((s, d) =>
       TextOps.tokenCounts(GraphBuilder.table(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) =>
-      TextOps.fingerprint(GraphBuilder.table(s, d, "documents")))
+      TextOps.fingerprint(GraphBuilder.table(s, d, "documents"))),
+
+    // ---- §2.6 streaming (batch twins of the streaming plans) ----
+    "q_events_window" -> ((s, d) =>
+      EventStreams.windowedCountsBatch(EventStreams.eventsTable(s, d))),
+    "q_events_sessions" -> ((s, d) =>
+      EventStreams.sessionsBatch(EventStreams.eventsTable(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,6 +342,22 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nb JOIN nodes n ON
     "q_lang_id" -> PipelineOracles.langIdSql,
     "q_quality" -> PipelineOracles.qualitySql,
     "q_token_count" -> PipelineOracles.tokenCountSql,
-    "q_fingerprint" -> PipelineOracles.fingerprintSql
+    "q_fingerprint" -> PipelineOracles.fingerprintSql,
+
+    // ---- §2.6 streaming batch twins ----
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS total
+FROM events GROUP BY 1, 2""",
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+s AS (SELECT user_id, event_id, ts,
+  CASE WHEN prev IS NULL OR ts > prev + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess FROM e),
+x AS (SELECT user_id, ts,
+  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM s)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM x GROUP BY 1, 2"""
   )
 }

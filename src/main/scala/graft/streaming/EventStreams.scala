@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming re-expression of the reference's streaming query
+  * delivery (reference: src/query_stream.rs, src/cypher/streaming.rs —
+  * the reference pages result batches to a consumer with backpressure;
+  * Spark's micro-batch engine IS that loop, so the operators here are the
+  * interesting part: incremental filter/transform, watermarked windowed
+  * aggregation, and stateful sessionization).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark;
+  * sessionization state is per-user and dropped on timeout. Both shuffle
+  * once on the grouping key — the same plan shape a 1000-executor job
+  * would run.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Timestamp, last: Timestamp, n: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark's reader
+    * rejects natively: read nanos as BIGINT (legacy conf) and convert to
+    * TIMESTAMP_NTZ microseconds (lossless — the generator emits µs
+    * precision; DIV keeps the arithmetic in exact integers). */
+  private def tsFromNanos = expr(
+    "CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)")
+
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").withColumn("ts", tsFromNanos)
+  }
+
+  /** File-source stream over the events parquet (one file = one batch in
+    * tests via Trigger.AvailableNow; in production a growing directory). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file source wants a directory: watch the dir, admit only events files
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", tsFromNanos)
+  }
+
+  /** Incremental filter/transform stage (reference query_stream.rs
+    * batched delivery of a filtered query). */
+  def highValue(events: DataFrame, minValue: Double): DataFrame =
+    events.filter(col("value") >= minValue)
+      .withColumn("value_bucket", floor(col("value") / 10.0).cast("long"))
+
+  /** Watermarked hourly windowed aggregation per event type. Watermarks
+    * need an LTZ timestamp — value-preserving here (sessions run UTC). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Stateful sessionization: events within `gapMinutes` of each other
+    * belong to one session; a session closes when the gap passes (or the
+    * group times out). flatMapGroupsWithState keeps one small state row
+    * per active user. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          // Micro-batch arrival order is not guaranteed: sort within batch.
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          evs.foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(e.ts, e.ts, 1L)
+              case s if e.ts.getTime - s.last.getTime <= gapMs =>
+                st = s.copy(last = e.ts, n = s.n + 1)
+              case s =>
+                closed += Session(uid, s.start, s.last, s.n)
+                st = SessionState(e.ts, e.ts, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  // ---- batch equivalents (DuckDB-oracle-able; same logical plans) ----
+
+  /** Batch twin of windowedCounts for the oracle. */
+  def windowedCountsBatch(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        round(sum(col("value")), 4).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Batch sessionization via window functions — identical session
+    * boundaries to the stateful streaming version on complete input. */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          col("ts") > col("prev") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_sess").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.graph.GraphBuilder
+import graft.streaming.EventStreams
+
+/** Structured Streaming semantics against the batch twins (streams are
+  * not DuckDB-oracle-able; batch equivalents are — q_events_window /
+  * q_events_sessions). Uses the file source with Trigger.AvailableNow and
+  * memory sinks: public APIs only, deterministic. */
+class StreamingSpec extends SparkSpec {
+
+  private def events = EventStreams.eventsTable(spark, sfDir)
+
+  test("incremental filter stream delivers the same rows as batch") {
+    val q = EventStreams.highValue(EventStreams.readEvents(spark, sfDir), 15.0)
+      .writeStream.format("memory").queryName("hv")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hv").count()
+    val batch = EventStreams.highValue(events, 15.0).count()
+    assert(streamed == batch && streamed > 0)
+  }
+
+  test("windowed aggregation matches the batch twin (complete mode)") {
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("wc").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("wc")
+      .select(col("wstart"), col("event_type"), col("cnt"))
+    val batch = EventStreams.windowedCountsBatch(events)
+      .select(col("wstart").cast("timestamp").as("wstart"), col("event_type"), col("cnt"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
+  test("stateful sessionization emits closed sessions matching batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val evs = EventStreams.readEvents(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(evs)
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("sess")
+    val batch = EventStreams.sessionsBatch(
+      events.select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value")))
+    val users = events.select("user_id").distinct().count()
+    // each user's final session stays open in state → not emitted
+    assert(streamed.count() == batch.count() - users)
+    // every emitted session exists in the batch result with identical bounds
+    val joined = streamed.join(batch,
+      streamed("user_id") === batch("user_id") &&
+      streamed("session_start") === batch("session_start") &&
+      streamed("session_end") === batch("session_end") &&
+      streamed("n_events") === batch("n_events"))
+    assert(joined.count() == streamed.count())
+  }
+}
