@@ -21,8 +21,9 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""
 
   private def minhashCtes(k: Int, bands: Int): String = {
     val rows = k / bands
-    val hashes = (0 until k).map(j => s"${h60(s"'$j:' || sh")} AS h$j").mkString(", ")
-    val mins = (0 until k).map(j => s"MIN(h$j) AS m$j").mkString(", ")
+    val hashes = s"${h60("'a:' || sh")} AS ha, " +
+      s"${h60("'b:' || sh")} % (CAST(1 AS BIGINT) << 55) AS hb"
+    val mins = (0 until k).map(j => s"MIN(ha + $j * hb) AS m$j").mkString(", ")
     val bandSel = (0 until bands).map { b =>
       val ms = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
       s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(concat_ws('_', $ms)) AS bh FROM sig"

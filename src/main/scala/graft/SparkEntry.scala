@@ -22,6 +22,14 @@ object SparkEntry {
   private def g(spark: SparkSession, dir: String): PropertyGraph =
     GraphBuilder.tpch(spark, dir)
 
+  /** Minhash candidate pairs are the input of two queries — compute once
+    * per (session, sfDir). */
+  private val mhCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def minhashPairsCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d),
+      Dedup.minhashPairs(GraphBuilder.table(s, d, "documents")).persist())
+
   private val P = GraphBuilder.oraclePreamble
 
   /** Flagship: customers + account balance rolled up to region via
@@ -213,12 +221,12 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
-    "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashPairs(GraphBuilder.table(s, d, "documents"))),
+    "q_dedup_minhash" -> ((s, d) => minhashPairsCached(s, d)),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(GraphBuilder.table(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(GraphBuilder.table(s, d, "documents"))),
+      Dedup.ngramJaccard(GraphBuilder.table(s, d, "documents"),
+        Some(minhashPairsCached(s, d)))),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>

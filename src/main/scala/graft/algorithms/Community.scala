@@ -83,19 +83,25 @@ object Community {
     val ids = nodes.select("id")
     val n = ids.count().toDouble
     val e = edges.select("src", "dst")
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("odeg"))
-      .localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("src")).agg(count(lit(1)).as("odeg"))
+    // out-degree is loop-invariant: attach it to the edge table once, so
+    // each iteration is one hash join + one map-side-combined aggregation
+    val eDeg = e.join(outdeg, Seq("src")).localCheckpoint()
     var rank = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint()
-    for (_ <- 1 to iterations) {
-      val contribs = rank.join(outdeg, Seq("id"))
-        .join(e, col("id") === e("src"))
-        .select(e("dst").as("id"), (col("rank") / col("odeg")).as("c"))
+    for (i <- 1 to iterations) {
+      // qualified aliases, not captured Columns: `rank` carries `eDeg` in
+      // its lineage after the first un-checkpointed iteration, and
+      // attribute references into it would be ambiguous
+      val contribs = rank.as("r").join(eDeg.as("edg"), col("r.id") === col("edg.src"))
+        .select(col("edg.dst").as("id"), (col("r.rank") / col("edg.odeg")).as("c"))
         .groupBy("id").agg(sum("c").as("m"))
       rank = ids.join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("m"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+      // lineage cut every few rounds is enough — a 3-iteration plan is
+      // still flat, and skipping the eager materialization saves 2 jobs
+      if (i % 3 == 0 || i == iterations) rank = rank.localCheckpoint()
     }
     val total = rank.agg(sum("rank")).head.getDouble(0)
     rank.select(col("id"), (col("rank") / lit(total)).as("rank"))

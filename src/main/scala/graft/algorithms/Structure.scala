@@ -8,17 +8,37 @@ import org.apache.spark.sql.functions._
   */
 object Structure {
 
-  /** Oriented triangle enumeration on a simple undirected graph given as
-    * (a<b) pairs: each triangle appears exactly once as (x<y<z). The id
-    * orientation bounds the join fan-out the same way degree-ordering
-    * does in the classic node-iterator (triangle.rs:46). Two shuffle
-    * joins, no cartesian. */
-  def triangles(pedges: DataFrame): DataFrame =
-    pedges.as("e1")
-      .join(pedges.as("e2"), col("e1.b") === col("e2.a"))
-      .join(pedges.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+  /** Triangle enumeration on a simple undirected graph given as (a<b)
+    * pairs, via the degree-ordered node-iterator (triangle.rs:46): edges
+    * are oriented low-degree → high-degree (id tiebreak), which is
+    * acyclic, so each triangle is emitted exactly once — and out-degrees
+    * are bounded by O(√m), keeping the wedge join at O(m^1.5) even on
+    * skewed graphs. The (x,y,z) labels depend on the orientation but the
+    * triangle node-sets (and thus all counts) do not. */
+  def triangles(pedges: DataFrame): DataFrame = {
+    val deg = pedges.select(col("a").as("v"))
+      .unionByName(pedges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val o = pedges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("s"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("t"))
+    // The wedge stream (e1⋈e2) is the big intermediate — close it against
+    // a broadcast of the edge set so those rows never shuffle. At scales
+    // where the edge list outgrows broadcast, AQE falls back to shuffle
+    // (then: pre-partition both sides by (s,t)).
+    o.as("e1")
+      .join(o.as("e2"), col("e1.t") === col("e2.s"))
+      .join(broadcast(o.as("e3")),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+  }
 
   /** Per-node triangle participation: (id, tri_cnt). */
   def trianglesPerNode(pedges: DataFrame): DataFrame = {
@@ -36,14 +56,28 @@ object Structure {
     * both engines run the same fixed round count so results match by
     * construction either way. Returns the surviving node set. */
   def kcoreMembers(symEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val e = symEdges.select("src", "dst")
+    // The induced edge set only ever shrinks: filter it down each round
+    // instead of re-probing the full graph, and stop early at a fixpoint
+    // (all remaining rounds would be no-ops, so the result is identical
+    // to running the full `rounds`).
+    var e = symEdges.select("src", "dst").localCheckpoint()
     var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
-      alive = e
-        .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    var aliveCount = alive.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      val next = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("id").localCheckpoint()
+      val nextCount = next.count()
+      if (nextCount == aliveCount) converged = true
+      else {
+        e = e.join(next.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(next.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint()
+        alive = next
+        aliveCount = nextCount
+      }
     }
     alive
   }

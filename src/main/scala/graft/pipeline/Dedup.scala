@@ -22,15 +22,20 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("cnt"))
       .filter(col("cnt") > 1)
 
-  /** MinHash signatures: k independent min-hashes over char-5-gram
-    * shingles → (doc_id, m0..m{k-1}). */
-  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame =
-    shingles(docs)
+  /** MinHash signatures: k min-hashes over char-5-gram shingles via
+    * double hashing h_j = ha + j·hb (2 md5 calls per shingle instead of
+    * k; hb truncated to 55 bits so ha + 15·hb can't overflow BIGINT) →
+    * (doc_id, m0..m{k-1}). */
+  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame = {
+    val hashed = shingles(docs).select(col("doc_id"),
+      hash60(col("sh"), "a:").as("ha"),
+      (hash60(col("sh"), "b:") % lit(1L << 55)).as("hb"))
       .select(col("doc_id") +:
-        (0 until k).map(j => hash60(col("sh"), s"$j:").as(s"h$j")): _*)
-      .groupBy("doc_id")
+        (0 until k).map(j => (col("ha") + lit(j.toLong) * col("hb")).as(s"h$j")): _*)
+    hashed.groupBy("doc_id")
       .agg((0 until k).map(j => min(s"h$j").as(s"m$j")).head,
            (0 until k).map(j => min(s"h$j").as(s"m$j")).tail: _*)
+  }
 
   /** Banded signature hashes: (doc_id, band, bh). */
   def minhashBands(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame =
@@ -85,9 +90,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity for the MinHash candidate pairs. */
-  def ngramJaccard(docs: DataFrame): DataFrame = {
-    val pairs = minhashPairs(docs)
+  /** Exact n-gram Jaccard similarity for (by default) the MinHash
+    * candidate pairs; pass `pairsIn` to reuse already-computed pairs. */
+  def ngramJaccard(docs: DataFrame, pairsIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(minhashPairs(docs))
     val sh = shingles(docs).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
