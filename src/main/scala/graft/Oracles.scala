@@ -91,6 +91,20 @@ mutual AS (
 scc AS (SELECT id, MIN(peer) AS scc_id FROM mutual GROUP BY id)
 SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY scc_id"""
 
+  /** All simple paths src→dst (≤ maxLen edges) on the trade graph, one
+    * "id->id->…" string per path (= algorithms.Paths.simplePaths). */
+  def simplePathsSql(srcId: Long, dstId: Long, maxLen: Int): String =
+    s"""WITH RECURSIVE ${graft.graph.DerivedGraphs.tradeSql},
+r AS (
+  SELECT CAST($srcId AS BIGINT) AS cur, [CAST($srcId AS BIGINT)] AS path
+  UNION ALL
+  SELECT e.dst, list_append(r.path, e.dst)
+  FROM r JOIN tedges e ON e.src = r.cur
+  WHERE r.cur <> CAST($dstId AS BIGINT)
+    AND NOT list_contains(r.path, e.dst)
+    AND len(r.path) <= $maxLen)
+SELECT array_to_string(path, '->') AS path FROM r WHERE cur = CAST($dstId AS BIGINT)"""
+
   /** Components of the (Customer|Supplier|Nation|Region, IN_NATION ∪
     * IN_REGION) subgraph — a forest, so the min-id component label is the
     * region node id, closed-form from the raw tables. */

@@ -140,6 +140,9 @@ object SparkEntry {
       Community.sccByClosure(DerivedGraphs.tradeNodes(s, d),
           DerivedGraphs.nationTrade(s, d), 5)
         .groupBy("scc_id").agg(count(lit(1)).cast("bigint").as("size"))),
+    "q_simple_paths" -> ((s, d) =>
+      algorithms.Paths.simplePaths(DerivedGraphs.nationTrade(s, d),
+        GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4)),
     "q_pagerank" -> ((s, d) => {
       val graph = g(s, d)
       Community.pageRank(graph.nodes, graph.edges, 0.85, 10)
@@ -303,6 +306,8 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_betweenness" -> Oracles.betweennessSql,
     "q_components" -> Oracles.componentsSql,
     "q_scc" -> Oracles.sccSql,
+    "q_simple_paths" -> Oracles.simplePathsSql(
+      GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4),
     "q_pagerank" -> Oracles.pageRankSql(0.85, 10),
     "q_kcore" -> Oracles.kcoreSql(80, 10),
     "q_louvain" -> Oracles.louvainSql,

@@ -1,0 +1,21 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SparkSessionExtensions entry point — enable with
+  * `spark.sql.extensions=graft.sql.GraftExtensions` (cluster-wide) or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * Injects graft's native expressions into the function registry so SQL
+  * and `call_function` resolve them like built-ins (codegen included).
+  */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_cosine"),
+      ArrayCosine.info,
+      (children: Seq[Expression]) => ArrayCosine(children(0), children(1))))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.GraphBuilder
+
+/** Plan-shape assertions — the §2.7 "index" story: property lookups must
+  * reach the parquet scan as pushed filters, joins must not degrade to
+  * cartesian products, and small-dim joins should broadcast. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("raw table predicate reaches the parquet scan (PushedFilters)") {
+    val plan = planOf(GraphBuilder.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_name"))
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan.take(2000))
+  }
+
+  test("column pruning: two-column projection reads a two-column schema") {
+    val plan = planOf(GraphBuilder.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity"))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:"), plan.take(2000))
+    assert(!plan.contains("l_comment"), "unused columns must be pruned")
+  }
+
+  test("flagship entry: no cartesian product, region side broadcast") {
+    val plan = planOf(SparkEntry.entry(spark))
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("no oracle query plans a cartesian product (bounded cross joins only)") {
+    // crossJoin with a 1-row aggregate (trade threshold, triangles
+    // denominator) is fine; an unbounded CartesianProduct of data tables
+    // is a plan bug. BroadcastNestedLoopJoin with a 1-row side is the
+    // physical form of those scalar joins.
+    val exempt = Set("q_triangles") // t×w: two 1-row aggregates crossed
+    SparkEntry.queries.filterNot(q => exempt(q._1)).foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n${plan.take(1200)}")
+    }
+  }
+
+  test("chained out() traversal joins on the src-partitioned edge table") {
+    val graph = GraphBuilder.tpch(spark, sfDir)
+    val plan = planOf(graft.ops.GraphQuery
+      .fromLabelAndPropIntEq(graph, "Customer", "nationkey", 3L)
+      .out("PLACED").count())
+    assert(plan.contains("HashAggregate")) // partial agg present
+    assert(!plan.toLowerCase.contains("cartesianproduct"))
+  }
+}
