@@ -47,11 +47,35 @@ object Community {
     * and ties break to the smallest community id, which is deterministic
     * and order-free. Input is the symmetric edge multiset (multiplicity =
     * weight). Output: (id, community). */
-  def louvainOnePass(symEdges: DataFrame): DataFrame =
-    symEdges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
-      .groupBy(col("src").as("id"))
-      .agg(max_by(col("dst"), struct(col("wt"), (-col("dst")).as("nd")))
-        .as("community"))
+  def louvainOnePass(symEdges: DataFrame): DataFrame = louvain(symEdges, 1)
+
+  /** Iterated synchronous passes of the same move rule: each pass every
+    * node adopts the community holding the most of its incident edge
+    * endpoints under the *current* assignment (ties → smallest community
+    * id). The reference's sequential sweep loop (louvain.rs:27) made
+    * deterministic by moving synchronously. */
+  def louvain(symEdges: DataFrame, passes: Int): DataFrame = {
+    val e = symEdges.select("src", "dst")
+    var comm = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("community")).localCheckpoint()
+    for (_ <- 1 to passes) {
+      comm = e.join(comm.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("community")).agg(count(lit(1)).as("wt"))
+        .groupBy(col("src").as("id"))
+        .agg(max_by(col("community"),
+          struct(col("wt"), (-col("community")).as("nd"))).as("community"))
+        .localCheckpoint()
+    }
+    comm
+  }
+
+  /** SCC count / single-SCC test (reference scc.rs:160 count_scc, :233
+    * is_strongly_connected) on top of sccByClosure. */
+  def countScc(nodes: DataFrame, edges: DataFrame, doublings: Int): Long =
+    sccByClosure(nodes, edges, doublings).select("scc_id").distinct().count()
+
+  def isStronglyConnected(nodes: DataFrame, edges: DataFrame, doublings: Int): Boolean =
+    countScc(nodes, edges, doublings) == 1L
 
   /** Strongly connected components via reflexive transitive-closure
     * doubling: scc_id(v) = min u with v⇝u and u⇝v (reference scc.rs:58,

@@ -82,6 +82,44 @@ object Structure {
     alive
   }
 
+  /** Full k-core decomposition: (id, core) with core(v) = the largest k
+    * such that v survives k-peeling — exactly the reference's
+    * k_core_decomposition (kcore.rs:60: nodes removed while peeling at
+    * level k get value k-1). Driver-side loop over k with an inner peel
+    * fixpoint; O(degeneracy · peel-depth) Spark jobs, so intended for
+    * bounded graphs — at data scale, distributed core decomposition
+    * switches to the iterated-h-index algorithm (same output). */
+  def coreNumbers(symEdges: DataFrame, maxK: Int = 1000): DataFrame = {
+    var e = symEdges.select("src", "dst").localCheckpoint()
+    var remaining = e.select(col("src").as("id")).distinct().localCheckpoint()
+    var remainingCount = remaining.count()
+    var result: Option[DataFrame] = None
+    var k = 1
+    while (remainingCount > 0 && k <= maxK) {
+      var stable = false
+      while (!stable && remainingCount > 0) {
+        val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+        val survivors = deg.filter(col("d") >= k).select("id").localCheckpoint()
+        val survivorCount = survivors.count()
+        if (survivorCount == remainingCount) stable = true
+        else {
+          val removed = remaining.join(survivors, Seq("id"), "left_anti")
+            .withColumn("core", lit(k.toLong - 1))
+          result = Some(result.fold(removed)(_ unionByName removed).localCheckpoint())
+          e = e.join(survivors.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+            .join(survivors.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+            .localCheckpoint()
+          remaining = survivors
+          remainingCount = survivorCount
+        }
+      }
+      k += 1
+    }
+    result.fold(remaining.withColumn("core", lit(maxK.toLong)))(r =>
+      if (remainingCount == 0) r
+      else r.unionByName(remaining.withColumn("core", lit(maxK.toLong))))
+  }
+
   /** Degree of each node within the subgraph induced by `members`. */
   def inducedDegrees(symEdges: DataFrame, members: DataFrame): DataFrame =
     symEdges.select("src", "dst")

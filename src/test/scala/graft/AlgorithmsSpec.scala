@@ -101,6 +101,42 @@ class AlgorithmsSpec extends SparkSpec {
     assert(per == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("coreNumbers: full decomposition of the kcore.rs doc example") {
+    // triangle 1-2-3 + pendant 4 on 1: cores 2,2,2,1
+    val e = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L))
+    val cores = Structure.coreNumbers(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cores == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("coreNumbers on two joined cliques") {
+    // K4 {1..4} + path 4-5-6: K4 members core 3, path nodes core 1
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = symm(edges(k4 ++ Seq((4L, 5L), (5L, 6L)): _*))
+    val cores = Structure.coreNumbers(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cores == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("louvain passes stay inside components and are deterministic") {
+    // two disconnected triangles: communities can never cross
+    val e = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L))
+    val c = Community.louvain(e, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(v => Set(1L, 2L, 3L)(c(v))))
+    assert(Seq(10L, 11L, 12L).forall(v => Set(10L, 11L, 12L)(c(v))))
+    val c2 = Community.louvain(e, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == c2)
+  }
+
+  test("countScc / isStronglyConnected") {
+    val cycle = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assert(Community.isStronglyConnected(ids(1, 2, 3), cycle, 3))
+    assert(Community.countScc(ids(1, 2, 3, 4), cycle, 3) == 2) // + singleton 4
+  }
+
   test("degreeCentrality on a directed triangle") {
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
     val c = Centrality.degreeCentrality(ids(1, 2, 3), e)

@@ -88,6 +88,20 @@ class GraphQuerySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("save/load round-trips the graph through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    GraphBuilder.save(graph, dir)
+    val loaded = GraphBuilder.load(spark, dir)
+    assert(loaded.nodes.count() == graph.nodes.count())
+    assert(loaded.edges.count() == graph.edges.count())
+    // parquet reads come back nullable — compare names + types only
+    assert(loaded.nodes.schema.map(f => (f.name, f.dataType)) ==
+           graph.nodes.schema.map(f => (f.name, f.dataType)))
+    val a = GraphQuery.fromLabel(loaded, "Customer").count().head.getLong(0)
+    val b = GraphQuery.fromLabel(graph, "Customer").count().head.getLong(0)
+    assert(a == b)
+  }
+
   test("label-scan plan pushes the filter into the node view, not post-join") {
     val plan = GraphQuery.fromLabel(graph, "Customer")
       .collectNodes("id", "name").queryExecution.executedPlan.toString
