@@ -247,7 +247,9 @@ object SparkEntry {
     "q_events_window" -> ((s, d) =>
       EventStreams.windowedCountsBatch(EventStreams.eventsTable(s, d))),
     "q_events_sessions" -> ((s, d) =>
-      EventStreams.sessionsBatch(EventStreams.eventsTable(s, d)))
+      EventStreams.sessionsBatch(EventStreams.eventsTable(s, d))),
+    "q_events_props" -> ((s, d) =>
+      EventStreams.propsMetric(EventStreams.eventsTable(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,6 +373,10 @@ x AS (SELECT user_id, ts,
   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM s)
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
-FROM x GROUP BY 1, 2"""
+FROM x GROUP BY 1, 2""",
+    "q_events_props" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY 1"""
   )
 }

@@ -21,10 +21,12 @@ object Ast {
       label: Option[String],
       props: List[(String, Literal)])
 
-  /** varLength: Some((min,max)) for *, *n, *m..n (ast.rs:55). */
+  /** varLength: Some((min,max)) for *, *n, *m..n (ast.rs:55).
+    * relTypes: empty = any type; >1 = alternation `[:A|B]` (a graft
+    * extension over the reference's single type). */
   final case class RelPattern(
       variable: Option[String],
-      relType: Option[String],
+      relTypes: List[String],
       direction: Direction,
       varLength: Option[(Int, Int)])
 

@@ -115,7 +115,9 @@ final class Compiler(graph: PropertyGraph) {
 
   /** One relationship hop as (_hsrc, _hdst [, r__props…]). */
   private def singleHop(rel: RelPattern): DataFrame = {
-    val base = rel.relType.fold(graph.edges)(t => graph.edges.filter(col("rel_type") === t))
+    val base =
+      if (rel.relTypes.isEmpty) graph.edges
+      else graph.edges.filter(col("rel_type").isin(rel.relTypes: _*))
     def oriented(s: String, d: String) = {
       val core = Seq(col(s).as("_hsrc"), col(d).as("_hdst"))
       val props = rel.variable.toSeq.flatMap(r => relProps.map(p => col(p).as(s"${r}__$p")))

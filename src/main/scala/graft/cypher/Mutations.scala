@@ -49,7 +49,7 @@ object Mutations {
   }
 
   private def edgeRow(graph: PropertyGraph, src: Long, dst: Long, rel: RelPattern): DataFrame = {
-    val relType = rel.relType.getOrElse(
+    val relType = rel.relTypes.headOption.getOrElse(
       throw new IllegalArgumentException("CREATE relationship needs a type"))
     val cols = graph.edges.schema.fields.map { f =>
       val c = f.name match {

@@ -171,14 +171,19 @@ final class Parser(tokens: Vector[Token]) {
     val incoming = eatSym("<-")
     if (!incoming) expectSym("-")
     var variable: Option[String] = None
-    var relType: Option[String] = None
+    var relTypes: List[String] = Nil
     var varLength: Option[(Int, Int)] = None
     if (eatSym("[")) {
       peek match {
         case Id(s) => advance(); variable = Some(s)
         case _     => ()
       }
-      if (eatSym(":")) relType = Some(ident())
+      if (eatSym(":")) {
+        val ts = List.newBuilder[String]
+        ts += ident()
+        while (eatSym("|")) { eatSym(":"); ts += ident() } // [:A|B] or [:A|:B]
+        relTypes = ts.result()
+      }
       if (eatSym("*")) {
         // * | *n | *m..n  (ast.rs:55: * = 1..∞ capped, *n = 1..n)
         val cap = 8 // bounded expansion for the unbounded form
@@ -202,7 +207,7 @@ final class Parser(tokens: Vector[Token]) {
       if (incoming) Direction.In
       else if (outgoing) Direction.Out
       else Direction.Both
-    RelPattern(variable, relType, dir, varLength)
+    RelPattern(variable, relTypes, dir, varLength)
   }
 
   // ---- conditions ----

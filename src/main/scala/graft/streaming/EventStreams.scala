@@ -98,6 +98,14 @@ object EventStreams {
       }
   }
 
+  /** Semi-structured props: extract the JSON field `k` and aggregate per
+    * event type — get_json_object is codegen'd, no UDF. */
+  def propsMetric(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("cnt"), round(avg(col("k")), 6).as("avg_k"))
+
   // ---- batch equivalents (DuckDB-oracle-able; same logical plans) ----
 
   /** Batch twin of windowedCounts for the oracle. */

@@ -18,7 +18,7 @@ class CypherSpec extends SparkSpec {
     assert(m.pattern.start == NodePattern(Some("c"), Some("Customer"),
       List("mktsegment" -> StrLit("BUILDING"))))
     val (rel, node) = m.pattern.steps.head
-    assert(rel == RelPattern(Some("r"), Some("PLACED"), Direction.Out, None))
+    assert(rel == RelPattern(Some("r"), List("PLACED"), Direction.Out, None))
     assert(node == NodePattern(Some("o"), Some("Order"), Nil))
     assert(m.where.contains(Cmp(">", Prop("o", "totalprice"), Lit(IntLit(1000)))))
     assert(q.ret.items == List(
@@ -33,7 +33,20 @@ class CypherSpec extends SparkSpec {
     val steps = q.clauses.head.asInstanceOf[MatchClause].pattern.steps
     assert(steps(0)._1.direction == Direction.In)
     assert(steps(1)._1.direction == Direction.Both)
-    assert(steps(2)._1 == RelPattern(None, None, Direction.Out, Some((2, 3))))
+    assert(steps(2)._1 == RelPattern(None, Nil, Direction.Out, Some((2, 3))))
+  }
+
+  test("rel-type alternation [:A|B] unions both types") {
+    val both = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[:PLACED|CONTAINS]->(x) RETURN COUNT(*) AS c")
+      .head.getLong(0)
+    val placed = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[:PLACED]->(x) RETURN COUNT(*) AS c")
+      .head.getLong(0)
+    assert(both == placed) // customers have no CONTAINS edges: same count
+    val parsed = Parser.parse("MATCH (a)-[:A|B|:C]->(b) RETURN a.id").asInstanceOf[Query]
+    assert(parsed.clauses.head.asInstanceOf[MatchClause]
+      .pattern.steps.head._1.relTypes == List("A", "B", "C"))
   }
 
   test("match + property filter equals direct join") {

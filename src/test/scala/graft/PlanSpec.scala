@@ -43,6 +43,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("label filter prunes a literal-labeled union down to one scan") {
+    // The node table is a union of per-table projections with literal
+    // labels — this shows Catalyst folds label = 'X' per branch and drops
+    // the others, so labeled() reads exactly one parquet file. (Asserted
+    // on a fresh mini-union: the graph's own union is cache-substituted
+    // in this shared session, which hides the branch structure.)
+    val a = GraphBuilder.table(spark, sfDir, "region")
+      .select(lit("A").as("label"), col("r_name").as("name"))
+    val b = GraphBuilder.table(spark, sfDir, "nation")
+      .select(lit("B").as("label"), col("n_name").as("name"))
+    val plan = planOf(a.unionByName(b).filter(col("label") === "A"))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${plan.take(1500)}")
+    assert(plan.contains("region.parquet") && !plan.contains("nation.parquet"))
+  }
+
   test("chained out() traversal joins on the src-partitioned edge table") {
     val graph = GraphBuilder.tpch(spark, sfDir)
     val plan = planOf(graft.ops.GraphQuery
