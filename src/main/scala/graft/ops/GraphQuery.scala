@@ -110,6 +110,11 @@ final class GraphQuery private (
   def paginate(offset: Int, limitCount: Int): GraphQuery =
     next(withProps.offset(offset).limit(limitCount), props = true)
 
+  /** Pin the current result in the session cache — the analogue of the
+    * reference's cached query paths (src/query.rs:34 new_cached, :654
+    * collect_nodes_cached, :685 count_cached). */
+  def cached(): GraphQuery = next(withProps.persist(), props = true)
+
   // ---- terminals (reference src/query.rs:471-652) ----
   /** Node rows, stable column order. */
   def collectNodes(cols: String*): DataFrame = {

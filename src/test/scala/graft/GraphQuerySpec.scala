@@ -88,6 +88,15 @@ class GraphQuerySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("cached() pins the stage and preserves results") {
+    val q = GraphQuery.fromLabel(graph, "Supplier").wherePropIntGt("nationkey", 10L)
+    val plain = q.count().head.getLong(0)
+    val viaCache = q.cached()
+    assert(viaCache.count().head.getLong(0) == plain)
+    assert(viaCache.df.storageLevel.useMemory)
+    viaCache.df.unpersist()
+  }
+
   test("save/load round-trips the graph through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
     GraphBuilder.save(graph, dir)
