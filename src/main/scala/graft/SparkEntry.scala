@@ -361,7 +361,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nb JOIN nodes n ON
 
     // ---- §2.6 streaming batch twins ----
     "q_events_window" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
        CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS total
 FROM events GROUP BY 1, 2""",
     "q_events_sessions" ->
@@ -372,7 +372,9 @@ s AS (SELECT user_id, event_id, ts,
 x AS (SELECT user_id, ts,
   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM s)
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-       CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
 FROM x GROUP BY 1, 2""",
     "q_events_props" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,

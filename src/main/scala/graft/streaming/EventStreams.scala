@@ -108,13 +108,15 @@ object EventStreams {
 
   // ---- batch equivalents (DuckDB-oracle-able; same logical plans) ----
 
-  /** Batch twin of windowedCounts for the oracle. */
+  /** Batch twin of windowedCounts for the oracle. Window starts are
+    * emitted as formatted strings: identical content in both engines
+    * without depending on the comparer's timestamp-precision handling. */
   def windowedCountsBatch(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).cast("long").as("cnt"),
         round(sum(col("value")), 4).as("total"))
-      .select(col("window.start").as("wstart"), col("event_type"),
-        col("cnt"), col("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("cnt"), col("total"))
 
   /** Batch sessionization via window functions — identical session
     * boundaries to the stateful streaming version on complete input. */
@@ -133,6 +135,7 @@ object EventStreams {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).cast("long").as("n_events"),
-        min("ts").as("session_start"), max("ts").as("session_end"))
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
   }
 }
