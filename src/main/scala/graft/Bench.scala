@@ -17,7 +17,11 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force every projected expression to execute: a count() would let
+      // Catalyst prune the projection (map-only queries would be measured
+      // as scan+count). toRdd.foreach evaluates each output row fully.
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

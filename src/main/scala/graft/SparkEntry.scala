@@ -30,6 +30,15 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d),
       Dedup.minhashPairs(GraphBuilder.table(s, d, "documents")).persist())
 
+  /** Release every session-keyed memo in the library (GraphBuilder,
+    * DerivedGraphs, minhash pairs) — for in-process session recycling. */
+  def clearCaches(): Unit = {
+    mhCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    mhCache.clear()
+    GraphBuilder.clearCache()
+    DerivedGraphs.clearCache()
+  }
+
   private val P = GraphBuilder.oraclePreamble
 
   /** Flagship: customers + account balance rolled up to region via
@@ -93,9 +102,10 @@ object SparkEntry {
     "q_percentile" -> ((s, d) =>
       GraphQuery.fromLabel(g(s, d), "Customer").percentileCont("acctbal", 0.5)),
     "q_stats" -> ((s, d) =>
+      // sample stdev/variance, as the reference query builder (query.rs:586)
       GraphQuery.fromLabel(g(s, d), "Customer").df
-        .agg(round(stddev_pop(col("acctbal")), 6).as("stdev_val"),
-             round(var_pop(col("acctbal")), 4).as("variance_val"))),
+        .agg(round(stddev_samp(col("acctbal")), 6).as("stdev_val"),
+             round(var_samp(col("acctbal")), 4).as("variance_val"))),
 
     // ---- §2.4 graph algorithms ----
     "q_reachable" -> ((s, d) => {
@@ -293,7 +303,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_percentile" ->
       "SELECT ROUND(quantile_cont(c_acctbal, 0.5), 6) AS percentile_val FROM customer",
     "q_stats" ->
-      "SELECT ROUND(stddev_pop(c_acctbal), 6) AS stdev_val, ROUND(var_pop(c_acctbal), 4) AS variance_val FROM customer",
+      "SELECT ROUND(stddev_samp(c_acctbal), 6) AS stdev_val, ROUND(var_samp(c_acctbal), 4) AS variance_val FROM customer",
 
     // ---- §2.4 graph algorithms ----
     "q_reachable" -> Oracles.bfsSql(

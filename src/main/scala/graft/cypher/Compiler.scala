@@ -206,7 +206,8 @@ final class Compiler(graph: PropertyGraph) {
       val (c1, ec) = exprCol(ctx0, e)
       var ctx = c1
       val cols = items.map { x => val (c2, c) = exprCol(ctx, x); ctx = c2; c }
-      (ctx, cols.map(ec === _).reduce(_ || _))
+      // `x IN []` is false, not an error
+      (ctx, cols.map(ec === _).foldLeft(lit(false))(_ || _))
   }
 
   private def filterCond(ctx: Ctx, c: Cond): Ctx = {
@@ -244,7 +245,7 @@ final class Compiler(graph: PropertyGraph) {
       case AggFunc.Min     => min(inner.get)
       case AggFunc.Max     => max(inner.get)
       case AggFunc.Collect => collect_list(inner.get)
-      case AggFunc.StDev   => stddev_pop(inner.get) // population, query.rs:586
+      case AggFunc.StDev   => stddev_pop(inner.get) // population: the Cypher executor divides by n (executor.rs:500), unlike the sample-stdev query builder (query.rs:586)
       case AggFunc.PercentileCont =>
         percentile(inner.get.cast("double"), lit(item.param.getOrElse(0.5)))
       case AggFunc.PercentileDisc =>

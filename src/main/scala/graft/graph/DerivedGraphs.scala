@@ -22,6 +22,12 @@ object DerivedGraphs {
   private def memo(s: SparkSession, d: String, k: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate((s, d, k), f.persist())
 
+  /** Drop memoized derived graphs (see GraphBuilder.clearCache). */
+  def clearCache(): Unit = {
+    cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cache.clear()
+  }
+
   /** Directed nation "trade" graph: supplier-nation → customer-nation, one
     * candidate edge per (sn, cn) pair, kept when its lineitem count exceeds
     * 1.5× the mean pair count (sparsifies a complete 25×25 graph into one

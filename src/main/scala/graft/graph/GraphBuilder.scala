@@ -44,6 +44,14 @@ object GraphBuilder {
   def tpch(spark: SparkSession, dir: String): PropertyGraph =
     cache.getOrElseUpdate((spark, dir), build(spark, dir).persist())
 
+  /** Drop memoized graphs (and their pinned SparkSession references) —
+    * call when recycling sessions in-process. DerivedGraphs/SparkEntry
+    * expose the same hook. */
+  def clearCache(): Unit = {
+    cache.values.foreach(g => try g.unpersist() catch { case _: Throwable => () })
+    cache.clear()
+  }
+
   private def nullL = lit(null).cast("bigint")
   private def nullD = lit(null).cast("double")
   private def nullS = lit(null).cast("string")

@@ -141,13 +141,15 @@ final class GraphQuery private (
     withProps.agg(round(percentile(col(key).cast("double"), lit(p)), 6)
       .as("percentile_val"))
 
-  /** Population stdev/variance — the reference divides by n, not n-1
-    * (src/query.rs:586,623). */
+  /** SAMPLE stdev/variance — the reference query builder divides by n-1
+    * (src/query.rs:586,623) and returns None for n<2; stddev_samp/var_samp
+    * likewise yield NULL on singleton input. (The reference's *Cypher*
+    * STDEV is population — see cypher.Compiler.) */
   def stdev(key: String): DataFrame =
-    withProps.agg(round(stddev_pop(col(key).cast("double")), 6).as("stdev_val"))
+    withProps.agg(round(stddev_samp(col(key).cast("double")), 6).as("stdev_val"))
 
   def variance(key: String): DataFrame =
-    withProps.agg(round(var_pop(col(key).cast("double")), 6).as("variance_val"))
+    withProps.agg(round(var_samp(col(key).cast("double")), 6).as("variance_val"))
 }
 
 object GraphQuery {
