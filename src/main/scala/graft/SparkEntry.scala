@@ -331,11 +331,18 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
       "SELECT c_name AS cname, o_totalprice AS totalprice FROM customer JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'",
     "q_cypher_optional" ->
       "SELECT c_name AS cname, o_totalprice AS totalprice FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'F' WHERE c_acctbal < -900",
-    "q_cypher_varlen" -> (P + """, s0 AS (SELECT id FROM nodes WHERE label = 'Customer' AND nationkey = 1),
-h1 AS MATERIALIZED (SELECT DISTINCT s0.id AS s, e.dst AS t FROM s0 JOIN edges e ON e.src = s0.id),
-h2 AS MATERIALIZED (SELECT DISTINCT h1.s, e.dst AS t FROM h1 JOIN edges e ON e.src = h1.t),
-pairs AS (SELECT DISTINCT s, t FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) u)
-SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs JOIN nodes n ON n.id = pairs.t GROUP BY n.label"""),
+    // path-multiset semantics: one row per simple path of length 1..2
+    // (mirrors the Spark compiler's walk enumeration, traversal.rs:183)
+    "q_cypher_varlen" -> (P.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, s0 AS (SELECT id FROM nodes WHERE label = 'Customer' AND nationkey = 1),
+w AS (
+  SELECT s0.id AS s, e.dst AS t, [s0.id, e.dst] AS path, 1 AS depth
+  FROM s0 JOIN edges e ON e.src = s0.id AND e.dst <> s0.id
+  UNION ALL
+  SELECT w.s, e.dst, list_append(w.path, e.dst), w.depth + 1
+  FROM w JOIN edges e ON e.src = w.t
+  WHERE w.depth < 2 AND NOT list_contains(w.path, e.dst))
+SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM w JOIN nodes n ON n.id = w.t GROUP BY n.label"""),
     "q_cypher_where" ->
       "SELECT p_name AS name, CAST(p_size AS BIGINT) AS psize, p_brand AS brand FROM part WHERE p_size >= 45 AND (p_brand = 'Brand#13' OR p_brand = 'Brand#42')",
     "q_cypher_regex" ->

@@ -21,14 +21,16 @@ object Ast {
       label: Option[String],
       props: List[(String, Literal)])
 
-  /** varLength: Some((min,max)) for *, *n, *m..n (ast.rs:55).
+  /** varLength: Some((min, maxOpt)) for *, *n, *m..n (ast.rs:52-55 —
+    * `*` = 1..unbounded, `*n` = 1..n, maxOpt None = unbounded, matching
+    * the reference's Option<usize> max_hops).
     * relTypes: empty = any type; >1 = alternation `[:A|B]` (a graft
     * extension over the reference's single type). */
   final case class RelPattern(
       variable: Option[String],
       relTypes: List[String],
       direction: Direction,
-      varLength: Option[(Int, Int)])
+      varLength: Option[(Int, Option[Int])])
 
   final case class Pattern(
       start: NodePattern,

@@ -17,10 +17,18 @@ import Ast._
   * reference and cached as `v__<prop>` columns.
   *
   * Row semantics match Cypher/the reference: one row per path match
-  * (multi-edges duplicate); variable-length steps bind the *distinct*
-  * (start,end) endpoint pairs per SURVEY.md §2.2.
+  * (multi-edges duplicate). Variable-length steps bind one row per
+  * *simple path* (edge walk visiting no node twice, one row per parallel
+  * edge) — openCypher semantics, = the reference's path enumerator
+  * (src/algorithms/traversal.rs:183 variable_length_path). The
+  * reference's Cypher executor itself collapses var-length to a
+  * globally-deduped BFS node set (src/query.rs:171 out_variable_length,
+  * shared `visited` across sources) — strictly lossier than either; the
+  * `distinctPairsVarLength` opt-in gives the cheaper distinct
+  * (start,end)-pair plan for queries insensitive to path multiplicity.
   */
-final class Compiler(graph: PropertyGraph) {
+final class Compiler(graph: PropertyGraph,
+                     distinctPairsVarLength: Boolean = false) {
   import Compiler._
 
   private var anonId = 0
@@ -130,27 +138,107 @@ final class Compiler(graph: PropertyGraph) {
     }
   }
 
-  /** Distinct (start,end) pairs reachable by minHops..maxHops — bounded
-    * iteration of hash joins, like ops.GraphQuery.outVariableLength. */
-  private def varLengthHop(rel: RelPattern, minHops: Int, maxHops: Int): DataFrame = {
-    require(minHops >= 0 && maxHops >= minHops && maxHops <= 12, "bad hop bounds")
+  /** Variable-length hop as (_hsrc, _hdst) rows.
+    *
+    * Default: one row per simple path of length minHops..maxHops (path
+    * array carried per row, `array_contains` blocks node revisits —
+    * same walk set as the reference's recursive enumerator,
+    * traversal.rs:183, one row per parallel edge). maxHops None =
+    * unbounded: iterate until the frontier of extensible simple paths
+    * drains (always terminates — path length is bounded by |V|).
+    *
+    * `distinctPairsVarLength` opt-in: distinct endpoint pairs via
+    * frontier-set iteration (no path arrays, rows bounded by |V|² not
+    * path count) — the scale plan when the query only needs endpoints. */
+  private def varLengthHop(rel: RelPattern, minHops: Int, maxHops: Option[Int]): DataFrame = {
+    require(minHops >= 0 && maxHops.forall(mx => mx >= minHops && mx <= 12),
+      "bad hop bounds")
+    if (distinctPairsVarLength) return varLengthHopDistinct(rel, minHops, maxHops)
     val hop = singleHop(rel.copy(variable = None))
     val step = hop.select(col("_hsrc").as("_hmid"), col("_hdst").as("_hnext"))
-    var frontier = hop.select(col("_hsrc"), col("_hdst")).distinct()
+    var frontier = hop
+      .select(col("_hsrc"), col("_hdst"), array(col("_hsrc"), col("_hdst")).as("_hpath"))
+      .filter(col("_hsrc") =!= col("_hdst")) // self-loop = node revisit
     var acc: Option[DataFrame] =
       if (minHops == 0)
         Some(graph.nodes.select(col("id").as("_hsrc"), col("id").as("_hdst")))
       else None
-    for (depth <- 1 to maxHops) {
+    var depth = 1
+    var drained = false
+    while (!drained && maxHops.forall(depth <= _)) {
       if (depth >= minHops)
-        acc = Some(acc.fold(frontier)(_ unionByName frontier))
-      if (depth < maxHops)
+        acc = Some(acc.fold(frontier.select("_hsrc", "_hdst"))(
+          _ unionByName frontier.select("_hsrc", "_hdst")))
+      val more = maxHops.forall(depth < _)
+      if (more) {
         frontier = frontier
           .join(step, col("_hdst") === col("_hmid"))
-          .select(col("_hsrc"), col("_hnext").as("_hdst"))
-          .distinct()
+          .filter(!array_contains(col("_hpath"), col("_hnext")))
+          .select(col("_hsrc"), col("_hnext").as("_hdst"),
+            concat(col("_hpath"), array(col("_hnext"))).as("_hpath"))
+        if (maxHops.isEmpty) {
+          // unbounded: materialize the level so the drain check is cheap
+          frontier = frontier.localCheckpoint()
+          drained = frontier.isEmpty
+        }
+      } else drained = true
+      depth += 1
     }
-    acc.get.distinct()
+    acc.get
+  }
+
+  /** Distinct (start,end) pairs reachable by minHops..maxHops — bounded
+    * iteration of hash joins, like ops.GraphQuery.outVariableLength.
+    * The unbounded form is a per-pair first-visit BFS (anti-join against
+    * the visited pair set guarantees the frontier drains on cyclic
+    * graphs) — exactly the reference's own unbounded contract
+    * (query.rs:171: BFS with a visited set, node counted at its first
+    * depth only). */
+  private def varLengthHopDistinct(rel: RelPattern, minHops: Int,
+                                   maxHops: Option[Int]): DataFrame = {
+    val hop = singleHop(rel.copy(variable = None))
+    val step = hop.select(col("_hsrc").as("_hmid"), col("_hdst").as("_hnext"))
+    val identity =
+      graph.nodes.select(col("id").as("_hsrc"), col("id").as("_hdst"))
+    maxHops match {
+      case Some(mx) =>
+        var frontier = hop.select(col("_hsrc"), col("_hdst")).distinct()
+        var acc: Option[DataFrame] = if (minHops == 0) Some(identity) else None
+        for (depth <- 1 to mx) {
+          if (depth >= minHops)
+            acc = Some(acc.fold(frontier)(_ unionByName frontier))
+          if (depth < mx)
+            frontier = frontier
+              .join(step, col("_hdst") === col("_hmid"))
+              .select(col("_hsrc"), col("_hnext").as("_hdst"))
+              .distinct()
+        }
+        acc.get.distinct()
+      case None =>
+        var visited = hop.select(col("_hsrc"), col("_hdst")).distinct()
+          .localCheckpoint()
+        var frontier = visited
+        var acc: Option[DataFrame] =
+          (if (minHops == 0) Some(identity) else None) match {
+            case some @ Some(a) if minHops <= 1 => Some(a.unionByName(frontier))
+            case None if minHops <= 1           => Some(frontier)
+            case other                          => other
+          }
+        var depth = 1
+        while (!frontier.isEmpty) {
+          depth += 1
+          frontier = frontier
+            .join(step, col("_hdst") === col("_hmid"))
+            .select(col("_hsrc"), col("_hnext").as("_hdst"))
+            .distinct()
+            .join(visited, Seq("_hsrc", "_hdst"), "left_anti")
+            .localCheckpoint()
+          visited = visited.unionByName(frontier).localCheckpoint()
+          if (depth >= minHops)
+            acc = Some(acc.fold(frontier)(_ unionByName frontier))
+        }
+        acc.getOrElse(visited.limit(0)).distinct()
+    }
   }
 
   // ---- expressions / conditions ----
@@ -352,6 +440,21 @@ object Compiler {
 
 /** Public API: parse + compile Cypher over a PropertyGraph. */
 object Cypher {
-  def query(graph: PropertyGraph, cypher: String): DataFrame =
-    new Compiler(graph).compile(Parser.parse(cypher))
+  /** `distinctPairsVarLength`: opt into the cheaper distinct
+    * (start,end)-pair plan for var-length steps — use when the query
+    * doesn't depend on path multiplicity (e.g. RETURN DISTINCT). */
+  def query(graph: PropertyGraph, cypher: String,
+            distinctPairsVarLength: Boolean = false): DataFrame =
+    new Compiler(graph, distinctPairsVarLength).compile(Parser.parse(cypher))
+
+  /** Page `pageSize` rows at `page` (0-based) with a deterministic total
+    * order — the reference's CypherPaginator / QueryCursor surface
+    * (src/cypher/streaming.rs:112). The query's ORDER BY must give a
+    * total order for stable pages; pages are offset/limit on the
+    * compiled plan, so Catalyst pushes the window down. */
+  def paginate(graph: PropertyGraph, cypher: String, pageSize: Int,
+               page: Int): DataFrame = {
+    require(pageSize > 0 && page >= 0, "bad page bounds")
+    query(graph, cypher).offset(page * pageSize).limit(pageSize)
+  }
 }

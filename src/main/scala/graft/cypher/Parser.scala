@@ -172,7 +172,7 @@ final class Parser(tokens: Vector[Token]) {
     if (!incoming) expectSym("-")
     var variable: Option[String] = None
     var relTypes: List[String] = Nil
-    var varLength: Option[(Int, Int)] = None
+    var varLength: Option[(Int, Option[Int])] = None
     if (eatSym("[")) {
       peek match {
         case Id(s) => advance(); variable = Some(s)
@@ -185,17 +185,21 @@ final class Parser(tokens: Vector[Token]) {
         relTypes = ts.result()
       }
       if (eatSym("*")) {
-        // * | *n | *m..n  (ast.rs:55: * = 1..∞ capped, *n = 1..n)
-        val cap = 8 // bounded expansion for the unbounded form
+        // * | *n | *m..n | *m.. (ast.rs:52-55: * = 1..unbounded, *n = 1..n;
+        // the unbounded form iterates to the simple-path fixpoint)
         varLength = peek match {
           case Num(a) =>
             advance()
             if (eatSym("..")) {
-              val b = parseInt(); Some((a.toInt, b))
-            } else Some((1, a.toInt))
+              val b = peek match {
+                case Num(_) => Some(parseInt())
+                case _      => None // *m..
+              }
+              Some((a.toInt, b))
+            } else Some((1, Some(a.toInt)))
           case _ =>
-            if (eatSym("..")) { val b = parseInt(); Some((1, b)) }
-            else Some((1, cap))
+            if (eatSym("..")) Some((1, Some(parseInt())))
+            else Some((1, None))
         }
       }
       expectSym("]")

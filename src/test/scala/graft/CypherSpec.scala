@@ -33,7 +33,10 @@ class CypherSpec extends SparkSpec {
     val steps = q.clauses.head.asInstanceOf[MatchClause].pattern.steps
     assert(steps(0)._1.direction == Direction.In)
     assert(steps(1)._1.direction == Direction.Both)
-    assert(steps(2)._1 == RelPattern(None, Nil, Direction.Out, Some((2, 3))))
+    assert(steps(2)._1 == RelPattern(None, Nil, Direction.Out, Some((2, Some(3)))))
+    val u = Parser.parse("MATCH (a)-[*]->(b) RETURN a.id").asInstanceOf[Query]
+    val ustep = u.clauses.head.asInstanceOf[MatchClause].pattern.steps.head._1
+    assert(ustep.varLength.contains((1, None))) // '*' = 1..unbounded (ast.rs:52-54)
   }
 
   test("rel-type alternation [:A|B] unions both types") {
@@ -78,16 +81,48 @@ class CypherSpec extends SparkSpec {
     assert(cnt == expected && cnt > 0)
   }
 
-  test("var-length binds distinct endpoint pairs") {
-    val pairs = Cypher.query(graph,
-      "MATCH (c:Customer {nationkey: 1})-[*1..2]->(x) RETURN c.id AS s, x.id AS t")
-    assert(pairs.count() == pairs.distinct().count())
-    // 1..1 == single hop distinct
+  test("var-length binds one row per simple path (path-multiset semantics)") {
+    // *1..1 == plain single hop with multiplicity (one row per edge)
     val h1 = Cypher.query(graph,
       "MATCH (c:Customer {nationkey: 1})-[*1..1]->(x) RETURN c.id AS s, x.id AS t").count()
     val h1direct = Cypher.query(graph,
-      "MATCH (c:Customer {nationkey: 1})-->(x) RETURN DISTINCT c.id AS s, x.id AS t").count()
+      "MATCH (c:Customer {nationkey: 1})-->(x) RETURN c.id AS s, x.id AS t").count()
     assert(h1 == h1direct)
+    // *1..2 count = edges + 2-edge walks with no node revisit, by hand
+    val starts = graph.labeled("Customer")
+      .filter(col("nationkey") === 1).select(col("id").as("s"))
+    val e = graph.edges.select("src", "dst")
+    val l1 = starts.join(e, col("s") === col("src")).select(col("s"), col("dst"))
+    val l2 = l1.join(e.withColumnRenamed("src", "mid").withColumnRenamed("dst", "d2"),
+        col("dst") === col("mid"))
+      .filter(col("d2") =!= col("s") && col("d2") =!= col("dst"))
+    val expected = l1.count() + l2.count()
+    val got = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*1..2]->(x) RETURN COUNT(*) AS cnt")
+      .head.getLong(0)
+    assert(got == expected && got > 0)
+  }
+
+  test("var-length distinct-pairs opt-in dedups endpoints") {
+    val paths = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*1..2]->(x) RETURN c.id AS s, x.id AS t")
+    val pairs = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*1..2]->(x) RETURN c.id AS s, x.id AS t",
+      distinctPairsVarLength = true)
+    assert(pairs.count() == paths.distinct().count())
+    assert(pairs.count() < paths.count()) // CONTAINS multi-edges collapse
+  }
+
+  test("unbounded * iterates to the simple-path fixpoint") {
+    // deepest simple walk from a customer: c->order->part / c->nation->region,
+    // so * must equal *1..3 (frontier drains at depth 3)
+    val unbounded = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*]->(x) RETURN COUNT(*) AS cnt")
+      .head.getLong(0)
+    val bounded = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*1..3]->(x) RETURN COUNT(*) AS cnt")
+      .head.getLong(0)
+    assert(unbounded == bounded && unbounded > 0)
   }
 
   test("WITH pipeline with aggregate + HAVING-style WHERE") {
