@@ -19,8 +19,11 @@ import Ast._
   * Row semantics match Cypher/the reference: one row per path match
   * (multi-edges duplicate). Variable-length steps bind one row per
   * *simple path* (edge walk visiting no node twice, one row per parallel
-  * edge) — openCypher semantics, = the reference's path enumerator
-  * (src/algorithms/traversal.rs:183 variable_length_path). The
+  * edge) — node-unique semantics, matching the reference's path
+  * enumerator (src/algorithms/traversal.rs:183 variable_length_path;
+  * note openCypher proper uses relationship-uniqueness, which admits
+  * node-repeating trails — the reference enumerator, and therefore this
+  * compiler, is stricter). The
   * reference's Cypher executor itself collapses var-length to a
   * globally-deduped BFS node set (src/query.rs:171 out_variable_length,
   * shared `visited` across sources) — strictly lossier than either; the
@@ -184,61 +187,46 @@ final class Compiler(graph: PropertyGraph,
       } else drained = true
       depth += 1
     }
-    acc.get
+    // The frontier can drain before reaching minHops (e.g. *3.. on a
+    // graph whose deepest simple path is 2 hops) — that's an empty
+    // result, not an error.
+    acc.getOrElse(hop.select("_hsrc", "_hdst").limit(0))
   }
 
-  /** Distinct (start,end) pairs reachable by minHops..maxHops — bounded
-    * iteration of hash joins, like ops.GraphQuery.outVariableLength.
-    * The unbounded form is a per-pair first-visit BFS (anti-join against
-    * the visited pair set guarantees the frontier drains on cyclic
-    * graphs) — exactly the reference's own unbounded contract
+  /** Distinct (start,end) pairs reachable by minHops..maxHops — a
+    * per-pair first-visit BFS: each pair is counted at its *first* depth
+    * only (anti-join against the visited pair set), in the bounded and
+    * unbounded form alike — the reference's out_variable_length contract
     * (query.rs:171: BFS with a visited set, node counted at its first
-    * depth only). */
+    * depth only). Consequence for minHops ≥ 2: a pair whose shortest
+    * path is below minHops is excluded even if a longer walk within
+    * bounds also reaches it. The anti-join also guarantees the frontier
+    * drains on cyclic graphs. */
   private def varLengthHopDistinct(rel: RelPattern, minHops: Int,
                                    maxHops: Option[Int]): DataFrame = {
     val hop = singleHop(rel.copy(variable = None))
     val step = hop.select(col("_hsrc").as("_hmid"), col("_hdst").as("_hnext"))
     val identity =
       graph.nodes.select(col("id").as("_hsrc"), col("id").as("_hdst"))
-    maxHops match {
-      case Some(mx) =>
-        var frontier = hop.select(col("_hsrc"), col("_hdst")).distinct()
-        var acc: Option[DataFrame] = if (minHops == 0) Some(identity) else None
-        for (depth <- 1 to mx) {
-          if (depth >= minHops)
-            acc = Some(acc.fold(frontier)(_ unionByName frontier))
-          if (depth < mx)
-            frontier = frontier
-              .join(step, col("_hdst") === col("_hmid"))
-              .select(col("_hsrc"), col("_hnext").as("_hdst"))
-              .distinct()
-        }
-        acc.get.distinct()
-      case None =>
-        var visited = hop.select(col("_hsrc"), col("_hdst")).distinct()
-          .localCheckpoint()
-        var frontier = visited
-        var acc: Option[DataFrame] =
-          (if (minHops == 0) Some(identity) else None) match {
-            case some @ Some(a) if minHops <= 1 => Some(a.unionByName(frontier))
-            case None if minHops <= 1           => Some(frontier)
-            case other                          => other
-          }
-        var depth = 1
-        while (!frontier.isEmpty) {
-          depth += 1
-          frontier = frontier
-            .join(step, col("_hdst") === col("_hmid"))
-            .select(col("_hsrc"), col("_hnext").as("_hdst"))
-            .distinct()
-            .join(visited, Seq("_hsrc", "_hdst"), "left_anti")
-            .localCheckpoint()
-          visited = visited.unionByName(frontier).localCheckpoint()
-          if (depth >= minHops)
-            acc = Some(acc.fold(frontier)(_ unionByName frontier))
-        }
-        acc.getOrElse(visited.limit(0)).distinct()
+    var visited = hop.select(col("_hsrc"), col("_hdst")).distinct()
+      .localCheckpoint()
+    var frontier = visited
+    var acc: Option[DataFrame] = if (minHops == 0) Some(identity) else None
+    if (minHops <= 1) acc = Some(acc.fold(frontier)(_ unionByName frontier))
+    var depth = 1
+    while (maxHops.forall(depth < _) && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier
+        .join(step, col("_hdst") === col("_hmid"))
+        .select(col("_hsrc"), col("_hnext").as("_hdst"))
+        .distinct()
+        .join(visited, Seq("_hsrc", "_hdst"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+      if (depth >= minHops)
+        acc = Some(acc.fold(frontier)(_ unionByName frontier))
     }
+    acc.getOrElse(visited.limit(0)).distinct()
   }
 
   // ---- expressions / conditions ----

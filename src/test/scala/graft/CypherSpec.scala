@@ -125,6 +125,27 @@ class CypherSpec extends SparkSpec {
     assert(unbounded == bounded && unbounded > 0)
   }
 
+  test("*m.. with minHops beyond the deepest simple path is empty, not a crash") {
+    val cnt = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*6..]->(x) RETURN COUNT(*) AS cnt")
+      .head.getLong(0)
+    assert(cnt == 0)
+    val cnt2 = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*6..]->(x) RETURN COUNT(*) AS cnt",
+      distinctPairsVarLength = true).head.getLong(0)
+    assert(cnt2 == 0)
+  }
+
+  test("distinct-pairs first-visit pruning agrees between bounded and unbounded") {
+    val bounded = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*2..12]->(x) RETURN c.id AS s, x.id AS t",
+      distinctPairsVarLength = true)
+    val unbounded = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1})-[*2..]->(x) RETURN c.id AS s, x.id AS t",
+      distinctPairsVarLength = true)
+    assert(bounded.except(unbounded).isEmpty && unbounded.except(bounded).isEmpty)
+  }
+
   test("WITH pipeline with aggregate + HAVING-style WHERE") {
     val df = Cypher.query(graph,
       "MATCH (c:Customer)-[:PLACED]->(o:Order) " +
