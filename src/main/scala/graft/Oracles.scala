@@ -79,7 +79,7 @@ object Oracles {
   }
 
   /** SCC of the nation trade graph via recursive transitive closure;
-    * scc_id = min mutually-reachable id (= Community.sccByClosure). */
+    * scc_id = min mutually-reachable id (= Community.scc's labels). */
   val sccSql: String =
     s"""WITH RECURSIVE ${DerivedGraphs.tradeSql},
 r AS (
@@ -90,6 +90,22 @@ mutual AS (
   SELECT a.src AS id, a.dst AS peer FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src),
 scc AS (SELECT id, MIN(peer) AS scc_id FROM mutual GROUP BY id)
 SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY scc_id"""
+
+  /** SCC size distribution of the order-ring graph: recursive closure is
+    * affordable for the oracle because ring length is bounded (≤8), so
+    * closure rows are O(|orders| · 8); the Spark side runs the coloring
+    * kernel, whose labels (min member id) agree by construction. */
+  val sccLargeSql: String =
+    s"""WITH RECURSIVE ${graft.graph.DerivedGraphs.orderRingSql},
+r AS (
+  SELECT id AS src, id AS dst FROM ornodes
+  UNION
+  SELECT r.src, e.dst FROM r JOIN oredges e ON e.src = r.dst),
+mutual AS (
+  SELECT a.src AS id, a.dst AS peer FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src),
+scc AS (SELECT id, MIN(peer) AS scc_id FROM mutual GROUP BY id),
+sizes AS (SELECT scc_id, COUNT(*) AS sz FROM scc GROUP BY scc_id)
+SELECT CAST(sz AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_sccs FROM sizes GROUP BY sz"""
 
   /** All simple paths src→dst (≤ maxLen edges) on the trade graph, one
     * "id->id->…" string per path (= algorithms.Paths.simplePaths). */

@@ -147,9 +147,16 @@ object SparkEntry {
         .groupBy("component").agg(count(lit(1)).cast("bigint").as("size"))
     }),
     "q_scc" -> ((s, d) =>
-      Community.sccByClosure(DerivedGraphs.tradeNodes(s, d),
-          DerivedGraphs.nationTrade(s, d), 5)
+      Community.scc(DerivedGraphs.tradeNodes(s, d), DerivedGraphs.nationTrade(s, d))
         .groupBy("scc_id").agg(count(lit(1)).cast("bigint").as("size"))),
+    "q_scc_large" -> ((s, d) =>
+      // SCC size distribution on the ~600×-bigger order-ring graph: the
+      // scale proof for the coloring kernel (bounded ring length ⇒ fixed
+      // round count at any row count).
+      Community.scc(DerivedGraphs.orderRingNodes(s, d), DerivedGraphs.orderRing(s, d))
+        .groupBy("scc_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").cast("bigint").as("size"))
+        .agg(count(lit(1)).cast("bigint").as("n_sccs"))),
     "q_simple_paths" -> ((s, d) =>
       algorithms.Paths.simplePaths(DerivedGraphs.nationTrade(s, d),
         GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4)),
@@ -318,6 +325,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_betweenness" -> Oracles.betweennessSql,
     "q_components" -> Oracles.componentsSql,
     "q_scc" -> Oracles.sccSql,
+    "q_scc_large" -> Oracles.sccLargeSql,
     "q_simple_paths" -> Oracles.simplePathsSql(
       GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4),
     "q_pagerank" -> Oracles.pageRankSql(0.85, 10),

@@ -16,7 +16,7 @@ import scala.collection.concurrent.TrieMap
   * the big fact join down to a |nation|² table before thresholding.
   */
 object DerivedGraphs {
-  import GraphBuilder.{TAG, NationTag, PartTag, table}
+  import GraphBuilder.{TAG, NationTag, OrderTag, PartTag, table}
 
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def memo(s: SparkSession, d: String, k: String)(f: => DataFrame): DataFrame =
@@ -80,6 +80,36 @@ object DerivedGraphs {
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
 
+  /** Directed order-ring graph over ALL orders (~600× the 25-node trade
+    * graph at sf0.01): the first min(n, 8) orders of each customer (by
+    * orderdate, orderkey tiebreak) form one directed cycle; every other
+    * order is isolated. SCC structure is known by construction — one
+    * ring SCC per customer with ≥2 ranked orders, singletons elsewhere —
+    * which makes it the scale testbed for the SCC kernel: cycle length is
+    * bounded (≤8) so coloring converges in a fixed number of rounds no
+    * matter the row count. One shuffle for the rank window, one
+    * self-join on (custkey, rank) for the ring closure. */
+  def orderRing(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "oring") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val r = table(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"), col("rn"))
+      val m = r.groupBy("ck").agg(max("rn").as("m"))
+      val ranked = r.join(m, Seq("ck")).filter(col("m") >= 2)
+      ranked.select(col("ck"), (col("rn") % col("m") + 1).as("rn2"), col("ok").as("sok"))
+        .join(ranked.select(col("ck"), col("rn").as("rn2"), col("ok").as("dok")),
+          Seq("ck", "rn2"))
+        .select((lit(OrderTag * TAG) + col("sok")).as("src"),
+          (lit(OrderTag * TAG) + col("dok")).as("dst"))
+    }
+
+  /** All order node ids (ring-graph vertex set, isolated orders included). */
+  def orderRingNodes(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .select((lit(OrderTag * TAG) + col("o_orderkey")).as("id"))
+
   // ---- DuckDB mirrors ----
 
   /** CTEs: trade(src,dst,cnt), tedges(src,dst), tnodes(id). */
@@ -105,6 +135,21 @@ tnodes AS MATERIALIZED (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) 
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
 psym AS MATERIALIZED (SELECT a AS src, b AS dst FROM pedges UNION ALL SELECT b, a FROM pedges),
 pnodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM psym)"""
+
+  /** CTEs: oredges(src,dst) order-ring edges, ornodes(id). */
+  val orderRingSql: String =
+    s"""ornk AS MATERIALIZED (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders),
+oring0 AS (SELECT * FROM ornk WHERE rn <= 8),
+om AS (SELECT ck, MAX(rn) AS m FROM oring0 GROUP BY ck),
+oredges AS MATERIALIZED (
+  SELECT ${OrderTag * TAG} + CAST(a.ok AS BIGINT) AS src,
+         ${OrderTag * TAG} + CAST(b.ok AS BIGINT) AS dst
+  FROM oring0 a JOIN om ON om.ck = a.ck AND om.m >= 2
+  JOIN oring0 b ON b.ck = a.ck AND b.rn = a.rn % om.m + 1),
+ornodes AS (SELECT ${OrderTag * TAG} + CAST(o_orderkey AS BIGINT) AS id FROM orders)"""
 
   /** CTEs: pall(a,b) multigraph, psymall(src,dst). */
   val cooccurAllSql: String =

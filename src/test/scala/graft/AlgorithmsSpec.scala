@@ -53,11 +53,30 @@ class AlgorithmsSpec extends SparkSpec {
     assert(r(9L) > r(1L) && r(1L) > r(2L) && r(2L) == r(3L))
   }
 
-  test("sccByClosure: 3-cycle + tail") {
+  test("scc: 3-cycle + tail") {
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
-    val s = Community.sccByClosure(ids(1, 2, 3, 4), e, 4)
+    val s = Community.scc(ids(1, 2, 3, 4), e)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("scc: two cycles joined by a bridge, plus chain and self-loop") {
+    // cycle {1,2,3} → bridge → cycle {10,11}, chain 20→21→22, self-loop 30
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 10L,
+      10L -> 11L, 11L -> 10L, 20L -> 21L, 21L -> 22L, 30L -> 30L)
+    val s = Community.scc(ids(1, 2, 3, 10, 11, 20, 21, 22, 30), e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L, 22L -> 22L, 30L -> 30L))
+  }
+
+  test("scc: adversarial id order (root id is the max) still labels by min") {
+    // cycle {5,6} feeding cycle {1,2}: colors collapse to 1, first round
+    // resolves {1,2}, second round resolves {5,6}
+    val e = edges(5L -> 6L, 6L -> 5L, 6L -> 1L, 1L -> 2L, 2L -> 1L)
+    val s = Community.scc(ids(1, 2, 5, 6), e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
   test("louvainOnePass: heaviest neighbor wins, ties to min id") {
@@ -133,8 +152,19 @@ class AlgorithmsSpec extends SparkSpec {
 
   test("countScc / isStronglyConnected") {
     val cycle = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
-    assert(Community.isStronglyConnected(ids(1, 2, 3), cycle, 3))
-    assert(Community.countScc(ids(1, 2, 3, 4), cycle, 3) == 2) // + singleton 4
+    assert(Community.isStronglyConnected(ids(1, 2, 3), cycle))
+    assert(Community.countScc(ids(1, 2, 3, 4), cycle) == 2) // + singleton 4
+  }
+
+  test("connectedComponents converges in O(log n) rounds on a long chain") {
+    // 256-node path graph: plain min-label propagation needs ~255 rounds;
+    // pointer doubling must land well under 2·log2(256) + slack.
+    val n = 256
+    val chain = symm(edges((1 until n).map(i => i.toLong -> (i + 1).toLong): _*))
+    val (comp, rounds) = Community.ccWithRounds(ids((1 to n).map(_.toLong): _*), chain, 40)
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.forall(_ == 1L) && labels.size == n)
+    assert(rounds <= 20, s"pointer doubling took $rounds rounds on a $n-chain")
   }
 
   test("degreeCentrality on a directed triangle") {
