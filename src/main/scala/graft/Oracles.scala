@@ -155,6 +155,25 @@ mem AS (
 SELECT id, ROUND(CAST(m AS DOUBLE) / (((SELECT n FROM bn) - 1.0) * ((SELECT n FROM bn) - 2.0)), 9) AS bc
 FROM mem"""
 
+  /** Sampled betweenness on the same forest: only sampled member sources
+    * (customers/suppliers) contribute 1 to their nation; estimator scales
+    * by n/k. Sample = the k subgraph nodes with the smallest shared
+    * hash60("bc:" + id), id tiebreak — reproduced bit-identically here. */
+  def betweennessSampledSql(k: Int): String =
+    s"""WITH allids AS (
+  SELECT ${CustomerTag * TAG} + CAST(c_custkey AS BIGINT) AS id, CAST(c_nationkey AS BIGINT) AS nk FROM customer
+  UNION ALL SELECT ${SupplierTag * TAG} + CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT) FROM supplier
+  UNION ALL SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT), NULL FROM nation
+  UNION ALL SELECT ${RegionTag * TAG} + CAST(r_regionkey AS BIGINT), NULL FROM region),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM allids),
+samp AS (SELECT id, nk FROM allids
+  ORDER BY ('0x' || substr(md5('bc:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT ASC, id ASC
+  LIMIT $k),
+kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM samp),
+mem AS (SELECT ${NationTag * TAG} + nk AS id, COUNT(*) AS m FROM samp WHERE nk IS NOT NULL GROUP BY nk)
+SELECT id, ROUND((SELECT n FROM nn) / (SELECT k FROM kk) * m / (((SELECT n FROM nn) - 1.0) * ((SELECT n FROM nn) - 2.0)), 9) AS bc
+FROM mem"""
+
   /** Degree centrality over the full graph: (out+in)/(n-1), round 9. */
   val degreeCentralitySql: String = P +
     """, od AS (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src),

@@ -136,6 +136,17 @@ object SparkEntry {
         .filter(col("bc") > 0)
         .select(col("id"), round(col("bc"), 9).as("bc"))
     }),
+    "q_betweenness_sampled" -> ((s, d) => {
+      // Brandes–Pich estimator: 500 hash-picked sources, scaled by n/k —
+      // the scale path (state O(k·n) instead of O(n·reach)).
+      val graph = g(s, d)
+      val labels = Seq("Customer", "Supplier", "Nation", "Region")
+      val ns = graph.nodes.filter(col("label").isin(labels: _*))
+      val es = graph.edges.filter(col("rel_type").isin("IN_NATION", "IN_REGION"))
+      Centrality.betweennessSampled(ns, es, 3, 500)
+        .filter(col("bc") > 0)
+        .select(col("id"), round(col("bc"), 9).as("bc"))
+    }),
     "q_components" -> ((s, d) => {
       val graph = g(s, d)
       val labels = Seq("Customer", "Supplier", "Nation", "Region")
@@ -323,6 +334,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
       "wsym", CustomerTag * TAG + 1L, 4),
     "q_degree_centrality" -> Oracles.degreeCentralitySql,
     "q_betweenness" -> Oracles.betweennessSql,
+    "q_betweenness_sampled" -> Oracles.betweennessSampledSql(500),
     "q_components" -> Oracles.componentsSql,
     "q_scc" -> Oracles.sccSql,
     "q_scc_large" -> Oracles.sccLargeSql,

@@ -31,13 +31,38 @@ object Centrality {
     * iteration-order-dependent — this computes the standard all-paths
     * definition, identical on graphs with unique shortest paths).
     *
-    * State is (s,v)-keyed: O(n·reach) rows per level, partitioned on the
-    * join key throughout — intended for label-bounded subgraphs; the
-    * per-level joins are the same plan shape at any scale. */
-  def betweenness(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.select("src", "dst")
+    * State is (s,v)-keyed: O(|sources|·reach) rows per level, partitioned
+    * on the join key throughout. Exact mode (all sources) is meant for
+    * label-bounded subgraphs; at data scale use [[betweennessSampled]],
+    * which bounds state at O(k·n). */
+  def betweenness(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame =
+    brandes(nodes, edges, maxDepth, None)
+
+  /** Brandes estimator over k deterministic hash-picked sources (the k
+    * nodes with the smallest shared-md5 hash60 of their id — reproducible
+    * in any engine): E[bc] is the exact value; contributions are scaled
+    * by n/k (Brandes–Pich sampling). Exact mode is the k ≥ n case. */
+  def betweennessSampled(nodes: DataFrame, edges: DataFrame, maxDepth: Int,
+                         k: Int): DataFrame =
+    brandes(nodes, edges, maxDepth, Some(k))
+
+  private def brandes(nodes: DataFrame, edges: DataFrame, maxDepth: Int,
+                      sampleK: Option[Int]): DataFrame = {
+    // One materialization of the (usually label-filtered) edge view; the
+    // per-level joins then probe the checkpoint instead of re-running the
+    // upstream scan+filter each level.
+    val e = edges.select("src", "dst").localCheckpoint()
     val n = nodes.count().toDouble
-    var frontier = nodes.select(col("id").as("s"), col("id").as("v"))
+    val (sources, scale) = sampleK match {
+      case None => (nodes.select("id"), 1.0)
+      case Some(k) =>
+        val srcs = nodes.select("id")
+          .orderBy(graft.pipeline.TextOps.hash60(col("id").cast("string"), "bc:").asc,
+            col("id").asc)
+          .limit(k).localCheckpoint()
+        (srcs, n / srcs.count().toDouble)
+    }
+    var frontier = sources.select(col("id").as("s"), col("id").as("v"))
       .withColumn("sigma", lit(1.0)).localCheckpoint()
     var visited = frontier.select("s", "v")
     val levels = ArrayBuffer(frontier)
@@ -77,7 +102,7 @@ object Centrality {
       else deltas.reduce(_ unionByName _)
         .filter(col("v") =!= col("s"))
         .groupBy(col("v").as("id")).agg(sum("delta").as("d"))
-        .select(col("id"), (col("d") / lit(norm)).as("bc"))
+        .select(col("id"), (lit(scale) * col("d") / lit(norm)).as("bc"))
     nodes.select("id").join(raw, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("bc"), lit(0.0)).as("bc"))
   }

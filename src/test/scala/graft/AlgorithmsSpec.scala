@@ -105,6 +105,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(bc(3L) - 0.5 / 6.0) < 1e-12)
   }
 
+  test("betweennessSampled with k >= n equals exact; small k is deterministic") {
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val exact = Centrality.betweenness(ids(1, 2, 3, 4), e, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = Centrality.betweennessSampled(ids(1, 2, 3, 4), e, 3, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.keys == full.keys &&
+      exact.forall { case (k, v) => math.abs(full(k) - v) < 1e-12 })
+    val s1 = Centrality.betweennessSampled(ids(1, 2, 3, 4), e, 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s2 = Centrality.betweennessSampled(ids(1, 2, 3, 4), e, 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2 && s1.values.forall(_ >= 0.0))
+  }
+
   test("kcore: reference doc example (triangle + pendant), k=2") {
     // kcore.rs doc: triangle a-b-c, d hangs off a; 2-core = {a,b,c}
     val e = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L))
