@@ -22,19 +22,31 @@ object SparkEntry {
   private def g(spark: SparkSession, dir: String): PropertyGraph =
     GraphBuilder.tpch(spark, dir)
 
-  /** Minhash candidate pairs are the input of two queries — compute once
-    * per (session, sfDir). */
+  /** Minhash candidate pairs and the distinct-shingle frame each feed two
+    * queries — compute once per (session, sfDir). Sharing the shingle
+    * frame also makes the minhash stage itself cheaper (MIN over the
+    * distinct set equals MIN over the multiset). */
   private val mhCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def shinglesCached(s: SparkSession, d: String): DataFrame =
+    shCache.getOrElseUpdate((s, d),
+      pipeline.TextOps.shingles(GraphBuilder.table(s, d, "documents"))
+        .distinct().persist())
   private def minhashPairsCached(s: SparkSession, d: String): DataFrame =
     mhCache.getOrElseUpdate((s, d),
-      Dedup.minhashPairs(GraphBuilder.table(s, d, "documents")).persist())
+      Dedup.minhashPairs(GraphBuilder.table(s, d, "documents"),
+        shinglesIn = Some(shinglesCached(s, d))).persist())
 
   /** Release every session-keyed memo in the library (GraphBuilder,
-    * DerivedGraphs, minhash pairs) — for in-process session recycling. */
+    * DerivedGraphs, minhash pairs, shingles) — for in-process session
+    * recycling. */
   def clearCaches(): Unit = {
-    mhCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    (mhCache.values ++ shCache.values)
+      .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     mhCache.clear()
+    shCache.clear()
     GraphBuilder.clearCache()
     DerivedGraphs.clearCache()
   }
@@ -257,7 +269,7 @@ object SparkEntry {
       Dedup.simhashPairs(GraphBuilder.table(s, d, "documents"))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(GraphBuilder.table(s, d, "documents"),
-        Some(minhashPairsCached(s, d)))),
+        Some(minhashPairsCached(s, d)), Some(shinglesCached(s, d)))),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>

@@ -15,7 +15,8 @@ object Structure {
     * are bounded by O(√m), keeping the wedge join at O(m^1.5) even on
     * skewed graphs. The (x,y,z) labels depend on the orientation but the
     * triangle node-sets (and thus all counts) do not. */
-  def triangles(pedges: DataFrame): DataFrame = {
+  def triangles(pedges: DataFrame,
+                broadcastCloseMaxEdges: Long = 4000000L): DataFrame = {
     val deg = pedges.select(col("a").as("v"))
       .unionByName(pedges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -29,20 +30,26 @@ object Structure {
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("t"))
-    // The wedge stream (e1⋈e2) is the big intermediate — close it against
-    // a broadcast of the edge set so those rows never shuffle. At scales
-    // where the edge list outgrows broadcast, AQE falls back to shuffle
-    // (then: pre-partition both sides by (s,t)).
-    o.as("e1")
+    // The wedge stream (e1⋈e2) is the big intermediate. While the edge
+    // set fits an executor (≤ broadcastCloseMaxEdges rows), close it
+    // against a broadcast so wedge rows never shuffle; past that the
+    // broadcast hint would OOM the driver at scale, so the close becomes
+    // a key-partitioned shuffle join on (s,t) — the strategy is decided
+    // by a cheap count on the (usually cached) oriented edge list.
+    val wedges = o.as("e1")
       .join(o.as("e2"), col("e1.t") === col("e2.s"))
-      .join(broadcast(o.as("e3")),
-        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
-      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    val e3 = o.as("e3")
+    val closeCond = col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t")
+    val closed =
+      if (pedges.count() <= broadcastCloseMaxEdges) wedges.join(broadcast(e3), closeCond)
+      else wedges.join(e3, closeCond)
+    closed.select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
   }
 
   /** Per-node triangle participation: (id, tri_cnt). */
-  def trianglesPerNode(pedges: DataFrame): DataFrame = {
-    val t = triangles(pedges)
+  def trianglesPerNode(pedges: DataFrame,
+                       broadcastCloseMaxEdges: Long = 4000000L): DataFrame = {
+    val t = triangles(pedges, broadcastCloseMaxEdges)
     t.select(col("x").as("id"))
       .unionByName(t.select(col("y").as("id")))
       .unionByName(t.select(col("z").as("id")))

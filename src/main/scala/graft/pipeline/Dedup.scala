@@ -25,9 +25,13 @@ object Dedup {
   /** MinHash signatures: k min-hashes over char-5-gram shingles via
     * double hashing h_j = ha + j·hb (2 md5 calls per shingle instead of
     * k; hb truncated to 55 bits so ha + 15·hb can't overflow BIGINT) →
-    * (doc_id, m0..m{k-1}). */
-  def minhashSignatures(docs: DataFrame, k: Int = 16): DataFrame = {
-    val hashed = shingles(docs).select(col("doc_id"),
+    * (doc_id, m0..m{k-1}). `shinglesIn` lets the caller share one
+    * (ideally deduplicated and cached) shingle frame across minhash /
+    * jaccard stages — MIN over a multiset equals MIN over its set, so
+    * distinct shingles give identical signatures for fewer md5 calls. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16,
+                        shinglesIn: Option[DataFrame] = None): DataFrame = {
+    val hashed = shinglesIn.getOrElse(shingles(docs)).select(col("doc_id"),
       hash60(col("sh"), "a:").as("ha"),
       (hash60(col("sh"), "b:") % lit(1L << 55)).as("hb"))
       .select(col("doc_id") +:
@@ -46,8 +50,9 @@ object Dedup {
     }.reduce(_ unionByName _)
 
   /** Near-duplicate candidate pairs: docs sharing any full band. */
-  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val b = minhashBands(minhashSignatures(docs, k), bands, k / bands)
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                   shinglesIn: Option[DataFrame] = None): DataFrame = {
+    val b = minhashBands(minhashSignatures(docs, k, shinglesIn), bands, k / bands)
     b.select(col("band"), col("bh"), col("doc_id").as("a"))
       .join(b.select(col("band"), col("bh"), col("doc_id").as("b")),
         Seq("band", "bh"))
@@ -91,10 +96,12 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for (by default) the MinHash
-    * candidate pairs; pass `pairsIn` to reuse already-computed pairs. */
-  def ngramJaccard(docs: DataFrame, pairsIn: Option[DataFrame] = None): DataFrame = {
-    val pairs = pairsIn.getOrElse(minhashPairs(docs))
-    val sh = shingles(docs).distinct()
+    * candidate pairs; pass `pairsIn` / `shinglesIn` to reuse
+    * already-computed pairs and a cached distinct-shingle frame. */
+  def ngramJaccard(docs: DataFrame, pairsIn: Option[DataFrame] = None,
+                   shinglesIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(minhashPairs(docs, shinglesIn = shinglesIn))
+    val sh = shinglesIn.getOrElse(shingles(docs).distinct())
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))

@@ -56,10 +56,19 @@ object Similarity {
         (TextOps.hash60(concat(col("plane"), lit(":"), col("pos")), "lsh:")
           % 2001L - 1000L).as("w"))
 
-  /** Bucket id per vector: sign bits of `planes` hyperplane projections. */
+  /** Bucket id per vector: sign bits of `planes` hyperplane projections.
+    * Dimensionality is derived from the data (one weight row per distinct
+    * position actually present — no fixed-dims assumption), so any
+    * embedding width works; the weight table is dims·planes rows and
+    * broadcast into the projection join. */
   def lshBuckets(emb: DataFrame, planes: Int = 4): DataFrame = {
-    val w = planeWeights(emb.sparkSession, planes, 64)
-    exploded(emb).join(w, Seq("pos"))
+    val ex = exploded(emb)
+    val pl = emb.sparkSession.range(planes).select(col("id").as("plane"))
+    val w = ex.select("pos").distinct().crossJoin(pl)
+      .select(col("plane"), col("pos"),
+        (TextOps.hash60(concat(col("plane"), lit(":"), col("pos")), "lsh:")
+          % 2001L - 1000L).as("w"))
+    ex.join(broadcast(w), Seq("pos"))
       .groupBy("vec_id", "plane").agg(sum(col("w") * col("x")).as("proj"))
       .groupBy("vec_id")
       .agg(sum(when(col("proj") >= 0,
@@ -67,13 +76,25 @@ object Similarity {
         .otherwise(0L)).as("bucket"))
   }
 
-  /** Bucketed ANN: probes score only vectors in their own bucket. */
-  def annLsh(emb: DataFrame, planes: Int = 4, probeMax: Long = 10L, k: Int = 3): DataFrame = {
+  /** Bucketed ANN: probes score only vectors in their own bucket —
+    * plus, with `multiProbe` = m > 0, the m buckets at Hamming distance
+    * 1 obtained by flipping each of the first m sign bits (the recall
+    * knob: each extra probe trades one more bucket scan for recall; a
+    * candidate lives in exactly one bucket, so probe buckets never
+    * double-count a pair). */
+  def annLsh(emb: DataFrame, planes: Int = 4, probeMax: Long = 10L, k: Int = 3,
+             multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= planes, "bad multiProbe")
     val b = lshBuckets(emb, planes)
     val e = exploded(emb)
     val n = norms(emb)
+    val probeBuckets =
+      if (multiProbe == 0) b
+      else b.select(col("vec_id"), explode(array(
+        col("bucket") +: (0 until multiProbe).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
     val probes = e.filter(col("vec_id") < probeMax)
-      .join(b, Seq("vec_id"))
+      .join(probeBuckets, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("bucket"), col("pos"), col("x").as("qx"))
     val cands = e.filter(col("vec_id") >= probeMax)
       .join(b, Seq("vec_id"))

@@ -69,6 +69,56 @@ class PipelineSpec extends SparkSpec {
   private def GraphBuilder_table(name: String) =
     graft.graph.GraphBuilder.table(spark, sfDir, name)
 
+  test("lsh buckets derive dims from the data (non-64-dim vectors)") {
+    val implicits = spark.implicits
+    import implicits._
+    // 8-dim vectors: the dims=64 hardcode would have projected garbage.
+    // Expected buckets computed independently from the legacy fixed-dims
+    // weight table at dims=8 (same per-(plane,pos) hash formula).
+    val emb = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(8)(i => -(i + 1).toFloat)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f))).toDF("vec_id", "embedding")
+    val got = Similarity.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Similarity.planeWeights(spark, 4, 8)
+    val expected = Similarity.exploded(emb).join(w, Seq("pos"))
+      .groupBy("vec_id", "plane").agg(sum(col("w") * col("x")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))"))
+        .otherwise(0L)).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.size == 3)
+    // opposite vectors land in complementary buckets (all signs flip)
+    assert((got(0L) ^ got(1L)) == 15L)
+  }
+
+  test("multi-probe ann widens candidates and keeps single-probe results") {
+    val emb = GraphBuilder_table("embeddings")
+    val single = Similarity.annLsh(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = Similarity.annLsh(emb, k = 3, multiProbe = 2).collect()
+    val multiPairs = multi.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // per-probe best cosine can only improve with more buckets probed
+    val bestSingle = single.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val bestMulti = multi.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(2)).max).toMap
+    bestSingle.foreach { case (qid, c) => assert(bestMulti(qid) >= c) }
+    assert(multiPairs.size >= single.size)
+    // multiProbe = 0 is exactly the single-probe plan
+    assert(Similarity.annLsh(emb, k = 3, multiProbe = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == single)
+  }
+
+  test("triangle close: shuffle path equals broadcast path") {
+    val implicits = spark.implicits
+    import implicits._
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("a", "b")
+    val viaBroadcast = graft.algorithms.Structure.triangles(k4).count()
+    val viaShuffle = graft.algorithms.Structure.triangles(k4, broadcastCloseMaxEdges = 0L).count()
+    assert(viaBroadcast == 4L && viaShuffle == 4L)
+  }
+
   test("langId picks the language with most markers") {
     val d = docs(
       1L -> "the cat is on a mat the dog is here",
