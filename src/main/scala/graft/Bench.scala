@@ -15,7 +15,11 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try graft.graph.GraphBuilder.tpch(spark, sfDir).edges.count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted-name order: deterministic across rounds, so shared derived
+    // frames (co-occurrence graph, minhash pairs) are always paid by the
+    // same (alphabetically first) query and per-query numbers stay
+    // comparable round over round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Force every projected expression to execute: a count() would let
       // Catalyst prune the projection (map-only queries would be measured
@@ -26,7 +30,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

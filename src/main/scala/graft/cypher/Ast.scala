@@ -85,6 +85,12 @@ object Ast {
   final case class MatchClause(pattern: Pattern, optional: Boolean,
                                where: Option[Cond]) extends Clause
   final case class WithClause(items: List[RetItem], where: Option[Cond]) extends Clause
+  /** CALL { subquery } [IN (vars)] (ast.rs:205 CallStatement): the inner
+    * query runs against the graph and its returned columns join into the
+    * outer pipeline — on `inputVars` when given (correlated; the inner
+    * query must RETURN those vars), else on any shared column names,
+    * else as a cross join (uncorrelated). */
+  final case class CallClause(inner: Query, inputVars: List[String]) extends Clause
 
   final case class ReturnClause(
       items: List[RetItem],
@@ -99,8 +105,21 @@ object Ast {
 
   // Mutation surface (ast.rs:150-199) — compiled to DataFrame edits on the
   // node/edge tables (exercised in ScalaTest; no DuckDB mutable-graph oracle).
-  final case class Create(pattern: Pattern) extends Statement
+  /** CREATE pat, or MATCH … CREATE pat: `matches` are the preceding MATCH
+    * clauses whose bound node variables the pattern may reference
+    * (executor.rs MATCH…CREATE path). */
+  final case class Create(pattern: Pattern,
+                          matches: List[MatchClause] = Nil) extends Statement
   final case class SetStmt(m: MatchClause, assignments: List[(String, String, Literal)]) extends Statement
   final case class DeleteStmt(m: MatchClause, variables: List[String]) extends Statement
-  final case class Merge(pattern: Pattern) extends Statement
+  /** MERGE pat [ON CREATE SET …] [ON MATCH SET …] (ast.rs:185
+    * MergeStatement on_create/on_match). */
+  final case class Merge(pattern: Pattern,
+                         onCreate: List[(String, String, Literal)] = Nil,
+                         onMatch: List[(String, String, Literal)] = Nil) extends Statement
+  /** FOREACH (v IN [ids] | SET v.p = lit, …) (ast.rs:193
+    * ForeachStatement): batch property update over a literal id list;
+    * ids that match no stored node are skipped. */
+  final case class Foreach(variable: String, list: List[Literal],
+                           assignments: List[(String, String, Literal)]) extends Statement
 }

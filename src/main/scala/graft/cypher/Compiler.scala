@@ -48,36 +48,77 @@ final class Compiler(graph: PropertyGraph,
   }
 
   // ---- query pipeline ----
-  private def compileQuery(q: Query): DataFrame = {
+  private def compileQuery(q: Query): DataFrame = compileQueryCtx(q).df
+
+  /** Full query pipeline, keeping track of which output columns are node
+    * variables (so CALL can import them into an outer pipeline). */
+  private def compileQueryCtx(q: Query): Ctx = {
     var ctx: Ctx = null
     q.clauses.foreach {
-      case MatchClause(pat, optional, where) =>
-        var pctx = compilePattern(pat)
-        if (optional && where.isDefined)
-          pctx = filterCond(pctx, where.get) // optional's WHERE applies inside
-        if (ctx == null) {
-          ctx = pctx
-          if (!optional) where.foreach(w => ctx = filterCond(ctx, w))
-        } else {
-          val shared = ctx.df.columns.toSet
-            .intersect(pctx.nodeVars).intersect(ctx.nodeVars).toSeq.sorted
-          val overlap = pctx.df.columns.filter(c =>
-            ctx.df.columns.contains(c) && !shared.contains(c))
-          val rightDf = pctx.df.drop(overlap: _*)
-          val joined =
-            if (shared.isEmpty) ctx.df.crossJoin(rightDf)
-            else ctx.df.join(rightDf, shared, if (optional) "left_outer" else "inner")
-          ctx = Ctx(joined, ctx.nodeVars ++ pctx.nodeVars)
-          if (!optional) where.foreach(w => ctx = filterCond(ctx, w))
-        }
+      case m: MatchClause =>
+        ctx = addMatch(ctx, m)
       case WithClause(items, where) =>
         if (ctx == null) ctx = Ctx(singleRow(), Set.empty)
         ctx = project(ctx, items)
         where.foreach(w => ctx = filterCond(ctx, w))
+      case CallClause(inner, inputVars) =>
+        val innerCtx = compileQueryCtx(inner)
+        ctx =
+          if (ctx == null) innerCtx
+          else {
+            val joinCols =
+              if (inputVars.nonEmpty) {
+                inputVars.foreach { v =>
+                  require(ctx.df.columns.contains(v),
+                    s"CALL … IN ($v): '$v' is not bound in the outer query")
+                  require(innerCtx.df.columns.contains(v),
+                    s"CALL … IN ($v): the subquery must RETURN '$v'")
+                }
+                inputVars.sorted
+              } else ctx.df.columns.toSet.intersect(innerCtx.df.columns.toSet)
+                .toSeq.sorted
+            val overlap = innerCtx.df.columns.filter(c =>
+              ctx.df.columns.contains(c) && !joinCols.contains(c))
+            val rightDf = innerCtx.df.drop(overlap: _*)
+            val joined =
+              if (joinCols.isEmpty) ctx.df.crossJoin(rightDf)
+              else ctx.df.join(rightDf, joinCols, "inner")
+            Ctx(joined, ctx.nodeVars ++ innerCtx.nodeVars)
+          }
     }
     if (ctx == null) ctx = Ctx(singleRow(), Set.empty)
     returnClause(ctx, q.ret)
   }
+
+  /** Combine one MATCH clause into the pipeline (shared node vars join;
+    * OPTIONAL MATCH left-joins with its WHERE applied inside). */
+  private def addMatch(ctx0: Ctx, m: MatchClause): Ctx = {
+    val MatchClause(pat, optional, where) = m
+    var pctx = compilePattern(pat)
+    if (optional && where.isDefined)
+      pctx = filterCond(pctx, where.get) // optional's WHERE applies inside
+    if (ctx0 == null) {
+      var ctx = pctx
+      if (!optional) where.foreach(w => ctx = filterCond(ctx, w))
+      ctx
+    } else {
+      val shared = ctx0.df.columns.toSet
+        .intersect(pctx.nodeVars).intersect(ctx0.nodeVars).toSeq.sorted
+      val overlap = pctx.df.columns.filter(c =>
+        ctx0.df.columns.contains(c) && !shared.contains(c))
+      val rightDf = pctx.df.drop(overlap: _*)
+      val joined =
+        if (shared.isEmpty) ctx0.df.crossJoin(rightDf)
+        else ctx0.df.join(rightDf, shared, if (optional) "left_outer" else "inner")
+      var ctx = Ctx(joined, ctx0.nodeVars ++ pctx.nodeVars)
+      if (!optional) where.foreach(w => ctx = filterCond(ctx, w))
+      ctx
+    }
+  }
+
+  /** Pipeline of plain MATCH clauses (the MATCH…CREATE prefix). */
+  private[cypher] def matchCtx(ms: List[MatchClause]): Ctx =
+    ms.foldLeft(null: Ctx)(addMatch)
 
   private def singleRow(): DataFrame =
     graph.nodes.sparkSession.range(1).select(lit(1).as("_one"))
@@ -131,7 +172,10 @@ final class Compiler(graph: PropertyGraph,
       else graph.edges.filter(col("rel_type").isin(rel.relTypes: _*))
     def oriented(s: String, d: String) = {
       val core = Seq(col(s).as("_hsrc"), col(d).as("_hdst"))
-      val props = rel.variable.toSeq.flatMap(r => relProps.map(p => col(p).as(s"${r}__$p")))
+      // only the rel props the edge schema actually has (custom graphs
+      // may carry fewer columns than the TPC-H build)
+      val props = rel.variable.toSeq.flatMap(r =>
+        relProps.filter(base.columns.contains).map(p => col(p).as(s"${r}__$p")))
       base.select(core ++ props: _*)
     }
     rel.direction match {
@@ -371,7 +415,7 @@ final class Compiler(graph: PropertyGraph,
     }
   }
 
-  private def returnClause(ctx0: Ctx, ret: ReturnClause): DataFrame = {
+  private def returnClause(ctx0: Ctx, ret: ReturnClause): Ctx = {
     var ctx = ctx0
     val names = ret.items.map(defaultName)
     val outName: Map[Expr, String] = ret.items.zip(names).collect {
@@ -416,7 +460,10 @@ final class Compiler(graph: PropertyGraph,
     if (hidden.nonEmpty) out = out.drop(hidden.map { case (_, i) => s"_ord$i" }: _*)
     ret.skip.foreach(n => out = out.offset(n))
     ret.limit.foreach(n => out = out.limit(n))
-    out
+    val keptNodeVars = ret.items.zip(names).collect {
+      case (RetExpr(Ident(v), _), n) if ctx0.nodeVars(v) => n
+    }.toSet
+    Ctx(out, keptNodeVars)
   }
 }
 

@@ -18,6 +18,7 @@ object Lexer {
     "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "AS", "AND", "OR", "NOT",
     "IN", "IS", "NULL", "EXISTS", "ORDER", "BY", "ASC", "DESC", "SKIP",
     "LIMIT", "DISTINCT", "UNION", "ALL", "CREATE", "MERGE", "SET", "DELETE",
+    "ON", "FOREACH", "CALL",
     "TRUE", "FALSE", "COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT", "STDEV",
     "PERCENTILECONT", "PERCENTILEDISC", "GROUP")
 

@@ -53,9 +53,58 @@ final class Parser(tokens: Vector[Token]) {
     result
   }
 
+  /** `SET`-style assignment list: v.prop = literal, … */
+  private def parseAssigns(): List[(String, String, Literal)] = {
+    val assigns = List.newBuilder[(String, String, Literal)]
+    var more = true
+    while (more) {
+      val v = ident(); expectSym("."); val p = ident(); expectSym("=")
+      assigns += ((v, p, parseLiteral()))
+      more = eatSym(",")
+    }
+    assigns.result()
+  }
+
+  /** MERGE pattern [ON CREATE SET …] [ON MATCH SET …] (either order). */
+  private def parseMerge(): Statement = {
+    val pat = parsePattern()
+    var onCreate = List.empty[(String, String, Literal)]
+    var onMatch = List.empty[(String, String, Literal)]
+    while (atKw("ON")) {
+      advance()
+      if (eatKw("CREATE")) { expectKw("SET"); onCreate = parseAssigns() }
+      else if (eatKw("MATCH")) { expectKw("SET"); onMatch = parseAssigns() }
+      else fail("expected CREATE or MATCH after ON")
+    }
+    Merge(pat, onCreate, onMatch)
+  }
+
+  /** FOREACH (v IN [lits] | SET v.p = lit, …). */
+  private def parseForeach(): Statement = {
+    expectSym("(")
+    val v = ident()
+    expectKw("IN")
+    expectSym("[")
+    val lits = List.newBuilder[Literal]
+    if (!at("]")) {
+      lits += parseLiteral()
+      while (eatSym(",")) lits += parseLiteral()
+    }
+    expectSym("]")
+    expectSym("|")
+    expectKw("SET")
+    val assigns = parseAssigns()
+    expectSym(")")
+    assigns.foreach { case (av, _, _) =>
+      if (av != v) fail(s"FOREACH SET must target the loop variable '$v', got '$av'")
+    }
+    Foreach(v, lits.result(), assigns)
+  }
+
   private def parseSingle(): Statement = {
     if (atKw("CREATE")) { advance(); return Create(parsePattern()) }
-    if (atKw("MERGE")) { advance(); return Merge(parsePattern()) }
+    if (atKw("MERGE")) { advance(); return parseMerge() }
+    if (atKw("FOREACH")) { advance(); return parseForeach() }
     val clauses = List.newBuilder[Clause]
     var done = false
     while (!done) {
@@ -74,20 +123,39 @@ final class Parser(tokens: Vector[Token]) {
         val items = parseRetItems()
         val w = if (eatKw("WHERE")) Some(parseCond()) else None
         clauses += WithClause(items, w)
+      } else if (atKw("CALL")) {
+        advance(); expectSym("{")
+        val inner = parseSingle() match {
+          case q: Query => q
+          case other    => fail(s"CALL subquery must be a read query, got $other")
+        }
+        expectSym("}")
+        val inputVars = if (eatKw("IN")) {
+          expectSym("(")
+          val vs = List.newBuilder[String]
+          vs += ident()
+          while (eatSym(",")) vs += ident()
+          expectSym(")")
+          vs.result()
+        } else Nil
+        clauses += CallClause(inner, inputVars)
       } else done = true
     }
     val built = clauses.result()
+    if (atKw("CREATE")) {
+      advance()
+      val matches = built.map {
+        case m: MatchClause => m
+        case c => fail(s"MATCH…CREATE allows only MATCH clauses before CREATE, got $c")
+      }
+      if (matches.isEmpty) fail("unreachable: bare CREATE handled above")
+      return Create(parsePattern(), matches)
+    }
     if (atKw("SET")) {
       advance()
-      val assigns = List.newBuilder[(String, String, Literal)]
-      var more = true
-      while (more) {
-        val v = ident(); expectSym("."); val p = ident(); expectSym("=")
-        assigns += ((v, p, parseLiteral()))
-        more = eatSym(",")
-      }
+      val assigns = parseAssigns()
       built match {
-        case (m: MatchClause) :: Nil => return SetStmt(m, assigns.result())
+        case (m: MatchClause) :: Nil => return SetStmt(m, assigns)
         case _ => fail("SET requires a single MATCH clause")
       }
     }

@@ -54,4 +54,94 @@ class CypherMutationSpec extends SparkSpec {
     assert(g2.nodes.count() == 1)
     assert(g2.edges.count() == 0) // the KNOWS edge pointed at 2
   }
+
+  // ---- MATCH…CREATE (tests/cypher_create_test.rs MATCH-create path) ----
+
+  test("MATCH…CREATE adds an edge between matched nodes, one per match row") {
+    val g2 = Mutations(mini,
+      "MATCH (a:Person {name: 'A'}) MATCH (b:Person {name: 'B'}) CREATE (a)-[:LIKES]->(b)")
+    assert(g2.nodes.count() == 2) // no new nodes
+    val e = g2.edges.filter(col("rel_type") === "LIKES").collect()
+    assert(e.length == 1 && e(0).getAs[Long]("src") == 1L && e(0).getAs[Long]("dst") == 2L)
+  }
+
+  test("MATCH…CREATE mixes a bound endpoint with a new literal-id node") {
+    val g2 = Mutations(mini,
+      "MATCH (a:Person {id: 1}) CREATE (a)-[:OWNS]->(c:Person {id: 200, name: 'C'})")
+    assert(g2.nodes.count() == 3)
+    val e = g2.edges.filter(col("rel_type") === "OWNS").collect()
+    assert(e.length == 1 && e(0).getAs[Long]("dst") == 200L)
+  }
+
+  test("MATCH…CREATE fans out over all match rows") {
+    val g2 = Mutations(mini,
+      "MATCH (a:Person) CREATE (a)-[:MARKED]->(h:Person {id: 300, name: 'Hub'})")
+    assert(g2.edges.filter(col("rel_type") === "MARKED").count() == 2) // one per person
+  }
+
+  // ---- MERGE hooks (tests/merge_comprehensive_test.rs) ----
+
+  test("MERGE ON CREATE SET applies only when creating") {
+    val g2 = Mutations(mini,
+      "MERGE (n:Person {id: 60, name: 'David'}) ON CREATE SET n.name = 'Created'")
+    assert(g2.nodes.filter(col("id") === 60).head.getString(2) == "Created")
+    // existing pattern: ON CREATE must NOT fire
+    val g3 = Mutations(mini,
+      "MERGE (n:Person {id: 1, name: 'A'}) ON CREATE SET n.name = 'X'")
+    assert(g3.nodes.filter(col("id") === 1).head.getString(2) == "A")
+  }
+
+  test("MERGE ON MATCH SET applies only when the pattern exists") {
+    val g2 = Mutations(mini,
+      "MERGE (n:Person {id: 1, name: 'A'}) ON MATCH SET n.name = 'Seen'")
+    assert(g2.nodes.filter(col("id") === 1).head.getString(2) == "Seen")
+    assert(g2.nodes.count() == 2)
+    // created pattern: ON MATCH must NOT fire
+    val g3 = Mutations(mini,
+      "MERGE (n:Person {id: 61, name: 'E'}) ON MATCH SET n.name = 'X'")
+    assert(g3.nodes.filter(col("id") === 61).head.getString(2) == "E")
+  }
+
+  test("rel MERGE ON CREATE SET sets a relationship property (multi_rel_merge)") {
+    val g2 = Mutations(mini,
+      "MERGE (a:Person {id: 1, name: 'A'})-[r:FRIENDS]->(b:Person {id: 2, name: 'B'}) " +
+      "ON CREATE SET r.weight = 9.5")
+    val e = g2.edges.filter(col("rel_type") === "FRIENDS").collect()
+    assert(e.length == 1 && e(0).getAs[Double]("weight") == 9.5)
+    assert(g2.nodes.count() == 2) // endpoints matched, not duplicated
+  }
+
+  // ---- relationship SET / DELETE (executor.rs rel mutation paths) ----
+
+  test("SET on a relationship variable updates matched edges only") {
+    val g2 = Mutations(mini,
+      "MATCH (a:Person {id: 1})-[r:KNOWS]->(b:Person) SET r.weight = 2.5")
+    assert(g2.edges.head.getAs[Double]("weight") == 2.5)
+    // non-matching pattern leaves edges untouched
+    val g3 = Mutations(mini,
+      "MATCH (a:Person {id: 2})-[r:KNOWS]->(b:Person) SET r.weight = 9.9")
+    assert(g3.edges.head.getAs[Double]("weight") == 1.0)
+  }
+
+  test("DELETE on a relationship variable removes the edge, keeps nodes") {
+    val g2 = Mutations(mini,
+      "MATCH (a:Person {id: 1})-[r:KNOWS]->(b:Person {id: 2}) DELETE r")
+    assert(g2.edges.count() == 0)
+    assert(g2.nodes.count() == 2)
+  }
+
+  // ---- FOREACH (tests/foreach_test.rs) ----
+
+  test("FOREACH updates listed ids, skips nonexistent, empty list no-ops") {
+    val g2 = Mutations(mini, "FOREACH (n IN [1, 999] | SET n.name = 'done')")
+    assert(g2.nodes.filter(col("name") === "done").count() == 1) // only id 1
+    assert(g2.nodes.count() == 2)
+    val g3 = Mutations(mini, "FOREACH (n IN [] | SET n.name = 'x')")
+    assert(g3.nodes.filter(col("name") === "x").count() == 0)
+  }
+
+  test("FOREACH multiple SET assignments") {
+    val g2 = Mutations(mini, "FOREACH (n IN [1, 2] | SET n.name = 'm', n.label = 'Tagged')")
+    assert(g2.nodes.filter(col("name") === "m" && col("label") === "Tagged").count() == 2)
+  }
 }

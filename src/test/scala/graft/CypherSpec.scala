@@ -205,6 +205,33 @@ class CypherSpec extends SparkSpec {
     assert(names.sameElements(direct))
   }
 
+  test("CALL subquery: uncorrelated, empty, and LIMIT forms") {
+    // mirrors tests/call_subquery_test.rs basic / empty / limit cases
+    assert(Cypher.query(graph,
+      "CALL { MATCH (n:Nation) WHERE n.name =~ 'NATION_1' RETURN n.name AS name } RETURN name")
+      .count() == 11)
+    assert(Cypher.query(graph,
+      "CALL { MATCH (n:Nation) WHERE n.name = 'NO_SUCH' RETURN n.name AS name } RETURN name")
+      .isEmpty)
+    assert(Cypher.query(graph,
+      "CALL { MATCH (p:Part) RETURN p LIMIT 2 } RETURN p").count() == 2)
+  }
+
+  test("CALL subquery feeding an outer aggregate") {
+    val c = Cypher.query(graph,
+      "CALL { MATCH (p:Part) WHERE p.psize > 45 RETURN p } RETURN COUNT(*) AS cnt")
+      .head.getLong(0)
+    assert(c == graph.labeled("Part").filter(col("psize") > 45).count() && c > 0)
+  }
+
+  test("CALL … IN (vars) correlates the subquery on the outer binding") {
+    val rows = Cypher.query(graph,
+      "MATCH (r:Region) " +
+      "CALL { MATCH (n:Nation)-[:IN_REGION]->(r) RETURN r, COUNT(*) AS nations } IN (r) " +
+      "RETURN r.name AS rname, nations").collect()
+    assert(rows.length == 5 && rows.forall(_.getLong(1) == 5L))
+  }
+
   test("rel variable property access") {
     val row = Cypher.query(graph,
       "MATCH (o:Order)-[l:CONTAINS]->(p:Part) RETURN SUM(l.quantity) AS q").head
