@@ -121,6 +121,38 @@ r AS (
     AND len(r.path) <= $maxLen)
 SELECT array_to_string(path, '->') AS path FROM r WHERE cur = CAST($dstId AS BIGINT)"""
 
+  /** All shortest paths src→dst on the trade graph: unrolled BFS gives
+    * dist(v); recursive enumeration extends only shortest prefixes
+    * (next node's dist must equal the current path length), then keeps
+    * paths landing on dst at its shortest distance. Rel-type array is
+    * constant 'TRADES' (the trade graph is single-typed); the Spark side
+    * carries real rel_type columns through the same unwind. */
+  def allShortestSql(srcId: Long, dstId: Long, maxDepth: Int): String = {
+    val sb = new StringBuilder(s"WITH RECURSIVE ${DerivedGraphs.tradeSql}")
+    sb ++= s", f0 AS (SELECT CAST($srcId AS BIGINT) AS id, 0 AS dist)"
+    sb ++= ", v0 AS (SELECT * FROM f0)"
+    for (i <- 1 to maxDepth) {
+      sb ++= s", f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS id, $i AS dist" +
+        s" FROM tedges e JOIN f${i - 1} f ON e.src = f.id" +
+        s" WHERE e.dst NOT IN (SELECT id FROM v${i - 1}))"
+      sb ++= s", v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM f$i)"
+    }
+    sb ++= s", dd AS (SELECT dist FROM v$maxDepth WHERE id = CAST($dstId AS BIGINT))"
+    sb ++= s""",
+p AS (
+  SELECT CAST($srcId AS BIGINT) AS cur, [CAST($srcId AS BIGINT)] AS path,
+         CAST([] AS VARCHAR[]) AS rels
+  UNION ALL
+  SELECT e.dst, list_append(p.path, e.dst), list_append(p.rels, 'TRADES')
+  FROM p JOIN tedges e ON e.src = p.cur
+  JOIN v$maxDepth dv ON dv.id = e.dst AND dv.dist = len(p.path)
+  WHERE len(p.path) - 1 < (SELECT dist FROM dd))
+SELECT array_to_string(path, '->') AS path, array_to_string(rels, ',') AS rels,
+       CAST(len(path) - 1 AS BIGINT) AS hops
+FROM p WHERE cur = CAST($dstId AS BIGINT) AND len(path) - 1 = (SELECT dist FROM dd)"""
+    sb.toString
+  }
+
   /** Components of the (Customer|Supplier|Nation|Region, IN_NATION ∪
     * IN_REGION) subgraph — a forest, so the min-id component label is the
     * region node id, closed-form from the raw tables. */

@@ -176,6 +176,10 @@ object SparkEntry {
     "q_simple_paths" -> ((s, d) =>
       algorithms.Paths.simplePaths(DerivedGraphs.nationTrade(s, d),
         GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4)),
+    "q_all_shortest" -> ((s, d) =>
+      algorithms.Paths.allShortestPaths(
+        DerivedGraphs.nationTrade(s, d).withColumn("rel_type", lit("TRADES")),
+        GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 6)),
     "q_pagerank" -> ((s, d) => {
       val graph = g(s, d)
       Community.pageRank(graph.nodes, graph.edges, 0.85, 10)
@@ -349,6 +353,8 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_scc_large" -> Oracles.sccLargeSql,
     "q_simple_paths" -> Oracles.simplePathsSql(
       GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4),
+    "q_all_shortest" -> Oracles.allShortestSql(
+      GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 6),
     "q_pagerank" -> Oracles.pageRankSql(0.85, 10),
     "q_kcore" -> Oracles.kcoreSql(80, 10),
     "q_louvain" -> Oracles.louvainSql,

@@ -39,6 +39,72 @@ object Paths {
       concat_ws("->", expr("transform(path, x -> CAST(x AS STRING))")).as("path"))
   }
 
+  /** All shortest paths src→dst as typed path rows (reference:
+    * shortest_path.rs:59 all_shortest_paths — BFS recording *every*
+    * shortest parent, then backtracking; query_engine.rs:49 QueryPath =
+    * node array + relationship array; traversal.rs:436
+    * shortest_path_with_rels).
+    *
+    * Forward: level-synchronous BFS keeping, per level d, the parent-edge
+    * rows (v, u, rel_type) whose target v is first reached at depth d —
+    * one row per parallel edge, like the reference's per-relationship
+    * parent pushes. Stops at the level where dst appears. Backward: join
+    * the path frontier level by level through the parent edges, building
+    * the node and rel-type arrays. Output: one row per shortest path —
+    * (path "a->b->…", rels "T1,T2,…", hops).
+    *
+    * Scale: state is O(frontier) per level plus O(#paths) only during the
+    * unwind, never the all-pairs closure; each level is one hash join on
+    * the src-partitioned edge view. */
+  def allShortestPaths(edges: DataFrame, srcId: Long, dstId: Long,
+                       maxDepth: Int = 10): DataFrame = {
+    val ss = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"), col("rel_type")).localCheckpoint()
+    def emptyOut = ss.range(0)
+      .select(lit("").as("path"), lit("").as("rels"), lit(0L).as("hops"))
+    if (srcId == dstId)
+      return ss.range(1)
+        .select(lit(srcId.toString).as("path"), lit("").as("rels"), lit(0L).as("hops"))
+    var visited = ss.range(1).select(lit(srcId).as("id")).localCheckpoint()
+    var frontier = visited
+    val parentLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var found = false
+    var depth = 0
+    while (!found && depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("v"), e("src").as("u"), e("rel_type"))
+        .join(visited.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
+        .localCheckpoint()
+      frontier = cand.select(col("v").as("id")).distinct().localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+      parentLevels += cand
+      found = !frontier.filter(col("id") === dstId).isEmpty
+    }
+    if (!found) return emptyOut
+    var paths = ss.range(1).select(lit(dstId).as("head"),
+      array(lit(dstId)).as("nodes"),
+      array().cast("array<string>").as("rels"))
+    for (d <- depth to 1 by -1) {
+      val pl = parentLevels(d - 1)
+      paths = paths.join(pl, paths("head") === pl("v"))
+        .select(col("u").as("head"),
+          concat(array(col("u")), col("nodes")).as("nodes"),
+          concat(array(col("rel_type")), col("rels")).as("rels"))
+    }
+    paths.select(
+      concat_ws("->", expr("transform(nodes, x -> CAST(x AS STRING))")).as("path"),
+      concat_ws(",", col("rels")).as("rels"),
+      lit(depth.toLong).as("hops"))
+  }
+
+  /** One deterministic shortest path with its relationships — the
+    * lexicographically smallest of allShortestPaths (the reference's
+    * shortest_path_with_rels returns an arbitrary one; traversal.rs:436). */
+  def shortestPathWithRels(edges: DataFrame, srcId: Long, dstId: Long,
+                           maxDepth: Int = 10): DataFrame =
+    allShortestPaths(edges, srcId, dstId, maxDepth).orderBy(col("path")).limit(1)
+
   /** Does any path src→dst of ≤ maxLen edges exist
     * (reference shortest_path.rs:314 has_path)? */
   def hasPath(edges: DataFrame, srcId: Long, dstId: Long, maxLen: Int): Boolean = {

@@ -182,6 +182,24 @@ class AlgorithmsSpec extends SparkSpec {
     assert(rounds <= 20, s"pointer doubling took $rounds rounds on a $n-chain")
   }
 
+  test("allShortestPaths: diamond yields both typed paths (shortest_path.rs doc)") {
+    val implicits = spark.implicits
+    import implicits._
+    // A(1)->B(2)->D(4) and A(1)->C(3)->D(4), plus a longer detour 1->5->6->4
+    val e = Seq((1L, 2L, "E"), (2L, 4L, "F"), (1L, 3L, "E"), (3L, 4L, "G"),
+      (1L, 5L, "E"), (5L, 6L, "E"), (6L, 4L, "E")).toDF("src", "dst", "rel_type")
+    val rows = graft.algorithms.Paths.allShortestPaths(e, 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("1->2->4", "E,F", 2L), ("1->3->4", "E,G", 2L)))
+    // single deterministic path = lexicographically smallest
+    val one = graft.algorithms.Paths.shortestPathWithRels(e, 1L, 4L).collect()
+    assert(one.length == 1 && one(0).getString(0) == "1->2->4")
+    // src == dst and unreachable cases
+    assert(graft.algorithms.Paths.allShortestPaths(e, 1L, 1L)
+      .head.getString(0) == "1")
+    assert(graft.algorithms.Paths.allShortestPaths(e, 4L, 99L).isEmpty)
+  }
+
   test("degreeCentrality on a directed triangle") {
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
     val c = Centrality.degreeCentrality(ids(1, 2, 3), e)
