@@ -37,6 +37,84 @@ object Traversal {
     visited
   }
 
+  /** A* heuristic-guided weighted src→dst search (reference astar.rs:82;
+    * the :219 euclidean / :251 manhattan wrappers read (x, y) node
+    * coordinates — passed here as a `coords(id, x, y)` frame since the
+    * TPC-H testdata carries no geometry). Spark-native re-expression of
+    * the priority queue: Bellman-Ford relaxation with A*-style pruning —
+    * once a cost to dst is known, any state whose admissible lower bound
+    * g(v) + h(v) exceeds it can never improve the answer and is dropped
+    * from the frontier, which is exactly the set of states A* would never
+    * pop. With an admissible heuristic the result equals Dijkstra's.
+    *
+    * heuristic ∈ {euclidean, manhattan, zero}; parent pointers are
+    * tie-broken to the smallest (g, parent id), so the returned path is
+    * deterministic. Output: one row (path "a->b->…", cost) — empty if
+    * dst is unreachable within maxIterations relaxations. */
+  def aStar(wedges: DataFrame, coords: DataFrame, srcId: Long, dstId: Long,
+            maxIterations: Int, heuristic: String = "euclidean"): DataFrame = {
+    val ss = wedges.sparkSession
+    val e = wedges.select("src", "dst", "weight").localCheckpoint()
+    def emptyOut = ss.range(0).select(lit("").as("path"), lit(0.0).as("cost"))
+    if (srcId == dstId)
+      return ss.range(1).select(lit(srcId.toString).as("path"), lit(0.0).as("cost"))
+    val dstC = coords.filter(col("id") === dstId)
+      .select(col("x").as("dx"), col("y").as("dy"))
+    val hCol = heuristic match {
+      case "euclidean" => sqrt(pow(col("x") - col("dx"), 2) + pow(col("y") - col("dy"), 2))
+      case "manhattan" => abs(col("x") - col("dx")) + abs(col("y") - col("dy"))
+      case "zero"      => lit(0.0)
+      case other => throw new IllegalArgumentException(s"unknown heuristic '$other'")
+    }
+    val h = coords.crossJoin(broadcast(dstC))
+      .select(col("id"), hCol.as("h")).localCheckpoint()
+    var g = ss.range(1)
+      .select(lit(srcId).as("id"), lit(0.0).as("g"), lit(-1L).as("parent"))
+      .localCheckpoint()
+    var best = Double.PositiveInfinity
+    var prev: (Long, Double) = null
+    var iter = 0
+    var stable = false
+    while (iter < maxIterations && !stable) {
+      iter += 1
+      val relaxed = g.join(e, g("id") === e("src"))
+        .select(e("dst").as("id"), (col("g") + col("weight")).as("g"),
+          e("src").as("parent"))
+      val merged = g.unionByName(relaxed)
+        .groupBy("id")
+        .agg(min_by(struct(col("g"), col("parent")),
+          struct(col("g"), col("parent"))).as("s"))
+        .select(col("id"), col("s.g").as("g"), col("s.parent").as("parent"))
+      val withH = merged.join(h, Seq("id"), "left_outer").localCheckpoint()
+      val bestRow = withH.filter(col("id") === dstId).select("g").collect()
+      if (bestRow.nonEmpty) best = bestRow(0).getDouble(0)
+      g = withH
+        .filter(col("g") + coalesce(col("h"), lit(0.0)) <= lit(best))
+        .drop("h").localCheckpoint()
+      val probe = g.agg(count(lit(1)), sum("g")).head
+      val sig = (probe.getLong(0), probe.getDouble(1))
+      stable = prev != null && prev == sig
+      prev = sig
+    }
+    if (best.isInfinity) return emptyOut
+    // Unwind the deterministic parent chain dst → src (≤ |path| 1-row
+    // joins; bounded by maxIterations).
+    var p = ss.range(1).select(lit(dstId).as("head"), array(lit(dstId)).as("nodes"))
+    var hops = 0
+    var atSrc = false
+    while (!atSrc && hops < maxIterations + 1) {
+      hops += 1
+      p = p.join(g.select(col("id").as("head"), col("parent")), Seq("head"))
+        .select(col("parent").as("head"),
+          concat(array(col("parent")), col("nodes")).as("nodes"))
+        .localCheckpoint()
+      atSrc = !p.filter(col("head") === srcId).isEmpty
+    }
+    p.select(
+      concat_ws("->", expr("transform(nodes, x -> CAST(x AS STRING))")).as("path"),
+      lit(best).as("cost"))
+  }
+
   /** Fixed-iteration Bellman-Ford relaxation: (id, dist DOUBLE) minimum
     * path weight from the seed set. Equals the reference's Dijkstra
     * (shortest_path.rs:405) on non-negative weights once iterations ≥

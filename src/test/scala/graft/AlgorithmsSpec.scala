@@ -182,6 +182,32 @@ class AlgorithmsSpec extends SparkSpec {
     assert(rounds <= 20, s"pointer doubling took $rounds rounds on a $n-chain")
   }
 
+  test("aStar on a coordinate grid matches Dijkstra for every heuristic") {
+    val implicits = spark.implicits
+    import implicits._
+    // 4x4 grid, id = i*4+j at coords (i,j); 4-neighbor edges, weight 1
+    val n = 4
+    val coords = (for (i <- 0 until n; j <- 0 until n)
+      yield (i.toLong * n + j, i.toDouble, j.toDouble)).toDF("id", "x", "y")
+    val es = (for {
+      i <- 0 until n; j <- 0 until n
+      (di, dj) <- Seq((0, 1), (1, 0), (0, -1), (-1, 0))
+      if i + di >= 0 && i + di < n && j + dj >= 0 && j + dj < n
+    } yield ((i.toLong * n + j), ((i + di).toLong * n + (j + dj)), 1.0))
+      .toDF("src", "dst", "weight")
+    val dijkstra = Traversal.bellmanFord(es, ids(0), 8)
+      .filter(col("id") === 15).head.getDouble(1)
+    for (heur <- Seq("euclidean", "manhattan", "zero")) {
+      val row = Traversal.aStar(es, coords, 0L, 15L, 10, heur).collect()
+      assert(row.length == 1, s"$heur: expected one path row")
+      assert(row(0).getDouble(1) == dijkstra, s"$heur cost")
+      val ids15 = row(0).getString(0).split("->").map(_.toLong)
+      assert(ids15.head == 0L && ids15.last == 15L && ids15.length == 7) // 6 hops
+    }
+    // unreachable target → empty
+    assert(Traversal.aStar(es, coords, 0L, 999L, 6).isEmpty)
+  }
+
   test("allShortestPaths: diamond yields both typed paths (shortest_path.rs doc)") {
     val implicits = spark.implicits
     import implicits._
