@@ -63,7 +63,7 @@ SELECT a, b, hamming FROM p WHERE hamming <= 3"""
 
   val ngramJaccardSql: String =
     s"""WITH ${minhashCtes(16, 4)},
-dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shingles),
+dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'j:' || sh")} AS sh FROM shingles),
 sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
 inter AS (SELECT p.a, p.b, COUNT(*) AS common
           FROM pairs p JOIN dsh x ON x.doc_id = p.a JOIN dsh y ON y.doc_id = p.b AND y.sh = x.sh

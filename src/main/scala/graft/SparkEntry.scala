@@ -35,11 +35,22 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d),
       Dedup.minhashPairs(GraphBuilder.table(s, d, "documents")).persist())
 
+  /** The (x,y,z) triangle stream feeds q_triangles and q_clustering —
+    * the wedge join behind it is the most expensive derived frame, so
+    * materialize it once per (session, sfDir). */
+  private val triCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def trianglesCached(s: SparkSession, d: String): DataFrame =
+    triCache.getOrElseUpdate((s, d),
+      Structure.triangles(DerivedGraphs.partCooccur(s, d)).persist())
+
   /** Release every session-keyed memo in the library (GraphBuilder,
     * DerivedGraphs, minhash pairs) — for in-process session recycling. */
   def clearCaches(): Unit = {
-    mhCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    (mhCache.values ++ triCache.values)
+      .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     mhCache.clear()
+    triCache.clear()
     GraphBuilder.clearCache()
     DerivedGraphs.clearCache()
   }
@@ -194,7 +205,7 @@ object SparkEntry {
       Community.louvainOnePass(DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)))),
     "q_triangles" -> ((s, d) => {
       val pe = DerivedGraphs.partCooccur(s, d)
-      val tri = Structure.triangles(pe).agg(count(lit(1)).as("t"))
+      val tri = trianglesCached(s, d).agg(count(lit(1)).as("t"))
       val wedges = DerivedGraphs.sym(pe)
         .groupBy("src").agg(count(lit(1)).as("deg"))
         .agg(sum(col("deg") * (col("deg") - 1) / lit(2)).as("w"))
@@ -206,7 +217,7 @@ object SparkEntry {
       val pe = DerivedGraphs.partCooccur(s, d)
       val deg = DerivedGraphs.sym(pe).groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("d"))
-      val pertri = Structure.trianglesPerNode(pe)
+      val pertri = Structure.perNodeCounts(trianglesCached(s, d))
       deg.join(pertri, Seq("id"), "left_outer")
         .filter(col("id") <= PartTag * TAG + 100L)
         .select(col("id"),

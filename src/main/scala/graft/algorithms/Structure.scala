@@ -46,15 +46,18 @@ object Structure {
     closed.select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
   }
 
-  /** Per-node triangle participation: (id, tri_cnt). */
+  /** Per-node triangle participation: (id, tri_cnt). Single pass over
+    * the triangle stream — each row explodes into its three corners
+    * (a 3-branch union would re-run the wedge join once per corner). */
   def trianglesPerNode(pedges: DataFrame,
-                       broadcastCloseMaxEdges: Long = 4000000L): DataFrame = {
-    val t = triangles(pedges, broadcastCloseMaxEdges)
-    t.select(col("x").as("id"))
-      .unionByName(t.select(col("y").as("id")))
-      .unionByName(t.select(col("z").as("id")))
+                       broadcastCloseMaxEdges: Long = 4000000L): DataFrame =
+    perNodeCounts(triangles(pedges, broadcastCloseMaxEdges))
+
+  /** Corner-count aggregation for an (x,y,z) triangle frame — split out
+    * so callers holding a cached triangle frame can reuse it. */
+  def perNodeCounts(tris: DataFrame): DataFrame =
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri_cnt"))
-  }
 
   /** Nodes surviving `rounds` synchronous peel rounds of the k-core
     * (kcore.rs:60): each round recomputes degrees within the surviving

@@ -95,13 +95,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity for (by default) the MinHash
-    * candidate pairs; pass `pairsIn` / `shinglesIn` to reuse
-    * already-computed pairs and a cached distinct-shingle frame. */
+  /** N-gram Jaccard similarity for (by default) the MinHash candidate
+    * pairs; pass `pairsIn` / `shinglesIn` to reuse already-computed
+    * pairs and a shingle frame.
+    *
+    * The intersect/size computation runs over the *hashed* shingle set
+    * (shared 60-bit md5 per shingle, deduplicated after hashing) rather
+    * than the raw strings: both engines apply the same hash, so counts —
+    * and therefore jaccard values — are identical by construction even
+    * in the (cosmically unlikely) event of a collision, while the
+    * candidate×shingle join, the dominant shuffle of this operator,
+    * moves fixed-width bigints instead of strings. */
   def ngramJaccard(docs: DataFrame, pairsIn: Option[DataFrame] = None,
                    shinglesIn: Option[DataFrame] = None): DataFrame = {
     val pairs = pairsIn.getOrElse(minhashPairs(docs, shinglesIn = shinglesIn))
-    val sh = shinglesIn.getOrElse(shingles(docs).distinct())
+    val sh = shinglesIn.getOrElse(shingles(docs))
+      .select(col("doc_id"), hash60(col("sh"), "j:").as("sh")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
