@@ -301,7 +301,9 @@ object SparkEntry {
     "q_events_sessions" -> ((s, d) =>
       EventStreams.sessionsBatch(EventStreams.eventsTable(s, d))),
     "q_events_props" -> ((s, d) =>
-      EventStreams.propsMetric(EventStreams.eventsTable(s, d)))
+      EventStreams.propsMetric(EventStreams.eventsTable(s, d))),
+    "q_events_dedup" -> ((s, d) =>
+      EventStreams.burstDedupBatch(EventStreams.eventsTable(s, d)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -444,6 +446,14 @@ FROM x GROUP BY 1, 2""",
     "q_events_props" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
        ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
-FROM events GROUP BY 1"""
+FROM events GROUP BY 1""",
+    "q_events_dedup" ->
+      """WITH b AS (SELECT user_id, event_type,
+  time_bucket(INTERVAL '1 hour', ts) AS m, event_id,
+  ROW_NUMBER() OVER (PARTITION BY user_id, event_type, time_bucket(INTERVAL '1 hour', ts)
+                     ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, event_type, strftime(m, '%Y-%m-%d %H:%M:%S') AS bucket, event_id
+FROM b WHERE rn = 1"""
   )
 }

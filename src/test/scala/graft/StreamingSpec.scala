@@ -36,6 +36,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming burst dedup keeps exactly one event per burst key") {
+    val q = EventStreams.burstDedup(EventStreams.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("bd").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bd")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"))
+    val batch = EventStreams.burstDedupBatch(events)
+      .select("user_id", "event_type", "bucket")
+    // identical burst-key sets (the representative event may differ:
+    // streaming keeps first arrival, batch the smallest (ts, event_id))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0 && streamed.count() < events.count())
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
