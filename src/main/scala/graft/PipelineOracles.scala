@@ -109,6 +109,28 @@ cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
 rk AS (SELECT qid, vid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn FROM cos)
 SELECT qid, vid, cosine, CAST(rn AS BIGINT) AS rnk FROM rk WHERE rn <= 3"""
 
+  /** Cosine near-dup pairs: 8-plane LSH buckets + exact cosine ≥ τ —
+    * same weights formula as the Spark side at any dims (the Spark side
+    * derives dims from the data; this mirror enumerates the testdata's
+    * 64 positions). */
+  def cosineNearDupSql(planes: Int, minCosine: Double): String =
+    s"""WITH $embCtes,
+w AS MATERIALIZED (
+  SELECT p AS plane, d AS pos, ${h60("'lsh:' || p || ':' || d")} % 2001 - 1000 AS w
+  FROM unnest(generate_series(0, ${planes - 1})) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+proj AS MATERIALIZED (SELECT e.vec_id, w.plane, SUM(w.w * e.x) AS proj
+  FROM ex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+bk AS MATERIALIZED (SELECT vec_id,
+  SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id),
+cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+dots AS (SELECT c.a, c.b, SUM(x.x * y.x) AS dot
+         FROM cand c JOIN ex x ON x.vec_id = c.a JOIN ex y ON y.vec_id = c.b AND y.pos = x.pos
+         GROUP BY 1, 2),
+cos AS (SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
+SELECT a, b, cosine FROM cos WHERE cosine >= $minCosine"""
+
   private val markerRes = Seq(
     "en" -> "\\b(the|a|is)\\b",
     "de" -> "\\b(der|die|das)\\b",

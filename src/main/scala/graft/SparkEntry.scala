@@ -286,6 +286,8 @@ object SparkEntry {
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(GraphBuilder.table(s, d, "embeddings"))),
+    "q_dedup_cosine" -> ((s, d) =>
+      Similarity.cosineNearDup(GraphBuilder.table(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) =>
       TextOps.langId(GraphBuilder.table(s, d, "documents"))),
     "q_quality" -> ((s, d) =>
@@ -421,6 +423,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nb JOIN nodes n ON
     "q_ngram_jaccard" -> PipelineOracles.ngramJaccardSql,
     "q_cosine_topk" -> PipelineOracles.cosineTopKSql,
     "q_ann_lsh" -> PipelineOracles.annLshSql,
+    "q_dedup_cosine" -> PipelineOracles.cosineNearDupSql(8, 0.9),
     "q_lang_id" -> PipelineOracles.langIdSql,
     "q_quality" -> PipelineOracles.qualitySql,
     "q_token_count" -> PipelineOracles.tokenCountSql,

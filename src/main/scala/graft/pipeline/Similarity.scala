@@ -76,6 +76,29 @@ object Similarity {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the dedup-flavored member
+    * of the similarity family: hyperplane-LSH candidate generation over
+    * the whole table (same deterministic buckets as annLsh; more planes
+    * by default, near-dup wants tight buckets) + exact cosine per
+    * candidate via the native codegen'd `array_cosine` expression (one
+    * fused loop per pair, no explode), keeping unordered pairs with
+    * cosine ≥ minCosine. Candidate volume is Σ bucket², never
+    * all-pairs. */
+  def cosineNearDup(emb: DataFrame, planes: Int = 8,
+                    minCosine: Double = 0.9): DataFrame = {
+    graft.sql.ArrayCosine.register(emb.sparkSession)
+    val b = lshBuckets(emb, planes)
+    val pairs = b.select(col("vec_id").as("a"), col("bucket"))
+      .join(b.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+      .filter(col("a") < col("b")).select("a", "b")
+    pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(expr("array_cosine(ea, eb)"), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Bucketed ANN: probes score only vectors in their own bucket —
     * plus, with `multiProbe` = m > 0, the m buckets at Hamming distance
     * 1 obtained by flipping each of the first m sign bits (the recall

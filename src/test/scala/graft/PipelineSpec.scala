@@ -93,6 +93,19 @@ class PipelineSpec extends SparkSpec {
     assert((got(0L) ^ got(1L)) == 15L)
   }
 
+  test("cosine near-dup finds the planted duplicate pair, none below threshold") {
+    val implicits = spark.implicits
+    import implicits._
+    val v = Array.tabulate(16)(i => (i + 1).toFloat)
+    val vNear = v.clone(); vNear(0) = v(0) + 0.01f // cosine ≈ 1
+    val vFar = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -2f)
+    val emb = Seq((1L, v), (2L, vNear), (3L, vFar)).toDF("vec_id", "embedding")
+    val dups = Similarity.cosineNearDup(emb, planes = 4, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dups.map(d => (d._1, d._2)).toSet == Set((1L, 2L)))
+    assert(dups.head._3 > 0.999)
+  }
+
   test("multi-probe ann widens candidates and keeps single-probe results") {
     val emb = GraphBuilder_table("embeddings")
     val single = Similarity.annLsh(emb, k = 3)
