@@ -81,6 +81,24 @@ object Ast {
 
   final case class OrderItem(expr: Expr, ascending: Boolean)
 
+  /** Output column name of a RETURN/WITH item (alias, else derived) —
+    * shared by the compiler's projection and the parser's resolution of
+    * `ORDER BY COUNT(*)`-style aggregate references. */
+  def defaultName(item: RetItem): String = item match {
+    case RetExpr(Ident(v), a)   => a.getOrElse(v)
+    case RetExpr(Prop(v, p), a) => a.getOrElse(s"${v}_$p")
+    case RetExpr(_, a)          => a.getOrElse("expr")
+    case RetAgg(f, e, _, a, _) =>
+      a.getOrElse {
+        val base = f.toString.toLowerCase
+        e match {
+          case Some(Prop(_, p)) => s"${base}_$p"
+          case Some(Ident(v))   => s"${base}_$v"
+          case _                => if (f == AggFunc.Count) "cnt" else base
+        }
+      }
+  }
+
   sealed trait Clause
   final case class MatchClause(pattern: Pattern, optional: Boolean,
                                where: Option[Cond]) extends Clause

@@ -336,20 +336,7 @@ final class Compiler(graph: PropertyGraph,
   }
 
   // ---- projection (WITH / RETURN) ----
-  private def defaultName(item: RetItem): String = item match {
-    case RetExpr(Ident(v), a)    => a.getOrElse(v)
-    case RetExpr(Prop(v, p), a)  => a.getOrElse(s"${v}_$p")
-    case RetExpr(_, a)           => a.getOrElse(s"expr")
-    case RetAgg(f, e, _, a, _) =>
-      a.getOrElse {
-        val base = f.toString.toLowerCase
-        e match {
-          case Some(Prop(_, p)) => s"${base}_$p"
-          case Some(Ident(v))   => s"${base}_$v"
-          case _                => if (f == AggFunc.Count) "cnt" else base
-        }
-      }
-  }
+  private def defaultName(item: RetItem): String = Ast.defaultName(item)
 
   private def aggColumn(ctx0: Ctx, item: RetAgg): (Ctx, Column) = {
     var ctx = ctx0

@@ -172,13 +172,38 @@ final class Parser(tokens: Vector[Token]) {
     expectKw("RETURN")
     val distinct = eatKw("DISTINCT")
     val items = parseRetItems()
+    // Explicit GROUP BY (reference parser.rs:589 — a SQL-ism extension):
+    // implicit grouping already groups by every non-aggregate item, so
+    // the keys just have to BE non-aggregate return items.
+    if (eatKw("GROUP")) {
+      expectKw("BY")
+      var more = true
+      while (more) {
+        val g = parseExpr()
+        val ok = items.exists { case RetExpr(e, _) => e == g; case _ => false }
+        if (!ok) fail(s"GROUP BY $g must reference a non-aggregate RETURN item")
+        more = eatSym(",")
+      }
+    }
     var orderBy = List.empty[OrderItem]
     if (eatKw("ORDER")) {
       expectKw("BY")
       val ob = List.newBuilder[OrderItem]
       var more = true
       while (more) {
-        val e = parseExpr()
+        // ORDER BY COUNT(*) / SUM(x.p) …: resolve the aggregate against
+        // the RETURN items (alias-insensitive) and sort by its output
+        // column (cypher_aggregation_execution_test.rs:227).
+        val e: Expr = peek match {
+          case Kw(k) if aggKws.contains(k) && peek2 == Sym("(") =>
+            val ragg = parseRetItem().asInstanceOf[RetAgg]
+            items.collectFirst {
+              case it: RetAgg if it.func == ragg.func && it.expr == ragg.expr &&
+                it.param == ragg.param && it.distinct == ragg.distinct =>
+                Ident(Ast.defaultName(it))
+            }.getOrElse(fail(s"ORDER BY aggregate must also appear in RETURN"))
+          case _ => parseExpr()
+        }
         val asc = if (eatKw("DESC")) false else { eatKw("ASC"); true }
         ob += OrderItem(e, asc)
         more = eatSym(",")

@@ -205,6 +205,21 @@ class CypherSpec extends SparkSpec {
     assert(names.sameElements(direct))
   }
 
+  test("explicit GROUP BY + ORDER BY aggregate (reference SQL-ism extension)") {
+    // mirrors cypher_aggregation_execution_test.rs:227
+    val rows = Cypher.query(graph,
+      "MATCH (c:Customer) RETURN c.mktsegment, COUNT(*) " +
+      "GROUP BY c.mktsegment ORDER BY COUNT(*) DESC LIMIT 3").collect()
+    assert(rows.length == 3)
+    assert(rows.sliding(2).forall(p => p(0).getLong(1) >= p(1).getLong(1)))
+    val direct = graph.labeled("Customer").groupBy("mktsegment").count()
+      .orderBy(col("count").desc).limit(3).collect().map(_.getLong(1))
+    assert(rows.map(_.getLong(1)).sameElements(direct))
+    // GROUP BY of something not returned is rejected
+    assertThrows[IllegalArgumentException](Cypher.query(graph,
+      "MATCH (c:Customer) RETURN COUNT(*) GROUP BY c.name"))
+  }
+
   test("CALL subquery: uncorrelated, empty, and LIMIT forms") {
     // mirrors tests/call_subquery_test.rs basic / empty / limit cases
     assert(Cypher.query(graph,
