@@ -228,6 +228,10 @@ object SparkEntry {
             .otherwise(0.0), 6).as("local_coeff"))
     }),
 
+    "q_constraints" -> ((s, d) =>
+      graph.Constraints.violations(g(s, d),
+        graph.Constraints.uniqueness("Customer", "mktsegment"))),
+
     // ---- §2.3 Cypher subset (text → AST → DataFrame plan) ----
     "q_cypher_match" -> ((s, d) => Cypher.query(g(s, d),
       "MATCH (c:Customer {mktsegment: 'BUILDING'})-[:PLACED]->(o:Order) " +
@@ -375,6 +379,11 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_louvain" -> Oracles.louvainSql,
     "q_triangles" -> Oracles.trianglesSql,
     "q_clustering" -> Oracles.clusteringSql,
+
+    "q_constraints" ->
+      """SELECT 'Customer' AS label, 'mktsegment' AS property, 'uniqueness' AS kind,
+       c_mktsegment AS value, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 1""",
 
     // ---- §2.3 Cypher subset ----
     "q_cypher_match" ->
