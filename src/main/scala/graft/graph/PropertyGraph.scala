@@ -56,6 +56,36 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
           coalesce(col("in_degree"), lit(0L))).as("degree"))
   }
 
+  /** Bulk node append (reference batch write path: db.rs
+    * batch_create_nodes, batch_write_test.rs). Rows are schema-aligned —
+    * property columns the batch lacks are null-filled, unknown columns
+    * rejected — and id-keyed: rows whose id is already stored are
+    * dropped, so batch and single creates compose consistently
+    * (test_batch_vs_single_create_consistency). One union + anti-join,
+    * no per-row driver work. */
+  def addNodes(rows: DataFrame): PropertyGraph =
+    PropertyGraph(nodes.unionByName(
+      align(rows, nodes, required = Seq("id", "label"))
+        .join(nodes.select("id"), Seq("id"), "left_anti")), edges)
+
+  /** Bulk edge append (db.rs batch_create_rels): schema-aligned union;
+    * multi-edges allowed, so no dedup beyond what the caller sends. */
+  def addEdges(rows: DataFrame): PropertyGraph =
+    PropertyGraph(nodes, edges.unionByName(
+      align(rows, edges, required = Seq("src", "dst", "rel_type"))))
+
+  private def align(rows: DataFrame, target: DataFrame,
+                    required: Seq[String]): DataFrame = {
+    val unknown = rows.columns.filterNot(target.columns.contains)
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+    val missing = required.filterNot(rows.columns.contains)
+    require(missing.isEmpty, s"batch rows need columns: ${missing.mkString(", ")}")
+    target.schema.fields.foldLeft(rows) { (df, f) =>
+      if (df.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(target.columns.map(col).toIndexedSeq: _*)
+  }
+
   def persist(): PropertyGraph = {
     nodes.persist(); edges.persist(); this
   }

@@ -58,6 +58,31 @@ class ConstraintsSpec extends SparkSpec {
     assert(m.validate(mini).isEmpty) // no constraints → no violations
   }
 
+  test("batch addNodes/addEdges: schema alignment, id dedup, multi-edge append") {
+    // mirrors batch_write_test.rs: batch create + batch-vs-single consistency
+    val implicits = spark.implicits
+    import implicits._
+    val g0 = mini
+    val batch = Seq((10L, "User", "c@x.com"), (11L, "User", "d@x.com"),
+      (1L, "User", "clone@x.com")) // id 1 exists → dropped
+      .toDF("id", "label", "email")
+    val g1 = g0.addNodes(batch)
+    assert(g1.nodes.count() == 5)
+    assert(g1.nodes.filter(col("id") === 1).head.getAs[String]("email") == "alice@x.com")
+    // missing prop columns null-fill; unknown columns rejected
+    val g2 = g1.addNodes(Seq((20L, "User")).toDF("id", "label"))
+    assert(g2.nodes.filter(col("id") === 20).head.getAs[String]("email") == null)
+    assertThrows[IllegalArgumentException](
+      g1.addNodes(Seq((21L, "User", "x")).toDF("id", "label", "nope")))
+    // edges: multi-edge append preserved, weight null-filled then typed
+    val g3 = g2.addEdges(Seq((1L, 2L, "KNOWS"), (1L, 2L, "KNOWS"))
+      .toDF("src", "dst", "rel_type"))
+    assert(g3.edges.filter(col("rel_type") === "KNOWS").count() == 2)
+    // empty batch is a no-op (test_batch_empty_dataset)
+    assert(g3.addNodes(Seq.empty[(Long, String, String)]
+      .toDF("id", "label", "email")).nodes.count() == g3.nodes.count())
+  }
+
   test("violations on the TPC-H graph match a direct aggregation") {
     val graph = graft.graph.GraphBuilder.tpch(spark, sfDir)
     val v = Constraints.violations(graph, uniqueness("Customer", "mktsegment"))
