@@ -79,6 +79,13 @@ class CypherMutationSpec extends SparkSpec {
     assert(g2.edges.filter(col("rel_type") === "MARKED").count() == 2) // one per person
   }
 
+  test("MATCH…CREATE respects an incoming arrow") {
+    val g2 = Mutations(mini,
+      "MATCH (a:Person {id: 1}) MATCH (b:Person {id: 2}) CREATE (a)<-[:REV]-(b)")
+    val e = g2.edges.filter(col("rel_type") === "REV").collect()
+    assert(e.length == 1 && e(0).getAs[Long]("src") == 2L && e(0).getAs[Long]("dst") == 1L)
+  }
+
   // ---- MERGE hooks (tests/merge_comprehensive_test.rs) ----
 
   test("MERGE ON CREATE SET applies only when creating") {

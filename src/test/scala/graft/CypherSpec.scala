@@ -239,6 +239,14 @@ class CypherSpec extends SparkSpec {
     assert(c == graph.labeled("Part").filter(col("psize") > 45).count() && c > 0)
   }
 
+  test("CALL subquery with a literal WITH import (call_enhanced shape)") {
+    // the reference marks this SKIPPED in its own tests — works here
+    val cnt = Cypher.query(graph,
+      "CALL { WITH 45 AS min_size MATCH (p:Part) WHERE p.psize > min_size " +
+      "RETURN p.name AS name } RETURN COUNT(*) AS cnt").head.getLong(0)
+    assert(cnt == graph.labeled("Part").filter(col("psize") > 45).count() && cnt > 0)
+  }
+
   test("CALL … IN (vars) correlates the subquery on the outer binding") {
     val rows = Cypher.query(graph,
       "MATCH (r:Region) " +
