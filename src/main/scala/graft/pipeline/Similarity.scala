@@ -76,6 +76,83 @@ object Similarity {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** IVF coarse quantizer: deterministic k-means cluster per vector.
+    * Seeds are the k vectors with the smallest hash60(vec_id) (no RNG —
+    * reproducible across runs/engines), refined by `lloyd` iterations of
+    * DataFrame k-means: assign = per-vector argmin squared-L2 against
+    * the broadcast centroid table (ties → smaller cluster id), update =
+    * per-cluster per-position mean. All set-oriented: n·k distance rows
+    * per pass, never materializing pairwise vector products.
+    *
+    * Spec-only (no DuckDB oracle): iterated float means are not
+    * bit-stable across engines, so the LSH variant remains the
+    * oracle-checked scale path. */
+  def ivfAssignments(emb: DataFrame, k: Int = 16, lloyd: Int = 2): DataFrame = {
+    val e = exploded(emb).localCheckpoint()
+    val seeds = emb.select(col("vec_id"))
+      .orderBy(TextOps.hash60(col("vec_id").cast("string"), "ivf:").asc,
+        col("vec_id").asc)
+      .limit(k)
+      .withColumn("cluster", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          TextOps.hash60(col("vec_id").cast("string"), "ivf:").asc,
+          col("vec_id").asc)).cast("long") - 1)
+    var centroids = e.join(seeds, Seq("vec_id"))
+      .select(col("cluster"), col("pos"), col("x").as("c")).localCheckpoint()
+    var assign: DataFrame = null
+    for (_ <- 0 to lloyd) {
+      assign = e.join(broadcast(centroids), Seq("pos"))
+        .groupBy("vec_id", "cluster")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      centroids = e.join(assign, Seq("vec_id"))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("c"))
+        .localCheckpoint()
+    }
+    assign
+  }
+
+  /** IVF-bucketed ANN: probes search the `nprobe` nearest centroid
+    * lists only. With nprobe = k this degenerates to exact brute-force
+    * top-k (every list searched) — the recall dial from approximate to
+    * exact. */
+  def annIvf(emb: DataFrame, k: Int = 16, lloyd: Int = 2, nprobe: Int = 2,
+             probeMax: Long = 10L, topK: Int = 3): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, "bad nprobe")
+    val e = exploded(emb)
+    val n = norms(emb)
+    val assign = ivfAssignments(emb, k, lloyd)
+    // per-probe centroid shortlist: distance of the probe to every
+    // centroid, keep the nprobe nearest (ties → smaller cluster id)
+    val centroids = e.join(assign, Seq("vec_id"))
+      .groupBy("cluster", "pos").agg(avg(col("x")).as("c"))
+    val probeDist = e.filter(col("vec_id") < probeMax)
+      .join(broadcast(centroids), Seq("pos"))
+      .groupBy(col("vec_id").as("qid"), col("cluster"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("d2").asc, col("cluster").asc)
+    val shortlist = probeDist.withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe).select("qid", "cluster")
+    val cands = shortlist
+      .join(assign.select(col("vec_id").as("vid"), col("cluster")), Seq("cluster"))
+      .filter(col("vid") >= probeMax).select("qid", "vid")
+    val dots = cands
+      .join(e.select(col("vec_id").as("qid"), col("pos"), col("x").as("qx")), Seq("qid"))
+      .join(e.select(col("vec_id").as("vid"), col("pos"), col("x")), Seq("vid", "pos"))
+      .groupBy("qid", "vid").agg(sum(col("qx") * col("x")).as("dot"))
+    val cos = dots
+      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qn")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vid"), col("nrm").as("vn")), Seq("vid"))
+      .select(col("qid"), col("vid"),
+        round(col("dot") / (col("qn") * col("vn")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
+    cos.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("qid"), col("vid"), col("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the dedup-flavored member
     * of the similarity family: hyperplane-LSH candidate generation over
     * the whole table (same deterministic buckets as annLsh; more planes

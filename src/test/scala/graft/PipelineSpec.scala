@@ -123,6 +123,24 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == single)
   }
 
+  test("ivf: deterministic clusters; nprobe=k equals brute-force top-k") {
+    val emb = GraphBuilder_table("embeddings")
+    val a1 = Similarity.ivfAssignments(emb, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Similarity.ivfAssignments(emb, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2 && a1.values.toSet.size > 1)
+    // full-probe IVF searches every list → exactly the brute-force result
+    val full = Similarity.annIvf(emb, k = 8, nprobe = 8, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val brute = Similarity.cosineTopK(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(full == brute)
+    // narrow probe returns a subset-quality result: same schema, ≤ rows
+    val narrow = Similarity.annIvf(emb, k = 8, nprobe = 1, topK = 3)
+    assert(narrow.count() <= full.size && narrow.count() > 0)
+  }
+
   test("triangle close: shuffle path equals broadcast path") {
     val implicits = spark.implicits
     import implicits._
