@@ -271,9 +271,12 @@ object SparkEntry {
     "q_cypher_incoming" -> ((s, d) => Cypher.query(g(s, d),
       "MATCH (o:Order)<-[:PLACED]-(c:Customer {nationkey: 5}) " +
       "RETURN COUNT(*) AS cnt")),
+    // aggregating CALL preserves every outer row (regions with no
+    // NATION_3 nation report 0, openCypher semantics)
     "q_cypher_call" -> ((s, d) => Cypher.query(g(s, d),
       "MATCH (r:Region) " +
-      "CALL { MATCH (n:Nation)-[:IN_REGION]->(r) RETURN r, COUNT(*) AS nations } IN (r) " +
+      "CALL { MATCH (n:Nation {name: 'NATION_3'})-[:IN_REGION]->(r) " +
+      "RETURN r, COUNT(*) AS nations } IN (r) " +
       "RETURN r.name AS rname, nations")),
 
     // ---- §2.5 LLM-pipeline operators ----
@@ -423,7 +426,9 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nb JOIN nodes n ON
     "q_cypher_incoming" ->
       "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 5",
     "q_cypher_call" ->
-      "SELECT r_name AS rname, CAST(COUNT(*) AS BIGINT) AS nations FROM region JOIN nation ON n_regionkey = r_regionkey GROUP BY 1",
+      """SELECT r_name AS rname, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS nations
+FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
+                       WHERE n_name = 'NATION_3' GROUP BY 1) c ON r_regionkey = c.rk""",
 
     // ---- §2.5 LLM-pipeline operators ----
     "q_dedup_exact" -> PipelineOracles.dedupExactSql,

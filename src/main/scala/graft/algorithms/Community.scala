@@ -99,36 +99,52 @@ object Community {
   /** Strongly connected components — trimming + forward min-label
     * coloring + backward BFS from color roots, the multi-pivot
     * generalization of forward-backward pivoting (every color class is a
-    * pivot, all processed simultaneously). Same partition as the
-    * reference's Kosaraju (scc.rs:58), labels canonicalized to the
-    * minimum member id (order-free). State is O(|V|) rows per step -
-    * never the O(n^2) transitive closure.
+    * pivot, all processed simultaneously; Slota-style coloring SCC).
+    * Same partition as the reference's Kosaraju (scc.rs:58), labels
+    * canonicalized to the minimum member id (order-free). State is
+    * O(|V|) rows per step - never the O(n^2) transitive closure.
     *
     * Each outer round over the still-unassigned subgraph:
     *   1. Trim to a fixpoint: a node with no in-edges or no out-edges
     *      inside the active subgraph is a singleton SCC (scc_id = own id).
-    *   2. Color: propagate color(v) = min active id that reaches v
-    *      (directed min-label propagation to a fixpoint; the sum of
-    *      colors is strictly monotone, equality <=> fixpoint).
-    *   3. Collect: a root u (color(u) = u) is the minimum id of its SCC,
-    *      and SCC(u) = {v : color(v) = u and v reaches u}. Every v->...->u
-    *      path lies entirely inside color class u (anything reaching an
-    *      on-path node also reaches u, so no smaller color can appear on
-    *      the path), so one backward BFS from all roots along transposed
-    *      active edges, restricted to rows whose color equals the root's
-    *      id, finds exactly the root SCCs - all color classes in parallel.
+    *   2. Color: propagate color(v) = the active id minimal in
+    *      (xxhash64(id), id) order that reaches v. Hash order (not id
+    *      order) so that an adversarial condensation chain in
+    *      ascending-id order still yields many simultaneous roots — the
+    *      expected number of rounds is O(log levels) (record-minima
+    *      argument), where id order degrades to one root (and one level)
+    *      per round. Each fixpoint step combines one edge-hop with a
+    *      pointer-doubling shortcut through the current color (sound:
+    *      color(v) reaches v and color(color(v)) reaches color(v), so
+    *      color(color(v)) reaches v) — O(log diameter) steps instead of
+    *      O(diameter). Per-node colors are lexicographically
+    *      non-increasing, so the pair (sum hash, sum id) is monotone and
+    *      equality <=> fixpoint.
+    *   3. Collect: for a root u (color(u) = u), SCC(u) = {v : color(v)
+    *      = u and v reaches u}. Every v->...->u path lies entirely
+    *      inside color class u (anything reaching an on-path node also
+    *      reaches u, so no order-smaller color can appear on the path —
+    *      the argument holds for any total order on ids), so one
+    *      backward BFS from all roots along transposed active edges,
+    *      restricted to rows whose color equals the root's id, finds
+    *      exactly the root SCCs - all color classes in parallel.
     *   4. Assign those SCCs, drop them from the active set, repeat.
+    *   Finally relabel each SCC to its minimum member id (one
+    *   aggregation; roots are hash-minima, the public contract is
+    *   min-id labels).
     *
-    * Known adversarial case (standard for FW-BW-family algorithms): a
-    * long path of SCCs in increasing-id order resolves one level of
-    * roots per outer round; trim absorbs the acyclic tails. */
-  def scc(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * Termination: every outer round assigns at least one SCC — the
+    * hash-minimal active node is always a color root (every other
+    * active node orders after it), so `remaining` strictly decreases
+    * and the loop runs to completion unbounded (no round cap to
+    * mis-tune, ADVICE r3). A zero-progress round is mathematically
+    * unreachable and guarded by an IllegalStateException. */
+  def scc(nodes: DataFrame, edges: DataFrame): DataFrame = {
     var active = nodes.select("id").localCheckpoint()
     var out: Option[DataFrame] = None
     var remaining = active.count()
-    var round = 0
-    while (remaining > 0 && round < maxRounds) {
-      round += 1
+    while (remaining > 0) {
+      val beforeRound = remaining
       // Active-subgraph edge view (self-loops never extend an SCC).
       var e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
         .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
@@ -155,30 +171,44 @@ object Community {
         }
       }
       if (remaining > 0) {
-        // 2. Forward min-label coloring to a fixpoint.
-        var color = active.select(col("id"), col("id").as("color")).localCheckpoint()
-        var prev: java.math.BigDecimal = null
+        // 2. Forward min-(hash,id) coloring: one edge-hop + one
+        // pointer-doubling shortcut per fixpoint step.
+        var color = active
+          .select(col("id"), xxhash64(col("id")).as("chash"), col("id").as("cid"))
+          .localCheckpoint()
+        var prevH: java.math.BigDecimal = null
+        var prevI: java.math.BigDecimal = null
         var stable = false
         while (!stable) {
-          val msgs = color.join(e, color("id") === e("src"))
-            .select(e("dst").as("id"), col("color"))
-          color = color.unionByName(msgs)
-            .groupBy("id").agg(min("color").as("color")).localCheckpoint()
-          val s = color.agg(sum(col("color").cast("decimal(38,0)")).as("s"))
-            .head.getDecimal(0)
-          stable = prev != null && prev.compareTo(s) == 0
-          prev = s
+          val hopMsgs = color.join(e, color("id") === e("src"))
+            .select(e("dst").as("id"), col("chash"), col("cid"))
+          val jumpMsgs = color.as("a")
+            .join(color.select(col("id").as("cid"), col("chash").as("_jh"),
+              col("cid").as("_jc")).as("b"), Seq("cid"))
+            .select(col("a.id").as("id"), col("_jh").as("chash"), col("_jc").as("cid"))
+          color = color.unionByName(hopMsgs).unionByName(jumpMsgs)
+            .groupBy("id").agg(min(struct(col("chash"), col("cid"))).as("m"))
+            .select(col("id"), col("m.chash").as("chash"), col("m.cid").as("cid"))
+            .localCheckpoint()
+          val s = color.agg(
+            sum(col("chash").cast("decimal(38,0)")).as("h"),
+            sum(col("cid").cast("decimal(38,0)")).as("i")).head
+          val (sh, si) = (s.getDecimal(0), s.getDecimal(1))
+          stable = prevH != null && prevH.compareTo(sh) == 0 &&
+            prevI.compareTo(si) == 0
+          prevH = sh; prevI = si
         }
+        val colorOf = color.select("id", "cid").localCheckpoint()
         // 3. Backward BFS from the color roots inside their color class.
-        var assigned = color.filter(col("color") === col("id"))
+        var assigned = colorOf.filter(col("cid") === col("id"))
           .select(col("id"), col("id").as("scc_id")).localCheckpoint()
         var frontier = assigned
         while (!frontier.isEmpty) {
           frontier = frontier.join(e, frontier("id") === e("dst"))
             .select(e("src").as("id"), col("scc_id"))
             .distinct()
-            .join(color, Seq("id"))
-            .filter(col("color") === col("scc_id")).drop("color")
+            .join(colorOf, Seq("id"))
+            .filter(col("cid") === col("scc_id")).drop("cid")
             .join(assigned, Seq("id"), "left_anti")
             .localCheckpoint()
           assigned = assigned.unionByName(frontier).localCheckpoint()
@@ -188,9 +218,17 @@ object Community {
         active = active.join(assigned, Seq("id"), "left_anti").localCheckpoint()
         remaining = active.count()
       }
+      if (remaining >= beforeRound)
+        throw new IllegalStateException(
+          "scc round made no progress — unreachable: the hash-minimal active node is always a color root")
     }
-    require(remaining == 0, s"scc did not converge in $maxRounds rounds")
-    out.getOrElse(nodes.select(col("id"), col("id").as("scc_id")).limit(0))
+    // Canonicalize: public labels are the minimum member id, independent
+    // of which member was the hash-order root (idempotent for trim
+    // singletons). One aggregation + one join over |V| rows.
+    val raw = out.getOrElse(nodes.select(col("id"), col("id").as("scc_id")).limit(0))
+    val relabel = raw.groupBy("scc_id").agg(min("id").as("_lbl"))
+    raw.join(relabel, Seq("scc_id"))
+      .select(col("id"), col("_lbl").as("scc_id"))
   }
 
   /** PageRank mirroring the reference exactly (pagerank.rs:9):

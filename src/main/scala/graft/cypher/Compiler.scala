@@ -80,9 +80,32 @@ final class Compiler(graph: PropertyGraph,
             val overlap = innerCtx.df.columns.filter(c =>
               ctx.df.columns.contains(c) && !joinCols.contains(c))
             val rightDf = innerCtx.df.drop(overlap: _*)
+            // openCypher CALL semantics: an *aggregating* subquery returns
+            // exactly one row per outer row, so every outer row survives —
+            // left-join and fill the aggregates' over-empty defaults
+            // (COUNT/SUM → 0, COLLECT → [], AVG/MIN/MAX/… → NULL). A
+            // non-aggregating subquery with no matches genuinely yields no
+            // rows for that outer row — inner join.
+            val aggItems = inner.ret.items.collect { case a: RetAgg => a }
             val joined =
               if (joinCols.isEmpty) ctx.df.crossJoin(rightDf)
-              else ctx.df.join(rightDf, joinCols, "inner")
+              else if (aggItems.isEmpty) ctx.df.join(rightDf, joinCols, "inner")
+              else {
+                val j = ctx.df.join(rightDf, joinCols, "left_outer")
+                aggItems.foldLeft(j) { (df, a) =>
+                  val n = Ast.defaultName(a)
+                  if (!df.columns.contains(n)) df
+                  else {
+                    val dt = df.schema(n).dataType
+                    val fill: Option[Column] = a.func match {
+                      case AggFunc.Count | AggFunc.Sum => Some(lit(0).cast(dt))
+                      case AggFunc.Collect => Some(array().cast(dt))
+                      case _ => None
+                    }
+                    fill.fold(df)(f => df.withColumn(n, coalesce(col(n), f)))
+                  }
+                }
+              }
             Ctx(joined, ctx.nodeVars ++ innerCtx.nodeVars)
           }
     }
@@ -256,7 +279,10 @@ final class Compiler(graph: PropertyGraph,
       .localCheckpoint()
     var frontier = visited
     var acc: Option[DataFrame] = if (minHops == 0) Some(identity) else None
-    if (minHops <= 1) acc = Some(acc.fold(frontier)(_ unionByName frontier))
+    // depth-1 pairs only when the range actually admits 1 hop (*0..0 is
+    // identity only)
+    if (minHops <= 1 && maxHops.forall(_ >= 1))
+      acc = Some(acc.fold(frontier)(_ unionByName frontier))
     var depth = 1
     while (maxHops.forall(depth < _) && !frontier.isEmpty) {
       depth += 1

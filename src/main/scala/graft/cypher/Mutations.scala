@@ -98,9 +98,10 @@ object Mutations {
       .map(nodeRow(graph, _))
     val nodes =
       if (newNodes.isEmpty) graph.nodes
-      else graph.nodes.unionByName(newNodes.reduce(_ unionByName _)
-        .join(graph.nodes.select("id"), Seq("id"), "left_anti")
-        .select(graph.nodes.columns.map(col).toIndexedSeq: _*))
+      else graph.nodes.unionByName(
+        PropertyGraph.dedupById(newNodes.reduce(_ unionByName _))
+          .join(graph.nodes.select("id"), Seq("id"), "left_anti")
+          .select(graph.nodes.columns.map(col).toIndexedSeq: _*))
     // Edges: endpoint = bound variable column (one edge per match row) or
     // literal id; unmatched-side endpoints ride along via crossJoin-free
     // literal columns.

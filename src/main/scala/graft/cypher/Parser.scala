@@ -173,16 +173,27 @@ final class Parser(tokens: Vector[Token]) {
     val distinct = eatKw("DISTINCT")
     val items = parseRetItems()
     // Explicit GROUP BY (reference parser.rs:589 — a SQL-ism extension):
-    // implicit grouping already groups by every non-aggregate item, so
-    // the keys just have to BE non-aggregate return items.
+    // implicit grouping already groups by every non-aggregate item, so the
+    // keys must BE the non-aggregate return items — every key a return
+    // item, and every non-aggregate return item a key (otherwise
+    // `RETURN a, b, COUNT(*) GROUP BY a` would silently group by (a, b),
+    // diverging from the SQL semantics this extension claims).
     if (eatKw("GROUP")) {
       expectKw("BY")
+      val keys = List.newBuilder[Expr]
       var more = true
       while (more) {
         val g = parseExpr()
         val ok = items.exists { case RetExpr(e, _) => e == g; case _ => false }
         if (!ok) fail(s"GROUP BY $g must reference a non-aggregate RETURN item")
+        keys += g
         more = eatSym(",")
+      }
+      val keySet = keys.result().toSet
+      items.foreach {
+        case RetExpr(e, _) if !keySet.contains(e) =>
+          fail(s"non-aggregate RETURN item $e must appear in GROUP BY")
+        case _ => ()
       }
     }
     var orderBy = List.empty[OrderItem]

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A property graph held as two DataFrames, the Spark-native analogue of
@@ -65,7 +66,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * no per-row driver work. */
   def addNodes(rows: DataFrame): PropertyGraph =
     PropertyGraph(nodes.unionByName(
-      align(rows, nodes, required = Seq("id", "label"))
+      PropertyGraph.dedupById(align(rows, nodes, required = Seq("id", "label")))
         .join(nodes.select("id"), Seq("id"), "left_anti")), edges)
 
   /** Bulk edge append (db.rs batch_create_rels): schema-aligned union;
@@ -92,5 +93,23 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   def unpersist(): PropertyGraph = {
     nodes.unpersist(); edges.unpersist(); this
+  }
+}
+
+object PropertyGraph {
+  /** One row per id within a batch, deterministic pick (smallest row by
+    * the remaining columns, nulls first). Guards the id-as-primary-key
+    * invariant that the anti-join in addNodes / Mutations.create protects
+    * against *stored* nodes: without this, a batch (or a CREATE pattern)
+    * carrying the same id twice would insert duplicate node rows. */
+  private[graft] def dedupById(rows: DataFrame): DataFrame = {
+    val others = rows.columns.filter(_ != "id")
+    if (others.isEmpty) rows.distinct()
+    else {
+      val w = Window.partitionBy("id")
+        .orderBy(others.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+      rows.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
   }
 }
