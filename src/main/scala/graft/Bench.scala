@@ -19,7 +19,12 @@ object Bench {
     // frames (co-occurrence graph, minhash pairs) are always paid by the
     // same (alphabetically first) query and per-query numbers stay
     // comparable round over round.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter for local profiling
+    // (unset → full suite, the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Force every projected expression to execute: a count() would let
       // Catalyst prune the projection (map-only queries would be measured

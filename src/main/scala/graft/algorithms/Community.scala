@@ -139,25 +139,101 @@ object Community {
     * and the loop runs to completion unbounded (no round cap to
     * mis-tune, ADVICE r3). A zero-progress round is mathematically
     * unreachable and guarded by an IllegalStateException. */
+  /** Min-(xxhash64(id), id) label propagation along `e` (messages flow
+    * src → dst) to a fixpoint, one edge-hop + one pointer-doubling
+    * shortcut per step — O(log diameter) steps. Seeds are (id, id);
+    * labels only ever decrease lexicographically, so the pair
+    * (Σ hash, Σ id) is monotone and equality ⇔ fixpoint. Returns
+    * (id, cid) = the order-minimal seed reaching each node. */
+  private val sccDebug = sys.env.contains("GRAFT_SCC_DEBUG")
+  private def dbg(msg: => String): Unit = if (sccDebug) {
+    println(s"SCCDBG ${System.nanoTime() / 1000000} $msg")
+  }
+
+  private def minColoring(ids: DataFrame, e: DataFrame,
+                          idCount: Long, broadcastable: Boolean): DataFrame = {
+    // Multi-hop messages: each fixpoint step sends colors 1, 2 AND 3
+    // edge-hops downstream (chained joins against the edge frame —
+    // broadcast when the caller knows it's small, so the hops are
+    // map-side and only the final groupBy shuffles) plus one pointer
+    // jump through the current color. Reach per step is ≥ hops even when
+    // an adversarial hash order makes the jump useless (the record-
+    // minima worst case), so a diameter-D class needs ~D/3 steps where
+    // the single-hop loop needed D — and each step saved is two Spark
+    // jobs (materialize + probe) of mostly fixed latency.
+    val eJ = if (broadcastable) broadcast(e) else e
+    var color = ids
+      .select(col("id"), xxhash64(col("id")).as("chash"), col("id").as("cid"))
+      .localCheckpoint()
+    var prevH: java.math.BigDecimal = null
+    var prevI: java.math.BigDecimal = null
+    var stable = false
+    var it = 0
+    while (!stable) {
+      it += 1; dbg(s"coloring iter $it start")
+      val hop1 = color.join(eJ, color("id") === eJ("src"))
+        .select(eJ("dst").as("id"), col("chash"), col("cid"))
+      val hop2 = hop1.as("h1").join(eJ.as("e2"), col("h1.id") === col("e2.src"))
+        .select(col("e2.dst").as("id"), col("h1.chash").as("chash"), col("h1.cid").as("cid"))
+      val hop3 = hop2.as("h2").join(eJ.as("e3"), col("h2.id") === col("e3.src"))
+        .select(col("e3.dst").as("id"), col("h2.chash").as("chash"), col("h2.cid").as("cid"))
+      val jumpSide = color.select(col("id").as("cid"), col("chash").as("_jh"),
+        col("cid").as("_jc"))
+      val jumpMsgs = color.as("a")
+        .join(if (idCount <= 4000000L) broadcast(jumpSide) else jumpSide, Seq("cid"))
+        .select(col("a.id").as("id"), col("_jh").as("chash"), col("_jc").as("cid"))
+      color = color.unionByName(hop1).unionByName(hop2).unionByName(hop3)
+        .unionByName(jumpMsgs)
+        .groupBy("id").agg(min(struct(col("chash"), col("cid"))).as("m"))
+        .select(col("id"), col("m.chash").as("chash"), col("m.cid").as("cid"))
+        .localCheckpoint()
+      val s = color.agg(
+        sum(col("chash").cast("decimal(38,0)")).as("h"),
+        sum(col("cid").cast("decimal(38,0)")).as("i")).head
+      val (sh, si) = (s.getDecimal(0), s.getDecimal(1))
+      stable = prevH != null && prevH.compareTo(sh) == 0 &&
+        prevI.compareTo(si) == 0
+      prevH = sh; prevI = si
+    }
+    color.select("id", "cid")
+  }
+
+  /** Node-set rows are a few MB up to ~50M ids — broadcast the semi-join
+    * probe side while it plausibly fits the driver, shuffle past that. */
+  private def semiOn(e: DataFrame, keyCol: String, ids: DataFrame,
+                     idCount: Long): DataFrame = {
+    val probe = ids.withColumnRenamed("id", keyCol)
+    e.join(if (idCount <= 4000000L) broadcast(probe) else probe,
+      Seq(keyCol), "left_semi")
+  }
+
   def scc(nodes: DataFrame, edges: DataFrame): DataFrame = {
     var active = nodes.select("id").localCheckpoint()
     var out: Option[DataFrame] = None
     var remaining = active.count()
     while (remaining > 0) {
       val beforeRound = remaining
+      dbg(s"round start remaining=$remaining")
       // Active-subgraph edge view (self-loops never extend an SCC).
-      var e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
-        .join(active.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-        .join(active.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      var e = semiOn(semiOn(
+          edges.select("src", "dst").filter(col("src") =!= col("dst")),
+          "src", active, remaining), "dst", active, remaining)
         .localCheckpoint()
-      // 1. Trim singleton SCCs to a fixpoint.
+      dbg("edge view built")
+      // 1. Trim singleton SCCs to a fixpoint. A node survives iff it has
+      // both an in- and an out-edge inside the active subgraph — one
+      // union + map-side-combined flag aggregation per iteration (not
+      // two distincts + two semi-joins); nodes absent from `e` have
+      // neither and trim too.
       var trimming = true
       while (trimming && remaining > 0) {
-        val hasOut = e.select(col("src").as("id")).distinct()
-        val hasIn = e.select(col("dst").as("id")).distinct()
-        val keep = active.join(hasOut, Seq("id"), "left_semi")
-          .join(hasIn, Seq("id"), "left_semi").localCheckpoint()
+        val keep = e.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+          .unionByName(e.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
+          .groupBy("id").agg(max("o").as("o"), max("i").as("i"))
+          .filter(col("o") === 1 && col("i") === 1)
+          .select("id").localCheckpoint()
         val keepCount = keep.count()
+        dbg(s"trim iter keep=$keepCount")
         if (keepCount == remaining) trimming = false
         else {
           val singletons = active.join(keep, Seq("id"), "left_anti")
@@ -165,54 +241,40 @@ object Community {
           out = Some(out.fold(singletons)(_ unionByName singletons).localCheckpoint())
           active = keep
           remaining = keepCount
-          e = e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-            .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          e = semiOn(semiOn(e, "src", keep, keepCount), "dst", keep, keepCount)
             .localCheckpoint()
         }
       }
       if (remaining > 0) {
-        // 2. Forward min-(hash,id) coloring: one edge-hop + one
-        // pointer-doubling shortcut per fixpoint step.
-        var color = active
-          .select(col("id"), xxhash64(col("id")).as("chash"), col("id").as("cid"))
+        // 2. Forward min-(hash,id) coloring over the active subgraph.
+        dbg("forward coloring start")
+        val eSmall = e.count() <= 4000000L
+        val colorOf = minColoring(active, e, remaining, eSmall).localCheckpoint()
+        dbg("forward coloring done")
+        // 3. Backward sweep, also as a doubling coloring: restrict to
+        // within-class edges (any v →* root path stays in the class) and
+        // propagate along the TRANSPOSED edges; bcol(v) is then the
+        // order-minimal node v *reaches* inside its class, and the class
+        // root u is the class minimum (color(w)=u forces (hash(u),u) ≤
+        // (hash(w),w)), so bcol(v) = cid(v) ⇔ v reaches its root ⇔
+        // v ∈ SCC(root). O(log diameter) steps where the old per-hop
+        // backward BFS paid one join round per BFS level.
+        val cB = if (remaining <= 4000000L) broadcast(colorOf) else colorOf
+        val eClass = e
+          .join(cB.select(col("id").as("src"), col("cid").as("_cs")), Seq("src"))
+          .join(cB.select(col("id").as("dst"), col("cid").as("_cd")), Seq("dst"))
+          .filter(col("_cs") === col("_cd"))
+          .select(col("dst").as("src"), col("src").as("dst"))
           .localCheckpoint()
-        var prevH: java.math.BigDecimal = null
-        var prevI: java.math.BigDecimal = null
-        var stable = false
-        while (!stable) {
-          val hopMsgs = color.join(e, color("id") === e("src"))
-            .select(e("dst").as("id"), col("chash"), col("cid"))
-          val jumpMsgs = color.as("a")
-            .join(color.select(col("id").as("cid"), col("chash").as("_jh"),
-              col("cid").as("_jc")).as("b"), Seq("cid"))
-            .select(col("a.id").as("id"), col("_jh").as("chash"), col("_jc").as("cid"))
-          color = color.unionByName(hopMsgs).unionByName(jumpMsgs)
-            .groupBy("id").agg(min(struct(col("chash"), col("cid"))).as("m"))
-            .select(col("id"), col("m.chash").as("chash"), col("m.cid").as("cid"))
-            .localCheckpoint()
-          val s = color.agg(
-            sum(col("chash").cast("decimal(38,0)")).as("h"),
-            sum(col("cid").cast("decimal(38,0)")).as("i")).head
-          val (sh, si) = (s.getDecimal(0), s.getDecimal(1))
-          stable = prevH != null && prevH.compareTo(sh) == 0 &&
-            prevI.compareTo(si) == 0
-          prevH = sh; prevI = si
-        }
-        val colorOf = color.select("id", "cid").localCheckpoint()
-        // 3. Backward BFS from the color roots inside their color class.
-        var assigned = colorOf.filter(col("cid") === col("id"))
-          .select(col("id"), col("id").as("scc_id")).localCheckpoint()
-        var frontier = assigned
-        while (!frontier.isEmpty) {
-          frontier = frontier.join(e, frontier("id") === e("dst"))
-            .select(e("src").as("id"), col("scc_id"))
-            .distinct()
-            .join(colorOf, Seq("id"))
-            .filter(col("cid") === col("scc_id")).drop("cid")
-            .join(assigned, Seq("id"), "left_anti")
-            .localCheckpoint()
-          assigned = assigned.unionByName(frontier).localCheckpoint()
-        }
+        dbg("class edges built; backward coloring start")
+        val bcol = minColoring(active, eClass, remaining, eSmall)
+        dbg("backward coloring done")
+        val fc = colorOf.withColumnRenamed("cid", "_fc")
+        val assigned = bcol
+          .join(if (remaining <= 4000000L) broadcast(fc) else fc, Seq("id"))
+          .filter(col("cid") === col("_fc"))
+          .select(col("id"), col("cid").as("scc_id"))
+          .localCheckpoint()
         // 4. Remove the resolved SCCs and iterate on the remainder.
         out = Some(out.fold(assigned)(_ unionByName assigned).localCheckpoint())
         active = active.join(assigned, Seq("id"), "left_anti").localCheckpoint()
@@ -226,7 +288,9 @@ object Community {
     // of which member was the hash-order root (idempotent for trim
     // singletons). One aggregation + one join over |V| rows.
     val raw = out.getOrElse(nodes.select(col("id"), col("id").as("scc_id")).limit(0))
-    val relabel = raw.groupBy("scc_id").agg(min("id").as("_lbl"))
+    val relabel0 = raw.groupBy("scc_id").agg(min("id").as("_lbl"))
+    // |relabel| ≤ |V|; broadcast while the node set is driver-sized.
+    val relabel = if (nodes.count() <= 4000000L) broadcast(relabel0) else relabel0
     raw.join(relabel, Seq("scc_id"))
       .select(col("id"), col("_lbl").as("scc_id"))
   }
@@ -238,12 +302,17 @@ object Community {
     * iterations; contributions are partially aggregated map-side. */
   def pageRank(nodes: DataFrame, edges: DataFrame, damping: Double,
                iterations: Int): DataFrame = {
-    val ids = nodes.select("id")
+    // Checkpoint the id set once: it is unioned into every iteration and
+    // the parquet scan + projection would otherwise re-run per iteration.
+    val ids = nodes.select("id").localCheckpoint()
     val n = ids.count().toDouble
     val e = edges.select("src", "dst")
-    val outdeg = e.groupBy(col("src").as("src")).agg(count(lit(1)).as("odeg"))
+    val outdeg0 = e.groupBy(col("src").as("src")).agg(count(lit(1)).as("odeg"))
     // out-degree is loop-invariant: attach it to the edge table once, so
-    // each iteration is one hash join + one map-side-combined aggregation
+    // each iteration is one hash join + one map-side-combined aggregation.
+    // The degree table is |V|-bounded — broadcast it while driver-sized
+    // so building eDeg streams the edge list instead of shuffling it.
+    val outdeg = if (n <= 4000000) broadcast(outdeg0) else outdeg0
     val eDeg = e.join(outdeg, Seq("src")).localCheckpoint()
     var rank = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     for (i <- 1 to iterations) {
@@ -252,11 +321,12 @@ object Community {
       // attribute references into it would be ambiguous
       val contribs = rank.as("r").join(eDeg.as("edg"), col("r.id") === col("edg.src"))
         .select(col("edg.dst").as("id"), (col("r.rank") / col("edg.odeg")).as("c"))
-        .groupBy("id").agg(sum("c").as("m"))
-      rank = ids.join(contribs, Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("m"), lit(0.0)))
-            .as("rank"))
+      // Dangling/unreached nodes ride along as 0-contribution identity
+      // rows, so the new rank is ONE map-side-combined aggregation —
+      // not a groupBy followed by a left-outer join back onto the ids.
+      rank = contribs.unionByName(ids.withColumn("c", lit(0.0)))
+        .groupBy("id").agg(
+          (lit((1.0 - damping) / n) + lit(damping) * sum("c")).as("rank"))
       // lineage cut every few rounds is enough — a 3-iteration plan is
       // still flat, and skipping the eager materialization saves 2 jobs
       if (i % 3 == 0 || i == iterations) rank = rank.localCheckpoint()

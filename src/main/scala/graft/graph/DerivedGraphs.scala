@@ -93,11 +93,12 @@ object DerivedGraphs {
     memo(s, d, "oring") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-      val r = table(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      // rn and the per-customer ring length share one window shuffle
+      // (unbounded max over the same partitioning, no extra exchange).
+      val ranked = table(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
         .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"), col("rn"))
-      val m = r.groupBy("ck").agg(max("rn").as("m"))
-      val ranked = r.join(m, Seq("ck")).filter(col("m") >= 2)
+        .withColumn("m", max("rn").over(Window.partitionBy("ck"))).filter(col("m") >= 2)
       ranked.select(col("ck"), (col("rn") % col("m") + 1).as("rn2"), col("ok").as("sok"))
         .join(ranked.select(col("ck"), col("rn").as("rn2"), col("ok").as("dok")),
           Seq("ck", "rn2"))
