@@ -49,7 +49,7 @@ pairs AS MATERIALIZED (
       .map(i => s"(CASE WHEN s$i >= 0 THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""WITH $shinglesCte,
-hsim AS MATERIALIZED (SELECT doc_id, ${h60("'sim:' || sh")} AS h FROM shingles),
+hsim AS MATERIALIZED (SELECT doc_id, ${h60("'a:' || sh")} AS h FROM shingles),
 ssum AS MATERIALIZED (SELECT doc_id, $sums FROM hsim GROUP BY doc_id),
 simh AS MATERIALIZED (SELECT doc_id, $fp AS simhash FROM ssum),
 chunks AS MATERIALIZED (
@@ -63,7 +63,7 @@ SELECT a, b, hamming FROM p WHERE hamming <= 3"""
 
   val ngramJaccardSql: String =
     s"""WITH ${minhashCtes(16, 4)},
-dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'j:' || sh")} AS sh FROM shingles),
+dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'a:' || sh")} AS sh FROM shingles),
 sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
 inter AS (SELECT p.a, p.b, COUNT(*) AS common
           FROM pairs p JOIN dsh x ON x.doc_id = p.a JOIN dsh y ON y.doc_id = p.b AND y.sh = x.sh

@@ -22,18 +22,23 @@ object SparkEntry {
   private def g(spark: SparkSession, dir: String): PropertyGraph =
     GraphBuilder.tpch(spark, dir)
 
-  /** Minhash candidate pairs are the input of two queries — compute once
-    * per (session, sfDir). Measured note (sf0.1, local[32]): the minhash
-    * stage is fastest over the RAW shingle stream (narrow map + partial
-    * min-agg, no shuffle); pre-distincting shingles adds a 1M-row shuffle
-    * + persist that costs more than it saves, and the jaccard stage's
-    * inline distinct is ~1.5 s warm — so no shared shingle cache here,
-    * by measurement rather than by assumption. */
+  /** The hashed shingle stream (doc_id, ha, hb) feeds minhash, simhash
+    * AND the jaccard verifier — persist it once per (session, sfDir) so
+    * the substring scan + 2 md5/shingle run once, not once per operator.
+    * (An earlier measured note rejected sharing *pre-distincted raw
+    * shingles* — the distinct shuffle cost more than it saved; sharing
+    * the un-distincted hashed stream has no such shuffle.) Minhash
+    * candidate pairs are likewise the input of two queries — compute
+    * once. */
   private val mhCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def hashedShinglesCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d + "#hs"),
+      Dedup.hashedShingles(GraphBuilder.table(s, d, "documents")).persist())
   private def minhashPairsCached(s: SparkSession, d: String): DataFrame =
     mhCache.getOrElseUpdate((s, d),
-      Dedup.minhashPairs(GraphBuilder.table(s, d, "documents")).persist())
+      Dedup.minhashPairs(GraphBuilder.table(s, d, "documents"),
+        hashedIn = Some(hashedShinglesCached(s, d))).persist())
 
   /** The (x,y,z) triangle stream feeds q_triangles and q_clustering —
     * the wedge join behind it is the most expensive derived frame, so
@@ -285,10 +290,12 @@ object SparkEntry {
         lower(substring(col("text"), 1, 100)))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsCached(s, d)),
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(GraphBuilder.table(s, d, "documents"))),
+      Dedup.simhashPairs(GraphBuilder.table(s, d, "documents"),
+        hashedIn = Some(hashedShinglesCached(s, d)))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(GraphBuilder.table(s, d, "documents"),
-        Some(minhashPairsCached(s, d)))),
+        Some(minhashPairsCached(s, d)),
+        hashedIn = Some(hashedShinglesCached(s, d)))),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>

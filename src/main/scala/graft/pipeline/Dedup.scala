@@ -22,18 +22,29 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("cnt"))
       .filter(col("cnt") > 1)
 
-  /** MinHash signatures: k min-hashes over char-5-gram shingles via
-    * double hashing h_j = ha + j·hb (2 md5 calls per shingle instead of
-    * k; hb truncated to 55 bits so ha + 15·hb can't overflow BIGINT) →
-    * (doc_id, m0..m{k-1}). `shinglesIn` lets the caller share one
-    * (ideally deduplicated and cached) shingle frame across minhash /
-    * jaccard stages — MIN over a multiset equals MIN over its set, so
-    * distinct shingles give identical signatures for fewer md5 calls. */
-  def minhashSignatures(docs: DataFrame, k: Int = 16,
-                        shinglesIn: Option[DataFrame] = None): DataFrame = {
-    val hashed = shinglesIn.getOrElse(shingles(docs)).select(col("doc_id"),
+  /** Hashed shingle stream (doc_id, ha, hb): ha is the shared 60-bit
+    * base hash, hb the second family base (truncated to 55 bits so
+    * ha + 15·hb can't overflow BIGINT). MinHash consumes both, SimHash
+    * and the Jaccard verifier consume ha — sharing ONE substring scan
+    * and two md5 calls per shingle across all three operators, where
+    * per-operator prefixes ('sim:', 'j:') re-scanned and re-hashed the
+    * corpus once per operator. Any injective hash gives the same
+    * Jaccard counts, and md5 bits are uniform for SimHash, so only the
+    * (oracle-mirrored) constants change. */
+  def hashedShingles(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"),
       hash60(col("sh"), "a:").as("ha"),
       (hash60(col("sh"), "b:") % lit(1L << 55)).as("hb"))
+
+  /** MinHash signatures: k min-hashes over char-5-gram shingles via
+    * double hashing h_j = ha + j·hb (2 md5 calls per shingle instead of
+    * k) → (doc_id, m0..m{k-1}). `hashedIn` shares one (ideally cached)
+    * [[hashedShingles]] frame across the minhash / simhash / jaccard
+    * stages — MIN over a multiset equals MIN over its set, so a
+    * deduplicated frame would give identical signatures too. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16,
+                        hashedIn: Option[DataFrame] = None): DataFrame = {
+    val hashed = hashedIn.getOrElse(hashedShingles(docs))
       .select(col("doc_id") +:
         (0 until k).map(j => (col("ha") + lit(j.toLong) * col("hb")).as(s"h$j")): _*)
     hashed.groupBy("doc_id")
@@ -51,8 +62,8 @@ object Dedup {
 
   /** Near-duplicate candidate pairs: docs sharing any full band. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                   shinglesIn: Option[DataFrame] = None): DataFrame = {
-    val b = minhashBands(minhashSignatures(docs, k, shinglesIn), bands, k / bands)
+                   hashedIn: Option[DataFrame] = None): DataFrame = {
+    val b = minhashBands(minhashSignatures(docs, k, hashedIn), bands, k / bands)
     b.select(col("band"), col("bh"), col("doc_id").as("a"))
       .join(b.select(col("band"), col("bh"), col("doc_id").as("b")),
         Seq("band", "bh"))
@@ -60,9 +71,11 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** 32-bit SimHash over char-5-gram shingles. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val h = shingles(docs).select(col("doc_id"), hash60(col("sh"), "sim:").as("h"))
+  /** 32-bit SimHash over char-5-gram shingles (bits 0..31 of the shared
+    * ha base hash). */
+  def simhash(docs: DataFrame, hashedIn: Option[DataFrame] = None): DataFrame = {
+    val h = hashedIn.getOrElse(hashedShingles(docs))
+      .select(col("doc_id"), col("ha").as("h"))
     val sums = h.groupBy("doc_id").agg(
       (0 until 32).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -78,8 +91,9 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, bucketed by 8-bit
     * chunks so the join never goes quadratic. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   hashedIn: Option[DataFrame] = None): DataFrame = {
+    val sh = simhash(docs, hashedIn)
     val chunks = (0 until 4).map { c =>
       sh.select(col("doc_id"), lit(c).cast("long").as("chunk"),
         shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("cv"),
@@ -107,10 +121,10 @@ object Dedup {
     * candidate×shingle join, the dominant shuffle of this operator,
     * moves fixed-width bigints instead of strings. */
   def ngramJaccard(docs: DataFrame, pairsIn: Option[DataFrame] = None,
-                   shinglesIn: Option[DataFrame] = None): DataFrame = {
-    val pairs = pairsIn.getOrElse(minhashPairs(docs, shinglesIn = shinglesIn))
-    val sh = shinglesIn.getOrElse(shingles(docs))
-      .select(col("doc_id"), hash60(col("sh"), "j:").as("sh"))
+                   hashedIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(minhashPairs(docs, hashedIn = hashedIn))
+    val sh = hashedIn.getOrElse(hashedShingles(docs))
+      .select(col("doc_id"), col("ha").as("sh"))
     // One hashed-shingle-set array per doc, joined to each side of the
     // candidate pairs; common = |array_intersect| evaluates inside
     // codegen per pair. Shuffle volume is bounded by |docs| + |pairs|
