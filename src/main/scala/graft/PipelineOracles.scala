@@ -175,4 +175,78 @@ FROM documents"""
   SELECT doc_id, substr(text, i, 8) AS sh
   FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i))
 SELECT doc_id, MIN(${h60("'fp:' || sh")}) AS fp FROM sh8 GROUP BY doc_id"""
+
+  // ---- Corpus-preparation operators (graft.pipeline.Corpus) ----
+
+  /** Connected components over the minhash candidate pairs via a
+    * transitive-closure recursive CTE (UNION dedups → terminates);
+    * cluster label = min member, matching the Spark CC contract. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${minhashCtes(16, 4)},
+sym AS MATERIALIZED (SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b, a FROM pairs),
+walk(id, comp) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.t, w.comp FROM walk w JOIN sym e ON e.s = w.id),
+comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+SELECT comp AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM comps GROUP BY comp"""
+
+  def hashSampleSql(pct: Int): String =
+    s"""SELECT doc_id, lang FROM documents
+WHERE ${h60("'s:' || CAST(doc_id AS VARCHAR)")} % 100 < $pct"""
+
+  def packBinsSql(capacity: Long): String =
+    s"""WITH tok AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tokens FROM documents),
+c AS (SELECT doc_id, tokens, SUM(tokens) OVER (ORDER BY doc_id) AS cum FROM tok)
+SELECT CAST(FLOOR((cum - tokens) / $capacity) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1"""
+
+  def vocabTopKSql(k: Int): String =
+    s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term ASC LIMIT $k"""
+
+  val embedCentroidsSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+       ROUND(AVG(embedding[i]::DOUBLE), 6) AS c
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2"""
+
+  def lenHistogramSql(width: Long): String =
+    s"""SELECT CAST(FLOOR(n_chars / $width) * $width AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1"""
+
+  def corpusCleanSql(minQuality: Double): String = {
+    val scores = markerRes.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val langs = markerRes.map(_._1)
+    val cases = langs.init.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"""WITH ${minhashCtes(16, 4)},
+sc AS (SELECT doc_id, lang, $scores FROM documents),
+g AS (SELECT doc_id, lang, CASE $cases ELSE '${langs.last}' END AS guess FROM sc),
+q AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|is)\\b')) AS BIGINT) AS stop
+  FROM documents),
+qs AS (SELECT doc_id,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality FROM q),
+dup AS (SELECT DISTINCT doc_id FROM
+  (SELECT a AS doc_id FROM pairs UNION ALL SELECT b FROM pairs))
+SELECT g.lang, CAST(COUNT(*) AS BIGINT) AS kept
+FROM g JOIN qs USING (doc_id)
+WHERE g.guess = g.lang AND qs.quality >= $minQuality
+  AND doc_id NOT IN (SELECT doc_id FROM dup)
+GROUP BY g.lang"""
+  }
 }

@@ -7,7 +7,7 @@ import graft.graph.GraphBuilder.{TAG, CustomerTag, PartTag}
 import graft.ops.GraphQuery
 import graft.algorithms.{Centrality, Community, Structure, Traversal}
 import graft.cypher.Cypher
-import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.pipeline.{Corpus, Dedup, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -296,6 +296,21 @@ object SparkEntry {
       Dedup.ngramJaccard(GraphBuilder.table(s, d, "documents"),
         Some(minhashPairsCached(s, d)),
         hashedIn = Some(hashedShinglesCached(s, d)))),
+    "q_dedup_clusters" -> ((s, d) =>
+      Corpus.dedupClusters(minhashPairsCached(s, d))),
+    "q_sample_hash" -> ((s, d) =>
+      Corpus.hashSample(GraphBuilder.table(s, d, "documents"))),
+    "q_pack_bins" -> ((s, d) =>
+      Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
+    "q_vocab_topk" -> ((s, d) =>
+      Corpus.vocabTopK(GraphBuilder.table(s, d, "documents"))),
+    "q_embed_centroids" -> ((s, d) =>
+      Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
+    "q_len_histogram" -> ((s, d) =>
+      Corpus.lenHistogram(GraphBuilder.table(s, d, "documents"))),
+    "q_corpus_clean" -> ((s, d) =>
+      Corpus.corpusClean(GraphBuilder.table(s, d, "documents"),
+        minhashPairsCached(s, d))),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
@@ -441,6 +456,13 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_dedup_exact" -> PipelineOracles.dedupExactSql,
     "q_dedup_minhash" -> PipelineOracles.dedupMinhashSql,
     "q_dedup_simhash" -> PipelineOracles.dedupSimhashSql,
+    "q_dedup_clusters" -> PipelineOracles.dedupClustersSql,
+    "q_sample_hash" -> PipelineOracles.hashSampleSql(10),
+    "q_pack_bins" -> PipelineOracles.packBinsSql(512L),
+    "q_vocab_topk" -> PipelineOracles.vocabTopKSql(50),
+    "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
+    "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
+    "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),
     "q_ngram_jaccard" -> PipelineOracles.ngramJaccardSql,
     "q_cosine_topk" -> PipelineOracles.cosineTopKSql,
     "q_ann_lsh" -> PipelineOracles.annLshSql,

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Corpus
+
+/** Corpus-preparation operator semantics on hand-built inputs. */
+class CorpusSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val implicits = spark.implicits
+    import implicits._
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("dedupClusters: chained pairs merge into one cluster labeled by min id") {
+    val implicits = spark.implicits
+    import implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val cl = Corpus.dedupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("rep_id") -> r.getAs[Long]("n_docs")).toMap
+    assert(cl == Map(1L -> 3L, 5L -> 2L))
+  }
+
+  test("hashSample: deterministic, a subset, and pct=100 keeps everything") {
+    val d = docs((1L to 50L).map(i => i -> s"doc number $i"): _*)
+    val s1 = Corpus.hashSample(d, 20).collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.hashSample(d, 20).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.subsetOf((1L to 50L).toSet))
+    assert(Corpus.hashSample(d, 100).count() == 50L)
+  }
+
+  test("packBins: next-fit by cumulative offset against hand math") {
+    // tokens: doc1=4, doc2=4, doc3=4, doc4=5; capacity 10.
+    // offsets 0,4,8,12 → bins 0,0,0,1
+    val d = docs(
+      1L -> "a b c d", 2L -> "a b c d", 3L -> "a b c d", 4L -> "a b c d e")
+    val bins = Corpus.packBins(d, capacity = 10L).collect()
+      .map(r => r.getAs[Long]("bin") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens")))
+      .toMap
+    assert(bins == Map(0L -> ((3L, 12L)), 1L -> ((1L, 5L))))
+  }
+
+  test("packBins: block-hierarchical cumsum equals the global definition") {
+    val d = docs((1L to 300L).map(i => i -> ("w " * (i % 7 + 1).toInt).trim): _*)
+    // block size 16 forces many blocks; compare against block = huge
+    // (single block ⇒ plain global window)
+    val a = Corpus.packBins(d, capacity = 50L, block = 16L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Corpus.packBins(d, capacity = 50L, block = 1000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("vocabTopK: frequency order with lexicographic tiebreak") {
+    val d = docs(1L -> "b b a a c", 2L -> "b z")
+    val top = Corpus.vocabTopK(d, 3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq("b" -> 3L, "a" -> 2L, "c" -> 1L))
+  }
+
+  test("embedCentroids: per-label per-position means") {
+    val implicits = spark.implicits
+    import implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1)).toDF("vec_id", "embedding", "label")
+    val c = Corpus.embedCentroids(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c == Map((0L, 0L) -> 2.0, (0L, 1L) -> 3.0, (1L, 0L) -> 10.0, (1L, 1L) -> 20.0))
+  }
+
+  test("lenHistogram buckets by floor(n_chars/width)*width") {
+    val d = docs(1L -> ("x" * 10), 2L -> ("y" * 60), 3L -> ("z" * 70))
+    val h = Corpus.lenHistogram(d, 50L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(0L -> 1L, 50L -> 2L))
+  }
+
+  test("corpusClean drops dups, low quality and lang mismatches") {
+    val implicits = spark.implicits
+    import implicits._
+    val good = "the cat is on the mat and the dog is in the yard all day " * 3
+    val d = Seq(
+      (1L, good, "en"),   // kept
+      (2L, good, "en"),   // dup pair member → dropped
+      (3L, good, "de"),   // lang mismatch (en markers, labeled de) → dropped
+      (4L, "x!", "en")    // low quality → dropped
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Seq((2L, 9L)).toDF("a", "b")
+    val kept = Corpus.corpusClean(d, pairs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("en" -> 1L))
+  }
+}
