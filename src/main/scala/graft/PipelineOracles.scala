@@ -21,15 +21,14 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""
 
   private def minhashCtes(k: Int, bands: Int): String = {
     val rows = k / bands
-    val hashes = s"${h60("'a:' || sh")} AS ha, " +
-      s"${h60("'b:' || sh")} % (CAST(1 AS BIGINT) << 55) AS hb"
     val mins = (0 until k).map(j => s"MIN(ha + $j * hb) AS m$j").mkString(", ")
     val bandSel = (0 until bands).map { b =>
       val ms = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
       s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5(concat_ws('_', $ms)) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""$shinglesCte,
-hs AS MATERIALIZED (SELECT doc_id, $hashes FROM shingles),
+hs AS MATERIALIZED (SELECT doc_id, ${h60("'a:' || sh")} AS ha,
+  ${h60("'b:' || sh")} % (CAST(1 AS BIGINT) << 55) AS hb FROM shingles),
 sig AS MATERIALIZED (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
 bands AS MATERIALIZED (
   $bandSel),

@@ -30,12 +30,22 @@ object Community {
                                   maxIter: Int): (DataFrame, Int) = {
     val e = symEdges.select("src", "dst")
     var comp = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    // Label state is |V| rows — while driver-sized, broadcast it into
+    // the hook join (the edge table never moves) and into the shortcut
+    // self-join.
+    val small = comp.count() <= 4000000L
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var prev: java.math.BigDecimal = null
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
       iter += 1
-      val msgs = comp.join(e, comp("id") === e("src"))
+      // One-hop hook only: a 2-hop message stream (msgs ⋈ e) was
+      // measured 3× SLOWER overall on the dense near-dup pair graph —
+      // it materializes Σ deg² wedge rows per round, which explodes on
+      // clique-ish components even though it halves the round count on
+      // chains. The shortcut below already gives O(log n) rounds.
+      val msgs = bc(comp).join(e, comp("id") === e("src"))
         .select(e("dst").as("id"), col("component"))
       // localCheckpoint before the self-join: materializes the hook step
       // (Catalyst cannot self-join a live Union plan) and makes the
@@ -46,8 +56,8 @@ object Community {
       // ids, so the self-join always hits; left_outer + coalesce only
       // guards isolated seeds.
       comp = hooked.as("a")
-        .join(hooked.select(col("id").as("component"), col("component").as("_gp")).as("b"),
-          Seq("component"), "left_outer")
+        .join(bc(hooked.select(col("id").as("component"), col("component").as("_gp")))
+          .as("b"), Seq("component"), "left_outer")
         .select(col("id"), coalesce(col("_gp"), col("component")).as("component"))
         .localCheckpoint()
       val s = comp.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
@@ -96,71 +106,32 @@ object Community {
   def isStronglyConnected(nodes: DataFrame, edges: DataFrame): Boolean =
     countScc(nodes, edges) == 1L
 
-  /** Strongly connected components — trimming + forward min-label
-    * coloring + backward BFS from color roots, the multi-pivot
-    * generalization of forward-backward pivoting (every color class is a
-    * pivot, all processed simultaneously; Slota-style coloring SCC).
-    * Same partition as the reference's Kosaraju (scc.rs:58), labels
-    * canonicalized to the minimum member id (order-free). State is
-    * O(|V|) rows per step - never the O(n^2) transitive closure.
-    *
-    * Each outer round over the still-unassigned subgraph:
-    *   1. Trim to a fixpoint: a node with no in-edges or no out-edges
-    *      inside the active subgraph is a singleton SCC (scc_id = own id).
-    *   2. Color: propagate color(v) = the active id minimal in
-    *      (xxhash64(id), id) order that reaches v. Hash order (not id
-    *      order) so that an adversarial condensation chain in
-    *      ascending-id order still yields many simultaneous roots — the
-    *      expected number of rounds is O(log levels) (record-minima
-    *      argument), where id order degrades to one root (and one level)
-    *      per round. Each fixpoint step combines one edge-hop with a
-    *      pointer-doubling shortcut through the current color (sound:
-    *      color(v) reaches v and color(color(v)) reaches color(v), so
-    *      color(color(v)) reaches v) — O(log diameter) steps instead of
-    *      O(diameter). Per-node colors are lexicographically
-    *      non-increasing, so the pair (sum hash, sum id) is monotone and
-    *      equality <=> fixpoint.
-    *   3. Collect: for a root u (color(u) = u), SCC(u) = {v : color(v)
-    *      = u and v reaches u}. Every v->...->u path lies entirely
-    *      inside color class u (anything reaching an on-path node also
-    *      reaches u, so no order-smaller color can appear on the path —
-    *      the argument holds for any total order on ids), so one
-    *      backward BFS from all roots along transposed active edges,
-    *      restricted to rows whose color equals the root's id, finds
-    *      exactly the root SCCs - all color classes in parallel.
-    *   4. Assign those SCCs, drop them from the active set, repeat.
-    *   Finally relabel each SCC to its minimum member id (one
-    *   aggregation; roots are hash-minima, the public contract is
-    *   min-id labels).
-    *
-    * Termination: every outer round assigns at least one SCC — the
-    * hash-minimal active node is always a color root (every other
-    * active node orders after it), so `remaining` strictly decreases
-    * and the loop runs to completion unbounded (no round cap to
-    * mis-tune, ADVICE r3). A zero-progress round is mathematically
-    * unreachable and guarded by an IllegalStateException. */
-  /** Min-(xxhash64(id), id) label propagation along `e` (messages flow
-    * src → dst) to a fixpoint, one edge-hop + one pointer-doubling
-    * shortcut per step — O(log diameter) steps. Seeds are (id, id);
-    * labels only ever decrease lexicographically, so the pair
-    * (Σ hash, Σ id) is monotone and equality ⇔ fixpoint. Returns
-    * (id, cid) = the order-minimal seed reaching each node. */
   private val sccDebug = sys.env.contains("GRAFT_SCC_DEBUG")
   private def dbg(msg: => String): Unit = if (sccDebug) {
     println(s"SCCDBG ${System.nanoTime() / 1000000} $msg")
   }
 
+  /** Min-(xxhash64(id), id) label propagation along `e` (messages flow
+    * src → dst) to a fixpoint. Seeds are (id, id); labels only ever
+    * decrease lexicographically, so the pair (Σ hash, Σ id) is monotone
+    * and equality ⇔ fixpoint. Returns (id, cid) = the order-minimal
+    * seed reaching each node. */
   private def minColoring(ids: DataFrame, e: DataFrame,
-                          idCount: Long, broadcastable: Boolean): DataFrame = {
-    // Multi-hop messages: each fixpoint step sends colors 1, 2 AND 3
+                          idCount: Long, broadcastable: Boolean,
+                          hops: Int): DataFrame = {
+    // Multi-hop messages: each fixpoint step sends colors 1..hops
     // edge-hops downstream (chained joins against the edge frame —
     // broadcast when the caller knows it's small, so the hops are
     // map-side and only the final groupBy shuffles) plus one pointer
     // jump through the current color. Reach per step is ≥ hops even when
     // an adversarial hash order makes the jump useless (the record-
-    // minima worst case), so a diameter-D class needs ~D/3 steps where
-    // the single-hop loop needed D — and each step saved is two Spark
-    // jobs (materialize + probe) of mostly fixed latency.
+    // minima worst case), so a diameter-D class needs ~D/hops steps
+    // where the single-hop loop needed D — and each step saved is two
+    // Spark jobs (materialize + probe) of mostly fixed latency. The
+    // CALLER must keep hops = 1 unless the subgraph is near out-degree
+    // 1: a k-hop stream materializes Σ deg^k rows, which explodes on
+    // dense graphs (measured 3× slower for 2-hop CC on the near-dup
+    // pair graph) but is free on condensation chains/rings.
     val eJ = if (broadcastable) broadcast(e) else e
     var color = ids
       .select(col("id"), xxhash64(col("id")).as("chash"), col("id").as("cid"))
@@ -171,18 +142,19 @@ object Community {
     var it = 0
     while (!stable) {
       it += 1; dbg(s"coloring iter $it start")
-      val hop1 = color.join(eJ, color("id") === eJ("src"))
-        .select(eJ("dst").as("id"), col("chash"), col("cid"))
-      val hop2 = hop1.as("h1").join(eJ.as("e2"), col("h1.id") === col("e2.src"))
-        .select(col("e2.dst").as("id"), col("h1.chash").as("chash"), col("h1.cid").as("cid"))
-      val hop3 = hop2.as("h2").join(eJ.as("e3"), col("h2.id") === col("e3.src"))
-        .select(col("e3.dst").as("id"), col("h2.chash").as("chash"), col("h2.cid").as("cid"))
+      val hopMsgs = Iterator.iterate(
+          color.join(eJ, color("id") === eJ("src"))
+            .select(eJ("dst").as("id"), col("chash"), col("cid"))) { prev =>
+          prev.as("h").join(eJ.as("eN"), col("h.id") === col("eN.src"))
+            .select(col("eN.dst").as("id"), col("h.chash").as("chash"),
+              col("h.cid").as("cid"))
+        }.take(hops).toSeq
       val jumpSide = color.select(col("id").as("cid"), col("chash").as("_jh"),
         col("cid").as("_jc"))
       val jumpMsgs = color.as("a")
         .join(if (idCount <= 4000000L) broadcast(jumpSide) else jumpSide, Seq("cid"))
         .select(col("a.id").as("id"), col("_jh").as("chash"), col("_jc").as("cid"))
-      color = color.unionByName(hop1).unionByName(hop2).unionByName(hop3)
+      color = hopMsgs.foldLeft(color)(_ unionByName _)
         .unionByName(jumpMsgs)
         .groupBy("id").agg(min(struct(col("chash"), col("cid"))).as("m"))
         .select(col("id"), col("m.chash").as("chash"), col("m.cid").as("cid"))
@@ -207,6 +179,51 @@ object Community {
       Seq(keyCol), "left_semi")
   }
 
+  /** Strongly connected components — trimming + forward min-label
+    * coloring + a backward sweep from color roots, the multi-pivot
+    * generalization of forward-backward pivoting (every color class is a
+    * pivot, all processed simultaneously; Slota-style coloring SCC).
+    * Same partition as the reference's Kosaraju (scc.rs:58), labels
+    * canonicalized to the minimum member id (order-free). State is
+    * O(|V|) rows per step - never the O(n^2) transitive closure.
+    *
+    * Each outer round over the still-unassigned subgraph:
+    *   1. Trim to a fixpoint: a node with no in-edges or no out-edges
+    *      inside the active subgraph is a singleton SCC (scc_id = own id).
+    *   2. Color: [[minColoring]] propagates color(v) = the active id
+    *      minimal in (xxhash64(id), id) order that reaches v. Hash order
+    *      (not id order) so that an adversarial condensation chain in
+    *      ascending-id order still yields many simultaneous roots — the
+    *      expected number of rounds is O(log levels) (record-minima
+    *      argument), where id order degrades to one root (and one level)
+    *      per round. Each fixpoint step combines multi-hop messages with
+    *      a pointer-doubling shortcut through the current color (sound:
+    *      color(v) reaches v and color(color(v)) reaches color(v), so
+    *      color(color(v)) reaches v) — O(log diameter) steps instead of
+    *      O(diameter), with a ≥ hops-per-step floor when an adversarial
+    *      hash order defeats the jump.
+    *   3. Collect: for a root u (color(u) = u), SCC(u) = {v : color(v)
+    *      = u and v reaches u}. Every v->...->u path lies entirely
+    *      inside color class u (anything reaching an on-path node also
+    *      reaches u, so no order-smaller color can appear on the path —
+    *      the argument holds for any total order on ids), so the
+    *      backward sweep runs the SAME doubling coloring over the
+    *      TRANSPOSED within-class edges: bcol(v) is the order-minimal
+    *      node v reaches inside its class, the root u is the class
+    *      minimum (color(w) = u forces (hash(u),u) <= (hash(w),w)), so
+    *      bcol(v) = cid(v) ⇔ v reaches its root ⇔ v ∈ SCC(root) — all
+    *      color classes resolved in parallel in O(log diameter) steps.
+    *   4. Assign those SCCs, drop them from the active set, repeat.
+    *   Finally relabel each SCC to its minimum member id (one
+    *   aggregation + one broadcast-sized join; roots are hash-minima,
+    *   the public contract is min-id labels).
+    *
+    * Termination: every outer round assigns at least one SCC — the
+    * hash-minimal active node is always a color root (every other
+    * active node orders after it), so `remaining` strictly decreases
+    * and the loop runs to completion unbounded (no round cap to
+    * mis-tune, ADVICE r3). A zero-progress round is mathematically
+    * unreachable and guarded by an IllegalStateException. */
   def scc(nodes: DataFrame, edges: DataFrame): DataFrame = {
     var active = nodes.select("id").localCheckpoint()
     var out: Option[DataFrame] = None
@@ -247,9 +264,16 @@ object Community {
       }
       if (remaining > 0) {
         // 2. Forward min-(hash,id) coloring over the active subgraph.
+        // Multi-hop messages only when the subgraph is near out-degree
+        // 1 (condensation chains/rings) — on denser graphs a k-hop
+        // stream is Σ deg^k rows and the jump alone must carry the
+        // doubling (see minColoring).
         dbg("forward coloring start")
-        val eSmall = e.count() <= 4000000L
-        val colorOf = minColoring(active, e, remaining, eSmall).localCheckpoint()
+        val eCount = e.count()
+        val eSmall = eCount <= 4000000L
+        val hops = if (eCount <= 2L * remaining) 3 else 1
+        val colorOf = minColoring(active, e, remaining, eSmall, hops)
+          .localCheckpoint()
         dbg("forward coloring done")
         // 3. Backward sweep, also as a doubling coloring: restrict to
         // within-class edges (any v →* root path stays in the class) and
@@ -267,7 +291,7 @@ object Community {
           .select(col("dst").as("src"), col("src").as("dst"))
           .localCheckpoint()
         dbg("class edges built; backward coloring start")
-        val bcol = minColoring(active, eClass, remaining, eSmall)
+        val bcol = minColoring(active, eClass, remaining, eSmall, hops)
         dbg("backward coloring done")
         val fc = colorOf.withColumnRenamed("cid", "_fc")
         val assigned = bcol

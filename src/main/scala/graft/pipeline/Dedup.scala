@@ -23,14 +23,21 @@ object Dedup {
       .filter(col("cnt") > 1)
 
   /** Hashed shingle stream (doc_id, ha, hb): ha is the shared 60-bit
-    * base hash, hb the second family base (truncated to 55 bits so
-    * ha + 15·hb can't overflow BIGINT). MinHash consumes both, SimHash
-    * and the Jaccard verifier consume ha — sharing ONE substring scan
-    * and two md5 calls per shingle across all three operators, where
+    * base hash, hb the second family base (its own 'b:' digest,
+    * truncated to 55 bits so ha + 15·hb can't overflow BIGINT). MinHash
+    * consumes both, SimHash and the Jaccard verifier consume ha —
+    * sharing ONE substring scan across all three operators, where
     * per-operator prefixes ('sim:', 'j:') re-scanned and re-hashed the
     * corpus once per operator. Any injective hash gives the same
     * Jaccard counts, and md5 bits are uniform for SimHash, so only the
-    * (oracle-mirrored) constants change. */
+    * (oracle-mirrored) constants change.
+    *
+    * hb deliberately comes from a SECOND digest: deriving it from spare
+    * bits of ha's digest was measured to double the LSH candidate-pair
+    * count at sf0.1 (691k → 1.4M) — with a shared digest the four
+    * minhash values inside a band correlate through their common
+    * argmin shingle, so band agreement degenerates toward single-row
+    * agreement and the extra md5 is far cheaper than the extra pairs. */
   def hashedShingles(docs: DataFrame): DataFrame =
     shingles(docs).select(col("doc_id"),
       hash60(col("sh"), "a:").as("ha"),
