@@ -55,13 +55,16 @@ object Community {
       // Shortcut: jump to the label's own label. Labels are always node
       // ids, so the self-join always hits; left_outer + coalesce only
       // guards isolated seeds.
-      comp = hooked.as("a")
-        .join(bc(hooked.select(col("id").as("component"), col("component").as("_gp")))
-          .as("b"), Seq("component"), "left_outer")
-        .select(col("id"), coalesce(col("_gp"), col("component")).as("component"))
-        .localCheckpoint()
-      val s = comp.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+      // Probe rides the checkpoint job (Dataset.observe) — one Spark job
+      // per round, not materialize + a separate scalar aggregation.
+      val (ck, m) = Probe.checkpointObserved(
+        hooked.as("a")
+          .join(bc(hooked.select(col("id").as("component"), col("component").as("_gp")))
+            .as("b"), Seq("component"), "left_outer")
+          .select(col("id"), coalesce(col("_gp"), col("component")).as("component")),
+        sum(col("component").cast("decimal(38,0)")).as("s"))
+      comp = ck
+      val s = m("s").asInstanceOf[java.math.BigDecimal]
       done = prev != null && prev.compareTo(s) == 0
       prev = s
     }
@@ -154,17 +157,20 @@ object Community {
       val jumpMsgs = color.as("a")
         .join(if (idCount <= 4000000L) broadcast(jumpSide) else jumpSide, Seq("cid"))
         .select(col("a.id").as("id"), col("_jh").as("chash"), col("_jc").as("cid"))
-      color = hopMsgs.foldLeft(color)(_ unionByName _)
-        .unionByName(jumpMsgs)
-        .groupBy("id").agg(min(struct(col("chash"), col("cid"))).as("m"))
-        .select(col("id"), col("m.chash").as("chash"), col("m.cid").as("cid"))
-        .localCheckpoint()
-      val s = color.agg(
+      // Probe fused into the checkpoint job (Dataset.observe): one job
+      // per fixpoint step instead of two.
+      val (ck, m) = Probe.checkpointObserved(
+        hopMsgs.foldLeft(color)(_ unionByName _)
+          .unionByName(jumpMsgs)
+          .groupBy("id").agg(min(struct(col("chash"), col("cid"))).as("m"))
+          .select(col("id"), col("m.chash").as("chash"), col("m.cid").as("cid")),
         sum(col("chash").cast("decimal(38,0)")).as("h"),
-        sum(col("cid").cast("decimal(38,0)")).as("i")).head
-      val (sh, si) = (s.getDecimal(0), s.getDecimal(1))
-      stable = prevH != null && prevH.compareTo(sh) == 0 &&
-        prevI.compareTo(si) == 0
+        sum(col("cid").cast("decimal(38,0)")).as("i"))
+      color = ck
+      val (sh, si) = (m("h").asInstanceOf[java.math.BigDecimal],
+        m("i").asInstanceOf[java.math.BigDecimal])
+      stable = it > 1 && java.util.Objects.equals(prevH, sh) &&
+        java.util.Objects.equals(prevI, si)
       prevH = sh; prevI = si
     }
     color.select("id", "cid")
@@ -225,17 +231,27 @@ object Community {
     * mis-tune, ADVICE r3). A zero-progress round is mathematically
     * unreachable and guarded by an IllegalStateException. */
   def scc(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    var active = nodes.select("id").localCheckpoint()
+    // All scalar probes (node/edge counts per step) ride their checkpoint
+    // jobs via Dataset.observe — halves the Spark-job count of the
+    // fixpoint driver loop, and each saved job is a full scheduler round
+    // trip on a real cluster.
+    val (active0, mA) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    var active = active0
     var out: Option[DataFrame] = None
-    var remaining = active.count()
+    val nTotal = mA("n").asInstanceOf[Long]
+    var remaining = nTotal
     while (remaining > 0) {
       val beforeRound = remaining
       dbg(s"round start remaining=$remaining")
       // Active-subgraph edge view (self-loops never extend an SCC).
-      var e = semiOn(semiOn(
+      val (e0, mE) = Probe.checkpointObserved(
+        semiOn(semiOn(
           edges.select("src", "dst").filter(col("src") =!= col("dst")),
-          "src", active, remaining), "dst", active, remaining)
-        .localCheckpoint()
+          "src", active, remaining), "dst", active, remaining),
+        count(lit(1)).as("n"))
+      var e = e0
+      var eCount = mE("n").asInstanceOf[Long]
       dbg("edge view built")
       // 1. Trim singleton SCCs to a fixpoint. A node survives iff it has
       // both an in- and an out-edge inside the active subgraph — one
@@ -244,12 +260,14 @@ object Community {
       // neither and trim too.
       var trimming = true
       while (trimming && remaining > 0) {
-        val keep = e.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
-          .unionByName(e.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
-          .groupBy("id").agg(max("o").as("o"), max("i").as("i"))
-          .filter(col("o") === 1 && col("i") === 1)
-          .select("id").localCheckpoint()
-        val keepCount = keep.count()
+        val (keep, mK) = Probe.checkpointObserved(
+          e.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+            .unionByName(e.select(col("dst").as("id"), lit(0).as("o"), lit(1).as("i")))
+            .groupBy("id").agg(max("o").as("o"), max("i").as("i"))
+            .filter(col("o") === 1 && col("i") === 1)
+            .select("id"),
+          count(lit(1)).as("n"))
+        val keepCount = mK("n").asInstanceOf[Long]
         dbg(s"trim iter keep=$keepCount")
         if (keepCount == remaining) trimming = false
         else {
@@ -258,8 +276,11 @@ object Community {
           out = Some(out.fold(singletons)(_ unionByName singletons).localCheckpoint())
           active = keep
           remaining = keepCount
-          e = semiOn(semiOn(e, "src", keep, keepCount), "dst", keep, keepCount)
-            .localCheckpoint()
+          val (e1, mE1) = Probe.checkpointObserved(
+            semiOn(semiOn(e, "src", keep, keepCount), "dst", keep, keepCount),
+            count(lit(1)).as("n"))
+          e = e1
+          eCount = mE1("n").asInstanceOf[Long]
         }
       }
       if (remaining > 0) {
@@ -269,7 +290,6 @@ object Community {
         // stream is Σ deg^k rows and the jump alone must carry the
         // doubling (see minColoring).
         dbg("forward coloring start")
-        val eCount = e.count()
         val eSmall = eCount <= 4000000L
         val hops = if (eCount <= 2L * remaining) 3 else 1
         val colorOf = minColoring(active, e, remaining, eSmall, hops)
@@ -301,8 +321,10 @@ object Community {
           .localCheckpoint()
         // 4. Remove the resolved SCCs and iterate on the remainder.
         out = Some(out.fold(assigned)(_ unionByName assigned).localCheckpoint())
-        active = active.join(assigned, Seq("id"), "left_anti").localCheckpoint()
-        remaining = active.count()
+        val (nextActive, mN) = Probe.checkpointObserved(
+          active.join(assigned, Seq("id"), "left_anti"), count(lit(1)).as("n"))
+        active = nextActive
+        remaining = mN("n").asInstanceOf[Long]
       }
       if (remaining >= beforeRound)
         throw new IllegalStateException(
@@ -313,8 +335,9 @@ object Community {
     // singletons). One aggregation + one join over |V| rows.
     val raw = out.getOrElse(nodes.select(col("id"), col("id").as("scc_id")).limit(0))
     val relabel0 = raw.groupBy("scc_id").agg(min("id").as("_lbl"))
-    // |relabel| ≤ |V|; broadcast while the node set is driver-sized.
-    val relabel = if (nodes.count() <= 4000000L) broadcast(relabel0) else relabel0
+    // |relabel| ≤ |V|; broadcast while the node set is driver-sized
+    // (count already observed on the initial checkpoint — no extra job).
+    val relabel = if (nTotal <= 4000000L) broadcast(relabel0) else relabel0
     raw.join(relabel, Seq("scc_id"))
       .select(col("id"), col("_lbl").as("scc_id"))
   }
@@ -328,17 +351,25 @@ object Community {
                iterations: Int): DataFrame = {
     // Checkpoint the id set once: it is unioned into every iteration and
     // the parquet scan + projection would otherwise re-run per iteration.
-    val ids = nodes.select("id").localCheckpoint()
-    val n = ids.count().toDouble
+    // The node count rides the checkpoint job (Dataset.observe).
+    val (ids, mI) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    val n = mI("n").asInstanceOf[Long].toDouble
     val e = edges.select("src", "dst")
     val outdeg0 = e.groupBy(col("src").as("src")).agg(count(lit(1)).as("odeg"))
     // out-degree is loop-invariant: attach it to the edge table once, so
     // each iteration is one hash join + one map-side-combined aggregation.
     // The degree table is |V|-bounded — broadcast it while driver-sized
     // so building eDeg streams the edge list instead of shuffling it.
+    // Hash-partition the checkpointed frame by src: localCheckpoint
+    // preserves outputPartitioning, and rank is hash(id)-partitioned by
+    // its groupBy, so every iteration's rank⋈eDeg join is co-partitioned
+    // and the edge table never shuffles again — one shuffle per
+    // iteration (the contribution groupBy) instead of two.
     val outdeg = if (n <= 4000000) broadcast(outdeg0) else outdeg0
-    val eDeg = e.join(outdeg, Seq("src")).localCheckpoint()
+    val eDeg = e.join(outdeg, Seq("src")).repartition(col("src")).localCheckpoint()
     var rank = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var totalObs = Double.NaN
     for (i <- 1 to iterations) {
       // qualified aliases, not captured Columns: `rank` carries `eDeg` in
       // its lineage after the first un-checkpointed iteration, and
@@ -352,10 +383,18 @@ object Community {
         .groupBy("id").agg(
           (lit((1.0 - damping) / n) + lit(damping) * sum("c")).as("rank"))
       // lineage cut every few rounds is enough — a 3-iteration plan is
-      // still flat, and skipping the eager materialization saves 2 jobs
-      if (i % 3 == 0 || i == iterations) rank = rank.localCheckpoint()
+      // still flat, and skipping the eager materialization saves 2 jobs.
+      // The final cut also carries the normalization sum (observe), so
+      // the last iteration materializes and totals in one job.
+      if (i == iterations) {
+        val (ck, mT) = Probe.checkpointObserved(rank, sum("rank").as("t"))
+        rank = ck
+        totalObs = mT("t").asInstanceOf[Double]
+      } else if (i % 3 == 0) rank = rank.localCheckpoint()
     }
-    val total = rank.agg(sum("rank")).head.getDouble(0)
+    val total =
+      if (iterations >= 1) totalObs
+      else rank.agg(sum("rank")).head.getDouble(0)
     rank.select(col("id"), (col("rank") / lit(total)).as("rank"))
   }
 }

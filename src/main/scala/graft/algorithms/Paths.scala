@@ -67,19 +67,26 @@ object Paths {
         .select(lit(srcId.toString).as("path"), lit("").as("rels"), lit(0L).as("hops"))
     var visited = ss.range(1).select(lit(srcId).as("id")).localCheckpoint()
     var frontier = visited
+    var frontierCount = 1L
     val parentLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var found = false
     var depth = 0
-    while (!found && depth < maxDepth && !frontier.isEmpty) {
+    while (!found && depth < maxDepth && frontierCount > 0) {
       depth += 1
       val cand = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("v"), e("src").as("u"), e("rel_type"))
         .join(visited.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
         .localCheckpoint()
-      frontier = cand.select(col("v").as("id")).distinct().localCheckpoint()
+      // Emptiness + dst-hit probes ride the frontier checkpoint
+      // (Dataset.observe) — one job instead of three per level.
+      val (f, mF) = Probe.checkpointObserved(
+        cand.select(col("v").as("id")).distinct(),
+        count(lit(1)).as("n"), count(when(col("id") === dstId, 1)).as("hit"))
+      frontier = f
+      frontierCount = mF("n").asInstanceOf[Long]
       visited = visited.unionByName(frontier).localCheckpoint()
       parentLevels += cand
-      found = !frontier.filter(col("id") === dstId).isEmpty
+      found = mF("hit").asInstanceOf[Long] > 0L
     }
     if (!found) return emptyOut
     var paths = ss.range(1).select(lit(dstId).as("head"),

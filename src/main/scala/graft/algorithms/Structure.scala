@@ -95,8 +95,11 @@ object Structure {
     var converged = false
     while (r < rounds && !converged) {
       r += 1
-      val dead = deg.filter(col("d") < k).select("id").localCheckpoint()
-      val deadCount = dead.count()
+      // Count rides the checkpoint job (Dataset.observe) — one job per
+      // peel round instead of two.
+      val (dead, mD) = Probe.checkpointObserved(
+        deg.filter(col("d") < k).select("id"), count(lit(1)).as("n"))
+      val deadCount = mD("n").asInstanceOf[Long]
       if (deadCount == 0L) converged = true
       else {
         val db = if (deadCount <= 4000000L) broadcast(dead) else dead
@@ -120,16 +123,19 @@ object Structure {
     * switches to the iterated-h-index algorithm (same output). */
   def coreNumbers(symEdges: DataFrame, maxK: Int = 1000): DataFrame = {
     var e = symEdges.select("src", "dst").localCheckpoint()
-    var remaining = e.select(col("src").as("id")).distinct().localCheckpoint()
-    var remainingCount = remaining.count()
+    val (remaining0, mR) = Probe.checkpointObserved(
+      e.select(col("src").as("id")).distinct(), count(lit(1)).as("n"))
+    var remaining = remaining0
+    var remainingCount = mR("n").asInstanceOf[Long]
     var result: Option[DataFrame] = None
     var k = 1
     while (remainingCount > 0 && k <= maxK) {
       var stable = false
       while (!stable && remainingCount > 0) {
         val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-        val survivors = deg.filter(col("d") >= k).select("id").localCheckpoint()
-        val survivorCount = survivors.count()
+        val (survivors, mS) = Probe.checkpointObserved(
+          deg.filter(col("d") >= k).select("id"), count(lit(1)).as("n"))
+        val survivorCount = mS("n").asInstanceOf[Long]
         if (survivorCount == remainingCount) stable = true
         else {
           val removed = remaining.join(survivors, Seq("id"), "left_anti")

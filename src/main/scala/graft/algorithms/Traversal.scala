@@ -21,17 +21,26 @@ object Traversal {
     * hops of a seed, dist = hop count of the first (shortest) visit. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select("src", "dst")
-    var visited = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    // Frontier emptiness rides each level's checkpoint job
+    // (Dataset.observe) — one job per level, no separate isEmpty scan.
+    val (v0, m0) = Probe.checkpointObserved(
+      seeds.select(col("id")).distinct().withColumn("dist", lit(0L)),
+      count(lit(1)).as("n"))
+    var visited = v0
     var frontier = visited
+    var frontierCount = m0("n").asInstanceOf[Long]
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierCount > 0) {
       depth += 1
-      frontier = frontier.select("id")
-        .join(e, col("id") === e("src"))
-        .select(e("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .withColumn("dist", lit(depth.toLong)).localCheckpoint()
+      val (f, mF) = Probe.checkpointObserved(
+        frontier.select("id")
+          .join(e, col("id") === e("src"))
+          .select(e("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .withColumn("dist", lit(depth.toLong)),
+        count(lit(1)).as("n"))
+      frontier = f
+      frontierCount = mF("n").asInstanceOf[Long]
       visited = visited.unionByName(frontier).localCheckpoint()
     }
     visited
@@ -85,14 +94,21 @@ object Traversal {
         .agg(min_by(struct(col("g"), col("parent")),
           struct(col("g"), col("parent"))).as("s"))
         .select(col("id"), col("s.g").as("g"), col("s.parent").as("parent"))
-      val withH = merged.join(h, Seq("id"), "left_outer").localCheckpoint()
-      val bestRow = withH.filter(col("id") === dstId).select("g").collect()
-      if (bestRow.nonEmpty) best = bestRow(0).getDouble(0)
-      g = withH
-        .filter(col("g") + coalesce(col("h"), lit(0.0)) <= lit(best))
-        .drop("h").localCheckpoint()
-      val probe = g.agg(count(lit(1)), sum("g")).head
-      val sig = (probe.getLong(0), probe.getDouble(1))
+      // Both probes ride their checkpoint jobs (Dataset.observe): the
+      // dst tentative cost on the merge, the convergence signature on
+      // the pruned frontier — 2 jobs per relaxation instead of 4.
+      val (withH, mW) = Probe.checkpointObserved(
+        merged.join(h, Seq("id"), "left_outer"),
+        min(when(col("id") === dstId, col("g"))).as("bg"))
+      if (mW("bg") != null) best = mW("bg").asInstanceOf[Double]
+      val (gCk, mG) = Probe.checkpointObserved(
+        withH
+          .filter(col("g") + coalesce(col("h"), lit(0.0)) <= lit(best))
+          .drop("h"),
+        count(lit(1)).as("n"), sum("g").as("s"))
+      g = gCk
+      val sig = (mG("n").asInstanceOf[Long],
+        Option(mG("s")).fold(0.0)(_.asInstanceOf[Double]))
       stable = prev != null && prev == sig
       prev = sig
     }
@@ -104,11 +120,13 @@ object Traversal {
     var atSrc = false
     while (!atSrc && hops < maxIterations + 1) {
       hops += 1
-      p = p.join(g.select(col("id").as("head"), col("parent")), Seq("head"))
-        .select(col("parent").as("head"),
-          concat(array(col("parent")), col("nodes")).as("nodes"))
-        .localCheckpoint()
-      atSrc = !p.filter(col("head") === srcId).isEmpty
+      val (pCk, mP) = Probe.checkpointObserved(
+        p.join(g.select(col("id").as("head"), col("parent")), Seq("head"))
+          .select(col("parent").as("head"),
+            concat(array(col("parent")), col("nodes")).as("nodes")),
+        count(when(col("head") === srcId, 1)).as("at"))
+      p = pCk
+      atSrc = mP("at").asInstanceOf[Long] > 0L
     }
     p.select(
       concat_ws("->", expr("transform(nodes, x -> CAST(x AS STRING))")).as("path"),

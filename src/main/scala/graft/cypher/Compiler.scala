@@ -247,9 +247,12 @@ final class Compiler(graph: PropertyGraph,
           .select(col("_hsrc"), col("_hnext").as("_hdst"),
             concat(col("_hpath"), array(col("_hnext"))).as("_hpath"))
         if (maxHops.isEmpty) {
-          // unbounded: materialize the level so the drain check is cheap
-          frontier = frontier.localCheckpoint()
-          drained = frontier.isEmpty
+          // unbounded: materialize the level, drain probe riding the
+          // checkpoint job (Dataset.observe)
+          val (f, mF) = graft.algorithms.Probe.checkpointObserved(
+            frontier, count(lit(1)).as("n"))
+          frontier = f
+          drained = mF("n").asInstanceOf[Long] == 0L
         }
       } else drained = true
       depth += 1
@@ -275,23 +278,30 @@ final class Compiler(graph: PropertyGraph,
     val step = hop.select(col("_hsrc").as("_hmid"), col("_hdst").as("_hnext"))
     val identity =
       graph.nodes.select(col("id").as("_hsrc"), col("id").as("_hdst"))
-    var visited = hop.select(col("_hsrc"), col("_hdst")).distinct()
-      .localCheckpoint()
+    val (v0, m0) = graft.algorithms.Probe.checkpointObserved(
+      hop.select(col("_hsrc"), col("_hdst")).distinct(),
+      count(lit(1)).as("n"))
+    var visited = v0
     var frontier = visited
+    var frontierCount = m0("n").asInstanceOf[Long]
     var acc: Option[DataFrame] = if (minHops == 0) Some(identity) else None
     // depth-1 pairs only when the range actually admits 1 hop (*0..0 is
     // identity only)
     if (minHops <= 1 && maxHops.forall(_ >= 1))
       acc = Some(acc.fold(frontier)(_ unionByName frontier))
     var depth = 1
-    while (maxHops.forall(depth < _) && !frontier.isEmpty) {
+    while (maxHops.forall(depth < _) && frontierCount > 0) {
       depth += 1
-      frontier = frontier
-        .join(step, col("_hdst") === col("_hmid"))
-        .select(col("_hsrc"), col("_hnext").as("_hdst"))
-        .distinct()
-        .join(visited, Seq("_hsrc", "_hdst"), "left_anti")
-        .localCheckpoint()
+      // drain probe rides the checkpoint job (Dataset.observe)
+      val (f, mF) = graft.algorithms.Probe.checkpointObserved(
+        frontier
+          .join(step, col("_hdst") === col("_hmid"))
+          .select(col("_hsrc"), col("_hnext").as("_hdst"))
+          .distinct()
+          .join(visited, Seq("_hsrc", "_hdst"), "left_anti"),
+        count(lit(1)).as("n"))
+      frontier = f
+      frontierCount = mF("n").asInstanceOf[Long]
       visited = visited.unionByName(frontier).localCheckpoint()
       if (depth >= minHops)
         acc = Some(acc.fold(frontier)(_ unionByName frontier))
