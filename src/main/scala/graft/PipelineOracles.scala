@@ -219,6 +219,64 @@ GROUP BY 1, 2"""
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY 1"""
 
+  /** Eval-slice decontamination mirror: same 8-gram hashes, same hash
+    * sample for the eval slice, one semi-join on the gram hash. */
+  def decontaminateSql(evalPct: Int): String =
+    s"""WITH sh8 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${h60("'dc:' || substr(text, i, 8)")} AS g
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i)),
+ev AS MATERIALIZED (SELECT doc_id FROM documents
+  WHERE ${h60("'ev:' || CAST(doc_id AS VARCHAR)")} % 100 < $evalPct),
+evg AS MATERIALIZED (SELECT DISTINCT g FROM sh8 JOIN ev USING (doc_id))
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh8 s JOIN evg USING (g)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM ev)
+GROUP BY s.doc_id"""
+
+  val repetitionSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+uc AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY 1, 2),
+u AS (SELECT doc_id, SUM(c) AS words, COUNT(*) AS uniq, MAX(c) AS topc
+      FROM uc GROUP BY 1),
+ar AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+bg AS (SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg
+       FROM ar, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+       WHERE len(arr) >= 2),
+bd AS (SELECT doc_id, SUM(c) AS n2,
+              SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS d2
+       FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2) bc
+       GROUP BY doc_id)
+SELECT u.doc_id, CAST(words AS BIGINT) AS words,
+       ROUND(uniq / words, 6) AS uniq_ratio,
+       ROUND(topc / words, 6) AS top_frac,
+       ROUND(COALESCE(d2 / n2, 0.0), 6) AS dup2_frac
+FROM u LEFT JOIN bd ON bd.doc_id = u.doc_id"""
+
+  val lmScoreSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS MATERIALIZED (SELECT term, COUNT(*) AS c FROM w GROUP BY term),
+tot AS (SELECT SUM(c) AS tot FROM tf)
+SELECT doc_id, ROUND(AVG(-ln(c / tot)), 6) AS nll
+FROM w JOIN tf USING (term) CROSS JOIN tot
+GROUP BY doc_id"""
+
+  val piiScanSql: String = {
+    val pats = Seq(
+      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+      ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"),
+      ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+    val counts = pats.map { case (kind, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$kind"
+    }.mkString(",\n  ")
+    val redacted = pats.foldLeft("text") { case (c, (_, re, repl)) =>
+      s"regexp_replace($c, '$re', '$repl', 'g')"
+    }
+    s"""SELECT doc_id,
+  $counts,
+  CAST(len($redacted) AS BIGINT) AS clean_len
+FROM documents"""
+  }
+
   def corpusCleanSql(minQuality: Double): String = {
     val scores = markerRes.map { case (l, re) =>
       s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS s_$l"

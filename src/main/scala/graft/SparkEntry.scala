@@ -325,6 +325,14 @@ object SparkEntry {
       TextOps.tokenCounts(GraphBuilder.table(s, d, "documents"))),
     "q_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(GraphBuilder.table(s, d, "documents"))),
+    "q_decontam" -> ((s, d) =>
+      Corpus.decontaminate(GraphBuilder.table(s, d, "documents"))),
+    "q_repetition" -> ((s, d) =>
+      Corpus.repetition(GraphBuilder.table(s, d, "documents"))),
+    "q_lm_score" -> ((s, d) =>
+      Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
+    "q_pii_scan" -> ((s, d) =>
+      TextOps.piiScan(GraphBuilder.table(s, d, "documents"))),
 
     // ---- §2.6 streaming (batch twins of the streaming plans) ----
     "q_events_window" -> ((s, d) =>
@@ -471,6 +479,10 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_quality" -> PipelineOracles.qualitySql,
     "q_token_count" -> PipelineOracles.tokenCountSql,
     "q_fingerprint" -> PipelineOracles.fingerprintSql,
+    "q_decontam" -> PipelineOracles.decontaminateSql(5),
+    "q_repetition" -> PipelineOracles.repetitionSql,
+    "q_lm_score" -> PipelineOracles.lmScoreSql,
+    "q_pii_scan" -> PipelineOracles.piiScanSql,
 
     // ---- §2.6 streaming batch twins ----
     "q_events_window" ->

@@ -96,6 +96,77 @@ object Corpus {
     docs.select((floor(col("n_chars") / width) * width).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_docs"))
 
+  /** Benchmark decontamination: flag training docs that share any
+    * character 8-gram with a held-out eval slice (the standard n-gram
+    * overlap check run before training). The eval slice is the
+    * deterministic hash sample `hash60(doc_id, "ev:") % 100 < evalPct`
+    * — in production it would be the benchmark suite itself. Returns
+    * (doc_id, n_shared): per contaminated training doc, how many of its
+    * DISTINCT 8-gram hashes occur anywhere in the eval slice.
+    *
+    * Scale: both sides reduce to (doc_id, gram-hash) rows; the overlap
+    * is one semi-join keyed on the 60-bit gram hash — shuffle bounded
+    * by corpus gram count, and a real (small) benchmark set broadcasts
+    * automatically under AQE. Never doc×doc pairs. */
+  def decontaminate(docs: DataFrame, evalPct: Int = 5): DataFrame = {
+    val sh = TextOps.shingles(docs, 8)
+      .select(col("doc_id"), hash60(col("sh"), "dc:").as("g")).distinct()
+    val evalIds = docs
+      .filter(pmod(hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) < evalPct)
+      .select("doc_id")
+    val evalGrams = sh.join(evalIds, Seq("doc_id"), "left_semi")
+      .select("g").distinct()
+    sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
+  /** Gopher-style repetition metrics per document over whitespace
+    * tokens: total words, distinct-word ratio, top-unigram fraction,
+    * and the fraction of word-bigram instances whose bigram occurs
+    * more than once in the doc. High dup2_frac / top_frac or low
+    * uniq_ratio mark boilerplate and degenerate repetition for the
+    * quality filter. All map-side-combined aggregations keyed by
+    * (doc_id[, term]) — no cross-doc shuffle at any corpus size. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val uc = w.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val u = uc.groupBy("doc_id").agg(sum("c").as("words"),
+      count(lit(1)).as("uniq"), max("c").as("topc"))
+    val arr = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+    // guard: Spark's sequence(1, 0) steps DOWNWARD — never build it
+    val bg = arr.filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(arr) - 1), " +
+          "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))")).as("bg"))
+    val bd = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n2"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("d2"))
+    u.join(bd, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("words").cast("long").as("words"),
+        round(col("uniq") / col("words"), 6).as("uniq_ratio"),
+        round(col("topc") / col("words"), 6).as("top_frac"),
+        round(coalesce(col("d2") / col("n2"), lit(0.0)), 6).as("dup2_frac"))
+  }
+
+  /** Unigram language-model quality score: train p(t) = cnt(t)/total on
+    * the corpus itself, score each doc by the mean negative log-prob of
+    * its word instances (the cheap perplexity proxy used for LM-based
+    * quality filtering). Returns (doc_id, nll) rounded to 6 dp.
+    *
+    * Scale: the term-frequency table is |vocab| rows (AQE broadcasts it
+    * when small); scoring is one join on term + one map-side-combined
+    * per-doc average — shuffle bounded by token count. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = w.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum("c").as("tot"))
+    w.join(tf, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c") / col("tot"))), 6).as("nll"))
+  }
+
   /** End-to-end corpus cleaning: keep docs whose language-ID guess
     * matches the labeled lang, whose quality score is ≥ `minQuality`,
     * and which are NOT a member of any near-dup candidate pair; report

@@ -82,4 +82,30 @@ object TextOps {
     shingles(docs, 8)
       .select(col("doc_id"), hash60(col("sh"), "fp:").as("h"))
       .groupBy("doc_id").agg(min("h").as("fp"))
+
+  /** PII patterns (kind, regex, replacement) — the RE2-compatible subset
+    * so the DuckDB oracle runs the very same expressions. Redaction
+    * applies them in this order. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+
+  /** Redacted text: every PII pattern replaced by its sentinel,
+    * applied in [[piiPatterns]] order. Narrow map — scales trivially. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+
+  /** PII scan: per-doc match counts (on the original text, per pattern
+    * independently) plus the length of the redacted text. The synthetic
+    * testdata corpus contains no PII — the oracle checks the expressions
+    * agree across engines; PiiSpec exercises real matches inline. */
+  def piiScan(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id") +:
+        piiPatterns.map { case (kind, re, _) =>
+          regexp_count(col("text"), lit(re)).cast("long").as(s"n_$kind")
+        } :+ length(piiRedact(col("text"))).cast("long").as("clean_len"): _*)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Corpus, TextOps}
+
+/** Round-4 corpus operators: decontamination, repetition metrics,
+  * unigram-LM scoring, PII scan/redaction — semantics on hand-built
+  * corpora with known answers (the synthetic testdata has no PII, so
+  * redaction is exercised here on inline strings; the oracle query
+  * checks cross-engine expression agreement). */
+class CorpusPrepSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val implicits = spark.implicits
+    import implicits._
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+  }
+
+  test("decontaminate flags exactly the train docs sharing an 8-gram with the eval slice") {
+    // doc 14 hashes into the 5% eval slice (hash60("ev:14") % 100 = 2);
+    // the others don't. 31 shares its text, 33 is disjoint.
+    val evalId = (0L until 100L)
+      .find { id =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ev:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md5.substring(0, 15), 16) % 100 < 5
+      }.get
+    val d = docs(
+      evalId -> "shared secret benchmark sentence here",
+      31L -> "shared secret benchmark sentence here",
+      33L -> "zzz yyy xxx www vvv uuu qqq ppp")
+    val out = Corpus.decontaminate(d, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(31L) && out(31L) > 0L)
+    assert(!out.contains(33L))
+    assert(!out.contains(evalId)) // eval docs are never reported
+  }
+
+  test("repetition metrics: degenerate repetition vs all-distinct") {
+    val d = docs(1L -> "spam spam spam spam", 2L -> "all words here differ")
+    val m = Corpus.repetition(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("words") == 4L)
+    assert(m(1L).getAs[Double]("uniq_ratio") == 0.25)
+    assert(m(1L).getAs[Double]("top_frac") == 1.0)
+    assert(m(1L).getAs[Double]("dup2_frac") == 1.0) // all 3 bigrams identical
+    assert(m(2L).getAs[Double]("uniq_ratio") == 1.0)
+    assert(m(2L).getAs[Double]("dup2_frac") == 0.0)
+  }
+
+  test("repetition on a single-word doc has no bigrams") {
+    val m = Corpus.repetition(docs(7L -> "solo")).collect()
+    assert(m.length == 1 && m(0).getAs[Double]("dup2_frac") == 0.0)
+  }
+
+  test("lm score: rarer words raise the per-doc NLL") {
+    val d = docs(
+      1L -> "common common common common",
+      2L -> "common rare")
+    val m = Corpus.lmScore(d).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // p(common)=5/6, p(rare)=1/6: doc 2 averages in the rare word
+    assert(m(2L) > m(1L))
+    val expected1 = -math.log(5.0 / 6.0)
+    assert(math.abs(m(1L) - BigDecimal(expected1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("pii scan counts and redacts emails, phones, ips") {
+    val d = docs(
+      1L -> "mail me at jane.doe+x@example.com or call 415-555-1234 now",
+      2L -> "server at 10.0.0.1 and 192.168.1.255 no contact",
+      3L -> "nothing sensitive here at all")
+    val m = TextOps.piiScan(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("n_email") == 1L)
+    assert(m(1L).getAs[Long]("n_phone") == 1L)
+    assert(m(2L).getAs[Long]("n_ip") == 2L)
+    assert(m(3L).getAs[Long]("n_email") == 0L &&
+      m(3L).getAs[Long]("n_phone") == 0L && m(3L).getAs[Long]("n_ip") == 0L)
+    // redaction replaces, never leaks the original span
+    val red = d.select(col("doc_id"), TextOps.piiRedact(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail me at [EMAIL] or call [PHONE] now")
+    assert(red(2L) == "server at [IP] and [IP] no contact")
+    assert(red(3L) == "nothing sensitive here at all")
+    assert(m(1L).getAs[Long]("clean_len") == red(1L).length.toLong)
+  }
+}
