@@ -361,13 +361,20 @@ object Community {
     // each iteration is one hash join + one map-side-combined aggregation.
     // The degree table is |V|-bounded — broadcast it while driver-sized
     // so building eDeg streams the edge list instead of shuffling it.
-    // Hash-partition the checkpointed frame by src: localCheckpoint
-    // preserves outputPartitioning, and rank is hash(id)-partitioned by
-    // its groupBy, so every iteration's rank⋈eDeg join is co-partitioned
-    // and the edge table never shuffles again — one shuffle per
-    // iteration (the contribution groupBy) instead of two.
-    val outdeg = if (n <= 4000000) broadcast(outdeg0) else outdeg0
-    val eDeg = e.join(outdeg, Seq("src")).repartition(col("src")).localCheckpoint()
+    // While the rank table is driver-sized it broadcasts into the
+    // per-iteration join, so the edge table streams in place and
+    // pre-partitioning it would only add a full-edge shuffle (measured
+    // +4 s at sf0.1). Past the broadcast threshold the join becomes a
+    // shuffle join every iteration — THEN hash-partition the
+    // checkpointed frame by src once (localCheckpoint preserves
+    // outputPartitioning, rank is hash-partitioned by its groupBy), so
+    // each iteration shuffles only the contribution groupBy, never the
+    // edges.
+    val small = n <= 4000000
+    val outdeg = if (small) broadcast(outdeg0) else outdeg0
+    val eDeg0 = e.join(outdeg, Seq("src"))
+    val eDeg = (if (small) eDeg0 else eDeg0.repartition(col("src")))
+      .localCheckpoint()
     var rank = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var totalObs = Double.NaN
     for (i <- 1 to iterations) {
