@@ -233,6 +233,39 @@ FROM sh8 s JOIN evg USING (g)
 WHERE s.doc_id NOT IN (SELECT doc_id FROM ev)
 GROUP BY s.doc_id"""
 
+  /** Mixing-weight sampler mirror: same salted hash bucket, weights as
+    * a CASE chain (unlisted langs drop). */
+  def mixSampleSql(weights: Seq[(String, Double)]): String = {
+    val cases = weights.map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+WHERE ${h60("'mx:' || CAST(doc_id AS VARCHAR)")} % 10000
+      < (CASE lang $cases ELSE 0.0 END) * 10000"""
+  }
+
+  def boilerplateGramsSql(minDocFrac: Double): String =
+    s"""WITH sh8 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${h60("'bp:' || substr(text, i, 8)")} AS g
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i)),
+tot AS (SELECT COUNT(*) AS nd FROM documents)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+FROM sh8 CROSS JOIN tot
+GROUP BY g, nd HAVING COUNT(*) >= nd * $minDocFrac"""
+
+  def zipfCoverageSql(ks: Seq[Int]): String = {
+    val covs = ks.map(k =>
+      s"ROUND(MAX(CASE WHEN rn <= $k THEN cum END) / MAX(tot), 6) AS c_$k")
+      .mkString(",\n       ")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, COUNT(*) AS c FROM w GROUP BY term),
+tot AS (SELECT SUM(c) AS tot FROM tf),
+rk AS (SELECT c, term,
+              ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn,
+              SUM(c) OVER (ORDER BY c DESC, term ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM tf ORDER BY c DESC, term ASC LIMIT ${ks.max})
+SELECT $covs FROM rk CROSS JOIN tot"""
+  }
+
   val repetitionSql: String =
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 uc AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY 1, 2),

@@ -62,6 +62,11 @@ object SparkEntry {
 
   private val P = GraphBuilder.oraclePreamble
 
+  /** Mixing weights for q_mix_sample — ordered so the oracle's CASE
+    * chain is deterministic; zh exercises the unlisted→0 default. */
+  private val mixWeights: Seq[(String, Double)] =
+    Seq("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1)
+
   /** Flagship: customers + account balance rolled up to region via
     * 2-hop IN_NATION/IN_REGION traversal. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -333,6 +338,12 @@ object SparkEntry {
       Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
     "q_pii_scan" -> ((s, d) =>
       TextOps.piiScan(GraphBuilder.table(s, d, "documents"))),
+    "q_mix_sample" -> ((s, d) =>
+      Corpus.mixSample(GraphBuilder.table(s, d, "documents"), mixWeights.toMap)),
+    "q_boilerplate" -> ((s, d) =>
+      Corpus.boilerplateGrams(GraphBuilder.table(s, d, "documents"), 0.5)),
+    "q_zipf" -> ((s, d) =>
+      Corpus.zipfCoverage(GraphBuilder.table(s, d, "documents"))),
 
     // ---- §2.6 streaming (batch twins of the streaming plans) ----
     "q_events_window" -> ((s, d) =>
@@ -483,6 +494,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_repetition" -> PipelineOracles.repetitionSql,
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_pii_scan" -> PipelineOracles.piiScanSql,
+    "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
+    "q_boilerplate" -> PipelineOracles.boilerplateGramsSql(0.5),
+    "q_zipf" -> PipelineOracles.zipfCoverageSql(Seq(10, 100, 1000)),
 
     // ---- §2.6 streaming batch twins ----
     "q_events_window" ->

@@ -109,16 +109,71 @@ object Corpus {
     * by corpus gram count, and a real (small) benchmark set broadcasts
     * automatically under AQE. Never doc×doc pairs. */
   def decontaminate(docs: DataFrame, evalPct: Int = 5): DataFrame = {
-    val sh = TextOps.shingles(docs, 8)
+    // Split BEFORE shingling: the eval predicate is a pure function of
+    // doc_id, so each side shingles only its own docs (1.0× corpus
+    // total, filters pushed to the scan) — shingling the whole corpus
+    // into one frame and semi/anti-joining it re-ran the explode for
+    // both branches (measured 2× the shingle work at sf0.1).
+    val isEval =
+      pmod(hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) < evalPct
+    val evalGrams = TextOps.shingles(docs.filter(isEval), 8)
+      .select(hash60(col("sh"), "dc:").as("g")).distinct()
+    TextOps.shingles(docs.filter(!isEval), 8)
       .select(col("doc_id"), hash60(col("sh"), "dc:").as("g")).distinct()
-    val evalIds = docs
-      .filter(pmod(hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) < evalPct)
-      .select("doc_id")
-    val evalGrams = sh.join(evalIds, Seq("doc_id"), "left_semi")
-      .select("g").distinct()
-    sh.join(evalIds, Seq("doc_id"), "left_anti")
       .join(evalGrams, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
+  /** Data-mixing sampler: per-language target weights (0..1) applied as
+    * deterministic hash sampling — doc kept iff its salted md5 bucket
+    * over 10 000 lands under weight(lang)·10 000. The standard knob for
+    * re-weighting sources/domains in a training mix; reproducible across
+    * engines and runs, stable under repartitioning, no RNG state.
+    * Unlisted languages default to weight 0. Narrow filter — scales
+    * trivially. */
+  def mixSample(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    val w = typedLit(weights)
+    docs.filter(
+        pmod(hash60(col("doc_id").cast("string"), "mx:"), lit(10000L)) <
+          coalesce(element_at(w, col("lang")), lit(0.0)) * 10000)
+      .select("doc_id", "lang")
+  }
+
+  /** Boilerplate n-gram mining: the character 8-gram hashes appearing in
+    * at least `minDocFrac` of all documents, with their document
+    * frequency — the template/navigation text a cleaning pass strips.
+    * One shingle pass → per-gram distinct-doc count → threshold against
+    * the corpus size (a 1-row broadcast); shuffle bounded by the gram
+    * count, never doc pairs. */
+  def boilerplateGrams(docs: DataFrame, minDocFrac: Double = 0.5): DataFrame = {
+    val tot = docs.agg(count(lit(1)).as("nd"))
+    TextOps.shingles(docs, 8)
+      .select(col("doc_id"), hash60(col("sh"), "bp:").as("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") >= col("nd") * minDocFrac)
+      .select("g", "df")
+  }
+
+  /** Zipf coverage: for each k in `ks`, the fraction of all whitespace
+    * token instances covered by the k most frequent terms (count desc,
+    * term asc tiebreak) — the tokenizer-design curve. A k larger than
+    * the vocabulary covers 1.0. The term table reduces map-side; only
+    * the top-max(ks) rows (driver-bounded) enter the ranking window. */
+  def zipfCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    val tf = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum("c").as("tot"))
+    val ord = Window.orderBy(col("c").desc, col("term").asc)
+    val cum = tf.orderBy(col("c").desc, col("term").asc).limit(ks.max)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cum", sum("c").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    // one conditional aggregation per k over the single driver-bounded
+    // ranked frame — the term table is computed once
+    val covs = ks.map(k =>
+      round(max(when(col("rn") <= k, col("cum"))) / max(col("tot")), 6)
+        .as(s"c_$k"))
+    cum.crossJoin(broadcast(tot)).agg(covs.head, covs.tail: _*)
   }
 
   /** Gopher-style repetition metrics per document over whitespace

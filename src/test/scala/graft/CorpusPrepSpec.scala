@@ -65,6 +65,37 @@ class CorpusPrepSpec extends SparkSpec {
     assert(math.abs(m(1L) - BigDecimal(expected1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("mix sample keeps weight-1 langs fully, weight-0 langs never") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = (0L until 40L).map(i => (i, s"text $i", if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Corpus.mixSample(d, Map("en" -> 1.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.length == 20 && kept.forall(_._2 == "en"))
+  }
+
+  test("boilerplate grams finds the shared template, not unique text") {
+    val tmpl = "standard footer text"
+    val d = docs(
+      1L -> s"alpha unique words $tmpl",
+      2L -> s"beta other phrasing $tmpl",
+      3L -> s"gamma completely else $tmpl")
+    val grams = Corpus.boilerplateGrams(d, 1.0).collect()
+    assert(grams.nonEmpty && grams.forall(_.getAs[Long]("df") == 3L))
+    // a gram unique to doc 1 must not appear at frac 1.0
+    val loose = Corpus.boilerplateGrams(d, 0.3).collect()
+    assert(loose.length > grams.length)
+  }
+
+  test("zipf coverage is monotone in k and reaches 1.0 past the vocab") {
+    val d = docs(1L -> "a a a a b b c d e f")
+    val row = Corpus.zipfCoverage(d, Seq(1, 2, 100)).collect()(0)
+    assert(row.getAs[Double]("c_1") == 0.4)   // 'a' covers 4/10
+    assert(row.getAs[Double]("c_2") == 0.6)   // +'b' 2/10
+    assert(row.getAs[Double]("c_100") == 1.0) // whole vocab
+  }
+
   test("pii scan counts and redacts emails, phones, ips") {
     val d = docs(
       1L -> "mail me at jane.doe+x@example.com or call 415-555-1234 now",
