@@ -19,9 +19,18 @@ object TextOps {
 
   /** Deterministic 60-bit hash shared with the oracle:
     * Spark  conv(substr(md5(s),1,15),16,10)
-    * DuckDB ('0x' || substr(md5(s),1,15))::BIGINT  — same value. */
+    * DuckDB ('0x' || substr(md5(s),1,15))::BIGINT  — same value.
+    * Computed by the native codegen'd [[graft.sql.Hash60]] expression
+    * (digest once, shift — no hex string round-trip) when a session is
+    * active to register it on; the SQL-formula fallback is bit-identical. */
   def hash60(c: Column, prefix: String): Column =
-    conv(substring(md5(concat(lit(prefix), c)), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.sql.Hash60.register(s)
+        call_function("graft_hash60", concat(lit(prefix), c))
+      case None =>
+        conv(substring(md5(concat(lit(prefix), c)), 1, 15), 16, 10).cast("long")
+    }
 
   /** One row per character k-gram: (doc_id, sh). Short docs yield their
     * (truncated) prefix shingle, mirroring substr semantics in DuckDB. */

@@ -17,5 +17,9 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_cosine"),
       ArrayCosine.info,
       (children: Seq[Expression]) => ArrayCosine(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      Hash60.info,
+      (children: Seq[Expression]) => Hash60(children.head)))
   }
 }

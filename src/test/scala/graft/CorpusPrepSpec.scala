@@ -96,6 +96,19 @@ class CorpusPrepSpec extends SparkSpec {
     assert(row.getAs[Double]("c_100") == 1.0) // whole vocab
   }
 
+  test("native graft_hash60 is bit-identical to the SQL md5 formula") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = Seq("", "a", "abc", "the quick brown fox", "的的的",
+      "x" * 500, "mixed 的 ascii 123").toDF("s")
+    graft.sql.Hash60.register(spark)
+    val cmp = d.select(
+      call_function("graft_hash60", col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("formula"))
+    assert(cmp.filter(col("native") =!= col("formula")).isEmpty)
+    assert(cmp.filter(col("native") < 0L).isEmpty) // 60-bit ⇒ non-negative
+  }
+
   test("pii scan counts and redacts emails, phones, ips") {
     val d = docs(
       1L -> "mail me at jane.doe+x@example.com or call 415-555-1234 now",
