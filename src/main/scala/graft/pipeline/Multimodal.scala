@@ -58,6 +58,35 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(media_id: Long, kind: String,
+                                width: Int, height: Int, media: Array[Byte])
+
+  /** Resize/resample: decode → scale to (w, h) → re-encode, batched per
+    * partition like [[extractFeatures]] so a real codec inits once. The
+    * ==== STUB ==== re-encode emits a deterministic byte slice sized by
+    * the target area (payload shrinks/pads like a real downscale would);
+    * the typed output schema and partition shape are production
+    * plumbing. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(w > 0 && h > 0, "target dims must be positive")
+    media.mapPartitions { it =>
+      // per-partition init of the (stubbed) codec happens here
+      it.map { r =>
+        val target = math.max(1, (w * h) / 8)
+        val out = new Array[Byte](target)
+        var i = 0
+        while (i < target) {
+          out(i) = if (r.media.length == 0) 0
+                   else r.media((i * math.max(r.media.length, 1)) / target % r.media.length)
+          i += 1
+        }
+        ResizedMedia(r.media_id, r.kind, w, h, out)
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video rows: one row per
     * sampled frame index (every `stride`-th frame). The decode of each
     * frame is the stubbed step; the explode/partition shape is real. */

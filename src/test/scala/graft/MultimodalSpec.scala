@@ -43,6 +43,17 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("resize emits target dims and a deterministic area-sized payload") {
+    val a = Multimodal.resize(media, 64, 32).collect().sortBy(_.media_id)
+    val b = Multimodal.resize(media.repartition(7), 64, 32).collect().sortBy(_.media_id)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.width == 64 && x.height == 32)
+      assert(x.media.length == 64 * 32 / 8)
+      assert(x.media.toSeq == y.media.toSeq) // partition-independent
+    }
+  }
+
   test("frame sampling explodes every stride-th frame for videos") {
     val implicits = spark.implicits
     import implicits._
