@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextOps
+
+/** Streaming corpus intake — the incremental form of the cleaning
+  * stages a training-data pipeline runs at ingestion time, composing
+  * the batch pipeline operators with Structured Streaming: language-ID
+  * agreement + quality gate as one narrow projection, then an
+  * exact-duplicate guard whose seen-key state is bounded by the
+  * watermark horizon (dropDuplicatesWithinWatermark), so state never
+  * grows with stream length. The near-dup (minhash) pass stays a batch
+  * compaction job over the accepted corpus — banding needs the full
+  * signature table, and that split (cheap exact guard inline, heavy
+  * near-dup in compaction) is how production pipelines run it.
+  */
+object CorpusStreams {
+
+  /** Language-ID guess + quality score + threshold filter in ONE
+    * narrow select — the batch corpusClean joins two projections of
+    * the same table, which on a stream would be a stateful
+    * stream-stream self-join for no reason: both metrics are pure
+    * row functions. Keeps every input column, adds `quality`. */
+  def qualityGate(docs: DataFrame, minQuality: Double): DataFrame = {
+    val names = TextOps.langMarkers.map(_._1)
+    val withScores = docs.select(
+      col("*") +: TextOps.langMarkers.map { case (l, re) =>
+        regexp_count(col("text"), lit(re)).cast("long").as(s"_s_$l")
+      }: _*)
+    val guess = names.foldRight(lit(names.last)) { case (l, elseCol) =>
+      val ge = names.filter(_ != l)
+        .map(o => col(s"_s_$l") >= col(s"_s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(elseCol)
+    }
+    val words = regexp_count(col("text"), lit("[^ ]+")).cast("long")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long")
+    val stop = regexp_count(col("text"), lit("\\b(the|a|is)\\b")).cast("long")
+    val chars = length(col("text")).cast("long")
+    val q = round(
+      lit(0.4) * least(words / lit(100.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punct / chars) +
+        lit(0.3) * least(lit(5.0) * stop / words, lit(1.0)), 6)
+    withScores
+      .withColumn("_guess", guess)
+      .withColumn("quality", q)
+      .filter(col("_guess") === col("lang") && col("quality") >= minQuality)
+      .drop(names.map(l => s"_s_$l") :+ "_guess": _*)
+  }
+
+  /** The exact-dup key shared with Dedup.exact: first 100 chars,
+    * lowercased. */
+  private def fpCol = md5(lower(substring(col("text"), 1, 100)))
+
+  /** Streaming clean: gate + exact-dup guard. `docs` must carry an
+    * event-time `ingest_ts`; duplicate state is dropped past the
+    * watermark. Output: (doc_id, lang, quality) of accepted docs,
+    * first arrival kept per duplicate group. */
+  def cleanStream(docs: DataFrame, minQuality: Double = 0.5,
+                  watermark: String = "1 hour"): DataFrame =
+    qualityGate(docs, minQuality)
+      .withColumn("fp", fpCol)
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "lang", "quality")
+
+  /** Batch twin on complete input — identical rows when duplicates
+    * arrive in doc_id order (the spec feeds them that way; the batch
+    * keep is the deterministic min doc_id). */
+  def cleanBatch(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    qualityGate(docs, minQuality)
+      .withColumn("fp", fpCol)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("doc_id", "lang", "quality")
+  }
+}
