@@ -266,6 +266,22 @@ rk AS (SELECT c, term,
 SELECT $covs FROM rk CROSS JOIN tot"""
   }
 
+  val qualityQuantilesSql: String =
+    """WITH q AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\b(the|a|is)\b')) AS BIGINT) AS stop
+  FROM documents),
+qs AS (SELECT doc_id,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality FROM q)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(quality, 0.25), 6) AS q25,
+       ROUND(quantile_cont(quality, 0.5), 6) AS q50,
+       ROUND(quantile_cont(quality, 0.75), 6) AS q75
+FROM qs JOIN documents d USING (doc_id) GROUP BY d.lang"""
+
   val repetitionSql: String =
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 uc AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY 1, 2),

@@ -344,6 +344,8 @@ object SparkEntry {
       Corpus.boilerplateGrams(GraphBuilder.table(s, d, "documents"), 0.5)),
     "q_zipf" -> ((s, d) =>
       Corpus.zipfCoverage(GraphBuilder.table(s, d, "documents"))),
+    "q_quality_quantiles" -> ((s, d) =>
+      Corpus.qualityQuantiles(GraphBuilder.table(s, d, "documents"))),
 
     // ---- §2.6 streaming (batch twins of the streaming plans) ----
     "q_events_window" -> ((s, d) =>
@@ -497,6 +499,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
     "q_boilerplate" -> PipelineOracles.boilerplateGramsSql(0.5),
     "q_zipf" -> PipelineOracles.zipfCoverageSql(Seq(10, 100, 1000)),
+    "q_quality_quantiles" -> PipelineOracles.qualityQuantilesSql,
 
     // ---- §2.6 streaming batch twins ----
     "q_events_window" ->

@@ -176,6 +176,22 @@ object Corpus {
     cum.crossJoin(broadcast(tot)).agg(covs.head, covs.tail: _*)
   }
 
+  /** Per-language quality distribution: doc count and interpolated
+    * quality quartiles — the dashboard a filtering-threshold decision
+    * reads. One narrow quality projection + one map-side-combined
+    * aggregation per language; the quantile state is bounded per group
+    * (at true scale swap `percentile` for `approx_percentile` with an
+    * accuracy knob — same call shape). */
+  def qualityQuantiles(docs: DataFrame): DataFrame =
+    TextOps.quality(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        round(percentile(col("quality"), lit(0.25)), 6).as("q25"),
+        round(percentile(col("quality"), lit(0.5)), 6).as("q50"),
+        round(percentile(col("quality"), lit(0.75)), 6).as("q75"))
+
   /** Gopher-style repetition metrics per document over whitespace
     * tokens: total words, distinct-word ratio, top-unigram fraction,
     * and the fraction of word-bigram instances whose bigram occurs

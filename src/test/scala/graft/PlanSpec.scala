@@ -59,6 +59,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("region.parquet") && !plan.contains("nation.parquet"))
   }
 
+  test("corpus text operators prune the documents scan to used columns") {
+    // repetition needs only (doc_id, text): lang/n_chars/embedding-free
+    val plan = planOf(graft.pipeline.Corpus.repetition(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    assert(plan.contains("ReadSchema"), plan.take(800))
+    assert(!plan.contains("n_chars"), "unused n_chars must be pruned")
+    // decontamination splits eval/train before shingling: the doc_id
+    // hash predicate must appear as a scan-level Filter, not post-explode
+    val dplan = planOf(graft.pipeline.Corpus.decontaminate(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    assert(!dplan.contains("CartesianProduct"))
+  }
+
+  test("native hash60 runs map-side, before the partial aggregate") {
+    val plan = planOf(graft.pipeline.TextOps.fingerprint(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    assert(plan.contains("graft_hash60"), plan.take(1200))
+    // the hash projection must sit under partial_min (map-side combine),
+    // i.e. hashing happens before the shuffle, not after it
+    val hashAt = plan.indexOf("graft_hash60")
+    val partialAt = plan.indexOf("partial_min")
+    assert(partialAt >= 0 && hashAt > partialAt,
+      "hash projection must feed the partial aggregate")
+  }
+
   test("chained out() traversal joins on the src-partitioned edge table") {
     val graph = GraphBuilder.tpch(spark, sfDir)
     val plan = planOf(graft.ops.GraphQuery
