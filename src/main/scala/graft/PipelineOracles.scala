@@ -130,6 +130,21 @@ cos AS (SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
         FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
 SELECT a, b, cosine FROM cos WHERE cosine >= $minCosine"""
 
+  /** Int8 quantization mirror: same scale formula, same floor(·+0.5)
+    * rounding over the same IEEE doubles. */
+  val quantizeInt8Sql: String =
+    s"""WITH $embCtes,
+s AS (SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale, COUNT(*) AS dims
+      FROM ex GROUP BY vec_id),
+q AS (SELECT e.vec_id,
+             CASE WHEN s.scale = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(FLOOR(e.x / s.scale + 0.5) AS BIGINT)
+             END AS qv
+      FROM ex e JOIN s USING (vec_id))
+SELECT s.vec_id, ROUND(s.scale, 6) AS scale, CAST(s.dims AS BIGINT) AS dims,
+       CAST(SUM(qv) AS BIGINT) AS qsum, MIN(qv) AS qmin, MAX(qv) AS qmax
+FROM q JOIN s USING (vec_id) GROUP BY s.vec_id, s.scale, s.dims"""
+
   private val markerRes = Seq(
     "en" -> "\\b(the|a|is)\\b",
     "de" -> "\\b(der|die|das)\\b",

@@ -346,6 +346,8 @@ object SparkEntry {
       Corpus.zipfCoverage(GraphBuilder.table(s, d, "documents"))),
     "q_quality_quantiles" -> ((s, d) =>
       Corpus.qualityQuantiles(GraphBuilder.table(s, d, "documents"))),
+    "q_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(GraphBuilder.table(s, d, "embeddings"))),
 
     // ---- §2.6 streaming (batch twins of the streaming plans) ----
     "q_events_window" -> ((s, d) =>
@@ -500,6 +502,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_boilerplate" -> PipelineOracles.boilerplateGramsSql(0.5),
     "q_zipf" -> PipelineOracles.zipfCoverageSql(Seq(10, 100, 1000)),
     "q_quality_quantiles" -> PipelineOracles.qualityQuantilesSql,
+    "q_quantize_int8" -> PipelineOracles.quantizeInt8Sql,
 
     // ---- §2.6 streaming batch twins ----
     "q_events_window" ->

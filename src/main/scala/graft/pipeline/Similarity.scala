@@ -210,4 +210,31 @@ object Similarity {
     cos.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("vid"), col("cosine"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** Symmetric int8 quantization per vector — the storage-compression
+    * pass an embedding store runs before ANN serving (4× smaller than
+    * float32): scale = max|x|/127, q_i = floor(x_i/scale + 0.5).
+    * Returns per-vector audit stats (scale, dims, sum/min/max of the
+    * quantized ints) rather than the opaque byte payload so the DuckDB
+    * oracle can check the arithmetic bit-for-bit; floor(·+0.5) is used
+    * instead of round() because half-even vs half-away conventions
+    * differ across engines while floor of the same IEEE double cannot.
+    * Zero vectors quantize to all-zero (scale 0 guard). Narrow map +
+    * one aggregate-free higher-order fold per row — no shuffle at all. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val scale = expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0")
+    val q = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / _scale + 0.5) AS BIGINT))"
+    emb.select(col("vec_id"), col("embedding"), scale.as("_scale"))
+      .withColumn("_q",
+        when(col("_scale") === 0.0,
+          expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+          .otherwise(expr(q)))
+      .select(col("vec_id"),
+        round(col("_scale"), 6).as("scale"),
+        size(col("embedding")).cast("long").as("dims"),
+        expr("aggregate(_q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("qsum"),
+        expr("array_min(_q)").as("qmin"),
+        expr("array_max(_q)").as("qmax"))
+  }
 }

@@ -109,6 +109,23 @@ class CorpusPrepSpec extends SparkSpec {
     assert(cmp.filter(col("native") < 0L).isEmpty) // 60-bit ⇒ non-negative
   }
 
+  test("int8 quantization: known vector, zero vector, range bounds") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val m = graft.pipeline.Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // scale = 1/127; q = floor(x·127 + 0.5) = (127, -63, 32, 0)
+    assert(m(1L).getAs[Long]("qmax") == 127L)
+    assert(m(1L).getAs[Long]("qmin") == -63L)
+    assert(m(1L).getAs[Long]("qsum") == 127L - 63L + 32L + 0L)
+    assert(m(1L).getAs[Long]("dims") == 4L)
+    assert(m(2L).getAs[Double]("scale") == 0.0 &&
+      m(2L).getAs[Long]("qsum") == 0L)
+  }
+
   test("pii scan counts and redacts emails, phones, ips") {
     val d = docs(
       1L -> "mail me at jane.doe+x@example.com or call 415-555-1234 now",
