@@ -62,10 +62,14 @@ object Community {
           .join(bc(hooked.select(col("id").as("component"), col("component").as("_gp")))
             .as("b"), Seq("component"), "left_outer")
           .select(col("id"), coalesce(col("_gp"), col("component")).as("component")),
-        sum(col("component").cast("decimal(38,0)")).as("s"))
+        sum(col("component").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n"))
       comp = ck
       val s = m("s").asInstanceOf[java.math.BigDecimal]
-      done = prev != null && prev.compareTo(s) == 0
+      // empty graph: the label sum is null forever — terminate on the
+      // observed row count instead of spinning to maxIter
+      done = m("n").asInstanceOf[Long] == 0L ||
+        (prev != null && prev.compareTo(s) == 0)
       prev = s
     }
     (comp, iter)

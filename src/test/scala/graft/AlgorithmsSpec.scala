@@ -232,4 +232,15 @@ class AlgorithmsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(c.values.forall(v => math.abs(v - 1.0) < 1e-12)) // (1+1)/(3-1)
   }
+
+  test("empty graphs terminate promptly across the iterative kernels") {
+    val noIds = ids()
+    val noEdges = edges()
+    val (comp, rounds) = Community.ccWithRounds(noIds, noEdges, 15)
+    assert(comp.isEmpty && rounds <= 1) // early count probe, no maxIter spin
+    assert(Community.scc(noIds, noEdges).isEmpty)
+    assert(Community.pageRank(ids(1, 2), noEdges, 0.85, 3).count() == 2)
+    assert(Structure.kcoreMembers(noEdges, 2, 5).isEmpty)
+    assert(Traversal.bfsDistances(noEdges, noIds, 5).isEmpty)
+  }
 }
