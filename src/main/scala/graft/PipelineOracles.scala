@@ -325,10 +325,9 @@ FROM w JOIN tf USING (term) CROSS JOIN tot
 GROUP BY doc_id"""
 
   val piiScanSql: String = {
-    val pats = Seq(
-      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-      ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "[PHONE]"),
-      ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"))
+    // built from the SAME pattern list the Spark operator uses — the
+    // triples are RE2-compatible precisely so one definition serves both
+    val pats = graft.pipeline.TextOps.piiPatterns
     val counts = pats.map { case (kind, re, _) =>
       s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$kind"
     }.mkString(",\n  ")

@@ -29,11 +29,15 @@ object Community {
   private[graft] def ccWithRounds(nodes: DataFrame, symEdges: DataFrame,
                                   maxIter: Int): (DataFrame, Int) = {
     val e = symEdges.select("src", "dst")
-    var comp = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    // Node count rides the seed checkpoint (Dataset.observe) — no
+    // separate count job for the broadcast gate.
+    val (comp0, mC) = Probe.checkpointObserved(
+      nodes.select(col("id"), col("id").as("component")), count(lit(1)).as("n"))
+    var comp = comp0
     // Label state is |V| rows — while driver-sized, broadcast it into
     // the hook join (the edge table never moves) and into the shortcut
     // self-join.
-    val small = comp.count() <= 4000000L
+    val small = mC("n").asInstanceOf[Long] <= 4000000L
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var prev: java.math.BigDecimal = null
     var iter = 0

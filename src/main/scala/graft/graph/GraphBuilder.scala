@@ -19,8 +19,16 @@ object GraphBuilder {
   val RegionTag = 1L; val NationTag = 2L; val CustomerTag = 3L
   val SupplierTag = 4L; val PartTag = 5L; val OrderTag = 6L
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Idempotent native-function registration at the data entry point:
+    // guarantees graft_hash60/array_cosine resolve on THIS session (not
+    // just whichever session is thread-active when a Column is built —
+    // they can differ under spark.newSession()). Clusters set
+    // spark.sql.extensions=graft.sql.GraftExtensions instead.
+    graft.sql.Hash60.register(spark)
+    graft.sql.ArrayCosine.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Persist/restore a graph as parquet — the Spark-native analogue of
     * the reference's storage engines (mem/sled/hybrid): durable tables,

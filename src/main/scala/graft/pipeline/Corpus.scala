@@ -183,8 +183,7 @@ object Corpus {
     * (at true scale swap `percentile` for `approx_percentile` with an
     * accuracy knob — same call shape). */
   def qualityQuantiles(docs: DataFrame): DataFrame =
-    TextOps.quality(docs)
-      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    TextOps.withQuality(docs)
       .groupBy("lang")
       .agg(
         count(lit(1)).cast("long").as("n_docs"),

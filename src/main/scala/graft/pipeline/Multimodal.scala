@@ -74,12 +74,16 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition init of the (stubbed) codec happens here
       it.map { r =>
-        val target = math.max(1, (w * h) / 8)
+        // Long arithmetic: i·len overflows Int for MB-scale payloads
+        // (255·9e6 > 2^31) and w·h for large target dims
+        val target = math.min(math.max(1L, w.toLong * h.toLong / 8L),
+          Int.MaxValue.toLong - 8).toInt
         val out = new Array[Byte](target)
-        var i = 0
+        val len = r.media.length.toLong
+        var i = 0L
         while (i < target) {
-          out(i) = if (r.media.length == 0) 0
-                   else r.media((i * math.max(r.media.length, 1)) / target % r.media.length)
+          out(i.toInt) = if (len == 0L) 0
+                         else r.media(((i * len) / target % len).toInt)
           i += 1
         }
         ResizedMedia(r.media_id, r.kind, w, h, out)

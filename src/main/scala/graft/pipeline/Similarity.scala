@@ -219,13 +219,17 @@ object Similarity {
     * oracle can check the arithmetic bit-for-bit; floor(·+0.5) is used
     * instead of round() because half-even vs half-away conventions
     * differ across engines while floor of the same IEEE double cannot.
-    * Zero vectors quantize to all-zero (scale 0 guard). Narrow map +
-    * one aggregate-free higher-order fold per row — no shuffle at all. */
+    * Zero vectors quantize to all-zero (scale 0 guard); null/empty
+    * embeddings are dropped — the position-exploding oracle never sees
+    * them, and emitting audit rows for un-quantizable vectors would
+    * break the cross-engine row contract. Narrow map + one
+    * aggregate-free higher-order fold per row — no shuffle at all. */
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val scale = expr(
       "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0")
     val q = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / _scale + 0.5) AS BIGINT))"
-    emb.select(col("vec_id"), col("embedding"), scale.as("_scale"))
+    emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"), scale.as("_scale"))
       .withColumn("_q",
         when(col("_scale") === 0.0,
           expr("transform(embedding, x -> CAST(0 AS BIGINT))"))

@@ -49,33 +49,51 @@ object TextOps {
     "fr" -> "\\b(le|la|les)\\b",
     "zh" -> "的")
 
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = docs.select(
-      col("doc_id") +: col("lang") +: langMarkers.map { case (l, re) =>
-        regexp_count(col("text"), lit(re)).cast("long").as(s"s_$l")
+  /** Marker scores + `_guess` added to any frame with a text column —
+    * the single definition of the language-ID rule, shared by [[langId]]
+    * and the streaming gate (no second copy to drift). */
+  private[graft] def withLangGuess(df: DataFrame): DataFrame = {
+    val names = langMarkers.map(_._1)
+    val scored = df.select(
+      col("*") +: langMarkers.map { case (l, re) =>
+        regexp_count(col("text"), lit(re)).cast("long").as(s"_s_$l")
       }: _*)
-    val langs = langMarkers.map(_._1)
-    val guess = langs.foldRight(lit(langs.last)) { case (l, elseCol) =>
-      val ge = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+    val guess = names.foldRight(lit(names.last)) { case (l, elseCol) =>
+      val ge = names.filter(_ != l)
+        .map(o => col(s"_s_$l") >= col(s"_s_$o")).reduce(_ && _)
       when(ge, lit(l)).otherwise(elseCol)
     }
-    scored.select(col("doc_id"), col("lang"), guess.as("guess"))
-      .withColumn("matches", col("guess") === col("lang"))
+    scored.withColumn("_guess", guess)
   }
 
-  /** Quality score from length / punctuation / stopword ratios —
-    * 0.4·min(words/100,1) + 0.3·(1−punct/chars) + 0.3·min(5·stop/words,1). */
+  private[graft] val langHelperCols: Seq[String] =
+    langMarkers.map { case (l, _) => s"_s_$l" } :+ "_guess"
+
+  def langId(docs: DataFrame): DataFrame =
+    withLangGuess(docs)
+      .select(col("doc_id"), col("lang"), col("_guess").as("guess"))
+      .withColumn("matches", col("guess") === col("lang"))
+
+  /** Counting columns + `quality` added to any frame with a text column
+    * — 0.4·min(words/100,1) + 0.3·(1−punct/chars) +
+    * 0.3·min(5·stop/words,1); single definition shared by [[quality]]
+    * and the streaming gate. */
+  private[graft] def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("_chars", length(col("text")).cast("long"))
+      .withColumn("_words", regexp_count(col("text"), lit("[^ ]+")).cast("long"))
+      .withColumn("_punct", regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long"))
+      .withColumn("_stop", regexp_count(col("text"), lit("\\b(the|a|is)\\b")).cast("long"))
+      .withColumn("quality",
+        round(lit(0.4) * least(col("_words") / lit(100.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("_punct") / col("_chars")) +
+          lit(0.3) * least(lit(5.0) * col("_stop") / col("_words"), lit(1.0)), 6))
+
+  private[graft] val qualityHelperCols: Seq[String] =
+    Seq("_chars", "_words", "_punct", "_stop")
+
   def quality(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        length(col("text")).cast("long").as("chars"),
-        regexp_count(col("text"), lit("[^ ]+")).cast("long").as("words"),
-        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("punct"),
-        regexp_count(col("text"), lit("\\b(the|a|is)\\b")).cast("long").as("stop"))
-      .select(col("doc_id"), col("chars"), col("words"),
-        round(lit(0.4) * least(col("words") / lit(100.0), lit(1.0)) +
-              lit(0.3) * (lit(1.0) - col("punct") / col("chars")) +
-              lit(0.3) * least(lit(5.0) * col("stop") / col("words"), lit(1.0)), 6)
-          .as("quality"))
+    withQuality(docs).select(col("doc_id"), col("_chars").as("chars"),
+      col("_words").as("words"), col("quality"))
 
   /** Whitespace tokens + BPE-ish regex tokens (letter runs, single
     * digits, single punctuation marks). */

@@ -23,31 +23,10 @@ object CorpusStreams {
     * the same table, which on a stream would be a stateful
     * stream-stream self-join for no reason: both metrics are pure
     * row functions. Keeps every input column, adds `quality`. */
-  def qualityGate(docs: DataFrame, minQuality: Double): DataFrame = {
-    val names = TextOps.langMarkers.map(_._1)
-    val withScores = docs.select(
-      col("*") +: TextOps.langMarkers.map { case (l, re) =>
-        regexp_count(col("text"), lit(re)).cast("long").as(s"_s_$l")
-      }: _*)
-    val guess = names.foldRight(lit(names.last)) { case (l, elseCol) =>
-      val ge = names.filter(_ != l)
-        .map(o => col(s"_s_$l") >= col(s"_s_$o")).reduce(_ && _)
-      when(ge, lit(l)).otherwise(elseCol)
-    }
-    val words = regexp_count(col("text"), lit("[^ ]+")).cast("long")
-    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long")
-    val stop = regexp_count(col("text"), lit("\\b(the|a|is)\\b")).cast("long")
-    val chars = length(col("text")).cast("long")
-    val q = round(
-      lit(0.4) * least(words / lit(100.0), lit(1.0)) +
-        lit(0.3) * (lit(1.0) - punct / chars) +
-        lit(0.3) * least(lit(5.0) * stop / words, lit(1.0)), 6)
-    withScores
-      .withColumn("_guess", guess)
-      .withColumn("quality", q)
+  def qualityGate(docs: DataFrame, minQuality: Double): DataFrame =
+    TextOps.withQuality(TextOps.withLangGuess(docs))
       .filter(col("_guess") === col("lang") && col("quality") >= minQuality)
-      .drop(names.map(l => s"_s_$l") :+ "_guess": _*)
-  }
+      .drop(TextOps.langHelperCols ++ TextOps.qualityHelperCols: _*)
 
   /** The exact-dup key shared with Dedup.exact: first 100 chars,
     * lowercased. */

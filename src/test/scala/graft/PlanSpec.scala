@@ -66,10 +66,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"), plan.take(800))
     assert(!plan.contains("n_chars"), "unused n_chars must be pruned")
     // decontamination splits eval/train before shingling: the doc_id
-    // hash predicate must appear as a scan-level Filter, not post-explode
+    // hash predicate (pmod over hash60) must sit BELOW the shingle
+    // Generate — plans print parents first, so a post-explode filter
+    // would put pmod before the first Generate in the string
     val dplan = planOf(graft.pipeline.Corpus.decontaminate(
       GraphBuilder.table(spark, sfDir, "documents")))
     assert(!dplan.contains("CartesianProduct"))
+    val gen = dplan.indexOf("Generate")
+    val hashFilter = dplan.indexOf("pmod")
+    assert(gen >= 0 && hashFilter > gen,
+      "eval/train hash filter must be below the shingle explode")
   }
 
   test("native hash60 runs map-side, before the partial aggregate") {
