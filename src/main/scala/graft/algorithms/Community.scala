@@ -409,7 +409,7 @@ object Community {
     }
     val total =
       if (iterations >= 1) totalObs
-      else rank.agg(sum("rank")).head.getDouble(0)
+      else rank.agg(sum("rank")).head().getDouble(0)
     rank.select(col("id"), (col("rank") / lit(total)).as("rank"))
   }
 }

@@ -79,7 +79,7 @@ final class Compiler(graph: PropertyGraph,
                 .toSeq.sorted
             val overlap = innerCtx.df.columns.filter(c =>
               ctx.df.columns.contains(c) && !joinCols.contains(c))
-            val rightDf = innerCtx.df.drop(overlap: _*)
+            val rightDf = innerCtx.df.drop(overlap.toIndexedSeq: _*)
             // openCypher CALL semantics: an *aggregating* subquery returns
             // exactly one row per outer row, so every outer row survives —
             // left-join and fill the aggregates' over-empty defaults
@@ -129,7 +129,7 @@ final class Compiler(graph: PropertyGraph,
         .intersect(pctx.nodeVars).intersect(ctx0.nodeVars).toSeq.sorted
       val overlap = pctx.df.columns.filter(c =>
         ctx0.df.columns.contains(c) && !shared.contains(c))
-      val rightDf = pctx.df.drop(overlap: _*)
+      val rightDf = pctx.df.drop(overlap.toIndexedSeq: _*)
       val joined =
         if (shared.isEmpty) ctx0.df.crossJoin(rightDf)
         else ctx0.df.join(rightDf, shared, if (optional) "left_outer" else "inner")
