@@ -130,6 +130,22 @@ cos AS (SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
         FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
 SELECT a, b, cosine FROM cos WHERE cosine >= $minCosine"""
 
+  /** Semantic-audit mirror: cosine over the minhash candidate pairs,
+    * bucketed by decile. */
+  val semanticAuditSql: String =
+    s"""WITH ${minhashCtes(16, 4)},
+$embCtes,
+dots AS (SELECT p.a, p.b, SUM(xa.x * xb.x) AS dot
+         FROM pairs p JOIN ex xa ON xa.vec_id = p.a
+         JOIN ex xb ON xb.vec_id = p.b AND xb.pos = xa.pos
+         GROUP BY 1, 2),
+cos AS (SELECT ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
+SELECT CAST(FLOOR(cosine * 10) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(cosine), 6) AS avg_cosine
+FROM cos GROUP BY 1"""
+
   /** Int8 quantization mirror: same scale formula, same floor(·+0.5)
     * rounding over the same IEEE doubles. */
   val quantizeInt8Sql: String =

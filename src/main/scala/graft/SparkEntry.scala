@@ -348,6 +348,9 @@ object SparkEntry {
       Corpus.qualityQuantiles(GraphBuilder.table(s, d, "documents"))),
     "q_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(GraphBuilder.table(s, d, "embeddings"))),
+    "q_semantic_audit" -> ((s, d) =>
+      Dedup.semanticAudit(minhashPairsCached(s, d),
+        GraphBuilder.table(s, d, "embeddings"))),
 
     // ---- §2.6 streaming (batch twins of the streaming plans) ----
     "q_events_window" -> ((s, d) =>
@@ -503,6 +506,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_zipf" -> PipelineOracles.zipfCoverageSql(Seq(10, 100, 1000)),
     "q_quality_quantiles" -> PipelineOracles.qualityQuantilesSql,
     "q_quantize_int8" -> PipelineOracles.quantizeInt8Sql,
+    "q_semantic_audit" -> PipelineOracles.semanticAuditSql,
 
     // ---- §2.6 streaming batch twins ----
     "q_events_window" ->

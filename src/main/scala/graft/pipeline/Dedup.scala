@@ -149,4 +149,23 @@ object Dedup {
         round(col("common") / (col("sza") + col("szb") - col("common")), 6)
           .as("jaccard"))
   }
+
+  /** Lexical×semantic agreement audit: the embedding-cosine decile
+    * histogram of the lexical (minhash) candidate pairs — the dashboard
+    * that catches a dedup config gone wrong (lexical dups scoring as
+    * semantically distant means bad embeddings or shingle collisions;
+    * the whole mass in one bucket means redundant signals). Doc and
+    * vector ids are aligned in the corpus. Two hash joins on the pair
+    * endpoints + one fused array_cosine per pair + a ≤20-bucket
+    * aggregation — shuffle bounded by |pairs|. */
+  def semanticAudit(pairs: DataFrame, emb: DataFrame): DataFrame = {
+    graft.sql.ArrayCosine.register(emb.sparkSession)
+    pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(expr("round(array_cosine(ea, eb), 6)").as("cosine"))
+      .groupBy(floor(col("cosine") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(avg("cosine"), 6).as("avg_cosine"))
+  }
 }
