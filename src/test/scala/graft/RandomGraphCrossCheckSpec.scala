@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.algorithms.{Community, Structure, Traversal}
+
+/** Randomized cross-checks: the DataFrame kernels vs trivially-correct
+  * driver-side reference implementations on seeded random graphs —
+  * the partitions/labels must agree exactly on every instance. Seeds
+  * are fixed so runs are deterministic. */
+class RandomGraphCrossCheckSpec extends SparkSpec {
+
+  private lazy val implicits = spark.implicits
+  import implicits._
+
+  private def randomDigraph(n: Int, p: Double, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    for {
+      a <- 0L until n; b <- 0L until n
+      if a != b && rnd.nextDouble() < p
+    } yield (a, b)
+  }
+
+  private def df(pairs: Seq[(Long, Long)]): DataFrame = pairs.toDF("src", "dst")
+  private def idsDf(n: Int): DataFrame = (0L until n).toDF("id")
+
+  // ---- driver-side references ----
+
+  private def unionFindCC(n: Int, sym: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    sym.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonicalize to min member
+    val label = (0 until n).groupBy(find).map { case (_, m) => m.map(_.toLong).min -> m }
+    label.flatMap { case (lbl, m) => m.map(_.toLong -> lbl) }.toMap
+  }
+
+  private def tarjanScc(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1.toInt).map { case (k, v) => k -> v.map(_._2.toInt) }
+      .withDefaultValue(Seq.empty)
+    val idx = Array.fill(n)(-1); val low = Array.fill(n)(0)
+    val onStack = Array.fill(n)(false)
+    val stack = scala.collection.mutable.Stack[Int]()
+    var counter = 0
+    val comp = Array.fill(n)(-1)
+    var compCount = 0
+    def strongConnect(v: Int): Unit = {
+      idx(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack(v) = true
+      adj(v).foreach { w =>
+        if (idx(w) == -1) { strongConnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+      }
+      if (low(v) == idx(v)) {
+        var done = false
+        while (!done) {
+          val w = stack.pop(); onStack(w) = false; comp(w) = compCount
+          if (w == v) done = true
+        }
+        compCount += 1
+      }
+    }
+    (0 until n).foreach(v => if (idx(v) == -1) strongConnect(v))
+    // canonicalize to min member id
+    val byComp = (0 until n).groupBy(comp)
+    byComp.values.flatMap { m =>
+      val lbl = m.map(_.toLong).min; m.map(_.toLong -> lbl)
+    }.toMap
+  }
+
+  private def bfsRef(n: Int, edges: Seq[(Long, Long)], src: Long): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      .withDefaultValue(Seq.empty)
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Seq(src)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = d)
+    }
+    dist.toMap
+  }
+
+  private def kcoreRef(n: Int, sym: Seq[(Long, Long)], k: Int): Set[Long] = {
+    var alive = (0L until n).filter(v => sym.exists(e => e._1 == v)).toSet
+    var changed = true
+    while (changed) {
+      val deg = sym.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (v, es) => v -> es.size }
+      val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+      changed = next != alive
+      alive = next
+    }
+    alive
+  }
+
+  // ---- cross-checks ----
+
+  test("connected components agree with union-find on random graphs") {
+    for (seed <- 1L to 3L) {
+      val n = 20
+      val und = randomDigraph(n, 0.08, seed)
+      val sym = (und ++ und.map(_.swap)).distinct
+      val got = Community.connectedComponents(idsDf(n), df(sym), 15)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFindCC(n, sym), s"seed $seed")
+    }
+  }
+
+  test("scc agrees with Tarjan on random digraphs") {
+    for (seed <- 1L to 3L) {
+      val n = 15
+      val e = randomDigraph(n, 0.12, seed)
+      val got = Community.scc(idsDf(n), df(e))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == tarjanScc(n, e), s"seed $seed")
+    }
+  }
+
+  test("bfs distances agree with a driver BFS on random digraphs") {
+    for (seed <- 1L to 3L) {
+      val n = 20
+      val e = randomDigraph(n, 0.1, seed)
+      val got = Traversal.bfsDistances(df(e), Seq(0L).toDF("id"), 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bfsRef(n, e, 0L), s"seed $seed")
+    }
+  }
+
+  test("k-core members agree with a reference peel on random graphs") {
+    for (seed <- 1L to 3L) {
+      val n = 18
+      val und = randomDigraph(n, 0.2, seed)
+      val sym = (und ++ und.map(_.swap)).distinct
+      val got = Structure.kcoreMembers(df(sym), 3, 20)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == kcoreRef(n, sym, 3), s"seed $seed")
+    }
+  }
+}
