@@ -97,7 +97,110 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
     alive
   }
 
+  private def brandesRef(n: Int, edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1.toInt).map { case (k, v) => k -> v.map(_._2.toInt) }
+      .withDefaultValue(Seq.empty)
+    val bc = Array.fill(n)(0.0)
+    for (s <- 0 until n) {
+      val dist = Array.fill(n)(-1); val sigma = Array.fill(n)(0.0)
+      val order = scala.collection.mutable.ArrayBuffer[Int]()
+      dist(s) = 0; sigma(s) = 1.0
+      var frontier = Seq(s)
+      while (frontier.nonEmpty) {
+        order ++= frontier
+        val next = scala.collection.mutable.LinkedHashSet[Int]()
+        frontier.foreach { v =>
+          adj(v).foreach { w =>
+            if (dist(w) == -1 || dist(w) == dist(v) + 1) {
+              if (dist(w) == -1) { dist(w) = dist(v) + 1; next += w }
+              sigma(w) += sigma(v)
+            }
+          }
+        }
+        frontier = next.toSeq
+      }
+      val delta = Array.fill(n)(0.0)
+      order.reverse.foreach { v =>
+        adj(v).foreach { w =>
+          if (dist(w) == dist(v) + 1)
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        }
+        if (v != s) bc(v) += delta(v)
+      }
+    }
+    val norm = (n - 1.0) * (n - 2.0)
+    (0 until n).map(v => v.toLong -> bc(v) / norm).toMap
+  }
+
+  private def louvainRef(sym: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = sym.map(_._1).distinct
+    nodes.map { v =>
+      // count incident endpoints per (singleton) neighbor community;
+      // ties break to the smallest community id
+      val counts = sym.filter(_._1 == v).map(_._2)
+        .groupBy(identity).map { case (c, xs) => c -> xs.size }
+      val best = counts.toSeq.maxBy { case (c, w) => (w, -c) }._1
+      v -> best
+    }.toMap
+  }
+
   // ---- cross-checks ----
+
+  test("betweenness agrees with driver Brandes on random digraphs") {
+    for (seed <- 1L to 2L) {
+      val n = 12
+      val e = randomDigraph(n, 0.15, seed)
+      val got = graft.algorithms.Centrality.betweenness(idsDf(n), df(e), n)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = brandesRef(n, e)
+      assert(got.keySet == want.keySet, s"seed $seed")
+      got.foreach { case (v, x) =>
+        assert(math.abs(x - want(v)) < 1e-9, s"seed $seed node $v: $x vs ${want(v)}")
+      }
+    }
+  }
+
+  test("louvain one pass agrees with the synchronous move rule") {
+    for (seed <- 1L to 2L) {
+      val und = randomDigraph(16, 0.15, seed)
+      val sym = (und ++ und.map(_.swap)).distinct
+      val got = Community.louvainOnePass(df(sym))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == louvainRef(sym), s"seed $seed")
+    }
+  }
+
+  test("all shortest paths count matches the sigma of a counting BFS") {
+    for (seed <- 1L to 2L) {
+      val n = 14
+      val e = randomDigraph(n, 0.15, seed).map { case (a, b) => (a, b, "E") }
+      val edf = e.toDF("src", "dst", "rel_type")
+      // counting BFS from 0
+      val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .withDefaultValue(Seq.empty)
+      val dist = scala.collection.mutable.Map(0L -> 0L)
+      val sigma = scala.collection.mutable.Map(0L -> 1L).withDefaultValue(0L)
+      var frontier = Seq(0L)
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.LinkedHashSet[Long]()
+        frontier.foreach { v =>
+          adj(v).foreach { w =>
+            if (!dist.contains(w)) { dist(w) = dist(v) + 1; next += w }
+            if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+          }
+        }
+        frontier = next.toSeq
+      }
+      // pick the farthest reachable node (deterministic tiebreak by id)
+      val targets = dist.filter(_._1 != 0L)
+      if (targets.nonEmpty) {
+        val (tgt, d) = targets.toSeq.maxBy { case (v, dd) => (dd, -v) }
+        val paths = graft.algorithms.Paths.allShortestPaths(edf, 0L, tgt, n).collect()
+        assert(paths.length.toLong == sigma(tgt), s"seed $seed target $tgt")
+        assert(paths.forall(_.getAs[Long]("hops") == d), s"seed $seed")
+      }
+    }
+  }
 
   test("connected components agree with union-find on random graphs") {
     for (seed <- 1L to 3L) {
