@@ -20,8 +20,19 @@ object Bench {
     // same (alphabetically first) query and per-query numbers stay
     // comparable round over round.
     // Optional comma-separated query-name filter for local profiling
-    // (unset → full suite, the driver's mode).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // (unset → full suite, the driver's mode). Unknown names fail fast —
+    // a typo must not silently yield an empty run — and an active filter
+    // is announced loudly so a leaked env var can't masquerade as an
+    // official full-suite number.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map { s =>
+      val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      System.err.println(s"BENCH FILTER ACTIVE: ${names.size}/${SparkEntry.queries.size} " +
+        "queries — totals are NOT comparable to full-suite runs")
+      names
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

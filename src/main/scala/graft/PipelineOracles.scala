@@ -267,10 +267,13 @@ GROUP BY s.doc_id"""
   /** Mixing-weight sampler mirror: same salted hash bucket, weights as
     * a CASE chain (unlisted langs drop). */
   def mixSampleSql(weights: Seq[(String, Double)]): String = {
-    val cases = weights.map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+    // Same integerized thresholds as Corpus.mixSample: both engines
+    // compare BIGINT < BIGINT, so no decimal-vs-double boundary drift.
+    val cases = weights.map { case (l, w) =>
+      s"WHEN '$l' THEN ${math.round(w * 10000).min(10000L)}" }.mkString(" ")
     s"""SELECT doc_id, lang FROM documents
 WHERE ${h60("'mx:' || CAST(doc_id AS VARCHAR)")} % 10000
-      < (CASE lang $cases ELSE 0.0 END) * 10000"""
+      < (CASE lang $cases ELSE 0 END)"""
   }
 
   def boilerplateGramsSql(minDocFrac: Double): String =

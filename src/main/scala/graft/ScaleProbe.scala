@@ -20,6 +20,11 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "4").toInt
     val dir = sys.env("SPARK_GRAFT_SF_DIR")
+    // Optional regime override: SPARK_GRAFT_BROADCAST_THRESHOLD=0 forces
+    // every dual-regime kernel onto its shuffle (cluster-scale) branch,
+    // so the probe can time the code path a 100× run actually executes.
+    val bThresh = sys.env.get("SPARK_GRAFT_BROADCAST_THRESHOLD")
+    bThresh.foreach(v => sys.props("graft.broadcast.threshold") = v)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +61,7 @@ object ScaleProbe {
     val ratios = t1.keys.map(q => q -> BigDecimal(tk(q) / t1(q))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     println(
-      s"""{"probe":"scale","k":$k,"base_docs":$n,""" +
+      s"""{"probe":"scale","k":$k,"base_docs":$n,"broadcast_threshold":"${bThresh.getOrElse("default")}",""" +
         s""""t1":{${t1.map { case (q, t) => s""""$q":${BigDecimal(t).setScale(2, BigDecimal.RoundingMode.HALF_UP)}""" }.mkString(",")}},""" +
         s""""tk":{${tk.map { case (q, t) => s""""$q":${BigDecimal(t).setScale(2, BigDecimal.RoundingMode.HALF_UP)}""" }.mkString(",")}},""" +
         s""""ratio":{${ratios.map { case (q, r) => s""""$q":$r""" }.mkString(",")}}}""")

@@ -63,9 +63,12 @@ object SparkEntry {
   private val P = GraphBuilder.oraclePreamble
 
   /** Mixing weights for q_mix_sample — ordered so the oracle's CASE
-    * chain is deterministic; zh exercises the unlisted→0 default. */
+    * chain is deterministic; zh exercises the unlisted→0 default and
+    * 0.29 exercises the integerized-threshold boundary (0.29·10000 is
+    * not exact in an IEEE double — both engines must compare the
+    * precomputed long, ADVICE r4). */
   private val mixWeights: Seq[(String, Double)] =
-    Seq("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1)
+    Seq("en" -> 1.0, "de" -> 0.5, "es" -> 0.29, "fr" -> 0.1)
 
   /** Flagship: customers + account balance rolled up to region via
     * 2-hop IN_NATION/IN_REGION traversal. Driver smoke-checks rows>0. */

@@ -24,10 +24,12 @@ object Community {
   def connectedComponents(nodes: DataFrame, symEdges: DataFrame, maxIter: Int): DataFrame =
     ccWithRounds(nodes, symEdges, maxIter)._1
 
-  /** connectedComponents + the number of rounds it took to converge
-    * (exposed so the chain-graph spec can assert the O(log n) bound). */
+  /** connectedComponents + the number of rounds it took + whether the
+    * fixpoint was actually reached (exposed so the chain-graph spec can
+    * assert the O(log n) bound and so callers can fail on an unconverged
+    * run instead of silently using partial labels). */
   private[graft] def ccWithRounds(nodes: DataFrame, symEdges: DataFrame,
-                                  maxIter: Int): (DataFrame, Int) = {
+                                  maxIter: Int): (DataFrame, Int, Boolean) = {
     // Materialize the edge view once: it is joined EVERY round, and a
     // live plan would re-run its whole upstream (e.g. the minhash
     // pipeline feeding dedupClusters) per iteration — measured 34 s vs
@@ -41,7 +43,7 @@ object Community {
     // Label state is |V| rows — while driver-sized, broadcast it into
     // the hook join (the edge table never moves) and into the shortcut
     // self-join.
-    val small = mC("n").asInstanceOf[Long] <= 4000000L
+    val small = mC("n").asInstanceOf[Long] <= Tuning.broadcastThreshold
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var prev: java.math.BigDecimal = null
     var iter = 0
@@ -80,7 +82,7 @@ object Community {
         (prev != null && prev.compareTo(s) == 0)
       prev = s
     }
-    (comp, iter)
+    (comp, iter, done)
   }
 
   /** One synchronous pass of the reference's Louvain phase 1
@@ -155,8 +157,16 @@ object Community {
     var prevI: java.math.BigDecimal = null
     var stable = false
     var it = 0
+    // Termination rests on the monotone (hash,id) argument; a generous
+    // safety cap (pointer doubling converges in O(log idCount) steps —
+    // allow 12× that plus slack) turns any future regression or an edge
+    // frame mutated between rounds into a fast IllegalStateException
+    // instead of a hung job, mirroring the outer scc no-progress guard.
+    val cap = 12 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(idCount, 2L))) + 24
     while (!stable) {
       it += 1; dbg(s"coloring iter $it start")
+      if (it > cap) throw new IllegalStateException(
+        s"minColoring exceeded $cap fixpoint steps over $idCount ids — monotone-progress invariant violated")
       val hopMsgs = Iterator.iterate(
           color.join(eJ, color("id") === eJ("src"))
             .select(eJ("dst").as("id"), col("chash"), col("cid"))) { prev =>
@@ -167,7 +177,7 @@ object Community {
       val jumpSide = color.select(col("id").as("cid"), col("chash").as("_jh"),
         col("cid").as("_jc"))
       val jumpMsgs = color.as("a")
-        .join(if (idCount <= 4000000L) broadcast(jumpSide) else jumpSide, Seq("cid"))
+        .join(if (idCount <= Tuning.broadcastThreshold) broadcast(jumpSide) else jumpSide, Seq("cid"))
         .select(col("a.id").as("id"), col("_jh").as("chash"), col("_jc").as("cid"))
       // Probe fused into the checkpoint job (Dataset.observe): one job
       // per fixpoint step instead of two.
@@ -193,7 +203,7 @@ object Community {
   private def semiOn(e: DataFrame, keyCol: String, ids: DataFrame,
                      idCount: Long): DataFrame = {
     val probe = ids.withColumnRenamed("id", keyCol)
-    e.join(if (idCount <= 4000000L) broadcast(probe) else probe,
+    e.join(if (idCount <= Tuning.broadcastThreshold) broadcast(probe) else probe,
       Seq(keyCol), "left_semi")
   }
 
@@ -302,7 +312,7 @@ object Community {
         // stream is Σ deg^k rows and the jump alone must carry the
         // doubling (see minColoring).
         dbg("forward coloring start")
-        val eSmall = eCount <= 4000000L
+        val eSmall = eCount <= Tuning.broadcastThreshold
         val hops = if (eCount <= 2L * remaining) 3 else 1
         val colorOf = minColoring(active, e, remaining, eSmall, hops)
           .localCheckpoint()
@@ -315,7 +325,7 @@ object Community {
         // (hash(w),w)), so bcol(v) = cid(v) ⇔ v reaches its root ⇔
         // v ∈ SCC(root). O(log diameter) steps where the old per-hop
         // backward BFS paid one join round per BFS level.
-        val cB = if (remaining <= 4000000L) broadcast(colorOf) else colorOf
+        val cB = if (remaining <= Tuning.broadcastThreshold) broadcast(colorOf) else colorOf
         val eClass = e
           .join(cB.select(col("id").as("src"), col("cid").as("_cs")), Seq("src"))
           .join(cB.select(col("id").as("dst"), col("cid").as("_cd")), Seq("dst"))
@@ -327,7 +337,7 @@ object Community {
         dbg("backward coloring done")
         val fc = colorOf.withColumnRenamed("cid", "_fc")
         val assigned = bcol
-          .join(if (remaining <= 4000000L) broadcast(fc) else fc, Seq("id"))
+          .join(if (remaining <= Tuning.broadcastThreshold) broadcast(fc) else fc, Seq("id"))
           .filter(col("cid") === col("_fc"))
           .select(col("id"), col("cid").as("scc_id"))
           .localCheckpoint()
@@ -349,7 +359,7 @@ object Community {
     val relabel0 = raw.groupBy("scc_id").agg(min("id").as("_lbl"))
     // |relabel| ≤ |V|; broadcast while the node set is driver-sized
     // (count already observed on the initial checkpoint — no extra job).
-    val relabel = if (nTotal <= 4000000L) broadcast(relabel0) else relabel0
+    val relabel = if (nTotal <= Tuning.broadcastThreshold) broadcast(relabel0) else relabel0
     raw.join(relabel, Seq("scc_id"))
       .select(col("id"), col("_lbl").as("scc_id"))
   }
@@ -382,7 +392,7 @@ object Community {
     // outputPartitioning, rank is hash-partitioned by its groupBy), so
     // each iteration shuffles only the contribution groupBy, never the
     // edges.
-    val small = n <= 4000000
+    val small = n <= Tuning.broadcastThreshold
     val outdeg = if (small) broadcast(outdeg0) else outdeg0
     val eDeg0 = e.join(outdeg, Seq("src"))
     val eDeg = (if (small) eDeg0 else eDeg0.repartition(col("src")))

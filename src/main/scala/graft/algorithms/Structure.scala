@@ -16,7 +16,7 @@ object Structure {
     * skewed graphs. The (x,y,z) labels depend on the orientation but the
     * triangle node-sets (and thus all counts) do not. */
   def triangles(pedges: DataFrame,
-                broadcastCloseMaxEdges: Long = 4000000L): DataFrame = {
+                broadcastCloseMaxEdges: Long = Tuning.broadcastThreshold): DataFrame = {
     val deg = pedges.select(col("a").as("v"))
       .unionByName(pedges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -61,7 +61,7 @@ object Structure {
     * the triangle stream — each row explodes into its three corners
     * (a 3-branch union would re-run the wedge join once per corner). */
   def trianglesPerNode(pedges: DataFrame,
-                       broadcastCloseMaxEdges: Long = 4000000L): DataFrame =
+                       broadcastCloseMaxEdges: Long = Tuning.broadcastThreshold): DataFrame =
     perNodeCounts(triangles(pedges, broadcastCloseMaxEdges))
 
   /** Corner-count aggregation for an (x,y,z) triangle frame — split out
@@ -102,7 +102,7 @@ object Structure {
       val deadCount = mD("n").asInstanceOf[Long]
       if (deadCount == 0L) converged = true
       else {
-        val db = if (deadCount <= 4000000L) broadcast(dead) else dead
+        val db = if (deadCount <= Tuning.broadcastThreshold) broadcast(dead) else dead
         val decr = e.join(db.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
           .groupBy(col("dst").as("id")).agg(count(lit(1)).as("dec"))
         deg = deg.join(db, Seq("id"), "left_anti")

@@ -1,0 +1,32 @@
+package graft.algorithms
+
+/** Shared regime knobs for the iterative kernels.
+  *
+  * Every dual-regime kernel (connected components, SCC, PageRank,
+  * k-core, triangles) gates "broadcast the |V|-bounded side" vs "shuffle
+  * join" on the same row-count threshold. The default (4M rows ≈ tens of
+  * MB) is safely inside a driver/executor heap; a 100 TB run crosses it
+  * and takes the shuffle branch. The threshold is a system property so
+  * tests can force the shuffle regime on small data
+  * (`-Dgraft.broadcast.threshold=0`) — the code path a large cluster
+  * actually runs must be exercisable without a large cluster.
+  */
+object Tuning {
+  val DefaultBroadcastThreshold = 4000000L
+
+  def broadcastThreshold: Long =
+    sys.props.get("graft.broadcast.threshold").map(_.toLong)
+      .getOrElse(DefaultBroadcastThreshold)
+
+  /** Run `body` with the broadcast gate forced to `n` rows (test/probe
+    * helper; restores the previous setting on exit). */
+  def withBroadcastThreshold[A](n: Long)(body: => A): A = {
+    val prev = sys.props.get("graft.broadcast.threshold")
+    sys.props("graft.broadcast.threshold") = n.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.broadcast.threshold") = v
+      case None    => sys.props -= "graft.broadcast.threshold"
+    }
+  }
+}

@@ -85,11 +85,21 @@ final class Compiler(graph: PropertyGraph,
             // left-join and fill the aggregates' over-empty defaults
             // (COUNT/SUM → 0, COLLECT → [], AVG/MIN/MAX/… → NULL). A
             // non-aggregating subquery with no matches genuinely yields no
-            // rows for that outer row — inner join.
+            // rows for that outer row — inner join. The one-row-per-outer
+            // premise only holds when every non-aggregate inner return
+            // item is a join column; an extra grouping key (e.g. RETURN r,
+            // n.kind, COUNT(*)) can emit several rows per outer row and a
+            // left-join fill would fabricate (key=NULL, 0) rows no engine
+            // produces — those fall back to inner join.
             val aggItems = inner.ret.items.collect { case a: RetAgg => a }
+            val nonAggAllJoinCols = inner.ret.items.forall {
+              case _: RetAgg => true
+              case e         => joinCols.contains(Ast.defaultName(e))
+            }
             val joined =
               if (joinCols.isEmpty) ctx.df.crossJoin(rightDf)
-              else if (aggItems.isEmpty) ctx.df.join(rightDf, joinCols, "inner")
+              else if (aggItems.isEmpty || !nonAggAllJoinCols)
+                ctx.df.join(rightDf, joinCols, "inner")
               else {
                 val j = ctx.df.join(rightDf, joinCols, "left_outer")
                 aggItems.foldLeft(j) { (df, a) =>

@@ -25,8 +25,14 @@ object Corpus {
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
-    graft.algorithms.Community.connectedComponents(nodes, sym, maxIter)
-      .groupBy(col("component").as("rep_id"))
+    // An unconverged CC run would silently mislabel clusters — fail
+    // instead (pointer doubling converges in O(log n) rounds, so hitting
+    // the cap means the cap is mis-tuned or the pair graph is live).
+    val (cc, _, converged) =
+      graft.algorithms.Community.ccWithRounds(nodes, sym, maxIter)
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters: connected components did not converge within $maxIter rounds")
+    cc.groupBy(col("component").as("rep_id"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
   }
 
@@ -132,10 +138,16 @@ object Corpus {
     * Unlisted languages default to weight 0. Narrow filter — scales
     * trivially. */
   def mixSample(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
-    val w = typedLit(weights)
+    // Thresholds are integerized ONCE on the driver: weight*10000 as an
+    // IEEE double (e.g. 0.29 → 2900.0000000000005) can disagree with a
+    // decimal engine's exact product at the boundary bucket, so both the
+    // filter and the cross-engine oracle must compare long < long.
+    val thresholds = weights.map { case (l, w) =>
+      l -> math.round(w * 10000).min(10000L) }
+    val w = typedLit(thresholds)
     docs.filter(
         pmod(hash60(col("doc_id").cast("string"), "mx:"), lit(10000L)) <
-          coalesce(element_at(w, col("lang")), lit(0.0)) * 10000)
+          coalesce(element_at(w, col("lang")), lit(0L)))
       .select("doc_id", "lang")
   }
 

@@ -176,9 +176,11 @@ class AlgorithmsSpec extends SparkSpec {
     // pointer doubling must land well under 2·log2(256) + slack.
     val n = 256
     val chain = symm(edges((1 until n).map(i => i.toLong -> (i + 1).toLong): _*))
-    val (comp, rounds) = Community.ccWithRounds(ids((1 to n).map(_.toLong): _*), chain, 40)
+    val (comp, rounds, converged) =
+      Community.ccWithRounds(ids((1 to n).map(_.toLong): _*), chain, 40)
     val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.forall(_ == 1L) && labels.size == n)
+    assert(converged, "chain CC must reach its fixpoint")
     assert(rounds <= 20, s"pointer doubling took $rounds rounds on a $n-chain")
   }
 
@@ -236,7 +238,7 @@ class AlgorithmsSpec extends SparkSpec {
   test("empty graphs terminate promptly across the iterative kernels") {
     val noIds = ids()
     val noEdges = edges()
-    val (comp, rounds) = Community.ccWithRounds(noIds, noEdges, 15)
+    val (comp, rounds, _) = Community.ccWithRounds(noIds, noEdges, 15)
     assert(comp.isEmpty && rounds <= 1) // early count probe, no maxIter spin
     assert(Community.scc(noIds, noEdges).isEmpty)
     assert(Community.pageRank(ids(1, 2), noEdges, 0.85, 3).count() == 2)

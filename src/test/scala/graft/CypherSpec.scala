@@ -255,6 +255,27 @@ class CypherSpec extends SparkSpec {
     assert(rows.length == 5 && rows.forall(_.getLong(1) == 5L))
   }
 
+  test("aggregating CALL with an extra grouping key inner-joins — no fabricated rows") {
+    // The inner query groups by (r, nname): several/zero rows per outer
+    // row, so the left-outer COUNT→0 fill would fabricate a
+    // (nname=NULL, cnt=0) row per unmatched region — neither SQL nor
+    // openCypher grouping semantics produces one (ADVICE r4).
+    val rows = Cypher.query(graph,
+      "MATCH (r:Region) " +
+      "CALL { MATCH (n:Nation)-[:IN_REGION]->(r) WHERE n.name = 'NATION_1' " +
+      "RETURN r, n.name AS nname, COUNT(*) AS cnt } IN (r) " +
+      "RETURN r.name AS rname, nname, cnt").collect()
+    assert(rows.length == 1 && rows(0).getString(1) == "NATION_1" &&
+      rows(0).getLong(2) == 1L)
+    // the pure-aggregate form still preserves every outer row
+    val all = Cypher.query(graph,
+      "MATCH (r:Region) " +
+      "CALL { MATCH (n:Nation)-[:IN_REGION]->(r) WHERE n.name = 'NATION_1' " +
+      "RETURN r, COUNT(*) AS cnt } IN (r) " +
+      "RETURN r.name AS rname, cnt").collect()
+    assert(all.length == 5 && all.map(_.getLong(1)).sum == 1L)
+  }
+
   test("rel variable property access") {
     val row = Cypher.query(graph,
       "MATCH (o:Order)-[l:CONTAINS]->(p:Part) RETURN SUM(l.quantity) AS q").head

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.algorithms.{Community, Structure, Tuning}
+
+/** The dual-regime kernels (CC, SCC, PageRank, k-core, triangles) gate
+  * "broadcast the |V|-bounded side" vs "shuffle join" on
+  * [[Tuning.broadcastThreshold]]. sf0.1 never crosses the default 4M-row
+  * gate, so without this spec the shuffle branch — the code path a
+  * 100 TB cluster actually runs — would ship untested. Here every kernel
+  * runs twice on the same seeded random graph, once per regime, and the
+  * outputs must be identical (bit-identical for the integer kernels,
+  * 1e-9 for PageRank).
+  */
+class ShuffleRegimeSpec extends SparkSpec {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  // Seeded random graph, big enough that every kernel does real work:
+  // 400 nodes, ~1600 directed edges (dense enough for triangles and a
+  // non-trivial core/SCC structure).
+  private lazy val (nodeDf, edgeDf, symDf, pairDf) = {
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val es = Seq.fill(1600)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = es.toDF("src", "dst").localCheckpoint()
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val pairs = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b").localCheckpoint()
+    (nodes, edges, sym, pairs)
+  }
+
+  private def both[A](run: => A): (A, A) = {
+    val broadcastRegime = run
+    val shuffleRegime = Tuning.withBroadcastThreshold(0L)(run)
+    (broadcastRegime, shuffleRegime)
+  }
+
+  private def asSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("connected components: shuffle regime ≡ broadcast regime") {
+    val (b, s) = both(asSet(Community.connectedComponents(nodeDf, symDf, 30)))
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("scc: shuffle regime ≡ broadcast regime") {
+    val (b, s) = both(asSet(Community.scc(nodeDf, edgeDf)))
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("pageRank: shuffle regime ≡ broadcast regime (1e-9)") {
+    def ranks = Community.pageRank(nodeDf, edgeDf, 0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (b, s) = both(ranks)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-9, s"rank($id) differs across regimes") }
+  }
+
+  test("k-core members: shuffle regime ≡ broadcast regime") {
+    val (b, s) = both(asSet(Structure.kcoreMembers(symDf, 4, 30)))
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("triangles per node: shuffle regime ≡ broadcast regime") {
+    // trianglesPerNode reads the threshold through its default argument,
+    // so the forced-0 run takes the shuffle close path.
+    val (b, s) = both(asSet(Structure.trianglesPerNode(pairDf)))
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("core numbers: shuffle regime ≡ broadcast regime") {
+    val (b, s) = both(asSet(Structure.coreNumbers(symDf)))
+    assert(b.nonEmpty && b == s)
+  }
+}
