@@ -78,6 +78,91 @@ object Oracles {
     sb.toString
   }
 
+  /** A* oracle on the nation trade graph with a derived integer
+    * coordinate frame: nation key k sits at grid cell (k mod 5, k div 5)
+    * and every edge weighs the manhattan distance between its endpoints.
+    * Weights ≥ both heuristics' point distances (euclidean ≤ manhattan ≤
+    * path cost by triangle inequality), so A* is admissible and provably
+    * returns the Dijkstra answer for BOTH heuristics — the oracle
+    * therefore computes one unrolled Bellman-Ford with the same
+    * lexicographic (g, parent) tie rule as Traversal.aStar's min_by,
+    * walks the parent chain, and labels the row once per heuristic.
+    * Costs are sums of integers (exact in IEEE doubles) — engine-stable. */
+  def aStarSql(srcId: Long, dstId: Long, iters: Int): String = {
+    val sb = new StringBuilder(s"WITH RECURSIVE ${DerivedGraphs.tradeSql}")
+    sb ++= s""", coords AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id,
+  CAST(n_nationkey % 5 AS DOUBLE) AS x, CAST(n_nationkey // 5 AS DOUBLE) AS y FROM nation),
+we AS MATERIALIZED (SELECT e.src, e.dst, ABS(a.x - b.x) + ABS(a.y - b.y) AS weight
+  FROM tedges e JOIN coords a ON a.id = e.src JOIN coords b ON b.id = e.dst)"""
+    sb ++= s", d0 AS (SELECT CAST($srcId AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS g, CAST(-1 AS BIGINT) AS parent)"
+    for (i <- 1 to iters) {
+      sb ++= s""", d$i AS MATERIALIZED (SELECT id, g, parent FROM (
+  SELECT id, g, parent, ROW_NUMBER() OVER (PARTITION BY id ORDER BY g, parent) AS rn FROM (
+    SELECT id, g, parent FROM d${i - 1}
+    UNION ALL
+    SELECT e.dst AS id, f.g + e.weight AS g, e.src AS parent
+    FROM we e JOIN d${i - 1} f ON e.src = f.id) u) t WHERE rn = 1)"""
+    }
+    sb ++= s""",
+walk AS (
+  SELECT CAST($dstId AS BIGINT) AS cur, [CAST($dstId AS BIGINT)] AS nodes
+  UNION ALL
+  SELECT d.parent, list_prepend(d.parent, w.nodes)
+  FROM walk w JOIN d$iters d ON d.id = w.cur
+  WHERE w.cur <> CAST($srcId AS BIGINT)),
+fin AS (SELECT array_to_string(nodes, '->') AS path FROM walk WHERE cur = CAST($srcId AS BIGINT)),
+cost AS (SELECT ROUND(g, 4) AS cost FROM d$iters WHERE id = CAST($dstId AS BIGINT))
+SELECT 'euclidean' AS heuristic, path, cost FROM fin, cost
+UNION ALL SELECT 'manhattan', path, cost FROM fin, cost"""
+    sb.toString
+  }
+
+  /** DFS discovery order on the nation trade graph as a single-row
+    * recursive state machine: the state is (visited-in-order list,
+    * pending stack list, stack top at the front); each recursive step
+    * pops one entry, appends it to the order if unseen, and prepends
+    * its ascending-sorted adjacency list. Pop-time visited checks make
+    * this exactly the recursive smallest-neighbor-first DFS that
+    * Traversal.dfsOrder runs. */
+  def dfsOrderSql(rootId: Long): String =
+    s"""WITH RECURSIVE ${DerivedGraphs.tradeSql},
+adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst ASC) AS ns FROM tedges GROUP BY src),
+walk AS (
+  SELECT 0 AS step,
+         [CAST($rootId AS BIGINT)] AS ord,
+         COALESCE((SELECT ns FROM adj WHERE src = CAST($rootId AS BIGINT)), CAST([] AS BIGINT[])) AS stk
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN list_contains(ord, stk[1]) THEN ord ELSE list_append(ord, stk[1]) END,
+         CASE WHEN list_contains(ord, stk[1]) THEN stk[2:]
+              ELSE list_concat(COALESCE((SELECT ns FROM adj WHERE src = stk[1]), CAST([] AS BIGINT[])), stk[2:]) END
+  FROM walk WHERE len(stk) > 0),
+fin AS (SELECT ord FROM walk ORDER BY step DESC LIMIT 1)
+SELECT ord[i] AS id, CAST(i - 1 AS BIGINT) AS visit_idx
+FROM fin, unnest(generate_series(1, len(ord))) AS t(i)"""
+
+  /** Unrolled iterated h-index on the part co-occurrence graph — the
+    * same fixed-point sequence as Structure.coreNumbers (seed = degree,
+    * then H of neighbor values via the sorted-rank identity
+    * max_r min(value_r, r)). Both engines agree provided the sequence
+    * converges within `iters` rounds; the Spark side throws past its
+    * identical cap, so a too-shallow unroll fails loudly rather than
+    * mismatching. */
+  def coreNumbersSql(iters: Int): String = {
+    val sb = new StringBuilder("WITH " + DerivedGraphs.cooccurSql)
+    sb ++= ", c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM psym GROUP BY src)"
+    for (i <- 1 to iters) {
+      sb ++= s""", c$i AS MATERIALIZED (
+  SELECT src AS id, MAX(LEAST(cn, rn)) AS c FROM (
+    SELECT e.src, p.c AS cn,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS rn
+    FROM psym e JOIN c${i - 1} p ON p.id = e.dst) t
+  GROUP BY src)"""
+    }
+    sb ++= s" SELECT id, CAST(c AS BIGINT) AS core FROM c$iters"
+    sb.toString
+  }
+
   /** SCC of the nation trade graph via recursive transitive closure;
     * scc_id = min mutually-reachable id (= Community.scc's labels). */
   val sccSql: String =

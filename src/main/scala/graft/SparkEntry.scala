@@ -200,6 +200,30 @@ object SparkEntry {
     "q_simple_paths" -> ((s, d) =>
       algorithms.Paths.simplePaths(DerivedGraphs.nationTrade(s, d),
         GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4)),
+    "q_dfs_order" -> ((s, d) =>
+      Traversal.dfsOrder(DerivedGraphs.nationTrade(s, d),
+        GraphBuilder.NationTag * TAG + 0L)),
+    "q_astar" -> ((s, d) => {
+      // Derived integer grid: nation key k at (k mod 5, k div 5), edge
+      // weight = endpoint manhattan distance — ≥ both heuristics, so A*
+      // is admissible and must return the Dijkstra answer either way.
+      val coords = GraphBuilder.table(s, d, "nation")
+        .select((lit(GraphBuilder.NationTag * TAG) + col("n_nationkey")).as("id"),
+          (col("n_nationkey") % 5).cast("double").as("x"),
+          floor(col("n_nationkey") / 5).cast("double").as("y"))
+      val we = DerivedGraphs.nationTrade(s, d)
+        .join(coords.select(col("id").as("src"), col("x").as("ax"), col("y").as("ay")), Seq("src"))
+        .join(coords.select(col("id").as("dst"), col("x").as("bx"), col("y").as("by")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          (abs(col("ax") - col("bx")) + abs(col("ay") - col("by"))).as("weight"))
+      val a = GraphBuilder.NationTag * TAG + 9L
+      val b = GraphBuilder.NationTag * TAG + 3L
+      Seq("euclidean", "manhattan").map { hr =>
+        Traversal.aStar(we, coords, a, b, 12, hr)
+          .select(lit(hr).as("heuristic"), col("path"),
+            round(col("cost"), 4).as("cost"))
+      }.reduce(_ unionByName _)
+    }),
     "q_all_shortest" -> ((s, d) =>
       algorithms.Paths.allShortestPaths(
         DerivedGraphs.nationTrade(s, d).withColumn("rel_type", lit("TRADES")),
@@ -214,6 +238,13 @@ object SparkEntry {
       val core = Structure.kcoreMembers(es, 80, 10)
       Structure.inducedDegrees(es, core)
     }),
+    "q_core_numbers" -> ((s, d) =>
+      // h-index depth measured: 19 rounds at sf0.01, 38 at sf0.1 — the
+      // 48 cap covers both with margin and matches the oracle unroll
+      // (iterations past the fixpoint are no-ops, so any count ≥ depth
+      // agrees).
+      Structure.coreNumbers(
+        DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d)), 48)),
     "q_louvain" -> ((s, d) =>
       Community.louvainOnePass(DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)))),
     "q_triangles" -> ((s, d) => {
@@ -428,8 +459,12 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
       GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4),
     "q_all_shortest" -> Oracles.allShortestSql(
       GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 6),
+    "q_dfs_order" -> Oracles.dfsOrderSql(GraphBuilder.NationTag * TAG + 0L),
+    "q_astar" -> Oracles.aStarSql(
+      GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 12),
     "q_pagerank" -> Oracles.pageRankSql(0.85, 10),
     "q_kcore" -> Oracles.kcoreSql(80, 10),
+    "q_core_numbers" -> Oracles.coreNumbersSql(48),
     "q_louvain" -> Oracles.louvainSql,
     "q_triangles" -> Oracles.trianglesSql,
     "q_clustering" -> Oracles.clusteringSql,

@@ -1,6 +1,7 @@
 package graft.algorithms
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Structural algorithms: triangles, clustering coefficients, k-core
@@ -117,42 +118,53 @@ object Structure {
   /** Full k-core decomposition: (id, core) with core(v) = the largest k
     * such that v survives k-peeling — exactly the reference's
     * k_core_decomposition (kcore.rs:60: nodes removed while peeling at
-    * level k get value k-1). Driver-side loop over k with an inner peel
-    * fixpoint; O(degeneracy · peel-depth) Spark jobs, so intended for
-    * bounded graphs — at data scale, distributed core decomposition
-    * switches to the iterated-h-index algorithm (same output). */
-  def coreNumbers(symEdges: DataFrame, maxK: Int = 1000): DataFrame = {
-    var e = symEdges.select("src", "dst").localCheckpoint()
-    val (remaining0, mR) = Probe.checkpointObserved(
-      e.select(col("src").as("id")).distinct(), count(lit(1)).as("n"))
-    var remaining = remaining0
-    var remainingCount = mR("n").asInstanceOf[Long]
-    var result: Option[DataFrame] = None
-    var k = 1
-    while (remainingCount > 0 && k <= maxK) {
-      var stable = false
-      while (!stable && remainingCount > 0) {
-        val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-        val (survivors, mS) = Probe.checkpointObserved(
-          deg.filter(col("d") >= k).select("id"), count(lit(1)).as("n"))
-        val survivorCount = mS("n").asInstanceOf[Long]
-        if (survivorCount == remainingCount) stable = true
-        else {
-          val removed = remaining.join(survivors, Seq("id"), "left_anti")
-            .withColumn("core", lit(k.toLong - 1))
-          result = Some(result.fold(removed)(_ unionByName removed).localCheckpoint())
-          e = e.join(survivors.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-            .join(survivors.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-            .localCheckpoint()
-          remaining = survivors
-          remainingCount = survivorCount
-        }
-      }
-      k += 1
+    * level k get value k-1). Computed distributively by iterated
+    * h-index (Lü et al., Nat. Commun. 7:10168, 2016): seed
+    * c(v) = deg(v); each round c(v) := H({c(u) : u ~ v}) = the largest
+    * h such that ≥ h neighbors currently have value ≥ h. The sequence
+    * is pointwise non-increasing and its fixpoint is the core number,
+    * so Σc is monotone and equality ⇔ converged — detected on the
+    * observed checkpoint sum, one Spark job per round.
+    *
+    * Scale: state is |V| (id, c) rows; each round is one join (c
+    * broadcast while driver-sized, shuffle past the gate) + a per-node
+    * window rank (sorts each adjacency list inside its shuffle
+    * partition — spillable, never driver-bound, no global sort) + one
+    * map-side-combined max. This replaces the former driver-side loop
+    * over k (O(degeneracy · peel-depth) jobs); round count is the
+    * h-index convergence depth — small on dense/low-diameter graphs,
+    * O(diameter) worst case on long paths, guarded by `maxIter`. */
+  def coreNumbers(symEdges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = symEdges.select("src", "dst").localCheckpoint()
+    val (c0, m0) = Probe.checkpointObserved(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c")),
+      sum("c").as("s"), count(lit(1)).as("n"))
+    var c = c0
+    val n = m0("n").asInstanceOf[Long]
+    val small = n <= Tuning.broadcastThreshold
+    var prev = if (n == 0L) 0L else m0("s").asInstanceOf[Long]
+    val w = Window.partitionBy("src").orderBy(col("cn").desc)
+    var done = n == 0L
+    var it = 0
+    while (!done) {
+      it += 1
+      if (it > maxIter) throw new IllegalStateException(
+        s"coreNumbers did not converge within $maxIter h-index rounds")
+      val cj = c.select(col("id").as("dst"), col("c").as("cn"))
+      // H-index via the sorted-rank identity: H(values) =
+      // max_r min(value_r, r) with values ranked descending.
+      val (ck, m) = Probe.checkpointObserved(
+        e.join(if (small) broadcast(cj) else cj, Seq("dst"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select(col("src"), least(col("cn"), col("rn")).as("h"))
+          .groupBy(col("src").as("id")).agg(max("h").as("c")),
+        sum("c").as("s"))
+      c = ck
+      val s = m("s").asInstanceOf[Long]
+      done = s == prev
+      prev = s
     }
-    result.fold(remaining.withColumn("core", lit(maxK.toLong)))(r =>
-      if (remainingCount == 0) r
-      else r.unionByName(remaining.withColumn("core", lit(maxK.toLong))))
+    c.select(col("id"), col("c").as("core"))
   }
 
   /** Degree of each node within the subgraph induced by `members`. */

@@ -46,6 +46,55 @@ object Traversal {
     visited
   }
 
+  /** DFS discovery order from `root`: (id, visit_idx BIGINT), neighbors
+    * explored in ascending id (the reference's dfs, traversal.rs:99,
+    * with its HashMap iteration order made deterministic as the
+    * smallest-neighbor-first tie rule). DFS order is inherently
+    * sequential — every step depends on the entire visited set so far —
+    * so there is no frontier re-expression: the kernel ships the
+    * subgraph's edge list into ONE executor task (mapPartitions over a
+    * 1-partition frame; executor-side, not a driver collect) and runs
+    * an explicit-stack DFS there. A bounded-subgraph operation by
+    * contract (mirroring the reference's single-machine dfs); `maxEdges`
+    * guards the boundedness assumption. Distributed reachability is
+    * [[bfsDistances]]. */
+  def dfsOrder(edges: DataFrame, root: Long, maxEdges: Long = 5000000L): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        var m = 0L
+        it.foreach { case (s, d) =>
+          adj.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer[Long]) += d
+          m += 1
+          if (m > maxEdges) throw new IllegalStateException(
+            s"dfsOrder: subgraph exceeds $maxEdges edges — DFS visit order is a bounded-subgraph operation")
+        }
+        val sortedAdj = adj.map { case (v, ns) => v -> ns.distinct.sorted }
+        val visited = new scala.collection.mutable.HashSet[Long]
+        val order = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+        val stack = new scala.collection.mutable.ArrayBuffer[Iterator[Long]]
+        def push(v: Long): Unit = {
+          order += (v -> order.length.toLong)
+          visited += v
+          stack += sortedAdj.getOrElse(v, Seq.empty[Long]).iterator
+        }
+        push(root)
+        while (stack.nonEmpty) {
+          val top = stack.last
+          if (top.hasNext) {
+            val w = top.next()
+            if (!visited(w)) push(w)
+          } else stack.remove(stack.length - 1)
+        }
+        order.iterator
+      }
+      .toDF("id", "visit_idx")
+  }
+
   /** A* heuristic-guided weighted src→dst search (reference astar.rs:82;
     * the :219 euclidean / :251 manhattan wrappers read (x, y) node
     * coordinates — passed here as a `coords(id, x, y)` frame since the

@@ -132,6 +132,37 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
     (0 until n).map(v => v.toLong -> bc(v) / norm).toMap
   }
 
+  private def dfsRef(edges: Seq[(Long, Long)], root: Long): Seq[Long] = {
+    val adj = edges.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+      .withDefaultValue(Seq.empty)
+    val visited = scala.collection.mutable.LinkedHashSet[Long](root)
+    def go(v: Long): Unit = adj(v).foreach { w =>
+      if (!visited(w)) { visited += w; go(w) }
+    }
+    go(root)
+    visited.toSeq
+  }
+
+  private def coreRef(sym: Seq[(Long, Long)]): Map[Long, Long] = {
+    var alive = sym.map(_._1).distinct.toSet
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 1L
+    while (alive.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val deg = sym.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).map { case (v, es) => v -> es.size }
+        val dead = alive.filter(v => deg.getOrElse(v, 0) < k)
+        changed = dead.nonEmpty
+        dead.foreach(v => core(v) = k - 1)
+        alive --= dead
+      }
+      k += 1
+    }
+    core.toMap
+  }
+
   private def louvainRef(sym: Seq[(Long, Long)]): Map[Long, Long] = {
     val nodes = sym.map(_._1).distinct
     nodes.map { v =>
@@ -230,6 +261,27 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
       val got = Traversal.bfsDistances(df(e), Seq(0L).toDF("id"), 20)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == bfsRef(n, e, 0L), s"seed $seed")
+    }
+  }
+
+  test("dfs visit order agrees with a driver recursive DFS") {
+    for (seed <- 1L to 3L) {
+      val n = 16
+      val e = randomDigraph(n, 0.15, seed)
+      val got = Traversal.dfsOrder(df(e), 0L)
+        .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+      assert(got == dfsRef(e, 0L), s"seed $seed")
+    }
+  }
+
+  test("core numbers agree with a reference peel decomposition") {
+    for (seed <- 1L to 3L) {
+      val n = 18
+      val und = randomDigraph(n, 0.2, seed)
+      val sym = (und ++ und.map(_.swap)).distinct
+      val got = Structure.coreNumbers(df(sym))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == coreRef(sym), s"seed $seed")
     }
   }
 
