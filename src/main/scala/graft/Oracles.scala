@@ -301,13 +301,17 @@ FROM nodes n LEFT JOIN od o ON o.id = n.id LEFT JOIN idg i ON i.id = n.id"""
 
   /** One deterministic parallel Louvain pass on the co-occurrence
     * multigraph: community = neighbor with max incident multiplicity,
-    * ties to the smallest id (= Community.louvainOnePass). */
+    * ties to the smallest id (= Community.louvain over the part node
+    * universe — parts with no co-occurrence edges stay as singletons). */
   val louvainSql: String =
     s"""WITH ${DerivedGraphs.cooccurAllSql},
-w AS (SELECT src, dst, COUNT(*) AS wt FROM psymall GROUP BY src, dst)
-SELECT src AS id, dst AS community FROM (
+w AS (SELECT src, dst, COUNT(*) AS wt FROM psymall GROUP BY src, dst),
+mv AS (SELECT src AS id, dst AS community FROM (
   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY wt DESC, dst ASC) AS rn FROM w) t
-WHERE rn = 1"""
+  WHERE rn = 1),
+pn AS (SELECT ${PartTag * TAG} + CAST(p_partkey AS BIGINT) AS id FROM part)
+SELECT pn.id, COALESCE(mv.community, pn.id) AS community
+FROM pn LEFT JOIN mv ON mv.id = pn.id"""
 
   /** Global triangle count + global clustering coefficient on the simple
     * co-occurrence graph. */

@@ -246,7 +246,12 @@ object SparkEntry {
       Structure.coreNumbers(
         DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d)), 48)),
     "q_louvain" -> ((s, d) =>
-      Community.louvainOnePass(DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)))),
+      // Node universe = every part, so parts in no order survive as
+      // singleton communities (the reference's all-nodes sweep).
+      Community.louvain(
+        GraphBuilder.table(s, d, "part")
+          .select((lit(PartTag * TAG) + col("p_partkey")).as("id")),
+        DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)), 1)),
     "q_triangles" -> ((s, d) => {
       val pe = DerivedGraphs.partCooccur(s, d)
       val tri = trianglesCached(s, d).agg(count(lit(1)).as("t"))

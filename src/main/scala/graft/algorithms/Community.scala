@@ -102,6 +102,10 @@ object Community {
     * deterministic by moving synchronously. */
   def louvain(symEdges: DataFrame, passes: Int): DataFrame = {
     val e = symEdges.select("src", "dst")
+    // NOTE: communities are seeded from edge endpoints, so nodes with no
+    // incident edges do not appear in this output — pass the node
+    // universe to the 3-arg overload to keep them as singletons (the
+    // reference sweeps all nodes; louvain.rs:27).
     var comm = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("community")).localCheckpoint()
     for (_ <- 1 to passes) {
@@ -114,6 +118,15 @@ object Community {
     }
     comm
   }
+
+  /** Louvain over an explicit node universe: isolated nodes (absent
+    * from the edge list) stay in the output as singleton communities —
+    * the reference sweeps ALL nodes (louvain.rs:27), so they must not
+    * silently vanish. One |V|-bounded left join on top of the
+    * edge-driven passes. */
+  def louvain(nodes: DataFrame, symEdges: DataFrame, passes: Int): DataFrame =
+    nodes.select("id").join(louvain(symEdges, passes), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("community"), col("id")).as("community"))
 
   /** SCC count / single-SCC test (reference scc.rs:160 count_scc, :233
     * is_strongly_connected) on top of scc. */

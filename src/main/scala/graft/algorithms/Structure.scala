@@ -18,17 +18,23 @@ object Structure {
     * triangle node-sets (and thus all counts) do not. */
   def triangles(pedges: DataFrame,
                 broadcastCloseMaxEdges: Long = Tuning.broadcastThreshold): DataFrame = {
-    val deg = pedges.select(col("a").as("v"))
-      .unionByName(pedges.select(col("b").as("v")))
+    // The edge count for the broadcast gate rides the edge-list
+    // checkpoint (Dataset.observe) — no bare count job, and the four
+    // consumers below (degree build, two orientation joins, adjacency)
+    // probe the materialized list instead of re-running its upstream.
+    val (pe, mE) = Probe.checkpointObserved(
+      pedges.select("a", "b"), count(lit(1)).as("n"))
+    val deg = pe.select(col("a").as("v"))
+      .unionByName(pe.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // The degree table is |V| rows — broadcast it into the orientation
     // joins so `o` (computed twice below: adjacency build + probe side)
     // is a map-only pipeline over the cached edge list, not two shuffle
     // joins re-run per consumer. Above the threshold (driver memory
     // guard) it falls back to shuffle joins.
-    val fits = pedges.count() <= broadcastCloseMaxEdges
+    val fits = mE("n").asInstanceOf[Long] <= broadcastCloseMaxEdges
     val degJ = if (fits) broadcast(deg) else deg
-    val o = pedges
+    val o = pe
       .join(degJ.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(degJ.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(

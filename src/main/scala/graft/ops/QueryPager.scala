@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** One page of a paginated query result — the Spark analogue of the
+  * reference's paged result object (reference: src/query_stream.rs and
+  * tests/streaming_query_test.rs:27-70: page index, page_size, total,
+  * data, has_more, is_first_page/is_last_page/total_pages). `data` stays
+  * a lazy DataFrame slice; materialize it with collect/show as needed. */
+final case class QueryPage(page: Int, pageSize: Int, total: Long,
+                           data: DataFrame) {
+  def hasMore: Boolean = (page.toLong + 1L) * pageSize < total
+  def isFirstPage: Boolean = page == 0
+  def isLastPage: Boolean = totalPages > 0 && page == totalPages - 1
+  def totalPages: Int = math.ceil(total.toDouble / pageSize).toInt
+}
+
+/** Cursor-style pagination over a [[GraphQuery]] — the ergonomic
+  * surface of the reference's streaming query pager (query_stream.rs:
+  * next_page / has_more / progress on StreamStats). The result is
+  * pinned under ONE deterministic total order (orderKey asc, id
+  * tiebreak — [[GraphQuery.orderBy]]) and cached, so page boundaries
+  * are stable across fetches and each page is an offset/limit slice of
+  * the same frame, never a re-execution of the upstream query. The
+  * total is computed once up front (it doubles as the cache warm-up);
+  * call [[close]] to release the cached frame. */
+final class QueryPager(q: GraphQuery, orderKey: String, val pageSize: Int) {
+  require(pageSize > 0, "pageSize must be positive")
+
+  private val ordered = q.orderBy(orderKey, ascending = true).df.cache()
+
+  /** Total result rows (StreamStats.total_count). */
+  val total: Long = ordered.count()
+
+  def totalPages: Int = math.ceil(total.toDouble / pageSize).toInt
+
+  /** Random-access page fetch (query_paginated(page, page_size)). */
+  def page(i: Int): QueryPage = {
+    require(i >= 0, "page index must be non-negative")
+    QueryPage(i, pageSize, total,
+      ordered.offset(i * pageSize).limit(pageSize))
+  }
+
+  // ---- cursor walk (next_page / has_more / progress) ----
+  private var cursor = 0
+
+  def hasMore: Boolean = cursor.toLong * pageSize < total
+
+  def nextPage(): QueryPage = {
+    val p = page(cursor)
+    cursor += 1
+    p
+  }
+
+  /** Fraction of rows the cursor has walked past, 1.0 when exhausted
+    * (StreamStats.progress: an empty result is complete). */
+  def progress: Double =
+    if (total == 0L) 1.0
+    else math.min(1.0, (cursor.toLong * pageSize).toDouble / total)
+
+  def close(): Unit = ordered.unpersist()
+}

@@ -152,6 +152,18 @@ class AlgorithmsSpec extends SparkSpec {
     assert(cores == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
   }
 
+  test("louvain with a node universe keeps isolated nodes as singletons") {
+    val e = symm(edges(1L -> 2L, 2L -> 3L))
+    val c = Community.louvain(ids(1, 2, 3, 99), e, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(99L) == 99L, "isolated node must survive as its own community")
+    assert(c.keySet == Set(1L, 2L, 3L, 99L))
+    // edge-driven overload: documented edge-endpoints-only output
+    val cE = Community.louvain(e, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(cE == Set(1L, 2L, 3L))
+  }
+
   test("louvain passes stay inside components and are deterministic") {
     // two disconnected triangles: communities can never cross
     val e = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 1L,

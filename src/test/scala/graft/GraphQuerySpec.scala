@@ -116,4 +116,33 @@ class GraphQuerySpec extends SparkSpec {
       .collectNodes("id", "name").queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("QueryPager: page-walk mirrors the reference streaming query contract") {
+    // mirrors tests/streaming_query_test.rs: 25 nations, page size 10 →
+    // pages of 10/10/5, has_more/is_first/is_last/total_pages/progress
+    val pager = new graft.ops.QueryPager(
+      GraphQuery.fromLabel(graph, "Nation"), "name", 10)
+    assert(pager.total == 25 && pager.totalPages == 3)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var pages = 0
+    while (pager.hasMore) {
+      val p = pager.nextPage()
+      pages += 1
+      assert(p.page == pages - 1 && p.pageSize == 10 && p.total == 25)
+      assert(p.isFirstPage == (pages == 1) && p.isLastPage == (pages == 3))
+      val rows = p.data.collect().map(_.getAs[Long]("id"))
+      assert(rows.length == (if (pages < 3) 10 else 5))
+      assert(p.hasMore == (pages < 3))
+      seen ++= rows
+    }
+    assert(pages == 3 && !pager.hasMore && pager.progress == 1.0)
+    assert(seen.distinct.size == 25, "pages must be disjoint and exhaustive")
+    // random access past the end: empty page, not an error (page4 case)
+    val p4 = pager.page(3)
+    assert(p4.data.isEmpty && !p4.hasMore && !p4.isLastPage)
+    // deterministic re-fetch: the same page slices the same cached order
+    assert(pager.page(1).data.collect().map(_.getAs[Long]("id")).toSeq ==
+      seen.slice(10, 20).toSeq)
+    pager.close()
+  }
 }

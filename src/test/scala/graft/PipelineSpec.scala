@@ -130,15 +130,26 @@ class PipelineSpec extends SparkSpec {
     val a2 = Similarity.ivfAssignments(emb, k = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a1 == a2 && a1.values.toSet.size > 1)
-    // full-probe IVF searches every list → exactly the brute-force result
+    // full-probe IVF searches every list → exactly the brute-force
+    // result, cosine values included (the documented nprobe=k contract
+    // as an executable full-row equality)
     val full = Similarity.annIvf(emb, k = 8, nprobe = 8, topK = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     val brute = Similarity.cosineTopK(emb, k = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(full == brute)
     // narrow probe returns a subset-quality result: same schema, ≤ rows
     val narrow = Similarity.annIvf(emb, k = 8, nprobe = 1, topK = 3)
     assert(narrow.count() <= full.size && narrow.count() > 0)
+  }
+
+  test("ivf invariant holds at sf0.01: nprobe=k equals brute-force, full rows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val full = Similarity.annIvf(emb, k = 8, nprobe = 8, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val brute = Similarity.cosineTopK(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(full == brute && full.nonEmpty)
   }
 
   test("triangle close: shuffle path equals broadcast path") {
