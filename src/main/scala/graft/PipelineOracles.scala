@@ -221,6 +221,22 @@ walk(id, comp) AS (
 comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
 SELECT comp AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM comps GROUP BY comp"""
 
+  /** Segment dedup mirror: same fixed-width token windows, document
+    * frequency over the same 60-bit segment hash (so an improbable
+    * hash collision collides identically in both engines), survivors
+    * re-joined in position order. */
+  def segmentDedupSql(width: Int, minDf: Int): String =
+    s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+segs AS MATERIALIZED (
+  SELECT doc_id, i AS pos, array_to_string(a[i*$width+1 : i*$width+$width], ' ') AS seg
+  FROM arr, unnest(generate_series(0, (len(a)-1) // $width)) AS t(i)),
+hs AS (SELECT doc_id, pos, seg, ${h60("'sg:' || seg")} AS g FROM segs),
+dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM hs GROUP BY g)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+  CAST(COALESCE(SUM(CASE WHEN dfreq.df < $minDf THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+  COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE dfreq.df < $minDf), '') AS clean_text
+FROM hs s JOIN dfreq USING (g) GROUP BY s.doc_id"""
+
   def hashSampleSql(pct: Int): String =
     s"""SELECT doc_id, lang FROM documents
 WHERE ${h60("'s:' || CAST(doc_id AS VARCHAR)")} % 100 < $pct"""

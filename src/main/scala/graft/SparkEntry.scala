@@ -344,6 +344,8 @@ object SparkEntry {
       Corpus.dedupClusters(minhashPairsCached(s, d))),
     "q_sample_hash" -> ((s, d) =>
       Corpus.hashSample(GraphBuilder.table(s, d, "documents"))),
+    "q_segment_dedup" -> ((s, d) =>
+      Corpus.segmentDedup(GraphBuilder.table(s, d, "documents"))),
     "q_pack_bins" -> ((s, d) =>
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>
@@ -527,6 +529,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_dedup_simhash" -> PipelineOracles.dedupSimhashSql,
     "q_dedup_clusters" -> PipelineOracles.dedupClustersSql,
     "q_sample_hash" -> PipelineOracles.hashSampleSql(10),
+    "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
     "q_pack_bins" -> PipelineOracles.packBinsSql(512L),
     "q_vocab_topk" -> PipelineOracles.vocabTopKSql(50),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,

@@ -249,6 +249,42 @@ object Corpus {
       .agg(round(avg(-log(col("c") / col("tot"))), 6).as("nll"))
   }
 
+  /** Segment-level exact dedup (the fixed-window approximation of
+    * substring dedup, Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better", 2022): each doc is cut into consecutive
+    * `width`-token segments; a segment occurring in ≥ `minDf` distinct
+    * documents anywhere in the corpus is boilerplate and is dropped
+    * from every document; the survivors are re-joined in original
+    * order. Returns (doc_id, n_segs, n_kept, clean_text) — n_kept = 0
+    * with clean_text = "" marks an all-boilerplate doc.
+    *
+    * Scale: one split+explode pass (segments carry their in-doc
+    * position), document frequency over the 60-bit segment hash —
+    * (g, doc_id) distinct + map-side-combined count, shuffle bounded
+    * by the corpus token count / width — then one join back on the
+    * hash and a per-doc reassembly aggregation. Never doc×doc; the
+    * df table is |distinct segments| rows and AQE broadcasts it when
+    * small. */
+  def segmentDedup(docs: DataFrame, width: Int = 10, minDf: Int = 2): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(arr) - 1) div $width), " +
+          s"i -> array_join(slice(arr, i * $width + 1, $width), ' '))"))
+        .as(Seq("pos", "seg")))
+      .withColumn("g", hash60(col("seg"), "sg:"))
+    val dfreq = segs.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = col("df") < minDf
+    segs.join(dfreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(kept.cast("long")).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(kept, struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   /** End-to-end corpus cleaning: keep docs whose language-ID guess
     * matches the labeled lang, whose quality score is ≥ `minQuality`,
     * and which are NOT a member of any near-dup candidate pair; report

@@ -193,4 +193,29 @@ class PipelineSpec extends SparkSpec {
     val fp = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L))
   }
+
+  test("segment dedup drops cross-doc repeated windows, keeps order") {
+    // width=3: docs 1 and 2 share their FIRST window verbatim; doc 1's
+    // second window is unique; doc 3 is entirely the shared window.
+    val shared = "one two three"
+    val d = docs(
+      1L -> (shared + " four five six"),
+      2L -> (shared + " seven eight nine"),
+      3L -> shared)
+    val r = graft.pipeline.Corpus.segmentDedup(d, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 1L, "four five six")))
+    assert(r(2L) == ((2L, 1L, "seven eight nine")))
+    assert(r(3L) == ((1L, 0L, ""))) // all-boilerplate doc survives as empty
+  }
+
+  test("segment dedup keeps a doc's internal repeats when df < minDf") {
+    // the same window twice WITHIN one doc is df=1 — kept both times,
+    // in original positions (dedup is cross-document, not intra-doc)
+    val d = docs(1L -> "a b c a b c x y z")
+    val r = graft.pipeline.Corpus.segmentDedup(d, width = 3, minDf = 2).head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getString(3) == "a b c a b c x y z")
+  }
 }
