@@ -53,7 +53,10 @@ object ScaleProbe {
         time("dedup_clusters")(Corpus.dedupClusters(Dedup.minhashPairs(docs))),
         time("decontam")(Corpus.decontaminate(docs)),
         time("fingerprint")(TextOps.fingerprint(docs)),
-        time("lm_score")(Corpus.lmScore(docs)))
+        time("lm_score")(Corpus.lmScore(docs)),
+        // cross-replica repeated segments hit df·K and all drop — the
+        // reassembly aggregation still sees each segment exactly once
+        time("segment_dedup")(Corpus.segmentDedup(docs)))
     }
 
     val t1 = corpusTimes(1)

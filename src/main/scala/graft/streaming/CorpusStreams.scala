@@ -55,4 +55,32 @@ object CorpusStreams {
       .filter(col("_rn") === 1)
       .select("doc_id", "lang", "quality")
   }
+
+  /** Online segment-boilerplate gate: strip every `width`-token window
+    * whose 60-bit hash is in `boilerplate` (mined OFFLINE by
+    * [[graft.pipeline.Corpus.segmentDedup]] / boilerplate mining over
+    * the accepted corpus — document frequency is not streamable with
+    * bounded state, the mined set is). A pure per-row projection — no
+    * stream state at all — so it composes into any streaming intake;
+    * the set rides the plan as a literal array (production: a
+    * broadcast ref-data frame refreshed per compaction cycle).
+    * Adds (n_segs, n_kept, clean_text); works identically on batch
+    * frames, which is what the spec pins. */
+  def segmentGate(docs: DataFrame, boilerplate: Array[Long],
+                  width: Int = 10): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.sql.Hash60.register(spark)
+    val bp = typedLit(boilerplate)
+    val segs = expr(
+      s"transform(sequence(0, (size(split(text, ' ')) - 1) div $width), " +
+        s"i -> array_join(slice(split(text, ' '), i * $width + 1, $width), ' '))")
+    docs
+      .withColumn("_segs", segs)
+      .withColumn("_kept", filter(col("_segs"),
+        s => !array_contains(bp, call_function("graft_hash60", concat(lit("sg:"), s)))))
+      .withColumn("n_segs", size(col("_segs")).cast("long"))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .withColumn("clean_text", array_join(col("_kept"), " "))
+      .drop("_segs", "_kept")
+  }
 }

@@ -51,4 +51,49 @@ class CorpusStreamSpec extends SparkSpec {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("segment gate strips mined boilerplate identically on stream and batch") {
+    val implicits = spark.implicits
+    import implicits._
+    // Mine the boilerplate OFFLINE with the batch operator: "one two
+    // three" occurs in both corpus docs at width 3 → df 2 → mined.
+    val corpus = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three seven eight nine")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val mined = graft.pipeline.TextOps.hash60(lit("one two three"), "sg:")
+    val bp = corpus.select(mined.as("g")).limit(1)
+      .collect().map(_.getLong(0))
+    val expected = Map(
+      1L -> ((2L, 1L, "four five six")),
+      2L -> ((2L, 1L, "seven eight nine")),
+      3L -> ((1L, 1L, "ten eleven twelve")))
+    val batchIn = mkDocs(
+      (1L, "one two three four five six", "en"),
+      (2L, "one two three seven eight nine", "en"),
+      (3L, "ten eleven twelve", "en"))
+    val got = CorpusStreams.segmentGate(batchIn, bp, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got == expected)
+    // same projection over a MemoryStream: stateless, so rows match 1:1
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val sq = CorpusStreams.segmentGate(
+        ms.toDF().toDF("doc_id", "text", "lang"), bp, 3)
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .writeStream.format("memory").queryName("segment_gate_stream").start()
+    try {
+      ms.addData((1L, "one two three four five six", "en"),
+        (2L, "one two three seven eight nine", "en"))
+      sq.processAllAvailable()
+      ms.addData((3L, "ten eleven twelve", "en"))
+      sq.processAllAvailable()
+      val streamed = spark.table("segment_gate_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(streamed == expected)
+    } finally sq.stop()
+  }
 }
