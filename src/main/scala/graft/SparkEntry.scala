@@ -361,6 +361,25 @@ object SparkEntry {
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(GraphBuilder.table(s, d, "embeddings"))),
+    // rows-only driver check (no oracleSql): iterated float k-means
+    // centroids aren't bit-stable across engines — the nprobe=k ≡
+    // brute-force invariant is pinned exactly in PipelineSpec instead
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(GraphBuilder.table(s, d, "embeddings"))),
+    // rows-only driver check (no oracleSql): exercises the binary
+    // media schema + mapPartitions batch plumbing end-to-end; the
+    // decode inside is the documented deterministic stub, and Java
+    // wrap-around hash semantics aren't expressible in the oracle
+    "q_multimodal" -> ((s, d) => {
+      val implicits = s.implicits
+      import implicits._
+      pipeline.Multimodal.extractFeatures(
+        pipeline.Multimodal.asMedia(
+          GraphBuilder.table(s, d, "documents").withColumn("payload",
+            encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "image").as[pipeline.Multimodal.MediaRow])
+        .toDF()
+    }),
     "q_dedup_cosine" -> ((s, d) =>
       Similarity.cosineNearDup(GraphBuilder.table(s, d, "embeddings"))),
     "q_lang_id" -> ((s, d) =>
