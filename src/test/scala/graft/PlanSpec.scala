@@ -43,6 +43,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("composite predicate pushes BOTH filters to one parquet scan") {
+    // the composite-index analogue (composite_index_test.rs): label +
+    // two property predicates must reach the scan as one conjunctive
+    // PushedFilters list on the single backing file, not a post-scan
+    // Filter over a wide read
+    val df = GraphBuilder.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") > 10)
+      .select("c_name")
+    // read the scan node's metadata — the plan's toString truncates
+    // long PushedFilters lists, hiding the second predicate
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(c_mktsegment,BUILDING)"), pushed)
+    assert(pushed.contains("GreaterThan(c_nationkey,10)"), pushed)
+  }
+
   test("label filter prunes a literal-labeled union down to one scan") {
     // The node table is a union of per-table projections with literal
     // labels — this shows Catalyst folds label = 'X' per branch and drops
