@@ -237,6 +237,16 @@ SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
   COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE dfreq.df < $minDf), '') AS clean_text
 FROM hs s JOIN dfreq USING (g) GROUP BY s.doc_id"""
 
+  val sourceOverlapSql: String =
+    s"""WITH ${minhashCtes(16, 4)}
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.a = da.doc_id
+JOIN documents db ON p.b = db.doc_id
+GROUP BY 1, 2"""
+
   def hashSampleSql(pct: Int): String =
     s"""SELECT doc_id, lang FROM documents
 WHERE ${h60("'s:' || CAST(doc_id AS VARCHAR)")} % 100 < $pct"""

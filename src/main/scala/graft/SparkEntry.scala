@@ -346,6 +346,9 @@ object SparkEntry {
       Corpus.hashSample(GraphBuilder.table(s, d, "documents"))),
     "q_segment_dedup" -> ((s, d) =>
       Corpus.segmentDedup(GraphBuilder.table(s, d, "documents"))),
+    "q_source_overlap" -> ((s, d) =>
+      Corpus.sourceOverlap(GraphBuilder.table(s, d, "documents"),
+        minhashPairsCached(s, d))),
     "q_pack_bins" -> ((s, d) =>
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>
@@ -549,6 +552,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_dedup_clusters" -> PipelineOracles.dedupClustersSql,
     "q_sample_hash" -> PipelineOracles.hashSampleSql(10),
     "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
+    "q_source_overlap" -> PipelineOracles.sourceOverlapSql,
     "q_pack_bins" -> PipelineOracles.packBinsSql(512L),
     "q_vocab_topk" -> PipelineOracles.vocabTopKSql(50),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,

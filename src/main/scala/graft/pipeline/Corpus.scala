@@ -285,6 +285,21 @@ object Corpus {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Cross-source duplication overlap: for each unordered pair of
+    * `source` values, how many near-dup candidate pairs straddle them
+    * (diagonal = within-source duplication) — the crawl-overlap matrix
+    * a mix designer reads before weighting sources. Scale: two doc_id
+    * equi-joins to attach source metadata to the (already bounded)
+    * candidate pair frame, then an aggregation over ≤ |sources|² keys;
+    * the metadata projection broadcasts under AQE when small. */
+  def sourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(docs.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).cast("long").as("n_pairs"))
+
   /** End-to-end corpus cleaning: keep docs whose language-ID guess
     * matches the labeled lang, whose quality score is ≥ `minQuality`,
     * and which are NOT a member of any near-dup candidate pair; report

@@ -210,6 +210,37 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L) == ((1L, 0L, ""))) // all-boilerplate doc survives as empty
   }
 
+  test("segment dedup agrees with a driver reference on random corpora") {
+    val implicits = spark.implicits
+    import implicits._
+    // 4-word vocabulary at width 4 → 256 possible windows over ~280
+    // occurrences, so cross-doc collisions genuinely happen; doc
+    // lengths aren't multiples of width, so short tail segments are
+    // exercised too
+    val words = Array("alpha", "beta", "gamma", "delta")
+    val width = 4; val minDf = 2
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val corpus: Seq[(Long, String)] = (0L until 40L).map { id =>
+        val len = 5 + rnd.nextInt(30)
+        id -> Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      def segsOf(t: String): Vector[String] =
+        t.split(" ", -1).grouped(width).map(_.mkString(" ")).toVector
+      val refDf = corpus.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, v) => s -> v.size }
+      val ref = corpus.map { case (id, t) =>
+        val ss = segsOf(t); val kept = ss.filter(s => refDf(s) < minDf)
+        id -> ((ss.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val d = corpus.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      val got = graft.pipeline.Corpus.segmentDedup(d, width, minDf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == ref, s"seed $seed")
+    }
+  }
+
   test("segment dedup keeps a doc's internal repeats when df < minDf") {
     // the same window twice WITHIN one doc is df=1 — kept both times,
     // in original positions (dedup is cross-document, not intra-doc)
