@@ -237,6 +237,43 @@ SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
   COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE dfreq.df < $minDf), '') AS clean_text
 FROM hs s JOIN dfreq USING (g) GROUP BY s.doc_id"""
 
+  /** Winnowing mirror: same k-grams, same composite (hash≫12, 4095−pos
+    * mod 4096) key, same full-window MIN — fingerprints match bit-for-
+    * bit. */
+  def winnowSql(k: Int, w: Int): String =
+    s"""WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, $k) AS sh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - ${k - 1}, 1))) AS t(i)),
+keyed AS (
+  SELECT doc_id, pos,
+    (${h60("'wn:' || sh")} >> 12) * 4096 + (4095 - (pos % 4096)) AS key
+  FROM grams),
+win AS (
+  SELECT doc_id,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS n
+  FROM keyed)
+SELECT DISTINCT doc_id, sel >> 12 AS fp FROM win WHERE n = $w"""
+
+  /** Per-source mix report mirror — quality formula shared with
+    * qualityQuantilesSql. */
+  val mixReportSql: String =
+    """WITH q AS (SELECT doc_id, source,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\b(the|a|is)\b')) AS BIGINT) AS stop
+  FROM documents),
+qs AS (SELECT doc_id, source, words,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality FROM q)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 6) AS mean_quality
+FROM qs GROUP BY source"""
+
   val sourceOverlapSql: String =
     s"""WITH ${minhashCtes(16, 4)}
 SELECT least(da.source, db.source) AS src_a,

@@ -349,6 +349,10 @@ object SparkEntry {
     "q_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(GraphBuilder.table(s, d, "documents"),
         minhashPairsCached(s, d))),
+    "q_mix_report" -> ((s, d) =>
+      Corpus.mixReport(GraphBuilder.table(s, d, "documents"))),
+    "q_winnow" -> ((s, d) =>
+      TextOps.winnow(GraphBuilder.table(s, d, "documents"))),
     "q_pack_bins" -> ((s, d) =>
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>
@@ -553,6 +557,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_sample_hash" -> PipelineOracles.hashSampleSql(10),
     "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
     "q_source_overlap" -> PipelineOracles.sourceOverlapSql,
+    "q_mix_report" -> PipelineOracles.mixReportSql,
+    "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_pack_bins" -> PipelineOracles.packBinsSql(512L),
     "q_vocab_topk" -> PipelineOracles.vocabTopKSql(50),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,

@@ -285,6 +285,18 @@ object Corpus {
           x => x.getField("seg")), " ").as("clean_text"))
   }
 
+  /** Per-source mix report: doc count, total whitespace tokens and
+    * mean quality per `source` — the one-glance table a mix designer
+    * reads next to [[sourceOverlap]] before setting [[mixSample]]
+    * weights. One narrow projection + one map-side-combined
+    * aggregation over |sources| keys. */
+  def mixReport(docs: DataFrame): DataFrame =
+    TextOps.withQuality(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("_words").cast("long").as("total_tokens"),
+        round(avg("quality"), 6).as("mean_quality"))
+
   /** Cross-source duplication overlap: for each unordered pair of
     * `source` values, how many near-dup candidate pairs straddle them
     * (diagonal = within-source duplication) — the crawl-overlap matrix

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines over the `documents`
@@ -38,6 +39,44 @@ object TextOps {
     docs.select(col("doc_id"),
       expr(s"explode(transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
         s"i -> substring(text, i, $k)))").as("sh"))
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * scheme): hash every character k-gram, slide a w-gram window, keep
+    * each window's minimal hash — guaranteeing any substring match of
+    * length ≥ w+k-1 between two documents shares a fingerprint, with
+    * density ~2/(w+1) instead of every gram. Returns distinct
+    * (doc_id, fp).
+    *
+    * The rightmost-of-ties rule is encoded in the key itself:
+    * fp = (gram-hash >> 12)·4096 + (4095 − pos mod 4096), so a plain
+    * window MIN picks the smallest 48-bit hash and, among equal
+    * hashes, the largest position — one aggregate, no argmin. The
+    * position tiebreak wraps every 4096 grams; ties only matter
+    * between EQUAL hashes inside one w-gram window, so the wrap is
+    * harmless for w ≪ 4096 and the formula is mirrored verbatim in
+    * the oracle. Scale: one explode + a per-document window (sorts
+    * doc-bounded runs inside hash partitions — spillable, no global
+    * sort) + distinct; rows out ≈ 2·len/w per doc. */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame = {
+    val gramArr = expr(
+      s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+        s"i -> substring(text, i, $k))")
+    val grams = docs.select(col("doc_id"), posexplode(gramArr).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("sh"))
+    val keyed = grams.select(col("doc_id"), col("pos"),
+      (shiftright(hash60(col("sh"), "wn:"), 12) * lit(4096L) +
+        (lit(4095L) - pmod(col("pos"), lit(4096L)))).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .withColumn("sel", min("key").over(win))
+      .withColumn("n", count(lit(1)).over(win))
+      .filter(col("n") === w) // full windows only (standard winnowing)
+      // emit only the hash part: the position bits exist to break ties
+      // INSIDE the window min — leaving them in would make the same
+      // substring at different offsets fingerprint differently
+      .select(col("doc_id"), shiftright(col("sel"), 12).as("fp")).distinct()
+  }
 
   /** Marker-word language heuristic: score per language = total marker
     * occurrences; highest score wins, ties resolved by fixed priority

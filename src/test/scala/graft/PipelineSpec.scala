@@ -241,6 +241,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared substring of w+k-1 chars shares a fingerprint") {
+    // guarantee: any common substring of length >= w+k-1 (= 12 here)
+    // contains a full gram window in both docs, and the window min
+    // depends only on the gram hashes, so both docs emit it
+    val shared = "zzqqwwrrttyyuu" // 14 chars, nowhere else in the corpus
+    val d = docs(
+      1L -> ("aaa " + shared + " bbb"),
+      2L -> ("ccccc " + shared + " ddddd"),
+      3L -> "totally unrelated filler material with other letters")
+    val fp = TextOps.winnow(d, 5, 8).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty)
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+    // density: far fewer fingerprints than grams, but never zero
+    assert(fp(1L).size < 15 && fp(1L).nonEmpty)
+  }
+
   test("segment dedup keeps a doc's internal repeats when df < minDf") {
     // the same window twice WITHIN one doc is df=1 — kept both times,
     // in original positions (dedup is cross-document, not intra-doc)
