@@ -257,6 +257,28 @@ win AS (
   FROM keyed)
 SELECT DISTINCT doc_id, sel >> 12 AS fp FROM win WHERE n = $w"""
 
+  def winnowPairsSql(k: Int, w: Int, minShared: Int, maxDf: Int): String =
+    s"""WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, $k) AS sh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - ${k - 1}, 1))) AS t(i)),
+keyed AS (
+  SELECT doc_id, pos,
+    (${h60("'wn:' || sh")} >> 12) * 4096 + (4095 - (pos % 4096)) AS key
+  FROM grams),
+win AS (
+  SELECT doc_id,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
+    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS n
+  FROM keyed),
+fp AS MATERIALIZED (SELECT DISTINCT doc_id, sel >> 12 AS fp FROM win WHERE n = $w),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= $maxDf),
+f AS (SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM rare))
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= $minShared"""
+
   /** Per-source mix report mirror — quality formula shared with
     * qualityQuantilesSql. */
   val mixReportSql: String =

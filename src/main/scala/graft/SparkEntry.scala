@@ -39,6 +39,9 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d),
       Dedup.minhashPairs(GraphBuilder.table(s, d, "documents"),
         hashedIn = Some(hashedShinglesCached(s, d))).persist())
+  private def winnowCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d + "#wn"),
+      TextOps.winnow(GraphBuilder.table(s, d, "documents")).persist())
 
   /** The (x,y,z) triangle stream feeds q_triangles and q_clustering —
     * the wedge join behind it is the most expensive derived frame, so
@@ -351,8 +354,10 @@ object SparkEntry {
         minhashPairsCached(s, d))),
     "q_mix_report" -> ((s, d) =>
       Corpus.mixReport(GraphBuilder.table(s, d, "documents"))),
-    "q_winnow" -> ((s, d) =>
-      TextOps.winnow(GraphBuilder.table(s, d, "documents"))),
+    "q_winnow" -> ((s, d) => winnowCached(s, d)),
+    "q_winnow_pairs" -> ((s, d) =>
+      TextOps.winnowPairs(GraphBuilder.table(s, d, "documents"),
+        fpIn = Some(winnowCached(s, d)))),
     "q_pack_bins" -> ((s, d) =>
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>
@@ -559,6 +564,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_source_overlap" -> PipelineOracles.sourceOverlapSql,
     "q_mix_report" -> PipelineOracles.mixReportSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
+    "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),
     "q_pack_bins" -> PipelineOracles.packBinsSql(512L),
     "q_vocab_topk" -> PipelineOracles.vocabTopKSql(50),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,

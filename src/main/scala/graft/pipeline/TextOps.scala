@@ -78,6 +78,29 @@ object TextOps {
       .select(col("doc_id"), shiftright(col("sel"), 12).as("fp")).distinct()
   }
 
+  /** Winnowing near-dup candidate pairs: doc pairs sharing ≥ `minShared`
+    * winnowed fingerprints, with the shared count — detects substring-
+    * level overlap (quotes, templated spans) that whole-doc MinHash
+    * dilutes away. Fingerprints occurring in more than `maxDf` docs are
+    * dropped before pairing (the standard hot-bucket cap: a boilerplate
+    * fingerprint shared by f docs would emit f² rows; with the cap the
+    * pair fan-out is ≤ maxDf·|fingerprints| — never quadratic in docs,
+    * and what the cap removes is exactly the corpus-wide boilerplate
+    * [[graft.pipeline.Corpus.boilerplateGrams]] reports). */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 8,
+                  minShared: Int = 2, maxDf: Int = 50,
+                  fpIn: Option[DataFrame] = None): DataFrame = {
+    val fp = fpIn.getOrElse(winnow(docs, k, w))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val f = fp.join(rare, Seq("fp"), "left_semi")
+    f.select(col("fp"), col("doc_id").as("a"))
+      .join(f.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Marker-word language heuristic: score per language = total marker
     * occurrences; highest score wins, ties resolved by fixed priority
     * order (deterministic, mirrored in the oracle's CASE chain). */

@@ -258,6 +258,20 @@ class PipelineSpec extends SparkSpec {
     assert(fp(1L).size < 15 && fp(1L).nonEmpty)
   }
 
+  test("winnow pairs find substring overlap, cap drops boilerplate fp") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val d = docs(
+      1L -> ("intro words here " + quote),
+      2L -> (quote + " closing remarks follow"),
+      3L -> "entirely different content with no overlap at all")
+    val pairs = graft.pipeline.TextOps.winnowPairs(d, minShared = 2, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 2L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // maxDf=0 drops every fingerprint → no pairs survive
+    assert(graft.pipeline.TextOps.winnowPairs(d, maxDf = 0).count() == 0L)
+  }
+
   test("segment dedup keeps a doc's internal repeats when df < minDf") {
     // the same window twice WITHIN one doc is df=1 — kept both times,
     // in original positions (dedup is cross-document, not intra-doc)
