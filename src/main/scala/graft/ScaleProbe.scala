@@ -56,7 +56,10 @@ object ScaleProbe {
         time("lm_score")(Corpus.lmScore(docs)),
         // cross-replica repeated segments hit df·K and all drop — the
         // reassembly aggregation still sees each segment exactly once
-        time("segment_dedup")(Corpus.segmentDedup(docs)))
+        time("segment_dedup")(Corpus.segmentDedup(docs)),
+        // replicas share almost all fingerprints → heavy hot-key load
+        // on the pair join; the maxDf cap is what keeps it bounded
+        time("winnow_pairs")(TextOps.winnowPairs(docs)))
     }
 
     val t1 = corpusTimes(1)
