@@ -26,6 +26,8 @@ object Bench {
     // official full-suite number.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map { s =>
       val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries (empty/whitespace value)")
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")

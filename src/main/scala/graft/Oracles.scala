@@ -89,11 +89,15 @@ object Oracles {
     * walks the parent chain, and labels the row once per heuristic.
     * Costs are sums of integers (exact in IEEE doubles) — engine-stable. */
   def aStarSql(srcId: Long, dstId: Long, iters: Int): String = {
-    val sb = new StringBuilder(s"WITH RECURSIVE ${DerivedGraphs.tradeSql}")
+    val sb = new StringBuilder(s"WITH RECURSIVE ${DerivedGraphs.tradeTopSql()}")
+    // src <> dst mirrors Traversal.aStar's own self-loop exclusion: a
+    // zero-weight self-loop would win the (g, parent) tie-break and
+    // install a node as its own parent, making the walk CTE below loop
     sb ++= s""", coords AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id,
   CAST(n_nationkey % 5 AS DOUBLE) AS x, CAST(n_nationkey // 5 AS DOUBLE) AS y FROM nation),
 we AS MATERIALIZED (SELECT e.src, e.dst, ABS(a.x - b.x) + ABS(a.y - b.y) AS weight
-  FROM tedges e JOIN coords a ON a.id = e.src JOIN coords b ON b.id = e.dst)"""
+  FROM ttedges e JOIN coords a ON a.id = e.src JOIN coords b ON b.id = e.dst
+  WHERE e.src <> e.dst)"""
     sb ++= s", d0 AS (SELECT CAST($srcId AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS g, CAST(-1 AS BIGINT) AS parent)"
     for (i <- 1 to iters) {
       sb ++= s""", d$i AS MATERIALIZED (SELECT id, g, parent FROM (
@@ -125,8 +129,8 @@ UNION ALL SELECT 'manhattan', path, cost FROM fin, cost"""
     * this exactly the recursive smallest-neighbor-first DFS that
     * Traversal.dfsOrder runs. */
   def dfsOrderSql(rootId: Long): String =
-    s"""WITH RECURSIVE ${DerivedGraphs.tradeSql},
-adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst ASC) AS ns FROM tedges GROUP BY src),
+    s"""WITH RECURSIVE ${DerivedGraphs.tradeTopSql()},
+adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst ASC) AS ns FROM ttedges GROUP BY src),
 walk AS (
   SELECT 0 AS step,
          [CAST($rootId AS BIGINT)] AS ord,

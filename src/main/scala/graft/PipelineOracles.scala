@@ -237,28 +237,12 @@ SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
   COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE dfreq.df < $minDf), '') AS clean_text
 FROM hs s JOIN dfreq USING (g) GROUP BY s.doc_id"""
 
-  /** Winnowing mirror: same k-grams, same composite (hash≫12, 4095−pos
-    * mod 4096) key, same full-window MIN — fingerprints match bit-for-
-    * bit. */
-  def winnowSql(k: Int, w: Int): String =
-    s"""WITH grams AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, $k) AS sh
-  FROM documents, unnest(generate_series(1, greatest(len(text) - ${k - 1}, 1))) AS t(i)),
-keyed AS (
-  SELECT doc_id, pos,
-    (${h60("'wn:' || sh")} >> 12) * 4096 + (4095 - (pos % 4096)) AS key
-  FROM grams),
-win AS (
-  SELECT doc_id,
-    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
-    count(*) OVER (PARTITION BY doc_id ORDER BY pos
-      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS n
-  FROM keyed)
-SELECT DISTINCT doc_id, sel >> 12 AS fp FROM win WHERE n = $w"""
-
-  def winnowPairsSql(k: Int, w: Int, minShared: Int, maxDf: Int): String =
-    s"""WITH grams AS (
+  /** Shared winnowing CTE chain ending in `fp(doc_id, fp)` — the
+    * fingerprint formula is the bit-for-bit contract with
+    * TextOps.winnow, so there is exactly ONE copy of it, composed by
+    * both winnowSql and winnowPairsSql. */
+  private def winnowCtes(k: Int, w: Int): String =
+    s"""grams AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, i, $k) AS sh
   FROM documents, unnest(generate_series(1, greatest(len(text) - ${k - 1}, 1))) AS t(i)),
 keyed AS (
@@ -272,7 +256,16 @@ win AS (
     count(*) OVER (PARTITION BY doc_id ORDER BY pos
       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS n
   FROM keyed),
-fp AS MATERIALIZED (SELECT DISTINCT doc_id, sel >> 12 AS fp FROM win WHERE n = $w),
+fp AS MATERIALIZED (SELECT DISTINCT doc_id, sel >> 12 AS fp FROM win WHERE n = $w)"""
+
+  /** Winnowing mirror: same k-grams, same composite (hash≫12, 4095−pos
+    * mod 4096) key, same full-window MIN — fingerprints match bit-for-
+    * bit. */
+  def winnowSql(k: Int, w: Int): String =
+    s"WITH ${winnowCtes(k, w)} SELECT doc_id, fp FROM fp"
+
+  def winnowPairsSql(k: Int, w: Int, minShared: Int, maxDf: Int): String =
+    s"""WITH ${winnowCtes(k, w)},
 rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= $maxDf),
 f AS (SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM rare))
 SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared

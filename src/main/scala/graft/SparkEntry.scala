@@ -204,7 +204,9 @@ object SparkEntry {
       algorithms.Paths.simplePaths(DerivedGraphs.nationTrade(s, d),
         GraphBuilder.NationTag * TAG + 9L, GraphBuilder.NationTag * TAG + 3L, 4)),
     "q_dfs_order" -> ((s, d) =>
-      Traversal.dfsOrder(DerivedGraphs.nationTrade(s, d),
+      // top-k trade graph: the 1.5x-mean-gated one is empty at sf0.1
+      // (and root-only at sf0.01), which made this check vacuous
+      Traversal.dfsOrder(DerivedGraphs.nationTradeTop(s, d),
         GraphBuilder.NationTag * TAG + 0L)),
     "q_astar" -> ((s, d) => {
       // Derived integer grid: nation key k at (k mod 5, k div 5), edge
@@ -214,7 +216,7 @@ object SparkEntry {
         .select((lit(GraphBuilder.NationTag * TAG) + col("n_nationkey")).as("id"),
           (col("n_nationkey") % 5).cast("double").as("x"),
           floor(col("n_nationkey") / 5).cast("double").as("y"))
-      val we = DerivedGraphs.nationTrade(s, d)
+      val we = DerivedGraphs.nationTradeTop(s, d)
         .join(coords.select(col("id").as("src"), col("x").as("ax"), col("y").as("ay")), Seq("src"))
         .join(coords.select(col("id").as("dst"), col("x").as("bx"), col("y").as("by")), Seq("dst"))
         .select(col("src"), col("dst"),

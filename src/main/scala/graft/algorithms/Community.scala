@@ -48,7 +48,11 @@ object Community {
     var prev: java.math.BigDecimal = null
     var iter = 0
     var done = false
-    while (iter < maxIter && !done) {
+    // convergence is detected by the label-sum signature REPEATING, so
+    // labels that settle exactly on round maxIter need one extra
+    // confirmation round — allow it, or a correct result at the cap
+    // would be reported (and thrown) as non-converged by callers
+    while (iter <= maxIter && !done) {
       iter += 1
       // One-hop hook only: a 2-hop message stream (msgs ⋈ e) was
       // measured 3× SLOWER overall on the dense near-dup pair graph —

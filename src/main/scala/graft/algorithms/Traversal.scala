@@ -112,7 +112,12 @@ object Traversal {
   def aStar(wedges: DataFrame, coords: DataFrame, srcId: Long, dstId: Long,
             maxIterations: Int, heuristic: String = "euclidean"): DataFrame = {
     val ss = wedges.sparkSession
-    val e = wedges.select("src", "dst", "weight").localCheckpoint()
+    // self-loops can never shorten a path but a ZERO-weight one would
+    // win the (g, parent) tie-break and install a node as its own
+    // parent, cycling the path unwind — excluded here and in the
+    // oracle's `we` CTE identically
+    val e = wedges.select("src", "dst", "weight")
+      .filter(col("src") =!= col("dst")).localCheckpoint()
     def emptyOut = ss.range(0).select(lit("").as("path"), lit(0.0).as("cost"))
     if (srcId == dstId)
       return ss.range(1).select(lit(srcId.toString).as("path"), lit(0.0).as("cost"))

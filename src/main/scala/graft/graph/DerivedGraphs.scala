@@ -52,6 +52,35 @@ object DerivedGraphs {
         .select("src", "dst")
     }
 
+  /** Denser deterministic variant for the visit-order/path kernels
+    * (DFS, A*): every nation keeps its `perSrc` busiest self-loop-free
+    * outgoing trade pairs (cnt desc, dst tiebreak). The 1.5×-mean gate
+    * above goes EMPTY at sf0.1 (the pair counts concentrate near the
+    * mean) and a global top-k can strand the traversal root, which
+    * made the DFS/A* oracle checks vacuous; a per-source rank keeps
+    * every nation connected outward at every SF. The rank runs over
+    * the ≤625-row aggregated pair table. */
+  def nationTradeTop(s: SparkSession, d: String, perSrc: Int = 3): DataFrame =
+    memo(s, d, s"tradeTop$perSrc") {
+      val li = table(s, d, "lineitem").select("l_suppkey", "l_orderkey")
+      val supp = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = table(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = table(s, d, "customer").select("c_custkey", "c_nationkey")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+        .orderBy(col("cnt").desc, col("dst").asc)
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(
+          (lit(NationTag * TAG) + col("s_nationkey")).as("src"),
+          (lit(NationTag * TAG) + col("c_nationkey")).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= perSrc)
+        .select("src", "dst")
+    }
+
   /** All 25 nation node ids (trade-graph vertex set — isolated nations
     * included, as the reference runs algorithms over all stored nodes). */
   def tradeNodes(s: SparkSession, d: String): DataFrame =
@@ -126,6 +155,25 @@ object DerivedGraphs {
   GROUP BY 1, 2),
 tedges AS MATERIALIZED (SELECT src, dst FROM trade WHERE cnt > 1.5 * (SELECT AVG(cnt) FROM trade)),
 tnodes AS MATERIALIZED (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"""
+
+  /** Mirror of [[nationTradeTop]]: `ttedges(src, dst)` as each
+    * nation's top-`perSrc` self-loop-free outgoing trade pairs. */
+  def tradeTopSql(perSrc: Int = 3): String =
+    s"""trade AS MATERIALIZED (
+  SELECT ${NationTag * TAG} + CAST(s.s_nationkey AS BIGINT) AS src,
+         ${NationTag * TAG} + CAST(c.c_nationkey AS BIGINT) AS dst,
+         COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ttedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, dst ASC) AS rn
+    FROM trade WHERE src <> dst) t
+  WHERE rn <= $perSrc)"""
 
   /** CTEs: pedges(a,b) simple oriented, psym(src,dst), pnodes(id). */
   val cooccurSql: String =

@@ -11,8 +11,10 @@ final case class QueryPage(page: Int, pageSize: Int, total: Long,
                            data: DataFrame) {
   def hasMore: Boolean = (page.toLong + 1L) * pageSize < total
   def isFirstPage: Boolean = page == 0
-  def isLastPage: Boolean = totalPages > 0 && page == totalPages - 1
-  def totalPages: Int = math.ceil(total.toDouble / pageSize).toInt
+  def isLastPage: Boolean = totalPages > 0 && page.toLong == totalPages - 1
+  // integer ceil-div in Long: exact for any total (a Double round-trip
+  // loses precision past 2^53, an Int truncation overflows past 2^31)
+  def totalPages: Long = (total + pageSize - 1) / pageSize
 }
 
 /** Cursor-style pagination over a [[GraphQuery]] — the ergonomic
@@ -32,13 +34,19 @@ final class QueryPager(q: GraphQuery, orderKey: String, val pageSize: Int) {
   /** Total result rows (StreamStats.total_count). */
   val total: Long = ordered.count()
 
-  def totalPages: Int = math.ceil(total.toDouble / pageSize).toInt
+  def totalPages: Long = (total + pageSize - 1) / pageSize
 
   /** Random-access page fetch (query_paginated(page, page_size)). */
   def page(i: Int): QueryPage = {
     require(i >= 0, "page index must be non-negative")
+    // the offset is computed in Long: i * pageSize as Int overflows
+    // beyond ~2^31 rows; Dataset.offset itself only takes an Int, so
+    // deeper slices fail loudly instead of wrapping negative
+    val off = i.toLong * pageSize
+    require(off <= Int.MaxValue.toLong,
+      s"page offset $off exceeds the Int range of Dataset.offset")
     QueryPage(i, pageSize, total,
-      ordered.offset(i * pageSize).limit(pageSize))
+      ordered.offset(off.toInt).limit(pageSize))
   }
 
   // ---- cursor walk (next_page / has_more / progress) ----

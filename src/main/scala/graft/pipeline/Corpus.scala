@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextOps.hash60
@@ -249,6 +249,17 @@ object Corpus {
       .agg(round(avg(-log(col("c") / col("tot"))), 6).as("nll"))
   }
 
+  /** THE segment-windowing formula: consecutive `width`-token windows
+    * of an already-split token array, joined back to strings. Single
+    * definition shared by [[segmentDedup]] (offline miner) and
+    * [[graft.streaming.CorpusStreams.segmentGate]] (online filter) —
+    * the gate only strips what the miner mined if the two windowings
+    * hash identically, so there must be exactly one copy. */
+  private[graft] def segments(arr: Column, width: Int): Column =
+    transform(
+      sequence(lit(0), floor((size(arr) - 1) / lit(width)).cast("int")),
+      i => array_join(slice(arr, i * lit(width) + lit(1), lit(width)), " "))
+
   /** Segment-level exact dedup (the fixed-window approximation of
     * substring dedup, Lee et al. "Deduplicating Training Data Makes
     * Language Models Better", 2022): each doc is cut into consecutive
@@ -266,13 +277,15 @@ object Corpus {
     * df table is |distinct segments| rows and AQE broadcasts it when
     * small. */
   def segmentDedup(docs: DataFrame, width: Int = 10, minDf: Int = 2): DataFrame = {
+    // materialized because it feeds both the df aggregate and the join
+    // back (the oracle marks its segs CTE MATERIALIZED for the same
+    // reason) — without it the split+explode runs twice per call
     val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(arr) - 1) div $width), " +
-          s"i -> array_join(slice(arr, i * $width + 1, $width), ' '))"))
-        .as(Seq("pos", "seg")))
+      .select(col("doc_id"),
+        posexplode(segments(col("arr"), width)).as(Seq("pos", "seg")))
       .withColumn("g", hash60(col("seg"), "sg:"))
+      .localCheckpoint()
     val dfreq = segs.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
     val kept = col("df") < minDf

@@ -90,7 +90,10 @@ object TextOps {
   def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 8,
                   minShared: Int = 2, maxDf: Int = 50,
                   fpIn: Option[DataFrame] = None): DataFrame = {
-    val fp = fpIn.getOrElse(winnow(docs, k, w))
+    // the fingerprint frame feeds the rare-df aggregate AND both join
+    // sides — materialize it once (callers holding a persisted frame,
+    // like SparkEntry's winnowCached, pass it via fpIn)
+    val fp = fpIn.getOrElse(winnow(docs, k, w).localCheckpoint())
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     val f = fp.join(rare, Seq("fp"), "left_semi")

@@ -71,11 +71,12 @@ object CorpusStreams {
     val spark = org.apache.spark.sql.SparkSession.active
     graft.sql.Hash60.register(spark)
     val bp = typedLit(boilerplate)
-    val segs = expr(
-      s"transform(sequence(0, (size(split(text, ' ')) - 1) div $width), " +
-        s"i -> array_join(slice(split(text, ' '), i * $width + 1, $width), ' '))")
     docs
-      .withColumn("_segs", segs)
+      // one shared windowing definition with the offline miner — the
+      // gate only strips what segmentDedup mined if both hash the
+      // exact same windows
+      .withColumn("_segs",
+        graft.pipeline.Corpus.segments(split(col("text"), " "), width))
       .withColumn("_kept", filter(col("_segs"),
         s => !array_contains(bp, call_function("graft_hash60", concat(lit("sg:"), s)))))
       .withColumn("n_segs", size(col("_segs")).cast("long"))
