@@ -72,6 +72,19 @@ SELECT p.a, p.b,
 FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b"""
 
+  val containmentSql: String =
+    s"""WITH ${minhashCtes(16, 4)},
+dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'a:' || sh")} AS sh FROM shingles),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
+inter AS (SELECT p.a, p.b, COUNT(*) AS common
+          FROM pairs p JOIN dsh x ON x.doc_id = p.a JOIN dsh y ON y.doc_id = p.b AND y.sh = x.sh
+          GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+       ROUND(COALESCE(i.common, 0) / sa.sz, 6) AS c_ab,
+       ROUND(COALESCE(i.common, 0) / sb.sz, 6) AS c_ba
+FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b"""
+
   private val embCtes =
     """ex AS MATERIALIZED (
   SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x

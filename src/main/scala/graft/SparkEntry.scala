@@ -347,6 +347,10 @@ object SparkEntry {
         hashedIn = Some(hashedShinglesCached(s, d)))),
     "q_dedup_clusters" -> ((s, d) =>
       Corpus.dedupClusters(minhashPairsCached(s, d))),
+    "q_containment" -> ((s, d) =>
+      Dedup.containment(GraphBuilder.table(s, d, "documents"),
+        Some(minhashPairsCached(s, d)),
+        hashedIn = Some(hashedShinglesCached(s, d)))),
     "q_sample_hash" -> ((s, d) =>
       Corpus.hashSample(GraphBuilder.table(s, d, "documents"))),
     "q_segment_dedup" -> ((s, d) =>
@@ -561,6 +565,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_dedup_minhash" -> PipelineOracles.dedupMinhashSql,
     "q_dedup_simhash" -> PipelineOracles.dedupSimhashSql,
     "q_dedup_clusters" -> PipelineOracles.dedupClustersSql,
+    "q_containment" -> PipelineOracles.containmentSql,
     "q_sample_hash" -> PipelineOracles.hashSampleSql(10),
     "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
     "q_source_overlap" -> PipelineOracles.sourceOverlapSql,

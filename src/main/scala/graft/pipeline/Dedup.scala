@@ -150,6 +150,30 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Shingle containment for the candidate pairs — the ASYMMETRIC
+    * Jaccard (|A∩B|/|A| and |A∩B|/|B|): a short doc fully embedded in
+    * a long one scores near 1.0 on its own side while symmetric
+    * Jaccard dilutes toward |A|/|B| and misses it. The standard
+    * subset-duplicate detector, same plan shape and bounds as
+    * [[ngramJaccard]] (per-doc hashed-shingle arrays joined to each
+    * pair side, intersect in codegen). */
+  def containment(docs: DataFrame, pairsIn: Option[DataFrame] = None,
+                  hashedIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(minhashPairs(docs, hashedIn = hashedIn))
+    val sh = hashedIn.getOrElse(hashedShingles(docs))
+      .select(col("doc_id"), col("ha").as("sh"))
+    val shArr = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+    pairs
+      .join(shArr.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
+      .join(shArr.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        size(col("sa")).cast("long").as("sza"), size(col("sb")).cast("long").as("szb"))
+      .select(col("a"), col("b"),
+        round(col("common") / col("sza"), 6).as("c_ab"),
+        round(col("common") / col("szb"), 6).as("c_ba"))
+  }
+
   /** Lexical×semantic agreement audit: the embedding-cosine decile
     * histogram of the lexical (minhash) candidate pairs — the dashboard
     * that catches a dedup config gone wrong (lexical dups scoring as

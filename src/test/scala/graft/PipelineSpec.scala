@@ -43,6 +43,16 @@ class PipelineSpec extends SparkSpec {
     assert(j.length == 1 && j(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("containment: embedded doc scores 1.0 on its own side only") {
+    // doc 1 is a strict substring of doc 2 → every shingle of 1 is in
+    // 2 (c_ab = 1.0) while 2 has many shingles outside 1 (c_ba < 1)
+    val d = docs(1L -> base, 2L -> (base + " plus a long unrelated tail of extra words"))
+    val c = Dedup.containment(d).collect()
+    assert(c.length == 1)
+    assert(c(0).getAs[Double]("c_ab") == 1.0)
+    assert(c(0).getAs[Double]("c_ba") < 1.0)
+  }
+
   test("cosine topk: duplicate vector ranks first with cosine 1") {
     val implicits = spark.implicits
     import implicits._
