@@ -436,6 +436,9 @@ object Community {
         val (ck, mT) = Probe.checkpointObserved(rank, sum("rank").as("t"))
         rank = ck
         totalObs = mT("t").asInstanceOf[Double]
+      // cadence measured: every-5 was +1 s at sf0.1 (a 5-iteration
+      // lineage pays more in planning/codegen than the skipped
+      // checkpoints save); every-3 stays the optimum
       } else if (i % 3 == 0) rank = rank.localCheckpoint()
     }
     val total =

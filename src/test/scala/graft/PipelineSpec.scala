@@ -268,6 +268,39 @@ class PipelineSpec extends SparkSpec {
     assert(fp(1L).size < 15 && fp(1L).nonEmpty)
   }
 
+  test("winnow agrees with a driver reference on random docs") {
+    val implicits = spark.implicits
+    import implicits._
+    // driver-side mirror of hash60: conv(substr(md5(s),1,15),16,10)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val k = 5; val w = 8
+    def refWinnow(text: String): Set[Long] = {
+      val grams = (1 to math.max(text.length - (k - 1), 1))
+        .map(i => text.slice(i - 1, i - 1 + k))
+      val keys = grams.zipWithIndex.map { case (g, i0) =>
+        val pos = i0 + 1L
+        (h60("wn:" + g) >> 12) * 4096L + (4095L - pos % 4096L)
+      }
+      keys.sliding(w).filter(_.size == w).map(_.min).map(_ >> 12).toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd "
+    val corpus = (0L until 25L).map { id =>
+      id -> Seq.fill(20 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val got = graft.pipeline.TextOps.winnow(
+        corpus.toDF("doc_id", "text").withColumn("lang", lit("en")), k, w)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    corpus.foreach { case (id, t) =>
+      val ref = refWinnow(t)
+      assert(got.getOrElse(id, Set.empty) == ref, s"doc $id")
+    }
+  }
+
   test("winnow pairs find substring overlap, cap drops boilerplate fp") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val d = docs(
