@@ -433,6 +433,8 @@ object SparkEntry {
     // ---- §2.6 streaming (batch twins of the streaming plans) ----
     "q_events_window" -> ((s, d) =>
       EventStreams.windowedCountsBatch(EventStreams.eventsTable(s, d))),
+    "q_events_sliding" -> ((s, d) =>
+      EventStreams.slidingCountsBatch(EventStreams.eventsTable(s, d))),
     "q_events_sessions" -> ((s, d) =>
       EventStreams.sessionsBatch(EventStreams.eventsTable(s, d))),
     "q_events_props" -> ((s, d) =>
@@ -601,6 +603,15 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
        CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS total
 FROM events GROUP BY 1, 2""",
+    // sliding 1h/30min: every event expands into exactly 2 epoch-aligned
+    // window starts (k=0,1), mirroring Spark's window(ts, 1h, 30m)
+    "q_events_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS total
+FROM (SELECT ts, event_type, value,
+        time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws
+      FROM events, unnest([0, 1]) AS t(k))
+GROUP BY 1, 2""",
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, ts,
   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),

@@ -66,6 +66,20 @@ object EventStreams {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("cnt"), col("total"))
 
+  /** Sliding-window aggregation: 1-hour windows every 30 minutes, so
+    * each event lands in exactly window/slide = 2 overlapping windows
+    * (epoch-aligned, mirroring the oracle's 2-row expansion). Same
+    * watermark/state story as [[windowedCounts]] — state is bounded by
+    * (watermark horizon / slide) open windows per key. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("cnt"), col("total"))
+
   /** Stateful sessionization: events within `gapMinutes` of each other
     * belong to one session; a session closes when the gap passes (or the
     * group times out). flatMapGroupsWithState keeps one small state row
@@ -125,6 +139,14 @@ object EventStreams {
     * without depending on the comparer's timestamp-precision handling. */
   def windowedCountsBatch(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        round(sum(col("value")), 4).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("cnt"), col("total"))
+
+  /** Batch twin of [[slidingCounts]]. */
+  def slidingCountsBatch(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).cast("long").as("cnt"),
         round(sum(col("value")), 4).as("total"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),

@@ -36,6 +36,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("sliding-window aggregation matches the batch twin (complete mode)") {
+    val q = EventStreams.slidingCounts(EventStreams.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("sc").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sc")
+      .select(col("wstart"), col("event_type"), col("cnt"))
+    val batch = EventStreams.slidingCountsBatch(events)
+      .select(col("wstart").cast("timestamp").as("wstart"), col("event_type"), col("cnt"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // every event lands in exactly 2 windows: sliding total = 2x tumbling
+    val slideSum = spark.table("sc").agg(sum("cnt")).head.getLong(0)
+    val tumbleSum = EventStreams.windowedCountsBatch(events)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(slideSum == 2 * tumbleSum)
+  }
+
   test("streaming burst dedup keeps exactly one event per burst key") {
     val q = EventStreams.burstDedup(EventStreams.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("bd").outputMode("append")
