@@ -60,29 +60,42 @@ p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
 SELECT a, b, hamming FROM p WHERE hamming <= 3"""
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH ${minhashCtes(16, 4)},
-dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'a:' || sh")} AS sh FROM shingles),
+  /** Shared overlap CTE chain over a pair relation — ONE copy of the
+    * dsh/sizes/inter contract composed by ngramJaccardSql and
+    * containmentSql. */
+  private def overlapCtes(pairsRel: String): String =
+    s"""dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'a:' || sh")} AS sh FROM shingles),
 sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
 inter AS (SELECT p.a, p.b, COUNT(*) AS common
-          FROM pairs p JOIN dsh x ON x.doc_id = p.a JOIN dsh y ON y.doc_id = p.b AND y.sh = x.sh
-          GROUP BY p.a, p.b)
+          FROM $pairsRel p JOIN dsh x ON x.doc_id = p.a JOIN dsh y ON y.doc_id = p.b AND y.sh = x.sh
+          GROUP BY p.a, p.b)"""
+
+  val ngramJaccardSql: String =
+    s"""WITH ${minhashCtes(16, 4)},
+${overlapCtes("pairs")}
 SELECT p.a, p.b,
        ROUND(COALESCE(i.common, 0) / (sa.sz + sb.sz - COALESCE(i.common, 0)), 6) AS jaccard
 FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b"""
 
+  /** Containment candidates = minhash pairs UNION winnow-fingerprint
+    * pairs (same 2/50 thresholds as TextOps.winnowPairs defaults) —
+    * whole-doc bands under-recall strict subsets, winnowing is
+    * substring-guaranteed; mirrors Dedup.containment's default. */
   val containmentSql: String =
     s"""WITH ${minhashCtes(16, 4)},
-dsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'a:' || sh")} AS sh FROM shingles),
-sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id),
-inter AS (SELECT p.a, p.b, COUNT(*) AS common
-          FROM pairs p JOIN dsh x ON x.doc_id = p.a JOIN dsh y ON y.doc_id = p.b AND y.sh = x.sh
-          GROUP BY p.a, p.b)
+${winnowCtes(5, 8)},
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50),
+f AS (SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM rare)),
+wpairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+           FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+allpairs AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT a, b FROM wpairs),
+${overlapCtes("allpairs")}
 SELECT p.a, p.b,
        ROUND(COALESCE(i.common, 0) / sa.sz, 6) AS c_ab,
        ROUND(COALESCE(i.common, 0) / sb.sz, 6) AS c_ba
-FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+FROM allpairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b"""
 
   private val embCtes =

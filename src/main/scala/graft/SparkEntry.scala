@@ -347,10 +347,17 @@ object SparkEntry {
         hashedIn = Some(hashedShinglesCached(s, d)))),
     "q_dedup_clusters" -> ((s, d) =>
       Corpus.dedupClusters(minhashPairsCached(s, d))),
-    "q_containment" -> ((s, d) =>
-      Dedup.containment(GraphBuilder.table(s, d, "documents"),
-        Some(minhashPairsCached(s, d)),
-        hashedIn = Some(hashedShinglesCached(s, d)))),
+    "q_containment" -> ((s, d) => {
+      val docs = GraphBuilder.table(s, d, "documents")
+      // containment-sensitive candidates: LSH pairs ∪ winnow pairs,
+      // both riding their session caches
+      val cands = minhashPairsCached(s, d).select("a", "b")
+        .unionByName(TextOps.winnowPairs(docs, fpIn = Some(winnowCached(s, d)))
+          .select("a", "b"))
+        .distinct()
+      Dedup.containment(docs, Some(cands),
+        hashedIn = Some(hashedShinglesCached(s, d)))
+    }),
     "q_sample_hash" -> ((s, d) =>
       Corpus.hashSample(GraphBuilder.table(s, d, "documents"))),
     "q_segment_dedup" -> ((s, d) =>

@@ -128,38 +128,23 @@ object Dedup {
     * candidate×shingle join, the dominant shuffle of this operator,
     * moves fixed-width bigints instead of strings. */
   def ngramJaccard(docs: DataFrame, pairsIn: Option[DataFrame] = None,
-                   hashedIn: Option[DataFrame] = None): DataFrame = {
-    val pairs = pairsIn.getOrElse(minhashPairs(docs, hashedIn = hashedIn))
-    val sh = hashedIn.getOrElse(hashedShingles(docs))
-      .select(col("doc_id"), col("ha").as("sh"))
-    // One hashed-shingle-set array per doc, joined to each side of the
-    // candidate pairs; common = |array_intersect| evaluates inside
-    // codegen per pair. Shuffle volume is bounded by |docs| + |pairs|
-    // rows — never the |pairs|·shingles-per-doc row explosion of a
-    // candidate×shingle join (measured 20 s vs ~6 s at sf0.1's 691k
-    // candidate pairs). Per-doc arrays are KBs even for long docs.
-    val shArr = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
-    pairs
-      .join(shArr.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
-      .join(shArr.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
-        size(col("sa")).cast("long").as("sza"), size(col("sb")).cast("long").as("szb"))
+                   hashedIn: Option[DataFrame] = None): DataFrame =
+    pairOverlap(docs, pairsIn.getOrElse(minhashPairs(docs, hashedIn = hashedIn)),
+        hashedIn)
       .select(col("a"), col("b"),
         round(col("common") / (col("sza") + col("szb") - col("common")), 6)
           .as("jaccard"))
-  }
 
-  /** Shingle containment for the candidate pairs — the ASYMMETRIC
-    * Jaccard (|A∩B|/|A| and |A∩B|/|B|): a short doc fully embedded in
-    * a long one scores near 1.0 on its own side while symmetric
-    * Jaccard dilutes toward |A|/|B| and misses it. The standard
-    * subset-duplicate detector, same plan shape and bounds as
-    * [[ngramJaccard]] (per-doc hashed-shingle arrays joined to each
-    * pair side, intersect in codegen). */
-  def containment(docs: DataFrame, pairsIn: Option[DataFrame] = None,
-                  hashedIn: Option[DataFrame] = None): DataFrame = {
-    val pairs = pairsIn.getOrElse(minhashPairs(docs, hashedIn = hashedIn))
+  /** Shared overlap frame (a, b, common, sza, szb) behind [[ngramJaccard]]
+    * and [[containment]] — ONE copy of the tuned plan: one hashed-
+    * shingle-set array per doc, joined to each side of the candidate
+    * pairs; common = |array_intersect| evaluates inside codegen per
+    * pair. Shuffle volume is bounded by |docs| + |pairs| rows — never
+    * the |pairs|·shingles-per-doc row explosion of a candidate×shingle
+    * join (measured 20 s vs ~6 s at sf0.1's 691k candidate pairs).
+    * Per-doc arrays are KBs even for long docs. */
+  private def pairOverlap(docs: DataFrame, pairs: DataFrame,
+                          hashedIn: Option[DataFrame]): DataFrame = {
     val sh = hashedIn.getOrElse(hashedShingles(docs))
       .select(col("doc_id"), col("ha").as("sh"))
     val shArr = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
@@ -169,6 +154,26 @@ object Dedup {
       .select(col("a"), col("b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
         size(col("sa")).cast("long").as("sza"), size(col("sb")).cast("long").as("szb"))
+  }
+
+  /** Shingle containment — the ASYMMETRIC Jaccard (|A∩B|/|A| and
+    * |A∩B|/|B|): a short doc fully embedded in a long one scores near
+    * 1.0 on its own side while symmetric Jaccard dilutes toward
+    * |A|/|B| and misses it. Candidates default to minhash-LSH pairs
+    * UNION winnowing-fingerprint pairs: whole-doc MinHash bands
+    * under-recall exactly the subset case (band agreement probability
+    * ~ J^rows, and a strict subset has J ≈ |A|/|B|), while winnowing
+    * guarantees a shared fingerprint for any common substring of
+    * w+k−1 chars regardless of the length ratio — together they are a
+    * containment-sensitive candidate set. Scoring runs the same
+    * bounded pair-overlap plan as [[ngramJaccard]]. */
+  def containment(docs: DataFrame, pairsIn: Option[DataFrame] = None,
+                  hashedIn: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsIn.getOrElse(
+      minhashPairs(docs, hashedIn = hashedIn).select("a", "b")
+        .unionByName(TextOps.winnowPairs(docs).select("a", "b"))
+        .distinct())
+    pairOverlap(docs, pairs, hashedIn)
       .select(col("a"), col("b"),
         round(col("common") / col("sza"), 6).as("c_ab"),
         round(col("common") / col("szb"), 6).as("c_ba"))

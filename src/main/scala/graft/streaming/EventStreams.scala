@@ -55,16 +55,32 @@ object EventStreams {
     events.filter(col("value") >= minValue)
       .withColumn("value_bucket", floor(col("value") / 10.0).cast("long"))
 
+  /** ONE windowed-aggregation pipeline behind the tumbling/sliding
+    * stream ops and their batch twins — the watermark horizon, agg
+    * contract and output shape must not drift between the four. */
+  private def windowAgg(events: DataFrame, slide: Option[String],
+                        streaming: Boolean): DataFrame = {
+    val win = slide.fold(window(col("ts"), "1 hour"))(
+      s => window(col("ts"), "1 hour", s))
+    val in =
+      if (streaming) events.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+      else events
+    val agg = in.groupBy(win, col("event_type"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        round(sum(col("value")), 4).as("total"))
+    if (streaming)
+      agg.select(col("window.start").as("wstart"), col("event_type"),
+        col("cnt"), col("total"))
+    else
+      agg.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("cnt"), col("total"))
+  }
+
   /** Watermarked hourly windowed aggregation per event type. Watermarks
     * need an LTZ timestamp — value-preserving here (sessions run UTC). */
   def windowedCounts(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
-      .select(col("window.start").as("wstart"), col("event_type"),
-        col("cnt"), col("total"))
+    windowAgg(events, None, streaming = true)
 
   /** Sliding-window aggregation: 1-hour windows every 30 minutes, so
     * each event lands in exactly window/slide = 2 overlapping windows
@@ -72,13 +88,7 @@ object EventStreams {
     * watermark/state story as [[windowedCounts]] — state is bounded by
     * (watermark horizon / slide) open windows per key. */
   def slidingCounts(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
-      .select(col("window.start").as("wstart"), col("event_type"),
-        col("cnt"), col("total"))
+    windowAgg(events, Some("30 minutes"), streaming = true)
 
   /** Stateful sessionization: events within `gapMinutes` of each other
     * belong to one session; a session closes when the gap passes (or the
@@ -138,19 +148,11 @@ object EventStreams {
     * emitted as formatted strings: identical content in both engines
     * without depending on the comparer's timestamp-precision handling. */
   def windowedCountsBatch(events: DataFrame): DataFrame =
-    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).cast("long").as("cnt"),
-        round(sum(col("value")), 4).as("total"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
-        col("event_type"), col("cnt"), col("total"))
+    windowAgg(events, None, streaming = false)
 
   /** Batch twin of [[slidingCounts]]. */
   def slidingCountsBatch(events: DataFrame): DataFrame =
-    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).cast("long").as("cnt"),
-        round(sum(col("value")), 4).as("total"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
-        col("event_type"), col("cnt"), col("total"))
+    windowAgg(events, Some("30 minutes"), streaming = false)
 
   /** Batch twin of burstDedup with a deterministic representative per
     * burst (smallest (ts, event_id)) — the streaming form keeps the

@@ -44,13 +44,17 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("containment: embedded doc scores 1.0 on its own side only") {
-    // doc 1 is a strict substring of doc 2 → every shingle of 1 is in
-    // 2 (c_ab = 1.0) while 2 has many shingles outside 1 (c_ba < 1)
-    val d = docs(1L -> base, 2L -> (base + " plus a long unrelated tail of extra words"))
+    // doc 1 is a strict substring of doc 2 at ~8x the length — the
+    // symmetric-Jaccard regime where MinHash bands essentially never
+    // agree; the winnow side of the candidate union must find it
+    val tail = (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> (base + " " + tail))
     val c = Dedup.containment(d).collect()
-    assert(c.length == 1)
-    assert(c(0).getAs[Double]("c_ab") == 1.0)
-    assert(c(0).getAs[Double]("c_ba") < 1.0)
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("c_ab"), r.getAs[Double]("c_ba")))).toMap
+    assert(c.contains((1L, 2L)), s"subset pair missed: ${c.keySet}")
+    assert(c((1L, 2L))._1 == 1.0)
+    assert(c((1L, 2L))._2 < 0.5)
   }
 
   test("cosine topk: duplicate vector ranks first with cosine 1") {
