@@ -375,6 +375,10 @@ object SparkEntry {
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>
       Corpus.vocabTopK(GraphBuilder.table(s, d, "documents"))),
+    // capacity 64 ≥ the corpus vocabulary → the sketch runs in its
+    // exact (deterministic) regime; the eviction bound is spec-pinned
+    "q_heavy_hitters" -> ((s, d) =>
+      pipeline.Sketches.heavyHitters(GraphBuilder.table(s, d, "documents"))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_len_histogram" -> ((s, d) =>
@@ -583,6 +587,10 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),
     "q_pack_bins" -> PipelineOracles.packBinsSql(512L),
     "q_vocab_topk" -> PipelineOracles.vocabTopKSql(50),
+    "q_heavy_hitters" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS est
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> '' GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""",
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),

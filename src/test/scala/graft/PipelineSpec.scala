@@ -319,6 +319,26 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.TextOps.winnowPairs(d, maxDf = 0).count() == 0L)
   }
 
+  test("misra-gries: exact when k >= vocab, MG bound under eviction") {
+    val implicits = spark.implicits
+    import implicits._
+    // exact regime: capacity above the vocabulary size
+    val d = docs(1L -> "a a a b b c", 2L -> "a c c")
+    val exact = graft.pipeline.Sketches.heavyHitters(d, k = 16, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("a" -> 4L, "c" -> 3L, "b" -> 2L))
+    // eviction regime: hot term over a long cold tail, k = 4,
+    // N = 500 + 200 → the hot term must survive with
+    // est >= true - N/(k+1) = 500 - 140, and never overcount
+    val hot = Seq.fill(500)("hot")
+    val cold = (1 to 100).flatMap(i => Seq.fill(2)(s"cold$i"))
+    val terms = spark.sparkContext.parallelize(hot ++ cold, 8).toDS()
+    val sketch = terms.select(new graft.pipeline.MisraGries(4).toColumn)
+      .head()
+    val est = sketch.getOrElse("hot", 0L)
+    assert(est <= 500L && est >= 500L - (700L / 5L), s"hot estimate $est")
+  }
+
   test("segment dedup keeps a doc's internal repeats when df < minDf") {
     // the same window twice WITHIN one doc is df=1 — kept both times,
     // in original positions (dedup is cross-document, not intra-doc)
