@@ -446,6 +446,9 @@ object SparkEntry {
       EventStreams.windowedCountsBatch(EventStreams.eventsTable(s, d))),
     "q_events_sliding" -> ((s, d) =>
       EventStreams.slidingCountsBatch(EventStreams.eventsTable(s, d))),
+    // capacity 16 ≥ the event-type alphabet → exact sketch regime
+    "q_window_hh" -> ((s, d) =>
+      pipeline.Sketches.windowHeavyHitters(EventStreams.eventsTable(s, d))),
     "q_events_sessions" -> ((s, d) =>
       EventStreams.sessionsBatch(EventStreams.eventsTable(s, d))),
     "q_events_props" -> ((s, d) =>
@@ -618,6 +621,13 @@ WHERE term <> '' GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""",
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
        CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS total
 FROM events GROUP BY 1, 2""",
+    "q_window_hh" ->
+      """SELECT wstart, term, est, rn FROM (
+  SELECT wstart, term, est,
+         CAST(ROW_NUMBER() OVER (PARTITION BY wstart ORDER BY est DESC, term ASC) AS BIGINT) AS rn
+  FROM (SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+               event_type AS term, CAST(COUNT(*) AS BIGINT) AS est
+        FROM events GROUP BY 1, 2) g) t WHERE rn <= 3""",
     // sliding 1h/30min: every event expands into exactly 2 epoch-aligned
     // window starts (k=0,1), mirroring Spark's window(ts, 1h, 30m)
     "q_events_sliding" ->

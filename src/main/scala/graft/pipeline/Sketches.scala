@@ -61,6 +61,28 @@ object Sketches {
     * explode + one bounded-state aggregation — the term table never
     * materializes. Capacity ≥ the true vocabulary ⇒ exact counts
     * (the oracle regime). */
+  /** Per-window heavy hitters: the [[MisraGries]] sketch registered
+    * through `functions.udaf` so it composes into an UNTYPED windowed
+    * groupBy like any built-in aggregate — per hour, the top `topN`
+    * event types by sketch estimate. Capacity ≥ the per-window
+    * alphabet ⇒ exact (the oracle regime); at true scale the same
+    * plan carries the bounded-state sketch instead of a full
+    * (window × term) table. */
+  def windowHeavyHitters(events: DataFrame, k: Int = 16, topN: Int = 3): DataFrame = {
+    val mg = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("wstart").orderBy(col("est").desc, col("term").asc)
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(mg(col("event_type")).as("m"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        explode(col("m")).as(Seq("term", "est")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col("wstart"), col("term"), col("est").cast("long").as("est"),
+        col("rn").cast("long").as("rn"))
+  }
+
   def heavyHitters(docs: DataFrame, k: Int = 64, topN: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
