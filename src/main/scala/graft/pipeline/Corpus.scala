@@ -75,13 +75,20 @@ object Corpus {
            sum("tokens").as("total_tokens"))
   }
 
+  /** THE whitespace term stream (non-empty tokens) — single definition
+    * shared by [[vocabTopK]] and [[Sketches.heavyHitters]] so the two
+    * operators (and their oracles) can never disagree on what a term
+    * is. */
+  private[graft] def terms(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+
   /** Vocabulary extraction: top-k whitespace terms by frequency
     * (count desc, term asc tiebreak). One explode + one map-side-
     * combined count + a distributed top-k (TakeOrdered) — never a
     * global sort of the term table. */
   def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    terms(docs)
       .groupBy("term").agg(count(lit(1)).cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)

@@ -56,11 +56,6 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[Strin
 
 object Sketches {
 
-  /** Heavy-hitter terms of the corpus via [[MisraGries]]: the top
-    * `topN` surviving slots by (estimate desc, term asc). One narrow
-    * explode + one bounded-state aggregation — the term table never
-    * materializes. Capacity ≥ the true vocabulary ⇒ exact counts
-    * (the oracle regime). */
   /** Per-window heavy hitters: the [[MisraGries]] sketch registered
     * through `functions.udaf` so it composes into an UNTYPED windowed
     * groupBy like any built-in aggregate — per hour, the top `topN`
@@ -83,11 +78,18 @@ object Sketches {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Heavy-hitter terms of the corpus via [[MisraGries]]: the top
+    * `topN` surviving slots by (estimate desc, term asc). One narrow
+    * explode + one bounded-state aggregation — the term table never
+    * materializes. Capacity ≥ the true vocabulary ⇒ exact counts
+    * (the oracle regime; a spec pins today's testdata under the
+    * default capacities so regenerated data can't silently flip the
+    * oracle into the order-dependent eviction regime). Tokenization is
+    * [[Corpus.terms]] — the single definition shared with vocabTopK. */
   def heavyHitters(docs: DataFrame, k: Int = 64, topN: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val terms = docs.select(explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "").as[String]
+    val terms = Corpus.terms(docs).as[String]
     terms.select(new MisraGries(k).toColumn).toDF("m")
       .select(explode(col("m")).as(Seq("term", "est")))
       .select(col("term"), col("est").cast("long").as("est"))

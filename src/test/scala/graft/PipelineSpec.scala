@@ -339,6 +339,23 @@ class PipelineSpec extends SparkSpec {
     assert(est <= 500L && est >= 500L - (700L / 5L), s"hot estimate $est")
   }
 
+  test("sketch oracle precondition: testdata alphabets fit the capacities") {
+    // q_heavy_hitters (k=64) and q_window_hh (k=16) compare against
+    // EXACT DuckDB counts, which is only sound in the no-eviction
+    // regime — if regenerated testdata ever exceeds these alphabets
+    // the sketch silently becomes an order-dependent undercount, so
+    // fail HERE with the violated precondition instead
+    val docs = GraphBuilder_table("documents")
+    val vocab = graft.pipeline.Corpus.terms(docs).distinct().count()
+    assert(vocab <= 64L, s"corpus vocabulary $vocab exceeds q_heavy_hitters capacity 64")
+    val events = graft.streaming.EventStreams.eventsTable(spark, sfDir)
+    val maxTypes = events
+      .groupBy(date_trunc("hour", col("ts")))
+      .agg(countDistinct(col("event_type")).as("n"))
+      .agg(max("n")).head.getLong(0)
+    assert(maxTypes <= 16L, s"per-hour event-type alphabet $maxTypes exceeds q_window_hh capacity 16")
+  }
+
   test("segment dedup keeps a doc's internal repeats when df < minDf") {
     // the same window twice WITHIN one doc is df=1 — kept both times,
     // in original positions (dedup is cross-document, not intra-doc)
