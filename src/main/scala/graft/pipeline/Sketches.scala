@@ -5,6 +5,57 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+/** Misra–Gries partial state: `k` parallel (term, count) slots. A slot
+  * with count ≤ 0 is free (its term is stale); occupied slots always
+  * carry count ≥ 1. Arrays (not a Map) so the per-row reduce mutates
+  * in place — the immutable-Map version allocated a rebuilt map per
+  * input row, which a 100 TB term stream turns into GC pressure.
+  * Only the two arrays are encoded; the term→slot hash index is
+  * @transient and rebuilt lazily after each deserialization, giving
+  * the O(1) hit path without widening the serialized state. */
+final case class MGBuf(terms: Array[String], counts: Array[Long]) {
+  @transient private lazy val index: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](terms.length * 2)
+    var i = 0
+    while (i < terms.length) {
+      if (counts(i) > 0L) m.put(terms(i), i)
+      i += 1
+    }
+    m
+  }
+
+  /** Slot of an OCCUPIED term, -1 if absent. */
+  def slotOf(t: String): Int = {
+    val v = index.get(t)
+    if (v eq null) -1 else v.intValue()
+  }
+
+  /** First free slot, -1 when all k are occupied. O(k), but reached
+    * only on unseen-term arrivals — the hit path never scans. */
+  def freeSlot(): Int = {
+    var i = 0
+    while (i < counts.length) { if (counts(i) <= 0L) return i; i += 1 }
+    -1
+  }
+
+  def occupy(i: Int, t: String): Unit = {
+    terms(i) = t; counts(i) = 1L; index.put(t, i)
+  }
+
+  /** The classic MG all-slots decrement; slots reaching 0 leave the
+    * index and become free in place. */
+  def decrementAll(): Unit = {
+    var i = 0
+    while (i < counts.length) {
+      if (counts(i) > 0L) {
+        counts(i) -= 1L
+        if (counts(i) == 0L) index.remove(terms(i))
+      }
+      i += 1
+    }
+  }
+}
+
 /** Misra–Gries heavy-hitters sketch as a typed Catalyst [[Aggregator]]
   * — the bounded-state frequent-items summary a 100 TB term stream
   * needs when the exact term table itself is too wide to shuffle.
@@ -20,37 +71,62 @@ import org.apache.spark.sql.functions._
   * EXACT (and therefore deterministic under Spark's nondeterministic
   * partial-aggregation order) — that regime is what the DuckDB oracle
   * checks; the eviction regime's error bound is pinned by spec.
-  */
-class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  *
+  * The per-row reduce mutates the slot arrays in place and returns the
+  * same buffer (the [[Aggregator.reduce]] contract explicitly allows
+  * this): a seen term or a free slot costs one O(k) scan and zero
+  * allocation, and the eviction branch is k in-place decrements —
+  * replacing the earlier immutable-Map state whose eviction path
+  * rebuilt the whole map per unseen item. */
+class MisraGries(k: Int) extends Aggregator[String, MGBuf, Map[String, Long]] {
   require(k >= 1, "sketch capacity must be >= 1")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: MGBuf = MGBuf(new Array[String](k), new Array[Long](k))
 
-  override def reduce(s: Map[String, Long], t: String): Map[String, Long] =
-    s.get(t) match {
-      case Some(c)            => s.updated(t, c + 1L)
-      case None if s.size < k => s.updated(t, 1L)
+  override def reduce(b: MGBuf, t: String): MGBuf = {
+    val i = b.slotOf(t)
+    if (i >= 0) b.counts(i) += 1L // hit: one hash probe, zero allocation
+    else {
+      val free = b.freeSlot()
+      if (free >= 0) b.occupy(free, t)
       // full and unseen: the classic all-slots decrement (the new item
       // cancels against one unit of every resident)
-      case None => s.flatMap { case (x, c) =>
-        if (c > 1L) Some(x -> (c - 1L)) else None }
+      else b.decrementAll()
     }
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = (a.keySet ++ b.keySet).iterator
-      .map(x => x -> (a.getOrElse(x, 0L) + b.getOrElse(x, 0L))).toMap
-    if (sum.size <= k) sum
-    else {
-      // shrink back to ≤ k slots: subtracting the (k+1)-th largest
-      // count from every slot zeroes at least |sum|-k of them while
-      // adding ≤ that much undercount — the mergeable-MG bound
-      val d = sum.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
-      sum.flatMap { case (x, c) => if (c - d > 0L) Some(x -> (c - d)) else None }
-    }
+    b
   }
 
-  override def finish(s: Map[String, Long]): Map[String, Long] = s
-  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+    // merge is once per partial-aggregate pair, not per row — a scratch
+    // map here is fine; only the per-row reduce must be allocation-free
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    def add(buf: MGBuf): Unit = {
+      var i = 0
+      while (i < k) {
+        if (buf.counts(i) > 0L)
+          m.update(buf.terms(i), m.getOrElse(buf.terms(i), 0L) + buf.counts(i))
+        i += 1
+      }
+    }
+    add(a); add(b)
+    // shrink back to ≤ k slots: subtracting the (k+1)-th largest count
+    // from every slot zeroes at least |m|-k of them while adding ≤ that
+    // much undercount — the mergeable-MG bound
+    val d = if (m.size <= k) 0L
+            else m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+    val out = zero
+    var i = 0
+    m.foreach { case (t, c) =>
+      if (c - d > 0L) { out.terms(i) = t; out.counts(i) = c - d; i += 1 }
+    }
+    out
+  }
+
+  override def finish(s: MGBuf): Map[String, Long] =
+    (0 until k).iterator.filter(s.counts(_) > 0L)
+      .map(i => s.terms(i) -> s.counts(i)).toMap
+
+  override def bufferEncoder: Encoder[MGBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
 }
 

@@ -109,6 +109,21 @@ class PlanSpec extends SparkSpec {
       "hash projection must feed the partial aggregate")
   }
 
+  test("misra-gries sketch aggregates map-side (partial below the exchange)") {
+    // the typed Aggregator must run as a partial ObjectHashAggregate on
+    // the map side — a final-only aggregation would shuffle the whole
+    // term stream instead of k-slot sketches
+    val plan = planOf(graft.pipeline.Sketches.heavyHitters(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    val exchangeAt = plan.indexOf("Exchange")
+    val partialAt = plan.indexOf("partial_")
+    // plans print parents first: final agg, then the exchange, then the
+    // map-side partial underneath it
+    assert(exchangeAt >= 0 && partialAt > exchangeAt,
+      s"partial sketch aggregation must sit below the exchange:\n${plan.take(1500)}")
+  }
+
   test("chained out() traversal joins on the src-partitioned edge table") {
     val graph = GraphBuilder.tpch(spark, sfDir)
     val plan = planOf(graft.ops.GraphQuery
