@@ -27,7 +27,15 @@ object Community {
   /** connectedComponents + the number of rounds it took + whether the
     * fixpoint was actually reached (exposed so the chain-graph spec can
     * assert the O(log n) bound and so callers can fail on an unconverged
-    * run instead of silently using partial labels). */
+    * run instead of silently using partial labels).
+    *
+    * Round-count contract: convergence is detected by the label-sum
+    * signature repeating, so a run that settles exactly on round
+    * `maxIter` needs ONE extra confirmation round — up to `maxIter + 1`
+    * rounds execute (and may be reported), never more. Callers costing
+    * rounds (telemetry, per-round job caps) must budget the +1; the
+    * alternative — comparing signatures before the increment — would
+    * report a converged run at the cap as unconverged. */
   private[graft] def ccWithRounds(nodes: DataFrame, symEdges: DataFrame,
                                   maxIter: Int): (DataFrame, Int, Boolean) = {
     // Materialize the edge view once: it is joined EVERY round, and a

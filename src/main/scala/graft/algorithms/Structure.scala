@@ -206,30 +206,44 @@ object Structure {
     c.select(col("id"), col("c").as("core"))
   }
 
-  /** Exact core decomposition on the driver: collect the (already
-    * checkpointed, symmetric) edge list and run the Batagelj–Zaversnik
-    * O(m) bucket peel — every level of the reference's level-by-level
-    * peel (kcore.rs:60) in one pass. Returns (id, core) for every node
-    * with ≥ 1 incident edge. Only called under the driver-size gate. */
+  /** Exact core decomposition on the driver: stream the (already
+    * checkpointed, symmetric) edge list through the driver and run the
+    * Batagelj–Zaversnik O(m) bucket peel — every level of the
+    * reference's level-by-level peel (kcore.rs:60) in one pass. Returns
+    * (id, core) for every node with ≥ 1 incident edge. Only called
+    * under the driver-size gate.
+    *
+    * The edges arrive via toLocalIterator (one partition resident at a
+    * time) and are packed straight into compacted int index arrays, so
+    * the driver-heap cost of this regime is ~8 B/edge + the id maps —
+    * a plain collect() of 4M GenericRows (the gate maximum) would pin
+    * hundreds of MB of Row objects, far above what the same threshold
+    * costs as a broadcast frame (ADVICE r5). */
   private def corePeelLocal(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    val rows = e.select(col("src").cast("long"), col("dst").cast("long")).collect()
-    val m = rows.length
-    val idOf = new java.util.HashMap[Long, Int](m * 2)
+    val it = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .toLocalIterator()
+    val idOf = new java.util.HashMap[Long, Int]()
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     def ix(v: Long): Int = {
       val got = idOf.getOrDefault(v, -1)
       if (got >= 0) got
       else { val i = ids.length; idOf.put(v, i); ids += v; i }
     }
-    val srcIx = new Array[Int](m); val dstIx = new Array[Int](m)
-    var k = 0
-    while (k < m) {
-      srcIx(k) = ix(rows(k).getLong(0)); dstIx(k) = ix(rows(k).getLong(1)); k += 1
+    var srcIx = new Array[Int](1 << 16); var dstIx = new Array[Int](1 << 16)
+    var m = 0
+    while (it.hasNext) {
+      val r = it.next()
+      if (m == srcIx.length) {
+        srcIx = java.util.Arrays.copyOf(srcIx, m * 2)
+        dstIx = java.util.Arrays.copyOf(dstIx, m * 2)
+      }
+      srcIx(m) = ix(r.getLong(0)); dstIx(m) = ix(r.getLong(1)); m += 1
     }
     val n = ids.length
     val deg = new Array[Int](n)
-    k = 0; while (k < m) { deg(srcIx(k)) += 1; k += 1 }
+    var k = 0
+    while (k < m) { deg(srcIx(k)) += 1; k += 1 }
     // CSR adjacency over the compacted ids
     val off = new Array[Int](n + 1)
     var i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }

@@ -62,8 +62,10 @@ object CorpusStreams {
     * the accepted corpus — document frequency is not streamable with
     * bounded state, the mined set is). A pure per-row projection — no
     * stream state at all — so it composes into any streaming intake;
-    * the set rides the plan as a literal array (production: a
-    * broadcast ref-data frame refreshed per compaction cycle).
+    * the set rides the plan as a literal array, which is the SMALL-SET
+    * fast path only (each window scans the array, and a large literal
+    * bloats the plan) — a production-sized mined set goes through the
+    * DataFrame overload below, which joins instead.
     * Adds (n_segs, n_kept, clean_text); works identically on batch
     * frames, which is what the spec pins. */
   def segmentGate(docs: DataFrame, boilerplate: Array[Long],
@@ -83,5 +85,51 @@ object CorpusStreams {
       .withColumn("n_kept", size(col("_kept")).cast("long"))
       .withColumn("clean_text", array_join(col("_kept"), " "))
       .drop("_segs", "_kept")
+  }
+
+  /** [[segmentGate]] with the mined boilerplate as a DataFrame of
+    * 60-bit segment hashes (column `g`) — the production shape: the
+    * mined set is itself the output of a distributed compaction job,
+    * and a large one must ride a hash join on the segment hash, not a
+    * plan literal (the literal is scanned O(|boilerplate|) per window
+    * and bloats/breaks the plan past ~10⁴ entries).
+    *
+    * Sets of ≤ `smallSetMax` hashes are collected into the literal
+    * fast path — identical plan to [[segmentGate]], streaming-safe
+    * (zero state). Larger sets take one posexplode + a left-outer flag
+    * join on the segment hash (anti-join semantics, kept outer so the
+    * stripped windows still count into n_segs) + per-doc reassembly;
+    * the boilerplate side broadcasts under AQE while it fits and
+    * degrades to a shuffle hash join past that. Shuffle is bounded by
+    * corpus tokens / width. The reassembly is an aggregation, so this
+    * branch is for batch / compaction runs (a stream would need a
+    * watermark on it); the output schema and values are identical to
+    * the literal path (pinned by spec). */
+  def segmentGate(docs: DataFrame, boilerplate: DataFrame, width: Int,
+                  smallSetMax: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.sql.Hash60.register(spark)
+    // duplicates in the mined set would duplicate segment rows through
+    // the join; array_contains on the literal path is naturally idempotent
+    val bp = boilerplate.select(col("g").cast("long").as("g")).distinct()
+    if (bp.limit(smallSetMax + 1).count() <= smallSetMax)
+      segmentGate(docs, bp.collect().map(_.getLong(0)), width)
+    else {
+      val segs = docs
+        .select(col("doc_id"),
+          posexplode(graft.pipeline.Corpus.segments(split(col("text"), " "), width))
+            .as(Seq("pos", "seg")))
+        .withColumn("g", call_function("graft_hash60", concat(lit("sg:"), col("seg"))))
+      val agg = segs
+        .join(bp.withColumn("_bp", lit(true)), Seq("g"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_segs"),
+          sum(col("_bp").isNull.cast("long")).cast("long").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("_bp").isNull,
+              struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " ").as("clean_text"))
+      docs.join(agg, Seq("doc_id"))
+    }
   }
 }

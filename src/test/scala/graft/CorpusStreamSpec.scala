@@ -96,4 +96,28 @@ class CorpusStreamSpec extends SparkSpec {
       assert(streamed == expected)
     } finally sq.stop()
   }
+
+  test("segment gate DataFrame overload: join branch equals the literal branch") {
+    val implicits = spark.implicits
+    import implicits._
+    val docsIn = mkDocs(
+      (1L, "one two three four five six", "en"),
+      (2L, "one two three seven eight nine", "en"),
+      (3L, "one two three", "en"), // all-boilerplate → empty clean_text
+      (4L, "ten eleven twelve", "en"))
+    // mined set as a frame, WITH a duplicate row (the join path must
+    // dedupe or it would double-count segment rows)
+    val one = spark.range(1).select(
+      graft.pipeline.TextOps.hash60(lit("one two three"), "sg:").as("g"))
+    val bpDf = one.unionAll(one)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_segs", "n_kept", "clean_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val direct = snap(CorpusStreams.segmentGate(
+      docsIn, one.collect().map(_.getLong(0)), 3))
+    // smallSetMax = 0 forces the join branch; 1024 takes the literal branch
+    assert(snap(CorpusStreams.segmentGate(docsIn, bpDf, 3, 0)) == direct)
+    assert(snap(CorpusStreams.segmentGate(docsIn, bpDf, 3, 1024)) == direct)
+    assert(direct.exists(t => t._1 == 3L && t._3 == 0L && t._4 == ""))
+  }
 }
