@@ -305,6 +305,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunked gram kernels are block-size invariant (boundary equivalence)") {
+    val implicits = spark.implicits
+    import implicits._
+    // random docs much longer than the forced 7-char block size, so
+    // every doc crosses dozens of block boundaries; the gram stream and
+    // the winnow fingerprints must be identical to a one-block run
+    // (blockChars ≥ any doc length ≡ the old whole-document formula)
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde "
+    val corpus = (0L until 20L).map { id =>
+      id -> Seq.fill(40 + rnd.nextInt(200))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val d = corpus.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    def bag(df: DataFrame) = df.collect()
+      .groupBy(r => r.getLong(0)).view
+      .mapValues(_.map(_.toSeq.tail).groupBy(identity).view.mapValues(_.length).toMap)
+      .toMap
+    assert(bag(TextOps.shingles(d, 5, 7)) == bag(TextOps.shingles(d, 5, 1 << 20)))
+    assert(bag(TextOps.winnow(d, 5, 8, 7)) == bag(TextOps.winnow(d, 5, 8, 1 << 20)))
+    // short-doc truncated-prefix semantics survive the chunked kernel
+    val tiny = Seq(1L -> "ab").toDF("doc_id", "text")
+    assert(TextOps.shingles(tiny, 5, 7).collect().map(_.getString(1)).toSeq == Seq("ab"))
+  }
+
+  test("multi-MB document flows through the gram kernels block by block") {
+    val implicits = spark.implicits
+    import implicits._
+    // ~8 MB single document: the old whole-document gram array would
+    // materialize ~8M k-char substrings (plus element overhead) in one
+    // task; the chunked kernel caps the per-row array at the 64K block
+    val rnd = new scala.util.Random(3)
+    val alphabet = "abcdefgh "
+    val sb = new StringBuilder(8 << 20)
+    while (sb.length < (8 << 20)) sb.append(alphabet(rnd.nextInt(alphabet.length)))
+    val text = sb.toString
+    val d = Seq(1L -> text).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val len = text.length.toLong
+    assert(TextOps.shingles(d, 5).count() == len - 4)
+    // winnow: completes within block-bounded memory; density sanity —
+    // ~2/(w+1) of the gram count, and every fingerprint is distinct
+    val fps = TextOps.winnow(d, 5, 8).count()
+    assert(fps > 0L && fps < (len - 4) / 2)
+    // segment path: token windows over the same doc reassemble losslessly
+    val seg = graft.pipeline.Corpus.segmentDedup(d, width = 10, minDf = 2).head
+    assert(seg.getLong(1) == seg.getLong(2)) // single doc → nothing mined
+  }
+
   test("winnow pairs find substring overlap, cap drops boilerplate fp") {
     val quote = "the quick brown fox jumps over the lazy dog tonight"
     val d = docs(
