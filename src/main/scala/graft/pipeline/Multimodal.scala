@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (brief-mandated): image/audio/video as
   * opaque BINARY columns with typed metadata, processed per-partition in
   * batches. The Spark side — schema, partitioning, batch iteration, typed
-  * Encoders — is real and tested; the actual codec calls are STUBBED
-  * (deterministic fakes derived from the bytes) because no media
-  * libraries exist in this environment. Swap `decodeStub` for a real
-  * decoder (e.g. javacv / a Pandas UDF in pyspark) without touching the
+  * Encoders — is real and tested, and so is IMAGE decode: payloads in
+  * any JDK-supported raster format (PNG, BMP, GIF, JPEG via
+  * `javax.imageio.ImageIO`, no external dependency) are decoded for
+  * real — dimensions from the actual raster, resize through a real
+  * Graphics2D scale + PNG re-encode. Payloads ImageIO cannot read
+  * (arbitrary bytes, plus audio/video, which have no JDK codec) fall
+  * back to `decodeStub` — a deterministic fake derived from the bytes,
+  * kept so the pipeline shape is exercisable on synthetic payloads;
+  * swap it for a media library (javacv etc.) without touching the
   * surrounding plumbing.
   */
 object Multimodal {
@@ -26,9 +31,19 @@ object Multimodal {
       lit(kind).as("kind"),
       col(payloadCol).cast("binary").as("media"))
 
-  /** ==== STUB ==== deterministic fake decode: real implementations
-    * replace this body; everything around it (partitioned batch map,
-    * typed output schema) is production plumbing. */
+  /** Real image decode via the JDK's ImageIO: Some(raster) for any
+    * format a registered reader understands (PNG/BMP/GIF/JPEG out of
+    * the box), None otherwise. The in-memory stream + disabled disk
+    * cache keep this executor-safe (no temp files per task). */
+  private[pipeline] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: Exception => None }
+
+  /** ==== STUB ==== deterministic fake decode — the FALLBACK for
+    * payloads with no JDK codec (audio/video) or that no ImageIO
+    * reader accepts; real implementations replace this body. */
   private[pipeline] def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
     bytes.foreach(b => h = h * 31 + (b & 0xff))
@@ -41,16 +56,30 @@ object Multimodal {
     }
   }
 
+  /** (width, height, n_frames) for one payload: a real ImageIO decode
+    * for image rows, the stub for everything else. A still image is
+    * one frame by definition. */
+  private[pipeline] def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
+    kind match {
+      case "image" => decodeImage(bytes) match {
+        case Some(img) => (img.getWidth, img.getHeight, 1)
+        case None      => decodeStub(kind, bytes)
+      }
+      case _ => decodeStub(kind, bytes)
+    }
+
   /** Feature extraction over the media column: mapPartitions so a real
     * decoder can amortize model/codec init once per partition and batch
-    * its calls — the Spark-native analogue of mapInPandas. */
+    * its calls — the Spark-native analogue of mapInPandas. Image rows
+    * decode for real; see [[decode]]. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init of the (stubbed) decoder happens here
+      // per-partition init of heavier decoders goes here (ImageIO
+      // readers are registered JVM-wide already)
       it.map { r =>
-        val (w, h, f) = decodeStub(r.kind, r.media)
+        val (w, h, f) = decode(r.kind, r.media)
         var hash = 1125899906842597L
         r.media.foreach(b => hash = hash * 31 + (b & 0xff))
         MediaFeatures(r.media_id, r.kind, r.media.length.toLong, hash, w, h, f)
@@ -61,32 +90,55 @@ object Multimodal {
   final case class ResizedMedia(media_id: Long, kind: String,
                                 width: Int, height: Int, media: Array[Byte])
 
+  /** Real raster resize: scale through Graphics2D onto a (w, h) RGB
+    * canvas and re-encode as PNG. Deterministic (fixed TYPE_INT_RGB
+    * target, default scaling, PNG writer from the JDK). */
+  private[pipeline] def resizeImage(img: java.awt.image.BufferedImage,
+                                    w: Int, h: Int): Array[Byte] = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(img, 0, 0, w, h, null)
+    finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
   /** Resize/resample: decode → scale to (w, h) → re-encode, batched per
-    * partition like [[extractFeatures]] so a real codec inits once. The
-    * ==== STUB ==== re-encode emits a deterministic byte slice sized by
-    * the target area (payload shrinks/pads like a real downscale would);
-    * the typed output schema and partition shape are production
-    * plumbing. */
+    * partition like [[extractFeatures]] so a real codec inits once.
+    * Image payloads ImageIO can read go through the REAL pixel path
+    * ([[resizeImage]]: Graphics2D scale + PNG re-encode); everything
+    * else takes the ==== STUB ==== re-encode — a deterministic byte
+    * slice sized by the target area (payload shrinks/pads like a real
+    * downscale would). Typed output schema and partition shape are the
+    * same on both paths. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     require(w > 0 && h > 0, "target dims must be positive")
     media.mapPartitions { it =>
-      // per-partition init of the (stubbed) codec happens here
+      // per-partition init of heavier codecs goes here
       it.map { r =>
-        // Long arithmetic: i·len overflows Int for MB-scale payloads
-        // (255·9e6 > 2^31) and w·h for large target dims
-        val target = math.min(math.max(1L, w.toLong * h.toLong / 8L),
-          Int.MaxValue.toLong - 8).toInt
-        val out = new Array[Byte](target)
-        val len = r.media.length.toLong
-        var i = 0L
-        while (i < target) {
-          out(i.toInt) = if (len == 0L) 0
-                         else r.media(((i * len) / target % len).toInt)
-          i += 1
+        val real = if (r.kind == "image") decodeImage(r.media) else None
+        real match {
+          case Some(img) =>
+            ResizedMedia(r.media_id, r.kind, w, h, resizeImage(img, w, h))
+          case None =>
+            // Long arithmetic: i·len overflows Int for MB-scale payloads
+            // (255·9e6 > 2^31) and w·h for large target dims
+            val target = math.min(math.max(1L, w.toLong * h.toLong / 8L),
+              Int.MaxValue.toLong - 8).toInt
+            val out = new Array[Byte](target)
+            val len = r.media.length.toLong
+            var i = 0L
+            while (i < target) {
+              out(i.toInt) = if (len == 0L) 0
+                             else r.media(((i * len) / target % len).toInt)
+              i += 1
+            }
+            ResizedMedia(r.media_id, r.kind, w, h, out)
         }
-        ResizedMedia(r.media_id, r.kind, w, h, out)
       }
     }
   }
