@@ -525,4 +525,13 @@ object Cypher {
     require(pageSize > 0 && page >= 0, "bad page bounds")
     query(graph, cypher).offset(page * pageSize).limit(pageSize)
   }
+
+  /** Stateful cursor over a Cypher result — QueryCursor::with_query
+    * (src/cypher/streaming.rs:112-139): total computed up front, then
+    * next_page / has_more / progress walk stable offset/limit slices
+    * of the cached result. `orderKeys` (ascending) must totally order
+    * the RETURN columns — include a unique tiebreak. */
+  def pager(graph: PropertyGraph, cypher: String, orderKeys: Seq[String],
+            pageSize: Int): graft.ops.QueryPager =
+    graft.ops.QueryPager.of(query(graph, cypher), orderKeys, pageSize)
 }

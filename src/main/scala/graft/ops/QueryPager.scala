@@ -17,19 +17,29 @@ final case class QueryPage(page: Int, pageSize: Int, total: Long,
   def totalPages: Long = (total + pageSize - 1) / pageSize
 }
 
-/** Cursor-style pagination over a [[GraphQuery]] — the ergonomic
-  * surface of the reference's streaming query pager (query_stream.rs:
-  * next_page / has_more / progress on StreamStats). The result is
-  * pinned under ONE deterministic total order (orderKey asc, id
-  * tiebreak — [[GraphQuery.orderBy]]) and cached, so page boundaries
+/** Cursor-style pagination over ANY DataFrame carrying a deterministic
+  * total order — the ergonomic surface of the reference's streaming
+  * query pager (query_stream.rs: next_page / has_more / progress on
+  * StreamStats; cypher/streaming.rs:112 QueryCursor::with_query for
+  * Cypher results). The ordered frame is cached, so page boundaries
   * are stable across fetches and each page is an offset/limit slice of
   * the same frame, never a re-execution of the upstream query. The
   * total is computed once up front (it doubles as the cache warm-up);
-  * call [[close]] to release the cached frame. */
-final class QueryPager(q: GraphQuery, orderKey: String, val pageSize: Int) {
+  * call [[close]] to release the cached frame.
+  *
+  * Build one from a [[GraphQuery]] (orderKey asc, id tiebreak) via the
+  * public constructor, or from any (DataFrame, total-order keys) —
+  * e.g. a compiled Cypher result — via [[QueryPager.of]] /
+  * [[graft.cypher.Cypher.pager]]. */
+final class QueryPager private (orderedIn: DataFrame, val pageSize: Int) {
   require(pageSize > 0, "pageSize must be positive")
 
-  private val ordered = q.orderBy(orderKey, ascending = true).df.cache()
+  /** Pager over a [[GraphQuery]]: one deterministic total order
+    * (orderKey asc, id tiebreak — [[GraphQuery.orderBy]]). */
+  def this(q: GraphQuery, orderKey: String, pageSize: Int) =
+    this(q.orderBy(orderKey, ascending = true).df, pageSize)
+
+  private val ordered = orderedIn.cache()
 
   /** Total result rows (StreamStats.total_count). */
   val total: Long = ordered.count()
@@ -67,4 +77,15 @@ final class QueryPager(q: GraphQuery, orderKey: String, val pageSize: Int) {
     else math.min(1.0, (cursor.toLong * pageSize).toDouble / total)
 
   def close(): Unit = ordered.unpersist()
+}
+
+object QueryPager {
+  /** Pager over any DataFrame: `orderKeys` (ascending) must give a
+    * TOTAL order — include a unique tiebreak column, or page
+    * boundaries are undefined under Spark's unstable sort. */
+  def of(df: DataFrame, orderKeys: Seq[String], pageSize: Int): QueryPager = {
+    require(orderKeys.nonEmpty, "a total-order key is required")
+    new QueryPager(
+      df.orderBy(orderKeys.map(org.apache.spark.sql.functions.col): _*), pageSize)
+  }
 }

@@ -283,4 +283,31 @@ class CypherSpec extends SparkSpec {
       .agg(sum(col("l_quantity"))).head.getDouble(0)
     assert(math.abs(row.getDouble(0) - direct) < 1e-6)
   }
+
+  test("cypher pager: cursor walk mirrors the reference streaming contract") {
+    // QueryCursor::with_query over a Cypher MATCH — 25 nations at
+    // pageSize 10 is exactly streaming_query_test.rs's
+    // test_pagination_with_small_page_size shape (3 pages: 10/10/5)
+    val pager = Cypher.pager(graph,
+      "MATCH (n:Nation) RETURN n.id AS id, n.name AS name",
+      orderKeys = Seq("id"), pageSize = 10)
+    assert(pager.total == 25 && pager.totalPages == 3)
+    assert(pager.progress == 0.0)
+    var seen = Vector.empty[Long]
+    var pages = 0
+    while (pager.hasMore) {
+      val p = pager.nextPage()
+      val ids = p.data.collect().map(_.getAs[Long]("id"))
+      assert(p.isFirstPage == (p.page == 0) && p.isLastPage == (p.page == 2))
+      assert(ids.length == (if (p.page == 2) 5 else 10))
+      seen ++= ids
+      pages += 1
+    }
+    assert(pages == 3 && !pager.hasMore && pager.progress == 1.0)
+    // one deterministic total order, no row lost or repeated
+    assert(seen == seen.sorted && seen.distinct.length == 25)
+    // out-of-range random access behaves like the reference's page 4
+    assert(pager.page(3).data.count() == 0L && !pager.page(3).hasMore)
+    pager.close()
+  }
 }
