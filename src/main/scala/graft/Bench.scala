@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Frozen control-query rows (BASELINE.md comparison rule): these are
+    * build-free point lookups, so a clean run lands within noise of
+    * them — disagreement means the machine was co-tenant and the WHOLE
+    * run must be discarded, not explained away. Update only when a new
+    * BASELINE table is frozen. */
+  val frozenControls: Map[String, Double] = Map(
+    "q_count" -> 0.12, "q_label_scan" -> 0.05, "q_prop_eq" -> 0.05,
+    "q_prop_gt" -> 0.05, "q_sum_avg" -> 0.08, "q_stats" -> 0.09,
+    "q_order_page" -> 0.08)
+
+  /** A control agrees when measured ≤ 2× frozen + 0.1 s (the ~2× rule
+    * with an absolute floor so 50 ms rows aren't flagged by scheduler
+    * jitter). */
+  def controlOk(measured: Double, frozen: Double): Boolean =
+    measured <= frozen * 2.0 + 0.1
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,10 +33,6 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try graft.graph.GraphBuilder.tpch(spark, sfDir).edges.count()
     catch { case _: Throwable => () }
-    // Sorted-name order: deterministic across rounds, so shared derived
-    // frames (co-occurrence graph, minhash pairs) are always paid by the
-    // same (alphabetically first) query and per-query numbers stay
-    // comparable round over round.
     // Optional comma-separated query-name filter for local profiling
     // (unset → full suite, the driver's mode). Unknown names fail fast —
     // a typo must not silently yield an empty run — and an active filter
@@ -35,9 +49,7 @@ object Bench {
         "queries — totals are NOT comparable to full-suite runs")
       names
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
       val t0 = System.nanoTime()
       // Force every projected expression to execute: a count() would let
       // Catalyst prune the projection (map-only queries would be measured
@@ -46,10 +58,44 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Shared derived-frame builds as explicit build:* pseudo-rows —
+    // each cache is materialized (and persisted) HERE, so consumer
+    // queries below pay only their own work and per-query rows compare
+    // round over round without attribution prose. Skipped under an
+    // active filter: a filtered profiling run should see the same lazy
+    // cache attribution a single query sees in production.
+    val builds =
+      if (only.isDefined) Seq.empty
+      else SparkEntry.sharedBuilds.map { case (n, f) => timed(n, f) }
+    // Sorted-name order: deterministic across rounds, so per-query
+    // numbers stay comparable round over round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) => timed(name, fn) }
+    val resultMap = results.toMap
+    // Self-validation: compare the untouched control queries against
+    // the frozen BASELINE rows and SAY whether this artifact is a valid
+    // measurement — BENCH_r05.json shipped co-tenant numbers that only
+    // a forensic rerun caught.
+    val haveAll = frozenControls.keySet.subsetOf(resultMap.keySet)
+    val ratios = frozenControls.toSeq.sorted.collect {
+      case (q, frozen) if resultMap.contains(q) =>
+        q -> BigDecimal(resultMap(q) / frozen)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val controlsOk =
+      if (!haveAll) "null"
+      else frozenControls.forall { case (q, f) => controlOk(resultMap(q), f) }.toString
+    if (controlsOk == "false")
+      System.err.println("BENCH CONTROLS FAILED: control queries disagree with " +
+        "the frozen BASELINE rows — this run is co-tenant; re-measure, do not compare")
+    val qs = (builds ++ results).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ctl = ratios.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = (builds ++ results).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""controls_ok":$controlsOk,"control_ratios":$ctl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,6 +52,19 @@ object SparkEntry {
     triCache.getOrElseUpdate((s, d),
       Structure.triangles(DerivedGraphs.partCooccur(s, d)).persist())
 
+  /** The shared derived-frame builds, exposed so Bench can time each
+    * as an explicit `build:*` pseudo-row. Without this the
+    * alphabetically-first consumer of each cache absorbs its build
+    * cost (q_containment once absorbed BOTH the minhash and winnow
+    * builds), and per-query rows need attribution prose to compare
+    * round over round. Each entry materializes + persists its cache;
+    * ordering matters only in that minhash rides hashed_shingles. */
+  def sharedBuilds: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "build:hashed_shingles" -> ((s, d) => hashedShinglesCached(s, d)),
+    "build:minhash_pairs" -> ((s, d) => minhashPairsCached(s, d)),
+    "build:winnow_fp" -> ((s, d) => winnowCached(s, d)),
+    "build:triangles" -> ((s, d) => trianglesCached(s, d)))
+
   /** Release every session-keyed memo in the library (GraphBuilder,
     * DerivedGraphs, minhash pairs) — for in-process session recycling. */
   def clearCaches(): Unit = {

@@ -213,16 +213,22 @@ object Structure {
     * (id, core) for every node with ≥ 1 incident edge. Only called
     * under the driver-size gate.
     *
-    * The edges arrive via toLocalIterator (one partition resident at a
-    * time) and are packed straight into compacted int index arrays, so
-    * the driver-heap cost of this regime is ~8 B/edge + the id maps —
+    * The edges are packed into primitive long arrays PER PARTITION on
+    * the executors (one collect job fetching ≤ nPartitions array
+    * pairs), so the driver-heap cost of this regime is ~16 B/edge —
     * a plain collect() of 4M GenericRows (the gate maximum) would pin
     * hundreds of MB of Row objects, far above what the same threshold
-    * costs as a broadcast frame (ADVICE r5). */
+    * costs as a broadcast frame (ADVICE r5). (toLocalIterator was
+    * tried first: its one-job-per-partition fetch added ~1.5 s of
+    * scheduler floor at 32 partitions.) */
   private def corePeelLocal(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    val it = e.select(col("src").cast("long"), col("dst").cast("long"))
-      .toLocalIterator()
+    val packed = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.mapPartitions { it =>
+        val sb = Array.newBuilder[Long]; val db = Array.newBuilder[Long]
+        it.foreach { r => sb += r.getLong(0); db += r.getLong(1) }
+        Iterator.single((sb.result(), db.result()))
+      }.collect()
     val idOf = new java.util.HashMap[Long, Int]()
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     def ix(v: Long): Int = {
@@ -230,15 +236,12 @@ object Structure {
       if (got >= 0) got
       else { val i = ids.length; idOf.put(v, i); ids += v; i }
     }
-    var srcIx = new Array[Int](1 << 16); var dstIx = new Array[Int](1 << 16)
-    var m = 0
-    while (it.hasNext) {
-      val r = it.next()
-      if (m == srcIx.length) {
-        srcIx = java.util.Arrays.copyOf(srcIx, m * 2)
-        dstIx = java.util.Arrays.copyOf(dstIx, m * 2)
-      }
-      srcIx(m) = ix(r.getLong(0)); dstIx(m) = ix(r.getLong(1)); m += 1
+    val m = packed.iterator.map(_._1.length).sum
+    val srcIx = new Array[Int](m); val dstIx = new Array[Int](m)
+    var k0 = 0
+    packed.foreach { case (ss, ds) =>
+      var j = 0
+      while (j < ss.length) { srcIx(k0) = ix(ss(j)); dstIx(k0) = ix(ds(j)); j += 1; k0 += 1 }
     }
     val n = ids.length
     val deg = new Array[Int](n)
