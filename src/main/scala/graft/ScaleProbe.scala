@@ -59,7 +59,13 @@ object ScaleProbe {
         time("segment_dedup")(Corpus.segmentDedup(docs)),
         // replicas share almost all fingerprints → heavy hot-key load
         // on the pair join; the maxDf cap is what keeps it bounded
-        time("winnow_pairs")(TextOps.winnowPairs(docs)))
+        time("winnow_pairs")(TextOps.winnowPairs(docs)),
+        // candidate union of two generators with different growth laws:
+        // the minhash side is output-bound (true near-dup pairs grow
+        // ~K² under replication), the winnow side stays flat (maxDf
+        // drops replica-shared fingerprints) — the probe shows the
+        // union rides the minhash curve, not worse
+        time("containment")(Dedup.containment(docs)))
     }
 
     val t1 = corpusTimes(1)
