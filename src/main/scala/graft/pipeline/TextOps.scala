@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * graph engine — these follow the standard corpus-prep recipes).
   *
   * Everything is built from codegen'd `org.apache.spark.sql.functions`
-  * (no UDFs): shingling is sequence+transform+explode, hashing is
-  * md5→hex→bigint so the DuckDB oracle computes bit-identical values.
+  * or native Catalyst expressions (no UDFs): shingling is the
+  * [[graft.sql.CharGrams]] generator (row stream identical to the
+  * sequence+transform+explode formula the oracle mirrors), hashing is
+  * md5→bigint so the DuckDB oracle computes bit-identical values.
   *
   * Scale notes: every op here is a narrow map or a single map-side-
   * combined aggregation keyed by doc_id — embarrassingly parallel, no
@@ -33,87 +35,28 @@ object TextOps {
         conv(substring(md5(concat(lit(prefix), c)), 1, 15), 16, 10).cast("long")
     }
 
-  /** Block size (chars) for the chunked gram kernels: grams are
-    * expanded per overlapping text block, never per whole document, so
-    * the peak per-task state is ~blockChars·k chars regardless of
-    * document length. A |text|-element transform(sequence(...)) array
-    * (the previous formula) turns a multi-MB document into a
-    * multi-hundred-MB task spike — ~k·|text| chars of gram data plus
-    * per-element overhead, all resident before the explode.
-    *
-    * Chunking also bounds COMPUTE, not just memory: `substring` on a
-    * UTF8 string walks from the start to find a char offset (variable-
-    * width encoding), so per-gram substring cost is O(position) — the
-    * whole-document formula was QUADRATIC in |text| (an 8 MB doc is
-    * ~10¹³ byte steps; measured ≥ hours single-task). The kernels
-    * below keep every substring scan block-local and extract grams by
-    * O(k) array slices, making the whole pipeline ~linear in |text|
-    * (measured: 8 MB doc ≈ 10 s through winnow). */
-  private[pipeline] val gramBlockChars = 65536
-
-  /** One posexplode level of [[gramBlocks]]: cut `textCol` into
-    * `blockChars`-char pieces overlapping by k−1 chars, so every
-    * k-gram lies wholly inside exactly one piece — piece b owns the
-    * grams starting at (local) char offsets b·blockChars+1 …
-    * (b+1)·blockChars. Short inputs (len < k) come out as a single
-    * piece = the whole text, preserving the truncated-prefix gram
-    * semantics. */
-  private def chunk(textCol: String, k: Int, blockChars: Int) =
-    posexplode(expr(
-      s"transform(sequence(0, cast(greatest(ceil((length($textCol) - ${k - 1}) / $blockChars), 1) as int) - 1), " +
-        s"b -> substring($textCol, b * $blockChars + 1, ${blockChars + k - 1}))"))
-
-  /** (doc_id, boff, btext) — the document cut into `blockChars`-char
-    * blocks overlapping by k−1 chars; `boff` is the 0-based global
-    * char offset of the block start, so block-local gram position i
-    * (1-based) sits at global position boff + i. Chunking is TWO
-    * levels (superblocks of 64·blockChars, then blocks within each) —
-    * each substring extraction walks its parent from the start, so a
-    * single level costs O(|text|²/blockChars) while two levels keep
-    * extraction ~O(|text|·64/blockChars + |text|) — near-linear. The
-    * block arrays total ~|text| chars per level (the same order as
-    * the text row itself); after the explodes each downstream row
-    * carries one block. */
-  private def gramBlocks(docs: DataFrame, k: Int, blockChars: Int): DataFrame = {
-    val superChars = 64L * blockChars
-    docs
-      .select(col("doc_id"), chunk("text", k, superChars.toInt).as(Seq("sidx", "stext")))
-      .select(col("doc_id"), (col("sidx") * superChars).as("soff"),
-        chunk("stext", k, blockChars).as(Seq("bidx", "btext")))
-      .select(col("doc_id"),
-        (col("soff") + col("bidx").cast("long") * blockChars).as("boff"),
-        col("btext"))
+  /** Positioned gram stream (doc_id, pos, sh), pos 1-based in code
+    * points — the native [[graft.sql.CharGrams]] generator. The naive
+    * `transform(sequence(1, len), i -> substring(text, i, k))` formula
+    * (still mirrored verbatim in the DuckDB oracles) materializes a
+    * |text|-element array per row AND is quadratic in |text| (each
+    * substring walks the UTF8 string from byte 0); the generator
+    * streams the same rows with two byte cursors — O(1) state, O(|text|)
+    * walk, no array, at any document length (measured: 8 MB doc,
+    * shingles 112 s → ~3 s). */
+  private[graft] def charGrams(docs: DataFrame, k: Int): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.sql.CharGrams.register)
+    docs.select(col("doc_id"),
+      call_function("graft_chargrams", col("text"), lit(k)))
   }
 
-  /** Per-block positioned grams: (doc_id, pos, sh) with `pos` the
-    * 1-based global char position of each k-gram. The block is split
-    * into a char array ONCE (hoisted into its own projection — inside
-    * the lambda it would re-split per gram) and each gram is an O(k)
-    * slice+join over it: substring-per-gram would walk the block from
-    * its start every time (O(blockChars) per gram, the last ~10× of
-    * the long-document cost). slice past the array end truncates,
-    * which reproduces substring's short-input prefix semantics. */
-  private def blockGrams(docs: DataFrame, k: Int, blockChars: Int): DataFrame =
-    gramBlocks(docs, k, blockChars)
-      .withColumn("_chars", split(col("btext"), ""))
-      .select(col("doc_id"), col("boff"),
-        posexplode(expr(
-          s"transform(sequence(1, greatest(size(_chars) - ${k - 1}, 1)), " +
-            s"i -> array_join(slice(_chars, i, $k), ''))"))
-          .as(Seq("pos0", "sh")))
-      .select(col("doc_id"), (col("boff") + col("pos0") + 1L).as("pos"), col("sh"))
-
   /** One row per character k-gram: (doc_id, sh). Short docs yield their
-    * (truncated) prefix shingle, mirroring substr semantics in DuckDB.
-    * Grams are emitted via [[blockGrams]] — identical row stream to the
-    * whole-document formula (spec-pinned across block boundaries), with
-    * per-task memory and per-gram compute bounded by the block size,
-    * not the doc length. */
+    * (truncated) prefix shingle, mirroring substr semantics in DuckDB;
+    * row stream identical to the whole-document SQL formula
+    * (spec-pinned, multi-byte chars included). */
   def shingles(docs: DataFrame, k: Int = 5): DataFrame =
-    shingles(docs, k, gramBlockChars)
-
-  private[graft] def shingles(docs: DataFrame, k: Int, blockChars: Int): DataFrame =
-    blockGrams(docs, k, blockChars).select(col("doc_id"), col("sh"))
+    charGrams(docs, k).select(col("doc_id"), col("sh"))
 
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
     * scheme): hash every character k-gram, slide a w-gram window, keep
@@ -132,15 +75,11 @@ object TextOps {
     * the oracle. Scale: one explode + a per-document window (sorts
     * doc-bounded runs inside hash partitions — spillable, no global
     * sort) + distinct; rows out ≈ 2·len/w per doc. */
-  def winnow(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame =
-    winnow(docs, k, w, gramBlockChars)
-
-  private[graft] def winnow(docs: DataFrame, k: Int, w: Int,
-                            blockChars: Int): DataFrame = {
-    // positioned grams via the chunked kernel — the same (doc_id, pos,
-    // sh) stream as the whole-document formula, per-task memory and
-    // per-gram compute bounded by the block size
-    val grams = blockGrams(docs, k, blockChars)
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame = {
+    // positioned grams via the native generator — the same (doc_id,
+    // pos, sh) stream as the whole-document formula, streamed with
+    // O(1) state at any document length
+    val grams = charGrams(docs, k)
     val keyed = grams.select(col("doc_id"), col("pos"),
       (shiftright(hash60(col("sh"), "wn:"), 12) * lit(4096L) +
         (lit(4095L) - pmod(col("pos"), lit(4096L)))).as("key"))

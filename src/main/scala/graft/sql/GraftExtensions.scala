@@ -21,5 +21,9 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash60"),
       Hash60.info,
       (children: Seq[Expression]) => Hash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chargrams"),
+      CharGrams.info,
+      (children: Seq[Expression]) => CharGrams.build(children)))
   }
 }

@@ -305,36 +305,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("chunked gram kernels are block-size invariant (boundary equivalence)") {
+  test("chargrams generator matches the whole-document SQL formula") {
     val implicits = spark.implicits
     import implicits._
-    // random docs much longer than the forced 7-char block size, so
-    // every doc crosses dozens of block boundaries; the gram stream and
-    // the winnow fingerprints must be identical to a one-block run
-    // (blockChars ≥ any doc length ≡ the old whole-document formula)
+    // random docs over an alphabet INCLUDING multi-byte code points
+    // (2-, 3- and 4-byte UTF8): the generator's byte-cursor walk must
+    // agree with substring()'s code-point semantics, positions included
     val rnd = new scala.util.Random(11)
-    val alphabet = "abcde "
-    val corpus = (0L until 20L).map { id =>
-      id -> Seq.fill(40 + rnd.nextInt(200))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val alphabet = "abcde é漢😀".toCharArray // 😀 = surrogate pair
+    def randDoc() = {
+      val sb = new StringBuilder
+      (0 until 40 + rnd.nextInt(200)).foreach { _ =>
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        if (Character.isHighSurrogate(c)) sb.append("😀") else sb.append(c)
+      }
+      sb.toString
     }
+    val corpus = (0L until 20L).map(id => id -> randDoc())
     val d = corpus.toDF("doc_id", "text").withColumn("lang", lit("en"))
     def bag(df: DataFrame) = df.collect()
       .groupBy(r => r.getLong(0)).view
       .mapValues(_.map(_.toSeq.tail).groupBy(identity).view.mapValues(_.length).toMap)
       .toMap
-    assert(bag(TextOps.shingles(d, 5, 7)) == bag(TextOps.shingles(d, 5, 1 << 20)))
-    assert(bag(TextOps.winnow(d, 5, 8, 7)) == bag(TextOps.winnow(d, 5, 8, 1 << 20)))
-    // short-doc truncated-prefix semantics survive the chunked kernel
-    val tiny = Seq(1L -> "ab").toDF("doc_id", "text")
-    assert(TextOps.shingles(tiny, 5, 7).collect().map(_.getString(1)).toSeq == Seq("ab"))
+    val k = 5
+    val formula = d.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1)), " +
+        s"i -> substring(text, i, $k))")).as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("sh"))
+    assert(bag(TextOps.charGrams(d, k)) == bag(formula))
+    // short-doc truncated-prefix and empty-doc semantics
+    val tiny = Seq(1L -> "ab", 2L -> "").toDF("doc_id", "text")
+    assert(TextOps.shingles(tiny, 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet == Set(1L -> "ab", 2L -> ""))
   }
 
-  test("multi-MB document flows through the gram kernels block by block") {
+  test("multi-MB document streams through the gram kernels") {
     val implicits = spark.implicits
     import implicits._
-    // ~8 MB single document: the old whole-document gram array would
-    // materialize ~8M k-char substrings (plus element overhead) in one
-    // task; the chunked kernel caps the per-row array at the 64K block
+    // ~8 MB single document: the SQL-formula kernel would materialize
+    // ~8M k-char substrings in one task AND walk the string per gram
+    // (quadratic); the CharGrams generator streams the rows in O(1)
+    // state — this whole test runs in seconds
     val rnd = new scala.util.Random(3)
     val alphabet = "abcdefgh "
     val sb = new StringBuilder(8 << 20)
