@@ -154,6 +154,26 @@ object Sketches {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Streaming twin of [[windowHeavyHitters]] — the same [[MisraGries]]
+    * udaf inside a watermarked STREAMING window aggregation: the
+    * per-window state row the state store carries between micro-batches
+    * is the ≤ k-slot MGBuf (two encoded arrays), not a (window × term)
+    * count table — bounded state per window regardless of term
+    * cardinality, which is the whole point of the sketch on an
+    * unbounded stream. Emits (wstart, sketch); ranking happens
+    * downstream of the sink (row_number is not a streaming op). The
+    * spec pins stream ≡ batch across micro-batch boundaries, which
+    * exercises MGBuf's encode/decode through the state store. */
+  def windowHeavyHittersStream(events: DataFrame, k: Int = 16): DataFrame = {
+    val mg = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(mg(col("event_type")).as("sketch"))
+      .select(col("window.start").as("wstart"), col("sketch"))
+  }
+
   /** Heavy-hitter terms of the corpus via [[MisraGries]]: the top
     * `topN` surviving slots by (estimate desc, term asc). One narrow
     * explode + one bounded-state aggregation — the term table never

@@ -69,6 +69,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0 && streamed.count() < events.count())
   }
 
+  test("streaming per-window sketch: MGBuf state survives micro-batch boundaries") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.pipeline.Sketches.windowHeavyHittersStream(
+        ms.toDF().toDF("ts", "event_type"), k = 16)
+      .writeStream.format("memory").queryName("whh").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // window A (10:00) and window B (11:00) split across two
+      // micro-batches — the second batch MERGES into the MGBuf state the
+      // store deserialized from the first, the exact path a long-running
+      // stream exercises
+      ms.addData((t("2020-01-01 10:05:00"), "a"), (t("2020-01-01 10:10:00"), "a"),
+        (t("2020-01-01 10:15:00"), "b"), (t("2020-01-01 11:05:00"), "c"))
+      q.processAllAvailable()
+      ms.addData((t("2020-01-01 10:20:00"), "a"), (t("2020-01-01 10:25:00"), "b"),
+        (t("2020-01-01 10:40:00"), "b"), (t("2020-01-01 11:30:00"), "c"),
+        (t("2020-01-01 11:45:00"), "c"))
+      q.processAllAvailable()
+      val got = spark.table("whh").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getAs[Map[String, Long]](1)).toMap
+      // k ≥ vocab → the sketch is exact: true counts across BOTH batches
+      assert(got == Map(
+        "2020-01-01 10:00:00.0" -> Map("a" -> 3L, "b" -> 3L),
+        "2020-01-01 11:00:00.0" -> Map("c" -> 3L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
