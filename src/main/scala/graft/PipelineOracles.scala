@@ -439,6 +439,29 @@ SELECT u.doc_id, CAST(words AS BIGINT) AS words,
        ROUND(COALESCE(d2 / n2, 0.0), 6) AS dup2_frac
 FROM u LEFT JOIN bd ON bd.doc_id = u.doc_id"""
 
+  /** Gopher-rules composite gate — thresholds inlined so both engines
+    * evaluate the identical predicate (minWords, maxTopFrac mirrored
+    * from Corpus.gopherRules defaults). */
+  def gopherRulesSql(minWords: Int = 20, maxTopFrac: Double = 0.2): String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY 1, 2),
+m AS (SELECT doc_id, SUM(c) AS words, MAX(c) AS topc,
+             SUM(c * length(term)) / SUM(c) AS mwl,
+             SUM(CASE WHEN regexp_full_match(term, '[A-Za-z]+') THEN c ELSE 0 END)
+               / SUM(c) AS alpha
+      FROM tc GROUP BY 1),
+s AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|is|and|of)\\b')) AS BIGINT)
+               AS stop_hits FROM documents)
+SELECT m.doc_id, CAST(words AS BIGINT) AS words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(alpha, 6) AS alpha_frac,
+       s.stop_hits,
+       ROUND(topc / words, 6) AS top_frac,
+       (words >= $minWords AND mwl >= 3.0 AND mwl <= 10.0 AND alpha >= 0.8
+        AND s.stop_hits >= 2 AND topc / words <= $maxTopFrac) AS keep
+FROM m JOIN s USING (doc_id)"""
+
   val lmScoreSql: String =
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS MATERIALIZED (SELECT term, COUNT(*) AS c FROM w GROUP BY term),

@@ -436,6 +436,8 @@ object SparkEntry {
       Corpus.decontaminate(GraphBuilder.table(s, d, "documents"))),
     "q_repetition" -> ((s, d) =>
       Corpus.repetition(GraphBuilder.table(s, d, "documents"))),
+    "q_gopher_rules" -> ((s, d) =>
+      Corpus.gopherRules(GraphBuilder.table(s, d, "documents"))),
     "q_lm_score" -> ((s, d) =>
       Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
     "q_pii_scan" -> ((s, d) =>
@@ -620,6 +622,7 @@ WHERE term <> '' GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""",
     "q_fingerprint" -> PipelineOracles.fingerprintSql,
     "q_decontam" -> PipelineOracles.decontaminateSql(5),
     "q_repetition" -> PipelineOracles.repetitionSql,
+    "q_gopher_rules" -> PipelineOracles.gopherRulesSql(),
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),

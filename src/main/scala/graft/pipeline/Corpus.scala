@@ -238,6 +238,43 @@ object Corpus {
         round(coalesce(col("d2") / col("n2"), lit(0.0)), 6).as("dup2_frac"))
   }
 
+  /** Gopher-style composite quality gate (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", rules C.1 — the word-level subset
+    * that is meaningful on single-line corpora): per doc, word count,
+    * instance-weighted mean word length, fraction of purely-alphabetic
+    * word instances, stop-word hits, and the top-word fraction from
+    * [[repetition]]'s family — plus the composite `keep` verdict
+    * (words ≥ minWords, mean word length in [3, 10], alpha fraction ≥
+    * 0.8, ≥ 2 stop-word hits, top-word fraction ≤ maxTopFrac). One
+    * explode + two map-side-combined aggregations keyed by doc — no
+    * cross-doc shuffle at any corpus size. */
+  def gopherRules(docs: DataFrame, minWords: Int = 20,
+                  maxTopFrac: Double = 0.2): DataFrame = {
+    val tc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val m = tc.groupBy("doc_id").agg(
+      sum("c").cast("long").as("words"),
+      max("c").as("topc"),
+      (sum(col("c") * length(col("term"))) / sum("c")).as("mwl"),
+      (sum(when(col("term").rlike("^[A-Za-z]+$"), col("c")).otherwise(0L)) /
+        sum("c")).as("alpha"))
+    docs
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\b(the|a|is|and|of)\\b"))
+          .cast("long").as("stop_hits"))
+      .join(m, Seq("doc_id"))
+      .select(col("doc_id"), col("words"),
+        round(col("mwl"), 6).as("mean_word_len"),
+        round(col("alpha"), 6).as("alpha_frac"),
+        col("stop_hits"),
+        round(col("topc") / col("words"), 6).as("top_frac"),
+        (col("words") >= minWords &&
+          col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+          col("alpha") >= 0.8 &&
+          col("stop_hits") >= 2 &&
+          col("topc") / col("words") <= maxTopFrac).as("keep"))
+  }
+
   /** Unigram language-model quality score: train p(t) = cnt(t)/total on
     * the corpus itself, score each doc by the mean negative log-prob of
     * its word instances (the cheap perplexity proxy used for LM-based

@@ -448,6 +448,25 @@ class PipelineSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("gopher rules: composite gate passes clean prose, rejects degenerate docs") {
+    val good = "the quick brown fox jumps over a lazy dog and runs far away " +
+      "of the woods tonight with many other simple clean words here now"   // 24 words
+    val d = docs(
+      1L -> good,
+      2L -> ("spam spam spam spam spam spam spam spam spam spam spam spam " +
+             "spam spam spam spam spam spam spam spam spam spam spam spam"), // top_frac 1.0
+      3L -> "the a is and of too short",                                    // < minWords
+      4L -> ("the a " + (1 to 22).map(i => s"x$i").mkString(" ")))          // digits → alpha_frac < 0.8
+    val r = graft.pipeline.Corpus.gopherRules(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("keep") && r(2L).getAs[Double]("top_frac") == 1.0)
+    assert(!r(3L).getAs[Boolean]("keep") && r(3L).getAs[Long]("words") == 7L)
+    assert(!r(4L).getAs[Boolean]("keep") && r(4L).getAs[Double]("alpha_frac") < 0.8)
+    assert(r(1L).getAs[Double]("mean_word_len") >= 3.0)
+    assert(r(1L).getAs[Long]("stop_hits") >= 2L)
+  }
+
   test("segment dedup keeps a doc's internal repeats when df < minDf") {
     // the same window twice WITHIN one doc is df=1 — kept both times,
     // in original positions (dedup is cross-document, not intra-doc)
