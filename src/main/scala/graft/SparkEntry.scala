@@ -42,6 +42,12 @@ object SparkEntry {
   private def winnowCached(s: SparkSession, d: String): DataFrame =
     mhCache.getOrElseUpdate((s, d + "#wn"),
       TextOps.winnow(GraphBuilder.table(s, d, "documents")).persist())
+  /** The capped winnow-pair join is consumed by q_winnow_pairs AND the
+    * q_containment candidate union — one computation, one build row. */
+  private def winnowPairsCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d + "#wp"),
+      TextOps.winnowPairs(GraphBuilder.table(s, d, "documents"),
+        fpIn = Some(winnowCached(s, d))).persist())
 
   /** The (x,y,z) triangle stream feeds q_triangles and q_clustering —
     * the wedge join behind it is the most expensive derived frame, so
@@ -63,6 +69,7 @@ object SparkEntry {
     "build:hashed_shingles" -> ((s, d) => hashedShinglesCached(s, d)),
     "build:minhash_pairs" -> ((s, d) => minhashPairsCached(s, d)),
     "build:winnow_fp" -> ((s, d) => winnowCached(s, d)),
+    "build:winnow_pairs" -> ((s, d) => winnowPairsCached(s, d)),
     "build:triangles" -> ((s, d) => trianglesCached(s, d)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
@@ -365,8 +372,7 @@ object SparkEntry {
       // containment-sensitive candidates: LSH pairs ∪ winnow pairs,
       // both riding their session caches
       val cands = minhashPairsCached(s, d).select("a", "b")
-        .unionByName(TextOps.winnowPairs(docs, fpIn = Some(winnowCached(s, d)))
-          .select("a", "b"))
+        .unionByName(winnowPairsCached(s, d).select("a", "b"))
         .distinct()
       Dedup.containment(docs, Some(cands),
         hashedIn = Some(hashedShinglesCached(s, d)))
@@ -381,9 +387,7 @@ object SparkEntry {
     "q_mix_report" -> ((s, d) =>
       Corpus.mixReport(GraphBuilder.table(s, d, "documents"))),
     "q_winnow" -> ((s, d) => winnowCached(s, d)),
-    "q_winnow_pairs" -> ((s, d) =>
-      TextOps.winnowPairs(GraphBuilder.table(s, d, "documents"),
-        fpIn = Some(winnowCached(s, d)))),
+    "q_winnow_pairs" -> ((s, d) => winnowPairsCached(s, d)),
     "q_pack_bins" -> ((s, d) =>
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>

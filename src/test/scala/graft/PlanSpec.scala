@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
       "hash projection must feed the partial aggregate")
   }
 
+  test("chargrams generator keeps column pruning at the documents scan") {
+    // the Generate node must not widen the scan: shingling needs only
+    // (doc_id, text), and unrelated wide columns must stay pruned
+    val plan = planOf(graft.pipeline.TextOps.shingles(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    assert(plan.contains("graft_chargrams"), plan.take(1200))
+    assert(plan.contains("ReadSchema"), plan.take(800))
+    assert(!plan.contains("n_chars") && !plan.contains("source"),
+      "unused documents columns must be pruned below the gram Generate")
+  }
+
   test("misra-gries sketch aggregates map-side (partial below the exchange)") {
     // the typed Aggregator must run as a partial ObjectHashAggregate on
     // the map side — a final-only aggregation would shuffle the whole
