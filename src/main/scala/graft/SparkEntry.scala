@@ -48,6 +48,12 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d + "#wp"),
       TextOps.winnowPairs(GraphBuilder.table(s, d, "documents"),
         fpIn = Some(winnowCached(s, d))).persist())
+  /** Per-doc shingle-set arrays feed BOTH pair-scoring ops
+    * (q_ngram_jaccard, q_containment) — one collect_set pass. */
+  private def shingleArraysCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d + "#sa"),
+      Dedup.shingleArrays(GraphBuilder.table(s, d, "documents"),
+        hashedIn = Some(hashedShinglesCached(s, d))).persist())
 
   /** The (x,y,z) triangle stream feeds q_triangles and q_clustering —
     * the wedge join behind it is the most expensive derived frame, so
@@ -70,6 +76,7 @@ object SparkEntry {
     "build:minhash_pairs" -> ((s, d) => minhashPairsCached(s, d)),
     "build:winnow_fp" -> ((s, d) => winnowCached(s, d)),
     "build:winnow_pairs" -> ((s, d) => winnowPairsCached(s, d)),
+    "build:shingle_arrays" -> ((s, d) => shingleArraysCached(s, d)),
     "build:triangles" -> ((s, d) => trianglesCached(s, d)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
@@ -364,7 +371,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(GraphBuilder.table(s, d, "documents"),
         Some(minhashPairsCached(s, d)),
-        hashedIn = Some(hashedShinglesCached(s, d)))),
+        hashedIn = Some(hashedShinglesCached(s, d)),
+        shArrIn = Some(shingleArraysCached(s, d)))),
     "q_dedup_clusters" -> ((s, d) =>
       Corpus.dedupClusters(minhashPairsCached(s, d))),
     "q_containment" -> ((s, d) => {
@@ -375,7 +383,8 @@ object SparkEntry {
         .unionByName(winnowPairsCached(s, d).select("a", "b"))
         .distinct()
       Dedup.containment(docs, Some(cands),
-        hashedIn = Some(hashedShinglesCached(s, d)))
+        hashedIn = Some(hashedShinglesCached(s, d)),
+        shArrIn = Some(shingleArraysCached(s, d)))
     }),
     "q_sample_hash" -> ((s, d) =>
       Corpus.hashSample(GraphBuilder.table(s, d, "documents"))),

@@ -128,12 +128,22 @@ object Dedup {
     * candidate×shingle join, the dominant shuffle of this operator,
     * moves fixed-width bigints instead of strings. */
   def ngramJaccard(docs: DataFrame, pairsIn: Option[DataFrame] = None,
-                   hashedIn: Option[DataFrame] = None): DataFrame =
+                   hashedIn: Option[DataFrame] = None,
+                   shArrIn: Option[DataFrame] = None): DataFrame =
     pairOverlap(docs, pairsIn.getOrElse(minhashPairs(docs, hashedIn = hashedIn)),
-        hashedIn)
+        hashedIn, shArrIn)
       .select(col("a"), col("b"),
         round(col("common") / (col("sza") + col("szb") - col("common")), 6)
           .as("jaccard"))
+
+  /** The per-doc hashed-shingle-set arrays (doc_id, shs) both sides of
+    * [[pairOverlap]] join against — exposed so sessions running several
+    * pair-scoring ops (jaccard, containment) can build + persist it
+    * once (one |docs|-row frame, KB-sized arrays per doc). */
+  def shingleArrays(docs: DataFrame, hashedIn: Option[DataFrame] = None): DataFrame =
+    hashedIn.getOrElse(hashedShingles(docs))
+      .select(col("doc_id"), col("ha").as("sh"))
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
 
   /** Shared overlap frame (a, b, common, sza, szb) behind [[ngramJaccard]]
     * and [[containment]] — ONE copy of the tuned plan: one hashed-
@@ -144,10 +154,9 @@ object Dedup {
     * join (measured 20 s vs ~6 s at sf0.1's 691k candidate pairs).
     * Per-doc arrays are KBs even for long docs. */
   private def pairOverlap(docs: DataFrame, pairs: DataFrame,
-                          hashedIn: Option[DataFrame]): DataFrame = {
-    val sh = hashedIn.getOrElse(hashedShingles(docs))
-      .select(col("doc_id"), col("ha").as("sh"))
-    val shArr = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+                          hashedIn: Option[DataFrame],
+                          shArrIn: Option[DataFrame] = None): DataFrame = {
+    val shArr = shArrIn.getOrElse(shingleArrays(docs, hashedIn))
     pairs
       .join(shArr.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
       .join(shArr.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
@@ -168,12 +177,13 @@ object Dedup {
     * containment-sensitive candidate set. Scoring runs the same
     * bounded pair-overlap plan as [[ngramJaccard]]. */
   def containment(docs: DataFrame, pairsIn: Option[DataFrame] = None,
-                  hashedIn: Option[DataFrame] = None): DataFrame = {
+                  hashedIn: Option[DataFrame] = None,
+                  shArrIn: Option[DataFrame] = None): DataFrame = {
     val pairs = pairsIn.getOrElse(
       minhashPairs(docs, hashedIn = hashedIn).select("a", "b")
         .unionByName(TextOps.winnowPairs(docs).select("a", "b"))
         .distinct())
-    pairOverlap(docs, pairs, hashedIn)
+    pairOverlap(docs, pairs, hashedIn, shArrIn)
       .select(col("a"), col("b"),
         round(col("common") / col("sza"), 6).as("c_ab"),
         round(col("common") / col("szb"), 6).as("c_ba"))
