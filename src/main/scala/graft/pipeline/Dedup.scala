@@ -139,11 +139,16 @@ object Dedup {
   /** The per-doc hashed-shingle-set arrays (doc_id, shs) both sides of
     * [[pairOverlap]] join against — exposed so sessions running several
     * pair-scoring ops (jaccard, containment) can build + persist it
-    * once (one |docs|-row frame, KB-sized arrays per doc). */
+    * once (one |docs|-row frame, KB-sized arrays per doc). SORTED
+    * ascending: the per-pair overlap count is then a zero-allocation
+    * two-pointer merge ([[graft.sql.ArraySortedIntersectCount]])
+    * instead of a hash set + materialized intersection array per pair
+    * — one O(n log n) sort per DOC buys O(n) per PAIR, and pairs
+    * outnumber docs by orders of magnitude. */
   def shingleArrays(docs: DataFrame, hashedIn: Option[DataFrame] = None): DataFrame =
     hashedIn.getOrElse(hashedShingles(docs))
       .select(col("doc_id"), col("ha").as("sh"))
-      .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("shs"))
 
   /** Shared overlap frame (a, b, common, sza, szb) behind [[ngramJaccard]]
     * and [[containment]] — ONE copy of the tuned plan: one hashed-
@@ -156,12 +161,17 @@ object Dedup {
   private def pairOverlap(docs: DataFrame, pairs: DataFrame,
                           hashedIn: Option[DataFrame],
                           shArrIn: Option[DataFrame] = None): DataFrame = {
+    docs.sparkSession match { case s => graft.sql.ArraySortedIntersectCount.register(s) }
     val shArr = shArrIn.getOrElse(shingleArrays(docs, hashedIn))
     pairs
       .join(shArr.select(col("doc_id").as("a"), col("shs").as("sa")), Seq("a"))
       .join(shArr.select(col("doc_id").as("b"), col("shs").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        // sorted-set two-pointer count == size(array_intersect) on the
+        // (duplicate-free, sorted) shingleArrays frames, without the
+        // per-pair hash set + intersection-array allocation
+        call_function("array_sorted_intersect_count", col("sa"), col("sb"))
+          .as("common"),
         size(col("sa")).cast("long").as("sza"), size(col("sb")).cast("long").as("szb"))
   }
 

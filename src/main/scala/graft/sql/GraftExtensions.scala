@@ -25,5 +25,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_chargrams"),
       CharGrams.info,
       (children: Seq[Expression]) => CharGrams.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("array_sorted_intersect_count"),
+      ArraySortedIntersectCount.info,
+      (children: Seq[Expression]) =>
+        ArraySortedIntersectCount(children(0), children(1))))
   }
 }

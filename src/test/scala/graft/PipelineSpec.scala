@@ -448,6 +448,32 @@ class PipelineSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("sorted intersect count equals size(array_intersect) on set arrays") {
+    graft.sql.ArraySortedIntersectCount.register(spark)
+    val implicits = spark.implicits
+    import implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 200).map { i =>
+      def s() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted.toArray
+      (i.toLong, s(), s())
+    }
+    val d = rows.toDF("id", "a", "b")
+      .selectExpr("id", "array_sorted_intersect_count(a, b) AS fast",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS ref")
+    assert(d.filter(col("fast") =!= col("ref")).count() == 0L)
+    // empty arrays and null arrays behave like the built-in
+    val edge = Seq((Array.empty[Long], Array(1L, 2L))).toDF("a", "b")
+      .selectExpr("array_sorted_intersect_count(a, b) AS c").head
+    assert(edge.getLong(0) == 0L)
+    assert(spark.sql("SELECT array_sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .head.isNullAt(0))
+    // the shingleArrays frames honor the sortedness contract
+    val shs = Dedup.shingleArrays(docs(1L -> base, 2L -> (base + " tail")))
+      .collect().map(_.getSeq[Long](1))
+    shs.foreach(a => assert(a == a.sorted && a.distinct.length == a.length))
+  }
+
   test("gopher rules: composite gate passes clean prose, rejects degenerate docs") {
     val good = "the quick brown fox jumps over a lazy dog and runs far away " +
       "of the woods tonight with many other simple clean words here now"   // 24 words
