@@ -474,6 +474,40 @@ class PipelineSpec extends SparkSpec {
     shs.foreach(a => assert(a == a.sorted && a.distinct.length == a.length))
   }
 
+  test("containment agrees with a driver reference on random corpora (all pairs)") {
+    // end-to-end validation of the pairOverlap plan with the native
+    // sorted-count: force ALL doc pairs as candidates and compare both
+    // containment directions against driver-computed shingle sets
+    val implicits = spark.implicits
+    import implicits._
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc "
+    val corpus = (0L until 12L).map { id =>
+      id -> Seq.fill(10 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    def shSet(t: String): Set[Long] =
+      (1 to math.max(t.length - 4, 1)).map(i => h60("a:" + t.slice(i - 1, i - 1 + 5))).toSet
+    val sets = corpus.toMap.view.mapValues(shSet).toMap
+    val allPairs = (for (a <- 0L until 12L; b <- (a + 1) until 12L) yield (a, b))
+      .toDF("a", "b")
+    val d = corpus.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Dedup.containment(d, pairsIn = Some(allPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("c_ab"), r.getAs[Double]("c_ba")))).toMap
+    assert(got.size == 66)
+    got.foreach { case ((a, b), (cab, cba)) =>
+      val common = (sets(a) intersect sets(b)).size.toDouble
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cab == r6(common / sets(a).size), s"c_ab($a,$b)")
+      assert(cba == r6(common / sets(b).size), s"c_ba($a,$b)")
+    }
+  }
+
   test("gopher rules: composite gate passes clean prose, rejects degenerate docs") {
     val good = "the quick brown fox jumps over a lazy dog and runs far away " +
       "of the woods tonight with many other simple clean words here now"   // 24 words
