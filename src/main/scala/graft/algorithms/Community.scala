@@ -287,6 +287,20 @@ object Community {
     var active = active0
     var out: Option[DataFrame] = None
     val nTotal = mA("n").asInstanceOf[Long]
+    // Dual regime, same gate pattern as coreNumbers: while BOTH sides
+    // fit the driver gate, one exact O(V+E) iterative Tarjan beats the
+    // trim+double-coloring fixpoint by the per-round scheduler floor ×
+    // its ~tens of rounds (measured 8.5 s → ~0.5 s on the 150k-node
+    // order-ring at sf0.1). Past the gate the coloring kernel below is
+    // the 100 TB path; ShuffleRegimeSpec forces the gate to 0 to pin
+    // both regimes to identical output.
+    if (nTotal <= Tuning.broadcastThreshold) {
+      val (eAll, mEAll) = Probe.checkpointObserved(
+        edges.select("src", "dst").filter(col("src") =!= col("dst")),
+        count(lit(1)).as("n"))
+      if (mEAll("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+        return sccLocal(active0, eAll)
+    }
     var remaining = nTotal
     while (remaining > 0) {
       val beforeRound = remaining
@@ -387,6 +401,101 @@ object Community {
     val relabel = if (nTotal <= Tuning.broadcastThreshold) broadcast(relabel0) else relabel0
     raw.join(relabel, Seq("scc_id"))
       .select(col("id"), col("_lbl").as("scc_id"))
+  }
+
+  /** Exact SCC on the driver: iterative Tarjan over the (already
+    * checkpointed) node and edge frames, labels canonicalized to each
+    * SCC's minimum member id — the same public contract as the
+    * distributed kernel. Edges are packed into primitive long arrays
+    * per partition on the executors (one collect job, ~16 B/edge on
+    * the driver — the corePeelLocal pattern); nodes absent from every
+    * edge come out as singleton SCCs, and edges with an endpoint
+    * outside `nodes` are ignored (the distributed kernel semi-joins
+    * them away). Only called under the driver-size gate. */
+  private def sccLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    def packed(df: DataFrame, cols: Int): Array[Array[Long]] = {
+      val parts = df.rdd.mapPartitions { it =>
+        val bs = Array.fill(cols)(Array.newBuilder[Long])
+        it.foreach { r => var c = 0; while (c < cols) { bs(c) += r.getLong(c); c += 1 } }
+        Iterator.single(bs.map(_.result()))
+      }.collect() // per-partition, per-column long arrays
+      Array.tabulate(cols)(c => parts.flatMap(_(c)))
+    }
+    val Array(idArr) = packed(nodes.select(col("id").cast("long")), 1)
+    val n = idArr.length
+    val idOf = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idOf.put(idArr(i), i); i += 1 }
+    val Array(srcL, dstL) = packed(
+      edges.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    // CSR over known endpoints only
+    val deg = new Array[Int](n)
+    var k = 0
+    while (k < srcL.length) {
+      val s = idOf.get(srcL(k)); val d = idOf.get(dstL(k))
+      if ((s ne null) && (d ne null)) deg(s.intValue()) += 1
+      k += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val cur = off.clone(); val nbr = new Array[Int](off(n))
+    k = 0
+    while (k < srcL.length) {
+      val s = idOf.get(srcL(k)); val d = idOf.get(dstL(k))
+      if ((s ne null) && (d ne null)) { nbr(cur(s.intValue())) = d.intValue(); cur(s.intValue()) += 1 }
+      k += 1
+    }
+    // Iterative Tarjan (explicit DFS stack — recursion would overflow
+    // on long condensation chains)
+    val index = Array.fill(n)(-1); val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n); val comp = Array.fill(n)(-1)
+    val sccStack = new Array[Int](n); var sp = 0
+    val dfsV = new Array[Int](n); val dfsE = new Array[Int](n)
+    var counter = 0; var nComp = 0
+    var root = 0
+    while (root < n) {
+      if (index(root) == -1) {
+        var top = 0
+        dfsV(0) = root; dfsE(0) = off(root)
+        index(root) = counter; low(root) = counter; counter += 1
+        sccStack(sp) = root; sp += 1; onStack(root) = true
+        while (top >= 0) {
+          val v = dfsV(top)
+          if (dfsE(top) < off(v + 1)) {
+            val w = nbr(dfsE(top)); dfsE(top) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              sccStack(sp) = w; sp += 1; onStack(w) = true
+              top += 1; dfsV(top) = w; dfsE(top) = off(w)
+            } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) {
+              var w = -1
+              do {
+                sp -= 1; w = sccStack(sp); onStack(w) = false; comp(w) = nComp
+              } while (w != v)
+              nComp += 1
+            }
+            top -= 1
+            if (top >= 0) {
+              val p = dfsV(top)
+              if (low(v) < low(p)) low(p) = low(v)
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    // public labels: minimum member id per SCC
+    val minId = Array.fill(nComp)(Long.MaxValue)
+    i = 0
+    while (i < n) {
+      if (idArr(i) < minId(comp(i))) minId(comp(i)) = idArr(i)
+      i += 1
+    }
+    import spark.implicits._
+    (0 until n).map(i => (idArr(i), minId(comp(i)))).toDF("id", "scc_id")
   }
 
   /** PageRank mirroring the reference exactly (pagerank.rs:9):
