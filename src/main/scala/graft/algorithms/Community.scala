@@ -511,6 +511,19 @@ object Community {
     val (ids, mI) = Probe.checkpointObserved(
       nodes.select("id"), count(lit(1)).as("n"))
     val n = mI("n").asInstanceOf[Long].toDouble
+    // Dual regime, same gate pattern as coreNumbers/scc: ten scheduler-
+    // floor iterations on a driver-sized graph lose to one packed
+    // collect by ~7× (measured 7.1 s → ~1 s at sf0.1). Identical
+    // per-iteration arithmetic; float-sum ORDER differs (so do Spark's
+    // own nondeterministic partial aggregations), which both the 8-dp
+    // oracle rounding and ShuffleRegimeSpec's 1e-9 comparison absorb.
+    // Past the gate the iterative plan below is the 100 TB path.
+    if (mI("n").asInstanceOf[Long] <= Tuning.broadcastThreshold) {
+      val (eAll, mEAll) = Probe.checkpointObserved(
+        edges.select("src", "dst"), count(lit(1)).as("n"))
+      if (mEAll("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+        return pageRankLocal(ids, eAll, n, damping, iterations)
+    }
     val e = edges.select("src", "dst")
     val outdeg0 = e.groupBy(col("src").as("src")).agg(count(lit(1)).as("odeg"))
     // out-degree is loop-invariant: attach it to the edge table once, so
@@ -562,5 +575,75 @@ object Community {
       if (iterations >= 1) totalObs
       else rank.agg(sum("rank")).head().getDouble(0)
     rank.select(col("id"), (col("rank") / lit(total)).as("rank"))
+  }
+
+  /** PageRank on the driver: the same per-iteration formula as the
+    * distributed loop — rank' = (1−d)/n + d·Σ_in rank/outdeg over the
+    * edge multiset, dangling mass dropped, contributions to ids outside
+    * the node set ride along for one iteration exactly like the
+    * distributed union-aggregate — followed by the same final
+    * sum-normalization. Edges/nodes arrive as packed primitive arrays
+    * (one collect job each); only called under the driver-size gate. */
+  private def pageRankLocal(ids: DataFrame, edges: DataFrame, n: Double,
+                            damping: Double, iterations: Int): DataFrame = {
+    val spark = ids.sparkSession
+    def packed(df: DataFrame, cols: Int): Array[Array[Long]] = {
+      val parts = df.rdd.mapPartitions { it =>
+        val bs = Array.fill(cols)(Array.newBuilder[Long])
+        it.foreach { r => var c = 0; while (c < cols) { bs(c) += r.getLong(c); c += 1 } }
+        Iterator.single(bs.map(_.result()))
+      }.collect()
+      Array.tabulate(cols)(c => parts.flatMap(_(c)))
+    }
+    val Array(idArr) = packed(ids.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = packed(
+      edges.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    // compact universe: node ids first, then any edge endpoint beyond them
+    val idOf = new java.util.HashMap[Long, Integer]((idArr.length + srcL.length) * 2)
+    val uni = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def ix(v: Long): Int = {
+      val got = idOf.get(v)
+      if (got ne null) got.intValue()
+      else { val i = uni.length; idOf.put(v, i); uni += v; i }
+    }
+    idArr.foreach(ix)
+    val nIds = idArr.length
+    val srcIx = srcL.map(ix); val dstIx = dstL.map(ix)
+    val u = uni.length
+    val odeg = new Array[Long](u)
+    srcIx.foreach(s => odeg(s) += 1)
+    var rank = new Array[Double](u)
+    val inRank = new Array[Boolean](u) // has a rank row this iteration
+    java.util.Arrays.fill(inRank, 0, nIds, true)
+    var i = 0
+    while (i < nIds) { rank(i) = 1.0 / n; i += 1 }
+    val base = (1.0 - damping) / n
+    var it = 0
+    while (it < iterations) {
+      val acc = new Array[Double](u)
+      val hit = new Array[Boolean](u)
+      var k = 0
+      while (k < srcIx.length) {
+        val s = srcIx(k)
+        if (inRank(s)) { acc(dstIx(k)) += rank(s) / odeg(s); hit(dstIx(k)) = true }
+        k += 1
+      }
+      val next = new Array[Double](u)
+      i = 0
+      while (i < u) {
+        val present = i < nIds || hit(i)
+        if (present) next(i) = base + damping * acc(i)
+        inRank(i) = present
+        i += 1
+      }
+      rank = next
+      it += 1
+    }
+    var total = 0.0
+    i = 0
+    while (i < u) { if (inRank(i)) total += rank(i); i += 1 }
+    import spark.implicits._
+    (0 until u).filter(inRank(_))
+      .map(i => (uni(i), rank(i) / total)).toDF("id", "rank")
   }
 }
