@@ -55,14 +55,16 @@ object SparkEntry {
       Dedup.shingleArrays(GraphBuilder.table(s, d, "documents"),
         hashedIn = Some(hashedShinglesCached(s, d))).persist())
 
-  /** The (x,y,z) triangle stream feeds q_triangles and q_clustering —
-    * the wedge join behind it is the most expensive derived frame, so
-    * materialize it once per (session, sfDir). */
+  /** Per-node triangle counts feed q_triangles (corner sum / 3) and
+    * q_clustering — the wedge close behind them is the most expensive
+    * derived frame, so materialize the |V|-bounded counts once per
+    * (session, sfDir). Dual-regime inside trianglesPerNode: local
+    * count under the driver gate, distributed enumeration past it. */
   private val triCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def trianglesCached(s: SparkSession, d: String): DataFrame =
+  private def triangleCountsCached(s: SparkSession, d: String): DataFrame =
     triCache.getOrElseUpdate((s, d),
-      Structure.triangles(DerivedGraphs.partCooccur(s, d)).persist())
+      Structure.trianglesPerNode(DerivedGraphs.partCooccur(s, d)).persist())
 
   /** The shared derived-frame builds, exposed so Bench can time each
     * as an explicit `build:*` pseudo-row. Without this the
@@ -77,7 +79,7 @@ object SparkEntry {
     "build:winnow_fp" -> ((s, d) => winnowCached(s, d)),
     "build:winnow_pairs" -> ((s, d) => winnowPairsCached(s, d)),
     "build:shingle_arrays" -> ((s, d) => shingleArraysCached(s, d)),
-    "build:triangles" -> ((s, d) => trianglesCached(s, d)))
+    "build:triangles" -> ((s, d) => triangleCountsCached(s, d)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
     * DerivedGraphs, minhash pairs) — for in-process session recycling. */
@@ -286,7 +288,9 @@ object SparkEntry {
         DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)), 1)),
     "q_triangles" -> ((s, d) => {
       val pe = DerivedGraphs.partCooccur(s, d)
-      val tri = trianglesCached(s, d).agg(count(lit(1)).as("t"))
+      // each triangle is counted once per corner: Σ tri_cnt = 3t
+      val tri = triangleCountsCached(s, d)
+        .agg((sum("tri_cnt") / lit(3)).cast("bigint").as("t"))
       val wedges = DerivedGraphs.sym(pe)
         .groupBy("src").agg(count(lit(1)).as("deg"))
         .agg(sum(col("deg") * (col("deg") - 1) / lit(2)).as("w"))
@@ -298,7 +302,7 @@ object SparkEntry {
       val pe = DerivedGraphs.partCooccur(s, d)
       val deg = DerivedGraphs.sym(pe).groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("d"))
-      val pertri = Structure.perNodeCounts(trianglesCached(s, d))
+      val pertri = triangleCountsCached(s, d)
       deg.join(pertri, Seq("id"), "left_outer")
         .filter(col("id") <= PartTag * TAG + 100L)
         .select(col("id"),

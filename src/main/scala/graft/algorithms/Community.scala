@@ -41,12 +41,25 @@ object Community {
     // Materialize the edge view once: it is joined EVERY round, and a
     // live plan would re-run its whole upstream (e.g. the minhash
     // pipeline feeding dedupClusters) per iteration — measured 34 s vs
-    // 4 s for CC over unpersisted candidate pairs at sf0.1.
-    val e = symEdges.select("src", "dst").localCheckpoint()
+    // 4 s for CC over unpersisted candidate pairs at sf0.1. The edge
+    // count rides the checkpoint for the regime gate below.
+    val (e, mEc) = Probe.checkpointObserved(
+      symEdges.select("src", "dst"), count(lit(1)).as("n"))
     // Node count rides the seed checkpoint (Dataset.observe) — no
     // separate count job for the broadcast gate.
     val (comp0, mC) = Probe.checkpointObserved(
       nodes.select(col("id"), col("id").as("component")), count(lit(1)).as("n"))
+    // Dual regime, same gate pattern as SCC/PageRank/coreNumbers: while
+    // nodes AND edges fit the driver gate, one union-find pass over a
+    // packed edge collect replaces O(log n) pointer-doubling rounds of
+    // scheduler floor (and, for callers like dedupClusters, materializes
+    // the upstream pair pipeline exactly once). Reported as one round,
+    // converged — the union-find IS the fixpoint. Past the gate the
+    // hook+shortcut loop below is the 100 TB path; ShuffleRegimeSpec
+    // forces the gate to 0 to pin both regimes to identical output.
+    if (mC("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mEc("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return (ccLocal(comp0.select("id"), e), 1, true)
     var comp = comp0
     // Label state is |V| rows — while driver-sized, broadcast it into
     // the hook join (the edge table never moves) and into the shortcut
@@ -95,6 +108,50 @@ object Community {
       prev = s
     }
     (comp, iter, done)
+  }
+
+  /** Exact connected components on the driver: union-find with path
+    * compression over a packed edge collect (the LocalGraph pattern).
+    * Label semantics match the distributed min-label fixpoint exactly:
+    * labels originate from the seed node rows only, so an edge-only
+    * endpoint relays and receives labels but never contributes its own
+    * id, and an endpoint whose component holds no seed stays absent
+    * from the output (it would never receive a label row). Only called
+    * under the driver-size gate. */
+  private def ccLocal(seedIds: DataFrame, e: DataFrame): DataFrame = {
+    val spark = seedIds.sparkSession
+    val Array(idArr) = LocalGraph.packed(seedIds.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val nSeeds = idArr.length
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val parent = Array.tabulate(u)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    var k = 0
+    while (k < srcIx.length) {
+      val a = find(srcIx(k)); val b = find(dstIx(k))
+      if (a != b) parent(a) = b
+      k += 1
+    }
+    val minSeed = Array.fill(u)(Long.MaxValue)
+    var i = 0
+    while (i < nSeeds) {
+      val r = find(i)
+      if (idArr(i) < minSeed(r)) minSeed(r) = idArr(i)
+      i += 1
+    }
+    import spark.implicits._
+    (0 until u).flatMap { v =>
+      val m = minSeed(find(v))
+      if (m == Long.MaxValue) None else Some((idx.id(v), m))
+    }.toDF("id", "component")
   }
 
   /** One synchronous pass of the reference's Louvain phase 1
@@ -414,27 +471,19 @@ object Community {
     * them away). Only called under the driver-size gate. */
   private def sccLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    def packed(df: DataFrame, cols: Int): Array[Array[Long]] = {
-      val parts = df.rdd.mapPartitions { it =>
-        val bs = Array.fill(cols)(Array.newBuilder[Long])
-        it.foreach { r => var c = 0; while (c < cols) { bs(c) += r.getLong(c); c += 1 } }
-        Iterator.single(bs.map(_.result()))
-      }.collect() // per-partition, per-column long arrays
-      Array.tabulate(cols)(c => parts.flatMap(_(c)))
-    }
-    val Array(idArr) = packed(nodes.select(col("id").cast("long")), 1)
+    val Array(idArr) = LocalGraph.packed(nodes.select(col("id").cast("long")), 1)
     val n = idArr.length
-    val idOf = new java.util.HashMap[Long, Integer](n * 2)
+    val idx = new LocalGraph.Index(n)
     var i = 0
-    while (i < n) { idOf.put(idArr(i), i); i += 1 }
-    val Array(srcL, dstL) = packed(
+    while (i < n) { idx.ix(idArr(i)); i += 1 }
+    val Array(srcL, dstL) = LocalGraph.packed(
       edges.select(col("src").cast("long"), col("dst").cast("long")), 2)
     // CSR over known endpoints only
     val deg = new Array[Int](n)
     var k = 0
     while (k < srcL.length) {
-      val s = idOf.get(srcL(k)); val d = idOf.get(dstL(k))
-      if ((s ne null) && (d ne null)) deg(s.intValue()) += 1
+      val s = idx.get(srcL(k)); val d = idx.get(dstL(k))
+      if (s >= 0 && d >= 0) deg(s) += 1
       k += 1
     }
     val off = new Array[Int](n + 1)
@@ -442,8 +491,8 @@ object Community {
     val cur = off.clone(); val nbr = new Array[Int](off(n))
     k = 0
     while (k < srcL.length) {
-      val s = idOf.get(srcL(k)); val d = idOf.get(dstL(k))
-      if ((s ne null) && (d ne null)) { nbr(cur(s.intValue())) = d.intValue(); cur(s.intValue()) += 1 }
+      val s = idx.get(srcL(k)); val d = idx.get(dstL(k))
+      if (s >= 0 && d >= 0) { nbr(cur(s)) = d; cur(s) += 1 }
       k += 1
     }
     // Iterative Tarjan (explicit DFS stack — recursion would overflow
@@ -587,29 +636,15 @@ object Community {
   private def pageRankLocal(ids: DataFrame, edges: DataFrame, n: Double,
                             damping: Double, iterations: Int): DataFrame = {
     val spark = ids.sparkSession
-    def packed(df: DataFrame, cols: Int): Array[Array[Long]] = {
-      val parts = df.rdd.mapPartitions { it =>
-        val bs = Array.fill(cols)(Array.newBuilder[Long])
-        it.foreach { r => var c = 0; while (c < cols) { bs(c) += r.getLong(c); c += 1 } }
-        Iterator.single(bs.map(_.result()))
-      }.collect()
-      Array.tabulate(cols)(c => parts.flatMap(_(c)))
-    }
-    val Array(idArr) = packed(ids.select(col("id").cast("long")), 1)
-    val Array(srcL, dstL) = packed(
+    val Array(idArr) = LocalGraph.packed(ids.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
       edges.select(col("src").cast("long"), col("dst").cast("long")), 2)
     // compact universe: node ids first, then any edge endpoint beyond them
-    val idOf = new java.util.HashMap[Long, Integer]((idArr.length + srcL.length) * 2)
-    val uni = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def ix(v: Long): Int = {
-      val got = idOf.get(v)
-      if (got ne null) got.intValue()
-      else { val i = uni.length; idOf.put(v, i); uni += v; i }
-    }
-    idArr.foreach(ix)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
     val nIds = idArr.length
-    val srcIx = srcL.map(ix); val dstIx = dstL.map(ix)
-    val u = uni.length
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
     val odeg = new Array[Long](u)
     srcIx.foreach(s => odeg(s) += 1)
     var rank = new Array[Double](u)
@@ -644,6 +679,6 @@ object Community {
     while (i < u) { if (inRank(i)) total += rank(i); i += 1 }
     import spark.implicits._
     (0 until u).filter(inRank(_))
-      .map(i => (uni(i), rank(i) / total)).toDF("id", "rank")
+      .map(i => (idx.id(i), rank(i) / total)).toDF("id", "rank")
   }
 }

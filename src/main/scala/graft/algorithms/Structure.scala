@@ -64,12 +64,81 @@ object Structure {
         explode(array_intersect(col("nss"), col("nst"))).as("z"))
   }
 
-  /** Per-node triangle participation: (id, tri_cnt). Single pass over
-    * the triangle stream — each row explodes into its three corners
-    * (a 3-branch union would re-run the wedge join once per corner). */
+  /** Per-node triangle participation: (id, tri_cnt) — nodes in ≥ 1
+    * triangle only, exactly the corner aggregation of the (x,y,z)
+    * stream. Dual regime: while the (a<b) edge list fits the driver
+    * gate, count triangles locally over a packed edge collect with the
+    * same degree-ordered orientation and sorted-adjacency intersects —
+    * the distributed wedge join materializes per-edge neighbor arrays
+    * and is by far the most expensive derived frame on a driver-sized
+    * graph. Past the gate, the distributed enumeration + corner
+    * aggregation is the 100 TB path (a 3-branch union would re-run the
+    * wedge join once per corner); ShuffleRegimeSpec pins both regimes
+    * to identical output. */
   def trianglesPerNode(pedges: DataFrame,
-                       broadcastCloseMaxEdges: Long = Tuning.broadcastThreshold): DataFrame =
-    perNodeCounts(triangles(pedges, broadcastCloseMaxEdges))
+                       broadcastCloseMaxEdges: Long = Tuning.broadcastThreshold): DataFrame = {
+    val (pe, mE) = Probe.checkpointObserved(
+      pedges.select("a", "b"), count(lit(1)).as("n"))
+    if (mE("n").asInstanceOf[Long] <= broadcastCloseMaxEdges)
+      triangleCountsLocal(pe)
+    else perNodeCounts(triangles(pe, broadcastCloseMaxEdges))
+  }
+
+  /** Driver-side triangle counting: orient each undirected (a<b) edge
+    * low→high by (degree, id) — the same acyclic orientation as
+    * [[triangles]] — sort the oriented adjacency lists once, and count
+    * each triangle exactly once as a sorted-merge intersection of its
+    * base edge's endpoint lists, crediting all three corners. O(m^1.5)
+    * like the distributed close. Only called under the driver gate. */
+  private def triangleCountsLocal(pe: DataFrame): DataFrame = {
+    val spark = pe.sparkSession
+    val Array(aL, bL) = LocalGraph.packed(
+      pe.select(col("a").cast("long"), col("b").cast("long")), 2)
+    val idx = new LocalGraph.Index(aL.length)
+    val aIx = aL.map(idx.ix); val bIx = bL.map(idx.ix)
+    val n = idx.size; val m = aIx.length
+    val deg = new Array[Int](n)
+    var k = 0
+    while (k < m) { deg(aIx(k)) += 1; deg(bIx(k)) += 1; k += 1 }
+    // total order for the orientation: (degree, original id) ascending;
+    // rank is the position in that order so list entries sort cheaply
+    val order = Array.tabulate(n)(identity).sortWith { (x, y) =>
+      deg(x) < deg(y) || (deg(x) == deg(y) && idx.id(x) < idx.id(y)) }
+    val rankOf = new Array[Int](n)
+    var i = 0; while (i < n) { rankOf(order(i)) = i; i += 1 }
+    val srcR = new Array[Int](m); val dstR = new Array[Int](m)
+    k = 0
+    while (k < m) {
+      val ra = rankOf(aIx(k)); val rb = rankOf(bIx(k))
+      if (ra < rb) { srcR(k) = ra; dstR(k) = rb }
+      else { srcR(k) = rb; dstR(k) = ra }
+      k += 1
+    }
+    val (off, nbr) = LocalGraph.csr(srcR, dstR, n)
+    i = 0
+    while (i < n) { java.util.Arrays.sort(nbr, off(i), off(i + 1)); i += 1 }
+    val cnt = new Array[Long](n)
+    var s = 0
+    while (s < n) {
+      var j = off(s)
+      while (j < off(s + 1)) {
+        val t = nbr(j)
+        // sorted-merge intersect N⁺(s) ∩ N⁺(t)
+        var p = off(s); var q = off(t)
+        while (p < off(s + 1) && q < off(t + 1)) {
+          val x = nbr(p); val y = nbr(q)
+          if (x < y) p += 1
+          else if (x > y) q += 1
+          else { cnt(s) += 1; cnt(t) += 1; cnt(x) += 1; p += 1; q += 1 }
+        }
+        j += 1
+      }
+      s += 1
+    }
+    import spark.implicits._
+    (0 until n).filter(r => cnt(r) > 0)
+      .map(r => (idx.id(order(r)), cnt(r))).toDF("id", "tri_cnt")
+  }
 
   /** Corner-count aggregation for an (x,y,z) triangle frame — split out
     * so callers holding a cached triangle frame can reuse it. */
@@ -95,7 +164,17 @@ object Structure {
     // with rounds ≥ the peel depth this is exactly the k-core and the
     // fixed-round oracle matches by construction either way; early
     // convergence when nothing dies (all remaining rounds are no-ops).
-    val e = symEdges.select("src", "dst").localCheckpoint()
+    // Edge count rides the checkpoint for the regime gate (one job).
+    val (e, mE) = Probe.checkpointObserved(
+      symEdges.select("src", "dst"), count(lit(1)).as("m"))
+    // Dual regime, same gate pattern as coreNumbers/SCC/CC/PageRank:
+    // while the edge list fits the driver gate, run the synchronous
+    // peel over a packed edge collect — each distributed round costs a
+    // scheduler floor and the peel depth is tens of rounds on real
+    // graphs. Past the gate the delta peel below is the 100 TB path;
+    // ShuffleRegimeSpec forces the gate to 0 to pin both regimes.
+    if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return kcoreLocal(e, k, rounds)
     var deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
     var r = 0
@@ -119,6 +198,49 @@ object Structure {
       }
     }
     deg.select("id")
+  }
+
+  /** The same synchronous peel on the driver: round r removes every
+    * node whose degree at the START of the round is < k, then
+    * decrements surviving neighbors — decrement-by-decrement identical
+    * to the distributed delta peel (dead→dead edges never decrement,
+    * matching its anti-join), so the fixed-round contract holds in
+    * both regimes. Each node dies at most once, so total work past the
+    * first scan is O(m). Only called under the driver-size gate. */
+  private def kcoreLocal(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(srcL.length)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val n = idx.size
+    val (off, nbr) = LocalGraph.csr(srcIx, dstIx, n)
+    val deg = Array.tabulate(n)(i => off(i + 1) - off(i))
+    val alive = Array.fill(n)(true)
+    // only nodes whose degree moved last round can newly fall under k
+    var cand: Array[Int] = Array.tabulate(n)(identity)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      val dead = cand.filter(v => alive(v) && deg(v) < k)
+      if (dead.isEmpty) converged = true
+      else {
+        dead.foreach(alive(_) = false)
+        val touched = Array.newBuilder[Int]
+        dead.foreach { v =>
+          var j = off(v)
+          while (j < off(v + 1)) {
+            val w = nbr(j)
+            if (alive(w)) { deg(w) -= 1; touched += w }
+            j += 1
+          }
+        }
+        cand = touched.result().distinct
+      }
+    }
+    import spark.implicits._
+    (0 until n).filter(alive(_)).map(idx.id).toDF("id")
   }
 
   /** Full k-core decomposition: (id, core) with core(v) = the largest k

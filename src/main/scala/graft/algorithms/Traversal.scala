@@ -116,8 +116,10 @@ object Traversal {
     // win the (g, parent) tie-break and install a node as its own
     // parent, cycling the path unwind — excluded here and in the
     // oracle's `we` CTE identically
-    val e = wedges.select("src", "dst", "weight")
-      .filter(col("src") =!= col("dst")).localCheckpoint()
+    // Edge/heuristic counts ride their checkpoints for the regime gate.
+    val (e, mE) = Probe.checkpointObserved(
+      wedges.select("src", "dst", "weight").filter(col("src") =!= col("dst")),
+      count(lit(1)).as("n"))
     def emptyOut = ss.range(0).select(lit("").as("path"), lit(0.0).as("cost"))
     if (srcId == dstId)
       return ss.range(1).select(lit(srcId.toString).as("path"), lit(0.0).as("cost"))
@@ -129,8 +131,20 @@ object Traversal {
       case "zero"      => lit(0.0)
       case other => throw new IllegalArgumentException(s"unknown heuristic '$other'")
     }
-    val h = coords.crossJoin(broadcast(dstC))
-      .select(col("id"), hCol.as("h")).localCheckpoint()
+    val (h, mH) = Probe.checkpointObserved(
+      coords.crossJoin(broadcast(dstC)).select(col("id"), hCol.as("h")),
+      count(lit(1)).as("n"))
+    // Dual regime, same gate pattern as the other iterative kernels:
+    // each distributed relaxation round costs a scheduler floor and the
+    // round count is the pruned-frontier settling depth, so while edges
+    // AND the heuristic table fit the driver gate, run the identical
+    // relaxation loop (same candidate set, same (g, parent) merge, same
+    // prune-against-best, same stop signature) over packed collects.
+    // Past the gate the joins below are the 100 TB path; AlgorithmsSpec
+    // pins both regimes against Dijkstra on every heuristic.
+    if (mE("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mH("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return aStarLocal(e, h, srcId, dstId, maxIterations)
     var g = ss.range(1)
       .select(lit(srcId).as("id"), lit(0.0).as("g"), lit(-1L).as("parent"))
       .localCheckpoint()
@@ -185,6 +199,87 @@ object Traversal {
     p.select(
       concat_ws("->", expr("transform(nodes, x -> CAST(x AS STRING))")).as("path"),
       lit(best).as("cost"))
+  }
+
+  /** The same A*-pruned relaxation loop on the driver: per round,
+    * relax every edge whose source holds a state, merge by minimal
+    * (g, parent), refresh the dst bound, prune states whose admissible
+    * lower bound exceeds it, and stop on a repeated (count, Σg)
+    * signature — arithmetic-identical to the distributed rounds, so
+    * the converged result is bit-equal. Only called under the
+    * driver-size gate. */
+  private def aStarLocal(e: DataFrame, h: DataFrame, srcId: Long, dstId: Long,
+                         maxIterations: Int): DataFrame = {
+    val ss = e.sparkSession
+    val parts = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double")).rdd
+      .mapPartitions { it =>
+        val sb = Array.newBuilder[Long]; val db = Array.newBuilder[Long]
+        val wb = Array.newBuilder[Double]
+        it.foreach { r => sb += r.getLong(0); db += r.getLong(1); wb += r.getDouble(2) }
+        Iterator.single((sb.result(), db.result(), wb.result()))
+      }.collect()
+    val srcA = parts.flatMap(_._1); val dstA = parts.flatMap(_._2)
+    val wA = parts.flatMap(_._3)
+    val (hIds, Array(hVals)) = LocalGraph.packedLD(
+      h.select(col("id").cast("long"), col("h").cast("double")), 1)
+    val hOf = new java.util.HashMap[Long, java.lang.Double](hIds.length * 2)
+    var i = 0
+    while (i < hIds.length) { hOf.put(hIds(i), hVals(i)); i += 1 }
+    var g = new java.util.HashMap[Long, (Double, Long)]()
+    g.put(srcId, (0.0, -1L))
+    var best = Double.PositiveInfinity
+    var prev: (Long, Double) = null
+    var iter = 0
+    var stable = false
+    while (iter < maxIterations && !stable) {
+      iter += 1
+      val merged = new java.util.HashMap[Long, (Double, Long)](g)
+      var k = 0
+      while (k < srcA.length) {
+        val gs = g.get(srcA(k))
+        if (gs != null) {
+          val cg = gs._1 + wA(k)
+          val old = merged.get(dstA(k))
+          if (old == null || cg < old._1 || (cg == old._1 && srcA(k) < old._2))
+            merged.put(dstA(k), (cg, srcA(k)))
+        }
+        k += 1
+      }
+      val bg = merged.get(dstId)
+      if (bg != null) best = bg._1
+      val next = new java.util.HashMap[Long, (Double, Long)]()
+      var n = 0L; var s = 0.0
+      val it2 = merged.entrySet().iterator()
+      while (it2.hasNext) {
+        val en = it2.next()
+        val hv = hOf.get(en.getKey)
+        if (en.getValue._1 + (if (hv eq null) 0.0 else hv.doubleValue()) <= best) {
+          next.put(en.getKey, en.getValue); n += 1; s += en.getValue._1
+        }
+      }
+      g = next
+      val sig = (n, s)
+      stable = prev != null && prev == sig
+      prev = sig
+    }
+    if (best.isInfinity)
+      return ss.range(0).select(lit("").as("path"), lit(0.0).as("cost"))
+    // parent-chain unwind dst → src; a missing link mirrors the
+    // distributed join dropping the row (empty result)
+    var nodes = List(dstId)
+    var head = dstId
+    var hops = 0
+    var atSrc = false
+    var dead = false
+    while (!atSrc && !dead && hops < maxIterations + 1) {
+      hops += 1
+      val st = g.get(head)
+      if (st == null) dead = true
+      else { head = st._2; nodes = head :: nodes; atSrc = head == srcId }
+    }
+    if (dead) return ss.range(0).select(lit("").as("path"), lit(0.0).as("cost"))
+    ss.range(1).select(lit(nodes.mkString("->")).as("path"), lit(best).as("cost"))
   }
 
   /** Fixed-iteration Bellman-Ford relaxation: (id, dist DOUBLE) minimum

@@ -188,8 +188,11 @@ class AlgorithmsSpec extends SparkSpec {
     // pointer doubling must land well under 2·log2(256) + slack.
     val n = 256
     val chain = symm(edges((1 until n).map(i => i.toLong -> (i + 1).toLong): _*))
-    val (comp, rounds, converged) =
-      Community.ccWithRounds(ids((1 to n).map(_.toLong): _*), chain, 40)
+    // force the shuffle regime: the round bound under test is a property
+    // of the distributed pointer-doubling loop, which the driver-size
+    // gate would otherwise bypass on a 256-node graph
+    val (comp, rounds, converged) = graft.algorithms.Tuning.withBroadcastThreshold(0L)(
+      Community.ccWithRounds(ids((1 to n).map(_.toLong): _*), chain, 40))
     val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.forall(_ == 1L) && labels.size == n)
     assert(converged, "chain CC must reach its fixpoint")
