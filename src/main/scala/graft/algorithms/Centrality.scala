@@ -58,7 +58,8 @@ object Centrality {
     // upstream scan+filter each level. The node count rides the id-set
     // checkpoint (Dataset.observe), which the source pick and final
     // left-outer reuse.
-    val e = edges.select("src", "dst").localCheckpoint()
+    val (e, mEc) = Probe.checkpointObserved(
+      edges.select("src", "dst"), count(lit(1)).as("m"))
     val (idsCk, mN) = Probe.checkpointObserved(
       nodes.select("id"), count(lit(1)).as("n"))
     val n = mN("n").asInstanceOf[Long].toDouble
@@ -73,6 +74,17 @@ object Centrality {
           count(lit(1)).as("n"))
         (srcs, n / mS("n").asInstanceOf[Long].toDouble)
     }
+    // Dual regime, same gate pattern as the other iterative kernels:
+    // the (s,v)-keyed level frames cost two scheduler-floor joins per
+    // BFS level each way, so while nodes AND edges fit the driver gate,
+    // run per-source Brandes over a packed edge collect — the same
+    // shortest-path DAG sums (σ is an exact integer in a double; δ
+    // folds differ only in float add ORDER, which the oracle rounding
+    // absorbs like every float aggregate). Past the gate the level
+    // joins below are the 100 TB path.
+    if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mEc("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return brandesLocal(idsCk, e, sources, scale, maxDepth, n)
     // Emptiness probes ride the level checkpoints (Dataset.observe) —
     // one job per BFS level, no separate isEmpty scans.
     val (f0, m0) = Probe.checkpointObserved(
@@ -137,5 +149,76 @@ object Centrality {
         .select(col("id"), (lit(scale) * col("d") / lit(norm)).as("bc"))
     idsCk.join(raw, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("bc"), lit(0.0)).as("bc"))
+  }
+
+  /** Per-source Brandes on the driver: forward BFS (depth-capped like
+    * the distributed levels) counting σ over the shortest-path DAG —
+    * multi-edges contribute once per edge, exactly like the per-edge
+    * level join — then the standard reverse-order δ fold. Nodes outside
+    * every shortest path come out 0.0 via the same id-universe join.
+    * Only called under the driver-size gate. */
+  private def brandesLocal(idsCk: DataFrame, e: DataFrame, sources: DataFrame,
+                           scale: Double, maxDepth: Int, n: Double): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    val Array(srcArr) = LocalGraph.packed(sources.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val (off, nbr) = LocalGraph.csr(srcIx, dstIx, u)
+    val bc = new Array[Double](u)
+    val dist = Array.fill(u)(-1)
+    val sigma = new Array[Double](u)
+    val delta = new Array[Double](u)
+    val order = new Array[Int](u)
+    srcArr.foreach { sid =>
+      val s = idx.get(sid)
+      if (s >= 0) {
+        java.util.Arrays.fill(dist, -1)
+        var len = 0
+        dist(s) = 0; sigma(s) = 1.0; delta(s) = 0.0
+        order(0) = s; len = 1
+        var head = 0
+        while (head < len) {
+          val v = order(head); head += 1
+          if (dist(v) < maxDepth) {
+            var j = off(v)
+            while (j < off(v + 1)) {
+              val w = nbr(j)
+              if (dist(w) < 0) {
+                dist(w) = dist(v) + 1; sigma(w) = 0.0; delta(w) = 0.0
+                order(len) = w; len += 1
+              }
+              if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+              j += 1
+            }
+          }
+        }
+        // δ fold in reverse BFS order over out-edges of v (v → w on the
+        // DAG ⇔ dist(w) = dist(v)+1): matches the distributed
+        // level-by-level message sum exactly.
+        var q = len - 1
+        while (q >= 0) {
+          val v = order(q); q -= 1
+          var j = off(v)
+          while (j < off(v + 1)) {
+            val w = nbr(j)
+            if (dist(w) == dist(v) + 1)
+              delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+            j += 1
+          }
+          if (v != s) bc(v) += delta(v)
+        }
+      }
+    }
+    val norm = (n - 1.0) * (n - 2.0)
+    import spark.implicits._
+    idArr.toSeq.map { id =>
+      val v = idx.get(id)
+      (id, scale * bc(v) / norm)
+    }.toDF("id", "bc")
   }
 }

@@ -170,11 +170,21 @@ object Community {
     * id). The reference's sequential sweep loop (louvain.rs:27) made
     * deterministic by moving synchronously. */
   def louvain(symEdges: DataFrame, passes: Int): DataFrame = {
-    val e = symEdges.select("src", "dst")
     // NOTE: communities are seeded from edge endpoints, so nodes with no
     // incident edges do not appear in this output — pass the node
     // universe to the 3-arg overload to keep them as singletons (the
     // reference sweeps all nodes; louvain.rs:27).
+    // Edge count rides the checkpoint for the regime gate (the edge
+    // multiset is joined every pass, so one materialization is also the
+    // right distributed plan).
+    val (e, mE) = Probe.checkpointObserved(
+      symEdges.select("src", "dst"), count(lit(1)).as("m"))
+    // Dual regime: the synchronous move rule is integer endpoint counts
+    // with a deterministic (wt desc, community asc) argmax — exactly
+    // replayable on the driver. Past the gate the two-level aggregation
+    // below is the 100 TB path.
+    if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return louvainLocal(e, passes)
     var comm = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("community")).localCheckpoint()
     for (_ <- 1 to passes) {
@@ -186,6 +196,49 @@ object Community {
         .localCheckpoint()
     }
     comm
+  }
+
+  /** The same synchronous move passes on the driver: every node adopts
+    * the community (of ORIGINAL node ids) holding the most of its
+    * incident edge endpoints under the previous pass's assignment, ties
+    * to the smallest community id — argmax tracked per increment, which
+    * is equivalent because counts only grow. Only called under the
+    * driver-size gate. */
+  private def louvainLocal(e: DataFrame, passes: Int): DataFrame = {
+    val spark = e.sparkSession
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(srcL.length)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val n = idx.size
+    val (off, nbr) = LocalGraph.csr(srcIx, dstIx, n)
+    var comm: Array[Long] = Array.tabulate(n)(i => idx.id(i))
+    var pass = 0
+    while (pass < passes) {
+      pass += 1
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        val cnt = new java.util.HashMap[Long, Integer]()
+        var bestC = Long.MaxValue
+        var bestW = 0
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val c = comm(nbr(j))
+          val old = cnt.get(c)
+          val nw = (if (old eq null) 0 else old.intValue()) + 1
+          cnt.put(c, nw)
+          if (nw > bestW || (nw == bestW && c < bestC)) { bestW = nw; bestC = c }
+          j += 1
+        }
+        // every node in the edge-endpoint universe has degree ≥ 1
+        next(v) = bestC
+        v += 1
+      }
+      comm = next
+    }
+    import spark.implicits._
+    (0 until n).map(v => (idx.id(v), comm(v))).toDF("id", "community")
   }
 
   /** Louvain over an explicit node universe: isolated nodes (absent

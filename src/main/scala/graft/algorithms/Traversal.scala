@@ -20,12 +20,24 @@ object Traversal {
   /** Multi-source BFS: (id, dist BIGINT) for every node within `maxDepth`
     * hops of a seed, dist = hop count of the first (shortest) visit. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edges.select("src", "dst")
+    // Edge count rides the checkpoint for the regime gate (the edge
+    // view is joined every level anyway, so materializing it once is
+    // also the right distributed plan).
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select("src", "dst"), count(lit(1)).as("m"))
     // Frontier emptiness rides each level's checkpoint job
     // (Dataset.observe) — one job per level, no separate isEmpty scan.
     val (v0, m0) = Probe.checkpointObserved(
       seeds.select(col("id")).distinct().withColumn("dist", lit(0L)),
       count(lit(1)).as("n"))
+    // Dual regime, same gate pattern as the other iterative kernels:
+    // level-synchronous BFS over integer hop counts is bit-free of
+    // float concerns, so the packed driver BFS is exactly the
+    // distributed fixpoint without the per-level scheduler floor.
+    // Past the gate the frontier joins below are the 100 TB path.
+    if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        m0("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return bfsLocal(e, v0.select("id"), maxDepth)
     var visited = v0
     var frontier = visited
     var frontierCount = m0("n").asInstanceOf[Long]
@@ -288,9 +300,19 @@ object Traversal {
     * shortest-path hop diameter; deterministic because path sums are the
     * same IEEE additions in any engine and MIN is order-free. */
   def bellmanFord(wedges: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
-    val e = wedges.select("src", "dst", "weight")
-    var dist = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0.0)).localCheckpoint()
+    val (e, mE) = Probe.checkpointObserved(
+      wedges.select("src", "dst", "weight"), count(lit(1)).as("m"))
+    val (d0, m0) = Probe.checkpointObserved(
+      seeds.select(col("id")).distinct().withColumn("dist", lit(0.0)),
+      count(lit(1)).as("n"))
+    // Dual regime: the per-round relaxation is the same IEEE additions
+    // and an order-free MIN in either engine, so the packed driver loop
+    // is bit-equal to the distributed rounds. Past the gate the join
+    // loop below is the 100 TB path.
+    if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        m0("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return bellmanFordLocal(e, d0.select("id"), iterations)
+    var dist = d0
     for (_ <- 1 to iterations) {
       val relaxed = dist.join(e, dist("id") === e("src"))
         .select(e("dst").as("id"), (dist("dist") + e("weight")).as("dist"))
@@ -298,5 +320,85 @@ object Traversal {
         .groupBy("id").agg(min("dist").as("dist")).localCheckpoint()
     }
     dist
+  }
+
+  /** Multi-source BFS on the driver: the same level-synchronous
+    * first-visit rule over a packed edge collect. Only called under the
+    * driver-size gate. */
+  private def bfsLocal(e: DataFrame, seedIds: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    val Array(seedArr) = LocalGraph.packed(seedIds.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(seedArr.length + srcL.length)
+    seedArr.foreach(idx.ix)
+    val nSeeds = seedArr.length
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val n = idx.size
+    val (off, nbr) = LocalGraph.csr(srcIx, dstIx, n)
+    val dist = Array.fill(n)(-1L)
+    var frontier = new Array[Int](nSeeds)
+    var i = 0
+    while (i < nSeeds) { dist(i) = 0L; frontier(i) = i; i += 1 }
+    var depth = 0
+    while (depth < maxDepth && frontier.nonEmpty) {
+      depth += 1
+      val next = Array.newBuilder[Int]
+      frontier.foreach { v =>
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val w = nbr(j)
+          if (dist(w) < 0L) { dist(w) = depth.toLong; next += w }
+          j += 1
+        }
+      }
+      frontier = next.result()
+    }
+    import spark.implicits._
+    (0 until n).filter(dist(_) >= 0L)
+      .map(v => (idx.id(v), dist(v))).toDF("id", "dist")
+  }
+
+  /** Fixed-iteration synchronous relaxation on the driver — candidate
+    * set and MIN merge identical to the distributed rounds, so the
+    * result is bit-equal at any iteration count. Only called under the
+    * driver-size gate. */
+  private def bellmanFordLocal(e: DataFrame, seedIds: DataFrame,
+                               iterations: Int): DataFrame = {
+    val spark = e.sparkSession
+    val parts = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double")).rdd
+      .mapPartitions { it =>
+        val sb = Array.newBuilder[Long]; val db = Array.newBuilder[Long]
+        val wb = Array.newBuilder[Double]
+        it.foreach { r => sb += r.getLong(0); db += r.getLong(1); wb += r.getDouble(2) }
+        Iterator.single((sb.result(), db.result(), wb.result()))
+      }.collect()
+    val srcA = parts.flatMap(_._1); val dstA = parts.flatMap(_._2)
+    val wA = parts.flatMap(_._3)
+    val Array(seedArr) = LocalGraph.packed(seedIds.select(col("id").cast("long")), 1)
+    var dist = new java.util.HashMap[Long, java.lang.Double](seedArr.length * 2)
+    seedArr.foreach(s => dist.put(s, 0.0))
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      val next = new java.util.HashMap[Long, java.lang.Double](dist)
+      var k = 0
+      while (k < srcA.length) {
+        val ds = dist.get(srcA(k))
+        if (ds ne null) {
+          val cand = ds.doubleValue() + wA(k)
+          val old = next.get(dstA(k))
+          if ((old eq null) || cand < old.doubleValue()) next.put(dstA(k), cand)
+        }
+        k += 1
+      }
+      dist = next
+    }
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val en = dist.entrySet().iterator()
+    while (en.hasNext) { val x = en.next(); out += ((x.getKey, x.getValue.doubleValue())) }
+    out.toSeq.toDF("id", "dist")
   }
 }

@@ -80,4 +80,48 @@ class ShuffleRegimeSpec extends SparkSpec {
     val (b, s) = both(asSet(Structure.coreNumbers(symDf)))
     assert(b.nonEmpty && b == s)
   }
+
+  test("louvain: shuffle regime ≡ broadcast regime") {
+    val (b, s) = both(asSet(Community.louvain(nodeDf, symDf, 2)))
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("bfs distances: shuffle regime ≡ broadcast regime") {
+    val seeds = (0L until 10L).toDF("id")
+    val (b, s) = both(asSet(
+      graft.algorithms.Traversal.bfsDistances(edgeDf, seeds, 4)))
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("bellman-ford: shuffle regime ≡ broadcast regime (bit-equal)") {
+    val w = edgeDf.select(col("src"), col("dst"),
+      (lit(1.0) + (col("src") + col("dst")) % 5).as("weight")).localCheckpoint()
+    val seeds = (0L until 5L).toDF("id")
+    val (b, s) = both(asSet(
+      graft.algorithms.Traversal.bellmanFord(w, seeds, 8)))
+    assert(b.nonEmpty && b == s) // MIN merge is order-free: bit-equal
+  }
+
+  test("betweenness sampled: shuffle regime ≡ broadcast regime (1e-9)") {
+    def bc = graft.algorithms.Centrality
+      .betweennessSampled(nodeDf, edgeDf, 3, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (b, s) = both(bc)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-9, s"bc($id) differs across regimes") }
+  }
+
+  test("aStar: shuffle regime ≡ broadcast regime") {
+    val w = edgeDf.select(col("src"), col("dst"),
+      (lit(1.0) + (col("src") + col("dst")) % 5).as("weight")).localCheckpoint()
+    val coords = nodeDf.select(col("id"),
+      (col("id") % 20).cast("double").as("x"),
+      (col("id") / 20).cast("double").as("y")).localCheckpoint()
+    for (heur <- Seq("euclidean", "manhattan", "zero")) {
+      val (b, s) = both(asSet(
+        graft.algorithms.Traversal.aStar(w, coords, 0L, 399L, 25, heur)))
+      assert(b == s, s"aStar($heur) differs across regimes")
+    }
+  }
 }
