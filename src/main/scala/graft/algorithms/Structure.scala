@@ -117,23 +117,39 @@ object Structure {
     val (off, nbr) = LocalGraph.csr(srcR, dstR, n)
     i = 0
     while (i < n) { java.util.Arrays.sort(nbr, off(i), off(i + 1)); i += 1 }
-    val cnt = new Array[Long](n)
-    var s = 0
-    while (s < n) {
-      var j = off(s)
-      while (j < off(s + 1)) {
-        val t = nbr(j)
-        // sorted-merge intersect N⁺(s) ∩ N⁺(t)
-        var p = off(s); var q = off(t)
-        while (p < off(s + 1) && q < off(t + 1)) {
-          val x = nbr(p); val y = nbr(q)
-          if (x < y) p += 1
-          else if (x > y) q += 1
-          else { cnt(s) += 1; cnt(t) += 1; cnt(x) += 1; p += 1; q += 1 }
+    // the intersect sweep is embarrassingly parallel over base edges:
+    // split the node range across driver cores, each thread folding
+    // into its own count array, merged at the end (counts are adds)
+    val threads = math.max(1, Runtime.getRuntime.availableProcessors min 16)
+    val perThread = Array.fill(threads)(new Array[Long](n))
+    val chunk = (n + threads - 1) / threads
+    val pool = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val cnt = perThread(t)
+        var s = t * chunk
+        val end = math.min(n, s + chunk)
+        while (s < end) {
+          var j = off(s)
+          while (j < off(s + 1)) {
+            val u = nbr(j)
+            // sorted-merge intersect N⁺(s) ∩ N⁺(u)
+            var p = off(s); var q = off(u)
+            while (p < off(s + 1) && q < off(u + 1)) {
+              val x = nbr(p); val y = nbr(q)
+              if (x < y) p += 1
+              else if (x > y) q += 1
+              else { cnt(s) += 1; cnt(u) += 1; cnt(x) += 1; p += 1; q += 1 }
+            }
+            j += 1
+          }
+          s += 1
         }
-        j += 1
-      }
-      s += 1
+      })
+      th.start(); th
+    }
+    pool.foreach(_.join())
+    val cnt = perThread.reduce { (a, b) =>
+      var r = 0; while (r < n) { a(r) += b(r); r += 1 }; a
     }
     import spark.implicits._
     (0 until n).filter(r => cnt(r) > 0)

@@ -88,16 +88,27 @@ object DerivedGraphs {
       .select((lit(NationTag * TAG) + col("n_nationkey")).as("id"))
 
   /** Part co-occurrence multigraph: one (a<b) row per order containing
-    * both parts (edge multiplicity = co-order count). */
+    * both parts (edge multiplicity = co-order count). Generated as a
+    * per-order pair expansion of the grouped partkey list — one shuffle
+    * (the groupBy) and a map-side explode of ≤ C(items,2) structs per
+    * order — instead of a lineitem self-join, which pays a second join
+    * probe over the full table for the same multiset (equal-partkey row
+    * pairs are excluded by `<` in both formulations). Order sizes are
+    * bounded (TPC-H: ≤ 7 lineitems), so the per-order array is tiny;
+    * on a skewed real corpus this would need a per-group size cap. */
   def partCooccurAll(s: SparkSession, d: String): DataFrame =
     memo(s, d, "coAll") {
-      val li = table(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      li.as("l1").join(li.as("l2"),
-          col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_partkey") < col("l2.l_partkey"))
+      table(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey").agg(collect_list("l_partkey").as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps) - i - 1), y ->
+            |    struct(least(x, y) AS lo, greatest(x, y) AS hi))))"""
+            .stripMargin)).as("p"))
+        .filter(col("p.lo") =!= col("p.hi"))
         .select(
-          (lit(PartTag * TAG) + col("l1.l_partkey")).as("a"),
-          (lit(PartTag * TAG) + col("l2.l_partkey")).as("b"))
+          (lit(PartTag * TAG) + col("p.lo")).as("a"),
+          (lit(PartTag * TAG) + col("p.hi")).as("b"))
     }
 
   /** Simple (deduplicated) co-occurrence graph, oriented a < b. */

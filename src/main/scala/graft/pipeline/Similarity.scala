@@ -121,9 +121,26 @@ object Similarity {
   def annIvf(emb: DataFrame, k: Int = 16, lloyd: Int = 2, nprobe: Int = 2,
              probeMax: Long = 10L, topK: Int = 3): DataFrame = {
     require(nprobe >= 1 && nprobe <= k, "bad nprobe")
-    val e = exploded(emb)
-    val n = norms(emb)
-    val assign = ivfAssignments(emb, k, lloyd)
+    // Dual regime, same gate pattern as the graph kernels, keyed on the
+    // total CELL count (vectors × dims — the collect payload): the
+    // whole pipeline is a dozen scheduler-floor jobs over tiny frames
+    // (lloyd rounds, shortlist window, candidate joins), so a packed
+    // driver replay wins by the job-count floor while the data fits.
+    // Float sums run in a different order than the distributed partial
+    // aggregates, which the 6-dp cosine rounding absorbs (same accepted
+    // divergence as every float aggregate; q_ann_ivf is rows-only by
+    // design and the nprobe=k ≡ cosineTopK exactness invariant is
+    // arithmetic-independent). Past the gate the set-oriented plan
+    // below is the 100 TB path.
+    val (embCk, mEmb) = graft.algorithms.Probe.checkpointObserved(
+      emb.select(col("vec_id"), col("embedding")),
+      sum(size(col("embedding"))).as("cells"))
+    val cells = Option(mEmb("cells")).fold(0L)(_.asInstanceOf[Long])
+    if (cells <= graft.algorithms.Tuning.broadcastThreshold)
+      return annIvfLocal(embCk, k, lloyd, nprobe, probeMax, topK)
+    val e = exploded(embCk)
+    val n = norms(embCk)
+    val assign = ivfAssignments(embCk, k, lloyd)
     // per-probe centroid shortlist: distance of the probe to every
     // centroid, keep the nprobe nearest (ties → smaller cluster id)
     val centroids = e.join(assign, Seq("vec_id"))
@@ -151,6 +168,103 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
     cos.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
       .select(col("qid"), col("vid"), col("cosine"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** The same IVF pipeline on the driver: deterministic hash-ordered
+    * seeds, lloyd+1 assign/update rounds (empty clusters drop out of
+    * competition exactly like the vanished groupBy rows), nprobe
+    * shortlist by (d2, cluster), candidate scoring, 6-dp-rounded cosine
+    * and (cosine desc, vid) top-k. Only called under the cell-count
+    * gate. */
+  private def annIvfLocal(emb: DataFrame, k: Int, lloyd: Int, nprobe: Int,
+                          probeMax: Long, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col("vec_id").cast("long"),
+        TextOps.hash60(col("vec_id").cast("string"), "ivf:").as("h"),
+        col("embedding").cast("array<double>").as("v")).rdd
+      .mapPartitions { it =>
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Double])]
+        it.foreach { r => b += ((r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)) }
+        Iterator.single(b.toArray)
+      }.collect().flatten
+    val n = rows.length
+    if (n == 0)
+      return Seq.empty[(Long, Long, Double, Long)].toDF("qid", "vid", "cosine", "rnk")
+    val ids = rows.map(_._1); val vecs = rows.map(_._3)
+    val dims = vecs.iterator.map(_.length).max
+    val seedOrd = Array.range(0, n)
+      .sortBy(i => (rows(i)._2, ids(i))).take(k)
+    val kk = seedOrd.length
+    var cent: Array[Array[Double]] = seedOrd.map(i => vecs(i).clone())
+    val active = Array.fill(kk)(true)
+    val assign = new Array[Int](n)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      val L = math.min(v.length, c.length)
+      var s = 0.0; var p = 0
+      while (p < L) { val dx = v(p) - c(p); s += dx * dx; p += 1 }
+      s
+    }
+    var r = 0
+    while (r <= lloyd) {
+      var i = 0
+      while (i < n) {
+        var bc = -1; var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < kk) {
+          if (active(c)) {
+            val d = d2(vecs(i), cent(c))
+            if (d < bd) { bd = d; bc = c } // ties → smaller cluster id
+          }
+          c += 1
+        }
+        assign(i) = bc
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val cnts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val c = assign(i); val v = vecs(i); cnts(c) += 1
+        var p = 0; while (p < v.length) { sums(c)(p) += v(p); p += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnts(c) == 0) active(c) = false
+        else { var p = 0; while (p < dims) { sums(c)(p) /= cnts(c); p += 1 }; cent(c) = sums(c) }
+        c += 1
+      }
+      r += 1
+    }
+    val nrm = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    def round6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    var i = 0
+    while (i < n) {
+      if (ids(i) < probeMax) {
+        val short = (0 until kk).filter(active)
+          .sortBy(c => (d2(vecs(i), cent(c)), c)).take(nprobe).toSet
+        val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        var j = 0
+        while (j < n) {
+          if (ids(j) >= probeMax && short.contains(assign(j))) {
+            val L = math.min(vecs(i).length, vecs(j).length)
+            var dot = 0.0; var p = 0
+            while (p < L) { dot += vecs(i)(p) * vecs(j)(p); p += 1 }
+            scored += ((round6(dot / (nrm(i) * nrm(j))), ids(j)))
+          }
+          j += 1
+        }
+        scored.sortBy { case (cos, vid) => (-cos, vid) }
+          .take(topK).zipWithIndex.foreach { case ((cos, vid), rk) =>
+            out += ((ids(i), vid, cos, (rk + 1).toLong)) }
+      }
+      i += 1
+    }
+    out.toSeq.toDF("qid", "vid", "cosine", "rnk")
   }
 
   /** Embedding-cosine near-duplicate pairs — the dedup-flavored member
