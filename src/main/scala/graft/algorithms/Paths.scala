@@ -59,12 +59,22 @@ object Paths {
   def allShortestPaths(edges: DataFrame, srcId: Long, dstId: Long,
                        maxDepth: Int = 10): DataFrame = {
     val ss = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"), col("rel_type")).localCheckpoint()
+    // Edge count rides the checkpoint for the regime gate.
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select(col("src"), col("dst"), col("rel_type")),
+      count(lit(1)).as("m"))
     def emptyOut = ss.range(0)
       .select(lit("").as("path"), lit("").as("rels"), lit(0L).as("hops"))
     if (srcId == dstId)
       return ss.range(1)
         .select(lit(srcId.toString).as("path"), lit("").as("rels"), lit(0L).as("hops"))
+    // Dual regime, same gate pattern as the other traversal kernels:
+    // the parent-level BFS and the backward unwind are one scheduler-
+    // floor join per level each way; the driver replay records the same
+    // per-parallel-edge parent rows and enumerates the same path set.
+    // Past the gate the level joins below are the 100 TB path.
+    if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return allShortestPathsLocal(e, srcId, dstId, maxDepth)
     var visited = ss.range(1).select(lit(srcId).as("id")).localCheckpoint()
     var frontier = visited
     var frontierCount = 1L
@@ -103,6 +113,71 @@ object Paths {
       concat_ws("->", expr("transform(nodes, x -> CAST(x AS STRING))")).as("path"),
       concat_ws(",", col("rels")).as("rels"),
       lit(depth.toLong).as("hops"))
+  }
+
+  /** The same parent-level BFS + backward path enumeration on the
+    * driver: level d records one (v, u, rel) row per parallel edge into
+    * each first-reached v, the unwind prepends every recorded parent —
+    * the identical path multiset. Only called under the driver-size
+    * gate. */
+  private def allShortestPathsLocal(e: DataFrame, srcId: Long, dstId: Long,
+                                    maxDepth: Int): DataFrame = {
+    val ss = e.sparkSession
+    import ss.implicits._
+    val rows = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("rel_type").cast("string")).rdd
+      .mapPartitions { it =>
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+        it.foreach(r => b += ((r.getLong(0), r.getLong(1), r.getString(2))))
+        Iterator.single(b.toArray)
+      }.collect().flatten
+    val adj = new java.util.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[(Long, String)]]()
+    rows.foreach { case (s, d, t) =>
+      var l = adj.get(s)
+      if (l == null) {
+        l = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        adj.put(s, l)
+      }
+      l += ((d, t))
+    }
+    val visited = scala.collection.mutable.HashSet(srcId)
+    var frontier: Iterable[Long] = Seq(srcId)
+    val parentLevels = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, String)]]]
+    var found = false
+    var depth = 0
+    while (!found && depth < maxDepth && frontier.nonEmpty) {
+      depth += 1
+      val lvl = scala.collection.mutable.HashMap.empty[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, String)]]
+      frontier.foreach { u =>
+        val ns = adj.get(u)
+        if (ns != null) ns.foreach { case (v, t) =>
+          if (!visited(v))
+            lvl.getOrElseUpdate(v,
+              scala.collection.mutable.ArrayBuffer.empty[(Long, String)]) += ((u, t))
+        }
+      }
+      frontier = lvl.keys.toSeq
+      visited ++= frontier
+      parentLevels += lvl
+      found = lvl.contains(dstId)
+    }
+    if (!found)
+      return ss.range(0)
+        .select(lit("").as("path"), lit("").as("rels"), lit(0L).as("hops"))
+    var paths = List((dstId, List(dstId), List.empty[String]))
+    for (d <- depth to 1 by -1) {
+      val lvl = parentLevels(d - 1)
+      paths = paths.flatMap { case (h, ns, rs) =>
+        lvl(h).toList.map { case (u, t) => (u, u :: ns, t :: rs) }
+      }
+    }
+    paths.map { case (_, ns, rs) =>
+      (ns.mkString("->"), rs.mkString(","), depth.toLong)
+    }.toDF("path", "rels", "hops")
   }
 
   /** One deterministic shortest path with its relationships — the

@@ -112,6 +112,14 @@ class ShuffleRegimeSpec extends SparkSpec {
       assert(math.abs(v - s(id)) < 1e-9, s"bc($id) differs across regimes") }
   }
 
+  test("all shortest paths: shuffle regime ≡ broadcast regime") {
+    val te = edgeDf.withColumn("rel_type",
+      concat(lit("T"), (col("src") % 3).cast("string"))).localCheckpoint()
+    val (b, s) = both(asSet(
+      graft.algorithms.Paths.allShortestPaths(te, 0L, 399L, 8)))
+    assert(b == s)
+  }
+
   test("aStar: shuffle regime ≡ broadcast regime") {
     val w = edgeDf.select(col("src"), col("dst"),
       (lit(1.0) + (col("src") + col("dst")) % 5).as("weight")).localCheckpoint()
