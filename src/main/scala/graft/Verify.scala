@@ -7,6 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional regime override (same bridge as ScaleProbe/Bench):
+    // SPARK_GRAFT_BROADCAST_THRESHOLD=0 forces every dual-regime kernel
+    // onto its shuffle (cluster-scale) branch, so the ENTIRE oracle
+    // suite can be checked against the code path a 100 TB run executes.
+    sys.env.get("SPARK_GRAFT_BROADCAST_THRESHOLD")
+      .foreach(v => sys.props("graft.broadcast.threshold") = v)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -3,13 +3,17 @@ package graft.algorithms
 /** Shared regime knobs for the iterative kernels.
   *
   * Every dual-regime kernel (connected components, SCC, PageRank,
-  * k-core, triangles) gates "broadcast the |V|-bounded side" vs "shuffle
-  * join" on the same row-count threshold. The default (4M rows ≈ tens of
-  * MB) is safely inside a driver/executor heap; a 100 TB run crosses it
-  * and takes the shuffle branch. The threshold is a system property so
-  * tests can force the shuffle regime on small data
-  * (`-Dgraft.broadcast.threshold=0`) — the code path a large cluster
-  * actually runs must be exercisable without a large cluster.
+  * k-core, core numbers, triangle counts, Louvain, Brandes betweenness,
+  * BFS, Bellman-Ford, A*, all-shortest-paths, IVF) gates "replay the
+  * round semantics on the driver over a packed collect / broadcast the
+  * |V|-bounded side" vs "shuffle join" on the same row-count threshold.
+  * The default (4M rows ≈ tens of MB) is safely inside a driver/executor
+  * heap; a 100 TB run crosses it and takes the shuffle branch. The
+  * threshold is a system property so tests can force the shuffle regime
+  * on small data (`-Dgraft.broadcast.threshold=0`, or the
+  * `SPARK_GRAFT_BROADCAST_THRESHOLD` env bridge in Verify/Bench/
+  * ScaleProbe) — the code path a large cluster actually runs must be
+  * exercisable, oracle-checkable, and timeable without a large cluster.
   */
 object Tuning {
   val DefaultBroadcastThreshold = 4000000L

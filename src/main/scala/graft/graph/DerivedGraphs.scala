@@ -10,10 +10,11 @@ import scala.collection.concurrent.TrieMap
   * from it — the same construction is mirrored as DuckDB CTE preambles so
   * the oracle computes on identical inputs.
   *
-  * Scale notes: the part co-occurrence self-join shuffles lineitem once on
-  * l_orderkey and the pair explosion is bounded per order (~4 items/order
-  * → ~6 pairs); it never goes cartesian. The nation trade graph reduces
-  * the big fact join down to a |nation|² table before thresholding.
+  * Scale notes: the part co-occurrence pairs shuffle lineitem once on
+  * l_orderkey (the groupBy) and the pair explosion is bounded per order
+  * (~4 items/order → ~6 pairs); it never goes cartesian. The nation
+  * trade graph reduces the big fact join down to a |nation|² table
+  * before thresholding.
   */
 object DerivedGraphs {
   import GraphBuilder.{TAG, NationTag, OrderTag, PartTag, table}
