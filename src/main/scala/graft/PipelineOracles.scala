@@ -338,6 +338,28 @@ SELECT CAST(FLOOR((cum - tokens) / $capacity) AS BIGINT) AS bin,
        CAST(SUM(tokens) AS BIGINT) AS total_tokens
 FROM c GROUP BY 1"""
 
+  /** BM25 against a literal term set — constants (k1, b, k1+1)
+    * interpolated from the same Scala doubles the Spark plan uses, and
+    * every arithmetic operator in the same order, so the doubles agree
+    * before the shared 6-dp rounding. */
+  def bm25Sql(terms: Seq[String], k1: Double, b: Double, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+ dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+ st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+  WHERE term IN ($inList) GROUP BY 1, 2),
+ dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ sc AS (SELECT tf.doc_id,
+     SUM(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * (tf.tf * ${k1 + 1.0}) /
+         (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl))) AS score
+   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(score, 6) AS bm25
+FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
+  }
+
   def vocabTopKSql(k: Int): String =
     s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

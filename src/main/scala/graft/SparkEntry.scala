@@ -455,6 +455,9 @@ object SparkEntry {
       Corpus.repetition(GraphBuilder.table(s, d, "documents"))),
     "q_gopher_rules" -> ((s, d) =>
       Corpus.gopherRules(GraphBuilder.table(s, d, "documents"))),
+    "q_bm25" -> ((s, d) =>
+      Corpus.bm25TopK(GraphBuilder.table(s, d, "documents"),
+        Seq("spark", "query", "join", "vector"))),
     "q_lm_score" -> ((s, d) =>
       Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
     "q_pii_scan" -> ((s, d) =>
@@ -640,6 +643,8 @@ WHERE term <> '' GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""",
     "q_decontam" -> PipelineOracles.decontaminateSql(5),
     "q_repetition" -> PipelineOracles.repetitionSql,
     "q_gopher_rules" -> PipelineOracles.gopherRulesSql(),
+    "q_bm25" -> PipelineOracles.bm25Sql(
+      Seq("spark", "query", "join", "vector"), 1.2, 0.75, 20),
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),

@@ -93,6 +93,49 @@ object Corpus {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** BM25 relevance ranking of the corpus against a fixed query-term
+    * set (Robertson et al.; the Lucene-practical idf
+    * ln((N − df + 0.5)/(df + 0.5) + 1), so idf stays positive at any
+    * df). The standard retrieval primitive for query-targeted corpus
+    * curation — "give me the documents most about X" — sharing the
+    * whitespace term formula with [[vocabTopK]]/heavy-hitters so every
+    * text operator agrees on what a term is.
+    *
+    * Scale: one token explode feeds both the per-doc length aggregate
+    * and the (doc, term) tf counts (the tf side prunes to the query
+    * terms BEFORE its shuffle, so the heavy aggregate moves only
+    * matching tokens); df and the 1-row (N, avgdl) stats broadcast into
+    * the scoring join; top-k is a TakeOrdered, never a global sort.
+    * Score sums run over ≤ |queryTerms| rows per doc and are rounded to
+    * 6 dp like every float aggregate in the suite. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) — operator order
+    // mirrored verbatim in the DuckDB oracle so the doubles agree
+    val scored = tf
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+    scored.select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Per-label embedding centroids in long format: (label, pos, c) with
     * c = mean of component `pos` over the label's vectors, rounded to
     * 6 dp. posexplode keeps the shuffle narrow ((label, pos) keyed,

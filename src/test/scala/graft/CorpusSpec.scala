@@ -53,6 +53,27 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bm25TopK: ranks by query-term relevance, absent docs excluded") {
+    val d = docs(
+      1L -> "spark query spark join filler words here",  // 2×spark, query, join
+      2L -> "spark alone in a much longer document with many extra words",
+      3L -> "nothing relevant at all",
+      4L -> "query join vector")                         // 3 distinct terms, short
+    val rows = Corpus.bm25TopK(d, Seq("spark", "query", "join", "vector"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ranked = rows.map(_._1)
+    // doc 3 has no query term — excluded entirely
+    assert(!ranked.contains(3L) && rows.length == 3)
+    // the short doc hitting 3 distinct terms outranks both single/double
+    // hitters; the long doc with one hit ranks last (length normalization)
+    assert(ranked.head == 4L && ranked.last == 2L)
+    assert(rows.forall(_._2 > 0.0))
+    // deterministic
+    val again = Corpus.bm25TopK(d, Seq("spark", "query", "join", "vector"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("vocabTopK: frequency order with lexicographic tiebreak") {
     val d = docs(1L -> "b b a a c", 2L -> "b z")
     val top = Corpus.vocabTopK(d, 3).collect().map(r => (r.getString(0), r.getLong(1)))
