@@ -360,6 +360,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(score, 6) AS bm25
 FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
   }
 
+  /** TF-IDF mirror: same term formula, same (tf/dl)·ln(n/df) operator
+    * order, 6-dp rounding BEFORE the rank so both engines rank the
+    * same value. */
+  def tfidfSql(topN: Int): String =
+    s"""WITH tk AS (SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+ dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+ dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+ sc AS (SELECT tf.doc_id, tf.term,
+     ROUND((CAST(tf.tf AS DOUBLE) / dl.dl) * ln(n.n / dfq.df), 6) AS tfidf
+   FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf, rn FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rn
+  FROM sc) t WHERE rn <= $topN"""
+
   def vocabTopKSql(k: Int): String =
     s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

@@ -409,6 +409,9 @@ object SparkEntry {
     // exact (deterministic) regime; the eviction bound is spec-pinned
     "q_heavy_hitters" -> ((s, d) =>
       pipeline.Sketches.heavyHitters(GraphBuilder.table(s, d, "documents"))),
+    // capacity 64 ≥ every per-source vocabulary → exact KMV regime
+    "q_distinct_kmv" -> ((s, d) =>
+      pipeline.Sketches.sourceDistinctTerms(GraphBuilder.table(s, d, "documents"))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_len_histogram" -> ((s, d) =>
@@ -458,6 +461,8 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       Corpus.bm25TopK(GraphBuilder.table(s, d, "documents"),
         Seq("spark", "query", "join", "vector"))),
+    "q_tfidf" -> ((s, d) =>
+      Corpus.tfidfKeywords(GraphBuilder.table(s, d, "documents"))),
     "q_lm_score" -> ((s, d) =>
       Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
     "q_pii_scan" -> ((s, d) =>
@@ -484,6 +489,8 @@ object SparkEntry {
     // capacity 16 ≥ the event-type alphabet → exact sketch regime
     "q_window_hh" -> ((s, d) =>
       pipeline.Sketches.windowHeavyHitters(EventStreams.eventsTable(s, d))),
+    "q_window_distinct" -> ((s, d) =>
+      pipeline.Sketches.windowDistinct(EventStreams.eventsTable(s, d))),
     "q_events_sessions" -> ((s, d) =>
       EventStreams.sessionsBatch(EventStreams.eventsTable(s, d))),
     "q_events_props" -> ((s, d) =>
@@ -629,6 +636,12 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS est
 FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
 WHERE term <> '' GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""",
+    // exact KMV regime (capacity ≥ per-source vocab): sketch answer
+    // equals the true distinct count, no hash formula to mirror
+    "q_distinct_kmv" ->
+      """SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct
+FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> '' GROUP BY source ORDER BY source""",
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),
@@ -645,6 +658,7 @@ WHERE term <> '' GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""",
     "q_gopher_rules" -> PipelineOracles.gopherRulesSql(),
     "q_bm25" -> PipelineOracles.bm25Sql(
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 20),
+    "q_tfidf" -> PipelineOracles.tfidfSql(3),
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
@@ -666,6 +680,10 @@ FROM events GROUP BY 1, 2""",
   FROM (SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
                event_type AS term, CAST(COUNT(*) AS BIGINT) AS est
         FROM events GROUP BY 1, 2) g) t WHERE rn <= 3""",
+    "q_window_distinct" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1 ORDER BY 1""",
     // sliding 1h/30min: every event expands into exactly 2 epoch-aligned
     // window starts (k=0,1), mirroring Spark's window(ts, 1h, 30m)
     "q_events_sliding" ->

@@ -136,6 +136,43 @@ object Corpus {
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Per-document TF-IDF keywords: the `topN` most characteristic
+    * terms of every document — (tf/dl)·ln(N/df) with N = documents
+    * containing ≥ 1 term — the classic representation behind
+    * topic-targeted corpus filtering and cluster labeling. Shares the
+    * whitespace term formula with [[vocabTopK]]/[[bm25TopK]].
+    *
+    * Scale: one token explode → one (doc, term) count; the per-doc
+    * length reuses THAT frame through a doc-partitioned window (one
+    * exchange of the distinct-terms frame, never a second pass over
+    * raw tokens); df and the 1-row N broadcast into the scoring join;
+    * ranking is a per-doc window top-N, so output is ≤ topN·|docs|
+    * rows and nothing global ever sorts. Scores round to 6 dp before
+    * ranking so the rank is taken on the same value in both engines. */
+  def tfidfKeywords(docs: DataFrame, topN: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val withDl = tf.withColumn("dl", sum("tf").over(byDoc))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct("doc_id").cast("double").as("n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    withDl
+      .join(broadcast(dfT), Seq("term"))
+      .join(broadcast(nDocs))
+      // (tf/dl)·ln(n/df) — operator order mirrored in the DuckDB oracle
+      .select(col("doc_id"), col("term"),
+        round((col("tf").cast("double") / col("dl")) *
+          log(col("n") / col("df")), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= topN)
+      .select(col("doc_id"), col("term"), col("tfidf"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** Per-label embedding centroids in long format: (label, pos, c) with
     * c = mean of component `pos` over the label's vectors, rounded to
     * 6 dp. posexplode keeps the shuffle narrow ((label, pos) keyed,

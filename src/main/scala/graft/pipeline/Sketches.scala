@@ -130,6 +130,96 @@ class MisraGries(k: Int) extends Aggregator[String, MGBuf, Map[String, Long]] {
   override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
 }
 
+/** KMV (k-minimum-values) partial state: the `k` smallest DISTINCT
+  * 60-bit hashes seen so far, sorted ascending in a fixed-capacity
+  * array padded with `Long.MaxValue` sentinels (every real
+  * `graft_hash60` value is < 2^60, so the sentinel can never collide
+  * with data). Fixed array + in-place memmove for the same reason as
+  * [[MGBuf]]: the per-row reduce must not allocate. */
+final case class KMVBuf(hashes: Array[Long]) {
+  def occupied: Int = {
+    var n = 0
+    while (n < hashes.length && hashes(n) != Long.MaxValue) n += 1
+    n
+  }
+}
+
+/** KMV distinct-count sketch as a typed Catalyst [[Aggregator]] — the
+  * bounded-state COUNT(DISTINCT) a 100 TB corpus needs when the exact
+  * distinct set is too wide to shuffle (exact distinct aggregation
+  * shuffles every distinct value; the sketch shuffles ≤ k longs per
+  * partial). Bar-Yossef et al. 2002: keep the k smallest hash values;
+  * if fewer than k distinct hashes exist the count is EXACT, else
+  * estimate (k−1)·2^60 / h_(k) with relative error ~1/√(k−2).
+  *
+  * Unlike Misra–Gries eviction, the k-min set — and therefore the
+  * estimate — is ORDER-INDEPENDENT: the same inputs give the same
+  * answer under any partial-aggregation schedule, in both regimes.
+  * The DuckDB oracle still checks the exact regime (k ≥ distinct
+  * inputs, where the answer equals COUNT(DISTINCT) with no hash
+  * formula to mirror); the estimation regime's error bound is pinned
+  * by spec.
+  *
+  * Input is the PRE-HASHED long (`TextOps.hash60` stays a codegen'd
+  * Column in the plan); the reduce is one binary search plus, on the
+  * rare shrinking-frequency insert, one in-place memmove — zero
+  * allocation per row. */
+class KMV(k: Int) extends Aggregator[Long, KMVBuf, Long] {
+  require(k >= 2, "KMV needs capacity >= 2 (the estimator divides by k-1)")
+
+  override def zero: KMVBuf =
+    KMVBuf(Array.fill(k)(Long.MaxValue))
+
+  override def reduce(b: KMVBuf, h: Long): KMVBuf = {
+    val i = java.util.Arrays.binarySearch(b.hashes, h)
+    if (i < 0) {
+      val ins = -i - 1
+      // ins == k ⇔ h exceeds the current k-th minimum: not a k-min
+      // value, drop it. Otherwise shift the tail right (discarding
+      // either a sentinel or the largest resident) and place h.
+      if (ins < k) {
+        System.arraycopy(b.hashes, ins, b.hashes, ins + 1, k - ins - 1)
+        b.hashes(ins) = h
+      }
+    }
+    b
+  }
+
+  override def merge(a: KMVBuf, b: KMVBuf): KMVBuf = {
+    // two-pointer sorted merge keeping the k smallest distinct values;
+    // once per partial pair, so the fresh buffer is fine
+    val out = zero
+    var ia = 0; var ib = 0; var io = 0
+    while (io < k && (ia < k || ib < k)) {
+      val ha = if (ia < k) a.hashes(ia) else Long.MaxValue
+      val hb = if (ib < k) b.hashes(ib) else Long.MaxValue
+      val h = math.min(ha, hb)
+      if (h == Long.MaxValue) return out
+      if (ha == h) ia += 1
+      if (hb == h) ib += 1
+      out.hashes(io) = h
+      io += 1
+    }
+    out
+  }
+
+  override def finish(s: KMVBuf): Long = {
+    val n = s.occupied
+    if (n < k) n.toLong // saw < k distinct hashes: the count IS n
+    else ((k - 1).toDouble * KMV.TwoPow60 / s.hashes(k - 1)).round
+  }
+
+  override def bufferEncoder: Encoder[KMVBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}
+
+object KMV {
+  /** `graft_hash60` is uniform on [0, 2^60): the estimator's hash-space
+    * normalization constant. */
+  val TwoPow60: Double = math.pow(2.0, 60)
+}
+
 object Sketches {
 
   /** Per-window heavy hitters: the [[MisraGries]] sketch registered
@@ -191,5 +281,58 @@ object Sketches {
       .select(col("term"), col("est").cast("long").as("est"))
       .orderBy(col("est").desc, col("term").asc)
       .limit(topN)
+  }
+
+  /** Per-source distinct-vocabulary report via [[KMV]]: how lexically
+    * diverse each corpus source is — the curation signal behind
+    * source-mix decisions ("is src7 a near-constant template?"). One
+    * explode + one bounded-state aggregation; the shuffle carries
+    * ≤ k longs per (source, partial) instead of the full per-source
+    * distinct term set, which is what makes COUNT(DISTINCT) affordable
+    * when sources have 10^8-term vocabularies. Capacity ≥ every
+    * per-source vocabulary ⇒ exact (the oracle regime, pinned by the
+    * capacity-precondition spec alongside the Misra–Gries guards). */
+  def sourceDistinctTerms(docs: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = udaf(new KMV(k), org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), TextOps.hash60(col("term"), "kv:").as("h"))
+      .groupBy("source")
+      .agg(kmv(col("h")).as("n_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-hour distinct event types via [[KMV]] — the windowed
+    * cardinality twin of [[windowHeavyHitters]], same udaf composition
+    * into a plain windowed groupBy. Per-window state is ≤ k longs
+    * regardless of type cardinality. */
+  def windowDistinct(events: DataFrame, k: Int = 16): DataFrame = {
+    val kmv = udaf(new KMV(k), org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .select(window(col("ts"), "1 hour").as("window"),
+        TextOps.hash60(col("event_type"), "kv:").as("h"))
+      .groupBy("window")
+      .agg(kmv(col("h")).as("n_types"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("n_types"))
+      .orderBy(col("wstart"))
+  }
+
+  /** Streaming twin of [[windowDistinct]] — the same [[KMV]] udaf
+    * inside a watermarked streaming window aggregation, so the state
+    * store carries one ≤ k-long KMVBuf per open window. Because the
+    * k-min set is order-independent, stream ≡ batch holds exactly in
+    * BOTH sketch regimes — stronger than the Misra–Gries twin, whose
+    * equivalence needs the no-eviction regime. */
+  def windowDistinctStream(events: DataFrame, k: Int = 16): DataFrame = {
+    val kmv = udaf(new KMV(k), org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), TextOps.hash60(col("event_type"), "kv:").as("h"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(kmv(col("h")).as("n_types"))
+      .select(col("window.start").as("wstart"), col("n_types"))
   }
 }

@@ -74,6 +74,26 @@ class CorpusSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("tfidfKeywords: characteristic terms rank above shared terms") {
+    val d = docs(
+      1L -> "apple apple banana",
+      2L -> "banana cherry",
+      3L -> "durian")
+    val rows = Corpus.tfidfKeywords(d, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    // doc 1: doc-unique "apple" (tf 2) beats corpus-wide "banana"
+    assert(byDoc(1L).sortBy(_._4).map(_._2).toSeq == Seq("apple", "banana"))
+    // hand math: (2/3)·ln(3/1) and (1/3)·ln(3/2), rounded 6 dp
+    val d1 = byDoc(1L).map(t => t._2 -> t._3).toMap
+    assert(d1("apple") == BigDecimal(2.0 / 3 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 3's only term is maximally characteristic: 1·ln(3)
+    assert(byDoc(3L).map(_._2).toSeq == Seq("durian"))
+    // every doc emits ≤ topN rows with rn dense from 1
+    assert(byDoc.values.forall(g => g.map(_._4).sorted.toSeq == (1L to g.length)))
+  }
+
   test("vocabTopK: frequency order with lexicographic tiebreak") {
     val d = docs(1L -> "b b a a c", 2L -> "b z")
     val top = Corpus.vocabTopK(d, 3).collect().map(r => (r.getString(0), r.getLong(1)))

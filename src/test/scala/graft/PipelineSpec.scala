@@ -397,6 +397,36 @@ class PipelineSpec extends SparkSpec {
     assert(est <= 500L && est >= 500L - (700L / 5L), s"hot estimate $est")
   }
 
+  test("kmv: exact under capacity; bounded, order-independent estimate past it") {
+    val implicits = spark.implicits
+    import implicits._
+    // exact regime, per-source: capacity above every source's vocabulary
+    val d = Seq(
+      (1L, "a a b c", "s1"), (2L, "c d", "s1"),
+      (3L, "x y", "s2")).toDF("doc_id", "text", "source")
+    val per = graft.pipeline.Sketches.sourceDistinctTerms(d, k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("s1" -> 4L, "s2" -> 2L))
+    // duplicates never inflate the count (k-min set is a SET)
+    val dup = Seq((1L, "a a a a a a", "s")).toDF("doc_id", "text", "source")
+    assert(graft.pipeline.Sketches.sourceDistinctTerms(dup, k = 4)
+      .head().getLong(1) == 1L)
+    // estimation regime: 5000 distinct values through k = 128 — the
+    // Bar-Yossef bound gives ~1/sqrt(126) ≈ 9% relative error; assert
+    // a 3-sigma-ish 25% envelope. hash60 is deterministic, so this is
+    // a fixed number, not a flaky statistical test.
+    val vals = (1 to 5000).map(i => s"v$i")
+    def estOf(input: org.apache.spark.sql.Dataset[String]): Long =
+      input.select(graft.pipeline.TextOps.hash60(col("value"), "kv:").as("h"))
+        .as[Long].select(new graft.pipeline.KMV(128).toColumn).head()
+    val e1 = estOf(vals.toDS())
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.25, s"estimate $e1")
+    // order-independence: shuffled partitioning and reversed input give
+    // the SAME estimate — the k-min set ignores arrival order entirely
+    val e2 = estOf(spark.sparkContext.parallelize(vals.reverse, 13).toDS())
+    assert(e2 == e1)
+  }
+
   test("sketch oracle precondition: testdata alphabets fit the capacities") {
     // q_heavy_hitters (k=64) and q_window_hh (k=16) compare against
     // EXACT DuckDB counts, which is only sound in the no-eviction
@@ -412,13 +442,23 @@ class PipelineSpec extends SparkSpec {
       val vocab = graft.pipeline.Corpus.terms(docs).distinct().count()
       assert(vocab <= 64L,
         s"$dir: corpus vocabulary $vocab exceeds q_heavy_hitters capacity 64")
+      // q_distinct_kmv (k=64) is exact only while every per-source
+      // vocabulary fits the KMV capacity
+      val maxPerSource = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source").agg(countDistinct("term").as("n"))
+        .agg(max("n")).head.getLong(0)
+      assert(maxPerSource <= 64L,
+        s"$dir: per-source vocabulary $maxPerSource exceeds q_distinct_kmv capacity 64")
       val events = graft.streaming.EventStreams.eventsTable(spark, dir)
       val maxTypes = events
         .groupBy(date_trunc("hour", col("ts")))
         .agg(countDistinct(col("event_type")).as("n"))
         .agg(max("n")).head.getLong(0)
       assert(maxTypes <= 16L,
-        s"$dir: per-hour event-type alphabet $maxTypes exceeds q_window_hh capacity 16")
+        s"$dir: per-hour event-type alphabet $maxTypes exceeds " +
+          "q_window_hh / q_window_distinct capacity 16")
     }
   }
 

@@ -100,6 +100,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-window KMV: distinct counts survive micro-batch boundaries") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.pipeline.Sketches.windowDistinctStream(
+        ms.toDF().toDF("ts", "event_type"), k = 16)
+      .writeStream.format("memory").queryName("wkmv").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // window A's distinct set is split across two micro-batches with a
+      // repeat ("a" arrives in both) — the second batch merges into the
+      // KMVBuf the state store deserialized from the first, and the
+      // repeat must not inflate the count
+      ms.addData((t("2020-01-01 10:05:00"), "a"), (t("2020-01-01 10:10:00"), "b"),
+        (t("2020-01-01 11:05:00"), "c"))
+      q.processAllAvailable()
+      ms.addData((t("2020-01-01 10:20:00"), "a"), (t("2020-01-01 10:25:00"), "c"),
+        (t("2020-01-01 11:30:00"), "c"))
+      q.processAllAvailable()
+      val got = spark.table("wkmv").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(got == Map(
+        "2020-01-01 10:00:00.0" -> 3L, // a, b, c
+        "2020-01-01 11:00:00.0" -> 1L)) // c
+      // batch twin over the same rows agrees (stream ≡ batch)
+      val batch = graft.pipeline.Sketches.windowDistinct(
+        Seq((t("2020-01-01 10:05:00"), "a"), (t("2020-01-01 10:10:00"), "b"),
+          (t("2020-01-01 11:05:00"), "c"), (t("2020-01-01 10:20:00"), "a"),
+          (t("2020-01-01 10:25:00"), "c"), (t("2020-01-01 11:30:00"), "c"))
+          .toDF("ts", "event_type"), k = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(batch == Map("2020-01-01 10:00:00" -> 3L, "2020-01-01 11:00:00" -> 1L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
