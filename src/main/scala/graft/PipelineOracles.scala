@@ -380,6 +380,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf, rn FROM (
               ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rn
   FROM sc) t WHERE rn <= $topN"""
 
+  /** PMI mirror — document-level presence, a<b pair orientation, the
+    * same ln(cab·D/(ca·cb)) operator order, 6-dp round. No vocab prune:
+    * exact ⟺ vocabulary ≤ the Spark side's vocabK (precondition spec),
+    * where the top-vocabK prune is a no-op. */
+  def termPmiSql(minPairDocs: Long, k: Int): String =
+    s"""WITH tk AS (SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+ d AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS d FROM tk),
+ ca AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY 1),
+ pr AS (SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS pair_docs
+        FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2 HAVING COUNT(*) >= $minPairDocs)
+SELECT term_a, term_b, CAST(pair_docs AS BIGINT) AS pair_docs,
+       ROUND(ln((CAST(pair_docs AS DOUBLE) * d.d) /
+                (CAST(c1.c AS DOUBLE) * c2.c)), 6) AS pmi
+FROM pr CROSS JOIN d
+JOIN ca c1 ON pr.term_a = c1.term
+JOIN ca c2 ON pr.term_b = c2.term
+ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT $k"""
+
   def vocabTopKSql(k: Int): String =
     s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

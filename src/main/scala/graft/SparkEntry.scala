@@ -463,6 +463,9 @@ object SparkEntry {
         Seq("spark", "query", "join", "vector"))),
     "q_tfidf" -> ((s, d) =>
       Corpus.tfidfKeywords(GraphBuilder.table(s, d, "documents"))),
+    // vocabK 64 ≥ the corpus vocabulary → the prune is a no-op (exact)
+    "q_term_pmi" -> ((s, d) =>
+      Corpus.termPmi(GraphBuilder.table(s, d, "documents"))),
     "q_lm_score" -> ((s, d) =>
       Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
     "q_pii_scan" -> ((s, d) =>
@@ -659,6 +662,7 @@ WHERE term <> '' GROUP BY source ORDER BY source""",
     "q_bm25" -> PipelineOracles.bm25Sql(
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 20),
     "q_tfidf" -> PipelineOracles.tfidfSql(3),
+    "q_term_pmi" -> PipelineOracles.termPmiSql(2, 50),
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),

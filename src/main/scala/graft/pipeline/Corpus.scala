@@ -173,6 +173,56 @@ object Corpus {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Pointwise-mutual-information collocations: the top `k` term pairs
+    * whose document co-occurrence exceeds what their independent
+    * frequencies predict — PMI = ln(P(a,b)/(P(a)·P(b))) over
+    * document-level presence. The standard collocation-mining signal
+    * behind phrase detection and template discovery in corpus audits.
+    *
+    * Scale: the pair space is the square of the vocabulary, so the
+    * pair generator prunes to the top-`vocabK` terms first (broadcast
+    * semi-join) — per-doc fan-out is then ≤ min(|doc terms|, vocabK)²
+    * and the pair aggregate carries at most vocabK² keys, never the
+    * raw vocabulary squared. Pairs come from a per-doc sorted
+    * distinct-term array pair-exploded in place (the same
+    * groupBy+explode shape as the part co-occurrence graph — no
+    * presence-table self-join, which would re-probe the full (doc,
+    * term) table). `minPairDocs` drops singleton-noise pairs before
+    * the scoring join; term frequencies and the 1-row doc count
+    * broadcast. With vocabulary ≤ vocabK the prune is a no-op and the
+    * result is exact — the oracle regime, pinned by the same
+    * capacity-precondition spec as the sketches. */
+  def termPmi(docs: DataFrame, vocabK: Int = 64, minPairDocs: Long = 2,
+              k: Int = 50): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val ca = dt.groupBy("term").agg(count(lit(1)).as("c_t"))
+    val vocab = ca.orderBy(col("c_t").desc, col("term").asc).limit(vocabK)
+    val d = dt.select(countDistinct("doc_id").cast("double").as("d"))
+    val pairs = dt.join(broadcast(vocab.select("term")), Seq("term"))
+      .groupBy("doc_id").agg(sort_array(collect_set("term")).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, size(ts) - i - 1), y ->
+          |    struct(x AS ta, y AS tb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ta").as("term_a"), col("p.tb").as("term_b"))
+      .agg(count(lit(1)).as("pair_docs"))
+      .filter(col("pair_docs") >= minPairDocs)
+    pairs
+      .join(broadcast(ca.select(col("term").as("term_a"), col("c_t").as("c_a"))),
+        Seq("term_a"))
+      .join(broadcast(ca.select(col("term").as("term_b"), col("c_t").as("c_b"))),
+        Seq("term_b"))
+      .crossJoin(broadcast(d))
+      // ln(cab·D / (ca·cb)) — operator order mirrored in the oracle
+      .select(col("term_a"), col("term_b"), col("pair_docs"),
+        round(log((col("pair_docs").cast("double") * col("d")) /
+          (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc)
+      .limit(k)
+  }
+
   /** Per-label embedding centroids in long format: (label, pos, c) with
     * c = mean of component `pos` over the label's vectors, rounded to
     * 6 dp. posexplode keeps the shuffle narrow ((label, pos) keyed,

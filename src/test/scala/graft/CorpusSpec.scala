@@ -94,6 +94,24 @@ class CorpusSpec extends SparkSpec {
     assert(byDoc.values.forall(g => g.map(_._4).sorted.toSeq == (1L to g.length)))
   }
 
+  test("termPmi: doc-level presence, min-support filter, hand math") {
+    val d = docs(
+      1L -> "a b",
+      2L -> "a a b", // duplicate "a" must not inflate presence counts
+      3L -> "a c",
+      4L -> "c d")
+    val rows = Corpus.termPmi(d, minPairDocs = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // only (a,b) co-occurs in >= 2 docs; (a,c)/(c,d) are singletons
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq(("a", "b")))
+    assert(rows.head._3 == 2L)
+    // PMI = ln(cab·D/(ca·cb)) = ln(2·4/(3·2))
+    assert(rows.head._4 == BigDecimal(math.log(2.0 * 4 / (3 * 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // vocab prune: with vocabK = 1 only the top term survives, no pairs
+    assert(Corpus.termPmi(d, vocabK = 1, minPairDocs = 1).count() == 0L)
+  }
+
   test("vocabTopK: frequency order with lexicographic tiebreak") {
     val d = docs(1L -> "b b a a c", 2L -> "b z")
     val top = Corpus.vocabTopK(d, 3).collect().map(r => (r.getString(0), r.getLong(1)))

@@ -441,7 +441,8 @@ class PipelineSpec extends SparkSpec {
       val docs = graft.graph.GraphBuilder.table(spark, dir, "documents")
       val vocab = graft.pipeline.Corpus.terms(docs).distinct().count()
       assert(vocab <= 64L,
-        s"$dir: corpus vocabulary $vocab exceeds q_heavy_hitters capacity 64")
+        s"$dir: corpus vocabulary $vocab exceeds the q_heavy_hitters " +
+          "capacity / q_term_pmi vocab prune (both 64)")
       // q_distinct_kmv (k=64) is exact only while every per-source
       // vocabulary fits the KMV capacity
       val maxPerSource = docs
