@@ -412,6 +412,9 @@ object SparkEntry {
     // capacity 64 ≥ every per-source vocabulary → exact KMV regime
     "q_distinct_kmv" -> ((s, d) =>
       pipeline.Sketches.sourceDistinctTerms(GraphBuilder.table(s, d, "documents"))),
+    // capacity 512 ≥ every per-source distinct-length alphabet → exact
+    "q_len_quantiles" -> ((s, d) =>
+      pipeline.Sketches.sourceLengthQuantiles(GraphBuilder.table(s, d, "documents"))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_len_histogram" -> ((s, d) =>
@@ -494,6 +497,8 @@ object SparkEntry {
       pipeline.Sketches.windowHeavyHitters(EventStreams.eventsTable(s, d))),
     "q_window_distinct" -> ((s, d) =>
       pipeline.Sketches.windowDistinct(EventStreams.eventsTable(s, d))),
+    "q_window_quantiles" -> ((s, d) =>
+      pipeline.Sketches.windowQuantiles(EventStreams.eventsTable(s, d))),
     "q_events_sessions" -> ((s, d) =>
       EventStreams.sessionsBatch(EventStreams.eventsTable(s, d))),
     "q_events_props" -> ((s, d) =>
@@ -645,6 +650,12 @@ WHERE term <> '' GROUP BY term ORDER BY est DESC, term ASC LIMIT 20""",
       """SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct
 FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
 WHERE term <> '' GROUP BY source ORDER BY source""",
+    // exact StreamHist regime (capacity ≥ per-source distinct lengths):
+    // sketch quantiles equal DuckDB's quantile_disc
+    "q_len_quantiles" ->
+      """SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+FROM documents GROUP BY source ORDER BY source""",
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),
@@ -687,6 +698,11 @@ FROM events GROUP BY 1, 2""",
     "q_window_distinct" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY 1 ORDER BY 1""",
+    "q_window_quantiles" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       ROUND(quantile_disc(value, 0.5), 6) AS p50,
+       ROUND(quantile_disc(value, 0.95), 6) AS p95
 FROM events GROUP BY 1 ORDER BY 1""",
     // sliding 1h/30min: every event expands into exactly 2 epoch-aligned
     // window starts (k=0,1), mirroring Spark's window(ts, 1h, 30m)

@@ -220,6 +220,140 @@ object KMV {
   val TwoPow60: Double = math.pow(2.0, 60)
 }
 
+/** Streaming-histogram partial state: ≤ k (value, count) centroids,
+  * sorted by value in fixed-capacity arrays padded with
+  * `Double.MaxValue` / 0 sentinels (real inputs are finite doubles).
+  * Same fixed-array in-place discipline as [[MGBuf]]/[[KMVBuf]]. */
+final case class SHBuf(vals: Array[Double], cnts: Array[Long]) {
+  def occupied: Int = {
+    var n = 0
+    while (n < cnts.length && cnts(n) > 0L) n += 1
+    n
+  }
+
+  /** Merge the closest adjacent centroid pair (weighted mean, summed
+    * count), freeing one slot. Ben-Haim & Yom-Tov's update step. */
+  def mergeClosest(): Unit = {
+    val n = occupied
+    var best = 0; var bestGap = Double.MaxValue
+    var i = 0
+    while (i < n - 1) {
+      val gap = vals(i + 1) - vals(i)
+      if (gap < bestGap) { bestGap = gap; best = i }
+      i += 1
+    }
+    val c = cnts(best) + cnts(best + 1)
+    vals(best) = (vals(best) * cnts(best) + vals(best + 1) * cnts(best + 1)) / c
+    cnts(best) = c
+    System.arraycopy(vals, best + 2, vals, best + 1, vals.length - best - 2)
+    System.arraycopy(cnts, best + 2, cnts, best + 1, cnts.length - best - 2)
+    vals(vals.length - 1) = Double.MaxValue
+    cnts(cnts.length - 1) = 0L
+  }
+}
+
+/** Quantile sketch as a typed Catalyst [[Aggregator]] — the streaming
+  * histogram of Ben-Haim & Yom-Tov (JMLR 2010, the SPDT histogram),
+  * completing the bounded-state sketch family: frequencies
+  * ([[MisraGries]]), cardinality ([[KMV]]), and now quantiles. State
+  * is ≤ k (value, count) centroids; an arriving value either
+  * increments its existing centroid (one binary search, zero
+  * allocation) or inserts in place, merging the closest adjacent pair
+  * only when a NEW distinct value overflows capacity — so a 100 TB
+  * column shuffles k centroids per partial instead of the full value
+  * multiset.
+  *
+  * With ≤ k distinct inputs per group no merge ever fires, every
+  * centroid is an exact (value, count), and `finish` computes EXACT
+  * discrete quantiles — the oracle regime, mirroring DuckDB's
+  * `quantile_disc` convention (smallest value whose cumulative count
+  * reaches max(1, ceil(q·N))). Past capacity the weighted-mean
+  * centroids give the SPDT approximation; like Misra–Gries eviction
+  * it is order-dependent, so the error envelope is pinned by spec
+  * rather than oracle. */
+class StreamHist(k: Int, qs: Seq[Double])
+    extends Aggregator[Double, SHBuf, Seq[Double]] {
+  require(k >= 2 && qs.nonEmpty, "StreamHist needs k >= 2 and >= 1 quantile")
+  require(qs.forall(q => q >= 0.0 && q <= 1.0), "quantiles must be in [0,1]")
+
+  override def zero: SHBuf =
+    SHBuf(Array.fill(k)(Double.MaxValue), new Array[Long](k))
+
+  override def reduce(b: SHBuf, v: Double): SHBuf = {
+    val i = java.util.Arrays.binarySearch(b.vals, v)
+    if (i >= 0) b.cnts(i) += 1L // existing centroid: zero allocation
+    else {
+      var ins = -i - 1
+      if (ins >= k || b.cnts(k - 1) > 0L) {
+        // full of real centroids: free a slot first, then re-locate
+        b.mergeClosest()
+        val j = java.util.Arrays.binarySearch(b.vals, v)
+        if (j >= 0) { b.cnts(j) += 1L; return b }
+        ins = -j - 1
+      }
+      System.arraycopy(b.vals, ins, b.vals, ins + 1, k - ins - 1)
+      System.arraycopy(b.cnts, ins, b.cnts, ins + 1, k - ins - 1)
+      b.vals(ins) = v
+      b.cnts(ins) = 1L
+    }
+    b
+  }
+
+  override def merge(a: SHBuf, b: SHBuf): SHBuf = {
+    // two-pointer sorted merge (summing equal values), then shrink by
+    // closest-pair merging back to capacity — once per partial pair
+    val na = a.occupied; val nb = b.occupied
+    val vs = new Array[Double](na + nb)
+    val cs = new Array[Long](na + nb)
+    var ia = 0; var ib = 0; var io = 0
+    while (ia < na || ib < nb) {
+      val va = if (ia < na) a.vals(ia) else Double.MaxValue
+      val vb = if (ib < nb) b.vals(ib) else Double.MaxValue
+      if (va == vb) {
+        vs(io) = va; cs(io) = a.cnts(ia) + b.cnts(ib); ia += 1; ib += 1
+      } else if (va < vb) {
+        vs(io) = va; cs(io) = a.cnts(ia); ia += 1
+      } else {
+        vs(io) = vb; cs(io) = b.cnts(ib); ib += 1
+      }
+      io += 1
+    }
+    val out = zero
+    System.arraycopy(vs, 0, out.vals, 0, math.min(io, k))
+    System.arraycopy(cs, 0, out.cnts, 0, math.min(io, k))
+    if (io > k) {
+      // rebuild oversized then shrink: use a temporary wide buffer
+      val wide = SHBuf(
+        java.util.Arrays.copyOf(vs, io + 1), java.util.Arrays.copyOf(cs, io + 1))
+      wide.vals(io) = Double.MaxValue
+      var n = io
+      while (n > k) { wide.mergeClosest(); n -= 1 }
+      java.util.Arrays.fill(out.vals, Double.MaxValue)
+      java.util.Arrays.fill(out.cnts, 0L)
+      System.arraycopy(wide.vals, 0, out.vals, 0, k)
+      System.arraycopy(wide.cnts, 0, out.cnts, 0, k)
+    }
+    out
+  }
+
+  override def finish(s: SHBuf): Seq[Double] = {
+    val n = s.occupied
+    var total = 0L
+    var i = 0
+    while (i < n) { total += s.cnts(i); i += 1 }
+    if (total == 0L) return qs.map(_ => Double.NaN)
+    qs.map { q =>
+      val target = math.max(1L, math.ceil(q * total).toLong)
+      var cum = 0L; var j = 0
+      while (j < n && cum + s.cnts(j) < target) { cum += s.cnts(j); j += 1 }
+      s.vals(math.min(j, n - 1))
+    }
+  }
+
+  override def bufferEncoder: Encoder[SHBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}
+
 object Sketches {
 
   /** Per-window heavy hitters: the [[MisraGries]] sketch registered
@@ -334,5 +468,52 @@ object Sketches {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(kmv(col("h")).as("n_types"))
       .select(col("window.start").as("wstart"), col("n_types"))
+  }
+
+  /** Per-source document-length quantiles via [[StreamHist]]: the
+    * length-distribution fingerprint of each source (a skewed p90/p50
+    * ratio marks template-heavy or truncated sources). Capacity ≥
+    * every source's distinct-length alphabet ⇒ exact quantile_disc
+    * (the oracle regime, capacity-precondition-pinned); at true scale
+    * the same plan shuffles ≤ k centroids per (source, partial). */
+  def sourceLengthQuantiles(docs: DataFrame, k: Int = 512): DataFrame = {
+    val sh = udaf(new StreamHist(k, Seq(0.5, 0.9)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    docs.groupBy("source")
+      .agg(sh(col("n_chars").cast("double")).as("qv"))
+      .select(col("source"),
+        element_at(col("qv"), 1).cast("long").as("p50"),
+        element_at(col("qv"), 2).cast("long").as("p90"))
+      .orderBy("source")
+  }
+
+  /** Per-hour value quantiles via [[StreamHist]] — the windowed
+    * quantile twin of [[windowDistinct]]/[[windowHeavyHitters]]. */
+  def windowQuantiles(events: DataFrame, k: Int = 512): DataFrame = {
+    val sh = udaf(new StreamHist(k, Seq(0.5, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sh(col("value")).as("qv"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        round(element_at(col("qv"), 1), 6).as("p50"),
+        round(element_at(col("qv"), 2), 6).as("p95"))
+      .orderBy("wstart")
+  }
+
+  /** Streaming twin of [[windowQuantiles]] — [[StreamHist]] under a
+    * watermarked streaming window agg; the state-store row per open
+    * window is the ≤ k-centroid SHBuf (two encoded arrays). */
+  def windowQuantilesStream(events: DataFrame, k: Int = 512): DataFrame = {
+    val sh = udaf(new StreamHist(k, Seq(0.5, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sh(col("value")).as("qv"))
+      .select(col("window.start").as("wstart"),
+        round(element_at(col("qv"), 1), 6).as("p50"),
+        round(element_at(col("qv"), 2), 6).as("p95"))
   }
 }

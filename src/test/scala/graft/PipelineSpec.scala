@@ -427,6 +427,29 @@ class PipelineSpec extends SparkSpec {
     assert(e2 == e1)
   }
 
+  test("streamhist: exact quantile_disc under capacity, SPDT estimate past it") {
+    val implicits = spark.implicits
+    import implicits._
+    // exact regime: distinct values fit capacity, duplicates weighted.
+    // quantile_disc convention: smallest value with cum >= max(1, ceil(q*N))
+    val vs = Seq(1.0, 1.0, 1.0, 2.0, 3.0, 4.0) // N=6
+    val got = vs.toDS().select(
+      new graft.pipeline.StreamHist(8, Seq(0.0, 0.3, 0.5, 0.9, 1.0)).toColumn)
+      .head()
+    // targets: max(1,ceil(0))=1→1; ceil(1.8)=2→1; ceil(3)=3→1; ceil(5.4)=6→4; 6→4
+    assert(got == Seq(1.0, 1.0, 1.0, 4.0, 4.0))
+    // cross-check against DuckDB's convention probed on [1,2,3,4]
+    val g2 = Seq(1.0, 2.0, 3.0, 4.0).toDS().select(
+      new graft.pipeline.StreamHist(8, Seq(0.25, 0.5, 0.9)).toColumn).head()
+    assert(g2 == Seq(1.0, 2.0, 4.0))
+    // estimation regime: 10k uniform distinct values through k=128 —
+    // SPDT centroids put the median well within a few percent
+    val big = (1 to 10000).map(_.toDouble)
+    val est = spark.sparkContext.parallelize(big, 16).toDS().select(
+      new graft.pipeline.StreamHist(128, Seq(0.5)).toColumn).head().head
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"p50 estimate $est")
+  }
+
   test("sketch oracle precondition: testdata alphabets fit the capacities") {
     // q_heavy_hitters (k=64) and q_window_hh (k=16) compare against
     // EXACT DuckDB counts, which is only sound in the no-eviction
@@ -452,6 +475,12 @@ class PipelineSpec extends SparkSpec {
         .agg(max("n")).head.getLong(0)
       assert(maxPerSource <= 64L,
         s"$dir: per-source vocabulary $maxPerSource exceeds q_distinct_kmv capacity 64")
+      // q_len_quantiles (k=512) is exact only while every source's
+      // distinct-length alphabet fits the StreamHist capacity
+      val maxLenAlpha = docs.groupBy("source")
+        .agg(countDistinct("n_chars").as("n")).agg(max("n")).head.getLong(0)
+      assert(maxLenAlpha <= 512L,
+        s"$dir: per-source distinct lengths $maxLenAlpha exceed q_len_quantiles capacity 512")
       val events = graft.streaming.EventStreams.eventsTable(spark, dir)
       val maxTypes = events
         .groupBy(date_trunc("hour", col("ts")))
@@ -460,6 +489,13 @@ class PipelineSpec extends SparkSpec {
       assert(maxTypes <= 16L,
         s"$dir: per-hour event-type alphabet $maxTypes exceeds " +
           "q_window_hh / q_window_distinct capacity 16")
+      // q_window_quantiles (k=512): distinct values per window are
+      // bounded by the per-window row count
+      val maxPerHour = events
+        .groupBy(date_trunc("hour", col("ts")))
+        .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+      assert(maxPerHour <= 512L,
+        s"$dir: per-hour event count $maxPerHour exceeds q_window_quantiles capacity 512")
     }
   }
 

@@ -137,6 +137,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-window quantiles: SHBuf state survives micro-batch boundaries") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double)]
+    val q = graft.pipeline.Sketches.windowQuantilesStream(
+        ms.toDF().toDF("ts", "value"), k = 16)
+      .writeStream.format("memory").queryName("wsh").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // one window's values split across two micro-batches; the second
+      // merges into the SHBuf the state store round-tripped
+      ms.addData((t("2020-01-01 10:05:00"), 10.0), (t("2020-01-01 10:10:00"), 30.0))
+      q.processAllAvailable()
+      ms.addData((t("2020-01-01 10:20:00"), 20.0), (t("2020-01-01 10:25:00"), 40.0),
+        (t("2020-01-01 10:40:00"), 50.0))
+      q.processAllAvailable()
+      val got = spark.table("wsh").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getDouble(2))).toList
+      // N=5: p50 target ceil(2.5)=3 → 30; p95 target ceil(4.75)=5 → 50
+      assert(got == List(("2020-01-01 10:00:00.0", 30.0, 50.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
