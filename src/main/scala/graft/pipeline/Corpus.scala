@@ -194,14 +194,24 @@ object Corpus {
     * capacity-precondition spec as the sketches. */
   def termPmi(docs: DataFrame, vocabK: Int = 64, minPairDocs: Long = 2,
               k: Int = 50): DataFrame = {
-    val dt = docs.select(col("doc_id"),
+    // ONE shuffle of the raw token stream (map-side partial collect_set
+    // dedups before the exchange); presence counts, the doc count and
+    // the pair generator all derive from the per-doc sorted set — the
+    // earlier distinct()-based formulation paid a second full-token
+    // exchange for the same information
+    val docSets = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "").distinct()
-    val ca = dt.groupBy("term").agg(count(lit(1)).as("c_t"))
-    val vocab = ca.orderBy(col("c_t").desc, col("term").asc).limit(vocabK)
-    val d = dt.select(countDistinct("doc_id").cast("double").as("d"))
-    val pairs = dt.join(broadcast(vocab.select("term")), Seq("term"))
+      .filter(col("term") =!= "")
       .groupBy("doc_id").agg(sort_array(collect_set("term")).as("ts"))
+    val presence = docSets.select(col("doc_id"), explode(col("ts")).as("term"))
+    val ca = presence.groupBy("term").agg(count(lit(1)).as("c_t"))
+    val vocab = ca.orderBy(col("c_t").desc, col("term").asc).limit(vocabK)
+    val d = docSets.select(count(lit(1)).cast("double").as("d"))
+    val pairs = docSets
+      // top-vocabK prune as a 1-row broadcast + sorted-order-preserving
+      // array_intersect — no re-shuffle of the pruned presence
+      .crossJoin(broadcast(vocab.agg(collect_list("term").as("vocab"))))
+      .select(col("doc_id"), array_intersect(col("ts"), col("vocab")).as("ts"))
       .select(explode(expr(
         """flatten(transform(ts, (x, i) ->
           |  transform(slice(ts, i + 2, size(ts) - i - 1), y ->
