@@ -499,6 +499,40 @@ object SparkEntry {
       pipeline.Sketches.windowDistinct(EventStreams.eventsTable(s, d))),
     "q_window_quantiles" -> ((s, d) =>
       pipeline.Sketches.windowQuantiles(EventStreams.eventsTable(s, d))),
+    // range join: clicks within one hour of the same user's signup —
+    // bucketized equi-join, never a nested-loop
+    "q_range_join" -> ((s, d) => {
+      val ev = EventStreams.eventsTable(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sstart"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("send"),
+          col("event_id").as("signup_id"))
+      ops.RangeJoin.pointInInterval(clicks, signups, Seq("user_id"),
+          "ts", "sstart", "send")
+        .select(col("click_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("signup_id"))
+        .orderBy("click_id", "signup_id")
+    }),
+    // as-of join: every purchase picks up the user's most recent prior
+    // (inclusive) view value; union-window plan, one shuffle
+    "q_asof_join" -> ((s, d) => {
+      val ev = EventStreams.eventsTable(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("value").as("view_value"))
+      ops.AsofJoin.asof(purchases, views, Seq("user_id"), "ts", "vts",
+          Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          round(col("value"), 6).as("purchase_value"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy("event_id")
+    }),
     "q_events_sessions" -> ((s, d) =>
       EventStreams.sessionsBatch(EventStreams.eventsTable(s, d))),
     "q_events_props" -> ((s, d) =>
@@ -704,6 +738,23 @@ FROM events GROUP BY 1 ORDER BY 1""",
        ROUND(quantile_disc(value, 0.5), 6) AS p50,
        ROUND(quantile_disc(value, 0.95), 6) AS p95
 FROM events GROUP BY 1 ORDER BY 1""",
+    "q_range_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts, s.event_id AS signup_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 HOUR
+ORDER BY click_id, signup_id""",
+    // independent oracle: DuckDB's NATIVE ASOF JOIN, not a window
+    // re-formulation of the Spark plan
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       ROUND(l.value, 6) AS purchase_value, ROUND(r.value, 6) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id""",
     // sliding 1h/30min: every event expands into exactly 2 epoch-aligned
     // window starts (k=0,1), mirroring Spark's window(ts, 1h, 30m)
     "q_events_sliding" ->
