@@ -220,6 +220,25 @@ SELECT doc_id, chars, words,
       + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality
 FROM q"""
 
+  /** Top-k by the shared quality formula per source: ranks the same
+    * 6-dp-rounded quality the Spark side ranks, doc_id tiebreak. */
+  def topDocsSql(k: Int): String =
+    s"""WITH q AS (SELECT doc_id, source,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|is)\\b')) AS BIGINT) AS stop
+  FROM documents),
+ s AS (SELECT doc_id, source,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality
+  FROM q)
+SELECT source, rn, CAST(doc_id AS BIGINT) AS doc_id, quality FROM (
+  SELECT source, doc_id, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM s) t WHERE rn <= $k ORDER BY source, rn"""
+
   val tokenCountSql: String =
     """SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ws_tokens,

@@ -415,6 +415,8 @@ object SparkEntry {
     // capacity 512 ≥ every per-source distinct-length alphabet → exact
     "q_len_quantiles" -> ((s, d) =>
       pipeline.Sketches.sourceLengthQuantiles(GraphBuilder.table(s, d, "documents"))),
+    "q_top_docs" -> ((s, d) =>
+      pipeline.Sketches.topDocsBySource(GraphBuilder.table(s, d, "documents"))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_len_histogram" -> ((s, d) =>
@@ -690,6 +692,7 @@ WHERE term <> '' GROUP BY source ORDER BY source""",
       """SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
 FROM documents GROUP BY source ORDER BY source""",
+    "q_top_docs" -> PipelineOracles.topDocsSql(3),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),

@@ -354,6 +354,70 @@ class StreamHist(k: Int, qs: Seq[Double])
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
 }
 
+/** Bounded top-k partial state: ≤ k (score, id) pairs kept sorted by
+  * (score desc, id asc) in fixed-capacity arrays; free slots are
+  * (−∞, Long.MaxValue) sentinels, which sort after every real entry.
+  * Same fixed-array in-place discipline as the sketch buffers. */
+final case class TopKBuf(scores: Array[Double], ids: Array[Long]) {
+  /** True ordering: score desc, id asc; returns <0 if (s,i) ranks
+    * before slot j. */
+  def beats(j: Int, s: Double, i: Long): Boolean =
+    s > scores(j) || (s == scores(j) && i < ids(j))
+}
+
+/** Exact grouped top-k as a typed Catalyst [[Aggregator]] — the
+  * bounded-state alternative to `row_number().over(partitionBy …) ≤ k`:
+  * the window plan shuffles and sorts EVERY row of every group, while
+  * this aggregate carries at most k (score, id) pairs per partial and
+  * merges map-side like any built-in — on a 100 TB corpus the
+  * exchange drops from |rows| to k·|groups|. Unlike the sketches this
+  * is EXACT in every regime (top-k is an associative, commutative,
+  * order-insensitive reduction), so the oracle holds at any scale.
+  * Ties break by smallest id, mirroring (score DESC, id ASC). */
+class TopK(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+  require(k >= 1, "top-k needs k >= 1")
+
+  override def zero: TopKBuf =
+    TopKBuf(Array.fill(k)(Double.NegativeInfinity), Array.fill(k)(Long.MaxValue))
+
+  override def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf = {
+    val (s, id) = in
+    if (b.beats(k - 1, s, id)) {
+      // find insertion point (first slot this entry beats), shift, place
+      var ins = k - 1
+      while (ins > 0 && b.beats(ins - 1, s, id)) ins -= 1
+      System.arraycopy(b.scores, ins, b.scores, ins + 1, k - ins - 1)
+      System.arraycopy(b.ids, ins, b.ids, ins + 1, k - ins - 1)
+      b.scores(ins) = s
+      b.ids(ins) = id
+    }
+    b
+  }
+
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    val out = zero
+    var ia = 0; var ib = 0; var io = 0
+    while (io < k) {
+      // take a's head when it ranks before b's head (beats = candidate
+      // ranks before slot); sentinel heads lose to everything real
+      val takeA = ia < k &&
+        (ib >= k || b.beats(ib, a.scores(ia), a.ids(ia)))
+      if (takeA) { out.scores(io) = a.scores(ia); out.ids(io) = a.ids(ia); ia += 1 }
+      else if (ib < k) { out.scores(io) = b.scores(ib); out.ids(io) = b.ids(ib); ib += 1 }
+      io += 1
+    }
+    out
+  }
+
+  override def finish(s: TopKBuf): Seq[(Double, Long)] =
+    (0 until k).collect {
+      case i if s.ids(i) != Long.MaxValue => (s.scores(i), s.ids(i))
+    }
+
+  override def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}
+
 object Sketches {
 
   /** Per-window heavy hitters: the [[MisraGries]] sketch registered
@@ -468,6 +532,27 @@ object Sketches {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(kmv(col("h")).as("n_types"))
       .select(col("window.start").as("wstart"), col("n_types"))
+  }
+
+  /** Per-source top-k documents by quality via [[TopK]] — exact in
+    * every regime (top-k is an order-insensitive reduction). The
+    * window-function formulation (`row_number over (partition by
+    * source order by quality desc)`) shuffles and sorts EVERY doc;
+    * this aggregate exchanges ≤ k (score, id) pairs per (source,
+    * partial). Quality is the shared 6-dp [[TextOps.withQuality]]
+    * formula, so ranking compares the same rounded value in both
+    * engines; ties break by smallest doc_id. */
+  def topDocsBySource(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tk = udaf(new TopK(k), org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+    TextOps.withQuality(docs)
+      .groupBy("source")
+      .agg(tk(col("quality"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+        col("e._2").as("doc_id"), col("e._1").as("quality"))
+      .orderBy("source", "rn")
   }
 
   /** Per-source document-length quantiles via [[StreamHist]]: the

@@ -450,6 +450,34 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"p50 estimate $est")
   }
 
+  test("topk aggregator: equals the window formulation on shuffled input") {
+    val implicits = spark.implicits
+    import implicits._
+    // 500 rows over 7 groups across 16 partitions, scores with
+    // deliberate ties — the aggregator must match row_number exactly
+    val rows = (1 to 500).map(i => (s"g${i % 7}", (i * 37 % 50).toDouble, i.toLong))
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("g", "score", "id")
+    val tk = udaf(new graft.pipeline.TopK(3), org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+    val got = df.groupBy("g").agg(tk(col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), col("pos"), col("e._1").as("score"), col("e._2").as("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rn") - 1,
+        r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(got == want)
+    // groups smaller than k emit all their rows
+    val tiny = Seq(("g", 1.0, 1L)).toDF("g", "score", "id")
+    assert(tiny.groupBy("g").agg(tk(col("score"), col("id")).as("t"))
+      .select(size(col("t"))).head().getInt(0) == 1)
+  }
+
   test("sketch oracle precondition: testdata alphabets fit the capacities") {
     // q_heavy_hitters (k=64) and q_window_hh (k=16) compare against
     // EXACT DuckDB counts, which is only sound in the no-eviction
