@@ -239,6 +239,19 @@ SELECT source, rn, CAST(doc_id AS BIGINT) AS doc_id, quality FROM (
               ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rn
   FROM s) t WHERE rn <= $k ORDER BY source, rn"""
 
+  /** Quota-sample mirror: rank by the DOUBLE-cast hash (matching the
+    * Spark side's double score exactly, rounding included), doc_id
+    * tiebreak. */
+  def quotaSampleSql(n: Int): String =
+    s"""WITH h AS (SELECT source, doc_id,
+  CAST(${h60("'qs:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) AS hd
+  FROM documents)
+SELECT source, rn, CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY hd ASC, doc_id ASC) AS BIGINT) AS rn
+  FROM h) t WHERE rn <= $n ORDER BY source, rn"""
+
   val tokenCountSql: String =
     """SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ws_tokens,

@@ -417,6 +417,8 @@ object SparkEntry {
       pipeline.Sketches.sourceLengthQuantiles(GraphBuilder.table(s, d, "documents"))),
     "q_top_docs" -> ((s, d) =>
       pipeline.Sketches.topDocsBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_quota_sample" -> ((s, d) =>
+      pipeline.Sketches.quotaSample(GraphBuilder.table(s, d, "documents"))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_len_histogram" -> ((s, d) =>
@@ -693,6 +695,7 @@ WHERE term <> '' GROUP BY source ORDER BY source""",
        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
 FROM documents GROUP BY source ORDER BY source""",
     "q_top_docs" -> PipelineOracles.topDocsSql(3),
+    "q_quota_sample" -> PipelineOracles.quotaSampleSql(5),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),

@@ -555,6 +555,30 @@ object Sketches {
       .orderBy("source", "rn")
   }
 
+  /** Deterministic per-source quota sample: exactly min(n, |source|)
+    * documents per source, chosen by smallest `hash60(doc_id)` — a
+    * reproducible stratified sample whose membership is a pure
+    * function of the data, like [[Corpus.hashSample]]'s percentage
+    * gate but with an exact per-stratum COUNT. Reuses the [[TopK]]
+    * aggregator on the negated hash, so the plan exchanges ≤ n
+    * (hash, id) pairs per (source, partial) — the window-rank
+    * formulation would shuffle every row to rank all of them. */
+  def quotaSample(docs: DataFrame, n: Int = 5): DataFrame = {
+    val tk = udaf(new TopK(n), org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+    docs
+      .select(col("source"), col("doc_id"),
+        (-TextOps.hash60(col("doc_id").cast("string"), "qs:").cast("double"))
+          .as("nh"))
+      .groupBy("source")
+      .agg(tk(col("nh"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+        col("e._2").as("doc_id"))
+      .orderBy("source", "rn")
+  }
+
   /** Per-source document-length quantiles via [[StreamHist]]: the
     * length-distribution fingerprint of each source (a skewed p90/p50
     * ratio marks template-heavy or truncated sources). Capacity ≥

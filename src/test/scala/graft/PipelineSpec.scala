@@ -478,6 +478,26 @@ class PipelineSpec extends SparkSpec {
       .select(size(col("t"))).head().getInt(0) == 1)
   }
 
+  test("quotaSample: exact per-source counts, deterministic, a subset") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = (1L to 20L).map(i => (i, s"text $i", if (i <= 12) "s1" else "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Sketches.quotaSample(d, n = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exact quota per source (s2 has 8 ≥ 5 docs too)
+    assert(got.count(_._1 == "s1") == 5 && got.count(_._1 == "s2") == 5)
+    // rn dense from 1 within each source; members are real doc ids
+    assert(got.filter(_._1 == "s1").map(_._2).sorted.toSeq == (1L to 5L))
+    assert(got.forall(t => t._3 >= 1L && t._3 <= 20L))
+    // quota above the stratum size keeps the whole stratum
+    assert(graft.pipeline.Sketches.quotaSample(d, n = 50).count() == 20L)
+    // deterministic across runs
+    val again = graft.pipeline.Sketches.quotaSample(d, n = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("sketch oracle precondition: testdata alphabets fit the capacities") {
     // q_heavy_hitters (k=64) and q_window_hh (k=16) compare against
     // EXACT DuckDB counts, which is only sound in the no-eviction
