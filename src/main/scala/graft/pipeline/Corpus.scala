@@ -198,11 +198,15 @@ object Corpus {
     // dedups before the exchange); presence counts, the doc count and
     // the pair generator all derive from the per-doc sorted set — the
     // earlier distinct()-based formulation paid a second full-token
-    // exchange for the same information
+    // exchange for the same information. The set frame feeds FOUR
+    // consumers whose differing column pruning defeats ReuseExchange
+    // (verified via ExplainAudit: the subtree replayed four times), so
+    // materialize it once — the winnowPairs idiom.
     val docSets = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id").agg(sort_array(collect_set("term")).as("ts"))
+      .localCheckpoint()
     val presence = docSets.select(col("doc_id"), explode(col("ts")).as("term"))
     val ca = presence.groupBy("term").agg(count(lit(1)).as("c_t"))
     val vocab = ca.orderBy(col("c_t").desc, col("term").asc).limit(vocabK)

@@ -134,6 +134,30 @@ object EventStreams {
       .withColumn("bucket", date_trunc("hour", col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket")
 
+  /** Streaming stream-stream interval join — the online form of
+    * [[graft.ops.RangeJoin]]'s signup-attribution query: every click
+    * joins the same user's signups whose window [sts, sts + 1 h]
+    * contains the click time. Spark's stream-stream join buffers both
+    * sides in the state store; the watermark plus the two-sided time
+    * bound lets it EVICT — a signup older than watermark + 1 h can
+    * never match a future click, so state stays bounded by the
+    * watermark horizon regardless of stream length (the contract the
+    * spec pins stream ≡ batch across micro-batches). Inner join →
+    * append-mode output, no emit delay beyond the match itself. */
+  def intervalJoinStream(clicks: DataFrame, signups: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+    val s = signups
+      .withColumn("sts", col("sts").cast("timestamp"))
+      .withWatermark("sts", "2 hours")
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("ts") >= col("sts") &&
+        col("ts") <= col("sts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("ts"), col("signup_id"))
+  }
+
   /** Semi-structured props: extract the JSON field `k` and aggregate per
     * event type — get_json_object is codegen'd, no UDF. */
   def propsMetric(events: DataFrame): DataFrame =

@@ -162,6 +162,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val signups = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = EventStreams.intervalJoinStream(
+        clicks.toDF().toDF("click_id", "user_id", "ts"),
+        signups.toDF().toDF("s_user_id", "sts", "signup_id"))
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      // signup arrives first; matching click lands in a LATER batch —
+      // the join must find it in buffered state
+      signups.addData((1L, t("2020-01-01 10:00:00"), 100L))
+      clicks.addData((1L, 2L, t("2020-01-01 10:30:00"))) // other user: no match
+      q.processAllAvailable()
+      clicks.addData(
+        (2L, 1L, t("2020-01-01 10:30:00")),  // inside [10:00, 11:00]
+        (3L, 1L, t("2020-01-01 11:00:00")),  // boundary, inclusive
+        (4L, 1L, t("2020-01-01 11:30:00")))  // outside
+      q.processAllAvailable()
+      val streamed = spark.table("ivj")
+        .select("click_id", "signup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      assert(streamed == List((2L, 100L), (3L, 100L)))
+      // batch twin over the same rows agrees
+      val bc = Seq((1L, 2L, t("2020-01-01 10:30:00")),
+        (2L, 1L, t("2020-01-01 10:30:00")), (3L, 1L, t("2020-01-01 11:00:00")),
+        (4L, 1L, t("2020-01-01 11:30:00"))).toDF("click_id", "user_id", "ts")
+      val bs = Seq((1L, t("2020-01-01 10:00:00"),
+          t("2020-01-01 11:00:00"), 100L)).toDF("s_user_id", "sstart", "send", "signup_id")
+        .withColumnRenamed("s_user_id", "user_id")
+      val batch = graft.ops.RangeJoin
+        .pointInInterval(bc, bs, Seq("user_id"), "ts", "sstart", "send")
+        .select("click_id", "signup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
