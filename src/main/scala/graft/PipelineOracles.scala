@@ -252,6 +252,18 @@ SELECT source, rn, CAST(doc_id AS BIGINT) AS doc_id FROM (
               ORDER BY hd ASC, doc_id ASC) AS BIGINT) AS rn
   FROM h) t WHERE rn <= $n ORDER BY source, rn"""
 
+  /** Hashing-trick mirror: same bucket hash, same c/sqrt(s2) operator
+    * order, 6-dp round. */
+  def hashedFeaturesSql(dim: Int): String =
+    s"""WITH c AS (SELECT doc_id,
+  ${h60("'fh:' || term")} % $dim AS pos, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2),
+ n AS (SELECT doc_id, SUM(c * c) AS s2 FROM c GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       ROUND(CAST(c AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)), 6) AS v
+FROM c JOIN n USING (doc_id)"""
+
   val tokenCountSql: String =
     """SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS ws_tokens,

@@ -419,6 +419,10 @@ object SparkEntry {
       pipeline.Sketches.topDocsBySource(GraphBuilder.table(s, d, "documents"))),
     "q_quota_sample" -> ((s, d) =>
       pipeline.Sketches.quotaSample(GraphBuilder.table(s, d, "documents"))),
+    "q_hashed_features" -> ((s, d) =>
+      Corpus.hashedFeatures(GraphBuilder.table(s, d, "documents"))),
+    "q_interarrival" -> ((s, d) =>
+      EventStreams.interArrival(EventStreams.eventsTable(s, d))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_len_histogram" -> ((s, d) =>
@@ -696,6 +700,14 @@ WHERE term <> '' GROUP BY source ORDER BY source""",
 FROM documents GROUP BY source ORDER BY source""",
     "q_top_docs" -> PipelineOracles.topDocsSql(3),
     "q_quota_sample" -> PipelineOracles.quotaSampleSql(5),
+    "q_hashed_features" -> PipelineOracles.hashedFeaturesSql(64),
+    "q_interarrival" ->
+      """WITH g AS (SELECT user_id,
+  date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(gap), 6) AS avg_gap_s, CAST(MAX(gap) AS BIGINT) AS max_gap_s
+FROM g GROUP BY 1 ORDER BY 1""",
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),

@@ -237,6 +237,31 @@ object Corpus {
       .limit(k)
   }
 
+  /** Feature-hashed document vectors (the hashing trick, Weinberger
+    * et al. 2009): each document becomes an L2-normalized sparse
+    * count vector over `dim` buckets, bucket = hash(term) mod dim —
+    * the classic fixed-width featurizer that needs NO vocabulary
+    * table, so it runs in one pass at any corpus size. Output is long
+    * format (doc_id, pos, v): one narrow explode + one
+    * map-side-combined (doc, pos) count + a doc-keyed window for the
+    * norm — no shuffle carries more than the nonzero entries, and
+    * rows out ≤ min(|doc terms|, dim) per doc. */
+  def hashedFeatures(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 1, "hashedFeatures needs dim >= 1")
+    val cnt = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"),
+        pmod(TextOps.hash60(col("term"), "fh:"), lit(dim.toLong)).as("pos"))
+      .groupBy("doc_id", "pos").agg(count(lit(1)).as("c"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    cnt
+      .withColumn("s2", sum(col("c") * col("c")).over(byDoc))
+      // c / sqrt(s2) — operator order mirrored in the DuckDB oracle
+      .select(col("doc_id"), col("pos"),
+        round(col("c").cast("double") / sqrt(col("s2").cast("double")), 6).as("v"))
+  }
+
   /** Per-label embedding centroids in long format: (label, pos, c) with
     * c = mean of component `pos` over the label's vectors, rounded to
     * 6 dp. posexplode keeps the shuffle narrow ((label, pos) keyed,

@@ -158,6 +158,25 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("ts"), col("signup_id"))
   }
 
+  /** Per-user inter-arrival features: event count plus mean/max gap in
+    * seconds between consecutive events — the temporal-regularity
+    * signal behind bot/burst detection and session-gap tuning. One
+    * user-keyed window (lag over event time, event_id tiebreak for
+    * equal timestamps) + one aggregate; nothing shuffles more than the
+    * event rows themselves. */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(avg(col("gap")), 6).as("avg_gap_s"),
+        max(col("gap")).cast("long").as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
   /** Semi-structured props: extract the JSON field `k` and aggregate per
     * event type — get_json_object is codegen'd, no UDF. */
   def propsMetric(events: DataFrame): DataFrame =

@@ -112,6 +112,26 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.termPmi(d, vocabK = 1, minPairDocs = 1).count() == 0L)
   }
 
+  test("hashedFeatures: L2-normalized bucket counts, stable buckets") {
+    val d = docs(1L -> "a a b", 2L -> "c")
+    val rows = Corpus.hashedFeatures(d, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val d1 = rows.filter(_._1 == 1L)
+    // doc 1: counts (2,1) → norms (2/√5, 1/√5); doc 2 a unit vector
+    assert(d1.map(_._3).sorted.toSeq ==
+      Seq(1.0 / math.sqrt(5), 2.0 / math.sqrt(5)).map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(rows.filter(_._1 == 2L).map(_._3).toSeq == Seq(1.0))
+    // per-doc L2 norm ≈ 1 (up to the 6-dp rounding)
+    val n1 = math.sqrt(d1.map(t => t._3 * t._3).sum)
+    assert(math.abs(n1 - 1.0) < 1e-5)
+    // buckets in range and deterministic across runs
+    assert(rows.forall(t => t._2 >= 0L && t._2 < 64L))
+    assert(Corpus.hashedFeatures(d, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == rows.toSeq)
+  }
+
   test("vocabTopK: frequency order with lexicographic tiebreak") {
     val d = docs(1L -> "b b a a c", 2L -> "b z")
     val top = Corpus.vocabTopK(d, 3).collect().map(r => (r.getString(0), r.getLong(1)))

@@ -162,6 +162,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interArrival: gaps by event time with event_id tiebreak") {
+    val implicits = spark.implicits
+    import implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("2020-01-01 10:00:00")),
+      (2L, 1L, t("2020-01-01 10:00:30")),
+      (3L, 1L, t("2020-01-01 10:02:30")),
+      (4L, 2L, t("2020-01-01 09:00:00"))) // single event: null gaps
+      .toDF("event_id", "user_id", "ts")
+    val got = EventStreams.interArrival(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toList
+    // user 1: gaps 30 s and 120 s → avg 75, max 120; user 2: no gap
+    assert(got == List((1L, 3L, 75.0, 120L), (2L, 1L, null, null)))
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val implicits = spark.implicits
     import implicits._
