@@ -421,6 +421,8 @@ object SparkEntry {
       pipeline.Sketches.quotaSample(GraphBuilder.table(s, d, "documents"))),
     "q_hashed_features" -> ((s, d) =>
       Corpus.hashedFeatures(GraphBuilder.table(s, d, "documents"))),
+    "q_source_kl" -> ((s, d) =>
+      Corpus.sourceKl(GraphBuilder.table(s, d, "documents"))),
     "q_interarrival" -> ((s, d) =>
       EventStreams.interArrival(EventStreams.eventsTable(s, d))),
     "q_embed_centroids" -> ((s, d) =>
@@ -701,6 +703,20 @@ FROM documents GROUP BY source ORDER BY source""",
     "q_top_docs" -> PipelineOracles.topDocsSql(3),
     "q_quota_sample" -> PipelineOracles.quotaSampleSql(5),
     "q_hashed_features" -> PipelineOracles.hashedFeaturesSql(64),
+    "q_source_kl" ->
+      """WITH tk AS (SELECT source, term
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+ st AS (SELECT source, term, COUNT(*) AS c_st FROM tk GROUP BY 1, 2),
+ stot AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1),
+ ct AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY 1),
+ nn AS (SELECT SUM(c_t)::DOUBLE AS n FROM ct)
+SELECT source,
+       ROUND(SUM((CAST(c_st AS DOUBLE) / n_s) *
+                 ln((CAST(c_st AS DOUBLE) * nn.n) /
+                    (CAST(n_s AS DOUBLE) * c_t))), 6) AS kl
+FROM st JOIN stot USING (source) JOIN ct USING (term) CROSS JOIN nn
+GROUP BY source ORDER BY source""",
     "q_interarrival" ->
       """WITH g AS (SELECT user_id,
   date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap

@@ -262,6 +262,35 @@ object Corpus {
         round(col("c").cast("double") / sqrt(col("s2").cast("double")), 6).as("v"))
   }
 
+  /** Per-source KL divergence of the term distribution from the
+    * corpus-wide distribution — the drift/contamination signal behind
+    * "which source stopped looking like the rest of the corpus":
+    * KL(p_src ‖ p_corpus) = Σ_t p ln(p/q) with p = tf(t|src)/|src|,
+    * q = tf(t)/|corpus|. Both distributions share one token explode;
+    * the per-source aggregate shuffles (source, term) counts, the
+    * corpus marginals broadcast. q = 0 while p > 0 is impossible by
+    * construction (every source term IS a corpus term), so the sum is
+    * always finite. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val sTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val ct = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val cTot = ct.agg(sum("c_t").cast("double").as("n"))
+    // p·ln((c_st·n)/(n_s·c_t)) summed per source — operator order
+    // mirrored in the DuckDB oracle
+    st.join(sTot, Seq("source"))
+      .join(broadcast(ct), Seq("term"))
+      .crossJoin(broadcast(cTot))
+      .groupBy("source")
+      .agg(round(sum((col("c_st").cast("double") / col("n_s")) *
+        log((col("c_st").cast("double") * col("n")) /
+          (col("n_s").cast("double") * col("c_t")))), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** Per-label embedding centroids in long format: (label, pos, c) with
     * c = mean of component `pos` over the label's vectors, rounded to
     * 6 dp. posexplode keeps the shuffle narrow ((label, pos) keyed,

@@ -132,6 +132,24 @@ class CorpusSpec extends SparkSpec {
       == rows.toSeq)
   }
 
+  test("sourceKl: hand math, zero for a source matching the corpus") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = Seq((1L, "a a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.sourceKl(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // corpus: a 3/5, b 2/5. s1: a 2/3, b 1/3; s2: a 1/2, b 1/2
+    def kl(ps: Seq[(Double, Double)]) =
+      BigDecimal(ps.map { case (p, q) => p * math.log(p / q) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("s1") == kl(Seq((2.0 / 3, 3.0 / 5), (1.0 / 3, 2.0 / 5))))
+    assert(got("s2") == kl(Seq((1.0 / 2, 3.0 / 5), (1.0 / 2, 2.0 / 5))))
+    // a single-source corpus diverges from itself by exactly 0
+    val one = Seq((1L, "x y x", "only")).toDF("doc_id", "text", "source")
+    assert(Corpus.sourceKl(one).head().getDouble(1) == 0.0)
+  }
+
   test("vocabTopK: frequency order with lexicographic tiebreak") {
     val d = docs(1L -> "b b a a c", 2L -> "b z")
     val top = Corpus.vocabTopK(d, 3).collect().map(r => (r.getString(0), r.getLong(1)))
