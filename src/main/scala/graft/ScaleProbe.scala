@@ -34,6 +34,9 @@ object ScaleProbe {
 
     val base = spark.read.parquet(s"$dir/documents.parquet")
     val n = base.count()
+    val evBase = graft.streaming.EventStreams.eventsTable(spark, dir)
+    val evN = evBase.count()
+    val userMax = evBase.agg(max("user_id")).head.getLong(0) + 1L
     // K deterministic replicas: offset ids, salt the text tail so
     // replicas aren't exact dups (the minhash/banding load stays real)
     def corpusTimes(rep: Int): Map[String, Double] = {
@@ -41,7 +44,16 @@ object ScaleProbe {
         base.select(
           (col("doc_id") + lit(r.toLong * n)).as("doc_id"),
           concat(col("text"), lit(s" replica_salt_$r")).as("text"),
-          col("lang"))
+          col("lang"), col("source"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      // events replicas live in disjoint user-id spaces, so join keys
+      // grow with K while per-key density stays constant — the growth
+      // law a K×-bigger tenant population actually has
+      val events = (0 until rep).map { r =>
+        evBase.select(
+          (col("event_id") + lit(r.toLong * evN)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r * userMax)).as("user_id"),
+          col("event_type"), col("value"))
       }.reduce(_ unionByName _).localCheckpoint()
       def time(name: String)(df: => DataFrame): (String, Double) = {
         val t0 = System.nanoTime()
@@ -65,7 +77,37 @@ object ScaleProbe {
         // ~K² under replication), the winnow side stays flat (maxDf
         // drops replica-shared fingerprints) — the probe shows the
         // union rides the minhash curve, not worse
-        time("containment")(Dedup.containment(docs)))
+        time("containment")(Dedup.containment(docs)),
+        // token-stream operators: all single-pass, expected ~linear
+        time("bm25")(Corpus.bm25TopK(docs, Seq("spark", "query", "join", "vector"))),
+        time("tfidf")(Corpus.tfidfKeywords(docs)),
+        // replicas share the vocabulary → presence counts grow K but
+        // the vocab-bounded pair space is constant: expect ~linear in
+        // the explode, flat in the pair aggregate
+        time("term_pmi")(Corpus.termPmi(docs)),
+        time("hashed_features")(Corpus.hashedFeatures(docs)),
+        time("source_kl")(Corpus.sourceKl(docs)),
+        // temporal joins over a K×-wider user population: one window /
+        // one bucketed equi-join, expected ~linear
+        time("asof_join") {
+          val p = events.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          val v = events.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts").as("vts"),
+              col("value").as("view_value"))
+          graft.ops.AsofJoin.asof(p, v, Seq("user_id"), "ts", "vts",
+            Seq("view_value"))
+        },
+        time("range_join") {
+          val c = events.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+          val su = events.filter(col("event_type") === "signup")
+            .select(col("user_id"), col("ts").as("sstart"),
+              (col("ts") + expr("INTERVAL 1 HOUR")).as("send"),
+              col("event_id").as("signup_id"))
+          graft.ops.RangeJoin.pointInInterval(c, su, Seq("user_id"),
+            "ts", "sstart", "send")
+        })
     }
 
     val t1 = corpusTimes(1)
