@@ -509,6 +509,8 @@ object SparkEntry {
       pipeline.Sketches.windowDistinct(EventStreams.eventsTable(s, d))),
     "q_window_quantiles" -> ((s, d) =>
       pipeline.Sketches.windowQuantiles(EventStreams.eventsTable(s, d))),
+    "q_window_top" -> ((s, d) =>
+      pipeline.Sketches.windowTop(EventStreams.eventsTable(s, d))),
     // range join: clicks within one hour of the same user's signup —
     // bucketized equi-join, never a nested-loop
     "q_range_join" -> ((s, d) => {
@@ -772,6 +774,13 @@ FROM events GROUP BY 1 ORDER BY 1""",
        ROUND(quantile_disc(value, 0.5), 6) AS p50,
        ROUND(quantile_disc(value, 0.95), 6) AS p95
 FROM events GROUP BY 1 ORDER BY 1""",
+    "q_window_top" ->
+      """SELECT wstart, rn, event_id, ROUND(value, 6) AS value FROM (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+         event_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+              ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+  FROM events) t WHERE rn <= 3 ORDER BY wstart, rn""",
     "q_range_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts, s.event_id AS signup_id

@@ -579,6 +579,39 @@ object Sketches {
       .orderBy("source", "rn")
   }
 
+  /** Per-hour top events by value via [[TopK]] — the windowed form of
+    * the bounded top-k aggregate (per-window exchange is k pairs, not
+    * the window's whole row set). */
+  def windowTop(events: DataFrame, k: Int = 3): DataFrame = {
+    val tk = udaf(new TopK(k), org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(tk(col("value"), col("event_id")).as("top"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("wstart"), (col("pos") + 1).cast("long").as("rn"),
+        col("e._2").as("event_id"), round(col("e._1"), 6).as("value"))
+      .orderBy("wstart", "rn")
+  }
+
+  /** Streaming twin of [[windowTop]] — [[TopK]] under a watermarked
+    * streaming window agg; per-window state-store row is the ≤ k-pair
+    * TopKBuf, completing the sketch-family streaming matrix
+    * (frequency, cardinality, quantiles, top-k). */
+  def windowTopStream(events: DataFrame, k: Int = 3): DataFrame = {
+    val tk = udaf(new TopK(k), org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(tk(col("value"), col("event_id")).as("top"))
+      .select(col("window.start").as("wstart"), col("top"))
+  }
+
   /** Per-source document-length quantiles via [[StreamHist]]: the
     * length-distribution fingerprint of each source (a skewed p90/p50
     * ratio marks template-heavy or truncated sources). Capacity ≥

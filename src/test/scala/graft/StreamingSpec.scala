@@ -180,6 +180,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == List((1L, 3L, 75.0, 120L), (2L, 1L, null, null)))
   }
 
+  test("streaming per-window top-k: TopKBuf state survives micro-batch boundaries") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.pipeline.Sketches.windowTopStream(
+        ms.toDF().toDF("event_id", "ts", "value"), k = 2)
+      .writeStream.format("memory").queryName("wtop").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // the window's eventual top-2 is split across batches: the second
+      // batch's 9.0 must displace the buffered 5.0
+      ms.addData((1L, t("2020-01-01 10:05:00"), 5.0),
+        (2L, t("2020-01-01 10:10:00"), 7.0))
+      q.processAllAvailable()
+      ms.addData((3L, t("2020-01-01 10:20:00"), 9.0),
+        (4L, t("2020-01-01 10:25:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("wtop").collect()
+        .map(r => r.getTimestamp(0).toString ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+        .toMap
+      assert(got == Map("2020-01-01 10:00:00.0" -> Seq((9.0, 3L), (7.0, 2L))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val implicits = spark.implicits
     import implicits._
