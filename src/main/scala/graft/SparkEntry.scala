@@ -127,6 +127,12 @@ object SparkEntry {
     "q_degree" -> ((s, d) =>
       g(s, d).degrees.join(g(s, d).labeled("Nation").select("id", "name"), "id")
         .select(col("id"), col("name"), col("out_degree"), col("in_degree"), col("degree"))),
+    // degree distribution: the power-law fingerprint of the whole graph
+    // (isolated nodes land in the 0 bucket); one count + one re-count
+    "q_degree_dist" -> ((s, d) =>
+      g(s, d).degrees.groupBy("degree")
+        .agg(count(lit(1)).cast("long").as("n_nodes"))
+        .orderBy("degree")),
 
     // ---- §2.2 chained query API ----
     "q_label_scan" -> ((s, d) =>
@@ -425,6 +431,8 @@ object SparkEntry {
       Corpus.sourceKl(GraphBuilder.table(s, d, "documents"))),
     "q_interarrival" -> ((s, d) =>
       EventStreams.interArrival(EventStreams.eventsTable(s, d))),
+    "q_funnel" -> ((s, d) =>
+      EventStreams.funnel(EventStreams.eventsTable(s, d))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_len_histogram" -> ((s, d) =>
@@ -567,6 +575,13 @@ object SparkEntry {
   LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.dst = n.id
   WHERE n.label = 'Nation')
 SELECT id, name, out_degree, in_degree, out_degree + in_degree AS degree FROM deg"""),
+    "q_degree_dist" -> (P + """, deg AS (
+  SELECT COALESCE(o.c, 0) + COALESCE(i.c, 0) AS degree
+  FROM nodes n
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON o.src = n.id
+  LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.dst = n.id)
+SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree"""),
     "q_label_scan" ->
       "SELECT 300000000000000 + c_custkey AS id, c_name AS name, c_mktsegment AS mktsegment FROM customer",
     "q_prop_eq" ->
@@ -726,6 +741,14 @@ GROUP BY source ORDER BY source""",
 SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(AVG(gap), 6) AS avg_gap_s, CAST(MAX(gap) AS BIGINT) AS max_gap_s
 FROM g GROUP BY 1 ORDER BY 1""",
+    "q_funnel" ->
+      """WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+ c AS (SELECT DISTINCT s.event_id FROM s
+       JOIN events p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 168 HOURS)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_converted,
+       ROUND((SELECT COUNT(*) FROM c)::DOUBLE / (SELECT COUNT(*) FROM s), 6) AS rate""",
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),

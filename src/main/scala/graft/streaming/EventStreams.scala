@@ -177,6 +177,31 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Funnel conversion: of all `fromType` events, how many saw the
+    * same user produce a `toType` event within `withinHours` —
+    * the conversion metric every event pipeline reports. Composes the
+    * bucketized [[graft.ops.RangeJoin]] (each start opens an interval,
+    * hits are points), so the match is an equi-join on (user, time
+    * bucket) — never a per-user cross product — and the two 1-row
+    * aggregates broadcast into the final rate. */
+  def funnel(events: DataFrame, fromType: String = "signup",
+             toType: String = "purchase", withinHours: Int = 168): DataFrame = {
+    val starts = events.filter(col("event_type") === fromType)
+      .select(col("event_id").as("start_id"), col("user_id"),
+        col("ts").as("sstart"),
+        (col("ts") + expr(s"INTERVAL $withinHours HOURS")).as("send"))
+    val hits = events.filter(col("event_type") === toType)
+      .select(col("event_id").as("hit_id"), col("user_id"), col("ts"))
+    val converted = graft.ops.RangeJoin
+      .pointInInterval(hits, starts, Seq("user_id"), "ts", "sstart", "send")
+      .select("start_id").distinct()
+    starts.agg(count(lit(1)).cast("long").as("n_starts"))
+      .crossJoin(broadcast(converted.agg(
+        count(lit(1)).cast("long").as("n_converted"))))
+      .select(col("n_starts"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_starts"), 6).as("rate"))
+  }
+
   /** Semi-structured props: extract the JSON field `k` and aggregate per
     * event type — get_json_object is codegen'd, no UDF. */
   def propsMetric(events: DataFrame): DataFrame =

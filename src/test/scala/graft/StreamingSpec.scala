@@ -180,6 +180,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == List((1L, 3L, 75.0, 120L), (2L, 1L, null, null)))
   }
 
+  test("funnel: converted starts counted once, window boundary inclusive") {
+    val implicits = spark.implicits
+    import implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, "signup", t("2020-01-01 10:00:00")),
+      (2L, 1L, "purchase", t("2020-01-02 10:00:00")), // converts start 1
+      (3L, 1L, "purchase", t("2020-01-03 10:00:00")), // second hit: still 1 conversion
+      (4L, 2L, "signup", t("2020-01-01 10:00:00")),
+      (5L, 2L, "purchase", t("2020-01-08 10:00:00")), // exactly +168 h, inclusive
+      (6L, 3L, "signup", t("2020-01-01 10:00:00")),
+      (7L, 3L, "purchase", t("2020-01-10 10:00:00")) // outside the window
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventStreams.funnel(ev).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((3L, 2L, 0.666667)))
+  }
+
   test("streaming per-window top-k: TopKBuf state survives micro-batch boundaries") {
     val implicits = spark.implicits
     import implicits._
