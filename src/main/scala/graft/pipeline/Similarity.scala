@@ -221,18 +221,34 @@ object Similarity {
         assign(i) = bc
         i += 1
       }
+      // Per-POSITION member counts, not cluster size: the distributed
+      // update is groupBy(cluster, pos).agg(avg(x)) over exploded rows,
+      // so each position averages only the member vectors that HAVE it.
+      // Ragged (variable-length) embeddings would otherwise assign
+      // differently on the two sides of the driver gate. A member of
+      // length L contributes to positions 0..L-1, so the per-pos count
+      // is non-increasing and the centroid's length is its longest
+      // member's — exactly the row set the exploded-join update sees.
       val sums = Array.fill(kk)(new Array[Double](dims))
+      val pcnt = Array.fill(kk)(new Array[Int](dims))
       val cnts = new Array[Int](kk)
       i = 0
       while (i < n) {
         val c = assign(i); val v = vecs(i); cnts(c) += 1
-        var p = 0; while (p < v.length) { sums(c)(p) += v(p); p += 1 }
+        var p = 0; while (p < v.length) { sums(c)(p) += v(p); pcnt(c)(p) += 1; p += 1 }
         i += 1
       }
       var c = 0
       while (c < kk) {
         if (cnts(c) == 0) active(c) = false
-        else { var p = 0; while (p < dims) { sums(c)(p) /= cnts(c); p += 1 }; cent(c) = sums(c) }
+        else {
+          var len = dims
+          while (len > 0 && pcnt(c)(len - 1) == 0) len -= 1
+          val nc = new Array[Double](len)
+          var p = 0
+          while (p < len) { nc(p) = sums(c)(p) / pcnt(c)(p); p += 1 }
+          cent(c) = nc
+        }
         c += 1
       }
       r += 1

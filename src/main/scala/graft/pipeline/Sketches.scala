@@ -221,20 +221,20 @@ object KMV {
 }
 
 /** Streaming-histogram partial state: ≤ k (value, count) centroids,
-  * sorted by value in fixed-capacity arrays padded with
-  * `Double.MaxValue` / 0 sentinels (real inputs are finite doubles).
-  * Same fixed-array in-place discipline as [[MGBuf]]/[[KMVBuf]]. */
-final case class SHBuf(vals: Array[Double], cnts: Array[Long]) {
-  def occupied: Int = {
-    var n = 0
-    while (n < cnts.length && cnts(n) > 0L) n += 1
-    n
-  }
+  * sorted by value in the first `n` slots of fixed-capacity arrays.
+  * Occupancy is the EXPLICIT counter `n` — not a padding sentinel, so
+  * any finite double (including `Double.MaxValue`) is a legal centroid
+  * value. Same fixed-array in-place discipline as [[MGBuf]]/[[KMVBuf]]. */
+final case class SHBuf(vals: Array[Double], cnts: Array[Long], var n: Int) {
+  def occupied: Int = n
 
   /** Merge the closest adjacent centroid pair (weighted mean, summed
-    * count), freeing one slot. Ben-Haim & Yom-Tov's update step. */
+    * count), freeing one slot. Ben-Haim & Yom-Tov's update step.
+    * Only callable with ≥ 2 occupied centroids — there is no pair to
+    * merge below that, and the callers' capacity checks guarantee it
+    * (k ≥ 2 is a constructor precondition). */
   def mergeClosest(): Unit = {
-    val n = occupied
+    assert(n >= 2, s"mergeClosest needs >= 2 occupied centroids, have $n")
     var best = 0; var bestGap = Double.MaxValue
     var i = 0
     while (i < n - 1) {
@@ -245,10 +245,9 @@ final case class SHBuf(vals: Array[Double], cnts: Array[Long]) {
     val c = cnts(best) + cnts(best + 1)
     vals(best) = (vals(best) * cnts(best) + vals(best + 1) * cnts(best + 1)) / c
     cnts(best) = c
-    System.arraycopy(vals, best + 2, vals, best + 1, vals.length - best - 2)
-    System.arraycopy(cnts, best + 2, cnts, best + 1, cnts.length - best - 2)
-    vals(vals.length - 1) = Double.MaxValue
-    cnts(cnts.length - 1) = 0L
+    System.arraycopy(vals, best + 2, vals, best + 1, n - best - 2)
+    System.arraycopy(cnts, best + 2, cnts, best + 1, n - best - 2)
+    n -= 1
   }
 }
 
@@ -277,24 +276,33 @@ class StreamHist(k: Int, qs: Seq[Double])
   require(qs.forall(q => q >= 0.0 && q <= 1.0), "quantiles must be in [0,1]")
 
   override def zero: SHBuf =
-    SHBuf(Array.fill(k)(Double.MaxValue), new Array[Long](k))
+    SHBuf(new Array[Double](k), new Array[Long](k), 0)
 
   override def reduce(b: SHBuf, v: Double): SHBuf = {
-    val i = java.util.Arrays.binarySearch(b.vals, v)
+    // Non-finite inputs are treated as missing (the SQL-NULL convention
+    // built-in aggregates follow): NaN has no position on the value
+    // axis — it binary-searches to an arbitrary slot and would corrupt
+    // the sorted-prefix invariant — and ±Inf poisons every weighted
+    // mean it ever merges into. Dropping here keeps the quantiles of
+    // the finite data, which is what a 100 TB column with a few bad
+    // rows wants; the spec pins this contract.
+    if (!java.lang.Double.isFinite(v)) return b
+    val i = java.util.Arrays.binarySearch(b.vals, 0, b.n, v)
     if (i >= 0) b.cnts(i) += 1L // existing centroid: zero allocation
     else {
       var ins = -i - 1
-      if (ins >= k || b.cnts(k - 1) > 0L) {
+      if (b.n == k) {
         // full of real centroids: free a slot first, then re-locate
         b.mergeClosest()
-        val j = java.util.Arrays.binarySearch(b.vals, v)
+        val j = java.util.Arrays.binarySearch(b.vals, 0, b.n, v)
         if (j >= 0) { b.cnts(j) += 1L; return b }
         ins = -j - 1
       }
-      System.arraycopy(b.vals, ins, b.vals, ins + 1, k - ins - 1)
-      System.arraycopy(b.cnts, ins, b.cnts, ins + 1, k - ins - 1)
+      System.arraycopy(b.vals, ins, b.vals, ins + 1, b.n - ins)
+      System.arraycopy(b.cnts, ins, b.cnts, ins + 1, b.n - ins)
       b.vals(ins) = v
       b.cnts(ins) = 1L
+      b.n += 1
     }
     b
   }
@@ -307,31 +315,27 @@ class StreamHist(k: Int, qs: Seq[Double])
     val cs = new Array[Long](na + nb)
     var ia = 0; var ib = 0; var io = 0
     while (ia < na || ib < nb) {
-      val va = if (ia < na) a.vals(ia) else Double.MaxValue
-      val vb = if (ib < nb) b.vals(ib) else Double.MaxValue
-      if (va == vb) {
-        vs(io) = va; cs(io) = a.cnts(ia) + b.cnts(ib); ia += 1; ib += 1
-      } else if (va < vb) {
-        vs(io) = va; cs(io) = a.cnts(ia); ia += 1
+      if (ia < na && ib < nb && a.vals(ia) == b.vals(ib)) {
+        vs(io) = a.vals(ia); cs(io) = a.cnts(ia) + b.cnts(ib); ia += 1; ib += 1
+      } else if (ib >= nb || (ia < na && a.vals(ia) < b.vals(ib))) {
+        vs(io) = a.vals(ia); cs(io) = a.cnts(ia); ia += 1
       } else {
-        vs(io) = vb; cs(io) = b.cnts(ib); ib += 1
+        vs(io) = b.vals(ib); cs(io) = b.cnts(ib); ib += 1
       }
       io += 1
     }
     val out = zero
-    System.arraycopy(vs, 0, out.vals, 0, math.min(io, k))
-    System.arraycopy(cs, 0, out.cnts, 0, math.min(io, k))
-    if (io > k) {
-      // rebuild oversized then shrink: use a temporary wide buffer
-      val wide = SHBuf(
-        java.util.Arrays.copyOf(vs, io + 1), java.util.Arrays.copyOf(cs, io + 1))
-      wide.vals(io) = Double.MaxValue
-      var n = io
-      while (n > k) { wide.mergeClosest(); n -= 1 }
-      java.util.Arrays.fill(out.vals, Double.MaxValue)
-      java.util.Arrays.fill(out.cnts, 0L)
+    if (io <= k) {
+      System.arraycopy(vs, 0, out.vals, 0, io)
+      System.arraycopy(cs, 0, out.cnts, 0, io)
+      out.n = io
+    } else {
+      // shrink the oversized merged run in place (vs/cs are scratch)
+      val wide = SHBuf(vs, cs, io)
+      while (wide.n > k) wide.mergeClosest()
       System.arraycopy(wide.vals, 0, out.vals, 0, k)
       System.arraycopy(wide.cnts, 0, out.cnts, 0, k)
+      out.n = k
     }
     out
   }
@@ -354,13 +358,15 @@ class StreamHist(k: Int, qs: Seq[Double])
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
 }
 
-/** Bounded top-k partial state: ≤ k (score, id) pairs kept sorted by
-  * (score desc, id asc) in fixed-capacity arrays; free slots are
-  * (−∞, Long.MaxValue) sentinels, which sort after every real entry.
-  * Same fixed-array in-place discipline as the sketch buffers. */
-final case class TopKBuf(scores: Array[Double], ids: Array[Long]) {
-  /** True ordering: score desc, id asc; returns <0 if (s,i) ranks
-    * before slot j. */
+/** Bounded top-k partial state: the first `n` slots hold (score, id)
+  * pairs sorted by (score desc, id asc) in fixed-capacity arrays.
+  * Occupancy is the EXPLICIT counter `n` — not a (−∞, Long.MaxValue)
+  * padding sentinel, so an entry with id = Long.MaxValue or score = −∞
+  * is a legal resident. Same fixed-array in-place discipline as the
+  * sketch buffers. */
+final case class TopKBuf(scores: Array[Double], ids: Array[Long], var n: Int) {
+  /** True ordering: score desc, id asc; true if (s,i) ranks before the
+    * OCCUPIED slot j. */
   def beats(j: Int, s: Double, i: Long): Boolean =
     s > scores(j) || (s == scores(j) && i < ids(j))
 }
@@ -373,46 +379,50 @@ final case class TopKBuf(scores: Array[Double], ids: Array[Long]) {
   * exchange drops from |rows| to k·|groups|. Unlike the sketches this
   * is EXACT in every regime (top-k is an associative, commutative,
   * order-insensitive reduction), so the oracle holds at any scale.
-  * Ties break by smallest id, mirroring (score DESC, id ASC). */
+  * Ties break by smallest id, mirroring (score DESC, id ASC).
+  * NaN scores are unrankable (both comparison branches are false, so
+  * they would sort inconsistently with any SQL engine's NULLs-ordering
+  * choice) and are explicitly DROPPED, mirroring how built-in ranking
+  * over a quality formula treats missing scores; the spec pins it. */
 class TopK(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
   require(k >= 1, "top-k needs k >= 1")
 
   override def zero: TopKBuf =
-    TopKBuf(Array.fill(k)(Double.NegativeInfinity), Array.fill(k)(Long.MaxValue))
+    TopKBuf(new Array[Double](k), new Array[Long](k), 0)
 
   override def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf = {
     val (s, id) = in
-    if (b.beats(k - 1, s, id)) {
+    if (java.lang.Double.isNaN(s)) return b // unrankable: dropped by contract
+    if (b.n < k || b.beats(k - 1, s, id)) {
       // find insertion point (first slot this entry beats), shift, place
-      var ins = k - 1
+      var ins = if (b.n < k) b.n else k - 1
       while (ins > 0 && b.beats(ins - 1, s, id)) ins -= 1
-      System.arraycopy(b.scores, ins, b.scores, ins + 1, k - ins - 1)
-      System.arraycopy(b.ids, ins, b.ids, ins + 1, k - ins - 1)
+      System.arraycopy(b.scores, ins, b.scores, ins + 1, math.min(b.n, k - 1) - ins)
+      System.arraycopy(b.ids, ins, b.ids, ins + 1, math.min(b.n, k - 1) - ins)
       b.scores(ins) = s
       b.ids(ins) = id
+      if (b.n < k) b.n += 1
     }
     b
   }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
     val out = zero
-    var ia = 0; var ib = 0; var io = 0
-    while (io < k) {
+    var ia = 0; var ib = 0
+    while (out.n < k && (ia < a.n || ib < b.n)) {
       // take a's head when it ranks before b's head (beats = candidate
-      // ranks before slot); sentinel heads lose to everything real
-      val takeA = ia < k &&
-        (ib >= k || b.beats(ib, a.scores(ia), a.ids(ia)))
-      if (takeA) { out.scores(io) = a.scores(ia); out.ids(io) = a.ids(ia); ia += 1 }
-      else if (ib < k) { out.scores(io) = b.scores(ib); out.ids(io) = b.ids(ib); ib += 1 }
-      io += 1
+      // ranks before slot); an exhausted side loses automatically
+      val takeA = ia < a.n &&
+        (ib >= b.n || b.beats(ib, a.scores(ia), a.ids(ia)))
+      if (takeA) { out.scores(out.n) = a.scores(ia); out.ids(out.n) = a.ids(ia); ia += 1 }
+      else { out.scores(out.n) = b.scores(ib); out.ids(out.n) = b.ids(ib); ib += 1 }
+      out.n += 1
     }
     out
   }
 
   override def finish(s: TopKBuf): Seq[(Double, Long)] =
-    (0 until k).collect {
-      case i if s.ids(i) != Long.MaxValue => (s.scores(i), s.ids(i))
-    }
+    (0 until s.n).map(i => (s.scores(i), s.ids(i)))
 
   override def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()

@@ -76,9 +76,13 @@ object CorpusStreams {
     docs
       // one shared windowing definition with the offline miner — the
       // gate only strips what segmentDedup mined if both hash the
-      // exact same windows
+      // exact same windows. A null text (the only zero-segment case —
+      // split("") still yields one empty token) coalesces to an empty
+      // array, so the gate keeps the FULL doc universe with
+      // (0, 0, "") — the same contract the join path below upholds.
       .withColumn("_segs",
-        graft.pipeline.Corpus.segments(split(col("text"), " "), width))
+        coalesce(graft.pipeline.Corpus.segments(split(col("text"), " "), width),
+          array().cast("array<string>")))
       .withColumn("_kept", filter(col("_segs"),
         s => !array_contains(bp, call_function("graft_hash60", concat(lit("sg:"), s)))))
       .withColumn("n_segs", size(col("_segs")).cast("long"))
@@ -129,7 +133,15 @@ object CorpusStreams {
             array_sort(collect_list(when(col("_bp").isNull,
               struct(col("pos"), col("seg"))))),
             x => x.getField("seg")), " ").as("clean_text"))
-      docs.join(agg, Seq("doc_id"))
+      // left_outer + fills: a doc producing zero segment rows (null
+      // text) vanishes from the exploded agg but must stay in the
+      // output with (0, 0, "") — the literal-array path above is a
+      // pure projection that keeps every doc, and the two paths'
+      // identical-output contract is pinned by spec.
+      docs.join(agg, Seq("doc_id"), "left_outer")
+        .withColumn("n_segs", coalesce(col("n_segs"), lit(0L)))
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
     }
   }
 }

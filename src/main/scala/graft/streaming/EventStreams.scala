@@ -192,8 +192,14 @@ object EventStreams {
         (col("ts") + expr(s"INTERVAL $withinHours HOURS")).as("send"))
     val hits = events.filter(col("event_type") === toType)
       .select(col("event_id").as("hit_id"), col("user_id"), col("ts"))
+    // bucket width = the interval length, per RangeJoin's own contract:
+    // each start explodes into exactly 2 bucket replicas; the default
+    // 1 h bucket against a 168 h window would make that ~169 replicas
+    // per start for zero extra precision (the residual BETWEEN filter
+    // does the exact match either way)
     val converted = graft.ops.RangeJoin
-      .pointInInterval(hits, starts, Seq("user_id"), "ts", "sstart", "send")
+      .pointInInterval(hits, starts, Seq("user_id"), "ts", "sstart", "send",
+        bucketSeconds = withinHours * 3600L)
       .select("start_id").distinct()
     starts.agg(count(lit(1)).cast("long").as("n_starts"))
       .crossJoin(broadcast(converted.agg(

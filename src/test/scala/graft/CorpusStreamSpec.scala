@@ -104,7 +104,8 @@ class CorpusStreamSpec extends SparkSpec {
       (1L, "one two three four five six", "en"),
       (2L, "one two three seven eight nine", "en"),
       (3L, "one two three", "en"), // all-boilerplate → empty clean_text
-      (4L, "ten eleven twelve", "en"))
+      (4L, "ten eleven twelve", "en"),
+      (5L, null, "en")) // zero segment rows: both branches must keep it
     // mined set as a frame, WITH a duplicate row (the join path must
     // dedupe or it would double-count segment rows)
     val one = spark.range(1).select(
@@ -119,5 +120,9 @@ class CorpusStreamSpec extends SparkSpec {
     assert(snap(CorpusStreams.segmentGate(docsIn, bpDf, 3, 0)) == direct)
     assert(snap(CorpusStreams.segmentGate(docsIn, bpDf, 3, 1024)) == direct)
     assert(direct.exists(t => t._1 == 3L && t._3 == 0L && t._4 == ""))
+    // the null-text doc survives BOTH branches as (0, 0, "") — the
+    // join branch's exploded agg never sees it, so only the left-outer
+    // reassembly keeps the doc universe identical to the projection path
+    assert(direct.contains((5L, 0L, 0L, "")) && direct.size == 5)
   }
 }
