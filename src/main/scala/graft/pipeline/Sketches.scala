@@ -224,7 +224,14 @@ object KMV {
   * sorted by value in the first `n` slots of fixed-capacity arrays.
   * Occupancy is the EXPLICIT counter `n` — not a padding sentinel, so
   * any finite double (including `Double.MaxValue`) is a legal centroid
-  * value. Same fixed-array in-place discipline as [[MGBuf]]/[[KMVBuf]]. */
+  * value. Same fixed-array in-place discipline as [[MGBuf]]/[[KMVBuf]].
+  *
+  * STREAMING-STATE SCHEMA (v2, see [[Sketches.StateSchemaVersion]]):
+  * this case class IS the state-store row layout for
+  * [[Sketches.windowQuantilesStream]] — adding the explicit `n` field
+  * (v1 used sentinel padding) changed the encoded schema, so a
+  * checkpoint written by the 2-field v1 buffer cannot be restored by
+  * this build; such streams must restart from a fresh checkpoint. */
 final case class SHBuf(vals: Array[Double], cnts: Array[Long], var n: Int) {
   def occupied: Int = n
 
@@ -269,24 +276,36 @@ final case class SHBuf(vals: Array[Double], cnts: Array[Long], var n: Int) {
   * reaches max(1, ceil(q·N))). Past capacity the weighted-mean
   * centroids give the SPDT approximation; like Misra–Gries eviction
   * it is order-dependent, so the error envelope is pinned by spec
-  * rather than oracle. */
+  * rather than oracle.
+  *
+  * Non-finite inputs: NaN is DROPPED (it has no position on the value
+  * axis — a binary search lands on an arbitrary slot and corrupts the
+  * sorted-prefix invariant — the SQL-NULL-like convention built-in
+  * aggregates follow). ±Inf are KEPT as rankable extremes, matching
+  * how SQL engines (and the [[TopK]] aggregator) order infinities, so
+  * an Inf-bearing column agrees with the DuckDB quantile oracle in the
+  * exact regime. Kept-Inf safety: equal values always combine into one
+  * centroid, so with k ≥ 3 a −Inf centroid can never be ADJACENT to a
+  * +Inf centroid when `mergeClosest` runs (that adjacency needs n == 2,
+  * but merges only fire at n ≥ k) — the one pairing whose weighted
+  * mean is NaN is structurally unreachable, hence `require(k >= 3)`.
+  * In the approximation regime a finite centroid merged into an Inf
+  * neighbor collapses to ±Inf (Inf absorbs the weighted mean); that
+  * over-weights the extreme tail but never corrupts the buffer. */
 class StreamHist(k: Int, qs: Seq[Double])
     extends Aggregator[Double, SHBuf, Seq[Double]] {
-  require(k >= 2 && qs.nonEmpty, "StreamHist needs k >= 2 and >= 1 quantile")
+  require(k >= 3, "StreamHist needs k >= 3 (k == 2 could force merging " +
+    "adjacent -Inf/+Inf centroids, whose weighted mean is NaN)")
+  require(qs.nonEmpty, "StreamHist needs >= 1 quantile")
   require(qs.forall(q => q >= 0.0 && q <= 1.0), "quantiles must be in [0,1]")
 
   override def zero: SHBuf =
     SHBuf(new Array[Double](k), new Array[Long](k), 0)
 
   override def reduce(b: SHBuf, v: Double): SHBuf = {
-    // Non-finite inputs are treated as missing (the SQL-NULL convention
-    // built-in aggregates follow): NaN has no position on the value
-    // axis — it binary-searches to an arbitrary slot and would corrupt
-    // the sorted-prefix invariant — and ±Inf poisons every weighted
-    // mean it ever merges into. Dropping here keeps the quantiles of
-    // the finite data, which is what a 100 TB column with a few bad
-    // rows wants; the spec pins this contract.
-    if (!java.lang.Double.isFinite(v)) return b
+    // NaN dropped, ±Inf kept — see the class doc for the contract and
+    // why k >= 3 makes kept infinities merge-safe
+    if (java.lang.Double.isNaN(v)) return b
     val i = java.util.Arrays.binarySearch(b.vals, 0, b.n, v)
     if (i >= 0) b.cnts(i) += 1L // existing centroid: zero allocation
     else {
@@ -363,7 +382,13 @@ class StreamHist(k: Int, qs: Seq[Double])
   * Occupancy is the EXPLICIT counter `n` — not a (−∞, Long.MaxValue)
   * padding sentinel, so an entry with id = Long.MaxValue or score = −∞
   * is a legal resident. Same fixed-array in-place discipline as the
-  * sketch buffers. */
+  * sketch buffers.
+  *
+  * STREAMING-STATE SCHEMA (v2, see [[Sketches.StateSchemaVersion]]):
+  * like [[SHBuf]], this layout is the state-store row for
+  * [[Sketches.windowTopStream]]; the explicit `n` field (v2) is not
+  * restore-compatible with a checkpoint written by the sentinel-padded
+  * v1 buffer — such streams must restart from a fresh checkpoint. */
 final case class TopKBuf(scores: Array[Double], ids: Array[Long], var n: Int) {
   /** True ordering: score desc, id asc; true if (s,i) ranks before the
     * OCCUPIED slot j. */
@@ -428,7 +453,65 @@ class TopK(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
 }
 
+/** Count–Min partial state: the d×w counter matrix, row-major in one
+  * fixed-length array (row j occupies slots [j·w, (j+1)·w)). Same
+  * fixed-array in-place discipline as the other sketch buffers. */
+final case class CMBuf(counts: Array[Long])
+
+/** Count–Min sketch (Cormode & Muthukrishnan 2005) as a typed Catalyst
+  * [[Aggregator]] — point-frequency estimates for ANY term, completing
+  * the bounded-state sketch family: [[MisraGries]] surfaces the heavy
+  * hitters, this answers "how often did THIS term occur" for arbitrary
+  * probes without materializing the term table. State is d·w counters;
+  * reduce is d in-place increments; merge is one element-wise add —
+  * associative, commutative and ORDER-INDEPENDENT (like [[KMV]], unlike
+  * Misra–Gries eviction), so the estimate is a pure function of the
+  * input multiset in every regime.
+  *
+  * est(t) = min_j counts[j][bucket_j(t)] ≥ true(t), with overcount
+  * ≤ 2N/w at confidence 1 − 2^−d. The bucket functions are computed IN
+  * THE PLAN (codegen'd `graft_hash60` of a per-row prefix, mod w — see
+  * [[Sketches.cmsBuckets]]), which is what makes the sketch fully
+  * DuckDB-mirrorable: the oracle rebuilds the same buckets from the md5
+  * formula and reproduces the estimate INCLUDING collisions — a
+  * stronger check than the exact-regime-only Misra–Gries oracle.
+  * The aggregator itself therefore consumes the pre-computed bucket
+  * vector, keeping the hash on the codegen side of the plan. */
+class CountMin(d: Int, w: Int) extends Aggregator[Seq[Int], CMBuf, Seq[Long]] {
+  require(d >= 1 && w >= 2, "CountMin needs depth >= 1 and width >= 2")
+
+  override def zero: CMBuf = CMBuf(new Array[Long](d * w))
+
+  override def reduce(b: CMBuf, buckets: Seq[Int]): CMBuf = {
+    var j = 0
+    while (j < d) { b.counts(j * w + buckets(j)) += 1L; j += 1 }
+    b
+  }
+
+  override def merge(a: CMBuf, b: CMBuf): CMBuf = {
+    var i = 0
+    while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+    a
+  }
+
+  override def finish(s: CMBuf): Seq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(s.counts)
+
+  override def bufferEncoder: Encoder[CMBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 object Sketches {
+
+  /** Version of the sketch aggregation-buffer schemas as used for
+    * Structured Streaming state (the buffer case classes ARE the
+    * state-store row layouts). v1: sentinel-padded 2-field SHBuf /
+    * TopKBuf. v2 (current): explicit-occupancy 3-field SHBuf/TopKBuf
+    * (MGBuf/KMVBuf unchanged since v1). Checkpoints written under a
+    * different version are NOT restorable — restart the affected
+    * streams (windowQuantilesStream / windowTopStream) from a fresh
+    * checkpoint directory after upgrading across v1→v2. */
+  val StateSchemaVersion: Int = 2
 
   /** Per-window heavy hitters: the [[MisraGries]] sketch registered
     * through `functions.udaf` so it composes into an UNTYPED windowed

@@ -25,16 +25,26 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
 
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's reader
-    * rejects natively: read nanos as BIGINT (legacy conf) and convert to
-    * TIMESTAMP_NTZ microseconds (lossless — the generator emits µs
-    * precision; DIV keeps the arithmetic in exact integers). */
-  private def tsFromNanos = expr(
-    "CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)")
+  /** Normalize the events `ts` column to TIMESTAMP_NTZ regardless of how
+    * the parquet stored it. Generators have shipped both layouts:
+    * TIMESTAMP(NANOS) — which Spark's reader rejects natively, so it is
+    * read as BIGINT nanos under the legacy conf and converted (lossless:
+    * the generator emits µs precision; DIV keeps the arithmetic in exact
+    * integers) — and plain TIMESTAMP(MICROS), which reads as a timestamp
+    * type directly and only needs the NTZ cast. Dispatching on the
+    * OBSERVED schema keeps every downstream operator and oracle stable
+    * across testdata regenerations. */
+  private def tsToNtz(schema: org.apache.spark.sql.types.StructType) =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr(
+        "CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)")
+      case _ => expr("CAST(ts AS TIMESTAMP_NTZ)")
+    }
 
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").withColumn("ts", tsFromNanos)
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts", tsToNtz(df.schema))
   }
 
   /** File-source stream over the events parquet (one file = one batch in
@@ -46,7 +56,7 @@ object EventStreams {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", tsFromNanos)
+      .withColumn("ts", tsToNtz(schema))
   }
 
   /** Incremental filter/transform stage (reference query_stream.rs
@@ -186,6 +196,10 @@ object EventStreams {
     * aggregates broadcast into the final rate. */
   def funnel(events: DataFrame, fromType: String = "signup",
              toType: String = "purchase", withinHours: Int = 168): DataFrame = {
+    // caller-facing guard: a zero/negative window would otherwise
+    // surface as RangeJoin's internal `bucketSeconds > 0` requirement
+    require(withinHours >= 1,
+      s"funnel conversion window must be >= 1 hour, got $withinHours")
     val starts = events.filter(col("event_type") === fromType)
       .select(col("event_id").as("start_id"), col("user_id"),
         col("ts").as("sstart"),

@@ -450,6 +450,34 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"p50 estimate $est")
   }
 
+  test("streamhist: NaN dropped, ±Inf rankable extremes (SQL semantics)") {
+    val implicits = spark.implicits
+    import implicits._
+    // exact regime with infinities present: ±Inf rank like any SQL
+    // engine ranks them (DuckDB quantile_disc keeps Inf as extreme
+    // values and treats only NULL/NaN as missing) — p0 is -Inf, p100
+    // is +Inf, the median ignores neither
+    val vs = Seq(Double.NegativeInfinity, 1.0, 2.0, 3.0, Double.PositiveInfinity,
+      Double.NaN) // NaN is the ONLY dropped value → N=5
+    val got = vs.toDS().select(
+      new graft.pipeline.StreamHist(8, Seq(0.0, 0.5, 1.0)).toColumn).head()
+    assert(got == Seq(Double.NegativeInfinity, 2.0, Double.PositiveInfinity))
+    // approximation regime with both infinities resident: forced merges
+    // across 16 partitions never produce a NaN centroid (k >= 3 makes
+    // the -Inf/+Inf adjacency unreachable) and the median of the bulk
+    // stays finite and sane
+    val big = Seq(Double.NegativeInfinity, Double.PositiveInfinity) ++
+      (1 to 5000).map(_.toDouble)
+    val est = spark.sparkContext.parallelize(big, 16).toDS().select(
+      new graft.pipeline.StreamHist(64, Seq(0.5)).toColumn).head().head
+    assert(!est.isNaN && math.abs(est - 2500.0) / 2500.0 < 0.10, s"p50 $est")
+    // TopK agrees on Inf semantics: infinities are rankable, NaN dropped
+    val tk = Seq((Double.PositiveInfinity, 1L), (5.0, 2L),
+      (Double.NegativeInfinity, 3L), (Double.NaN, 4L)).toDS()
+      .select(new graft.pipeline.TopK(2).toColumn).head()
+    assert(tk == Seq((Double.PositiveInfinity, 1L), (5.0, 2L)))
+  }
+
   test("topk aggregator: equals the window formulation on shuffled input") {
     val implicits = spark.implicits
     import implicits._

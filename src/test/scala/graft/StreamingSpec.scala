@@ -195,6 +195,12 @@ class StreamingSpec extends SparkSpec {
     ).toDF("event_id", "user_id", "event_type", "ts")
     val r = EventStreams.funnel(ev).head()
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((3L, 2L, 0.666667)))
+    // degenerate windows fail fast with a funnel-level message, not
+    // RangeJoin's internal bucketSeconds requirement
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.funnel(ev, withinHours = 0)
+    }
+    assert(e.getMessage.contains("funnel conversion window"))
   }
 
   test("streaming per-window top-k: TopKBuf state survives micro-batch boundaries") {
