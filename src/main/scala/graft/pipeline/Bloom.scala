@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter partial state: the bit array as packed 64-bit words.
+  * Fixed-array in-place discipline like the other sketch buffers. */
+final case class BloomBuf(words: Array[Long])
+
+/** Bloom filter (Bloom 1970) as a typed Catalyst [[Aggregator]] — the
+  * bounded-state SET-MEMBERSHIP summary completing the sketch family:
+  * frequencies ([[MisraGries]]/[[CountMin]]), cardinality ([[KMV]]),
+  * quantiles ([[StreamHist]]), and now "have I seen this key". State is
+  * m bits regardless of how many keys were added; reduce sets k bits
+  * per row; merge is one element-wise OR — associative, commutative and
+  * ORDER-INDEPENDENT, so the filter is a pure function of the input
+  * set in every regime.
+  *
+  * Like [[CountMin]], the k bit positions are computed IN THE PLAN
+  * (codegen'd `graft_hash60` over per-position prefixes, mod m — see
+  * [[Bloom.positions]]); the aggregator consumes finished indices.
+  * Because a Bloom filter's semantics reduce to "the set of set bit
+  * positions", a SQL oracle can reproduce membership answers EXACTLY —
+  * false positives included — by rebuilding the position set
+  * relationally from the same md5 mirror formula. No "zero-FP regime"
+  * caveat is needed; the estimate itself is deterministic. */
+class BloomAgg(mWords: Int, k: Int)
+    extends Aggregator[Seq[Int], BloomBuf, Array[Long]] {
+  require(mWords >= 1 && k >= 1, "Bloom needs >= 1 word and >= 1 hash")
+
+  override def zero: BloomBuf = BloomBuf(new Array[Long](mWords))
+
+  override def reduce(b: BloomBuf, positions: Seq[Int]): BloomBuf = {
+    var i = 0
+    while (i < k) {
+      val p = positions(i)
+      b.words(p >>> 6) |= (1L << (p & 63))
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a: BloomBuf, b: BloomBuf): BloomBuf = {
+    var i = 0
+    while (i < mWords) { a.words(i) |= b.words(i); i += 1 }
+    a
+  }
+
+  override def finish(s: BloomBuf): Array[Long] = s.words
+
+  override def bufferEncoder: Encoder[BloomBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
+object Bloom {
+
+  /** The k codegen'd bit positions for `key`, as one int-array column:
+    * pos_i = hash60("bl<i>:" ++ key) mod m. Mirrors in DuckDB as
+    * ('0x'||substr(md5('bl<i>:'||key),1,15))::BIGINT % m. */
+  def positions(key: Column, k: Int, mBits: Int): Column =
+    array((0 until k).map(i =>
+      pmod(TextOps.hash60(key, s"bl$i:"), lit(mBits.toLong)).cast("int")): _*)
+
+  /** `true` iff every one of the k bits for `key` is set in `words`
+    * (an Array[Long] column holding the packed filter). Pure codegen'd
+    * column expression — element_at + shift — usable against a
+    * broadcast one-row filter. */
+  def mightContain(words: Column, key: Column, k: Int, mBits: Int): Column =
+    (0 until k).map { i =>
+      val pos = pmod(TextOps.hash60(key, s"bl$i:"), lit(mBits.toLong)).cast("int")
+      getbit(element_at(words, shiftrightunsigned(pos, 6) + 1),
+        pos.bitwiseAND(lit(63))) === 1
+    }.reduce(_ && _)
+
+  /** Bloom-gated decontamination — the broadcast-prefilter form of
+    * [[Corpus.decontaminate]] a 100 TB corpus runs when the eval
+    * benchmark is small: build an m-bit filter over the eval slice's
+    * 8-gram keys (ONE bounded aggregation → a single row of m/64
+    * longs), broadcast it, and probe every training gram with k
+    * codegen'd bit tests — no shuffle of the training gram stream at
+    * all, versus the exact semi-join's full gram-keyed exchange.
+    * Returns (doc_id, n_maybe): per flagged training doc, how many of
+    * its DISTINCT grams the filter accepts. n_maybe ≥ the exact
+    * n_shared, the Bloom overcount being the documented price of the
+    * shuffle-free probe; sizing m at ~10 bits/key puts the FP rate
+    * under 1% and the exact pass can then run on the ≤1% survivors.
+    * Same split-before-shingle discipline as the exact operator. */
+  def bloomDecontaminate(docs: DataFrame, evalPct: Int = 5,
+                         mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val isEval =
+      pmod(TextOps.hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) <
+        evalPct
+    val bl = udaf(new BloomAgg(mBits / 64, k), ExpressionEncoder[Seq[Int]]())
+    val filterRow = TextOps.shingles(docs.filter(isEval), 8)
+      .select(positions(col("sh"), k, mBits).as("ps"))
+      .agg(bl(col("ps")).as("words"))
+    TextOps.shingles(docs.filter(!isEval), 8)
+      .select(col("doc_id"), col("sh")).distinct()
+      .crossJoin(broadcast(filterRow))
+      .filter(mightContain(col("words"), col("sh"), k, mBits))
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_maybe"))
+  }
+}

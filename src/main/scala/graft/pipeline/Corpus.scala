@@ -491,6 +491,62 @@ object Corpus {
       .agg(round(avg(-log(col("c") / col("tot"))), 6).as("nll"))
   }
 
+  /** Bigram language-model scoring — the order-2 refinement of
+    * [[lmScore]]: each doc's mean negative log-probability under the
+    * corpus-trained bigram model p(w2 | w1) = c(w1,w2) / c(w1,·),
+    * where c(w1,·) sums the bigram counts with context w1 (so the
+    * model is a proper conditional even at document-final tokens).
+    * Every document bigram exists in the training counts by
+    * construction (the corpus trains on itself), so no smoothing term
+    * is needed and the probabilities are exact rationals.
+    * Repetitive/templated text scores low nll, rare constructions
+    * high — the perplexity-shaped quality signal of Wenzek et al.'s
+    * CCNet pipeline, with the corpus itself standing in for the LM.
+    *
+    * Plan: ONE tokenization feeds both the bigram stream (lead() over
+    * the per-doc position window — one shuffle on doc_id) and the
+    * model counts (map-side-combined groupBy of that same stream); the
+    * per-doc score is then a bigram-keyed join back. Shuffles are
+    * bounded by the token count; nothing is ever doc × doc or
+    * vocab × vocab. Returns (doc_id, n_bigrams, nll) — single-token
+    * docs have no bigram and are excluded, mirroring the SQL twin. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val w = docs.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "term")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bg = w.withColumn("nxt", lead("term", 1).over(win))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("term"), col("nxt"))
+    val cb = bg.groupBy("term", "nxt").agg(count(lit(1)).as("cb"))
+    val cuc = cb.groupBy("term").agg(sum("cb").as("cu"))
+    bg.join(cb, Seq("term", "nxt"))
+      .join(cuc, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(col("cb") / col("cu"))), 6).as("nll"))
+  }
+
+  /** Deterministic train/validation/test assignment: split is a pure
+    * function of doc_id (salted hash bucket over 100, the same
+    * integer-compare discipline as [[mixSample]]/[[hashSample]]), so
+    * membership is reproducible across engines, runs and
+    * repartitioning, and a doc can never migrate between splits when
+    * the corpus grows — the property a training pipeline needs to keep
+    * eval data uncontaminated across refreshes. Narrow projection,
+    * zero shuffle. */
+  def splitAssign(docs: DataFrame, trainPct: Int = 90,
+                  valPct: Int = 5): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must be >= 0 and sum <= 100, got $trainPct/$valPct")
+    val b = pmod(hash60(col("doc_id").cast("string"), "sp:"), lit(100L))
+    docs.select(col("doc_id"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** THE segment-windowing formula: consecutive `width`-token windows
     * of an already-split token array, joined back to strings. Single
     * definition shared by [[segmentDedup]] (offline miner) and

@@ -513,6 +513,47 @@ object Sketches {
     * checkpoint directory after upgrading across v1→v2. */
   val StateSchemaVersion: Int = 2
 
+  /** The d codegen'd Count–Min bucket indices for `term`, as one array
+    * column: bucket_j = hash60("cm<j>:" ++ term) mod w. Stays entirely
+    * inside whole-stage codegen (native `graft_hash60`, pmod) — the
+    * aggregator receives finished indices and never touches a digest.
+    * The same formula is reproducible in DuckDB from the md5 mirror,
+    * which is what makes the sketch's estimates (collisions included)
+    * oracle-checkable. */
+  def cmsBuckets(term: org.apache.spark.sql.Column, d: Int, w: Int)
+      : org.apache.spark.sql.Column =
+    array((0 until d).map(j =>
+      pmod(TextOps.hash60(term, s"cm$j:"), lit(w.toLong)).cast("int")): _*)
+
+  /** Count–Min frequency estimates probed at the corpus's exact top-`n`
+    * terms: (term, exact, est) with est ≥ exact by construction. One
+    * narrow explode feeds BOTH the bounded-state sketch (a single d·w
+    * counter row) and the exact probe list; the probe then reads its d
+    * counters out of the broadcast sketch row with `element_at` — no
+    * second pass over the data. The exact counts exist here only to
+    * exhibit the estimation error; a production probe queries arbitrary
+    * terms against the same sketch row. Tokenization is [[Corpus.terms]],
+    * the single shared definition. */
+  def cmsTermCounts(docs: DataFrame, d: Int = 3, w: Int = 1024,
+                    topN: Int = 20): DataFrame = {
+    val cm = udaf(new CountMin(d, w),
+      ExpressionEncoder[Seq[Int]]())
+    val terms = Corpus.terms(docs)
+    val sketch = terms.select(cm(cmsBuckets(col("term"), d, w)).as("sk"))
+    val probe = terms.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("exact"))
+      .orderBy(col("exact").desc, col("term").asc)
+      .limit(topN)
+    val est = (0 until d).map(j =>
+      element_at(col("sk"),
+        lit(j * w + 1) + pmod(TextOps.hash60(col("term"), s"cm$j:"), lit(w.toLong))
+          .cast("int")))
+      .reduce(least(_, _))
+    probe.crossJoin(broadcast(sketch))
+      .select(col("term"), col("exact"), est.cast("long").as("est"))
+      .orderBy(col("exact").desc, col("term").asc)
+  }
+
   /** Per-window heavy hitters: the [[MisraGries]] sketch registered
     * through `functions.udaf` so it composes into an UNTYPED windowed
     * groupBy like any built-in aggregate — per hour, the top `topN`

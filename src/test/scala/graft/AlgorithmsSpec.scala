@@ -260,4 +260,69 @@ class AlgorithmsSpec extends SparkSpec {
     assert(Structure.kcoreMembers(noEdges, 2, 5).isEmpty)
     assert(Traversal.bfsDistances(noEdges, noIds, 5).isEmpty)
   }
+
+  test("closeness/harmonic on directed path 1→2→3, isolated 4") {
+    val got = Centrality.closeness(ids(1, 2, 3, 4),
+        edges(1L -> 2L, 2L -> 3L), 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // node 1 reaches 2 (d=1) and 3 (d=2): closeness 2/3, harmonic 1.5
+    assert(got(1L) == ((2L, 0.666667, 1.5)))
+    assert(got(2L) == ((1L, 1.0, 1.0)))
+    assert(got(3L) == ((0L, 0.0, 0.0))) // sink: nothing reachable
+    assert(got(4L) == ((0L, 0.0, 0.0))) // isolated
+  }
+
+  test("closeness respects the depth cap and the sources bound") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val capped = Centrality.closeness(ids(1, 2, 3, 4), e, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // sampled sources: rows only for the requested roots, values exact
+    val some = Centrality.closeness(ids(1, 2, 3, 4), e, 5, Some(ids(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(some.toSeq == Seq((1L, 3L, 0.5))) // 3 reached, Σd = 6
+  }
+
+  test("hits: hubs point to authorities (star in / star out)") {
+    // 1 and 2 both point at 4 and 5; 3 is isolated.
+    val got = Centrality.hits(ids(1, 2, 3, 4, 5),
+        edges(1L -> 4L, 1L -> 5L, 2L -> 4L, 2L -> 5L), 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // symmetry: the two hubs tie, the two authorities tie, L1 sums = 1
+    assert(got(1L) == got(2L) && got(4L) == got(5L))
+    assert(got(1L)._1 == 0.5 && got(1L)._2 == 0.0) // pure hubs
+    assert(got(4L)._1 == 0.0 && got(4L)._2 == 0.5) // pure authorities
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
+  test("linkPrediction on path 1–2–3: predicts (1,3) through center 2") {
+    val sym = symm(edges(1L -> 2L, 2L -> 3L))
+    val got = algorithms.LinkPrediction.scores(sym).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // only candidate: (1,3), one common neighbor of degree 2;
+    // jaccard = 1/(1+1-1) = 1, aa = 1/ln 2
+    assert(got.keySet == Set((1L, 3L)))
+    assert(got((1L, 3L)) ==
+      ((1L, 1.0, math.rint(1.0 / math.log(2.0) * 1e6) / 1e6)))
+    // focal form ranks candidates per query node (both directions kept)
+    val focal = algorithms.LinkPrediction.scores(sym, Some(ids(3))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(focal == Set((3L, 1L)))
+  }
+
+  test("linkPrediction excludes existing edges and sums AA per neighbor") {
+    // square 1-2-3-4-1 plus diagonal 1-3: candidates are only (2,4)
+    // (two common neighbors 1 and 3 of degrees 3 and 3)
+    val sym = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L))
+    val got = algorithms.LinkPrediction.scores(sym).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((2L, 4L)))
+    val aa = 2.0 / math.log(3.0)
+    assert(got((2L, 4L)) ==
+      ((2L, 1.0, math.rint(aa * 1e6) / 1e6))) // jaccard 2/(2+2-2) = 1
+  }
 }

@@ -680,6 +680,124 @@ class PipelineSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("stop_hits") >= 2L)
   }
 
+  test("countmin: upper bound, exactness without collisions, order-independence") {
+    val implicits = spark.implicits
+    import implicits._
+    val rows = (1 to 400).map(i => s"t${i % 23}") // 23 distinct terms
+    val d = docs(1L -> rows.mkString(" "))
+    val got = graft.pipeline.Sketches.cmsTermCounts(d, d = 3, w = 1024, topN = 23)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 23)
+    // est >= exact always; with 23 terms in 3×1024 buckets, no term
+    // collides in every row — all estimates exact here
+    assert(got.forall { case (_, exact, est) => est >= exact })
+    assert(got.forall { case (_, exact, est) => est == exact })
+    // order-independence: the counter matrix is a sum — reversed,
+    // repartitioned input produces the identical probe table
+    val d2 = spark.sparkContext.parallelize(rows.reverse, 13).toDF("t")
+      .agg(concat_ws(" ", collect_list("t")).as("text"))
+      .select(lit(1L).as("doc_id"), col("text"), lit("en").as("lang"))
+    val got2 = graft.pipeline.Sketches.cmsTermCounts(d2, d = 3, w = 1024, topN = 23)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == got2.sortBy(_._1).toSeq)
+  }
+
+  test("countmin reproduces collision overcounts deterministically") {
+    val implicits = spark.implicits
+    import implicits._
+    // w=2 forces every term into 2 buckets per row: estimates are the
+    // per-bucket sums — wildly over 'exact', but min over rows and
+    // exactly reproducible (the property the SQL oracle replays)
+    val d = docs(1L -> "a b c d a b")
+    val got = graft.pipeline.Sketches.cmsTermCounts(d, d = 2, w = 2, topN = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, exact, est) => est >= exact })
+    assert(got.map(_._3).sum >= got.map(_._2).sum)
+  }
+
+  test("bloom: no false negatives; gate accepts a superset of exact decontam") {
+    val implicits = spark.implicits
+    import implicits._
+    // doc_ids chosen so the ev: hash puts at least one doc in the eval
+    // slice; every doc sharing an 8-gram with it MUST be flagged
+    val d = (1L to 60L).map { i =>
+      val txt = if (i % 3 == 0) base + s" shared tail marker $i"
+                else s"unique payload number $i " + ("x" * 20)
+      (i, txt)
+    }
+    val df = docs(d: _*)
+    val exact = graft.pipeline.Corpus.decontaminate(df, 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = graft.pipeline.Bloom.bloomDecontaminate(df, 20,
+        mBits = 1 << 16, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exactly-contaminated doc is flagged,
+    // with at least as many accepted grams
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"bloom missed contaminated doc $id")
+      assert(bloom(id) >= n, s"bloom undercounted doc $id")
+    }
+  }
+
+  test("bloom mightContain: inserted keys always hit") {
+    val implicits = spark.implicits
+    import implicits._
+    val keys = (1 to 200).map(i => s"key_$i")
+    val m = 1 << 12; val k = 4
+    val bl = udaf(new graft.pipeline.BloomAgg(m / 64, k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+    val filterRow = keys.toDF("key")
+      .select(graft.pipeline.Bloom.positions(col("key"), k, m).as("ps"))
+      .agg(bl(col("ps")).as("words"))
+    val probes = (keys ++ (1 to 200).map(i => s"other_$i")).toDF("key")
+    val got = probes.crossJoin(broadcast(filterRow))
+      .select(col("key"),
+        graft.pipeline.Bloom.mightContain(col("words"), col("key"), k, m)
+          .as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(keys.forall(got(_)), "bloom false negative")
+    // at 200 keys in 4096 bits the FP rate is ~0.2% — most non-keys miss
+    val fps = (1 to 200).count(i => got(s"other_$i"))
+    assert(fps < 20, s"implausible FP count $fps")
+  }
+
+  test("bigramNll: conditional probabilities from the corpus model") {
+    val implicits = spark.implicits
+    import implicits._
+    // corpus: "a b" ×2 and "a c": c(a,b)=2, c(a,c)=1, c(a,·)=3
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c")
+    val got = graft.pipeline.Corpus.bigramNll(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    val nllAB = math.rint(-math.log(2.0 / 3.0) * 1e6) / 1e6
+    val nllAC = math.rint(-math.log(1.0 / 3.0) * 1e6) / 1e6
+    assert(got == List((1L, 1L, nllAB), (2L, 1L, nllAB), (3L, 1L, nllAC)))
+    // single-token docs contribute no bigram and no output row
+    assert(graft.pipeline.Corpus.bigramNll(docs(9L -> "solo")).count() == 0)
+  }
+
+  test("splitAssign: total, deterministic, growth-stable partition") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = docs((1L to 500L).map(i => i -> s"doc $i"): _*)
+    val got = graft.pipeline.Corpus.splitAssign(d, 90, 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 500 && got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly proportional (hash-uniform): train ≈ 450
+    val n = got.values.count(_ == "train")
+    assert(n > 400 && n < 500, s"train count $n")
+    // growth stability: the first 100 docs keep their assignment when
+    // 400 more arrive — membership is a pure function of doc_id
+    val small = graft.pipeline.Corpus.splitAssign(
+        docs((1L to 100L).map(i => i -> s"doc $i"): _*), 90, 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, s) => got(id) == s })
+    // invalid percentages fail fast
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Corpus.splitAssign(d, 80, 30)
+    }
+  }
+
   test("segment dedup keeps a doc's internal repeats when df < minDf") {
     // the same window twice WITHIN one doc is df=1 — kept both times,
     // in original positions (dedup is cross-document, not intra-doc)

@@ -132,4 +132,34 @@ class ShuffleRegimeSpec extends SparkSpec {
       assert(b == s, s"aStar($heur) differs across regimes")
     }
   }
+
+  test("closeness: shuffle regime ≡ broadcast regime") {
+    // reach and closeness (a ratio of exact integers) are bit-equal;
+    // harmonic is a float sum whose order differs across regimes, so it
+    // gets the usual 1e-9 numeric compare instead of set equality
+    def cl = graft.algorithms.Centrality.closeness(nodeDf, edgeDf, 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val (b, s) = both(cl)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, (nr, c, h)) =>
+      assert(nr == s(id)._1 && c == s(id)._2,
+        s"closeness($id) integer parts differ across regimes")
+      assert(math.abs(h - s(id)._3) < 1e-9,
+        s"harmonic($id) differs across regimes")
+    }
+  }
+
+  test("hits: shuffle regime ≡ broadcast regime (1e-9)") {
+    def hs = graft.algorithms.Centrality.hits(nodeDf, edgeDf, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val (b, s) = both(hs)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, (h, a)) =>
+      assert(math.abs(h - s(id)._1) < 1e-9 && math.abs(a - s(id)._2) < 1e-9,
+        s"hits($id) differs across regimes")
+    }
+  }
 }
