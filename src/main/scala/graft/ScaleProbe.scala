@@ -87,6 +87,17 @@ object ScaleProbe {
         time("term_pmi")(Corpus.termPmi(docs)),
         time("hashed_features")(Corpus.hashedFeatures(docs)),
         time("source_kl")(Corpus.sourceKl(docs)),
+        // bounded-state sketches over the K× term stream: the counter
+        // matrix / bit array is CONSTANT size, so time tracks the
+        // explode — expect ~linear
+        time("cms")(graft.pipeline.Sketches.cmsTermCounts(docs)),
+        // replicas multiply training grams but the eval slice grows K×
+        // too; the broadcast probe stays a narrow map — expect ~linear
+        // in the gram stream, with only accepted grams shuffling
+        time("bloom_decontam")(graft.pipeline.Bloom.bloomDecontaminate(docs)),
+        // bigram stream is token-linear; the model-count join keys grow
+        // sublinearly (replica-salted tails add few new bigram types)
+        time("lm_bigram")(Corpus.bigramNll(docs)),
         // temporal joins over a K×-wider user population: one window /
         // one bucketed equi-join, expected ~linear
         time("asof_join") {

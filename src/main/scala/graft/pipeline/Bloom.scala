@@ -97,10 +97,15 @@ object Bloom {
     val filterRow = TextOps.shingles(docs.filter(isEval), 8)
       .select(positions(col("sh"), k, mBits).as("ps"))
       .agg(bl(col("ps")).as("words"))
+    // probe BEFORE the distinct: the filter is a narrow map against the
+    // broadcast row, so only ACCEPTED grams (true hits + the ≲1% FPs)
+    // ever reach a shuffle — a pre-probe distinct would exchange the
+    // entire training gram stream and forfeit the filter's whole point
     TextOps.shingles(docs.filter(!isEval), 8)
-      .select(col("doc_id"), col("sh")).distinct()
+      .select(col("doc_id"), col("sh"))
       .crossJoin(broadcast(filterRow))
       .filter(mightContain(col("words"), col("sh"), k, mBits))
+      .select(col("doc_id"), col("sh")).distinct()
       .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_maybe"))
   }
 }

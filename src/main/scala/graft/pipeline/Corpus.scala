@@ -503,11 +503,14 @@ object Corpus {
     * high — the perplexity-shaped quality signal of Wenzek et al.'s
     * CCNet pipeline, with the corpus itself standing in for the LM.
     *
-    * Plan: ONE tokenization feeds both the bigram stream (lead() over
-    * the per-doc position window — one shuffle on doc_id) and the
-    * model counts (map-side-combined groupBy of that same stream); the
-    * per-doc score is then a bigram-keyed join back. Shuffles are
-    * bounded by the token count; nothing is ever doc × doc or
+    * Plan: the bigram stream (tokenize + lead() over the per-doc
+    * position window — one shuffle on doc_id) is materialized ONCE
+    * with localCheckpoint and then feeds the model counts AND the
+    * scoring join; without the checkpoint, Catalyst re-runs the
+    * explode+window once per consumer (three times — plan-audited).
+    * At cluster scale the same role is played by a persisted staging
+    * table of bigrams, the usual shape for an LM-count job. Shuffles
+    * are bounded by the token count; nothing is ever doc × doc or
     * vocab × vocab. Returns (doc_id, n_bigrams, nll) — single-token
     * docs have no bigram and are excluded, mirroring the SQL twin. */
   def bigramNll(docs: DataFrame): DataFrame = {
@@ -519,6 +522,7 @@ object Corpus {
     val bg = w.withColumn("nxt", lead("term", 1).over(win))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), col("term"), col("nxt"))
+      .localCheckpoint()
     val cb = bg.groupBy("term", "nxt").agg(count(lit(1)).as("cb"))
     val cuc = cb.groupBy("term").agg(sum("cb").as("cu"))
     bg.join(cb, Seq("term", "nxt"))

@@ -526,11 +526,11 @@ object Sketches {
       pmod(TextOps.hash60(term, s"cm$j:"), lit(w.toLong)).cast("int")): _*)
 
   /** Count–Min frequency estimates probed at the corpus's exact top-`n`
-    * terms: (term, exact, est) with est ≥ exact by construction. One
-    * narrow explode feeds BOTH the bounded-state sketch (a single d·w
-    * counter row) and the exact probe list; the probe then reads its d
-    * counters out of the broadcast sketch row with `element_at` — no
-    * second pass over the data. The exact counts exist here only to
+    * terms: (term, exact, est) with est ≥ exact by construction. The
+    * sketch (a single d·w counter row) and the exact probe list each
+    * aggregate the narrow term stream once — two scans, both map-side
+    * combined; the probe then reads its d counters out of the broadcast
+    * sketch row with `element_at`. The exact counts exist here only to
     * exhibit the estimation error; a production probe queries arbitrary
     * terms against the same sketch row. Tokenization is [[Corpus.terms]],
     * the single shared definition. */
