@@ -387,6 +387,49 @@ FROM tn LEFT JOIN h$iters h ON h.id = tn.id LEFT JOIN a$iters a ON a.id = tn.id"
     sb.toString
   }
 
+  /** Unrolled personalized PageRank on the trade-top graph, mirroring
+    * Community.personalizedPageRank op for op — including the
+    * teleport-folded identity rows (c = tele/d, one aggregation
+    * d·Σc per iteration). */
+  def pprSql(sources: Seq[Long], damping: Double, iters: Int): String = {
+    val d = damping.toString
+    val srcList = sources.mkString(", ")
+    val s = sources.size
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= s", outdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS odeg FROM ttedges GROUP BY src)"
+    sb ++= s", r0 AS (SELECT id, 1.0 / $s AS rank FROM tn WHERE id IN ($srcList))"
+    for (i <- 1 to iters) {
+      sb ++= s""", r$i AS MATERIALIZED (SELECT id, $d * SUM(c) AS rank FROM (
+  SELECT e.dst AS id, r.rank / od.odeg AS c
+  FROM ttedges e JOIN r${i - 1} r ON r.id = e.src JOIN outdeg od ON od.id = e.src
+  UNION ALL
+  SELECT id, CASE WHEN id IN ($srcList) THEN (1.0 - $d) / $s / $d ELSE 0.0 END AS c
+  FROM tn) u GROUP BY id)"""
+    }
+    sb ++= s", tot AS (SELECT SUM(rank) AS t FROM r$iters)"
+    sb ++= s" SELECT id, ROUND(rank / (SELECT t FROM tot), 8) AS rank FROM r$iters"
+    sb.toString
+  }
+
+  /** Unrolled synchronous min-tie label propagation on the
+    * co-occurrence graph, mirroring Community.labelPropagation. */
+  def labelPropSql(iters: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.cooccurSql}")
+    sb ++= ", l0 AS (SELECT id, id AS label FROM pnodes)"
+    for (i <- 1 to iters) {
+      sb ++= s""", c$i AS MATERIALIZED (SELECT e.src AS id, l.label AS nl, COUNT(*) AS cnt
+  FROM psym e JOIN l${i - 1} l ON l.id = e.dst GROUP BY 1, 2)"""
+      sb ++= s""", b$i AS (SELECT id, nl FROM (
+  SELECT id, nl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, nl ASC) AS rn
+  FROM c$i) t WHERE rn = 1)"""
+      sb ++= s""", l$i AS MATERIALIZED (SELECT l.id, COALESCE(b.nl, l.label) AS label
+  FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)"""
+    }
+    sb ++= s" SELECT id, CAST(label AS BIGINT) AS label FROM l$iters"
+    sb.toString
+  }
+
   /** Focal-bounded link prediction on the co-occurrence graph: wedge
     * enumeration from the focal source side, Adamic–Adar / Jaccard /
     * common-neighbor scores for non-adjacent candidate pairs, top-n by

@@ -22,6 +22,11 @@ object SparkEntry {
   private def g(spark: SparkSession, dir: String): PropertyGraph =
     GraphBuilder.tpch(spark, dir)
 
+  /** PPR restart set (nations 0, 7, 13) — shared by the Spark query
+    * and its oracle so the two can never drift. */
+  private val pprSources: Seq[Long] = Seq(0L, 7L, 13L)
+    .map(GraphBuilder.NationTag * GraphBuilder.TAG + _)
+
   /** The hashed shingle stream (doc_id, ha, hb) feeds minhash, simhash
     * AND the jaccard verifier — persist it once per (session, sfDir) so
     * the substring scan + 2 md5/shingle run once, not once per operator.
@@ -306,6 +311,15 @@ object SparkEntry {
         Some(GraphBuilder.table(s, d, "part")
           .select((lit(PartTag * TAG) + col("p_partkey")).as("id"))
           .filter(col("id") <= PartTag * TAG + 200L)), 50)),
+    "q_ppr" -> ((s, d) =>
+      Community.personalizedPageRank(DerivedGraphs.tradeNodes(s, d),
+          DerivedGraphs.nationTradeTop(s, d), pprSources, 0.85, 10)
+        .select(col("id"), round(col("rank"), 8).as("rank"))),
+    "q_label_prop" -> ((s, d) => {
+      val sym = DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d))
+      Community.labelPropagation(
+        sym.select(col("src").as("id")).distinct(), sym, 5)
+    }),
     "q_triangles" -> ((s, d) => {
       val pe = DerivedGraphs.partCooccur(s, d)
       // each triangle is counted once per corner: Σ tri_cnt = 3t
@@ -662,6 +676,8 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_closeness" -> Oracles.closenessSql(24),
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
+    "q_ppr" -> Oracles.pprSql(pprSources, 0.85, 10),
+    "q_label_prop" -> Oracles.labelPropSql(5),
     "q_triangles" -> Oracles.trianglesSql,
     "q_clustering" -> Oracles.clusteringSql,
 

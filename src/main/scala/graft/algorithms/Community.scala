@@ -734,4 +734,226 @@ object Community {
     (0 until u).filter(inRank(_))
       .map(i => (idx.id(i), rank(i) / total)).toDF("id", "rank")
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands only on the `sources` set instead of uniformly —
+    * rank' = (1−d)·1_{v∈S}/|S| + d·Σ_in rank/outdeg, started from the
+    * uniform distribution over S, final sum-normalization. The
+    * proximity ranking behind "related nodes" / seeded recommendation
+    * queries (Jeh & Widom 2003 / Page et al.'s personalization
+    * vector). Plan shape is [[pageRank]]'s — the per-node teleport
+    * folds INTO the identity rows (c = tele/d, so d·Σc absorbs the
+    * teleport term) and each iteration stays one hash join + ONE
+    * map-side-combined aggregation, no join-back. Dual regime under
+    * the standard driver gate. Output: (id, rank) over the node set
+    * plus any edge-reached ids, rounded nowhere (callers round). */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           sources: Seq[Long], damping: Double,
+                           iterations: Int): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs >= 1 source")
+    val (ids, mI) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    if (mI("n").asInstanceOf[Long] <= Tuning.broadcastThreshold) {
+      val (eAll, mEAll) = Probe.checkpointObserved(
+        edges.select("src", "dst"), count(lit(1)).as("n"))
+      if (mEAll("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+        return pprLocal(ids, eAll, sources, damping, iterations)
+    }
+    val s = sources.size.toDouble
+    val isSrc = col("id").isin(sources: _*)
+    val e = edges.select("src", "dst")
+    val small = mI("n").asInstanceOf[Long] <= Tuning.broadcastThreshold
+    val outdeg0 = e.groupBy(col("src").as("src")).agg(count(lit(1)).as("odeg"))
+    val outdeg = if (small) broadcast(outdeg0) else outdeg0
+    val eDeg0 = e.join(outdeg, Seq("src"))
+    val eDeg = (if (small) eDeg0 else eDeg0.repartition(col("src")))
+      .localCheckpoint()
+    // identity rows carry the per-node teleport as c = tele/d so the
+    // single aggregation d·Σc reproduces tele + d·(contribution sum)
+    val teleRows = ids.select(col("id"),
+      (when(isSrc, lit((1.0 - damping) / s)).otherwise(lit(0.0)) /
+        lit(damping)).as("c")).localCheckpoint()
+    var rank = ids.filter(isSrc).withColumn("rank", lit(1.0 / s))
+      .localCheckpoint()
+    var totalObs = Double.NaN
+    for (i <- 1 to iterations) {
+      val contribs = rank.as("r")
+        .join(eDeg.as("edg"), col("r.id") === col("edg.src"))
+        .select(col("edg.dst").as("id"), (col("r.rank") / col("edg.odeg")).as("c"))
+      rank = contribs.unionByName(teleRows)
+        .groupBy("id").agg((lit(damping) * sum("c")).as("rank"))
+      if (i == iterations) {
+        val (ck, mT) = Probe.checkpointObserved(rank, sum("rank").as("t"))
+        rank = ck
+        totalObs = mT("t").asInstanceOf[Double]
+      } else if (i % 3 == 0) rank = rank.localCheckpoint()
+    }
+    val total =
+      if (iterations >= 1) totalObs
+      else rank.agg(sum("rank")).head().getDouble(0)
+    rank.select(col("id"), (col("rank") / lit(total)).as("rank"))
+  }
+
+  /** Driver-gated PPR twin — same teleport-folded iteration over the
+    * packed arrays; float-sum order differences are absorbed by the
+    * callers' rounding exactly as in [[pageRankLocal]]. */
+  private def pprLocal(ids: DataFrame, edges: DataFrame, sources: Seq[Long],
+                       damping: Double, iterations: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val Array(idArr) = LocalGraph.packed(ids.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      edges.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val nIds = idArr.length
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val odeg = new Array[Long](u)
+    srcIx.foreach(s => odeg(s) += 1)
+    val srcSet = sources.toSet
+    val sN = sources.size.toDouble
+    val tele = new Array[Double](u)
+    var i = 0
+    while (i < nIds) {
+      if (srcSet(idArr(i))) tele(idx.get(idArr(i))) = (1.0 - damping) / sN
+      i += 1
+    }
+    var rank = new Array[Double](u)
+    val inRank = new Array[Boolean](u)
+    i = 0
+    while (i < nIds) {
+      val v = idx.get(idArr(i))
+      if (srcSet(idArr(i))) { rank(v) = 1.0 / sN; inRank(v) = true }
+      i += 1
+    }
+    var it = 0
+    while (it < iterations) {
+      val acc = new Array[Double](u)
+      val hit = new Array[Boolean](u)
+      var k = 0
+      while (k < srcIx.length) {
+        val s = srcIx(k)
+        if (inRank(s)) { acc(dstIx(k)) += rank(s) / odeg(s); hit(dstIx(k)) = true }
+        k += 1
+      }
+      // identity (teleport) rows exist for every node in the id set;
+      // contribution-reached ids outside it ride along — and drop out
+      // the round they stop receiving rows, exactly like the
+      // distributed union-aggregate (and pageRankLocal's hit flags)
+      val next = new Array[Double](u)
+      i = 0
+      while (i < u) {
+        val present = i < nIds || hit(i)
+        if (present) next(i) = (if (i < nIds) tele(i) else 0.0) +
+          damping * acc(i)
+        inRank(i) = present
+        i += 1
+      }
+      rank = next
+      it += 1
+    }
+    var total = 0.0
+    i = 0
+    while (i < u) { if (inRank(i)) total += rank(i); i += 1 }
+    import spark.implicits._
+    (0 until u).filter(inRank(_))
+      .map(i => (idx.id(i), rank(i) / total)).toDF("id", "rank")
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with the
+    * deterministic min-label tie rule: every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * neighbors (ties → smallest label), keeping its current label only
+    * when it has no neighbors. Fixed `iterations` rounds — the
+    * deterministic variant an oracle can replay (asynchronous LPA is
+    * schedule-dependent by construction). `symEdges` must be the
+    * symmetric view of a simple graph.
+    *
+    * Per round: one hash join (labels onto the dst side), one
+    * map-side-combined (node, label) count, and one argmax via
+    * max(struct(cnt, -label)) — NO per-round window/sort. State is one
+    * |V|-row label frame, re-checkpointed per round like every other
+    * fixpoint here. Dual regime under the standard driver gate. */
+  def labelPropagation(nodes: DataFrame, symEdges: DataFrame,
+                       iterations: Int): DataFrame = {
+    val (ids, mI) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    val (e, mE) = Probe.checkpointObserved(
+      symEdges.select("src", "dst"), count(lit(1)).as("m"))
+    if (mI("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return lpaLocal(ids, e, iterations)
+    var labels = ids.withColumn("label", col("id")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // best = (max count, then min label) per node, via one struct max
+      val best = e.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.id"))
+        .groupBy(col("e.src").as("id"), col("l.label").as("nl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
+        .select(col("id"), (-col("b.negl")).as("newl"))
+      labels = labels.as("l")
+        .join(best.as("b"), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("b.newl"), col("l.label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Driver-gated LPA twin: identical synchronous rounds over the CSR
+    * — per node, count neighbor labels in a scratch map, pick
+    * (max count, min label); isolated nodes keep their label. */
+  private def lpaLocal(ids: DataFrame, e: DataFrame,
+                       iterations: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val Array(idArr) = LocalGraph.packed(ids.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val nIds = idArr.length
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val (off, nbr) = LocalGraph.csr(srcIx, dstIx, u)
+    var label = Array.tabulate(u)(i => idx.id(i))
+    var it = 0
+    while (it < iterations) {
+      val next = java.util.Arrays.copyOf(label, u)
+      val cnt = new java.util.HashMap[Long, Integer]()
+      var v = 0
+      while (v < nIds) { // only node-set members update (and are output)
+        cnt.clear()
+        var j = off(v)
+        while (j < off(v + 1)) {
+          // only LABELED neighbors vote — edge endpoints outside the
+          // node set carry no label row, mirroring the distributed
+          // inner join that drops them
+          if (nbr(j) < nIds) {
+            val l = label(nbr(j))
+            val c = cnt.get(l)
+            cnt.put(l, if (c eq null) 1 else c.intValue() + 1)
+          }
+          j += 1
+        }
+        if (!cnt.isEmpty) {
+          var bestL = Long.MaxValue; var bestC = 0
+          val itr = cnt.entrySet().iterator()
+          while (itr.hasNext) {
+            val en = itr.next()
+            val c = en.getValue.intValue()
+            if (c > bestC || (c == bestC && en.getKey < bestL)) {
+              bestC = c; bestL = en.getKey
+            }
+          }
+          next(v) = bestL
+        }
+        v += 1
+      }
+      label = next
+      it += 1
+    }
+    import spark.implicits._
+    (0 until nIds).map(i => (idx.id(i), label(i))).toDF("id", "label")
+  }
 }

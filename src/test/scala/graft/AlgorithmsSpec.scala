@@ -313,6 +313,43 @@ class AlgorithmsSpec extends SparkSpec {
     assert(focal == Set((3L, 1L)))
   }
 
+  test("personalizedPageRank: mass stays near the restart set") {
+    // chain 1→2→3→4→5 with restart at {1}: rank decays along the chain
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val r = Community.personalizedPageRank(ids(1, 2, 3, 4, 5), e,
+        Seq(1L), 0.85, 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L) && r(4L) > r(5L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // normalized
+    // uniform restart over ALL nodes ≡ plain PageRank (same formula)
+    val pr = Community.pageRank(ids(1, 2, 3, 4, 5), e, 0.85, 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val pprAll = Community.personalizedPageRank(ids(1, 2, 3, 4, 5), e,
+        Seq(1L, 2L, 3L, 4L, 5L), 0.85, 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    pr.foreach { case (id, v) => assert(math.abs(v - pprAll(id)) < 1e-9) }
+    intercept[IllegalArgumentException] {
+      Community.personalizedPageRank(ids(1), e, Seq.empty, 0.85, 3)
+    }
+  }
+
+  test("labelPropagation: two cliques with a bridge keep two communities") {
+    // cliques {1,2,3} and {11,12,13} joined by bridge 3–11
+    val cl = symm(edges(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      11L -> 12L, 11L -> 13L, 12L -> 13L, 3L -> 11L))
+    val nodes = ids(1, 2, 3, 11, 12, 13)
+    val got = Community.labelPropagation(nodes, cl, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label tie rule pulls each clique to its smallest member
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(11L) == got(12L) && got(12L) == got(13L))
+    assert(got(1L) != got(11L), s"cliques merged: $got")
+    // isolated node keeps its own label
+    val iso = Community.labelPropagation(ids(1, 2, 99), symm(edges(1L -> 2L)), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso(99L) == 99L)
+  }
+
   test("linkPrediction excludes existing edges and sums AA per neighbor") {
     // square 1-2-3-4-1 plus diagonal 1-3: candidates are only (2,4)
     // (two common neighbors 1 and 3 of degrees 3 and 3)

@@ -151,6 +151,21 @@ class ShuffleRegimeSpec extends SparkSpec {
     }
   }
 
+  test("personalized pagerank: shuffle regime ≡ broadcast regime (1e-9)") {
+    def pr = Community.personalizedPageRank(nodeDf, edgeDf,
+        Seq(0L, 17L, 202L), 0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (b, s) = both(pr)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-9, s"ppr($id) differs across regimes") }
+  }
+
+  test("label propagation: shuffle regime ≡ broadcast regime") {
+    val (b, s) = both(asSet(Community.labelPropagation(nodeDf, symDf, 5)))
+    assert(b.nonEmpty && b == s) // integer labels: bit-equal
+  }
+
   test("hits: shuffle regime ≡ broadcast regime (1e-9)") {
     def hs = graft.algorithms.Centrality.hits(nodeDf, edgeDf, 8)
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
