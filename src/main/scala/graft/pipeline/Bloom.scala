@@ -87,16 +87,27 @@ object Bloom {
     * shuffle-free probe; sizing m at ~10 bits/key puts the FP rate
     * under 1% and the exact pass can then run on the ≤1% survivors.
     * Same split-before-shingle discipline as the exact operator. */
+  /** Build the m-bit filter over the 8-gram keys of `keyDocs` — ONE
+    * bounded aggregation producing a single (words: Array[Long]) row,
+    * the broadcast side of every downstream probe (batch decontam
+    * below, or the zero-state streaming gate in
+    * [[graft.streaming.CorpusStreams.bloomGate]]). */
+  def buildFilter(keyDocs: DataFrame, mBits: Int = 1 << 20,
+                  k: Int = 4): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val bl = udaf(new BloomAgg(mBits / 64, k), ExpressionEncoder[Seq[Int]]())
+    TextOps.shingles(keyDocs, 8)
+      .select(positions(col("sh"), k, mBits).as("ps"))
+      .agg(bl(col("ps")).as("words"))
+  }
+
   def bloomDecontaminate(docs: DataFrame, evalPct: Int = 5,
                          mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
     val isEval =
       pmod(TextOps.hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) <
         evalPct
-    val bl = udaf(new BloomAgg(mBits / 64, k), ExpressionEncoder[Seq[Int]]())
-    val filterRow = TextOps.shingles(docs.filter(isEval), 8)
-      .select(positions(col("sh"), k, mBits).as("ps"))
-      .agg(bl(col("ps")).as("words"))
+    val filterRow = buildFilter(docs.filter(isEval), mBits, k)
     // probe BEFORE the distinct: the filter is a narrow map against the
     // broadcast row, so only ACCEPTED grams (true hits + the ≲1% FPs)
     // ever reach a shuffle — a pre-probe distinct would exchange the

@@ -91,6 +91,38 @@ object CorpusStreams {
       .drop("_segs", "_kept")
   }
 
+  /** Online contamination gate: flag every incoming doc that shares a
+    * character 8-gram with a held-out benchmark set, probing a
+    * PRE-BUILT Bloom filter ([[graft.pipeline.Bloom.buildFilter]] over
+    * the eval corpus, one (words) row) — the streaming form of
+    * [[graft.pipeline.Bloom.bloomDecontaminate]]. The probe is a pure
+    * per-row expression: `exists` over the gram POSITIONS (an int
+    * sequence — the gram strings are never materialized as an array,
+    * so a multi-MB doc costs 4 bytes per position, not a copy of
+    * itself), each position substring-ed and bit-tested against the
+    * broadcast filter row. ZERO stream state — it composes into any
+    * intake like [[segmentGate]]'s literal path; the filter joins in
+    * as a stream-static broadcast equi-join on a constant key (the
+    * stateless stream-static shape; a bare crossJoin is rejected on
+    * streams). No false negatives by Bloom construction — a flagged=
+    * false doc provably shares no 8-gram with the eval set; flagged
+    * docs go to the exact (batch) check or are dropped outright.
+    * Works identically on batch frames; batch ≡ stream is pinned by
+    * spec. Adds one boolean `contaminated`. */
+  def bloomGate(docs: DataFrame, filter: DataFrame,
+                mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val probe = exists(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => graft.pipeline.Bloom.mightContain(
+        col("_bloom_words"), col("text").substr(i, lit(8)), k, mBits))
+    docs
+      .withColumn("_bk", lit(1))
+      .join(broadcast(filter.select(col("words").as("_bloom_words"))
+        .withColumn("_bk", lit(1))), Seq("_bk"))
+      .withColumn("contaminated", probe)
+      .drop("_bk", "_bloom_words")
+  }
+
   /** [[segmentGate]] with the mined boilerplate as a DataFrame of
     * 60-bit segment hashes (column `g`) — the production shape: the
     * mined set is itself the output of a distributed compaction job,

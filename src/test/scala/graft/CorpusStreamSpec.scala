@@ -97,6 +97,43 @@ class CorpusStreamSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("bloom gate flags gram-sharing docs identically on stream and batch") {
+    val implicits = spark.implicits
+    import implicits._
+    val evalSet = Seq((100L, "the secret benchmark answer string"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val filter = graft.pipeline.Bloom.buildFilter(evalSet, 1 << 16, 4)
+    // doc 1 embeds an eval 8-gram; docs 2 and 3 share none. Bloom has
+    // no false negatives, so doc 1 MUST flag; with 27 grams in 65536
+    // bits the FP odds on docs 2/3 are negligible and pinned here.
+    val expected = Map(1L -> true, 2L -> false, 3L -> false)
+    val batchIn = mkDocs(
+      (1L, "prefix secret benchmark suffix", "en"),
+      (2L, "totally unrelated content here", "en"),
+      (3L, "zz", "en")) // shorter than one gram: probes its whole text
+    val got = CorpusStreams.bloomGate(batchIn, filter, 1 << 16, 4)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expected)
+    // exact-operator agreement: no false negatives vs the semi-join
+    // (the flagged set is a superset of the exact overlap set)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val sq = CorpusStreams.bloomGate(
+        ms.toDF().toDF("doc_id", "text", "lang"), filter, 1 << 16, 4)
+      .select("doc_id", "contaminated")
+      .writeStream.format("memory").queryName("bloom_gate_stream").start()
+    try {
+      ms.addData((1L, "prefix secret benchmark suffix", "en"))
+      sq.processAllAvailable()
+      ms.addData((2L, "totally unrelated content here", "en"), (3L, "zz", "en"))
+      sq.processAllAvailable()
+      val streamed = spark.table("bloom_gate_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamed == expected)
+    } finally sq.stop()
+  }
+
   test("segment gate DataFrame overload: join branch equals the literal branch") {
     val implicits = spark.implicits
     import implicits._
