@@ -430,6 +430,31 @@ FROM tn LEFT JOIN h$iters h ON h.id = tn.id LEFT JOIN a$iters a ON a.id = tn.id"
     sb.toString
   }
 
+  /** Unrolled deterministic random walks on the trade-top graph,
+    * mirroring RandomWalks.walks: per step the argmin-hash neighbor
+    * via the shared md5 formula, dst tiebreak. */
+  def walksSql(length: Int, perNode: Int): String = {
+    def h(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+    val ws = (0 until perNode).mkString(", ")
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ttedges)"
+    sb ++= s", s0 AS (SELECT id AS start, CAST(w AS BIGINT) AS walk, id AS cur FROM tn, unnest([$ws]) AS t(w))"
+    for (t <- 1 to length) {
+      val score = h(s"'rw:' || CAST(s.walk AS VARCHAR) || ':$t:' || " +
+        "CAST(s.cur AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)")
+      sb ++= s""", s$t AS MATERIALIZED (SELECT start, walk, dst AS cur FROM (
+  SELECT s.start, s.walk, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY s.start, s.walk
+           ORDER BY $score ASC, e.dst ASC) AS rn
+  FROM s${t - 1} s JOIN e ON e.src = s.cur) x WHERE rn = 1)"""
+    }
+    sb ++= " SELECT start, walk, CAST(0 AS BIGINT) AS step, start AS node FROM s0"
+    for (t <- 1 to length)
+      sb ++= s" UNION ALL SELECT start, walk, CAST($t AS BIGINT) AS step, cur AS node FROM s$t"
+    sb.toString
+  }
+
   /** Focal-bounded link prediction on the co-occurrence graph: wedge
     * enumeration from the focal source side, Adamic–Adar / Jaccard /
     * common-neighbor scores for non-adjacent candidate pairs, top-n by

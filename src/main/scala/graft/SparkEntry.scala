@@ -320,6 +320,9 @@ object SparkEntry {
       Community.labelPropagation(
         sym.select(col("src").as("id")).distinct(), sym, 5)
     }),
+    "q_walks" -> ((s, d) =>
+      algorithms.RandomWalks.walks(DerivedGraphs.nationTradeTop(s, d),
+        DerivedGraphs.tradeNodes(s, d), 8, 2)),
     "q_triangles" -> ((s, d) => {
       val pe = DerivedGraphs.partCooccur(s, d)
       // each triangle is counted once per corner: Σ tri_cnt = 3t
@@ -678,6 +681,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_ppr" -> Oracles.pprSql(pprSources, 0.85, 10),
     "q_label_prop" -> Oracles.labelPropSql(5),
+    "q_walks" -> Oracles.walksSql(8, 2),
     "q_triangles" -> Oracles.trianglesSql,
     "q_clustering" -> Oracles.clusteringSql,
 

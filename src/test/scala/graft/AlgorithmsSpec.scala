@@ -350,6 +350,31 @@ class AlgorithmsSpec extends SparkSpec {
     assert(iso(99L) == 99L)
   }
 
+  test("randomWalks: deterministic, edge-respecting, sink-terminated") {
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L) // 2 is NOT a sink? 2→3 only
+    val w1 = algorithms.RandomWalks.walks(e, ids(1, 2, 3), 6, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w2 = algorithms.RandomWalks.walks(e, ids(1, 2, 3), 6, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(w1.sorted.toSeq == w2.sorted.toSeq) // pure function of the graph
+    // every consecutive (node, next) pair is a real edge
+    val es = Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    w1.groupBy(t => (t._1, t._2)).values.foreach { walk =>
+      val seq = walk.sortBy(_._3).map(_._4)
+      seq.sliding(2).foreach {
+        case Array(a, b) => assert(es((a, b)), s"($a,$b) not an edge")
+        case _ => ()
+      }
+      assert(seq.length == 7) // no sinks on this graph: full length + start
+    }
+    // sink termination: 1→2 only; walks from 2 are just the start row
+    val sink = algorithms.RandomWalks.walks(edges(1L -> 2L), ids(1, 2), 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(sink.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L)))
+    assert(sink.filter(_._1 == 1L).map(t => (t._2, t._3)).sorted.toSeq ==
+      Seq((0L, 1L), (1L, 2L))) // 1 → 2, then stops at the sink
+  }
+
   test("linkPrediction excludes existing edges and sums AA per neighbor") {
     // square 1-2-3-4-1 plus diagonal 1-3: candidates are only (2,4)
     // (two common neighbors 1 and 3 of degrees 3 and 3)

@@ -166,6 +166,12 @@ class ShuffleRegimeSpec extends SparkSpec {
     assert(b.nonEmpty && b == s) // integer labels: bit-equal
   }
 
+  test("random walks: shuffle regime ≡ broadcast regime (bit-equal)") {
+    val (b, s) = both(asSet(
+      graft.algorithms.RandomWalks.walks(edgeDf, nodeDf, 6, 2)))
+    assert(b.nonEmpty && b == s) // same hash argmin through both plans
+  }
+
   test("hits: shuffle regime ≡ broadcast regime (1e-9)") {
     def hs = graft.algorithms.Centrality.hits(nodeDf, edgeDf, 8)
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
