@@ -648,6 +648,29 @@ FROM probe p JOIN b USING (term) $joins
 ORDER BY p.exact DESC, p.term ASC"""
   }
 
+  /** Per-window Count–Min mirror: the same bucket rebuild as [[cmsSql]]
+    * with every aggregate keyed by the hour window. */
+  def windowCmsSql(d: Int, w: Int): String = {
+    val bcols = (0 until d).map(j =>
+      s"${h60(s"'cm$j:' || term")} % $w AS b$j").mkString(",\n  ")
+    val sums = (0 until d).map(j =>
+      s"s$j AS MATERIALIZED (SELECT wstart, b$j AS b, SUM(n) AS n FROM b GROUP BY 1, 2)")
+      .mkString(",\n")
+    val joins = (0 until d).map(j =>
+      s"JOIN s$j ON s$j.wstart = b.wstart AND s$j.b = b.b$j").mkString(" ")
+    val est = "LEAST(" + (0 until d).map(j => s"s$j.n").mkString(", ") + ")"
+    s"""WITH wv AS (SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+  event_type AS term FROM events),
+c AS MATERIALIZED (SELECT wstart, term, COUNT(*) AS n FROM wv GROUP BY 1, 2),
+b AS MATERIALIZED (SELECT wstart, term, n,
+  $bcols
+  FROM c),
+$sums
+SELECT b.wstart, b.term, CAST($est AS BIGINT) AS est
+FROM b $joins
+ORDER BY b.wstart, b.term"""
+  }
+
   /** Bloom-gate mirror: a Bloom filter's semantics reduce to "the set
     * of set bit positions", so the oracle rebuilds the eval slice's
     * position set relationally from the same md5 formulas and replays

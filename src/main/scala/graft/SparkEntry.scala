@@ -448,6 +448,8 @@ object SparkEntry {
       Corpus.splitAssign(GraphBuilder.table(s, d, "documents"))),
     "q_cms" -> ((s, d) =>
       pipeline.Sketches.cmsTermCounts(GraphBuilder.table(s, d, "documents"))),
+    "q_window_cms" -> ((s, d) =>
+      pipeline.Sketches.windowCms(EventStreams.eventsTable(s, d))),
     "q_bloom_decontam" -> ((s, d) =>
       pipeline.Bloom.bloomDecontaminate(GraphBuilder.table(s, d, "documents"))),
     // capacity 64 ≥ the corpus vocabulary → the sketch runs in its
@@ -816,6 +818,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_lm_bigram" -> PipelineOracles.bigramNllSql,
     "q_split" -> PipelineOracles.splitSql(90, 5),
     "q_cms" -> PipelineOracles.cmsSql(3, 1024, 20),
+    "q_window_cms" -> PipelineOracles.windowCmsSql(3, 256),
     "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 23, 4),
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),

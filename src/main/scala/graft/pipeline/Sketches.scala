@@ -525,6 +525,18 @@ object Sketches {
     array((0 until d).map(j =>
       pmod(TextOps.hash60(term, s"cm$j:"), lit(w.toLong)).cast("int")): _*)
 
+  /** Point-frequency estimate of `term` against a finished Count–Min
+    * row `sk` (the d·w counter array): min over the d bucket lookups,
+    * entirely codegen'd (element_at + the same bucket formula). */
+  def cmsEstimate(sk: org.apache.spark.sql.Column,
+                  term: org.apache.spark.sql.Column, d: Int, w: Int)
+      : org.apache.spark.sql.Column =
+    (0 until d).map(j =>
+      element_at(sk,
+        lit(j * w + 1) + pmod(TextOps.hash60(term, s"cm$j:"), lit(w.toLong))
+          .cast("int")))
+      .reduce(least(_, _))
+
   /** Count–Min frequency estimates probed at the corpus's exact top-`n`
     * terms: (term, exact, est) with est ≥ exact by construction. The
     * sketch (a single d·w counter row) and the exact probe list each
@@ -544,14 +556,47 @@ object Sketches {
       .agg(count(lit(1)).cast("long").as("exact"))
       .orderBy(col("exact").desc, col("term").asc)
       .limit(topN)
-    val est = (0 until d).map(j =>
-      element_at(col("sk"),
-        lit(j * w + 1) + pmod(TextOps.hash60(col("term"), s"cm$j:"), lit(w.toLong))
-          .cast("int")))
-      .reduce(least(_, _))
     probe.crossJoin(broadcast(sketch))
-      .select(col("term"), col("exact"), est.cast("long").as("est"))
+      .select(col("term"), col("exact"),
+        cmsEstimate(col("sk"), col("term"), d, w).cast("long").as("est"))
       .orderBy(col("exact").desc, col("term").asc)
+  }
+
+  /** Per-hour Count–Min estimates probed at each window's event types
+    * — the windowed form of [[cmsTermCounts]]: per window the state is
+    * ONE d·w counter row no matter the type cardinality, and the probe
+    * reads its estimates back with [[cmsEstimate]] against that row.
+    * (wstart, term, est); the hash-mirrored oracle replays estimates
+    * exactly, collisions included, per window. */
+  def windowCms(events: DataFrame, d: Int = 3, w: Int = 256): DataFrame = {
+    val cm = udaf(new CountMin(d, w), ExpressionEncoder[Seq[Int]]())
+    val sk = events
+      .groupBy(window(col("ts"), "1 hour").as("window"))
+      .agg(cm(cmsBuckets(col("event_type"), d, w)).as("sk"))
+    val probe = events
+      .select(window(col("ts"), "1 hour").as("window"),
+        col("event_type").as("term")).distinct()
+    probe.join(sk, Seq("window"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("term"), cmsEstimate(col("sk"), col("term"), d, w).as("est"))
+      .orderBy("wstart", "term")
+  }
+
+  /** Streaming twin of [[windowCms]] — the CountMin udaf under a
+    * watermarked streaming window aggregation: the state-store row per
+    * open window is the d·w CMBuf. Because the counter matrix is a
+    * SUM, the sketch is order-independent and stream ≡ batch holds
+    * exactly in EVERY regime (like [[KMV]], unlike Misra–Gries
+    * eviction). Emits (wstart, sk); probing happens downstream of the
+    * sink with [[cmsEstimate]]. */
+  def windowCmsStream(events: DataFrame, d: Int = 3, w: Int = 256): DataFrame = {
+    val cm = udaf(new CountMin(d, w), ExpressionEncoder[Seq[Int]]())
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(cm(cmsBuckets(col("event_type"), d, w)).as("sk"))
+      .select(col("window.start").as("wstart"), col("sk"))
   }
 
   /** Per-window heavy hitters: the [[MisraGries]] sketch registered

@@ -137,6 +137,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-window count-min: CMBuf state survives micro-batch boundaries") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.pipeline.Sketches.windowCmsStream(
+        ms.toDF().toDF("ts", "event_type"), d = 3, w = 256)
+      .writeStream.format("memory").queryName("wcms").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (t("2020-01-01 10:05:00"), "a"), (t("2020-01-01 10:10:00"), "a"),
+      (t("2020-01-01 10:15:00"), "b"), (t("2020-01-01 11:05:00"), "c"),
+      (t("2020-01-01 10:20:00"), "a"), (t("2020-01-01 11:30:00"), "c"))
+    try {
+      // window 10:00's counts split across two micro-batches: the second
+      // batch element-wise-adds into the CMBuf the store round-tripped
+      ms.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      // probe the emitted sketch rows downstream of the sink
+      val got = spark.table("wcms")
+        .select(col("wstart"),
+          graft.pipeline.Sketches.cmsEstimate(col("sk"), lit("a"), 3, 256)
+            .as("ea"),
+          graft.pipeline.Sketches.cmsEstimate(col("sk"), lit("c"), 3, 256)
+            .as("ec"))
+        .collect().map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got("2020-01-01 10:00:00.0") == ((3L, 0L)))
+      assert(got("2020-01-01 11:00:00.0") == ((0L, 2L)))
+      // order-independent: the batch form over the same rows (any
+      // order) emits identical estimates — stream ≡ batch in EVERY
+      // regime, like KMV
+      val batch = graft.pipeline.Sketches.windowCms(
+          spark.sparkContext.parallelize(rows.reverse, 7)
+            .toDF("ts", "event_type"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(batch(("2020-01-01 10:00:00", "a")) == 3L)
+      assert(batch(("2020-01-01 11:00:00", "c")) == 2L)
+    } finally q.stop()
+  }
+
   test("streaming per-window quantiles: SHBuf state survives micro-batch boundaries") {
     val implicits = spark.implicits
     import implicits._
