@@ -648,6 +648,45 @@ FROM probe p JOIN b USING (term) $joins
 ORDER BY p.exact DESC, p.term ASC"""
   }
 
+  /** HyperLogLog mirror: rebuilds the register maxima relationally from
+    * the same 60-bit hash (bucket = low p bits, rho positionally via
+    * minimal-width `bin`, identical in both engines), carries the
+    * harmonic sum as the exact integer Σ 2^(maxRho−M_j), and replays
+    * the estimator — raw branch and linear-counting branch — with the
+    * arithmetic written in the same operation order as the plan. */
+  def hllSql(p: Int): String = {
+    val m = 1 << p; val maxRho = 61 - p
+    def regs(src: String, prefix: String) =
+      s"""(SELECT event_type, h % $m AS bucket,
+    MAX(CASE WHEN h >> $p = 0 THEN $maxRho
+             ELSE $maxRho - length(bin(h >> $p)) END) AS mr
+  FROM (SELECT event_type, ${h60(s"'$prefix' || $src")} AS h FROM events)
+  GROUP BY 1, 2)"""
+    def est(t: String) =
+      s"""(SELECT event_type,
+    SUM(CAST(1 AS BIGINT) << ($maxRho - mr))
+      + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << $maxRho) AS s,
+    $m - COUNT(*) AS v
+  FROM $t GROUP BY 1)"""
+    val raw = s"0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0 * " +
+      s"pow(2.0, $maxRho.0) / CAST(s AS DOUBLE)"
+    def estCol(alias: String) =
+      s"""ROUND(CASE WHEN $raw <= ${2.5 * m} AND v > 0
+         THEN $m.0 * ln($m.0 / CAST(v AS DOUBLE)) ELSE $raw END, 4)
+    AS $alias"""
+    s"""WITH ru AS ${regs("CAST(user_id AS VARCHAR)", "hllu:")},
+re AS ${regs("CAST(event_id AS VARCHAR)", "hlle:")},
+su AS (SELECT event_type, ${estCol("users_est")} FROM ${est("ru")}),
+se AS (SELECT event_type, ${estCol("ids_est")} FROM ${est("re")}),
+ex AS (SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact,
+  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ids_exact
+  FROM events GROUP BY 1)
+SELECT ex.event_type, users_exact, users_est, ids_exact, ids_est
+FROM ex JOIN su USING (event_type) JOIN se USING (event_type)
+ORDER BY ex.event_type"""
+  }
+
   /** Per-window Count–Min mirror: the same bucket rebuild as [[cmsSql]]
     * with every aggregate keyed by the hour window. */
   def windowCmsSql(d: Int, w: Int): String = {

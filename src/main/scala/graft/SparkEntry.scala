@@ -450,6 +450,11 @@ object SparkEntry {
       pipeline.Sketches.cmsTermCounts(GraphBuilder.table(s, d, "documents"))),
     "q_window_cms" -> ((s, d) =>
       pipeline.Sketches.windowCms(EventStreams.eventsTable(s, d))),
+    // p=8 → 256 registers: distinct users per type sits in the
+    // linear-counting branch, distinct event ids in the raw branch —
+    // one query pins both against the hash-mirrored replay
+    "q_hll" -> ((s, d) =>
+      pipeline.Sketches.hllDistinct(EventStreams.eventsTable(s, d))),
     "q_bloom_decontam" -> ((s, d) =>
       pipeline.Bloom.bloomDecontaminate(GraphBuilder.table(s, d, "documents"))),
     // capacity 64 ≥ the corpus vocabulary → the sketch runs in its
@@ -819,6 +824,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_split" -> PipelineOracles.splitSql(90, 5),
     "q_cms" -> PipelineOracles.cmsSql(3, 1024, 20),
     "q_window_cms" -> PipelineOracles.windowCmsSql(3, 256),
+    "q_hll" -> PipelineOracles.hllSql(8),
     "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 23, 4),
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),

@@ -501,6 +501,56 @@ class CountMin(d: Int, w: Int) extends Aggregator[Seq[Int], CMBuf, Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
+/** HyperLogLog partial state: the 2^p register maxima. */
+final case class HLLBuf(regs: Array[Int])
+
+/** HyperLogLog cardinality sketch (Flajolet et al. 2007) as a typed
+  * Catalyst [[Aggregator]] — the fixed-state COUNT(DISTINCT) standard
+  * at 100 TB scale, completing the cardinality pair: [[KMV]] keeps the
+  * k smallest hashes (state k longs, exact below capacity), HLL keeps
+  * 2^p 6-bit register maxima (state 2^p no matter the cardinality,
+  * ~1.04/√2^p relative error). Register update is MAX, so reduce and
+  * merge are associative, commutative and ORDER-INDEPENDENT — the
+  * estimate is a pure function of the input SET in every regime, like
+  * [[KMV]] and [[CountMin]], unlike Misra–Gries eviction.
+  *
+  * The (bucket, rho) slot is computed IN THE PLAN from the shared
+  * 60-bit hash mirror (see [[Sketches.hllSlot]]): bucket = the low p
+  * hash bits, rho = leading-zero rank of the remaining 60−p bits.
+  * Because both the slot formula and the estimator (see
+  * [[Sketches.hllEstimate]]) are plain arithmetic on that mirrored
+  * hash, the DuckDB oracle replays the ESTIMATE exactly — estimation
+  * regime, small-range correction branch and all — a stronger check
+  * than the exact-regime-only KMV oracle. The aggregator consumes the
+  * finished slot int and never touches a digest. */
+class HLL(p: Int) extends Aggregator[Int, HLLBuf, Seq[Int]] {
+  require(p >= 4 && p <= 16, "HLL precision must be in [4, 16]")
+  private val m = 1 << p
+
+  override def zero: HLLBuf = HLLBuf(new Array[Int](m))
+
+  override def reduce(b: HLLBuf, slot: Int): HLLBuf = {
+    val bucket = slot >>> 6; val rho = slot & 63
+    if (rho > b.regs(bucket)) b.regs(bucket) = rho
+    b
+  }
+
+  override def merge(a: HLLBuf, b: HLLBuf): HLLBuf = {
+    var i = 0
+    while (i < m) {
+      if (b.regs(i) > a.regs(i)) a.regs(i) = b.regs(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(s: HLLBuf): Seq[Int] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(s.regs)
+
+  override def bufferEncoder: Encoder[HLLBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+}
+
 object Sketches {
 
   /** Version of the sketch aggregation-buffer schemas as used for
@@ -536,6 +586,68 @@ object Sketches {
         lit(j * w + 1) + pmod(TextOps.hash60(term, s"cm$j:"), lit(w.toLong))
           .cast("int")))
       .reduce(least(_, _))
+
+  /** The codegen'd HyperLogLog slot of a value: bucket (low p bits of
+    * the shared 60-bit hash) and rho (leading-zero rank of the
+    * remaining 60−p bits, 1..61−p) packed as bucket·64 + rho. rho is
+    * computed positionally — (61−p) − length(bin(w)) — because both
+    * engines print minimal-width binary, making the formula exactly
+    * mirrorable in DuckDB; the aggregator receives the finished slot
+    * and never touches a digest. */
+  def hllSlot(value: org.apache.spark.sql.Column, p: Int,
+              prefix: String = "hll:"): org.apache.spark.sql.Column = {
+    val m = 1 << p; val maxRho = 61 - p
+    val h = TextOps.hash60(value, prefix)
+    val bucket = pmod(h, lit(m.toLong)).cast("int")
+    val w = shiftright(h, p)
+    val rho = when(w === 0L, lit(maxRho))
+      .otherwise(lit(maxRho) - length(bin(w)).cast("int"))
+    (bucket * 64 + rho).cast("int")
+  }
+
+  /** The HLL estimate from a finished register row `sk`, entirely in
+    * the plan and arithmetic-identical to the DuckDB mirror: the
+    * harmonic sum Σ 2^−M_j is carried as the INTEGER Σ 2^(maxRho−M_j)
+    * (exact in a BIGINT — no float accumulation order to disagree on),
+    * then one deterministic double division; the small-range branch is
+    * Flajolet's linear counting m·ln(m/V) over the zero-register count
+    * V. Rounded to 4 dp like every double column the oracle compares. */
+  def hllEstimate(sk: org.apache.spark.sql.Column, p: Int)
+      : org.apache.spark.sql.Column = {
+    val m = 1 << p; val maxRho = 61 - p
+    val s = aggregate(sk, lit(0L),
+      (acc, x) => acc + pow(lit(2.0), lit(maxRho) - x).cast("long"))
+    val v = size(filter(sk, _ === 0))
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble) * lit(math.pow(2.0, maxRho)) /
+      s.cast("double")
+    val est = when(raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
+    round(est, 4)
+  }
+
+  /** Per-event-type HLL cardinalities with their exact counterparts:
+    * distinct users (small per-type set → the linear-counting branch)
+    * and distinct event ids (thousands per type → the raw-estimator
+    * branch), so ONE query pins both branches against the oracle's
+    * replay. One map-side-combined aggregation; the sketch state per
+    * group is 2·2^p registers regardless of cardinality — the column
+    * the exact countDistinct pair here could never be at 100 TB. */
+  def hllDistinct(events: DataFrame, p: Int = 8): DataFrame = {
+    val hll = udaf(new HLL(p), ExpressionEncoder[Int]())
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users_exact"),
+        hll(hllSlot(col("user_id").cast("string"), p, "hllu:")).as("sku"),
+        countDistinct(col("event_id")).as("ids_exact"),
+        hll(hllSlot(col("event_id").cast("string"), p, "hlle:")).as("ske"))
+      .select(col("event_type"),
+        col("users_exact"), hllEstimate(col("sku"), p).as("users_est"),
+        col("ids_exact"), hllEstimate(col("ske"), p).as("ids_est"))
+      .orderBy("event_type")
+  }
 
   /** Count–Min frequency estimates probed at the corpus's exact top-`n`
     * terms: (term, exact, est) with est ≥ exact by construction. The
@@ -596,6 +708,24 @@ object Sketches {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(cm(cmsBuckets(col("event_type"), d, w)).as("sk"))
+      .select(col("window.start").as("wstart"), col("sk"))
+  }
+
+  /** Streaming per-window HLL — the [[HLL]] udaf under a watermarked
+    * streaming window aggregation: the state-store row per open window
+    * is the 2^p-register HLLBuf, fixed-size no matter how many
+    * distinct users the window sees (the [[windowDistinctStream]] KMV
+    * row is ≤ k hashes; this is the constant-state alternative at
+    * cluster scale). Register update is MAX, so stream ≡ batch holds
+    * exactly in EVERY regime. Emits (wstart, sk); probe downstream of
+    * the sink with [[hllEstimate]]. */
+  def windowHllStream(events: DataFrame, p: Int = 8): DataFrame = {
+    val hll = udaf(new HLL(p), ExpressionEncoder[Int]())
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll(hllSlot(col("user_id").cast("string"), p, "hllu:")).as("sk"))
       .select(col("window.start").as("wstart"), col("sk"))
   }
 

@@ -427,6 +427,39 @@ class PipelineSpec extends SparkSpec {
     assert(e2 == e1)
   }
 
+  test("hll: deterministic bounded estimate, both branches, order-independent") {
+    val implicits = spark.implicits
+    import implicits._
+    val p = 8
+    def estOf(input: org.apache.spark.sql.Dataset[String]): Double = {
+      val hll = udaf(new graft.pipeline.HLL(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Int]())
+      input.toDF("value")
+        .select(hll(graft.pipeline.Sketches.hllSlot(col("value"), p, "t:"))
+          .as("sk"))
+        .select(graft.pipeline.Sketches.hllEstimate(col("sk"), p).as("est"))
+        .head().getDouble(0)
+    }
+    // raw-estimator branch: 5000 distinct >> 2.5m = 640; the standard
+    // error is 1.04/sqrt(256) ~ 6.5% — assert a 3-sigma envelope.
+    // hash60 is deterministic, so this is a fixed number, never flaky.
+    val vals = (1 to 5000).map(i => s"v$i")
+    val e1 = estOf(vals.toDS())
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.2, s"raw estimate $e1")
+    // order-independence: register maxima ignore arrival order and
+    // partitioning entirely — bit-identical estimate
+    val e2 = estOf(spark.sparkContext.parallelize(vals.reverse, 13).toDS())
+    assert(e2 == e1)
+    // linear-counting branch: 50 distinct occupies ~50/256 registers →
+    // raw <= 640 with zero registers present → m*ln(m/V), tight at
+    // small cardinalities
+    val small = estOf((1 to 50).map(i => s"s$i").toDS())
+    assert(math.abs(small - 50.0) / 50.0 < 0.05, s"linear count $small")
+    // duplicates never move a register past its max: same answer
+    val dup = estOf((1 to 50).flatMap(i => Seq.fill(7)(s"s$i")).toDS())
+    assert(dup == small)
+  }
+
   test("streamhist: exact quantile_disc under capacity, SPDT estimate past it") {
     val implicits = spark.implicits
     import implicits._

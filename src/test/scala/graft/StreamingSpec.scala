@@ -182,6 +182,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-window hll: HLLBuf state survives micro-batch boundaries") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long)]
+    val q = graft.pipeline.Sketches.windowHllStream(
+        ms.toDF().toDF("ts", "user_id"), p = 8)
+      .writeStream.format("memory").queryName("whll").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 10:00 sees users 1..40 split across two micro-batches
+    // (1..25 then 20..40, overlapping — the register max absorbs the
+    // replay); window 11:00 sees 1..10
+    val b1 = (1L to 25L).map(u => (t("2020-01-01 10:05:00"), u))
+    val b2 = (20L to 40L).map(u => (t("2020-01-01 10:35:00"), u)) ++
+      (1L to 10L).map(u => (t("2020-01-01 11:05:00"), u))
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("whll")
+        .select(col("wstart"),
+          graft.pipeline.Sketches.hllEstimate(col("sk"), 8).as("est"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getDouble(1))
+        .toMap
+      // linear-counting regime at these cardinalities (true 40 and 10);
+      // hash60 is deterministic so the collision pattern — and hence
+      // the estimate — is a fixed number, pinned exactly
+      assert(got("2020-01-01 10:00:00.0") == 36.48, got.toString)
+      assert(got("2020-01-01 11:00:00.0") == 10.2006, got.toString)
+      // stream ≡ batch: the batch agg over the same rows (any order,
+      // any partitioning) emits the identical register row → identical
+      // estimate — register max is order-independent in every regime
+      val hll = org.apache.spark.sql.functions.udaf(new graft.pipeline.HLL(8),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Int]())
+      val batch = spark.sparkContext.parallelize((b1 ++ b2).reverse, 9)
+        .toDF("ts", "user_id")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(hll(graft.pipeline.Sketches.hllSlot(
+          col("user_id").cast("string"), 8, "hllu:")).as("sk"))
+        .select(col("window.start").as("wstart"),
+          graft.pipeline.Sketches.hllEstimate(col("sk"), 8).as("est"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getDouble(1))
+        .toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming per-window quantiles: SHBuf state survives micro-batch boundaries") {
     val implicits = spark.implicits
     import implicits._
