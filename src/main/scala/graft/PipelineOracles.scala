@@ -252,6 +252,38 @@ SELECT source, rn, CAST(doc_id AS BIGINT) AS doc_id FROM (
               ORDER BY hd ASC, doc_id ASC) AS BIGINT) AS rn
   FROM h) t WHERE rn <= $n ORDER BY source, rn"""
 
+  /** BPE pair mirror: same word split, same within-word adjacent
+    * character pairs. */
+  def bpePairsSql(topN: Int): String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p AS (SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w FROM w WHERE len(w) >= 2),
+       unnest(generate_series(1, len(w) - 1)) AS t(i))
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT $topN"""
+
+  /** Rollup mirror: GROUPING bitmask identical to Spark's
+    * grouping_id(source, lang). */
+  val corpusRollupSql: String =
+    """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY ROLLUP(source, lang)
+ORDER BY gid, source, lang"""
+
+  /** Efraimidis–Spirakis mirror: the same hash-derived uniform and
+    * exponential-race key ln(u)/w, ranked (key DESC, doc_id ASC) —
+    * output is integer rank + id, so no float column is compared. */
+  def weightedSampleSql(k: Int): String =
+    s"""WITH h AS (SELECT doc_id,
+  ln((CAST(${h60("'ws:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+     / pow(2.0, 60.0)) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents)
+SELECT rn, CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER
+    (ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM h) t WHERE rn <= $k ORDER BY rn"""
+
   /** Hashing-trick mirror: same bucket hash, same c/sqrt(s2) operator
     * order, 6-dp round. */
   def hashedFeaturesSql(dim: Int): String =

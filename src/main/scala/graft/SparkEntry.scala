@@ -440,6 +440,10 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, d) => winnowPairsCached(s, d)),
     "q_pack_bins" -> ((s, d) =>
       Corpus.packBins(GraphBuilder.table(s, d, "documents"))),
+    "q_bpe_pairs" -> ((s, d) =>
+      Corpus.bpePairs(GraphBuilder.table(s, d, "documents"))),
+    "q_rollup" -> ((s, d) =>
+      Corpus.corpusRollup(GraphBuilder.table(s, d, "documents"))),
     "q_vocab_topk" -> ((s, d) =>
       Corpus.vocabTopK(GraphBuilder.table(s, d, "documents"))),
     "q_lm_bigram" -> ((s, d) =>
@@ -469,6 +473,8 @@ object SparkEntry {
       pipeline.Sketches.sourceLengthQuantiles(GraphBuilder.table(s, d, "documents"))),
     "q_top_docs" -> ((s, d) =>
       pipeline.Sketches.topDocsBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_weighted_sample" -> ((s, d) =>
+      pipeline.Sketches.weightedSample(GraphBuilder.table(s, d, "documents"))),
     "q_quota_sample" -> ((s, d) =>
       pipeline.Sketches.quotaSample(GraphBuilder.table(s, d, "documents"))),
     "q_hashed_features" -> ((s, d) =>
@@ -771,6 +777,9 @@ WHERE term <> '' GROUP BY source ORDER BY source""",
 FROM documents GROUP BY source ORDER BY source""",
     "q_top_docs" -> PipelineOracles.topDocsSql(3),
     "q_quota_sample" -> PipelineOracles.quotaSampleSql(5),
+    "q_weighted_sample" -> PipelineOracles.weightedSampleSql(100),
+    "q_bpe_pairs" -> PipelineOracles.bpePairsSql(30),
+    "q_rollup" -> PipelineOracles.corpusRollupSql,
     "q_hashed_features" -> PipelineOracles.hashedFeaturesSql(64),
     "q_source_kl" ->
       """WITH tk AS (SELECT source, term

@@ -93,6 +93,42 @@ object Corpus {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** BPE merge-pair statistics: adjacent character-pair counts WITHIN
+    * words (the exact quantity byte-pair-encoding maximizes at its
+    * first merge step — running this after each merge is the whole BPE
+    * trainer loop, so the top rows here ARE the first merge
+    * candidates). Tokenizer-design signal alongside [[vocabTopK]] and
+    * [[TextOps.zipfCoverage]]. Two explodes + one map-side-combined
+    * count + distributed top-k; the pair alphabet is bounded by the
+    * character set squared, so the aggregate state is tiny at any
+    * corpus size. */
+  def bpePairs(docs: DataFrame, topN: Int = 30): DataFrame =
+    terms(docs)
+      .withColumnRenamed("term", "w")
+      .where(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+
+  /** Corpus composition report with subtotals: doc counts and
+    * character mass per (source, lang), per source, and grand total in
+    * ONE pass — Spark's `rollup` compiles to a single Expand +
+    * aggregate, the idiomatic replacement for unioning three separate
+    * groupBys (which would scan the table three times at 100 TB).
+    * `grouping_id` disambiguates subtotal rows from a real NULL group
+    * value, mirrored by GROUPING() in the oracle. */
+  def corpusRollup(docs: DataFrame): DataFrame =
+    docs.rollup(col("source"), col("lang"))
+      .agg(grouping_id(col("source"), col("lang")).cast("long").as("gid"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("gid"), col("n_docs"), col("chars"))
+      .orderBy("gid", "source", "lang")
+
   /** BM25 relevance ranking of the corpus against a fixed query-term
     * set (Robertson et al.; the Lucene-practical idf
     * ln((N − df + 0.5)/(df + 0.5) + 1), so idf stays positive at any

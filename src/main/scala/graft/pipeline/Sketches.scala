@@ -888,6 +888,33 @@ object Sketches {
       .orderBy("source", "rn")
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * each doc gets the exponential-race key ln(u)/w with u the
+    * hash-derived uniform in (0, 1] and w its weight (token-mass here,
+    * so long documents are proportionally more likely); the k largest
+    * keys ARE a weighted sample without replacement. One [[TopK]]
+    * aggregation — ≤ k (key, id) pairs per partial, map-side combined,
+    * no global sort — versus the window-rank formulation that would
+    * shuffle every row. Deterministic: u is a pure function of doc_id,
+    * so membership is reproducible across runs and engines, and the
+    * oracle replays the same keys relationally (output is rank + id
+    * only — integer columns, no float compare). */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val tk = udaf(new TopK(k), org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+    val u = (TextOps.hash60(col("doc_id").cast("string"), "ws:")
+      .cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))
+    docs
+      .select(col("doc_id"),
+        (log(u) / col("n_chars").cast("double")).as("key"))
+      .agg(tk(col("key"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("rn"),
+        col("e._2").as("doc_id"))
+      .orderBy("rn")
+  }
+
   /** Per-hour top events by value via [[TopK]] — the windowed form of
     * the bounded top-k aggregate (per-window exchange is k pairs, not
     * the window's whole row set). */

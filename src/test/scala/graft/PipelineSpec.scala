@@ -427,6 +427,59 @@ class PipelineSpec extends SparkSpec {
     assert(e2 == e1)
   }
 
+  test("bpePairs: within-word adjacent pairs; 1-char words contribute none") {
+    val got = graft.pipeline.Corpus.bpePairs(
+        docs(1L -> "ab ab abc x", 2L -> "ab"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    // "ab"×3 and "abc" yield ab,ab,ab,ab,bc; the 1-char word "x" has
+    // no adjacent pair and must not produce a truncated gram
+    assert(got == List("ab" -> 4L, "bc" -> 1L))
+  }
+
+  test("corpusRollup: one-pass subtotals with grouping_id disambiguation") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = Seq(
+      (1L, "s1", "en", 10L), (2L, "s1", "en", 20L), (3L, "s1", "de", 5L),
+      (4L, "s2", "en", 7L)).toDF("doc_id", "source", "lang", "n_chars")
+    val got = graft.pipeline.Corpus.corpusRollup(d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got == List(
+      ("s1", "de", 0L, 1L, 5L), ("s1", "en", 0L, 2L, 30L),
+      ("s2", "en", 0L, 1L, 7L),
+      ("s1", "ALL", 1L, 3L, 35L), ("s2", "ALL", 1L, 1L, 7L),
+      ("ALL", "ALL", 3L, 4L, 42L)))
+  }
+
+  test("weightedSample: E-S keys match a brute-force replay; scale-invariant") {
+    val implicits = spark.implicits
+    import implicits._
+    val docs = (1L to 200L).map(i => (i, (i % 37 + 1))).toDF("doc_id", "n_chars")
+    val got = graft.pipeline.Sketches.weightedSample(docs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force replay of the same hash and key formula
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val expect = (1L to 200L).map { i =>
+      val u = (h60(s"ws:$i").toDouble + 1.0) / math.pow(2.0, 60)
+      (math.log(u) / (i % 37 + 1).toDouble, i)
+    }.sortBy { case (key, id) => (-key, id) }.take(10)
+      .zipWithIndex.map { case ((_, id), ix) => ((ix + 1).toLong, id) }
+    assert(got.toSeq == expect)
+    // ranking is scale-invariant in the weights (keys are negative;
+    // dividing all by the same c > 0 preserves order) — the sample is
+    // a function of RELATIVE weights, as sampling-without-replacement
+    // semantics require
+    val scaled = graft.pipeline.Sketches.weightedSample(
+        docs.withColumn("n_chars", col("n_chars") * 1000), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(scaled.toSeq == expect)
+  }
+
   test("hll: deterministic bounded estimate, both branches, order-independent") {
     val implicits = spark.implicits
     import implicits._
