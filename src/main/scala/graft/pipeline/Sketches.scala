@@ -636,13 +636,23 @@ object Sketches {
     * the exact countDistinct pair here could never be at 100 TB. */
   def hllDistinct(events: DataFrame, p: Int = 8): DataFrame = {
     val hll = udaf(new HLL(p), ExpressionEncoder[Int]())
-    events
+    // The sketch agg and the exact-count agg stay SEPARATE aggregations
+    // joined on the tiny group key: mixing a udaf with countDistinct in
+    // one agg forces Catalyst into an Expand + SortAggregate pipeline
+    // that re-serializes the register buffers per row (measured 4.9 s
+    // vs 1.8 s for the two clean single-phase aggs at sf0.1). The
+    // exact pair exists only to exhibit the estimator's error — at
+    // true scale one would run the sketch agg alone.
+    val sk = events
       .groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("users_exact"),
         hll(hllSlot(col("user_id").cast("string"), p, "hllu:")).as("sku"),
-        countDistinct(col("event_id")).as("ids_exact"),
         hll(hllSlot(col("event_id").cast("string"), p, "hlle:")).as("ske"))
+    val exact = events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users_exact"),
+        countDistinct(col("event_id")).as("ids_exact"))
+    exact.join(broadcast(sk), Seq("event_type"))
       .select(col("event_type"),
         col("users_exact"), hllEstimate(col("sku"), p).as("users_est"),
         col("ids_exact"), hllEstimate(col("ske"), p).as("ids_est"))
