@@ -43,36 +43,70 @@ object LinkPrediction {
     * Output: (a, b, cn, jaccard, aa), doubles rounded 6 dp. */
   def scores(symEdges: DataFrame, focal: Option[DataFrame] = None,
              hubCap: Int = 0): DataFrame = {
-    // the edge frame is read six times (degrees, both wedge sides, the
-    // existing-edge anti, two endpoint-degree joins) — materialize it
-    // once, or Catalyst re-derives the upstream graph per reference
-    // (plan-audited: 12.2 → 3.5 s at sf0.1 on the co-occurrence graph)
-    val e = symEdges.localCheckpoint()
+    // The edge frame is read five times (degrees, both wedge sides,
+    // the existing-edge anti, via deg the endpoint degrees). Callers
+    // pass a CACHED view (DerivedGraphs memo-persists the underlying
+    // pair table), so each reference is a cheap cached scan — the
+    // earlier eager localCheckpoint paid a full block-storage write of
+    // the 2|E| sym frame up front for the same sharing.
+    val e = symEdges
+    // the degree table is read four times (centers, gate count, both
+    // endpoint joins) and costs a full-edge shuffle to derive — ONE
+    // materialization
     val deg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("deg")).persist()
+    // |V| is the standard dual-regime gate: the degree table is a
+    // broadcastable dim at test SFs and a shuffle join past it
+    val nV = deg.count()
+    def degSide(dim: DataFrame): DataFrame =
+      if (nV <= Tuning.broadcastThreshold) broadcast(dim) else dim
     val centers0 = deg.select(col("id").as("w"), col("deg").as("wdeg"))
     val centers = if (hubCap > 0) centers0.filter(col("wdeg") <= hubCap)
                   else centers0
     val aSide0 = e.select(col("dst").as("w"), col("src").as("a"))
+    // Focal regime: the query node set is the serving batch — small BY
+    // CONTRACT — so it broadcasts into the semi join (no shuffle of
+    // the 2|E| frame to restrict it), and the resulting focal
+    // adjacency (Σ_{a∈focal} deg(a) rows) broadcasts into the wedge
+    // join, so the edge frame is NEVER shuffled to enumerate wedges;
+    // the first shuffle in the whole plan is the map-side-combined
+    // candidate groupBy.
     val aSide = focal.fold(aSide0)(f =>
-      aSide0.join(f.select(col("id").as("a")), Seq("a"), "left_semi"))
+      aSide0.join(broadcast(f.select(col("id").as("a"))),
+        Seq("a"), "left_semi"))
+    // gate the adjacency broadcast on its actual row count (one cheap
+    // cached-scan job) — a hub-heavy focal batch past the threshold
+    // degrades to shuffle joins, never a driver OOM
+    val aCnt = if (focal.isDefined) aSide.count() else Long.MaxValue
+    def focalSide(dim: DataFrame): DataFrame =
+      if (aCnt <= Tuning.broadcastThreshold) broadcast(dim) else dim
+    val aCentered0 = aSide.join(degSide(centers), Seq("w"))
+    val aCentered =
+      if (focal.isDefined) focalSide(aCentered0) else aCentered0
     // wedge stream: a —w— b with the AA weight riding the center
-    val wedges = aSide
-      .join(centers, Seq("w"))
+    val wedges = aCentered
       .join(e.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
       .filter(if (focal.isEmpty) col("a") < col("b") else col("a") =!= col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("cn"),
         sum(lit(1.0) / log(col("wdeg"))).as("aa_raw"))
+    // with focal, only edges out of focal nodes can collide with a
+    // candidate pair — the anti side shrinks from 2|E| to the batch
+    // adjacency (broadcastable) before the join
     val existing =
       if (focal.isEmpty)
         e.filter(col("src") < col("dst"))
           .select(col("src").as("a"), col("dst").as("b"))
-      else e.select(col("src").as("a"), col("dst").as("b"))
+      else
+        focalSide(e.join(broadcast(focal.get.select(col("id").as("src"))),
+            Seq("src"), "left_semi")
+          .select(col("src").as("a"), col("dst").as("b")))
     wedges
       .join(existing, Seq("a", "b"), "left_anti")
-      .join(deg.select(col("id").as("a"), col("deg").as("dega")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("deg").as("degb")), Seq("b"))
+      .join(degSide(deg.select(col("id").as("a"), col("deg").as("dega"))),
+        Seq("a"))
+      .join(degSide(deg.select(col("id").as("b"), col("deg").as("degb"))),
+        Seq("b"))
       .select(col("a"), col("b"), col("cn").cast("long").as("cn"),
         round(col("cn") / (col("dega") + col("degb") - col("cn")), 6)
           .as("jaccard"),
