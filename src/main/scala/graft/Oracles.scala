@@ -476,4 +476,47 @@ SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS cn,
   ROUND(c.aa_raw, 6) AS aa
 FROM cand c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b
 ORDER BY aa DESC, c.a ASC, c.b ASC LIMIT $n"""
+
+  /** Unrolled Borůvka on the weighted trade graph, mirroring
+    * Spanning.minimumSpanningForest round for round: per round each
+    * component's (w, a, b)-least crossing edge joins the forest and
+    * components relabel to the min label reachable in the round's
+    * merge graph (a recursive-CTE transitive closure — the same min
+    * label the kernel's CC pass computes). Components at least halve
+    * per round, so `rounds` ≥ ⌈log₂ 25⌉ makes later rounds empty
+    * no-ops. The (w, a, b) total order makes the forest unique, so
+    * this replay, the driver-gated Kruskal and distributed Borůvka
+    * all agree bit-identically. */
+  def mstSql(rounds: Int = 6): String = {
+    val sb = new StringBuilder("WITH RECURSIVE " + DerivedGraphs.tradeWeightedSql)
+    sb ++= """, l0 AS (SELECT DISTINCT id, id AS label FROM
+  (SELECT a AS id FROM wtedges UNION ALL SELECT b FROM wtedges))"""
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""", x$r AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, la.label AS la, lb.label AS lb
+  FROM wtedges e JOIN l$p la ON la.id = e.a JOIN l$p lb ON lb.id = e.b
+  WHERE la.label <> lb.label)"""
+      sb ++= s""", ch$r AS MATERIALIZED (
+  SELECT c, w, a, b, p FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+    FROM (SELECT la AS c, w, a, b, lb AS p FROM x$r
+          UNION ALL SELECT lb, w, a, b, la FROM x$r) s) t
+  WHERE rn = 1)"""
+      sb ++= s""", mg$r AS (SELECT c AS x, p AS y FROM ch$r
+  UNION SELECT p, c FROM ch$r)"""
+      sb ++= s""", rc$r AS (SELECT x, y FROM mg$r
+  UNION SELECT rc.x, mg.y FROM rc$r rc JOIN mg$r mg ON mg.x = rc.y)"""
+      sb ++= s""", l$r AS MATERIALIZED (
+  SELECT l.id, COALESCE(n.nl, l.label) AS label
+  FROM l$p l LEFT JOIN (
+    SELECT x AS label, LEAST(x, MIN(y)) AS nl FROM rc$r GROUP BY x) n
+  ON n.label = l.label)"""
+      sb ++= s", m$r AS (SELECT DISTINCT a, b, w FROM ch$r)"
+    }
+    val un = (1 to rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    sb ++= s"""
+SELECT a, b, CAST(w AS BIGINT) AS w FROM ($un) ORDER BY a, b"""
+    sb.toString
+  }
 }

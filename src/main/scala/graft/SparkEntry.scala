@@ -84,6 +84,10 @@ object SparkEntry {
     "build:winnow_fp" -> ((s, d) => winnowCached(s, d)),
     "build:winnow_pairs" -> ((s, d) => winnowPairsCached(s, d)),
     "build:shingle_arrays" -> ((s, d) => shingleArraysCached(s, d)),
+    // part co-occurrence graph: memo-persisted, consumed by the
+    // triangle build below plus q_label_prop and q_link_predict —
+    // ordered BEFORE build:triangles so each row times its own work
+    "build:part_cooccur" -> ((s, d) => DerivedGraphs.partCooccur(s, d)),
     "build:triangles" -> ((s, d) => triangleCountsCached(s, d)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
@@ -305,6 +309,9 @@ object SparkEntry {
     "q_hits" -> ((s, d) =>
       Centrality.hits(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 8)),
+    "q_mst" -> ((s, d) =>
+      algorithms.Spanning.minimumSpanningForest(
+        DerivedGraphs.nationTradeWeighted(s, d))),
     "q_link_predict" -> ((s, d) =>
       algorithms.LinkPrediction.topPredictions(
         DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d)),
@@ -692,6 +699,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_closeness" -> Oracles.closenessSql(24),
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
+    "q_mst" -> Oracles.mstSql(),
     "q_ppr" -> Oracles.pprSql(pprSources, 0.85, 10),
     "q_label_prop" -> Oracles.labelPropSql(5),
     "q_walks" -> Oracles.walksSql(8, 2),

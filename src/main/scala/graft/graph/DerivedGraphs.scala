@@ -88,6 +88,27 @@ object DerivedGraphs {
     table(s, d, "nation")
       .select((lit(NationTag * TAG) + col("n_nationkey")).as("id"))
 
+  /** Undirected WEIGHTED trade graph: one (a < b, w) edge per
+    * unordered nation pair, w = total lineitem count across both
+    * directions (grouping the fact join directly on the unordered pair
+    * — one aggregation, no directed intermediate). The spanning-forest
+    * testbed: complete-ish, weight-diverse, 25 nodes at every SF. */
+  def nationTradeWeighted(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "tradeW") {
+      val li = table(s, d, "lineitem").select("l_suppkey", "l_orderkey")
+      val supp = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = table(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = table(s, d, "customer").select("c_custkey", "c_nationkey")
+      val sid = lit(NationTag * TAG) + col("s_nationkey")
+      val cid = lit(NationTag * TAG) + col("c_nationkey")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(least(sid, cid).as("a"), greatest(sid, cid).as("b"))
+        .agg(count(lit(1)).cast("long").as("w"))
+    }
+
   /** Part co-occurrence multigraph: one (a<b) row per order containing
     * both parts (edge multiplicity = co-order count). Generated as a
     * per-order pair expansion of the grouped partkey list — one shuffle
@@ -167,6 +188,21 @@ object DerivedGraphs {
   GROUP BY 1, 2),
 tedges AS MATERIALIZED (SELECT src, dst FROM trade WHERE cnt > 1.5 * (SELECT AVG(cnt) FROM trade)),
 tnodes AS MATERIALIZED (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"""
+
+  /** Mirror of [[nationTradeWeighted]]: `wtedges(a, b, w)`. */
+  val tradeWeightedSql: String =
+    s"""wtedges AS MATERIALIZED (
+  SELECT LEAST(${NationTag * TAG} + CAST(s.s_nationkey AS BIGINT),
+               ${NationTag * TAG} + CAST(c.c_nationkey AS BIGINT)) AS a,
+         GREATEST(${NationTag * TAG} + CAST(s.s_nationkey AS BIGINT),
+                  ${NationTag * TAG} + CAST(c.c_nationkey AS BIGINT)) AS b,
+         COUNT(*) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2)"""
 
   /** Mirror of [[nationTradeTop]]: `ttedges(src, dst)` as each
     * nation's top-`perSrc` self-loop-free outgoing trade pairs. */

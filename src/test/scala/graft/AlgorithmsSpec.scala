@@ -297,6 +297,28 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.0)))
   }
 
+  test("mst: unique forest under ties, heavy cycle edge dropped, forest kept") {
+    val implicits = spark.implicits
+    import implicits._
+    // triangle 1-2-3 (the heaviest edge 2-3 must be dropped) plus a
+    // separate component 10-11 and implicit isolated structure
+    val wed = Seq(
+      (1L, 2L, 5L), (1L, 3L, 4L), (2L, 3L, 9L),
+      (10L, 11L, 7L)).toDF("a", "b", "w")
+    val got = algorithms.Spanning.minimumSpanningForest(wed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L, 5L), (1L, 3L, 4L), (10L, 11L, 7L)))
+    // weight ties resolve by (a, b): on the 4-cycle 1-2-3-4-1 with all
+    // weights equal, the kept edges are the three lexicographically
+    // smallest — the unique forest under the (w, a, b) total order
+    val tied = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val t = algorithms.Spanning.minimumSpanningForest(tied)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(t == List((1L, 2L), (1L, 4L), (2L, 3L)))
+  }
+
   test("linkPrediction on path 1–2–3: predicts (1,3) through center 2") {
     val sym = symm(edges(1L -> 2L, 2L -> 3L))
     val got = algorithms.LinkPrediction.scores(sym).collect()

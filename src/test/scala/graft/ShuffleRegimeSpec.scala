@@ -69,6 +69,16 @@ class ShuffleRegimeSpec extends SparkSpec {
     assert(b.nonEmpty && b == s)
   }
 
+  test("mst: shuffle regime (distributed Borůvka) ≡ driver Kruskal") {
+    // weighted view of the random pair graph: deterministic weights
+    // with deliberate TIES (w in 1..7), so the (w, a, b) total-order
+    // uniqueness claim is what's actually exercised
+    val wed = pairDf.select(col("a"), col("b"),
+      (pmod(col("a") * 31 + col("b") * 17, lit(7)) + 1).as("w"))
+    val (b, s) = both(asSet(algorithms.Spanning.minimumSpanningForest(wed)))
+    assert(b.nonEmpty && b == s)
+  }
+
   test("triangles per node: shuffle regime ≡ broadcast regime") {
     // trianglesPerNode reads the threshold through its default argument,
     // so the forced-0 run takes the shuffle close path.
