@@ -44,7 +44,7 @@ object ScaleProbe {
         base.select(
           (col("doc_id") + lit(r.toLong * n)).as("doc_id"),
           concat(col("text"), lit(s" replica_salt_$r")).as("text"),
-          col("lang"), col("source"))
+          col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _).localCheckpoint()
       // events replicas live in disjoint user-id spaces, so join keys
       // grow with K while per-key density stays constant — the growth
@@ -98,6 +98,19 @@ object ScaleProbe {
         // bigram stream is token-linear; the model-count join keys grow
         // sublinearly (replica-salted tails add few new bigram types)
         time("lm_bigram")(Corpus.bigramNll(docs)),
+        // constant-register cardinality sketch over the K×-wider event
+        // stream (distinct users grow K under disjoint id spaces; the
+        // register row stays 2·2^p) — expect ~linear in the slot map
+        time("hll")(graft.pipeline.Sketches.hllDistinct(events)),
+        // per-window Count–Min: window count is constant, rows per
+        // window grow K, per-window state stays one d·w row — ~linear
+        time("window_cms")(graft.pipeline.Sketches.windowCms(events)),
+        // bounded TopK sample state (k pairs per partial) over K× docs
+        // — ~linear in the key computation, no global sort to grow
+        time("weighted_sample")(graft.pipeline.Sketches.weightedSample(docs)),
+        // character-pair alphabet is vocab-bounded: aggregate state
+        // constant, time tracks the two explodes — ~linear
+        time("bpe_pairs")(Corpus.bpePairs(docs)),
         // temporal joins over a K×-wider user population: one window /
         // one bucketed equi-join, expected ~linear
         time("asof_join") {
