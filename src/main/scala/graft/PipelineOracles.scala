@@ -488,6 +488,23 @@ WHERE term <> '' GROUP BY term ORDER BY cnt DESC, term ASC LIMIT $k"""
 FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 GROUP BY 1, 2"""
 
+  val embedStatsSql: String =
+    """SELECT CAST(i - 1 AS BIGINT) AS pos,
+  ROUND(AVG(embedding[i]::DOUBLE), 6) AS mean,
+  ROUND(STDDEV_SAMP(embedding[i]::DOUBLE), 6) AS sd,
+  ROUND(MIN(embedding[i]::DOUBLE), 6) AS mn,
+  ROUND(MAX(embedding[i]::DOUBLE), 6) AS mx
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1 ORDER BY 1"""
+
+  /** Chunking mirror: same start sequence, same substr windows. */
+  def chunkDocsSql(size: Int, stride: Int): String =
+    s"""SELECT doc_id, CAST((st - 1) // $stride AS BIGINT) AS chunk_ix,
+  CAST(st AS BIGINT) AS start, substr(text, st, $size) AS chunk
+FROM documents,
+  unnest(generate_series(1, greatest(len(text), 1), $stride)) AS t(st)
+ORDER BY doc_id, chunk_ix"""
+
   def lenHistogramSql(width: Long): String =
     s"""SELECT CAST(FLOOR(n_chars / $width) * $width AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs

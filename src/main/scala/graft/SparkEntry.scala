@@ -494,6 +494,10 @@ object SparkEntry {
       EventStreams.funnel(EventStreams.eventsTable(s, d))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
+    "q_embed_stats" -> ((s, d) =>
+      Corpus.embedStats(GraphBuilder.table(s, d, "embeddings"))),
+    "q_chunks" -> ((s, d) =>
+      Corpus.chunkDocs(GraphBuilder.table(s, d, "documents"))),
     "q_len_histogram" -> ((s, d) =>
       Corpus.lenHistogram(GraphBuilder.table(s, d, "documents"))),
     "q_corpus_clean" -> ((s, d) =>
@@ -819,6 +823,8 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_converted,
        ROUND((SELECT COUNT(*) FROM c)::DOUBLE / (SELECT COUNT(*) FROM s), 6) AS rate""",
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
+    "q_embed_stats" -> PipelineOracles.embedStatsSql,
+    "q_chunks" -> PipelineOracles.chunkDocsSql(200, 150),
     "q_len_histogram" -> PipelineOracles.lenHistogramSql(50L),
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),
     "q_ngram_jaccard" -> PipelineOracles.ngramJaccardSql,

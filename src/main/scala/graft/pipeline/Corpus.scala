@@ -337,6 +337,43 @@ object Corpus {
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
 
+  /** Per-dimension embedding statistics — the normalization pass a
+    * training pipeline runs before standardizing feature columns:
+    * mean, sample stddev, min, max for every dimension in one
+    * map-side-combined aggregation over the exploded (pos, value)
+    * stream. At 100 TB the aggregate state is 4 numbers × dim — the
+    * explode is the only cost and it is embarrassingly parallel. */
+  def embedStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("pos"), col("x").cast("double").as("x"))
+      .groupBy("pos")
+      .agg(round(avg(col("x")), 6).as("mean"),
+        round(stddev_samp(col("x")), 6).as("sd"),
+        round(min(col("x")), 6).as("mn"),
+        round(max(col("x")), 6).as("mx"))
+      .orderBy("pos")
+
+  /** Overlapping character-window chunking — the long-document split
+    * a context-bounded training pipeline runs (window `size`, stride
+    * `stride` < size ⇒ size − stride chars of overlap so no boundary
+    * context is lost). Pure per-row map (sequence + substr explode):
+    * no shuffle at any corpus size. Empty documents emit one empty
+    * chunk (greatest(len, 1)) so every doc_id survives the op. */
+  def chunkDocs(docs: DataFrame, size: Int = 200, stride: Int = 150): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))).as("start"),
+        col("text"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_ix"),
+        col("start").cast("long").as("start"),
+        col("text").substr(col("start"), lit(size)).as("chunk"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+
   /** Document length histogram over the `n_chars` column: fixed-width
     * buckets (bucket = floor(n_chars / width) * width) → doc counts. */
   def lenHistogram(docs: DataFrame, width: Long = 50L): DataFrame =

@@ -427,6 +427,19 @@ class PipelineSpec extends SparkSpec {
     assert(e2 == e1)
   }
 
+  test("chunkDocs: overlap windows, tail chunk, empty doc emits one empty chunk") {
+    val got = graft.pipeline.Corpus.chunkDocs(
+        docs(1L -> "abcdefghij", 2L -> ""), size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toList
+    assert(got == List(
+      (1L, 0L, 1L, "abcd"), (1L, 1L, 4L, "defg"),
+      (1L, 2L, 7L, "ghij"), (1L, 3L, 10L, "j"),
+      (2L, 0L, 1L, "")))
+    // consecutive chunks share size - stride chars: no boundary loss
+    assert(got(0)._4.takeRight(1) == got(1)._4.take(1))
+  }
+
   test("bpePairs: within-word adjacent pairs; 1-char words contribute none") {
     val got = graft.pipeline.Corpus.bpePairs(
         docs(1L -> "ab ab abc x", 2L -> "ab"))
