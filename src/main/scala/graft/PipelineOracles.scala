@@ -672,6 +672,68 @@ WHERE g.guess = g.lang AND qs.quality >= $minQuality
 GROUP BY g.lang"""
   }
 
+  /** End-to-end training-mix mirror: the composed prep DAG — the same
+    * CTE bodies as the standalone langId / quality / dedupExact /
+    * decontaminate / mixSample / splitAssign mirrors chained on
+    * doc_id, with the dedup stage keeping each exact-fingerprint
+    * cluster's min-id representative. */
+  def trainingMixSql(weights: Seq[(String, Double)], minQuality: Double,
+                     evalPct: Int, gram: Int,
+                     trainPct: Int, valPct: Int): String = {
+    val scores = markerRes.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val langs = markerRes.map(_._1)
+    val cases = langs.init.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    val mixCases = weights.map { case (l, w) =>
+      s"WHEN '$l' THEN ${math.round(w * 10000).min(10000L)}" }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+g AS (SELECT doc_id, lang, CASE $cases ELSE '${langs.last}' END AS guess FROM sc),
+q AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|is)\\b')) AS BIGINT) AS stop
+  FROM documents),
+qs AS (SELECT doc_id,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality FROM q),
+fp AS (SELECT doc_id, md5(lower(substr(text, 1, 100))) AS fp FROM documents),
+dup AS (SELECT f.doc_id FROM fp f
+  JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp) k
+  ON k.fp = f.fp WHERE f.doc_id <> k.keep_id),
+sh8 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${h60(s"'dc:' || substr(text, i, $gram)")} AS gm
+  FROM documents,
+    unnest(generate_series(1, greatest(len(text) - ${gram - 1}, 1))) AS t(i)),
+ev AS MATERIALIZED (SELECT doc_id FROM documents
+  WHERE ${h60("'ev:' || CAST(doc_id AS VARCHAR)")} % 100 < $evalPct),
+evg AS MATERIALIZED (SELECT DISTINCT gm FROM sh8 JOIN ev USING (doc_id)),
+cont AS (SELECT DISTINCT s.doc_id FROM sh8 s JOIN evg USING (gm)
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM ev)),
+surv AS (SELECT g.doc_id, g.lang FROM g JOIN qs USING (doc_id)
+  WHERE g.guess = g.lang AND qs.quality >= $minQuality
+    AND g.doc_id NOT IN (SELECT doc_id FROM dup)
+    AND g.doc_id NOT IN (SELECT doc_id FROM cont)
+    AND g.doc_id NOT IN (SELECT doc_id FROM ev)),
+mixed AS (SELECT doc_id, lang FROM surv
+  WHERE ${h60("'mx:' || CAST(doc_id AS VARCHAR)")} % 10000
+        < (CASE lang $mixCases ELSE 0 END)),
+sp AS (SELECT doc_id,
+  CASE WHEN b < $trainPct THEN 'train'
+       WHEN b < ${trainPct + valPct} THEN 'val'
+       ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+    ${h60("'sp:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents))
+SELECT m.lang, sp.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(d.n_chars) AS BIGINT) AS chars
+FROM mixed m JOIN sp USING (doc_id) JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** Count–Min mirror: rebuild the d bucket functions from the md5
     * formula and reproduce the sketch's estimate — collisions included
     * — at the exact top-`topN` probe terms. Stronger than an

@@ -503,6 +503,9 @@ object SparkEntry {
     "q_corpus_clean" -> ((s, d) =>
       Corpus.corpusClean(GraphBuilder.table(s, d, "documents"),
         minhashPairsCached(s, d))),
+    "q_training_mix" -> ((s, d) =>
+      Corpus.trainingMixReport(GraphBuilder.table(s, d, "documents"),
+        mixWeights.toMap)),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
@@ -851,6 +854,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 23, 4),
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
+    "q_training_mix" -> PipelineOracles.trainingMixSql(mixWeights, 0.5, 5, 24, 90, 5),
     "q_boilerplate" -> PipelineOracles.boilerplateGramsSql(0.5),
     "q_zipf" -> PipelineOracles.zipfCoverageSql(Seq(10, 100, 1000)),
     "q_quality_quantiles" -> PipelineOracles.qualityQuantilesSql,

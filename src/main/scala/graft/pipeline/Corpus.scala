@@ -392,17 +392,21 @@ object Corpus {
     * is one semi-join keyed on the 60-bit gram hash — shuffle bounded
     * by corpus gram count, and a real (small) benchmark set broadcasts
     * automatically under AQE. Never doc×doc pairs. */
-  def decontaminate(docs: DataFrame, evalPct: Int = 5): DataFrame = {
+  def decontaminate(docs: DataFrame, evalPct: Int = 5,
+                    gram: Int = 8): DataFrame = {
     // Split BEFORE shingling: the eval predicate is a pure function of
     // doc_id, so each side shingles only its own docs (1.0× corpus
     // total, filters pushed to the scan) — shingling the whole corpus
     // into one frame and semi/anti-joining it re-ran the explode for
     // both branches (measured 2× the shingle work at sf0.1).
+    // `gram` is the contamination window: 8 chars is the standalone
+    // q_decontam's aggressive audit; longer windows (pipelines tune
+    // this) flag only verbatim spans.
     val isEval =
       pmod(hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) < evalPct
-    val evalGrams = TextOps.shingles(docs.filter(isEval), 8)
+    val evalGrams = TextOps.shingles(docs.filter(isEval), gram)
       .select(hash60(col("sh"), "dc:").as("g")).distinct()
-    TextOps.shingles(docs.filter(!isEval), 8)
+    TextOps.shingles(docs.filter(!isEval), gram)
       .select(col("doc_id"), hash60(col("sh"), "dc:").as("g")).distinct()
       .join(evalGrams, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared"))
@@ -705,6 +709,59 @@ object Corpus {
     * and which are NOT a member of any near-dup candidate pair; report
     * survivors per language. Composes [[TextOps.langId]],
     * [[TextOps.quality]] and the pair frame (one anti-join). */
+  /** End-to-end training-mix report — the WHOLE prep DAG as one
+    * composed plan: language-ID gate ∧ quality gate ∧ exact-dup
+    * removal (first-100-char fingerprint, keep each cluster's min-id
+    * representative — the stage a production pipeline runs before
+    * near-dup banding, which q_corpus_clean covers separately) ∧
+    * benchmark decontamination (eval-slice verbatim `gram`-char
+    * overlap, the held-out slice itself leaving the mix too) →
+    * per-language mixing sampler → deterministic train/val/test
+    * split → per (lang, split) doc count and character mass of the
+    * final training set. Every stage is the SAME operator a user runs
+    * standalone (langId, quality, dedupExact's fingerprint,
+    * decontaminate, mixSample, splitAssign), so this row certifies
+    * the composition, not new semantics — Catalyst fuses the gates
+    * into one pass over the corpus plus the semi-join sides the
+    * dedup/decontam stages genuinely need. All joins are keyed on
+    * doc_id; nothing materializes doc×doc state. */
+  def trainingMixReport(docs: DataFrame,
+                        weights: Map[String, Double],
+                        minQuality: Double = 0.5, evalPct: Int = 5,
+                        gram: Int = 24,
+                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    // exact dedup keeps each fingerprint cluster's min-id
+    // REPRESENTATIVE — dedup keeps one copy of the content, it
+    // doesn't erase it; only non-canonical members leave the mix
+    val fp = docs.select(col("doc_id"),
+      md5(lower(substring(col("text"), 1, 100))).as("fp"))
+    val dup = fp
+      .join(fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id")), Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    val contaminated = decontaminate(docs, evalPct, gram).select("doc_id")
+    // the held-out slice itself leaves the training mix too — it's the
+    // benchmark, not training data
+    val evalSlice = docs.filter(
+      pmod(TextOps.hash60(col("doc_id").cast("string"), "ev:"),
+        lit(100L)) < evalPct).select("doc_id")
+    val survivors = TextOps.langId(docs).filter(col("matches"))
+      .select("doc_id", "lang")
+      .join(TextOps.quality(docs).filter(col("quality") >= minQuality)
+        .select("doc_id"), Seq("doc_id"))
+      .join(dup, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(evalSlice, Seq("doc_id"), "left_anti")
+    mixSample(docs, weights)
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(splitAssign(docs, trainPct, valPct), Seq("doc_id"))
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy("lang", "split")
+  }
+
   def corpusClean(docs: DataFrame, pairs: DataFrame,
                   minQuality: Double = 0.5): DataFrame = {
     val dup = pairs.select(col("a").as("doc_id"))
