@@ -143,4 +143,55 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate")) // partial agg present
     assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("hll query plans two single-phase aggs — no Expand, no SortAggregate") {
+    // mixing the udaf with countDistinct in ONE agg regresses to an
+    // Expand + SortAggregate pipeline that reserializes register
+    // buffers per row (measured 4.9 s vs 1.8 s at sf0.1) — pin the
+    // split-aggregation shape
+    val plan = planOf(graft.pipeline.Sketches.hllDistinct(
+      graft.streaming.EventStreams.eventsTable(spark, sfDir)))
+    // the countDistinct side keeps the standard multi-distinct Expand
+    // over plain counts (HashAggregate); what must never return is a
+    // SortAggregate carrying the register-buffer udaf
+    assert(!plan.contains("SortAggregate"), plan.take(1500))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("chunkDocs shuffles only for the output ordering, never the data") {
+    val df = graft.pipeline.Corpus.chunkDocs(
+      GraphBuilder.table(spark, sfDir, "documents"))
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one range exchange for the deterministic orderBy; the
+    // sequence+substr explode itself is a pure per-row map
+    assert(exchanges.length <= 1, s"expected <= 1 exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("weightedSample ranks via bounded TopK — no Window over the corpus") {
+    val plan = planOf(graft.pipeline.Sketches.weightedSample(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+  }
+
+  test("focal link prediction never shuffles the edge frame to make wedges") {
+    // the first shuffle in the plan must be the candidate groupBy —
+    // wedge enumeration rides broadcast joins of the focal adjacency
+    val sym = graft.graph.DerivedGraphs.sym(
+      graft.graph.DerivedGraphs.partCooccur(spark, sfDir))
+    val focal = GraphBuilder.table(spark, sfDir, "part")
+      .select((lit(GraphBuilder.PartTag * GraphBuilder.TAG) +
+        col("p_partkey")).as("id"))
+      .filter(col("id") <= GraphBuilder.PartTag * GraphBuilder.TAG + 200L)
+    val df = algorithms.LinkPrediction.scores(sym, Some(focal))
+    val plan = planOf(df)
+    // wedge joins broadcast; SortMergeJoin would mean the 2|E| frame
+    // was shuffled on w
+    val beforeAgg = plan.substring(0, math.max(plan.indexOf("HashAggregate"), 0))
+    assert(!beforeAgg.contains("SortMergeJoin"),
+      s"edge frame shuffled before the candidate agg:\n${plan.take(2000)}")
+  }
 }
