@@ -168,6 +168,31 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("ts"), col("signup_id"))
   }
 
+  /** Left-outer streaming interval join — attribution WITH the organic
+    * traffic: clicks inside a signup window emit matched (append-mode,
+    * no delay beyond the match), clicks with no signup emit once with
+    * a NULL signup_id — but only after the watermark passes the point
+    * where a matching signup could still arrive, which is exactly the
+    * state-eviction moment. This is the outer-join contract Structured
+    * Streaming adds on top of [[intervalJoinStream]]: the null row's
+    * emission time is governed by the same horizon that bounds state,
+    * so "unmatched" is never declared early and state never outlives
+    * the watermark. */
+  def intervalJoinOuterStream(clicks: DataFrame, signups: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+    val s = signups
+      .withColumn("sts", col("sts").cast("timestamp"))
+      .withWatermark("sts", "2 hours")
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("ts") >= col("sts") &&
+        col("ts") <= col("sts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("click_id"), col("user_id"), col("ts"), col("signup_id"))
+  }
+
   /** Per-user inter-arrival features: event count plus mean/max gap in
     * seconds between consecutive events — the temporal-regularity
     * signal behind bot/burst detection and session-gap tuning. One

@@ -367,6 +367,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: organic clicks emit null AFTER the horizon") {
+    val implicits = spark.implicits
+    import implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val signups = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = EventStreams.intervalJoinOuterStream(
+        clicks.toDF().toDF("click_id", "user_id", "ts"),
+        signups.toDF().toDF("s_user_id", "sts", "signup_id"))
+      .writeStream.format("memory").queryName("ivjo").outputMode("append").start()
+    try {
+      signups.addData((1L, t("2020-01-01 10:00:00"), 100L))
+      clicks.addData(
+        (2L, 1L, t("2020-01-01 10:30:00")),  // attributed
+        (5L, 9L, t("2020-01-01 10:45:00")))  // organic: no signup ever
+      q.processAllAvailable()
+      val early = spark.table("ivjo").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toMap
+      // matched row emits promptly; the organic click must NOT be
+      // declared unmatched yet — a matching signup could still arrive
+      assert(early == Map(2L -> 100L), early.toString)
+      // advance both watermarks far past the click's join horizon —
+      // eviction time IS null-emit time
+      clicks.addData((99L, 50L, t("2020-01-02 12:00:00")))
+      signups.addData((60L, t("2020-01-02 12:00:00"), 999L))
+      q.processAllAvailable()
+      // one more cycle so the no-data batch after watermark advance fires
+      clicks.addData((98L, 51L, t("2020-01-02 12:00:01")))
+      q.processAllAvailable()
+      val late = spark.table("ivjo").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toMap
+      assert(late.get(5L).contains(-1L),
+        s"organic click must emit with NULL signup after the horizon: $late")
+      assert(late(2L) == 100L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
