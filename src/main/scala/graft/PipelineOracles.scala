@@ -401,6 +401,24 @@ JOIN documents da ON p.a = da.doc_id
 JOIN documents db ON p.b = db.doc_id
 GROUP BY 1, 2"""
 
+  /** KMV set-ops mirror — the sketch runs in its exact regime
+    * (capacity ≥ every pairwise union), so union/intersection
+    * estimates equal the true distinct-term counts. */
+  val sourceSetOpsSql: String =
+    """WITH dt AS MATERIALIZED (SELECT DISTINCT source, term FROM
+  (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY source),
+i AS (SELECT x.source AS src_a, y.source AS src_b, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM dt x JOIN dt y ON x.term = y.term AND x.source < y.source
+  GROUP BY 1, 2)
+SELECT ca.source AS src_a, cb.source AS src_b,
+  ca.n + cb.n - COALESCE(i.ni, 0) AS union_d,
+  COALESCE(i.ni, 0) AS inter_d
+FROM c ca JOIN c cb ON ca.source < cb.source
+LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source
+ORDER BY src_a, src_b"""
+
   def hashSampleSql(pct: Int): String =
     s"""SELECT doc_id, lang FROM documents
 WHERE ${h60("'s:' || CAST(doc_id AS VARCHAR)")} % 100 < $pct"""

@@ -482,6 +482,10 @@ object SparkEntry {
       pipeline.Sketches.topDocsBySource(GraphBuilder.table(s, d, "documents"))),
     "q_weighted_sample" -> ((s, d) =>
       pipeline.Sketches.weightedSample(GraphBuilder.table(s, d, "documents"))),
+    // capacity 1024 ≥ every pairwise vocabulary union → exact regime;
+    // the estimation-regime error bound is spec-pinned
+    "q_kmv_setops" -> ((s, d) =>
+      pipeline.Sketches.sourceSetOps(GraphBuilder.table(s, d, "documents"))),
     "q_quota_sample" -> ((s, d) =>
       pipeline.Sketches.quotaSample(GraphBuilder.table(s, d, "documents"))),
     "q_hashed_features" -> ((s, d) =>
@@ -794,6 +798,7 @@ FROM documents GROUP BY source ORDER BY source""",
     "q_quota_sample" -> PipelineOracles.quotaSampleSql(5),
     "q_weighted_sample" -> PipelineOracles.weightedSampleSql(100),
     "q_bpe_pairs" -> PipelineOracles.bpePairsSql(30),
+    "q_kmv_setops" -> PipelineOracles.sourceSetOpsSql,
     "q_rollup" -> PipelineOracles.corpusRollupSql,
     "q_hashed_features" -> PipelineOracles.hashedFeaturesSql(64),
     "q_source_kl" ->

@@ -501,6 +501,23 @@ class CountMin(d: Int, w: Int) extends Aggregator[Seq[Int], CMBuf, Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
+/** [[KMV]] variant that surfaces the k-min SET itself (sorted
+  * ascending) instead of the cardinality estimate — the form that
+  * supports SKETCH ALGEBRA downstream: merged k-min sets answer union
+  * cardinality, and the Beyer et al. 2007 ρ·est(∪) rule answers
+  * intersection, without touching the original streams again. */
+class KMVSet(k: Int) extends Aggregator[Long, KMVBuf, Seq[Long]] {
+  private val inner = new KMV(k)
+  override def zero: KMVBuf = inner.zero
+  override def reduce(b: KMVBuf, h: Long): KMVBuf = inner.reduce(b, h)
+  override def merge(a: KMVBuf, b: KMVBuf): KMVBuf = inner.merge(a, b)
+  override def finish(s: KMVBuf): Seq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      s.hashes.take(s.occupied))
+  override def bufferEncoder: Encoder[KMVBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 /** HyperLogLog partial state: the 2^p register maxima. */
 final case class HLLBuf(regs: Array[Int])
 
@@ -896,6 +913,41 @@ object Sketches {
       .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
         col("e._2").as("doc_id"))
       .orderBy("source", "rn")
+  }
+
+  /** KMV sketch algebra over source vocabularies: per source ONE k-min
+    * sketch of the term-hash stream, then every source pair's UNION
+    * and INTERSECTION cardinality computed from the 20 sketch rows
+    * alone — merged k-min set for the union (Bar-Yossef), ρ·est(∪)
+    * with ρ = |k-min ∩ A ∩ B|/|merged| for the intersection (Beyer et
+    * al. 2007). The inter_d/union_d estimates are EXACT below sketch
+    * capacity (the oracle regime; estimation error bound is
+    * spec-pinned past it). The 100 TB contrast with the exact
+    * formulation: the term streams aggregate ONCE map-side into
+    * |sources| bounded rows and the pairwise combination is pure
+    * array arithmetic on a broadcast self-join of those rows — no
+    * per-pair shuffle of term sets ever happens. */
+  def sourceSetOps(docs: DataFrame, k: Int = 1024): DataFrame = {
+    val kmv = udaf(new KMVSet(k), org.apache.spark.sql.Encoders.scalaLong)
+    val sk = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), TextOps.hash60(col("term"), "kv:").as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("skb"))
+    val merged = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+    val nMerged = size(merged)
+    val unionEst = when(nMerged < k, nMerged.cast("double"))
+      .otherwise(lit((k - 1).toDouble * KMV.TwoPow60) /
+        element_at(merged, k).cast("double"))
+    val ksect = size(array_intersect(array_intersect(merged, col("ska")),
+      col("skb")))
+    a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(unionEst).cast("long").as("union_d"),
+        round(ksect * unionEst / nMerged).cast("long").as("inter_d"))
+      .orderBy("src_a", "src_b")
   }
 
   /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis 2006):

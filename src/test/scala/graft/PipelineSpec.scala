@@ -493,6 +493,39 @@ class PipelineSpec extends SparkSpec {
     assert(scaled.toSeq == expect)
   }
 
+  test("kmv set ops: exact under capacity, bounded estimates past it") {
+    val implicits = spark.implicits
+    import implicits._
+    // exact regime: vocabularies fit the sketch
+    val d = Seq((1L, "a b c", "s1"), (2L, "b c d e", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Sketches.sourceSetOps(d, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toList
+    assert(got == List(("s1", "s2", 5L, 2L)))
+    // estimation regime: 3000-term vocabularies overlapping in 1000,
+    // k = 256 — union error ~1/sqrt(k-2) ≈ 6%, the intersection
+    // inherits it through the ρ rule; assert generous envelopes.
+    // hash60 is deterministic: fixed numbers, never flaky.
+    val big = Seq(
+      (1L, (1 to 3000).map(i => s"v$i").mkString(" "), "sa"),
+      (2L, (2001 to 5000).map(i => s"v$i").mkString(" "), "sb"))
+      .toDF("doc_id", "text", "source")
+    val est = graft.pipeline.Sketches.sourceSetOps(big, k = 256)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(math.abs(est._1 - 5000.0) / 5000.0 < 0.15, s"union ${est._1}")
+    assert(math.abs(est._2 - 1000.0) / 1000.0 < 0.30, s"inter ${est._2}")
+    // repartitioned input gives the SAME estimates: the k-min set is
+    // order-independent, so the algebra is too
+    val est2 = graft.pipeline.Sketches.sourceSetOps(
+        spark.sparkContext.parallelize(
+          big.collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+            r.getString(2))).reverse, 7)
+          .toDF("doc_id", "text", "source"), k = 256)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(est2 == est)
+  }
+
   test("hll: deterministic bounded estimate, both branches, order-independent") {
     val implicits = spark.implicits
     import implicits._
