@@ -477,6 +477,33 @@ SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS cn,
 FROM cand c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b
 ORDER BY aa DESC, c.a ASC, c.b ASC LIMIT $n"""
 
+  /** Sequential greedy MIS replay on the symmetric trade-top graph —
+    * a single-row recursive state machine: nodes ranked by the shared
+    * (hash60("mis:"++id), id) priority; step r appends node(r) to the
+    * accumulated list iff none of its neighbors is already in it.
+    * Blelloch et al.: this sequential answer IS the fixed-priority
+    * parallel rounds' answer, so one |V|-step replay checks the
+    * distributed kernel exactly. */
+  def misSql(): String = {
+    val h = s"('0x' || substr(md5('mis:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH RECURSIVE ${DerivedGraphs.tradeTopSql()},
+tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation),
+tts AS (SELECT src, dst FROM ttedges UNION SELECT dst, src FROM ttedges),
+pr AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY $h, id) AS rk FROM tn),
+step(rk, mis) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT s.rk + 1,
+    CASE WHEN EXISTS (SELECT 1 FROM tts e
+                      WHERE e.src = (SELECT id FROM pr WHERE rk = s.rk + 1)
+                        AND list_contains(s.mis, e.dst))
+         THEN s.mis
+         ELSE list_append(s.mis, (SELECT id FROM pr WHERE rk = s.rk + 1)) END
+  FROM step s WHERE s.rk < (SELECT COUNT(*) FROM pr))
+SELECT unnest(mis) AS id FROM step WHERE rk = (SELECT COUNT(*) FROM pr)
+ORDER BY id"""
+  }
+
   /** Unrolled Borůvka on the weighted trade graph, mirroring
     * Spanning.minimumSpanningForest round for round: per round each
     * component's (w, a, b)-least crossing edge joins the forest and

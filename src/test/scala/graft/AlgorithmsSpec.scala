@@ -297,6 +297,29 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.0)))
   }
 
+  test("mis: independent, maximal, isolated nodes always members") {
+    val implicits = spark.implicits
+    import implicits._
+    // path 1-2-3-4 plus isolated 9
+    val ed = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val sym = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val mis = algorithms.Independent.maximalIndependentSet(nodes, sym)
+      .collect().map(_.getLong(0)).toSet
+    // independence: no edge inside the set
+    val edges = Set((1L, 2L), (2L, 3L), (3L, 4L))
+    edges.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside MIS $mis") }
+    // maximality: every non-member has a member neighbor
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L, 4L),
+      4L -> Set(3L), 9L -> Set.empty[Long])
+    nodes.collect().map(_.getLong(0)).foreach { v =>
+      assert(mis(v) || adj(v).exists(mis), s"$v unmatched in $mis") }
+    // isolated node always a member
+    assert(mis(9L))
+  }
+
   test("mst: unique forest under ties, heavy cycle edge dropped, forest kept") {
     val implicits = spark.implicits
     import implicits._

@@ -69,6 +69,12 @@ class ShuffleRegimeSpec extends SparkSpec {
     assert(b.nonEmpty && b == s)
   }
 
+  test("mis: shuffle regime (parallel rounds) ≡ driver sequential greedy") {
+    val (b, s) = both(asSet(
+      algorithms.Independent.maximalIndependentSet(nodeDf, symDf)))
+    assert(b.nonEmpty && b == s)
+  }
+
   test("mst: shuffle regime (distributed Borůvka) ≡ driver Kruskal") {
     // weighted view of the random pair graph: deterministic weights
     // with deliberate TIES (w in 1..7), so the (w, a, b) total-order
