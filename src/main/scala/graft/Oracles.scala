@@ -504,6 +504,31 @@ SELECT unnest(mis) AS id FROM step WHERE rk = (SELECT COUNT(*) FROM pr)
 ORDER BY id"""
   }
 
+  /** Sequential Jones–Plassmann replay — the coloring twin of
+    * [[misSql]]: parallel-list state machine (ids, cols); step r
+    * colors node(r) with the mex of its already-colored neighbors. */
+  def coloringSql(): String = {
+    val h = s"('0x' || substr(md5('mis:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT"
+    s"""WITH RECURSIVE ${DerivedGraphs.tradeTopSql()},
+tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation),
+tts AS (SELECT src, dst FROM ttedges UNION SELECT dst, src FROM ttedges),
+pr AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY $h, id) AS rk FROM tn),
+step(rk, ids, cols) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT s.rk + 1,
+    list_append(s.ids, (SELECT id FROM pr WHERE rk = s.rk + 1)),
+    list_append(s.cols, (
+      SELECT MIN(i) FROM unnest(generate_series(0, len(s.ids) + 1)) AS t(i)
+      WHERE i NOT IN (
+        SELECT s.cols[list_position(s.ids, e.dst)]
+        FROM tts e WHERE e.src = (SELECT id FROM pr WHERE rk = s.rk + 1)
+          AND list_contains(s.ids, e.dst))))
+  FROM step s WHERE s.rk < (SELECT COUNT(*) FROM pr))
+SELECT unnest(ids) AS id, unnest(cols) AS color
+FROM step WHERE rk = (SELECT COUNT(*) FROM pr) ORDER BY id"""
+  }
+
   /** Unrolled Borůvka on the weighted trade graph, mirroring
     * Spanning.minimumSpanningForest round for round: per round each
     * component's (w, a, b)-least crossing edge joins the forest and

@@ -319,6 +319,13 @@ object SparkEntry {
         tt.unionByName(tt.select(col("dst").as("src"), col("src").as("dst")))
           .distinct())
     }),
+    "q_coloring" -> ((s, d) => {
+      val tt = DerivedGraphs.nationTradeTop(s, d)
+      algorithms.Independent.greedyColoring(
+        DerivedGraphs.tradeNodes(s, d),
+        tt.unionByName(tt.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct())
+    }),
     "q_link_predict" -> ((s, d) =>
       algorithms.LinkPrediction.topPredictions(
         DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d)),
@@ -719,6 +726,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_mst" -> Oracles.mstSql(),
     "q_mis" -> Oracles.misSql(),
+    "q_coloring" -> Oracles.coloringSql(),
     "q_ppr" -> Oracles.pprSql(pprSources, 0.85, 10),
     "q_label_prop" -> Oracles.labelPropSql(5),
     "q_walks" -> Oracles.walksSql(8, 2),

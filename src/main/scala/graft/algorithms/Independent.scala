@@ -76,6 +76,98 @@ object Independent {
     mis.orderBy("id")
   }
 
+  /** Greedy graph coloring — Jones–Plassmann under the same fixed
+    * hash priority: each round every undecided node whose priority
+    * beats all its UNDECIDED neighbors (the MIS-selection rule)
+    * colors itself with the mex of its already-colored neighbors'
+    * colors. The parallel rounds emit exactly the sequential greedy
+    * coloring in priority order (the JP invariant: a node colors only
+    * after every higher-priority neighbor), so the distributed
+    * kernel, the driver-gated greedy and the oracle's recursive
+    * replay agree bit-identically. Colors are 0-based; the color
+    * count is the greedy bound Δ+1, not optimal (optimal coloring is
+    * NP-hard — this is the standard scheduling/partitioning
+    * primitive, e.g. conflict-free update batching). */
+  def greedyColoring(nodes: DataFrame, symEdges: DataFrame,
+                     maxRounds: Int = 120): DataFrame = {
+    val spark = nodes.sparkSession
+    val (e0, mE) = Probe.checkpointObserved(
+      symEdges.select("src", "dst"), count(lit(1)).as("m"))
+    val (n0, mN) = Probe.checkpointObserved(
+      nodes.select(col("id"),
+        graft.pipeline.TextOps.hash60(col("id").cast("string"), "mis:")
+          .as("h")),
+      count(lit(1)).as("n"))
+    if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return colorLocal(spark, n0, e0)
+    var undecided = n0
+    var nUndecided = mN("n").asInstanceOf[Long]
+    // src-side frame of edges whose src is still undecided (the dst
+    // side keeps colored nodes — mex needs them)
+    var e = e0
+    var colored: DataFrame = null
+    var round = 0
+    while (nUndecided > 0 && round < maxRounds) {
+      round += 1
+      val nbrMin = e
+        .join(undecided.select(col("id").as("dst"), col("h").as("hd")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(struct(col("hd"), col("dst"))).as("mn"))
+      val sel = undecided.join(nbrMin, Seq("id"), "left_outer")
+        .filter(col("mn").isNull ||
+          struct(col("h"), col("id")) < col("mn"))
+        .select("id")
+        .localCheckpoint()
+      // mex over already-colored neighbors: sorted distinct colors,
+      // first index where cs[i] != i (else the prefix length)
+      val nbrColors =
+        if (colored == null) sel.limit(0).withColumn("cs", array())
+        else e.join(sel.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(colored.select(col("id").as("dst"), col("color")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(collect_set(col("color")).as("cs"))
+      val withMex = sel.join(nbrColors, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(
+          expr("""coalesce(
+            get(filter(transform(array_sort(cs), (c, i) -> IF(c = i, -1L, CAST(i AS BIGINT))),
+                       x -> x >= 0), 0),
+            CAST(size(cs) AS BIGINT))"""),
+          lit(0L)).as("color"))
+        .localCheckpoint()
+      colored = if (colored == null) withMex
+                else colored.unionByName(withMex)
+      val (u, mU) = Probe.checkpointObserved(
+        undecided.join(sel, Seq("id"), "left_anti"),
+        count(lit(1)).as("n"))
+      undecided = u
+      nUndecided = mU("n").asInstanceOf[Long]
+      e = e.join(sel.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .localCheckpoint()
+    }
+    require(nUndecided == 0, s"coloring did not converge in $maxRounds rounds")
+    colored.orderBy("id")
+  }
+
+  private def colorLocal(spark: org.apache.spark.sql.SparkSession,
+                         n: DataFrame, e: DataFrame): DataFrame = {
+    val implicits = spark.implicits
+    import implicits._
+    val pr = n.select(col("h"), col("id")).as[(Long, Long)]
+      .collect().sortBy(identity)
+    val adj = e.select(col("src"), col("dst")).as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSet }
+    val color = scala.collection.mutable.HashMap.empty[Long, Long]
+    pr.foreach { case (_, id) =>
+      val used = adj.getOrElse(id, Set.empty).flatMap(color.get)
+      var c = 0L
+      while (used(c)) c += 1
+      color(id) = c
+    }
+    spark.createDataFrame(color.toSeq.sortBy(_._1)).toDF("id", "color")
+  }
+
   /** Driver-gated regime: sequential greedy over the (h, id)-sorted
     * node list — the same lexicographically-first MIS the rounds
     * compute, one job in, one parallelize out. */

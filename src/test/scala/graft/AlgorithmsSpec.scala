@@ -320,6 +320,25 @@ class AlgorithmsSpec extends SparkSpec {
     assert(mis(9L))
   }
 
+  test("coloring: proper, greedy-bounded, isolated nodes get color 0") {
+    val implicits = spark.implicits
+    import implicits._
+    // triangle 1-2-3 (needs 3 colors) + pendant 4 + isolated 9
+    val ed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val sym = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val col_ = algorithms.Independent.greedyColoring(nodes, sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // proper: no edge endpoints share a color
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).foreach { case (a, b) =>
+      assert(col_(a) != col_(b), s"edge ($a,$b) monochromatic in $col_") }
+    // triangle uses exactly colors {0,1,2}; greedy bound Δ+1 = 4 holds
+    assert(Set(col_(1L), col_(2L), col_(3L)) == Set(0L, 1L, 2L))
+    assert(col_.values.max <= 3L)
+    assert(col_(9L) == 0L) // isolated: nothing to avoid
+  }
+
   test("mst: unique forest under ties, heavy cycle edge dropped, forest kept") {
     val implicits = spark.implicits
     import implicits._

@@ -69,6 +69,12 @@ class ShuffleRegimeSpec extends SparkSpec {
     assert(b.nonEmpty && b == s)
   }
 
+  test("coloring: shuffle regime (JP rounds) ≡ driver sequential greedy") {
+    val (b, s) = both(asSet(
+      algorithms.Independent.greedyColoring(nodeDf, symDf)))
+    assert(b.nonEmpty && b == s)
+  }
+
   test("mis: shuffle regime (parallel rounds) ≡ driver sequential greedy") {
     val (b, s) = both(asSet(
       algorithms.Independent.maximalIndependentSet(nodeDf, symDf)))
