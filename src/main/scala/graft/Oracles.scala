@@ -366,6 +366,30 @@ FROM tn LEFT JOIN agg a ON a.id = tn.id"""
     sb.toString
   }
 
+  /** Eccentricity mirror: the same unrolled multi-source BFS levels as
+    * [[closenessSql]], aggregated by MAX(dist) over the reachable set
+    * (0 when nothing is reachable). */
+  def eccentricitySql(maxDepth: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", f0 AS (SELECT id AS s, id AS v FROM tn)"
+    sb ++= ", v0 AS (SELECT * FROM f0)"
+    for (i <- 1 to maxDepth) {
+      sb ++= s", f$i AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS v" +
+        s" FROM f${i - 1} f JOIN ttedges e ON e.src = f.v" +
+        s" WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x WHERE x.s = f.s AND x.v = e.dst))"
+      sb ++= s", v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM f$i)"
+    }
+    sb ++= ", lv AS (" + (1 to maxDepth).map(i =>
+      s"SELECT s, v, CAST($i AS BIGINT) AS dist FROM f$i").mkString(" UNION ALL ") + ")"
+    sb ++= ", agg AS (SELECT s AS id, MAX(dist) AS ecc," +
+      " CAST(COUNT(*) AS BIGINT) AS n_reach FROM lv GROUP BY s)"
+    sb ++= """ SELECT tn.id, COALESCE(a.ecc, 0) AS ecc,
+ COALESCE(a.n_reach, 0) AS n_reach
+FROM tn LEFT JOIN agg a ON a.id = tn.id ORDER BY tn.id"""
+    sb.toString
+  }
+
   /** Unrolled HITS on the trade-top graph: L1-normalized authority and
     * hub half-steps, mirroring Centrality.hits iteration for
     * iteration. */

@@ -306,6 +306,9 @@ object SparkEntry {
     "q_closeness" -> ((s, d) =>
       Centrality.closeness(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 24)),
+    "q_eccentricity" -> ((s, d) =>
+      Centrality.eccentricity(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeTop(s, d), 24)),
     "q_hits" -> ((s, d) =>
       Centrality.hits(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 8)),
@@ -722,6 +725,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_core_numbers" -> Oracles.coreNumbersSql(48),
     "q_louvain" -> Oracles.louvainSql,
     "q_closeness" -> Oracles.closenessSql(24),
+    "q_eccentricity" -> Oracles.eccentricitySql(24),
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_mst" -> Oracles.mstSql(),

@@ -255,6 +255,30 @@ object Centrality {
     if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
         mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
       return closenessLocal(idsCk, e, srcs, maxDepth)
+    val levels = bfsLevelFrames(srcs, e, maxDepth)
+    val agg =
+      if (levels.isEmpty)
+        srcs.select(col("id"), lit(0L).as("n_reach"),
+          lit(0.0).as("closeness"), lit(0.0).as("harmonic"))
+      else levels.reduce(_ unionByName _)
+        .groupBy(col("s").as("id"))
+        .agg(count(lit(1)).as("n_reach"), sum("dist").as("sd"),
+          sum(lit(1.0) / col("dist")).as("h"))
+        .select(col("id"), col("n_reach").cast("long").as("n_reach"),
+          round(col("n_reach") / col("sd"), 6).as("closeness"),
+          round(col("h"), 6).as("harmonic"))
+    srcs.join(agg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_reach"), lit(0L)).as("n_reach"),
+        coalesce(col("closeness"), lit(0.0)).as("closeness"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
+  /** Multi-source level-synchronous BFS: the (s, v, dist ≥ 1) level
+    * frames, shared by [[closeness]] and [[eccentricity]] — per level
+    * one join + one distinct + one anti-join, partitioned on (s, v)
+    * throughout; empty when nothing is reachable. */
+  private def bfsLevelFrames(srcs: DataFrame, e: DataFrame,
+                             maxDepth: Int): Seq[DataFrame] = {
     val (f0, m0) = Probe.checkpointObserved(
       srcs.select(col("id").as("s"), col("id").as("v")),
       count(lit(1)).as("n"))
@@ -277,21 +301,86 @@ object Centrality {
         levels += frontier.withColumn("dist", lit(d.toLong))
       }
     }
+    levels.toSeq
+  }
+
+  /** Eccentricity per node — max BFS distance over the REACHABLE set
+    * (0 when nothing is reachable; the convention that stays
+    * meaningful on disconnected graphs, like harmonic centrality) —
+    * plus reach count so radius/diameter reports can filter to the
+    * strongly-reachable core. Same dual-regime multi-source BFS as
+    * [[closeness]]; only the final aggregate differs (MAX instead of
+    * the closeness sums). */
+  def eccentricity(nodes: DataFrame, edges: DataFrame, maxDepth: Int,
+                   sources: Option[DataFrame] = None): DataFrame = {
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select("src", "dst").distinct(), count(lit(1)).as("m"))
+    val (idsCk, mN) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    val (srcs, _) = sources match {
+      case None => (idsCk, ())
+      case Some(s) => (Probe.checkpointObserved(
+        s.select("id"), count(lit(1)).as("n"))._1, ())
+    }
+    if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return eccLocal(idsCk, e, srcs, maxDepth)
+    val levels = bfsLevelFrames(srcs, e, maxDepth)
     val agg =
       if (levels.isEmpty)
-        srcs.select(col("id"), lit(0L).as("n_reach"),
-          lit(0.0).as("closeness"), lit(0.0).as("harmonic"))
+        srcs.select(col("id"), lit(0L).as("ecc"), lit(0L).as("n_reach"))
       else levels.reduce(_ unionByName _)
         .groupBy(col("s").as("id"))
-        .agg(count(lit(1)).as("n_reach"), sum("dist").as("sd"),
-          sum(lit(1.0) / col("dist")).as("h"))
-        .select(col("id"), col("n_reach").cast("long").as("n_reach"),
-          round(col("n_reach") / col("sd"), 6).as("closeness"),
-          round(col("h"), 6).as("harmonic"))
+        .agg(max("dist").cast("long").as("ecc"),
+          count(lit(1)).cast("long").as("n_reach"))
     srcs.join(agg, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("n_reach"), lit(0L)).as("n_reach"),
-        coalesce(col("closeness"), lit(0.0)).as("closeness"),
-        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+      .select(col("id"), coalesce(col("ecc"), lit(0L)).as("ecc"),
+        coalesce(col("n_reach"), lit(0L)).as("n_reach"))
+      .orderBy("id")
+  }
+
+  /** Driver-gated eccentricity twin over the packed CSR. */
+  private def eccLocal(idsCk: DataFrame, e: DataFrame,
+                       sources: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    val Array(srcArr) = LocalGraph.packed(sources.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val (off, nbr) = LocalGraph.csr(srcIx, dstIx, u)
+    val dist = new Array[Int](u)
+    val queue = new Array[Int](u)
+    import spark.implicits._
+    srcArr.toSeq.map { sid =>
+      val s = idx.get(sid)
+      var reach = 0L; var ecc = 0L
+      if (s >= 0) {
+        java.util.Arrays.fill(dist, -1)
+        dist(s) = 0; queue(0) = s
+        var head = 0; var len = 1
+        while (head < len) {
+          val v = queue(head); head += 1
+          if (dist(v) < maxDepth) {
+            var j = off(v)
+            while (j < off(v + 1)) {
+              val w = nbr(j)
+              if (dist(w) < 0) {
+                dist(w) = dist(v) + 1
+                reach += 1L
+                if (dist(w) > ecc) ecc = dist(w).toLong
+                queue(len) = w; len += 1
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      (sid, ecc, reach)
+    }.sortBy(_._1).toDF("id", "ecc", "n_reach")
   }
 
   /** Per-source BFS over the packed CSR — the driver-gated twin of the

@@ -320,6 +320,19 @@ class AlgorithmsSpec extends SparkSpec {
     assert(mis(9L))
   }
 
+  test("eccentricity: max BFS distance over the reachable set, 0 when none") {
+    val implicits = spark.implicits
+    import implicits._
+    // directed path 1→2→3→4 plus isolated 9: ecc(1)=3, ecc(2)=2,
+    // ecc(3)=1, ecc(4)=0 (reaches nothing), ecc(9)=0
+    val ed = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val got = algorithms.Centrality.eccentricity(nodes, ed, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 3L, 3L), (2L, 2L, 2L), (3L, 1L, 1L),
+      (4L, 0L, 0L), (9L, 0L, 0L)))
+  }
+
   test("coloring: proper, greedy-bounded, isolated nodes get color 0") {
     val implicits = spark.implicits
     import implicits._
