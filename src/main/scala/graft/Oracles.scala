@@ -366,6 +366,32 @@ FROM tn LEFT JOIN agg a ON a.id = tn.id"""
     sb.toString
   }
 
+  /** Neighbor-aggregation mirror: unrolled SAGE-style mean layers over
+    * in-neighborhoods on the trade-top graph, features = out/in
+    * degree, empty neighborhoods as 0 at every layer. */
+  def neighborAggSql(hops: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= """, l0 AS (SELECT tn.id,
+  CAST(COALESCE(o.c, 0) AS DOUBLE) AS odeg,
+  CAST(COALESCE(i.c, 0) AS DOUBLE) AS ideg
+  FROM tn
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM ttedges GROUP BY 1) o ON o.id = tn.id
+  LEFT JOIN (SELECT dst AS id, COUNT(*) AS c FROM ttedges GROUP BY 1) i ON i.id = tn.id)"""
+    for (h <- 1 to hops) {
+      sb ++= s""", l$h AS MATERIALIZED (SELECT tn.id,
+  COALESCE(a.odeg, 0.0) AS odeg, COALESCE(a.ideg, 0.0) AS ideg
+  FROM tn LEFT JOIN (
+    SELECT e.dst AS id, AVG(l.odeg) AS odeg, AVG(l.ideg) AS ideg
+    FROM ttedges e JOIN l${h - 1} l ON l.id = e.src GROUP BY 1) a
+  ON a.id = tn.id)"""
+    }
+    sb ++= s"""
+SELECT id, ROUND(odeg, 6) AS odeg_h$hops, ROUND(ideg, 6) AS ideg_h$hops
+FROM l$hops ORDER BY id"""
+    sb.toString
+  }
+
   /** Eccentricity mirror: the same unrolled multi-source BFS levels as
     * [[closenessSql]], aggregated by MAX(dist) over the reachable set
     * (0 when nothing is reachable). */

@@ -309,6 +309,18 @@ object SparkEntry {
     "q_eccentricity" -> ((s, d) =>
       Centrality.eccentricity(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 24)),
+    "q_neighbor_agg" -> ((s, d) => {
+      val tt = DerivedGraphs.nationTradeTop(s, d)
+      val tn = DerivedGraphs.tradeNodes(s, d)
+      val odeg = tt.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+      val ideg = tt.groupBy(col("dst").as("id")).agg(count(lit(1)).as("c"))
+      val feats = tn
+        .join(odeg.withColumnRenamed("c", "odeg"), Seq("id"), "left_outer")
+        .join(ideg.withColumnRenamed("c", "ideg"), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("odeg"), lit(0L)).as("odeg"),
+          coalesce(col("ideg"), lit(0L)).as("ideg"))
+      algorithms.NeighborAgg.aggregate(feats, tt, Seq("odeg", "ideg"), 2)
+    }),
     "q_hits" -> ((s, d) =>
       Centrality.hits(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 8)),
@@ -726,6 +738,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_louvain" -> Oracles.louvainSql,
     "q_closeness" -> Oracles.closenessSql(24),
     "q_eccentricity" -> Oracles.eccentricitySql(24),
+    "q_neighbor_agg" -> Oracles.neighborAggSql(2),
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_mst" -> Oracles.mstSql(),

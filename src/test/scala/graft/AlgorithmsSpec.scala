@@ -320,6 +320,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(mis(9L))
   }
 
+  test("neighborAgg: k-hop mean messages, empty neighborhoods stay 0") {
+    val implicits = spark.implicits
+    import implicits._
+    val feats = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "f")
+    val ed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // h1: node2 sees f(1)=10, node3 sees f(2)=20, node1 sees nothing
+    val h1 = algorithms.NeighborAgg.aggregate(feats, ed, Seq("f"), 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(h1 == List((1L, 0.0), (2L, 10.0), (3L, 20.0)))
+    // h2: node3 sees h1(2)=10; everything else 0 — the 2-hop field
+    val h2 = algorithms.NeighborAgg.aggregate(feats, ed, Seq("f"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(h2 == List((1L, 0.0), (2L, 0.0), (3L, 10.0)))
+  }
+
   test("eccentricity: max BFS distance over the reachable set, 0 when none") {
     val implicits = spark.implicits
     import implicits._
