@@ -366,6 +366,34 @@ FROM tn LEFT JOIN agg a ON a.id = tn.id"""
     sb.toString
   }
 
+  /** k-truss mirror: unrolled support-peel rounds on the undirected
+    * trade-top pair graph — per round each edge's support is the
+    * common-neighbor count over the surviving graph (one
+    * neighbor-match join), edges under k−2 leave; `rounds` must be ≥
+    * the rounds to fixpoint at the checked SF (extra rounds are exact
+    * no-ops). Final support re-measured in the surviving subgraph. */
+  def kTrussSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= """, e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM ttedges)"""
+    def sym(r: Int) =
+      s"(SELECT a AS id, b AS nb FROM e$r UNION ALL SELECT b, a FROM e$r)"
+    def supCte(name: String, r: Int) =
+      s""", $name AS MATERIALIZED (
+  SELECT e.a, e.b, COUNT(y.id) AS sup
+  FROM e$r e
+  LEFT JOIN ${sym(r)} x ON x.id = e.a
+  LEFT JOIN ${sym(r)} y ON y.id = e.b AND y.nb = x.nb
+  GROUP BY e.a, e.b)"""
+    for (r <- 0 until rounds) {
+      sb ++= supCte(s"s$r", r)
+      sb ++= s", e${r + 1} AS MATERIALIZED (SELECT a, b FROM s$r WHERE sup >= ${k - 2})"
+    }
+    sb ++= supCte("fin", rounds)
+    sb ++= """
+SELECT a, b, CAST(sup AS BIGINT) AS support FROM fin ORDER BY a, b"""
+    sb.toString
+  }
+
   /** Neighbor-aggregation mirror: unrolled SAGE-style mean layers over
     * in-neighborhoods on the trade-top graph, features = out/in
     * degree, empty neighborhoods as 0 at every layer. */

@@ -309,6 +309,12 @@ object SparkEntry {
     "q_eccentricity" -> ((s, d) =>
       Centrality.eccentricity(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 24)),
+    "q_ktruss" -> ((s, d) => {
+      val tt = DerivedGraphs.nationTradeTop(s, d)
+      algorithms.Structure.kTruss(
+        tt.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct(), k = 4)
+    }),
     "q_neighbor_agg" -> ((s, d) => {
       val tt = DerivedGraphs.nationTradeTop(s, d)
       val tn = DerivedGraphs.tradeNodes(s, d)
@@ -739,6 +745,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_closeness" -> Oracles.closenessSql(24),
     "q_eccentricity" -> Oracles.eccentricitySql(24),
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),
+    "q_ktruss" -> Oracles.kTrussSql(4, 10),
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_mst" -> Oracles.mstSql(),

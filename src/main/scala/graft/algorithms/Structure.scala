@@ -9,6 +9,56 @@ import org.apache.spark.sql.functions._
   */
 object Structure {
 
+  /** k-truss — the maximal subgraph in which every edge closes at
+    * least k−2 triangles WITHIN the subgraph (Cohen 2008): the
+    * edge-level cohesion analogue of k-core (reference:
+    * src/algorithms/kcore.rs ships the peel machinery this mirrors at
+    * the edge level). Iterated support peel: per round each surviving
+    * edge's support is the common-neighbor count of its endpoints
+    * over the surviving graph (sorted adjacency arrays + the native
+    * codegen'd intersect count — no triangle materialization), edges
+    * under k−2 leave, repeat to fixpoint. Every round is one groupBy
+    * (adjacency) + two |V|-row joins + a filter, and the edge frame
+    * shrinks monotonically. Output: surviving (a, b, support) with
+    * support measured in the FINAL subgraph. Deterministic (no tie
+    * choices — the peel is a pure set fixpoint), so the oracle
+    * replays the rounds with the same join arithmetic. */
+  def kTruss(pedges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val spark = pedges.sparkSession
+    graft.sql.ArraySortedIntersectCount.register(spark)
+    def supportOf(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("id"), col("b").as("nb"))
+        .unionByName(e.select(col("b").as("id"), col("a").as("nb")))
+      val adj = sym.groupBy("id")
+        .agg(sort_array(collect_set(col("nb"))).as("nbrs"))
+      e.join(adj.select(col("id").as("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("id").as("b"), col("nbrs").as("nb2")), Seq("b"))
+        .select(col("a"), col("b"),
+          call_function("array_sorted_intersect_count",
+            col("na"), col("nb2")).as("support"))
+    }
+    var (e, m0) = Probe.checkpointObserved(
+      pedges.select("a", "b").distinct(), count(lit(1)).as("n"))
+    var nE = m0("n").asInstanceOf[Long]
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      val (keep, mK) = Probe.checkpointObserved(
+        supportOf(e).filter(col("support") >= k - 2).select("a", "b"),
+        count(lit(1)).as("n"))
+      val nKeep = mK("n").asInstanceOf[Long]
+      if (nKeep == nE)
+        return supportOf(e).select(col("a"), col("b"),
+          col("support").cast("long").as("support")).orderBy("a", "b")
+      e = keep; nE = nKeep
+      if (nE == 0L) return supportOf(e).limit(0)
+        .select(col("a"), col("b"), col("support").cast("long").as("support"))
+    }
+    throw new IllegalStateException(
+      s"k-truss did not converge in $maxRounds rounds")
+  }
+
   /** Triangle enumeration on a simple undirected graph given as (a<b)
     * pairs, via the degree-ordered node-iterator (triangle.rs:46): edges
     * are oriented low-degree → high-degree (id tiebreak), which is

@@ -320,6 +320,28 @@ class AlgorithmsSpec extends SparkSpec {
     assert(mis(9L))
   }
 
+  test("kTruss: K4 survives k=4, pendant triangle peels; support is final") {
+    val implicits = spark.implicits
+    import implicits._
+    // K4 on {1,2,3,4} plus a pendant triangle {4,5,6}
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    // k=4: every K4 edge closes 2 triangles inside K4; the pendant
+    // triangle's edges close only 1 and peel — and their removal must
+    // NOT drag K4 down (support re-measured per round)
+    val t4 = algorithms.Structure.kTruss(pairs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(t4 == List((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // k=3: everything is in >= 1 triangle, nothing peels
+    val t3 = algorithms.Structure.kTruss(pairs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(t3.length == 9)
+    // k=5: no edge closes 3 triangles; empty truss, empty output
+    assert(algorithms.Structure.kTruss(pairs, 5).collect().isEmpty)
+  }
+
   test("neighborAgg: k-hop mean messages, empty neighborhoods stay 0") {
     val implicits = spark.implicits
     import implicits._
