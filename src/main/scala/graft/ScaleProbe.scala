@@ -111,6 +111,12 @@ object ScaleProbe {
         // character-pair alphabet is vocab-bounded: aggregate state
         // constant, time tracks the two explodes — ~linear
         time("bpe_pairs")(Corpus.bpePairs(docs)),
+        // the composed prep DAG: every stage individually ~linear
+        // (gates are maps; dedup/decontam are doc_id-keyed semi-joins)
+        // — the composition must ride the decontam shingle curve, not
+        // multiply it
+        time("training_mix")(Corpus.trainingMixReport(docs,
+          Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.29, "fr" -> 0.1))),
         // temporal joins over a K×-wider user population: one window /
         // one bucketed equi-join, expected ~linear
         time("asof_join") {
