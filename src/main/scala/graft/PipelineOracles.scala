@@ -816,6 +816,29 @@ FROM ex JOIN su USING (event_type) JOIN se USING (event_type)
 ORDER BY ex.event_type"""
   }
 
+  /** Windowed z-score anomaly mirror: same per-(window, type) moments,
+    * same threshold. */
+  def windowAnomaliesSql(sigmas: Double): String =
+    s"""WITH w AS (SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+    '%Y-%m-%d %H:%M:%S') AS wstart, event_type, event_id, value FROM events),
+st AS (SELECT wstart, event_type, AVG(value) AS mu,
+  STDDEV_SAMP(value) AS sd, COUNT(*) AS n FROM w GROUP BY 1, 2)
+SELECT w.wstart, w.event_type, w.event_id,
+  ROUND(w.value, 6) AS value, ROUND((w.value - mu) / sd, 6) AS z
+FROM w JOIN st USING (wstart, event_type)
+WHERE n >= 2 AND sd > 0 AND w.value > mu + $sigmas * sd
+ORDER BY wstart, event_type, event_id"""
+
+  /** Decay-score mirror: integer-second epochs on both sides (Spark unix_timestamp
+    * floors; epoch() is floored to match) and differences cancel any
+    * timezone convention, so only the same half-life weight formula matters. */
+  def decayScoreSql(halfLifeHours: Double): String =
+    s"""WITH t AS (SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+m AS (SELECT MAX(t) AS tmax FROM t)
+SELECT user_id,
+  ROUND(SUM(value * pow(2.0, -(tmax - t) / ${halfLifeHours * 3600.0})), 6) AS score
+FROM t CROSS JOIN m GROUP BY user_id ORDER BY user_id"""
+
   /** Per-window Count–Min mirror: the same bucket rebuild as [[cmsSql]]
     * with every aggregate keyed by the hour window. */
   def windowCmsSql(d: Int, w: Int): String = {

@@ -529,6 +529,10 @@ object SparkEntry {
       Corpus.sourceKl(GraphBuilder.table(s, d, "documents"))),
     "q_interarrival" -> ((s, d) =>
       EventStreams.interArrival(EventStreams.eventsTable(s, d))),
+    "q_anomalies" -> ((s, d) =>
+      EventStreams.windowAnomalies(EventStreams.eventsTable(s, d))),
+    "q_decay_score" -> ((s, d) =>
+      EventStreams.decayScore(EventStreams.eventsTable(s, d))),
     "q_funnel" -> ((s, d) =>
       EventStreams.funnel(EventStreams.eventsTable(s, d))),
     "q_embed_centroids" -> ((s, d) =>
@@ -855,6 +859,8 @@ SELECT source,
                     (CAST(n_s AS DOUBLE) * c_t))), 6) AS kl
 FROM st JOIN stot USING (source) JOIN ct USING (term) CROSS JOIN nn
 GROUP BY source ORDER BY source""",
+    "q_anomalies" -> PipelineOracles.windowAnomaliesSql(2.0),
+    "q_decay_score" -> PipelineOracles.decayScoreSql(24.0),
     "q_interarrival" ->
       """WITH g AS (SELECT user_id,
   date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap

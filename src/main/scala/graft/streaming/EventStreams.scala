@@ -249,6 +249,52 @@ object EventStreams {
 
   /** Semi-structured props: extract the JSON field `k` and aggregate per
     * event type — get_json_object is codegen'd, no UDF. */
+  /** Windowed z-score anomaly flags — the burst/outlier audit every
+    * event pipeline runs: per (hour window, event_type) an event is
+    * anomalous when its value sits more than `sigmas` sample standard
+    * deviations above the window mean. One window aggregation joined
+    * back on the (window, type) key — never a per-event window
+    * function over the full stream — so the plan is two
+    * map-side-combined passes at any event volume. Windows with < 2
+    * events (stddev undefined) flag nothing. Emits only the anomalous
+    * rows: (wstart, event_type, event_id, value, z) rounded 6 dp. */
+  def windowAnomalies(events: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    val stats = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"),
+        count(lit(1)).as("n"))
+    events
+      .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        col("event_id"), col("value"))
+      .join(stats, Seq("w", "event_type"))
+      .filter(col("n") >= 2 && col("sd") > 0 &&
+        col("value") > col("mu") + lit(sigmas) * col("sd"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"),
+        round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy("wstart", "event_type", "event_id")
+  }
+
+  /** Exponentially time-decayed activity score per user — the
+    * recency-weighted engagement feature (half-life form: weight
+    * 2^(−age/halfLife) relative to the stream's max timestamp, so the
+    * score is a pure function of the data, reproducible across runs):
+    * score(u) = Σ value·2^(−age_hours/halfLifeHours). One 1-row
+    * broadcast of the max timestamp + one map-side-combined sum —
+    * no per-user ordering, no window function. */
+  def decayScore(events: DataFrame, halfLifeHours: Double = 24.0): DataFrame = {
+    val tmax = events.agg(max(unix_timestamp(col("ts"))).as("tmax"))
+    events
+      .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("t"))
+      .crossJoin(broadcast(tmax))
+      .groupBy("user_id")
+      .agg(round(sum(col("value") *
+        pow(lit(2.0), -(col("tmax") - col("t")).cast("double") /
+          lit(halfLifeHours * 3600.0))), 6).as("score"))
+      .orderBy("user_id")
+  }
+
   def propsMetric(events: DataFrame): DataFrame =
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
