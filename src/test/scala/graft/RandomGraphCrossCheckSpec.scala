@@ -233,6 +233,93 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("mst agrees with driver Kruskal on random weighted graphs") {
+    for (seed <- 1L to 3L) {
+      val n = 20
+      val rnd = new scala.util.Random(seed + 100)
+      val und = randomDigraph(n, 0.12, seed)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // deliberate weight ties (w in 1..5) — the (w,a,b) total order
+      // must keep the forest unique anyway
+      val wed = und.map { case (a, b) => (a, b, (rnd.nextInt(5) + 1).toLong) }
+      val got = algorithms.Spanning
+        .minimumSpanningForest(wed.toDF("a", "b", "w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // reference: Kruskal under the same (w, a, b) order
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val expect = wed.sortBy { case (a, b, w) => (w, a, b) }.flatMap {
+        case (a, b, w) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+      }.toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("mis and coloring agree with sequential greedy on random graphs") {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    for (seed <- 1L to 3L) {
+      val n = 20
+      val und = randomDigraph(n, 0.12, seed)
+      val sym = (und ++ und.map(_.swap)).distinct
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        .withDefaultValue(Set.empty[Long])
+      val order = (0L until n).sortBy(id => (h60(s"mis:$id"), id))
+      // reference greedy MIS and greedy coloring in the same order
+      val inMis = scala.collection.mutable.HashSet.empty[Long]
+      order.foreach(v => if (!adj(v).exists(inMis)) inMis += v)
+      val color = scala.collection.mutable.HashMap.empty[Long, Long]
+      order.foreach { v =>
+        val used = adj(v).flatMap(color.get)
+        var c = 0L; while (used(c)) c += 1
+        color(v) = c
+      }
+      val gotMis = algorithms.Independent
+        .maximalIndependentSet(idsDf(n), df(sym))
+        .collect().map(_.getLong(0)).toSet
+      assert(gotMis == inMis.toSet, s"seed $seed")
+      val gotCol = algorithms.Independent.greedyColoring(idsDf(n), df(sym))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotCol == color.toMap, s"seed $seed")
+    }
+  }
+
+  test("k-truss agrees with a reference support peel on random graphs") {
+    for (seed <- 1L to 3L; k <- Seq(3, 4)) {
+      val n = 16
+      val und = randomDigraph(n, 0.25, seed)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+        val adj = scala.collection.mutable.HashMap
+          .empty[Long, Set[Long]].withDefaultValue(Set.empty)
+        es.foreach { case (a, b) =>
+          adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+        es.map(e => e -> (adj(e._1) & adj(e._2)).size).toMap
+      }
+      var es = und.toSet
+      var stable = false
+      while (!stable) {
+        // NB: Map.collect producing pairs would rebuild a Map keyed by
+        // the first endpoint and silently drop edges — filter + keySet
+        val keep: Set[(Long, Long)] =
+          support(es).filter(_._2 >= k - 2).keySet.toSet
+        stable = keep == es; es = keep
+      }
+      val expect = support(es).map { case ((a, b), s) => (a, b, s.toLong) }.toSet
+      val got = algorithms.Structure.kTruss(und.toDF("a", "b"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"seed $seed k $k")
+    }
+  }
+
   test("connected components agree with union-find on random graphs") {
     for (seed <- 1L to 3L) {
       val n = 20
