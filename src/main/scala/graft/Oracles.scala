@@ -366,6 +366,22 @@ FROM tn LEFT JOIN agg a ON a.id = tn.id"""
     sb.toString
   }
 
+  /** Assortativity mirror: same exact integer sums over the sym view
+    * of the co-occurrence graph, same final double arithmetic order.
+    * (Zero-variance graphs are NULL on the Spark side vs NaN here —
+    * latent-only: the co-occurrence graph is never degree-regular.) */
+  val assortativitySql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+dg AS (SELECT src AS id, COUNT(*) AS deg FROM psym GROUP BY src),
+xy AS (SELECT dx.deg AS x, dy.deg AS y FROM psym e
+  JOIN dg dx ON dx.id = e.src JOIN dg dy ON dy.id = e.dst),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+  SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+  SUM(x * x) AS sxx, SUM(y * y) AS syy FROM xy)
+SELECT m, ROUND((sxy / m - (sx / m) * (sy / m)) /
+  sqrt((sxx / m - (sx / m) * (sx / m)) * (syy / m - (sy / m) * (sy / m))), 6) AS r
+FROM s"""
+
   /** k-truss mirror: unrolled support-peel rounds on the undirected
     * trade-top pair graph — per round each edge's support is the
     * common-neighbor count over the surviving graph (one

@@ -309,6 +309,8 @@ object SparkEntry {
     "q_eccentricity" -> ((s, d) =>
       Centrality.eccentricity(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 24)),
+    "q_assortativity" -> ((s, d) =>
+      algorithms.Structure.assortativity(DerivedGraphs.partCooccur(s, d))),
     "q_ktruss" -> ((s, d) => {
       val tt = DerivedGraphs.nationTradeTop(s, d)
       algorithms.Structure.kTruss(
@@ -750,6 +752,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_eccentricity" -> Oracles.eccentricitySql(24),
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),
     "q_ktruss" -> Oracles.kTrussSql(4, 10),
+    "q_assortativity" -> Oracles.assortativitySql,
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_mst" -> Oracles.mstSql(),

@@ -9,6 +9,40 @@ import org.apache.spark.sql.functions._
   */
 object Structure {
 
+  /** Degree assortativity (Newman 2002) — the degree-correlation
+    * coefficient of an undirected graph: Pearson r of the endpoint
+    * degrees over the directed-sym edge list (each undirected edge
+    * contributes both orientations, the standard convention).
+    * Positive r = hubs attach to hubs; the one-number mixing summary
+    * next to the degree distribution. The five sums are EXACT BIGINTs
+    * (degrees are integers) accumulated in one map-side-combined
+    * aggregation; the division into doubles happens once at the end
+    * in a fixed operation order, so the oracle reproduces r exactly
+    * at 6 dp. Degree-regular graphs (zero variance) have undefined r
+    * — emitted as NULL (spec-pinned; the oracle graph never is). */
+  def assortativity(pedges: DataFrame): DataFrame = {
+    val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val xy = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("y")), Seq("dst"))
+    val num = col("sxy") / col("m") -
+      (col("sx") / col("m")) * (col("sy") / col("m"))
+    val den = sqrt(
+      (col("sxx") / col("m") - (col("sx") / col("m")) * (col("sx") / col("m"))) *
+        (col("syy") / col("m") - (col("sy") / col("m")) * (col("sy") / col("m"))))
+    xy.agg(count(lit(1)).cast("long").as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // ANSI divide raises on the zero-variance (degree-regular) case
+      // — undefined correlation is a NULL, in both engines
+      .select(col("m"),
+        when(den === 0.0, lit(null)).otherwise(round(num / den, 6)).as("r"))
+  }
+
   /** k-truss — the maximal subgraph in which every edge closes at
     * least k−2 triangles WITHIN the subgraph (Cohen 2008): the
     * edge-level cohesion analogue of k-core (reference:

@@ -320,6 +320,19 @@ class AlgorithmsSpec extends SparkSpec {
     assert(mis(9L))
   }
 
+  test("assortativity: star is perfectly disassortative, regular graph NULL") {
+    val implicits = spark.implicits
+    import implicits._
+    // star 1-{2,3,4,5}: every edge joins degree 4 to degree 1 → r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val r1 = algorithms.Structure.assortativity(star).head()
+    assert(r1.getLong(0) == 8L && r1.getDouble(1) == -1.0)
+    // 4-cycle: degree-regular → zero variance → undefined, NULL row
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r2 = algorithms.Structure.assortativity(cyc).head()
+    assert(r2.getLong(0) == 8L && r2.isNullAt(1))
+  }
+
   test("kTruss: K4 survives k=4, pendant triangle peels; support is final") {
     val implicits = spark.implicits
     import implicits._
