@@ -23,10 +23,19 @@ object Structure {
   def assortativity(pedges: DataFrame): DataFrame = {
     val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))
-    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // the degree table is consumed twice and costs a full-edge shuffle
+    // to derive — materialize once; |V| gates the broadcast like every
+    // kernel dim join
+    val (deg, mD) = Probe.checkpointObserved(
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+      count(lit(1)).as("n"))
+    def dim(df: DataFrame): DataFrame =
+      if (mD("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+        broadcast(df)
+      else df
     val xy = sym
-      .join(deg.select(col("id").as("src"), col("deg").as("x")), Seq("src"))
-      .join(deg.select(col("id").as("dst"), col("deg").as("y")), Seq("dst"))
+      .join(dim(deg.select(col("id").as("src"), col("deg").as("x"))), Seq("src"))
+      .join(dim(deg.select(col("id").as("dst"), col("deg").as("y"))), Seq("dst"))
     val num = col("sxy") / col("m") -
       (col("sx") / col("m")) * (col("sy") / col("m"))
     val den = sqrt(
