@@ -366,6 +366,35 @@ FROM tn LEFT JOIN agg a ON a.id = tn.id"""
     sb.toString
   }
 
+  /** Reciprocity mirror on the directed nation trade graph. */
+  val reciprocitySql: String =
+    s"""WITH ${DerivedGraphs.tradeSql},
+e AS (SELECT DISTINCT src, dst FROM tedges),
+mu AS (SELECT COUNT(*) AS mu FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)),
+m AS (SELECT COUNT(*) AS m FROM e)
+SELECT CAST(m AS BIGINT) AS m, CAST(mu AS BIGINT) AS mutual,
+  ROUND(mu / m, 6) AS reciprocity
+FROM mu CROSS JOIN m"""
+
+  /** Rich-club mirror on the co-occurrence graph. */
+  def richClubSql(ks: Seq[Int]): String = {
+    val per = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dg WHERE deg > $k) AS n_k,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pedges e
+   WHERE e.a IN (SELECT id FROM dg WHERE deg > $k)
+     AND e.b IN (SELECT id FROM dg WHERE deg > $k)) AS e_k"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${DerivedGraphs.cooccurSql},
+dg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM psym GROUP BY src),
+r AS ($per)
+SELECT k, n_k, e_k,
+  CASE WHEN n_k < 2 THEN NULL
+       ELSE ROUND(2.0 * e_k / (n_k * (n_k - 1)), 6) END AS phi
+FROM r ORDER BY k"""
+  }
+
   /** Assortativity mirror: same exact integer sums over the sym view
     * of the co-occurrence graph, same final double arithmetic order.
     * (Zero-variance graphs are NULL on the Spark side vs NaN here —

@@ -311,6 +311,10 @@ object SparkEntry {
         DerivedGraphs.nationTradeTop(s, d), 24)),
     "q_assortativity" -> ((s, d) =>
       algorithms.Structure.assortativity(DerivedGraphs.partCooccur(s, d))),
+    "q_reciprocity" -> ((s, d) =>
+      algorithms.Structure.reciprocity(DerivedGraphs.nationTrade(s, d))),
+    "q_rich_club" -> ((s, d) =>
+      algorithms.Structure.richClub(DerivedGraphs.partCooccur(s, d))),
     "q_ktruss" -> ((s, d) => {
       val tt = DerivedGraphs.nationTradeTop(s, d)
       algorithms.Structure.kTruss(
@@ -753,6 +757,8 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),
     "q_ktruss" -> Oracles.kTrussSql(4, 10),
     "q_assortativity" -> Oracles.assortativitySql,
+    "q_reciprocity" -> Oracles.reciprocitySql,
+    "q_rich_club" -> Oracles.richClubSql(Seq(115, 130, 150)),
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_mst" -> Oracles.mstSql(),

@@ -9,6 +9,50 @@ import org.apache.spark.sql.functions._
   */
 object Structure {
 
+  /** Edge reciprocity of a DIRECTED graph: the fraction of edges whose
+    * reverse also exists (self-loops excluded by construction in the
+    * inputs here) — the mutuality summary next to assortativity. One
+    * self-semi-join on the reversed key; both counts exact. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val m = e.agg(count(lit(1)).as("m"))
+    mutual.agg(count(lit(1)).as("mu")).crossJoin(broadcast(m))
+      .select(col("m").cast("long").as("m"),
+        col("mu").cast("long").as("mutual"),
+        round(col("mu") / col("m"), 6).as("reciprocity"))
+  }
+
+  /** Rich-club coefficient φ(k) (Zhou & Mondragón 2004): the edge
+    * density among nodes of degree > k, for each probe k — "do hubs
+    * form a club". Undirected (a<b) input; per k one degree filter +
+    * one pair count, all against the SAME one-pass degree table; the
+    * probe list is tiny so the k-loop is a unioned plan, not repeated
+    * scans of the edge table (the degree frame and the edge frame are
+    * each read once per k from their cached forms upstream). */
+  def richClub(pedges: DataFrame, ks: Seq[Int] = Seq(115, 130, 150)): DataFrame = {
+    val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val perK = ks.map { k =>
+      val rich = deg.filter(col("deg") > k).select("id")
+      val nK = rich.agg(count(lit(1)).as("n_k"))
+      val eK = pedges
+        .join(rich.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(rich.select(col("id").as("b")), Seq("b"), "left_semi")
+        .agg(count(lit(1)).as("e_k"))
+      eK.crossJoin(broadcast(nK))
+        .select(lit(k.toLong).as("k"), col("n_k").cast("long").as("n_k"),
+          col("e_k").cast("long").as("e_k"),
+          when(col("n_k") < 2, lit(null)).otherwise(
+            round(lit(2.0) * col("e_k") / (col("n_k") * (col("n_k") - 1)), 6))
+            .as("phi"))
+    }
+    perK.reduce(_ unionByName _).orderBy("k")
+  }
+
   /** Degree assortativity (Newman 2002) — the degree-correlation
     * coefficient of an undirected graph: Pearson r of the endpoint
     * degrees over the directed-sym edge list (each undirected edge

@@ -320,6 +320,30 @@ class AlgorithmsSpec extends SparkSpec {
     assert(mis(9L))
   }
 
+  test("reciprocity: mutual pairs counted both ways, one-way edges not") {
+    val implicits = spark.implicits
+    import implicits._
+    // 1⇄2 mutual, 1→3 one-way: m=3 distinct edges, 2 reciprocated
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = algorithms.Structure.reciprocity(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((3L, 2L, 0.666667)))
+  }
+
+  test("richClub: K4 hub club dense, low threshold includes the periphery") {
+    val implicits = spark.implicits
+    import implicits._
+    // K4 on {1,2,3,4} (degrees >= 3) + leaves 5,6 hanging off node 1
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (1L, 6L)).toDF("a", "b")
+    val got = algorithms.Structure.richClub(pairs, Seq(0, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    // k=0: every node (6), all 8 edges → φ = 16/30; k=2: the K4 club
+    // (leaves have degree 1) → φ = 1.0
+    assert(got == List((0L, 6L, 8L, 0.533333), (2L, 4L, 6L, 1.0)))
+  }
+
   test("assortativity: star is perfectly disassortative, regular graph NULL") {
     val implicits = spark.implicits
     import implicits._
