@@ -366,6 +366,30 @@ FROM tn LEFT JOIN agg a ON a.id = tn.id"""
     sb.toString
   }
 
+  /** Unrolled weighted PageRank on the full directed weighted trade
+    * graph, mirroring Community.weightedPageRank iteration for
+    * iteration (rank·w/W(u) contributions, dangling identity rows,
+    * final sum-normalization, 8 dp). */
+  def weightedPageRankSql(damping: Double, iters: Int): String = {
+    val d = damping.toString
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeSql}")
+    sb ++= ", ws AS MATERIALIZED (SELECT src, SUM(cnt) AS wsum FROM trade GROUP BY src)"
+    sb ++= ", nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tnodes)"
+    sb ++= ", r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM tnodes)"
+    for (i <- 1 to iters) {
+      sb ++= s""", r$i AS MATERIALIZED (
+  SELECT a.id, (1.0 - $d) / (SELECT n FROM nn) + $d * COALESCE(s.m, 0.0) AS rank
+  FROM tnodes a LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * e.cnt / w.wsum) AS m
+    FROM trade e JOIN r${i - 1} r ON r.id = e.src JOIN ws w ON w.src = e.src
+    GROUP BY e.dst) s ON s.id = a.id)"""
+    }
+    sb ++= s", tot AS (SELECT SUM(rank) AS t FROM r$iters)"
+    sb ++= s" SELECT id, ROUND(rank / (SELECT t FROM tot), 8) AS rank" +
+      s" FROM r$iters ORDER BY id"
+    sb.toString
+  }
+
   /** Reciprocity mirror on the directed nation trade graph. */
   val reciprocitySql: String =
     s"""WITH ${DerivedGraphs.tradeSql},

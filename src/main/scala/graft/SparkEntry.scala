@@ -313,6 +313,9 @@ object SparkEntry {
       algorithms.Structure.assortativity(DerivedGraphs.partCooccur(s, d))),
     "q_reciprocity" -> ((s, d) =>
       algorithms.Structure.reciprocity(DerivedGraphs.nationTrade(s, d))),
+    "q_weighted_pagerank" -> ((s, d) =>
+      Community.weightedPageRank(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeAll(s, d), 0.85, 10)),
     "q_rich_club" -> ((s, d) =>
       algorithms.Structure.richClub(DerivedGraphs.partCooccur(s, d))),
     "q_ktruss" -> ((s, d) => {
@@ -758,6 +761,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_ktruss" -> Oracles.kTrussSql(4, 10),
     "q_assortativity" -> Oracles.assortativitySql,
     "q_reciprocity" -> Oracles.reciprocitySql,
+    "q_weighted_pagerank" -> Oracles.weightedPageRankSql(0.85, 10),
     "q_rich_club" -> Oracles.richClubSql(Seq(115, 130, 150)),
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),

@@ -679,6 +679,54 @@ object Community {
     rank.select(col("id"), (col("rank") / lit(total)).as("rank"))
   }
 
+  /** WEIGHTED PageRank — transition probability proportional to edge
+    * weight (rank flows as rank(u)·w(u,v)/W(u), W(u) the out-weight
+    * sum), the ranking a weighted interaction graph actually wants:
+    * a 1000-lineitem trade lane should pull more rank than a 1-item
+    * one. Same plan shape as [[pageRank]]: weights and their
+    * loop-invariant normalizer attach to the edge table ONCE, each
+    * iteration is one hash join + one map-side-combined aggregation
+    * with dangling nodes riding as identity rows, lineage cut on the
+    * measured cadence, final sum-normalization riding the last
+    * checkpoint's observe. Single (distributed) path — the graphs
+    * this runs on at test SF are already tiny, so the driver-replay
+    * regime would only duplicate the proven PageRank arithmetic. */
+  def weightedPageRank(nodes: DataFrame, wedges: DataFrame,
+                       damping: Double, iterations: Int): DataFrame = {
+    val (ids, mI) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    val n = mI("n").asInstanceOf[Long].toDouble
+    val e = wedges.select(col("src"), col("dst"),
+      col("cnt").cast("double").as("w"))
+    val wsum0 = e.groupBy(col("src").as("src")).agg(sum(col("w")).as("wsum"))
+    val small = n <= Tuning.broadcastThreshold
+    val wsum = if (small) broadcast(wsum0) else wsum0
+    val eW0 = e.join(wsum, Seq("src"))
+    val eW = (if (small) eW0 else eW0.repartition(col("src")))
+      .localCheckpoint()
+    var rank = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var totalObs = Double.NaN
+    for (i <- 1 to iterations) {
+      val contribs = rank.as("r")
+        .join(eW.as("edg"), col("r.id") === col("edg.src"))
+        .select(col("edg.dst").as("id"),
+          (col("r.rank") * col("edg.w") / col("edg.wsum")).as("c"))
+      rank = contribs.unionByName(ids.withColumn("c", lit(0.0)))
+        .groupBy("id").agg(
+          (lit((1.0 - damping) / n) + lit(damping) * sum("c")).as("rank"))
+      if (i == iterations) {
+        val (ck, mT) = Probe.checkpointObserved(rank, sum("rank").as("t"))
+        rank = ck
+        totalObs = mT("t").asInstanceOf[Double]
+      } else if (i % 3 == 0) rank = rank.localCheckpoint()
+    }
+    val total =
+      if (iterations >= 1) totalObs
+      else rank.agg(sum("rank")).head().getDouble(0)
+    rank.select(col("id"), round(col("rank") / lit(total), 8).as("rank"))
+      .orderBy("id")
+  }
+
   /** PageRank on the driver: the same per-iteration formula as the
     * distributed loop — rank' = (1−d)/n + d·Σ_in rank/outdeg over the
     * edge multiset, dangling mass dropped, contributions to ids outside

@@ -88,6 +88,24 @@ object DerivedGraphs {
     table(s, d, "nation")
       .select((lit(NationTag * TAG) + col("n_nationkey")).as("id"))
 
+  /** Full DIRECTED weighted trade aggregate (src, dst, cnt) — the
+    * pre-threshold pair table the sparsified [[nationTrade]] filters;
+    * exposed for weight-aware kernels (weighted PageRank). */
+  def nationTradeAll(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "tradeAll") {
+      val li = table(s, d, "lineitem").select("l_suppkey", "l_orderkey")
+      val supp = table(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = table(s, d, "orders").select("o_orderkey", "o_custkey")
+      val cust = table(s, d, "customer").select("c_custkey", "c_nationkey")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(
+          (lit(NationTag * TAG) + col("s_nationkey")).as("src"),
+          (lit(NationTag * TAG) + col("c_nationkey")).as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
   /** Undirected WEIGHTED trade graph: one (a < b, w) edge per
     * unordered nation pair, w = total lineitem count across both
     * directions (grouping the fact join directly on the unordered pair

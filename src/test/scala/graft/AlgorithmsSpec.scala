@@ -320,6 +320,31 @@ class AlgorithmsSpec extends SparkSpec {
     assert(mis(9L))
   }
 
+  test("weightedPageRank: uniform weights ≡ pageRank; heavy lanes pull rank") {
+    val implicits = spark.implicits
+    import implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+    // uniform weights reduce to the unweighted kernel exactly
+    val wpr = algorithms.Community.weightedPageRank(nodes,
+        ed.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt"),
+        0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = algorithms.Community.pageRank(nodes, ed.toDF("src", "dst"),
+        0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    wpr.foreach { case (id, v) =>
+      assert(math.abs(v - pr(id)) < 1e-7, s"uniform wpr($id)=$v vs ${pr(id)}") }
+    // skewed weights: 1 sends 9× more mass to 2 than to 3 — node 2
+    // must outrank node 3's direct share from 1
+    val skew = algorithms.Community.weightedPageRank(nodes,
+        Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L),
+          (4L, 1L, 1L)).toDF("src", "dst", "cnt"), 0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(skew(2L) > skew(3L),
+      s"heavy lane must pull rank: ${skew(2L)} vs ${skew(3L)}")
+  }
+
   test("reciprocity: mutual pairs counted both ways, one-way edges not") {
     val implicits = spark.implicits
     import implicits._
