@@ -918,4 +918,94 @@ GROUP BY bg.doc_id"""
        ELSE 'test' END AS split
 FROM (SELECT doc_id,
   ${h60("'sp:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)"""
+
+  /** Graded-contamination mirror: same split-before-shingle frames as
+    * decontaminateSql, one LEFT join instead of the semi-join, same
+    * n_hit/n_grams division order, 6-dp round. */
+  def contamScoreSql(evalPct: Int): String =
+    s"""WITH sh8 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${h60("'dc:' || substr(text, i, 8)")} AS g
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i)),
+ev AS MATERIALIZED (SELECT doc_id FROM documents
+  WHERE ${h60("'ev:' || CAST(doc_id AS VARCHAR)")} % 100 < $evalPct),
+evg AS MATERIALIZED (SELECT DISTINCT g FROM sh8 JOIN ev USING (doc_id))
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(e.g) AS BIGINT) AS n_hit,
+       ROUND(COUNT(e.g)::DOUBLE / COUNT(*), 6) AS frac
+FROM sh8 s LEFT JOIN evg e ON e.g = s.g
+WHERE s.doc_id NOT IN (SELECT doc_id FROM ev)
+GROUP BY s.doc_id"""
+
+  /** DSIR mirror: same bucket hash, same one-pass conditional counts,
+    * same ln((ct+1)/(nt+dim)) − ln((cr+1)/(nr+dim)) per-bucket
+    * log-ratio (one double per bucket, identical op order →
+    * bit-identical), per-doc ROUND(SUM, 6) ranked with doc_id
+    * tiebreak. */
+  def dsirWeightsSql(targetLang: String, dim: Int, k: Int): String =
+    s"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, ${h60("'ds:' || term")} % $dim AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents) WHERE term <> ''),
+d AS MATERIALIZED (SELECT b, COUNT(*) AS cr,
+  COUNT(*) FILTER (WHERE lang = '$targetLang') AS ct FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM d),
+lr AS (SELECT b, ln((ct + 1)::DOUBLE / (nt + $dim)) -
+                 ln((cr + 1)::DOUBLE / (nr + $dim)) AS lr
+       FROM d CROSS JOIN tot),
+sc AS (SELECT doc_id, ROUND(SUM(lr), 6) AS logw
+       FROM toks JOIN lr USING (b) GROUP BY 1),
+rk AS (SELECT doc_id, logw,
+       ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id ASC) AS rn FROM sc)
+SELECT CAST(rn AS BIGINT) AS rn, doc_id, logw FROM rk WHERE rn <= $k"""
+
+  /** SemDeDup mirror: label-blocked pairwise cosine (same ex/nrm CTEs
+    * and round-6 discipline as the other cosine oracles), τ-graph
+    * connected components via the recursive transitive walk (cluster
+    * label = min member — the dedupClustersSql contract), every vector
+    * emitted with singletons keeping themselves. */
+  def semDedupSql(minCosine: Double): String =
+    s"""WITH RECURSIVE ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id),
+cand AS MATERIALIZED (
+  SELECT e1.vec_id AS a, e2.vec_id AS b
+  FROM embeddings e1 JOIN embeddings e2
+    ON e1.label = e2.label AND e1.vec_id < e2.vec_id),
+dots AS (SELECT c.a, c.b, SUM(x.x * y.x) AS dot
+         FROM cand c JOIN ex x ON x.vec_id = c.a
+         JOIN ex y ON y.vec_id = c.b AND y.pos = x.pos
+         GROUP BY 1, 2),
+prs AS MATERIALIZED (SELECT a, b FROM (
+  SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
+  WHERE cosine >= $minCosine),
+sym AS MATERIALIZED (SELECT a AS s, b AS t FROM prs
+  UNION ALL SELECT b, a FROM prs),
+walk(id, comp) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.t, w.comp FROM walk w JOIN sym e ON e.s = w.id),
+comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+SELECT v.vec_id, COALESCE(c.comp, v.vec_id) AS rep_id,
+       CAST(CASE WHEN COALESCE(c.comp, v.vec_id) = v.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM embeddings v LEFT JOIN comps c ON c.id = v.vec_id"""
+
+  /** Fuzzy-match mirror: same token blocking, same df cap, DuckDB's
+    * levenshtein — the same integer edit distance Spark computes, so
+    * the match set is exact. */
+  def fuzzyMatchSql(maxDist: Int, maxDf: Long): String =
+    s"""WITH n AS MATERIALIZED (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+b AS MATERIALIZED (SELECT DISTINCT name, w FROM (
+  SELECT name, unnest(string_split(name, ' ')) AS w FROM n) WHERE w <> ''),
+keep AS MATERIALIZED (
+  SELECT b.name, b.w FROM b JOIN (
+    SELECT w, COUNT(*) AS df FROM b GROUP BY 1 HAVING COUNT(*) <= $maxDf)
+    d ON d.w = b.w),
+cand AS (SELECT DISTINCT x.name AS a, y.name AS b
+         FROM keep x JOIN keep y ON x.w = y.w AND x.name < y.name)
+SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(a, b) <= $maxDist"""
 }

@@ -501,6 +501,17 @@ object SparkEntry {
       Corpus.bigramNll(GraphBuilder.table(s, d, "documents"))),
     "q_split" -> ((s, d) =>
       Corpus.splitAssign(GraphBuilder.table(s, d, "documents"))),
+    "q_contam_score" -> ((s, d) =>
+      Corpus.contamScore(GraphBuilder.table(s, d, "documents"))),
+    "q_dsir" -> ((s, d) =>
+      Corpus.dsirWeights(GraphBuilder.table(s, d, "documents"))),
+    // label column stands in for the paper's k-means assignment — see
+    // Similarity.semDedup scaladoc; τ=0.3 keeps the τ-graph non-vacuous
+    // on the synthetic embeddings (no planted near-dups above 0.52)
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedup(GraphBuilder.table(s, d, "embeddings"))),
+    "q_fuzzy_match" -> ((s, d) =>
+      Dedup.fuzzyMatch(GraphBuilder.table(s, d, "part"), "p_name")),
     "q_cms" -> ((s, d) =>
       pipeline.Sketches.cmsTermCounts(GraphBuilder.table(s, d, "documents"))),
     "q_window_cms" -> ((s, d) =>
@@ -912,6 +923,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_lm_bigram" -> PipelineOracles.bigramNllSql,
     "q_split" -> PipelineOracles.splitSql(90, 5),
+    "q_contam_score" -> PipelineOracles.contamScoreSql(5),
+    "q_dsir" -> PipelineOracles.dsirWeightsSql("en", 64, 40),
+    "q_semdedup" -> PipelineOracles.semDedupSql(0.3),
+    "q_fuzzy_match" -> PipelineOracles.fuzzyMatchSql(3, 1000L),
     "q_cms" -> PipelineOracles.cmsSql(3, 1024, 20),
     "q_window_cms" -> PipelineOracles.windowCmsSql(3, 256),
     "q_hll" -> PipelineOracles.hllSql(8),

@@ -412,6 +412,86 @@ object Corpus {
       .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** Graded contamination score — [[decontaminate]]'s scored sibling:
+    * for EVERY training doc, the fraction of its distinct `gram`-char
+    * shingle hashes that occur anywhere in the eval slice. Production
+    * decontamination drops on `frac >= tau` rather than any-overlap
+    * (one shared idiom in a long doc should not kill it), so the
+    * graded signal is what the threshold sweep actually tunes on.
+    * Returns (doc_id, n_grams, n_hit, frac) with zero-overlap docs
+    * scoring 0.0.
+    *
+    * Scale: same shape as decontaminate — split before shingling, one
+    * left join on the 60-bit gram hash (the small benchmark side
+    * broadcasts under AQE), one per-doc aggregate. Never doc×doc. */
+  def contamScore(docs: DataFrame, evalPct: Int = 5,
+                  gram: Int = 8): DataFrame = {
+    val isEval =
+      pmod(hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) < evalPct
+    val evalGrams = TextOps.shingles(docs.filter(isEval), gram)
+      .select(hash60(col("sh"), "dc:").as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    TextOps.shingles(docs.filter(!isEval), gram)
+      .select(col("doc_id"), hash60(col("sh"), "dc:").as("g")).distinct()
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      // n_hit / n_grams — operator order mirrored in the DuckDB oracle
+      .withColumn("frac",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, arXiv:
+    * 2302.03169): score every raw document by how target-like its
+    * hashed bag-of-words is —
+    * `log w(d) = Σ_tokens [ln p̂_t(h(tok)) − ln p̂_r(h(tok))]` with
+    * Laplace-smoothed bucket distributions over `dim` hashed buckets.
+    * The target slice here is the corpus in `targetLang` (in
+    * production: the high-quality reference set — Wikipedia, books);
+    * raw is the whole corpus. Returns the top-`k` docs by log-weight —
+    * the pool importance resampling draws from.
+    *
+    * Scale: one token explode feeds both bucket distributions (a
+    * single groupBy with a conditional count) and a second explode
+    * scores docs; the bucket log-ratio table is `dim` rows (broadcast),
+    * the per-doc score is a map-side-combined sum, and the top-k is a
+    * TakeOrdered — no shuffle wider than (doc_id) at any corpus size.
+    * Ranking compares the 6-dp ROUNDED weight (ties broken by doc_id)
+    * so both engines rank identical values. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  dim: Int = 64, k: Int = 40): DataFrame = {
+    require(dim >= 1 && k >= 1, "dsirWeights needs dim >= 1 and k >= 1")
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(col("term"), "ds:"), lit(dim.toLong)).as("b"))
+    // Both distributions in ONE pass: raw count + conditional target
+    // count per bucket. Laplace +1 over dim buckets keeps every bucket
+    // probability finite on both sides (a bucket no target token hits
+    // still scores, just negatively).
+    val dists = toks.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === targetLang, lit(1))).as("ct"))
+    val tots = dists.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    // ln((ct+1)/(nt+dim)) − ln((cr+1)/(nr+dim)) — one double per
+    // bucket, same op order in the DuckDB oracle → bit-identical
+    val lr = dists.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + dim)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + dim))).as("lr"))
+    val scored = toks.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id").agg(round(sum("lr"), 6).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id")).limit(k)
+    // rank numbering runs over the k collected rows only (TakeOrdered
+    // bounds the sort; the empty-frame window is k rows, not |corpus|)
+    scored.withColumn("rn", row_number().over(
+        Window.orderBy(col("logw").desc, col("doc_id"))).cast("long"))
+      .select(col("rn"), col("doc_id"), col("logw"))
+  }
+
   /** Data-mixing sampler: per-language target weights (0..1) applied as
     * deterministic hash sampling — doc kept iff its salted md5 bucket
     * over 10 000 lands under weight(lang)·10 000. The standard knob for

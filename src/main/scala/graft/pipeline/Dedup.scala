@@ -199,6 +199,41 @@ object Dedup {
         round(col("common") / col("szb"), 6).as("c_ba"))
   }
 
+  /** Blocked fuzzy entity matching — the record-linkage member of the
+    * dedup family: near-identical entity strings (names, titles, SKUs)
+    * that exact dedup misses because of typos or word swaps. Candidate
+    * pairs must share at least one full token (standard blocking — the
+    * Σ df² bound), hot blocks above `maxDf` distinct names are dropped
+    * (a stop-word block key would otherwise go quadratic at scale,
+    * same cap discipline as [[TextOps.winnowPairs]]), and a candidate
+    * matches iff `levenshtein(a, b) ≤ maxDist` — an integer metric
+    * both engines define identically, so the oracle is exact.
+    *
+    * Operates on the DISTINCT name set (the entity vocabulary), never
+    * the row stream: at 100 TB the distinct names are orders of
+    * magnitude smaller than the table, and matches join back to rows
+    * by equality. Returns unordered pairs (a < b, dist). */
+  def fuzzyMatch(names: DataFrame, nameCol: String, maxDist: Int = 3,
+                 maxDf: Long = 1000L): DataFrame = {
+    require(maxDist >= 1, "fuzzyMatch needs maxDist >= 1")
+    val n = names.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val blocks = n.select(col("name"),
+        explode(split(col("name"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val kept = blocks.join(
+      blocks.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      Seq("w"))
+    kept.select(col("w"), col("name").as("a"))
+      .join(kept.select(col("w"), col("name").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .filter(levenshtein(col("a"), col("b")) <= maxDist)
+      .select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).cast("long").as("dist"))
+  }
+
   /** Lexical×semantic agreement audit: the embedding-cosine decile
     * histogram of the lexical (minhash) candidate pairs — the dashboard
     * that catches a dedup config gone wrong (lexical dups scoring as

@@ -306,6 +306,51 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication inside embedding-space clusters. Pairwise cosine is
+    * computed only WITHIN a cluster — here the `label` column stands in
+    * for the paper's k-means assignment (production picks k ≈
+    * n / target-cluster-size so every cluster stays boundable; the
+    * deterministic label keeps the oracle exact where iterated float
+    * k-means would not be) — pairs at cosine ≥ `minCosine` form
+    * near-dup groups (connected components over the τ-graph), and each
+    * group keeps its minimum vec_id as the representative. Returns
+    * (vec_id, rep_id, kept) for EVERY vector (singletons keep
+    * themselves).
+    *
+    * Scale: candidate volume is Σ_c |c|² — the paper's own cost model,
+    * tuned by cluster granularity, never all-pairs over the table; the
+    * per-pair cosine is the fused codegen'd `array_cosine` loop; the CC
+    * fixpoint reuses the dual-regime kernel (union-find under the
+    * driver gate, pointer-doubling past it). */
+  def semDedup(emb: DataFrame, minCosine: Double = 0.3): DataFrame = {
+    graft.sql.ArrayCosine.register(emb.sparkSession)
+    val side = emb.select(col("label"), col("vec_id"), col("embedding"))
+    val pairs = side
+      .select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(side.select(col("label"), col("vec_id").as("b"),
+        col("embedding").as("eb")), Seq("label"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(expr("array_cosine(ea, eb)"), 6).as("cosine"))
+      // threshold compares the 6-dp ROUNDED value in both engines
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b")
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val (cc, _, converged) =
+      graft.algorithms.Community.ccWithRounds(nodes, sym, 15)
+    if (!converged) throw new IllegalStateException(
+      "semDedup: connected components did not converge")
+    emb.select(col("vec_id"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("rep_id"))
+      .withColumn("kept",
+        (col("vec_id") === col("rep_id")).cast("long"))
+  }
+
   /** Bucketed ANN: probes score only vectors in their own bucket —
     * plus, with `multiProbe` = m > 0, the m buckets at Hamming distance
     * 1 obtained by flipping each of the first m sign bits (the recall

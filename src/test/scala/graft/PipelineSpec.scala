@@ -938,4 +938,83 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
     assert(r.getString(3) == "a b c a b c x y z")
   }
+
+  test("contamScore: eval-identical train doc scores 1, disjoint doc 0") {
+    val implicits = spark.implicits
+    import implicits._
+    // membership is a pure hash of doc_id — recompute it here so the
+    // assertions track the split instead of assuming one
+    val shared = "the exact same contaminated sentence appears here"
+    val ids = (1L to 12L)
+    // unique docs repeat an id-tagged trigram: every 8-char window spans
+    // a full id group, so no two of them share ANY 8-gram
+    val d = ids.map(i => (i, if (i <= 8) shared else s"u${i}x" * 8))
+      .toDF("doc_id", "text")
+    val evalIds = d.filter(
+        pmod(TextOps.hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) < 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sharedEval = ids.filter(i => i <= 8 && evalIds(i))
+    assume(sharedEval.nonEmpty, "hash split put no shared doc in eval")
+    val sc = graft.pipeline.Corpus.contamScore(d, evalPct = 50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getAs[Double]("frac"))).toMap
+    // every TRAIN doc present, no eval doc present
+    assert(sc.keySet == ids.toSet -- evalIds)
+    sc.foreach { case (_, (ng, nh, f)) =>
+      assert(ng > 0 && nh >= 0 && nh <= ng && f >= 0.0 && f <= 1.0) }
+    ids.filterNot(evalIds).foreach { i =>
+      if (i <= 8) assert(sc(i)._3 == 1.0, s"doc $i shares ALL grams with eval")
+      else assert(sc(i)._3 == 0.0, s"doc $i shares nothing with eval")
+    }
+  }
+
+  test("dsirWeights: target-like raw doc outranks target-unlike one") {
+    val implicits = spark.implicits
+    import implicits._
+    val tgtText = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    val d = Seq(
+      (1L, tgtText, "en"), (2L, tgtText, "en"), (3L, tgtText, "en"),
+      // doc 10: pure target vocabulary; doc 11: disjoint vocabulary
+      (10L, "alpha beta gamma delta alpha beta", "de"),
+      (11L, "omega sigma tau rho omega sigma", "de")).toDF("doc_id", "text", "lang")
+    val w = graft.pipeline.Corpus.dsirWeights(d, targetLang = "en", dim = 64, k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getAs[Double]("logw"))).toMap
+    assert(w(10L)._2 > w(11L)._2, s"target-vocab doc must outrank: $w")
+    // ranks are 1..n, descending in the rounded weight with id tiebreak
+    val byRank = w.values.toSeq.sortBy(_._1)
+    assert(byRank.map(_._1) == (1L to w.size))
+    assert(byRank.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("semDedup: within-cluster dup dropped, cross-cluster twin kept") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0), // dup pair in cluster 0
+      (3L, Array(0.0f, 1.0f), 0),                             // distinct in cluster 0
+      (4L, Array(1.0f, 0.0f), 1)                              // twin of 1 but other cluster
+    ).toDF("vec_id", "embedding", "label")
+    val r = graft.pipeline.Similarity.semDedup(emb, minCosine = 0.9).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (1L, 1L))   // representative keeps itself
+    assert(r(2L) == (1L, 0L))   // near-dup of 1 → dropped
+    assert(r(3L) == (3L, 1L))   // singleton kept
+    assert(r(4L) == (4L, 1L))   // same direction, different cluster → kept
+  }
+
+  test("fuzzyMatch: word-blocked pairs within edit distance, cap kills hot blocks") {
+    val implicits = spark.implicits
+    import implicits._
+    val n = Seq("red bolt", "red bolt!", "red colt", "blue gear", "red bolt")
+      .toDF("p_name")
+    val m = graft.pipeline.Dedup.fuzzyMatch(n, "p_name", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("red bolt", "red bolt!")) == 1L)
+    assert(m(("red bolt", "red colt")) == 1L)
+    assert(m(("red bolt!", "red colt")) == 2L)
+    // "blue gear" shares no block token with anything → never a candidate
+    assert(!m.keySet.exists(p => p._1.contains("gear") || p._2.contains("gear")))
+    // a df cap of 1 drops the shared "red" block (and "bolt") entirely
+    assert(graft.pipeline.Dedup.fuzzyMatch(n, "p_name", maxDist = 3, maxDf = 1)
+      .count() == 0L)
+  }
 }

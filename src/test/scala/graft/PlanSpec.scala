@@ -177,6 +177,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
   }
 
+  test("dsirWeights: top-k via TakeOrdered, bucket log-ratios broadcast") {
+    val plan = planOf(graft.pipeline.Corpus.dsirWeights(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    // the corpus-wide rank is a bounded TakeOrdered — the only Window
+    // in the plan numbers the k collected rows, never the corpus
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    // the dim-row log-ratio table joins the token stream broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("fuzzyMatch prunes the part scan to the name column") {
+    val plan = planOf(graft.pipeline.Dedup.fuzzyMatch(
+      GraphBuilder.table(spark, sfDir, "part"), "p_name"))
+    assert(plan.contains("ReadSchema: struct<p_name:"), plan.take(2000))
+    assert(!plan.contains("p_retailprice"), "unused part columns must be pruned")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("focal link prediction never shuffles the edge frame to make wedges") {
     // the first shuffle in the plan must be the candidate groupBy —
     // wedge enumeration rides broadcast joins of the focal adjacency
