@@ -919,6 +919,32 @@ GROUP BY bg.doc_id"""
 FROM (SELECT doc_id,
   ${h60("'sp:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)"""
 
+  /** BPE-apply mirror: same merge ranking (count desc, pair asc), same
+    * spaced symbol encoding, and the same two replace passes per merge
+    * in rank order via a step-indexed recursive walk — replace() is
+    * leftmost-non-overlapping in both engines, so the sweep is
+    * character-identical. */
+  def bpeApplySql(merges: Int): String =
+    s"""WITH RECURSIVE wocc AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+mg AS MATERIALIZED (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rn FROM (
+    SELECT substr(w, i, 2) AS pair, COUNT(*) AS n
+    FROM (SELECT w FROM wocc WHERE len(w) >= 2),
+         unnest(generate_series(1, len(w) - 1)) AS t(i)
+    GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT $merges)),
+vocab AS MATERIALIZED (SELECT DISTINCT w AS word FROM wocc WHERE w <> ''),
+walk(step, word, seg) AS (
+  SELECT 0, word, regexp_replace(word, '(.)', ' \\1', 'g') || ' ' FROM vocab
+  UNION ALL
+  SELECT w.step + 1, w.word, replace(replace(w.seg, m.p, m.r), m.p, m.r)
+  FROM walk w JOIN (
+    SELECT rn, ' ' || substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) || ' ' AS p,
+           ' ' || pair || ' ' AS r FROM mg) m ON m.rn = w.step + 1
+  WHERE w.step < (SELECT COUNT(*) FROM mg))
+SELECT word, trim(seg) AS seg,
+       CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tokens
+FROM walk WHERE step = (SELECT COUNT(*) FROM mg)"""
+
   /** Graded-contamination mirror: same split-before-shingle frames as
     * decontaminateSql, one LEFT join instead of the semi-join, same
     * n_hit/n_grams division order, 6-dp round. */

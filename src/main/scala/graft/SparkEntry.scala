@@ -503,6 +503,8 @@ object SparkEntry {
       Corpus.splitAssign(GraphBuilder.table(s, d, "documents"))),
     "q_contam_score" -> ((s, d) =>
       Corpus.contamScore(GraphBuilder.table(s, d, "documents"))),
+    "q_bpe_apply" -> ((s, d) =>
+      Corpus.bpeApply(GraphBuilder.table(s, d, "documents"))),
     "q_dsir" -> ((s, d) =>
       Corpus.dsirWeights(GraphBuilder.table(s, d, "documents"))),
     // label column stands in for the paper's k-means assignment — see
@@ -924,6 +926,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_lm_bigram" -> PipelineOracles.bigramNllSql,
     "q_split" -> PipelineOracles.splitSql(90, 5),
     "q_contam_score" -> PipelineOracles.contamScoreSql(5),
+    "q_bpe_apply" -> PipelineOracles.bpeApplySql(12),
     "q_dsir" -> PipelineOracles.dsirWeightsSql("en", 64, 40),
     "q_semdedup" -> PipelineOracles.semDedupSql(0.3),
     "q_fuzzy_match" -> PipelineOracles.fuzzyMatchSql(3, 1000L),

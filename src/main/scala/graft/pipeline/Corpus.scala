@@ -112,6 +112,45 @@ object Corpus {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topN)
 
+  /** BPE tokenizer APPLICATION: segment the distinct word vocabulary
+    * with the corpus's own top-`merges` character-pair merge table
+    * (the [[bpePairs]] statistic — count desc, pair asc). Each merge
+    * rewrites the space-separated symbol string ` a b ` → ` ab `, in
+    * rank order, each driven to its fixpoint — two left-to-right
+    * replace passes per merge suffice: pass one merges every
+    * occurrence whose leading separator wasn't consumed by the
+    * previous match (at least every other member of a boundary-sharing
+    * chain), which leaves no two remaining occurrences adjacent, so
+    * pass two clears the rest. This rank-order sweep is the standard
+    * streaming approximation of BPE apply (a later merge never
+    * re-enables an earlier one), deterministic and engine-identical.
+    *
+    * Scale: tokenization operates on the DISTINCT word vocabulary —
+    * orders of magnitude smaller than the corpus at 100 TB (docs join
+    * back to segmentations by word equality); the merge table is a
+    * model artifact (driver-sized by definition, like the mixing
+    * weights) collected once and folded into ONE codegen'd projection
+    * of 2·M nested replaces — no per-merge pass over the data.
+    * Returns (word, seg, n_tokens). */
+  def bpeApply(docs: DataFrame, merges: Int = 12): DataFrame = {
+    val ms = bpePairs(docs, merges).collect().map(_.getString(0))
+    val vocab = terms(docs).select(col("term").as("word"))
+      .where(col("word") =!= "").distinct()
+    // ' h e l l o ' — leading/trailing separators make every symbol
+    // boundary explicit so a merge pattern can never match across
+    // token or word boundaries
+    val spaced = concat(regexp_replace(col("word"), "(.)", " $1"), lit(" "))
+    val segN = ms.foldLeft(spaced) { (c, pair) =>
+      val p = lit(s" ${pair.charAt(0)} ${pair.charAt(1)} ")
+      val r = lit(s" $pair ")
+      call_function("replace",
+        call_function("replace", c, p, r), p, r)
+    }
+    vocab.select(col("word"), trim(segN).as("seg"))
+      .withColumn("n_tokens",
+        size(split(col("seg"), " ")).cast("long"))
+  }
+
   /** Corpus composition report with subtotals: doc counts and
     * character mass per (source, lang), per source, and grand total in
     * ONE pass — Spark's `rollup` compiles to a single Expand +

@@ -939,6 +939,19 @@ class PipelineSpec extends SparkSpec {
     assert(r.getString(3) == "a b c a b c x y z")
   }
 
+  test("bpeApply: rank-order merges, boundary chains merge to fixpoint") {
+    // "ababab...": pair "ab" dominates ("ba" one fewer per word), so
+    // merge 1 = "ab" — a 3-occurrence boundary-sharing chain that a
+    // single replace pass would leave half-merged
+    val d = docs(1L -> "ababab ababab ababab zz", 2L -> "ababab zz zz")
+    // pair counts: ab 12, ba 8, zz 3 → merges (rank order) ab, ba, zz;
+    // merge "ab" exhausts every "ba" site, merge "zz" still applies
+    val r = graft.pipeline.Corpus.bpeApply(d, merges = 3).collect()
+      .map(x => x.getString(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r("ababab") == ("ab ab ab", 3L), s"got $r")
+    assert(r("zz") == ("zz", 1L), s"got $r")
+  }
+
   test("contamScore: eval-identical train doc scores 1, disjoint doc 0") {
     val implicits = spark.implicits
     import implicits._
