@@ -718,4 +718,41 @@ FROM step WHERE rk = (SELECT COUNT(*) FROM pr) ORDER BY id"""
 SELECT a, b, CAST(w AS BIGINT) AS w FROM ($un) ORDER BY a, b"""
     sb.toString
   }
+
+  /** HyperANF mirror: same 60-bit 'anf:' register hash, unrolled
+    * max-merge rounds over the symmetric co-occur graph, and the exact
+    * hllSql estimator arithmetic (integer harmonic sum with zero
+    * registers at 2^maxRho, linear counting under 2.5·m) — estimates
+    * replay bit for bit, register collisions and bias included. */
+  def anfSql(rounds: Int, p: Int): String = {
+    val m = 1 << p; val maxRho = 61 - p
+    val h60 = "('0x' || substr(md5('anf:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT"
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.cooccurSql}")
+    sb ++= s""",
+hh AS (SELECT id, $h60 AS h FROM pnodes),
+r0 AS MATERIALIZED (SELECT id, h % $m AS bucket,
+  CASE WHEN h >> $p = 0 THEN $maxRho
+       ELSE $maxRho - length(bin(h >> $p)) END AS mr FROM hh)"""
+    for (k <- 1 to rounds)
+      sb ++= s""",
+r$k AS MATERIALIZED (SELECT id, bucket, MAX(mr) AS mr FROM (
+  SELECT id, bucket, mr FROM r${k - 1}
+  UNION ALL SELECT e.dst AS id, x.bucket, x.mr
+  FROM r${k - 1} x JOIN psym e ON e.src = x.id) GROUP BY 1, 2)"""
+    val raw = s"0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0 * " +
+      s"pow(2.0, $maxRho.0) / CAST(s AS DOUBLE)"
+    for (k <- 0 to rounds)
+      sb ++= s""",
+e$k AS (SELECT id,
+  SUM(CAST(1 AS BIGINT) << ($maxRho - mr))
+    + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << $maxRho) AS s,
+  $m - COUNT(*) AS v FROM r$k GROUP BY id),
+n$k AS (SELECT CAST($k AS BIGINT) AS r,
+  ROUND(SUM(ROUND(CASE WHEN $raw <= ${2.5 * m} AND v > 0
+    THEN $m.0 * ln($m.0 / CAST(v AS DOUBLE)) ELSE $raw END, 4)), 2) AS nf
+  FROM e$k)"""
+    val un = (0 to rounds).map(k => s"SELECT * FROM n$k").mkString(" UNION ALL ")
+    sb ++= s"\nSELECT * FROM ($un) ORDER BY r"
+    sb.toString
+  }
 }

@@ -311,6 +311,11 @@ object SparkEntry {
         DerivedGraphs.nationTradeTop(s, d), 24)),
     "q_assortativity" -> ((s, d) =>
       algorithms.Structure.assortativity(DerivedGraphs.partCooccur(s, d))),
+    "q_anf" -> ((s, d) => {
+      val sym = DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d))
+      algorithms.Anf.neighborhoodFunction(
+        sym.select(col("src").as("id")).distinct(), sym)
+    }),
     "q_reciprocity" -> ((s, d) =>
       algorithms.Structure.reciprocity(DerivedGraphs.nationTrade(s, d))),
     "q_weighted_pagerank" -> ((s, d) =>
@@ -770,6 +775,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_louvain" -> Oracles.louvainSql,
     "q_closeness" -> Oracles.closenessSql(24),
     "q_eccentricity" -> Oracles.eccentricitySql(24),
+    "q_anf" -> Oracles.anfSql(3, 4),
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),
     "q_ktruss" -> Oracles.kTrussSql(4, 10),
     "q_assortativity" -> Oracles.assortativitySql,

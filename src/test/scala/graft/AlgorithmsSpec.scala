@@ -563,4 +563,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got((2L, 4L)) ==
       ((2L, 1.0, math.rint(aa * 1e6) / 1e6))) // jaccard 2/(2+2-2) = 1
   }
+
+  test("anf: monotone per round, exact fixpoint at the diameter") {
+    // path 1–2–3 (diameter 2): N(0)≈3, N(1)=7, N(2)=N(3)=9; HLL with
+    // p=4 runs linear counting on these tiny balls, so estimates sit
+    // within ~1 of exact unless registers collide (fixed hash — the
+    // loose bands below hold for THIS seedless deterministic layout)
+    val sym = symm(edges(1L -> 2L, 2L -> 3L))
+    val nf = graft.algorithms.Anf.neighborhoodFunction(ids(1, 2, 3), sym, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nf.keySet == Set(0L, 1L, 2L, 3L))
+    assert(nf(0L) >= 2.0 && nf(0L) <= 4.0, s"N(0): $nf")
+    assert(nf(0L) <= nf(1L) && nf(1L) <= nf(2L), s"monotone: $nf")
+    // registers reach THEIR fixpoint at r = diameter: identical
+    // estimate thereafter, not merely close
+    assert(nf(2L) == nf(3L), s"fixpoint: $nf")
+    assert(nf(2L) >= 7.0 && nf(2L) <= 11.0, s"N(diam): $nf")
+  }
 }
