@@ -502,25 +502,8 @@ object Corpus {
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
                   dim: Int = 64, k: Int = 40): DataFrame = {
     require(dim >= 1 && k >= 1, "dsirWeights needs dim >= 1 and k >= 1")
-    val toks = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .select(col("doc_id"), col("lang"),
-        pmod(hash60(col("term"), "ds:"), lit(dim.toLong)).as("b"))
-    // Both distributions in ONE pass: raw count + conditional target
-    // count per bucket. Laplace +1 over dim buckets keeps every bucket
-    // probability finite on both sides (a bucket no target token hits
-    // still scores, just negatively).
-    val dists = toks.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      count(when(col("lang") === targetLang, lit(1))).as("ct"))
-    val tots = dists.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    // ln((ct+1)/(nt+dim)) − ln((cr+1)/(nr+dim)) — one double per
-    // bucket, same op order in the DuckDB oracle → bit-identical
-    val lr = dists.crossJoin(broadcast(tots))
-      .select(col("b"),
-        (log((col("ct") + 1).cast("double") / (col("nt") + dim)) -
-          log((col("cr") + 1).cast("double") / (col("nr") + dim))).as("lr"))
+    val toks = docTokenBuckets(docs, dim)
+    val lr = dsirLogRatios(docs, targetLang, dim)
     val scored = toks.join(broadcast(lr), Seq("b"))
       .groupBy("doc_id").agg(round(sum("lr"), 6).as("logw"))
       .orderBy(col("logw").desc, col("doc_id")).limit(k)
@@ -530,6 +513,41 @@ object Corpus {
         Window.orderBy(col("logw").desc, col("doc_id"))).cast("long"))
       .select(col("rn"), col("doc_id"), col("logw"))
   }
+
+  private def docTokenBuckets(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(col("term"), "ds:"), lit(dim.toLong)).as("b"))
+
+  /** The DSIR per-bucket log importance ratio table (b, lr) — the
+    * model artifact [[dsirWeights]] scores with. Both distributions in
+    * ONE pass: raw count + conditional target count per bucket.
+    * Laplace +1 over dim buckets keeps every bucket probability finite
+    * on both sides (a bucket no target token hits still scores, just
+    * negatively); ln((ct+1)/(nt+dim)) − ln((cr+1)/(nr+dim)) is one
+    * double per bucket with the same op order in the DuckDB oracle →
+    * bit-identical. */
+  def dsirLogRatios(docs: DataFrame, targetLang: String = "en",
+                    dim: Int = 64): DataFrame = {
+    val dists = docTokenBuckets(docs, dim).groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === targetLang, lit(1))).as("ct"))
+    val tots = dists.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    dists.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + dim)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + dim))).as("lr"))
+  }
+
+  /** [[dsirLogRatios]] collected to the driver-sized Map a streaming
+    * intake gate broadcasts — dim entries, a model artifact by
+    * definition (same class as the merge table or mixing weights). */
+  def dsirRatioMap(docs: DataFrame, targetLang: String = "en",
+                   dim: Int = 64): Map[Long, Double] =
+    dsirLogRatios(docs, targetLang, dim).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
   /** Data-mixing sampler: per-language target weights (0..1) applied as
     * deterministic hash sampling — doc kept iff its salted md5 bucket

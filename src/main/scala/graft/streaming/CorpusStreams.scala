@@ -123,6 +123,29 @@ object CorpusStreams {
       .drop("_bk", "_bloom_words")
   }
 
+  /** Online DSIR importance gate — score each arriving document with a
+    * FIXED log-ratio bucket table (the model artifact
+    * [[graft.pipeline.Corpus.dsirRatioMap]] mines offline) and keep it
+    * iff `logw ≥ minLogw`: importance filtering at ingest, the
+    * streaming half of importance resampling. The score is a pure
+    * left-to-right fold over the token array against a broadcast map
+    * literal — ZERO stream state, composing into any intake like
+    * [[qualityGate]]. The fold order is deterministic (array order),
+    * and both it and the batch scorer's unordered sum agree at the
+    * shared 6-dp round — batch ≡ stream is spec-pinned against
+    * `dsirWeights`. Adds `logw`; unseen buckets (possible when the
+    * artifact was mined on an earlier corpus snapshot) score 0. */
+  def dsirGate(docs: DataFrame, ratios: Map[Long, Double], dim: Int = 64,
+               minLogw: Double = 0.0): DataFrame = {
+    require(dim >= 1, "dsirGate needs dim >= 1")
+    val w = typedLit(ratios)
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val logw = round(aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(w,
+        pmod(TextOps.hash60(t, "ds:"), lit(dim.toLong))), lit(0.0))), 6)
+    docs.withColumn("logw", logw).filter(col("logw") >= minLogw)
+  }
+
   /** [[segmentGate]] with the mined boilerplate as a DataFrame of
     * 60-bit segment hashes (column `g`) — the production shape: the
     * mined set is itself the output of a distributed compaction job,

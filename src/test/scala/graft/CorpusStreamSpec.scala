@@ -162,4 +162,39 @@ class CorpusStreamSpec extends SparkSpec {
     // reassembly keeps the doc universe identical to the projection path
     assert(direct.contains((5L, 0L, 0L, "")) && direct.size == 5)
   }
+
+  test("dsir gate: stream scores equal the batch scorer, threshold filters") {
+    val implicits = spark.implicits
+    import implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "alpha beta gamma delta", "en"),
+      (10L, "alpha beta gamma", "de"),
+      (11L, "omega sigma tau", "de")).toDF("doc_id", "text", "lang")
+    val ratios = graft.pipeline.Corpus.dsirRatioMap(corpus, "en", 64)
+    // batch scorer ground truth: dsirWeights over the same corpus —
+    // the stream's array fold must land on the identical 6-dp score
+    val batch = graft.pipeline.Corpus.dsirWeights(corpus, "en", 64, 10)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("logw")).toMap
+    val gateAll = CorpusStreams.dsirGate(corpus, ratios, 64,
+        minLogw = Double.NegativeInfinity)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("logw")).toMap
+    assert(gateAll == batch, s"stream fold $gateAll vs batch sum $batch")
+    // target-vocab doc outscores the disjoint-vocab doc; a threshold
+    // between them keeps exactly the target-like stream
+    assert(gateAll(10L) > gateAll(11L))
+    val tau = (gateAll(10L) + gateAll(11L)) / 2
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val sq = CorpusStreams.dsirGate(
+        ms.toDF().toDF("doc_id", "text", "lang"), ratios, 64, tau)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("dsir_gate_stream").start()
+    try {
+      ms.addData((10L, "alpha beta gamma", "de"), (11L, "omega sigma tau", "de"))
+      sq.processAllAvailable()
+      val kept = spark.table("dsir_gate_stream").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L))
+    } finally sq.stop()
+  }
 }
