@@ -119,6 +119,16 @@ object ScaleProbe {
           Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.29, "fr" -> 0.1))),
         // temporal joins over a K×-wider user population: one window /
         // one bucketed equi-join, expected ~linear
+        // same split-before-shingle shape as decontam with a LEFT join
+        // instead of the semi-join — expect the decontam curve
+        time("contam_score")(Corpus.contamScore(docs)),
+        // token-linear scoring passes against a constant dim-row ratio
+        // table; per-doc agg map-side combined — expect ~linear
+        time("dsir")(Corpus.dsirWeights(docs)),
+        // the merge-stat pass is token-linear; the apply itself runs on
+        // the distinct word vocabulary, which replication barely grows
+        // (K new salt tokens) — expect ~linear dominated by the stats
+        time("bpe_apply")(Corpus.bpeApply(docs)),
         time("asof_join") {
           val p = events.filter(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -140,8 +150,42 @@ object ScaleProbe {
         })
     }
 
-    val t1 = corpusTimes(1)
-    val tk = corpusTimes(k)
+    // Embedding / graph replicas for the kernels that don't read the
+    // document corpus. SemDeDup replication is the designed quadratic
+    // contrast: every replica is an exact dup of its original (cosine
+    // 1.0 within the same label), so cluster sizes — and the paper's
+    // own Σ|c|² candidate cost — genuinely grow K²; production holds
+    // |cluster| constant by scaling the cluster COUNT with the data,
+    // which is exactly what the label stand-in cannot do under
+    // replication. ANF replicas are K disjoint copies of the co-occur
+    // graph: state and message volume grow K — expect ~linear.
+    val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+    val embN = embBase.count()
+    lazy val coBase = graft.graph.DerivedGraphs
+      .partCooccur(spark, dir).localCheckpoint()
+    def extraTimes(rep: Int): Map[String, Double] = {
+      val emb = (0 until rep).map { r =>
+        embBase.select((col("vec_id") + lit(r.toLong * embN)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val pairs = (0 until rep).map { r =>
+        coBase.select((col("a") + lit(r.toLong * 1000000L)).as("a"),
+          (col("b") + lit(r.toLong * 1000000L)).as("b"))
+      }.reduce(_ unionByName _)
+      val sym = graft.graph.DerivedGraphs.sym(pairs).localCheckpoint()
+      def time(name: String)(df: => DataFrame): (String, Double) = {
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.foreach(_ => ())
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      Map(
+        time("semdedup")(graft.pipeline.Similarity.semDedup(emb)),
+        time("anf")(graft.algorithms.Anf.neighborhoodFunction(
+          sym.select(col("src").as("id")).distinct(), sym)))
+    }
+
+    val t1 = corpusTimes(1) ++ extraTimes(1)
+    val tk = corpusTimes(k) ++ extraTimes(k)
     val ratios = t1.keys.map(q => q -> BigDecimal(tk(q) / t1(q))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     println(

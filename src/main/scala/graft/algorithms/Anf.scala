@@ -61,17 +61,25 @@ object Anf {
     val rho = when(wrest === 0L, lit(maxRho))
       .otherwise(lit(maxRho) - length(bin(wrest)).cast("int"))
     // ball(v, 0) = {v}: a register vector with one hit
-    var regs = nodes.select(col("id"),
+    val (regs0, mN) = Probe.checkpointObserved(
+      nodes.select(col("id"),
         transform(sequence(lit(0), lit(m - 1)),
-          i => when(i === bucket, rho).otherwise(lit(0))).as("sk"))
-      .localCheckpoint()
+          i => when(i === bucket, rho).otherwise(lit(0))).as("sk")),
+      count(lit(1)).as("n"))
+    var regs = regs0
+    // While the |V|-row register frame fits the gate it broadcasts into
+    // the per-round edge join (m·|V| ints — the edge frame streams in
+    // place); past it the join shuffles, same dual-regime discipline as
+    // every iterative kernel. Register VALUES are identical either way.
+    val small = mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold
     val merge = udaf(new RegMax(m), ExpressionEncoder[Seq[Int]]())
     val (edges, _) = Probe.checkpointObserved(
       symEdges.select("src", "dst"), count(lit(1)).as("n"))
     var out = estimate(regs, 0, p)
     for (r <- 1 to rounds) {
       // B(v, r) = B(v, r−1) ∪ ⋃_{(u,v)∈E} B(u, r−1)
-      val msg = edges.join(regs, col("src") === col("id"))
+      val msg = edges.join(if (small) broadcast(regs) else regs,
+          col("src") === col("id"))
         .select(col("dst").as("id"), col("sk"))
       regs = regs.unionByName(msg)
         .groupBy("id").agg(merge(col("sk")).as("sk"))
