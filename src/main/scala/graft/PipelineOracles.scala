@@ -945,6 +945,32 @@ SELECT word, trim(seg) AS seg,
        CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tokens
 FROM walk WHERE step = (SELECT COUNT(*) FROM mg)"""
 
+  /** JL-projection mirror: same integer weight grid and w·x sum, 4-dp
+    * round. */
+  def jlProjectSql(outDims: Int): String =
+    s"""WITH ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+w AS MATERIALIZED (
+  SELECT j, d AS pos, ${h60("'jl:' || j || ':' || d")} % 2001 - 1000 AS w
+  FROM unnest(generate_series(0, ${outDims - 1})) AS tj(j),
+       (SELECT DISTINCT pos AS d FROM ex))
+SELECT e.vec_id, CAST(w.j AS BIGINT) AS j, ROUND(SUM(w.w * e.x), 4) AS y
+FROM ex e JOIN w ON w.pos = e.pos GROUP BY 1, 2"""
+
+  /** Inverted-index mirror: same (term, doc) tf counts, df over the
+    * term window, (tf desc, doc_id asc) rank, cap. */
+  def invertedIndexSql(maxPostings: Int): String =
+    s"""WITH tf AS MATERIALIZED (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2),
+rk AS (SELECT term, doc_id, tf,
+  CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+  CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC)
+    AS BIGINT) AS rnk FROM tf)
+SELECT term, df, rnk, doc_id, tf FROM rk WHERE rnk <= $maxPostings"""
+
   /** Graded-contamination mirror: same split-before-shingle frames as
     * decontaminateSql, one LEFT join instead of the semi-join, same
     * n_hit/n_grams division order, 6-dp round. */

@@ -510,6 +510,10 @@ object SparkEntry {
       Corpus.contamScore(GraphBuilder.table(s, d, "documents"))),
     "q_bpe_apply" -> ((s, d) =>
       Corpus.bpeApply(GraphBuilder.table(s, d, "documents"))),
+    "q_jl_project" -> ((s, d) =>
+      Similarity.jlProject(GraphBuilder.table(s, d, "embeddings"))),
+    "q_inverted_index" -> ((s, d) =>
+      Corpus.invertedIndex(GraphBuilder.table(s, d, "documents"))),
     "q_dsir" -> ((s, d) =>
       Corpus.dsirWeights(GraphBuilder.table(s, d, "documents"))),
     // label column stands in for the paper's k-means assignment — see
@@ -933,6 +937,8 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_split" -> PipelineOracles.splitSql(90, 5),
     "q_contam_score" -> PipelineOracles.contamScoreSql(5),
     "q_bpe_apply" -> PipelineOracles.bpeApplySql(12),
+    "q_jl_project" -> PipelineOracles.jlProjectSql(16),
+    "q_inverted_index" -> PipelineOracles.invertedIndexSql(20),
     "q_dsir" -> PipelineOracles.dsirWeightsSql("en", 64, 40),
     "q_semdedup" -> PipelineOracles.semDedupSql(0.3),
     "q_fuzzy_match" -> PipelineOracles.fuzzyMatchSql(3, 1000L),

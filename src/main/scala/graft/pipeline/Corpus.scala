@@ -151,6 +151,36 @@ object Corpus {
         size(split(col("seg"), " ")).cast("long"))
   }
 
+  /** Inverted-index construction with capped postings — the retrieval
+    * artifact behind [[bm25TopK]]: per term, its document frequency
+    * and the top `maxPostings` postings by (tf desc, doc_id asc) in
+    * long format (term, df, rnk, doc_id, tf). Real indexes cap or
+    * impact-order postings exactly like this: a stop word's full
+    * posting list is the corpus itself, and no retrieval engine scans
+    * that at serving time.
+    *
+    * Scale: one token explode → (term, doc) counts (map-side
+    * combined), then a per-term rank window. The window sorts within
+    * term partitions only — vocab-keyed, so no global sort — and the
+    * cap bounds the output at |vocab|·maxPostings rows. The heaviest
+    * term's partition is its df, the known worst case of index
+    * construction (impact-ordered indexes shard exactly there). */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 20): DataFrame = {
+    require(maxPostings >= 1, "invertedIndex needs maxPostings >= 1")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val byTerm = Window.partitionBy("term")
+    val ranked = tf
+      .withColumn("df", count(lit(1)).over(byTerm).cast("long"))
+      .withColumn("rnk", row_number().over(
+        byTerm.orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+    ranked.filter(col("rnk") <= maxPostings)
+      .select(col("term"), col("df"), col("rnk"), col("doc_id"), col("tf"))
+  }
+
   /** Corpus composition report with subtotals: doc counts and
     * character mass per (source, lang), per source, and grand total in
     * ONE pass — Spark's `rollup` compiles to a single Expand +

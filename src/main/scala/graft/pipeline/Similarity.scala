@@ -306,6 +306,30 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce `embedding` to
+    * `outDims` dimensions with the same deterministic integer weight
+    * grid as the LSH planes (hash60("jl:j:d") % 2001 − 1000) — the
+    * dimensionality-reduction pass that runs before brute-force or IVF
+    * search when the native width is too wide to scan. Long-format
+    * output (vec_id, j, y), y = Σ_d w(j,d)·x_d rounded to 4 dp.
+    *
+    * Scale: the weight table is outDims·dims rows (broadcast); the
+    * projection is one (vec_id, j)-keyed map-side-combined aggregate
+    * over the exploded vector stream — shuffle bounded by
+    * |vectors|·outDims rows, embarrassingly parallel. */
+  def jlProject(emb: DataFrame, outDims: Int = 16): DataFrame = {
+    require(outDims >= 1, "jlProject needs outDims >= 1")
+    val ex = exploded(emb)
+    val w = emb.sparkSession.range(outDims).select(col("id").as("j"))
+      .crossJoin(ex.select(col("pos")).distinct())
+      .select(col("j"), col("pos"),
+        (TextOps.hash60(concat(col("j"), lit(":"), col("pos")), "jl:")
+          % 2001L - 1000L).as("w"))
+    ex.join(broadcast(w), Seq("pos"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("w") * col("x")), 4).as("y"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication inside embedding-space clusters. Pairwise cosine is
     * computed only WITHIN a cluster — here the `label` column stands in

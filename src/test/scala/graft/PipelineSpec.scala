@@ -952,6 +952,34 @@ class PipelineSpec extends SparkSpec {
     assert(r("zz") == ("zz", 1L), s"got $r")
   }
 
+  test("jlProject: linear in the input, outDims rows per vector") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 0.5f)),
+      (2L, Array(2.0f, 4.0f, 1.0f))).toDF("vec_id", "embedding")
+    val p = graft.pipeline.Similarity.jlProject(emb, outDims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p.keys.count(_._1 == 1L) == 4 && p.size == 8)
+    // vec 2 = 2 · vec 1 → every projection doubles (projection is linear)
+    (0L until 4L).foreach { j =>
+      assert(math.abs(p((2L, j)) - 2 * p((1L, j))) < 1e-3,
+        s"j=$j: ${p((2L, j))} vs 2*${p((1L, j))}")
+    }
+  }
+
+  test("invertedIndex: df and tf-ranked postings, cap applies") {
+    val d = docs(1L -> "a a b", 2L -> "a c")
+    val ix = graft.pipeline.Corpus.invertedIndex(d).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // term a: df 2, rank 1 = (doc 1, tf 2), rank 2 = (doc 2, tf 1)
+    assert(ix(("a", 1L)) == ((2L, 1L, 2L)) && ix(("a", 2L)) == ((2L, 2L, 1L)))
+    assert(ix(("b", 1L)) == ((1L, 1L, 1L)) && ix(("c", 1L)) == ((1L, 2L, 1L)))
+    assert(graft.pipeline.Corpus.invertedIndex(d, maxPostings = 1)
+      .count() == 3L) // one posting per term under the cap
+  }
+
   test("contamScore: eval-identical train doc scores 1, disjoint doc 0") {
     val implicits = spark.implicits
     import implicits._
