@@ -719,6 +719,23 @@ SELECT a, b, CAST(w AS BIGINT) AS w FROM ($un) ORDER BY a, b"""
     sb.toString
   }
 
+  /** Modularity mirror: same group-tagged directed-edge aggregates,
+    * exact integer sums, one fixed-order double expression. */
+  val modularitySql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+grp AS (SELECT ${PartTag * TAG} + CAST(p_partkey AS BIGINT) AS id,
+               p_brand AS g FROM part),
+t AS (SELECT gs.g AS gs, gd.g AS gd FROM psym e
+      JOIN grp gs ON gs.id = e.src JOIN grp gd ON gd.id = e.dst),
+per AS (SELECT gs AS g, CAST(COUNT(*) AS BIGINT) AS dc,
+        CAST(COUNT(*) FILTER (WHERE gs = gd) AS BIGINT) AS ein2
+        FROM t GROUP BY 1)
+SELECT CAST(SUM(dc) / 2 AS BIGINT) AS m,
+       ROUND(CAST(SUM(ein2) AS DOUBLE) / SUM(dc)
+           - CAST(SUM(dc * dc) AS DOUBLE)
+             / (CAST(SUM(dc) AS DOUBLE) * CAST(SUM(dc) AS DOUBLE)), 6) AS q
+FROM per"""
+
   /** HyperANF mirror: same 60-bit 'anf:' register hash, unrolled
     * max-merge rounds over the symmetric co-occur graph, and the exact
     * hllSql estimator arithmetic (integer harmonic sum with zero

@@ -924,8 +924,8 @@ FROM (SELECT doc_id,
     * in rank order via a step-indexed recursive walk — replace() is
     * leftmost-non-overlapping in both engines, so the sweep is
     * character-identical. */
-  def bpeApplySql(merges: Int): String =
-    s"""WITH RECURSIVE wocc AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+  private def bpeCtes(merges: Int): String =
+    s"""wocc AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 mg AS MATERIALIZED (
   SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rn FROM (
     SELECT substr(w, i, 2) AS pair, COUNT(*) AS n
@@ -940,10 +940,25 @@ walk(step, word, seg) AS (
   FROM walk w JOIN (
     SELECT rn, ' ' || substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) || ' ' AS p,
            ' ' || pair || ' ' AS r FROM mg) m ON m.rn = w.step + 1
-  WHERE w.step < (SELECT COUNT(*) FROM mg))
-SELECT word, trim(seg) AS seg,
-       CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tokens
-FROM walk WHERE step = (SELECT COUNT(*) FROM mg)"""
+  WHERE w.step < (SELECT COUNT(*) FROM mg)),
+seg AS MATERIALIZED (
+  SELECT word, trim(seg) AS seg,
+         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tokens
+  FROM walk WHERE step = (SELECT COUNT(*) FROM mg))"""
+
+  def bpeApplySql(merges: Int): String =
+    s"WITH RECURSIVE ${bpeCtes(merges)}\nSELECT word, seg, n_tokens FROM seg"
+
+  /** Subword-fertility mirror: the bpe CTE chain joined back to the
+    * word occurrence stream, per-source token mass over word mass. */
+  def tokenFertilitySql(merges: Int): String =
+    s"""WITH RECURSIVE ${bpeCtes(merges)},
+occ AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT o.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS n_subtokens,
+       ROUND(CAST(SUM(s.n_tokens) AS DOUBLE) / COUNT(*), 6) AS fertility
+FROM occ o JOIN seg s ON s.word = o.word
+WHERE o.word <> '' GROUP BY 1"""
 
   /** JL-projection mirror: same integer weight grid and w·x sum, 4-dp
     * round. */

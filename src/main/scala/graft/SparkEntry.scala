@@ -316,6 +316,13 @@ object SparkEntry {
       algorithms.Anf.neighborhoodFunction(
         sym.select(col("src").as("id")).distinct(), sym)
     }),
+    // homophily of co-purchase by brand: do parts co-occur with their
+    // own brand more than degree chance predicts?
+    "q_modularity" -> ((s, d) =>
+      algorithms.Structure.modularity(DerivedGraphs.partCooccur(s, d),
+        GraphBuilder.table(s, d, "part")
+          .select((lit(PartTag * TAG) + col("p_partkey")).as("id"),
+            col("p_brand").as("g")))),
     "q_reciprocity" -> ((s, d) =>
       algorithms.Structure.reciprocity(DerivedGraphs.nationTrade(s, d))),
     "q_weighted_pagerank" -> ((s, d) =>
@@ -514,6 +521,8 @@ object SparkEntry {
       Similarity.jlProject(GraphBuilder.table(s, d, "embeddings"))),
     "q_inverted_index" -> ((s, d) =>
       Corpus.invertedIndex(GraphBuilder.table(s, d, "documents"))),
+    "q_token_fertility" -> ((s, d) =>
+      Corpus.tokenFertility(GraphBuilder.table(s, d, "documents"))),
     "q_dsir" -> ((s, d) =>
       Corpus.dsirWeights(GraphBuilder.table(s, d, "documents"))),
     // label column stands in for the paper's k-means assignment — see
@@ -780,6 +789,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_closeness" -> Oracles.closenessSql(24),
     "q_eccentricity" -> Oracles.eccentricitySql(24),
     "q_anf" -> Oracles.anfSql(3, 4),
+    "q_modularity" -> Oracles.modularitySql,
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),
     "q_ktruss" -> Oracles.kTrussSql(4, 10),
     "q_assortativity" -> Oracles.assortativitySql,
@@ -939,6 +949,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_bpe_apply" -> PipelineOracles.bpeApplySql(12),
     "q_jl_project" -> PipelineOracles.jlProjectSql(16),
     "q_inverted_index" -> PipelineOracles.invertedIndexSql(20),
+    "q_token_fertility" -> PipelineOracles.tokenFertilitySql(12),
     "q_dsir" -> PipelineOracles.dsirWeightsSql("en", 64, 40),
     "q_semdedup" -> PipelineOracles.semDedupSql(0.3),
     "q_fuzzy_match" -> PipelineOracles.fuzzyMatchSql(3, 1000L),

@@ -64,6 +64,46 @@ object Structure {
     * in a fixed operation order, so the oracle reproduces r exactly
     * at 6 dp. Degree-regular graphs (zero variance) have undefined r
     * — emitted as NULL (spec-pinned; the oracle graph never is). */
+  /** Newman modularity of a GIVEN node partition (Newman & Girvan
+    * 2004): Q = Σ_c [e_c/m − (d_c/2m)²] over an undirected simple
+    * graph — e_c = edges inside community c, d_c = total degree of c,
+    * m = |undirected edges|. The homophily score of any attribute or
+    * community assignment (here: do parts co-occur with parts of their
+    * own group?); Louvain maximizes exactly this objective.
+    *
+    * `groups` maps id → g (one row per node). Scale: one |E|-row join
+    * to the group dim (broadcast-gated like every kernel dim join),
+    * two map-side-combined aggregates over ≤ |E| + |V| rows; output is
+    * one row. Exact integer sums (counts and degree mass), ONE
+    * fixed-order double expression at the end. */
+  def modularity(pedges: DataFrame, groups: DataFrame): DataFrame = {
+    val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))
+    val (grp, mG) = Probe.checkpointObserved(
+      groups.select(col("id"), col("g")), count(lit(1)).as("n"))
+    def dim(df: DataFrame): DataFrame =
+      if (mG("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+        broadcast(df)
+      else df
+    val tagged = sym
+      .join(dim(grp.select(col("id").as("src"), col("g").as("gs"))), Seq("src"))
+      .join(dim(grp.select(col("id").as("dst"), col("g").as("gd"))), Seq("dst"))
+    // per-community: directed-edge count inside (= 2·e_c) and degree
+    // mass d_c — both exact longs; m rides the same aggregate
+    val per = tagged.groupBy(col("gs").as("g"))
+      .agg(count(lit(1)).as("dc"),
+        sum(when(col("gs") === col("gd"), 1L).otherwise(0L)).as("ein2"))
+    per.agg(sum("dc").as("m2"), sum("ein2").as("sin2"),
+        sum(col("dc") * col("dc")).as("sdd"))
+      // Q = Σ e_c/m − Σ (d_c/2m)² = sin2/m2 − sdd/m2² (2s cancel) —
+      // operator order mirrored in the oracle
+      .select((col("m2") / 2).cast("long").as("m"),
+        round(col("sin2").cast("double") / col("m2") -
+          col("sdd").cast("double") /
+            (col("m2").cast("double") * col("m2").cast("double")), 6)
+          .as("q"))
+  }
+
   def assortativity(pedges: DataFrame): DataFrame = {
     val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))

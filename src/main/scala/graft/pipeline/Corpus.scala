@@ -181,6 +181,29 @@ object Corpus {
       .select(col("term"), col("df"), col("rnk"), col("doc_id"), col("tf"))
   }
 
+  /** Subword fertility per source — the standard tokenizer-quality
+    * metric (average subword tokens emitted per word; a fertility near
+    * 1 means the merge table fits the source, a high one means the
+    * tokenizer fragments it): [[bpeApply]]'s segmentation joined back
+    * to the word OCCURRENCE stream, so frequent words weigh by use.
+    *
+    * Scale: the segmentation is a vocab-sized dim (broadcasts under
+    * AQE); the occurrence stream is one explode; the per-source
+    * aggregate is map-side combined — the exact shape a tokenizer
+    * sweep runs per candidate merge table. */
+  def tokenFertility(docs: DataFrame, merges: Int = 12): DataFrame = {
+    val seg = bpeApply(docs, merges).select(col("word"), col("n_tokens"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(seg, Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("n_tokens").cast("long").as("n_subtokens"))
+      // n_subtokens / n_words — operator order mirrored in the oracle
+      .withColumn("fertility",
+        round(col("n_subtokens").cast("double") / col("n_words"), 6))
+  }
+
   /** Corpus composition report with subtotals: doc counts and
     * character mass per (source, lang), per source, and grand total in
     * ONE pass — Spark's `rollup` compiles to a single Expand +

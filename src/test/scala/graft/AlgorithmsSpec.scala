@@ -564,6 +564,23 @@ class AlgorithmsSpec extends SparkSpec {
       ((2L, 1.0, math.rint(aa * 1e6) / 1e6))) // jaccard 2/(2+2-2) = 1
   }
 
+  test("modularity: two clean communities score high, mixed partition zero") {
+    val implicits = testImplicits
+    import implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by one bridge 3–4
+    val pe = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val good = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("id", "g")
+    val q = graft.algorithms.Structure.modularity(pe, good).head
+    // e_in = 6 of m = 7, d_x = d_y = 7: Q = 6/7 − 2·(7/14)² = 5/14
+    assert(q.getLong(0) == 7L)
+    assert(math.abs(q.getDouble(1) - 5.0 / 14.0) < 1e-6)
+    // the all-in-one partition scores exactly 0 by construction
+    val one = good.select(col("id"), lit("all").as("g"))
+    assert(graft.algorithms.Structure.modularity(pe, one).head.getDouble(1) == 0.0)
+  }
+
   test("anf: monotone per round, exact fixpoint at the diameter") {
     // path 1–2–3 (diameter 2): N(0)≈3, N(1)=7, N(2)=N(3)=9; HLL with
     // p=4 runs linear counting on these tiny balls, so estimates sit

@@ -980,6 +980,23 @@ class PipelineSpec extends SparkSpec {
       .count() == 3L) // one posting per term under the cap
   }
 
+  test("tokenFertility: occurrence-weighted subtokens per word by source") {
+    val implicits = spark.implicits
+    import implicits._
+    // pair ranks: ab 12, ba 8, zz 2 → with 3 merges "ababab" → 3
+    // tokens (ab ab ab), "zz" → 1, "q" → 1
+    val d = Seq(
+      (1L, "ababab ababab zz q", "en", "web"),
+      (2L, "ababab ababab zz", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val f = graft.pipeline.Corpus.tokenFertility(d, merges = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // web: words 4 → 3+3+1+1 = 8 subtokens; books: 3 → 3+3+1 = 7
+    assert(f("web") == ((4L, 8L, 2.0)), s"got $f")
+    assert(f("books") == ((3L, 7L, math.rint(7.0 / 3.0 * 1e6) / 1e6)))
+  }
+
   test("contamScore: eval-identical train doc scores 1, disjoint doc 0") {
     val implicits = spark.implicits
     import implicits._
