@@ -523,6 +523,18 @@ object SparkEntry {
       Corpus.invertedIndex(GraphBuilder.table(s, d, "documents"))),
     "q_token_fertility" -> ((s, d) =>
       Corpus.tokenFertility(GraphBuilder.table(s, d, "documents"))),
+    // brand revenue through the explicitly-salted join — result is
+    // row-for-row the plain join (the oracle IS the plain join)
+    "q_skew_join" -> ((s, d) =>
+      graft.ops.SkewJoin.salted(
+          GraphBuilder.table(s, d, "lineitem")
+            .select(col("l_partkey"), col("l_extendedprice")),
+          GraphBuilder.table(s, d, "part")
+            .select(col("p_partkey"), col("p_brand")),
+          "l_partkey", "p_partkey", 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue"))),
     "q_dsir" -> ((s, d) =>
       Corpus.dsirWeights(GraphBuilder.table(s, d, "documents"))),
     // label column stands in for the paper's k-means assignment — see
@@ -950,6 +962,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_jl_project" -> PipelineOracles.jlProjectSql(16),
     "q_inverted_index" -> PipelineOracles.invertedIndexSql(20),
     "q_token_fertility" -> PipelineOracles.tokenFertilitySql(12),
+    "q_skew_join" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""",
     "q_dsir" -> PipelineOracles.dsirWeightsSql("en", 64, 40),
     "q_semdedup" -> PipelineOracles.semDedupSql(0.3),
     "q_fuzzy_match" -> PipelineOracles.fuzzyMatchSql(3, 1000L),

@@ -89,4 +89,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), s"unexpected join in:\n$plan")
     assert(plan.contains("Window"), "expected a window node")
   }
+
+  test("skew join: salted result equals the plain inner join") {
+    val implicits = spark.implicits
+    import implicits._
+    // 90% of big rows hit key 1 (the hot key); dim carries a duplicate
+    // key so the fan-out semantics of the plain join are exercised too
+    val big = ((1 to 90).map(i => (1L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong + 1, 100L + i))).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (1L, "hot2"), (2L, "a"), (3L, "b"))
+      .toDF("dk", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = canon(big.join(dim, col("k") === col("dk")))
+    val salted = canon(graft.ops.SkewJoin.salted(big, dim, "k", "dk", 4))
+    assert(salted == plain)
+    // degenerate single salt is exactly the plain join as well
+    assert(canon(graft.ops.SkewJoin.salted(big, dim, "k", "dk", 1)) == plain)
+  }
 }
