@@ -60,6 +60,13 @@ object SparkEntry {
       Dedup.shingleArrays(GraphBuilder.table(s, d, "documents"),
         hashedIn = Some(hashedShinglesCached(s, d))).persist())
 
+  /** The BPE vocabulary segmentation feeds q_bpe_apply AND the
+    * fertility metric — one merge-stat pass + one apply, one build
+    * row. */
+  private def bpeSegCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d + "#bpe"),
+      Corpus.bpeApply(GraphBuilder.table(s, d, "documents")).persist())
+
   /** Per-node triangle counts feed q_triangles (corner sum / 3) and
     * q_clustering — the wedge close behind them is the most expensive
     * derived frame, so materialize the |V|-bounded counts once per
@@ -88,6 +95,7 @@ object SparkEntry {
     // triangle build below plus q_label_prop and q_link_predict —
     // ordered BEFORE build:triangles so each row times its own work
     "build:part_cooccur" -> ((s, d) => DerivedGraphs.partCooccur(s, d)),
+    "build:bpe_seg" -> ((s, d) => bpeSegCached(s, d)),
     "build:triangles" -> ((s, d) => triangleCountsCached(s, d)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
@@ -515,14 +523,14 @@ object SparkEntry {
       Corpus.splitAssign(GraphBuilder.table(s, d, "documents"))),
     "q_contam_score" -> ((s, d) =>
       Corpus.contamScore(GraphBuilder.table(s, d, "documents"))),
-    "q_bpe_apply" -> ((s, d) =>
-      Corpus.bpeApply(GraphBuilder.table(s, d, "documents"))),
+    "q_bpe_apply" -> ((s, d) => bpeSegCached(s, d)),
     "q_jl_project" -> ((s, d) =>
       Similarity.jlProject(GraphBuilder.table(s, d, "embeddings"))),
     "q_inverted_index" -> ((s, d) =>
       Corpus.invertedIndex(GraphBuilder.table(s, d, "documents"))),
     "q_token_fertility" -> ((s, d) =>
-      Corpus.tokenFertility(GraphBuilder.table(s, d, "documents"))),
+      Corpus.tokenFertility(GraphBuilder.table(s, d, "documents"),
+        segIn = Some(bpeSegCached(s, d)))),
     // brand revenue through the explicitly-salted join — result is
     // row-for-row the plain join (the oracle IS the plain join)
     "q_skew_join" -> ((s, d) =>

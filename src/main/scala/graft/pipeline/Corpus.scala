@@ -191,8 +191,10 @@ object Corpus {
     * AQE); the occurrence stream is one explode; the per-source
     * aggregate is map-side combined — the exact shape a tokenizer
     * sweep runs per candidate merge table. */
-  def tokenFertility(docs: DataFrame, merges: Int = 12): DataFrame = {
-    val seg = bpeApply(docs, merges).select(col("word"), col("n_tokens"))
+  def tokenFertility(docs: DataFrame, merges: Int = 12,
+                     segIn: Option[DataFrame] = None): DataFrame = {
+    val seg = segIn.getOrElse(bpeApply(docs, merges))
+      .select(col("word"), col("n_tokens"))
     docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .join(seg, Seq("word"))
