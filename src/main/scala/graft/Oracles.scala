@@ -772,4 +772,27 @@ n$k AS (SELECT CAST($k AS BIGINT) AS r,
     sb ++= s"\nSELECT * FROM ($un) ORDER BY r"
     sb.toString
   }
+
+  /** Unrolled DAG longest-path relaxation on the weighted trade graph
+    * oriented small-id → large-id (LEAST/GREATEST makes it acyclic by
+    * construction), mirroring Dag.longestPaths round for round: every
+    * node seeded at 0, per-round incoming max-relax, idempotent past
+    * the fixpoint so a fixed `rounds` unroll equals Spark's
+    * converge-early loop. Unit weights when !weighted (topo layers). */
+  def dagLongestSql(weighted: Boolean, rounds: Int): String = {
+    val w = if (weighted) "e.w" else "1"
+    val outCol = if (weighted) "cost" else "layer"
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeWeightedSql}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM tn)"
+    for (i <- 1 to rounds) {
+      sb ++= s""", d$i AS MATERIALIZED (
+ SELECT d.id, CAST(GREATEST(d.dist, COALESCE(c.cd, d.dist)) AS BIGINT) AS dist
+ FROM d${i - 1} d LEFT JOIN (
+   SELECT e.b AS id, MAX(p.dist + $w) AS cd
+   FROM wtedges e JOIN d${i - 1} p ON p.id = e.a GROUP BY e.b) c ON c.id = d.id)"""
+    }
+    sb ++= s" SELECT id, dist AS $outCol FROM d$rounds ORDER BY id"
+    sb.toString
+  }
 }

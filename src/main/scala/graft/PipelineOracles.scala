@@ -114,6 +114,61 @@ cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
 rk AS (SELECT qid, vid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn FROM cos)
 SELECT qid, vid, cosine, CAST(rn AS BIGINT) AS rnk FROM rk WHERE rn <= 5"""
 
+  /** MMR mirror: the cosineTopK candidate formula, the same pairwise
+    * 6-dp cosine sims, and the greedy loop unrolled into selectK
+    * chained CTEs — each step a NOT EXISTS drop of the selected set, a
+    * max-sim roll-up, and an argmax. Scores use the integerized
+    * λT·ri − (10−λT)·si form in exact 10⁻⁷-unit BIGINTs, mirroring
+    * Similarity.mmrRerank — float round() half-boundaries can't
+    * diverge between engines when the fold is integer. */
+  def mmrSql(candK: Int, selectK: Int, lambdaTenths: Int): String = {
+    val lamT = lambdaTenths
+    val omT = 10 - lambdaTenths
+    val sb = new StringBuilder(s"""WITH $embCtes,
+dots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN ex v ON q.pos = v.pos AND q.vec_id < 10 AND v.vec_id >= 10
+         GROUP BY 1, 2),
+cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS rel
+        FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+cand AS MATERIALIZED (SELECT qid, vid,
+  CAST(floor(rel * 1000000.0 + 0.5) AS BIGINT) AS ri FROM (
+  SELECT qid, vid, rel, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vid ASC) AS rn
+  FROM cos) WHERE rn <= $candK),
+prs AS (SELECT c1.qid, c1.vid AS va, c2.vid AS vb
+        FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.vid < c2.vid),
+pd AS (SELECT p.qid, p.va, p.vb, SUM(x.x * y.x) AS dot
+       FROM prs p JOIN ex x ON x.vec_id = p.va
+       JOIN ex y ON y.vec_id = p.vb AND y.pos = x.pos
+       GROUP BY 1, 2, 3),
+ps AS (SELECT qid, va, vb,
+  CAST(floor(ROUND(dot / (na.nrm * nb.nrm), 6) * 1000000.0 + 0.5) AS BIGINT) AS si
+       FROM pd JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb),
+sym AS MATERIALIZED (SELECT qid, va, vb, si FROM ps
+  UNION ALL SELECT qid, vb, va, si FROM ps),
+sel1 AS (SELECT qid, vid, CAST(1 AS BIGINT) AS step, $lamT * ri AS scorei
+  FROM (SELECT qid, vid, ri,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ri DESC, vid ASC) AS rn
+    FROM cand) WHERE rn = 1)""")
+    for (t <- 2 to selectK) {
+      sb ++= s""",
+ms$t AS (SELECT y.qid, y.va AS vid, MAX(y.si) AS msi
+  FROM sym y JOIN sel${t - 1} s ON s.qid = y.qid AND s.vid = y.vb
+  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z WHERE z.qid = y.qid AND z.vid = y.va)
+  GROUP BY 1, 2),
+pick$t AS (SELECT qid, vid, CAST($t AS BIGINT) AS step, scorei FROM (
+  SELECT m.qid, m.vid, $lamT * c.ri - $omT * m.msi AS scorei,
+    ROW_NUMBER() OVER (PARTITION BY m.qid
+      ORDER BY $lamT * c.ri - $omT * m.msi DESC, m.vid ASC) AS rn
+  FROM ms$t m JOIN cand c ON c.qid = m.qid AND c.vid = m.vid) WHERE rn = 1),
+sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+    }
+    sb ++= s"""
+SELECT CAST(qid AS BIGINT) AS qid, step, CAST(vid AS BIGINT) AS vid,
+  scorei / 10000000.0 AS score
+FROM sel$selectK ORDER BY qid, step"""
+    sb.toString
+  }
+
   val annLshSql: String =
     s"""WITH $embCtes,
 w AS MATERIALIZED (
@@ -452,6 +507,48 @@ FROM c GROUP BY 1"""
    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(score, 6) AS bm25
 FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
+  }
+
+  /** Hybrid-RRF mirror: same shared token stream, the same BM25 and
+    * Dirichlet-QL formulas op for op (6-dp rounds BEFORE each rank,
+    * doc_id tiebreaks), ranks cut at listK in a subquery, absent ranks
+    * coalesced to 0 exactly like the Spark fusion join. */
+  def hybridRrfSql(terms: Seq[String], k1: Double, b: Double, mu: Double,
+                   listK: Int, rrfK: Int, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+ dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+ st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl,
+        SUM(dl)::DOUBLE AS ctot FROM dl),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+  WHERE term IN ($inList) GROUP BY 1, 2),
+ dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+ bm AS (SELECT tf.doc_id,
+     ROUND(SUM(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * (tf.tf * ${k1 + 1.0}) /
+         (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl))), 6) AS score
+   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1),
+ cand AS (SELECT DISTINCT doc_id FROM tf),
+ ql AS (SELECT c.doc_id,
+     ROUND(SUM(ln((COALESCE(tf.tf, 0) + $mu * cf.cf / st.ctot) / (dl.dl + $mu))), 6) AS score
+   FROM cand c CROSS JOIN cf
+   LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = cf.term
+   JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN st GROUP BY 1),
+ bmtop AS (SELECT doc_id, r_bm25 FROM (
+   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_bm25
+   FROM bm) WHERE r_bm25 <= $listK),
+ qltop AS (SELECT doc_id, r_ql FROM (
+   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_ql
+   FROM ql) WHERE r_ql <= $listK)
+SELECT CAST(COALESCE(bm.doc_id, q.doc_id) AS BIGINT) AS doc_id,
+  ROUND(COALESCE(1.0 / ($rrfK + bm.r_bm25), 0.0) +
+        COALESCE(1.0 / ($rrfK + q.r_ql), 0.0), 6) AS rrf,
+  CAST(COALESCE(bm.r_bm25, 0) AS BIGINT) AS r_bm25,
+  CAST(COALESCE(q.r_ql, 0) AS BIGINT) AS r_ql
+FROM bmtop bm FULL OUTER JOIN qltop q ON q.doc_id = bm.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
   }
 
   /** TF-IDF mirror: same term formula, same (tf/dl)·ln(n/df) operator

@@ -319,6 +319,20 @@ object SparkEntry {
         DerivedGraphs.nationTradeTop(s, d), 24)),
     "q_assortativity" -> ((s, d) =>
       algorithms.Structure.assortativity(DerivedGraphs.partCooccur(s, d))),
+    // weighted trade graph oriented small→large nation id: acyclic by
+    // construction, so the relaxation certifies DAG-ness as it runs.
+    // Depth bound on 25 nodes is 24 relax rounds; the kernel needs one
+    // extra zero-improvement round to confirm the fixpoint → cap 25.
+    // The oracle unrolls exactly 24 (its unroll needs no confirmation
+    // round and iterations past the fixpoint are idempotent).
+    "q_topo_layers" -> ((s, d) =>
+      algorithms.Dag.topoLayers(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeWeighted(s, d)
+          .select(col("a").as("src"), col("b").as("dst"), col("w")), 25)),
+    "q_critical_path" -> ((s, d) =>
+      algorithms.Dag.criticalPath(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeWeighted(s, d)
+          .select(col("a").as("src"), col("b").as("dst"), col("w")), 25)),
     "q_anf" -> ((s, d) => {
       val sym = DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d))
       algorithms.Anf.neighborhoodFunction(
@@ -595,6 +609,8 @@ object SparkEntry {
       EventStreams.decayScore(EventStreams.eventsTable(s, d))),
     "q_funnel" -> ((s, d) =>
       EventStreams.funnel(EventStreams.eventsTable(s, d))),
+    "q_retention" -> ((s, d) =>
+      EventStreams.retention(EventStreams.eventsTable(s, d))),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_embed_stats" -> ((s, d) =>
@@ -611,6 +627,8 @@ object SparkEntry {
         mixWeights.toMap)),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
+    "q_mmr" -> ((s, d) =>
+      Similarity.mmrRerank(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(GraphBuilder.table(s, d, "embeddings"))),
     // rows-only driver check (no oracleSql): iterated float k-means
@@ -650,6 +668,9 @@ object SparkEntry {
       Corpus.gopherRules(GraphBuilder.table(s, d, "documents"))),
     "q_bm25" -> ((s, d) =>
       Corpus.bm25TopK(GraphBuilder.table(s, d, "documents"),
+        Seq("spark", "query", "join", "vector"))),
+    "q_rrf" -> ((s, d) =>
+      Corpus.hybridRrf(GraphBuilder.table(s, d, "documents"),
         Seq("spark", "query", "join", "vector"))),
     "q_tfidf" -> ((s, d) =>
       Corpus.tfidfKeywords(GraphBuilder.table(s, d, "documents"))),
@@ -813,6 +834,8 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),
     "q_ktruss" -> Oracles.kTrussSql(4, 10),
     "q_assortativity" -> Oracles.assortativitySql,
+    "q_topo_layers" -> Oracles.dagLongestSql(weighted = false, 24),
+    "q_critical_path" -> Oracles.dagLongestSql(weighted = true, 24),
     "q_reciprocity" -> Oracles.reciprocitySql,
     "q_weighted_pagerank" -> Oracles.weightedPageRankSql(0.85, 10),
     "q_rich_club" -> Oracles.richClubSql(Seq(115, 130, 150)),
@@ -942,6 +965,14 @@ FROM g GROUP BY 1 ORDER BY 1""",
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_converted,
        ROUND((SELECT COUNT(*) FROM c)::DOUBLE / (SELECT COUNT(*) FROM s), 6) AS rate""",
+    // integer epoch-week buckets (floor(epoch/604800)) — engine- and
+    // timezone-free; COUNT(*) over the deduped (user, week) frame
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+  CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk FROM events),
+ ch AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1)
+SELECT cohort_wk, wk - cohort_wk AS week_offset, CAST(COUNT(*) AS BIGINT) AS users
+FROM uw JOIN ch USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_embed_stats" -> PipelineOracles.embedStatsSql,
     "q_chunks" -> PipelineOracles.chunkDocsSql(200, 150),
@@ -949,6 +980,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_corpus_clean" -> PipelineOracles.corpusCleanSql(0.5),
     "q_ngram_jaccard" -> PipelineOracles.ngramJaccardSql,
     "q_cosine_topk" -> PipelineOracles.cosineTopKSql,
+    "q_mmr" -> PipelineOracles.mmrSql(20, 5, 7),
     "q_ann_lsh" -> PipelineOracles.annLshSql,
     "q_dedup_cosine" -> PipelineOracles.cosineNearDupSql(8, 0.9),
     "q_lang_id" -> PipelineOracles.langIdSql,
@@ -960,6 +992,8 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
     "q_gopher_rules" -> PipelineOracles.gopherRulesSql(),
     "q_bm25" -> PipelineOracles.bm25Sql(
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 20),
+    "q_rrf" -> PipelineOracles.hybridRrfSql(
+      Seq("spark", "query", "join", "vector"), 1.2, 0.75, 2000.0, 50, 60, 20),
     "q_tfidf" -> PipelineOracles.tfidfSql(3),
     "q_term_pmi" -> PipelineOracles.termPmiSql(2, 50),
     "q_lm_score" -> PipelineOracles.lmScoreSql,

@@ -303,6 +303,79 @@ object Corpus {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Hybrid retrieval: BM25 and Dirichlet-smoothed query-likelihood
+    * rankings fused with reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): rrf(d) = Σ_r 1/(rrfK + rank_r(d)) over the two top-`listK`
+    * lists, absent ranks contributing 0. Two genuinely different
+    * retrieval models (probabilistic-relevance vs language-model) make
+    * the fusion non-degenerate; this is the lexical half of the hybrid
+    * search stack next to [[graft.pipeline.Similarity.cosineTopK]].
+    *
+    * Scale: both rankers share ONE token explode; candidates are docs
+    * containing ≥ 1 query term (the tf frame prunes to query terms
+    * BEFORE its shuffle); corpus stats (N, avgdl, |C|) and per-term
+    * df/cf are broadcast 1-row / |q|-row frames; each list cut is a
+    * TakeOrdered (never a global sort) and only then ranked by a
+    * window over ≤ listK rows; the fusion join moves ≤ 2·listK rows.
+    * Scores round to 6 dp BEFORE ranking so both engines rank the same
+    * value; rank ties break on doc_id. Query terms absent from the
+    * corpus (cf = 0) are excluded from the QL sum — their smoothed
+    * probability is 0 and ln(0) is undefined in every engine. */
+  def hybridRrf(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75, mu: Double = 2000.0, listK: Int = 50,
+                rrfK: Int = 60, k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "hybridRrf needs at least one query term")
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+      sum("dl").cast("double").as("ctot"))
+    val tf = toks.filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    // BM25 list — formula mirrored op for op in the oracle
+    val bm = tf
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
+    // QL list — ln((tf + μ·cf/|C|) / (dl + μ)) summed over query terms
+    // present in the corpus, tf coalesced to 0 for candidate docs
+    // missing a term
+    val cand = tf.select("doc_id").distinct()
+    val ql = cand
+      .crossJoin(broadcast(cf))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        log((coalesce(col("tf"), lit(0L)) + lit(mu) * col("cf") / col("ctot")) /
+          (col("dl") + lit(mu))).as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 6).as("score"))
+    def topRanked(scored: DataFrame, rankCol: String): DataFrame = {
+      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+      scored.orderBy(col("score").desc, col("doc_id").asc).limit(listK)
+        .withColumn(rankCol, row_number().over(w).cast("long"))
+        .select("doc_id", rankCol)
+    }
+    topRanked(bm, "r_bm25")
+      .join(topRanked(ql, "r_ql"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_ql")), lit(0.0)), 6).as("rrf"),
+        coalesce(col("r_bm25"), lit(0L)).as("r_bm25"),
+        coalesce(col("r_ql"), lit(0L)).as("r_ql"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+  }
+
   /** Pointwise-mutual-information collocations: the top `k` term pairs
     * whose document co-occurrence exceeds what their independent
     * frequencies predict — PMI = ln(P(a,b)/(P(a)·P(b))) over

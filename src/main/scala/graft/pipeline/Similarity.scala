@@ -440,4 +440,89 @@ object Similarity {
         expr("array_min(_q)").as("qmin"),
         expr("array_max(_q)").as("qmax"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): from each probe's `candK` nearest neighbors, greedily
+    * select `selectK` results maximizing λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c, s) — relevance traded against redundancy, the standard
+    * diversity pass over an ANN candidate list (and the retrieval twin
+    * of SemDeDup's pruning). Step 1 is the pure-relevance argmax with
+    * an empty penalty (score = λ·rel).
+    *
+    * Scale: candidates come from [[cosineTopK]] (probe-set bounded);
+    * the pairwise-sim frame is per-probe candK², never corpus-pairs;
+    * the greedy loop runs exactly selectK − 1 data-parallel rounds —
+    * each round ONE anti-join (drop selected), one bounded sim join +
+    * max roll-up, and a per-probe window argmax, with a localCheckpoint
+    * keeping plans flat. Every probe advances in the same round, so
+    * wall-clock is selectK scheduler ticks regardless of probe count.
+    *
+    * Determinism: λ is a tenths integer and the 6-dp relevance/sim
+    * values are integerized (floor(x·1e6 + 0.5), the suite's
+    * engine-stable rounding), so every MMR score is EXACT BIGINT
+    * arithmetic in 10⁻⁷ units — λ·rel − (1−λ)·sim on decimal inputs
+    * lands exactly on round-half boundaries where float `round()`
+    * diverges between engines, and the integer form removes the
+    * boundary entirely. Ties break on vid. The reported score is the
+    * bit-stable double scoreI/1e7. */
+  def mmrRerank(emb: DataFrame, probeMax: Long = 10L, candK: Int = 20,
+                selectK: Int = 5, lambdaTenths: Int = 7): DataFrame = {
+    require(selectK >= 1 && candK >= selectK, "mmrRerank needs candK >= selectK >= 1")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      "mmrRerank needs lambdaTenths in [0, 10]")
+    val cand = cosineTopK(emb, probeMax, candK)
+      .select(col("qid"), col("vid"), col("cosine").as("rel"),
+        floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long").as("ri"))
+      .localCheckpoint()
+    // Pairwise candidate sims per probe (both directions), via the same
+    // exploded-join cosine formula as the candidate scores.
+    val e = exploded(emb)
+    val n = norms(emb)
+    val pairs = cand.select(col("qid"), col("vid").as("va"))
+      .join(cand.select(col("qid"), col("vid").as("vb")), Seq("qid"))
+      .filter(col("va") < col("vb"))
+    val pd = pairs
+      .join(e.select(col("vec_id").as("va"), col("pos"), col("x").as("xa")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("pos"), col("x").as("xb")), Seq("vb", "pos"))
+      .groupBy("qid", "va", "vb").agg(sum(col("xa") * col("xb")).as("dot"))
+    val ps = pd
+      .join(n.select(col("vec_id").as("va"), col("nrm").as("na")), Seq("va"))
+      .join(n.select(col("vec_id").as("vb"), col("nrm").as("nb")), Seq("vb"))
+      .select(col("qid"), col("va"), col("vb"),
+        floor(round(col("dot") / (col("na") * col("nb")), 6) * lit(1e6) + lit(0.5))
+          .cast("long").as("si"))
+    val simSym = ps.select(col("qid"), col("va"), col("vb"), col("si"))
+      .unionByName(ps.select(col("qid"), col("vb").as("va"),
+        col("va").as("vb"), col("si")))
+      .localCheckpoint()
+    val lamT = lambdaTenths.toLong
+    val byProbe = Window.partitionBy("qid")
+    // scoreI is the MMR score in exact 10⁻⁷ units: λT·ri − (10−λT)·si
+    var selected = cand
+      .withColumn("rn", row_number().over(
+        byProbe.orderBy(col("ri").desc, col("vid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vid"), lit(1L).as("step"),
+        (lit(lamT) * col("ri")).as("scoreI"))
+      .localCheckpoint()
+    for (t <- 2 to selectK) {
+      val remaining = cand.join(selected.select("qid", "vid"),
+        Seq("qid", "vid"), "left_anti")
+      // max sim of each remaining candidate to the selected set
+      val msims = simSym
+        .join(selected.select(col("qid"), col("vid").as("vb")), Seq("qid", "vb"))
+        .groupBy(col("qid"), col("va").as("vid"))
+        .agg(max("si").as("msi"))
+      val pick = remaining.join(msims, Seq("qid", "vid"))
+        .select(col("qid"), col("vid"),
+          (lit(lamT) * col("ri") - lit(10L - lamT) * col("msi")).as("scoreI"))
+        .withColumn("rn", row_number().over(
+          byProbe.orderBy(col("scoreI").desc, col("vid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vid"), lit(t.toLong).as("step"), col("scoreI"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("qid"), col("vid"), col("step"),
+      (col("scoreI") / lit(1e7)).as("score"))
+  }
 }

@@ -295,6 +295,27 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Weekly cohort retention: users bucketed by first-activity week
+    * (their cohort), counted per distinct active week offset from it —
+    * the classic growth triangle, and the engagement rollup a
+    * training-data pipeline derives from interaction logs.
+    *
+    * Scale: pure integer epoch-week arithmetic (floor(epoch/604800) —
+    * no calendar functions, so every engine and timezone agrees); one
+    * distinct over (user, week) bounds all later traffic at
+    * |users|·|weeks|; the cohort min is a map-side-combined groupBy; the
+    * final aggregate counts the already-deduped frame, so output is at
+    * most weeks² rows. */
+  def retention(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / lit(604800L)).cast("long").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).cast("long").as("users"))
+  }
+
   def propsMetric(events: DataFrame): DataFrame =
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.algorithms.Dag
+import graft.pipeline.{Corpus, Similarity}
+import graft.streaming.EventStreams
+
+/** Round-8 additions: DAG longest-path kernels, hybrid RRF retrieval,
+  * cohort retention, and MMR re-ranking. */
+class DagRetrievalSpec extends SparkSpec {
+  private lazy val testImplicits = spark.implicits
+  import testImplicits._
+
+  private def wedges(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("src", "dst", "w")
+  private def ids(xs: Long*): DataFrame = xs.toDF("id")
+
+  // ---- Dag.topoLayers / criticalPath ----
+
+  test("topoLayers: diamond DAG layers by longest path") {
+    // 1→2→4, 1→3→4, 3→5; layers: 1:0, 2:1, 3:1, 4:2, 5:2
+    val e = wedges((1L, 2L, 1L), (2L, 4L, 1L), (1L, 3L, 1L), (3L, 4L, 1L), (3L, 5L, 1L))
+    val got = Dag.topoLayers(ids(1, 2, 3, 4, 5), e, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("topoLayers: isolated node stays layer 0; longest (not shortest) wins") {
+    // 1→4 direct AND 1→2→3→4: node 4 is layer 3, not 1
+    val e = wedges((1L, 4L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val got = Dag.topoLayers(ids(1, 2, 3, 4, 9), e, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 9L -> 0L))
+  }
+
+  test("criticalPath: weighted max chain, exact BIGINT sums") {
+    // 1→2 (5), 2→4 (1), 1→3 (2), 3→4 (7): cost(4) = max(5+1, 2+7) = 9
+    val e = wedges((1L, 2L, 5L), (2L, 4L, 1L), (1L, 3L, 2L), (3L, 4L, 7L))
+    val got = Dag.criticalPath(ids(1, 2, 3, 4), e, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 9L))
+  }
+
+  test("longestPaths: cycle throws instead of spinning") {
+    val e = wedges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val ex = intercept[IllegalStateException] {
+      Dag.longestPaths(ids(1, 2, 3), e, 8).collect()
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  // ---- Corpus.hybridRrf ----
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("hybridRrf: fuses BM25 and QL ranks; rrf = sum of reciprocal ranks") {
+    val d = docs(
+      1L -> "spark spark spark join",
+      2L -> "spark query join vector extra words here padding tokens",
+      3L -> "vector vector unrelated",
+      4L -> "nothing relevant at all")
+    val got = Corpus.hybridRrf(d, Seq("spark", "query"), listK = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // candidates: docs 1, 2 (doc 3/4 contain neither term)
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    got.foreach { case (_, rrf, rb, rq) =>
+      val expect = BigDecimal(
+        (if (rb > 0) 1.0 / (60 + rb) else 0.0) +
+          (if (rq > 0) 1.0 / (60 + rq) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - expect) < 1e-9)
+    }
+    // both lists contain both docs (ranks > 0 everywhere at listK=3)
+    assert(got.forall { case (_, _, rb, rq) => rb >= 1 && rq >= 1 })
+  }
+
+  test("hybridRrf: rank 0 marks a doc absent from one list") {
+    val d = docs(
+      1L -> "alpha alpha alpha",
+      2L -> "alpha beta beta beta beta",
+      3L -> "beta filler filler")
+    // listK = 1: each list keeps only its own top doc
+    val got = Corpus.hybridRrf(d, Seq("alpha", "beta"), listK = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // each kept doc has at least one 0 rank unless it tops both lists
+    assert(got.forall { case (_, rb, rq) => rb <= 1 && rq <= 1 })
+    assert(got.exists { case (_, rb, rq) => rb == 0 || rq == 0 } ||
+      got.size == 1)
+  }
+
+  // ---- EventStreams.retention ----
+
+  test("retention: cohort = first week, offsets count distinct active users") {
+    val wk = 604800L
+    val ev = Seq(
+      // user 1: weeks 0, 1, 3 (cohort 0)
+      (1L, 10L), (1L, wk + 5), (1L, 3 * wk + 1),
+      // user 2: weeks 0, 0 (dup within week collapses), 1
+      (2L, 20L), (2L, 30L), (2L, wk + 9),
+      // user 3: week 1 only (cohort 1)
+      (3L, wk + 100))
+      .toDF("user_id", "es")
+      .select(col("user_id"), timestamp_seconds(col("es")).cast("timestamp_ntz").as("ts"))
+    val got = EventStreams.retention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // users 1, 2 active in cohort week
+      (0L, 1L) -> 2L, // both return week 1
+      (0L, 3L) -> 1L, // only user 1 at offset 3
+      (1L, 0L) -> 1L)) // user 3's own cohort
+  }
+
+  // ---- Similarity.mmrRerank ----
+
+  test("mmrRerank: first pick is pure relevance; later picks penalize redundancy") {
+    // probe 0; candidates 10 (≈ probe), 11 (≈ duplicate of 10), 12 (orthogonal-ish)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (11L, Array(0.9f, 0.11f, 0.0f)),
+      (12L, Array(0.2f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // λ = 0.3 weighs diversity enough that the near-duplicate loses
+    val got = Similarity.mmrRerank(emb, probeMax = 1L, candK = 3, selectK = 3,
+      lambdaTenths = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(2), r.getLong(1))) // (step, vid)
+    assert(got.head == (1L, 10L)) // most relevant first
+    // second pick must be the diverse 12, not near-duplicate 11
+    assert(got(1) == (2L, 12L))
+    assert(got(2) == (3L, 11L))
+  }
+
+  test("mmrRerank: selects exactly selectK per probe, steps 1..K") {
+    val emb = GraphBuilder100
+    val got = Similarity.mmrRerank(emb, probeMax = 3L, candK = 8, selectK = 4)
+    val byProbe = got.groupBy("qid")
+      .agg(count(lit(1)).as("n"), countDistinct("vid").as("nv"),
+        min("step").as("lo"), max("step").as("hi"))
+      .collect()
+    assert(byProbe.length == 3)
+    byProbe.foreach { r =>
+      assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+      assert(r.getLong(3) == 1L && r.getLong(4) == 4L)
+    }
+  }
+
+  /** Deterministic little embedding table: 20 vectors in 4 dims. */
+  private def GraphBuilder100: DataFrame =
+    spark.range(20).select(col("id").as("vec_id"),
+      array((0 until 4).map(j =>
+        ((col("id") * 7 + j * 3) % 11).cast("float") + lit(0.1f)): _*)
+        .as("embedding"))
+}
