@@ -741,6 +741,57 @@ SELECT doc_id, ROUND(AVG(-ln(c / tot)), 6) AS nll
 FROM w JOIN tf USING (term) CROSS JOIN tot
 GROUP BY doc_id"""
 
+  /** CCNet-bucket mirror: the lmScore formula + the same unique-order
+    * NTILE. */
+  def pplBucketsSql(nBuckets: Int): String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS MATERIALIZED (SELECT term, COUNT(*) AS c FROM w GROUP BY term),
+tot AS (SELECT SUM(c) AS tot FROM tf),
+sc AS (SELECT doc_id, ROUND(AVG(-ln(c / tot)), 6) AS nll
+  FROM w JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id)
+SELECT doc_id, nll,
+  CAST(NTILE($nBuckets) OVER (ORDER BY nll ASC, doc_id ASC) AS BIGINT) AS bucket
+FROM sc ORDER BY doc_id"""
+
+  /** CUBE mirror: same grouping-id bit order (source high bit), same
+    * `<all>` sentinel. */
+  val sourceLangCubeSql: String =
+    """SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+  CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+  CAST(2 * GROUPING(source) + GROUPING(lang) AS BIGINT) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY CUBE(source, lang) ORDER BY 1, 2"""
+
+  /** Pivot mirror: one FILTER count per pinned type over epoch-day
+    * buckets. */
+  def eventTypePivotSql(types: Seq[String]): String = {
+    val cols = types.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS \"$t\"").mkString(",\n  ")
+    s"""SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+  $cols
+FROM events GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Z-order audit mirror: the same exact-integer min-max quantization
+    * and the identical bit-interleave sum (generated from the same
+    * loop), top-bit bucketing over lineitem. */
+  def zorderStatsSql(bits: Int, bucketBits: Int): String = {
+    val m = (1L << bits) - 1
+    val z = (0 until bits).map(i =>
+      s"((qa >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+        s"((qb >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")
+    s"""WITH ext AS (SELECT MIN(l_partkey) AS amin, MAX(l_partkey) AS amax,
+  MIN(l_suppkey) AS bmin, MAX(l_suppkey) AS bmax FROM lineitem),
+q AS (SELECT l_partkey AS a, l_suppkey AS b,
+  CASE WHEN amax = amin THEN 0 ELSE ((l_partkey - amin) * $m) // (amax - amin) END AS qa,
+  CASE WHEN bmax = bmin THEN 0 ELSE ((l_suppkey - bmin) * $m) // (bmax - bmin) END AS qb
+  FROM lineitem CROSS JOIN ext),
+zv AS (SELECT CAST($z AS BIGINT) AS z, a, b FROM q)
+SELECT z >> ${2 * bits - bucketBits} AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max
+FROM zv GROUP BY 1 ORDER BY 1"""
+  }
+
   val piiScanSql: String = {
     // built from the SAME pattern list the Spark operator uses — the
     // triples are RE2-compatible precisely so one definition serves both

@@ -611,6 +611,15 @@ object SparkEntry {
       EventStreams.funnel(EventStreams.eventsTable(s, d))),
     "q_retention" -> ((s, d) =>
       EventStreams.retention(EventStreams.eventsTable(s, d))),
+    "q_pivot" -> ((s, d) =>
+      EventStreams.eventTypePivot(EventStreams.eventsTable(s, d))),
+    "q_ppl_buckets" -> ((s, d) =>
+      Corpus.pplBuckets(GraphBuilder.table(s, d, "documents"))),
+    "q_cube" -> ((s, d) =>
+      Corpus.sourceLangCube(GraphBuilder.table(s, d, "documents"))),
+    "q_zorder" -> ((s, d) =>
+      ops.ZOrder.zorderStats(GraphBuilder.table(s, d, "lineitem"),
+        "l_partkey", "l_suppkey", 8, 6)),
     "q_embed_centroids" -> ((s, d) =>
       Corpus.embedCentroids(GraphBuilder.table(s, d, "embeddings"))),
     "q_embed_stats" -> ((s, d) =>
@@ -973,6 +982,11 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_starts,
  ch AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1)
 SELECT cohort_wk, wk - cohort_wk AS week_offset, CAST(COUNT(*) AS BIGINT) AS users
 FROM uw JOIN ch USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pivot" -> PipelineOracles.eventTypePivotSql(
+      Seq("click", "error", "purchase", "signup", "view")),
+    "q_ppl_buckets" -> PipelineOracles.pplBucketsSql(3),
+    "q_cube" -> PipelineOracles.sourceLangCubeSql,
+    "q_zorder" -> PipelineOracles.zorderStatsSql(8, 6),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_embed_stats" -> PipelineOracles.embedStatsSql,
     "q_chunks" -> PipelineOracles.chunkDocsSql(200, 150),

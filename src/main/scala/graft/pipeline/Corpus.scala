@@ -303,6 +303,49 @@ object Corpus {
         col("rn").cast("long").as("rn"))
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
+    * document by its unigram-LM score ([[lmScore]] nll — low = fluent/
+    * common, high = rare/noisy) and split the corpus into `nBuckets`
+    * equal tiers (head/middle/tail for 3). The standard coarse quality
+    * partition used to mix "cleanliness" strata into a training set.
+    *
+    * Scale: the scoring is [[lmScore]]'s bounded plan; the exact NTILE
+    * here needs a total order (Spark collapses the unpartitioned window
+    * to one task — fine to tens of millions of scored docs since only
+    * (doc_id, nll) rows sort). At 100 TB the production path is the
+    * suite's quantile-threshold form (approx thresholds broadcast into
+    * a map-side bucket join, cf. [[qualityQuantiles]]); the exact tier
+    * split stays the definition both agree on. NTILE order is
+    * (nll, doc_id) — unique, so the split is engine-stable. */
+  def pplBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, "pplBuckets needs nBuckets >= 2")
+    val w = Window.orderBy(col("nll").asc, col("doc_id").asc)
+    lmScore(docs)
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+  }
+
+  /** Source × language CUBE rollup: doc counts and character volume at
+    * every grouping-set granularity — the one-pass OLAP summary a mix
+    * designer reads before weighting sources. Subtotal rows surface as
+    * the `<all>` sentinel plus a grouping id (2·g(source)+g(lang)), so
+    * the output is null-free and unambiguous even if a real source were
+    * ever named like the sentinel.
+    *
+    * Scale: CUBE expands each input row into its 4 grouping sets
+    * BEFORE one partial-aggregated shuffle (Spark's Expand — no
+    * per-granularity re-scan of the table); output is ≤ 4·|source ×
+    * lang| rows. */
+  def sourceLangCube(docs: DataFrame): DataFrame =
+    docs.cube(col("source"), col("lang"))
+      .agg(grouping(col("source")).as("gs"), grouping(col("lang")).as("gl"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars"))
+      .select(
+        when(col("gs") === 1, lit("<all>")).otherwise(col("source")).as("source"),
+        when(col("gl") === 1, lit("<all>")).otherwise(col("lang")).as("lang"),
+        (lit(2L) * col("gs") + col("gl")).cast("long").as("gid"),
+        col("n_docs"), col("chars"))
+
   /** Hybrid retrieval: BM25 and Dirichlet-smoothed query-likelihood
     * rankings fused with reciprocal-rank fusion (Cormack et al., SIGIR
     * 2009): rrf(d) = Σ_r 1/(rrfK + rank_r(d)) over the two top-`listK`

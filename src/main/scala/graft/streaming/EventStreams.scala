@@ -316,6 +316,29 @@ object EventStreams {
       .agg(count(lit(1)).cast("long").as("users"))
   }
 
+  /** Daily event-type pivot: one row per epoch-day, one BIGINT count
+    * column per (pinned) event type — the wide activity matrix BI
+    * tools and anomaly baselines consume. The type list is an explicit
+    * argument: Spark's two-arg `pivot` skips the extra
+    * distinct-values job and keeps the output schema static, which is
+    * what a production pipeline wants anyway (a surprise event type
+    * should fail loudly downstream, not silently add a column).
+    *
+    * Scale: pivot with pinned values compiles to ONE groupBy(day) with
+    * |types| conditional counts — a single map-side-combined shuffle,
+    * no per-type pass. Day buckets are integer epoch-days, matching
+    * [[retention]]'s engine-stable arithmetic. */
+  def eventTypePivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "error", "purchase",
+                       "signup", "view")): DataFrame = {
+    require(types.nonEmpty, "eventTypePivot needs at least one type")
+    events.select(
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
   def propsMetric(events: DataFrame): DataFrame =
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

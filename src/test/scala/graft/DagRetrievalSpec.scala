@@ -153,4 +153,87 @@ class DagRetrievalSpec extends SparkSpec {
       array((0 until 4).map(j =>
         ((col("id") * 7 + j * 3) % 11).cast("float") + lit(0.1f)): _*)
         .as("embedding"))
+
+  // ---- Corpus.pplBuckets ----
+
+  test("pplBuckets: NTILE terciles over (nll, doc_id); sizes big-first") {
+    val d = docs(
+      1L -> "a a a a", 2L -> "a a b b", 3L -> "a b c d",
+      4L -> "c c d d", 5L -> "a a a b", 6L -> "b b b b", 7L -> "d d d d")
+    val got = Corpus.pplBuckets(d, nBuckets = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.toSeq.sorted == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // the most common-token doc lands in the head tier
+    val nlls = Corpus.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val headDocs = got.filter(_._2 == 1L).keySet
+    val sorted = nlls.toSeq.sortBy { case (id, s) => (s, id) }.map(_._1)
+    assert(headDocs == sorted.take(3).toSet)
+  }
+
+  // ---- Corpus.sourceLangCube ----
+
+  test("sourceLangCube: all four grouping sets with sentinel + gid") {
+    val d = Seq(
+      (1L, "s1", "en", 10L), (2L, "s1", "fr", 20L), (3L, "s2", "en", 30L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val got = Corpus.sourceLangCube(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got.contains(("s1", "en", 0L, 1L, 10L)))      // detail
+    assert(got.contains(("s1", "<all>", 1L, 2L, 30L)))   // per-source
+    assert(got.contains(("<all>", "en", 2L, 2L, 40L)))   // per-lang
+    assert(got.contains(("<all>", "<all>", 3L, 3L, 60L))) // grand total
+    assert(got.size == 3 + 2 + 2 + 1)
+  }
+
+  // ---- EventStreams.eventTypePivot ----
+
+  test("eventTypePivot: wide daily matrix, absent types zero-filled") {
+    val day = 86400L
+    val ev = Seq(
+      (1L, 10L, "click"), (2L, 20L, "click"), (3L, 30L, "view"),
+      (4L, day + 5, "purchase"))
+      .toDF("event_id", "es", "event_type")
+      .select(col("event_id"), col("event_type"),
+        timestamp_seconds(col("es")).cast("timestamp_ntz").as("ts"))
+    val got = EventStreams.eventTypePivot(ev).orderBy("day").collect()
+    assert(got.length == 2)
+    val d0 = got(0)
+    assert(d0.getLong(d0.fieldIndex("click")) == 2L)
+    assert(d0.getLong(d0.fieldIndex("view")) == 1L)
+    assert(d0.getLong(d0.fieldIndex("purchase")) == 0L)
+    assert(got(1).getLong(got(1).fieldIndex("purchase")) == 1L)
+  }
+
+  // ---- ops.ZOrder ----
+
+  test("zValue: Morton interleave of known bit patterns") {
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.ops.ZOrder.zValue(col("a"), col("b"), 4).as("z"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 0L)) == 2L)  // a bit 0 → position 1
+    assert(got((0L, 1L)) == 1L)  // b bit 0 → position 0
+    assert(got((3L, 3L)) == 15L) // both low 2 bits set
+    assert(got((2L, 1L)) == 9L)  // a bit 1 → pos 3 (8), b bit 0 → pos 0 (1)
+  }
+
+  test("zorderStats: buckets cover tight bounding boxes on both keys") {
+    // 16×16 grid quantized onto the 8-bit curve, 4 buckets → each
+    // bucket is one curve quadrant: an 8×8 box on BOTH keys (the whole
+    // point of z-order vs a single-key sort)
+    val grid = spark.range(256).select(
+      (col("id") / 16).cast("long").as("a"), (col("id") % 16).cast("long").as("b"))
+    val got = graft.ops.ZOrder.zorderStats(grid, "a", "b", 8, 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 4)
+    got.foreach { case (_, n, aMin, aMax, bMin, bMax) =>
+      assert(n == 64L)
+      assert(aMax - aMin == 7L && bMax - bMin == 7L)
+    }
+  }
 }
