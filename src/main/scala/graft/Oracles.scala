@@ -773,6 +773,31 @@ n$k AS (SELECT CAST($k AS BIGINT) AS r,
     sb.toString
   }
 
+  /** Unrolled SimRank on the trade-top graph, mirroring
+    * SimRank.simRank iteration for iteration (identity diagonal,
+    * in-neighbor pair sums, same c·Σ/(da·db) operator order, 6-dp
+    * round only on output). */
+  def simRankSql(iters: Int, c: Double): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", indeg AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS d FROM ttedges GROUP BY 1)"
+    sb ++= ", ap AS MATERIALIZED (SELECT a.id AS a, b.id AS b FROM tn a CROSS JOIN tn b)"
+    sb ++= ", s0 AS (SELECT a, b, CASE WHEN a = b THEN 1.0 ELSE 0.0 END AS s FROM ap)"
+    for (k <- 1 to iters) {
+      sb ++= s""", c$k AS MATERIALIZED (
+  SELECT ea.dst AS a, eb.dst AS b, $c * SUM(p.s) / (da.d * db.d) AS v
+  FROM s${k - 1} p JOIN ttedges ea ON ea.src = p.a JOIN ttedges eb ON eb.src = p.b
+  JOIN indeg da ON da.id = ea.dst JOIN indeg db ON db.id = eb.dst
+  WHERE p.s <> 0.0
+  GROUP BY ea.dst, eb.dst, da.d, db.d)"""
+      sb ++= s""", s$k AS MATERIALIZED (
+  SELECT ap.a, ap.b, CASE WHEN ap.a = ap.b THEN 1.0 ELSE COALESCE(c$k.v, 0.0) END AS s
+  FROM ap LEFT JOIN c$k ON c$k.a = ap.a AND c$k.b = ap.b)"""
+    }
+    sb ++= s" SELECT a, b, ROUND(s, 6) AS sim FROM s$iters ORDER BY a, b"
+    sb.toString
+  }
+
   /** Unrolled DAG longest-path relaxation on the weighted trade graph
     * oriented small-id → large-id (LEAST/GREATEST makes it acyclic by
     * construction), mirroring Dag.longestPaths round for round: every

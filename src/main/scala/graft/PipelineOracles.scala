@@ -189,6 +189,45 @@ cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
 rk AS (SELECT qid, vid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn FROM cos)
 SELECT qid, vid, cosine, CAST(rn AS BIGINT) AS rnk FROM rk WHERE rn <= 3"""
 
+  /** ANN-recall mirror: the annLsh chain and the brute-force chain
+    * over the same shared ex/nrm CTEs, cut at the same k, joined per
+    * probe. */
+  def annRecallSql(k: Int): String =
+    s"""WITH $embCtes,
+w AS MATERIALIZED (
+  SELECT p AS plane, d AS pos, ${h60("'lsh:' || p || ':' || d")} % 2001 - 1000 AS w
+  FROM unnest(generate_series(0, 3)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+proj AS MATERIALIZED (SELECT e.vec_id, w.plane, SUM(w.w * e.x) AS proj
+  FROM ex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+bk AS MATERIALIZED (SELECT vec_id,
+  SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id),
+ldots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN bk qb ON qb.vec_id = q.vec_id
+         JOIN ex v ON v.pos = q.pos JOIN bk vb ON vb.vec_id = v.vec_id AND vb.bucket = qb.bucket
+         WHERE q.vec_id < 10 AND v.vec_id >= 10
+         GROUP BY 1, 2),
+lcos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
+        FROM ldots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+lsh AS (SELECT qid, vid FROM (
+  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn
+  FROM lcos) WHERE rn <= $k),
+edots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN ex v ON q.pos = v.pos AND q.vec_id < 10 AND v.vec_id >= 10
+         GROUP BY 1, 2),
+ecos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
+        FROM edots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+exact AS (SELECT qid, vid FROM (
+  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn
+  FROM ecos) WHERE rn <= $k),
+hits AS (SELECT e.qid, COUNT(*) AS n_hit FROM exact e
+  JOIN lsh l ON l.qid = e.qid AND l.vid = e.vid GROUP BY 1),
+exn AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT x.qid, CAST(x.n_exact AS BIGINT) AS n_exact,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / x.n_exact, 6) AS recall
+FROM exn x LEFT JOIN hits h ON h.qid = x.qid ORDER BY x.qid"""
+
   /** Cosine near-dup pairs: 8-plane LSH buckets + exact cosine ≥ τ —
     * same weights formula as the Spark side at any dims (the Spark side
     * derives dims from the data; this mirror enumerates the testdata's

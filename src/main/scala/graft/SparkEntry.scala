@@ -333,6 +333,9 @@ object SparkEntry {
       algorithms.Dag.criticalPath(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeWeighted(s, d)
           .select(col("a").as("src"), col("b").as("dst"), col("w")), 25)),
+    "q_simrank" -> ((s, d) =>
+      algorithms.SimRank.simRank(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeTop(s, d), 5)),
     "q_anf" -> ((s, d) => {
       val sym = DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d))
       algorithms.Anf.neighborhoodFunction(
@@ -638,6 +641,8 @@ object SparkEntry {
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_mmr" -> ((s, d) =>
       Similarity.mmrRerank(GraphBuilder.table(s, d, "embeddings"))),
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(GraphBuilder.table(s, d, "embeddings"))),
     // rows-only driver check (no oracleSql): iterated float k-means
@@ -845,6 +850,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_assortativity" -> Oracles.assortativitySql,
     "q_topo_layers" -> Oracles.dagLongestSql(weighted = false, 24),
     "q_critical_path" -> Oracles.dagLongestSql(weighted = true, 24),
+    "q_simrank" -> Oracles.simRankSql(5, 0.8),
     "q_reciprocity" -> Oracles.reciprocitySql,
     "q_weighted_pagerank" -> Oracles.weightedPageRankSql(0.85, 10),
     "q_rich_club" -> Oracles.richClubSql(Seq(115, 130, 150)),
@@ -995,6 +1001,7 @@ FROM uw JOIN ch USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_ngram_jaccard" -> PipelineOracles.ngramJaccardSql,
     "q_cosine_topk" -> PipelineOracles.cosineTopKSql,
     "q_mmr" -> PipelineOracles.mmrSql(20, 5, 7),
+    "q_ann_recall" -> PipelineOracles.annRecallSql(3),
     "q_ann_lsh" -> PipelineOracles.annLshSql,
     "q_dedup_cosine" -> PipelineOracles.cosineNearDupSql(8, 0.9),
     "q_lang_id" -> PipelineOracles.langIdSql,

@@ -441,6 +441,34 @@ object Similarity {
         expr("array_max(_q)").as("qmax"))
   }
 
+  /** ANN quality audit: per-probe recall@k of the LSH index against
+    * the brute-force ground truth — the number every ANN deployment
+    * tracks before trusting the index at scale (a recall regression
+    * after re-bucketing is how index bugs surface). Probes with no LSH
+    * bucket-mates report 0 hits, not a dropped row.
+    *
+    * Scale: ground truth is probe-set-bounded [[cosineTopK]]; the
+    * audit join moves ≤ 2·k rows per probe. On a 100 TB corpus the
+    * same audit runs over a sampled probe set — the plan is already
+    * sample-shaped. */
+  def annRecall(emb: DataFrame, planes: Int = 4, probeMax: Long = 10L,
+                k: Int = 3): DataFrame = {
+    val exact = cosineTopK(emb, probeMax, k)
+      .select(col("qid"), col("vid"))
+    val approx = annLsh(emb, planes, probeMax, k)
+      .select(col("qid"), col("vid").as("avid"))
+    val hits = exact
+      .join(approx, exact("qid") === approx("qid") &&
+        exact("vid") === approx("avid"))
+      .groupBy(exact("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): from each probe's `candK` nearest neighbors, greedily
     * select `selectK` results maximizing λ·rel(c) − (1−λ)·max_{s∈S}

@@ -154,6 +154,46 @@ class DagRetrievalSpec extends SparkSpec {
         ((col("id") * 7 + j * 3) % 11).cast("float") + lit(0.1f)): _*)
         .as("embedding"))
 
+  // ---- SimRank ----
+
+  test("simRank: identity diagonal; symmetric pair converges to known value") {
+    // 3→1, 3→2, 4→1, 4→2: s(1,2) = c/(2·2)·Σ s(i,j) over {3,4}²
+    // iter1: s(1,2) = 0.8/4 · (s(3,3)+s(4,4)) = 0.4; s(3,4) stays 0
+    // (3 and 4 have no in-neighbors) so s(1,2) is stable at 0.4.
+    val e = Seq((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)).toDF("src", "dst")
+    val got = graft.algorithms.SimRank.simRank(ids(1, 2, 3, 4), e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 1L)) == 1.0 && got((3L, 3L)) == 1.0)
+    assert(got((1L, 2L)) == 0.4 && got((2L, 1L)) == 0.4)
+    assert(got((3L, 4L)) == 0.0)
+    assert(got.size == 16)
+  }
+
+  test("simRank: scores in [0,1], symmetric") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = graft.algorithms.SimRank.simRank(ids(1, 2, 3), e, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case ((a, b), s) =>
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == got((b, a)))
+    }
+  }
+
+  // ---- Similarity.annRecall ----
+
+  test("annRecall: one row per probe, n_hit <= n_exact, recall = ratio") {
+    val emb = GraphBuilder100
+    val got = graft.pipeline.Similarity.annRecall(emb, probeMax = 5L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 5)
+    got.foreach { case (_, nExact, nHit, recall) =>
+      assert(nHit <= nExact && nExact <= 3)
+      val expect = BigDecimal(nHit.toDouble / nExact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(recall == expect)
+    }
+  }
+
   // ---- Corpus.pplBuckets ----
 
   test("pplBuckets: NTILE terciles over (nll, doc_id); sizes big-first") {
