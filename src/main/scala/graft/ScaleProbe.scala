@@ -129,6 +129,23 @@ object ScaleProbe {
         // the distinct word vocabulary, which replication barely grows
         // (K new salt tokens) — expect ~linear dominated by the stats
         time("bpe_apply")(Corpus.bpeApply(docs)),
+        // two rankers over one shared token explode + bounded list
+        // fusion — expect the bm25 curve
+        time("rrf")(Corpus.hybridRrf(docs, Seq("spark", "query", "join", "vector"))),
+        // lmScore is token-linear; the exact NTILE adds a global sort
+        // of (doc_id, nll) rows — K log K on a narrow frame
+        time("ppl_buckets")(Corpus.pplBuckets(docs)),
+        // (user, week) dedup + two map-side-combined aggregates over a
+        // K×-wider user population — expect ~linear
+        time("retention")(graft.streaming.EventStreams.retention(events)),
+        // one pinned-values pivot = one conditional-count shuffle of
+        // ≤ |days| groups — expect ~linear in the scan
+        time("pivot")(graft.streaming.EventStreams.eventTypePivot(events)),
+        // per-row quantize+interleave (codegen) + a ≤64-group rollup;
+        // the 4-value extent broadcast is K-invariant — expect ~linear
+        time("zorder")(graft.ops.ZOrder.zorderStats(
+          events.select(col("user_id"), col("event_id")),
+          "user_id", "event_id", 8, 6)),
         time("asof_join") {
           val p = events.filter(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -181,7 +198,14 @@ object ScaleProbe {
       Map(
         time("semdedup")(graft.pipeline.Similarity.semDedup(emb)),
         time("anf")(graft.algorithms.Anf.neighborhoodFunction(
-          sym.select(col("src").as("id")).distinct(), sym)))
+          sym.select(col("src").as("id")).distinct(), sym)),
+        // probe set is FIXED while the corpus side grows K — candidate
+        // generation is the linear part, the selectK greedy rounds run
+        // on constant-size frames — expect ~linear, K-invariant tail
+        time("mmr")(graft.pipeline.Similarity.mmrRerank(emb)),
+        // two probe-bounded top-k chains + a ≤2k-row audit join —
+        // expect the cosineTopK curve (~linear in the corpus side)
+        time("ann_recall")(graft.pipeline.Similarity.annRecall(emb)))
     }
 
     val t1 = corpusTimes(1) ++ extraTimes(1)

@@ -212,4 +212,43 @@ class PlanSpec extends SparkSpec {
     assert(!beforeAgg.contains("SortMergeJoin"),
       s"edge frame shuffled before the candidate agg:\n${plan.take(2000)}")
   }
+
+  test("cube plans ONE Expand pass, not a per-granularity re-scan") {
+    val plan = planOf(graft.pipeline.Corpus.sourceLangCube(
+      GraphBuilder.table(spark, sfDir, "documents")))
+    assert(plan.contains("Expand"), plan.take(1500))
+    // one source scan feeds the expand — not four
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("pivot with pinned values plans no Expand and no distinct-values pass") {
+    val events = graft.streaming.EventStreams.eventsTable(spark, sfDir)
+    val plan = planOf(graft.streaming.EventStreams.eventTypePivot(events))
+    assert(!plan.contains("Expand"), plan.take(1500))
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      "pinned pivot values must not trigger a distinct-values scan")
+  }
+
+  test("zorderStats broadcasts the 4-value extent into codegen arithmetic") {
+    val plan = planOf(graft.ops.ZOrder.zorderStats(
+      GraphBuilder.table(spark, sfDir, "lineitem"),
+      "l_partkey", "l_suppkey", 8, 6))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // quantize+interleave is pure projection arithmetic — no window,
+    // no extra shuffle between the scan and the bucket aggregate
+    assert(!plan.contains("Window"), plan.take(1500))
+    // lineitem scan pruned to the two key columns
+    assert(plan.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      plan.take(2000))
+  }
+
+  test("hybridRrf broadcasts stats/df/cf — the token stream never re-shuffles for them") {
+    val plan = planOf(graft.pipeline.Corpus.hybridRrf(
+      GraphBuilder.table(spark, sfDir, "documents"),
+      Seq("spark", "query", "join", "vector")))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
