@@ -773,6 +773,25 @@ n$k AS (SELECT CAST($k AS BIGINT) AS r,
     sb.toString
   }
 
+  /** Unrolled Katz centrality on the trade-top graph: b ← 1 + α·Aᵀb
+    * from b = 1, mirroring Centrality.katz op for op (left-join
+    * coalesce for in-degree-0 nodes, 8-dp round only on output). */
+  def katzSql(iters: Int, alpha: Double): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", x0 AS (SELECT id, 1.0 AS x FROM tn)"
+    for (i <- 1 to iters) {
+      sb ++= s""", x$i AS MATERIALIZED (
+  SELECT tn.id, 1.0 + $alpha * COALESCE(s.v, 0.0) AS x
+  FROM tn LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.x) AS v
+    FROM ttedges e JOIN x${i - 1} p ON p.id = e.src GROUP BY e.dst) s
+  ON s.id = tn.id)"""
+    }
+    sb ++= s" SELECT id, ROUND(x, 8) AS katz FROM x$iters ORDER BY id"
+    sb.toString
+  }
+
   /** Unrolled SimRank on the trade-top graph, mirroring
     * SimRank.simRank iteration for iteration (identity diagonal,
     * in-neighbor pair sums, same c·Σ/(da·db) operator order, 6-dp

@@ -508,4 +508,62 @@ object Centrality {
       (id, math.rint(hub(i) * 1e8) / 1e8, math.rint(auth(i) * 1e8) / 1e8)
     }.toDF("id", "hub", "auth")
   }
+
+  /** Katz centrality (Katz 1953): fixed-iteration truncation of
+    * Σ_k α^k·(#length-k in-paths), via b ← 1 + α·Aᵀb from b = 1 —
+    * influence that counts ALL in-paths with geometric damping, the
+    * classic alternative to PageRank when out-degree normalization is
+    * unwanted. α must stay below 1/λ_max for the series to converge;
+    * the fixed-iteration form is well-defined for any α and is what
+    * the oracle unrolls.
+    *
+    * Same dual regime as [[hits]]: one in-edge aggregation per
+    * iteration (map-side-combined sum) past the gate; a packed driver
+    * loop under it. */
+  def katz(nodes: DataFrame, edges: DataFrame, iterations: Int,
+           alpha: Double = 0.1): DataFrame = {
+    require(iterations >= 1, "katz needs >= 1 iteration")
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select("src", "dst"), count(lit(1)).as("m"))
+    val (idsCk, mN) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return katzLocal(idsCk, e, iterations, alpha)
+    var x = idsCk.withColumn("x", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val agg = x.as("x").join(e.as("e"), col("x.id") === col("e.src"))
+        .groupBy(col("e.dst").as("id")).agg(sum("x.x").as("s"))
+      x = idsCk.join(agg, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("x"))
+        .localCheckpoint()
+    }
+    x.select(col("id"), round(col("x"), 8).as("katz"))
+  }
+
+  private def katzLocal(idsCk: DataFrame, e: DataFrame, iterations: Int,
+                        alpha: Double): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    var x = Array.fill(u)(1.0)
+    val m = srcIx.length
+    for (_ <- 1 to iterations) {
+      val nx = new Array[Double](u)
+      var k = 0
+      while (k < m) { nx(dstIx(k)) += x(srcIx(k)); k += 1 }
+      var i = 0
+      while (i < u) { nx(i) = 1.0 + alpha * nx(i); i += 1 }
+      x = nx
+    }
+    import spark.implicits._
+    idArr.toSeq.map(id => (id, math.rint(x(idx.get(id)) * 1e8) / 1e8))
+      .toDF("id", "katz")
+  }
 }

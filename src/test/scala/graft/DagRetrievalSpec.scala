@@ -179,6 +179,21 @@ class DagRetrievalSpec extends SparkSpec {
     }
   }
 
+  // ---- Centrality.katz ----
+
+  test("katz: fixed-iteration in-path series with known values") {
+    // 1→2 chain, α = 0.1: x(1) = 1 (no in-paths); x(2) = 1 + 0.1·x(1)
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = graft.algorithms.Centrality.katz(ids(1, 2), e, 4, alpha = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.1))
+    // 2-cycle: x converges toward 1/(1−α) = 10/9 ≈ 1.11111…
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got2 = graft.algorithms.Centrality.katz(ids(1, 2), cyc, 8, alpha = 0.1)
+      .collect().map(r => r.getDouble(1))
+    got2.foreach(v => assert(math.abs(v - 10.0 / 9.0) < 1e-7))
+  }
+
   // ---- Similarity.annRecall ----
 
   test("annRecall: one row per probe, n_hit <= n_exact, recall = ratio") {

@@ -205,4 +205,14 @@ class ShuffleRegimeSpec extends SparkSpec {
         s"hits($id) differs across regimes")
     }
   }
+
+  test("katz: shuffle regime ≡ broadcast regime (1e-9)") {
+    def kz = graft.algorithms.Centrality.katz(nodeDf, edgeDf, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (b, s) = both(kz)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-9, s"katz($id) differs across regimes")
+    }
+  }
 }
