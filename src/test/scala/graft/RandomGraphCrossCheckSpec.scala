@@ -382,4 +382,69 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
       assert(got == kcoreRef(n, sym, 3), s"seed $seed")
     }
   }
+
+  test("dag longest paths agree with a driver DP on random DAGs") {
+    for (seed <- 1L to 3L) {
+      val n = 15
+      val rnd = new scala.util.Random(seed * 31)
+      // orient small→large id: acyclic by construction; random weights
+      val es = randomDigraph(n, 0.2, seed)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+        .map { case (a, b) => (a, b, 1L + rnd.nextInt(9).toLong) }
+      // reference: DP in topological (= id) order
+      val best = Array.fill(n)(0L)
+      for (v <- 0 until n; (a, b, w) <- es if b == v)
+        best(v) = math.max(best(v), best(a.toInt) + w)
+      val got = graft.algorithms.Dag.longestPaths(idsDf(n),
+          es.toDF("src", "dst", "w"), n + 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0 until n).map(v => v.toLong -> best(v)).toMap, s"seed $seed")
+    }
+  }
+
+  test("simrank agrees with a driver matrix iteration on random digraphs") {
+    for (seed <- 1L to 3L) {
+      val n = 10
+      val e = randomDigraph(n, 0.15, seed).distinct
+      val inN = e.groupBy(_._2.toInt).map { case (k, v) => k -> v.map(_._1.toInt) }
+        .withDefaultValue(Seq.empty)
+      var s = Array.tabulate(n, n)((a, b) => if (a == b) 1.0 else 0.0)
+      for (_ <- 1 to 4) {
+        val next = Array.tabulate(n, n) { (a, b) =>
+          if (a == b) 1.0
+          else {
+            val (ia, ib) = (inN(a), inN(b))
+            if (ia.isEmpty || ib.isEmpty) 0.0
+            else 0.8 * ia.map(i => ib.map(j => s(i)(j)).sum).sum /
+              (ia.size.toLong * ib.size)
+          }
+        }
+        s = next
+      }
+      val got = graft.algorithms.SimRank.simRank(idsDf(n), df(e), 4)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+        .toMap
+      for (a <- 0 until n; b <- 0 until n)
+        assert(math.abs(got((a, b)) - s(a)(b)) < 1e-6, s"seed $seed ($a,$b)")
+    }
+  }
+
+  test("katz agrees with a driver vector iteration on random digraphs") {
+    for (seed <- 1L to 3L) {
+      val n = 12
+      val e = randomDigraph(n, 0.15, seed).distinct
+      var x = Array.fill(n)(1.0)
+      for (_ <- 1 to 6) {
+        val nx = Array.fill(n)(0.0)
+        e.foreach { case (a, b) => nx(b.toInt) += x(a.toInt) }
+        for (v <- 0 until n) nx(v) = 1.0 + 0.1 * nx(v)
+        x = nx
+      }
+      val got = graft.algorithms.Centrality.katz(idsDf(n), df(e), 6)
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      for (v <- 0 until n)
+        assert(math.abs(got(v) - x(v)) < 1e-7, s"seed $seed node $v")
+    }
+  }
 }
