@@ -28,15 +28,26 @@ object Dag {
 
   /** (id, dist): longest-path cost from any source to `id` over the
     * directed `edges` (src, dst, w). Sources and isolated nodes keep
-    * dist 0. Throws if no fixpoint within `maxRounds` (cycle). */
+    * dist 0. Throws if no fixpoint within `maxRounds` (cycle).
+    *
+    * Dual regime like the other iterative kernels: under
+    * [[Tuning.broadcastThreshold]] the relaxation runs as a packed
+    * driver loop (a depth-round fixpoint on a tiny graph is pure
+    * scheduler floor distributed); past the gate the frontier joins
+    * below are the 100 TB path. Both branches compute the identical
+    * integer fixpoint (regime-pinned). */
   def longestPaths(nodes: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, "longestPaths needs maxRounds >= 1")
     // Materialize the edge view once — it is re-joined every round.
-    val (e, _) = Probe.checkpointObserved(
+    val (e, mE) = Probe.checkpointObserved(
       edges.select(col("src"), col("dst"), col("w").cast("long").as("w")),
       count(lit(1)).as("m"))
-    var best = nodes.select(col("id")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    val (n0, mN) = Probe.checkpointObserved(
+      nodes.select(col("id")).distinct(), count(lit(1)).as("n"))
+    if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return longestPathsLocal(n0, e, maxRounds)
+    var best = n0.withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = best
     var improved = 1L
     var round = 0
@@ -65,6 +76,49 @@ object Dag {
       throw new IllegalStateException(
         s"longestPaths did not converge in $maxRounds rounds — input has a cycle")
     best
+  }
+
+  /** Driver-gated twin: the same max-relaxation to the same fixpoint,
+    * as a packed edge sweep (round ≡ one pass over the edge array —
+    * exactly the distributed round's relax set, so the two regimes are
+    * bit-identical on integer dists). */
+  private def longestPathsLocal(idsCk: DataFrame, e: DataFrame,
+                                maxRounds: Int): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    // Edges restricted to the node universe, exactly like the
+    // distributed loop (frontier ⊆ universe; non-universe dsts are
+    // dropped at the improve join and never propagate).
+    val universe = idArr.toSet
+    val Array(srcL0, dstL0, wL0) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long")), 3)
+    val keep = srcL0.indices.filter(k =>
+      universe.contains(srcL0(k)) && universe.contains(dstL0(k))).toArray
+    val srcL = keep.map(srcL0); val dstL = keep.map(dstL0)
+    val wL = keep.map(wL0)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val dist = new Array[Long](idx.size)
+    val m = srcIx.length
+    var improved = true
+    var round = 0
+    while (improved && round < maxRounds) {
+      round += 1
+      improved = false
+      var k = 0
+      while (k < m) {
+        val nd = dist(srcIx(k)) + wL(k)
+        if (nd > dist(dstIx(k))) { dist(dstIx(k)) = nd; improved = true }
+        k += 1
+      }
+    }
+    if (improved)
+      throw new IllegalStateException(
+        s"longestPaths did not converge in $maxRounds rounds — input has a cycle")
+    import spark.implicits._
+    idArr.toSeq.map(id => (id, dist(idx.get(id)))).toDF("id", "dist")
   }
 
   /** Topological layer per node: longest-path depth under unit weights

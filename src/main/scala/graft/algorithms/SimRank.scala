@@ -28,8 +28,18 @@ object SimRank {
   def simRank(nodes: DataFrame, edges: DataFrame, iters: Int,
               c: Double = 0.8): DataFrame = {
     require(iters >= 1, "simRank needs iters >= 1")
-    val n = nodes.select(col("id")).distinct().localCheckpoint()
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val (n, mN) = Probe.checkpointObserved(
+      nodes.select(col("id")).distinct(), count(lit(1)).as("n"))
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select(col("src"), col("dst")).distinct(), count(lit(1)).as("m"))
+    // Dual regime: the pair STATE is n², so the gate is on n² (plus
+    // the edge count for the packed arrays). A 5-deep pair fixpoint on
+    // a tiny graph is pure scheduler floor distributed; past the gate
+    // the pair-frame joins below are the 100 TB (focal-set) path.
+    val nN = mN("n").asInstanceOf[Long]
+    if (nN * nN <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return simRankLocal(n, e, iters, c)
     val indeg = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("d"))
     val allPairs = n.select(col("id").as("a"))
       .crossJoin(n.select(col("id").as("b")))
@@ -56,5 +66,51 @@ object SimRank {
         .localCheckpoint()
     }
     s.select(col("a"), col("b"), round(col("s"), 6).as("sim"))
+  }
+
+  /** Driver-gated twin: the same synchronous iteration on a dense
+    * matrix. Numerator pairs come from universe→universe edges (the
+    * only ones the pair frame can route through); denominators count
+    * ALL in-edges of a node, mirroring the distributed indeg. */
+  private def simRankLocal(idsCk: DataFrame, e: DataFrame, iters: Int,
+                           c: Double): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val pos = idArr.zipWithIndex.toMap
+    val n = idArr.length
+    val indegAll = new Array[Long](n)
+    dstL.foreach(d => pos.get(d).foreach(i => indegAll(i) += 1))
+    // universe-internal in-neighbor lists
+    val inN = Array.fill(n)(List.empty[Int])
+    var k = 0
+    while (k < srcL.length) {
+      (pos.get(srcL(k)), pos.get(dstL(k))) match {
+        case (Some(si), Some(di)) => inN(di) = si :: inN(di)
+        case _                    => ()
+      }
+      k += 1
+    }
+    var s = Array.tabulate(n, n)((a, b) => if (a == b) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val next = Array.tabulate(n, n) { (a, b) =>
+        if (a == b) 1.0
+        else {
+          var sum = 0.0
+          var any = false
+          inN(a).foreach { i =>
+            inN(b).foreach { j => sum += s(i)(j); any = true }
+          }
+          if (!any) 0.0
+          else c * sum / (indegAll(a).toDouble * indegAll(b))
+        }
+      }
+      s = next
+    }
+    import spark.implicits._
+    (for (a <- 0 until n; b <- 0 until n)
+      yield (idArr(a), idArr(b), math.rint(s(a)(b) * 1e6) / 1e6))
+      .toDF("a", "b", "sim")
   }
 }

@@ -215,4 +215,24 @@ class ShuffleRegimeSpec extends SparkSpec {
       assert(math.abs(v - s(id)) < 1e-9, s"katz($id) differs across regimes")
     }
   }
+
+  test("dag longest paths: shuffle regime ≡ broadcast regime (bit-equal)") {
+    // orient small→large id: acyclic by construction; integer dists
+    val dagEdges = edgeDf.filter(col("src") < col("dst"))
+      .withColumn("w", (col("src") % 5) + 1)
+    def lp = graft.algorithms.Dag.longestPaths(nodeDf, dagEdges, 400)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (b, s) = both(lp)
+    assert(b == s && b.nonEmpty)
+  }
+
+  test("simrank: shuffle regime ≡ broadcast regime (1e-6 after 6-dp round)") {
+    def sr = graft.algorithms.SimRank.simRank(nodeDf, edgeDf, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val (b, s) = both(sr)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (p, v) =>
+      assert(math.abs(v - s(p)) < 1.1e-6, s"simrank$p differs across regimes")
+    }
+  }
 }
