@@ -524,6 +524,15 @@ object Similarity {
         col("va").as("vb"), col("si")))
       .localCheckpoint()
     val lamT = lambdaTenths.toLong
+    // The greedy rounds run over ≤ probes·candK candidate rows and
+    // ≤ probes·candK² sims — integer-exact frames a driver loop folds
+    // in microseconds, where the distributed loop pays selectK
+    // scheduler rounds. Same dual-regime gate as the graph kernels;
+    // the integer arithmetic makes the two branches bit-equal. The
+    // distributed loop below is the path for probe sets too large to
+    // collect (e.g. re-ranking every query of a serving log).
+    if (probeMax * candK <= graft.algorithms.Tuning.broadcastThreshold)
+      return mmrLocal(cand, simSym, selectK, lamT)
     val byProbe = Window.partitionBy("qid")
     // scoreI is the MMR score in exact 10⁻⁷ units: λT·ri − (10−λT)·si
     var selected = cand
@@ -552,5 +561,39 @@ object Similarity {
     }
     selected.select(col("qid"), col("vid"), col("step"),
       (col("scoreI") / lit(1e7)).as("score"))
+  }
+
+  /** Driver-gated greedy: identical integer argmax per (probe, step) —
+    * bit-equal to the distributed rounds by construction. */
+  private def mmrLocal(cand: DataFrame, simSym: DataFrame, selectK: Int,
+                       lamT: Long): DataFrame = {
+    val spark = cand.sparkSession
+    val cands = cand.select("qid", "vid", "ri").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(t => (t._2, t._3)) }
+    val sims = simSym.select("qid", "va", "vb", "si").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val out = cands.toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+      var remaining = cs.sortBy(_._1).toBuffer
+      var selected = List.empty[Long]
+      (1 to math.min(selectK, cs.length)).map { step =>
+        val scored = remaining.map { case (vid, ri) =>
+          val scoreI =
+            if (selected.isEmpty) lamT * ri
+            else {
+              val msi = selected.map(s => sims((qid, vid, s))).max
+              lamT * ri - (10L - lamT) * msi
+            }
+          (vid, scoreI)
+        }
+        val (vid, scoreI) = scored.minBy { case (v, s) => (-s, v) }
+        remaining = remaining.filterNot(_._1 == vid)
+        selected = vid :: selected
+        (qid, vid, step.toLong, scoreI / 1e7)
+      }
+    }
+    import spark.implicits._
+    out.toDF("qid", "vid", "step", "score")
   }
 }

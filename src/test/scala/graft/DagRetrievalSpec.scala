@@ -133,6 +133,16 @@ class DagRetrievalSpec extends SparkSpec {
     assert(got(2) == (3L, 11L))
   }
 
+  test("mmrRerank: driver-gated greedy ≡ distributed rounds (bit-equal)") {
+    val emb = GraphBuilder100
+    def run = Similarity.mmrRerank(emb, probeMax = 3L, candK = 6, selectK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val local = run
+    val dist = graft.algorithms.Tuning.withBroadcastThreshold(0L)(run)
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("mmrRerank: selects exactly selectK per probe, steps 1..K") {
     val emb = GraphBuilder100
     val got = Similarity.mmrRerank(emb, probeMax = 3L, candK = 8, selectK = 4)
