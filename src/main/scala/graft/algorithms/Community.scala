@@ -688,16 +688,22 @@ object Community {
     * iteration is one hash join + one map-side-combined aggregation
     * with dangling nodes riding as identity rows, lineage cut on the
     * measured cadence, final sum-normalization riding the last
-    * checkpoint's observe. Single (distributed) path — the graphs
-    * this runs on at test SF are already tiny, so the driver-replay
-    * regime would only duplicate the proven PageRank arithmetic. */
+    * checkpoint's observe. Dual regime like [[pageRank]]: the packed
+    * driver replay (weighted contributions, same union-aggregate
+    * presence semantics) under the gate — a 10-iteration fixpoint on
+    * a 625-edge graph is pure scheduler floor distributed. */
   def weightedPageRank(nodes: DataFrame, wedges: DataFrame,
                        damping: Double, iterations: Int): DataFrame = {
     val (ids, mI) = Probe.checkpointObserved(
       nodes.select("id"), count(lit(1)).as("n"))
     val n = mI("n").asInstanceOf[Long].toDouble
-    val e = wedges.select(col("src"), col("dst"),
-      col("cnt").cast("double").as("w"))
+    val (e, mE) = Probe.checkpointObserved(
+      wedges.select(col("src"), col("dst"),
+        col("cnt").cast("double").as("w")),
+      count(lit(1)).as("m"))
+    if (mI("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return weightedPageRankLocal(ids, e, n, damping, iterations)
     val wsum0 = e.groupBy(col("src").as("src")).agg(sum(col("w")).as("wsum"))
     val small = n <= Tuning.broadcastThreshold
     val wsum = if (small) broadcast(wsum0) else wsum0
@@ -725,6 +731,66 @@ object Community {
       else rank.agg(sum("rank")).head().getDouble(0)
     rank.select(col("id"), round(col("rank") / lit(total), 8).as("rank"))
       .orderBy("id")
+  }
+
+  /** Weighted twin of [[pageRankLocal]]: contributions are
+    * rank(s)·w/W(s) and EVERY id keeps an identity row each iteration
+    * (the distributed union with ids), non-id contribution targets
+    * ride along exactly like the union-aggregate. */
+  private def weightedPageRankLocal(ids: DataFrame, e: DataFrame, n: Double,
+                                    damping: Double,
+                                    iterations: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val Array(idArr) = LocalGraph.packed(ids.select(col("id").cast("long")), 1)
+    // one collect so (src, dst, w) stay row-aligned
+    val eRows = e.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w")).collect()
+    val srcL = eRows.map(_.getLong(0)); val dstL = eRows.map(_.getLong(1))
+    val wArr = eRows.map(_.getDouble(2))
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val nIds = idArr.length
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    val wsum = new Array[Double](u)
+    var k = 0
+    while (k < srcIx.length) { wsum(srcIx(k)) += wArr(k); k += 1 }
+    var rank = new Array[Double](u)
+    val inRank = new Array[Boolean](u)
+    java.util.Arrays.fill(inRank, 0, nIds, true)
+    var i = 0
+    while (i < nIds) { rank(i) = 1.0 / n; i += 1 }
+    val base = (1.0 - damping) / n
+    var it = 0
+    while (it < iterations) {
+      val acc = new Array[Double](u)
+      val hit = new Array[Boolean](u)
+      k = 0
+      while (k < srcIx.length) {
+        val s = srcIx(k)
+        if (inRank(s)) {
+          acc(dstIx(k)) += rank(s) * wArr(k) / wsum(s); hit(dstIx(k)) = true
+        }
+        k += 1
+      }
+      val next = new Array[Double](u)
+      i = 0
+      while (i < u) {
+        val present = i < nIds || hit(i)
+        if (present) next(i) = base + damping * acc(i)
+        inRank(i) = present
+        i += 1
+      }
+      rank = next
+      it += 1
+    }
+    var total = 0.0
+    i = 0
+    while (i < u) { if (inRank(i)) total += rank(i); i += 1 }
+    import spark.implicits._
+    (0 until u).filter(inRank(_))
+      .map(i => (idx.id(i), math.rint(rank(i) / total * 1e8) / 1e8))
+      .toDF("id", "rank").orderBy("id")
   }
 
   /** PageRank on the driver: the same per-iteration formula as the

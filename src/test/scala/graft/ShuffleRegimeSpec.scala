@@ -216,6 +216,17 @@ class ShuffleRegimeSpec extends SparkSpec {
     }
   }
 
+  test("weighted pagerank: shuffle regime ≡ broadcast regime (1e-9)") {
+    val wedges = edgeDf.withColumn("cnt", (col("src") % 7) + 1)
+    def wpr = Community.weightedPageRank(nodeDf, wedges, 0.85, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (b, s) = both(wpr)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-9, s"wpr($id) differs across regimes")
+    }
+  }
+
   test("dag longest paths: shuffle regime ≡ broadcast regime (bit-equal)") {
     // orient small→large id: acyclic by construction; integer dists
     val dagEdges = edgeDf.filter(col("src") < col("dst"))
