@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * any JDK-supported raster format (PNG, BMP, GIF, JPEG via
   * `javax.imageio.ImageIO`, no external dependency) are decoded for
   * real — dimensions from the actual raster, resize through a real
-  * Graphics2D scale + PNG re-encode. Payloads ImageIO cannot read
-  * (arbitrary bytes, plus audio/video, which have no JDK codec) fall
+  * Graphics2D scale + PNG re-encode — and so is AUDIO decode:
+  * WAV/AIFF/AU via `javax.sound.sampled` (also JDK-native), with
+  * frames/rate/channels from the container and RMS + zero-crossings
+  * computed from the actual PCM stream. Payloads no JDK reader accepts
+  * (arbitrary bytes, plus video, which has no JDK codec) fall
   * back to `decodeStub` — a deterministic fake derived from the bytes,
   * kept so the pipeline shape is exercisable on synthetic payloads;
   * swap it for a media library (javacv etc.) without touching the
@@ -56,14 +59,65 @@ object Multimodal {
     }
   }
 
+  final case class AudioInfo(frames: Long, sampleRate: Float, channels: Int,
+                             rms: Double, zeroCross: Long)
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * need no external codec): container header → (frames, rate,
+    * channels), then the PCM stream is actually read — RMS amplitude
+    * and zero-crossing count over the first channel of 16-bit
+    * little-endian PCM, the two features every audio-quality gate
+    * starts from. None for payloads no JDK reader accepts or with a
+    * non-16-bit encoding. */
+  private[pipeline] def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val frameSize = fmt.getFrameSize
+          val channels = fmt.getChannels
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          val pcm = buf.toByteArray
+          val nFrames = pcm.length / frameSize
+          var sumSq = 0.0
+          var zc = 0L
+          var prevNeg = false
+          var f = 0
+          while (f < nFrames) {
+            val off = f * frameSize
+            val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
+            val x = s / 32768.0
+            sumSq += x * x
+            val neg = x < 0.0
+            if (f > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            f += 1
+          }
+          val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
+          Some(AudioInfo(nFrames.toLong, fmt.getSampleRate, channels, rms, zc))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** (width, height, n_frames) for one payload: a real ImageIO decode
-    * for image rows, the stub for everything else. A still image is
-    * one frame by definition. */
+    * for image rows, a real JDK audio header+PCM decode for audio rows
+    * (frames from the actual stream), the stub for video and anything
+    * no JDK reader accepts. A still image is one frame by definition. */
   private[pipeline] def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
     kind match {
       case "image" => decodeImage(bytes) match {
         case Some(img) => (img.getWidth, img.getHeight, 1)
         case None      => decodeStub(kind, bytes)
+      }
+      case "audio" => decodeAudio(bytes) match {
+        case Some(a) => (0, 0, math.min(a.frames, Int.MaxValue.toLong).toInt)
+        case None    => decodeStub(kind, bytes)
       }
       case _ => decodeStub(kind, bytes)
     }
@@ -141,6 +195,27 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Real audio feature extraction over audio-kind rows: frames, rate,
+    * channels, duration, RMS amplitude and zero-crossing count from the
+    * actual PCM stream ([[decodeAudio]]). Rows whose payload no JDK
+    * reader accepts are dropped (a production pipeline quarantines
+    * them; the count of survivors IS the decode-health signal).
+    * mapPartitions like [[extractFeatures]] so codec init amortizes. */
+  def audioStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAudio(r.media).map { a =>
+          (r.media_id, a.frames, a.sampleRate.toDouble, a.channels,
+            if (a.sampleRate > 0) a.frames / a.sampleRate.toDouble else 0.0,
+            a.rms, a.zeroCross)
+        }
+      }
+    }.toDF("media_id", "frames", "sample_rate", "channels", "duration_s",
+      "rms", "zero_cross")
   }
 
   /** Deterministic frame sampling plan for video rows: one row per

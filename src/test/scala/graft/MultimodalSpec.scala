@@ -6,7 +6,8 @@ import graft.pipeline.Multimodal
 
 /** Multimodal binary-column plumbing: schema, typed batch map,
   * partition-independence. Image decode is REAL (JDK ImageIO — PNG/BMP
-  * specs below); payloads no reader accepts, plus audio/video (no JDK
+  * specs below) and so is audio decode (JDK javax.sound.sampled — WAV
+  * specs below); payloads no reader accepts, plus video (no JDK
   * codec), take the documented deterministic stub, which is what the
   * text-bytes fixtures here exercise. */
 class MultimodalSpec extends SparkSpec {
@@ -104,6 +105,62 @@ class MultimodalSpec extends SparkSpec {
     // deterministic across partitionings (same bytes)
     val again = Multimodal.resize(rows.toDS().repartition(3), 3, 2).collect().head
     assert(out.media.toSeq == again.media.toSeq)
+  }
+
+  /** 16-bit LE PCM WAV of a sine wave, built with the same JDK API a
+    * user would use. */
+  private def wavBytes(freqHz: Double, seconds: Double, rate: Float,
+                       amplitude: Double): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amplitude * math.sin(2 * math.Pi * freqHz * i / rate) *
+        32767.0).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioStats decodes real WAV payloads (JDK sound API)") {
+    val implicits = spark.implicits
+    import implicits._
+    // 440 Hz for 0.5 s at 8 kHz, amplitude 0.5 → rms ≈ 0.5/√2,
+    // zero crossings ≈ 2·440·0.5
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wavBytes(440.0, 0.5, 8000f, 0.5)),
+      Multimodal.MediaRow(2L, "audio", wavBytes(100.0, 1.0, 8000f, 0.9)),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](1, 2, 3, 4)), // undecodable
+      Multimodal.MediaRow(4L, "image", wavBytes(440.0, 0.1, 8000f, 0.5)))
+    val got = Multimodal.audioStats(rows.toDS()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L)) // undecodable + non-audio dropped
+    val a = got(1L)
+    assert(a.getLong(1) == 4000L) // frames
+    assert(a.getDouble(2) == 8000.0)
+    assert(a.getInt(3) == 1)
+    assert(math.abs(a.getDouble(4) - 0.5) < 1e-9) // duration
+    assert(math.abs(a.getDouble(5) - 0.5 / math.sqrt(2)) < 0.01) // rms
+    assert(math.abs(a.getLong(6) - 440L) < 10) // 2·440·0.5 crossings
+    val b = got(2L)
+    assert(b.getLong(1) == 8000L)
+    assert(math.abs(b.getLong(6) - 200L) < 10)
+  }
+
+  test("extractFeatures reports REAL frame counts for decodable audio") {
+    val implicits = spark.implicits
+    import implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wavBytes(200.0, 0.25, 8000f, 0.5)))
+    val f = Multimodal.extractFeatures(rows.toDS()).collect().head
+    assert(f.n_frames == 2000) // 0.25 s · 8 kHz — from the actual stream
+    assert(f.width == 0 && f.height == 0)
   }
 
   test("frame sampling explodes every stride-th frame for videos") {
