@@ -811,6 +811,17 @@ FROM documents GROUP BY CUBE(source, lang) ORDER BY 1, 2"""
 FROM events GROUP BY 1 ORDER BY 1"""
   }
 
+  /** Profile mirror: per-column aggregates unioned to long form (the
+    * engine mirrors the VALUES, not the single-pass plan shape). */
+  def numericProfileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+ CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+ ROUND(AVG($c), 6) AS mean, ROUND(STDDEV_SAMP($c), 6) AS std,
+ ROUND(CAST(MIN($c) AS DOUBLE), 6) AS mn, ROUND(CAST(MAX($c) AS DOUBLE), 6) AS mx
+ FROM $table"""
+    }.mkString("\nUNION ALL\n")
+
   /** Z-order audit mirror: the same exact-integer min-max quantization
     * and the identical bit-interleave sum (generated from the same
     * loop), top-bit bucketing over lineitem. */

@@ -619,6 +619,11 @@ object SparkEntry {
       EventStreams.retention(EventStreams.eventsTable(s, d))),
     "q_pivot" -> ((s, d) =>
       EventStreams.eventTypePivot(EventStreams.eventsTable(s, d))),
+    "q_transitions" -> ((s, d) =>
+      EventStreams.eventTransitions(EventStreams.eventsTable(s, d))),
+    "q_profile" -> ((s, d) =>
+      ops.Profile.numericProfile(GraphBuilder.table(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "q_ppl_buckets" -> ((s, d) =>
       Corpus.pplBuckets(GraphBuilder.table(s, d, "documents"))),
     "q_cube" -> ((s, d) =>
@@ -994,6 +999,17 @@ SELECT cohort_wk, wk - cohort_wk AS week_offset, CAST(COUNT(*) AS BIGINT) AS use
 FROM uw JOIN ch USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_pivot" -> PipelineOracles.eventTypePivotSql(
       Seq("click", "error", "purchase", "signup", "view")),
+    "q_transitions" ->
+      """WITH s AS (SELECT event_type AS from_type,
+  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events),
+ c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+  ROUND(n / (SUM(n) OVER (PARTITION BY from_type)), 6) AS p
+FROM c ORDER BY 1, 2""",
+    "q_profile" -> PipelineOracles.numericProfileSql(
+      "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_ppl_buckets" -> PipelineOracles.pplBucketsSql(3),
     "q_cube" -> PipelineOracles.sourceLangCubeSql,
     "q_zorder" -> PipelineOracles.zorderStatsSql(8, 6),

@@ -316,6 +316,29 @@ object EventStreams {
       .agg(count(lit(1)).cast("long").as("users"))
   }
 
+  /** Per-user event-type transition matrix (first-order Markov): count
+    * and conditional probability of each (from → to) step along every
+    * user's (ts, event_id)-ordered stream — the behavioral model
+    * behind next-action prediction and session-flow dashboards.
+    *
+    * Scale: ONE shuffle on user_id for the lag window (the same
+    * partitioning [[interArrival]] uses), then a map-side-combined
+    * count over ≤ |types|² keys; the probability normalizer is a
+    * window over that tiny aggregate, not the event stream. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val steps = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+    val cnt = steps
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    cnt.withColumn("p", round(col("n") / sum("n").over(byFrom), 6))
+  }
+
   /** Daily event-type pivot: one row per epoch-day, one BIGINT count
     * column per (pinned) event type — the wide activity matrix BI
     * tools and anomaly baselines consume. The type list is an explicit

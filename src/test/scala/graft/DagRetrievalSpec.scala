@@ -271,6 +271,50 @@ class DagRetrievalSpec extends SparkSpec {
     assert(got(1).getLong(got(1).fieldIndex("purchase")) == 1L)
   }
 
+  // ---- EventStreams.eventTransitions ----
+
+  test("eventTransitions: per-user ordered steps, P sums to 1 per from-type") {
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      (4L, 2L, 10L, "a"), (5L, 2L, 20L, "b"),
+      (6L, 3L, 5L, "c")) // single event → no transition
+      .toDF("event_id", "user_id", "es", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("es")).cast("timestamp_ntz").as("ts"))
+    val got = EventStreams.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> (2L, 1.0), // a→b twice, only a-transition
+      ("b", "a") -> (1L, 1.0)))
+  }
+
+  // ---- ops.Profile ----
+
+  test("numericProfile: one row per column with null-aware stats") {
+    val d = Seq(
+      (Some(1.0), Some(10.0)), (Some(3.0), None), (Some(5.0), Some(30.0)))
+      .toDF("x", "y")
+    val got = graft.ops.Profile.numericProfile(d, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(1) == 3L && x.getLong(2) == 0L)
+    assert(x.getDouble(3) == 3.0)       // mean
+    assert(x.getDouble(4) == 2.0)       // sample std of 1,3,5
+    assert(x.getDouble(5) == 1.0 && x.getDouble(6) == 5.0)
+    val y = got("y")
+    assert(y.getLong(1) == 2L && y.getLong(2) == 1L)
+    assert(y.getDouble(3) == 20.0)
+  }
+
+  test("numericProfile plans a single scan (one pass for all columns)") {
+    val df = graft.ops.Profile.numericProfile(
+      graph.GraphBuilder.table(spark, sfDir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan.take(1500))
+  }
+
   // ---- ops.ZOrder ----
 
   test("zValue: Morton interleave of known bit patterns") {
