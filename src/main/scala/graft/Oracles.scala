@@ -792,6 +792,27 @@ n$k AS (SELECT CAST($k AS BIGINT) AS r,
     sb.toString
   }
 
+  /** Unrolled eigenvector-centrality power iteration on the trade-top
+    * graph, mirroring Centrality.eigenvector op for op (in-edge sum,
+    * L2 normalizer over the raw aggregate, left-join coalesce, 8-dp
+    * round on output). */
+  def eigenvectorSql(iters: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", x0 AS (SELECT id, 1.0 / (SELECT COUNT(*) FROM tn) AS x FROM tn)"
+    for (i <- 1 to iters) {
+      sb ++= s""", r$i AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(p.x) AS v
+  FROM ttedges e JOIN x${i - 1} p ON p.id = e.src GROUP BY e.dst)"""
+      sb ++= s", n$i AS (SELECT sqrt(SUM(v * v)) AS nrm FROM r$i)"
+      sb ++= s""", x$i AS MATERIALIZED (
+  SELECT tn.id, COALESCE(r.v, 0.0) / (SELECT nrm FROM n$i) AS x
+  FROM tn LEFT JOIN r$i r ON r.id = tn.id)"""
+    }
+    sb ++= s" SELECT id, ROUND(x, 8) AS eig FROM x$iters ORDER BY id"
+    sb.toString
+  }
+
   /** Unrolled SimRank on the trade-top graph, mirroring
     * SimRank.simRank iteration for iteration (identity diagonal,
     * in-neighbor pair sums, same c·Σ/(da·db) operator order, 6-dp

@@ -339,6 +339,9 @@ object SparkEntry {
     "q_katz" -> ((s, d) =>
       Centrality.katz(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 8)),
+    "q_eigenvector" -> ((s, d) =>
+      Centrality.eigenvector(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeTop(s, d), 12)),
     "q_anf" -> ((s, d) => {
       val sym = DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d))
       algorithms.Anf.neighborhoodFunction(
@@ -860,6 +863,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_critical_path" -> Oracles.dagLongestSql(weighted = true, 24),
     "q_simrank" -> Oracles.simRankSql(5, 0.8),
     "q_katz" -> Oracles.katzSql(8, 0.1),
+    "q_eigenvector" -> Oracles.eigenvectorSql(12),
     "q_reciprocity" -> Oracles.reciprocitySql,
     "q_weighted_pagerank" -> Oracles.weightedPageRankSql(0.85, 10),
     "q_rich_club" -> Oracles.richClubSql(Seq(115, 130, 150)),

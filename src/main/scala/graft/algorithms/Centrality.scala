@@ -542,6 +542,82 @@ object Centrality {
     x.select(col("id"), round(col("x"), 8).as("katz"))
   }
 
+  /** Eigenvector centrality: power iteration x ← Aᵀx / ‖Aᵀx‖₂ from the
+    * uniform vector — influence proportional to the influence of one's
+    * in-neighbors, the PageRank-without-teleport member of the
+    * centrality family (converges to the principal eigenvector on
+    * aperiodic strongly-connected graphs; the fixed-iteration form is
+    * what the oracle unrolls). Same dual regime and per-iteration plan
+    * as [[katz]], plus the L2 normalizer riding the checkpoint job. */
+  def eigenvector(nodes: DataFrame, edges: DataFrame,
+                  iterations: Int): DataFrame = {
+    require(iterations >= 1, "eigenvector needs >= 1 iteration")
+    val (e, mE) = Probe.checkpointObserved(
+      edges.select("src", "dst"), count(lit(1)).as("m"))
+    val (idsCk, mN) = Probe.checkpointObserved(
+      nodes.select("id"), count(lit(1)).as("n"))
+    val n = mN("n").asInstanceOf[Long].toDouble
+    if (mN("n").asInstanceOf[Long] <= Tuning.broadcastThreshold &&
+        mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return eigenvectorLocal(idsCk, e, n, iterations)
+    var x = idsCk.withColumn("x", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val (raw, mX) = Probe.checkpointObserved(
+        x.as("x").join(e.as("e"), col("x.id") === col("e.src"))
+          .groupBy(col("e.dst").as("id")).agg(sum("x.x").as("v")),
+        sum(col("v") * col("v")).as("ss"))
+      val nrm = math.sqrt(mX("ss") match {
+        case null      => 0.0
+        case d: Double => d
+      })
+      x =
+        if (nrm == 0.0) x // dead graph: keep the current vector
+        else idsCk.join(raw, Seq("id"), "left")
+          .select(col("id"),
+            (coalesce(col("v"), lit(0.0)) / lit(nrm)).as("x"))
+          .localCheckpoint()
+    }
+    x.select(col("id"), round(col("x"), 8).as("eig"))
+  }
+
+  private def eigenvectorLocal(idsCk: DataFrame, e: DataFrame, n: Double,
+                               iterations: Int): DataFrame = {
+    val spark = idsCk.sparkSession
+    val Array(idArr) = LocalGraph.packed(idsCk.select(col("id").cast("long")), 1)
+    val Array(srcL, dstL) = LocalGraph.packed(
+      e.select(col("src").cast("long"), col("dst").cast("long")), 2)
+    val idx = new LocalGraph.Index(idArr.length + srcL.length)
+    idArr.foreach(idx.ix)
+    val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
+    val u = idx.size
+    var x = new Array[Double](u)
+    var i = 0
+    while (i < idArr.length) { x(idx.get(idArr(i))) = 1.0 / n; i += 1 }
+    val m = srcIx.length
+    for (_ <- 1 to iterations) {
+      val nx = new Array[Double](u)
+      var k = 0
+      while (k < m) { nx(dstIx(k)) += x(srcIx(k)); k += 1 }
+      var ss = 0.0
+      i = 0
+      while (i < u) { ss += nx(i) * nx(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm != 0.0) {
+        i = 0
+        while (i < u) { nx(i) /= nrm; i += 1 }
+        // mirror the distributed left-join restriction: only universe
+        // ids carry a rank row into the next iteration (edge-only
+        // endpoints contribute to the normalizer, then drop)
+        i = idArr.length
+        while (i < u) { nx(i) = 0.0; i += 1 }
+        x = nx
+      }
+    }
+    import spark.implicits._
+    idArr.toSeq.map(id => (id, math.rint(x(idx.get(id)) * 1e8) / 1e8))
+      .toDF("id", "eig")
+  }
+
   private def katzLocal(idsCk: DataFrame, e: DataFrame, iterations: Int,
                         alpha: Double): DataFrame = {
     val spark = idsCk.sparkSession

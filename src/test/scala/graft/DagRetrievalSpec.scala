@@ -204,6 +204,22 @@ class DagRetrievalSpec extends SparkSpec {
     got2.foreach(v => assert(math.abs(v - 10.0 / 9.0) < 1e-7))
   }
 
+  // ---- Centrality.eigenvector ----
+
+  test("eigenvector: 3-cycle converges to the uniform principal vector") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = graft.algorithms.Centrality.eigenvector(ids(1, 2, 3), e, 6)
+      .collect().map(r => r.getDouble(1))
+    got.foreach(v => assert(math.abs(v - 1.0 / math.sqrt(3)) < 1e-7))
+    // star 1→{2,3,4}: all mass concentrates off-center
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val g2 = graft.algorithms.Centrality.eigenvector(ids(1, 2, 3, 4), star, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g2(1L) == 0.0)
+    Seq(2L, 3L, 4L).foreach(v =>
+      assert(math.abs(g2(v) - 1.0 / math.sqrt(3)) < 1e-7))
+  }
+
   // ---- Similarity.annRecall ----
 
   test("annRecall: one row per probe, n_hit <= n_exact, recall = ratio") {

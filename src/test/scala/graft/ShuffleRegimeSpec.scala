@@ -216,6 +216,16 @@ class ShuffleRegimeSpec extends SparkSpec {
     }
   }
 
+  test("eigenvector: shuffle regime ≡ broadcast regime (1e-9)") {
+    def ev = graft.algorithms.Centrality.eigenvector(nodeDf, edgeDf, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (b, s) = both(ev)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-9, s"eig($id) differs across regimes")
+    }
+  }
+
   test("weighted pagerank: shuffle regime ≡ broadcast regime (1e-9)") {
     val wedges = edgeDf.withColumn("cnt", (col("src") % 7) + 1)
     def wpr = Community.weightedPageRank(nodeDf, wedges, 0.85, 10)
