@@ -811,6 +811,29 @@ FROM documents GROUP BY CUBE(source, lang) ORDER BY 1, 2"""
 FROM events GROUP BY 1 ORDER BY 1"""
   }
 
+  /** K-step funnel mirror: unrolled greedy earliest-next chains — the
+    * same strictly-after, anchor-windowed min per level. */
+  def funnelStepsSql(steps: Seq[String], withinHours: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH l1 AS (SELECT event_id AS anchor_id, user_id, ts AS t1, ts AS cur
+  FROM events WHERE event_type = '${steps.head}')""")
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val k = i + 2
+      sb ++= s""",
+l$k AS MATERIALIZED (SELECT l.anchor_id, l.user_id, l.t1, MIN(e.ts) AS cur
+  FROM l${k - 1} l JOIN events e ON e.user_id = l.user_id
+   AND e.event_type = '$st' AND e.ts > l.cur
+   AND e.ts <= l.t1 + INTERVAL $withinHours HOURS
+  GROUP BY 1, 2, 3)"""
+    }
+    val levels = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS level, '$st' AS step, " +
+        s"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM l${i + 1}"
+    }
+    sb ++= "\n" + levels.mkString("\nUNION ALL\n") + "\nORDER BY level"
+    sb.toString
+  }
+
   /** Profile mirror: per-column aggregates unioned to long form (the
     * engine mirrors the VALUES, not the single-pass plan shape). */
   def numericProfileSql(table: String, cols: Seq[String]): String =

@@ -620,6 +620,9 @@ object SparkEntry {
       EventStreams.funnel(EventStreams.eventsTable(s, d))),
     "q_retention" -> ((s, d) =>
       EventStreams.retention(EventStreams.eventsTable(s, d))),
+    "q_funnel_steps" -> ((s, d) =>
+      EventStreams.funnelSteps(EventStreams.eventsTable(s, d),
+        Seq("signup", "view", "click", "purchase"))),
     "q_pivot" -> ((s, d) =>
       EventStreams.eventTypePivot(EventStreams.eventsTable(s, d))),
     "q_transitions" -> ((s, d) =>
@@ -1015,6 +1018,8 @@ FROM c ORDER BY 1, 2""",
     "q_profile" -> PipelineOracles.numericProfileSql(
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_ppl_buckets" -> PipelineOracles.pplBucketsSql(3),
+    "q_funnel_steps" -> PipelineOracles.funnelStepsSql(
+      Seq("signup", "view", "click", "purchase"), 168),
     "q_cube" -> PipelineOracles.sourceLangCubeSql,
     "q_zorder" -> PipelineOracles.zorderStatsSql(8, 6),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,

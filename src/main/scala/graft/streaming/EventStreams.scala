@@ -316,6 +316,44 @@ object EventStreams {
       .agg(count(lit(1)).cast("long").as("users"))
   }
 
+  /** K-step windowed funnel (the multi-step generalization of
+    * [[funnel]], ClickHouse-windowFunnel-style semantics): a user
+    * reaches level k when some step-1 event anchors a strictly-ordered
+    * chain of the first k step types, all within `withinHours` of the
+    * anchor. For a fixed anchor the greedy earliest-next-event chain
+    * dominates any other, so per level ONE bucketized range join +
+    * per-anchor min is exact, never a per-user sequence scan.
+    *
+    * Scale: each level is [[graft.ops.RangeJoin.pointInInterval]] (a
+    * (keys, bucket) equi-join — time spreads hot users) followed by a
+    * map-side-combined min; the anchor frame only ever SHRINKS level
+    * over level. Output is one k-row summary. */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+                  withinHours: Int = 168): DataFrame = {
+    require(steps.size >= 2, "funnelSteps needs at least two steps")
+    require(withinHours >= 1, s"withinHours must be >= 1, got $withinHours")
+    var frontier = events.filter(col("event_type") === steps.head)
+      .select(col("event_id").as("anchor_id"), col("user_id"),
+        col("ts").as("t1"), col("ts").as("cur"))
+    def levelCount(level: Int, step: String, f: DataFrame): DataFrame =
+      f.agg(countDistinct("user_id").as("n_users"))
+        .select(lit(level.toLong).as("level"), lit(step).as("step"),
+          col("n_users"))
+    var out = levelCount(1, steps.head, frontier)
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val pts = events.filter(col("event_type") === st)
+        .select(col("user_id"), col("ts").as("pt"))
+      val withEnd = frontier.withColumn("endt",
+        col("t1") + expr(s"INTERVAL $withinHours HOURS"))
+      frontier = graft.ops.RangeJoin
+        .pointInInterval(pts, withEnd, Seq("user_id"), "pt", "cur", "endt")
+        .filter(col("pt") > col("cur")) // strictly after the prior step
+        .groupBy("anchor_id", "user_id", "t1").agg(min("pt").as("cur"))
+      out = out.unionByName(levelCount(i + 2, st, frontier))
+    }
+    out
+  }
+
   /** Per-user event-type transition matrix (first-order Markov): count
     * and conditional probability of each (from → to) step along every
     * user's (ts, event_id)-ordered stream — the behavioral model

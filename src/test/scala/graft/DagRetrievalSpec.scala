@@ -305,6 +305,40 @@ class DagRetrievalSpec extends SparkSpec {
       ("b", "a") -> (1L, 1.0)))
   }
 
+  // ---- EventStreams.funnelSteps ----
+
+  test("funnelSteps: greedy chains, strict ordering, anchor window") {
+    val h = 3600L
+    val ev = Seq(
+      // user 1 completes a→b→c
+      (1L, 1L, 0L, "a"), (2L, 1L, h, "b"), (3L, 1L, 2 * h, "c"),
+      // user 2: b before a — never reaches level 2
+      (4L, 2L, 0L, "b"), (5L, 2L, h, "a"),
+      // user 3: a→b inside, c OUTSIDE the 5h anchor window
+      (6L, 3L, 0L, "a"), (7L, 3L, h, "b"), (8L, 3L, 10 * h, "c"),
+      // user 4: a only
+      (9L, 4L, 0L, "a"))
+      .toDF("event_id", "user_id", "es", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("es")).cast("timestamp_ntz").as("ts"))
+    val got = EventStreams.funnelSteps(ev, Seq("a", "b", "c"), withinHours = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("a", 4L), // users 1, 2, 3, 4 have an `a`
+      2L -> ("b", 2L), // users 1 and 3 continue a→b
+      3L -> ("c", 1L))) // only user 1 closes in-window
+  }
+
+  test("funnelSteps: same-timestamp events don't satisfy strict order") {
+    val ev = Seq((1L, 1L, 100L, "a"), (2L, 1L, 100L, "b"))
+      .toDF("event_id", "user_id", "es", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_seconds(col("es")).cast("timestamp_ntz").as("ts"))
+    val got = EventStreams.funnelSteps(ev, Seq("a", "b"), withinHours = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L))
+  }
+
   // ---- ops.Profile ----
 
   test("numericProfile: one row per column with null-aware stats") {
