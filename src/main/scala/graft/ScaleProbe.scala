@@ -146,6 +146,15 @@ object ScaleProbe {
         time("zorder")(graft.ops.ZOrder.zorderStats(
           events.select(col("user_id"), col("event_id")),
           "user_id", "event_id", 8, 6)),
+        // one user-keyed window + a ≤|types|²-key count — ~linear
+        time("transitions")(graft.streaming.EventStreams
+          .eventTransitions(events)),
+        // per-level bucketized range joins; anchors grow K but
+        // per-user event density is constant — ~linear per level
+        time("funnel_steps")(graft.streaming.EventStreams.funnelSteps(
+          events, Seq("signup", "view", "click", "purchase"))),
+        // groupBy(user) + three NTILEs over the narrow per-user frame
+        time("rfm")(graft.streaming.EventStreams.rfm(events)),
         time("asof_join") {
           val p = events.filter(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"), col("ts"), col("value"))

@@ -623,6 +623,8 @@ object SparkEntry {
     "q_funnel_steps" -> ((s, d) =>
       EventStreams.funnelSteps(EventStreams.eventsTable(s, d),
         Seq("signup", "view", "click", "purchase"))),
+    "q_rfm" -> ((s, d) =>
+      EventStreams.rfm(EventStreams.eventsTable(s, d))),
     "q_pivot" -> ((s, d) =>
       EventStreams.eventTypePivot(EventStreams.eventsTable(s, d))),
     "q_transitions" -> ((s, d) =>
@@ -1020,6 +1022,23 @@ FROM c ORDER BY 1, 2""",
     "q_ppl_buckets" -> PipelineOracles.pplBucketsSql(3),
     "q_funnel_steps" -> PipelineOracles.funnelStepsSql(
       Seq("signup", "view", "click", "purchase"), 168),
+    // NTILE orders mirror the Spark windows exactly (desc recency /
+    // asc frequency / asc monetary, user_id tiebreaks)
+    "q_rfm" ->
+      """WITH tm AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax FROM events),
+ per AS (SELECT user_id,
+   tm.tmax - MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS recency_s,
+   CAST(COUNT(*) AS BIGINT) AS frequency,
+   ROUND(SUM(value), 6) AS monetary
+  FROM events CROSS JOIN tm GROUP BY user_id, tm.tmax)
+SELECT user_id, recency_s, frequency, monetary,
+  CAST(NTILE(5) OVER (ORDER BY recency_s DESC, user_id ASC) AS BIGINT) AS r,
+  CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC) AS BIGINT) AS f,
+  CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS m,
+  CAST(NTILE(5) OVER (ORDER BY recency_s DESC, user_id ASC) * 100 +
+       NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC) * 10 +
+       NTILE(5) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS segment
+FROM per ORDER BY user_id""",
     "q_cube" -> PipelineOracles.sourceLangCubeSql,
     "q_zorder" -> PipelineOracles.zorderStatsSql(8, 6),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,

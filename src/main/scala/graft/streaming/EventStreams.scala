@@ -316,6 +316,43 @@ object EventStreams {
       .agg(count(lit(1)).cast("long").as("users"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary quintiles —
+    * the classic user-value grid): per user, hours since last
+    * activity relative to the stream's max timestamp, event count,
+    * and value sum, each scored 1..nTiles with 5 = best (most recent,
+    * most frequent, highest spend), plus the combined RFM segment
+    * code.
+    *
+    * Scale: one map-side-combined groupBy(user) + a broadcast 1-row
+    * max; the three NTILEs run over the narrow per-user aggregate
+    * (|users| rows of 4 columns), not the event stream — same
+    * narrow-frame-sort caveat and quantile-threshold production path
+    * as [[graft.pipeline.Corpus.pplBuckets]]. Integer-second recency
+    * and 6-dp monetary keep every score engine-stable; all NTILE
+    * orders carry a user_id tiebreak. */
+  def rfm(events: DataFrame, nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2, "rfm needs nTiles >= 2")
+    val W = org.apache.spark.sql.expressions.Window
+    val tmax = events.agg(max(unix_timestamp(col("ts"))).as("tmax"))
+    val per = events.groupBy("user_id").agg(
+        max(unix_timestamp(col("ts"))).as("tlast"),
+        count(lit(1)).as("frequency"),
+        round(sum("value"), 6).as("monetary"))
+      .crossJoin(broadcast(tmax))
+      .select(col("user_id"),
+        (col("tmax") - col("tlast")).as("recency_s"),
+        col("frequency"), col("monetary"))
+    per
+      .withColumn("r", ntile(nTiles).over(
+        W.orderBy(col("recency_s").desc, col("user_id").asc)).cast("long"))
+      .withColumn("f", ntile(nTiles).over(
+        W.orderBy(col("frequency").asc, col("user_id").asc)).cast("long"))
+      .withColumn("m", ntile(nTiles).over(
+        W.orderBy(col("monetary").asc, col("user_id").asc)).cast("long"))
+      .withColumn("segment",
+        (col("r") * 100L + col("f") * 10L + col("m")).cast("long"))
+  }
+
   /** K-step windowed funnel (the multi-step generalization of
     * [[funnel]], ClickHouse-windowFunnel-style semantics): a user
     * reaches level k when some step-1 event anchors a strictly-ordered

@@ -305,6 +305,28 @@ class DagRetrievalSpec extends SparkSpec {
       ("b", "a") -> (1L, 1.0)))
   }
 
+  // ---- EventStreams.rfm ----
+
+  test("rfm: quintile scores 5 = best; segment composes r,f,m") {
+    val h = 3600L
+    // 5 users, cleanly separable on all three axes
+    val ev = (1L to 5L).flatMap { u =>
+      (1L to u).map(i => (u * 100 + i, u, (u * 10 * h) + i, u.toDouble))
+    }.toDF("event_id", "user_id", "es", "value")
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_seconds(col("es")).cast("timestamp_ntz").as("ts"),
+        lit("click").as("event_type"))
+    val got = EventStreams.rfm(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    // user 5: most recent, most frequent, highest spend → 555
+    assert(got(5L) == (5L, 5L, 5L, 555L))
+    assert(got(1L) == (1L, 1L, 1L, 111L))
+    // scores are permutations of 1..5 on each axis
+    assert(got.values.map(_._1).toSeq.sorted == (1L to 5L))
+    assert(got.values.map(_._2).toSeq.sorted == (1L to 5L))
+  }
+
   // ---- EventStreams.funnelSteps ----
 
   test("funnelSteps: greedy chains, strict ordering, anchor window") {
