@@ -316,6 +316,38 @@ object EventStreams {
       .agg(count(lit(1)).cast("long").as("users"))
   }
 
+  final case class TransitionStep(user_id: Long, from_type: String,
+                                  to_type: String)
+  final case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  /** Streaming twin of [[eventTransitions]]'s step extraction: one
+    * tiny (ts, event_id, type) state row per user, each micro-batch
+    * sorted within itself and chained onto the carried last event —
+    * transitions across micro-batch boundaries come out exactly once.
+    * Feed the steps into any downstream aggregation (the batch
+    * (from, to) count is the oracle-checked form). Works identically
+    * in batch mode (state starts empty), which is what the parity
+    * spec pins. */
+  def transitionSteps(events: Dataset[Event]): Dataset[TransitionStep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[LastEvent]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[TransitionStep]
+          evs.foreach { e =>
+            if (last != null)
+              out += TransitionStep(uid, last.event_type, e.event_type)
+            last = LastEvent(e.ts.getTime, e.event_id, e.event_type)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles —
     * the classic user-value grid): per user, hours since last
     * activity relative to the stream's max timestamp, event count,

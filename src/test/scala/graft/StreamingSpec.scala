@@ -409,6 +409,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful transition steps: stream counts ≡ batch transition matrix") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val evs = EventStreams.readEvents(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.transitionSteps(evs)
+      .writeStream.format("memory").queryName("steps").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("steps")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = EventStreams.eventTransitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
