@@ -414,8 +414,13 @@ object EventStreams {
         .select(col("user_id"), col("ts").as("pt"))
       val withEnd = frontier.withColumn("endt",
         col("t1") + expr(s"INTERVAL $withinHours HOURS"))
+      // bucket ≈ window/8: ≤ ~9 interval replicas per anchor instead
+      // of one per hour — for a 168 h funnel window that is 19× less
+      // interval fan-out for a residual filter that stays user-local
+      val bucketSeconds = math.max(3600L, withinHours * 3600L / 8)
       frontier = graft.ops.RangeJoin
-        .pointInInterval(pts, withEnd, Seq("user_id"), "pt", "cur", "endt")
+        .pointInInterval(pts, withEnd, Seq("user_id"), "pt", "cur", "endt",
+          bucketSeconds)
         .filter(col("pt") > col("cur")) // strictly after the prior step
         .groupBy("anchor_id", "user_id", "t1").agg(min("pt").as("cur"))
       out = out.unionByName(levelCount(i + 2, st, frontier))
