@@ -414,10 +414,10 @@ object EventStreams {
         .select(col("user_id"), col("ts").as("pt"))
       val withEnd = frontier.withColumn("endt",
         col("t1") + expr(s"INTERVAL $withinHours HOURS"))
-      // bucket ≈ window/8: ≤ ~9 interval replicas per anchor instead
-      // of one per hour — for a 168 h funnel window that is 19× less
-      // interval fan-out for a residual filter that stays user-local
-      val bucketSeconds = math.max(3600L, withinHours * 3600L / 8)
+      // bucket = window length, the same contract [[funnel]] uses:
+      // each anchor explodes into exactly 2 bucket replicas; the
+      // residual filter stays user-local either way
+      val bucketSeconds = withinHours * 3600L
       frontier = graft.ops.RangeJoin
         .pointInInterval(pts, withEnd, Seq("user_id"), "pt", "cur", "endt",
           bucketSeconds)
