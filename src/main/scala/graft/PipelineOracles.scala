@@ -114,6 +114,39 @@ cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
 rk AS (SELECT qid, vid, cosine, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn FROM cos)
 SELECT qid, vid, cosine, CAST(rn AS BIGINT) AS rnk FROM rk WHERE rn <= 5"""
 
+  /** PCA mirror: the same one-pass algebraic covariance
+    * (Σxixj/n − μiμj) and the power iteration unrolled with the same
+    * uniform start, per-step L2 normalizers, Rayleigh eigenvalue and
+    * trace share. */
+  def pcaTopSql(iters: Int): String = {
+    val sb = new StringBuilder(s"""WITH $embCtes,
+nn AS (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM ex),
+mu AS MATERIALIZED (SELECT pos, SUM(x) / (SELECT n FROM nn) AS mu FROM ex GROUP BY pos),
+pr AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS sxy
+  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+cv AS MATERIALIZED (SELECT i, j, sxy / (SELECT n FROM nn) - mi.mu * mj.mu AS c
+  FROM pr JOIN mu mi ON mi.pos = pr.i JOIN mu mj ON mj.pos = pr.j),
+d1 AS (SELECT COUNT(*)::DOUBLE AS d FROM mu),
+v0 AS (SELECT pos, 1.0 / sqrt((SELECT d FROM d1)) AS v FROM mu)""")
+    for (k <- 1 to iters) {
+      sb ++= s""",
+r$k AS MATERIALIZED (SELECT cv.i AS pos, SUM(cv.c * p.v) AS nv
+  FROM cv JOIN v${k - 1} p ON p.pos = cv.j GROUP BY 1),
+n$k AS (SELECT sqrt(SUM(nv * nv)) AS nrm FROM r$k),
+v$k AS MATERIALIZED (SELECT pos, nv / (SELECT nrm FROM n$k) AS v FROM r$k)"""
+    }
+    sb ++= s""",
+cvv AS (SELECT cv.i AS pos, SUM(cv.c * p.v) AS cvv
+  FROM cv JOIN v$iters p ON p.pos = cv.j GROUP BY 1),
+ei AS (SELECT SUM(v.v * cvv.cvv) AS eigval FROM cvv JOIN v$iters v USING (pos)),
+tr AS (SELECT SUM(c) AS trace FROM cv WHERE i = j)
+SELECT v.pos, ROUND(v.v, 6) AS loading,
+  ROUND((SELECT eigval FROM ei), 6) AS eigval,
+  ROUND((SELECT eigval FROM ei) / (SELECT trace FROM tr), 6) AS var_explained
+FROM v$iters v ORDER BY pos"""
+    sb.toString
+  }
+
   /** MMR mirror: the cosineTopK candidate formula, the same pairwise
     * 6-dp cosine sims, and the greedy loop unrolled into selectK
     * chained CTEs — each step a NOT EXISTS drop of the selected set, a

@@ -204,6 +204,37 @@ class DagRetrievalSpec extends SparkSpec {
     got2.foreach(v => assert(math.abs(v - 10.0 / 9.0) < 1e-7))
   }
 
+  // ---- pipeline.Pca ----
+
+  test("pcaTop: recovers the dominant axis of anisotropic data") {
+    // points spread 10× wider along dim 1 than dims 0/2 → PC1 ≈ e1
+    val emb = spark.range(40).select(col("id").as("vec_id"),
+      array(
+        ((col("id") % 3) - 1).cast("float"),
+        ((col("id") % 21) * 10 - 100).cast("float"),
+        ((col("id") % 5) - 2).cast("float")).as("embedding"))
+    val got = graft.pipeline.Pca.pcaTop(emb, iters = 20).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    assert(math.abs(math.abs(got(1L)._1) - 1.0) < 0.01) // loading ≈ ±1 on dim 1
+    assert(math.abs(got(0L)._1) < 0.1 && math.abs(got(2L)._1) < 0.1)
+    assert(got(1L)._2 > 0.95) // dim 1 carries ~all the variance
+    // unit-norm loading vector
+    val norm = got.values.map(v => v._1 * v._1).sum
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
+  test("pcaTop: driver-gated fold ≡ distributed iteration") {
+    val emb = GraphBuilder100
+    def run = graft.pipeline.Pca.pcaTop(emb, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = run
+    val dist = graft.algorithms.Tuning.withBroadcastThreshold(0L)(run)
+    assert(local.keySet == dist.keySet && local.nonEmpty)
+    local.foreach { case (p, v) =>
+      assert(math.abs(v - dist(p)) < 1e-6, s"pca loading $p differs")
+    }
+  }
+
   // ---- Centrality.eigenvector ----
 
   test("eigenvector: 3-cycle converges to the uniform principal vector") {
