@@ -214,7 +214,11 @@ object ScaleProbe {
         time("mmr")(graft.pipeline.Similarity.mmrRerank(emb)),
         // two probe-bounded top-k chains + a ≤2k-row audit join —
         // expect the cosineTopK curve (~linear in the corpus side)
-        time("ann_recall")(graft.pipeline.Similarity.annRecall(emb)))
+        time("ann_recall")(graft.pipeline.Similarity.annRecall(emb)),
+        // n·d² multiply work grows K; the covariance shuffle is d²
+        // rows at ANY n and the iteration runs on the d×d frame —
+        // expect ~linear dominated by the product pass
+        time("pca")(graft.pipeline.Pca.pcaTop(emb)))
     }
 
     val t1 = corpusTimes(1) ++ extraTimes(1)
