@@ -118,7 +118,23 @@ SELECT qid, vid, cosine, CAST(rn AS BIGINT) AS rnk FROM rk WHERE rn <= 5"""
     * (Σxixj/n − μiμj) and the power iteration unrolled with the same
     * uniform start, per-step L2 normalizers, Rayleigh eigenvalue and
     * trace share. */
-  def pcaTopSql(iters: Int): String = {
+  def pcaTopSql(iters: Int): String =
+    pcaCoreSql(iters) + s"""
+SELECT v.pos, ROUND(v.v, 6) AS loading,
+  ROUND((SELECT eigval FROM ei), 6) AS eigval,
+  ROUND((SELECT eigval FROM ei) / (SELECT trace FROM tr), 6) AS var_explained
+FROM v$iters v ORDER BY pos"""
+
+  /** Projection mirror: coord = Σ(x − μ)·round6(loading) per vector —
+    * the same rounded loading the pcaTop output carries. */
+  def pcaProjectSql(iters: Int): String =
+    pcaCoreSql(iters) + s""",
+dims AS (SELECT v.pos, ROUND(v.v, 6) AS loading, mu.mu
+  FROM v$iters v JOIN mu ON mu.pos = v.pos)
+SELECT e.vec_id, ROUND(SUM((e.x - d.mu) * d.loading), 6) AS coord
+FROM ex e JOIN dims d ON d.pos = e.pos GROUP BY e.vec_id ORDER BY e.vec_id"""
+
+  private def pcaCoreSql(iters: Int): String = {
     val sb = new StringBuilder(s"""WITH $embCtes,
 nn AS (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM ex),
 mu AS MATERIALIZED (SELECT pos, SUM(x) / (SELECT n FROM nn) AS mu FROM ex GROUP BY pos),
@@ -139,11 +155,7 @@ v$k AS MATERIALIZED (SELECT pos, nv / (SELECT nrm FROM n$k) AS v FROM r$k)"""
 cvv AS (SELECT cv.i AS pos, SUM(cv.c * p.v) AS cvv
   FROM cv JOIN v$iters p ON p.pos = cv.j GROUP BY 1),
 ei AS (SELECT SUM(v.v * cvv.cvv) AS eigval FROM cvv JOIN v$iters v USING (pos)),
-tr AS (SELECT SUM(c) AS trace FROM cv WHERE i = j)
-SELECT v.pos, ROUND(v.v, 6) AS loading,
-  ROUND((SELECT eigval FROM ei), 6) AS eigval,
-  ROUND((SELECT eigval FROM ei) / (SELECT trace FROM tr), 6) AS var_explained
-FROM v$iters v ORDER BY pos"""
+tr AS (SELECT SUM(c) AS trace FROM cv WHERE i = j)"""
     sb.toString
   }
 

@@ -661,6 +661,8 @@ object SparkEntry {
       Similarity.annRecall(GraphBuilder.table(s, d, "embeddings"))),
     "q_pca" -> ((s, d) =>
       pipeline.Pca.pcaTop(GraphBuilder.table(s, d, "embeddings"))),
+    "q_pca_project" -> ((s, d) =>
+      pipeline.Pca.pcaProject(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(GraphBuilder.table(s, d, "embeddings"))),
     // rows-only driver check (no oracleSql): iterated float k-means
@@ -1053,6 +1055,7 @@ FROM per ORDER BY user_id""",
     "q_mmr" -> PipelineOracles.mmrSql(20, 5, 7),
     "q_ann_recall" -> PipelineOracles.annRecallSql(3),
     "q_pca" -> PipelineOracles.pcaTopSql(15),
+    "q_pca_project" -> PipelineOracles.pcaProjectSql(15),
     "q_ann_lsh" -> PipelineOracles.annLshSql,
     "q_dedup_cosine" -> PipelineOracles.cosineNearDupSql(8, 0.9),
     "q_lang_id" -> PipelineOracles.langIdSql,

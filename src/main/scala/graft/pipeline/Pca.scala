@@ -52,6 +52,25 @@ object Pca {
     else pcaDistributed(covCk, iters)
   }
 
+  /** Project every vector onto the top component: coord(v) =
+    * Σ_pos (x − μ_pos)·loading_pos — the 1-D "semantic axis"
+    * coordinate used for sharding embeddings by dominant direction
+    * (and the first column of a PCA-reduced feature table). One
+    * broadcast of the (μ, loading) dim table into a per-row fold; the
+    * component itself comes from [[pcaTop]]. */
+  def pcaProject(emb: DataFrame, iters: Int = 15): DataFrame = {
+    val e = Similarity.exploded(emb)
+    val n1 = e.agg(countDistinct("vec_id").cast("double").as("n"))
+    val mu = e.groupBy("pos").agg(sum("x").as("sx"))
+      .crossJoin(broadcast(n1))
+      .select(col("pos"), (col("sx") / col("n")).as("mu"))
+    val dims = pcaTop(emb, iters).select(col("pos"), col("loading"))
+      .join(mu, Seq("pos"))
+    e.join(broadcast(dims), Seq("pos"))
+      .groupBy("vec_id")
+      .agg(round(sum((col("x") - col("mu")) * col("loading")), 6).as("coord"))
+  }
+
   /** Driver fold: identical iteration on the collected d×d array. */
   private def pcaLocal(cov: DataFrame, iters: Int): DataFrame = {
     val spark = cov.sparkSession

@@ -223,6 +223,26 @@ class DagRetrievalSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-6)
   }
 
+  test("pcaProject: coordinates align with the dominant axis") {
+    // dominant dim 1 → coord ≈ ±(x1 − μ1)
+    val emb = spark.range(40).select(col("id").as("vec_id"),
+      array(
+        ((col("id") % 3) - 1).cast("float"),
+        ((col("id") % 21) * 10 - 100).cast("float"),
+        ((col("id") % 5) - 2).cast("float")).as("embedding"))
+    val coords = graft.pipeline.Pca.pcaProject(emb, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val raw = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)(1).toDouble).toMap
+    val mu1 = raw.values.sum / raw.size
+    // same |correlation| structure: coord ≈ s·(x1−μ1) for a fixed sign s
+    val s = math.signum(coords(0L) / (raw(0L) - mu1))
+    raw.foreach { case (id, x1) =>
+      assert(math.abs(coords(id) - s * (x1 - mu1)) < 1.5,
+        s"vec $id coord ${coords(id)} vs axis ${x1 - mu1}")
+    }
+  }
+
   test("pcaTop: driver-gated fold ≡ distributed iteration") {
     val emb = GraphBuilder100
     def run = graft.pipeline.Pca.pcaTop(emb, iters = 10).collect()
