@@ -76,6 +76,16 @@ class DagRetrievalSpec extends SparkSpec {
     assert(got.forall { case (_, _, rb, rq) => rb >= 1 && rq >= 1 })
   }
 
+  test("hybridRrf: query terms absent from the corpus drop out of the QL sum") {
+    val d = docs(1L -> "alpha beta", 2L -> "alpha alpha", 3L -> "gamma")
+    // "zzz" appears nowhere: cf = 0 → excluded (ln(0) would poison QL)
+    val withAbsent = Corpus.hybridRrf(d, Seq("alpha", "zzz"), listK = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val without = Corpus.hybridRrf(d, Seq("alpha"), listK = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(withAbsent == without && withAbsent.keySet == Set(1L, 2L))
+  }
+
   test("hybridRrf: rank 0 marks a doc absent from one list") {
     val d = docs(
       1L -> "alpha alpha alpha",
