@@ -141,6 +141,7 @@ object SparkEntry {
       g(s, d).nodes.groupBy("label").agg(count(lit(1)).cast("bigint").as("cnt"))),
     "q_graph_edges" -> ((s, d) =>
       g(s, d).edges.groupBy("rel_type").agg(count(lit(1)).cast("bigint").as("cnt"))),
+    "q_graph_summary" -> ((s, d) => g(s, d).summary),
     "q_degree" -> ((s, d) =>
       g(s, d).degrees.join(g(s, d).labeled("Nation").select("id", "name"), "id")
         .select(col("id"), col("name"), col("out_degree"), col("in_degree"), col("degree"))),
@@ -790,6 +791,21 @@ object SparkEntry {
       "SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes GROUP BY label"),
     "q_graph_edges" -> (P +
       "SELECT rel_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM edges GROUP BY rel_type"),
+    "q_graph_summary" -> (P + """, ec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS self_loops
+  FROM edges),
+ nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+ pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (SELECT DISTINCT src, dst FROM edges)),
+ mo AS (SELECT CAST(MAX(c) AS BIGINT) AS max_out FROM (SELECT COUNT(*) AS c FROM edges GROUP BY src)),
+ mi AS (SELECT CAST(MAX(c) AS BIGINT) AS max_in FROM (SELECT COUNT(*) AS c FROM edges GROUP BY dst)),
+ iso AS (SELECT CAST(COUNT(*) AS BIGINT) AS isolated FROM (
+   SELECT DISTINCT id FROM nodes) n
+   WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = n.id OR e.dst = n.id))
+SELECT n_nodes, n_edges, n_edges - n_pairs AS multi_edges, self_loops,
+  max_out, max_in, isolated,
+  ROUND(CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1)), 9) AS density
+FROM nc CROSS JOIN ec CROSS JOIN pc CROSS JOIN mo CROSS JOIN mi CROSS JOIN iso"""),
     "q_degree" -> (P + """, deg AS (
   SELECT n.id, n.name,
          CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,

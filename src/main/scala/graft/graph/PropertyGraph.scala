@@ -87,6 +87,42 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     }.select(target.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** One-row whole-graph health summary: node/edge counts, multi-edge
+    * and self-loop counts, max in/out degree, isolated-node count and
+    * directed density — the dashboard row every graph store exposes
+    * (reference: the db stats surface of src/graph/db.rs) and the
+    * first sanity check after a bulk load.
+    *
+    * Scale: two map-side-combined degree groupBys, one (src, dst)
+    * distinct, one anti-join for isolation — every intermediate is
+    * edge-bounded and every result a broadcast 1-row frame. */
+  def summary: DataFrame = {
+    val e = edges.select("src", "dst")
+    val nCnt = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val eAgg = e.agg(count(lit(1)).cast("long").as("n_edges"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L))
+        .cast("long").as("self_loops"))
+    val pairs = e.distinct().agg(count(lit(1)).cast("long").as("n_pairs"))
+    val maxOut = e.groupBy("src").agg(count(lit(1)).as("c"))
+      .agg(max("c").cast("long").as("max_out"))
+    val maxIn = e.groupBy("dst").agg(count(lit(1)).as("c"))
+      .agg(max("c").cast("long").as("max_in"))
+    val endpoints = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val isolated = nodes.select("id").distinct()
+      .join(endpoints, Seq("id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("isolated"))
+    nCnt.crossJoin(broadcast(eAgg)).crossJoin(broadcast(pairs))
+      .crossJoin(broadcast(maxOut)).crossJoin(broadcast(maxIn))
+      .crossJoin(broadcast(isolated))
+      .select(col("n_nodes"), col("n_edges"),
+        (col("n_edges") - col("n_pairs")).as("multi_edges"),
+        col("self_loops"), col("max_out"), col("max_in"), col("isolated"),
+        round(col("n_edges").cast("double") /
+          (col("n_nodes").cast("double") * (col("n_nodes") - lit(1L))), 9)
+          .as("density"))
+  }
+
   def persist(): PropertyGraph = {
     nodes.persist(); edges.persist(); this
   }

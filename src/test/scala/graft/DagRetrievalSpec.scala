@@ -174,6 +174,26 @@ class DagRetrievalSpec extends SparkSpec {
         ((col("id") * 7 + j * 3) % 11).cast("float") + lit(0.1f)): _*)
         .as("embedding"))
 
+  // ---- PropertyGraph.summary ----
+
+  test("graph summary: multi-edges, self-loops, isolation, degrees, density") {
+    val nodes = Seq((1L, "A"), (2L, "A"), (3L, "B"), (9L, "B"))
+      .toDF("id", "label")
+    // 1→2 twice (multi), 2→2 (self-loop), 2→3; node 9 isolated
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("R").as("rel_type"),
+        lit(1.0).as("weight"))
+    val r = graph.PropertyGraph(nodes, e).summary.collect().head
+    assert(r.getLong(0) == 4L)  // n_nodes
+    assert(r.getLong(1) == 4L)  // n_edges
+    assert(r.getLong(2) == 1L)  // multi_edges (the duplicated 1→2)
+    assert(r.getLong(3) == 1L)  // self_loops
+    assert(r.getLong(4) == 2L)  // max_out (nodes 1 and 2 both emit 2)
+    assert(r.getLong(5) == 3L)  // max_in (node 2: 1→2 ×2 + 2→2)
+    assert(r.getLong(6) == 1L)  // isolated (node 9)
+    assert(math.abs(r.getDouble(7) - 4.0 / 12.0) < 1e-9)
+  }
+
   // ---- SimRank ----
 
   test("simRank: identity diagonal; symmetric pair converges to known value") {
