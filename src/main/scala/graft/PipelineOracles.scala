@@ -890,6 +890,17 @@ l$k AS MATERIALIZED (SELECT l.anchor_id, l.user_id, l.t1, MIN(e.ts) AS cur
  FROM $table"""
     }.mkString("\nUNION ALL\n")
 
+  /** String-profile mirror: cardinality + length shape per column. */
+  def stringProfileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+ CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+ CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+ ROUND(AVG(len($c)), 6) AS avg_len,
+ CAST(MIN(len($c)) AS BIGINT) AS min_len, CAST(MAX(len($c)) AS BIGINT) AS max_len
+ FROM $table"""
+    }.mkString("\nUNION ALL\n")
+
   /** Z-order audit mirror: the same exact-integer min-max quantization
     * and the identical bit-interleave sum (generated from the same
     * loop), top-bit bucketing over lineitem. */

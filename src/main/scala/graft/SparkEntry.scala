@@ -633,6 +633,9 @@ object SparkEntry {
     "q_profile" -> ((s, d) =>
       ops.Profile.numericProfile(GraphBuilder.table(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_profile_str" -> ((s, d) =>
+      ops.Profile.stringProfile(GraphBuilder.table(s, d, "documents"),
+        Seq("lang", "source", "text"))),
     "q_ppl_buckets" -> ((s, d) =>
       Corpus.pplBuckets(GraphBuilder.table(s, d, "documents"))),
     "q_cube" -> ((s, d) =>
@@ -1039,6 +1042,8 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
 FROM c ORDER BY 1, 2""",
     "q_profile" -> PipelineOracles.numericProfileSql(
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "q_profile_str" -> PipelineOracles.stringProfileSql(
+      "documents", Seq("lang", "source", "text")),
     "q_ppl_buckets" -> PipelineOracles.pplBucketsSql(3),
     "q_funnel_steps" -> PipelineOracles.funnelStepsSql(
       Seq("signup", "view", "click", "purchase"), 168),

@@ -460,6 +460,20 @@ class DagRetrievalSpec extends SparkSpec {
     assert(y.getDouble(3) == 20.0)
   }
 
+  test("stringProfile: cardinality and length shape per column") {
+    val d = Seq(
+      (Some("en"), "abc"), (Some("en"), "a"), (None, "abcdef"))
+      .toDF("lang", "text")
+    val got = graft.ops.Profile.stringProfile(d, Seq("lang", "text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lang = got("lang")
+    assert(lang.getLong(1) == 2L && lang.getLong(2) == 1L && lang.getLong(3) == 1L)
+    val text = got("text")
+    assert(text.getLong(3) == 3L)
+    assert(math.abs(text.getDouble(4) - 10.0 / 3) < 1e-6)
+    assert(text.getLong(5) == 1L && text.getLong(6) == 6L)
+  }
+
   test("numericProfile plans a single scan (one pass for all columns)") {
     val df = graft.ops.Profile.numericProfile(
       graph.GraphBuilder.table(spark, sfDir, "lineitem"),
