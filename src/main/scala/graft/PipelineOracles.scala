@@ -890,6 +890,33 @@ l$k AS MATERIALIZED (SELECT l.anchor_id, l.user_id, l.t1, MIN(e.ts) AS cur
  FROM $table"""
     }.mkString("\nUNION ALL\n")
 
+  /** Set-similarity-join mirror: same rarest-first total order, the
+    * same integer prefix length ((p·L + q−1) // q) and the same
+    * cross-multiplied integer threshold. */
+  def setSimJoinSql(tauNum: Int, tauDen: Int,
+                    source: String = "src0"): String =
+    s"""WITH tk AS MATERIALIZED (SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE source = '$source')
+  WHERE term <> ''),
+df AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tk GROUP BY 1),
+rk AS MATERIALIZED (SELECT tk.doc_id, tk.term,
+  ROW_NUMBER() OVER (PARTITION BY tk.doc_id ORDER BY df.df ASC, tk.term ASC) AS rn,
+  COUNT(*) OVER (PARTITION BY tk.doc_id) AS cnt
+  FROM tk JOIN df ON df.term = tk.term),
+pfx AS MATERIALIZED (SELECT term, doc_id, cnt FROM rk
+  WHERE rn <= cnt - (($tauNum * cnt + ${tauDen - 1}) // $tauDen) + 1),
+cand AS MATERIALIZED (SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b,
+    pa.cnt AS ca, pb.cnt AS cb
+  FROM pfx pa JOIN pfx pb ON pa.term = pb.term AND pa.doc_id < pb.doc_id),
+ov AS (SELECT c.a, c.b, c.ca, c.cb, COUNT(*) AS inter
+  FROM cand c JOIN tk ta ON ta.doc_id = c.a
+  JOIN tk tb ON tb.doc_id = c.b AND tb.term = ta.term
+  GROUP BY 1, 2, 3, 4)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (ca + cb - inter), 6) AS jaccard
+FROM ov WHERE inter * $tauDen >= $tauNum * (ca + cb - inter)
+ORDER BY a, b"""
+
   /** String-profile mirror: cardinality + length shape per column. */
   def stringProfileSql(table: String, cols: Seq[String]): String =
     cols.map { c =>

@@ -501,6 +501,13 @@ object SparkEntry {
       Dedup.exact(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsCached(s, d)),
+    // scoped to one source — the within-source dedup scope an exact
+    // join actually runs at (the synthetic corpus's shared vocabulary
+    // makes the whole-corpus TRUE answer near-quadratic: ~71k pairs at
+    // sf0.01 already; exactness means producing all of them)
+    "q_setsim_join" -> ((s, d) =>
+      Dedup.setSimJoin(GraphBuilder.table(s, d, "documents")
+        .filter(col("source") === "src0"))),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(GraphBuilder.table(s, d, "documents"),
         hashedIn = Some(hashedShinglesCached(s, d)))),
@@ -957,6 +964,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_dedup_exact" -> PipelineOracles.dedupExactSql,
     "q_dedup_minhash" -> PipelineOracles.dedupMinhashSql,
     "q_dedup_simhash" -> PipelineOracles.dedupSimhashSql,
+    "q_setsim_join" -> PipelineOracles.setSimJoinSql(3, 5),
     "q_dedup_clusters" -> PipelineOracles.dedupClustersSql,
     "q_containment" -> PipelineOracles.containmentSql,
     "q_sample_hash" -> PipelineOracles.hashSampleSql(10),

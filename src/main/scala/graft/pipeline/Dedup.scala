@@ -242,6 +242,62 @@ object Dedup {
     * vector ids are aligned in the corpus. Two hash joins on the pair
     * endpoints + one fused array_cosine per pair + a ≤20-bucket
     * aggregation — shuffle bounded by |pairs|. */
+  /** EXACT set-similarity join with prefix filtering (PPJoin family,
+    * Xiao et al., WWW 2008): every document pair whose token-SET
+    * Jaccard is ≥ τ (= tauNum/tauDen) — no probabilistic recall loss,
+    * the exact counterpart to the MinHash/SimHash candidate
+    * generators and the final arbiter when a dedup pipeline needs a
+    * guarantee.
+    *
+    * Prefix filter: tokens totally ordered rarest-first (df asc, term
+    * tiebreak); a document of L distinct tokens exposes only its first
+    * L − ⌈τ·L⌉ + 1 tokens. Any pair with J ≥ τ shares ≥ ⌈τ·L⌉ tokens
+    * of EITHER side, so its prefixes must collide — completeness by
+    * the standard pigeonhole argument, and the exposed tokens are by
+    * construction the rarest, so candidate buckets stay small.
+    * Candidates are verified with an exact overlap count and the
+    * integer cross-multiplied threshold inter·q ≥ p·(|A|+|B|−inter) —
+    * no float compare anywhere, so both engines agree bit-for-bit.
+    * τ is a rational (p, q) and ⌈p·L/q⌉ folds as (p·L + q − 1) DIV q:
+    * exact integers end to end.
+    *
+    * Scale: one token distinct, one broadcast df join, per-doc window
+    * rank; candidate generation is a self-join on PREFIX tokens only
+    * (rare by construction — the algorithm's own skew defense);
+    * verification moves Σ|A| rows over the candidate set, which is
+    * output-bound like every exact join. */
+  def setSimJoin(docs: DataFrame, tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      "setSimJoin needs 0 < tauNum/tauDen <= 1")
+    val w = org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct().localCheckpoint()
+    val dfT = tk.groupBy("term").agg(count(lit(1)).as("df"))
+    val ranked = tk.join(broadcast(dfT), Seq("term"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("doc_id").orderBy(col("df").asc, col("term").asc)))
+      .withColumn("cnt", count(lit(1)).over(w.partitionBy("doc_id")))
+    val prefix = ranked.filter(col("rn") <=
+        col("cnt") - expr(s"(($tauNum * cnt + ${tauDen - 1}) DIV $tauDen)") + 1)
+      .select("term", "doc_id", "cnt")
+    val cand = prefix.select(col("term"), col("doc_id").as("a"), col("cnt").as("ca"))
+      .join(prefix.select(col("term"), col("doc_id").as("b"), col("cnt").as("cb")),
+        Seq("term"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ca", "cb").distinct()
+    val inter = cand
+      .join(tk.select(col("doc_id").as("a"), col("term")), Seq("a"))
+      .join(tk.select(col("doc_id").as("b"), col("term")), Seq("b", "term"))
+      .groupBy("a", "b", "ca", "cb").agg(count(lit(1)).as("inter"))
+    inter
+      .filter(col("inter") * lit(tauDen.toLong) >=
+        lit(tauNum.toLong) * (col("ca") + col("cb") - col("inter")))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("ca") + col("cb") - col("inter")), 6).as("jaccard"))
+  }
+
   def semanticAudit(pairs: DataFrame, emb: DataFrame): DataFrame = {
     graft.sql.ArrayCosine.register(emb.sparkSession)
     pairs

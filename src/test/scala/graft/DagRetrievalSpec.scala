@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.algorithms.Dag
-import graft.pipeline.{Corpus, Similarity}
+import graft.pipeline.{Corpus, Dedup, Similarity}
 import graft.streaming.EventStreams
 
 /** Round-8 additions: DAG longest-path kernels, hybrid RRF retrieval,
@@ -98,6 +98,41 @@ class DagRetrievalSpec extends SparkSpec {
     assert(got.forall { case (_, rb, rq) => rb <= 1 && rq <= 1 })
     assert(got.exists { case (_, rb, rq) => rb == 0 || rq == 0 } ||
       got.size == 1)
+  }
+
+  // ---- Dedup.setSimJoin ----
+
+  test("setSimJoin: exact pairs on a known example") {
+    val d = docs(
+      1L -> "a b c d e",   // J(1,2) = 4/6 = 0.667 ≥ 0.6
+      2L -> "a b c d x",
+      3L -> "a b z w q",   // J(1,3) = 2/8 = 0.25
+      4L -> "a b c d e")   // J(1,4) = 1.0
+    val got = Dedup.setSimJoin(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got((1L, 4L)) == 1.0)
+    assert(math.abs(got((1L, 2L)) - 0.666667) < 1e-9)
+  }
+
+  test("setSimJoin: prefix filter is COMPLETE vs brute force on random sets") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    val d = docs((1L to 30L).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }: _*)
+    val sets = d.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size
+      union = sets(a).size + sets(b).size - inter
+      if inter * 5 >= 3 * union
+    } yield (a, b)).toSet
+    val got = Dedup.setSimJoin(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missing=${brute.diff(got)} extra=${got.diff(brute)}")
   }
 
   // ---- EventStreams.retention ----
