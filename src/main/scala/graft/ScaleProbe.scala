@@ -146,6 +146,12 @@ object ScaleProbe {
         time("zorder")(graft.ops.ZOrder.zorderStats(
           events.select(col("user_id"), col("event_id")),
           "user_id", "event_id", 8, 6)),
+        // replicas of src0 docs are near-dups of each other → the TRUE
+        // pair set grows ~K² — the designed output-bound contrast
+        // (like dedup_clusters/containment); candidate generation
+        // itself rides the prefix buckets
+        time("setsim_join")(Dedup.setSimJoin(
+          docs.filter(col("source") === "src0"))),
         // one user-keyed window + a ≤|types|²-key count — ~linear
         time("transitions")(graft.streaming.EventStreams
           .eventTransitions(events)),
