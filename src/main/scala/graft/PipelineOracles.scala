@@ -890,6 +890,53 @@ l$k AS MATERIALIZED (SELECT l.anchor_id, l.user_id, l.t1, MIN(e.ts) AS cur
  FROM $table"""
     }.mkString("\nUNION ALL\n")
 
+  /** Exact-integer IVF mirror: the same quantization, the k-means
+    * unrolled with integer squared distances, floor-division means
+    * and (dist, cid)/(dist, vid) tie rules — every value BIGINT, so
+    * the driver hash check passes exactly. */
+  def annIvfExactSql(k: Int, iters: Int, nprobe: Int, topK: Int,
+                     scale: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH iv AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos,
+    CAST(floor(embedding[i]::DOUBLE * $scale) AS BIGINT) AS xi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+c0 AS (SELECT vec_id - 10 AS cid, pos, xi AS c FROM iv
+  WHERE vec_id >= 10 AND vec_id < ${10 + k})""")
+    for (t <- 1 to iters) {
+      sb ++= s""",
+d$t AS MATERIALIZED (SELECT iv.vec_id, c.cid,
+  SUM((iv.xi - c.c) * (iv.xi - c.c)) AS dist
+  FROM iv JOIN c${t - 1} c ON c.pos = iv.pos GROUP BY 1, 2),
+a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d$t)
+  WHERE rn = 1),
+c$t AS MATERIALIZED (SELECT a.cid, iv.pos,
+  CAST(SUM(iv.xi) // COUNT(*) AS BIGINT) AS c
+  FROM a$t a JOIN iv ON iv.vec_id = a.vec_id GROUP BY 1, 2)"""
+    }
+    sb ++= s""",
+fd AS MATERIALIZED (SELECT iv.vec_id, c.cid,
+  SUM((iv.xi - c.c) * (iv.xi - c.c)) AS dist
+  FROM iv JOIN c$iters c ON c.pos = iv.pos GROUP BY 1, 2),
+fr AS MATERIALIZED (SELECT vec_id, cid, ROW_NUMBER() OVER (
+  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM fd),
+mem AS (SELECT vec_id AS vid, cid FROM fr WHERE rn = 1 AND vec_id >= 10),
+pc AS (SELECT vec_id AS qid, cid FROM fr WHERE rn <= $nprobe AND vec_id < 10),
+cand AS MATERIALIZED (SELECT DISTINCT pc.qid, mem.vid
+  FROM pc JOIN mem ON mem.cid = pc.cid),
+dst AS (SELECT c.qid, c.vid, SUM((q.xi - m.xi) * (q.xi - m.xi)) AS dist
+  FROM cand c JOIN iv q ON q.vec_id = c.qid
+  JOIN iv m ON m.vec_id = c.vid AND m.pos = q.pos
+  GROUP BY 1, 2)
+SELECT qid, vid, CAST(dist AS BIGINT) AS dist, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT qid, vid, dist, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dist ASC, vid ASC) AS rnk FROM dst)
+WHERE rnk <= $topK ORDER BY qid, rnk"""
+    sb.toString
+  }
+
   /** Set-similarity-join mirror: same rarest-first total order, the
     * same integer prefix length ((p·L + q−1) // q) and the same
     * cross-multiplied integer threshold. */

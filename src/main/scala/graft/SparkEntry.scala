@@ -670,6 +670,8 @@ object SparkEntry {
       Similarity.mmrRerank(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(GraphBuilder.table(s, d, "embeddings"))),
+    "q_ann_ivf_exact" -> ((s, d) =>
+      Similarity.annIvfExact(GraphBuilder.table(s, d, "embeddings"))),
     "q_pca" -> ((s, d) =>
       pipeline.Pca.pcaTop(GraphBuilder.table(s, d, "embeddings"))),
     "q_pca_project" -> ((s, d) =>
@@ -1083,6 +1085,7 @@ FROM per ORDER BY user_id""",
     "q_cosine_topk" -> PipelineOracles.cosineTopKSql,
     "q_mmr" -> PipelineOracles.mmrSql(20, 5, 7),
     "q_ann_recall" -> PipelineOracles.annRecallSql(3),
+    "q_ann_ivf_exact" -> PipelineOracles.annIvfExactSql(8, 3, 2, 3, 1000),
     "q_pca" -> PipelineOracles.pcaTopSql(15),
     "q_pca_project" -> PipelineOracles.pcaProjectSql(15),
     "q_ann_lsh" -> PipelineOracles.annLshSql,

@@ -441,6 +441,87 @@ object Similarity {
         expr("array_max(_q)").as("qmax"))
   }
 
+  /** IVF ANN in EXACT INTEGER arithmetic: vectors quantized to
+    * floor(x·scale) BIGINTs, k-means iterated with integer squared
+    * distances and floor-division means, probes scanning the `nprobe`
+    * nearest cells — every step deterministic and engine-stable, so
+    * unlike the float [[annIvf]] (whose centroids aren't bit-stable
+    * across engines → rows-only check) this variant is fully
+    * DuckDB-oracle-able, hash check included. The quantization is the
+    * same int8/int16-style discretization production ANN indexes
+    * apply before clustering anyway.
+    *
+    * Scale: assignment is the n·k·d fold every IVF build pays
+    * (map-side-combined, shuffles n·k rows per iteration); the probe
+    * phase scans nprobe/k of the corpus per query. Ties break on
+    * centroid id / vector id. Centroids init from vec_ids
+    * [probeMax, probeMax+k) — a fixed deterministic seed rule. */
+  def annIvfExact(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                  nprobe: Int = 2, topK: Int = 3, probeMax: Long = 10L,
+                  scale: Int = 1000): DataFrame = {
+    require(k >= 1 && iters >= 1 && nprobe >= 1 && nprobe <= k,
+      "annIvfExact needs 1 <= nprobe <= k and iters >= 1")
+    val iv = exploded(emb)
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(scale)).cast("long").as("xi"))
+      .localCheckpoint()
+    var ct = iv.filter(col("vec_id") >= probeMax && col("vec_id") < probeMax + k)
+      .select((col("vec_id") - probeMax).as("cid"), col("pos"), col("xi").as("c"))
+      .localCheckpoint()
+    def assign(vecs: DataFrame, cts: DataFrame): DataFrame = {
+      val d = vecs.join(cts, Seq("pos"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("xi") - col("c")) * (col("xi") - col("c"))).as("dist"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cid").asc)
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "cid", "dist")
+    }
+    for (_ <- 1 to iters) {
+      val a = assign(iv, ct)
+      // integer mean = sum/count TRUNCATED TOWARD ZERO (the long cast
+      // of the double quotient): DuckDB's integer `//` truncates, NOT
+      // floors (−7 // 2 = −3), so a floor() here would drift one unit
+      // low on every negative-sum dimension and the clusterings would
+      // diverge — measured, not hypothetical. Exact while sums stay
+      // < 2^52.
+      ct = a.select("vec_id", "cid").join(iv, Seq("vec_id"))
+        .groupBy("cid", "pos")
+        .agg((sum("xi") / count(lit(1))).cast("long").as("c"))
+        .localCheckpoint()
+    }
+    val members = assign(iv, ct)
+    val probes = iv.filter(col("vec_id") < probeMax)
+    val probeCells = assignTop(probes, ct, nprobe)
+    val corpusCells = members.filter(col("vec_id") >= probeMax)
+      .select(col("vec_id").as("vid"), col("cid"))
+    val cand = probeCells.select(col("vec_id").as("qid"), col("cid"))
+      .join(corpusCells, Seq("cid"))
+      .select("qid", "vid").distinct()
+    val dists = cand
+      .join(iv.select(col("vec_id").as("qid"), col("pos"), col("xi").as("xq")),
+        Seq("qid"))
+      .join(iv.select(col("vec_id").as("vid"), col("pos"), col("xi").as("xm")),
+        Seq("vid", "pos"))
+      .groupBy("qid", "vid")
+      .agg(sum((col("xq") - col("xm")) * (col("xq") - col("xm"))).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+    dists.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("qid", "vid", "dist", "rnk")
+  }
+
+  /** Top-`nprobe` nearest centroids per vector (integer distances,
+    * (dist, cid) tie order). */
+  private def assignTop(vecs: DataFrame, cts: DataFrame, nprobe: Int): DataFrame = {
+    val d = vecs.join(cts, Seq("pos"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("xi") - col("c")) * (col("xi") - col("c"))).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") <= nprobe)
+      .select("vec_id", "cid")
+  }
+
   /** ANN quality audit: per-probe recall@k of the LSH index against
     * the brute-force ground truth — the number every ANN deployment
     * tracks before trusting the index at scale (a recall regression

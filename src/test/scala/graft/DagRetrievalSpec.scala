@@ -269,6 +269,31 @@ class DagRetrievalSpec extends SparkSpec {
     got2.foreach(v => assert(math.abs(v - 10.0 / 9.0) < 1e-7))
   }
 
+  // ---- Similarity.annIvfExact ----
+
+  test("annIvfExact: nprobe = k scans every cell — exact integer top-k") {
+    val emb = GraphBuilder100
+    val full = graft.pipeline.Similarity
+      .annIvfExact(emb, k = 4, nprobe = 4, topK = 3, probeMax = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    // brute force in exact integer space
+    val iv = graft.pipeline.Similarity.exploded(emb)
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(1000)).cast("long").as("xi"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    for (q <- 0L until 3L) {
+      val exact = iv.keys.filter(_ >= 3L).toSeq.map { v =>
+        v -> iv(q).map { case (p, x) =>
+          val d = x - iv(v)(p); d * d
+        }.sum
+      }.sortBy { case (v, d) => (d, v) }.take(3).map(_._1)
+      exact.zipWithIndex.foreach { case (vid, i) =>
+        assert(full((q, i + 1L)) == vid, s"probe $q rank ${i + 1}")
+      }
+    }
+  }
+
   // ---- pipeline.Pca ----
 
   test("pcaTop: recovers the dominant axis of anisotropic data") {
