@@ -97,22 +97,27 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * distinct, one anti-join for isolation — every intermediate is
     * edge-bounded and every result a broadcast 1-row frame. */
   def summary: DataFrame = {
-    val e = edges.select("src", "dst")
+    // ONE pass over the raw edge table (the (src, dst) multiplicity
+    // frame); every other statistic derives from that much smaller
+    // aggregate, so the plan is 1 big shuffle + 3 pair-frame shuffles
+    // + the isolation anti-join.
+    val pc = edges.groupBy("src", "dst").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
     val nCnt = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
-    val eAgg = e.agg(count(lit(1)).cast("long").as("n_edges"),
-      sum(when(col("src") === col("dst"), 1L).otherwise(0L))
+    val eAgg = pc.agg(sum("m").cast("long").as("n_edges"),
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum(when(col("src") === col("dst"), col("m")).otherwise(0L))
         .cast("long").as("self_loops"))
-    val pairs = e.distinct().agg(count(lit(1)).cast("long").as("n_pairs"))
-    val maxOut = e.groupBy("src").agg(count(lit(1)).as("c"))
+    val maxOut = pc.groupBy("src").agg(sum("m").as("c"))
       .agg(max("c").cast("long").as("max_out"))
-    val maxIn = e.groupBy("dst").agg(count(lit(1)).as("c"))
+    val maxIn = pc.groupBy("dst").agg(sum("m").as("c"))
       .agg(max("c").cast("long").as("max_in"))
-    val endpoints = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val endpoints = pc.select(col("src").as("id"))
+      .unionByName(pc.select(col("dst").as("id"))).distinct()
     val isolated = nodes.select("id").distinct()
       .join(endpoints, Seq("id"), "left_anti")
       .agg(count(lit(1)).cast("long").as("isolated"))
-    nCnt.crossJoin(broadcast(eAgg)).crossJoin(broadcast(pairs))
+    nCnt.crossJoin(broadcast(eAgg))
       .crossJoin(broadcast(maxOut)).crossJoin(broadcast(maxIn))
       .crossJoin(broadcast(isolated))
       .select(col("n_nodes"), col("n_edges"),
