@@ -647,6 +647,8 @@ object SparkEntry {
       Corpus.pplBuckets(GraphBuilder.table(s, d, "documents"))),
     "q_cube" -> ((s, d) =>
       Corpus.sourceLangCube(GraphBuilder.table(s, d, "documents"))),
+    "q_gini" -> ((s, d) =>
+      Corpus.sourceGini(GraphBuilder.table(s, d, "documents"))),
     "q_zorder" -> ((s, d) =>
       ops.ZOrder.zorderStats(GraphBuilder.table(s, d, "lineitem"),
         "l_partkey", "l_suppkey", 8, 6)),
@@ -1075,6 +1077,13 @@ SELECT user_id, recency_s, frequency, monetary,
        NTILE(5) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS segment
 FROM per ORDER BY user_id""",
     "q_cube" -> PipelineOracles.sourceLangCubeSql,
+    // same rank-formula op order: (2.0·iw)/(k·tot) − (k+1.0)/k
+    "q_gini" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+ rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n ASC, source ASC) AS i FROM per),
+ ag AS (SELECT COUNT(*) AS k, SUM(n) AS tot, SUM(i * n) AS iw FROM rk)
+SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
+  CAST(k AS BIGINT) AS n_sources, CAST(tot AS BIGINT) AS n_docs FROM ag""",
     "q_zorder" -> PipelineOracles.zorderStatsSql(8, 6),
     "q_embed_centroids" -> PipelineOracles.embedCentroidsSql,
     "q_embed_stats" -> PipelineOracles.embedStatsSql,

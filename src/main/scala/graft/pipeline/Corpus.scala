@@ -303,6 +303,27 @@ object Corpus {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Gini coefficient of the per-source document distribution — the
+    * single-number imbalance metric a mix designer tracks (0 = every
+    * source equal, → 1 = one source dominates), via the rank formula
+    * G = 2·Σᵢ i·xᵢ / (k·Σx) − (k+1)/k over ascending-sorted source
+    * counts.
+    *
+    * Scale: one map-side-combined groupBy(source); the rank window and
+    * final fold run on the k-row source frame. */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").asc, col("source").asc)
+    per.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("k"), sum("n").as("tot"),
+        sum(col("i") * col("n")).as("iw"))
+      .select(
+        round((lit(2.0) * col("iw")) / (col("k") * col("tot")) -
+          (col("k") + lit(1.0)) / col("k"), 6).as("gini"),
+        col("k").cast("long").as("n_sources"),
+        col("tot").cast("long").as("n_docs"))
+  }
+
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): rank every
     * document by its unigram-LM score ([[lmScore]] nll — low = fluent/
     * common, high = rare/noisy) and split the corpus into `nBuckets`

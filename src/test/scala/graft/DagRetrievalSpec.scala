@@ -393,6 +393,21 @@ class DagRetrievalSpec extends SparkSpec {
     assert(headDocs == sorted.take(3).toSet)
   }
 
+  // ---- Corpus.sourceGini ----
+
+  test("sourceGini: 0 for perfectly balanced sources, rises with skew") {
+    def corpus(counts: (String, Int)*): DataFrame =
+      counts.flatMap { case (s, n) => (1 to n).map(i => (s, i)) }
+        .zipWithIndex.map { case ((s, _), id) => (id.toLong, s, "x") }
+        .toDF("doc_id", "source", "text")
+    val eq = Corpus.sourceGini(corpus("a" -> 5, "b" -> 5, "c" -> 5))
+      .collect().head
+    assert(eq.getDouble(0) == 0.0 && eq.getLong(1) == 3L && eq.getLong(2) == 15L)
+    val skew = Corpus.sourceGini(corpus("a" -> 1, "b" -> 1, "c" -> 13))
+      .collect().head.getDouble(0)
+    assert(skew > 0.5)
+  }
+
   // ---- Corpus.sourceLangCube ----
 
   test("sourceLangCube: all four grouping sets with sentinel + gid") {
