@@ -104,8 +104,17 @@ object Bench {
     val ctl = ratios.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = (builds ++ results).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""controls_ok":$controlsOk,"control_ratios":$ctl,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""controls_ok":$controlsOk,"control_ratios":$ctl,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the artifact: the driver captures only a bounded tail
+    // of stdout, which truncated the one-line JSON mid-map two rounds
+    // running (BENCH_r07/r08 "parsed": null). A file survives any tail
+    // length — same pattern as Verify's oracle_sql.json dump.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.writeString(outPath, json + "\n")
+    System.err.println(s"bench json written to ${outPath.toAbsolutePath}")
     spark.stop()
   }
 }

@@ -628,12 +628,22 @@ object Centrality {
     idArr.foreach(idx.ix)
     val srcIx = srcL.map(idx.ix); val dstIx = dstL.map(idx.ix)
     val u = idx.size
+    // Universe ids were interned first, so indices < nUniv are exactly
+    // the node universe. The distributed loop carries x only on universe
+    // ids (idsCk left join each iteration), so edges whose src is an
+    // edge-only endpoint contribute NOTHING there — mirror that here by
+    // guarding the accumulate, or the regimes diverge whenever edges
+    // reference ids outside `nodes` (cf. eigenvectorLocal's zeroing).
+    val nUniv = idArr.length
     var x = Array.fill(u)(1.0)
     val m = srcIx.length
     for (_ <- 1 to iterations) {
       val nx = new Array[Double](u)
       var k = 0
-      while (k < m) { nx(dstIx(k)) += x(srcIx(k)); k += 1 }
+      while (k < m) {
+        if (srcIx(k) < nUniv) nx(dstIx(k)) += x(srcIx(k))
+        k += 1
+      }
       var i = 0
       while (i < u) { nx(i) = 1.0 + alpha * nx(i); i += 1 }
       x = nx

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * A cyclic input cannot converge; the round cap throws instead of
   * spinning, which doubles as distributed cycle detection (a clean
-  * finish certifies acyclicity of the reachable subgraph).
+  * finish certifies acyclicity of the reachable subgraph). That
+  * certification requires strictly positive weights — a zero-weight
+  * cycle improves nothing and would converge silently — so weights are
+  * validated w ≥ 1 up front (free: the min rides the edge materialize).
   */
 object Dag {
 
@@ -38,10 +41,19 @@ object Dag {
     * integer fixpoint (regime-pinned). */
   def longestPaths(nodes: DataFrame, edges: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, "longestPaths needs maxRounds >= 1")
-    // Materialize the edge view once — it is re-joined every round.
+    // Materialize the edge view once — it is re-joined every round. The
+    // min-weight probe rides the same job: the acyclicity certification
+    // below (clean finish ⇒ no cycle) is only sound for strictly
+    // positive weights — a zero-weight cycle converges without throwing
+    // — so reject w < 1 up front rather than silently weakening the
+    // guarantee.
     val (e, mE) = Probe.checkpointObserved(
       edges.select(col("src"), col("dst"), col("w").cast("long").as("w")),
-      count(lit(1)).as("m"))
+      count(lit(1)).as("m"), min(col("w")).as("wmin"))
+    require(mE("m").asInstanceOf[Long] == 0L ||
+        mE("wmin").asInstanceOf[Long] >= 1L,
+      "longestPaths needs strictly positive integer weights (w >= 1): " +
+        "a zero-weight cycle would converge and defeat cycle detection")
     val (n0, mN) = Probe.checkpointObserved(
       nodes.select(col("id")).distinct(), count(lit(1)).as("n"))
     if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold &&

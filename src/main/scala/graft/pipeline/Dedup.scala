@@ -270,11 +270,21 @@ object Dedup {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       "setSimJoin needs 0 < tauNum/tauDen <= 1")
     val w = org.apache.spark.sql.expressions.Window
-    val tk = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "").distinct().localCheckpoint()
+    val (tk, mTk) = graft.algorithms.Probe.checkpointObserved(
+      docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "").distinct(),
+      count(lit(1)).as("n"))
     val dfT = tk.groupBy("term").agg(count(lit(1)).as("df"))
-    val ranked = tk.join(broadcast(dfT), Seq("term"))
+    // Vocab frame ≤ |tk| rows: broadcast only when the (doc, term) set
+    // itself is gate-small — a web-scale vocabulary must shuffle-join,
+    // not be shipped to every executor (same discipline as
+    // LinkPrediction's degree side).
+    val dfSide =
+      if (mTk("n").asInstanceOf[Long] <= graft.algorithms.Tuning.broadcastThreshold)
+        broadcast(dfT)
+      else dfT
+    val ranked = tk.join(dfSide, Seq("term"))
       .withColumn("rn", row_number().over(
         w.partitionBy("doc_id").orderBy(col("df").asc, col("term").asc)))
       .withColumn("cnt", count(lit(1)).over(w.partitionBy("doc_id")))

@@ -50,6 +50,16 @@ class DagRetrievalSpec extends SparkSpec {
     assert(ex.getMessage.contains("cycle"))
   }
 
+  test("longestPaths: zero/negative weights rejected (acyclicity cert needs w >= 1)") {
+    // A zero-weight cycle converges without improving — it would defeat
+    // the clean-finish-certifies-acyclicity contract, so w < 1 throws.
+    val e = wedges((1L, 2L, 0L), (2L, 1L, 0L))
+    val ex = intercept[IllegalArgumentException] {
+      Dag.longestPaths(ids(1, 2), e, 8).collect()
+    }
+    assert(ex.getMessage.contains("positive"))
+  }
+
   // ---- Corpus.hybridRrf ----
 
   private def docs(rows: (Long, String)*): DataFrame =
