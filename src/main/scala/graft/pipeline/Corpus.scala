@@ -330,19 +330,61 @@ object Corpus {
     * equal tiers (head/middle/tail for 3). The standard coarse quality
     * partition used to mix "cleanliness" strata into a training set.
     *
-    * Scale: the scoring is [[lmScore]]'s bounded plan; the exact NTILE
-    * here needs a total order (Spark collapses the unpartitioned window
-    * to one task — fine to tens of millions of scored docs since only
-    * (doc_id, nll) rows sort). At 100 TB the production path is the
-    * suite's quantile-threshold form (approx thresholds broadcast into
-    * a map-side bucket join, cf. [[qualityQuantiles]]); the exact tier
-    * split stays the definition both agree on. NTILE order is
-    * (nll, doc_id) — unique, so the split is engine-stable. */
+    * Scale: the scoring is [[lmScore]]'s bounded plan. The tier split
+    * is dual-regime like the iterative kernels: under
+    * [[graft.algorithms.Tuning.broadcastThreshold]] the exact NTILE
+    * runs as one total-order window (fine for a gate-small scored
+    * frame, and the regime the DuckDB oracle can mirror); past the
+    * gate the SAME assignment is computed without any single-partition
+    * window — range-repartition on (nll, doc_id), count rows per range
+    * partition (≤ `shuffle.partitions` rows to the driver), broadcast
+    * the cumulative offsets back, and derive each row's exact global
+    * rank from offset + within-partition row_number. Rank → tier is
+    * then pure integer arithmetic (NTILE's quota formula), so both
+    * regimes emit bit-identical buckets on the unique (nll, doc_id)
+    * order — regime parity is pinned in ShuffleRegimeSpec. Exactness
+    * does not depend on where the range sampler places boundaries:
+    * offsets are computed from the ACTUAL partition sizes. */
   def pplBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, "pplBuckets needs nBuckets >= 2")
-    val w = Window.orderBy(col("nll").asc, col("doc_id").asc)
-    lmScore(docs)
-      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    val (scored, mS) = graft.algorithms.Probe.checkpointObserved(
+      lmScore(docs), count(lit(1)).as("n"))
+    val n = mS("n").asInstanceOf[Long]
+    if (n <= graft.algorithms.Tuning.broadcastThreshold) {
+      val w = Window.orderBy(col("nll").asc, col("doc_id").asc)
+      scored.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    } else {
+      val spark = scored.sparkSession
+      val p = spark.sessionState.conf.numShufflePartitions
+      // Pin partition ids with the checkpoint: spark_partition_id is
+      // only meaningful on the materialized range layout.
+      val ranged = scored
+        .repartitionByRange(p, col("nll").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val sizes = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+        acc + sizes.getOrElse(i, 0L))
+      import spark.implicits._
+      val offDf = broadcast(
+        (0 until p).map(i => (i, offsets(i))).toDF("pid", "off"))
+      val wp = Window.partitionBy("pid")
+        .orderBy(col("nll").asc, col("doc_id").asc)
+      // NTILE quota: first n%b tiers get n/b+1 rows, the rest n/b.
+      val q = n / nBuckets
+      val r0 = n % nBuckets
+      val cut = r0 * (q + 1)
+      val qSafe = math.max(q, 1L) // else-branch unreachable when q=0
+      ranged.join(offDf, Seq("pid"))
+        .withColumn("rk", row_number().over(wp).cast("long") + col("off"))
+        .withColumn("bucket",
+          when(col("rk") <= cut,
+            expr(s"(rk + $q) DIV ${q + 1}"))
+            .otherwise(lit(r0) + expr(s"(rk - $cut + $qSafe - 1) DIV $qSafe"))
+            .cast("long"))
+        .select(col("doc_id"), col("nll"), col("bucket"))
+    }
   }
 
   /** Source × language CUBE rollup: doc counts and character volume at

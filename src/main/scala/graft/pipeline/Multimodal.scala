@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   * Graphics2D scale + PNG re-encode — and so is AUDIO decode:
   * WAV/AIFF/AU via `javax.sound.sampled` (also JDK-native), with
   * frames/rate/channels from the container and RMS + zero-crossings
-  * computed from the actual PCM stream. Payloads no JDK reader accepts
-  * (arbitrary bytes, plus video, which has no JDK codec) fall
-  * back to `decodeStub` — a deterministic fake derived from the bytes,
-  * kept so the pipeline shape is exercisable on synthetic payloads;
-  * swap it for a media library (javacv etc.) without touching the
-  * surrounding plumbing.
+  * computed from the actual PCM stream — and so is VIDEO container
+  * metadata: MP4/ISO-BMFF moov parsing (`decodeVideoMeta`, pure byte
+  * arithmetic) yields real dimensions, frame counts, timescale and
+  * duration; only frame PIXEL decode has no JDK codec. Payloads no
+  * parser accepts (arbitrary bytes, non-BMFF video) fall back to
+  * `decodeStub` — a deterministic fake derived from the bytes, kept so
+  * the pipeline shape is exercisable on synthetic payloads; swap it
+  * for a media library (javacv etc.) without touching the surrounding
+  * plumbing.
   */
 object Multimodal {
 
@@ -65,20 +68,24 @@ object Multimodal {
   /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
     * need no external codec): container header → (frames, rate,
     * channels), then the PCM stream is actually read — RMS amplitude
-    * and zero-crossing count over the first channel of 16-bit
-    * little-endian PCM, the two features every audio-quality gate
-    * starts from. None for payloads no JDK reader accepts or with a
-    * non-16-bit encoding. */
+    * and zero-crossing count over the first channel of 16-bit PCM in
+    * either byte order (WAV little-endian, AIFF/AU big-endian), the two
+    * features every audio-quality gate starts from. None for payloads
+    * no JDK reader accepts or with a non-16-bit encoding. */
   private[pipeline] def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        if (fmt.getSampleSizeInBits != 16) None
         else {
           val frameSize = fmt.getFrameSize
           val channels = fmt.getChannels
+          // WAV is little-endian; AIFF and AU carry big-endian PCM —
+          // branch on the container's declared byte order so all three
+          // JDK formats take the real decode path.
+          val bigEndian = fmt.isBigEndian
           val buf = new java.io.ByteArrayOutputStream()
           val chunk = new Array[Byte](8192)
           var n = in.read(chunk)
@@ -91,7 +98,9 @@ object Multimodal {
           var f = 0
           while (f < nFrames) {
             val off = f * frameSize
-            val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
+            val s =
+              if (bigEndian) (((pcm(off) << 8) | (pcm(off + 1) & 0xff))).toShort
+              else ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
             val x = s / 32768.0
             sumSq += x * x
             val neg = x < 0.0
@@ -105,10 +114,103 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  final case class VideoInfo(width: Int, height: Int, nFrames: Int,
+                             timescale: Long, durationS: Double)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** ISO-BMFF box walk over [start, end): (type, payloadStart,
+    * payloadEnd) per well-formed box; stops (returning what it has) at
+    * the first malformed header rather than throwing. Handles 64-bit
+    * largesize (size==1) and to-end boxes (size==0). */
+  private def boxes(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var at = start
+    var ok = true
+    while (ok && at + 8 <= end) {
+      val size0 = be32(b, at)
+      val typ = new String(b, at + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var hdr = 8L
+      val size =
+        if (size0 == 1L) { hdr = 16L; if (at + 16 <= end) be64(b, at + 8) else -1L }
+        else if (size0 == 0L) (end - at).toLong
+        else size0
+      if (size < hdr || at + size > end) ok = false
+      else {
+        out += ((typ, (at + hdr).toInt, (at + size).toInt))
+        at = (at + size).toInt
+      }
+    }
+    out.toSeq
+  }
+
+  /** Real MP4/ISO-BMFF *container* metadata — pure JDK byte arithmetic,
+    * no codec: moov/mvhd gives (timescale, duration), each moov/trak's
+    * tkhd gives track dims (16.16 fixed point), and the video trak's
+    * mdia/minf/stbl/stts gives the frame count (sum of sample counts).
+    * The video track is the trak with non-zero tkhd dims. Frame PIXELS
+    * still have no JDK decoder — only pixel decode remains stubbed.
+    * None for payloads that are not parseable ISO-BMFF with a
+    * dimensioned track. */
+  private[pipeline] def decodeVideoMeta(bytes: Array[Byte]): Option[VideoInfo] =
+    try {
+      val moov = boxes(bytes, 0, bytes.length).find(_._1 == "moov")
+      moov.flatMap { case (_, ms, me) =>
+        val inMoov = boxes(bytes, ms, me)
+        val mvhd = inMoov.find(_._1 == "mvhd").flatMap { case (_, s, e) =>
+          val v = bytes(s) & 0xff
+          if (v == 1 && e - s >= 32) Some((be32(bytes, s + 20), be64(bytes, s + 24)))
+          else if (v == 0 && e - s >= 20) Some((be32(bytes, s + 12), be32(bytes, s + 16)))
+          else None
+        }
+        val tracks = inMoov.filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+          val inTrak = boxes(bytes, ts, te)
+          val dims = inTrak.find(_._1 == "tkhd").flatMap { case (_, s, e) =>
+            val v = bytes(s) & 0xff
+            // width/height close the box as 16.16 fixed point; their
+            // offset shifts with the 32→64-bit time fields of v1.
+            if (v == 1 && e - s >= 96)
+              Some(((be32(bytes, s + 88) >> 16).toInt, (be32(bytes, s + 92) >> 16).toInt))
+            else if (v == 0 && e - s >= 84)
+              Some(((be32(bytes, s + 76) >> 16).toInt, (be32(bytes, s + 80) >> 16).toInt))
+            else None
+          }
+          val frames = for {
+            (_, as, ae) <- inTrak.find(_._1 == "mdia")
+            (_, bs, be) <- boxes(bytes, as, ae).find(_._1 == "minf")
+            (_, cs, ce) <- boxes(bytes, bs, be).find(_._1 == "stbl")
+            (_, ss, se) <- boxes(bytes, cs, ce).find(_._1 == "stts")
+            if se - ss >= 8
+          } yield {
+            val nEntries = be32(bytes, ss + 4).toInt
+            var total = 0L
+            var i = 0
+            while (i < nEntries && ss + 8 + 8 * i + 8 <= se) {
+              total += be32(bytes, ss + 8 + 8 * i)
+              i += 1
+            }
+            total
+          }
+          dims.map { case (w, h) => (w, h, frames.getOrElse(0L)) }
+        }
+        for {
+          (scale, dur) <- mvhd
+          (w, h, nf) <- tracks.find(t => t._1 > 0 && t._2 > 0)
+        } yield VideoInfo(w, h, math.min(nf, Int.MaxValue.toLong).toInt, scale,
+          if (scale > 0) dur.toDouble / scale else 0.0)
+      }
+    } catch { case _: Exception => None }
+
   /** (width, height, n_frames) for one payload: a real ImageIO decode
     * for image rows, a real JDK audio header+PCM decode for audio rows
-    * (frames from the actual stream), the stub for video and anything
-    * no JDK reader accepts. A still image is one frame by definition. */
+    * (frames from the actual stream), a real ISO-BMFF container parse
+    * for video rows (dims + frame count from moov — pixels stay
+    * stubbed), and the stub for anything no parser accepts. A still
+    * image is one frame by definition. */
   private[pipeline] def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
     kind match {
       case "image" => decodeImage(bytes) match {
@@ -117,6 +219,10 @@ object Multimodal {
       }
       case "audio" => decodeAudio(bytes) match {
         case Some(a) => (0, 0, math.min(a.frames, Int.MaxValue.toLong).toInt)
+        case None    => decodeStub(kind, bytes)
+      }
+      case "video" => decodeVideoMeta(bytes) match {
+        case Some(v) => (v.width, v.height, v.nFrames)
         case None    => decodeStub(kind, bytes)
       }
       case _ => decodeStub(kind, bytes)
@@ -216,6 +322,27 @@ object Multimodal {
       }
     }.toDF("media_id", "frames", "sample_rate", "channels", "duration_s",
       "rms", "zero_cross")
+  }
+
+  /** Real video container metadata over video-kind rows: dimensions,
+    * frame count, timescale and duration from the actual ISO-BMFF moov
+    * structure ([[decodeVideoMeta]] — no codec needed for the
+    * container). Rows whose payload is not parseable BMFF are dropped
+    * (the survivor count is the decode-health signal, mirroring
+    * [[audioStats]]). mapPartitions so a real demuxer would init once
+    * per partition. */
+  def videoStats(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeVideoMeta(r.media).map { v =>
+          (r.media_id, v.width, v.height, v.nFrames.toLong, v.timescale,
+            v.durationS)
+        }
+      }
+    }.toDF("media_id", "width", "height", "n_frames", "timescale",
+      "duration_s")
   }
 
   /** Deterministic frame sampling plan for video rows: one row per

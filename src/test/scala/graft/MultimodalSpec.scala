@@ -6,10 +6,11 @@ import graft.pipeline.Multimodal
 
 /** Multimodal binary-column plumbing: schema, typed batch map,
   * partition-independence. Image decode is REAL (JDK ImageIO — PNG/BMP
-  * specs below) and so is audio decode (JDK javax.sound.sampled — WAV
-  * specs below); payloads no reader accepts, plus video (no JDK
-  * codec), take the documented deterministic stub, which is what the
-  * text-bytes fixtures here exercise. */
+  * specs below), audio decode is REAL (JDK javax.sound.sampled —
+  * WAV/AIFF specs below), and video CONTAINER metadata is REAL
+  * (ISO-BMFF moov parse — hand-built MP4 box specs below); payloads no
+  * parser accepts take the documented deterministic stub, which is
+  * what the text-bytes fixtures here exercise. */
 class MultimodalSpec extends SparkSpec {
 
   private def media = {
@@ -107,25 +108,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out.media.toSeq == again.media.toSeq)
   }
 
-  /** 16-bit LE PCM WAV of a sine wave, built with the same JDK API a
-    * user would use. */
-  private def wavBytes(freqHz: Double, seconds: Double, rate: Float,
-                       amplitude: Double): Array[Byte] = {
+  /** 16-bit PCM sine wave in any JDK container (WAV little-endian,
+    * AIFF/AU big-endian), built with the same JDK API a user would
+    * use. */
+  private def pcmBytes(freqHz: Double, seconds: Double, rate: Float,
+                       amplitude: Double, bigEndian: Boolean,
+                       fileType: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
     val n = (rate * seconds).toInt
     val pcm = new Array[Byte](n * 2)
     for (i <- 0 until n) {
       val s = (amplitude * math.sin(2 * math.Pi * freqHz * i / rate) *
         32767.0).toInt.toShort
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      val (lo, hi) = if (bigEndian) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+      pcm(lo) = (s & 0xff).toByte
+      pcm(hi) = ((s >> 8) & 0xff).toByte
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, bigEndian)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    javax.sound.sampled.AudioSystem.write(ais, fileType, out)
     out.toByteArray
+  }
+
+  private def wavBytes(freqHz: Double, seconds: Double, rate: Float,
+                       amplitude: Double): Array[Byte] =
+    pcmBytes(freqHz, seconds, rate, amplitude, bigEndian = false,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE)
+
+  test("audioStats reads big-endian AIFF identically to little-endian WAV") {
+    val implicits = spark.implicits
+    import implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wavBytes(440.0, 0.5, 8000f, 0.5)),
+      Multimodal.MediaRow(2L, "audio", pcmBytes(440.0, 0.5, 8000f, 0.5,
+        bigEndian = true, javax.sound.sampled.AudioFileFormat.Type.AIFF)))
+    val got = Multimodal.audioStats(rows.toDS()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(3), r.getDouble(5), r.getLong(6)))).toMap
+    // Same synthesized samples, different container/byte order — the
+    // decoded features must agree exactly (both rows survive: AIFF is
+    // no longer rejected as undecodable).
+    assert(got.keySet == Set(1L, 2L))
+    val (wf, wc, wr, wz) = got(1L)
+    val (af, ac, ar, az) = got(2L)
+    assert(af == wf && ac == wc && az == wz)
+    assert(math.abs(ar - wr) < 1e-12)
+    // Sanity: a 0.5-amplitude sine has RMS ≈ 0.5/√2
+    assert(math.abs(ar - 0.5 / math.sqrt(2)) < 0.01)
   }
 
   test("audioStats decodes real WAV payloads (JDK sound API)") {
@@ -161,6 +191,76 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(rows.toDS()).collect().head
     assert(f.n_frames == 2000) // 0.25 s · 8 kHz — from the actual stream
     assert(f.width == 0 && f.height == 0)
+  }
+
+  // ---- minimal ISO-BMFF (MP4) builders: size+type boxes, big-endian ----
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def mkBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** moov with mvhd v0 (timescale 600, duration 3000 → 5 s) and one
+    * dimensioned trak (tkhd v0 640×360) whose stts totals 125 frames. */
+  private def mp4Bytes: Array[Byte] = {
+    val mvhd = mkBox("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(600), be32(3000))
+    val tkhd = mkBox("tkhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(1), be32(0), be32(3000), new Array[Byte](8 + 2 + 2 + 2 + 2 + 36),
+      be32(640L << 16), be32(360L << 16))
+    val stts = mkBox("stts", Array[Byte](0, 0, 0, 0), be32(2),
+      be32(100), be32(1), be32(25), be32(2))
+    val trak = mkBox("trak", tkhd, mkBox("mdia", mkBox("minf", mkBox("stbl", stts))))
+    val ftyp = mkBox("ftyp", "isom".getBytes("ISO-8859-1"), be32(512))
+    val mdat = mkBox("mdat", Array.fill[Byte](32)(7))
+    ftyp ++ mkBox("moov", mvhd, trak) ++ mdat
+  }
+
+  /** Same movie with v1 (64-bit time) mvhd and tkhd — the field offsets
+    * shift and the parser must follow the version byte. */
+  private def mp4BytesV1: Array[Byte] = {
+    val mvhd = mkBox("mvhd", Array[Byte](1, 0, 0, 0), be64(0), be64(0),
+      be32(600), be64(3000))
+    val tkhd = mkBox("tkhd", Array[Byte](1, 0, 0, 0), be64(0), be64(0),
+      be32(1), be32(0), be64(3000), new Array[Byte](8 + 2 + 2 + 2 + 2 + 36),
+      be32(640L << 16), be32(360L << 16))
+    val stts = mkBox("stts", Array[Byte](0, 0, 0, 0), be32(2),
+      be32(100), be32(1), be32(25), be32(2))
+    val trak = mkBox("trak", tkhd, mkBox("mdia", mkBox("minf", mkBox("stbl", stts))))
+    mkBox("moov", mvhd, trak)
+  }
+
+  test("extractFeatures reads REAL dims + frame count from MP4 containers") {
+    val implicits = spark.implicits
+    import implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", mp4Bytes),
+      Multimodal.MediaRow(2L, "video", mp4BytesV1),
+      Multimodal.MediaRow(3L, "video", Array[Byte](1, 2, 3, 4))) // not BMFF
+    val f = Multimodal.extractFeatures(rows.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(f(1L).width == 640 && f(1L).height == 360 && f(1L).n_frames == 125)
+    assert(f(2L).width == 640 && f(2L).height == 360 && f(2L).n_frames == 125)
+    // non-BMFF video falls back to the deterministic stub (still a row)
+    assert(f(3L).byte_len == 4L)
+  }
+
+  test("videoStats: container duration/timescale; unparseable rows dropped") {
+    val implicits = spark.implicits
+    import implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", mp4Bytes),
+      Multimodal.MediaRow(2L, "video", Array[Byte](9, 9, 9)),
+      Multimodal.MediaRow(3L, "audio", mp4Bytes)) // non-video filtered
+    val got = Multimodal.videoStats(rows.toDS()).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+    val r = got.head
+    assert(r.getInt(1) == 640 && r.getInt(2) == 360)
+    assert(r.getLong(3) == 125L && r.getLong(4) == 600L)
+    assert(math.abs(r.getDouble(5) - 5.0) < 1e-12)
   }
 
   test("frame sampling explodes every stride-th frame for videos") {

@@ -216,6 +216,22 @@ class ShuffleRegimeSpec extends SparkSpec {
     }
   }
 
+  test("katz: regimes agree when edges reference ids outside the node universe") {
+    // The distributed loop carries rank only on universe ids, so an
+    // edge whose src is not in `nodes` contributes nothing; the packed
+    // local twin must mirror that (it used to seed 1.0 for edge-only
+    // endpoints and let them feed every sweep).
+    val phantom = edgeDf.unionByName(
+      Seq((9001L, 1L), (9002L, 2L), (3L, 9003L)).toDF("src", "dst"))
+    def kz = graft.algorithms.Centrality.katz(nodeDf, phantom, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (b, s) = both(kz)
+    assert(b.keySet == s.keySet && b.nonEmpty)
+    b.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-9, s"katz($id) differs across regimes")
+    }
+  }
+
   test("eigenvector: shuffle regime ≡ broadcast regime (1e-9)") {
     def ev = graft.algorithms.Centrality.eigenvector(nodeDf, edgeDf, 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -255,5 +271,22 @@ class ShuffleRegimeSpec extends SparkSpec {
     b.foreach { case (p, v) =>
       assert(math.abs(v - s(p)) < 1.1e-6, s"simrank$p differs across regimes")
     }
+  }
+
+  test("pplBuckets: shuffle regime ≡ broadcast regime (exact NTILE parity)") {
+    // 300 docs with heavy nll ties (13 distinct token patterns), so the
+    // tier split must break ties on doc_id identically in both the
+    // single-window NTILE regime and the range-rank shuffle regime.
+    val docs = (1L to 300L).map { i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w" + (i % 13)).mkString(" "))
+    }.toDF("doc_id", "text")
+    def pb = graft.pipeline.Corpus.pplBuckets(docs, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    val (b, s) = both(pb)
+    assert(b.size == 300 && b == s)
+    // every tier populated, quota sizes 60 each (300 divisible by 5)
+    assert(b.values.groupBy(_._2).view.mapValues(_.size).toMap ==
+      (1L to 5L).map(_ -> 60).toMap)
   }
 }
