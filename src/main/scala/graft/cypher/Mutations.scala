@@ -27,6 +27,44 @@ object Mutations {
   def apply(graph: PropertyGraph, cypher: String): PropertyGraph =
     mutate(graph, Parser.parse(cypher))
 
+  /** Thrown when a checked mutation would leave the graph violating a
+    * registered constraint; the message mirrors the reference's
+    * ConstraintValidation::Violated wording (constraints/mod.rs). */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Constraint-enforced mutation (reference: tests/constraints_test.rs
+    * add→violate→reject flow — the store consults its
+    * ConstraintManager at write time): apply the statement, validate
+    * the post-state set-orientedly, and REJECT the write by throwing if
+    * any registered constraint is violated. On immutable frames the
+    * caller simply keeps the pre-state graph — the transactional
+    * check-then-commit shape without a transaction log. The check is
+    * one aggregate scan per registered constraint over its label
+    * (bounded by limit(3) for the message); a production path would
+    * narrow to the labels the statement touches, but correctness never
+    * depends on that pruning. */
+  def applyChecked(graph: PropertyGraph, cypher: String,
+                   cm: graft.graph.Constraints.ConstraintManager): PropertyGraph = {
+    val out = mutate(graph, Parser.parse(cypher))
+    val bad = cm.validate(out).limit(3).collect()
+    if (bad.nonEmpty) {
+      val msgs = bad.map { r =>
+        val (label, prop) = (r.getAs[String]("label"), r.getAs[String]("property"))
+        val n = r.getAs[Long]("n")
+        if (r.getAs[String]("kind") == "uniqueness")
+          s"Uniqueness constraint violated: $label.$prop value " +
+            s"'${r.getAs[String]("value")}' held by $n nodes"
+        else
+          s"Existence constraint violated: $n $label node(s) missing " +
+            s"required property $prop"
+      }
+      throw new ConstraintViolationException(
+        "write rejected: " + msgs.mkString("; "))
+    }
+    out
+  }
+
   def mutate(graph: PropertyGraph, stmt: Statement): PropertyGraph = stmt match {
     case Create(pat, matches)   => create(graph, pat, matches)
     case Merge(pat, onC, onM)   => merge(graph, pat, onC, onM)

@@ -151,4 +151,63 @@ class CypherMutationSpec extends SparkSpec {
     val g2 = Mutations(mini, "FOREACH (n IN [1, 2] | SET n.name = 'm', n.label = 'Tagged')")
     assert(g2.nodes.filter(col("name") === "m" && col("label") === "Tagged").count() == 2)
   }
+
+  // ---- constraint-enforced writes (tests/constraints_test.rs flow) ----
+
+  private def personConstraints = {
+    val cm = new graft.graph.Constraints.ConstraintManager
+    cm.addConstraint(graft.graph.Constraints.uniqueness("Person", "name"))
+    cm
+  }
+
+  test("checked CREATE: uniqueness-conforming write accepted") {
+    val g2 = Mutations.applyChecked(mini,
+      "CREATE (p:Person {id: 100, name: 'X'})", personConstraints)
+    assert(g2.nodes.count() == 3)
+  }
+
+  test("checked CREATE: duplicate unique value rejected, pre-state intact") {
+    val g = mini
+    val ex = intercept[Mutations.ConstraintViolationException] {
+      Mutations.applyChecked(g,
+        "CREATE (p:Person {id: 100, name: 'A'})", personConstraints)
+    }
+    assert(ex.getMessage.contains("Uniqueness constraint violated"))
+    assert(ex.getMessage.contains("name"))
+    assert(g.nodes.count() == 2) // caller keeps the pre-state graph
+  }
+
+  test("checked CREATE: missing required property rejected (existence)") {
+    val cm = new graft.graph.Constraints.ConstraintManager
+    cm.addConstraint(graft.graph.Constraints.existence("Person", "name"))
+    val ex = intercept[Mutations.ConstraintViolationException] {
+      Mutations.applyChecked(mini, "CREATE (p:Person {id: 200})", cm)
+    }
+    assert(ex.getMessage.contains("missing required property"))
+    assert(ex.getMessage.contains("name"))
+  }
+
+  test("checked SET: update into a duplicate unique value rejected") {
+    val ex = intercept[Mutations.ConstraintViolationException] {
+      Mutations.applyChecked(mini,
+        "MATCH (p:Person {id: 2}) SET p.name = 'A'", personConstraints)
+    }
+    assert(ex.getMessage.contains("Uniqueness constraint violated"))
+    // the same SET to a fresh value passes
+    val ok = Mutations.applyChecked(mini,
+      "MATCH (p:Person {id: 2}) SET p.name = 'C'", personConstraints)
+    assert(ok.nodes.filter(col("name") === "C").count() == 1)
+  }
+
+  test("checked MERGE: ON CREATE landing on a duplicate rejected") {
+    val ex = intercept[Mutations.ConstraintViolationException] {
+      Mutations.applyChecked(mini,
+        "MERGE (p:Person {id: 300, name: 'B'})", personConstraints)
+    }
+    assert(ex.getMessage.contains("Uniqueness"))
+    // matching MERGE is a no-op and passes the check
+    val ok = Mutations.applyChecked(mini,
+      "MERGE (p:Person {id: 1, name: 'A'})", personConstraints)
+    assert(ok.nodes.count() == 2)
+  }
 }
