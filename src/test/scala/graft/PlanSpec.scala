@@ -31,15 +31,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
-  test("no oracle query plans a cartesian product (bounded cross joins only)") {
-    // crossJoin with a 1-row aggregate (trade threshold, triangles
-    // denominator) is fine; an unbounded CartesianProduct of data tables
-    // is a plan bug. BroadcastNestedLoopJoin with a 1-row side is the
-    // physical form of those scalar joins.
-    val exempt = Set("q_triangles") // t×w: two 1-row aggregates crossed
-    SparkEntry.queries.filterNot(q => exempt(q._1)).foreach { case (name, fn) =>
-      val plan = planOf(fn(spark, sfDir))
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n${plan.take(1200)}")
+  test("every oracle query: no cartesian, no unpartitioned window over unbounded frames") {
+    // One pass over every SparkEntry query plan, two invariants
+    // (promoted from the ExplainAudit diagnostic to CI):
+    // 1. No CartesianProduct — crossJoin with a 1-row aggregate (trade
+    //    threshold, triangles denominator) is fine and surfaces as
+    //    BroadcastNestedLoopJoin; an unbounded cartesian of data tables
+    //    is a plan bug.
+    // 2. No WindowExec with an empty partitionSpec (Spark collapses it
+    //    to ONE task) unless the frame feeding it is provably bounded —
+    //    those cases are whitelisted BY NAME with the bound that makes
+    //    them safe, so any new unpartitioned window fails review here.
+    val cartesianExempt = Set("q_triangles") // t×w: two 1-row aggregates crossed
+    val unpartitionedWindowBounded = Map(
+      "q_gini" -> "k-row per-source frame (k = #sources)",
+      "q_zipf" -> "rank over limit(k) vocab frame",
+      "q_dsir" -> "rank over limit(k) score frame",
+      "q_pack_bins" -> "prefix sum over per-block 1-row sums",
+      "q_ppl_buckets" -> ("under-gate oracle regime; past-gate branch " +
+        "range-ranks with partitionBy(pid) (ShuffleRegimeSpec parity)"))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val exec = df.queryExecution.executedPlan
+      if (!cartesianExempt(name)) {
+        val plan = exec.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian:\n${plan.take(1200)}")
+      }
+      val unpartitioned = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty || unpartitionedWindowBounded.contains(name),
+        s"$name has an unpartitioned window (single-task at scale) and no " +
+          s"documented bound:\n${unpartitioned.headOption.fold("")(_.toString.take(800))}")
     }
   }
 
