@@ -9,9 +9,9 @@ object Bench {
     * run must be discarded, not explained away. Update only when a new
     * BASELINE table is frozen. */
   val frozenControls: Map[String, Double] = Map(
-    "q_count" -> 0.12, "q_label_scan" -> 0.05, "q_prop_eq" -> 0.05,
-    "q_prop_gt" -> 0.04, "q_sum_avg" -> 0.09, "q_stats" -> 0.10,
-    "q_order_page" -> 0.07)
+    "q_count" -> 0.13, "q_label_scan" -> 0.05, "q_prop_eq" -> 0.06,
+    "q_prop_gt" -> 0.05, "q_sum_avg" -> 0.11, "q_stats" -> 0.12,
+    "q_order_page" -> 0.08)
 
   /** A control agrees when measured ≤ 2× frozen + 0.1 s (the ~2× rule
     * with an absolute floor so 50 ms rows aren't flagged by scheduler
