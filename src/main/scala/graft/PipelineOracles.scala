@@ -530,6 +530,43 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(quality), 6) AS mean_quality
 FROM qs GROUP BY source"""
 
+  /** Temperature-scaled source mixing: p_s ∝ n_s^alpha, normalized;
+    * shares/boost/epochs rounded at 6 dp exactly like the Spark side
+    * (power(n, 0.5) is IEEE sqrt in both engines). */
+  def temperatureMixSql(alpha: Double, budgetDocs: Long): String =
+    s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n) AS tot, SUM(power(n, $alpha)) AS ptot FROM per)
+SELECT source, n AS n_docs,
+  ROUND(n / tot, 6) AS nat_share,
+  ROUND(power(n, $alpha) / ptot, 6) AS temp_share,
+  ROUND((power(n, $alpha) / ptot) / (n / tot), 6) AS boost,
+  ROUND($budgetDocs.0 * (power(n, $alpha) / ptot) / n, 6) AS epochs
+FROM per, tot"""
+
+  /** Quality-aware canonical pick per exact-dup group: the same md5
+    * fingerprint as dedupExactSql, survivor = best 6-dp quality then
+    * smallest doc_id. */
+  val canonicalDedupSql: String =
+    """WITH q AS (SELECT doc_id, md5(lower(substr(text, 1, 100))) AS fp,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\b(the|a|is)\b')) AS BIGINT) AS stop
+  FROM documents),
+s AS (SELECT doc_id, fp,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality FROM q),
+r AS (SELECT fp, doc_id, quality,
+  ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn,
+  COUNT(*) OVER (PARTITION BY fp) AS cnt,
+  MAX(quality) OVER (PARTITION BY fp) AS best_quality,
+  MIN(quality) OVER (PARTITION BY fp) AS worst_quality
+  FROM s)
+SELECT fp, CAST(doc_id AS BIGINT) AS canonical_id,
+  CAST(cnt AS BIGINT) AS n_members, best_quality, worst_quality
+FROM r WHERE rn = 1 AND cnt > 1"""
+
   val sourceOverlapSql: String =
     s"""WITH ${minhashCtes(16, 4)}
 SELECT least(da.source, db.source) AS src_a,

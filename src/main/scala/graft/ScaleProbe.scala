@@ -132,8 +132,11 @@ object ScaleProbe {
         // two rankers over one shared token explode + bounded list
         // fusion — expect the bm25 curve
         time("rrf")(Corpus.hybridRrf(docs, Seq("spark", "query", "join", "vector"))),
-        // lmScore is token-linear; the exact NTILE adds a global sort
-        // of (doc_id, nll) rows — K log K on a narrow frame
+        // lmScore is token-linear; under the gate the exact NTILE
+        // sorts the narrow (doc_id, nll) frame in one task; past the
+        // gate (or forced via SPARK_GRAFT_BROADCAST_THRESHOLD=0) the
+        // SAME tiers come from range-repartition + offset ranks — no
+        // single-task window at any K
         time("ppl_buckets")(Corpus.pplBuckets(docs)),
         // (user, week) dedup + two map-side-combined aggregates over a
         // K×-wider user population — expect ~linear

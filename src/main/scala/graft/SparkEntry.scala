@@ -538,6 +538,11 @@ object SparkEntry {
         minhashPairsCached(s, d))),
     "q_mix_report" -> ((s, d) =>
       Corpus.mixReport(GraphBuilder.table(s, d, "documents"))),
+    "q_temp_mix" -> ((s, d) =>
+      Corpus.temperatureMix(GraphBuilder.table(s, d, "documents"))),
+    "q_dedup_canonical" -> ((s, d) =>
+      Dedup.canonicalDedup(GraphBuilder.table(s, d, "documents"),
+        lower(substring(col("text"), 1, 100)))),
     "q_winnow" -> ((s, d) => winnowCached(s, d)),
     "q_winnow_pairs" -> ((s, d) => winnowPairsCached(s, d)),
     "q_pack_bins" -> ((s, d) =>
@@ -975,6 +980,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
     "q_source_overlap" -> PipelineOracles.sourceOverlapSql,
     "q_mix_report" -> PipelineOracles.mixReportSql,
+    "q_temp_mix" -> PipelineOracles.temperatureMixSql(0.5, 100000L),
+    "q_dedup_canonical" -> PipelineOracles.canonicalDedupSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),
     "q_pack_bins" -> PipelineOracles.packBinsSql(512L),

@@ -1060,6 +1060,35 @@ object Corpus {
         sum("_words").cast("long").as("total_tokens"),
         round(avg("quality"), 6).as("mean_quality"))
 
+  /** Temperature-scaled source sampling weights — the multilingual-LM
+    * mixing rule (exponentiated sampling, Devlin et al. 2019 mBERT
+    * App. A; Conneau & Lample 2019; mT5): p_s ∝ n_s^α with α ∈ (0, 1]
+    * flattening the natural source distribution toward uniform so
+    * low-resource sources aren't drowned. Per source: doc count,
+    * natural share, temperature share, the boost factor a sampler
+    * applies (temp/natural — >1 upsampled), and expected epochs over
+    * the source for a `budgetDocs` total sample (epochs > 1 ⇒ the
+    * source repeats; the overfitting dial mix designers watch).
+    *
+    * Scale: ONE map-side-combined groupBy(source); the α-power fold
+    * and both normalizers run on the k-row source frame against a
+    * broadcast 1-row total. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5,
+                     budgetDocs: Long = 100000L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "temperatureMix needs 0 < alpha <= 1")
+    require(budgetDocs > 0, "temperatureMix needs a positive budget")
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("tot"), sum(pow(col("n"), alpha)).as("ptot"))
+    val temp = pow(col("n"), alpha) / col("ptot")
+    val nat = col("n") / col("tot")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        round(nat, 6).as("nat_share"),
+        round(temp, 6).as("temp_share"),
+        round(temp / nat, 6).as("boost"),
+        round(lit(budgetDocs.toDouble) * temp / col("n"), 6).as("epochs"))
+  }
+
   /** Cross-source duplication overlap: for each unordered pair of
     * `source` values, how many near-dup candidate pairs straddle them
     * (diagonal = within-source duplication) — the crawl-overlap matrix

@@ -22,6 +22,33 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("cnt"))
       .filter(col("cnt") > 1)
 
+  /** Quality-aware canonical selection: the same exact-dup groups as
+    * [[exact]], but the survivor is the member with the BEST
+    * [[TextOps]] quality score (doc_id ascending on ties) rather than
+    * the blind min-id — the dedup policy that keeps the best-written
+    * copy when a crawl carries boilerplate-mangled variants. Returns
+    * multi-member groups only: (fp, canonical_id, n_members,
+    * best_quality, worst_quality) — the quality spread shows what the
+    * choice bought.
+    *
+    * Scale: quality is a per-row codegen map on the scan; ONE hash
+    * groupBy on the fingerprint with a max_by struct — no window, no
+    * second shuffle; output bounded by the dup-group count. Quality is
+    * 6-dp-rounded BEFORE the argmax so both engines rank the same
+    * value; ties break on smaller doc_id via the negated id in the
+    * ordering struct. */
+  def canonicalDedup(docs: DataFrame, key: Column): DataFrame =
+    TextOps.withQuality(docs)
+      .select(col("doc_id"), md5(key).as("fp"), col("quality"))
+      .groupBy("fp")
+      .agg(
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+          .as("canonical_id"),
+        count(lit(1)).cast("long").as("n_members"),
+        max(col("quality")).as("best_quality"),
+        min(col("quality")).as("worst_quality"))
+      .filter(col("n_members") > 1)
+
   /** Hashed shingle stream (doc_id, ha, hb): ha is the shared 60-bit
     * base hash, hb the second family base (its own 'b:' digest,
     * truncated to 55 bits so ha + 15·hb can't overflow BIGINT). MinHash

@@ -1075,4 +1075,46 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.Dedup.fuzzyMatch(n, "p_name", maxDist = 3, maxDf = 1)
       .count() == 0L)
   }
+
+  test("canonicalDedup keeps the best-quality member, min id on ties") {
+    val implicits = spark.implicits
+    import implicits._
+    // docs 1/2/3 share a key; doc 2 has no punctuation → higher quality.
+    // docs 4/5 share a key with IDENTICAL text → quality tie → min id.
+    val d = Seq(
+      (1L, "k1", "the fox is quick !!! ??? ;;; ###"),
+      (2L, "k1", "the fox is quick and the dog is lazy"),
+      (3L, "k1", "the fox is quick %%% &&& @@@ $$$"),
+      (4L, "k2", "a plain tie sentence"),
+      (5L, "k2", "a plain tie sentence"),
+      (6L, "k3", "unique doc never grouped"))
+      .toDF("doc_id", "key", "text")
+    val got = Dedup.canonicalDedup(d, col("key")).collect()
+      .map(r => r.getAs[Long]("canonical_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Double]("best_quality"),
+          r.getAs[Double]("worst_quality"))).toMap
+    assert(got.keySet == Set(2L, 4L)) // best quality in k1; min-id tie in k2
+    assert(got(2L)._1 == 3L && got(2L)._2 > got(2L)._3)
+    assert(got(4L)._1 == 2L && got(4L)._2 == got(4L)._3)
+  }
+
+  test("temperatureMix: alpha=0.5 flattens shares; epochs hit the budget") {
+    val implicits = spark.implicits
+    import implicits._
+    // 4 docs in a, 1 in b → sqrt weights 2:1
+    val d = (1L to 4L).map(i => (i, "a", "x")).toDF("doc_id", "source", "text")
+      .unionByName(Seq((5L, "b", "x")).toDF("doc_id", "source", "text"))
+    val m = graft.pipeline.Corpus.temperatureMix(d, 0.5, 10L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Long]("n_docs") == 4L)
+    assert(math.abs(m("a").getAs[Double]("nat_share") - 0.8) < 1e-9)
+    assert(math.abs(m("a").getAs[Double]("temp_share") - 2.0 / 3) < 1e-6)
+    assert(math.abs(m("b").getAs[Double]("temp_share") - 1.0 / 3) < 1e-6)
+    // low-resource source upsampled, boost > 1; epochs = budget·p/n
+    assert(m("b").getAs[Double]("boost") > 1.0 && m("a").getAs[Double]("boost") < 1.0)
+    assert(math.abs(m("b").getAs[Double]("epochs") - 10.0 / 3) < 1e-6)
+    // expected sample sizes sum to the budget
+    val tot = m.values.map(r => r.getAs[Double]("epochs") * r.getAs[Long]("n_docs")).sum
+    assert(math.abs(tot - 10.0) < 1e-5)
+  }
 }
