@@ -78,6 +78,49 @@ SELECT p.a, p.b,
 FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b"""
 
+  /** MinHash estimator audit: slot-agreement estimate vs the exact
+    * shingle Jaccard per banded candidate pair; est = eq/16 is an
+    * exact binary rational, the error subtracts the 6-dp-rounded true
+    * score — identical doubles in both engines before the final
+    * round. */
+  val minhashAuditSql: String = {
+    val eq = (0 until 16)
+      .map(j => s"(CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${minhashCtes(16, 4)},
+${overlapCtes("pairs")},
+tj AS (SELECT p.a, p.b,
+  ROUND(COALESCE(i.common, 0) / (sa.sz + sb.sz - COALESCE(i.common, 0)), 6) AS jaccard
+  FROM pairs p LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b),
+es AS (SELECT p.a, p.b, ($eq) AS eq
+  FROM pairs p JOIN sig x ON x.doc_id = p.a JOIN sig y ON y.doc_id = p.b)
+SELECT t.a, t.b, t.jaccard,
+  ROUND(e.eq / 16.0, 6) AS est,
+  ROUND(ABS(e.eq / 16.0 - t.jaccard), 6) AS abs_err
+FROM tj t JOIN es e ON e.a = t.a AND e.b = t.b"""
+  }
+
+  /** Per-doc novelty over distinct shingle hashes: share seen in >= 2
+    * docs + mean 1/df. */
+  val noveltySql: String =
+    s"""WITH $shinglesCte,
+g AS MATERIALIZED (SELECT DISTINCT doc_id, ${h60("'a:' || sh")} AS g FROM shingles),
+dfg AS MATERIALIZED (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+  ROUND(AVG(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
+  ROUND(AVG(1.0 / df), 6) AS novelty
+FROM g JOIN dfg USING (g) GROUP BY doc_id"""
+
+  /** Per-source duplication inflation over the dedupExact fingerprint. */
+  val dupInflationSql: String =
+    """WITH pf AS (SELECT source, md5(lower(substr(text, 1, 100))) AS fp,
+  COUNT(*) AS m FROM documents GROUP BY 1, 2)
+SELECT source, CAST(SUM(m) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_unique,
+  ROUND(SUM(m) / COUNT(*), 6) AS inflation
+FROM pf GROUP BY source"""
+
   /** Containment candidates = minhash pairs UNION winnow-fingerprint
     * pairs (same 2/50 thresholds as TextOps.winnowPairs defaults) —
     * whole-doc bands under-recall strict subsets, winnowing is

@@ -516,6 +516,17 @@ object SparkEntry {
         Some(minhashPairsCached(s, d)),
         hashedIn = Some(hashedShinglesCached(s, d)),
         shArrIn = Some(shingleArraysCached(s, d)))),
+    "q_minhash_audit" -> ((s, d) =>
+      Dedup.minhashAudit(GraphBuilder.table(s, d, "documents"),
+        hashedIn = Some(hashedShinglesCached(s, d)),
+        pairsIn = Some(minhashPairsCached(s, d)),
+        shArrIn = Some(shingleArraysCached(s, d)))),
+    "q_novelty" -> ((s, d) =>
+      Dedup.noveltyScore(GraphBuilder.table(s, d, "documents"),
+        hashedIn = Some(hashedShinglesCached(s, d)))),
+    "q_dup_inflation" -> ((s, d) =>
+      Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
+        lower(substring(col("text"), 1, 100)))),
     "q_dedup_clusters" -> ((s, d) =>
       Corpus.dedupClusters(minhashPairsCached(s, d))),
     "q_containment" -> ((s, d) => {
@@ -982,6 +993,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_mix_report" -> PipelineOracles.mixReportSql,
     "q_temp_mix" -> PipelineOracles.temperatureMixSql(0.5, 100000L),
     "q_dedup_canonical" -> PipelineOracles.canonicalDedupSql,
+    "q_minhash_audit" -> PipelineOracles.minhashAuditSql,
+    "q_novelty" -> PipelineOracles.noveltySql,
+    "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),
     "q_pack_bins" -> PipelineOracles.packBinsSql(512L),

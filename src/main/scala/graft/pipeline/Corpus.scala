@@ -1060,6 +1060,23 @@ object Corpus {
         sum("_words").cast("long").as("total_tokens"),
         round(avg("quality"), 6).as("mean_quality"))
 
+  /** Per-source duplication inflation: docs vs distinct content
+    * fingerprints and their ratio (1.0 = no exact dups; 2.0 = the
+    * source ships every text twice) — the first column a mix designer
+    * reads next to [[mixReport]], since a source's size is
+    * meaningless before dividing out its duplication.
+    *
+    * Scale: two-stage aggregation — partial count on (source, fp)
+    * combines map-side, then a k-row source roll-up; no
+    * count-distinct expansion, no window. */
+  def dupInflation(docs: DataFrame, key: Column): DataFrame =
+    docs.select(col("source"), md5(key).as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("m"))
+      .groupBy("source")
+      .agg(sum("m").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_unique"),
+        round(sum("m").cast("double") / count(lit(1)), 6).as("inflation"))
+
   /** Temperature-scaled source sampling weights — the multilingual-LM
     * mixing rule (exponentiated sampling, Devlin et al. 2019 mBERT
     * App. A; Conneau & Lample 2019; mT5): p_s ∝ n_s^α with α ∈ (0, 1]

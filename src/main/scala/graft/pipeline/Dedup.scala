@@ -202,6 +202,62 @@ object Dedup {
         size(col("sa")).cast("long").as("sza"), size(col("sb")).cast("long").as("szb"))
   }
 
+  /** MinHash estimator-error audit — the sketch-quality counterpart of
+    * the ANN recall audit: for every banded candidate pair, the
+    * signature-estimated Jaccard (fraction of the k MinHash slots that
+    * agree — the unbiased estimator the sketch is built on) next to
+    * the TRUE shingle Jaccard ([[ngramJaccard]]'s exact two-pointer
+    * count) and the absolute error. Mean/max of `abs_err` is the
+    * one-number health check that catches a broken hash family or a
+    * mis-sized k after any refactor of the dedup stack.
+    *
+    * Scale: candidates and true scores are the existing bounded plans;
+    * the estimate adds two signature equi-joins (|docs|-row frames,
+    * k+1 columns) against the pair set — output-bound like every
+    * pair scorer. est = eq/k is an exact binary rational, and the
+    * error subtracts the 6-dp-ROUNDED true score, so both engines
+    * compute identical doubles before the final round. */
+  def minhashAudit(docs: DataFrame, k: Int = 16,
+                   hashedIn: Option[DataFrame] = None,
+                   pairsIn: Option[DataFrame] = None,
+                   shArrIn: Option[DataFrame] = None): DataFrame = {
+    val hashed = hashedIn.getOrElse(hashedShingles(docs))
+    val pairs = pairsIn.getOrElse(minhashPairs(docs, k, hashedIn = Some(hashed)))
+    val truth = ngramJaccard(docs, Some(pairs), Some(hashed), shArrIn)
+    val sigs = minhashSignatures(docs, k, Some(hashed))
+    val sa = sigs.select(col("doc_id").as("a") +:
+      (0 until k).map(j => col(s"m$j").as(s"x$j")): _*)
+    val sb = sigs.select(col("doc_id").as("b") +:
+      (0 until k).map(j => col(s"m$j").as(s"y$j")): _*)
+    val eq = (0 until k).map(j =>
+      when(col(s"x$j") === col(s"y$j"), 1L).otherwise(0L)).reduce(_ + _)
+    truth.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"),
+        round(eq.cast("double") / lit(k.toDouble), 6).as("est"),
+        round(abs(eq.cast("double") / lit(k.toDouble) - col("jaccard")), 6)
+          .as("abs_err"))
+  }
+
+  /** Per-document novelty: over a doc's DISTINCT shingle hashes, the
+    * share also present in some other doc (`dup_frac`) and the mean
+    * inverse document frequency (`novelty` — 1.0 ⇔ every gram unique
+    * to this doc). The memorization-risk signal: high dup_frac docs
+    * are templated/copied content a curation pass down-weights.
+    *
+    * Scale: one distinct gram stream, one gram-keyed df aggregate,
+    * one token-bounded join back, one per-doc roll-up — the
+    * boilerplate/winnow family shape; nothing is ever doc × doc. */
+  def noveltyScore(docs: DataFrame, hashedIn: Option[DataFrame] = None): DataFrame = {
+    val grams = hashedIn.getOrElse(hashedShingles(docs))
+      .select(col("doc_id"), col("ha").as("g")).distinct()
+    val dfG = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfG, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        round(avg(when(col("df") > 1L, 1.0).otherwise(0.0)), 6).as("dup_frac"),
+        round(avg(lit(1.0) / col("df")), 6).as("novelty"))
+  }
+
   /** Shingle containment — the ASYMMETRIC Jaccard (|A∩B|/|A| and
     * |A∩B|/|B|): a short doc fully embedded in a long one scores near
     * 1.0 on its own side while symmetric Jaccard dilutes toward

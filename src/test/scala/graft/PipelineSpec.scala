@@ -1076,6 +1076,49 @@ class PipelineSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("minhashAudit: identical docs estimate 1.0 with zero error") {
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " extra tail words"),
+      4L -> "totally different content about spark shuffles and executors")
+    val got = Dedup.minhashAudit(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("jaccard"), r.getAs[Double]("est"),
+          r.getAs[Double]("abs_err"))).toMap
+    val (j12, e12, err12) = got((1L, 2L))
+    assert(j12 == 1.0 && e12 == 1.0 && err12 == 0.0)
+    // near-dup pair: both scores in (0,1], error bounded by 1
+    got.values.foreach { case (j, e, err) =>
+      assert(j >= 0 && j <= 1 && e >= 0 && e <= 1 && err >= 0 && err <= 1)
+      assert(math.abs(err - math.abs(e - j)) < 1e-9)
+    }
+  }
+
+  test("noveltyScore: copied docs share all grams; unique doc fully novel") {
+    val other = "wholly distinct text with none of those other tokens anywhere around here"
+    val d = docs(1L -> base, 2L -> base, 3L -> other)
+    val got = Dedup.noveltyScore(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("dup_frac"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(got(1L)._2 == 1.0 && got(2L)._2 == 1.0) // every gram duplicated
+    assert(got(1L)._3 == 0.5 && got(2L)._3 == 0.5) // mean 1/df with df=2
+    assert(got(3L)._2 == 0.0 && got(3L)._3 == 1.0) // fully novel
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._1 > 0)
+  }
+
+  test("dupInflation: per-source docs / unique fingerprints ratio") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = Seq((1L, "a", "same text"), (2L, "a", "same text"),
+      (3L, "a", "other text"), (4L, "b", "solo"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.pipeline.Corpus.dupInflation(d, col("text")).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("inflation"))).toMap
+    assert(got("a") == ((3L, 2L, 1.5)))
+    assert(got("b") == ((1L, 1L, 1.0)))
+  }
+
   test("canonicalDedup keeps the best-quality member, min id on ties") {
     val implicits = spark.implicits
     import implicits._
