@@ -248,6 +248,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).byte_len == 4L)
   }
 
+  test("BMFF parser survives malformed boxes without throwing") {
+    val implicits = spark.implicits
+    import implicits._
+    val good = mp4Bytes
+    val cases = Seq[Array[Byte]](
+      good.take(10),                          // truncated mid-header
+      be32(0) ++ "free".getBytes("ISO-8859-1"), // size-0 box to EOF, no moov
+      be32(1) ++ "moov".getBytes("ISO-8859-1") ++ be64(Long.MaxValue), // lying largesize
+      mkBox("moov", mkBox("mvhd", Array[Byte](9, 0, 0, 0), be32(600))), // bad version
+      mkBox("moov", mkBox("trak", mkBox("tkhd", Array[Byte](0, 0)))),  // short tkhd
+      Array.fill[Byte](64)(-1))               // size 0xffffffff > len
+    val rows = cases.zipWithIndex.map { case (b, i) =>
+      Multimodal.MediaRow(i.toLong, "video", b)
+    }
+    // all undecodable → videoStats drops them; extractFeatures falls
+    // back to the stub but never throws
+    assert(Multimodal.videoStats(rows.toDS()).count() == 0)
+    assert(Multimodal.extractFeatures(rows.toDS()).count() == cases.length)
+    // a payload truncated INSIDE mdat keeps its intact moov readable —
+    // the partial-download case where metadata must still decode
+    val partial = Seq(Multimodal.MediaRow(99L, "video",
+      good.take(good.length - 7)))
+    val p = Multimodal.videoStats(partial.toDS()).collect()
+    assert(p.length == 1 && p.head.getInt(1) == 640)
+  }
+
   test("videoStats: container duration/timescale; unparseable rows dropped") {
     val implicits = spark.implicits
     import implicits._
