@@ -1340,6 +1340,24 @@ SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM bg JOIN cb USING (term, nxt) JOIN cu USING (term)
 GROUP BY bg.doc_id"""
 
+  /** Kneser–Ney bigram mirror: same counts, same left-associated
+    * discount arithmetic (d = 0.75), same 6-dp round. */
+  val kneserNeySql: String =
+    """WITH w AS (SELECT doc_id,
+  unnest(string_split(text, ' ')) AS term,
+  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+bg AS MATERIALIZED (SELECT doc_id, term,
+  LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w
+  QUALIFY nxt IS NOT NULL),
+cb AS MATERIALIZED (SELECT term, nxt, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+cun1 AS MATERIALIZED (SELECT term, SUM(cb) AS cu, COUNT(*) AS n1 FROM cb GROUP BY 1),
+nc AS MATERIALIZED (SELECT nxt, COUNT(*) AS ncont FROM cb GROUP BY 1),
+tt AS (SELECT COUNT(*) AS tt FROM cb)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(-ln((cb.cb - 0.75 + 0.75 * cun1.n1 * nc.ncont / tt.tt) / cun1.cu)), 6) AS nll
+FROM bg JOIN cb USING (term, nxt) JOIN cun1 USING (term) JOIN nc USING (nxt), tt
+GROUP BY bg.doc_id"""
+
   /** Deterministic split mirror: same salted bucket, same integer
     * compares. */
   def splitSql(trainPct: Int, valPct: Int): String =

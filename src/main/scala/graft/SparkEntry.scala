@@ -566,6 +566,8 @@ object SparkEntry {
       Corpus.vocabTopK(GraphBuilder.table(s, d, "documents"))),
     "q_lm_bigram" -> ((s, d) =>
       Corpus.bigramNll(GraphBuilder.table(s, d, "documents"))),
+    "q_lm_kn" -> ((s, d) =>
+      Corpus.kneserNeyNll(GraphBuilder.table(s, d, "documents"))),
     "q_split" -> ((s, d) =>
       Corpus.splitAssign(GraphBuilder.table(s, d, "documents"))),
     "q_contam_score" -> ((s, d) =>
@@ -1135,6 +1137,7 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_term_pmi" -> PipelineOracles.termPmiSql(2, 50),
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_lm_bigram" -> PipelineOracles.bigramNllSql,
+    "q_lm_kn" -> PipelineOracles.kneserNeySql,
     "q_split" -> PipelineOracles.splitSql(90, 5),
     "q_contam_score" -> PipelineOracles.contamScoreSql(5),
     "q_bpe_apply" -> PipelineOracles.bpeApplySql(12),

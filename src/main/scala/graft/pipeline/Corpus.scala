@@ -980,6 +980,56 @@ object Corpus {
         round(avg(-log(col("cb") / col("cu"))), 6).as("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's benchmark winner; the KenLM default) — the
+    * smoothed refinement of [[bigramNll]]:
+    *
+    *   P(w2|w1) = (c(w1,w2) − d + d · N1+(w1,·) · P_cont(w2)) / c(w1,·)
+    *   P_cont(w2) = N1+(·,w2) / |distinct bigram types|
+    *
+    * with absolute discount d = 0.75. The continuation probability
+    * ranks words by how many CONTEXTS they follow, not raw frequency —
+    * the "Francisco problem": frequent-but-one-context words stop
+    * inflating unseen combinations. Every document bigram exists in
+    * the self-trained counts, so c ≥ 1 > d keeps every probability in
+    * (0, 1] with no backoff branch needed; the discount mass is still
+    * redistributed through P_cont exactly as the full model would.
+    *
+    * Plan: same checkpointed bigram stream as [[bigramNll]] feeding
+    * FOUR count frames — (w1,w2) counts, per-context totals+fanout in
+    * ONE aggregate, per-word continuation fanout, and the 1-row type
+    * total (broadcast) — then one scoring join chain and a per-doc
+    * roll-up. All shuffles token-bounded. The arithmetic is written in
+    * the same left-associated order as the SQL twin so both engines
+    * evaluate identical IEEE doubles before the 6-dp round. */
+  def kneserNeyNll(docs: DataFrame, d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, "kneserNeyNll needs 0 < d < 1")
+    val toks = split(col("text"), " ")
+    val w = docs.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "term")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bg = w.withColumn("nxt", lead("term", 1).over(win))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("term"), col("nxt"))
+      .localCheckpoint()
+    val cb = bg.groupBy("term", "nxt").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val cun1 = cb.groupBy("term")
+      .agg(sum("cb").as("cu"), count(lit(1)).as("n1"))
+    val nc = cb.groupBy("nxt").agg(count(lit(1)).as("ncont"))
+    val tt = cb.agg(count(lit(1)).as("tt"))
+    val p = (col("cb") - lit(d) + lit(d) * col("n1") * col("ncont") / col("tt")) /
+      col("cu")
+    bg.join(cb, Seq("term", "nxt"))
+      .join(cun1, Seq("term"))
+      .join(nc, Seq("nxt"))
+      .crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(p)), 6).as("nll"))
+  }
+
   /** Deterministic train/validation/test assignment: split is a pure
     * function of doc_id (salted hash bucket over 100, the same
     * integer-compare discipline as [[mixSample]]/[[hashSample]]), so

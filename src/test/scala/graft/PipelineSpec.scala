@@ -908,6 +908,27 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.Corpus.bigramNll(docs(9L -> "solo")).count() == 0)
   }
 
+  test("kneserNeyNll: hand-computed interpolated KN probabilities") {
+    val implicits = spark.implicits
+    import implicits._
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,c) →
+    // cb(a,b)=2 cb(b,a)=1 cb(a,c)=1; cu(a)=3 n1(a)=2; cu(b)=1 n1(b)=1;
+    // ncont(a)=ncont(b)=ncont(c)=1; types=3; d=0.75:
+    // P(b|a)=(2-.75+.75*2/3)/3=7/12, P(a|b)=(1-.75+.75/3)/1=1/2,
+    // P(c|a)=(1-.75+.75*2/3)/3=1/4
+    val d = docs(1L -> "a b a b", 2L -> "a c")
+    val got = graft.pipeline.Corpus.kneserNeyNll(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val nll1 = math.rint(
+      (-2 * math.log(7.0 / 12) - math.log(0.5)) / 3 * 1e6) / 1e6
+    val nll2 = math.rint(-math.log(0.25) * 1e6) / 1e6
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - nll1) < 2e-6)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - nll2) < 2e-6)
+    // discounted mass leaves headroom: P(b|a)+P(c|a) = 5/6 < 1
+    // (the leftover 1/6 is the unseen-continuation reserve)
+  }
+
   test("splitAssign: total, deterministic, growth-stable partition") {
     val implicits = spark.implicits
     import implicits._
