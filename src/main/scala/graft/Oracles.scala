@@ -419,6 +419,23 @@ SELECT k, n_k, e_k,
 FROM r ORDER BY k"""
   }
 
+  /** Edge-embeddedness mirror: common neighbors via the psym wedge
+    * join, denominator excludes the endpoints; 0.0 convention on
+    * degree-1–degree-1 edges. */
+  val edgeJaccardSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+dg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM psym GROUP BY src),
+cn AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM pedges e JOIN psym x ON x.src = e.a
+  JOIN psym y ON y.src = e.b AND y.dst = x.dst
+  GROUP BY e.a, e.b)
+SELECT e.a, e.b, COALESCE(c.common, 0) AS common,
+  CASE WHEN da.deg + db.deg - 2 - COALESCE(c.common, 0) = 0 THEN 0.0
+       ELSE ROUND(COALESCE(c.common, 0) /
+         (da.deg + db.deg - 2 - COALESCE(c.common, 0)), 6) END AS jaccard
+FROM pedges e LEFT JOIN cn c ON c.a = e.a AND c.b = e.b
+JOIN dg da ON da.id = e.a JOIN dg db ON db.id = e.b"""
+
   /** Assortativity mirror: same exact integer sums over the sym view
     * of the co-occurrence graph, same final double arithmetic order.
     * (Zero-variance graphs are NULL on the Spark side vs NaN here —

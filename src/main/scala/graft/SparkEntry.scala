@@ -362,6 +362,8 @@ object SparkEntry {
         DerivedGraphs.nationTradeAll(s, d), 0.85, 10)),
     "q_rich_club" -> ((s, d) =>
       algorithms.Structure.richClub(DerivedGraphs.partCooccur(s, d))),
+    "q_edge_jaccard" -> ((s, d) =>
+      algorithms.Structure.edgeJaccard(DerivedGraphs.partCooccur(s, d))),
     "q_ktruss" -> ((s, d) => {
       val tt = DerivedGraphs.nationTradeTop(s, d)
       algorithms.Structure.kTruss(
@@ -924,6 +926,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_reciprocity" -> Oracles.reciprocitySql,
     "q_weighted_pagerank" -> Oracles.weightedPageRankSql(0.85, 10),
     "q_rich_club" -> Oracles.richClubSql(Seq(115, 130, 150)),
+    "q_edge_jaccard" -> Oracles.edgeJaccardSql,
     "q_hits" -> Oracles.hitsSql(8),
     "q_link_predict" -> Oracles.linkPredictSql(PartTag * TAG + 200L, 50),
     "q_mst" -> Oracles.mstSql(),

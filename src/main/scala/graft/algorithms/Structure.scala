@@ -136,6 +136,40 @@ object Structure {
         when(den === 0.0, lit(null)).otherwise(round(num / den, 6)).as("r"))
   }
 
+  /** Per-edge neighborhood Jaccard — "embeddedness" (Granovetter
+    * 1973's tie-strength proxy; Easley & Kleinberg ch. 3): for each
+    * undirected edge (a, b) over the simple (a < b) pair graph,
+    * |N(a)∩N(b)| / |N(a)∪N(b) \ {a,b}| — the share of the endpoints'
+    * combined social context they share. 0 on bridge-like local
+    * bridges (no common neighbors), → 1 inside dense cliques; the
+    * edge-level strength signal community detection and tie-pruning
+    * read. Denominator-0 edges (both endpoints degree-1) score 0.0 by
+    * the usual convention.
+    *
+    * Plan: ONE adjacency groupBy (sorted arrays) + two |V|-row joins,
+    * then the native codegen'd intersect count per edge — the
+    * [[kTruss]] supportOf shape with degrees riding the same arrays;
+    * no triangle materialization, no wedge explosion. */
+  def edgeJaccard(pedges: DataFrame): DataFrame = {
+    val spark = pedges.sparkSession
+    graft.sql.ArraySortedIntersectCount.register(spark)
+    val e = pedges.select("a", "b").distinct()
+    val sym = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionByName(e.select(col("b").as("id"), col("a").as("nb")))
+    val adj = sym.groupBy("id")
+      .agg(sort_array(collect_set(col("nb"))).as("nbrs"))
+    val den = col("da") + col("db") - lit(2) - col("common")
+    e.join(adj.select(col("id").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("id").as("b"), col("nbrs").as("nb2")), Seq("b"))
+      .select(col("a"), col("b"),
+        call_function("array_sorted_intersect_count", col("na"), col("nb2"))
+          .cast("long").as("common"),
+        size(col("na")).as("da"), size(col("nb2")).as("db"))
+      .select(col("a"), col("b"), col("common"),
+        when(den === 0, lit(0.0))
+          .otherwise(round(col("common") / den, 6)).as("jaccard"))
+  }
+
   /** k-truss — the maximal subgraph in which every edge closes at
     * least k−2 triangles WITHIN the subgraph (Cohen 2008): the
     * edge-level cohesion analogue of k-core (reference:

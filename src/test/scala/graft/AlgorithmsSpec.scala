@@ -597,4 +597,18 @@ class AlgorithmsSpec extends SparkSpec {
     assert(nf(2L) == nf(3L), s"fixpoint: $nf")
     assert(nf(2L) >= 7.0 && nf(2L) <= 11.0, s"N(diam): $nf")
   }
+
+  test("edgeJaccard: embeddedness on triangle+pendant; 0.0 conventions") {
+    // triangle 1-2-3, pendant 4 on 1, isolated edge 5-6
+    val pe = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = graft.algorithms.Structure.edgeJaccard(pe).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("common"), r.getAs[Double]("jaccard")))).toMap
+    assert(got((1L, 2L)) == ((1L, 0.5)))  // share {3} of {3,4}∪{3}
+    assert(got((1L, 3L)) == ((1L, 0.5)))
+    assert(got((2L, 3L)) == ((1L, 1.0)))  // fully embedded in the triangle
+    assert(got((1L, 4L)) == ((0L, 0.0)))  // local bridge to the pendant
+    assert(got((5L, 6L)) == ((0L, 0.0)))  // denominator-0 convention
+  }
 }
