@@ -111,6 +111,15 @@ object ScaleProbe {
         // character-pair alphabet is vocab-bounded: aggregate state
         // constant, time tracks the two explodes — ~linear
         time("bpe_pairs")(Corpus.bpePairs(docs)),
+        // gram-df join over the K× distinct gram stream; replicas'
+        // salted tails add few gram types so df values grow ~K while
+        // the frame grows linearly — expect ~linear
+        time("novelty")(Dedup.noveltyScore(docs)),
+        // four count frames off one K× bigram stream + a token-bounded
+        // scoring join — expect the lm_bigram curve
+        time("lm_kn")(Corpus.kneserNeyNll(docs)),
+        // k-row source aggregate + 1-row broadcast: scan-bound
+        time("temp_mix")(Corpus.temperatureMix(docs)),
         // the composed prep DAG: every stage individually ~linear
         // (gates are maps; dedup/decontam are doc_id-keyed semi-joins)
         // — the composition must ride the decontam shingle curve, not
