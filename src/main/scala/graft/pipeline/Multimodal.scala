@@ -48,8 +48,10 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** ==== STUB ==== deterministic fake decode — the FALLBACK for
-    * payloads with no JDK codec (audio/video) or that no ImageIO
-    * reader accepts; real implementations replace this body. */
+    * payloads no real parser accepts (ImageIO for images,
+    * javax.sound.sampled for audio, the BMFF walker for video
+    * containers) and for video frame PIXELS, the one step with no JDK
+    * codec; real implementations replace this body. */
   private[pipeline] def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
     bytes.foreach(b => h = h * 31 + (b & 0xff))
