@@ -1340,6 +1340,33 @@ SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM bg JOIN cb USING (term, nxt) JOIN cu USING (term)
 GROUP BY bg.doc_id"""
 
+  /** Lexical diversity mirror: same two-stage type/token counts, same
+    * round-6 ratios (sqrt is IEEE in both engines). */
+  val lexicalDiversitySql: String =
+    """WITH tk AS (SELECT doc_id, term, COUNT(*) AS c FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+  WHERE term <> '' GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tokens,
+  CAST(COUNT(*) AS BIGINT) AS types FROM tk GROUP BY 1)
+SELECT doc_id, tokens, types,
+  ROUND(types / tokens, 6) AS ttr,
+  ROUND(types / sqrt(tokens), 6) AS guiraud
+FROM agg"""
+
+  /** PII density mirror: same pattern list, same per-row hit fold. */
+  val piiDensitySql: String = {
+    val hits = graft.pipeline.TextOps.piiPatterns
+      .map { case (_, re, _) => s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)" }
+      .mkString(" + ")
+    s"""WITH h AS (SELECT source, ($hits) AS h,
+  CAST(len(text) AS BIGINT) AS chars FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+  CAST(SUM(h) AS BIGINT) AS n_hits,
+  ROUND(SUM(h) * 1000.0 / SUM(chars), 6) AS hits_per_kchar
+FROM h GROUP BY source"""
+  }
+
   /** Kneser–Ney bigram mirror: same counts, same left-associated
     * discount arithmetic (d = 0.75), same 6-dp round. */
   val kneserNeySql: String =

@@ -748,6 +748,10 @@ object SparkEntry {
       Corpus.termPmi(GraphBuilder.table(s, d, "documents"))),
     "q_lm_score" -> ((s, d) =>
       Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
+    "q_lexical_diversity" -> ((s, d) =>
+      TextOps.lexicalDiversity(GraphBuilder.table(s, d, "documents"))),
+    "q_pii_density" -> ((s, d) =>
+      Corpus.piiDensity(GraphBuilder.table(s, d, "documents"))),
     "q_pii_scan" -> ((s, d) =>
       TextOps.piiScan(GraphBuilder.table(s, d, "documents"))),
     "q_mix_sample" -> ((s, d) =>
@@ -1159,6 +1163,8 @@ FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""",
     "q_hll" -> PipelineOracles.hllSql(8),
     "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 23, 4),
     "q_pii_scan" -> PipelineOracles.piiScanSql,
+    "q_lexical_diversity" -> PipelineOracles.lexicalDiversitySql,
+    "q_pii_density" -> PipelineOracles.piiDensitySql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
     "q_training_mix" -> PipelineOracles.trainingMixSql(mixWeights, 0.5, 5, 24, 90, 5),
     "q_boilerplate" -> PipelineOracles.boilerplateGramsSql(0.5),

@@ -1110,6 +1110,30 @@ object Corpus {
         sum("_words").cast("long").as("total_tokens"),
         round(avg("quality"), 6).as("mean_quality"))
 
+  /** Per-source PII density: documents scanned, documents carrying at
+    * least one PII hit, total hits across the [[TextOps.piiPatterns]]
+    * families, and hits per 1k characters — the compliance row a
+    * source gets reviewed on before entering a training mix. (The
+    * synthetic corpus carries no PII, so the oracle validates the
+    * expressions agree across engines; PiiSpec exercises real
+    * matches.)
+    *
+    * Scale: ONE narrow scan — the regexp counts fold per row, then a
+    * k-row source aggregate; no join against a separate scan frame. */
+  def piiDensity(docs: DataFrame): DataFrame = {
+    val hits = TextOps.piiPatterns
+      .map { case (_, re, _) => regexp_count(col("text"), lit(re)).cast("long") }
+      .reduce(_ + _)
+    docs.select(col("source"), hits.as("h"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("h") > 0L, 1L).otherwise(0L)).cast("long")
+          .as("docs_with_pii"),
+        sum("h").cast("long").as("n_hits"),
+        round(sum("h") * lit(1000.0) / sum("chars"), 6).as("hits_per_kchar"))
+  }
+
   /** Per-source duplication inflation: docs vs distinct content
     * fingerprints and their ratio (1.0 = no exact dups; 2.0 = the
     * source ships every text twice) — the first column a mix designer

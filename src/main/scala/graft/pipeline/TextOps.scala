@@ -207,6 +207,28 @@ object TextOps {
       regexp_replace(c, re, repl)
     }
 
+  /** Per-document lexical diversity: type and token counts with the
+    * type–token ratio and Guiraud's R = types/√tokens (the
+    * length-robust variant — raw TTR decays mechanically with doc
+    * length, so R is what a curation gate actually thresholds;
+    * Guiraud 1954). Low diversity flags templated/repetitive text
+    * from the vocabulary side, complementing the substring-based
+    * repetition metrics.
+    *
+    * Scale: one (doc_id, term) partial-aggregated count, then a
+    * per-doc roll-up — types = group count, tokens = count sum; NO
+    * count-distinct Expand, no window. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("tokens"),
+        count(lit(1)).cast("long").as("types"))
+      .select(col("doc_id"), col("tokens"), col("types"),
+        round(col("types") / col("tokens"), 6).as("ttr"),
+        round(col("types") / sqrt(col("tokens")), 6).as("guiraud"))
+
   /** PII scan: per-doc match counts (on the original text, per pattern
     * independently) plus the length of the redacted text. The synthetic
     * testdata corpus contains no PII — the oracle checks the expressions

@@ -1097,6 +1097,30 @@ class PipelineSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("lexicalDiversity: TTR and Guiraud R from exact type/token counts") {
+    val d = docs(1L -> "a a b c", 2L -> "x x x x")
+    val got = TextOps.lexicalDiversity(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 3L, 0.75, 1.5)))   // 3/√4 = 1.5
+    assert(got(2L) == ((4L, 1L, 0.25, 0.5)))   // degenerate repetition
+  }
+
+  test("piiDensity: per-source hit rollup over real matches") {
+    val implicits = spark.implicits
+    import implicits._
+    val textA = "contact bob@example.com or 555-123-4567 now"
+    val d = Seq((1L, "a", textA), (2L, "a", "clean text"),
+      (3L, "b", "also clean")).toDF("doc_id", "source", "text")
+    val got = graft.pipeline.Corpus.piiDensity(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val chars = textA.length + "clean text".length
+    val perK = math.rint(2 * 1000.0 / chars * 1e6) / 1e6
+    assert(got("a") == ((2L, 1L, 2L, perK)))  // email + phone in doc 1
+    assert(got("b") == ((1L, 0L, 0L, 0.0)))
+  }
+
   test("minhashAudit: identical docs estimate 1.0 with zero error") {
     val d = docs(1L -> base, 2L -> base, 3L -> (base + " extra tail words"),
       4L -> "totally different content about spark shuffles and executors")
