@@ -530,6 +530,22 @@ FROM tn LEFT JOIN agg a ON a.id = tn.id ORDER BY tn.id"""
     sb.toString
   }
 
+  /** Diameter/radius report mirror: the eccentricity query as a
+    * derived table, aggregated to the same one-row extremes +
+    * conditional counts (radius = min POSITIVE ecc, same sink-node
+    * convention). */
+  def diameterSql(maxDepth: Int): String =
+    s"""WITH e AS (SELECT * FROM (${eccentricitySql(maxDepth)}) q),
+ m AS (SELECT MAX(ecc) AS diameter,
+   MIN(CASE WHEN ecc > 0 THEN ecc END) AS radius,
+   CAST(COUNT(*) AS BIGINT) AS n_nodes FROM e)
+SELECT COALESCE(m.diameter, 0) AS diameter, COALESCE(m.radius, 0) AS radius,
+ m.n_nodes,
+ CAST(SUM(CASE WHEN e.ecc = m.diameter AND e.ecc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_peripheral,
+ CAST(SUM(CASE WHEN e.ecc = m.radius THEN 1 ELSE 0 END) AS BIGINT) AS n_central,
+ CAST(SUM(CASE WHEN e.ecc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated
+FROM e, m GROUP BY m.diameter, m.radius, m.n_nodes"""
+
   /** Unrolled HITS on the trade-top graph: L1-normalized authority and
     * hub half-steps, mirroring Centrality.hits iteration for
     * iteration. */

@@ -1353,6 +1353,76 @@ SELECT doc_id, tokens, types,
   ROUND(types / sqrt(tokens), 6) AS guiraud
 FROM agg"""
 
+  /** Token-entropy mirror: same (doc, term) counts, same per-doc
+    * window totals, same −Σ p·ln p roll-up and round-6. */
+  val tokenEntropySql: String =
+    """WITH tk AS (SELECT doc_id, term, COUNT(*) AS c FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u
+  WHERE term <> '' GROUP BY 1, 2),
+tw AS (SELECT doc_id, c,
+  SUM(c) OVER (PARTITION BY doc_id) AS tokens,
+  COUNT(*) OVER (PARTITION BY doc_id) AS types FROM tk)
+SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, CAST(types AS BIGINT) AS types,
+  ROUND(SUM(-(c / tokens) * ln(c / tokens)), 6) AS entropy,
+  ROUND(CASE WHEN types > 1
+    THEN SUM(-(c / tokens) * ln(c / tokens)) / ln(types)
+    ELSE 0.0 END, 6) AS norm_entropy
+FROM tw GROUP BY doc_id, tokens, types"""
+
+  /** Market-basket mirror: same distinct baskets, same A-priori item
+    * prune, same within-order pair join and support/confidence/lift
+    * arithmetic (integer numerators, one final division), same
+    * lift-desc + (p1, p2) deterministic top-k cut. */
+  def basketPairsSql(minItemCount: Long, minPairCount: Long, topK: Int): String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM b),
+ic AS (SELECT pkey, COUNT(*) AS icnt FROM b GROUP BY 1
+  HAVING COUNT(*) >= $minItemCount),
+f AS (SELECT b.okey, b.pkey, ic.icnt FROM b JOIN ic USING (pkey)),
+p AS (SELECT a.pkey AS p1, c.pkey AS p2, a.icnt AS c1, c.icnt AS c2,
+    COUNT(*) AS pair_cnt
+  FROM f a JOIN f c ON a.okey = c.okey AND a.pkey < c.pkey
+  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= $minPairCount)
+SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+  CAST(pair_cnt AS BIGINT) AS pair_cnt,
+  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, n.n_orders,
+  ROUND(pair_cnt / n.n_orders, 6) AS support,
+  ROUND(pair_cnt / c1, 6) AS conf_1_2,
+  ROUND(pair_cnt / c2, 6) AS conf_2_1,
+  ROUND(pair_cnt * n.n_orders / (c1 * c2), 6) AS lift
+FROM p, n
+ORDER BY lift DESC, p1, p2 LIMIT $topK"""
+
+  /** CUSUM mirror: same hourly integer counts, same 2n-scaled exact-
+    * integer drifts, the same prefix-sum − running-min closed form in
+    * BIGINT windows, one final double division. */
+  def cusumSql(k2: Long, h2: Long): String =
+    s"""WITH hc AS (SELECT event_type AS etype,
+    CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+tw AS (SELECT etype, hr, cnt,
+  CAST(COUNT(*) OVER (PARTITION BY etype) AS BIGINT) AS n,
+  CAST(SUM(cnt) OVER (PARTITION BY etype) AS BIGINT) AS tot FROM hc),
+d AS (SELECT etype, hr, cnt, n, tot,
+  2 * n * cnt - ${2 + k2} * tot AS du,
+  ${2 - k2} * tot - 2 * n * cnt AS dd FROM tw),
+pf AS (SELECT etype, hr, cnt, n, tot,
+  SUM(du) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+  SUM(dd) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd FROM d),
+s AS (SELECT etype, hr, cnt, n, tot,
+  pu - LEAST(MIN(pu) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS su,
+  pd - LEAST(MIN(pd) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sd FROM pf)
+SELECT etype AS event_type, hr, cnt,
+  ROUND(su / (2 * n), 6) AS s_up,
+  ROUND(sd / (2 * n), 6) AS s_down,
+  CAST(su > $h2 * tot OR sd > $h2 * tot AS INT) AS alarm
+FROM s ORDER BY event_type, hr"""
+
   /** PII density mirror: same pattern list, same per-row hit fold. */
   val piiDensitySql: String = {
     val hits = graft.pipeline.TextOps.piiPatterns

@@ -318,6 +318,9 @@ object SparkEntry {
     "q_eccentricity" -> ((s, d) =>
       Centrality.eccentricity(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 24)),
+    "q_diameter" -> ((s, d) =>
+      Centrality.graphDiameter(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeTop(s, d), 24)),
     "q_assortativity" -> ((s, d) =>
       algorithms.Structure.assortativity(DerivedGraphs.partCooccur(s, d))),
     // weighted trade graph oriented small→large nation id: acyclic by
@@ -657,6 +660,12 @@ object SparkEntry {
       EventStreams.eventTypePivot(EventStreams.eventsTable(s, d))),
     "q_transitions" -> ((s, d) =>
       EventStreams.eventTransitions(EventStreams.eventsTable(s, d))),
+    "q_cusum" -> ((s, d) =>
+      EventStreams.cusum(EventStreams.eventsTable(s, d))),
+    "q_basket_pairs" -> ((s, d) =>
+      pipeline.Association.basketPairs(GraphBuilder.table(s, d, "lineitem"))),
+    "q_token_entropy" -> ((s, d) =>
+      TextOps.tokenEntropy(GraphBuilder.table(s, d, "documents"))),
     "q_profile" -> ((s, d) =>
       ops.Profile.numericProfile(GraphBuilder.table(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
@@ -917,6 +926,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_louvain" -> Oracles.louvainSql,
     "q_closeness" -> Oracles.closenessSql(24),
     "q_eccentricity" -> Oracles.eccentricitySql(24),
+    "q_diameter" -> Oracles.diameterSql(24),
     "q_anf" -> Oracles.anfSql(3, 4),
     "q_modularity" -> Oracles.modularitySql,
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),
@@ -1164,6 +1174,9 @@ FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""",
     "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 23, 4),
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_lexical_diversity" -> PipelineOracles.lexicalDiversitySql,
+    "q_token_entropy" -> PipelineOracles.tokenEntropySql,
+    "q_basket_pairs" -> PipelineOracles.basketPairsSql(2L, 2L, 100),
+    "q_cusum" -> PipelineOracles.cusumSql(1L, 8L),
     "q_pii_density" -> PipelineOracles.piiDensitySql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
     "q_training_mix" -> PipelineOracles.trainingMixSql(mixWeights, 0.5, 5, 24, 90, 5),

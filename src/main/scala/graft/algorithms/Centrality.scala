@@ -383,6 +383,41 @@ object Centrality {
     }.sortBy(_._1).toDF("id", "ecc", "n_reach")
   }
 
+  /** One-row diameter/radius report derived from [[eccentricity]]:
+    * diameter = max eccentricity, radius = min POSITIVE eccentricity
+    * (the sink-node convention — ecc 0 means "reaches nothing", which
+    * would make every graph with a sink radius-0), with the peripheral
+    * (ecc = diameter), central (ecc = radius) and isolated (ecc = 0)
+    * node counts. Directed semantics, reachable-set based, so it stays
+    * meaningful on disconnected graphs.
+    *
+    * Scale: inherits eccentricity's dual-regime multi-source BFS; the
+    * report itself is one global aggregate over the |V|-row ecc frame
+    * plus one conditional re-aggregate against the broadcast 1-row
+    * extremes — no extra BFS work. */
+  def graphDiameter(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+    // |V|-row frame read twice (extremes, then the conditional counts)
+    // — checkpoint so the BFS runs once.
+    val ecc = eccentricity(nodes, edges, maxDepth).localCheckpoint()
+    val ext = ecc.agg(
+      max("ecc").as("diameter"),
+      min(when(col("ecc") > 0, col("ecc"))).as("radius"),
+      count(lit(1)).cast("long").as("n_nodes"))
+    ecc.crossJoin(broadcast(ext))
+      .groupBy("diameter", "radius", "n_nodes")
+      .agg(
+        sum(when(col("ecc") === col("diameter") && col("ecc") > 0, 1L)
+          .otherwise(0L)).cast("long").as("n_peripheral"),
+        sum(when(col("ecc") === col("radius"), 1L).otherwise(0L))
+          .cast("long").as("n_central"),
+        sum(when(col("ecc") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_isolated"))
+      .select(coalesce(col("diameter"), lit(0L)).as("diameter"),
+        coalesce(col("radius"), lit(0L)).as("radius"),
+        col("n_nodes"), col("n_peripheral"), col("n_central"),
+        col("n_isolated"))
+  }
+
   /** Per-source BFS over the packed CSR — the driver-gated twin of the
     * distributed level loop (depth-capped identically). */
   private def closenessLocal(idsCk: DataFrame, e: DataFrame,

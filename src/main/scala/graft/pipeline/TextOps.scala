@@ -229,6 +229,37 @@ object TextOps {
         round(col("types") / col("tokens"), 6).as("ttr"),
         round(col("types") / sqrt(col("tokens")), 6).as("guiraud"))
 
+  /** Per-document unigram (token) Shannon entropy in nats, plus the
+    * length-normalized variant entropy/ln(types) ∈ [0,1] (1 = uniform
+    * usage, 0 degenerate). A low-entropy doc concentrates its token
+    * mass on a few terms — templated/boilerplate text that raw TTR
+    * misses when the template itself is wide. Complements
+    * [[lexicalDiversity]] (which counts types, blind to skew).
+    *
+    * Scale: one (doc_id, term) partial-aggregated count, then the
+    * per-doc totals via a doc_id-partitioned window over that counts
+    * frame (partition size = per-doc vocabulary — bounded, and the
+    * counts frame is already hash-distributed by doc_id so the window
+    * reuses the shuffle), then one final per-doc roll-up computing
+    * Σ−(c/T)·ln(c/T). Single scan, no count-distinct Expand, no UDF —
+    * all codegen'd arithmetic. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val perDoc = Window.partitionBy("doc_id")
+    val tk = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .withColumn("tokens", sum("c").over(perDoc).cast("long"))
+      .withColumn("types", count(lit(1)).over(perDoc).cast("long"))
+    val p = col("c").cast("double") / col("tokens")
+    tk.groupBy(col("doc_id"), col("tokens"), col("types"))
+      .agg(sum(-p * log(p)).as("ent"))
+      .select(col("doc_id"), col("tokens"), col("types"),
+        round(col("ent"), 6).as("entropy"),
+        round(when(col("types") > 1, col("ent") / log(col("types").cast("double")))
+          .otherwise(lit(0.0)), 6).as("norm_entropy"))
+  }
+
   /** PII scan: per-doc match counts (on the original text, per pattern
     * independently) plus the length of the redacted text. The synthetic
     * testdata corpus contains no PII — the oracle checks the expressions

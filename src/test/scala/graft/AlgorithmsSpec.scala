@@ -432,6 +432,24 @@ class AlgorithmsSpec extends SparkSpec {
       (4L, 0L, 0L), (9L, 0L, 0L)))
   }
 
+  test("graphDiameter: extremes + counts from eccentricity, sink convention") {
+    val implicits = spark.implicits
+    import implicits._
+    // path 1→2→3→4 + isolated 9: eccs (3,2,1,0,0) → diameter 3,
+    // radius = min POSITIVE ecc = 1, 1 peripheral, 1 central, 2 isolated
+    val ed = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val r = algorithms.Centrality.graphDiameter(nodes, ed, 10).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((3L, 1L, 5L, 1L, 1L, 2L)))
+    // all-isolated graph: everything 0, radius coalesces to 0
+    val r0 = algorithms.Centrality.graphDiameter(
+      Seq(7L, 8L).toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst"), 5)
+      .collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(5)) ==
+      ((0L, 0L, 2L, 2L)))
+  }
+
   test("coloring: proper, greedy-bounded, isolated nodes get color 0") {
     val implicits = spark.implicits
     import implicits._

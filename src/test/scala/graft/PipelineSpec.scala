@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.streaming.EventStreams
 
 /** Pipeline operator semantics on hand-built corpora with known answers. */
 class PipelineSpec extends SparkSpec {
@@ -14,6 +15,75 @@ class PipelineSpec extends SparkSpec {
   }
 
   private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  test("tokenEntropy: uniform usage = ln(types) and norm 1; repeated = 0") {
+    val d = docs(1L -> "a b c d", 2L -> "a a a a", 3L -> "a a b b")
+    val got = TextOps.tokenEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // uniform over 4 types: H = ln 4, normalized exactly 1
+    assert(got(1L) == ((4L, 4L, math.rint(math.log(4) * 1e6) / 1e6, 1.0)))
+    // degenerate single type: H = 0, normalized 0 by convention
+    assert(got(2L) == ((4L, 1L, 0.0, 0.0)))
+    // two even types: H = ln 2, normalized 1
+    assert(got(3L)._3 == math.rint(math.log(2) * 1e6) / 1e6 && got(3L)._4 == 1.0)
+  }
+
+  test("basketPairs: support/confidence/lift with a-priori prune") {
+    val implicits = spark.implicits
+    import implicits._
+    // 4 orders: {1,2} {1,2} {1,3} {4} — item 4 and pair (1,3) fall
+    // below min counts; pair (1,2): c1=3, c2=2, pc=2, n=4
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = pipeline.Association.basketPairs(li).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getAs[Double]("support") == 0.5)
+    assert(r.getAs[Double]("conf_1_2") == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("conf_2_1") == 1.0)
+    // lift = pc*n/(c1*c2) = 2*4/(3*2) = 4/3
+    assert(r.getAs[Double]("lift") == math.rint(4.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("cusum: alarm fires on a sustained rate shift, not on flat series") {
+    val implicits = spark.implicits
+    import implicits._
+    // "flat": 10 events/hour for 20 hours. "shift": 1/hour for 16 hours
+    // then 50/hour for 4 — the up-CUSUM crosses 4·mean within the burst.
+    val rows = (for (h <- 0 until 20; i <- 0 until 10)
+      yield ("flat", h.toLong, i)) ++
+      (for (h <- 0 until 20; i <- 0 until (if (h < 16) 1 else 50))
+        yield ("shift", h.toLong, i))
+    val ev = rows.toDF("event_type", "h", "i")
+      .select(col("event_type"),
+        (col("h") * 3600).cast("timestamp").as("ts"))
+    val got = EventStreams.cusum(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(5)))
+    assert(!got.exists { case (t, _, _, a) => t == "flat" && a == 1 })
+    // mean 10.8, alarm at 4·mean = 43.2: the up-CUSUM crosses during
+    // the burst (s_up = 33.8·(h−15) from h=16); the down-CUSUM flags
+    // the sustained low stretch before it — both are real shifts
+    // relative to the series mean, so both alarm.
+    val upAlarms = got.collect { case ("shift", hr, su, _) if su > 43.2 => hr }
+    assert(upAlarms.toList == List(17L, 18L, 19L))
+    val shiftAlarms = got.collect { case ("shift", hr, _, 1) => hr }
+    assert(shiftAlarms.nonEmpty && Set(17L, 18L, 19L).subsetOf(shiftAlarms.toSet))
+    // closed form ≡ direct recurrence on the shift series
+    val mu = (16 * 1 + 4 * 50) / 20.0
+    var s = 0.0
+    val expectUp = (0 until 20).map { h =>
+      val x = if (h < 16) 1.0 else 50.0
+      s = math.max(0.0, s + x - 1.5 * mu); math.rint(s * 1e6) / 1e6
+    }
+    val gotUp = EventStreams.cusum(ev).collect()
+      .filter(_.getString(0) == "shift").sortBy(_.getLong(1))
+      .map(_.getDouble(3)).toSeq
+    assert(gotUp.size == expectUp.size &&
+      gotUp.zip(expectUp).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
 
   test("exact dedup groups identical keys, keeps min id") {
     val d = docs(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc")
