@@ -1423,6 +1423,24 @@ SELECT etype AS event_type, hr, cnt,
   CAST(su > $h2 * tot OR sd > $h2 * tot AS INT) AS alarm
 FROM s ORDER BY event_type, hr"""
 
+  /** Burstiness mirror: same hourly counts, same per-type densify over
+    * [min, max] hours (generate_series ↔ sequence explode), same
+    * Fano / Goh–Barabási arithmetic and round-6. */
+  val burstinessSql: String =
+    """WITH hc AS (SELECT event_type AS etype,
+    CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+sp AS (SELECT etype, MIN(hr) AS h0, MAX(hr) AS h1 FROM hc GROUP BY 1),
+dn AS (SELECT sp.etype, unnest(generate_series(sp.h0, sp.h1)) AS hr FROM sp),
+dj AS (SELECT dn.etype, dn.hr, COALESCE(hc.cnt, 0) AS cnt
+  FROM dn LEFT JOIN hc ON hc.etype = dn.etype AND hc.hr = dn.hr)
+SELECT etype AS event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+  ROUND(AVG(cnt), 6) AS mean_rate,
+  ROUND(VAR_SAMP(cnt) / AVG(cnt), 6) AS fano,
+  ROUND((STDDEV_SAMP(cnt) - AVG(cnt)) / (STDDEV_SAMP(cnt) + AVG(cnt)), 6) AS burstiness
+FROM dj GROUP BY etype ORDER BY event_type"""
+
   /** PII density mirror: same pattern list, same per-row hit fold. */
   val piiDensitySql: String = {
     val hits = graft.pipeline.TextOps.piiPatterns

@@ -151,6 +151,8 @@ object SparkEntry {
       g(s, d).degrees.groupBy("degree")
         .agg(count(lit(1)).cast("long").as("n_nodes"))
         .orderBy("degree")),
+    "q_hill_tail" -> ((s, d) =>
+      algorithms.Structure.hillTailIndex(g(s, d).degrees)),
 
     // ---- §2.2 chained query API ----
     "q_label_scan" -> ((s, d) =>
@@ -662,6 +664,8 @@ object SparkEntry {
       EventStreams.eventTransitions(EventStreams.eventsTable(s, d))),
     "q_cusum" -> ((s, d) =>
       EventStreams.cusum(EventStreams.eventsTable(s, d))),
+    "q_burstiness" -> ((s, d) =>
+      EventStreams.burstiness(EventStreams.eventsTable(s, d))),
     "q_basket_pairs" -> ((s, d) =>
       pipeline.Association.basketPairs(GraphBuilder.table(s, d, "lineitem"))),
     "q_token_entropy" -> ((s, d) =>
@@ -869,6 +873,19 @@ SELECT id, name, out_degree, in_degree, out_degree + in_degree AS degree FROM de
   LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.dst = n.id)
 SELECT CAST(degree AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY degree ORDER BY degree"""),
+    // Hill mirror: same degree derivation, same tie-safe top-(k+1)
+    // value multiset, same ln-ratio fold (min row contributes 0)
+    "q_hill_tail" -> (P + """, deg AS (
+  SELECT COALESCE(o.c, 0) + COALESCE(i.c, 0) AS degree
+  FROM nodes n
+  LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON o.src = n.id
+  LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.dst = n.id),
+top AS (SELECT CAST(degree AS BIGINT) AS deg FROM deg WHERE degree > 0
+  ORDER BY deg DESC LIMIT 51),
+m AS (SELECT MIN(deg) AS dmin, CAST(COUNT(*) AS BIGINT) AS m FROM top)
+SELECT CAST(m.m - 1 AS BIGINT) AS k_used, CAST(m.dmin AS BIGINT) AS xmin,
+ ROUND((m.m - 1) / SUM(ln(deg / m.dmin)), 6) AS alpha
+FROM top, m GROUP BY m.dmin, m.m"""),
     "q_label_scan" ->
       "SELECT 300000000000000 + c_custkey AS id, c_name AS name, c_mktsegment AS mktsegment FROM customer",
     "q_prop_eq" ->
@@ -1177,6 +1194,7 @@ FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""",
     "q_token_entropy" -> PipelineOracles.tokenEntropySql,
     "q_basket_pairs" -> PipelineOracles.basketPairsSql(2L, 2L, 100),
     "q_cusum" -> PipelineOracles.cusumSql(1L, 8L),
+    "q_burstiness" -> PipelineOracles.burstinessSql,
     "q_pii_density" -> PipelineOracles.piiDensitySql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
     "q_training_mix" -> PipelineOracles.trainingMixSql(mixWeights, 0.5, 5, 24, 90, 5),

@@ -104,6 +104,33 @@ object Structure {
           .as("q"))
   }
 
+  /** Hill tail-index estimator (Hill 1975) over a degree column — the
+    * maximum-likelihood power-law exponent of the distribution tail:
+    * α = k / Σᵢ ln(d₍ᵢ₎/d₍ₖ₊₁₎) over the k largest degrees, with
+    * x_min = d₍ₖ₊₁₎. Complements the degree-distribution histogram
+    * with the single number a scale-free-ness check actually reads.
+    * Tie-safe: the top-(k+1) VALUE multiset is unique under boundary
+    * ties, and the minimum row contributes ln(1) = 0, so no
+    * order-statistic ambiguity survives.
+    *
+    * Scale: the only distributed work is a TakeOrdered top-(k+1)
+    * (never a full sort); the (k+1)-row frame then folds on one
+    * broadcast aggregate. */
+  def hillTailIndex(degrees: DataFrame, k: Int = 50): DataFrame = {
+    val top = degrees.select(col("degree").cast("long").as("deg"))
+      .filter(col("deg") > 0)
+      .orderBy(col("deg").desc).limit(k + 1)
+      .localCheckpoint()
+    val ext = top.agg(min("deg").as("dmin"),
+      count(lit(1)).cast("long").as("m"))
+    top.crossJoin(broadcast(ext))
+      .groupBy("dmin", "m")
+      .agg(sum(log(col("deg").cast("double") / col("dmin"))).as("lsum"))
+      .select((col("m") - 1).cast("long").as("k_used"),
+        col("dmin").cast("long").as("xmin"),
+        round((col("m") - 1).cast("double") / col("lsum"), 6).as("alpha"))
+  }
+
   def assortativity(pedges: DataFrame): DataFrame = {
     val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))

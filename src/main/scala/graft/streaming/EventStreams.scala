@@ -368,6 +368,38 @@ object EventStreams {
       .orderBy("event_type", "hr")
   }
 
+  /** Burstiness profile of each event-type's hourly rate series:
+    * Fano factor (variance/mean — 1 for a Poisson process, ≫1 for
+    * bursty arrivals) and the Goh–Barabási burstiness coefficient
+    * B = (σ−μ)/(σ+μ) ∈ (−1, 1). The series is DENSIFIED over the
+    * type's own [min, max] hour range (a missing hour is a 0-count
+    * observation — dropping zeros would bias both statistics toward
+    * Poisson), via a per-type sequence explode, bounded by the time
+    * window, never by data volume.
+    *
+    * Scale: one map-side-combined (type, hour) count; the densify
+    * explode is |types|·|hours| rows; one final per-type aggregate.
+    * Types with a single observed hour emit NULL stats (n < 2). */
+  def burstiness(events: DataFrame): DataFrame = {
+    val hc = events
+      .select(col("event_type").as("etype"),
+        floor(unix_timestamp(col("ts")) / lit(3600L)).cast("long").as("hr"))
+      .groupBy("etype", "hr").agg(count(lit(1)).cast("long").as("cnt"))
+    val spans = hc.groupBy("etype")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+    val dense = spans
+      .select(col("etype"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(hc, Seq("etype", "hr"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    dense.groupBy(col("etype").as("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        round(avg("cnt"), 6).as("mean_rate"),
+        round(var_samp("cnt") / avg("cnt"), 6).as("fano"),
+        round((stddev_samp("cnt") - avg("cnt")) /
+          (stddev_samp("cnt") + avg("cnt")), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   final case class TransitionStep(user_id: Long, from_type: String,
                                   to_type: String)
   final case class LastEvent(ts: Long, event_id: Long, event_type: String)

@@ -432,6 +432,23 @@ class AlgorithmsSpec extends SparkSpec {
       (4L, 0L, 0L), (9L, 0L, 0L)))
   }
 
+  test("hillTailIndex: alpha over the top-k ln-ratios, tie-safe, zeros dropped") {
+    val implicits = spark.implicits
+    import implicits._
+    // degrees {8,4,2,1,0}: zeros excluded, all 4 positive fit in k+1,
+    // dmin=1, k_used=3, alpha = 3/ln(8·4·2) = 3/(6 ln 2)
+    val d = Seq(8L, 4L, 2L, 1L, 0L).toDF("degree")
+    val r = algorithms.Structure.hillTailIndex(d).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 3.0 / (6.0 * math.log(2))) < 1e-6)
+    // boundary tie: k=2 over {4,2,2,2} → top-3 value multiset {4,2,2}
+    // regardless of which tied row the engine cut
+    val t = Seq(4L, 2L, 2L, 2L).toDF("degree")
+    val rt = algorithms.Structure.hillTailIndex(t, 2).collect()(0)
+    assert(rt.getLong(0) == 2L && rt.getLong(1) == 2L)
+    assert(math.abs(rt.getDouble(2) - 2.0 / math.log(2)) < 1e-6)
+  }
+
   test("graphDiameter: extremes + counts from eccentricity, sink convention") {
     val implicits = spark.implicits
     import implicits._

@@ -85,6 +85,30 @@ class PipelineSpec extends SparkSpec {
       gotUp.zip(expectUp).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("burstiness: densified zeros push Fano up; constant series hits B = -1") {
+    val implicits = spark.implicits
+    import implicits._
+    // steady: 5/hour for hours 0..3 → var 0, fano 0, B = -1
+    // spike: 8 events at hour 0, none at 1..3 (densified zeros) →
+    // mean 2, var_samp (36+4+4+4)/3 = 16, fano 8, B = (4-2)/(4+2)
+    val rows = (for (h <- 0 until 4; i <- 0 until 5) yield ("steady", h)) ++
+      (for (i <- 0 until 8) yield ("spike", 0)) :+ (("spike", 3))
+    val ev = rows.toDF("event_type", "h")
+      .select(col("event_type"), (col("h") * 3600).cast("timestamp").as("ts"))
+    val got = EventStreams.burstiness(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("steady") == ((4L, 5.0, 0.0, -1.0)))
+    val (nh, mr, fano, b) = got("spike")
+    // spike series over hours 0..3 is (8,0,0,1): mean 2.25,
+    // var_samp = (33.0625+5.0625+5.0625+1.5625)/3
+    assert(nh == 4L && mr == 2.25)
+    val vs = (33.0625 + 5.0625 + 5.0625 + 1.5625) / 3
+    assert(math.abs(fano - vs / 2.25) < 1e-6)
+    val sd = math.sqrt(vs)
+    assert(math.abs(b - (sd - 2.25) / (sd + 2.25)) < 1e-6)
+  }
+
   test("exact dedup groups identical keys, keeps min id") {
     val d = docs(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc")
     val g = Dedup.exact(d, col("text")).collect()
