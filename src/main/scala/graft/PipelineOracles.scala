@@ -756,6 +756,23 @@ JOIN ca c1 ON pr.term_a = c1.term
 JOIN ca c2 ON pr.term_b = c2.term
 ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT $k"""
 
+  /** Term-graph cluster mirror: the PMI top-k as a derived table, then
+    * min-reachable-term transitive closure via a recursive CTE (UNION
+    * dedup terminates it); cluster = MIN over the reachable set ≡ the
+    * component's lexicographic min term, so no id-scheme mirroring. */
+  def termGraphClustersSql(minPairDocs: Long, k: Int): String =
+    s"""WITH RECURSIVE pm AS (SELECT term_a, term_b FROM (${termPmiSql(minPairDocs, k)}) q),
+nd AS (SELECT term_a AS term FROM pm UNION SELECT term_b FROM pm),
+se AS (SELECT term_a AS a, term_b AS b FROM pm
+  UNION ALL SELECT term_b, term_a FROM pm),
+r AS (SELECT term AS v, term AS w FROM nd
+  UNION SELECT r.v, se.b FROM r JOIN se ON se.a = r.w),
+lbl AS (SELECT v AS term, MIN(w) AS cluster FROM r GROUP BY v),
+sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lbl GROUP BY 1)
+SELECT lbl.term, lbl.cluster, sz.cluster_size
+FROM lbl JOIN sz USING (cluster) ORDER BY cluster, term"""
+
   def vocabTopKSql(k: Int): String =
     s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

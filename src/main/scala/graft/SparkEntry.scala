@@ -759,6 +759,8 @@ object SparkEntry {
     // vocabK 64 ≥ the corpus vocabulary → the prune is a no-op (exact)
     "q_term_pmi" -> ((s, d) =>
       Corpus.termPmi(GraphBuilder.table(s, d, "documents"))),
+    "q_term_clusters" -> ((s, d) =>
+      Corpus.termGraphClusters(GraphBuilder.table(s, d, "documents"))),
     "q_lm_score" -> ((s, d) =>
       Corpus.lmScore(GraphBuilder.table(s, d, "documents"))),
     "q_lexical_diversity" -> ((s, d) =>
@@ -1169,6 +1171,7 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 2000.0, 50, 60, 20),
     "q_tfidf" -> PipelineOracles.tfidfSql(3),
     "q_term_pmi" -> PipelineOracles.termPmiSql(2, 50),
+    "q_term_clusters" -> PipelineOracles.termGraphClustersSql(2, 50),
     "q_lm_score" -> PipelineOracles.lmScoreSql,
     "q_lm_bigram" -> PipelineOracles.bigramNllSql,
     "q_lm_kn" -> PipelineOracles.kneserNeySql,

@@ -546,6 +546,44 @@ object Corpus {
       .limit(k)
   }
 
+  /** Concept clusters: connected components of the term-association
+    * graph whose edges are the top-k PMI pairs from [[termPmi]] — the
+    * cross-family composition (text statistics → graph algorithm) a
+    * topic-discovery pass runs: terms that co-occur unusually often
+    * clump into connected vocabulary neighborhoods. Cluster label =
+    * lexicographic min term in the component (id-scheme-free, so the
+    * oracle needs no hash mirroring).
+    *
+    * Scale: the edge set is k-bounded by construction (top-k PMI cut),
+    * so the graph side is trivially small here; with an unbounded PMI
+    * threshold cut instead, the component pass inherits
+    * [[graft.algorithms.Community.connectedComponents]]'s dual-regime
+    * pointer-doubling — the term graph is |vocab|-sized either way,
+    * never corpus-sized. */
+  def termGraphClusters(docs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val pairs = termPmi(docs).select("term_a", "term_b").localCheckpoint()
+    val ids = pairs.select(col("term_a").as("term"))
+      .unionByName(pairs.select(col("term_b").as("term")))
+      .distinct()
+      .select(col("term"), TextOps.hash60(col("term"), "tg:").as("id"))
+      .localCheckpoint()
+    val e = pairs
+      .join(ids.select(col("term").as("term_a"), col("id").as("src")), Seq("term_a"))
+      .join(ids.select(col("term").as("term_b"), col("id").as("dst")), Seq("term_b"))
+      .select("src", "dst")
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val lab = graft.algorithms.Community
+      .connectedComponents(ids.select("id"), sym, maxIter)
+      .join(ids, Seq("id"))
+      .select(col("term"), col("component"))
+    val minTerm = lab.groupBy("component").agg(min("term").as("cluster"))
+    val lbl = lab.join(minTerm, Seq("component")).select("term", "cluster")
+    val sz = lbl.groupBy("cluster").agg(count(lit(1)).cast("long").as("cluster_size"))
+    lbl.join(sz, Seq("cluster"))
+      .select(col("term"), col("cluster"), col("cluster_size"))
+      .orderBy("cluster", "term")
+  }
+
   /** Feature-hashed document vectors (the hashing trick, Weinberger
     * et al. 2009): each document becomes an L2-normalized sparse
     * count vector over `dim` buckets, bucket = hash(term) mod dim —

@@ -109,6 +109,17 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(b - (sd - 2.25) / (sd + 2.25)) < 1e-6)
   }
 
+  test("termGraphClusters: PMI edges clump terms into min-term components") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = docs(1L -> "alpha beta", 2L -> "alpha beta",
+      3L -> "gamma delta", 4L -> "gamma delta", 5L -> "solo")
+    val got = graft.pipeline.Corpus.termGraphClusters(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("alpha", "alpha", 2L), ("beta", "alpha", 2L),
+      ("gamma", "delta", 2L), ("delta", "delta", 2L)))
+  }
+
   test("exact dedup groups identical keys, keeps min id") {
     val d = docs(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc")
     val g = Dedup.exact(d, col("text")).collect()
