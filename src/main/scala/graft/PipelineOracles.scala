@@ -1440,6 +1440,32 @@ SELECT etype AS event_type, hr, cnt,
   CAST(su > $h2 * tot OR sd > $h2 * tot AS INT) AS alarm
 FROM s ORDER BY event_type, hr"""
 
+  /** Online-CUSUM mirror: fixed μ0 reference, so the scaled drifts are
+    * plain 2-scaled integers; same closed-form windows as [[cusumSql]]. */
+  def cusumOnlineSql(mu0: Long, k2: Long, h2: Long): String =
+    s"""WITH hc AS (SELECT event_type AS etype,
+    CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+d AS (SELECT etype, hr, cnt,
+  2 * cnt - ${(2 + k2) * mu0} AS du,
+  ${(2 - k2) * mu0} - 2 * cnt AS dd FROM hc),
+pf AS (SELECT etype, hr, cnt,
+  SUM(du) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+  SUM(dd) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd FROM d),
+s AS (SELECT etype, hr, cnt,
+  pu - LEAST(MIN(pu) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS su,
+  pd - LEAST(MIN(pd) OVER (PARTITION BY etype ORDER BY hr
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sd FROM pf)
+SELECT etype AS event_type, hr, cnt,
+  ROUND(su / 2, 6) AS s_up,
+  ROUND(sd / 2, 6) AS s_down,
+  CAST(su > ${h2 * mu0} OR sd > ${h2 * mu0} AS INT) AS alarm
+FROM s ORDER BY event_type, hr"""
+
   /** Burstiness mirror: same hourly counts, same per-type densify over
     * [min, max] hours (generate_series ↔ sequence explode), same
     * Fano / Goh–Barabási arithmetic and round-6. */

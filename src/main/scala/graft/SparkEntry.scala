@@ -666,6 +666,8 @@ object SparkEntry {
       EventStreams.cusum(EventStreams.eventsTable(s, d))),
     "q_burstiness" -> ((s, d) =>
       EventStreams.burstiness(EventStreams.eventsTable(s, d))),
+    "q_cusum_online" -> ((s, d) =>
+      EventStreams.cusumOnlineBatch(EventStreams.eventsTable(s, d))),
     "q_basket_pairs" -> ((s, d) =>
       pipeline.Association.basketPairs(GraphBuilder.table(s, d, "lineitem"))),
     "q_token_entropy" -> ((s, d) =>
@@ -1198,6 +1200,7 @@ FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""",
     "q_basket_pairs" -> PipelineOracles.basketPairsSql(2L, 2L, 100),
     "q_cusum" -> PipelineOracles.cusumSql(1L, 8L),
     "q_burstiness" -> PipelineOracles.burstinessSql,
+    "q_cusum_online" -> PipelineOracles.cusumOnlineSql(5L, 1L, 8L),
     "q_pii_density" -> PipelineOracles.piiDensitySql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
     "q_training_mix" -> PipelineOracles.trainingMixSql(mixWeights, 0.5, 5, 24, 90, 5),

@@ -368,6 +368,97 @@ object EventStreams {
       .orderBy("event_type", "hr")
   }
 
+  /** Online CUSUM against a FIXED hourly-rate target μ0 (the classic
+    * Page test form a monitor runs: the reference level is a known
+    * target, not estimated from the series — so the statistic is
+    * incremental and needs no global pass). Exact integer arithmetic
+    * via 2-scaling (half-integer slack k = k2/2, alarm at h2/2·μ0),
+    * same prefix-sum − running-min closed form as [[cusum]]. The
+    * streaming twin is [[cusumOnlineSteps]]; parity is spec-pinned on
+    * completed hours. */
+  def cusumOnlineBatch(events: DataFrame, mu0: Long = 5L,
+                       k2: Long = 1L, h2: Long = 8L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ordered = w.partitionBy("etype").orderBy("hr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val hc = events
+      .select(col("event_type").as("etype"),
+        floor(unix_timestamp(col("ts")) / lit(3600L)).cast("long").as("hr"))
+      .groupBy("etype", "hr").agg(count(lit(1)).cast("long").as("cnt"))
+    val dUp = lit(2L) * col("cnt") - lit((2L + k2) * mu0)
+    val dDn = lit((2L - k2) * mu0) - lit(2L) * col("cnt")
+    hc.withColumn("pu", sum(dUp).over(ordered))
+      .withColumn("pd", sum(dDn).over(ordered))
+      .withColumn("su", col("pu") - least(min(col("pu")).over(ordered), lit(0L)))
+      .withColumn("sd", col("pd") - least(min(col("pd")).over(ordered), lit(0L)))
+      .select(col("etype").as("event_type"), col("hr"), col("cnt"),
+        round(col("su").cast("double") / 2.0, 6).as("s_up"),
+        round(col("sd").cast("double") / 2.0, 6).as("s_down"),
+        (col("su") > lit(h2 * mu0) || col("sd") > lit(h2 * mu0))
+          .cast("int").as("alarm"))
+      .orderBy("event_type", "hr")
+  }
+
+  final case class CusumRow(event_type: String, hr: Long, cnt: Long,
+                            s_up: Double, s_down: Double, alarm: Int)
+  final case class CusumState(hr: Long, cnt: Long, pu: Long, minU: Long,
+                              pd: Long, minD: Long)
+
+  /** Streaming twin of [[cusumOnlineBatch]]: one tiny state row per
+    * event type (current open hour's partial count + the two prefix
+    * accumulators and their running minima — the closed form carries
+    * O(1) state). Each micro-batch tallies its events per hour, closes
+    * every hour strictly before the newest seen, and keeps the newest
+    * open — an hour emits exactly once, when it completes. Works
+    * identically in batch mode except the final open hour is withheld
+    * (spec-pinned against the batch twin on completed hours). */
+  def cusumOnlineSteps(events: Dataset[Event], mu0: Long = 5L,
+                       k2: Long = 1L, h2: Long = 8L): Dataset[CusumRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def close(st: CusumState): (CusumRow, CusumState) = {
+      val pu = st.pu + 2L * st.cnt - (2L + k2) * mu0
+      val pd = st.pd + (2L - k2) * mu0 - 2L * st.cnt
+      val minU = math.min(st.minU, math.min(pu, 0L))
+      val minD = math.min(st.minD, math.min(pd, 0L))
+      val su = pu - minU; val sd = pd - minD
+      (CusumRow("", st.hr, st.cnt,
+        math.rint(su / 2.0 * 1e6) / 1e6, math.rint(sd / 2.0 * 1e6) / 1e6,
+        if (su > h2 * mu0 || sd > h2 * mu0) 1 else 0),
+        CusumState(st.hr, 0L, pu, minU, pd, minD))
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (etype, it, state: GroupState[CusumState]) =>
+          val tally = scala.collection.mutable.SortedMap.empty[Long, Long]
+          it.foreach { e =>
+            val hr = e.ts.getTime / 3600000L
+            tally(hr) = tally.getOrElse(hr, 0L) + 1L
+          }
+          if (tally.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              CusumState(tally.head._1, 0L, 0L, 0L, 0L, 0L))
+            val out = Seq.newBuilder[CusumRow]
+            tally.foreach { case (hr, c) =>
+              // a newer hour closes the open one (silent hours in the
+              // gap stay absent — the batch twin has no row for them
+              // either); an hour older than the open one arrived after
+              // its close and is dropped, watermark-style
+              if (hr > st.hr) {
+                val (row, next) = close(st)
+                out += row.copy(event_type = etype)
+                st = CusumState(hr, 0L, next.pu, next.minU, next.pd, next.minD)
+              }
+              if (hr >= st.hr) st = st.copy(cnt = st.cnt + c)
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Burstiness profile of each event-type's hourly rate series:
     * Fano factor (variance/mean — 1 for a Poisson process, ≫1 for
     * bursty arrivals) and the Goh–Barabási burstiness coefficient

@@ -430,6 +430,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("online CUSUM stream ≡ batch twin on completed hours") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val evs = EventStreams.readEvents(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.cusumOnlineSteps(evs)
+      .writeStream.format("memory").queryName("cus").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("cus").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    // batch rows minus each type's final (still-open) hour
+    val batchAll = EventStreams.cusumOnlineBatch(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    val lastHr = batchAll.keys.groupBy(_._1).map { case (t, ks) =>
+      t -> ks.map(_._2).max }
+    val batchClosed = batchAll.filter { case ((t, hr), _) => hr < lastHr(t) }
+    assert(streamed.nonEmpty && streamed == batchClosed)
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
