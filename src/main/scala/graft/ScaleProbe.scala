@@ -37,6 +37,9 @@ object ScaleProbe {
     val evBase = graft.streaming.EventStreams.eventsTable(spark, dir)
     val evN = evBase.count()
     val userMax = evBase.agg(max("user_id")).head.getLong(0) + 1L
+    val liBase = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val liOrdMax = liBase.agg(max("l_orderkey")).head.getLong(0) + 1L
     // K deterministic replicas: offset ids, salt the text tail so
     // replicas aren't exact dups (the minhash/banding load stays real)
     def corpusTimes(rep: Int): Map[String, Double] = {
@@ -191,6 +194,27 @@ object ScaleProbe {
               col("event_id").as("signup_id"))
           graft.ops.RangeJoin.pointInInterval(c, su, Seq("user_id"),
             "ts", "sstart", "send")
+        },
+        // token-linear two-stage agg + doc-partitioned window — ~linear
+        time("token_entropy")(TextOps.tokenEntropy(docs)),
+        // hourly counts: rows per (type, hour) grow K but the series
+        // LENGTH (the window partition) is time-bounded, K-invariant —
+        // expect ~linear dominated by the count scan
+        time("cusum")(graft.streaming.EventStreams.cusum(events)),
+        time("burstiness")(graft.streaming.EventStreams.burstiness(events)),
+        // vocab-bounded PMI graph + CC over ≤ k edges — the term_pmi
+        // curve; the graph side is K-invariant by construction
+        time("term_clusters")(Corpus.termGraphClusters(docs)),
+        // replicas = K× more orders over the SAME part catalog: item
+        // counts grow K, per-order pair expansion is basket-bounded,
+        // pair-group count is catalog-bounded — expect ~linear
+        time("basket_pairs") {
+          val li = (0 until rep).map { r =>
+            liBase.select(
+              (col("l_orderkey") + lit(r.toLong * liOrdMax)).as("l_orderkey"),
+              col("l_partkey"))
+          }.reduce(_ unionByName _)
+          graft.pipeline.Association.basketPairs(li)
         })
     }
 
