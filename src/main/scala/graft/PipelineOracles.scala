@@ -112,6 +112,20 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
   ROUND(AVG(1.0 / df), 6) AS novelty
 FROM g JOIN dfg USING (g) GROUP BY doc_id"""
 
+  /** Substring-duplication-rate mirror: same positional 20-gram stream
+    * (substr formula ≡ the generator row-for-row, truncated prefix for
+    * short docs), same hashed count join and per-doc coverage fold. */
+  val substringDupSql: String =
+    s"""WITH g AS MATERIALIZED (SELECT doc_id,
+    ${h60("'sd:' || substr(text, i, 20)")} AS g
+  FROM documents,
+    unnest(generate_series(1, greatest(len(text) - 19, 1))) AS t(i)),
+c AS MATERIALIZED (SELECT g, COUNT(*) AS c FROM g GROUP BY g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_pos,
+  ROUND(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_rate
+FROM g JOIN c USING (g) GROUP BY doc_id"""
+
   /** Per-source duplication inflation over the dedupExact fingerprint. */
   val dupInflationSql: String =
     """WITH pf AS (SELECT source, md5(lower(substr(text, 1, 100))) AS fp,

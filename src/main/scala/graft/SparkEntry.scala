@@ -531,6 +531,8 @@ object SparkEntry {
     "q_novelty" -> ((s, d) =>
       Dedup.noveltyScore(GraphBuilder.table(s, d, "documents"),
         hashedIn = Some(hashedShinglesCached(s, d)))),
+    "q_substring_dup" -> ((s, d) =>
+      Dedup.substringDupRate(GraphBuilder.table(s, d, "documents"))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1035,6 +1037,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_dedup_canonical" -> PipelineOracles.canonicalDedupSql,
     "q_minhash_audit" -> PipelineOracles.minhashAuditSql,
     "q_novelty" -> PipelineOracles.noveltySql,
+    "q_substring_dup" -> PipelineOracles.substringDupSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),

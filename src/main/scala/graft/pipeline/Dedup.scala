@@ -258,6 +258,33 @@ object Dedup {
         round(avg(lit(1.0) / col("df")), 6).as("novelty"))
   }
 
+  /** Positional exact-substring duplication rate — the per-document
+    * signal behind suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * fraction of a document's k-gram POSITIONS whose gram occurs more
+    * than once in the corpus. Position-level and multiplicity-aware —
+    * within-doc repeats count, unlike the distinct-gram
+    * [[noveltyScore]] — so 0.30 literally means "30% of this text is
+    * covered by 20-char spans that exist elsewhere", the quantity a
+    * substring-dedup pass would cut.
+    *
+    * Scale: the gram stream is length-linear off the [[TextOps]]
+    * generator (O(1) state per row, hashed to a 60-bit key before the
+    * shuffle); one map-side-combined gram count; one count join back;
+    * one per-doc roll-up — the novelty/boilerplate family shape, no
+    * doc×doc work anywhere. */
+  def substringDupRate(docs: DataFrame, k: Int = 20): DataFrame = {
+    val grams = TextOps.shingles(docs, k)
+      .select(col("doc_id"), TextOps.hash60(col("sh"), "sd:").as("g"))
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    grams.join(cnt, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_pos"),
+        sum(when(col("c") > 1L, 1L).otherwise(0L)).cast("long").as("dup_pos"))
+      .select(col("doc_id"), col("n_pos"), col("dup_pos"),
+        round(col("dup_pos").cast("double") / col("n_pos"), 6).as("dup_rate"))
+  }
+
   /** Shingle containment — the ASYMMETRIC Jaccard (|A∩B|/|A| and
     * |A∩B|/|B|): a short doc fully embedded in a long one scores near
     * 1.0 on its own side while symmetric Jaccard dilutes toward

@@ -120,6 +120,21 @@ class PipelineSpec extends SparkSpec {
       ("gamma", "delta", 2L), ("delta", "delta", 2L)))
   }
 
+  test("substringDupRate: positional coverage counts within-doc repeats") {
+    // k=4 grams. doc 1 = doc 2 → every position duplicated (rate 1).
+    // doc 3 shares no 4-gram with anything and has an internal repeat
+    // "abcd...abcd" → those positions count too.
+    val d = docs(1L -> "xyzw1234", 2L -> "xyzw1234", 3L -> "abcdQQabcd")
+    val got = graft.pipeline.Dedup.substringDupRate(d, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((5L, 5L, 1.0)) && got(2L) == ((5L, 5L, 1.0)))
+    // doc 3: positions 1..7; only the two "abcd" occurrences (pos 1, 7)
+    // share a gram value → dup_pos 2 of 7
+    assert(got(3L)._1 == 7L && got(3L)._2 == 2L)
+    assert(math.abs(got(3L)._3 - math.rint(2.0 / 7.0 * 1e6) / 1e6) < 1e-9)
+  }
+
   test("exact dedup groups identical keys, keeps min id") {
     val d = docs(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc")
     val g = Dedup.exact(d, col("text")).collect()
