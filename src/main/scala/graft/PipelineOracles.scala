@@ -1480,6 +1480,30 @@ SELECT etype AS event_type, hr, cnt,
   CAST(su > ${h2 * mu0} OR sd > ${h2 * mu0} AS INT) AS alarm
 FROM s ORDER BY event_type, hr"""
 
+  /** Type-drift mirror: same epoch-day counts, same p·ln(p/q) fold. */
+  val typeDriftSql: String =
+    """WITH dt AS (SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+    event_type AS etype, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+dtot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS dtot FROM dt GROUP BY 1),
+g AS (SELECT etype, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM dt GROUP BY 1),
+gt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS gtot FROM dt)
+SELECT dt.day, dtot.dtot AS n_events,
+  ROUND(SUM((cnt / dtot.dtot) * ln((cnt / dtot.dtot) / (gcnt / gt.gtot))), 6) AS kl
+FROM dt JOIN dtot USING (day) JOIN g USING (etype), gt
+GROUP BY dt.day, dtot.dtot ORDER BY dt.day"""
+
+  /** Event-path mirror: same per-user LEAD×2 trigram stream, same
+    * count-desc + full-trigram tiebreak top-k. */
+  def eventPathsSql(k: Int): String =
+    s"""WITH s AS (SELECT event_type AS t1,
+  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t2,
+  LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t3
+  FROM events)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT $k"""
+
   /** Burstiness mirror: same hourly counts, same per-type densify over
     * [min, max] hours (generate_series ↔ sequence explode), same
     * Fano / Goh–Barabási arithmetic and round-6. */

@@ -670,6 +670,10 @@ object SparkEntry {
       EventStreams.burstiness(EventStreams.eventsTable(s, d))),
     "q_cusum_online" -> ((s, d) =>
       EventStreams.cusumOnlineBatch(EventStreams.eventsTable(s, d))),
+    "q_type_drift" -> ((s, d) =>
+      EventStreams.typeDrift(EventStreams.eventsTable(s, d))),
+    "q_event_paths" -> ((s, d) =>
+      EventStreams.eventPaths(EventStreams.eventsTable(s, d))),
     "q_basket_pairs" -> ((s, d) =>
       pipeline.Association.basketPairs(GraphBuilder.table(s, d, "lineitem"))),
     "q_token_entropy" -> ((s, d) =>
@@ -1204,6 +1208,8 @@ FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""",
     "q_cusum" -> PipelineOracles.cusumSql(1L, 8L),
     "q_burstiness" -> PipelineOracles.burstinessSql,
     "q_cusum_online" -> PipelineOracles.cusumOnlineSql(5L, 1L, 8L),
+    "q_type_drift" -> PipelineOracles.typeDriftSql,
+    "q_event_paths" -> PipelineOracles.eventPathsSql(25),
     "q_pii_density" -> PipelineOracles.piiDensitySql,
     "q_mix_sample" -> PipelineOracles.mixSampleSql(mixWeights),
     "q_training_mix" -> PipelineOracles.trainingMixSql(mixWeights, 0.5, 5, 24, 90, 5),

@@ -459,6 +459,62 @@ object EventStreams {
       }
   }
 
+  /** Temporal distribution drift: per epoch-day KL divergence of the
+    * day's event-type mix against the whole stream's mix — the
+    * monitoring signal that catches a traffic-composition shift (bot
+    * burst, instrumentation change) even when total volume looks
+    * normal. KL(P_day ‖ P_global) = Σ_type p·ln(p/q); a type absent
+    * from a day contributes 0 (lim p→0), and every day-present type
+    * exists globally, so the sum is always finite.
+    *
+    * Scale: one map-side-combined (day, type) count; day totals and
+    * the global mix are |days|- and |types|-bounded re-aggregates
+    * (global side gate-broadcast); final roll-up keyed by day. Integer
+    * epoch-day arithmetic — no calendar functions. */
+  def typeDrift(events: DataFrame): DataFrame = {
+    val dt = events
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+        col("event_type").as("etype"))
+      .groupBy("day", "etype").agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint()
+    val dayTot = dt.groupBy("day").agg(sum("cnt").cast("long").as("dtot"))
+    val glob = dt.groupBy("etype").agg(sum("cnt").cast("long").as("gcnt"))
+    val gTot = dt.agg(sum("cnt").cast("long").as("gtot"))
+    val p = col("cnt").cast("double") / col("dtot")
+    val q = col("gcnt").cast("double") / col("gtot")
+    dt.join(dayTot, Seq("day"))
+      .join(broadcast(glob), Seq("etype"))
+      .crossJoin(broadcast(gTot))
+      .groupBy(col("day"), col("dtot").as("n_events"))
+      .agg(round(sum(p * log(p / q)), 6).as("kl"))
+      .orderBy("day")
+  }
+
+  /** Top-k frequent 3-step behavioral paths: each user's event-type
+    * sequence (ordered by ts, event_id) mined for consecutive
+    * type-trigrams — one step beyond the [[eventTransitions]] bigram
+    * matrix, the shortest pattern that distinguishes "view→click→
+    * purchase" funnels from "view→click→view" loops.
+    *
+    * Scale: one user-partitioned window (two LEADs — per-user
+    * partition, bounded by a user's own history) + one
+    * map-side-combined trigram count bounded by |types|³ groups; the
+    * top-k is a TakeOrdered with a full unique-key tiebreak. */
+  def eventPaths(events: DataFrame, k: Int = 25): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(k)
+  }
+
   /** Burstiness profile of each event-type's hourly rate series:
     * Fano factor (variance/mean — 1 for a Poisson process, ≫1 for
     * bursty arrivals) and the Goh–Barabási burstiness coefficient

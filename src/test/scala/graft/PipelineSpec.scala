@@ -135,6 +135,41 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(got(3L)._3 - math.rint(2.0 / 7.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("typeDrift: identical-mix days score 0, a skewed day scores ln-ratio KL") {
+    val implicits = spark.implicits
+    import implicits._
+    // day 0 and 1: 2 a + 2 b each (the global mix). day 2: 4 a only.
+    val rows = Seq.tabulate(2) { d =>
+      Seq(("a", d), ("a", d), ("b", d), ("b", d)) }.flatten ++
+      Seq(("a", 2), ("a", 2), ("a", 2), ("a", 2))
+    val ev = rows.toDF("event_type", "d")
+      .select(col("event_type"), (col("d") * 86400).cast("timestamp").as("ts"))
+    val got = EventStreams.typeDrift(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // global: a 8/12, b 4/12. days 0,1: p=(1/2,1/2) → KL = ½ln(3/4)+½ln(3/2)
+    val kl01 = 0.5 * math.log(0.5 / (8.0 / 12)) + 0.5 * math.log(0.5 / (4.0 / 12))
+    assert(math.abs(got(0L)._2 - kl01) < 1e-6 && math.abs(got(1L)._2 - kl01) < 1e-6)
+    // day 2: all a → KL = ln(12/8); absent type contributes 0
+    assert(got(2L)._1 == 4L &&
+      math.abs(got(2L)._2 - math.log(12.0 / 8)) < 1e-6)
+  }
+
+  test("eventPaths: per-user trigrams, no cross-user chains") {
+    val implicits = spark.implicits
+    import implicits._
+    // user 1: a b c d → abc, bcd. user 2: x y (no trigram — and no
+    // chain borrowing user 1's tail)
+    val rows = Seq((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"), (1L, 3, "d"),
+      (2L, 4, "x"), (2L, 5, "y"))
+    val ev = rows.toDF("user_id", "i", "event_type")
+      .select(col("user_id"), col("event_type"),
+        (col("i") * 60).cast("timestamp").as("ts"),
+        col("i").cast("long").as("event_id"))
+    val got = EventStreams.eventPaths(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
+  }
+
   test("exact dedup groups identical keys, keeps min id") {
     val d = docs(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc")
     val g = Dedup.exact(d, col("text")).collect()
