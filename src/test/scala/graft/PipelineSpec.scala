@@ -170,6 +170,41 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
   }
 
+  test("cusum closed form ≡ direct recurrence on 10 seeded random series") {
+    val implicits = spark.implicits
+    import implicits._
+    // 10 deterministic LCG series, lengths 5..24, counts 1..30 — one
+    // Spark job covers them all as distinct event types
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    val series = (0 until 10).map { i =>
+      val len = 5 + (i * 7) % 20
+      val cnts = lcg(i + 1).map(v => math.floorMod(v, 30L) + 1L).take(len).toVector
+      s"s$i" -> cnts
+    }
+    val rows = for {
+      (t, cnts) <- series; (c, h) <- cnts.zipWithIndex
+      j <- 0L until c
+    } yield (t, h)
+    val ev = rows.toDF("event_type", "h")
+      .select(col("event_type"), (col("h") * 3600).cast("timestamp").as("ts"))
+    val got = EventStreams.cusum(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    series.foreach { case (t, cnts) =>
+      val n = cnts.length.toLong; val tot = cnts.sum
+      var su = 0L; var sd = 0L // 2n-scaled integer recurrence
+      cnts.zipWithIndex.foreach { case (c, h) =>
+        su = math.max(0L, su + 2 * n * c - 3 * tot)
+        sd = math.max(0L, sd + tot - 2 * n * c)
+        val (gu, gd) = got((t, h.toLong))
+        assert(math.abs(gu - math.rint(su.toDouble / (2 * n) * 1e6) / 1e6) < 1e-9 &&
+          math.abs(gd - math.rint(sd.toDouble / (2 * n) * 1e6) / 1e6) < 1e-9,
+          s"$t hour $h: got ($gu,$gd) want scaled ($su,$sd)")
+      }
+    }
+  }
+
   test("exact dedup groups identical keys, keeps min id") {
     val d = docs(1L -> "aaa bbb", 2L -> "aaa bbb", 3L -> "ccc")
     val g = Dedup.exact(d, col("text")).collect()
