@@ -579,6 +579,37 @@ object EventStreams {
       }
   }
 
+  final case class PathStep(user_id: Long, t1: String, t2: String,
+                            t3: String)
+  final case class Last2(ty1: String, ty2: String)
+
+  /** Streaming twin of [[eventPaths]]'s trigram extraction: one
+    * two-slot state row per user (the previous TWO event types), each
+    * micro-batch sorted within itself and chained onto the carried
+    * pair — a trigram spanning a micro-batch boundary emits exactly
+    * once, same contract as [[transitionSteps]]. Downstream count +
+    * top-k reproduces the batch q_event_paths result (parity
+    * spec-pinned). */
+  def pathSteps(events: Dataset[Event]): Dataset[PathStep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Last2, PathStep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[Last2]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(Last2(null, null))
+          val out = Seq.newBuilder[PathStep]
+          evs.foreach { e =>
+            if (st.ty1 != null && st.ty2 != null)
+              out += PathStep(uid, st.ty1, st.ty2, e.event_type)
+            st = Last2(st.ty2, e.event_type)
+          }
+          if (st.ty2 != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** RFM segmentation (recency / frequency / monetary quintiles —
     * the classic user-value grid): per user, hours since last
     * activity relative to the stream's max timestamp, event count,

@@ -454,6 +454,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batchClosed)
   }
 
+  test("stateful path steps: stream trigram counts ≡ batch eventPaths") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val evs = EventStreams.readEvents(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.pathSteps(evs)
+      .writeStream.format("memory").queryName("paths").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("paths")
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val batch = EventStreams.eventPaths(events, k = 1000000).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     val sparkS = spark
     import sparkS.implicits._
