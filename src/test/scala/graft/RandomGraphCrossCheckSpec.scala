@@ -447,4 +447,61 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
         assert(math.abs(got(v) - x(v)) < 1e-7, s"seed $seed node $v")
     }
   }
+
+  test("basketPairs agrees with a driver brute force on random baskets") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // 40 orders, catalog of 12 parts, basket sizes 1..6
+      val baskets: Seq[(Long, Set[Long])] = (0L until 40L).map { o =>
+        o -> (0 until (1 + rnd.nextInt(6)))
+          .map(_ => rnd.nextInt(12).toLong).toSet
+      }
+      val rows = baskets.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+      val got = graft.pipeline.Association
+        .basketPairs(rows.toDF("l_orderkey", "l_partkey"),
+          minItemCount = 2L, minPairCount = 2L, topK = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      // brute force
+      val icnt = rows.map(_._2).groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val n = baskets.size.toLong
+      val want = (for {
+        (_, ps) <- baskets
+        p1 <- ps; p2 <- ps if p1 < p2
+        if icnt(p1) >= 2 && icnt(p2) >= 2
+      } yield (p1, p2)).groupBy(identity)
+        .collect { case (pair, xs) if xs.size >= 2 =>
+          pair -> (xs.size.toLong, icnt(pair._1), icnt(pair._2), n) }
+      assert(got == want.toMap, s"seed $seed")
+    }
+  }
+
+  test("substringDupRate agrees with a driver brute force on random strings") {
+    val implicits2 = spark.implicits
+    import implicits2._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      val docs = (1L to 12L).map { id =>
+        id -> (0 until (3 + rnd.nextInt(30)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val k = 4
+      val got = graft.pipeline.Dedup
+        .substringDupRate(docs.toDF("doc_id", "text"), k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def grams(t: String): Seq[String] =
+        if (t.length <= k) Seq(t.take(k))
+        else (0 to t.length - k).map(i => t.substring(i, i + k))
+      val all = docs.flatMap { case (_, t) => grams(t) }
+        .groupBy(identity).map { case (g, xs) => g -> xs.size }
+      docs.foreach { case (id, t) =>
+        val gs = grams(t)
+        val dup = gs.count(g => all(g) > 1).toLong
+        assert(got(id) == ((gs.size.toLong, dup)), s"seed $seed doc $id")
+      }
+    }
+  }
 }
