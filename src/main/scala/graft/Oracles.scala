@@ -877,6 +877,50 @@ n$k AS (SELECT CAST($k AS BIGINT) AS r,
     * node seeded at 0, per-round incoming max-relax, idempotent past
     * the fixpoint so a fixed `rounds` unroll equals Spark's
     * converge-early loop. Unit weights when !weighted (topo layers). */
+  /** Circle-layout mirror: same id-ordered ring arithmetic (radius
+    * spacing·n/2π, angle 2πi/n) — pi()/cos/sin are IEEE in both
+    * engines, round-6 like every float oracle. */
+  def circleLayoutSql(width: Double, height: Double, spacing: Double): String =
+    s"""WITH tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation),
+o AS (SELECT id,
+  CAST(ROW_NUMBER() OVER (ORDER BY id) AS DOUBLE) - 1 AS i,
+  CAST((SELECT COUNT(*) FROM tn) AS DOUBLE) AS n FROM tn)
+SELECT id,
+  ROUND(${width / 2} + ($spacing * n / (2 * pi())) * cos(2 * pi() * i / n), 6) AS x,
+  ROUND(${height / 2} + ($spacing * n / (2 * pi())) * sin(2 * pi() * i / n), 6) AS y
+FROM o ORDER BY id"""
+
+  /** Hierarchical-layout mirror: multi-source BFS min depth from the
+    * in-degree-0 roots of the weighted trade DAG (unrolled levels,
+    * the eccentricity-oracle pattern), then the same per-layer
+    * id-ranked position arithmetic. */
+  def hierarchicalLayoutSql(maxDepth: Int, width: Double, spacing: Double,
+                            layerSpacing: Double): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeWeightedSql}")
+    sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
+    sb ++= ", f0 AS (SELECT id FROM tn WHERE NOT EXISTS (SELECT 1 FROM wtedges e WHERE e.b = tn.id))"
+    sb ++= ", v0 AS (SELECT * FROM f0)"
+    for (i <- 1 to maxDepth) {
+      sb ++= s", f$i AS MATERIALIZED (SELECT DISTINCT e.b AS id" +
+        s" FROM f${i - 1} f JOIN wtedges e ON e.a = f.id" +
+        s" WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x WHERE x.id = e.b))"
+      sb ++= s", v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM f$i)"
+    }
+    sb ++= ", lv AS (SELECT id, CAST(0 AS BIGINT) AS layer FROM f0 " +
+      (1 to maxDepth).map(i =>
+        s"UNION ALL SELECT id, CAST($i AS BIGINT) FROM f$i").mkString(" ") + ")"
+    sb ++= """, lay AS (SELECT tn.id, COALESCE(lv.layer, 0) AS layer
+ FROM tn LEFT JOIN lv ON lv.id = tn.id)"""
+    sb ++= s""", rk AS (SELECT id, layer,
+  CAST(ROW_NUMBER() OVER (PARTITION BY layer ORDER BY id) AS DOUBLE) - 1 AS i,
+  CAST(COUNT(*) OVER (PARTITION BY layer) AS DOUBLE) AS sz FROM lay)
+SELECT id, layer,
+  ROUND(${width / 2} + (i - sz / 2.0) * $spacing, 6) AS x,
+  ROUND(50.0 + CAST(layer AS DOUBLE) * $layerSpacing, 6) AS y
+FROM rk ORDER BY id"""
+    sb.toString
+  }
+
   def dagLongestSql(weighted: Boolean, rounds: Int): String = {
     val w = if (weighted) "e.w" else "1"
     val outCol = if (weighted) "cost" else "layer"

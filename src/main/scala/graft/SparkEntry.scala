@@ -323,6 +323,12 @@ object SparkEntry {
     "q_diameter" -> ((s, d) =>
       Centrality.graphDiameter(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeTop(s, d), 24)),
+    "q_layout_circle" -> ((s, d) =>
+      graph.GraphViz.circleLayout(DerivedGraphs.tradeNodes(s, d))),
+    "q_layout_layers" -> ((s, d) =>
+      graph.GraphViz.hierarchicalLayout(DerivedGraphs.tradeNodes(s, d),
+        DerivedGraphs.nationTradeWeighted(s, d)
+          .select(col("a").as("src"), col("b").as("dst")), 24)),
     "q_assortativity" -> ((s, d) =>
       algorithms.Structure.assortativity(DerivedGraphs.partCooccur(s, d))),
     // weighted trade graph oriented small→large nation id: acyclic by
@@ -954,6 +960,8 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_closeness" -> Oracles.closenessSql(24),
     "q_eccentricity" -> Oracles.eccentricitySql(24),
     "q_diameter" -> Oracles.diameterSql(24),
+    "q_layout_circle" -> Oracles.circleLayoutSql(800.0, 600.0, 50.0),
+    "q_layout_layers" -> Oracles.hierarchicalLayoutSql(24, 800.0, 50.0, 100.0),
     "q_anf" -> Oracles.anfSql(3, 4),
     "q_modularity" -> Oracles.modularitySql,
     "q_neighbor_agg" -> Oracles.neighborAggSql(2),

@@ -49,7 +49,10 @@ class PlanSpec extends SparkSpec {
       "q_dsir" -> "rank over limit(k) score frame",
       "q_pack_bins" -> "prefix sum over per-block 1-row sums",
       "q_ppl_buckets" -> ("under-gate oracle regime; past-gate branch " +
-        "range-ranks with partitionBy(pid) (ShuffleRegimeSpec parity)"))
+        "range-ranks with partitionBy(pid) (ShuffleRegimeSpec parity)"),
+      "q_layout_circle" -> ("ring rank over the visualization view — "
+        + "driver-sized by contract (GraphViz caps views; here the "
+        + "25-node nation frame)"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
