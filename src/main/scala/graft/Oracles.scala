@@ -877,6 +877,21 @@ n$k AS (SELECT CAST($k AS BIGINT) AS r,
     * node seeded at 0, per-round incoming max-relax, idempotent past
     * the fixpoint so a fixed `rounds` unroll equals Spark's
     * converge-early loop. Unit weights when !weighted (topo layers). */
+  /** Neighborhood-subgraph mirror: k-hop BFS ball from the root over
+    * the trade-top graph, then the induced distinct edge set. */
+  def subgraphSql(rootKey: Long, hops: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
+    sb ++= s", v0 AS (SELECT ${NationTag * TAG + rootKey} AS id)"
+    for (i <- 1 to hops) {
+      sb ++= s", v$i AS MATERIALIZED (SELECT id FROM v${i - 1}" +
+        s" UNION SELECT e.dst FROM ttedges e JOIN v${i - 1} v ON v.id = e.src)"
+    }
+    sb ++= s""" SELECT DISTINCT e.src, e.dst
+FROM ttedges e JOIN v$hops a ON a.id = e.src JOIN v$hops b ON b.id = e.dst
+ORDER BY e.src, e.dst"""
+    sb.toString
+  }
+
   /** Circle-layout mirror: same id-ordered ring arithmetic (radius
     * spacing·n/2π, angle 2πi/n) — pi()/cos/sin are IEEE in both
     * engines, round-6 like every float oracle. */

@@ -325,6 +325,9 @@ object SparkEntry {
         DerivedGraphs.nationTradeTop(s, d), 24)),
     "q_layout_circle" -> ((s, d) =>
       graph.GraphViz.circleLayout(DerivedGraphs.tradeNodes(s, d))),
+    "q_subgraph" -> ((s, d) =>
+      graph.GraphViz.neighborhoodView(DerivedGraphs.nationTradeTop(s, d),
+        GraphBuilder.NationTag * TAG + 3L, 2)),
     "q_layout_layers" -> ((s, d) =>
       graph.GraphViz.hierarchicalLayout(DerivedGraphs.tradeNodes(s, d),
         DerivedGraphs.nationTradeWeighted(s, d)
@@ -961,6 +964,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_eccentricity" -> Oracles.eccentricitySql(24),
     "q_diameter" -> Oracles.diameterSql(24),
     "q_layout_circle" -> Oracles.circleLayoutSql(800.0, 600.0, 50.0),
+    "q_subgraph" -> Oracles.subgraphSql(3L, 2),
     "q_layout_layers" -> Oracles.hierarchicalLayoutSql(24, 800.0, 50.0, 100.0),
     "q_anf" -> Oracles.anfSql(3, 4),
     "q_modularity" -> Oracles.modularitySql,

@@ -148,6 +148,28 @@ object GraphViz {
     ids.indices.map(i => (ids(i), px(i), py(i)))
   }
 
+  /** Neighborhood subgraph view (reference `GraphView`
+    * subgraph/`test_subgraph_view`): the k-hop BFS ball around a root
+    * plus its INDUCED edges (both endpoints inside the ball) — the
+    * standard "show me this node's neighborhood" extraction feeding
+    * [[toDot]]/[[toCytoscapeJson]]/the layouts. Rides the dual-regime
+    * [[graft.algorithms.Traversal.bfsDistances]]; the induced-edge
+    * join is two semi-joins against the ball, never an edge collect. */
+  def neighborhoodView(edges: DataFrame, rootId: Long, hops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val implicits = spark.implicits
+    import implicits._
+    val seeds = Seq(rootId).toDF("id")
+    val ball = graft.algorithms.Traversal
+      .bfsDistances(edges.select("src", "dst"), seeds, hops)
+      .select("id").localCheckpoint()
+    edges.select(col("src"), col("dst"))
+      .join(ball.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ball.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst").distinct()
+      .orderBy("src", "dst")
+  }
+
   private def escape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
