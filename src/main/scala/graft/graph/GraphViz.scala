@@ -61,7 +61,8 @@ object GraphViz {
     * nodes unreached within `maxDepth` land in layer 0 like the
     * reference's isolated-node rule. */
   def hierarchicalLayout(nodes: DataFrame, edges: DataFrame, maxDepth: Int,
-                         cfg: LayoutConfig = LayoutConfig()): DataFrame = {
+                         cfg: LayoutConfig = LayoutConfig(),
+                         leftToRight: Boolean = false): DataFrame = {
     val ids = nodes.select("id").distinct().localCheckpoint()
     val e = edges.select("src", "dst")
     val roots = ids.join(e.select(col("dst").as("id")).distinct(),
@@ -74,11 +75,12 @@ object GraphViz {
     val ranked = layers
       .withColumn("i", row_number().over(byLayer.orderBy("id")).cast("double") - 1.0)
       .withColumn("sz", count(lit(1)).over(byLayer).cast("double"))
-    ranked.select(col("id"), col("layer"),
-        round(lit(cfg.width / 2) +
-          (col("i") - col("sz") / 2.0) * lit(cfg.nodeSpacing), 6).as("x"),
-        round(lit(50.0) + col("layer").cast("double") * lit(cfg.layerSpacing), 6)
-          .as("y"))
+    val along = round(lit(50.0) +
+      col("layer").cast("double") * lit(cfg.layerSpacing), 6)
+    val across = round(lit((if (leftToRight) cfg.height else cfg.width) / 2) +
+      (col("i") - col("sz") / 2.0) * lit(cfg.nodeSpacing), 6)
+    val (x, y) = if (leftToRight) (along, across) else (across, along)
+    ranked.select(col("id"), col("layer"), x.as("x"), y.as("y"))
       .orderBy("id")
   }
 

@@ -39,6 +39,15 @@ class GraphVizSpec extends SparkSpec {
     assert(got(2L)._3 == got(4L)._3 && got(2L)._2 != got(4L)._2)
   }
 
+  test("hierarchical layout left-to-right: deeper layers move right " +
+      "(test_hierarchical_layout_left_to_right)") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphViz.hierarchicalLayout(nodes, edges, 10, leftToRight = true)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(2L)._1 > got(1L)._1 && got(3L)._1 > got(2L)._1)
+  }
+
   test("hierarchical layout: rootless cycle falls back to all-roots, layer 0") {
     val nodes = Seq(1L, 2L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
