@@ -1720,4 +1720,137 @@ cand AS (SELECT DISTINCT x.name AS a, y.name AS b
          FROM keep x JOIN keep y ON x.w = y.w AND x.name < y.name)
 SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
 FROM cand WHERE levenshtein(a, b) <= $maxDist"""
+
+  // ---- Corpus statistics & hypothesis tests (graft.pipeline.Stats) ----
+
+  /** Shared doc-feature CTE: exact BIGINT (n_chars, ws_tokens,
+    * distinct_types) per document — the same triple Stats.docFeatures
+    * computes. */
+  private val docFeaturesCte: String =
+    """f AS (SELECT source, CAST(n_chars AS BIGINT) AS nc,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS nt,
+  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+    t -> t <> ''))) AS BIGINT) AS ny
+  FROM documents)"""
+
+  val featureCorrSql: String =
+    s"""WITH $docFeaturesCte,
+a AS (SELECT COUNT(*) AS n, SUM(nc) AS sc, SUM(nt) AS st, SUM(ny) AS sy,
+  SUM(nc*nc) AS scc, SUM(nt*nt) AS stt, SUM(ny*ny) AS syy,
+  SUM(nc*nt) AS sct, SUM(nc*ny) AS scy, SUM(nt*ny) AS sty FROM f)
+SELECT * FROM (
+  SELECT 'n_chars' AS x_col, 'ws_tokens' AS y_col,
+    ROUND(CAST(n*sct - sc*st AS DOUBLE) /
+      (sqrt(CAST(n*scc - sc*sc AS DOUBLE)) *
+       sqrt(CAST(n*stt - st*st AS DOUBLE))), 6) AS r FROM a
+  UNION ALL
+  SELECT 'n_chars', 'distinct_types',
+    ROUND(CAST(n*scy - sc*sy AS DOUBLE) /
+      (sqrt(CAST(n*scc - sc*sc AS DOUBLE)) *
+       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) FROM a
+  UNION ALL
+  SELECT 'ws_tokens', 'distinct_types',
+    ROUND(CAST(n*sty - st*sy AS DOUBLE) /
+      (sqrt(CAST(n*stt - st*st AS DOUBLE)) *
+       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) FROM a)
+ORDER BY x_col, y_col"""
+
+  val linRegSql: String =
+    s"""WITH $docFeaturesCte,
+s AS (SELECT source, COUNT(*) AS n, SUM(nc) AS sx, SUM(nt) AS sy,
+  SUM(nc*nc) AS sxx, SUM(nt*nt) AS syy, SUM(nc*nt) AS sxy
+  FROM f GROUP BY source),
+t AS (SELECT source, n, sx, sy,
+  CASE WHEN n >= 2 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+    THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+  END AS slope,
+  CASE WHEN n >= 2 AND CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+       sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+  END AS r
+  FROM s)
+SELECT source, n, ROUND(slope, 6) AS slope,
+  ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+    CAST(n AS DOUBLE), 6) AS intercept,
+  ROUND(r * r, 6) AS r2
+FROM t ORDER BY source"""
+
+  val mutualInfoSql: String =
+    """WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+ma AS (SELECT a, SUM(c) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY 1),
+nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells),
+mi AS (SELECT ROUND(SUM((CAST(c AS DOUBLE) / n) *
+    ln((CAST(c AS DOUBLE) * n) / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))),
+    6) AS mi
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+ha AS (SELECT ROUND(-SUM((CAST(ca AS DOUBLE) / n) *
+    ln(CAST(ca AS DOUBLE) / n)), 6) AS h_a FROM ma CROSS JOIN nn),
+hb AS (SELECT ROUND(-SUM((CAST(cb AS DOUBLE) / n) *
+    ln(CAST(cb AS DOUBLE) / n)), 6) AS h_b FROM mb CROSS JOIN nn)
+SELECT mi, h_a, h_b FROM mi CROSS JOIN ha CROSS JOIN hb"""
+
+  val chiSquaredSql: String =
+    """WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2),
+ma AS (SELECT a, SUM(c) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY 1),
+nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells),
+agg AS (SELECT
+  SUM(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * n /
+      (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) AS s,
+  COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb, ANY_VALUE(n) AS n
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn)
+SELECT ROUND(greatest(s - n, 0.0), 6) AS chi2,
+  CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+  ROUND(sqrt(greatest(s - n, 0.0) /
+    (n * CAST(least(ka - 1, kb - 1) AS DOUBLE))), 6) AS cramers_v
+FROM agg"""
+
+  /** Benford mirror: the leading digit comes from exact integer cents
+    * rendered as a string (engine-identical), never from
+    * ⌊log10 double⌋. */
+  val benfordSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(
+    round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS VARCHAR),
+    1, 1) AS BIGINT) AS digit
+  FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0.0),
+g AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1),
+nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM g)
+SELECT digit, cnt,
+  ROUND(CAST(cnt AS DOUBLE) / n, 6) AS freq,
+  ROUND(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS expected,
+  ROUND(CAST(cnt AS DOUBLE) / n -
+    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS dev
+FROM g CROSS JOIN nn ORDER BY digit"""
+
+  val welchTSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS n,
+  SUM(CAST(n_chars AS BIGINT)) AS sx,
+  SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+  FROM documents GROUP BY 1),
+sd AS (SELECT source, n, CAST(sx AS DOUBLE) / n AS m,
+  CASE WHEN n >= 2 THEN
+    (CAST(sxx AS DOUBLE) -
+     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+    CAST(n - 1 AS DOUBLE)
+  END AS v
+  FROM s)
+SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+  ROUND(CASE WHEN (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)) > 0.0
+    THEN (a.m - b.m) /
+      sqrt(a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE))
+  END, 6) AS t,
+  ROUND(CASE WHEN (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)) > 0.0
+    THEN (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)) *
+         (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)) /
+      ((a.v / CAST(a.n AS DOUBLE)) * (a.v / CAST(a.n AS DOUBLE)) /
+         CAST(a.n - 1 AS DOUBLE) +
+       (b.v / CAST(b.n AS DOUBLE)) * (b.v / CAST(b.n AS DOUBLE)) /
+         CAST(b.n - 1 AS DOUBLE))
+  END, 6) AS df
+FROM sd a JOIN sd b ON a.source < b.source
+ORDER BY src_a, src_b"""
 }

@@ -542,6 +542,18 @@ object SparkEntry {
         hashedIn = Some(hashedShinglesCached(s, d)))),
     "q_substring_dup" -> ((s, d) =>
       Dedup.substringDupRate(GraphBuilder.table(s, d, "documents"))),
+    "q_feature_corr" -> ((s, d) =>
+      pipeline.Stats.featureCorr(GraphBuilder.table(s, d, "documents"))),
+    "q_linreg" -> ((s, d) =>
+      pipeline.Stats.linReg(GraphBuilder.table(s, d, "documents"))),
+    "q_mutual_info" -> ((s, d) =>
+      pipeline.Stats.mutualInfo(GraphBuilder.table(s, d, "documents"))),
+    "q_chi2" -> ((s, d) =>
+      pipeline.Stats.chiSquared(GraphBuilder.table(s, d, "documents"))),
+    "q_benford" -> ((s, d) =>
+      pipeline.Stats.benford(GraphBuilder.table(s, d, "orders"), "o_totalprice")),
+    "q_welch_t" -> ((s, d) =>
+      pipeline.Stats.welchT(GraphBuilder.table(s, d, "documents"))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1054,6 +1066,12 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_minhash_audit" -> PipelineOracles.minhashAuditSql,
     "q_novelty" -> PipelineOracles.noveltySql,
     "q_substring_dup" -> PipelineOracles.substringDupSql,
+    "q_feature_corr" -> PipelineOracles.featureCorrSql,
+    "q_linreg" -> PipelineOracles.linRegSql,
+    "q_mutual_info" -> PipelineOracles.mutualInfoSql,
+    "q_chi2" -> PipelineOracles.chiSquaredSql,
+    "q_benford" -> PipelineOracles.benfordSql,
+    "q_welch_t" -> PipelineOracles.welchTSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),

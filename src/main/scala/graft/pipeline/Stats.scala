@@ -1,0 +1,216 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus statistics and hypothesis tests — the "is this data what I
+  * think it is" layer a training-data pipeline runs before committing
+  * a mix: feature correlation, per-source regression fits, association
+  * tests between categorical columns (mutual information, χ²/Cramér's
+  * V), Benford leading-digit screening for synthetic/fabricated
+  * numeric columns, and Welch's t between source populations.
+  *
+  * Every operator here is a SINGLE map-side-combined aggregation over
+  * exact integer sums (counts, Σx, Σx², Σxy as BIGINTs), with the
+  * floating-point arithmetic applied once to the aggregated scalars in
+  * a fixed operator order the DuckDB oracles mirror term for term.
+  * That makes them bit-reproducible across engines AND the cheapest
+  * possible shape at 100 TB: one pass, constant aggregate state, no
+  * shuffle wider than the (tiny) group-key cardinality.
+  *
+  * Reference scope note: rs-graphdb's surface stops at
+  * count/sum/avg/percentile/stdev (`src/query.rs:24-31`); this module
+  * is part of the brief-mandated training-pipeline extension.
+  */
+object Stats {
+
+  /** Exact per-doc integer features shared by the fits below:
+    * n_chars (stored), whitespace tokens, distinct token types. */
+  private def docFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+      col("n_chars").cast("long").as("nc"),
+      regexp_count(col("text"), lit("[^ ]+")).cast("long").as("nt"),
+      size(array_distinct(filter(split(col("text"), " "),
+        t => t =!= ""))).cast("long").as("ny"),
+      col("source"))
+
+  private def pearson(n: Column, sx: Column, sy: Column, sxx: Column,
+                      syy: Column, sxy: Column): Column =
+    (n * sxy - sx * sy).cast("double") /
+      (sqrt((n * sxx - sx * sx).cast("double")) *
+        sqrt((n * syy - sy * sy).cast("double")))
+
+  /** Pearson correlation matrix over the document feature triple
+    * (n_chars, ws_tokens, distinct_types) in long format: one row per
+    * unordered feature pair. All nine sums come out of ONE aggregation
+    * (exact BIGINT state, 10 numbers total); the three r values are
+    * closed-form over that single row — the classic sufficient-
+    * statistics shape, one corpus pass at any scale. */
+  def featureCorr(docs: DataFrame): DataFrame = {
+    val a = docFeatures(docs).agg(
+      count(lit(1)).as("n"),
+      sum("nc").as("sc"), sum("nt").as("st"), sum("ny").as("sy"),
+      sum(col("nc") * col("nc")).as("scc"),
+      sum(col("nt") * col("nt")).as("stt"),
+      sum(col("ny") * col("ny")).as("syy"),
+      sum(col("nc") * col("nt")).as("sct"),
+      sum(col("nc") * col("ny")).as("scy"),
+      sum(col("nt") * col("ny")).as("sty"))
+    val row = broadcast(a)
+    def pair(x: String, y: String, sx: String, sy0: String, sxx: String,
+             syy0: String, sxy: String): DataFrame =
+      row.select(lit(x).as("x_col"), lit(y).as("y_col"),
+        round(pearson(col("n"), col(sx), col(sy0), col(sxx), col(syy0),
+          col(sxy)), 6).as("r"))
+    pair("n_chars", "ws_tokens", "sc", "st", "scc", "stt", "sct")
+      .unionAll(pair("n_chars", "distinct_types", "sc", "sy", "scc", "syy", "scy"))
+      .unionAll(pair("ws_tokens", "distinct_types", "st", "sy", "stt", "syy", "sty"))
+      .orderBy("x_col", "y_col")
+  }
+
+  /** Per-source least-squares fit ws_tokens ~ n_chars: slope,
+    * intercept, r² — "does this source's token-per-char rate look like
+    * the others", the drift screen run before trusting a source's
+    * token-count accounting. Exact integer sufficient statistics per
+    * source (6 BIGINTs of state), closed-form fit on the aggregated
+    * row. Sources with n < 2 or zero x-variance yield NULL fits rather
+    * than dividing by zero. */
+  def linReg(docs: DataFrame): DataFrame = {
+    val s = docFeatures(docs).groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum("nc").as("sx"), sum("nt").as("sy"),
+      sum(col("nc") * col("nc")).as("sxx"),
+      sum(col("nt") * col("nt")).as("syy"),
+      sum(col("nc") * col("nt")).as("sxy"))
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = when(col("n") >= 2 && dxx > 0.0,
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / dxx)
+    val r = pearson(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+      col("sxy"))
+    s.select(col("source"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") -
+          slope * col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"),
+        round(when(col("n") >= 2 && dxx > 0.0, r * r), 6).as("r2"))
+      .orderBy("source")
+  }
+
+  /** Mutual information between two categorical columns (default
+    * lang × source) with the two marginal entropies — "are my language
+    * and source labels entangled", the stratification sanity check
+    * before per-source language quotas. One (a, b) count shuffle
+    * (cells ≤ |A|·|B|), marginals derived from the cells, everything
+    * else scalar. Natural log, the same `ln` the KL/PMI family uses. */
+  def mutualInfo(docs: DataFrame, aCol: String = "lang",
+                 bCol: String = "source"): DataFrame = {
+    val cells = docs.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ma = cells.groupBy("a").agg(sum("c").as("ca"))
+    val mb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val nDf = cells.agg(sum("c").cast("double").as("n"))
+    val mi = cells
+      .join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(nDf))
+      .agg(round(sum((col("c").cast("double") / col("n")) *
+        log((col("c").cast("double") * col("n")) /
+          (col("ca").cast("double") * col("cb")))), 6).as("mi"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.crossJoin(broadcast(nDf))
+        .agg(round(-sum((col(cnt).cast("double") / col("n")) *
+          log(col(cnt).cast("double") / col("n"))), 6).as(out))
+    mi.crossJoin(broadcast(entropy(ma, "ca", "h_a")))
+      .crossJoin(broadcast(entropy(mb, "cb", "h_b")))
+  }
+
+  /** χ² test of independence for two categorical columns (default
+    * lang × source): the statistic, degrees of freedom, and Cramér's V
+    * — the effect-size the χ² lacks. Uses the observed-cell closed
+    * form χ² = Σ o²/e − n (with e = row·col/n), which accounts for
+    * EMPTY contingency cells — each contributes exactly its e — without
+    * ever materializing the |A|×|B| cross product; only observed cells
+    * flow through the one count shuffle. greatest(·, 0) guards the
+    * exact-independence case against a −1 ulp under the sqrt. */
+  def chiSquared(docs: DataFrame, aCol: String = "lang",
+                 bCol: String = "source"): DataFrame = {
+    val cells = docs.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val chi2 = greatest(col("_s") - col("_n"), lit(0.0))
+    cells
+      .join(broadcast(cells.groupBy("a").agg(sum("c").as("ca"))), Seq("a"))
+      .join(broadcast(cells.groupBy("b").agg(sum("c").as("cb"))), Seq("b"))
+      .crossJoin(broadcast(cells.agg(sum("c").cast("double").as("n"))))
+      .agg(
+        sum(col("c").cast("double") * col("c").cast("double") * col("n") /
+          (col("ca").cast("double") * col("cb").cast("double"))).as("_s"),
+        countDistinct("a").as("_ka"), countDistinct("b").as("_kb"),
+        first("n").as("_n"))
+      .select(round(chi2, 6).as("chi2"),
+        ((col("_ka") - 1) * (col("_kb") - 1)).cast("long").as("dof"),
+        round(sqrt(chi2 /
+          (col("_n") * least(col("_ka") - 1, col("_kb") - 1)
+            .cast("double"))), 6).as("cramers_v"))
+  }
+
+  /** Benford leading-digit screen over a positive numeric column
+    * (default orders.o_totalprice): per digit 1–9 the observed count,
+    * observed frequency, the Benford expectation ln(1+1/d)/ln(10), and
+    * the signed deviation. Fabricated or unit-mixed numeric columns
+    * jump out here long before a distribution test would flag them.
+    * The digit is read off the value scaled to exact integer cents
+    * (round(x·100) as BIGINT, then the first character of the integer
+    * rendering): integer-to-string is engine-identical, where
+    * ⌊log10 x⌋ on a double can flip by a libm ulp at exact powers of
+    * ten. One narrow map + 9-group aggregate. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val digit = substring(round(x * lit(100.0)).cast("long").cast("string"),
+      1, 1).cast("long")
+    val d = df.filter(x > 0.0).select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = d.agg(sum("cnt").cast("double").as("n"))
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("freq"),
+        round(expected, 6).as("expected"),
+        round(col("cnt").cast("double") / col("n") - expected, 6).as("dev"))
+      .orderBy("digit")
+  }
+
+  /** Welch's unequal-variance t statistic for mean n_chars between
+    * every unordered pair of sources, with the Welch–Satterthwaite
+    * degrees of freedom — the pairwise "are these two sources the same
+    * population" screen. Per-source sufficient statistics first (one
+    * pass, 3 BIGINTs each), then a |S|²-bounded broadcast self-join of
+    * the tiny aggregate frame: the corpus is read once no matter how
+    * many sources. Pairs where either side has n < 2 or both sample
+    * variances are 0 yield NULL t. */
+  def welchT(docs: DataFrame): DataFrame = {
+    val s = docs.groupBy("source").agg(
+      count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("sx"),
+      sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("sxx"))
+    def side(tag: String): DataFrame =
+      s.select(col("source").as(s"src_$tag"), col("n").as(s"n_$tag"),
+        (col("sx").cast("double") / col("n")).as(s"m_$tag"),
+        when(col("n") >= 2,
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")) / (col("n") - 1).cast("double"))
+          .as(s"v_$tag"))
+    val a = side("a"); val b = broadcast(side("b"))
+    val sea = col("v_a") / col("n_a").cast("double")
+    val seb = col("v_b") / col("n_b").cast("double")
+    val se2 = sea + seb
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("n_a"), col("n_b"),
+        round(when(se2 > 0.0,
+          (col("m_a") - col("m_b")) / sqrt(se2)), 6).as("t"),
+        round(when(se2 > 0.0, se2 * se2 /
+          (sea * sea / (col("n_a") - 1).cast("double") +
+            seb * seb / (col("n_b") - 1).cast("double"))), 6).as("df"))
+      .orderBy("src_a", "src_b")
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.pipeline.Stats
+
+/** Closed-form statistics on tiny hand-computed datasets. */
+class StatsSpec extends SparkSpec {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  private def docs(rows: (Long, String, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("int"))
+
+  test("featureCorr: perfectly linear features give r = 1") {
+    // texts with k tokens of one char each: n_chars = 2k-1, ws_tokens = k
+    val d = docs(
+      (1L, "a", "en", "s0"),
+      (2L, "a b", "en", "s0"),
+      (3L, "a b c", "en", "s0"),
+      (4L, "a b c d", "en", "s0"))
+    val r = Stats.featureCorr(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r(("n_chars", "ws_tokens")) == 1.0)
+    // distinct types == ws_tokens here (all tokens distinct)
+    assert(r(("ws_tokens", "distinct_types")) == 1.0)
+  }
+
+  test("featureCorr: anti-correlated features give r = -1") {
+    // n_chars goes up as token count goes down
+    val d = docs(
+      (1L, "aaaaaaa", "en", "s0"),      // 7 chars, 1 token
+      (2L, "aaa bb", "en", "s0"),       // 6 chars, 2 tokens
+      (3L, "a b c", "en", "s0"))        // 5 chars, 3 tokens
+    val r = Stats.featureCorr(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r(("n_chars", "ws_tokens")) == -1.0)
+  }
+
+  test("linReg: exact fit tok = (nc+1)/2 recovered per source") {
+    val d = docs(
+      (1L, "a", "en", "s0"), (2L, "a b", "en", "s0"),
+      (3L, "a b c", "en", "s0"),
+      (4L, "x", "en", "s1"))             // n=1 → NULL fit
+    val rows = Stats.linReg(d).collect()
+    val s0 = rows.find(_.getString(0) == "s0").get
+    assert(s0.getDouble(2) == 0.5)       // slope
+    assert(s0.getDouble(3) == 0.5)       // intercept
+    assert(s0.getDouble(4) == 1.0)       // r2
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert(s1.isNullAt(2) && s1.isNullAt(4))
+  }
+
+  test("mutualInfo: independent labels → MI 0; identical labels → MI = H") {
+    // 2x2 uniform: lang ⟂ source
+    val ind = docs(
+      (1L, "t", "en", "s0"), (2L, "t", "en", "s1"),
+      (3L, "t", "de", "s0"), (4L, "t", "de", "s1"))
+    val r1 = Stats.mutualInfo(ind).collect()(0)
+    assert(r1.getDouble(0) == 0.0)
+    assert(r1.getDouble(1) == r1.getDouble(2)) // both H = ln 2
+    assert(math.abs(r1.getDouble(1) - math.log(2)) < 1e-6)
+    // lang determines source → MI = H(lang)
+    val dep = docs(
+      (1L, "t", "en", "s0"), (2L, "t", "en", "s0"),
+      (3L, "t", "de", "s1"), (4L, "t", "de", "s1"))
+    val r2 = Stats.mutualInfo(dep).collect()(0)
+    assert(r2.getDouble(0) == r2.getDouble(1))
+  }
+
+  test("chiSquared: independence → chi2 0; perfect association → V = 1") {
+    val ind = docs(
+      (1L, "t", "en", "s0"), (2L, "t", "en", "s1"),
+      (3L, "t", "de", "s0"), (4L, "t", "de", "s1"))
+    val r1 = Stats.chiSquared(ind).collect()(0)
+    assert(r1.getDouble(0) == 0.0 && r1.getLong(1) == 1L)
+    val dep = docs(
+      (1L, "t", "en", "s0"), (2L, "t", "en", "s0"),
+      (3L, "t", "de", "s1"), (4L, "t", "de", "s1"))
+    val r2 = Stats.chiSquared(dep).collect()(0)
+    // 2x2 with perfect association: chi2 = n, V = 1
+    assert(r2.getDouble(0) == 4.0 && r2.getDouble(2) == 1.0)
+  }
+
+  test("benford: digit from exact cents; frequencies sum to 1") {
+    val d = Seq(123.45, 19.99, 1999.00, 0.0, -5.0, 950.01, 2.50)
+      .toDF("v")
+    val rows = Stats.benford(d, "v").collect()
+    val byDigit = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 and negative filtered; digits: 1 (123.45), 1 (19.99), 1 (1999.00),
+    // 9 (950.01), 2 (2.50)
+    assert(byDigit == Map(1L -> 3L, 2L -> 1L, 9L -> 1L))
+    val freqSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(freqSum - 1.0) < 1e-9)
+    // expected column is the Benford mass for that digit
+    val e1 = rows.find(_.getLong(0) == 1L).get.getDouble(3)
+    assert(math.abs(e1 - math.log10(2.0)) < 1e-6)
+  }
+
+  test("welchT: equal samples → t = 0; known two-sample value") {
+    val d = Seq(
+      (1L, "s0", 10), (2L, "s0", 20), (3L, "s0", 30),
+      (4L, "s1", 10), (5L, "s1", 20), (6L, "s1", 30),
+      (7L, "s2", 40), (8L, "s2", 50), (9L, "s2", 60))
+      .toDF("doc_id", "source", "n_chars")
+    val rows = Stats.welchT(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val same = rows(("s0", "s1"))
+    assert(same.getDouble(4) == 0.0)
+    // s0 vs s2: means 20 vs 50, var 100 each, n 3 →
+    // t = -30 / sqrt(100/3 + 100/3) = -3.674235, df = 4
+    val diff = rows(("s0", "s2"))
+    assert(math.abs(diff.getDouble(4) - (-3.674235)) < 1e-6)
+    assert(math.abs(diff.getDouble(5) - 4.0) < 1e-9)
+  }
+}
