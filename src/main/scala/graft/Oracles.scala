@@ -769,6 +769,25 @@ SELECT CAST(SUM(dc) / 2 AS BIGINT) AS m,
              / (CAST(SUM(dc) AS DOUBLE) * CAST(SUM(dc) AS DOUBLE)), 6) AS q
 FROM per"""
 
+  /** Conductance mirror: vol = directed-row count per group over psym,
+    * cut = rows whose source-side group differs (counts each crossing
+    * undirected edge once per group), φ = cut/min(vol, rest). */
+  val conductanceSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+grp AS (SELECT ${PartTag * TAG} + CAST(p_partkey AS BIGINT) AS id,
+               p_brand AS g FROM part),
+t AS (SELECT gs.g AS gs, gd.g AS gd FROM psym e
+      JOIN grp gs ON gs.id = e.src JOIN grp gd ON gd.id = e.dst),
+per AS (SELECT gs AS g, CAST(COUNT(*) AS BIGINT) AS vol,
+        CAST(COUNT(*) FILTER (WHERE gs <> gd) AS BIGINT) AS cut
+        FROM t GROUP BY 1),
+tot AS (SELECT SUM(vol) AS v2 FROM per)
+SELECT g, vol, cut,
+       ROUND(CASE WHEN least(vol, v2 - vol) > 0
+         THEN CAST(cut AS DOUBLE) / CAST(least(vol, v2 - vol) AS DOUBLE)
+       END, 6) AS phi
+FROM per CROSS JOIN tot ORDER BY g"""
+
   /** HyperANF mirror: same 60-bit 'anf:' register hash, unrolled
     * max-merge rounds over the symmetric co-occur graph, and the exact
     * hllSql estimator arithmetic (integer harmonic sum with zero

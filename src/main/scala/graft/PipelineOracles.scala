@@ -1853,4 +1853,42 @@ SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
   END, 6) AS df
 FROM sd a JOIN sd b ON a.source < b.source
 ORDER BY src_a, src_b"""
+
+  /** KS mirror: full (value × source) grid so every source's ECDF is
+    * evaluated at every step point of the pooled distribution, exactly
+    * as Stats.ksBySource does. */
+  val ksBySourceSql: String =
+    """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, source,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+grid AS (SELECT vv.v, ss.source FROM (SELECT DISTINCT v FROM cnt) vv
+  CROSS JOIN (SELECT DISTINCT source FROM cnt) ss),
+cum AS (SELECT g.v, g.source, COALESCE(c.c, 0) AS c,
+  SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v) AS cum
+  FROM grid g LEFT JOIN cnt c ON c.v = g.v AND c.source = g.source),
+ca AS (SELECT v, SUM(cum) AS cum_all FROM cum GROUP BY 1),
+ts AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+nn AS (SELECT SUM(c) AS n_all FROM cnt)
+SELECT cum.source, ANY_VALUE(ts.n_s) AS n_s,
+  ROUND(MAX(abs(CAST(cum.cum AS DOUBLE) / ts.n_s -
+    CAST(ca.cum_all - cum.cum AS DOUBLE) / (nn.n_all - ts.n_s))), 6)
+    AS d_stat
+FROM cum JOIN ca USING (v) JOIN ts USING (source) CROSS JOIN nn
+GROUP BY cum.source ORDER BY cum.source"""
+
+  /** Per-doc entropy mirror: H = ln n − (Σ c·ln c)/n, identical
+    * operator order. */
+  val docEntropySql: String =
+    """WITH tk AS (SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+ag AS (SELECT doc_id, SUM(c) AS n_toks, COUNT(*) AS n_types,
+  SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+  FROM tc GROUP BY 1)
+SELECT doc_id, n_toks, n_types,
+  ROUND(ln(CAST(n_toks AS DOUBLE)) - slc / CAST(n_toks AS DOUBLE), 6) AS h,
+  ROUND(CASE WHEN n_types > 1 THEN
+    (ln(CAST(n_toks AS DOUBLE)) - slc / CAST(n_toks AS DOUBLE)) /
+    ln(CAST(n_types AS DOUBLE)) END, 6) AS h_norm
+FROM ag"""
 }

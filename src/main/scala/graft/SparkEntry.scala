@@ -369,6 +369,13 @@ object SparkEntry {
         GraphBuilder.table(s, d, "part")
           .select((lit(PartTag * TAG) + col("p_partkey")).as("id"),
             col("p_brand").as("g")))),
+    // conductance of the same brand partition: how leaky is each
+    // brand's co-purchase neighborhood
+    "q_conductance" -> ((s, d) =>
+      algorithms.Structure.conductance(DerivedGraphs.partCooccur(s, d),
+        GraphBuilder.table(s, d, "part")
+          .select((lit(PartTag * TAG) + col("p_partkey")).as("id"),
+            col("p_brand").as("g")))),
     "q_reciprocity" -> ((s, d) =>
       algorithms.Structure.reciprocity(DerivedGraphs.nationTrade(s, d))),
     "q_weighted_pagerank" -> ((s, d) =>
@@ -554,6 +561,10 @@ object SparkEntry {
       pipeline.Stats.benford(GraphBuilder.table(s, d, "orders"), "o_totalprice")),
     "q_welch_t" -> ((s, d) =>
       pipeline.Stats.welchT(GraphBuilder.table(s, d, "documents"))),
+    "q_ks_test" -> ((s, d) =>
+      pipeline.Stats.ksBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_doc_entropy" -> ((s, d) =>
+      pipeline.Stats.docEntropy(GraphBuilder.table(s, d, "documents"))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1072,6 +1083,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_chi2" -> PipelineOracles.chiSquaredSql,
     "q_benford" -> PipelineOracles.benfordSql,
     "q_welch_t" -> PipelineOracles.welchTSql,
+    "q_ks_test" -> PipelineOracles.ksBySourceSql,
+    "q_doc_entropy" -> PipelineOracles.docEntropySql,
+    "q_conductance" -> Oracles.conductanceSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),

@@ -104,6 +104,38 @@ object Structure {
           .as("q"))
   }
 
+  /** Per-group conductance φ(S) = cut(S) / min(vol(S), vol(V∖S)) over
+    * an undirected (a<b) simple edge set and a node→group labelling —
+    * the community-quality metric that penalizes both leaky and
+    * vanishing partitions (Kannan, Vempala & Vetta 2004). Works off the
+    * symmetric directed view: a group's volume is its directed-row
+    * count and each crossing undirected edge appears exactly once with
+    * gs = g, so cut and vol come out of ONE tagged groupBy; the total
+    * volume rides a 1-row broadcast. Same label-join gating as
+    * [[modularity]]. Groups where min(vol, rest) = 0 yield NULL φ. */
+  def conductance(pedges: DataFrame, groups: DataFrame): DataFrame = {
+    val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))
+    val (grp, mG) = Probe.checkpointObserved(
+      groups.select(col("id"), col("g")), count(lit(1)).as("n"))
+    def dim(df: DataFrame): DataFrame =
+      if (mG("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+        broadcast(df)
+      else df
+    val per = sym
+      .join(dim(grp.select(col("id").as("src"), col("g").as("gs"))), Seq("src"))
+      .join(dim(grp.select(col("id").as("dst"), col("g").as("gd"))), Seq("dst"))
+      .groupBy(col("gs").as("g"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("gs") =!= col("gd"), 1L).otherwise(0L)).as("cut"))
+    val other = least(col("vol"), col("v2") - col("vol"))
+    per.crossJoin(broadcast(per.agg(sum("vol").as("v2"))))
+      .select(col("g"), col("vol"), col("cut"),
+        round(when(other > 0L,
+          col("cut").cast("double") / other.cast("double")), 6).as("phi"))
+      .orderBy("g")
+  }
+
   /** Hill tail-index estimator (Hill 1975) over a degree column — the
     * maximum-likelihood power-law exponent of the distribution tail:
     * α = k / Σᵢ ln(d₍ᵢ₎/d₍ₖ₊₁₎) over the k largest degrees, with

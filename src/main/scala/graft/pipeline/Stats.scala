@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus statistics and hypothesis tests — the "is this data what I
@@ -212,5 +213,61 @@ object Stats {
           (sea * sea / (col("n_a") - 1).cast("double") +
             seb * seb / (col("n_b") - 1).cast("double"))), 6).as("df"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D per source, each source against
+    * the REST of the corpus, over an integer-valued column (default
+    * n_chars): D = max over the value grid of |F_src − F_rest|. The
+    * grid is (distinct values × sources) — bounded by the VALUE DOMAIN
+    * times the source count, not the corpus size — so the per-source
+    * cumulative windows are partitioned (one source per partition) and
+    * each partition holds at most |domain| rows at any scale. Counts
+    * and cumulative counts stay exact BIGINTs; the two ECDF divisions
+    * and their difference are the only double ops. */
+  def ksBySource(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
+    val cnt = docs
+      .groupBy(col(valueCol).cast("long").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cnt.select("v").distinct()
+      .crossJoin(broadcast(cnt.select("source").distinct()))
+    val cum = grid.join(cnt, Seq("v", "source"), "left")
+      .select(col("v"), col("source"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("source").orderBy("v")))
+    val cumAll = cum.groupBy("v").agg(sum("cum").as("cum_all"))
+    val totals = cnt.groupBy("source").agg(sum("c").as("n_s"))
+    val grand = cnt.agg(sum("c").as("n_all"))
+    cum.join(cumAll, Seq("v"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .groupBy("source")
+      .agg(first("n_s").as("n_s"),
+        round(max(abs(col("cum").cast("double") / col("n_s") -
+          (col("cum_all") - col("cum")).cast("double") /
+            (col("n_all") - col("n_s")))), 6).as("d_stat"))
+      .orderBy("source")
+  }
+
+  /** Per-document token Shannon entropy (nats) and its ln(types)-
+    * normalized form — the lexical-concentration quality signal that
+    * separates natural prose from keyword stuffing and boilerplate.
+    * Uses H = ln n − (Σ c·ln c)/n so one (doc, token) count shuffle
+    * and one per-doc roll-up suffice; single-type docs get H = 0 and a
+    * NULL normalized value (0/0). */
+  def docEntropy(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val h = log(col("n_toks").cast("double")) -
+      col("_slc") / col("n_toks").cast("double")
+    tc.groupBy("doc_id").agg(
+        sum("c").as("n_toks"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("_slc"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"),
+        round(h, 6).as("h"),
+        round(when(col("n_types") > 1L,
+          h / log(col("n_types").cast("double"))), 6).as("h_norm"))
   }
 }

@@ -17,6 +17,18 @@ class AlgorithmsSpec extends SparkSpec {
   private def symm(e: DataFrame): DataFrame =
     e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
 
+  test("conductance: one crossing edge between two 2-node groups") {
+    // A = {1,2}, B = {3,4}; edges 1-2, 3-4, 2-3 (a<b orientation)
+    val pe = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("a", "b")
+    val grp = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B")).toDF("id", "g")
+    val r = Structure.conductance(pe, grp).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    // vol 3 each side, one crossing edge: phi = 1/3
+    assert(r("A") == ((3L, 1L, 0.333333)))
+    assert(r("B") == ((3L, 1L, 0.333333)))
+  }
+
   test("bfsDistances: path graph 1→2→3→4, depth 2") {
     val d = Traversal.bfsDistances(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), ids(1), 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

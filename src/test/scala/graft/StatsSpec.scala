@@ -115,4 +115,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(diff.getDouble(4) - (-3.674235)) < 1e-6)
     assert(math.abs(diff.getDouble(5) - 4.0) < 1e-9)
   }
+
+  test("ksBySource: disjoint supports → D = 1; identical → D = 0") {
+    val d = Seq(
+      (1L, "s0", 10), (2L, "s0", 20),
+      (3L, "s1", 30), (4L, "s1", 40),   // s1 entirely above s0
+      (5L, "s2", 10), (6L, "s2", 20),
+      (7L, "s3", 10), (8L, "s3", 20))   // s2 ≡ s3 ≡ s0
+      .toDF("doc_id", "source", "n_chars")
+    val ks = Stats.ksBySource(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ks("s1") == 1.0)             // rest all ≤ 20, s1 all ≥ 30
+    // s0 vs rest: rest = {30,40} ∪ {10,20}×2; at v=20 F_s0=1, F_rest=4/6
+    assert(math.abs(ks("s0") - (1.0 - 4.0 / 6.0)) < 1e-6)
+  }
+
+  test("docEntropy: uniform tokens → H = ln k; single type → 0 and NULL norm") {
+    val d = docs(
+      (1L, "a b c d", "en", "s0"),     // 4 uniform types: H = ln 4, norm 1
+      (2L, "a a a a", "en", "s0"),     // single type: H = 0, norm NULL
+      (3L, "a a b b", "en", "s0"))     // 2 types uniform: H = ln 2
+    val rows = Stats.docEntropy(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(rows(1L).getDouble(3) - math.log(4)) < 1e-6)
+    assert(rows(1L).getDouble(4) == 1.0)
+    assert(rows(2L).getDouble(3) == 0.0 && rows(2L).isNullAt(4))
+    assert(math.abs(rows(3L).getDouble(3) - math.log(2)) < 1e-6)
+    assert(rows(3L).getDouble(4) == 1.0)
+  }
 }
