@@ -1875,6 +1875,61 @@ SELECT cum.source, ANY_VALUE(ts.n_s) AS n_s,
 FROM cum JOIN ca USING (v) JOIN ts USING (source) CROSS JOIN nn
 GROUP BY cum.source ORDER BY cum.source"""
 
+  val theilBySourceSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS n,
+  SUM(CAST(n_chars AS BIGINT)) AS sx,
+  SUM(CAST(n_chars AS DOUBLE) * ln(CAST(n_chars AS DOUBLE))) AS sxlx
+  FROM documents WHERE CAST(n_chars AS BIGINT) > 0 GROUP BY 1)
+SELECT source, n,
+  ROUND(sxlx / CAST(sx AS DOUBLE) -
+    ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS theil
+FROM s ORDER BY source"""
+
+  /** JSD mirror: KL(Q‖M) closed over the source's terms only —
+    * absent-term mass contributes ln 2·(1 − Σq), same as the Spark
+    * side. */
+  val jsdBySourceSql: String =
+    """WITH tk AS (SELECT source, term
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+st AS (SELECT source, term, COUNT(*) AS c_st FROM tk GROUP BY 1, 2),
+stot AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY 1),
+ct AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY 1),
+nn AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS n FROM ct),
+j AS (SELECT source, CAST(c_st AS DOUBLE) / n_s AS p,
+  CAST(c_t AS DOUBLE) / nn.n AS q
+  FROM st JOIN stot USING (source) JOIN ct USING (term) CROSS JOIN nn),
+ag AS (SELECT source, SUM(p * ln(p / ((p + q) / 2.0))) AS a,
+  SUM(q * ln(q / ((p + q) / 2.0))) AS b, SUM(q) AS cq
+  FROM j GROUP BY 1)
+SELECT source, ROUND(0.5 * a + 0.5 * (b + ln(2.0) * (1.0 - cq)), 6) AS jsd
+FROM ag ORDER BY source"""
+
+  /** ACF mirror: same day grid, exact-integer centering (D·c − S), the
+    * D² factors cancelling in the ratio. */
+  def dailyAcfSql(maxLag: Int): String = {
+    val leads = (1 to maxLag)
+      .map(k => s"LEAD(c, $k) OVER (ORDER BY day) AS c$k").mkString(", ")
+    val nums = (1 to maxLag)
+      .map(k => s"SUM((st.d * c - st.s) * (st.d * c$k - st.s)) AS num$k")
+      .mkString(", ")
+    val rows = (1 to maxLag).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS lag, ROUND(CASE WHEN den > 0
+  THEN CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS r FROM ag""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH dc AS (SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dc),
+grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
+ser AS (SELECT g.day, COALESCE(dc.c, 0) AS c
+  FROM grid g LEFT JOIN dc ON dc.day = g.day),
+lg AS (SELECT c, $leads FROM ser),
+st AS (SELECT SUM(c) AS s, COUNT(*) AS d FROM ser),
+ag AS (SELECT SUM((st.d * c - st.s) * (st.d * c - st.s)) AS den, $nums
+  FROM lg CROSS JOIN st)
+SELECT * FROM ($rows) ORDER BY lag"""
+  }
+
   /** Per-doc entropy mirror: H = ln n − (Σ c·ln c)/n, identical
     * operator order. */
   val docEntropySql: String =

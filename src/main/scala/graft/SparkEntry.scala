@@ -565,6 +565,12 @@ object SparkEntry {
       pipeline.Stats.ksBySource(GraphBuilder.table(s, d, "documents"))),
     "q_doc_entropy" -> ((s, d) =>
       pipeline.Stats.docEntropy(GraphBuilder.table(s, d, "documents"))),
+    "q_theil" -> ((s, d) =>
+      pipeline.Stats.theilBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_jsd" -> ((s, d) =>
+      pipeline.Stats.jsdBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_acf" -> ((s, d) =>
+      EventStreams.dailyAcf(EventStreams.eventsTable(s, d))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1086,6 +1092,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_ks_test" -> PipelineOracles.ksBySourceSql,
     "q_doc_entropy" -> PipelineOracles.docEntropySql,
     "q_conductance" -> Oracles.conductanceSql,
+    "q_theil" -> PipelineOracles.theilBySourceSql,
+    "q_jsd" -> PipelineOracles.jsdBySourceSql,
+    "q_acf" -> PipelineOracles.dailyAcfSql(7),
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),

@@ -248,6 +248,59 @@ object Stats {
       .orderBy("source")
   }
 
+  /** Theil T inequality index of n_chars per source — the
+    * entropy-based complement to [[Corpus.sourceGini]]: additively
+    * decomposable, so per-source values roll up into a
+    * between/within-source split. T = Σ(x·ln x)/Σx − ln(Σx/n), i.e.
+    * three sufficient statistics per source (n, Σx exact BIGINTs,
+    * Σ x·ln x double) from ONE pass — no sort, unlike Gini. */
+  def theilBySource(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
+    val x = col(valueCol).cast("long")
+    docs.filter(x > 0L).groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+        sum(x.cast("double") * log(x.cast("double"))).as("_sxlx"))
+      .select(col("source"), col("n"),
+        round(col("_sxlx") / col("sx").cast("double") -
+          log(col("sx").cast("double") / col("n").cast("double")), 6)
+          .as("theil"))
+      .orderBy("source")
+  }
+
+  /** Jensen–Shannon divergence of each source's term distribution from
+    * the corpus-wide distribution — the bounded, symmetric sibling of
+    * [[Corpus.sourceKl]] (0 ≤ JSD ≤ ln 2), the usual drift score when
+    * sources can have disjoint vocabulary (KL would be ∞; JSD is not).
+    * JSD = ½KL(P‖M) + ½KL(Q‖M) with M = ½(P+Q). Terms absent from the
+    * source contribute exactly q·ln 2 to KL(Q‖M), so the whole sum
+    * needs only the SOURCE's terms: KL(Q‖M) = Σ_{t∈src} q·ln(q/m) +
+    * ln 2·(1 − Σ_{t∈src} q). Same (source, term) shuffle + broadcast
+    * marginals shape as sourceKl — nothing scales with the vocabulary
+    * beyond the one count pass. */
+  def jsdBySource(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val sTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val ct = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val cTot = ct.agg(sum("c_t").cast("double").as("n"))
+    val p = col("c_st").cast("double") / col("n_s")
+    val q = col("c_t").cast("double") / col("n")
+    val m = (p + q) / lit(2.0)
+    val ln2 = log(lit(2.0))
+    st.join(sTot, Seq("source"))
+      .join(broadcast(ct), Seq("term"))
+      .crossJoin(broadcast(cTot))
+      .groupBy("source")
+      .agg(sum(p * log(p / m)).as("_a"),
+        sum(q * log(q / m)).as("_b"), sum(q).as("_cq"))
+      .select(col("source"),
+        round(lit(0.5) * col("_a") +
+          lit(0.5) * (col("_b") + ln2 * (lit(1.0) - col("_cq"))), 6)
+          .as("jsd"))
+      .orderBy("source")
+  }
+
   /** Per-document token Shannon entropy (nats) and its ln(types)-
     * normalized form — the lexical-concentration quality signal that
     * separates natural prose from keyword stuffing and boilerplate.

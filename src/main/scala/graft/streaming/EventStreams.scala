@@ -490,6 +490,44 @@ object EventStreams {
       .orderBy("day")
   }
 
+  /** Sample autocorrelation of the DAILY event-count series at lags
+    * 1..maxLag — "does volume today predict volume tomorrow / next
+    * week": the seasonality screen run before alerting on volume
+    * anomalies. Missing days count 0 via a sequence-generated day grid
+    * (the series is as long as the OBSERVATION WINDOW, not the event
+    * count, so the single ordered window is bounded by the time domain
+    * — the len_histogram class of unpartitioned window). Centering is
+    * exact-integer: with S = Σc and D days, (D·c_d − S) is a BIGINT and
+    * r_k = Σ(D·c_d − S)(D·c_{d+k} − S) / Σ(D·c_d − S)² — the D² factors
+    * cancel, so no floating mean enters the sums (at suite scales the
+    * products stay far below 2⁶³; a corpus with >10⁹ events/day would
+    * switch the centered terms to doubles). Constant series → NULL r. */
+  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dc = events
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).cast("long").as("c"))
+    val grid = dc.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val series = grid.join(dc, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val lagged = series.select(col("c") +:
+      (1 to maxLag).map(k => lead("c", k).over(w).as(s"c$k")): _*)
+    val stats = series.agg(sum("c").as("s"), count(lit(1)).as("d"))
+    val cen = col("d") * col("c") - col("s")
+    def cenK(k: Int) = col("d") * col(s"c$k") - col("s")
+    val aggCols = sum(cen * cen).as("den") +:
+      (1 to maxLag).map(k => sum(cen * cenK(k)).as(s"num$k"))
+    val aggRow = lagged.crossJoin(broadcast(stats))
+      .agg(aggCols.head, aggCols.tail: _*)
+    (1 to maxLag).map { k =>
+      aggRow.select(lit(k.toLong).as("lag"),
+        round(when(col("den") > 0L,
+          col(s"num$k").cast("double") / col("den").cast("double")), 6)
+          .as("r"))
+    }.reduce(_ unionAll _).orderBy("lag")
+  }
+
   /** Top-k frequent 3-step behavioral paths: each user's event-type
     * sequence (ordered by ts, event_id) mined for consecutive
     * type-trigrams — one step beyond the [[eventTransitions]] bigram

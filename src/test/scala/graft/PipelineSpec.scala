@@ -170,6 +170,26 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
   }
 
+  test("dailyAcf: alternating series and zero-filled missing days") {
+    val implicits = spark.implicits
+    import implicits._
+    // counts per day: [2, 4, 2, 4] → r1 = −0.75, r2 = 0.5
+    val alt = (for (d <- 0 until 4; i <- 0 until (if (d % 2 == 0) 2 else 4))
+      yield (d.toLong, i))
+      .toDF("d", "i")
+      .select((col("d") * 86400 + col("i")).cast("timestamp").as("ts"))
+    val r = EventStreams.dailyAcf(alt, 2).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == -0.75 && r(2L) == 0.5)
+    // days 0,1,3 with 5 events each; day 2 absent → series [5,5,0,5],
+    // r1 = −125/300 = −0.416667
+    val gap = (for (d <- Seq(0, 1, 3); i <- 0 until 5) yield (d.toLong, i))
+      .toDF("d", "i")
+      .select((col("d") * 86400 + col("i")).cast("timestamp").as("ts"))
+    val g = EventStreams.dailyAcf(gap, 1).collect()
+    assert(g.head.getDouble(1) == -0.416667)
+  }
+
   test("cusum closed form ≡ direct recurrence on 10 seeded random series") {
     val implicits = spark.implicits
     import implicits._

@@ -130,6 +130,30 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ks("s0") - (1.0 - 4.0 / 6.0)) < 1e-6)
   }
 
+  test("theilBySource: equal values → 0; hand-computed two-value case") {
+    val d = Seq(
+      (1L, "s0", 10), (2L, "s0", 10), (3L, "s0", 10),
+      (4L, "s1", 10), (5L, "s1", 30))
+      .toDF("doc_id", "source", "n_chars")
+    val t = Stats.theilBySource(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(t("s0") == 0.0)
+    // (10·ln10 + 30·ln30)/40 − ln 20 = 0.130812
+    assert(math.abs(t("s1") - 0.130812) < 1e-6)
+  }
+
+  test("jsdBySource: identical distributions → 0; disjoint vocab value") {
+    val same = docs((1L, "a b", "en", "s0"), (2L, "a b", "en", "s1"))
+    assert(Stats.jsdBySource(same).collect().forall(_.getDouble(1) == 0.0))
+    // s0 = δ_a, s1 = δ_b, corpus = uniform{a,b}:
+    // JSD(δ, U) = ½ln(4/3) + ½(½ln(2/3) + ½ln2) = 0.215762
+    val disj = docs((1L, "a a", "en", "s0"), (2L, "b b", "en", "s1"))
+    val j = Stats.jsdBySource(disj).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(j("s0") - 0.215762) < 1e-6)
+    assert(j("s0") == j("s1"))
+  }
+
   test("docEntropy: uniform tokens → H = ln k; single type → 0 and NULL norm") {
     val d = docs(
       (1L, "a b c d", "en", "s0"),     // 4 uniform types: H = ln 4, norm 1
