@@ -1875,6 +1875,56 @@ SELECT cum.source, ANY_VALUE(ts.n_s) AS n_s,
 FROM cum JOIN ca USING (v) JOIN ts USING (source) CROSS JOIN nn
 GROUP BY cum.source ORDER BY cum.source"""
 
+  /** Mann–Whitney mirror: half-unit-integer 2U accumulation and the
+    * pooled Σ(t³−t) tie term, exactly the Spark operator order. */
+  val mannWhitneySql: String =
+    """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, source,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+al AS (SELECT v, SUM(c) AS c_all FROM cnt GROUP BY 1),
+alc AS (SELECT v, c_all, SUM(c_all) OVER (ORDER BY v) AS cum_all FROM al),
+cs AS (SELECT v, source, c,
+  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum_s FROM cnt),
+ts AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+gr AS (SELECT SUM(c_all) AS n_all,
+  SUM(c_all * c_all * c_all - c_all) AS ties FROM al),
+u AS (SELECT source,
+  SUM(c * (2 * ((cum_all - c_all) - (cum_s - c)) + (c_all - c))) AS u2
+  FROM cs JOIN alc USING (v) GROUP BY 1)
+SELECT u.source, ts.n_s,
+  ROUND(CAST(u2 AS DOUBLE) / 2.0, 6) AS u,
+  ROUND(CASE WHEN sqrt(CAST(ts.n_s AS DOUBLE) *
+      CAST(gr.n_all - ts.n_s AS DOUBLE) / 12.0 *
+      ((CAST(gr.n_all AS DOUBLE) + 1.0) -
+       CAST(gr.ties AS DOUBLE) /
+         (CAST(gr.n_all AS DOUBLE) * (CAST(gr.n_all AS DOUBLE) - 1.0)))) > 0.0
+    THEN (CAST(u2 AS DOUBLE) / 2.0 -
+      CAST(ts.n_s AS DOUBLE) * CAST(gr.n_all - ts.n_s AS DOUBLE) / 2.0) /
+      sqrt(CAST(ts.n_s AS DOUBLE) *
+      CAST(gr.n_all - ts.n_s AS DOUBLE) / 12.0 *
+      ((CAST(gr.n_all AS DOUBLE) + 1.0) -
+       CAST(gr.ties AS DOUBLE) /
+         (CAST(gr.n_all AS DOUBLE) * (CAST(gr.n_all AS DOUBLE) - 1.0))))
+  END, 6) AS z
+FROM u JOIN ts USING (source) CROSS JOIN gr ORDER BY source"""
+
+  val heapsFitSql: String =
+    """WITH tk AS (SELECT source, t
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+sv AS (SELECT ln(CAST(COUNT(*) AS DOUBLE)) AS x,
+  ln(CAST(COUNT(DISTINCT t) AS DOUBLE)) AS y FROM tk GROUP BY source),
+a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+  SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy FROM sv)
+SELECT CAST(k AS BIGINT) AS n_sources,
+  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta,
+  ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+    AS ln_k,
+  ROUND(((k * sxy - sx * sy) /
+      (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy))) *
+    ((k * sxy - sx * sy) /
+      (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy))), 6) AS r2
+FROM a"""
+
   val theilBySourceSql: String =
     """WITH s AS (SELECT source, COUNT(*) AS n,
   SUM(CAST(n_chars AS BIGINT)) AS sx,

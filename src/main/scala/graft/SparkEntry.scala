@@ -571,6 +571,10 @@ object SparkEntry {
       pipeline.Stats.jsdBySource(GraphBuilder.table(s, d, "documents"))),
     "q_acf" -> ((s, d) =>
       EventStreams.dailyAcf(EventStreams.eventsTable(s, d))),
+    "q_mann_whitney" -> ((s, d) =>
+      pipeline.Stats.mannWhitneyBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_heaps" -> ((s, d) =>
+      pipeline.Stats.heapsFit(GraphBuilder.table(s, d, "documents"))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1095,6 +1099,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_theil" -> PipelineOracles.theilBySourceSql,
     "q_jsd" -> PipelineOracles.jsdBySourceSql,
     "q_acf" -> PipelineOracles.dailyAcfSql(7),
+    "q_mann_whitney" -> PipelineOracles.mannWhitneySql,
+    "q_heaps" -> PipelineOracles.heapsFitSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),

@@ -248,6 +248,82 @@ object Stats {
       .orderBy("source")
   }
 
+  /** Mann–Whitney U per source against the rest of the corpus over an
+    * integer-valued column (default n_chars), with the tie-corrected
+    * normal-approximation z — the nonparametric location test that
+    * pairs with [[ksBySource]]'s shape test. Everything up to the final
+    * z is EXACT integer arithmetic: 2U = Σ_v c_s(v)·(2·C_rest(<v) +
+    * c_rest(v)) accumulates in half-unit BIGINTs, and the pooled tie
+    * term Σ(t³−t) is integer too. Same bounded shapes as the KS plan —
+    * per-source windows on the (value, source) count frame plus one
+    * value-domain-bounded pooled window; nothing scales with the
+    * corpus beyond the first count shuffle. */
+  def mannWhitneyBySource(docs: DataFrame,
+                          valueCol: String = "n_chars"): DataFrame = {
+    val cnt = docs
+      .groupBy(col(valueCol).cast("long").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val all = cnt.groupBy("v").agg(sum("c").as("c_all"))
+      .withColumn("cum_all",
+        sum("c_all").over(Window.orderBy("v")))
+    val cumS = cnt.withColumn("cum_s",
+      sum("c").over(Window.partitionBy("source").orderBy("v")))
+    val totals = cnt.groupBy("source").agg(sum("c").as("n_s"))
+    // pooled totals + tie term from the per-value counts
+    val grand2 = all.agg(sum("c_all").as("n_all"),
+      sum(col("c_all") * col("c_all") * col("c_all") - col("c_all"))
+        .as("ties"))
+    val cRestBelow = (col("cum_all") - col("c_all")) -
+      (col("cum_s") - col("c"))
+    val cRest = col("c_all") - col("c")
+    val u2 = cumS.join(all, Seq("v"))
+      .groupBy("source")
+      .agg(sum(col("c") * (lit(2L) * cRestBelow + cRest)).as("u2"))
+    val nS = col("n_s").cast("double")
+    val nR = (col("n_all") - col("n_s")).cast("double")
+    val nAll = col("n_all").cast("double")
+    val u = col("u2").cast("double") / lit(2.0)
+    val sigma = sqrt(nS * nR / lit(12.0) *
+      ((nAll + lit(1.0)) -
+        col("ties").cast("double") / (nAll * (nAll - lit(1.0)))))
+    u2.join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand2))
+      .select(col("source"), col("n_s"),
+        round(u, 6).as("u"),
+        round(when(sigma > 0.0, (u - nS * nR / lit(2.0)) / sigma), 6)
+          .as("z"))
+      .orderBy("source")
+  }
+
+  /** Heaps'-law fit across sources: regress ln(distinct types) on
+    * ln(total tokens) over the per-source points — the vocabulary-
+    * growth exponent β (≈0.4–0.6 for natural text; β near 1 flags
+    * near-random token streams, β near 0 template/boilerplate
+    * corpora). Per-source (N, V) from one token pass; the |S|-point
+    * fit is a scalar aggregate. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val sv = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_toks"), countDistinct("t").as("n_types"))
+      .select(log(col("n_toks").cast("double")).as("x"),
+        log(col("n_types").cast("double")).as("y"))
+    val a = sv.agg(count(lit(1)).cast("double").as("k"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val dxx = col("k") * col("sxx") - col("sx") * col("sx")
+    val beta = (col("k") * col("sxy") - col("sx") * col("sy")) / dxx
+    val r = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(dxx) * sqrt(col("k") * col("syy") - col("sy") * col("sy")))
+    a.select(col("k").cast("long").as("n_sources"),
+      round(beta, 6).as("beta"),
+      round((col("sy") - beta * col("sx")) / col("k"), 6).as("ln_k"),
+      round(r * r, 6).as("r2"))
+  }
+
   /** Theil T inequality index of n_chars per source — the
     * entropy-based complement to [[Corpus.sourceGini]]: additively
     * decomposable, so per-source values roll up into a

@@ -520,12 +520,16 @@ object EventStreams {
       (1 to maxLag).map(k => sum(cen * cenK(k)).as(s"num$k"))
     val aggRow = lagged.crossJoin(broadcast(stats))
       .agg(aggCols.head, aggCols.tail: _*)
-    (1 to maxLag).map { k =>
-      aggRow.select(lit(k.toLong).as("lag"),
-        round(when(col("den") > 0L,
-          col(s"num$k").cast("double") / col("den").cast("double")), 6)
-          .as("r"))
-    }.reduce(_ unionAll _).orderBy("lag")
+    // one explode off the single aggregate row — a union of per-lag
+    // selects would re-execute the whole series plan per lag
+    aggRow.select(explode(array((1 to maxLag).map { k =>
+        struct(lit(k.toLong).as("lag"),
+          round(when(col("den") > 0L,
+            col(s"num$k").cast("double") / col("den").cast("double")), 6)
+            .as("r"))
+      }: _*)).as("s"))
+      .select(col("s.lag").as("lag"), col("s.r").as("r"))
+      .orderBy("lag")
   }
 
   /** Top-k frequent 3-step behavioral paths: each user's event-type

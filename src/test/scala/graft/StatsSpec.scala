@@ -130,6 +130,36 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ks("s0") - (1.0 - 4.0 / 6.0)) < 1e-6)
   }
 
+  test("mannWhitney: separated samples hit U extremes; all-tied z is NULL") {
+    val d = Seq(
+      (1L, "s0", 1), (2L, "s0", 2),
+      (3L, "s1", 3), (4L, "s1", 4))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Stats.mannWhitneyBySource(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // s0 entirely below the rest: U = 0; s1 entirely above: U = n_s·n_r
+    assert(r("s0").getDouble(2) == 0.0 && r("s1").getDouble(2) == 4.0)
+    // z(s0) = (0 − 2)/sqrt(5/3) = −1.549193
+    assert(math.abs(r("s0").getDouble(3) - (-1.549193)) < 1e-6)
+    val tied = Seq((1L, "s0", 5), (2L, "s0", 5), (3L, "s1", 5), (4L, "s1", 5))
+      .toDF("doc_id", "source", "n_chars")
+    val t = Stats.mannWhitneyBySource(tied).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // all mass tied: U = n_s·n_r/2 (pure tie credit), variance 0 → NULL z
+    assert(t("s0").getDouble(2) == 2.0 && t("s0").isNullAt(3))
+  }
+
+  test("heapsFit: two exact power-law points recover beta = 1") {
+    val d = docs(
+      (1L, "a b a b", "en", "s0"),          // N=4, V=2
+      (2L, "a b c d a b c d", "en", "s1"))  // N=8, V=4
+    val r = Stats.heapsFit(d).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-6)       // beta
+    assert(math.abs(r.getDouble(2) - (-math.log(2))) < 1e-6) // ln_k
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)       // r2
+  }
+
   test("theilBySource: equal values → 0; hand-computed two-value case") {
     val d = Seq(
       (1L, "s0", 10), (2L, "s0", 10), (3L, "s0", 10),
