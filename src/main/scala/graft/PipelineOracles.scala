@@ -1925,6 +1925,21 @@ SELECT CAST(k AS BIGINT) AS n_sources,
       (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy))), 6) AS r2
 FROM a"""
 
+  /** Centroid-similarity mirror: unrounded per-(label, pos) means feed
+    * the dot/norm sums, rounding only at the final cosine. */
+  val centroidSimSql: String =
+    """WITH cen AS (SELECT CAST(label AS BIGINT) AS label,
+  CAST(i - 1 AS BIGINT) AS pos, AVG(embedding[i]::DOUBLE) AS c
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY 1, 2),
+d AS (SELECT a.label AS la, b.label AS lb, SUM(a.c * b.c) AS dot
+  FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2),
+nrm AS (SELECT label, SUM(c * c) AS nn FROM cen GROUP BY 1)
+SELECT la, lb, ROUND(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos
+FROM d JOIN nrm na ON na.label = d.la JOIN nrm nb ON nb.label = d.lb
+ORDER BY la, lb"""
+
   val theilBySourceSql: String =
     """WITH s AS (SELECT source, COUNT(*) AS n,
   SUM(CAST(n_chars AS BIGINT)) AS sx,

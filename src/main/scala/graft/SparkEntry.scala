@@ -573,6 +573,8 @@ object SparkEntry {
       EventStreams.dailyAcf(EventStreams.eventsTable(s, d))),
     "q_mann_whitney" -> ((s, d) =>
       pipeline.Stats.mannWhitneyBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_centroid_sim" -> ((s, d) =>
+      Similarity.centroidSim(GraphBuilder.table(s, d, "embeddings"))),
     "q_heaps" -> ((s, d) =>
       pipeline.Stats.heapsFit(GraphBuilder.table(s, d, "documents"))),
     "q_dup_inflation" -> ((s, d) =>
@@ -1101,6 +1103,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_acf" -> PipelineOracles.dailyAcfSql(7),
     "q_mann_whitney" -> PipelineOracles.mannWhitneySql,
     "q_heaps" -> PipelineOracles.heapsFitSql,
+    "q_centroid_sim" -> PipelineOracles.centroidSimSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),
     "q_winnow_pairs" -> PipelineOracles.winnowPairsSql(5, 8, 2, 50),

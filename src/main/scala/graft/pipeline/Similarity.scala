@@ -677,4 +677,33 @@ object Similarity {
     import spark.implicits._
     out.toDF("qid", "vid", "step", "score")
   }
+
+  /** Pairwise cosine similarity between per-label embedding CENTROIDS
+    * — the class-separation audit run before trusting labels for
+    * stratified sampling or as ANN ground truth (two labels whose
+    * centroids sit at cos ≈ 1 are not separable classes). The corpus
+    * is read ONCE for the (label, pos) mean aggregate; everything
+    * after operates on the |labels|·d centroid frame, so the pair join
+    * is |labels|²·d rows — bounded by label cardinality, never by the
+    * vector count. */
+  def centroidSim(emb: DataFrame): DataFrame = {
+    val cen = emb.select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg(col("x").cast("double")).as("c"))
+    val dots = cen.select(col("label").as("la"), col("pos"), col("c").as("ca"))
+      .join(cen.select(col("label").as("lb"), col("pos"), col("c").as("cb")),
+        Seq("pos"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb").agg(sum(col("ca") * col("cb")).as("dot"))
+    val norms = cen.groupBy("label").agg(sum(col("c") * col("c")).as("nn"))
+    dots
+      .join(broadcast(norms.select(col("label").as("la"), col("nn").as("na"))),
+        Seq("la"))
+      .join(broadcast(norms.select(col("label").as("lb"), col("nn").as("nb"))),
+        Seq("lb"))
+      .select(col("la"), col("lb"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos"))
+      .orderBy("la", "lb")
+  }
 }

@@ -109,6 +109,25 @@ class CorpusPrepSpec extends SparkSpec {
     assert(cmp.filter(col("native") < 0L).isEmpty) // 60-bit ⇒ non-negative
   }
 
+  test("centroidSim: orthogonal, identical, and opposed label centroids") {
+    val implicits = spark.implicits
+    import implicits._
+    // label 0 → mean (1,0); label 1 → mean (0,1); label 2 → mean (2,0)
+    // (parallel to 0); label 3 → mean (−1,0) (opposed to 0)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0L), (2L, Array(1.0f, 0.0f), 0L),
+      (3L, Array(0.0f, 1.0f), 1L),
+      (4L, Array(2.0f, 0.0f), 2L),
+      (5L, Array(-1.0f, 0.0f), 3L))
+      .toDF("vec_id", "embedding", "label")
+    val m = graft.pipeline.Similarity.centroidSim(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((0L, 1L)) == 0.0)   // orthogonal
+    assert(m((0L, 2L)) == 1.0)   // parallel
+    assert(m((0L, 3L)) == -1.0)  // opposed
+    assert(m((1L, 2L)) == 0.0)
+  }
+
   test("int8 quantization: known vector, zero vector, range bounds") {
     val implicits = spark.implicits
     import implicits._

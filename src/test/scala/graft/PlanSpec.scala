@@ -52,7 +52,12 @@ class PlanSpec extends SparkSpec {
         "range-ranks with partitionBy(pid) (ShuffleRegimeSpec parity)"),
       "q_layout_circle" -> ("ring rank over the visualization view — "
         + "driver-sized by contract (GraphViz caps views; here the "
-        + "25-node nation frame)"))
+        + "25-node nation frame)"),
+      "q_acf" -> ("lead lags over the daily-count series — bounded by "
+        + "the observation window's day count (time domain), not the "
+        + "event count"),
+      "q_mann_whitney" -> ("pooled cumulative over the distinct-value "
+        + "frame — bounded by the value domain, not the corpus"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
