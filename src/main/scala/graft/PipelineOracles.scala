@@ -2011,4 +2011,112 @@ SELECT doc_id, n_toks, n_types,
     (ln(CAST(n_toks AS DOUBLE)) - slc / CAST(n_toks AS DOUBLE)) /
     ln(CAST(n_types AS DOUBLE)) END, 6) AS h_norm
 FROM ag"""
+
+  /** Lexical-profile mirror: identical BIGINT sufficient statistics
+    * per source, closed forms term for term. */
+  val lexicalProfileSql: String =
+    """WITH tk AS (SELECT source, t
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+st AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+ag AS (SELECT source, SUM(c) AS n_toks, COUNT(*) AS n_types,
+  SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+  SUM(c * c) AS scc FROM st GROUP BY 1)
+SELECT source, n_toks, n_types,
+  ROUND(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio,
+  ROUND(1e4 * CAST(scc - n_toks AS DOUBLE) /
+    (CAST(n_toks AS DOUBLE) * CAST(n_toks AS DOUBLE)), 6) AS yule_k,
+  ROUND(CASE WHEN n_toks > 1 THEN CAST(scc - n_toks AS DOUBLE) /
+    (CAST(n_toks AS DOUBLE) * (CAST(n_toks AS DOUBLE) - 1.0)) END, 6)
+    AS simpson
+FROM ag ORDER BY source"""
+
+  /** Flesch mirror: same regex counts (RE2 ≡ Java on these literal
+    * classes), same clamp, same closed form. */
+  val readabilitySql: String =
+    """WITH per AS (SELECT source,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS w,
+  GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+  FROM documents),
+ag AS (SELECT source, SUM(w) AS words, SUM(s) AS sentences,
+  SUM(y) AS syllables FROM per GROUP BY 1)
+SELECT source, words, sentences, syllables,
+  ROUND(206.835 - 1.015 * CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
+    - 84.6 * CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4) AS flesch
+FROM ag ORDER BY source"""
+
+  /** One-way ANOVA mirror: identical sufficient statistics and
+    * closed-form operator order. */
+  val anovaFSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS n_s,
+  SUM(CAST(n_chars AS BIGINT)) AS sx_s,
+  SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx_s
+  FROM documents GROUP BY 1),
+a AS (SELECT COUNT(*) AS k, SUM(n_s) AS n, SUM(sx_s) AS sx,
+  SUM(sxx_s) AS sxx,
+  SUM(CAST(sx_s AS DOUBLE) * CAST(sx_s AS DOUBLE) /
+    CAST(n_s AS DOUBLE)) AS sb FROM s)
+SELECT k, n,
+  ROUND(sb - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+    CAST(n AS DOUBLE), 4) AS ss_between,
+  ROUND(CAST(sxx AS DOUBLE) - sb, 4) AS ss_within,
+  ROUND(CASE WHEN k > 1 AND CAST(sxx AS DOUBLE) - sb > 0.0 THEN
+    ((sb - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+      CAST(k - 1 AS DOUBLE)) /
+    ((CAST(sxx AS DOUBLE) - sb) / CAST(n - k AS DOUBLE)) END, 6) AS f
+FROM a"""
+
+  /** Kruskal–Wallis mirror: exact 2·avgrank half-unit integers, H and
+    * tie correction term for term. */
+  val kruskalWallisSql: String =
+    """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, source,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+al AS (SELECT v, SUM(c) AS c_all FROM cnt GROUP BY 1),
+alc AS (SELECT v, c_all, SUM(c_all) OVER (ORDER BY v) AS cum_all FROM al),
+gr AS (SELECT SUM(c_all) AS n_all,
+  SUM(c_all * c_all * c_all - c_all) AS ties FROM al),
+rs AS (SELECT source, SUM(c) AS n_s,
+  SUM(c * (2 * (cum_all - c_all) + c_all + 1)) AS r2_s
+  FROM cnt JOIN alc USING (v) GROUP BY 1),
+ag AS (SELECT COUNT(*) AS k,
+  SUM(CAST(r2_s AS DOUBLE) * CAST(r2_s AS DOUBLE) /
+    (4.0 * CAST(n_s AS DOUBLE))) AS srr FROM rs)
+SELECT k, n_all AS n,
+  ROUND(12.0 / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0))
+    * srr - 3.0 * (CAST(n_all AS DOUBLE) + 1.0), 6) AS h,
+  ROUND(CASE WHEN 1.0 - CAST(ties AS DOUBLE) /
+      (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE) *
+       CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE)) > 0.0
+    THEN (12.0 / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0))
+      * srr - 3.0 * (CAST(n_all AS DOUBLE) + 1.0)) /
+      (1.0 - CAST(ties AS DOUBLE) /
+        (CAST(n_all AS DOUBLE) * CAST(n_all AS DOUBLE) *
+         CAST(n_all AS DOUBLE) - CAST(n_all AS DOUBLE)))
+    END, 6) AS h_corrected
+FROM ag CROSS JOIN gr"""
+
+  /** Spearman mirror: exact 2·avgrank integers per value block, exact
+    * 128-bit rank-product sums (HUGEINT ↔ Spark DECIMAL(38,0)),
+    * Pearson applied once to the aggregated scalars. */
+  val spearmanSql: String =
+    """WITH f AS (SELECT CAST(n_chars AS BIGINT) AS nc,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS nt
+  FROM documents),
+rx AS (SELECT nc AS v, COUNT(*) AS c FROM f GROUP BY 1),
+rxc AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r FROM rx),
+ry AS (SELECT nt AS v, COUNT(*) AS c FROM f GROUP BY 1),
+ryc AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r FROM ry),
+j AS (SELECT CAST(rxc.r AS HUGEINT) AS rxr, CAST(ryc.r AS HUGEINT) AS ryr
+  FROM f JOIN rxc ON rxc.v = f.nc JOIN ryc ON ryc.v = f.nt),
+a AS (SELECT COUNT(*) AS n, SUM(rxr) AS sx, SUM(ryr) AS sy,
+  SUM(rxr * rxr) AS sxx, SUM(ryr * ryr) AS syy,
+  SUM(rxr * ryr) AS sxy FROM j)
+SELECT n, ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+FROM a"""
 }

@@ -573,6 +573,16 @@ object SparkEntry {
       EventStreams.dailyAcf(EventStreams.eventsTable(s, d))),
     "q_mann_whitney" -> ((s, d) =>
       pipeline.Stats.mannWhitneyBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_anova" -> ((s, d) =>
+      pipeline.Stats.anovaF(GraphBuilder.table(s, d, "documents"))),
+    "q_kruskal" -> ((s, d) =>
+      pipeline.Stats.kruskalWallis(GraphBuilder.table(s, d, "documents"))),
+    "q_spearman" -> ((s, d) =>
+      pipeline.Stats.spearman(GraphBuilder.table(s, d, "documents"))),
+    "q_lexical_profile" -> ((s, d) =>
+      pipeline.Stats.lexicalProfile(GraphBuilder.table(s, d, "documents"))),
+    "q_readability" -> ((s, d) =>
+      pipeline.Stats.readability(GraphBuilder.table(s, d, "documents"))),
     "q_centroid_sim" -> ((s, d) =>
       Similarity.centroidSim(GraphBuilder.table(s, d, "embeddings"))),
     "q_heaps" -> ((s, d) =>
@@ -1102,6 +1112,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_jsd" -> PipelineOracles.jsdBySourceSql,
     "q_acf" -> PipelineOracles.dailyAcfSql(7),
     "q_mann_whitney" -> PipelineOracles.mannWhitneySql,
+    "q_anova" -> PipelineOracles.anovaFSql,
+    "q_kruskal" -> PipelineOracles.kruskalWallisSql,
+    "q_spearman" -> PipelineOracles.spearmanSql,
+    "q_lexical_profile" -> PipelineOracles.lexicalProfileSql,
+    "q_readability" -> PipelineOracles.readabilitySql,
     "q_heaps" -> PipelineOracles.heapsFitSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,

@@ -399,4 +399,160 @@ object Stats {
         round(when(col("n_types") > 1L,
           h / log(col("n_types").cast("double"))), 6).as("h_norm"))
   }
+
+  /** Per-source lexical-richness profile from ONE (source, term) count
+    * pass: type count, hapax ratio (fraction of types seen exactly
+    * once — the classic vocabulary-freshness signal; near 0 flags
+    * template/duplicated text), Yule's K = 10⁴·(Σc² − N)/N² (repeat-
+    * rate concentration, length-robust unlike raw TTR), and Simpson's
+    * repeat probability Σc(c−1)/(N(N−1)). All four are closed forms
+    * over exact BIGINT sufficient statistics (N, types, hapax, Σc²),
+    * so the cost at any scale is the one token-count shuffle the other
+    * vocabulary operators already pay. */
+  def lexicalProfile(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val n = col("n_toks").cast("double")
+    st.groupBy("source").agg(
+        sum("c").as("n_toks"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(col("c") * col("c")).as("_scc"))
+      .select(col("source"), col("n_toks"), col("n_types"),
+        round(col("hapax").cast("double") /
+          col("n_types").cast("double"), 6).as("hapax_ratio"),
+        round(lit(1.0e4) * (col("_scc") - col("n_toks")).cast("double") /
+          (n * n), 6).as("yule_k"),
+        round(when(col("n_toks") > 1L,
+          (col("_scc") - col("n_toks")).cast("double") /
+            (n * (n - lit(1.0)))), 6).as("simpson"))
+      .orderBy("source")
+  }
+
+  /** Per-source Flesch reading-ease from exact per-doc regex counts:
+    * words = nonspace runs, sentences = [.!?]+ runs clamped to ≥1 per
+    * doc (corpora stripped of punctuation — like this synthetic one —
+    * degrade to one sentence per doc instead of dividing by zero),
+    * syllables = [aeiouy]+ vowel-group runs (the standard heuristic;
+    * whole-text count, no per-word 1-syllable floor). FRE = 206.835 −
+    * 1.015·(W/S) − 84.6·(Y/W) over the per-source BIGINT sums — one
+    * map-side-combined pass, three integers of state per source. */
+  def readability(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+      regexp_count(col("text"), lit("[^ ]+")).cast("long").as("w"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+        lit(1L)).as("s"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+        .as("y"))
+    per.groupBy("source")
+      .agg(sum("w").as("words"), sum("s").as("sentences"),
+        sum("y").as("syllables"))
+      .select(col("source"), col("words"), col("sentences"),
+        col("syllables"),
+        round(lit(206.835) -
+          lit(1.015) * col("words").cast("double") /
+            col("sentences").cast("double") -
+          lit(84.6) * col("syllables").cast("double") /
+            col("words").cast("double"), 4).as("flesch"))
+      .orderBy("source")
+  }
+
+  /** One-way ANOVA F across sources on an integer column (default
+    * n_chars) — the parametric k-group sibling of [[welchT]]: does mean
+    * document length differ between sources more than within them?
+    * Per-source sufficient statistics (n, Σx, Σx² — exact BIGINTs) from
+    * ONE map-side-combined pass; SS_between = Σ(Σx_s)²/n_s − (Σx)²/N
+    * and SS_within = Σx² − Σ(Σx_s)²/n_s are closed-form over the k
+    * aggregated rows. NULL F when k < 2 or SS_within = 0. */
+  def anovaF(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val s = docs.groupBy("source").agg(
+      count(lit(1)).as("n_s"), sum(x).as("sx_s"),
+      sum(x * x).as("sxx_s"))
+    val a = s.agg(count(lit(1)).as("k"), sum("n_s").as("n"),
+      sum("sx_s").as("sx"), sum("sxx_s").as("sxx"),
+      sum(col("sx_s").cast("double") * col("sx_s").cast("double") /
+        col("n_s").cast("double")).as("sb"))
+    val ssb = col("sb") -
+      col("sx").cast("double") * col("sx").cast("double") /
+        col("n").cast("double")
+    val ssw = col("sxx").cast("double") - col("sb")
+    a.select(col("k"), col("n"),
+      round(ssb, 4).as("ss_between"), round(ssw, 4).as("ss_within"),
+      round(when(col("k") > 1L && ssw > 0.0,
+        (ssb / (col("k") - lit(1L)).cast("double")) /
+          (ssw / (col("n") - col("k")).cast("double"))), 6).as("f"))
+  }
+
+  /** Kruskal–Wallis H across sources over an integer column — the
+    * rank-based (distribution-free) counterpart of [[anovaF]], with the
+    * standard tie correction. Built on the same (value, source) count
+    * frame as [[mannWhitneyBySource]]: the average rank of a tied value
+    * block is carried as the EXACT half-unit integer 2r(v) =
+    * 2·cum_below + c_all + 1, so each source's rank sum 2R_s = Σ c_sv ·
+    * 2r(v) is exact BIGINT; H touches doubles only at the final closed
+    * form. All windows run over the value domain, never the corpus. */
+  def kruskalWallis(docs: DataFrame,
+                    valueCol: String = "n_chars"): DataFrame = {
+    val cnt = docs
+      .groupBy(col(valueCol).cast("long").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val all = cnt.groupBy("v").agg(sum("c").as("c_all"))
+      .withColumn("cum_all", sum("c_all").over(Window.orderBy("v")))
+    val grand = all.agg(sum("c_all").as("n_all"),
+      sum(col("c_all") * col("c_all") * col("c_all") - col("c_all"))
+        .as("ties"))
+    // 2·avgrank(v): ranks are 1-based over the pooled order
+    val rank2 = lit(2L) * (col("cum_all") - col("c_all")) +
+      col("c_all") + lit(1L)
+    val rs = cnt.join(all, Seq("v"))
+      .groupBy("source")
+      .agg(sum("c").as("n_s"), sum(col("c") * rank2).as("r2_s"))
+    val nAll = col("n_all").cast("double")
+    val h = lit(12.0) / (nAll * (nAll + lit(1.0))) * col("_srr") -
+      lit(3.0) * (nAll + lit(1.0))
+    val corr = lit(1.0) - col("ties").cast("double") /
+      (nAll * nAll * nAll - nAll)
+    rs.agg(count(lit(1)).as("k"),
+        sum(col("r2_s").cast("double") * col("r2_s").cast("double") /
+          (lit(4.0) * col("n_s").cast("double"))).as("_srr"))
+      .crossJoin(broadcast(grand))
+      .select(col("k"), col("n_all").as("n"), round(h, 6).as("h"),
+        round(when(corr > 0.0, h / corr), 6).as("h_corrected"))
+  }
+
+  /** Spearman rank correlation between n_chars and whitespace token
+    * count over the corpus — the monotone-association check that
+    * Pearson ([[featureCorr]]) misses under nonlinearity or heavy
+    * tails. Average ranks with ties are carried as exact half-unit
+    * integers (2·rank, same trick as [[kruskalWallis]]) computed on
+    * the per-VALUE count frames, then joined back to the doc features;
+    * ρ is Pearson over the integer rank pairs, affine-invariant so the
+    * 2× scale cancels. Rank sums accumulate as DECIMAL(38,0) — exact
+    * to N ≈ 10¹², where BIGINT Σ(2r)² would overflow past N ≈ 10⁶. */
+  def spearman(docs: DataFrame): DataFrame = {
+    val f = docFeatures(docs).select("nc", "nt")
+    def rank2(colName: String, out: String): DataFrame = {
+      val cnt = f.groupBy(col(colName).as("v")).agg(count(lit(1)).as("c"))
+      cnt.withColumn("cum", sum("c").over(Window.orderBy("v")))
+        .select(col("v").as(colName),
+          (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+            .cast("decimal(18,0)").as(out))
+    }
+    val ranked = f.join(rank2("nc", "rx"), Seq("nc"))
+      .join(rank2("nt", "ry"), Seq("nt"))
+    val a = ranked.agg(count(lit(1)).as("n"),
+      sum("rx").as("sx"), sum("ry").as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: Column) = c.cast("double")
+    a.select(col("n"),
+      round((n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+        .as("rho"))
+  }
 }

@@ -57,7 +57,11 @@ class PlanSpec extends SparkSpec {
         + "the observation window's day count (time domain), not the "
         + "event count"),
       "q_mann_whitney" -> ("pooled cumulative over the distinct-value "
-        + "frame — bounded by the value domain, not the corpus"))
+        + "frame — bounded by the value domain, not the corpus"),
+      "q_kruskal" -> ("pooled rank cumulative over the distinct-value "
+        + "frame — bounded by the value domain, not the corpus"),
+      "q_spearman" -> ("per-feature rank cumulatives over the two "
+        + "distinct-value frames — bounded by the value domains"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

@@ -197,4 +197,91 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rows(3L).getDouble(3) - math.log(2)) < 1e-6)
     assert(rows(3L).getDouble(4) == 1.0)
   }
+
+  test("lexicalProfile: all-hapax vs all-repeat hand values") {
+    val d = docs(
+      (1L, "a b c d", "en", "s0"),     // 4 types, all hapax: K = 0
+      (2L, "x x x x", "en", "s1"))     // 1 type c=4: K = 1e4·12/16 = 7500
+    val rows = Stats.lexicalProfile(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = rows("s0")
+    assert(s0.getLong(1) == 4 && s0.getLong(2) == 4)
+    assert(s0.getDouble(3) == 1.0)              // hapax ratio
+    assert(s0.getDouble(4) == 0.0)              // Yule K
+    assert(s0.getDouble(5) == 0.0)              // Simpson
+    val s1 = rows("s1")
+    assert(s1.getDouble(3) == 0.0)
+    assert(s1.getDouble(4) == 7500.0)
+    assert(s1.getDouble(5) == 1.0)              // always a repeat
+  }
+
+  test("readability: known counts; punctuation-free doc clamps to 1 sentence") {
+    // "go! go now." → w=3, s=2 ([!]+ and [.]+ runs), y=3 (o, o, o[w skips a? 'now'→o]);
+    // wait: vowels groups: "go"→o, "go"→o, "now"→o = 3
+    val d = docs((1L, "go! go now.", "en", "s0"),
+      (2L, "xyz", "en", "s1"))        // no [.!?] → clamped s=1; y: 'y' run = 1
+    val rows = Stats.readability(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = rows("s0")
+    assert(s0.getLong(1) == 3 && s0.getLong(2) == 2 && s0.getLong(3) == 3)
+    assert(s0.getDouble(4) ==
+      math.rint((206.835 - 1.015 * 3.0 / 2.0 - 84.6 * 3.0 / 3.0) * 1e4) / 1e4)
+    val s1 = rows("s1")
+    assert(s1.getLong(2) == 1 && s1.getLong(3) == 1)
+  }
+
+  test("anovaF: separated groups hit the textbook F; equal means → F = 0") {
+    // s0 lengths {1,2,3}, s1 {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5
+    val d = docs(
+      (1L, "a", "en", "s0"), (2L, "ab", "en", "s0"),
+      (3L, "abc", "en", "s0"),
+      (4L, "abcd", "en", "s1"), (5L, "abcde", "en", "s1"),
+      (6L, "abcdef", "en", "s1"))
+    val r = Stats.anovaF(d).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 13.5 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 13.5)
+    // identical groups: between-variance exactly 0
+    val e = docs(
+      (1L, "a", "en", "s0"), (2L, "abc", "en", "s0"),
+      (3L, "a", "en", "s1"), (4L, "abc", "en", "s1"))
+    val re = Stats.anovaF(e).collect()(0)
+    assert(re.getDouble(2) == 0.0 && re.getDouble(4) == 0.0)
+  }
+
+  test("kruskalWallis: no-tie textbook H; all-tied corpus → NULL corrected") {
+    // s0 ranks {1,2,3}, s1 {4,5,6}: H = 12/42·(12+75) − 21 = 27/7
+    val d = docs(
+      (1L, "a", "en", "s0"), (2L, "ab", "en", "s0"),
+      (3L, "abc", "en", "s0"),
+      (4L, "abcd", "en", "s1"), (5L, "abcde", "en", "s1"),
+      (6L, "abcdef", "en", "s1"))
+    val r = Stats.kruskalWallis(d).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 3.857143)         // round(27/7, 6)
+    assert(r.getDouble(3) == 3.857143)         // no ties: corrected = raw
+    // every value tied: correction denominator 0 → NULL corrected
+    val t = docs(
+      (1L, "a", "en", "s0"), (2L, "b", "en", "s1"),
+      (3L, "c", "en", "s0"))
+    val rt = Stats.kruskalWallis(t).collect()(0)
+    assert(rt.getDouble(2) == 0.0 && rt.isNullAt(3))
+  }
+
+  test("spearman: monotone → 1, anti-monotone → −1, ties averaged") {
+    // nonlinear but monotone: nc = 2k−1, nt = k
+    val mono = docs(
+      (1L, "a", "en", "s0"), (2L, "a b", "en", "s0"),
+      (3L, "a b c", "en", "s0"), (4L, "a b c d", "en", "s0"))
+    assert(Stats.spearman(mono).collect()(0).getDouble(1) == 1.0)
+    val anti = docs(
+      (1L, "aaaaaaa", "en", "s0"), (2L, "aaa bb", "en", "s0"),
+      (3L, "a b c", "en", "s0"))
+    assert(Stats.spearman(anti).collect()(0).getDouble(1) == -1.0)
+    // tied blocks in BOTH features rank-average to identical vectors
+    val tied = docs(
+      (1L, "a", "en", "s0"), (2L, "b", "en", "s0"),
+      (3L, "a b", "en", "s0"))
+    assert(Stats.spearman(tied).collect()(0).getDouble(1) == 1.0)
+  }
 }
