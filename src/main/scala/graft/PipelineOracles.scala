@@ -1972,6 +1972,28 @@ FROM ag ORDER BY source"""
 
   /** ACF mirror: same day grid, exact-integer centering (D·c − S), the
     * D² factors cancelling in the ratio. */
+  /** EWMA mirror: identical power-of-two integer kernel, lag terms and
+    * renormalizing weight mass, one final double division. */
+  def ewmaDailySql(w: Int): String = {
+    val terms = (0 until w)
+      .map(k => s"COALESCE(LAG(c, $k) OVER (ORDER BY day), 0) * " +
+        s"${1L << (w - 1 - k)}")
+      .mkString(" + ")
+    s"""WITH dc AS (SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dc),
+grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
+ser AS (SELECT g.day, COALESCE(dc.c, 0) AS c
+  FROM grid g LEFT JOIN dc ON dc.day = g.day),
+lg AS (SELECT day, c, $terms AS s,
+  LEAST(CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT), $w) AS m
+  FROM ser)
+SELECT day, c, ROUND(CAST(s AS DOUBLE) /
+  CAST(${1L << w} - (CAST(1 AS BIGINT) << CAST($w - m AS INT)) AS DOUBLE),
+  6) AS ewma
+FROM lg ORDER BY day"""
+  }
+
   def dailyAcfSql(maxLag: Int): String = {
     val leads = (1 to maxLag)
       .map(k => s"LEAD(c, $k) OVER (ORDER BY day) AS c$k").mkString(", ")

@@ -587,6 +587,8 @@ object SparkEntry {
       Similarity.centroidSim(GraphBuilder.table(s, d, "embeddings"))),
     "q_heaps" -> ((s, d) =>
       pipeline.Stats.heapsFit(GraphBuilder.table(s, d, "documents"))),
+    "q_ewma" -> ((s, d) =>
+      EventStreams.ewmaDaily(EventStreams.eventsTable(s, d))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1118,6 +1120,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_lexical_profile" -> PipelineOracles.lexicalProfileSql,
     "q_readability" -> PipelineOracles.readabilitySql,
     "q_heaps" -> PipelineOracles.heapsFitSql,
+    "q_ewma" -> PipelineOracles.ewmaDailySql(30),
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),

@@ -532,6 +532,41 @@ object EventStreams {
       .orderBy("lag")
   }
 
+  /** EWMA-smoothed daily event volume, α = ½, kernel truncated at
+    * `window` days — the denoised series an on-call dashboard plots
+    * next to [[dailyAnomalies]]' raw z-scores. α = ½ makes every
+    * weight a power of two, so the whole smoother is EXACT integer
+    * arithmetic: S_t = Σ_{k<m} x_{t−k}·2^{w−1−k} (BIGINT) over the
+    * m = min(t+1, w) available lags, normalized by the included
+    * weight mass 2^w − 2^{w−m} — early days renormalize instead of
+    * biasing toward 0, and both engines see bit-identical integers
+    * until the single final division. Same day-grid + time-domain-
+    * bounded ordered window as [[dailyAcf]] (missing days count 0);
+    * nothing scales with the event count past the first count. */
+  def ewmaDaily(events: DataFrame, window: Int = 30): DataFrame = {
+    require(window >= 1 && window <= 62, "ewma window must be in [1,62]")
+    val dc = events
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).cast("long").as("c"))
+    val grid = dc.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val series = grid.join(dc, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val sScaled = (0 until window).map { k =>
+        coalesce(lag("c", k).over(w), lit(0L)) * lit(1L << (window - 1 - k))
+      }.reduce(_ + _)
+    val m = least(row_number().over(w).cast("long"), lit(window.toLong))
+    series
+      .select(col("day"), col("c"), sScaled.as("s"), m.as("m"))
+      .select(col("day"), col("c"),
+        round(col("s").cast("double") /
+          (lit(1L << window) -
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST($window - m AS INT))"))
+            .cast("double"), 6).as("ewma"))
+      .orderBy("day")
+  }
+
   /** Top-k frequent 3-step behavioral paths: each user's event-type
     * sequence (ordered by ts, event_id) mined for consecutive
     * type-trigrams — one step beyond the [[eventTransitions]] bigram

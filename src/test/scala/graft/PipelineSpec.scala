@@ -190,6 +190,37 @@ class PipelineSpec extends SparkSpec {
     assert(g.head.getDouble(1) == -0.416667)
   }
 
+  test("ewmaDaily: hand values, gap fill, and ≡ direct recurrence") {
+    val implicits = spark.implicits
+    import implicits._
+    // counts [4, 8], window 2: day0 renormalizes to 4.0; day1 = 20/3
+    val two = (for (d <- 0 until 2; i <- 0 until (if (d == 0) 4 else 8))
+      yield (d.toLong, i)).toDF("d", "i")
+      .select((col("d") * 86400 + col("i")).cast("timestamp").as("ts"))
+    val r2 = EventStreams.ewmaDaily(two, 2).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r2(0L) == 4.0 && r2(1L) == 6.666667)
+    // day 1 absent → series [3, 0, 6]; window 2 at day2 = 12/3
+    val gap = (for (d <- Seq(0, 2); i <- 0 until (if (d == 0) 3 else 6))
+      yield (d.toLong, i)).toDF("d", "i")
+      .select((col("d") * 86400 + col("i")).cast("timestamp").as("ts"))
+    val rg = EventStreams.ewmaDaily(gap, 2).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(rg(1L) == 1.0 && rg(2L) == 4.0) // day1: s=0·2+3·1=3, mass 3
+    // window ≥ series length ≡ renormalized infinite-kernel EWMA
+    val cnts = Vector(5L, 2L, 9L, 1L, 7L, 7L, 3L, 8L, 4L, 6L)
+    val long = (for ((c, d) <- cnts.zipWithIndex; i <- 0L until c)
+      yield (d.toLong, i)).toDF("d", "i")
+      .select((col("d") * 86400 + col("i")).cast("timestamp").as("ts"))
+    val rl = EventStreams.ewmaDaily(long, 30).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    for (t <- cnts.indices) {
+      val num = (0 to t).map(k => cnts(t - k) * math.pow(0.5, k + 1)).sum
+      val exp = num / (1.0 - math.pow(0.5, t + 1))
+      assert(math.abs(rl(t.toLong) - exp) < 1e-6, s"day $t")
+    }
+  }
+
   test("cusum closed form ≡ direct recurrence on 10 seeded random series") {
     val implicits = spark.implicits
     import implicits._

@@ -60,6 +60,8 @@ class PlanSpec extends SparkSpec {
         + "frame — bounded by the value domain, not the corpus"),
       "q_kruskal" -> ("pooled rank cumulative over the distinct-value "
         + "frame — bounded by the value domain, not the corpus"),
+      "q_ewma" -> ("lag kernel over the daily-count series — bounded "
+        + "by the observation window's day count, not the event count"),
       "q_spearman" -> ("per-feature rank cumulatives over the two "
         + "distinct-value frames — bounded by the value domains"))
     SparkEntry.queries.foreach { case (name, fn) =>
