@@ -2034,6 +2034,39 @@ SELECT doc_id, n_toks, n_types,
     ln(CAST(n_types AS DOUBLE)) END, 6) AS h_norm
 FROM ag"""
 
+  /** Naive-Bayes confusion mirror: same folded smoothing (absent
+    * tokens collapse into the T_d·ln(N_c+V) term), same 6dp-then-
+    * argmax tiebreak on class name. */
+  val naiveBayesSql: String =
+    """WITH tk AS (SELECT doc_id, source, t
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+dt AS (SELECT doc_id, t, COUNT(*) AS n_dt FROM tk GROUP BY 1, 2),
+ct AS (SELECT source AS cls, t, COUNT(*) AS c_tc FROM tk GROUP BY 1, 2),
+vb AS (SELECT COUNT(DISTINCT t) AS v FROM ct),
+cs AS (SELECT cls, SUM(c_tc) AS n_c FROM ct GROUP BY 1),
+pr AS (SELECT source AS cls, COUNT(*) AS d_c FROM documents GROUP BY 1),
+dtot AS (SELECT COUNT(*) AS d FROM documents),
+csx AS (SELECT cs.cls,
+  ln(CAST(d_c AS DOUBLE)) - ln(CAST(d AS DOUBLE)) AS lp,
+  ln(CAST(n_c + v AS DOUBLE)) AS lnv
+  FROM cs JOIN pr USING (cls) CROSS JOIN vb CROSS JOIN dtot),
+pa AS (SELECT doc_id, cls,
+  SUM(CAST(n_dt AS DOUBLE) * ln(CAST(c_tc + 1 AS DOUBLE))) AS part
+  FROM dt JOIN ct USING (t) GROUP BY 1, 2),
+ds AS (SELECT doc_id, MIN(source) AS actual, COUNT(*) AS t_d
+  FROM tk GROUP BY 1),
+sc AS (SELECT ds.doc_id, ds.actual, csx.cls,
+  ROUND(lp - CAST(t_d AS DOUBLE) * lnv + COALESCE(part, 0.0), 6) AS score
+  FROM ds CROSS JOIN csx
+  LEFT JOIN pa ON pa.doc_id = ds.doc_id AND pa.cls = csx.cls),
+pick AS (SELECT doc_id, actual, cls,
+  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC)
+    AS rk FROM sc)
+SELECT actual, cls AS predicted, COUNT(*) AS n_docs
+FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Lexical-profile mirror: identical BIGINT sufficient statistics
     * per source, closed forms term for term. */
   val lexicalProfileSql: String =

@@ -581,6 +581,9 @@ object SparkEntry {
       pipeline.Stats.spearman(GraphBuilder.table(s, d, "documents"))),
     "q_lexical_profile" -> ((s, d) =>
       pipeline.Stats.lexicalProfile(GraphBuilder.table(s, d, "documents"))),
+    "q_naive_bayes" -> ((s, d) =>
+      pipeline.Classify.naiveBayesConfusion(
+        GraphBuilder.table(s, d, "documents"))),
     "q_readability" -> ((s, d) =>
       pipeline.Stats.readability(GraphBuilder.table(s, d, "documents"))),
     "q_centroid_sim" -> ((s, d) =>
@@ -1118,6 +1121,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_kruskal" -> PipelineOracles.kruskalWallisSql,
     "q_spearman" -> PipelineOracles.spearmanSql,
     "q_lexical_profile" -> PipelineOracles.lexicalProfileSql,
+    "q_naive_bayes" -> PipelineOracles.naiveBayesSql,
     "q_readability" -> PipelineOracles.readabilitySql,
     "q_heaps" -> PipelineOracles.heapsFitSql,
     "q_ewma" -> PipelineOracles.ewmaDailySql(30),

@@ -230,6 +230,24 @@ class StatsSpec extends SparkSpec {
     assert(s1.getLong(2) == 1 && s1.getLong(3) == 1)
   }
 
+  test("naiveBayes: separable sources go diagonal; exact tie breaks to min class") {
+    // Corpus symmetric under a↔c, b↔d, s0↔s1 — so both probe docs
+    // ("a c" and "c a") score IDENTICALLY under the two classes
+    // (ln5+ln2 vs ln2+ln5, same prior, same N_c+V) → tiebreak
+    // predicts the alphabetically-first class s0 for both.
+    val d = docs(
+      (1L, "a a b", "en", "s0"), (2L, "a b", "en", "s0"),
+      (3L, "a c", "en", "s0"),
+      (4L, "c c d", "en", "s1"), (5L, "c d", "en", "s1"),
+      (6L, "c a", "en", "s1"))
+    val m = graft.pipeline.Classify.naiveBayesConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m((("s0", "s0"))) == 3L)   // incl. the tied probe
+    assert(m((("s1", "s1"))) == 2L)
+    assert(m((("s1", "s0"))) == 1L)   // the other tied probe
+    assert(m.values.sum == 6L)
+  }
+
   test("anovaF: separated groups hit the textbook F; equal means → F = 0") {
     // s0 lengths {1,2,3}, s1 {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5
     val d = docs(
