@@ -2034,6 +2034,23 @@ SELECT doc_id, n_toks, n_types,
     ln(CAST(n_types AS DOUBLE)) END, 6) AS h_norm
 FROM ag"""
 
+  /** Jaro–Winkler linkage mirror: DuckDB's jaro_winkler_similarity IS
+    * the pinned semantics (graft.sql.JaroWinklerAlgo mirrors it);
+    * same blocking, same round-then-gate. */
+  def jaroMatchSql(minSim: Double, maxDf: Long): String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part
+  WHERE p_name IS NOT NULL),
+bl AS (SELECT DISTINCT name, w
+  FROM (SELECT name, unnest(string_split(name, ' ')) AS w FROM n)
+  WHERE w <> ''),
+kept AS (SELECT bl.name, bl.w FROM bl
+  JOIN (SELECT w, COUNT(*) AS df FROM bl GROUP BY 1) d
+    ON d.w = bl.w AND d.df <= $maxDf),
+pairs AS (SELECT DISTINCT x.name AS a, y.name AS b
+  FROM kept x JOIN kept y ON x.w = y.w AND x.name < y.name)
+SELECT a, b, ROUND(jaro_winkler_similarity(a, b), 6) AS jw
+FROM pairs WHERE ROUND(jaro_winkler_similarity(a, b), 6) >= $minSim"""
+
   /** Naive-Bayes confusion mirror: same folded smoothing (absent
     * tokens collapse into the T_d·ln(N_c+V) term), same 6dp-then-
     * argmax tiebreak on class name. */

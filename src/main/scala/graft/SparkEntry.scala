@@ -584,6 +584,8 @@ object SparkEntry {
     "q_naive_bayes" -> ((s, d) =>
       pipeline.Classify.naiveBayesConfusion(
         GraphBuilder.table(s, d, "documents"))),
+    "q_jaro_match" -> ((s, d) =>
+      pipeline.Dedup.jaroMatch(GraphBuilder.table(s, d, "part"), "p_name")),
     "q_readability" -> ((s, d) =>
       pipeline.Stats.readability(GraphBuilder.table(s, d, "documents"))),
     "q_centroid_sim" -> ((s, d) =>
@@ -1122,6 +1124,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_spearman" -> PipelineOracles.spearmanSql,
     "q_lexical_profile" -> PipelineOracles.lexicalProfileSql,
     "q_naive_bayes" -> PipelineOracles.naiveBayesSql,
+    "q_jaro_match" -> PipelineOracles.jaroMatchSql(0.8, 1000L),
     "q_readability" -> PipelineOracles.readabilitySql,
     "q_heaps" -> PipelineOracles.heapsFitSql,
     "q_ewma" -> PipelineOracles.ewmaDailySql(30),

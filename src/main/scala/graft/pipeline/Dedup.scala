@@ -344,6 +344,38 @@ object Dedup {
         levenshtein(col("a"), col("b")).cast("long").as("dist"))
   }
 
+  /** Jaro–Winkler record linkage over a name column — the prefix-
+    * weighted complement of [[fuzzyMatch]]'s edit distance (entity
+    * names diverge at the tail far more often than at the head;
+    * Winkler 1990). Same shared-token blocking with the df cap (hot
+    * blocking tokens are pruned, never exploded — the 100 TB guard),
+    * scored by the native [[graft.sql.JaroWinkler]] expression so the
+    * pair loop stays inside whole-stage codegen. The similarity is
+    * rounded to 6dp BEFORE the threshold filter so both engines gate
+    * on the identical value. */
+  def jaroMatch(names: DataFrame, nameCol: String, minSim: Double = 0.8,
+                maxDf: Long = 1000L): DataFrame = {
+    require(minSim > 0.0 && minSim < 1.0, "jaroMatch needs 0 < minSim < 1")
+    names.sparkSession match { case s => graft.sql.JaroWinkler.register(s) }
+    val n = names.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val blocks = n.select(col("name"),
+        explode(split(col("name"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val kept = blocks.join(
+      blocks.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      Seq("w"))
+    kept.select(col("w"), col("name").as("a"))
+      .join(kept.select(col("w"), col("name").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .select(col("a"), col("b"),
+        round(call_function("jaro_winkler", col("a"), col("b")), 6)
+          .as("jw"))
+      .filter(col("jw") >= minSim)
+  }
+
   /** Lexical×semantic agreement audit: the embedding-cosine decile
     * histogram of the lexical (minhash) candidate pairs — the dashboard
     * that catches a dedup config gone wrong (lexical dups scoring as

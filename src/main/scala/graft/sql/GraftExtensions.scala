@@ -30,5 +30,9 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ArraySortedIntersectCount.info,
       (children: Seq[Expression]) =>
         ArraySortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      JaroWinkler.info,
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
   }
 }

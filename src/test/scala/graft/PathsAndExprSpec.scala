@@ -59,6 +59,42 @@ class PathsAndExprSpec extends SparkSpec {
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("jaro_winkler: literature values, boundary boost, codegen, nulls") {
+    graft.sql.JaroWinkler.register(spark)
+    val implicits = spark.implicits
+    import implicits._
+    // (a, b, expected) — Winkler's own test pairs + the pinned
+    // DuckDB edge semantics (empty-empty → 0; boost fires at j = 0.7)
+    val cases = Seq(
+      ("martha", "marhta", 0.961111),
+      ("dwayne", "duane", 0.84),
+      ("dixon", "dicksonx", 0.813333),
+      ("abcUVW", "abcDE", 0.79),       // j = 0.7 exactly: boost applies
+      ("aXXXXXX", "aYYYYYY", 0.428571), // j < 0.7: NO prefix boost
+      ("crane", "trace", 0.733333),     // j > 0.7 but prefix 0
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0))
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(
+        round(call_function("jaro_winkler", col("a"), col("b")), 6))
+      .collect().map(_.getDouble(0))
+    cases.map(_._3).zip(got).foreach { case (exp, g) =>
+      assert(g == exp, s"expected $exp got $g")
+    }
+    // whole-stage codegen: the scorer must not break the Project span
+    // (a literal toDF folds to LocalTableScan, so plan over parquet)
+    val part = GraphBuilder.table(spark, sfDir, "part")
+    val plan = part
+      .select(call_function("jaro_winkler", col("p_name"), col("p_brand")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(500))
+    val withNull = df.limit(1).select(
+      call_function("jaro_winkler", lit(null).cast("string"), col("b")))
+    assert(withNull.head.isNullAt(0))
+  }
+
   test("array_cosine edge cases: zero norm and nulls") {
     ArrayCosine.register(spark)
     val implicits = spark.implicits
