@@ -532,6 +532,65 @@ object EventStreams {
       .orderBy("lag")
   }
 
+  /** Stationary distribution of the [[eventTransitions]] Markov chain
+    * — where user behavior settles in the long run: the one-vector
+    * summary that turns the transition matrix into "P(user is doing X
+    * at steady state)", the standard prior for session simulation and
+    * anomaly baselines. Fixed `iterations` power steps from uniform;
+    * types with NO outgoing transition (only ever a session's last
+    * event) redistribute their mass uniformly — the PageRank dangling
+    * convention, keeping Σπ = 1 exactly.
+    *
+    * Scale: the corpus-sized work is the one per-user LEAD window +
+    * (from, to) count shuffle. The matrix itself is |types|² — bounded
+    * by the TYPE DOMAIN, corpus-independent — so the iteration runs on
+    * the driver over the collected matrix (the BPE-merge-table class
+    * of driver-sized model artifact; a distributed |types|-row
+    * fixpoint would be pure scheduler floor, cf. Tuning's gate note). */
+  def stationaryDist(events: DataFrame, iterations: Int = 20): DataFrame = {
+    require(iterations >= 1, "stationaryDist needs >= 1 iteration")
+    val spark = events.sparkSession
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val cnt = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nt", lead("event_type", 1).over(byUser))
+      .filter(col("nt").isNotNull)
+      .groupBy(col("event_type").as("f"), col("nt").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val types = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = types.length
+    val ix = types.zipWithIndex.toMap
+    val rowTot = new Array[Long](k)
+    cnt.foreach { case ((f, _), n) => rowTot(ix(f)) += n }
+    // p(i)(j) only for rows with outgoing mass; others are dangling
+    val p = Array.fill(k, k)(0.0)
+    cnt.foreach { case ((f, t), n) =>
+      p(ix(f))(ix(t)) = n.toDouble / rowTot(ix(f)).toDouble
+    }
+    var x = Array.fill(k)(1.0 / k.toDouble)
+    for (_ <- 1 to iterations) {
+      val acc = new Array[Double](k)
+      var dang = 0.0
+      var i = 0
+      while (i < k) {
+        if (rowTot(i) == 0L) dang += x(i)
+        else {
+          var j = 0
+          while (j < k) { acc(j) += x(i) * p(i)(j); j += 1 }
+        }
+        i += 1
+      }
+      x = acc.map(_ + dang / k.toDouble)
+    }
+    import spark.implicits._
+    types.zip(x).map { case (t, v) => (t, math.rint(v * 1e6) / 1e6) }
+      .toSeq.toDF("event_type", "pi")
+  }
+
   /** EWMA-smoothed daily event volume, α = ½, kernel truncated at
     * `window` days — the denoised series an on-call dashboard plots
     * next to [[dailyAnomalies]]' raw z-scores. α = ½ makes every
