@@ -3,21 +3,47 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Frozen control-query rows (BASELINE.md comparison rule): these are
-    * build-free point lookups, so a clean run lands within noise of
-    * them — disagreement means the machine was co-tenant and the WHOLE
-    * run must be discarded, not explained away. Update only when a new
-    * BASELINE table is frozen. */
+  /** Frozen control-query rows (BASELINE.md comparison rule). Two
+    * tiers, both checked by the same rule:
+    *  - SCAN controls: build-free point lookups (sensitive to gross
+    *    slowdowns but NOT to the co-tenant mode that crushes
+    *    multi-stage jobs — all seven sat at ~1.2× in the round-9
+    *    contended artifact while heavy rows ran 9–23× over);
+    *  - SHUFFLE controls: multi-stage shuffle-heavy rows whose
+    *    inflation IS the co-tenant signature (CPU steal shows up in
+    *    stage barriers and shuffle spills long before it shows in a
+    *    0.1 s scan).
+    * Disagreement on EITHER tier means the machine was co-tenant and
+    * the WHOLE run must be discarded, not explained away. Update only
+    * when a new BASELINE table is frozen. */
   val frozenControls: Map[String, Double] = Map(
+    // scan tier
     "q_count" -> 0.13, "q_label_scan" -> 0.05, "q_prop_eq" -> 0.06,
     "q_prop_gt" -> 0.05, "q_sum_avg" -> 0.11, "q_stats" -> 0.12,
-    "q_order_page" -> 0.08)
+    "q_order_page" -> 0.08,
+    // shuffle tier (judge-confirmed idle-host values, round-9 table)
+    "build:minhash_pairs" -> 3.07, "q_anf" -> 6.58,
+    "q_training_mix" -> 2.23)
 
   /** A control agrees when measured ≤ 2× frozen + 0.1 s (the ~2× rule
     * with an absolute floor so 50 ms rows aren't flagged by scheduler
     * jitter). */
   def controlOk(measured: Double, frozen: Double): Boolean =
     measured <= frozen * 2.0 + 0.1
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  final case class Row(name: String, sec: Double, gcMs: Long, cpuSec: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,14 +85,21 @@ object Bench {
         "queries — totals are NOT comparable to full-suite runs")
       names
     }
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Row = {
+      val gc0 = gcMillis(); val cpu0 = processCpuNanos()
       val t0 = System.nanoTime()
       // Force every projected expression to execute: a count() would let
       // Catalyst prune the projection (map-only queries would be measured
       // as scan+count). toRdd.foreach evaluates each output row fully.
       try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cpu1 = processCpuNanos()
+      // Per-row JVM GC-time and process-CPU deltas: a co-tenant row is
+      // diagnosable post hoc as wall ≫ cpu/cores with flat GC (CPU
+      // steal), where a genuinely heavy row shows cpu ≈ wall·cores.
+      Row(name, sec, gcMillis() - gc0,
+        if (cpu0 < 0 || cpu1 < 0) -1.0 else (cpu1 - cpu0) / 1e9)
     }
     // Shared derived-frame builds as explicit build:* pseudo-rows —
     // each cache is materialized (and persisted) HERE, so consumer
@@ -82,11 +115,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) => timed(name, fn) }
-    val resultMap = results.toMap
-    // Self-validation: compare the untouched control queries against
-    // the frozen BASELINE rows and SAY whether this artifact is a valid
-    // measurement — BENCH_r05.json shipped co-tenant numbers that only
-    // a forensic rerun caught.
+    val all = builds ++ results
+    val resultMap = all.map(r => r.name -> r.sec).toMap
+    // Self-validation: compare the untouched control queries (scan AND
+    // shuffle tiers) against the frozen BASELINE rows and SAY whether
+    // this artifact is a valid measurement — BENCH_r05.json shipped
+    // co-tenant numbers only a forensic rerun caught, and BENCH_r09
+    // passed the scan-only rule while shuffle-heavy rows ran 9–23×
+    // over (scan controls are insensitive to multi-stage contention).
     val haveAll = frozenControls.keySet.subsetOf(resultMap.keySet)
     val ratios = frozenControls.toSeq.sorted.collect {
       case (q, frozen) if resultMap.contains(q) =>
@@ -99,13 +135,18 @@ object Bench {
     if (controlsOk == "false")
       System.err.println("BENCH CONTROLS FAILED: control queries disagree with " +
         "the frozen BASELINE rows — this run is co-tenant; re-measure, do not compare")
-    val qs = (builds ++ results).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = all.map(r => s"\"" + r.name + "\":" + r.sec)
+      .mkString("{", ",", "}")
+    val gcs = all.map(r => s"\"" + r.name + "\":" + r.gcMs)
+      .mkString("{", ",", "}")
+    val cpu = all.map(r => s"\"" + r.name + "\":" + r.cpuSec)
       .mkString("{", ",", "}")
     val ctl = ratios.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = (builds ++ results).map(_._2).sum
+    val total = all.map(_.sec).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""controls_ok":$controlsOk,"control_ratios":$ctl,"sf":"$sfDir"}"""
+      s""""controls_ok":$controlsOk,"control_ratios":$ctl,""" +
+      s""""gc_ms":$gcs,"cpu_sec":$cpu,"sf":"$sfDir"}"""
     println(json)
     // Also persist the artifact: the driver captures only a bounded tail
     // of stdout, which truncated the one-line JSON mid-map two rounds

@@ -831,10 +831,10 @@ n$k AS (SELECT CAST($k AS BIGINT) AS r,
   def katzSql(iters: Int, alpha: Double): String = {
     val sb = new StringBuilder(s"WITH ${DerivedGraphs.tradeTopSql()}")
     sb ++= s", tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation)"
-    sb ++= ", x0 AS (SELECT id, 1.0 AS x FROM tn)"
+    sb ++= ", x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM tn)"
     for (i <- 1 to iters) {
       sb ++= s""", x$i AS MATERIALIZED (
-  SELECT tn.id, 1.0 + $alpha * COALESCE(s.v, 0.0) AS x
+  SELECT tn.id, 1.0 + CAST($alpha AS DOUBLE) * COALESCE(s.v, 0.0) AS x
   FROM tn LEFT JOIN (
     SELECT e.dst AS id, SUM(p.x) AS v
     FROM ttedges e JOIN x${i - 1} p ON p.id = e.src GROUP BY e.dst) s

@@ -1451,7 +1451,7 @@ s AS (SELECT etype, hr, cnt, n, tot,
 SELECT etype AS event_type, hr, cnt,
   ROUND(su / (2 * n), 6) AS s_up,
   ROUND(sd / (2 * n), 6) AS s_down,
-  CAST(su > $h2 * tot OR sd > $h2 * tot AS INT) AS alarm
+  CAST(su > $h2 * tot OR sd > $h2 * tot AS BIGINT) AS alarm
 FROM s ORDER BY event_type, hr"""
 
   /** Online-CUSUM mirror: fixed μ0 reference, so the scaled drifts are
@@ -1477,7 +1477,7 @@ s AS (SELECT etype, hr, cnt,
 SELECT etype AS event_type, hr, cnt,
   ROUND(su / 2, 6) AS s_up,
   ROUND(sd / 2, 6) AS s_down,
-  CAST(su > ${h2 * mu0} OR sd > ${h2 * mu0} AS INT) AS alarm
+  CAST(su > ${h2 * mu0} OR sd > ${h2 * mu0} AS BIGINT) AS alarm
 FROM s ORDER BY event_type, hr"""
 
   /** Type-drift mirror: same epoch-day counts, same p·ln(p/q) fold. */
@@ -1817,7 +1817,8 @@ FROM agg"""
     round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS VARCHAR),
     1, 1) AS BIGINT) AS digit
   FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0.0),
-g AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1),
+g AS (SELECT digit, COUNT(*) AS cnt FROM d
+  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
 nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM g)
 SELECT digit, cnt,
   ROUND(CAST(cnt AS DOUBLE) / n, 6) AS freq,
@@ -1868,7 +1869,7 @@ cum AS (SELECT g.v, g.source, COALESCE(c.c, 0) AS c,
 ca AS (SELECT v, SUM(cum) AS cum_all FROM cum GROUP BY 1),
 ts AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
 nn AS (SELECT SUM(c) AS n_all FROM cnt)
-SELECT cum.source, ANY_VALUE(ts.n_s) AS n_s,
+SELECT cum.source, CAST(ANY_VALUE(ts.n_s) AS BIGINT) AS n_s,
   ROUND(MAX(abs(CAST(cum.cum AS DOUBLE) / ts.n_s -
     CAST(ca.cum_all - cum.cum AS DOUBLE) / (nn.n_all - ts.n_s))), 6)
     AS d_stat
@@ -1890,7 +1891,7 @@ gr AS (SELECT SUM(c_all) AS n_all,
 u AS (SELECT source,
   SUM(c * (2 * ((cum_all - c_all) - (cum_s - c)) + (c_all - c))) AS u2
   FROM cs JOIN alc USING (v) GROUP BY 1)
-SELECT u.source, ts.n_s,
+SELECT u.source, CAST(ts.n_s AS BIGINT) AS n_s,
   ROUND(CAST(u2 AS DOUBLE) / 2.0, 6) AS u,
   ROUND(CASE WHEN sqrt(CAST(ts.n_s AS DOUBLE) *
       CAST(gr.n_all - ts.n_s AS DOUBLE) / 12.0 *
@@ -2027,7 +2028,7 @@ tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
 ag AS (SELECT doc_id, SUM(c) AS n_toks, COUNT(*) AS n_types,
   SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
   FROM tc GROUP BY 1)
-SELECT doc_id, n_toks, n_types,
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, n_types,
   ROUND(ln(CAST(n_toks AS DOUBLE)) - slc / CAST(n_toks AS DOUBLE), 6) AS h,
   ROUND(CASE WHEN n_types > 1 THEN
     (ln(CAST(n_toks AS DOUBLE)) - slc / CAST(n_toks AS DOUBLE)) /
@@ -2072,8 +2073,9 @@ csx AS (SELECT cs.cls,
 pa AS (SELECT doc_id, cls,
   SUM(CAST(n_dt AS DOUBLE) * ln(CAST(c_tc + 1 AS DOUBLE))) AS part
   FROM dt JOIN ct USING (t) GROUP BY 1, 2),
-ds AS (SELECT doc_id, MIN(source) AS actual, COUNT(*) AS t_d
-  FROM tk GROUP BY 1),
+ds AS (SELECT doc_id, source AS actual,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS t_d
+  FROM documents),
 sc AS (SELECT ds.doc_id, ds.actual, csx.cls,
   ROUND(lp - CAST(t_d AS DOUBLE) * lnv + COALESCE(part, 0.0), 6) AS score
   FROM ds CROSS JOIN csx
@@ -2094,7 +2096,7 @@ st AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
 ag AS (SELECT source, SUM(c) AS n_toks, COUNT(*) AS n_types,
   SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
   SUM(c * c) AS scc FROM st GROUP BY 1)
-SELECT source, n_toks, n_types,
+SELECT source, CAST(n_toks AS BIGINT) AS n_toks, n_types,
   ROUND(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio,
   ROUND(1e4 * CAST(scc - n_toks AS DOUBLE) /
     (CAST(n_toks AS DOUBLE) * CAST(n_toks AS DOUBLE)), 6) AS yule_k,
@@ -2113,7 +2115,9 @@ FROM ag ORDER BY source"""
   FROM documents),
 ag AS (SELECT source, SUM(w) AS words, SUM(s) AS sentences,
   SUM(y) AS syllables FROM per GROUP BY 1)
-SELECT source, words, sentences, syllables,
+SELECT source, CAST(words AS BIGINT) AS words,
+  CAST(sentences AS BIGINT) AS sentences,
+  CAST(syllables AS BIGINT) AS syllables,
   ROUND(206.835 - 1.015 * CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)
     - 84.6 * CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4) AS flesch
 FROM ag ORDER BY source"""
@@ -2129,7 +2133,7 @@ a AS (SELECT COUNT(*) AS k, SUM(n_s) AS n, SUM(sx_s) AS sx,
   SUM(sxx_s) AS sxx,
   SUM(CAST(sx_s AS DOUBLE) * CAST(sx_s AS DOUBLE) /
     CAST(n_s AS DOUBLE)) AS sb FROM s)
-SELECT k, n,
+SELECT k, CAST(n AS BIGINT) AS n,
   ROUND(sb - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
     CAST(n AS DOUBLE), 4) AS ss_between,
   ROUND(CAST(sxx AS DOUBLE) - sb, 4) AS ss_within,
@@ -2154,7 +2158,7 @@ rs AS (SELECT source, SUM(c) AS n_s,
 ag AS (SELECT COUNT(*) AS k,
   SUM(CAST(r2_s AS DOUBLE) * CAST(r2_s AS DOUBLE) /
     (4.0 * CAST(n_s AS DOUBLE))) AS srr FROM rs)
-SELECT k, n_all AS n,
+SELECT k, CAST(n_all AS BIGINT) AS n,
   ROUND(12.0 / (CAST(n_all AS DOUBLE) * (CAST(n_all AS DOUBLE) + 1.0))
     * srr - 3.0 * (CAST(n_all AS DOUBLE) + 1.0), 6) AS h,
   ROUND(CASE WHEN 1.0 - CAST(ties AS DOUBLE) /

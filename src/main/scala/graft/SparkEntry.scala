@@ -955,7 +955,8 @@ top AS (SELECT CAST(degree AS BIGINT) AS deg FROM deg WHERE degree > 0
   ORDER BY deg DESC LIMIT 51),
 m AS (SELECT MIN(deg) AS dmin, CAST(COUNT(*) AS BIGINT) AS m FROM top)
 SELECT CAST(m.m - 1 AS BIGINT) AS k_used, CAST(m.dmin AS BIGINT) AS xmin,
- ROUND((m.m - 1) / SUM(ln(deg / m.dmin)), 6) AS alpha
+ ROUND(CASE WHEN SUM(ln(deg / m.dmin)) > 0.0
+   THEN (m.m - 1) / SUM(ln(deg / m.dmin)) END, 6) AS alpha
 FROM top, m GROUP BY m.dmin, m.m"""),
     "q_label_scan" ->
       "SELECT 300000000000000 + c_custkey AS id, c_name AS name, c_mktsegment AS mktsegment FROM customer",

@@ -160,7 +160,11 @@ object Structure {
       .agg(sum(log(col("deg").cast("double") / col("dmin"))).as("lsum"))
       .select((col("m") - 1).cast("long").as("k_used"),
         col("dmin").cast("long").as("xmin"),
-        round((col("m") - 1).cast("double") / col("lsum"), 6).as("alpha"))
+        // degenerate tail (all top-(k+1) degrees equal ⇒ lsum = 0,
+        // e.g. a regular graph): NULL, matching the linReg/welchT/
+        // anovaF NULL-on-degenerate convention — never Infinity
+        round(when(col("lsum") > 0.0,
+          (col("m") - 1).cast("double") / col("lsum")), 6).as("alpha"))
   }
 
   def assortativity(pedges: DataFrame): DataFrame = {

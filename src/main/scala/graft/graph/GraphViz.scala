@@ -32,6 +32,18 @@ object GraphViz {
                                 nodeSpacing: Double = 50.0,
                                 layerSpacing: Double = 100.0)
 
+  /** Induce edges against the capped node-id frame BEFORE collecting:
+    * two broadcast semi-joins on the ≤maxNodes id set, so only the
+    * induced edge rows ever cross to the driver — the full edge table
+    * stays distributed no matter how large the graph is. */
+  private def inducedEdges(edges: DataFrame, cappedIds: DataFrame): DataFrame = {
+    val ids = broadcast(cappedIds.select(col("id").cast("long").as("id")))
+    edges
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(edges.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Circle layout (`layout.rs` CircleLayout::apply): nodes on a ring
     * of radius spacing·n/2π around the canvas center, angle
     * 2πi/n in id order (the reference uses Vec order — id order is the
@@ -95,12 +107,13 @@ object GraphViz {
                   iterations: Int = 50, repulsion: Double = 10000.0,
                   springLength: Double = 100.0, springK: Double = 0.1,
                   cfg: LayoutConfig = LayoutConfig()): Seq[(Long, Double, Double)] = {
-    val ids = nodes.select(col("id").cast("long")).distinct()
-      .orderBy("id").limit(maxNodes).collect().map(_.getLong(0))
-    val idSet = ids.toSet
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val capped = nodes.select(col("id").cast("long").as("id")).distinct()
+      .orderBy("id").limit(maxNodes).localCheckpoint()
+    val ids = capped.collect().map(_.getLong(0))
+    val es = inducedEdges(
+        edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")), capped)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .filter { case (a, b) => idSet(a) && idSet(b) }
     val n = ids.length
     if (n == 0) return Seq.empty
     // hash-seeded start inside the middle 60% of the canvas
@@ -181,14 +194,15 @@ object GraphViz {
     * deterministic output. Caps + induces before collecting. */
   def toDot(nodes: DataFrame, edges: DataFrame, maxNodes: Int = 1000,
             title: Option[String] = None): String = {
-    val ns = nodes.select(col("id").cast("long"),
+    val capped = nodes.select(col("id").cast("long").as("id"),
         coalesce(col("name"), col("id").cast("string")).as("label"))
-      .orderBy("id").limit(maxNodes).collect()
-    val idSet = ns.map(_.getLong(0)).toSet
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"),
-        coalesce(col("rel_type"), lit("")).as("rel"))
+      .orderBy("id").limit(maxNodes).localCheckpoint()
+    val ns = capped.collect()
+    val es = inducedEdges(
+        edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"),
+          coalesce(col("rel_type"), lit("")).as("rel")), capped)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-      .filter { case (a, b, _) => idSet(a) && idSet(b) }
       .sortBy { case (a, b, rel) => (a, b, rel) }
     val sb = new StringBuilder
     sb ++= "digraph G {\n"
@@ -213,14 +227,15 @@ object GraphViz {
     * `data.source`/`data.target`/`data.rel`, id-ordered. */
   def toCytoscapeJson(nodes: DataFrame, edges: DataFrame,
                       maxNodes: Int = 1000): String = {
-    val ns = nodes.select(col("id").cast("long"),
+    val capped = nodes.select(col("id").cast("long").as("id"),
         coalesce(col("name"), col("id").cast("string")).as("label"))
-      .orderBy("id").limit(maxNodes).collect()
-    val idSet = ns.map(_.getLong(0)).toSet
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"),
-        coalesce(col("rel_type"), lit("")).as("rel"))
+      .orderBy("id").limit(maxNodes).localCheckpoint()
+    val ns = capped.collect()
+    val es = inducedEdges(
+        edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"),
+          coalesce(col("rel_type"), lit("")).as("rel")), capped)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-      .filter { case (a, b, _) => idSet(a) && idSet(b) }
       .sortBy { case (a, b, rel) => (a, b, rel) }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -54,8 +54,12 @@ object Classify {
       .groupBy("doc_id", "cls")
       .agg(sum(col("n_dt").cast("double") *
         log((col("c_tc") + lit(1L)).cast("double"))).as("part"))
-    val docSide = toks.groupBy("doc_id")
-      .agg(first("source").as("actual"), count(lit(1)).as("t_d"))
+    // doc side comes from docs DIRECTLY (t_d = 0 for empty/whitespace-
+    // only text), not from the exploded token stream — token-less
+    // documents still get a prediction (prior-only argmax), so the
+    // confusion-matrix row totals sum to the corpus doc count
+    val docSide = docs.select(col("doc_id"), col("source").as("actual"),
+      regexp_count(col("text"), lit("[^ ]+")).cast("long").as("t_d"))
     val classSide = broadcast(
       classStats.join(priors, Seq("cls")).crossJoin(broadcast(dTot))
         .select(col("cls"),

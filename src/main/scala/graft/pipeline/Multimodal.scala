@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * computed from the actual PCM stream — and so is VIDEO container
   * metadata: MP4/ISO-BMFF moov parsing (`decodeVideoMeta`, pure byte
   * arithmetic) yields real dimensions, frame counts, timescale and
-  * duration; only frame PIXEL decode has no JDK codec. Payloads no
-  * parser accepts (arbitrary bytes, non-BMFF video) fall back to
+  * duration — and VIDEO frame PIXELS are real for MJPEG (each frame a
+  * complete JPEG): AVI/RIFF `movi` chunks and BMFF stsz/stsc/stco
+  * sample tables are walked and every frame decoded through the same
+  * ImageIO path as still images (`videoFrames`, `videoThumbnails`).
+  * Only non-MJPEG codecs (H.264 etc.) have no JDK decoder. Payloads no
+  * parser accepts (arbitrary bytes, non-BMFF/AVI video) fall back to
   * `decodeStub` — a deterministic fake derived from the bytes, kept so
   * the pipeline shape is exercisable on synthetic payloads; swap it
   * for a media library (javacv etc.) without touching the surrounding
@@ -207,12 +211,145 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  // ---- MJPEG frame-PIXEL decode (real, no external codec): each MJPEG
+  // frame is a complete JPEG, which ImageIO decodes — so AVI/RIFF
+  // ('00dc' movi chunks) and BMFF (stsz/stsc/stco sample table) MJPEG
+  // video gets REAL pixels through the same JDK path as still images.
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def isJpeg(b: Array[Byte], off: Int, len: Int): Boolean =
+    len >= 2 && (b(off) & 0xff) == 0xff && (b(off + 1) & 0xff) == 0xd8
+
+  /** RIFF/AVI walk: video-stream chunks (`##dc`/`##db`, inside any
+    * LIST — `movi` in practice) whose payload starts with the JPEG SOI
+    * marker, in file order. Chunks are word-aligned (odd sizes pad one
+    * byte). Stops at the first malformed header like [[boxes]]. */
+  private[pipeline] def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var at = start
+      var ok = true
+      while (ok && at + 8 <= end) {
+        val id = new String(bytes, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val size = le32(bytes, at + 4)
+        if (size < 0 || at + 8 + size > end) ok = false
+        else {
+          val ds = at + 8; val de = (ds + size).toInt
+          if (id == "LIST" && size >= 4) walk(ds + 4, de)
+          else if (id.length == 4 && id.charAt(2) == 'd' &&
+                   (id.charAt(3) == 'c' || id.charAt(3) == 'b') &&
+                   isJpeg(bytes, ds, de - ds))
+            out += java.util.Arrays.copyOfRange(bytes, ds, de)
+          at = de + (size & 1L).toInt // even-byte padding
+        }
+      }
+    }
+    if (bytes.length >= 12 &&
+        new String(bytes, 0, 4, java.nio.charset.StandardCharsets.ISO_8859_1) == "RIFF" &&
+        new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1) == "AVI ")
+      walk(12, bytes.length)
+    out.toSeq
+  }
+
+  /** BMFF sample extraction for the dimensioned (video) trak: stsz
+    * sizes × stsc sample-to-chunk runs × stco/co64 chunk offsets give
+    * each sample's absolute byte range (samples are contiguous within
+    * a chunk); samples that start with the JPEG SOI marker are MJPEG
+    * frames. Empty for non-BMFF or non-MJPEG payloads. */
+  private[pipeline] def bmffMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
+    try {
+      val stblOpt = for {
+        (_, ms, me) <- boxes(bytes, 0, bytes.length).find(_._1 == "moov")
+        trak <- boxes(bytes, ms, me).filter(_._1 == "trak").find { case (_, ts, te) =>
+          boxes(bytes, ts, te).exists { case (t, s, e) =>
+            t == "tkhd" && {
+              val v = bytes(s) & 0xff
+              (v == 1 && e - s >= 96 && (be32(bytes, s + 88) >> 16) > 0) ||
+              (v == 0 && e - s >= 84 && (be32(bytes, s + 76) >> 16) > 0)
+            }
+          }
+        }
+        (_, as, ae) <- boxes(bytes, trak._2, trak._3).find(_._1 == "mdia")
+        (_, bs, be) <- boxes(bytes, as, ae).find(_._1 == "minf")
+        stbl <- boxes(bytes, bs, be).find(_._1 == "stbl")
+      } yield stbl
+      stblOpt.toSeq.flatMap { case (_, cs, ce) =>
+        val in = boxes(bytes, cs, ce)
+        val sizes = in.find(_._1 == "stsz").toSeq.flatMap { case (_, s, e) =>
+          if (e - s < 12) Seq.empty
+          else {
+            val fixed = be32(bytes, s + 4)
+            val n = be32(bytes, s + 8).toInt
+            if (fixed > 0) Seq.fill(n)(fixed)
+            else (0 until n).takeWhile(i => s + 12 + 4 * i + 4 <= e)
+              .map(i => be32(bytes, s + 12 + 4 * i))
+          }
+        }
+        val chunkOffs = in.collectFirst {
+          case ("stco", s, e) if e - s >= 8 =>
+            val n = be32(bytes, s + 4).toInt
+            (0 until n).takeWhile(i => s + 8 + 4 * i + 4 <= e)
+              .map(i => be32(bytes, s + 8 + 4 * i))
+          case ("co64", s, e) if e - s >= 8 =>
+            val n = be32(bytes, s + 4).toInt
+            (0 until n).takeWhile(i => s + 8 + 8 * i + 8 <= e)
+              .map(i => be64(bytes, s + 8 + 8 * i))
+        }.getOrElse(Seq.empty)
+        val stscRuns = in.find(_._1 == "stsc").toSeq.flatMap { case (_, s, e) =>
+          if (e - s < 8) Seq.empty
+          else {
+            val n = be32(bytes, s + 4).toInt
+            (0 until n).takeWhile(i => s + 8 + 12 * i + 12 <= e)
+              .map(i => (be32(bytes, s + 8 + 12 * i),       // first_chunk (1-based)
+                be32(bytes, s + 8 + 12 * i + 4).toInt))     // samples_per_chunk
+          }
+        }
+        if (sizes.isEmpty || chunkOffs.isEmpty) Seq.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var sample = 0
+          var c = 0
+          while (c < chunkOffs.length && sample < sizes.length) {
+            val perChunk = stscRuns.filter(_._1 <= c + 1)
+              .sortBy(_._1).lastOption.map(_._2).getOrElse(1)
+            var off = chunkOffs(c)
+            var k = 0
+            while (k < perChunk && sample < sizes.length) {
+              val sz = sizes(sample)
+              if (off >= 0 && sz > 0 && off + sz <= bytes.length &&
+                  isJpeg(bytes, off.toInt, sz.toInt))
+                out += java.util.Arrays.copyOfRange(
+                  bytes, off.toInt, (off + sz).toInt)
+              off += sz
+              sample += 1; k += 1
+            }
+            c += 1
+          }
+          out.toSeq
+        }
+      }
+    } catch { case _: Exception => Seq.empty }
+
+  /** All decodable MJPEG frame payloads of a video byte blob, in
+    * presentation (file/sample-table) order — AVI/RIFF first, BMFF
+    * sample table otherwise. Empty when the payload is neither, or
+    * carries a codec ImageIO can't decode (H.264 etc.). */
+  private[pipeline] def mjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val avi = aviMjpegFrames(bytes)
+    if (avi.nonEmpty) avi else bmffMjpegFrames(bytes)
+  }
+
   /** (width, height, n_frames) for one payload: a real ImageIO decode
     * for image rows, a real JDK audio header+PCM decode for audio rows
     * (frames from the actual stream), a real ISO-BMFF container parse
-    * for video rows (dims + frame count from moov — pixels stay
-    * stubbed), and the stub for anything no parser accepts. A still
-    * image is one frame by definition. */
+    * for video rows (dims + frame count from moov), REAL MJPEG pixel
+    * decode for MJPEG-in-AVI video (dims from the first frame's actual
+    * raster, count from the movi chunk stream), and the stub only for
+    * payloads no parser accepts. A still image is one frame by
+    * definition. */
   private[pipeline] def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) =
     kind match {
       case "image" => decodeImage(bytes) match {
@@ -225,7 +362,12 @@ object Multimodal {
       }
       case "video" => decodeVideoMeta(bytes) match {
         case Some(v) => (v.width, v.height, v.nFrames)
-        case None    => decodeStub(kind, bytes)
+        case None =>
+          val frames = aviMjpegFrames(bytes)
+          frames.headOption.flatMap(decodeImage) match {
+            case Some(first) => (first.getWidth, first.getHeight, frames.length)
+            case None        => decodeStub(kind, bytes)
+          }
       }
       case _ => decodeStub(kind, bytes)
     }
@@ -345,6 +487,58 @@ object Multimodal {
       }
     }.toDF("media_id", "width", "height", "n_frames", "timescale",
       "duration_s")
+  }
+
+  /** REAL per-frame pixel features over MJPEG video rows (AVI `movi`
+    * chunks or BMFF MJPEG sample tables — see [[mjpegFrames]]): one row
+    * per decodable frame with its actual raster dims and mean 8-bit
+    * luma (Rec.601 weights over every pixel — the black-frame /
+    * exposure screen a video-quality gate starts from). Rows whose
+    * payload carries no decodable MJPEG frame are dropped (survivor
+    * count is the decode-health signal, as in [[audioStats]]).
+    * mapPartitions so a real codec inits once per partition. */
+  def videoFrames(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        mjpegFrames(r.media).iterator.zipWithIndex.flatMap { case (jpg, i) =>
+          decodeImage(jpg).map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            (r.media_id, i.toLong, w, h,
+              math.rint(sum / (w.toLong * h) * 1e4) / 1e4)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "mean_luma")
+  }
+
+  /** First-frame PNG thumbnail per MJPEG video row: frame 0 through the
+    * REAL pixel path ([[resizeImage]] — Graphics2D scale + PNG
+    * re-encode). Rows with no decodable first frame are dropped. */
+  def videoThumbnails(media: Dataset[MediaRow], w: Int = 32, h: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(w > 0 && h > 0, "thumbnail dims must be positive")
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        mjpegFrames(r.media).headOption.flatMap(decodeImage).map { img =>
+          (r.media_id, img.getWidth, img.getHeight, resizeImage(img, w, h))
+        }
+      }
+    }.toDF("media_id", "src_width", "src_height", "thumb_png")
   }
 
   /** Deterministic frame sampling plan for video rows: one row per

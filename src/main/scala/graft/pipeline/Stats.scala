@@ -41,6 +41,15 @@ object Stats {
       (sqrt((n * sxx - sx * sx).cast("double")) *
         sqrt((n * syy - sy * sy).cast("double")))
 
+  /** Exact second-moment accumulator: the x·y product sums widened to
+    * DECIMAL(38,0) BEFORE the sum, so Σx², Σxy stay exact to ~10³⁸ —
+    * BIGINT Σx² overflows past ~10¹⁰ docs of 10⁴-char text, i.e.
+    * inside the 100 TB envelope (the DuckDB oracles accumulate the
+    * same sums as HUGEINT). First moments (Σx) keep BIGINT: they are
+    * 10⁹× smaller and safe to ~10¹⁴ docs. */
+  private def sumSq(x: Column, y: Column): Column =
+    sum((x * y).cast("decimal(38,0)"))
+
   /** Pearson correlation matrix over the document feature triple
     * (n_chars, ws_tokens, distinct_types) in long format: one row per
     * unordered feature pair. All nine sums come out of ONE aggregation
@@ -51,12 +60,12 @@ object Stats {
     val a = docFeatures(docs).agg(
       count(lit(1)).as("n"),
       sum("nc").as("sc"), sum("nt").as("st"), sum("ny").as("sy"),
-      sum(col("nc") * col("nc")).as("scc"),
-      sum(col("nt") * col("nt")).as("stt"),
-      sum(col("ny") * col("ny")).as("syy"),
-      sum(col("nc") * col("nt")).as("sct"),
-      sum(col("nc") * col("ny")).as("scy"),
-      sum(col("nt") * col("ny")).as("sty"))
+      sumSq(col("nc"), col("nc")).as("scc"),
+      sumSq(col("nt"), col("nt")).as("stt"),
+      sumSq(col("ny"), col("ny")).as("syy"),
+      sumSq(col("nc"), col("nt")).as("sct"),
+      sumSq(col("nc"), col("ny")).as("scy"),
+      sumSq(col("nt"), col("ny")).as("sty"))
     val row = broadcast(a)
     def pair(x: String, y: String, sx: String, sy0: String, sxx: String,
              syy0: String, sxy: String): DataFrame =
@@ -80,9 +89,9 @@ object Stats {
     val s = docFeatures(docs).groupBy("source").agg(
       count(lit(1)).as("n"),
       sum("nc").as("sx"), sum("nt").as("sy"),
-      sum(col("nc") * col("nc")).as("sxx"),
-      sum(col("nt") * col("nt")).as("syy"),
-      sum(col("nc") * col("nt")).as("sxy"))
+      sumSq(col("nc"), col("nc")).as("sxx"),
+      sumSq(col("nt"), col("nt")).as("syy"),
+      sumSq(col("nc"), col("nt")).as("sxy"))
     val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val slope = when(col("n") >= 2 && dxx > 0.0,
       (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / dxx)
@@ -162,12 +171,18 @@ object Stats {
     * (round(x·100) as BIGINT, then the first character of the integer
     * rendering): integer-to-string is engine-identical, where
     * ⌊log10 x⌋ on a double can flip by a libm ulp at exact powers of
-    * ten. One narrow map + 9-group aggregate. */
+    * ten. CENTS-GRANULARITY ASSUMPTION: the digit is taken from the
+    * value rounded to cents, so positive values below 0.005 round to
+    * zero cents (no leading digit) and are excluded — the explicit
+    * `digit BETWEEN 1 AND 9` gate below keeps the output inside the
+    * Benford domain for ANY numeric column, not just o_totalprice.
+    * One narrow map + 9-group aggregate. */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
     val x = col(valueCol).cast("double")
     val digit = substring(round(x * lit(100.0)).cast("long").cast("string"),
       1, 1).cast("long")
     val d = df.filter(x > 0.0).select(digit.as("digit"))
+      .filter(col("digit").between(1L, 9L))
       .groupBy("digit").agg(count(lit(1)).as("cnt"))
     val tot = d.agg(sum("cnt").cast("double").as("n"))
     val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
@@ -184,14 +199,16 @@ object Stats {
     * every unordered pair of sources, with the Welch–Satterthwaite
     * degrees of freedom — the pairwise "are these two sources the same
     * population" screen. Per-source sufficient statistics first (one
-    * pass, 3 BIGINTs each), then a |S|²-bounded broadcast self-join of
-    * the tiny aggregate frame: the corpus is read once no matter how
-    * many sources. Pairs where either side has n < 2 or both sample
-    * variances are 0 yield NULL t. */
+    * pass — n and Σx BIGINT, Σx² DECIMAL(38,0) via [[sumSq]]), then a
+    * |S|²-bounded broadcast self-join of the tiny aggregate frame: the
+    * corpus is read once no matter how many sources. Pairs where
+    * either side has n < 2 or both sample variances are 0 yield NULL
+    * t. */
   def welchT(docs: DataFrame): DataFrame = {
     val s = docs.groupBy("source").agg(
       count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("sx"),
-      sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("sxx"))
+      sumSq(col("n_chars").cast("long"), col("n_chars").cast("long"))
+        .as("sxx"))
     def side(tag: String): DataFrame =
       s.select(col("source").as(s"src_$tag"), col("n").as(s"n_$tag"),
         (col("sx").cast("double") / col("n")).as(s"m_$tag"),
@@ -469,7 +486,7 @@ object Stats {
     val x = col(valueCol).cast("long")
     val s = docs.groupBy("source").agg(
       count(lit(1)).as("n_s"), sum(x).as("sx_s"),
-      sum(x * x).as("sxx_s"))
+      sumSq(x, x).as("sxx_s"))
     val a = s.agg(count(lit(1)).as("k"), sum("n_s").as("n"),
       sum("sx_s").as("sx"), sum("sxx_s").as("sxx"),
       sum(col("sx_s").cast("double") * col("sx_s").cast("double") /
@@ -529,8 +546,10 @@ object Stats {
     * integers (2·rank, same trick as [[kruskalWallis]]) computed on
     * the per-VALUE count frames, then joined back to the doc features;
     * ρ is Pearson over the integer rank pairs, affine-invariant so the
-    * 2× scale cancels. Rank sums accumulate as DECIMAL(38,0) — exact
-    * to N ≈ 10¹², where BIGINT Σ(2r)² would overflow past N ≈ 10⁶. */
+    * 2× scale cancels. Each 2·rank is cast DECIMAL(18,0) (exact to
+    * N ≈ 5·10¹⁷), so the rank PRODUCTS are DECIMAL(37,0) and their
+    * sums accumulate as DECIMAL(38,0) — exact to N ≈ 10¹², where
+    * BIGINT Σ(2r)² would overflow past N ≈ 10⁶. */
   def spearman(docs: DataFrame): DataFrame = {
     val f = docFeatures(docs).select("nc", "nt")
     def rank2(colName: String, out: String): DataFrame = {

@@ -364,7 +364,7 @@ object EventStreams {
         round(col("su").cast("double") / (lit(2L) * col("n")), 6).as("s_up"),
         round(col("sd").cast("double") / (lit(2L) * col("n")), 6).as("s_down"),
         (col("su") > lit(h2) * col("tot") ||
-          col("sd") > lit(h2) * col("tot")).cast("int").as("alarm"))
+          col("sd") > lit(h2) * col("tot")).cast("long").as("alarm"))
       .orderBy("event_type", "hr")
   }
 
@@ -395,12 +395,12 @@ object EventStreams {
         round(col("su").cast("double") / 2.0, 6).as("s_up"),
         round(col("sd").cast("double") / 2.0, 6).as("s_down"),
         (col("su") > lit(h2 * mu0) || col("sd") > lit(h2 * mu0))
-          .cast("int").as("alarm"))
+          .cast("long").as("alarm"))
       .orderBy("event_type", "hr")
   }
 
   final case class CusumRow(event_type: String, hr: Long, cnt: Long,
-                            s_up: Double, s_down: Double, alarm: Int)
+                            s_up: Double, s_down: Double, alarm: Long)
   final case class CusumState(hr: Long, cnt: Long, pu: Long, minU: Long,
                               pd: Long, minD: Long)
 
@@ -424,7 +424,7 @@ object EventStreams {
       val su = pu - minU; val sd = pd - minD
       (CusumRow("", st.hr, st.cnt,
         math.rint(su / 2.0 * 1e6) / 1e6, math.rint(sd / 2.0 * 1e6) / 1e6,
-        if (su > h2 * mu0 || sd > h2 * mu0) 1 else 0),
+        if (su > h2 * mu0 || sd > h2 * mu0) 1L else 0L),
         CusumState(st.hr, 0L, pu, minU, pd, minD))
     }
     events.groupByKey(_.event_type)

@@ -289,6 +289,139 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 5.0) < 1e-12)
   }
 
+  // ---- MJPEG fixtures: each frame a real JPEG (JDK ImageIO encode) ----
+  private def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    id.getBytes("ISO-8859-1") ++ le32(body.length) ++ body ++ pad
+  }
+
+  /** Minimal MJPEG-in-AVI: RIFF/AVI with a LIST movi holding one 00dc
+    * chunk per frame (each a complete JPEG) — the frame layout a real
+    * MJPEG AVI uses; index/header lists are optional for a walker. */
+  private def mjpegAviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = "movi".getBytes("ISO-8859-1") ++
+      frames.flatMap(f => riffChunk("00dc", f))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ riffChunk("LIST", movi)
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  /** Minimal MJPEG-in-MP4: moov (mvhd + dimensioned trak with
+    * stsz/stsc/stco) + mdat holding the JPEG samples contiguously; the
+    * stco offset points into mdat, 2 samples in chunk 1 and the rest
+    * in chunk 2 so the stsc run logic is exercised. */
+  private def mjpegMp4Bytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val mvhd = mkBox("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(600), be32(600L * frames.length))
+    val tkhd = mkBox("tkhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(1), be32(0), be32(600L * frames.length),
+      new Array[Byte](8 + 2 + 2 + 2 + 2 + 36),
+      be32(16L << 16), be32(8L << 16))
+    val stts = mkBox("stts", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(frames.length), be32(600))
+    val stsz = mkBox("stsz", Array[Byte](0, 0, 0, 0), be32(0),
+      be32(frames.length), frames.map(f => be32(f.length)).flatten.toArray)
+    // chunk 1: first 2 samples; chunk 2: the rest
+    val stsc = mkBox("stsc", Array[Byte](0, 0, 0, 0), be32(2),
+      be32(1), be32(2), be32(1),
+      be32(2), be32(math.max(frames.length - 2, 1)), be32(1))
+    // moov precedes mdat; mdat payload starts at moovLen + 8
+    def moovOf(stco: Array[Byte]): Array[Byte] = {
+      val stbl = mkBox("stbl", stts, stsz, stsc, stco)
+      mkBox("moov", mvhd,
+        mkBox("trak", tkhd, mkBox("mdia", mkBox("minf", stbl))))
+    }
+    val probeLen = moovOf(mkBox("stco", Array[Byte](0, 0, 0, 0), be32(2),
+      be32(0), be32(0))).length
+    val off1 = probeLen + 8L
+    val off2 = off1 + frames.take(2).map(_.length).sum
+    val moov = moovOf(mkBox("stco", Array[Byte](0, 0, 0, 0), be32(2),
+      be32(off1), be32(off2)))
+    assert(moov.length == probeLen) // stco payload size is fixed
+    moov ++ mkBox("mdat", frames.flatten.toArray)
+  }
+
+  test("videoFrames decodes REAL MJPEG pixels from AVI movi chunks") {
+    val implicits = spark.implicits
+    import implicits._
+    // 3 frames, distinct gray levels → distinct mean luma, real dims
+    val frames = Seq(jpegBytes(16, 8, 40), jpegBytes(16, 8, 128),
+      jpegBytes(16, 8, 220))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", mjpegAviBytes(frames)),
+      Multimodal.MediaRow(2L, "video", Array[Byte](1, 2, 3))) // not AVI
+    val got = Multimodal.videoFrames(rows.toDS())
+      .orderBy("media_id", "frame_idx").collect()
+    assert(got.length == 3 && got.forall(_.getLong(0) == 1L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    got.foreach(r => assert(r.getInt(2) == 16 && r.getInt(3) == 8))
+    // JPEG is lossy but flat-gray frames decode within a few levels
+    val lumas = got.map(_.getDouble(4))
+    assert(math.abs(lumas(0) - 40) < 6 && math.abs(lumas(1) - 128) < 6 &&
+      math.abs(lumas(2) - 220) < 6)
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2))
+  }
+
+  test("videoFrames walks the BMFF MJPEG sample table (stsz/stsc/stco)") {
+    val implicits = spark.implicits
+    import implicits._
+    val frames = Seq(jpegBytes(16, 8, 30), jpegBytes(16, 8, 90),
+      jpegBytes(16, 8, 150), jpegBytes(16, 8, 210))
+    val rows = Seq(Multimodal.MediaRow(7L, "video", mjpegMp4Bytes(frames)))
+    val got = Multimodal.videoFrames(rows.toDS())
+      .orderBy("frame_idx").collect()
+    assert(got.length == 4)
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    got.foreach(r => assert(r.getInt(2) == 16 && r.getInt(3) == 8))
+    val lumas = got.map(_.getDouble(4))
+    assert(lumas.sliding(2).forall(p => p(0) < p(1))) // gray ramp survives
+  }
+
+  test("extractFeatures: MJPEG-AVI gets REAL dims + frame count (no stub)") {
+    val implicits = spark.implicits
+    import implicits._
+    val frames = Seq(jpegBytes(20, 10, 60), jpegBytes(20, 10, 180))
+    val avi = mjpegAviBytes(frames)
+    val f = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(1L, "video", avi)).toDS()).collect().head
+    assert(f.width == 20 && f.height == 10 && f.n_frames == 2)
+    // and the stub would have produced none of these: its dims are a
+    // payload-hash function, frames idem — equality here would be a
+    // 1-in-2^60 coincidence, so assert against it directly
+    val stub = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(2L, "video",
+        java.util.Arrays.copyOfRange(avi, 4, avi.length))).toDS()) // de-RIFFed
+      .collect().head
+    assert((stub.width, stub.height, stub.n_frames) != ((20, 10, 2)))
+  }
+
+  test("videoThumbnails re-encodes frame 0 through the real PNG path") {
+    val implicits = spark.implicits
+    import implicits._
+    val avi = mjpegAviBytes(Seq(jpegBytes(24, 12, 100)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", avi),
+      Multimodal.MediaRow(2L, "video", Array[Byte](5, 5))) // dropped
+    val got = Multimodal.videoThumbnails(rows.toDS(), 8, 4).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+    assert(got.head.getInt(1) == 24 && got.head.getInt(2) == 12)
+    val thumb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got.head.getAs[Array[Byte]](3)))
+    assert(thumb.getWidth == 8 && thumb.getHeight == 4)
+  }
+
   test("frame sampling explodes every stride-th frame for videos") {
     val implicits = spark.implicits
     import implicits._

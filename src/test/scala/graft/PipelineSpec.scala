@@ -61,7 +61,7 @@ class PipelineSpec extends SparkSpec {
       .select(col("event_type"),
         (col("h") * 3600).cast("timestamp").as("ts"))
     val got = EventStreams.cusum(ev).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getInt(5)))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(5)))
     assert(!got.exists { case (t, _, _, a) => t == "flat" && a == 1 })
     // mean 10.8, alarm at 4·mean = 43.2: the up-CUSUM crosses during
     // the burst (s_up = 33.8·(h−15) from h=16); the down-CUSUM flags

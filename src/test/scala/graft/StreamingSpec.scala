@@ -443,11 +443,11 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(180000)
     val streamed = spark.table("cus").collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
     // batch rows minus each type's final (still-open) hour
     val batchAll = EventStreams.cusumOnlineBatch(events).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
     val lastHr = batchAll.keys.groupBy(_._1).map { case (t, ks) =>
       t -> ks.map(_._2).max }
     val batchClosed = batchAll.filter { case ((t, hr), _) => hr < lastHr(t) }

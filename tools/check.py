@@ -20,7 +20,38 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+# The driver's hash compares values AT STORAGE TYPE: an un-cast DuckDB
+# SUM(BIGINT) is HUGEINT (int128) and hash-mismatches Spark's int64 even
+# when every value is identical (the round-9 failure mode). Only these
+# result column types are allowed on the oracle side; anything else
+# (HUGEINT, DECIMAL, FLOAT, INTEGER...) must be CAST in the oracle SQL.
+ALLOWED_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+                 "TIMESTAMP", "TIMESTAMP WITH TIME ZONE"}
+
+def bad_types(con, sql):
+    """Return [(col, type)] for oracle result columns outside ALLOWED_TYPES."""
+    rel = con.sql(sql)
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t) not in ALLOWED_TYPES
+            and not str(t).startswith("BIGINT[")
+            and not str(t).startswith("DOUBLE[")
+            and not str(t).startswith("VARCHAR[")]
+
+def selftest():
+    """Guard must flag a deliberately un-cast SUM (HUGEINT) and a raw
+    DECIMAL, and accept the driver-safe types."""
+    con = duckdb.connect()
+    assert bad_types(con, "SELECT SUM(x) AS n FROM (VALUES (CAST(1 AS BIGINT))) t(x)"), \
+        "un-cast SUM(BIGINT) (HUGEINT) not flagged"
+    assert bad_types(con, "SELECT CAST(1.5 AS DECIMAL(38,8)) AS d"), \
+        "DECIMAL not flagged"
+    assert not bad_types(con, "SELECT CAST(1 AS BIGINT) AS a, 1.0::DOUBLE AS b, "
+                              "'x' AS c, TRUE AS d"), "driver-safe types flagged"
+    print("selftest OK: type guard flags HUGEINT/DECIMAL, accepts safe set")
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest(); return
     out, sf = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out}/oracle_sql.json"))
@@ -36,6 +67,11 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})"); n_fail += 1; continue
         try:
+            bt = bad_types(con, sql)
+            if bt:
+                print(f"FAIL {name}: oracle result type(s) outside the "
+                      f"driver-safe set: {bt} — CAST in the oracle SQL")
+                n_fail += 1; continue
             duck_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
