@@ -2195,4 +2195,202 @@ SELECT n, ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
 FROM a"""
+
+  // ===== Round-10 wave: robust / rank statistics, audits, funnels =====
+
+  /** Quantile-norm mirror: the SAME 6dp quality, half-unit ranks
+    * (2·cum_below + c)/(2n) per source — term for term. */
+  val quantileNormSql: String =
+    """WITH q AS (SELECT doc_id, source,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\b(the|a|is)\b')) AS BIGINT) AS stop
+  FROM documents),
+s AS (SELECT doc_id, source,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS q FROM q),
+cnt AS (SELECT source, q, COUNT(*) AS c FROM s GROUP BY 1, 2),
+r AS (SELECT source, q,
+  ROUND(CAST(2 * (cum - c) + c AS DOUBLE) / CAST(2 * n_s AS DOUBLE), 6)
+    AS pct
+  FROM (SELECT source, q, c,
+    SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum,
+    SUM(c) OVER (PARTITION BY source) AS n_s FROM cnt) t)
+SELECT s.doc_id, s.source, s.q, r.pct
+FROM s JOIN r USING (source, q)"""
+
+  /** Neyman mirror: identical sufficient statistics and operator
+    * order (variance → sqrt → ·n → share → floor(·+0.5)). */
+  def neymanAllocationSql(total: Long): String =
+    s"""WITH s AS (SELECT source, COUNT(*) AS n,
+  SUM(CAST(n_chars AS BIGINT)) AS sx,
+  SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n,
+  CAST(n AS DOUBLE) * sqrt(CASE WHEN n >= 2 THEN
+    greatest((CAST(sxx AS DOUBLE) -
+      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+      CAST(n - 1 AS DOUBLE), 0.0) ELSE 0.0 END) AS w FROM s),
+t AS (SELECT SUM(w) AS wt FROM w)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+  ROUND(w / CAST(n AS DOUBLE), 6) AS sigma,
+  ROUND(CASE WHEN wt > 0.0 THEN w / wt END, 6) AS share,
+  CASE WHEN wt > 0.0
+    THEN CAST(FLOOR(w / wt * $total.0 + 0.5) AS BIGINT) END AS n_alloc
+FROM w CROSS JOIN t ORDER BY source"""
+
+  /** MAD mirror: lower medians off the same (source, value) count
+    * frame, deviation counts derived from it (no second scan). */
+  def madOutliersSql(k: Int): String =
+    s"""WITH cnt AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+c1 AS (SELECT source, v, c,
+  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+  SUM(c) OVER (PARTITION BY source) AS n_s FROM cnt),
+med AS (SELECT source, MIN(v) AS med FROM c1
+  WHERE 2 * cum >= n_s + 1 GROUP BY 1),
+dev AS (SELECT cnt.source, abs(v - med) AS v, SUM(c) AS c
+  FROM cnt JOIN med USING (source) GROUP BY 1, 2),
+d1 AS (SELECT source, v, c,
+  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+  SUM(c) OVER (PARTITION BY source) AS n_s FROM dev),
+mad AS (SELECT source, MIN(v) AS mad FROM d1
+  WHERE 2 * cum >= n_s + 1 GROUP BY 1),
+agg AS (SELECT cnt.source, SUM(c) AS n_docs, ANY_VALUE(med) AS median,
+  ANY_VALUE(mad) AS mad,
+  SUM(CASE WHEN abs(v - med) > $k * mad THEN c ELSE 0 END) AS n_outliers
+  FROM cnt JOIN med USING (source) JOIN mad USING (source) GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, median, mad,
+  CAST(n_outliers AS BIGINT) AS n_outliers,
+  ROUND(CAST(n_outliers AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+    AS outlier_rate
+FROM agg ORDER BY source"""
+
+  /** Trimmed-mean mirror: same ⌊α·n⌋ cut, same rank-interval overlap
+    * arithmetic on the count frame. */
+  def trimmedMeanSql(alpha: Double): String =
+    s"""WITH cnt AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+c1 AS (SELECT source, v, c,
+  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+  SUM(c) OVER (PARTITION BY source) AS n_s FROM cnt),
+k AS (SELECT source, v, c, cum, n_s,
+  CAST(FLOOR(CAST(n_s AS DOUBLE) * $alpha) AS BIGINT) AS lo FROM c1),
+g AS (SELECT source, ANY_VALUE(n_s) AS n_docs,
+  SUM(greatest(least(cum, n_s - lo) - greatest(cum - c, lo), 0)) AS n_kept,
+  SUM(v * greatest(least(cum, n_s - lo) - greatest(cum - c, lo), 0)) AS mass
+  FROM k GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_kept AS BIGINT) AS n_kept,
+  ROUND(CAST(mass AS DOUBLE) / CAST(n_kept AS DOUBLE), 6) AS trimmed_mean
+FROM g ORDER BY source"""
+
+  /** Dispersion mirror: the norm fold is a sequential list_reduce
+    * (≡ Spark's aggregate() L-to-R), components integerized to 1e-7
+    * units, exact HUGEINT sum-vector algebra (≡ Spark DECIMAL). */
+  val embedDispersionSql: String =
+    """WITH b AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+  list_reduce(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x) AS nn
+  FROM embeddings),
+f AS (SELECT * FROM b WHERE nn > 0.0),
+u AS (SELECT label, i - 1 AS pos,
+  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / sqrt(nn) * 1e7 + 0.5) AS BIGINT)
+    AS u
+  FROM f, unnest(generate_series(1, len(embedding))) AS t(i)),
+per AS (SELECT label, pos, SUM(u) AS s,
+  SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS self
+  FROM u GROUP BY 1, 2),
+ag AS (SELECT label, SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2,
+  SUM(self) AS selfsum FROM per GROUP BY 1),
+nn AS (SELECT label, COUNT(*) AS n FROM f GROUP BY 1)
+SELECT ag.label, nn.n,
+  ROUND(CASE WHEN n >= 2 THEN
+    (CAST(s2 AS DOUBLE) - CAST(selfsum AS DOUBLE)) /
+    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e14) END, 6) AS mean_cos
+FROM ag JOIN nn USING (label) ORDER BY label"""
+
+  /** PII co-occurrence mirror: same patterns (the shared RE2-safe
+    * list), same boolean flags and pair tallies. */
+  val piiCooccurSql: String = {
+    val pats = graft.pipeline.TextOps.piiPatterns
+    val kinds = pats.map(_._1)
+    val flags = pats.map { case (kind, re, _) =>
+      s"len(regexp_extract_all(text, '$re')) > 0 AS has_$kind"
+    }.mkString(",\n  ")
+    val nKinds = kinds.map(k => s"CASE WHEN has_$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val pairCols = kinds.combinations(2).map { case Seq(a, b) =>
+      s"CAST(SUM(CASE WHEN has_$a AND has_$b THEN 1 ELSE 0 END) AS BIGINT) AS n_${a}_$b"
+    }.mkString(",\n  ")
+    s"""WITH fl AS (SELECT source,
+  $flags
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN $nKinds >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+  CAST(SUM(CASE WHEN $nKinds >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+  $pairCols
+FROM fl GROUP BY source ORDER BY source"""
+  }
+
+  /** Code-switch mirror: same marker regexes, same dominant-share /
+    * language-count gates, same round-before-mean. */
+  def codeSwitchSql(maxShare: Double): String = {
+    val langs = markerRes.map(_._1)
+    val scores = markerRes.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val tot = langs.map(l => s"s_$l").mkString(" + ")
+    val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val nl = langs.map(l => s"CASE WHEN s_$l > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sc AS (SELECT source,
+  $scores
+  FROM documents),
+d AS (SELECT source, ($tot) AS tot, $mx AS mx, ($nl) AS nl FROM sc)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN tot > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+  CAST(SUM(CASE WHEN tot > 0 AND nl >= 2 AND
+    CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) <= $maxShare
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+  ROUND(CASE WHEN SUM(CASE WHEN tot > 0 THEN 1 ELSE 0 END) > 0 THEN
+    CAST(SUM(CASE WHEN tot > 0 AND nl >= 2 AND
+      CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) <= $maxShare
+      THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(SUM(CASE WHEN tot > 0 THEN 1 ELSE 0 END) AS DOUBLE) END, 6)
+    AS mixed_rate,
+  ROUND(AVG(CASE WHEN tot > 0 THEN
+    ROUND(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) END), 6)
+    AS mean_dom_share
+FROM d GROUP BY source ORDER BY source"""
+  }
+
+  /** Funnel-latency mirror: first signup / first subsequent purchase
+    * per user, integer-second latencies counted per value, lower
+    * percentiles by the same k·cum ≥ q·n integer ceil rule. */
+  def funnelLatencySql(fromType: String, toType: String): String =
+    s"""WITH st AS (SELECT user_id,
+  MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0 FROM events
+  WHERE event_type = '$fromType' GROUP BY 1),
+lat AS (SELECT st.user_id,
+  MIN(CAST(floor(epoch(e.ts)) AS BIGINT) - t0) AS lat
+  FROM st JOIN events e ON e.user_id = st.user_id
+  WHERE e.event_type = '$toType'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= t0 GROUP BY 1),
+cnt AS (SELECT CAST(lat AS BIGINT) AS lat, COUNT(*) AS c
+  FROM lat GROUP BY 1),
+r AS (SELECT lat, SUM(c) OVER (ORDER BY lat) AS cum,
+  SUM(c) OVER () AS n FROM cnt),
+d AS (SELECT ANY_VALUE(n) AS n_converted,
+  MIN(CASE WHEN cum * 2 >= n * 1 THEN lat END) AS p50_s,
+  MIN(CASE WHEN cum * 10 >= n * 9 THEN lat END) AS p90_s,
+  MAX(lat) AS max_s FROM r),
+u AS (SELECT COUNT(*) AS n_users FROM st)
+SELECT CAST(u.n_users AS BIGINT) AS n_users,
+  CAST(d.n_converted AS BIGINT) AS n_converted,
+  ROUND(CAST(d.n_converted AS DOUBLE) / CAST(u.n_users AS DOUBLE), 6)
+    AS conv_rate,
+  d.p50_s, d.p90_s, d.max_s
+FROM u CROSS JOIN d"""
 }

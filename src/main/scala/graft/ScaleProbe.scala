@@ -197,6 +197,32 @@ object ScaleProbe {
         },
         // token-linear two-stage agg + doc-partitioned window — ~linear
         time("token_entropy")(TextOps.tokenEntropy(docs)),
+        // statistical wave: every kernel reduces to ONE (value, source)
+        // count shuffle + windows over the VALUE DOMAIN (constant under
+        // replication — replicas reuse the same n_chars values), so the
+        // grid stays K-invariant and time tracks the count scan
+        time("ks_test")(graft.pipeline.Stats.ksBySource(docs)),
+        time("mann_whitney")(graft.pipeline.Stats.mannWhitneyBySource(docs)),
+        time("kruskal")(graft.pipeline.Stats.kruskalWallis(docs)),
+        // (doc, token) count shuffle + per-doc fold: rows grow K, state
+        // per doc constant — expect ~linear
+        time("doc_entropy")(graft.pipeline.Stats.docEntropy(docs)),
+        // per-source BIGINT sufficient statistics off one token pass —
+        // the aggregate frame is |S|-row at any K
+        time("lexical_profile")(graft.pipeline.Stats.lexicalProfile(docs)),
+        // three regex counts per row + a |S|-row aggregate — scan-bound
+        time("readability")(graft.pipeline.Stats.readability(docs)),
+        // per-VALUE rank frames + one scalar Pearson — value domain
+        // K-invariant, join side grows K — expect ~linear
+        time("spearman")(graft.pipeline.Stats.spearman(docs)),
+        // gram stream grows K; replicas re-use gram hashes so the
+        // count-join key space is ~flat while counts grow K — the
+        // positional reassembly window partitions per doc — ~linear
+        time("substring_dup")(Dedup.substringDupRate(docs)),
+        // token-keyed scoring join (|doc tokens|·k_match) + k-row
+        // broadcast class stats; the doc×class grid grows K·k — the
+        // designed ~linear shape for a FIXED class count
+        time("naive_bayes")(graft.pipeline.Classify.naiveBayesConfusion(docs)),
         // hourly counts: rows per (type, hour) grow K but the series
         // LENGTH (the window partition) is time-bounded, K-invariant —
         // expect ~linear dominated by the count scan

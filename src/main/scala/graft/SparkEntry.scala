@@ -594,6 +594,23 @@ object SparkEntry {
       pipeline.Stats.heapsFit(GraphBuilder.table(s, d, "documents"))),
     "q_ewma" -> ((s, d) =>
       EventStreams.ewmaDaily(EventStreams.eventsTable(s, d))),
+    // round-10 robust/rank wave
+    "q_quantile_norm" -> ((s, d) =>
+      pipeline.Robust.quantileNorm(GraphBuilder.table(s, d, "documents"))),
+    "q_neyman_alloc" -> ((s, d) =>
+      pipeline.Robust.neymanAllocation(GraphBuilder.table(s, d, "documents"))),
+    "q_mad_outliers" -> ((s, d) =>
+      pipeline.Robust.madOutliers(GraphBuilder.table(s, d, "documents"))),
+    "q_trimmed_mean" -> ((s, d) =>
+      pipeline.Robust.trimmedMean(GraphBuilder.table(s, d, "documents"))),
+    "q_embed_dispersion" -> ((s, d) =>
+      Similarity.embedDispersion(GraphBuilder.table(s, d, "embeddings"))),
+    "q_pii_cooccur" -> ((s, d) =>
+      pipeline.TextOps.piiCooccur(GraphBuilder.table(s, d, "documents"))),
+    "q_code_switch" -> ((s, d) =>
+      pipeline.TextOps.codeSwitch(GraphBuilder.table(s, d, "documents"))),
+    "q_funnel_latency" -> ((s, d) =>
+      EventStreams.funnelLatency(EventStreams.eventsTable(s, d))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1129,6 +1146,14 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_readability" -> PipelineOracles.readabilitySql,
     "q_heaps" -> PipelineOracles.heapsFitSql,
     "q_ewma" -> PipelineOracles.ewmaDailySql(30),
+    "q_quantile_norm" -> PipelineOracles.quantileNormSql,
+    "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
+    "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),
+    "q_trimmed_mean" -> PipelineOracles.trimmedMeanSql(0.1),
+    "q_embed_dispersion" -> PipelineOracles.embedDispersionSql,
+    "q_pii_cooccur" -> PipelineOracles.piiCooccurSql,
+    "q_code_switch" -> PipelineOracles.codeSwitchSql(0.9),
+    "q_funnel_latency" -> PipelineOracles.funnelLatencySql("signup", "purchase"),
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),

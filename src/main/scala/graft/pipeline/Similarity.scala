@@ -686,6 +686,49 @@ object Similarity {
     * after operates on the |labels|·d centroid frame, so the pair join
     * is |labels|²·d rows — bounded by label cardinality, never by the
     * vector count. */
+  /** Per-label embedding dispersion: the MEAN PAIRWISE COSINE of all
+    * vectors in a label, computed WITHOUT pairs via the sum-vector
+    * identity Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖uₖ‖² over L2-normalized
+    * vectors — the cluster-tightness audit (a label whose members
+    * barely agree is not a usable stratum) at n² semantics for n·d
+    * cost. Exact cross-engine: after the (index-ordered, engine-
+    * identical) norm fold, each component is integerized to 1e-7 units
+    * (floor(u·1e7 + 0.5) BIGINT), so the per-(label, pos) sums, their
+    * squares (DECIMAL(38,0)) and the self-norm total are exact
+    * integers; one double division at output. State: d BIGINTs per
+    * label — ~zero at any corpus size. */
+  def embedDispersion(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("label").cast("long").as("label"),
+        col("embedding"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("nn"))
+      .filter(col("nn") > 0.0) // zero vectors have no direction — excluded
+    val e = base
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")),
+        sqrt(col("nn")).as("nrm"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") / col("nrm") * lit(1e7) + lit(0.5))
+          .cast("long").as("u"))
+    // products widen to DECIMAL BEFORE multiplying: s ≈ n·1e7 makes
+    // s² overflow int64 past n ≈ 3·10⁴ — the cast must precede the
+    // multiply, not follow it
+    val per = e.groupBy("label", "pos")
+      .agg(sum("u").as("s"),
+        sum(col("u").cast("decimal(19,0)") * col("u").cast("decimal(19,0)"))
+          .as("self"))
+    per.groupBy("label")
+      .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
+        .as("s2"),
+        sum("self").as("selfsum"))
+      .join(base.groupBy("label").agg(count(lit(1)).as("n")), Seq("label"))
+      .select(col("label"), col("n"),
+        round(when(col("n") >= 2L,
+          (col("s2").cast("double") - col("selfsum").cast("double")) /
+            (col("n").cast("double") * (col("n") - 1L).cast("double") *
+              lit(1e14))), 6).as("mean_cos"))
+      .orderBy("label")
+  }
+
   def centroidSim(emb: DataFrame): DataFrame = {
     val cen = emb.select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("pos", "x")))

@@ -41,14 +41,16 @@ object Stats {
       (sqrt((n * sxx - sx * sx).cast("double")) *
         sqrt((n * syy - sy * sy).cast("double")))
 
-  /** Exact second-moment accumulator: the x·y product sums widened to
-    * DECIMAL(38,0) BEFORE the sum, so Σx², Σxy stay exact to ~10³⁸ —
-    * BIGINT Σx² overflows past ~10¹⁰ docs of 10⁴-char text, i.e.
-    * inside the 100 TB envelope (the DuckDB oracles accumulate the
-    * same sums as HUGEINT). First moments (Σx) keep BIGINT: they are
-    * 10⁹× smaller and safe to ~10¹⁴ docs. */
+  /** Exact second-moment accumulator: operands widen to DECIMAL(19,0)
+    * BEFORE the multiply (the x·y PRODUCT itself overflows int64 past
+    * values of ~3·10⁹, so casting after would be too late), giving
+    * DECIMAL(38,0) products and sums — exact to ~10³⁸, where BIGINT
+    * Σx² overflows past ~10¹⁰ docs of 10⁴-char text, i.e. inside the
+    * 100 TB envelope (the DuckDB oracles accumulate the same sums as
+    * HUGEINT). First moments (Σx) keep BIGINT: they are 10⁹× smaller
+    * and safe to ~10¹⁴ docs. */
   private def sumSq(x: Column, y: Column): Column =
-    sum((x * y).cast("decimal(38,0)"))
+    sum(x.cast("decimal(19,0)") * y.cast("decimal(19,0)"))
 
   /** Pearson correlation matrix over the document feature triple
     * (n_chars, ws_tokens, distinct_types) in long format: one row per

@@ -270,4 +270,66 @@ object TextOps {
         piiPatterns.map { case (kind, re, _) =>
           regexp_count(col("text"), lit(re)).cast("long").as(s"n_$kind")
         } :+ length(piiRedact(col("text"))).cast("long").as("clean_len"): _*)
+
+  /** PII co-occurrence audit per source: documents where MULTIPLE PII
+    * kinds appear together are the re-identification risk a single-
+    * pattern density report misses (an email next to a phone number is
+    * a contact record, not a stray address). Per source: total docs,
+    * docs with any PII, docs with ≥ 2 distinct kinds, and each
+    * kind-pair's co-occurrence count. One narrow regex map + one
+    * |S|-row aggregate — scan-bound at any corpus size. */
+  def piiCooccur(docs: DataFrame): DataFrame = {
+    val kinds = piiPatterns.map(_._1)
+    val flagged = docs.select(
+      col("source") +: piiPatterns.map { case (kind, re, _) =>
+        (regexp_count(col("text"), lit(re)) > 0).as(s"has_$kind")
+      }: _*)
+    val nKinds = kinds.map(k => when(col(s"has_$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairCols = kinds.combinations(2).map { case Seq(a, b) =>
+      sum(when(col(s"has_$a") && col(s"has_$b"), 1L).otherwise(0L))
+        .as(s"n_${a}_$b")
+    }.toSeq
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Seq(sum(when(nKinds >= 1L, 1L).otherwise(0L)).as("n_any"),
+          sum(when(nKinds >= 2L, 1L).otherwise(0L)).as("n_multi")) ++
+          pairCols: _*)
+      .orderBy("source")
+  }
+
+  /** Code-switching (language-mixing) screen: per doc, how many of the
+    * marker languages fire at all, and what share of total marker hits
+    * the dominant language holds — a doc whose dominant share is low
+    * with ≥ 2 languages present is mixed-language text (which poisons
+    * single-language training buckets even when the doc-level lang-ID
+    * is "right"). Per source: doc counts, mixed counts (≥ 2 langs AND
+    * dominant share ≤ maxShare), mixed rate, mean dominant share over
+    * docs with any hits. Reuses the single langMarkers definition —
+    * one narrow regex map, one |S|-row aggregate. */
+  def codeSwitch(docs: DataFrame, maxShare: Double = 0.9): DataFrame = {
+    val names = langMarkers.map(_._1)
+    val scored = withLangGuess(docs)
+    val totalHits = names.map(l => col(s"_s_$l")).reduce(_ + _)
+    val maxHits = greatest(names.map(l => col(s"_s_$l")): _*)
+    val nLangs = names.map(l => when(col(s"_s_$l") > 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val domShare = col("_max").cast("double") / col("_tot").cast("double")
+    scored
+      .select(col("source"), totalHits.as("_tot"), maxHits.as("_max"),
+        nLangs.as("_nl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_tot") > 0L, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("_tot") > 0L && col("_nl") >= 2L &&
+          domShare <= lit(maxShare), 1L).otherwise(0L)).as("n_mixed"),
+        round(avg(when(col("_tot") > 0L, round(domShare, 6))), 6)
+          .as("mean_dom_share"))
+      .select(col("source"), col("n_docs"), col("n_scored"), col("n_mixed"),
+        round(when(col("n_scored") > 0L,
+          col("n_mixed").cast("double") / col("n_scored").cast("double")), 6)
+          .as("mixed_rate"),
+        col("mean_dom_share"))
+      .orderBy("source")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -245,6 +246,44 @@ object EventStreams {
         count(lit(1)).cast("long").as("n_converted"))))
       .select(col("n_starts"), col("n_converted"),
         round(col("n_converted").cast("double") / col("n_starts"), 6).as("rate"))
+  }
+
+  /** Time-to-convert distribution for the fromType → toType funnel:
+    * per user, the FIRST fromType event and the FIRST toType event at
+    * or after it; latency = whole seconds between them. Output is one
+    * row — users, conversions, conversion rate, and the lower-median /
+    * lower-p90 / max of the latency distribution, all computed
+    * EXACTLY: integer-second latencies are counted per value and the
+    * percentile is the smallest value whose cumulative count reaches
+    * ⌈q·n⌉ (pure integer compares — `k·cum ≥ q·n` with integer cum IS
+    * the ceil rule, no float rank anywhere). Two user-keyed min
+    * aggregations + windows over the latency VALUE DOMAIN (bounded by
+    * the observation window in seconds, never by event volume). */
+  def funnelLatency(events: DataFrame, fromType: String = "signup",
+                    toType: String = "purchase"): DataFrame = {
+    val starts = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(unix_timestamp(col("ts"))).as("t0"))
+    val hits = events.filter(col("event_type") === toType)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t1"))
+    val lat = starts.join(hits, Seq("user_id"))
+      .filter(col("t1") >= col("t0"))
+      .groupBy("user_id").agg(min(col("t1") - col("t0")).as("lat"))
+    val cnt = lat.groupBy("lat").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("lat")
+    val ranked = cnt
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def pct(mul: Long, div: Long, out: String): Column =
+      min(when(col("cum") * lit(div) >= col("n") * lit(mul), col("lat"))).as(out)
+    val dist = ranked.agg(first("n").as("n_converted"),
+      pct(1L, 2L, "p50_s"), pct(9L, 10L, "p90_s"), max("lat").as("max_s"))
+    broadcast(starts.agg(count(lit(1)).as("n_users")))
+      .crossJoin(broadcast(dist))
+      .select(col("n_users"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_users").cast("double"),
+          6).as("conv_rate"),
+        col("p50_s"), col("p90_s"), col("max_s"))
   }
 
   /** Semi-structured props: extract the JSON field `k` and aggregate per

@@ -63,7 +63,10 @@ class PlanSpec extends SparkSpec {
       "q_ewma" -> ("lag kernel over the daily-count series — bounded "
         + "by the observation window's day count, not the event count"),
       "q_spearman" -> ("per-feature rank cumulatives over the two "
-        + "distinct-value frames — bounded by the value domains"))
+        + "distinct-value frames — bounded by the value domains"),
+      "q_funnel_latency" -> ("percentile cumulative over the distinct "
+        + "latency-value frame — bounded by the observation window in "
+        + "seconds (time domain), never by event volume"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
