@@ -440,6 +440,32 @@ JOIN dg da ON da.id = e.a JOIN dg db ON db.id = e.b"""
     * of the co-occurrence graph, same final double arithmetic order.
     * (Zero-variance graphs are NULL on the Spark side vs NaN here —
     * latent-only: the co-occurrence graph is never degree-regular.) */
+  /** Degree-anonymity mirror: same both-direction incident-edge
+    * convention as q_degree_dist, same 5-number signature, same global
+    * class sizes, per-label rollup. */
+  val degreeAnonymitySql: String =
+    P + """, sym AS (SELECT src AS id, dst AS nb FROM edges
+  UNION ALL SELECT dst AS id, src AS nb FROM edges),
+dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+ft AS (SELECT s.id, MIN(d.deg) AS min_nd, MAX(d.deg) AS max_nd,
+  CAST(SUM(d.deg) AS BIGINT) AS sum_nd,
+  CAST(COUNT(DISTINCT s.nb) AS BIGINT) AS k_nb
+  FROM sym s JOIN dg d ON d.id = s.nb GROUP BY s.id),
+f AS (SELECT n.label, n.id, COALESCE(d.deg, 0) AS deg,
+  COALESCE(ft.min_nd, 0) AS min_nd, COALESCE(ft.max_nd, 0) AS max_nd,
+  COALESCE(ft.sum_nd, 0) AS sum_nd, COALESCE(ft.k_nb, 0) AS k_nb
+  FROM nodes n LEFT JOIN dg d ON d.id = n.id LEFT JOIN ft ON ft.id = n.id),
+cls AS (SELECT deg, min_nd, max_nd, sum_nd, k_nb, COUNT(*) AS csize
+  FROM f GROUP BY 1, 2, 3, 4, 5)
+SELECT f.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(COUNT(DISTINCT (f.deg, f.min_nd, f.max_nd, f.sum_nd, f.k_nb)) AS BIGINT)
+    AS n_sigs,
+  CAST(SUM(CASE WHEN c.csize = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  ROUND(SUM(CASE WHEN c.csize = 1 THEN 1 ELSE 0 END) /
+    CAST(COUNT(*) AS DOUBLE), 6) AS uniqueness_rate
+FROM f JOIN cls c USING (deg, min_nd, max_nd, sum_nd, k_nb)
+GROUP BY f.label ORDER BY f.label"""
+
   val assortativitySql: String =
     s"""WITH ${DerivedGraphs.cooccurSql},
 dg AS (SELECT src AS id, COUNT(*) AS deg FROM psym GROUP BY src),

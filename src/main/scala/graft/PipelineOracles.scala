@@ -2366,6 +2366,231 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM d GROUP BY source ORDER BY source"""
   }
 
+  /** Markov-stationary mirror: same per-user lead steps, same
+    * row-normalized P, π ← πP unrolled with the 1 − Σflow dangling
+    * redistribution, 6dp round only at output. */
+  def markovStationarySql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH stp AS (SELECT event_type AS ft,
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+  FROM events),
+cnt AS (SELECT ft, tt, COUNT(*) AS n FROM stp WHERE tt IS NOT NULL
+  GROUP BY 1, 2),
+p AS (SELECT ft, tt, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+  FROM cnt JOIN (SELECT ft, SUM(n) AS tot FROM cnt GROUP BY 1) t USING (ft)),
+st AS (SELECT DISTINCT event_type AS state FROM events),
+kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM st),
+pi0 AS (SELECT state, 1.0 / k AS pi FROM st CROSS JOIN kk)""")
+    for (i <- 1 to iters) {
+      sb ++= s""",
+f$i AS (SELECT p.tt AS state, SUM(x.pi * p.p) AS flow
+  FROM pi${i - 1} x JOIN p ON p.ft = x.state GROUP BY 1),
+s$i AS (SELECT SUM(flow) AS fs FROM f$i),
+pi$i AS (SELECT st.state,
+  COALESCE(f.flow, 0.0) + (1.0 - s$i.fs) / kk.k AS pi
+  FROM st LEFT JOIN f$i f ON f.state = st.state CROSS JOIN s$i CROSS JOIN kk)"""
+    }
+    sb ++= s"\nSELECT state, ROUND(pi, 6) AS pi FROM pi$iters ORDER BY state"
+    sb.toString
+  }
+
+  private val budgetFeatCtes: String =
+    """q0 AS (SELECT doc_id, lang,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\b(the|a|is)\b')) AS BIGINT) AS stop
+  FROM documents),
+f AS (SELECT doc_id, lang,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS q, words AS nt FROM q0)"""
+
+  /** Token-budget mirror: identical θ/above/tie-block decomposition
+    * over the per-(lang, value) count frame. */
+  def tokenBudgetSql(budget: Long): String =
+    s"""WITH $budgetFeatCtes,
+vc AS (SELECT lang, q, COUNT(*) AS c, SUM(nt) AS tok FROM f GROUP BY 1, 2),
+cum AS (SELECT lang, q, c, tok,
+  SUM(tok) OVER (PARTITION BY lang ORDER BY q DESC) - tok AS cum_above
+  FROM vc),
+th AS (SELECT lang, MIN(q) AS theta FROM cum WHERE cum_above < $budget
+  GROUP BY 1),
+ab AS (SELECT cum.lang, SUM(c) AS n_above, SUM(tok) AS tok_above
+  FROM cum JOIN th USING (lang) WHERE q > theta GROUP BY 1),
+bd AS (SELECT lang, COUNT(*) AS n_boundary, SUM(nt) AS tok_boundary FROM (
+  SELECT f.lang, f.nt,
+    SUM(f.nt) OVER (PARTITION BY f.lang ORDER BY f.doc_id) AS cum_nt
+  FROM f JOIN th ON th.lang = f.lang AND f.q = th.theta) x
+  JOIN th USING (lang) LEFT JOIN ab USING (lang)
+  WHERE cum_nt <= $budget - COALESCE(tok_above, 0) GROUP BY 1)
+SELECT th.lang, th.theta,
+  CAST(COALESCE(n_above, 0) AS BIGINT) AS n_above,
+  CAST(COALESCE(tok_above, 0) AS BIGINT) AS tok_above,
+  CAST(COALESCE(n_boundary, 0) AS BIGINT) AS n_boundary,
+  CAST(COALESCE(tok_boundary, 0) AS BIGINT) AS tok_boundary,
+  CAST(COALESCE(n_above, 0) + COALESCE(n_boundary, 0) AS BIGINT)
+    AS n_selected,
+  CAST(COALESCE(tok_above, 0) + COALESCE(tok_boundary, 0) AS BIGINT)
+    AS tokens_selected
+FROM th LEFT JOIN ab USING (lang) LEFT JOIN bd USING (lang)
+ORDER BY lang"""
+
+  /** Quality↔dup calibration mirror: same global value-domain decile
+    * formula, dup flags from the SAME minhash candidate CTEs. */
+  val qualityDupLiftSql: String =
+    s"""WITH ${minhashCtes(16, 4)},
+qq AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|is)\\b')) AS BIGINT) AS stop
+  FROM documents),
+ff AS (SELECT doc_id,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS q FROM qq),
+cq AS (SELECT q, COUNT(*) AS c FROM ff GROUP BY 1),
+rr AS (SELECT q, CAST(LEAST(FLOOR(
+    CAST(2 * (cum - c) + c AS DOUBLE) / CAST(2 * n AS DOUBLE) * 10.0),
+    9.0) AS BIGINT) AS decile
+  FROM (SELECT q, c, SUM(c) OVER (ORDER BY q) AS cum,
+    SUM(c) OVER () AS n FROM cq) t),
+dup AS (SELECT DISTINCT doc_id FROM
+  (SELECT a AS doc_id FROM pairs UNION ALL SELECT b AS doc_id FROM pairs)),
+fl AS (SELECT ff.doc_id, rr.decile,
+  CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM ff JOIN rr USING (q) LEFT JOIN dup ON dup.doc_id = ff.doc_id)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+  ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS dup_rate
+FROM fl GROUP BY 1 ORDER BY 1"""
+
+  /** Shard-mix mirror: same salted shard bucket, same (shard, source)
+    * count frame, same KL formula. */
+  def shardMixSql(shards: Int): String =
+    s"""WITH c AS (SELECT ${h60("'shard:' || CAST(doc_id AS VARCHAR)")} % $shards AS shard,
+  source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+sh AS (SELECT shard, SUM(c) AS n_docs, COUNT(*) AS n_sources FROM c GROUP BY 1),
+g AS (SELECT source, SUM(c) AS g FROM c GROUP BY 1),
+t AS (SELECT SUM(g) AS n FROM g)
+SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_sources AS BIGINT) AS n_sources,
+  ROUND(SUM((c / CAST(n_docs AS DOUBLE)) *
+    ln((c / CAST(n_docs AS DOUBLE)) / (g / CAST(n AS DOUBLE)))), 6) AS kl
+FROM c JOIN sh USING (shard) JOIN g USING (source) CROSS JOIN t
+GROUP BY shard, n_docs, n_sources ORDER BY shard"""
+
+  /** Incremental-dedup mirror: same salted index/incoming split, same
+    * md5 content fingerprints, same distinct-index left join. */
+  def incrementalDedupSql(indexPct: Int): String =
+    s"""WITH fp AS (SELECT doc_id, source, md5(text) AS fp,
+  ${h60("'inc:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
+idx AS (SELECT DISTINCT fp FROM fp WHERE b < $indexPct),
+inc AS (SELECT f.source, CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END AS h
+  FROM fp f LEFT JOIN idx i ON i.fp = f.fp WHERE f.b >= $indexPct)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_incoming,
+  CAST(SUM(h) AS BIGINT) AS n_hit,
+  ROUND(SUM(h) / CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate
+FROM inc GROUP BY source ORDER BY source"""
+
+  /** Vocab-overlap mirror: same whitespace tokenizer as vocabTopKSql,
+    * same distinct (source, term) reduction, same a<b pair join. */
+  val vocabOverlapSql: String =
+    """WITH st AS (SELECT DISTINCT source, term FROM (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY 1),
+bt AS (SELECT a.source AS source_a, b.source AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, sa.v AS vocab_a, sb.v AS vocab_b, n_both,
+  ROUND(n_both / CAST(sa.v + sb.v - n_both AS DOUBLE), 6) AS jaccard
+FROM bt JOIN sz sa ON sa.source = bt.source_a
+  JOIN sz sb ON sb.source = bt.source_b
+ORDER BY source_a, source_b"""
+
+  /** Burrows-Delta mirror: same 1e-9-integerized frequencies, same
+    * exact sufficient statistics for σ, same μ-cancelled |Δf|/σ sum. */
+  def burrowsDeltaSql(k: Int): String =
+    s"""WITH tc AS (SELECT source, term FROM (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+cnt AS (SELECT source, term, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY 1),
+top AS (SELECT term FROM (SELECT term, SUM(c) AS ct FROM cnt GROUP BY 1)
+  ORDER BY ct DESC, term ASC LIMIT $k),
+grid AS (SELECT t.source, p.term,
+  CAST(FLOOR(1e9 * COALESCE(c.c, 0) / CAST(t.n AS DOUBLE) + 0.5) AS BIGINT)
+    AS fi
+  FROM tot t CROSS JOIN top p
+  LEFT JOIN cnt c ON c.source = t.source AND c.term = p.term),
+sd AS (SELECT term,
+  sqrt(CAST(SUM(CAST(fi AS HUGEINT) * fi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    - (CAST(SUM(fi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) *
+      (CAST(SUM(fi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS sigma
+  FROM grid GROUP BY 1)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS k_used,
+  ROUND(SUM(CASE WHEN sd.sigma > 0.0
+    THEN CAST(ABS(a.fi - b.fi) AS DOUBLE) / sd.sigma ELSE 0.0 END) /
+    CAST(COUNT(*) AS DOUBLE), 6) AS delta
+FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+JOIN sd ON sd.term = a.term
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Charset-profile mirror: same four counted classes, punctuation
+    * derived by the same subtraction. */
+  val charsetProfileSql: String =
+    """WITH f AS (SELECT source, CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS letters,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits,
+  CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS spaces,
+  CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT) AS nonascii
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(chars) AS BIGINT) AS chars,
+  ROUND(SUM(letters) / CAST(SUM(chars) AS DOUBLE), 6) AS letter_frac,
+  ROUND(SUM(digits) / CAST(SUM(chars) AS DOUBLE), 6) AS digit_frac,
+  ROUND(SUM(spaces) / CAST(SUM(chars) AS DOUBLE), 6) AS space_frac,
+  ROUND((SUM(chars) - SUM(letters) - SUM(digits) - SUM(spaces) -
+    SUM(nonascii)) / CAST(SUM(chars) AS DOUBLE), 6) AS punct_frac,
+  ROUND(SUM(nonascii) / CAST(SUM(chars) AS DOUBLE), 6) AS nonascii_frac
+FROM f GROUP BY source ORDER BY source"""
+
+  /** Hapax mirror: same per-source term counts, same c=1 rollup. */
+  val hapaxSql: String =
+    """WITH cnt AS (SELECT source, term, COUNT(*) AS c FROM (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+  CAST(SUM(c) AS BIGINT) AS tokens,
+  ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS hapax_rate
+FROM cnt GROUP BY source ORDER BY source"""
+
+  /** Skip-gram mirror: positions from the RAW split (empties hold
+    * their slot), same lead adjacency, same post-pair filter. */
+  def skipgramSql(window: Int, topK: Int): String = {
+    val leads = (1 to window)
+      .map(j => s"lead(term, $j) OVER (PARTITION BY doc_id ORDER BY i) AS c$j")
+      .mkString(",\n  ")
+    val union = (1 to window)
+      .map(j => s"SELECT center, c$j AS context FROM ld")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, i, parts[i] AS term FROM (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+  unnest(generate_series(1, len(parts))) AS t(i)),
+ld AS (SELECT term AS center,
+  $leads
+  FROM toks),
+pr AS ($union)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM pr WHERE center <> '' AND context IS NOT NULL AND context <> ''
+GROUP BY 1, 2 ORDER BY n DESC, center ASC, context ASC LIMIT $topK"""
+  }
+
   /** Funnel-latency mirror: first signup / first subsequent purchase
     * per user, integer-second latencies counted per value, lower
     * percentiles by the same k·cum ≥ q·n integer ceil rule. */

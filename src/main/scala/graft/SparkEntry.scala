@@ -153,6 +153,8 @@ object SparkEntry {
         .orderBy("degree")),
     "q_hill_tail" -> ((s, d) =>
       algorithms.Structure.hillTailIndex(g(s, d).degrees)),
+    "q_degree_anonymity" -> ((s, d) =>
+      algorithms.Structure.degreeAnonymity(g(s, d).nodes, g(s, d).edges)),
 
     // ---- §2.2 chained query API ----
     "q_label_scan" -> ((s, d) =>
@@ -611,6 +613,27 @@ object SparkEntry {
       pipeline.TextOps.codeSwitch(GraphBuilder.table(s, d, "documents"))),
     "q_funnel_latency" -> ((s, d) =>
       EventStreams.funnelLatency(EventStreams.eventsTable(s, d))),
+    "q_markov_stationary" -> ((s, d) =>
+      EventStreams.markovStationary(EventStreams.eventsTable(s, d))),
+    "q_shard_mix" -> ((s, d) =>
+      Corpus.shardMix(GraphBuilder.table(s, d, "documents"))),
+    "q_incremental_dedup" -> ((s, d) =>
+      Corpus.incrementalDedup(GraphBuilder.table(s, d, "documents"))),
+    "q_vocab_overlap" -> ((s, d) =>
+      Corpus.vocabOverlap(GraphBuilder.table(s, d, "documents"))),
+    "q_burrows_delta" -> ((s, d) =>
+      pipeline.Stats.burrowsDelta(GraphBuilder.table(s, d, "documents"))),
+    "q_charset_profile" -> ((s, d) =>
+      pipeline.TextOps.charsetProfile(GraphBuilder.table(s, d, "documents"))),
+    "q_hapax" -> ((s, d) =>
+      Corpus.hapaxProfile(GraphBuilder.table(s, d, "documents"))),
+    "q_skipgram" -> ((s, d) =>
+      Corpus.skipgramPairs(GraphBuilder.table(s, d, "documents"))),
+    "q_token_budget" -> ((s, d) =>
+      Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
+    "q_quality_dup_lift" -> ((s, d) =>
+      Corpus.qualityDupLift(GraphBuilder.table(s, d, "documents"),
+        minhashPairsCached(s, d))),
     "q_dup_inflation" -> ((s, d) =>
       Corpus.dupInflation(GraphBuilder.table(s, d, "documents"),
         lower(substring(col("text"), 1, 100)))),
@@ -1154,6 +1177,17 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_pii_cooccur" -> PipelineOracles.piiCooccurSql,
     "q_code_switch" -> PipelineOracles.codeSwitchSql(0.9),
     "q_funnel_latency" -> PipelineOracles.funnelLatencySql("signup", "purchase"),
+    "q_markov_stationary" -> PipelineOracles.markovStationarySql(8),
+    "q_shard_mix" -> PipelineOracles.shardMixSql(16),
+    "q_incremental_dedup" -> PipelineOracles.incrementalDedupSql(80),
+    "q_vocab_overlap" -> PipelineOracles.vocabOverlapSql,
+    "q_degree_anonymity" -> Oracles.degreeAnonymitySql,
+    "q_burrows_delta" -> PipelineOracles.burrowsDeltaSql(40),
+    "q_charset_profile" -> PipelineOracles.charsetProfileSql,
+    "q_hapax" -> PipelineOracles.hapaxSql,
+    "q_skipgram" -> PipelineOracles.skipgramSql(2, 30),
+    "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
+    "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,
     "q_dup_inflation" -> PipelineOracles.dupInflationSql,
     "q_winnow" -> PipelineOracles.winnowSql(5, 8),

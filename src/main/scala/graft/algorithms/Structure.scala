@@ -167,6 +167,48 @@ object Structure {
           (col("m") - 1).cast("double") / col("lsum")), 6).as("alpha"))
   }
 
+  /** Degree-signature k-anonymity (the Hay et al. 2008 structural
+    * re-identification screen): each node's signature is (degree,
+    * min/max/sum of neighbor degrees, distinct-neighbor count) over
+    * all incident edges (both directions, q_degree_dist's convention;
+    * isolated nodes form the all-zero class); a node whose GLOBAL
+    * signature class has size 1 is structurally unique — linkable
+    * from degree information alone. Returns per label: n_nodes,
+    * n_sigs (distinct signatures among the label's nodes), n_unique
+    * (nodes in size-1 global classes), uniqueness_rate.
+    *
+    * Scale: bounded-state aggregates only — the neighbor multiset is
+    * never materialized (a hub's signature is 5 numbers regardless of
+    * its degree); one neighbor-degree join (the assortativity shape)
+    * + two hash groupBys. */
+  def degreeAnonymity(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("id"), col("dst").as("nb"))
+      .unionByName(edges.select(col("dst").as("id"), col("src").as("nb")))
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("deg"))
+    val feats = sym
+      .join(deg.select(col("id").as("nb"), col("deg").as("nd")), Seq("nb"))
+      .groupBy("id")
+      .agg(min("nd").as("min_nd"), max("nd").as("max_nd"),
+        sum("nd").as("sum_nd"), countDistinct("nb").as("k_nb"))
+    val sigCols = Seq("deg", "min_nd", "max_nd", "sum_nd", "k_nb")
+    val full = nodes.select(col("id"), col("label"))
+      .join(deg, Seq("id"), "left")
+      .join(feats, Seq("id"), "left")
+      .na.fill(0L, sigCols)
+    val cls = full.groupBy(sigCols.map(col): _*)
+      .agg(count(lit(1)).as("csize"))
+    full.join(cls, sigCols)
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        countDistinct(struct(sigCols.map(col): _*)).cast("long").as("n_sigs"),
+        sum(when(col("csize") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_unique"))
+      .select(col("label"), col("n_nodes"), col("n_sigs"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_nodes"), 6)
+          .as("uniqueness_rate"))
+      .orderBy("label")
+  }
+
   def assortativity(pedges: DataFrame): DataFrame = {
     val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))

@@ -1301,4 +1301,234 @@ object Corpus {
       .join(dup, Seq("doc_id"), "left_anti")
       .groupBy("lang").agg(count(lit(1)).cast("long").as("kept"))
   }
+
+  /** Token-budget epoch planner: per language, fill a whole-document
+    * token budget best-quality-first and report the selection — the
+    * concrete "which docs make the cut for this epoch" decision a mix
+    * designer runs after setting per-language budgets. Semantics
+    * (pinned, whole docs only): θ = quality of the block where the
+    * budget crosses scanning value blocks best-first; every doc with
+    * quality > θ is selected (their tokens total tok_above < B by
+    * construction); within the θ tie-block docs are taken in doc_id
+    * order while the running token total fits the remainder.
+    *
+    * Scale: NO corpus-grain sort — the best-first scan runs on the
+    * per-(lang, quality-VALUE) count frame (windows over the value
+    * domain), and only the θ tie-block's docs get a doc-grain window
+    * (bounded by the largest quality tie, not the corpus). */
+  def tokenBudget(docs: DataFrame, budget: Long = 200000L): DataFrame = {
+    val feat = TextOps.withQuality(docs)
+      .select(col("lang"), col("doc_id"), col("quality").as("q"),
+        col("_words").as("nt"))
+    val vc = feat.groupBy("lang", "q")
+      .agg(count(lit(1)).as("c"), sum("nt").as("tok"))
+    val wDesc = Window.partitionBy("lang").orderBy(col("q").desc)
+    val cum = vc.withColumn("cum_above", sum("tok").over(wDesc) - col("tok"))
+    // θ block: the LAST block (best-first) whose strictly-better mass
+    // is still under budget — always exists (first block has 0 above)
+    val theta = cum.filter(col("cum_above") < budget)
+      .groupBy("lang")
+      .agg(min("q").as("theta"))
+    val above = cum.join(broadcast(theta), Seq("lang"))
+      .filter(col("q") > col("theta"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_above"), sum("tok").as("tok_above"))
+    val wTie = Window.partitionBy("lang").orderBy("doc_id")
+    val boundary = feat.join(broadcast(theta), Seq("lang"))
+      .filter(col("q") === col("theta"))
+      .withColumn("cum_nt", sum("nt").over(wTie))
+      .join(broadcast(above), Seq("lang"), "left")
+      .filter(col("cum_nt") <= lit(budget) - coalesce(col("tok_above"), lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_boundary"), sum("nt").as("tok_boundary"))
+    theta
+      .join(above, Seq("lang"), "left")
+      .join(boundary, Seq("lang"), "left")
+      .select(col("lang"), col("theta"),
+        coalesce(col("n_above"), lit(0L)).as("n_above"),
+        coalesce(col("tok_above"), lit(0L)).as("tok_above"),
+        coalesce(col("n_boundary"), lit(0L)).as("n_boundary"),
+        coalesce(col("tok_boundary"), lit(0L)).as("tok_boundary"),
+        (coalesce(col("n_above"), lit(0L)) +
+          coalesce(col("n_boundary"), lit(0L))).as("n_selected"),
+        (coalesce(col("tok_above"), lit(0L)) +
+          coalesce(col("tok_boundary"), lit(0L))).as("tokens_selected"))
+      .orderBy("lang")
+  }
+
+  /** Training-shard mixing audit: docs assigned to `shards` buckets by
+    * the salted 60-bit md5 of doc_id (the deterministic assignment a
+    * distributed writer would use), then each shard's source
+    * distribution is scored against the corpus distribution with KL —
+    * the "is every shard a faithful miniature of the mix" check that
+    * catches skewed shard assignment before it skews training batches.
+    * Returns (shard, n_docs, n_sources, kl) per shard.
+    *
+    * Scale: one scan to the (shard, source) count frame (|shards|·|S|
+    * rows); global marginals derived from it; every join is on frames
+    * broadcast-sized by construction. */
+  def shardMix(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val c = docs
+      .select(pmod(TextOps.hash60(col("doc_id").cast("string"), "shard:"),
+        lit(shards.toLong)).as("shard"), col("source"))
+      .groupBy("shard", "source").agg(count(lit(1)).as("c"))
+    val bySh = c.groupBy("shard").agg(sum("c").as("n_docs"),
+      count(lit(1)).as("n_sources"))
+    val glob = c.groupBy("source").agg(sum("c").as("g"))
+    val tot = glob.agg(sum("g").as("n"))
+    c.join(broadcast(glob), Seq("source")).crossJoin(broadcast(tot))
+      .join(broadcast(bySh), Seq("shard"))
+      .groupBy("shard")
+      .agg(sum((col("c") / col("n_docs")) *
+        log((col("c") / col("n_docs")) / (col("g") / col("n")))).as("kl"))
+      .join(bySh, Seq("shard"))
+      .select(col("shard"), col("n_docs").cast("long").as("n_docs"),
+        col("n_sources").cast("long").as("n_sources"),
+        round(col("kl"), 6).as("kl"))
+      .orderBy("shard")
+  }
+
+  /** Incremental-ingestion dedup audit: the corpus is split into an
+    * 80% "index" (already-ingested history) and 20% "incoming" batch
+    * by salted doc_id hash, and each incoming doc is checked against
+    * the index's exact content fingerprints — the per-source hit rate
+    * is the marginal duplication a NEW crawl batch carries against the
+    * existing corpus (the number that decides whether a source is
+    * still worth crawling). Returns (source, n_incoming, n_hit,
+    * hit_rate).
+    *
+    * Scale: the index side reduces to DISTINCT fingerprints before the
+    * join (one shuffle each side, join key = 128-bit md5 — uniform, no
+    * skew); nothing doc×doc. */
+  def incrementalDedup(docs: DataFrame, indexPct: Int = 80): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp"),
+      pmod(TextOps.hash60(col("doc_id").cast("string"), "inc:"), lit(100L))
+        .as("b"))
+    val index = fp.filter(col("b") < indexPct)
+      .select("fp").distinct().withColumn("h", lit(1L))
+    fp.filter(col("b") >= indexPct)
+      .join(index, Seq("fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_incoming"),
+        sum(coalesce(col("h"), lit(0L))).cast("long").as("n_hit"))
+      .select(col("source"), col("n_incoming"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_incoming"), 6)
+          .as("hit_rate"))
+      .orderBy("source")
+  }
+
+  /** Pairwise source vocabulary overlap: Jaccard of the distinct
+    * whitespace-term sets of every source pair ([[terms]] tokenizer —
+    * the shared definition). High overlap between two crawl sources
+    * flags redundant acquisition even when no document is a near-dup;
+    * low overlap justifies keeping both. Returns (source_a, source_b,
+    * vocab_a, vocab_b, n_both, jaccard), a < b.
+    *
+    * Scale: the corpus reduces to the DISTINCT (source, term) frame
+    * (vocab-bounded) before any pairing; the pair join is keyed on
+    * term with ≤|S| rows per key, so intersections cost vocab·|S|²
+    * worst-case — never doc×doc, never vocab×vocab. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val both = st.join(st.select(col("source").as("source_b"),
+          col("term")), Seq("term"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("v").as("vocab_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("v").as("vocab_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("vocab_a").cast("long").as("vocab_a"),
+        col("vocab_b").cast("long").as("vocab_b"),
+        col("n_both").cast("long").as("n_both"),
+        round(col("n_both").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("n_both")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Hapax-legomena profile per source: vocabulary size, share of
+    * terms occurring exactly once WITHIN the source, and token total —
+    * the productivity/creativity fingerprint (a high hapax rate marks
+    * genuinely novel text; a collapsing one marks template spam long
+    * before near-dup detectors fire). [[terms]] tokenizer. One
+    * (source, term) count shuffle, then an |S|-row rollup. */
+  def hapaxProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long").as("hapax"),
+        sum("c").cast("long").as("tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("tokens"),
+        round(col("hapax").cast("double") / col("vocab"), 6).as("hapax_rate"))
+      .orderBy("source")
+
+  /** Skip-gram co-occurrence pairs (the word2vec/GloVe training
+    * statistic): ordered (center, context) counts for contexts 1..w
+    * positions ahead within a document, top `topK` by count. Positions
+    * come from the RAW whitespace split (empty tokens hold their slot
+    * and are filtered after pairing), so both engines see identical
+    * adjacency. Returns (center, context, n).
+    *
+    * Scale: w `lead` columns over one per-doc window — no self-join,
+    * no position explode; the count shuffles once keyed by the pair;
+    * top-k is a TakeOrdered. */
+  def skipgramPairs(docs: DataFrame, window: Int = 2,
+                    topK: Int = 30): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = toks.select(col("doc_id") +: col("term").as("center") +:
+      (1 to window).map(j => lead("term", j).over(w).as(s"ctx$j")): _*)
+    (1 to window).map(j =>
+        leads.select(col("center"), col(s"ctx$j").as("context")))
+      .reduce(_ unionByName _)
+      .filter(col("center") =!= "" && col("context").isNotNull &&
+        col("context") =!= "")
+      .groupBy("center", "context").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("center").asc, col("context").asc)
+      .limit(topK)
+  }
+
+  /** Quality↔duplication calibration: global quality percent-rank
+    * deciles (exact half-unit ranks over the quality VALUE domain, as
+    * [[graft.pipeline.Robust.quantileNorm]]) against the near-dup flag
+    * from the MinHash candidate pairs — the "does my quality score
+    * actually anti-correlate with duplication" audit that decides
+    * whether quality-gating doubles as soft dedup. One quality scan +
+    * the shared candidate-pair frame; deciles from the value-domain
+    * rank formula, never an NTILE over the corpus. */
+  def qualityDupLift(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val scored = TextOps.quality(docs).select(col("doc_id"), col("quality").as("q"))
+    val cnt = scored.groupBy("q").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("q")
+    val ranked = cnt
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("q"),
+        least(floor((lit(2L) * (col("cum") - col("c")) + col("c")).cast("double") /
+          (lit(2L) * col("n")).cast("double") * lit(10.0)), lit(9.0))
+          .cast("long").as("decile"))
+    val dup = pairs.select(col("a").as("doc_id"))
+      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+      .withColumn("is_dup", lit(1L))
+    scored.join(ranked, Seq("q"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("decile"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy("decile")
+  }
 }

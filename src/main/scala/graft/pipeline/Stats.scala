@@ -576,4 +576,57 @@ object Stats {
           sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
         .as("rho"))
   }
+
+  /** Burrows's Delta stylometric distance between sources (Burrows
+    * 2002, the authorship-attribution standard): over the corpus
+    * top-k terms, each source's relative frequency is z-scored across
+    * sources and Delta(a,b) = mean |z_a − z_b|. High Delta = distinct
+    * registers worth separate mixing weights; near-zero = one style
+    * masquerading as two sources. The μ term cancels in z_a − z_b, so
+    * the computation reduces to |f_a − f_b|/σ_t — frequencies are
+    * integerized to 1e-9 units (floor(1e9·c/n + 0.5), exact in both
+    * engines) and σ_t comes from exact BIGINT/DECIMAL sufficient
+    * statistics; σ_t = 0 terms (identical frequency everywhere)
+    * contribute 0. Returns (source_a, source_b, k_used, delta), a<b.
+    *
+    * Scale: (source, term) counts shuffle once; the top-k term list is
+    * a driver-sized TakeOrdered; the z-grid is |S|·k rows and the pair
+    * frame |S|²·k — broadcast-sized regardless of corpus size. */
+  def burrowsDelta(docs: DataFrame, k: Int = 40): DataFrame = {
+    val tc = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cnt = tc.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy("source").agg(sum("c").as("n"))
+    val top = cnt.groupBy("term").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("term").asc).limit(k)
+      .select("term").localCheckpoint()
+    // absent (source, term) pairs ARE rows (f = 0): a term one source
+    // never uses is maximal style signal, not missing data
+    val grid = totals.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        floor(lit(1e9) * coalesce(col("c"), lit(0L)).cast("double") /
+          col("n").cast("double") + lit(0.5)).cast("long").as("fi"))
+    val sd = grid.groupBy("term").agg(count(lit(1)).as("m"),
+        sum("fi").as("sf"),
+        sum(col("fi").cast("decimal(38,0)") * col("fi").cast("decimal(38,0)"))
+          .as("sff"))
+      .select(col("term"),
+        sqrt(col("sff").cast("double") / col("m").cast("double") -
+          (col("sf").cast("double") / col("m").cast("double")) *
+          (col("sf").cast("double") / col("m").cast("double"))).as("sigma"))
+    grid.join(grid.select(col("source").as("source_b"), col("term"),
+        col("fi").as("fi_b")), Seq("term"))
+      .filter(col("source") < col("source_b"))
+      .join(broadcast(sd), Seq("term"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("k_used"),
+        sum(when(col("sigma") > 0.0,
+          abs(col("fi") - col("fi_b")).cast("double") / col("sigma"))
+          .otherwise(0.0)).as("dsum"))
+      .select(col("source_a"), col("source_b"), col("k_used"),
+        round(col("dsum") / col("k_used").cast("double"), 6).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
 }

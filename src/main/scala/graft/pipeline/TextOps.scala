@@ -332,4 +332,40 @@ object TextOps {
         col("mean_dom_share"))
       .orderBy("source")
   }
+
+  /** Character-class composition per source — the "code vs prose vs
+    * tables vs foreign script" fingerprint: exact per-doc counts of
+    * ASCII letters, digits, spaces, and non-ASCII code points, with
+    * remaining ASCII (punctuation/control) DERIVED by subtraction so
+    * no two regex definitions can disagree about the partition.
+    * Fractions of total characters, 6 dp. One codegen'd map + one
+    * |S|-row aggregate.
+    *
+    * Distinct from [[quality]] (which gates) and lexicalProfile (which
+    * reads words): this reads raw bytes-level composition — the signal
+    * that separates source code, markup, and tables from prose before
+    * any tokenizer runs. */
+  def charsetProfile(docs: DataFrame): DataFrame = {
+    val f = docs.select(col("source"),
+      length(col("text")).cast("long").as("chars"),
+      regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("letters"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long").as("digits"),
+      regexp_count(col("text"), lit(" ")).cast("long").as("spaces"),
+      regexp_count(col("text"), lit("[^\\x00-\\x7F]")).cast("long")
+        .as("nonascii"))
+    f.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("chars").as("chars"), sum("letters").as("letters"),
+        sum("digits").as("digits"), sum("spaces").as("spaces"),
+        sum("nonascii").as("nonascii"))
+      .select(col("source"), col("n_docs"), col("chars").cast("long").as("chars"),
+        round(col("letters") / col("chars").cast("double"), 6).as("letter_frac"),
+        round(col("digits") / col("chars").cast("double"), 6).as("digit_frac"),
+        round(col("spaces") / col("chars").cast("double"), 6).as("space_frac"),
+        round((col("chars") - col("letters") - col("digits") - col("spaces") -
+          col("nonascii")) / col("chars").cast("double"), 6).as("punct_frac"),
+        round(col("nonascii") / col("chars").cast("double"), 6)
+          .as("nonascii_frac"))
+      .orderBy("source")
+  }
 }

@@ -888,6 +888,53 @@ object EventStreams {
     cnt.withColumn("p", round(col("n") / sum("n").over(byFrom), 6))
   }
 
+  /** Stationary distribution of the first-order event-type Markov
+    * chain: P(from → to) row-normalized from the same per-user
+    * consecutive-step counts as [[eventTransitions]], then π ← πP
+    * iterated `iters` times from uniform, with dangling-state mass
+    * (types with no outgoing step) redistributed uniformly — the
+    * PageRank-without-damping fixpoint. Answers "where does user
+    * attention CONVERGE", which one-step transition counts can't.
+    *
+    * Scale: the chain lives on the |types|² count frame (broadcast-
+    * sized by construction — event-type vocabularies are small); each
+    * iteration is one broadcast join + one |types|-group aggregate,
+    * so the corpus is scanned exactly once no matter how many
+    * iterations run. Dangling mass is recovered as 1 − Σflow (row-
+    * stochastic rows sum to 1), so no per-iteration driver collect. */
+  def markovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cnt = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val p = broadcast(
+      cnt.join(cnt.groupBy("from_type").agg(sum("n").as("tot")), Seq("from_type"))
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+        .localCheckpoint())
+    val states = events.select(col("event_type").as("state"))
+      .distinct().localCheckpoint()
+    val k = states.count()
+    var pi = states.select(col("state"), lit(1.0 / k).as("pi"))
+    for (_ <- 1 to iters) {
+      val flow = pi.join(p, pi("state") === p("from_type"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(col("pi") * col("p")).as("flow"))
+      val fs = flow.agg(sum("flow").as("fs"))
+      pi = states.join(flow, Seq("state"), "left")
+        .crossJoin(broadcast(fs))
+        .select(col("state"),
+          (coalesce(col("flow"), lit(0.0)) +
+            (lit(1.0) - col("fs")) / lit(k.toDouble)).as("pi"))
+        .localCheckpoint()
+    }
+    pi.select(col("state"), round(col("pi"), 6).as("pi")).orderBy("state")
+  }
+
   /** Daily event-type pivot: one row per epoch-day, one BIGINT count
     * column per (pinned) event type — the wide activity matrix BI
     * tools and anomaly baselines consume. The type list is an explicit

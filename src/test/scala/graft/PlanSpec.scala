@@ -66,7 +66,10 @@ class PlanSpec extends SparkSpec {
         + "distinct-value frames — bounded by the value domains"),
       "q_funnel_latency" -> ("percentile cumulative over the distinct "
         + "latency-value frame — bounded by the observation window in "
-        + "seconds (time domain), never by event volume"))
+        + "seconds (time domain), never by event volume"),
+      "q_quality_dup_lift" -> ("decile rank cumulative over the "
+        + "distinct-quality frame — bounded by the 6dp value domain, "
+        + "never the corpus"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

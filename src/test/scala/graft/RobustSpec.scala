@@ -159,4 +159,201 @@ class RobustSpec extends SparkSpec {
     assert(got.getAs[Double]("conv_rate") ==
       math.rint(4.0 / 6.0 * 1e6) / 1e6)
   }
+
+  test("markovStationary: 2-cycle splits evenly, dangling mass decays 3^-k") {
+    val implicits = spark.implicits
+    import implicits._
+    // user 1 alternates A,B,A,B,A (A->B x2, B->A x2); user 2 emits a
+    // single C event: C is a dangling state (no outgoing step), so each
+    // iteration its mass redistributes uniformly (pi(C) shrinks by 3x:
+    // the residual IS pi(C), a third of it flows back). From pi0 = 1/3:
+    // after k iterations pi(C) = 3^-(k+1), pi(A) = pi(B) = (1-pi(C))/2.
+    val ev = Seq(
+      (1L, 1L, "A", 10L), (2L, 1L, "B", 20L), (3L, 1L, "A", 30L),
+      (4L, 1L, "B", 40L), (5L, 1L, "A", 50L),
+      (6L, 2L, "C", 10L))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("sec").cast("timestamp").as("ts"))
+    val got = EventStreams.markovStationary(ev, iters = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val c = 1.0 / math.pow(3.0, 9)
+    assert(got("C") == math.rint(c * 1e6) / 1e6)
+    assert(got("A") == math.rint((1.0 - c) / 2.0 * 1e6) / 1e6)
+    assert(got("A") == got("B"))
+  }
+
+  private def langDocsOf(rows: Seq[(Long, String, String)]) = {
+    val implicits = spark.implicits
+    import implicits._
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  // quality with no punctuation: 0.4·(w/100) + 0.3 + 0.3·min(5s/w, 1)
+  private val tHi = "the a is the a is the a is the" // w=10 s=10 -> 0.64
+  private val tMid = "the a is cat dog bird"         // w=6 s=3   -> 0.624
+  private val tLo = "cat dog bird fish"              // w=4 s=0   -> 0.316
+
+  test("tokenBudget: theta block split, ties taken in doc_id order") {
+    // en: doc1 q=.64 (10 tok), docs 2,3 tie at q=.624 (6 tok each),
+    // doc4 q=.316 (4 tok). Budget 17: above-theta = doc1 (10 tok);
+    // tie block remainder 7 fits doc2 (cum 6) but not doc3 (cum 12).
+    // de: one 2-token doc, fully under budget -> boundary-only.
+    val docs = langDocsOf(Seq(
+      (1L, "en", tHi), (2L, "en", tMid), (3L, "en", tMid), (4L, "en", tLo),
+      (5L, "de", "cat dog")))
+    val got = pipeline.Corpus.tokenBudget(docs, budget = 17L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Double]("theta") == 0.624)
+    assert(en.getAs[Long]("n_above") == 1L)
+    assert(en.getAs[Long]("tok_above") == 10L)
+    assert(en.getAs[Long]("n_boundary") == 1L)
+    assert(en.getAs[Long]("tok_boundary") == 6L)
+    assert(en.getAs[Long]("n_selected") == 2L)
+    assert(en.getAs[Long]("tokens_selected") == 16L)
+    val de = got("de")
+    assert(de.getAs[Long]("n_above") == 0L)
+    assert(de.getAs[Long]("n_boundary") == 1L)
+    assert(de.getAs[Long]("tokens_selected") == 2L)
+  }
+
+  test("qualityDupLift: value-domain deciles x candidate-pair dup flags") {
+    // 4 distinct qualities: .308 ("cat dog"), .316, .624, .64 ->
+    // deciles floor((2(cum-c)+c)/(2n)·10) = 1, 3, 6, 8; the candidate
+    // pair (4,1) marks the lowest and highest deciles as dup.
+    val implicits = spark.implicits
+    import implicits._
+    val docs = docsOf(Seq(
+      (1L, "a", tHi, 30L), (2L, "a", tMid, 21L),
+      (3L, "a", tLo, 17L), (4L, "a", "cat dog", 7L)))
+    val pairs = Seq((4L, 1L)).toDF("a", "b")
+    val got = pipeline.Corpus.qualityDupLift(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 3L, 6L, 8L))
+    assert(got(1L).getAs[Long]("n_dup") == 1L)
+    assert(got(8L).getAs[Long]("n_dup") == 1L)
+    assert(got(3L).getAs[Long]("n_dup") == 0L)
+    assert(got(6L).getAs[Long]("n_dup") == 0L)
+    assert(got(1L).getAs[Double]("dup_rate") == 1.0)
+    assert(got(3L).getAs[Double]("dup_rate") == 0.0)
+  }
+
+  test("vocabOverlap: distinct-term Jaccard, zero-overlap pairs absent") {
+    val implicits = spark.implicits
+    import implicits._
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y"), // a vocab {x,y,z}
+      (3L, "b", "y z w"),                   // b vocab {y,z,w}
+      (4L, "c", "q"))                       // c vocab {q} - disjoint
+      .toDF("doc_id", "source", "text")
+    val got = pipeline.Corpus.vocabOverlap(docs).collect()
+    assert(got.length == 1) // only (a,b) overlap; c pairs drop out
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getAs[Long]("vocab_a") == 3L && r.getAs[Long]("vocab_b") == 3L)
+    assert(r.getAs[Long]("n_both") == 2L) // {y,z}
+    assert(r.getAs[Double]("jaccard") == 0.5) // 2/(3+3-2)
+  }
+
+  test("shardMix: single-source corpus has zero KL in every shard") {
+    val docs = langDocsOf((1L to 40L).map(i => (i, "en", s"doc $i")))
+      .withColumnRenamed("lang", "source")
+    val got = pipeline.Corpus.shardMix(docs, shards = 4).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 40L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_sources") == 1L)
+      assert(r.getAs[Double]("kl") == 0.0)
+    }
+  }
+
+  test("incrementalDedup: all-identical corpus gives hit_rate 1") {
+    // every doc has THE same text; any incoming doc's fingerprint is in
+    // the index whenever the index is non-empty (it is: 80 of 100 ids
+    // land under bucket 80 in expectation, and count is asserted > 0)
+    val docs = langDocsOf((1L to 100L).map(i => (i, "en", "same text")))
+      .withColumnRenamed("lang", "source")
+    val got = pipeline.Corpus.incrementalDedup(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_incoming") > 0L)
+    assert(r.getAs[Long]("n_hit") == r.getAs[Long]("n_incoming"))
+    assert(r.getAs[Double]("hit_rate") == 1.0)
+  }
+
+  test("degreeAnonymity: global signature classes, per-label rollup") {
+    val implicits = spark.implicits
+    import implicits._
+    // path 1-2-3 plus isolated 4; nodes 1,3 share the signature
+    // (deg 1, neighbor-degs {2}) ACROSS labels, so neither is unique;
+    // hub 2 and isolated 4 are unique in their classes.
+    val nodes = Seq((1L, "L1"), (2L, "L1"), (3L, "L2"), (4L, "L2"))
+      .toDF("id", "label")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = algorithms.Structure.degreeAnonymity(nodes, edges).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("L1").getAs[Long]("n_nodes") == 2L)
+    assert(got("L1").getAs[Long]("n_sigs") == 2L)
+    assert(got("L1").getAs[Long]("n_unique") == 1L) // node 2 only
+    assert(got("L2").getAs[Long]("n_unique") == 1L) // node 4 only
+    assert(got("L1").getAs[Double]("uniqueness_rate") == 0.5)
+  }
+
+  test("charsetProfile: exact class partition, punct by subtraction") {
+    val docs = docsOf(Seq((1L, "a", "ab1 !é", 6L)))
+    val r = TextOps.charsetProfile(docs).collect().head
+    assert(r.getAs[Long]("chars") == 6L)
+    val sixth = math.rint(1.0 / 6.0 * 1e6) / 1e6
+    assert(r.getAs[Double]("letter_frac") == math.rint(2.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("digit_frac") == sixth)
+    assert(r.getAs[Double]("space_frac") == sixth)
+    assert(r.getAs[Double]("punct_frac") == sixth)    // '!'
+    assert(r.getAs[Double]("nonascii_frac") == sixth) // 'é'
+  }
+
+  test("hapaxProfile: within-source once-only terms") {
+    val docs = docsOf(Seq((1L, "a", "x x y z", 7L)))
+    val r = pipeline.Corpus.hapaxProfile(docs).collect().head
+    assert(r.getAs[Long]("vocab") == 3L)
+    assert(r.getAs[Long]("hapax") == 2L) // y, z
+    assert(r.getAs[Long]("tokens") == 4L)
+    assert(r.getAs[Double]("hapax_rate") == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("skipgramPairs: w=2 ordered pairs, count-desc pair-asc top") {
+    val docs = docsOf(Seq((1L, "a", "a b a b", 7L)))
+    val got = pipeline.Corpus.skipgramPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // (a,b) from 0->1 and 2->3; (a,a) 0->2; (b,a) 1->2; (b,b) 1->3
+    assert(got.head == ("a", "b", 2L))
+    assert(got.drop(1).toSet ==
+      Set(("a", "a", 1L), ("b", "a", 1L), ("b", "b", 1L)))
+  }
+
+  test("burrowsDelta: mu cancels, exact integerized |df|/sigma mean") {
+    val docs = docsOf(Seq(
+      (1L, "a", "x x y", 5L), (2L, "b", "x y y y", 7L), (3L, "c", "x y", 3L)))
+    def fi(c: Long, n: Long): Long =
+      math.floor(1e9 * c.toDouble / n.toDouble + 0.5).toLong
+    // term frequencies: x -> a 2/3, b 1/4, c 1/2; y -> a 1/3, b 3/4, c 1/2
+    val fx = Map("a" -> fi(2, 3), "b" -> fi(1, 4), "c" -> fi(1, 2))
+    val fy = Map("a" -> fi(1, 3), "b" -> fi(3, 4), "c" -> fi(1, 2))
+    def sigma(fs: Iterable[Long]): Double = {
+      val m = fs.size
+      val sff = fs.map(f => BigInt(f) * BigInt(f)).sum
+      val sf = fs.sum
+      math.sqrt(sff.toDouble / m - (sf.toDouble / m) * (sf.toDouble / m))
+    }
+    val (sx, sy) = (sigma(fx.values), sigma(fy.values))
+    def delta(p: String, q: String): Double = math.rint(
+      ((fx(p) - fx(q)).abs.toDouble / sx + (fy(p) - fy(q)).abs.toDouble / sy)
+        / 2.0 * 1e6) / 1e6
+    val got = pipeline.Stats.burrowsDelta(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    got.values.foreach(r => assert(r.getAs[Long]("k_used") == 2L))
+    assert(got(("a", "b")).getAs[Double]("delta") == delta("a", "b"))
+    assert(got(("a", "c")).getAs[Double]("delta") == delta("a", "c"))
+    assert(got(("b", "c")).getAs[Double]("delta") == delta("b", "c"))
+  }
 }
