@@ -440,6 +440,23 @@ JOIN dg da ON da.id = e.a JOIN dg db ON db.id = e.b"""
     * of the co-occurrence graph, same final double arithmetic order.
     * (Zero-variance graphs are NULL on the Spark side vs NaN here —
     * latent-only: the co-occurrence graph is never degree-regular.) */
+  /** Triad-census mirror: same distinct self-loop-free edge set, same
+    * rotation-÷3 cycle count and unique transitive instances. */
+  val triadCensusSql: String =
+    s"""WITH ${DerivedGraphs.tradeTopSql()},
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ttedges WHERE src <> dst),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+mu AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS mutual_dyads FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)),
+wedge AS MATERIALIZED (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM e ab JOIN e bc ON bc.src = ab.dst),
+cy AS (SELECT CAST(COUNT(*) / 3 AS BIGINT) AS cycles FROM wedge
+  WHERE EXISTS (SELECT 1 FROM e z WHERE z.src = wedge.c AND z.dst = wedge.a)),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS transitive FROM wedge
+  WHERE EXISTS (SELECT 1 FROM e z WHERE z.src = wedge.a AND z.dst = wedge.c))
+SELECT n_edges, mutual_dyads, cycles, transitive
+FROM m CROSS JOIN mu CROSS JOIN cy CROSS JOIN tr"""
+
   /** Degree-anonymity mirror: same both-direction incident-edge
     * convention as q_degree_dist, same 5-number signature, same global
     * class sizes, per-label rollup. */

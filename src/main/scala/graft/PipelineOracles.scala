@@ -2510,6 +2510,84 @@ FROM bt JOIN sz sa ON sa.source = bt.source_a
   JOIN sz sb ON sb.source = bt.source_b
 ORDER BY source_a, source_b"""
 
+  /** Hubness mirror: the annLsh chain with every vector as query over
+    * its own bucket, 0-in-degree rows kept via the norm universe. */
+  def hubnessSql(k: Int): String =
+    s"""WITH $embCtes,
+w AS MATERIALIZED (
+  SELECT p AS plane, d AS pos, ${h60("'lsh:' || p || ':' || d")} % 2001 - 1000 AS w
+  FROM unnest(generate_series(0, 3)) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+proj AS MATERIALIZED (SELECT e.vec_id, w.plane, SUM(w.w * e.x) AS proj
+  FROM ex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+bk AS MATERIALIZED (SELECT vec_id,
+  SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id),
+dots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN bk qb ON qb.vec_id = q.vec_id
+         JOIN ex v ON v.pos = q.pos
+         JOIN bk vb ON vb.vec_id = v.vec_id AND vb.bucket = qb.bucket
+         WHERE q.vec_id <> v.vec_id
+         GROUP BY 1, 2),
+cos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
+        FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+rk AS (SELECT vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn FROM cos),
+ind AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS in_deg FROM rk WHERE rn <= $k GROUP BY vid)
+SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM (
+  SELECT COALESCE(i.in_deg, 0) AS in_deg
+  FROM nrm n LEFT JOIN ind i ON i.vid = n.vec_id)
+GROUP BY in_deg ORDER BY in_deg"""
+
+  /** Lorenz mirror: same half-unit value-domain decile rule, same
+    * exact BIGINT share sums. */
+  val lorenzSql: String =
+    """WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+vc AS (SELECT c, COUNT(*) AS nu FROM uc GROUP BY 1),
+rk AS (SELECT c, nu, CAST(LEAST(FLOOR(
+    CAST(2 * (cumu - nu) + nu AS DOUBLE) / CAST(2 * n AS DOUBLE) * 10.0),
+    9.0) AS BIGINT) AS decile
+  FROM (SELECT c, nu, SUM(nu) OVER (ORDER BY c) AS cumu,
+    SUM(nu) OVER () AS n FROM vc) t),
+dec AS (SELECT decile, CAST(SUM(nu) AS BIGINT) AS n_users,
+  CAST(SUM(c * nu) AS BIGINT) AS events FROM rk GROUP BY 1)
+SELECT decile, n_users, events,
+  ROUND(CAST(events AS DOUBLE) / t.tot, 6) AS event_share,
+  ROUND(CAST(SUM(events) OVER (ORDER BY decile) AS DOUBLE) / t.tot, 6)
+    AS cum_share
+FROM dec CROSS JOIN (SELECT CAST(SUM(events) AS DOUBLE) AS tot FROM dec) t
+ORDER BY decile"""
+
+  /** Audience-overlap mirror: same distinct (type, user) reduction,
+    * same a<b pair join. */
+  val audienceOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS u FROM tu GROUP BY 1),
+bt AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+  CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, sa.u AS users_a, sb.u AS users_b, n_both,
+  ROUND(n_both / CAST(sa.u + sb.u - n_both AS DOUBLE), 6) AS jaccard
+FROM bt JOIN sz sa ON sa.event_type = bt.type_a
+  JOIN sz sb ON sb.event_type = bt.type_b
+ORDER BY type_a, type_b"""
+
+  /** Entity-density mirror: same word-boundary regexes, same per-1k
+    * formula order. */
+  val entityDensitySql: String =
+    """WITH f AS (SELECT source,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '\b[A-Z][a-z]+\b')) AS BIGINT) AS caps,
+  CAST(len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS BIGINT) AS acros
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(words) AS BIGINT) AS words,
+  CAST(SUM(caps) AS BIGINT) AS cap_words,
+  CAST(SUM(acros) AS BIGINT) AS acronyms,
+  ROUND(1000.0 * SUM(caps) / CAST(SUM(words) AS DOUBLE), 6) AS cap_per_1k,
+  ROUND(1000.0 * SUM(acros) / CAST(SUM(words) AS DOUBLE), 6) AS acro_per_1k
+FROM f GROUP BY source ORDER BY source"""
+
   /** Burrows-Delta mirror: same 1e-9-integerized frequencies, same
     * exact sufficient statistics for σ, same μ-cancelled |Δf|/σ sum. */
   def burrowsDeltaSql(k: Int): String =

@@ -629,6 +629,17 @@ object SparkEntry {
       Corpus.hapaxProfile(GraphBuilder.table(s, d, "documents"))),
     "q_skipgram" -> ((s, d) =>
       Corpus.skipgramPairs(GraphBuilder.table(s, d, "documents"))),
+    "q_hubness" -> ((s, d) =>
+      pipeline.Similarity.hubness(GraphBuilder.table(s, d, "embeddings"))),
+    "q_triad_census" -> ((s, d) =>
+      algorithms.Structure.triadCensus(
+        graph.DerivedGraphs.nationTradeTop(s, d))),
+    "q_lorenz" -> ((s, d) =>
+      EventStreams.lorenz(EventStreams.eventsTable(s, d))),
+    "q_audience_overlap" -> ((s, d) =>
+      EventStreams.audienceOverlap(EventStreams.eventsTable(s, d))),
+    "q_entity_density" -> ((s, d) =>
+      pipeline.TextOps.entityDensity(GraphBuilder.table(s, d, "documents"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1186,6 +1197,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_charset_profile" -> PipelineOracles.charsetProfileSql,
     "q_hapax" -> PipelineOracles.hapaxSql,
     "q_skipgram" -> PipelineOracles.skipgramSql(2, 30),
+    "q_hubness" -> PipelineOracles.hubnessSql(3),
+    "q_triad_census" -> Oracles.triadCensusSql,
+    "q_lorenz" -> PipelineOracles.lorenzSql,
+    "q_audience_overlap" -> PipelineOracles.audienceOverlapSql,
+    "q_entity_density" -> PipelineOracles.entityDensitySql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

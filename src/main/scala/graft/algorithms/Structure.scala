@@ -167,6 +167,40 @@ object Structure {
           (col("m") - 1).cast("double") / col("lsum")), 6).as("alpha"))
   }
 
+  /** Directed triad census, closed classes (Holland–Leinhardt's 030T/
+    * 030C cells — the feed-forward-vs-feedback motif split of systems
+    * biology): over the DISTINCT self-loop-free edge set, counts
+    * mutual (reciprocated) dyads, cyclic triangles a→b→c→a (each
+    * 3-cycle enumerated at all three rotations, so ÷3), and transitive
+    * triangles a→b→c with the a→c shortcut (each instance unique).
+    * One row: (n_edges, mutual_dyads, cycles, transitive).
+    *
+    * Scale: the standard two-join distributed motif plan — worst case
+    * Σ deg² intermediate like triangle counting, shuffled on the join
+    * vertex; no adjacency materialization. */
+  def triadCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .filter(col("src") =!= col("dst"))
+    val m = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg((count(lit(1)) / 2).cast("long").as("mutual_dyads"))
+    val ab = e.select(col("src").as("a"), col("dst").as("b"))
+    val bc = e.select(col("src").as("b"), col("dst").as("c"))
+    val wedge = ab.join(bc, Seq("b"))
+    val cyc = wedge.join(
+        e.select(col("src").as("c"), col("dst").as("a")), Seq("c", "a"),
+        "left_semi")
+      .agg((count(lit(1)) / 3).cast("long").as("cycles"))
+    val trans = wedge.join(
+        e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).cast("long").as("transitive"))
+    m.crossJoin(broadcast(mutual)).crossJoin(broadcast(cyc))
+      .crossJoin(broadcast(trans))
+  }
+
   /** Degree-signature k-anonymity (the Hay et al. 2008 structural
     * re-identification screen): each node's signature is (degree,
     * min/max/sum of neighbor degrees, distinct-neighbor count) over

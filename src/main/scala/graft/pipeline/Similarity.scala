@@ -76,6 +76,48 @@ object Similarity {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** Hubness audit of the embedding space (Radovanović et al. 2010):
+    * the in-degree histogram of the k-NN digraph — high-dimensional
+    * spaces grow "hub" vectors that appear in a disproportionate share
+    * of neighbor lists and silently dominate retrieval/dedup decisions.
+    * The k-NN graph is the LSH-bucketed one (every vector queries its
+    * OWN bucket, [[lshBuckets]] planes), so the candidate space stays
+    * bucket-bounded at any corpus size — never all-pairs. Returns
+    * (in_deg, n_vecs): how many vectors are cited by exactly in_deg
+    * neighbor lists (0 row included — anti-hubs are the other half of
+    * the pathology).
+    *
+    * Scale: pairs are per-bucket; the per-query top-k window partitions
+    * by qid; the histogram is one count shuffle over ≤k·n edges. */
+  def hubness(emb: DataFrame, planes: Int = 4, k: Int = 3): DataFrame = {
+    val b = lshBuckets(emb, planes)
+    val e = exploded(emb)
+    val n = norms(emb)
+    val left = e.join(b, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("bucket"), col("pos"),
+        col("x").as("qx"))
+    val right = e.join(b, Seq("vec_id"))
+      .select(col("vec_id").as("vid"), col("bucket"), col("pos"), col("x"))
+    val dots = left.join(right, Seq("bucket", "pos"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid").agg(sum(col("qx") * col("x")).as("dot"))
+    val cos = dots
+      .join(n.select(col("vec_id").as("qid"), col("nrm").as("qn")), Seq("qid"))
+      .join(n.select(col("vec_id").as("vid"), col("nrm").as("vn")), Seq("vid"))
+      .select(col("qid"), col("vid"),
+        round(col("dot") / (col("qn") * col("vn")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
+    val knn = cos.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val indeg = knn.groupBy(col("vid").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    n.select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .groupBy("in_deg").agg(count(lit(1)).cast("long").as("n_vecs"))
+      .orderBy("in_deg")
+  }
+
   /** IVF coarse quantizer: deterministic k-means cluster per vector.
     * Seeds are the k vectors with the smallest hash60(vec_id) (no RNG —
     * reproducible across runs/engines), refined by `lloyd` iterations of

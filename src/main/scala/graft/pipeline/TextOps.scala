@@ -333,6 +333,33 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Heuristic named-entity density per source: capitalized-word and
+    * acronym counts per 1000 whitespace words — the cheap proxy for
+    * "how entity-rich is this source" that steers NER-pipeline
+    * sampling and flags listicle/catalog text (acronym-heavy) vs prose
+    * before any model runs. Word-boundary regexes identical in both
+    * engines (the [[piiPatterns]] \b convention). One codegen'd map +
+    * one |S|-row aggregate. */
+  def entityDensity(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        regexp_count(col("text"), lit("[^ ]+")).cast("long").as("words"),
+        regexp_count(col("text"), lit("\\b[A-Z][a-z]+\\b")).cast("long")
+          .as("caps"),
+        regexp_count(col("text"), lit("\\b[A-Z]{2,}\\b")).cast("long")
+          .as("acros"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("words").cast("long").as("words"),
+        sum("caps").cast("long").as("cap_words"),
+        sum("acros").cast("long").as("acronyms"))
+      .select(col("source"), col("n_docs"), col("words"), col("cap_words"),
+        col("acronyms"),
+        round(lit(1000.0) * col("cap_words") / col("words").cast("double"), 6)
+          .as("cap_per_1k"),
+        round(lit(1000.0) * col("acronyms") / col("words").cast("double"), 6)
+          .as("acro_per_1k"))
+      .orderBy("source")
+
   /** Character-class composition per source — the "code vs prose vs
     * tables vs foreign script" fingerprint: exact per-doc counts of
     * ASCII letters, digits, spaces, and non-ASCII code points, with

@@ -888,6 +888,74 @@ object EventStreams {
     cnt.withColumn("p", round(col("n") / sum("n").over(byFrom), 6))
   }
 
+  /** Activity Lorenz curve by user decile: users ranked by event count
+    * (the Gini's underlying curve, kept as the full 10-point profile —
+    * "the top decile generates X% of events" is the capacity-planning
+    * and abuse-screening number). Deciles come from the exact
+    * half-unit rank formula over the per-COUNT-VALUE user frame, so
+    * ties share a decile and no corpus-grain sort ever runs; shares
+    * are exact BIGINT sums divided once at output. Returns (decile,
+    * n_users, events, event_share, cum_share).
+    *
+    * Scale: one user-keyed count shuffle, then all windows run on the
+    * distinct-count-value frame (bounded by max activity, not user
+    * count) and the 10-row decile frame. */
+  def lorenz(events: DataFrame): DataFrame = {
+    val vc = events.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy("c")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = vc
+      .withColumn("cumu", sum("nu").over(w))
+      .withColumn("n", sum("nu").over(all))
+      .select(col("c"), col("nu"),
+        least(floor((lit(2L) * (col("cumu") - col("nu")) + col("nu"))
+            .cast("double") / (lit(2L) * col("n")).cast("double") * lit(10.0)),
+          lit(9.0)).cast("long").as("decile"))
+    val dec = ranked.groupBy("decile")
+      .agg(sum("nu").cast("long").as("n_users"),
+        sum(col("c") * col("nu")).cast("long").as("events"))
+    val wd = Window.orderBy("decile")
+    dec
+      .withColumn("tot", sum("events").over(all))
+      .withColumn("cum", sum("events").over(wd))
+      .select(col("decile"), col("n_users"), col("events"),
+        round(col("events").cast("double") / col("tot"), 6).as("event_share"),
+        round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Audience overlap between event types: Jaccard of the distinct
+    * user sets of every type pair — the "are these two features the
+    * same people" product question, and the event-domain mirror of
+    * [[graft.pipeline.Corpus.vocabOverlap]]. Returns (type_a, type_b,
+    * users_a, users_b, n_both, jaccard), a < b; zero-overlap pairs
+    * drop out.
+    *
+    * Scale: distinct (type, user) first, then a user-keyed join with
+    * ≤|types| rows per key — never user×user. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val tu = events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("u"))
+    tu.join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("u").as("users_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("u").as("users_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("users_a").cast("long").as("users_a"),
+        col("users_b").cast("long").as("users_b"),
+        col("n_both").cast("long").as("n_both"),
+        round(col("n_both").cast("double") /
+          (col("users_a") + col("users_b") - col("n_both")), 6).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Stationary distribution of the first-order event-type Markov
     * chain: P(from → to) row-normalized from the same per-user
     * consecutive-step counts as [[eventTransitions]], then π ← πP

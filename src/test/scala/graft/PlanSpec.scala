@@ -69,7 +69,10 @@ class PlanSpec extends SparkSpec {
         + "seconds (time domain), never by event volume"),
       "q_quality_dup_lift" -> ("decile rank cumulative over the "
         + "distinct-quality frame — bounded by the 6dp value domain, "
-        + "never the corpus"))
+        + "never the corpus"),
+      "q_lorenz" -> ("decile rank cumulative over the distinct "
+        + "activity-count frame (bounded by max per-user activity) "
+        + "plus the 10-row decile frame — never user volume"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

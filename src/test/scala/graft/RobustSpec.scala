@@ -356,4 +356,73 @@ class RobustSpec extends SparkSpec {
     assert(got(("a", "c")).getAs[Double]("delta") == delta("a", "c"))
     assert(got(("b", "c")).getAs[Double]("delta") == delta("b", "c"))
   }
+
+  test("triadCensus: mutual dyads, rotation-divided cycles, transitive") {
+    val implicits = spark.implicits
+    import implicits._
+    // edges 1->2, 2->3, 3->1 (one 3-cycle), 1->3, 2->1:
+    // mutual {1,2} AND {1,3} (3->1 reciprocates 1->3); transitive
+    // wedges 1->2->3 (+1->3), 2->3->1 (+2->1), 2->1->3 (+2->3)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = algorithms.Structure.triadCensus(e).collect().head
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("mutual_dyads") == 2L)
+    assert(r.getAs[Long]("cycles") == 1L)
+    assert(r.getAs[Long]("transitive") == 3L)
+  }
+
+  test("lorenz: value-domain deciles, exact cumulative shares") {
+    val implicits = spark.implicits
+    import implicits._
+    // users 1-4 one event each, user 5 six events: c=1 block -> decile
+    // floor(4/10*10)=4, c=6 block -> floor(9)=9
+    val ev = (Seq(1L, 2L, 3L, 4L) ++ Seq.fill(6)(5L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val got = EventStreams.lorenz(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(4L, 9L))
+    assert(got(4L).getAs[Long]("n_users") == 4L)
+    assert(got(4L).getAs[Long]("events") == 4L)
+    assert(got(4L).getAs[Double]("event_share") == 0.4)
+    assert(got(4L).getAs[Double]("cum_share") == 0.4)
+    assert(got(9L).getAs[Long]("events") == 6L)
+    assert(got(9L).getAs[Double]("cum_share") == 1.0)
+  }
+
+  test("audienceOverlap: distinct-user Jaccard, zero-overlap pairs drop") {
+    val implicits = spark.implicits
+    import implicits._
+    val ev = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("B", 2L), ("B", 3L),
+      ("C", 4L)).toDF("event_type", "user_id")
+    val got = EventStreams.audienceOverlap(ev).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getAs[Long]("users_a") == 2L && r.getAs[Long]("users_b") == 2L)
+    assert(r.getAs[Long]("n_both") == 1L)
+    assert(r.getAs[Double]("jaccard") == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("entityDensity: word-boundary caps and acronyms per 1k words") {
+    val docs = docsOf(Seq((1L, "a", "The CAT Sat on NASA mat", 23L)))
+    val r = TextOps.entityDensity(docs).collect().head
+    assert(r.getAs[Long]("words") == 6L)
+    assert(r.getAs[Long]("cap_words") == 2L) // The, Sat
+    assert(r.getAs[Long]("acronyms") == 2L)  // CAT, NASA
+    val d = math.rint(1000.0 * 2 / 6 * 1e6) / 1e6
+    assert(r.getAs[Double]("cap_per_1k") == d)
+    assert(r.getAs[Double]("acro_per_1k") == d)
+  }
+
+  test("hubness: identical vectors share one bucket, all cited k times") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = (0L to 3L).map(i => (i, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hubness(emb).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 3L) // each cited by the 3 others
+    assert(got.head.getAs[Long]("n_vecs") == 4L)
+  }
 }
