@@ -2510,6 +2510,88 @@ FROM bt JOIN sz sa ON sa.source = bt.source_a
   JOIN sz sb ON sb.source = bt.source_b
 ORDER BY source_a, source_b"""
 
+  /** Rolling-volume mirror: same observed-day ROWS frame, mean as the
+    * same explicit sum/count division. */
+  val rollingVolumeSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+  ROUND(CAST(SUM(n) OVER w7 AS DOUBLE) / CAST(COUNT(n) OVER w7 AS DOUBLE), 6)
+    AS ma7,
+  CAST(MIN(n) OVER w7 AS BIGINT) AS min7,
+  CAST(MAX(n) OVER w7 AS BIGINT) AS max7,
+  CAST(n - lag(n, 1) OVER (ORDER BY day) AS BIGINT) AS delta
+FROM daily
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day"""
+
+  /** Churn mirror: same epoch-week integers, same shifted semi-join,
+    * same last-week exclusion. */
+  val churnSql: String =
+    """WITH uw AS (SELECT DISTINCT CAST(FLOOR(epoch(ts) / 604800) AS BIGINT)
+    AS wk, user_id FROM events),
+act AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS active FROM uw GROUP BY 1),
+ret AS (SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS retained
+  FROM uw a JOIN uw b ON b.wk = a.wk + 1 AND b.user_id = a.user_id
+  GROUP BY 1),
+mx AS (SELECT MAX(wk) AS mx FROM act)
+SELECT wk, active, COALESCE(retained, 0) AS retained_next,
+  active - COALESCE(retained, 0) AS churned_next,
+  ROUND(CAST(active - COALESCE(retained, 0) AS DOUBLE) /
+    CAST(active AS DOUBLE), 6) AS churn_rate
+FROM act LEFT JOIN ret USING (wk) CROSS JOIN mx
+WHERE wk < mx ORDER BY wk"""
+
+  /** PSI mirror: same half-unit corpus deciles, same empty-bucket-
+    * contributes-0 convention, same (p−q)·ln(p/q) operand order. */
+  val psiSql: String =
+    """WITH vc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents
+  GROUP BY 1),
+dec AS (SELECT v, CAST(LEAST(FLOOR(
+    CAST(2 * (cum - c) + c AS DOUBLE) / CAST(2 * n AS DOUBLE) * 10.0),
+    9.0) AS BIGINT) AS decile
+  FROM (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+    SUM(c) OVER () AS n FROM vc) t),
+sd AS (SELECT d.source, dec.decile, COUNT(*) AS c
+  FROM documents d JOIN dec ON dec.v = d.n_chars GROUP BY 1, 2),
+bs AS (SELECT source, SUM(c) AS ns FROM sd GROUP BY 1),
+bd AS (SELECT decile, SUM(c) AS cd FROM sd GROUP BY 1),
+t AS (SELECT SUM(cd) AS n FROM bd)
+SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+  ROUND(SUM((c / CAST(ns AS DOUBLE) - cd / CAST(n AS DOUBLE)) *
+    ln((c / CAST(ns AS DOUBLE)) / (cd / CAST(n AS DOUBLE)))), 6) AS psi
+FROM sd JOIN bs USING (source) JOIN bd USING (decile) CROSS JOIN t
+GROUP BY source ORDER BY source"""
+
+  /** Sample-bias mirror: same salted bucket as hashSample, same
+    * expected-count formula. */
+  def sampleBiasSql(pct: Int): String =
+    s"""WITH f AS (SELECT source,
+  CASE WHEN ${h60("'s:' || CAST(doc_id AS VARCHAR)")} % 100 < $pct
+    THEN 1 ELSE 0 END AS s FROM documents),
+ps AS (SELECT source, COUNT(*) AS ns, SUM(s) AS os FROM f GROUP BY 1),
+t AS (SELECT SUM(ns) AS n, SUM(os) AS m FROM ps)
+SELECT CAST(MAX(n) AS BIGINT) AS n_docs, CAST(MAX(m) AS BIGINT) AS n_sampled,
+  CAST(COUNT(*) - 1 AS BIGINT) AS df,
+  ROUND(SUM((CAST(os AS DOUBLE) - e) * (CAST(os AS DOUBLE) - e) / e), 6)
+    AS chi2
+FROM (SELECT ns, os, n, m,
+  CAST(ns AS DOUBLE) * CAST(m AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM ps CROSS JOIN t)"""
+
+  /** Activity-tail mirror: the q_hill_tail chain over per-user event
+    * counts (tie-safe top-(k+1) value multiset). */
+  val activityTailSql: String =
+    """WITH deg AS (SELECT COUNT(*) AS degree FROM events GROUP BY user_id),
+top AS (SELECT CAST(degree AS BIGINT) AS deg FROM deg WHERE degree > 0
+  ORDER BY deg DESC LIMIT 51),
+m AS (SELECT MIN(deg) AS dmin, CAST(COUNT(*) AS BIGINT) AS m FROM top)
+SELECT CAST(m.m - 1 AS BIGINT) AS k_used, CAST(m.dmin AS BIGINT) AS xmin,
+ ROUND(CASE WHEN SUM(ln(deg / m.dmin)) > 0.0
+   THEN (m.m - 1) / SUM(ln(deg / m.dmin)) END, 6) AS alpha
+FROM top, m GROUP BY m.dmin, m.m"""
+
   /** Hubness mirror: the annLsh chain with every vector as query over
     * its own bucket, 0-in-degree rows kept via the norm universe. */
   def hubnessSql(k: Int): String =

@@ -231,6 +231,38 @@ object ScaleProbe {
         // vocab-bounded PMI graph + CC over ≤ k edges — the term_pmi
         // curve; the graph side is K-invariant by construction
         time("term_clusters")(Corpus.termGraphClusters(docs)),
+        // distinct (source, term) is vocab-bounded (replicas add only
+        // salt tokens) so the pair join is ~K-invariant; time tracks
+        // the explode — expect ~linear then flat
+        time("vocab_overlap")(Corpus.vocabOverlap(docs)),
+        // (source, term) count shuffle grows K; the z-grid stays
+        // |S|·k rows and the pair frame |S|²·k — expect ~linear
+        time("burrows_delta")(graft.pipeline.Stats.burrowsDelta(docs)),
+        // w lead columns over per-doc windows + one pair-keyed count —
+        // token-linear, no self-join to grow
+        time("skipgram")(Corpus.skipgramPairs(docs)),
+        // md5-keyed distinct + left join: uniform 128-bit key, no
+        // skew; replicas are salted so fingerprints stay distinct —
+        // expect ~linear
+        time("incremental_dedup")(Corpus.incrementalDedup(docs)),
+        // theta/above/tie-block decomposition on the per-(lang,
+        // quality-VALUE) count frame — value domain K-invariant
+        time("token_budget")(Corpus.tokenBudget(docs)),
+        // decile ranks on the distinct-quality frame + the shared
+        // minhash candidate pairs — rides the minhash_pairs curve
+        time("quality_dup_lift")(Corpus.qualityDupLift(docs,
+          Dedup.minhashPairs(docs))),
+        // |types|² transition frame is broadcast-sized at any K; each
+        // iteration is one broadcast join — corpus scanned once
+        time("markov_stationary")(graft.streaming.EventStreams
+          .markovStationary(events)),
+        // per-count-VALUE user frame windows (bounded by max activity,
+        // not user count) — expect ~linear in the user count shuffle
+        time("lorenz")(graft.streaming.EventStreams.lorenz(events)),
+        // distinct (type, user) then a user-keyed join with ≤|types|
+        // rows per key — expect ~linear
+        time("audience_overlap")(graft.streaming.EventStreams
+          .audienceOverlap(events)),
         // replicas = K× more orders over the SAME part catalog: item
         // counts grow K, per-order pair expansion is basket-bounded,
         // pair-group count is catalog-bounded — expect ~linear
@@ -286,7 +318,22 @@ object ScaleProbe {
         // n·d² multiply work grows K; the covariance shuffle is d²
         // rows at ANY n and the iteration runs on the d×d frame —
         // expect ~linear dominated by the product pass
-        time("pca")(graft.pipeline.Pca.pcaTop(emb)))
+        time("pca")(graft.pipeline.Pca.pcaTop(emb)),
+        // replicas are EXACT dups → identical LSH buckets → per-bucket
+        // pair space grows K² — the semdedup-style designed quadratic
+        // contrast; production scales the plane count (bucket count)
+        // with the corpus, which replication cannot emulate
+        time("hubness")(graft.pipeline.Similarity.hubness(emb)),
+        // bounded-state aggregates + one neighbor-degree join over K
+        // disjoint graph replicas — expect ~linear
+        time("degree_anonymity")(graft.algorithms.Structure.degreeAnonymity(
+          sym.select(col("src").as("id")).distinct()
+            .withColumn("label", lit("N")),
+          sym.select(col("src"), col("dst")))),
+        // two-join motif plan: sum-deg² wedge volume per replica is
+        // constant and replicas are disjoint — expect ~linear
+        time("triad_census")(graft.algorithms.Structure.triadCensus(
+          sym.select(col("src"), col("dst")))))
     }
 
     val t1 = corpusTimes(1) ++ extraTimes(1)

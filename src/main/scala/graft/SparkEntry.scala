@@ -640,6 +640,18 @@ object SparkEntry {
       EventStreams.audienceOverlap(EventStreams.eventsTable(s, d))),
     "q_entity_density" -> ((s, d) =>
       pipeline.TextOps.entityDensity(GraphBuilder.table(s, d, "documents"))),
+    "q_rolling_volume" -> ((s, d) =>
+      EventStreams.rollingVolume(EventStreams.eventsTable(s, d))),
+    "q_churn" -> ((s, d) =>
+      EventStreams.churn(EventStreams.eventsTable(s, d))),
+    "q_psi" -> ((s, d) =>
+      pipeline.Stats.psiBySource(GraphBuilder.table(s, d, "documents"))),
+    "q_sample_bias" -> ((s, d) =>
+      pipeline.Stats.sampleBias(GraphBuilder.table(s, d, "documents"))),
+    "q_activity_tail" -> ((s, d) =>
+      algorithms.Structure.hillTailIndex(
+        EventStreams.eventsTable(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("degree")))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1202,6 +1214,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_lorenz" -> PipelineOracles.lorenzSql,
     "q_audience_overlap" -> PipelineOracles.audienceOverlapSql,
     "q_entity_density" -> PipelineOracles.entityDensitySql,
+    "q_rolling_volume" -> PipelineOracles.rollingVolumeSql,
+    "q_churn" -> PipelineOracles.churnSql,
+    "q_psi" -> PipelineOracles.psiSql,
+    "q_sample_bias" -> PipelineOracles.sampleBiasSql(10),
+    "q_activity_tail" -> PipelineOracles.activityTailSql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

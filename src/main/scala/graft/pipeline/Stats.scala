@@ -577,6 +577,77 @@ object Stats {
         .as("rho"))
   }
 
+  /** Population Stability Index per source (the standard ML-monitoring
+    * drift metric): n_chars is bucketed into corpus-level deciles (the
+    * half-unit value-domain rank rule — ties share a bucket, no corpus
+    * sort), and each source's bucket distribution is scored against
+    * the corpus with PSI = Σ (p−q)·ln(p/q); empty source-buckets
+    * contribute 0 (documented convention — no epsilon smoothing, so
+    * both engines agree exactly). Rule of thumb: <0.1 stable, >0.25
+    * drifted. Returns (source, n_docs, buckets_hit, psi).
+    *
+    * Scale: one (value, count) frame for the decile map (bounded by
+    * the value domain), one (source, decile) count shuffle, closed
+    * forms on the |S|·10 frame. */
+  def psiBySource(docs: DataFrame): DataFrame = {
+    val vc = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v")
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dec = vc.withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(all))
+      .select(col("v"),
+        least(floor((lit(2L) * (col("cum") - col("c")) + col("c"))
+            .cast("double") / (lit(2L) * col("n")).cast("double") * lit(10.0)),
+          lit(9.0)).cast("long").as("decile"))
+    val sd = docs.select(col("source"), col("n_chars").as("v"))
+      .join(dec, Seq("v"))
+      .groupBy("source", "decile").agg(count(lit(1)).as("c"))
+    val bySrc = sd.groupBy("source").agg(sum("c").as("ns"))
+    val byDec = sd.groupBy("decile").agg(sum("c").as("cd"))
+    val tot = byDec.agg(sum("cd").as("n"))
+    sd.join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byDec), Seq("decile"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(max("ns").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("buckets_hit"),
+        sum((col("c") / col("ns") - col("cd") / col("n")) *
+          log((col("c") / col("ns")) / (col("cd") / col("n")))).as("psi0"))
+      .select(col("source"), col("n_docs"), col("buckets_hit"),
+        round(col("psi0"), 6).as("psi"))
+      .orderBy("source")
+  }
+
+  /** Hash-sampling bias audit: Pearson χ² between the deterministic
+    * 10% hash sample's source distribution and the full corpus — the
+    * "is my cheap sample actually representative" gate run before any
+    * sampled-data decision is trusted. Expected counts e_s = n_s·f
+    * where f is the realized global sampling fraction, so the test is
+    * exact-count-driven with one double division chain at the end.
+    * Returns one row (n_docs, n_sampled, df, chi2).
+    *
+    * Scale: two |S|-row aggregates off one scan (the sample flag is a
+    * codegen'd hash map) — no second pass, no shuffle wider than |S|. */
+  def sampleBias(docs: DataFrame, pct: Int = 10): DataFrame = {
+    val flagged = docs.select(col("source"),
+      when(pmod(TextOps.hash60(col("doc_id").cast("string"), "s:"),
+        lit(100L)) < pct, 1L).otherwise(0L).as("s"))
+    val perSrc = flagged.groupBy("source")
+      .agg(count(lit(1)).as("ns"), sum("s").as("os"))
+    val tot = perSrc.agg(sum("ns").as("n"), sum("os").as("m"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("ns"), col("os"), col("n"), col("m"),
+        (col("ns").cast("double") * col("m").cast("double") /
+          col("n").cast("double")).as("e"))
+      .agg(max("n").cast("long").as("n_docs"),
+        max("m").cast("long").as("n_sampled"),
+        (count(lit(1)) - 1).cast("long").as("df"),
+        round(sum((col("os").cast("double") - col("e")) *
+          (col("os").cast("double") - col("e")) / col("e")), 6).as("chi2"))
+  }
+
   /** Burrows's Delta stylometric distance between sources (Burrows
     * 2002, the authorship-attribution standard): over the corpus
     * top-k terms, each source's relative frequency is z-scored across

@@ -888,6 +888,63 @@ object EventStreams {
     cnt.withColumn("p", round(col("n") / sum("n").over(byFrom), 6))
   }
 
+  /** Rolling daily-volume report: per observed day, the event count,
+    * its 7-observed-day trailing mean/min/max, and the day-over-day
+    * delta — the on-call dashboard row (is today's volume inside the
+    * recent envelope). ROWS-frame over observed days (gaps don't pad),
+    * mean derived explicitly as sum/count so both engines divide the
+    * same exact BIGINTs. Returns (day, n, ma7, min7, max7, delta).
+    *
+    * Scale: the windows run on the |days| frame — time-bounded, not
+    * event-bounded; one count shuffle feeds everything. */
+  def rollingVolume(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    val w = Window.orderBy("day")
+    daily.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").cast("long").as("n"),
+        round(sum("n").over(w7).cast("double") /
+          count("n").over(w7).cast("double"), 6).as("ma7"),
+        min("n").over(w7).cast("long").as("min7"),
+        max("n").over(w7).cast("long").as("max7"),
+        (col("n") - lag("n", 1).over(w)).cast("long").as("delta"))
+      .orderBy("day")
+  }
+
+  /** Weekly churn: per epoch-week (floor(epoch/604800) — identical
+    * integer weeks in both engines, no calendar-week convention to
+    * disagree on), the active-user count, how many of them return the
+    * NEXT week, and the churn complement — the subscription-health
+    * number retention triangles bury. The last observed week is
+    * excluded (its "next week" hasn't happened). Returns (wk, active,
+    * retained_next, churned_next, churn_rate).
+    *
+    * Scale: distinct (week, user) then one self-semi-join keyed on
+    * (week, user) — per-key fan-out 1; |weeks|-row output. */
+  def churn(events: DataFrame): DataFrame = {
+    val uw = events.select(
+      floor(unix_timestamp(col("ts")) / lit(604800L)).as("wk"),
+      col("user_id")).distinct()
+    val nextShift = uw.select((col("wk") - 1).as("wk"),
+      col("user_id").as("user_id"))
+    val act = uw.groupBy("wk").agg(count(lit(1)).as("active"))
+    val ret = uw.join(nextShift, Seq("wk", "user_id"), "left_semi")
+      .groupBy("wk").agg(count(lit(1)).as("retained"))
+    val maxWk = act.agg(max("wk").as("mx"))
+    act.join(ret, Seq("wk"), "left")
+      .crossJoin(broadcast(maxWk))
+      .filter(col("wk") < col("mx"))
+      .select(col("wk").cast("long").as("wk"),
+        col("active").cast("long").as("active"),
+        coalesce(col("retained"), lit(0L)).cast("long").as("retained_next"),
+        (col("active") - coalesce(col("retained"), lit(0L))).cast("long")
+          .as("churned_next"),
+        round((col("active") - coalesce(col("retained"), lit(0L)))
+          .cast("double") / col("active").cast("double"), 6).as("churn_rate"))
+      .orderBy("wk")
+  }
+
   /** Activity Lorenz curve by user decile: users ranked by event count
     * (the Gini's underlying curve, kept as the full 10-point profile —
     * "the top decile generates X% of events" is the capacity-planning

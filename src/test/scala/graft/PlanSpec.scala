@@ -72,7 +72,11 @@ class PlanSpec extends SparkSpec {
         + "never the corpus"),
       "q_lorenz" -> ("decile rank cumulative over the distinct "
         + "activity-count frame (bounded by max per-user activity) "
-        + "plus the 10-row decile frame — never user volume"))
+        + "plus the 10-row decile frame — never user volume"),
+      "q_rolling_volume" -> ("ROWS frame over the observed-day frame "
+        + "— time-domain bounded, never event volume"),
+      "q_psi" -> ("decile rank cumulative over the distinct n_chars "
+        + "value frame — bounded by the value domain, never the corpus"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

@@ -415,6 +415,76 @@ class RobustSpec extends SparkSpec {
     assert(r.getAs[Double]("acro_per_1k") == d)
   }
 
+  test("rollingVolume: observed-day ROWS frame, explicit sum/count mean") {
+    val implicits = spark.implicits
+    import implicits._
+    // days 0,1,3 (gap at 2) with 2,4,6 events: the ROWS frame slides
+    // over OBSERVED days, so day 3's ma7 = (2+4+6)/3
+    val rows = Seq.fill(2)(0L) ++ Seq.fill(4)(86400L) ++ Seq.fill(6)(259200L)
+    val ev = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("event_id", "sec")
+      .select(col("event_id"), col("sec").cast("timestamp").as("ts"))
+    val got = EventStreams.rollingVolume(ev).collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq(2L, 4L, 6L))
+    assert(got(0).isNullAt(5)) // first delta NULL
+    assert(got(2).getAs[Long]("delta") == 2L)
+    assert(got(2).getAs[Double]("ma7") == 4.0)
+    assert(got(2).getAs[Long]("min7") == 2L && got(2).getAs[Long]("max7") == 6L)
+  }
+
+  test("churn: next-week semi-join, last week excluded") {
+    val implicits = spark.implicits
+    import implicits._
+    // week 0: users 1,2,3; week 1: users 2,3,4; week 2: user 4.
+    // churn(0) = 1/3 (user 1), churn(1) = 2/3 (users 2,3); week 2 cut.
+    val wk = 604800L
+    val rows = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (2L, wk), (3L, wk), (4L, wk), (4L, 2 * wk))
+    val ev = rows.zipWithIndex
+      .map { case ((u, s), i) => (i.toLong, u, s) }
+      .toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"),
+        col("sec").cast("timestamp").as("ts"))
+    val got = EventStreams.churn(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L).getAs[Long]("active") == 3L)
+    assert(got(0L).getAs[Long]("retained_next") == 2L)
+    assert(got(0L).getAs[Double]("churn_rate") ==
+      math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(got(1L).getAs[Long]("churned_next") == 2L)
+  }
+
+  test("psiBySource: corpus value-domain deciles, empty buckets give 0") {
+    // 4 distinct n_chars values -> deciles 1,3,6,8 (the quality_dup_lift
+    // rank arithmetic); source a holds the lower two, b the upper two.
+    // p = 1/2 in each hit bucket, q = 1/4 -> psi = 2*(1/4)*ln(2) per
+    // source
+    val docs = docsOf(Seq(
+      (1L, "a", "t", 10L), (2L, "a", "t", 20L),
+      (3L, "b", "t", 30L), (4L, "b", "t", 40L)))
+    val got = pipeline.Stats.psiBySource(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val expected = math.rint(
+      2.0 * (0.5 - 0.25) * math.log(0.5 / 0.25) * 1e6) / 1e6
+    assert(got("a").getAs[Long]("buckets_hit") == 2L)
+    assert(got("a").getAs[Double]("psi") == expected)
+    assert(got("b").getAs[Double]("psi") == expected)
+  }
+
+  test("sampleBias: zero-statistic when sampling is exactly fair") {
+    val implicits = spark.implicits
+    import implicits._
+    // pct=100 samples EVERYTHING: o_s = n_s, e_s = n_s -> chi2 = 0
+    val docs = langDocsOf(Seq((1L, "en", "x"), (2L, "en", "y"),
+      (3L, "de", "z"))).withColumnRenamed("lang", "source")
+    val r = pipeline.Stats.sampleBias(docs, pct = 100).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_sampled") == 3L)
+    assert(r.getAs[Long]("df") == 1L)
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
   test("hubness: identical vectors share one bucket, all cited k times") {
     val implicits = spark.implicits
     import implicits._
