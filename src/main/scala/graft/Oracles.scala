@@ -440,6 +440,47 @@ JOIN dg da ON da.id = e.a JOIN dg db ON db.id = e.b"""
     * of the co-occurrence graph, same final double arithmetic order.
     * (Zero-variance graphs are NULL on the Spark side vs NaN here —
     * latent-only: the co-occurrence graph is never degree-regular.) */
+  /** Percolation mirror: same exact-integer thresholds
+    * (w·|E| > Σw·k), min-label propagation unrolled 24 rounds (≥ any
+    * 25-node diameter) per threshold — converges to the same min-id
+    * component labels as the Spark hooking kernel. */
+  val percolationSql: String = {
+    val rounds = 24
+    val sb = new StringBuilder(
+      s"""WITH ${DerivedGraphs.tradeWeightedSql},
+pn0 AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT a AS id FROM wtedges UNION ALL SELECT b FROM wtedges)),
+tw AS (SELECT SUM(w) AS tw, COUNT(*) AS me FROM wtedges)""")
+    for ((name, k) <- Seq(("all", 0), ("avg", 1), ("2avg", 2))) {
+      sb ++= s""",
+e_$name AS MATERIALIZED (SELECT a, b FROM wtedges CROSS JOIN tw
+  WHERE w * me > tw * $k),
+sym_$name AS MATERIALIZED (SELECT a AS src, b AS dst FROM e_$name
+  UNION ALL SELECT b, a FROM e_$name),
+l0_$name AS (SELECT id, id AS lbl FROM pn0)"""
+      // every round CTE MUST be MATERIALIZED: it is referenced twice
+      // (as v and u), and an inlined CTE would double the subtree per
+      // round — 2^24 plan blow-up
+      for (r <- 0 until rounds) sb ++= s""",
+l${r + 1}_$name AS MATERIALIZED (SELECT v.id,
+  LEAST(v.lbl, COALESCE(MIN(u.lbl), v.lbl)) AS lbl
+  FROM l${r}_$name v LEFT JOIN sym_$name e ON e.src = v.id
+  LEFT JOIN l${r}_$name u ON u.id = e.dst GROUP BY v.id, v.lbl)"""
+      sb ++= s""",
+row_$name AS (SELECT '$name' AS threshold,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pn0) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e_$name) AS n_edges,
+  CAST(COUNT(*) AS BIGINT) AS n_components,
+  CAST(MAX(sz) AS BIGINT) AS giant_size,
+  ROUND(CAST(MAX(sz) AS DOUBLE) / (SELECT COUNT(*) FROM pn0), 6)
+    AS giant_frac
+  FROM (SELECT lbl, COUNT(*) AS sz FROM l${rounds}_$name GROUP BY 1))"""
+    }
+    sb ++= "\nSELECT * FROM row_all UNION ALL SELECT * FROM row_avg " +
+      "UNION ALL SELECT * FROM row_2avg ORDER BY threshold"
+    sb.toString
+  }
+
   /** Triad-census mirror: same distinct self-loop-free edge set, same
     * rotation-÷3 cycle count and unique transitive instances. */
   val triadCensusSql: String =

@@ -2510,6 +2510,56 @@ FROM bt JOIN sz sa ON sa.source = bt.source_a
   JOIN sz sb ON sb.source = bt.source_b
 ORDER BY source_a, source_b"""
 
+  /** DOW-profile mirror: same epoch-dow integers, same share and lift
+    * operand order. */
+  val dowProfileSql: String =
+    """WITH c AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+  event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+bd AS (SELECT dow, SUM(n) AS nd FROM c GROUP BY 1),
+bt AS (SELECT event_type, SUM(n) AS nt FROM c GROUP BY 1),
+t AS (SELECT SUM(nt) AS ntot FROM bt)
+SELECT dow, event_type, CAST(n AS BIGINT) AS n,
+  ROUND(n / CAST(nd AS DOUBLE), 6) AS dow_share,
+  ROUND((n / CAST(nd AS DOUBLE)) / (nt / CAST(ntot AS DOUBLE)), 6) AS lift
+FROM c JOIN bd USING (dow) JOIN bt USING (event_type) CROSS JOIN t
+ORDER BY dow, event_type"""
+
+  /** Attribution mirror: same inclusive trailing window, zero row via
+    * the same purchase-universe left join. */
+  def attributionSql(windowHours: Int): String =
+    s"""WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+  WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+tt AS (SELECT p.pid, CAST(COUNT(*) AS BIGINT) AS t
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.cts >= p.ts - INTERVAL $windowHours HOURS AND c.cts <= p.ts
+  GROUP BY 1)
+SELECT n_touches, CAST(COUNT(*) AS BIGINT) AS n_purchases FROM (
+  SELECT COALESCE(t, 0) AS n_touches FROM p LEFT JOIN tt USING (pid))
+GROUP BY 1 ORDER BY 1"""
+
+  /** Split-leakage mirror: same salted split buckets as splitSql, same
+    * 8-gram hashes as decontaminateSql (fresh 'lk:' salt), same
+    * distinct-doc semi-join. */
+  def splitLeakageSql(trainPct: Int, valPct: Int): String =
+    s"""WITH b AS (SELECT doc_id,
+  ${h60("'sp:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
+nt AS (SELECT doc_id, CASE WHEN b < ${trainPct + valPct} THEN 'val'
+  ELSE 'test' END AS split FROM b WHERE b >= $trainPct),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ${h60("'lk:' || substr(text, i, 8)")} AS g
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i)),
+trg AS MATERIALIZED (SELECT DISTINCT g FROM sh
+  JOIN b USING (doc_id) WHERE b.b < $trainPct),
+lk AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked FROM (
+  SELECT DISTINCT nt.split, sh.doc_id
+  FROM sh JOIN nt USING (doc_id) JOIN trg USING (g)) GROUP BY 1),
+cnt AS (SELECT split, COUNT(*) AS n_docs FROM nt GROUP BY 1)
+SELECT split, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+  ROUND(COALESCE(n_leaked, 0) / CAST(n_docs AS DOUBLE), 6) AS leak_rate
+FROM cnt LEFT JOIN lk USING (split) ORDER BY split"""
+
   /** Rolling-volume mirror: same observed-day ROWS frame, mean as the
     * same explicit sum/count division. */
   val rollingVolumeSql: String =

@@ -320,10 +320,14 @@ object ScaleProbe {
         // expect ~linear dominated by the product pass
         time("pca")(graft.pipeline.Pca.pcaTop(emb)),
         // replicas are EXACT dups → identical LSH buckets → per-bucket
-        // pair space grows K² — the semdedup-style designed quadratic
-        // contrast; production scales the plane count (bucket count)
-        // with the corpus, which replication cannot emulate
-        time("hubness")(graft.pipeline.Similarity.hubness(emb)),
+        // pair space would grow K² at fixed planes (K=4 OOMs a 4g
+        // JVM: ~25M pair keys in one hash aggregate) — so the probe
+        // scales the plane count with the corpus exactly as a
+        // production deployment does (planes = 4 + 2·log2 K keeps
+        // per-bucket occupancy ~constant), and the certified claim is
+        // THAT curve: ~linear when buckets scale with data
+        time("hubness")(graft.pipeline.Similarity.hubness(emb,
+          planes = 4 + 2 * (31 - Integer.numberOfLeadingZeros(rep)))),
         // bounded-state aggregates + one neighbor-degree join over K
         // disjoint graph replicas — expect ~linear
         time("degree_anonymity")(graft.algorithms.Structure.degreeAnonymity(

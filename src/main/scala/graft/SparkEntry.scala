@@ -652,6 +652,14 @@ object SparkEntry {
       algorithms.Structure.hillTailIndex(
         EventStreams.eventsTable(s, d).groupBy("user_id")
           .agg(count(lit(1)).as("degree")))),
+    "q_dow_profile" -> ((s, d) =>
+      EventStreams.dowProfile(EventStreams.eventsTable(s, d))),
+    "q_attribution" -> ((s, d) =>
+      EventStreams.attribution(EventStreams.eventsTable(s, d))),
+    "q_split_leakage" -> ((s, d) =>
+      Corpus.splitLeakage(GraphBuilder.table(s, d, "documents"))),
+    "q_percolation" -> ((s, d) =>
+      Community.percolation(DerivedGraphs.nationTradeWeighted(s, d))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1219,6 +1227,10 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_psi" -> PipelineOracles.psiSql,
     "q_sample_bias" -> PipelineOracles.sampleBiasSql(10),
     "q_activity_tail" -> PipelineOracles.activityTailSql,
+    "q_dow_profile" -> PipelineOracles.dowProfileSql,
+    "q_attribution" -> PipelineOracles.attributionSql(168),
+    "q_split_leakage" -> PipelineOracles.splitLeakageSql(90, 5),
+    "q_percolation" -> Oracles.percolationSql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

@@ -1070,4 +1070,49 @@ object Community {
     import spark.implicits._
     (0 until nIds).map(i => (idx.id(i), label(i))).toDF("id", "label")
   }
+
+  /** Bond-percolation profile of a weighted graph: connected-component
+    * structure after dropping edges at three weight thresholds (all
+    * edges; above mean weight; above 2× mean) — "at what tie strength
+    * does the network fall apart", the robustness screen next to
+    * conductance. Thresholds are EXACT integer comparisons
+    * (w·|E| > Σw·k ⟺ w > mean·k) so no float mean can flip a boundary
+    * edge between engines. Node universe = endpoints of the UNfiltered
+    * graph, so post-filter isolates count as singletons. Returns
+    * (threshold, n_nodes, n_edges, n_components, giant_size,
+    * giant_frac).
+    *
+    * Scale: inherits [[connectedComponents]]' dual regime (union-find
+    * under the driver gate, hook+shortcut rounds past it) once per
+    * threshold; everything else is one aggregate per threshold. */
+  def percolation(wedges: DataFrame,
+                  ks: Seq[(String, Int)] =
+                    Seq(("all", 0), ("avg", 1), ("2avg", 2)),
+                  maxIter: Int = 30): DataFrame = {
+    val nodes = wedges.select(col("a").as("id"))
+      .unionByName(wedges.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    val nN = broadcast(nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+      .localCheckpoint())
+    val tw = broadcast(wedges
+      .agg(sum("w").as("tw"), count(lit(1)).as("me")).localCheckpoint())
+    ks.map { case (name, k) =>
+      val es = wedges.crossJoin(tw)
+        .filter(col("w") * col("me") > col("tw") * lit(k.toLong))
+        .select("a", "b")
+      val sym = es.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(es.select(col("b").as("src"), col("a").as("dst")))
+      val sizes = connectedComponents(nodes, sym, maxIter)
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+      sizes.agg(count(lit(1)).cast("long").as("n_components"),
+          max("sz").cast("long").as("giant_size"))
+        .crossJoin(broadcast(
+          es.agg(count(lit(1)).cast("long").as("n_edges"))))
+        .crossJoin(nN)
+        .select(lit(name).as("threshold"), col("n_nodes"), col("n_edges"),
+          col("n_components"), col("giant_size"),
+          round(col("giant_size").cast("double") / col("n_nodes"), 6)
+            .as("giant_frac"))
+    }.reduce(_ unionByName _).orderBy("threshold")
+  }
 }

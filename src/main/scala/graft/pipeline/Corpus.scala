@@ -1453,6 +1453,40 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
+  /** Train→eval split leakage: the fraction of val/test documents that
+    * share at least one character `gram`-gram hash with ANY train
+    * document under the [[splitAssign]] buckets (same salt, same
+    * cuts) — the audit that catches near-dup contamination a doc-id
+    * split can't see. Returns (split, n_docs, n_leaked, leak_rate)
+    * for the non-train splits.
+    *
+    * Scale: split-before-shingle (the split predicate is a pure
+    * doc_id function, so each side shingles only its own docs —
+    * the decontaminate lesson); one gram-keyed semi-join. */
+  def splitLeakage(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+                   gram: Int = 8): DataFrame = {
+    val b = pmod(TextOps.hash60(col("doc_id").cast("string"), "sp:"),
+      lit(100L))
+    val trainG = TextOps.shingles(docs.filter(b < trainPct), gram)
+      .select(TextOps.hash60(col("sh"), "lk:").as("g")).distinct()
+    val nonTrain = docs.filter(b >= trainPct)
+      .withColumn("split",
+        when(b < trainPct + valPct, "val").otherwise("test"))
+    val leaked = TextOps.shingles(nonTrain, gram)
+      .select(col("doc_id"), TextOps.hash60(col("sh"), "lk:").as("g"))
+      .join(trainG, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .join(nonTrain.select("doc_id", "split"), Seq("doc_id"))
+      .groupBy("split").agg(count(lit(1)).as("n_leaked"))
+    nonTrain.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs").cast("long").as("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).cast("long").as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_docs"), 6).as("leak_rate"))
+      .orderBy("split")
+  }
+
   /** Hapax-legomena profile per source: vocabulary size, share of
     * terms occurring exactly once WITHIN the source, and token total —
     * the productivity/creativity fingerprint (a high hapax rate marks

@@ -888,6 +888,60 @@ object EventStreams {
     cnt.withColumn("p", round(col("n") / sum("n").over(byFrom), 6))
   }
 
+  /** Day-of-week × event-type profile with lift: per (epoch-dow,
+    * type), the count, the share within that weekday, and the lift of
+    * that share over the type's overall share — "is Saturday really
+    * purchase-heavier" with the base-rate divided out. Weekdays are
+    * epoch-day mod 7 (0 = Thursday, 1970-01-01) — pure integer
+    * arithmetic both engines agree on, no calendar locale. Returns
+    * (dow, event_type, n, dow_share, lift).
+    *
+    * Scale: one 7·|types|-key count shuffle; marginals derived from
+    * it; all joins broadcast-sized by construction. */
+  def dowProfile(events: DataFrame): DataFrame = {
+    val c = events.select(
+        pmod(floor(unix_timestamp(col("ts")) / lit(86400L)), lit(7L))
+          .as("dow"), col("event_type"))
+      .groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
+    val byDow = c.groupBy("dow").agg(sum("n").as("nd"))
+    val byType = c.groupBy("event_type").agg(sum("n").as("nt"))
+    val tot = byType.agg(sum("nt").as("ntot"))
+    c.join(broadcast(byDow), Seq("dow"))
+      .join(broadcast(byType), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("event_type"), col("n").cast("long").as("n"),
+        round(col("n") / col("nd"), 6).as("dow_share"),
+        round((col("n") / col("nd")) / (col("nt") / col("ntot")), 6)
+          .as("lift"))
+      .orderBy("dow", "event_type")
+  }
+
+  /** Multi-touch attribution histogram: for every purchase, the count
+    * of the user's clicks in the trailing `windowHours` (inclusive
+    * bounds, the [[graft.ops.RangeJoin]] convention), rolled into a
+    * (n_touches, n_purchases) histogram — the zero row IS the
+    * unattributed-revenue share marketing argues about. Returns
+    * (n_touches, n_purchases).
+    *
+    * Scale: the bucketized range join (never a nested loop), one
+    * per-purchase count, one histogram shuffle over ≤max-touch keys. */
+  def attribution(events: DataFrame, windowHours: Int = 168): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"),
+        (col("ts") - expr(s"INTERVAL $windowHours HOURS")).as("wstart"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val touched = graft.ops.RangeJoin
+      .pointInInterval(clicks, purchases, Seq("user_id"), "cts",
+        "wstart", "pts")
+      .groupBy("pid").agg(count(lit(1)).as("t"))
+    purchases.select("pid").join(touched, Seq("pid"), "left")
+      .select(coalesce(col("t"), lit(0L)).as("n_touches"))
+      .groupBy("n_touches").agg(count(lit(1)).cast("long").as("n_purchases"))
+      .orderBy("n_touches")
+  }
+
   /** Rolling daily-volume report: per observed day, the event count,
     * its 7-observed-day trailing mean/min/max, and the day-over-day
     * delta — the on-call dashboard row (is today's volume inside the

@@ -485,6 +485,79 @@ class RobustSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") == 0.0)
   }
 
+  test("dowProfile: epoch-dow shares with base-rate lift") {
+    val implicits = spark.implicits
+    import implicits._
+    // epoch day 0 (dow 0): A,A,B; epoch day 1 (dow 1): A.
+    // lift(dow0,A) = (2/3)/(3/4) = 8/9; lift(dow0,B) = (1/3)/(1/4);
+    // lift(dow1,A) = 1/(3/4)
+    val rows = Seq(("A", 0L), ("A", 10L), ("B", 20L), ("A", 86400L))
+    val ev = rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+      .toDF("event_id", "event_type", "sec")
+      .select(col("event_id"), col("event_type"),
+        col("sec").cast("timestamp").as("ts"))
+    val got = EventStreams.dowProfile(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got((0L, "A")).getAs[Double]("dow_share") ==
+      math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(got((0L, "A")).getAs[Double]("lift") ==
+      math.rint((2.0 / 3.0) / (3.0 / 4.0) * 1e6) / 1e6)
+    assert(got((0L, "B")).getAs[Double]("lift") ==
+      math.rint((1.0 / 3.0) / (1.0 / 4.0) * 1e6) / 1e6)
+    assert(got((1L, "A")).getAs[Double]("lift") ==
+      math.rint(1.0 / (3.0 / 4.0) * 1e6) / 1e6)
+  }
+
+  test("attribution: trailing-window touches, zero row kept") {
+    val implicits = spark.implicits
+    import implicits._
+    // user 1: 2 clicks before its purchase; user 2: none; user 3's
+    // click comes AFTER the purchase (outside the trailing window)
+    val ev = Seq(
+      (1L, 1L, "click", 900L), (2L, 1L, "click", 950L),
+      (3L, 1L, "purchase", 1000L),
+      (4L, 2L, "purchase", 2000L),
+      (5L, 3L, "purchase", 100L), (6L, 3L, "click", 200L))
+      .toDF("event_id", "user_id", "event_type", "sec")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("sec").cast("timestamp").as("ts"))
+    val got = EventStreams.attribution(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("splitLeakage: identical corpus leaks every non-train doc") {
+    val docs = docsOf((1L to 200L).map(i =>
+      (i, "a", "exactly the same text everywhere", 32L)))
+    val got = pipeline.Corpus.splitLeakage(docs).collect()
+    assert(got.nonEmpty)
+    val nonTrain = got.map(_.getAs[Long]("n_docs")).sum
+    assert(nonTrain > 0L && nonTrain < 200L) // train side non-empty
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_leaked") == r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("leak_rate") == 1.0)
+    }
+  }
+
+  test("percolation: exact integer thresholds fragment the path graph") {
+    val implicits = spark.implicits
+    import implicits._
+    // path 1-2 (w=10), 2-3 (w=4), 3-4 (w=1): mean 5 -> 'avg' keeps only
+    // w=10 ({1,2} + 2 singletons); '2avg' (>10) keeps nothing
+    val we = Seq((1L, 2L, 10L), (2L, 3L, 4L), (3L, 4L, 1L))
+      .toDF("a", "b", "w")
+    val got = algorithms.Community.percolation(we).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("all").getAs[Long]("n_components") == 1L)
+    assert(got("all").getAs[Double]("giant_frac") == 1.0)
+    assert(got("avg").getAs[Long]("n_edges") == 1L)
+    assert(got("avg").getAs[Long]("n_components") == 3L)
+    assert(got("avg").getAs[Long]("giant_size") == 2L)
+    assert(got("2avg").getAs[Long]("n_edges") == 0L)
+    assert(got("2avg").getAs[Long]("n_components") == 4L)
+    assert(got("2avg").getAs[Double]("giant_frac") == 0.25)
+  }
+
   test("hubness: identical vectors share one bucket, all cited k times") {
     val implicits = spark.implicits
     import implicits._
