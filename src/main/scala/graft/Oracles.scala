@@ -440,6 +440,36 @@ JOIN dg da ON da.id = e.a JOIN dg db ON db.id = e.b"""
     * of the co-occurrence graph, same final double arithmetic order.
     * (Zero-variance graphs are NULL on the Spark side vs NaN here —
     * latent-only: the co-occurrence graph is never degree-regular.) */
+  /** Local-bridge mirror: the edgeJaccard common-neighbor chain
+    * reduced to the one-row summary. */
+  val localBridgesSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+cn AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM pedges e JOIN psym x ON x.src = e.a
+  JOIN psym y ON y.src = e.b AND y.dst = x.dst
+  GROUP BY e.a, e.b)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+  CAST(SUM(CASE WHEN COALESCE(common, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bridges,
+  ROUND(SUM(CASE WHEN COALESCE(common, 0) = 0 THEN 1 ELSE 0 END) /
+    CAST(COUNT(*) AS DOUBLE), 6) AS bridge_rate
+FROM pedges e LEFT JOIN cn c ON c.a = e.a AND c.b = e.b"""
+
+  /** Block-matrix mirror: same label joins, same n_a·n_b rectangle. */
+  val blockMatrixSql: String =
+    P + """, sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM nodes GROUP BY 1),
+be AS (SELECT ns.label AS label_src, nd.label AS label_dst,
+  CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM edges e JOIN nodes ns ON ns.id = e.src
+  JOIN nodes nd ON nd.id = e.dst GROUP BY 1, 2)
+SELECT label_src, label_dst, n_edges,
+  ROUND(CAST(n_edges AS DOUBLE) /
+    (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)), 9) AS density
+FROM be JOIN sz sa ON sa.label = be.label_src
+  JOIN sz sb ON sb.label = be.label_dst
+ORDER BY label_src, label_dst"""
+
   /** Percolation mirror: same exact-integer thresholds
     * (w·|E| > Σw·k), min-label propagation unrolled 24 rounds (≥ any
     * 25-node diameter) per threshold — converges to the same min-id

@@ -2510,6 +2510,84 @@ FROM bt JOIN sz sa ON sa.source = bt.source_a
   JOIN sz sb ON sb.source = bt.source_b
 ORDER BY source_a, source_b"""
 
+  /** Lang-confusion mirror: the langIdSql CASE chain rolled into the
+    * (lang, guess) matrix with row shares. */
+  val langConfusionSql: String = {
+    val scores = markerRes.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+    val langs = markerRes.map(_._1)
+    val cases = langs.init.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+g AS (SELECT lang, CASE $cases ELSE '${langs.last}' END AS guess FROM sc),
+c AS (SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY 1, 2),
+t AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY 1)
+SELECT lang, guess, CAST(n AS BIGINT) AS n,
+  ROUND(n / CAST(nl AS DOUBLE), 6) AS row_share
+FROM c JOIN t USING (lang) ORDER BY lang, guess"""
+  }
+
+  /** Quality-calibration mirror: the qualityDupLift decile CTEs joined
+    * to the gopherRulesSql keep predicate. */
+  def qualityCalibrationSql(minWords: Int = 20,
+                            maxTopFrac: Double = 0.2): String =
+    s"""WITH qq AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|is)\\b')) AS BIGINT) AS stop
+  FROM documents),
+ff AS (SELECT doc_id,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS q FROM qq),
+cq AS (SELECT q, COUNT(*) AS c FROM ff GROUP BY 1),
+rr AS (SELECT q, CAST(LEAST(FLOOR(
+    CAST(2 * (cum - c) + c AS DOUBLE) / CAST(2 * n AS DOUBLE) * 10.0),
+    9.0) AS BIGINT) AS decile
+  FROM (SELECT q, c, SUM(c) OVER (ORDER BY q) AS cum,
+    SUM(c) OVER () AS n FROM cq) t),
+wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (SELECT doc_id, term, COUNT(*) AS c FROM wt GROUP BY 1, 2),
+m AS (SELECT doc_id, SUM(c) AS words, MAX(c) AS topc,
+             SUM(c * length(term)) / SUM(c) AS mwl,
+             SUM(CASE WHEN regexp_full_match(term, '[A-Za-z]+') THEN c ELSE 0 END)
+               / SUM(c) AS alpha
+      FROM tc GROUP BY 1),
+s AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|is|and|of)\\b')) AS BIGINT)
+               AS stop_hits FROM documents),
+kp AS (SELECT m.doc_id,
+  (words >= $minWords AND mwl >= 3.0 AND mwl <= 10.0 AND alpha >= 0.8
+   AND s.stop_hits >= 2 AND topc / words <= $maxTopFrac) AS keep
+  FROM m JOIN s USING (doc_id))
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS keep_rate
+FROM ff JOIN rr USING (q) JOIN kp USING (doc_id)
+GROUP BY 1 ORDER BY 1"""
+
+  /** Norm-profile mirror: same rounded-norm value frame, same lower
+    * median rule. */
+  val normProfileSql: String =
+    s"""WITH $embCtes,
+rn AS (SELECT n.vec_id, ROUND(n.nrm, 6) AS rn,
+  CAST(e.label AS BIGINT) AS label
+  FROM nrm n JOIN embeddings e ON e.vec_id = n.vec_id),
+vc AS (SELECT label, rn, COUNT(*) AS c FROM rn GROUP BY 1, 2),
+cum AS (SELECT label, rn, c,
+  SUM(c) OVER (PARTITION BY label ORDER BY rn) AS cum,
+  SUM(c) OVER (PARTITION BY label) AS n FROM vc),
+p50 AS (SELECT label, MIN(rn) AS p50_nrm FROM cum
+  WHERE cum * 2 >= n GROUP BY 1)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  ROUND(AVG(rn), 6) AS mean_nrm, p50_nrm,
+  MIN(rn) AS min_nrm, MAX(rn) AS max_nrm
+FROM rn JOIN p50 USING (label) GROUP BY label, p50_nrm ORDER BY label"""
+
   /** DOW-profile mirror: same epoch-dow integers, same share and lift
     * operand order. */
   val dowProfileSql: String =

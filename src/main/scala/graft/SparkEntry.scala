@@ -660,6 +660,17 @@ object SparkEntry {
       Corpus.splitLeakage(GraphBuilder.table(s, d, "documents"))),
     "q_percolation" -> ((s, d) =>
       Community.percolation(DerivedGraphs.nationTradeWeighted(s, d))),
+    "q_local_bridges" -> ((s, d) =>
+      algorithms.Structure.localBridges(DerivedGraphs.partCooccur(s, d))),
+    "q_block_matrix" -> ((s, d) =>
+      algorithms.Structure.blockMatrix(g(s, d).nodes, g(s, d).edges)),
+    "q_lang_confusion" -> ((s, d) =>
+      pipeline.TextOps.langConfusion(GraphBuilder.table(s, d, "documents"))),
+    "q_quality_calibration" -> ((s, d) =>
+      Corpus.qualityCalibration(GraphBuilder.table(s, d, "documents"))),
+    "q_norm_profile" -> ((s, d) =>
+      pipeline.Similarity.normProfile(
+        GraphBuilder.table(s, d, "embeddings"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1231,6 +1242,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_attribution" -> PipelineOracles.attributionSql(168),
     "q_split_leakage" -> PipelineOracles.splitLeakageSql(90, 5),
     "q_percolation" -> Oracles.percolationSql,
+    "q_local_bridges" -> Oracles.localBridgesSql,
+    "q_block_matrix" -> Oracles.blockMatrixSql,
+    "q_lang_confusion" -> PipelineOracles.langConfusionSql,
+    "q_quality_calibration" -> PipelineOracles.qualityCalibrationSql(),
+    "q_norm_profile" -> PipelineOracles.normProfileSql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

@@ -309,6 +309,47 @@ object Structure {
           .otherwise(round(col("common") / den, 6)).as("jaccard"))
   }
 
+  /** Local-bridge summary (Granovetter: an edge whose endpoints share
+    * NO other neighbor — the weak ties that carry novel information;
+    * removing one lengthens its endpoints' path to ≥ 3). Rides the
+    * [[edgeJaccard]] kernel (sorted-adjacency intersect, no triangle
+    * materialization) and reduces it to one row: (n_edges, n_bridges,
+    * bridge_rate). */
+  def localBridges(pedges: DataFrame): DataFrame =
+    edgeJaccard(pedges)
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(when(col("common") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_bridges"))
+      .select(col("n_edges"), col("n_bridges"),
+        round(col("n_bridges").cast("double") / col("n_edges"), 6)
+          .as("bridge_rate"))
+
+  /** Label-block edge matrix (the stochastic-block-model fingerprint):
+    * per (label_src, label_dst), the directed edge count and the
+    * density against the full label-pair rectangle n_a·n_b — which
+    * label pairs actually interact, and how densely. One edge scan +
+    * two label joins + broadcast size frames. */
+  def blockMatrix(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val lbl = nodes.select(col("id"), col("label"))
+    val sizes = lbl.groupBy("label").agg(count(lit(1)).as("cnt"))
+    edges.select("src", "dst")
+      .join(lbl.select(col("id").as("src"), col("label").as("label_src")),
+        Seq("src"))
+      .join(lbl.select(col("id").as("dst"), col("label").as("label_dst")),
+        Seq("dst"))
+      .groupBy("label_src", "label_dst").agg(count(lit(1)).as("n_edges"))
+      .join(broadcast(sizes.select(col("label").as("label_src"),
+        col("cnt").as("na"))), Seq("label_src"))
+      .join(broadcast(sizes.select(col("label").as("label_dst"),
+        col("cnt").as("nb"))), Seq("label_dst"))
+      .select(col("label_src"), col("label_dst"),
+        col("n_edges").cast("long").as("n_edges"),
+        round(col("n_edges").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 9)
+          .as("density"))
+      .orderBy("label_src", "label_dst")
+  }
+
   /** k-truss — the maximal subgraph in which every edge closes at
     * least k−2 triangles WITHIN the subgraph (Cohen 2008): the
     * edge-level cohesion analogue of k-core (reference:

@@ -1453,6 +1453,42 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
+  /** Quality↔rule-gate calibration: global quality deciles (the
+    * [[qualityDupLift]] value-domain rank rule) against the
+    * [[gopherRules]] composite keep flag — does the cheap heuristic
+    * score predict the expensive rule gate, i.e. can a threshold on
+    * quality replace the full rule evaluation at scan time. Returns
+    * (decile, n_docs, n_keep, keep_rate).
+    *
+    * Scale: the decile map lives on the distinct-quality frame; the
+    * gopher flags are the one token-grouped pass gopherRules already
+    * costs; one decile-keyed rollup. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val scored = TextOps.quality(docs)
+      .select(col("doc_id"), col("quality").as("q"))
+    val cnt = scored.groupBy("q").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("q")
+    val ranked = cnt
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("q"),
+        least(floor((lit(2L) * (col("cum") - col("c")) + col("c"))
+            .cast("double") / (lit(2L) * col("n")).cast("double") * lit(10.0)),
+          lit(9.0)).cast("long").as("decile"))
+    scored.join(ranked, Seq("q"))
+      .join(gopherRules(docs).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_keep"))
+      .select(col("decile"), col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"))
+      .orderBy("decile")
+  }
+
   /** Train→eval split leakage: the fraction of val/test documents that
     * share at least one character `gram`-gram hash with ANY train
     * document under the [[splitAssign]] buckets (same salt, same

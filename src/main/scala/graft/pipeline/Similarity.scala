@@ -76,6 +76,37 @@ object Similarity {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** Embedding-norm profile per label: count, mean, exact lower-median
+    * (2·cum ≥ n on the 6-dp-rounded norm VALUE frame), min, max — the
+    * storage-hygiene pass run before cosine ops (wild norm spread
+    * breaks dot-product shortcuts and flags unnormalized ingestion).
+    * Returns (label, n_vecs, mean_nrm, p50_nrm, min_nrm, max_nrm).
+    *
+    * Scale: one norm aggregate + windows over the per-label
+    * distinct-norm-value frame — bounded by the 6 dp value domain. */
+  def normProfile(emb: DataFrame): DataFrame = {
+    val rn = norms(emb)
+      .select(col("vec_id"), round(col("nrm"), 6).as("rn"))
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+    val vc = rn.groupBy("label", "rn").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("label").orderBy("rn")
+    val p50 = vc
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("label")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("label").agg(min("rn").as("p50_nrm"))
+    rn.groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        round(avg("rn"), 6).as("mean_nrm"),
+        min("rn").as("min_nrm"), max("rn").as("max_nrm"))
+      .join(p50, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("mean_nrm"),
+        col("p50_nrm"), col("min_nrm"), col("max_nrm"))
+      .orderBy("label")
+  }
+
   /** Hubness audit of the embedding space (Radovanović et al. 2010):
     * the in-degree histogram of the k-NN digraph — high-dimensional
     * spaces grow "hub" vectors that appear in a disproportionate share

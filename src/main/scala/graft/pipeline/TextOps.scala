@@ -333,6 +333,21 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Language-ID confusion matrix: (labeled lang, guessed lang, count,
+    * row share) — WHERE the heuristic classifier fails, which the
+    * [[langId]] boolean accuracy can't show (en→de confusion needs a
+    * different fix than zh→en). One |langs|²-key count off the langId
+    * scan. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val c = langId(docs).groupBy("lang", "guess")
+      .agg(count(lit(1)).as("n"))
+    val byLang = c.groupBy("lang").agg(sum("n").as("nl"))
+    c.join(broadcast(byLang), Seq("lang"))
+      .select(col("lang"), col("guess"), col("n").cast("long").as("n"),
+        round(col("n") / col("nl").cast("double"), 6).as("row_share"))
+      .orderBy("lang", "guess")
+  }
+
   /** Heuristic named-entity density per source: capitalized-word and
     * acronym counts per 1000 whitespace words — the cheap proxy for
     * "how entity-rich is this source" that steers NER-pipeline

@@ -76,7 +76,10 @@ class PlanSpec extends SparkSpec {
       "q_rolling_volume" -> ("ROWS frame over the observed-day frame "
         + "— time-domain bounded, never event volume"),
       "q_psi" -> ("decile rank cumulative over the distinct n_chars "
-        + "value frame — bounded by the value domain, never the corpus"))
+        + "value frame — bounded by the value domain, never the corpus"),
+      "q_quality_calibration" -> ("decile rank cumulative over the "
+        + "distinct-quality frame — bounded by the 6dp value domain, "
+        + "never the corpus"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

@@ -558,6 +558,72 @@ class RobustSpec extends SparkSpec {
     assert(got("2avg").getAs[Double]("giant_frac") == 0.25)
   }
 
+  test("localBridges: edge with no common neighbor flagged") {
+    val implicits = spark.implicits
+    import implicits._
+    // triangle 1-2-3 (every edge shares a neighbor) + pendant 3-4
+    val pe = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = algorithms.Structure.localBridges(pe).collect().head
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_bridges") == 1L) // (3,4)
+    assert(r.getAs[Double]("bridge_rate") == 0.25)
+  }
+
+  test("blockMatrix: label-pair counts over the n_a*n_b rectangle") {
+    val implicits = spark.implicits
+    import implicits._
+    val nodes = Seq((1L, "L1"), (2L, "L1"), (3L, "L2")).toDF("id", "label")
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = algorithms.Structure.blockMatrix(nodes, edges).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("L1", "L2")).getAs[Long]("n_edges") == 2L)
+    assert(got(("L1", "L2")).getAs[Double]("density") == 1.0) // 2/(2*1)
+    assert(got(("L1", "L1")).getAs[Double]("density") == 0.25) // 1/4
+  }
+
+  test("langConfusion: off-diagonal cell with row shares") {
+    val docs = langDocsOf(Seq(
+      (1L, "en", "the cat"), (2L, "de", "the cat"), (3L, "de", "der hund")))
+    val got = TextOps.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("en", "en")).getAs[Double]("row_share") == 1.0)
+    assert(got(("de", "en")).getAs[Long]("n") == 1L)
+    assert(got(("de", "de")).getAs[Double]("row_share") == 0.5)
+  }
+
+  test("qualityCalibration: rule gate concentrates in the top decile") {
+    // three short docs fail gopher (words < 20); the 25-word doc passes
+    // and carries the highest quality -> decile 8 of {1,3,6,8}
+    val pass = "the quick brown fox jumps over the lazy dog and then " +
+      "quickly runs toward another very large forest while singing " +
+      "happy songs about winter mornings"
+    val docs = docsOf(Seq(
+      (1L, "a", "zz", 2L), (2L, "a", "zz zz", 5L),
+      (3L, "a", "zz zz zz", 8L), (4L, "a", pass, pass.length.toLong)))
+    val got = pipeline.Corpus.qualityCalibration(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 3L, 6L, 8L))
+    assert(got(8L).getAs[Long]("n_keep") == 1L)
+    assert(got(8L).getAs[Double]("keep_rate") == 1.0)
+    Seq(1L, 3L, 6L).foreach(d => assert(got(d).getAs[Long]("n_keep") == 0L))
+  }
+
+  test("normProfile: rounded-norm lower medians per label") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f), 0), (2L, Array(6.0f, 8.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.normProfile(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Long]("n_vecs") == 2L)
+    assert(got(0L).getAs[Double]("mean_nrm") == 7.5)
+    assert(got(0L).getAs[Double]("p50_nrm") == 5.0) // lower median
+    assert(got(0L).getAs[Double]("max_nrm") == 10.0)
+    assert(got(1L).getAs[Double]("p50_nrm") == 1.0)
+  }
+
   test("hubness: identical vectors share one bucket, all cited k times") {
     val implicits = spark.implicits
     import implicits._
