@@ -470,6 +470,20 @@ FROM be JOIN sz sa ON sa.label = be.label_src
   JOIN sz sb ON sb.label = be.label_dst
 ORDER BY label_src, label_dst"""
 
+  /** knn(k) mirror: same symmetric degree frame, same exact BIGINT
+    * neighbor-degree sums, one double division at the end. */
+  val knnProfileSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM psym GROUP BY 1),
+snd AS (SELECT s.src, CAST(SUM(d.deg) AS BIGINT) AS snd
+  FROM psym s JOIN deg d ON d.id = s.dst GROUP BY 1)
+SELECT CAST(d.deg AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  ROUND(CAST(SUM(n.snd) AS DOUBLE) /
+    CAST(d.deg * COUNT(*) AS DOUBLE), 6) AS knn
+FROM deg d JOIN snd n ON n.src = d.id
+GROUP BY d.deg ORDER BY k"""
+
   /** Percolation mirror: same exact-integer thresholds
     * (w·|E| > Σw·k), min-label propagation unrolled 24 rounds (≥ any
     * 25-node diameter) per threshold — converges to the same min-id

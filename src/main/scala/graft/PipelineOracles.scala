@@ -383,6 +383,26 @@ SELECT s.vec_id, ROUND(s.scale, 6) AS scale, CAST(s.dims AS BIGINT) AS dims,
        CAST(SUM(qv) AS BIGINT) AS qsum, MIN(qv) AS qmin, MAX(qv) AS qmax
 FROM q JOIN s USING (vec_id) GROUP BY s.vec_id, s.scale, s.dims"""
 
+  /** Quant-error mirror: same scale, same floor(+0.5) level, same
+    * per-element 1e-9-unit integerized error (floor BEFORE abs), all
+    * cross-row sums exact BIGINT. */
+  val quantErrorSql: String =
+    s"""WITH $embCtes,
+s AS (SELECT vec_id, MAX(ABS(x)) / 127.0 AS scale FROM ex GROUP BY vec_id),
+u AS (SELECT e.vec_id,
+  CASE WHEN s.scale = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(FLOOR((e.x - s.scale *
+         CAST(FLOOR(e.x / s.scale + 0.5) AS BIGINT)) * 1e9 + 0.5) AS BIGINT)
+  END AS un
+  FROM ex e JOIN s USING (vec_id)),
+lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+SELECT label, CAST(COUNT(DISTINCT u.vec_id) AS BIGINT) AS n_vecs,
+  ROUND(CAST(SUM(ABS(un)) AS DOUBLE) /
+    (CAST(COUNT(*) AS DOUBLE) * 1e9), 9) AS mean_abs_err,
+  ROUND(CAST(MAX(ABS(un)) AS DOUBLE) / 1e9, 9) AS max_abs_err
+FROM u JOIN lb USING (vec_id)
+GROUP BY label ORDER BY label"""
+
   private val markerRes = Seq(
     "en" -> "\\b(the|a|is)\\b",
     "de" -> "\\b(der|die|das)\\b",
@@ -2669,6 +2689,62 @@ SELECT wk, active, COALESCE(retained, 0) AS retained_next,
     CAST(active AS DOUBLE), 6) AS churn_rate
 FROM act LEFT JOIN ret USING (wk) CROSS JOIN mx
 WHERE wk < mx ORDER BY wk"""
+
+  /** Stickiness mirror: same epoch-day/epoch-week integers, same
+    * observed-day mean, same exact BIGINT dau sums. */
+  val stickinessSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+    AS day, user_id FROM events),
+wd AS (SELECT CAST(FLOOR(day / 7) AS BIGINT) AS wk, day, user_id FROM du),
+daily AS (SELECT wk, day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM wd GROUP BY 1, 2),
+weekly AS (SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM wd GROUP BY 1),
+agg AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(dau) AS BIGINT) AS dau_sum FROM daily GROUP BY 1)
+SELECT wk, n_days, wau,
+  ROUND(CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_dau,
+  ROUND(CAST(dau_sum AS DOUBLE) / CAST(n_days * wau AS DOUBLE), 6)
+    AS stickiness
+FROM agg JOIN weekly USING (wk) ORDER BY wk"""
+
+  /** Behavioral-entropy mirror: same per-user c·ln(c) fold, same
+    * 1e-7-unit integerized H before the cross-user mean. */
+  val behavioralEntropySql: String =
+    """WITH tc AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+per AS (SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+  SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+  FROM tc GROUP BY 1),
+h AS (SELECT n_types, CAST(FLOOR((ln(CAST(n AS DOUBLE)) -
+    slc / CAST(n AS DOUBLE)) * 1e7 + 0.5) AS BIGINT) AS hu FROM per)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  ROUND(CAST(SUM(hu) AS DOUBLE) /
+    (CAST(COUNT(*) AS DOUBLE) * 1e7), 6) AS mean_entropy
+FROM h GROUP BY 1 ORDER BY 1"""
+
+  /** Purchase-interval mirror: same exact epoch-microsecond gaps,
+    * same event_id tiebreak, same lifecycle bands. */
+  val purchaseIntervalsSql: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+  WHERE event_type = 'purchase'),
+g AS (SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+    AS gap_us FROM p),
+b AS (SELECT gap_us,
+  CASE WHEN gap_us < 21600000000 THEN 'a_lt_6h'
+       WHEN gap_us < 86400000000 THEN 'b_6h_24h'
+       WHEN gap_us < 259200000000 THEN 'c_1d_3d'
+       WHEN gap_us < 604800000000 THEN 'd_3d_7d'
+       ELSE 'e_ge_7d' END AS bucket
+  FROM g WHERE gap_us IS NOT NULL),
+per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(gap_us) AS BIGINT) AS gsum FROM b GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM per)
+SELECT bucket, n AS n_gaps,
+  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+  ROUND(CAST(gsum AS DOUBLE) / (CAST(n AS DOUBLE) * 3.6e9), 4) AS mean_gap_h
+FROM per CROSS JOIN t ORDER BY bucket"""
 
   /** PSI mirror: same half-unit corpus deciles, same empty-bucket-
     * contributes-0 convention, same (p−q)·ln(p/q) operand order. */

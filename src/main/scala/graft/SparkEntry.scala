@@ -671,6 +671,17 @@ object SparkEntry {
     "q_norm_profile" -> ((s, d) =>
       pipeline.Similarity.normProfile(
         GraphBuilder.table(s, d, "embeddings"))),
+    "q_knn_profile" -> ((s, d) =>
+      algorithms.Structure.knnProfile(DerivedGraphs.partCooccur(s, d))),
+    "q_quant_error" -> ((s, d) =>
+      pipeline.Similarity.quantError(
+        GraphBuilder.table(s, d, "embeddings"))),
+    "q_stickiness" -> ((s, d) =>
+      EventStreams.stickiness(EventStreams.eventsTable(s, d))),
+    "q_behavioral_entropy" -> ((s, d) =>
+      EventStreams.behavioralEntropy(EventStreams.eventsTable(s, d))),
+    "q_purchase_intervals" -> ((s, d) =>
+      EventStreams.purchaseIntervals(EventStreams.eventsTable(s, d))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1247,6 +1258,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_lang_confusion" -> PipelineOracles.langConfusionSql,
     "q_quality_calibration" -> PipelineOracles.qualityCalibrationSql(),
     "q_norm_profile" -> PipelineOracles.normProfileSql,
+    "q_knn_profile" -> Oracles.knnProfileSql,
+    "q_quant_error" -> PipelineOracles.quantErrorSql,
+    "q_stickiness" -> PipelineOracles.stickinessSql,
+    "q_behavioral_entropy" -> PipelineOracles.behavioralEntropySql,
+    "q_purchase_intervals" -> PipelineOracles.purchaseIntervalsSql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

@@ -350,6 +350,35 @@ object Structure {
       .orderBy("label_src", "label_dst")
   }
 
+  /** Average-neighbor-degree curve knn(k) (Pastor-Satorras, Vázquez &
+    * Vespignani 2001): for each degree class k, the degree-class mean
+    * of the neighbor degree — THE degree-correlation profile (rising =
+    * assortative, falling = disassortative) that the single
+    * assortativity r collapses to one number. Within a class every
+    * node has degree exactly k, so the class mean of (Σ nbr-deg)/k is
+    * (Σ Σ nbr-deg)/(k·n_k) — ALL sums exact BIGINTs, one double
+    * division at the end.
+    *
+    * Scale: one degree aggregate + one |E|-row join to the degree
+    * frame + two map-side-combined rollups; output ≤ |distinct
+    * degrees| rows. */
+  def knnProfile(pedges: DataFrame): DataFrame = {
+    val sym = pedges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val snd = sym
+      .join(deg.select(col("id").as("dst"), col("deg").as("dn")), Seq("dst"))
+      .groupBy("src").agg(sum("dn").as("snd"))
+    deg.join(snd, deg("id") === snd("src"))
+      .groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum("snd").cast("long").as("snd_sum"))
+      .select(col("k").cast("long").as("k"), col("n_nodes"),
+        round(col("snd_sum").cast("double") /
+          (col("k") * col("n_nodes")).cast("double"), 6).as("knn"))
+      .orderBy("k")
+  }
+
   /** k-truss — the maximal subgraph in which every edge closes at
     * least k−2 triangles WITHIN the subgraph (Cohen 2008): the
     * edge-level cohesion analogue of k-core (reference:

@@ -514,6 +514,49 @@ object Similarity {
         expr("array_max(_q)").as("qmax"))
   }
 
+  /** Int8 quantization-error audit: per label, the mean and max
+    * absolute reconstruction error |x − scale·q| under the
+    * [[quantizeInt8]] scheme — the "is int8 good enough for this
+    * embedding space" gate run before swapping the similarity index
+    * to quantized storage. Per-dimension errors are integerized to
+    * 1e-9 units (floor(e·1e9 + 0.5) BIGINT) inside the row fold, so
+    * every cross-row sum is exact integer arithmetic and the one
+    * double division happens at the end. Returns (label, n_vecs,
+    * mean_abs_err, max_abs_err).
+    *
+    * Scale: narrow per-row fold (no shuffle) + one ≤|labels|-key
+    * rollup. Zero-scale (all-zero) vectors reconstruct exactly and
+    * contribute zero error. */
+  def quantError(emb: DataFrame): DataFrame = {
+    val scale = expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0")
+    val units =
+      """transform(embedding, x -> CAST(floor(
+        |  (CAST(x AS DOUBLE) - _scale *
+        |   CAST(floor(CAST(x AS DOUBLE) / _scale + 0.5) AS BIGINT))
+        |  * 1e9 + 0.5) AS BIGINT))""".stripMargin
+    emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("label").cast("long").as("label"), col("embedding"),
+        scale.as("_scale"))
+      .withColumn("_u",
+        when(col("_scale") === 0.0,
+          expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+          .otherwise(expr(units)))
+      .select(col("label"), size(col("embedding")).cast("long").as("dims"),
+        expr("aggregate(_u, CAST(0 AS BIGINT), (a, v) -> a + abs(v))")
+          .as("usum"),
+        expr("aggregate(_u, CAST(0 AS BIGINT), (a, v) -> greatest(a, abs(v)))")
+          .as("umax"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum("dims").as("ndims"), sum("usum").as("us"), max("umax").as("um"))
+      .select(col("label"), col("n_vecs"),
+        round(col("us").cast("double") /
+          (col("ndims").cast("double") * lit(1e9)), 9).as("mean_abs_err"),
+        round(col("um").cast("double") / lit(1e9), 9).as("max_abs_err"))
+      .orderBy("label")
+  }
+
   /** IVF ANN in EXACT INTEGER arithmetic: vectors quantized to
     * floor(x·scale) BIGINTs, k-means iterated with integer squared
     * distances and floor-division means, probes scanning the `nprobe`

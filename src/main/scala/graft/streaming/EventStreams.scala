@@ -916,6 +916,105 @@ object EventStreams {
       .orderBy("dow", "event_type")
   }
 
+  /** DAU/WAU stickiness per epoch-week: observed days, weekly-active
+    * users, mean daily-active users and the stickiness ratio
+    * mean_dau/wau — THE product-engagement headline ("what share of a
+    * week's users show up on a given day"). Epoch-day/epoch-week
+    * integers (no calendar locale); mean over OBSERVED days of the
+    * week, so a partial tail week isn't diluted by empty days.
+    * Returns (wk, n_days, wau, mean_dau, stickiness).
+    *
+    * Scale: one (day,user) distinct — the dominant shuffle — then
+    * day- and week-bounded rollups; output ≤ |weeks| rows. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val du = events.select(
+      floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+      col("user_id")).distinct()
+    val wd = du.withColumn("wk", floor(col("day") / lit(7L)))
+    val daily = wd.groupBy("wk", "day").agg(count(lit(1)).as("dau"))
+    val weekly = wd.select("wk", "user_id").distinct()
+      .groupBy("wk").agg(count(lit(1)).as("wau"))
+    daily.groupBy("wk")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("dau_sum"))
+      .join(weekly, Seq("wk"))
+      .select(col("wk").cast("long").as("wk"),
+        col("n_days").cast("long").as("n_days"),
+        col("wau").cast("long").as("wau"),
+        round(col("dau_sum").cast("double") / col("n_days").cast("double"),
+          6).as("mean_dau"),
+        round(col("dau_sum").cast("double") /
+          (col("n_days") * col("wau")).cast("double"), 6).as("stickiness"))
+      .orderBy("wk")
+  }
+
+  /** Behavioral-entropy profile: per-user Shannon entropy of the
+    * event-type distribution, rolled up by the user's distinct-type
+    * count — "how specialized is each user's behavior" (H = 0:
+    * single-purpose; H → ln(types): uniform). Per-user H is
+    * integerized to 1e-7 units BEFORE the cross-user mean so the
+    * rollup sum is exact BIGINT arithmetic (the mmr discipline).
+    * Returns (n_types, n_users, mean_entropy).
+    *
+    * Scale: one (user,type) count shuffle + one user rollup; output
+    * ≤ |types| rows. */
+  def behavioralEntropy(events: DataFrame): DataFrame = {
+    val tc = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val h = log(col("n").cast("double")) -
+      col("slc") / col("n").cast("double")
+    val per = tc.groupBy("user_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("slc"))
+      .select(col("n_types"),
+        floor(h * lit(1e7) + lit(0.5)).cast("long").as("hu"))
+    per.groupBy("n_types")
+      .agg(count(lit(1)).cast("long").as("n_users"), sum("hu").as("husum"))
+      .select(col("n_types").cast("long").as("n_types"), col("n_users"),
+        round(col("husum").cast("double") /
+          (col("n_users").cast("double") * lit(1e7)), 6).as("mean_entropy"))
+      .orderBy("n_types")
+  }
+
+  /** Repeat-purchase interval histogram: per-user gaps between
+    * consecutive purchases (exact epoch-microsecond integers,
+    * event_id tiebreak) bucketed into lifecycle bands, with each
+    * band's share and mean gap in hours — the repeat-rate curve
+    * subscription/retention teams steer by. Returns (bucket, n_gaps,
+    * share, mean_gap_h).
+    *
+    * Scale: one user-partitioned lag window over the purchase slice;
+    * 5-key rollup. */
+  def purchaseIntervals(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        // wall-clock micros (NTZ-safe, tz-independent; unix_micros
+        // would reinterpret the NTZ column in the session zone)
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").as("us"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val hUs = 3600L * 1000000L
+    val gaps = p.withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("us") - col("prev")).as("gap_us"))
+      .select(col("gap_us"),
+        when(col("gap_us") < lit(6L * hUs), "a_lt_6h")
+          .when(col("gap_us") < lit(24L * hUs), "b_6h_24h")
+          .when(col("gap_us") < lit(72L * hUs), "c_1d_3d")
+          .when(col("gap_us") < lit(168L * hUs), "d_3d_7d")
+          .otherwise("e_ge_7d").as("bucket"))
+    val per = gaps.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("gap_us").as("gsum"))
+    per.crossJoin(broadcast(per.agg(sum("n").as("tot"))))
+      .select(col("bucket"), col("n").cast("long").as("n_gaps"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"),
+        round(col("gsum").cast("double") /
+          (col("n").cast("double") * lit(3.6e9)), 4).as("mean_gap_h"))
+      .orderBy("bucket")
+  }
+
   /** Multi-touch attribution histogram: for every purchase, the count
     * of the user's clicks in the trailing `windowHours` (inclusive
     * bounds, the [[graft.ops.RangeJoin]] convention), rolled into a

@@ -634,4 +634,83 @@ class RobustSpec extends SparkSpec {
     assert(got.head.getLong(0) == 3L) // each cited by the 3 others
     assert(got.head.getAs[Long]("n_vecs") == 4L)
   }
+
+  test("knnProfile: star graph — leaves see the hub, hub sees leaves") {
+    val implicits = spark.implicits
+    import implicits._
+    val pe = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = algorithms.Structure.knnProfile(pe).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L).getAs[Long]("n_nodes") == 3L)
+    assert(got(1L).getAs[Double]("knn") == 3.0) // each leaf's nbr is the hub
+    assert(got(3L).getAs[Long]("n_nodes") == 1L)
+    assert(got(3L).getAs[Double]("knn") == 1.0) // hub's nbrs are leaves
+  }
+
+  test("quantError: half-step reconstruction error, zero vector exact") {
+    val implicits = spark.implicits
+    import implicits._
+    // (127, 63.5): scale = 1.0, q = (127, 64) -> errs (0, 0.5)
+    val emb = Seq(
+      (1L, Array(127.0f, 63.5f), 0), (2L, Array(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.quantError(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Long]("n_vecs") == 1L)
+    assert(got(0L).getAs[Double]("mean_abs_err") == 0.25)
+    assert(got(0L).getAs[Double]("max_abs_err") == 0.5)
+    assert(got(1L).getAs[Double]("mean_abs_err") == 0.0)
+    assert(got(1L).getAs[Double]("max_abs_err") == 0.0)
+  }
+
+  test("stickiness: mean over OBSERVED days of the week") {
+    val implicits = spark.implicits
+    import implicits._
+    // week 0: day 0 has users {1,2}, day 1 has {1} -> dau_sum 3 over 2
+    // observed days, wau 2 -> stickiness 3/(2*2)
+    val ev = Seq((0L, 10L), (0L, 20L), (86400L, 10L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val r = EventStreams.stickiness(ev).collect().head
+    assert(r.getAs[Long]("wk") == 0L)
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Long]("wau") == 2L)
+    assert(r.getAs[Double]("mean_dau") == 1.5)
+    assert(r.getAs[Double]("stickiness") == 0.75)
+  }
+
+  test("behavioralEntropy: integerized per-user H, single-type user at 0") {
+    val implicits = spark.implicits
+    import implicits._
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("user_id", "event_type")
+    val got = EventStreams.behavioralEntropy(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_users") == 1L)
+    assert(got(1L).getAs[Double]("mean_entropy") == 0.0)
+    // H = ln 3 - (2 ln 2)/3 = 0.63651417 -> 1e-7 units 6365142
+    assert(got(2L).getAs[Double]("mean_entropy") == 0.636514)
+  }
+
+  test("purchaseIntervals: lifecycle bands over purchase-only gaps") {
+    val implicits = spark.implicits
+    import implicits._
+    // purchases at 0h, 1h, 30h -> gaps 1 h (a_lt_6h) and 29 h (c_1d_3d);
+    // the click must not break the purchase chain
+    val ev = Seq(
+      (1L, 0L, 7L, "purchase"), (2L, 3600L, 7L, "purchase"),
+      (3L, 7200L, 7L, "click"), (4L, 108000L, 7L, "purchase"))
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .select(col("event_id"),
+        col("sec").cast("timestamp").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"))
+    val got = EventStreams.purchaseIntervals(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a_lt_6h", "c_1d_3d"))
+    assert(got("a_lt_6h").getAs[Long]("n_gaps") == 1L)
+    assert(got("a_lt_6h").getAs[Double]("share") == 0.5)
+    assert(got("a_lt_6h").getAs[Double]("mean_gap_h") == 1.0)
+    assert(got("c_1d_3d").getAs[Double]("mean_gap_h") == 29.0)
+  }
 }
