@@ -2746,6 +2746,114 @@ SELECT bucket, n AS n_gaps,
   ROUND(CAST(gsum AS DOUBLE) / (CAST(n AS DOUBLE) * 3.6e9), 4) AS mean_gap_h
 FROM per CROSS JOIN t ORDER BY bucket"""
 
+  /** Session-stats mirror: same microsecond gap splits, same running
+    * session counter, same size bands. */
+  def sessionStatsSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+m AS (SELECT user_id, us, event_id,
+  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       THEN 1 ELSE 0 END AS new_s
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sd AS (SELECT user_id, us,
+  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+sess AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us FROM sd GROUP BY 1, 2),
+per AS (SELECT CASE WHEN n_ev = 1 THEN 'a_1' WHEN n_ev <= 4 THEN 'b_2_4'
+    WHEN n_ev <= 9 THEN 'c_5_9' ELSE 'd_ge_10' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(n_ev) AS BIGINT) AS ev_sum,
+  CAST(SUM(dur_us) AS BIGINT) AS dur_sum FROM sess GROUP BY 1),
+t AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS tot FROM per)
+SELECT bucket, n_sessions,
+  ROUND(CAST(n_sessions AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+  ROUND(CAST(ev_sum AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+    AS mean_events,
+  ROUND(CAST(dur_sum AS DOUBLE) / (CAST(n_sessions AS DOUBLE) * 6e7), 4)
+    AS mean_duration_min
+FROM per CROSS JOIN t ORDER BY bucket"""
+  }
+
+  /** First-touch mirror: rn=1 over the same (us, event_id) order ≡
+    * the min-struct argmin; same lift operand order. */
+  val firstTouchSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+  FROM events),
+f AS (SELECT user_id, event_type,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+  FROM e),
+fc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_first
+  FROM f WHERE rn = 1 GROUP BY 1),
+vol AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM e GROUP BY 1),
+tt AS (SELECT CAST(SUM(n_first) AS BIGINT) AS n_users FROM fc),
+tv AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS n_events FROM vol)
+SELECT event_type, n_first,
+  ROUND(CAST(n_first AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+    AS first_share,
+  ROUND(CAST(n_ev AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS event_share,
+  ROUND((CAST(n_first AS DOUBLE) * CAST(n_events AS DOUBLE)) /
+    (CAST(n_users AS DOUBLE) * CAST(n_ev AS DOUBLE)), 6) AS lift
+FROM fc JOIN vol USING (event_type) CROSS JOIN tt CROSS JOIN tv
+ORDER BY event_type"""
+
+  /** Type-affinity mirror: same distinct (user,type) frame, same
+    * x<y pair join, same lift/jaccard operand order. */
+  val typeAffinitySql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ut GROUP BY 1),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_u FROM ut),
+pr AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+  CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut x JOIN ut y ON x.user_id = y.user_id
+    AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab,
+  ROUND(CAST(n_ab AS DOUBLE) * CAST(n_u AS DOUBLE) /
+    CAST(a.n * b.n AS DOUBLE), 6) AS lift,
+  ROUND(CAST(n_ab AS DOUBLE) / CAST(a.n + b.n - n_ab AS DOUBLE), 6)
+    AS jaccard
+FROM pr JOIN tot a ON a.event_type = type_a
+  JOIN tot b ON b.event_type = type_b CROSS JOIN nu
+ORDER BY type_a, type_b"""
+
+  /** Term-burstiness mirror: same per-doc term counts, same df/cf/df2
+    * rollup, same (cf desc, term asc) top-k. */
+  def termBurstinessSql(k: Int = 30): String =
+    s"""WITH tc AS (SELECT doc_id, t AS term, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1, 2),
+ag AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(c) AS BIGINT) AS cf,
+  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM tc GROUP BY 1)
+SELECT term, df, cf, df2,
+  ROUND(CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE), 6) AS adaptation,
+  ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS rate
+FROM ag ORDER BY cf DESC, term ASC LIMIT $k"""
+
+  /** Char-bigram-entropy mirror: same substr gram stream as the
+    * generator (truncated prefix for 1-char docs), same lang-level
+    * c·ln(c) fold. */
+  val charBigramEntropySql: String =
+    """WITH g AS MATERIALIZED (SELECT d.doc_id, d.lang,
+    substr(d.text, i, 2) AS sh
+  FROM documents d,
+    unnest(generate_series(1, greatest(len(text) - 1, 1))) AS t(i)),
+lc AS (SELECT lang, sh, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+ag AS (SELECT lang, SUM(c) AS n_grams, COUNT(*) AS distinct_grams,
+  SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc FROM lc GROUP BY 1)
+SELECT lang, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(distinct_grams AS BIGINT) AS distinct_grams,
+  ROUND(ln(CAST(n_grams AS DOUBLE)) - slc / CAST(n_grams AS DOUBLE), 6)
+    AS entropy,
+  ROUND(CASE WHEN distinct_grams > 1 THEN
+    (ln(CAST(n_grams AS DOUBLE)) - slc / CAST(n_grams AS DOUBLE)) /
+    ln(CAST(distinct_grams AS DOUBLE)) END, 6) AS entropy_norm
+FROM ag ORDER BY lang"""
+
   /** PSI mirror: same half-unit corpus deciles, same empty-bucket-
     * contributes-0 convention, same (p−q)·ln(p/q) operand order. */
   val psiSql: String =

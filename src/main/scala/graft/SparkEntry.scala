@@ -682,6 +682,17 @@ object SparkEntry {
       EventStreams.behavioralEntropy(EventStreams.eventsTable(s, d))),
     "q_purchase_intervals" -> ((s, d) =>
       EventStreams.purchaseIntervals(EventStreams.eventsTable(s, d))),
+    "q_session_stats" -> ((s, d) =>
+      EventStreams.sessionStats(EventStreams.eventsTable(s, d))),
+    "q_first_touch" -> ((s, d) =>
+      EventStreams.firstTouch(EventStreams.eventsTable(s, d))),
+    "q_type_affinity" -> ((s, d) =>
+      EventStreams.typeAffinity(EventStreams.eventsTable(s, d))),
+    "q_term_burstiness" -> ((s, d) =>
+      Corpus.termBurstiness(GraphBuilder.table(s, d, "documents"))),
+    "q_char_bigram_entropy" -> ((s, d) =>
+      pipeline.TextOps.charBigramEntropy(
+        GraphBuilder.table(s, d, "documents"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1263,6 +1274,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_stickiness" -> PipelineOracles.stickinessSql,
     "q_behavioral_entropy" -> PipelineOracles.behavioralEntropySql,
     "q_purchase_intervals" -> PipelineOracles.purchaseIntervalsSql,
+    "q_session_stats" -> PipelineOracles.sessionStatsSql(),
+    "q_first_touch" -> PipelineOracles.firstTouchSql,
+    "q_type_affinity" -> PipelineOracles.typeAffinitySql,
+    "q_term_burstiness" -> PipelineOracles.termBurstinessSql(),
+    "q_char_bigram_entropy" -> PipelineOracles.charBigramEntropySql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

@@ -93,6 +93,35 @@ object Corpus {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** Term burstiness / adaptation (Church & Gale 1995): for the top-k
+    * terms by collection frequency, the probability a document that
+    * mentions the term mentions it AGAIN (df2/df) and the mean
+    * within-doc rate cf/df. Content words adapt (a doc about X says X
+    * many times); function words don't — the signal that separates
+    * topical vocabulary from glue, which raw frequency can't.
+    * Returns (term, df, cf, df2, adaptation, rate).
+    *
+    * Scale: one (doc,term) map-side-combined count + one per-term
+    * rollup + a distributed top-k (TakeOrdered, never a global
+    * sort). */
+  def termBurstiness(docs: DataFrame, k: Int = 30): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    tc.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum("c").cast("long").as("cf"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L)).cast("long").as("df2"))
+      .orderBy(col("cf").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("df"), col("cf"), col("df2"),
+        round(col("df2").cast("double") / col("df").cast("double"), 6)
+          .as("adaptation"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("rate"))
+  }
+
   /** BPE merge-pair statistics: adjacent character-pair counts WITHIN
     * words (the exact quantity byte-pair-encoding maximizes at its
     * first merge step — running this after each merge is the whole BPE

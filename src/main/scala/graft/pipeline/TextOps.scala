@@ -387,6 +387,38 @@ object TextOps {
     * reads words): this reads raw bytes-level composition — the signal
     * that separates source code, markup, and tables from prose before
     * any tokenizer runs. */
+  /** Per-language character-bigram entropy: the Shannon entropy of
+    * the language's character-pair distribution (plus ln(V)-normalized
+    * form) — the script-level fingerprint language-ID models train on,
+    * and a drift alarm when a "lang=en" shard suddenly carries the
+    * wrong bigram shape. Gram stream from the same spec-pinned
+    * [[charGrams]] generator every shingle operator uses (truncated
+    * prefix for 1-char docs).
+    *
+    * Scale: per-doc gram counts map-side combine BEFORE the lang
+    * join, so the lang-keyed shuffle carries ≤ |docs|·|distinct
+    * bigrams per doc| rows, never the raw character stream; final
+    * rollup is ≤ |langs| keys. */
+  def charBigramEntropy(docs: DataFrame): DataFrame = {
+    val dc = charGrams(docs, 2)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+    val lc = dc.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "sh").agg(sum("c").as("c"))
+    val h = log(col("n_grams").cast("double")) -
+      col("slc") / col("n_grams").cast("double")
+    lc.groupBy("lang")
+      .agg(sum("c").cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("distinct_grams"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("slc"))
+      .select(col("lang"), col("n_grams"), col("distinct_grams"),
+        round(h, 6).as("entropy"),
+        round(when(col("distinct_grams") > 1L,
+          h / log(col("distinct_grams").cast("double"))), 6)
+          .as("entropy_norm"))
+      .orderBy("lang")
+  }
+
   def charsetProfile(docs: DataFrame): DataFrame = {
     val f = docs.select(col("source"),
       length(col("text")).cast("long").as("chars"),

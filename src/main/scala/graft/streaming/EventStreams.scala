@@ -987,12 +987,7 @@ object EventStreams {
     * 5-key rollup. */
   def purchaseIntervals(events: DataFrame): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"),
-        // wall-clock micros (NTZ-safe, tz-independent; unix_micros
-        // would reinterpret the NTZ column in the session zone)
-        expr("timestampdiff(MICROSECOND, " +
-          "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").as("us"),
-        col("event_id"))
+      .select(col("user_id"), ntzMicros.as("us"), col("event_id"))
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val hUs = 3600L * 1000000L
     val gaps = p.withColumn("prev", lag("us", 1).over(w))
@@ -1013,6 +1008,127 @@ object EventStreams {
         round(col("gsum").cast("double") /
           (col("n").cast("double") * lit(3.6e9)), 4).as("mean_gap_h"))
       .orderBy("bucket")
+  }
+
+  /** Wall-clock epoch microseconds off the NTZ ts column —
+    * tz-independent (unix_micros would reinterpret the NTZ wall clock
+    * in the session zone). */
+  private def ntzMicros: Column =
+    expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+
+  /** Batch sessionization summary: split each user's stream at
+    * inactivity gaps > `gapMinutes` (exact epoch-microsecond compare,
+    * event_id tiebreak), then report the session-size histogram —
+    * n_sessions / share / mean events / mean duration per size band.
+    * The batch twin of the streaming flatMapGroupsWithState
+    * sessionizer; THE engagement-shape report ("are visits one-shot
+    * bounces or long sessions").
+    *
+    * Scale: both windows (lag + running session counter) ride ONE
+    * user_id shuffle partition sort; rollup is 4-key. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), ntzMicros.as("us"), col("event_id"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = marked.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"), (max("us") - min("us")).as("dur_us"))
+    val per = sess
+      .select(when(col("n_ev") === 1L, "a_1")
+          .when(col("n_ev") <= 4L, "b_2_4")
+          .when(col("n_ev") <= 9L, "c_5_9")
+          .otherwise("d_ge_10").as("bucket"),
+        col("n_ev"), col("dur_us"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("ev_sum"),
+        sum("dur_us").as("dur_sum"))
+    per.crossJoin(broadcast(per.agg(sum("n_sessions").as("tot"))))
+      .select(col("bucket"), col("n_sessions").cast("long").as("n_sessions"),
+        round(col("n_sessions").cast("double") / col("tot").cast("double"),
+          6).as("share"),
+        round(col("ev_sum").cast("double") /
+          col("n_sessions").cast("double"), 6).as("mean_events"),
+        round(col("dur_sum").cast("double") /
+          (col("n_sessions").cast("double") * lit(6e7)), 4)
+          .as("mean_duration_min"))
+      .orderBy("bucket")
+  }
+
+  /** First-touch mix: each user's FIRST event type (exact (us,
+    * event_id) argmin via the min-struct trick — no row_number pass)
+    * vs the type's overall event-volume share; lift > 1 = the type
+    * over-indexes as an entry point — the acquisition-channel
+    * fingerprint next to [[dowProfile]]'s when and
+    * [[transitionMatrix]]'s what-next. Returns (event_type, n_first,
+    * first_share, event_share, lift).
+    *
+    * Scale: one map-side-combined per-user min + one type count; the
+    * two ≤|types|-row frames broadcast into the final projection. */
+  def firstTouch(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      ntzMicros.as("us"), col("event_id"))
+    val first = e
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+        .as("f"))
+      .select(col("f.event_type").as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_first"))
+    val vol = e.groupBy("event_type").agg(count(lit(1)).as("n_ev"))
+    val tot = first.agg(sum("n_first").as("n_users"))
+      .crossJoin(vol.agg(sum("n_ev").as("n_events")))
+    first.join(vol, Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_first").cast("long").as("n_first"),
+        round(col("n_first").cast("double") / col("n_users").cast("double"),
+          6).as("first_share"),
+        round(col("n_ev").cast("double") / col("n_events").cast("double"),
+          6).as("event_share"),
+        round((col("n_first").cast("double") * col("n_events")
+            .cast("double")) /
+          (col("n_users").cast("double") * col("n_ev").cast("double")), 6)
+          .as("lift"))
+      .orderBy("event_type")
+  }
+
+  /** Type-affinity matrix: for every event-type pair, how many users
+    * do BOTH, with user-level lift n_ab·n_u/(n_a·n_b) and Jaccard —
+    * the cross-feature adoption map ("do purchasers also hit
+    * errors?"). Returns (type_a, type_b, n_ab, lift, jaccard).
+    *
+    * Scale: one (user,type) distinct, then a user-keyed self-join
+    * whose fan-out is ≤ C(|types|,2) per user; type totals broadcast.
+    */
+  def typeAffinity(events: DataFrame): DataFrame = {
+    val ut = events.select("user_id", "event_type").distinct()
+    val tot = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val nu = ut.agg(countDistinct("user_id").as("n_u"))
+    val pairs = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(tot.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(tot.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nu))
+      .select(col("type_a"), col("type_b"),
+        col("n_ab").cast("long").as("n_ab"),
+        round(col("n_ab").cast("double") * col("n_u").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"),
+        round(col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
   }
 
   /** Multi-touch attribution histogram: for every purchase, the count

@@ -713,4 +713,83 @@ class RobustSpec extends SparkSpec {
     assert(got("a_lt_6h").getAs[Double]("mean_gap_h") == 1.0)
     assert(got("c_1d_3d").getAs[Double]("mean_gap_h") == 29.0)
   }
+
+  test("sessionStats: 30-min gap splits, size-band rollup") {
+    val implicits = spark.implicits
+    import implicits._
+    // user 7: events at 0 s, 60 s (one session) and 7200 s (a new one)
+    val ev = Seq((1L, 0L, 7L), (2L, 60L, 7L), (3L, 7200L, 7L))
+      .toDF("event_id", "sec", "user_id")
+      .select(col("event_id"),
+        col("sec").cast("timestamp").cast("timestamp_ntz").as("ts"),
+        col("user_id"))
+    val got = EventStreams.sessionStats(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a_1", "b_2_4"))
+    assert(got("a_1").getAs[Long]("n_sessions") == 1L)
+    assert(got("a_1").getAs[Double]("mean_duration_min") == 0.0)
+    assert(got("b_2_4").getAs[Double]("share") == 0.5)
+    assert(got("b_2_4").getAs[Double]("mean_events") == 2.0)
+    assert(got("b_2_4").getAs[Double]("mean_duration_min") == 1.0)
+  }
+
+  test("firstTouch: min-struct argmin vs volume share") {
+    val implicits = spark.implicits
+    import implicits._
+    val ev = Seq(
+      (1L, 0L, 1L, "click"), (2L, 10L, 1L, "purchase"),
+      (3L, 0L, 2L, "view"))
+      .toDF("event_id", "sec", "user_id", "event_type")
+      .select(col("event_id"),
+        col("sec").cast("timestamp").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"))
+    val got = EventStreams.firstTouch(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("click", "view")) // purchase never first
+    assert(got("click").getAs[Long]("n_first") == 1L)
+    assert(got("click").getAs[Double]("first_share") == 0.5)
+    assert(got("click").getAs[Double]("event_share") == 0.333333)
+    assert(got("click").getAs[Double]("lift") == 1.5) // (1*3)/(2*1)
+  }
+
+  test("typeAffinity: user-level pair lift and jaccard") {
+    val implicits = spark.implicits
+    import implicits._
+    // u1:{a,b} u2:{a} u3:{a,b} -> n_a=3, n_b=2, n_ab=2, n_u=3
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"), (3L, "b"))
+      .toDF("user_id", "event_type")
+    val r = EventStreams.typeAffinity(ev).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("type_a") == "a")
+    assert(r.head.getAs[Long]("n_ab") == 2L)
+    assert(r.head.getAs[Double]("lift") == 1.0) // 2*3/(3*2)
+    assert(r.head.getAs[Double]("jaccard") == 0.666667)
+  }
+
+  test("termBurstiness: adaptation separates repeating terms") {
+    val docs = docsOf(Seq(
+      (1L, "s", "x x y", 5L), (2L, "s", "x z", 3L)))
+    val got = pipeline.Corpus.termBurstiness(docs).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("x", "y", "z")) // cf desc, term asc
+    val x = got.head
+    assert(x.getAs[Long]("df") == 2L && x.getAs[Long]("cf") == 3L)
+    assert(x.getAs[Long]("df2") == 1L)
+    assert(x.getAs[Double]("adaptation") == 0.5)
+    assert(x.getAs[Double]("rate") == 1.5)
+  }
+
+  test("charBigramEntropy: uniform two-gram lang at ln 2, norm 1") {
+    val docs = langDocsOf(Seq(
+      (1L, "en", "ab"), (2L, "de", "aaa"), (3L, "fr", "aba")))
+    val got = TextOps.charBigramEntropy(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("en").getAs[Long]("n_grams") == 1L)
+    assert(got("en").getAs[Double]("entropy") == 0.0)
+    assert(got("en").isNullAt(4)) // distinct=1 -> norm NULL
+    assert(got("de").getAs[Long]("n_grams") == 2L)
+    assert(got("de").getAs[Double]("entropy") == 0.0) // "aa" twice
+    assert(got("fr").getAs[Double]("entropy") ==
+      math.rint(math.log(2) * 1e6) / 1e6)
+    assert(got("fr").getAs[Double]("entropy_norm") == 1.0)
+  }
 }
