@@ -484,6 +484,23 @@ SELECT CAST(d.deg AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
 FROM deg d JOIN snd n ON n.src = d.id
 GROUP BY d.deg ORDER BY k"""
 
+  /** Disparity mirror: same multiplicity weights, same 1e-7-unit
+    * integerized Y, same double division order. */
+  val disparitySql: String =
+    s"""WITH ${DerivedGraphs.cooccurAllSql},
+wt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pall GROUP BY 1, 2),
+sym AS (SELECT a AS src, w FROM wt UNION ALL SELECT b, w FROM wt),
+per AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS k,
+  CAST(SUM(w) AS BIGINT) AS s, CAST(SUM(w * w) AS BIGINT) AS sw2
+  FROM sym GROUP BY 1),
+y AS (SELECT k, CAST(FLOOR(CAST(sw2 AS DOUBLE) /
+    (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 1e7 + 0.5) AS BIGINT) AS yu
+  FROM per)
+SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  ROUND(CAST(SUM(yu) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e7), 6)
+    AS mean_disparity
+FROM y GROUP BY 1 ORDER BY 1"""
+
   /** Percolation mirror: same exact-integer thresholds
     * (w·|E| > Σw·k), min-label propagation unrolled 24 rounds (≥ any
     * 25-node diameter) per threshold — converges to the same min-id

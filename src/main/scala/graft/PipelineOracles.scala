@@ -191,6 +191,40 @@ dims AS (SELECT v.pos, ROUND(v.v, 6) AS loading, mu.mu
 SELECT e.vec_id, ROUND(SUM((e.x - d.mu) * d.loading), 6) AS coord
 FROM ex e JOIN dims d ON d.pos = e.pos GROUP BY e.vec_id ORDER BY e.vec_id"""
 
+  /** PC2 mirror: deflation against the ROUNDED published first
+    * component (6-dp loading + eigenvalue — the pcaProject
+    * convention), then the same unrolled power iteration on C′;
+    * var_explained over C′'s trace (share of remaining variance). */
+  def pcaSecondSql(iters: Int): String = {
+    val sb = new StringBuilder(pcaCoreSql(iters))
+    sb ++= s""",
+l1 AS (SELECT v.pos, ROUND(v.v, 6) AS l FROM v$iters v),
+e1 AS (SELECT ROUND(eigval, 6) AS e FROM ei),
+cv2 AS MATERIALIZED (SELECT cv.i, cv.j,
+  cv.c - (SELECT e FROM e1) * a.l * b.l AS c
+  FROM cv JOIN l1 a ON a.pos = cv.i JOIN l1 b ON b.pos = cv.j),
+w0 AS (SELECT pos, 1.0 / sqrt((SELECT d FROM d1)) AS v FROM mu)"""
+    for (k <- 1 to iters) {
+      sb ++= s""",
+s$k AS MATERIALIZED (SELECT cv2.i AS pos, SUM(cv2.c * p.v) AS nv
+  FROM cv2 JOIN w${k - 1} p ON p.pos = cv2.j GROUP BY 1),
+m$k AS (SELECT sqrt(SUM(nv * nv)) AS nrm FROM s$k),
+w$k AS MATERIALIZED (SELECT pos, nv / (SELECT nrm FROM m$k) AS v FROM s$k)"""
+    }
+    sb ++= s""",
+cvv2 AS (SELECT cv2.i AS pos, SUM(cv2.c * p.v) AS cvv
+  FROM cv2 JOIN w$iters p ON p.pos = cv2.j GROUP BY 1),
+ei2 AS (SELECT SUM(v.v * cvv2.cvv) AS eigval
+  FROM cvv2 JOIN w$iters v USING (pos)),
+tr2 AS (SELECT SUM(c) AS trace FROM cv2 WHERE i = j)
+SELECT w.pos, ROUND(w.v, 6) AS loading,
+  ROUND((SELECT eigval FROM ei2), 6) AS eigval,
+  ROUND((SELECT eigval FROM ei2) / (SELECT trace FROM tr2), 6)
+    AS var_explained
+FROM w$iters w ORDER BY pos"""
+    sb.toString
+  }
+
   private def pcaCoreSql(iters: Int): String = {
     val sb = new StringBuilder(s"""WITH $embCtes,
 nn AS (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM ex),
@@ -402,6 +436,79 @@ SELECT label, CAST(COUNT(DISTINCT u.vec_id) AS BIGINT) AS n_vecs,
   ROUND(CAST(MAX(ABS(un)) AS DOUBLE) / 1e9, 9) AS max_abs_err
 FROM u JOIN lb USING (vec_id)
 GROUP BY label ORDER BY label"""
+
+  /** Label-balance mirror: same entropy fold, same exp(H) and
+    * max/min ratio. */
+  val labelBalanceSql: String =
+    """WITH lc AS (SELECT CAST(label AS BIGINT) AS label,
+  CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels, SUM(n) AS tot,
+  SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS slc,
+  MAX(n) AS nmax, MIN(n) AS nmin FROM lc)
+SELECT n_labels, CAST(tot AS BIGINT) AS n_vecs,
+  ROUND(ln(CAST(tot AS DOUBLE)) - slc / CAST(tot AS DOUBLE), 6) AS entropy,
+  ROUND(exp(ln(CAST(tot AS DOUBLE)) - slc / CAST(tot AS DOUBLE)), 6)
+    AS eff_classes,
+  ROUND(CAST(nmax AS DOUBLE) / CAST(nmin AS DOUBLE), 6) AS imbalance
+FROM ag"""
+
+  /** Embed-outlier mirror: same 1e-7-unit quantization, same
+    * HUGEINT-exact n²·dist² sums (the decimal(38,0) twin), same
+    * multiplied-through integer outlier compare. */
+  def embedOutliersSql(factor: Int = 4): String =
+    s"""WITH el AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS pos,
+    CAST(FLOOR(embedding[i]::DOUBLE * 1e7 + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  WHERE label IS NOT NULL),
+dims AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS sq
+  FROM el GROUP BY 1, 2),
+sz AS (SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+  FROM el GROUP BY 1),
+dist AS (SELECT el.label, el.vec_id, sz.n,
+    SUM(CAST(sz.n * el.q - d.sq AS HUGEINT) * (sz.n * el.q - d.sq)) AS d2
+  FROM el JOIN dims d ON d.label = el.label AND d.pos = el.pos
+  JOIN sz ON sz.label = el.label
+  GROUP BY 1, 2, 3),
+per AS (SELECT label, SUM(d2) AS d2sum FROM dist GROUP BY 1)
+SELECT dist.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN dist.d2 * dist.n > $factor * per.d2sum
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  ROUND(SUM(CASE WHEN dist.d2 * dist.n > $factor * per.d2sum
+    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_share,
+  ROUND(sqrt(AVG(CAST(dist.d2 AS DOUBLE)) /
+    CAST(MAX(dist.n) * MAX(dist.n) AS DOUBLE)) / 1e7, 6) AS rms_dist
+FROM dist JOIN per ON per.label = dist.label
+GROUP BY dist.label ORDER BY dist.label"""
+
+  /** Vocab-coverage mirror: same (frequency, n_terms) class frame,
+    * same 100·cum ≥ pct·T integer boundary, same ceil-division
+    * remainder (`//` ≡ DIV on the positive operands). */
+  def vocabCoverageSql(targets: Seq[Int] = Seq(50, 80, 90, 95)): String =
+    s"""WITH tcn AS (SELECT t AS term, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1),
+g AS (SELECT c AS cnt, CAST(COUNT(*) AS BIGINT) AS nt FROM tcn GROUP BY 1),
+cum AS (SELECT cnt, nt, cnt * nt AS mass,
+  SUM(cnt * nt) OVER (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING) AS cum,
+  COALESCE(SUM(nt) OVER (ORDER BY cnt DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tprev
+  FROM g),
+tt AS (SELECT SUM(cnt * nt) AS tt FROM g),
+tg AS (SELECT unnest([${targets.mkString(", ")}]) AS pct),
+q AS (SELECT pct, cum, cnt, tprev, mass, tt.tt
+  FROM cum CROSS JOIN tt CROSS JOIN tg
+  WHERE cum * 100 >= pct * tt.tt),
+pick AS (SELECT pct, MIN(cum) AS mcum FROM q GROUP BY 1),
+r AS (SELECT q.*, (q.pct * tt - 100 * (cum - mass) + 100 * cnt - 1)
+    // (100 * cnt) AS j
+  FROM q JOIN pick ON pick.pct = q.pct AND pick.mcum = q.cum)
+SELECT CAST(pct AS BIGINT) AS pct,
+  CAST(tprev + j AS BIGINT) AS k_terms,
+  ROUND(CAST((cum - mass) + j * cnt AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+    AS coverage
+FROM r ORDER BY pct"""
 
   private val markerRes = Seq(
     "en" -> "\\b(the|a|is)\\b",

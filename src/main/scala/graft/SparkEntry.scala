@@ -693,6 +693,18 @@ object SparkEntry {
     "q_char_bigram_entropy" -> ((s, d) =>
       pipeline.TextOps.charBigramEntropy(
         GraphBuilder.table(s, d, "documents"))),
+    "q_pca2" -> ((s, d) =>
+      pipeline.Pca.pcaSecond(GraphBuilder.table(s, d, "embeddings"))),
+    "q_label_balance" -> ((s, d) =>
+      pipeline.Similarity.labelBalance(
+        GraphBuilder.table(s, d, "embeddings"))),
+    "q_embed_outliers" -> ((s, d) =>
+      pipeline.Similarity.embedOutliers(
+        GraphBuilder.table(s, d, "embeddings"))),
+    "q_vocab_coverage" -> ((s, d) =>
+      Corpus.vocabCoverage(GraphBuilder.table(s, d, "documents"))),
+    "q_disparity" -> ((s, d) =>
+      algorithms.Structure.disparity(DerivedGraphs.partCooccurAll(s, d))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1279,6 +1291,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_type_affinity" -> PipelineOracles.typeAffinitySql,
     "q_term_burstiness" -> PipelineOracles.termBurstinessSql(),
     "q_char_bigram_entropy" -> PipelineOracles.charBigramEntropySql,
+    "q_pca2" -> PipelineOracles.pcaSecondSql(15),
+    "q_label_balance" -> PipelineOracles.labelBalanceSql,
+    "q_embed_outliers" -> PipelineOracles.embedOutliersSql(),
+    "q_vocab_coverage" -> PipelineOracles.vocabCoverageSql(),
+    "q_disparity" -> Oracles.disparitySql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

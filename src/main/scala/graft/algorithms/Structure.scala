@@ -379,6 +379,37 @@ object Structure {
       .orderBy("k")
   }
 
+  /** Weight-disparity profile Y(k) (Barthélemy et al. 2005): per
+    * node, Y = Σ(w/s)² over its incident edge weights (1/k = evenly
+    * spread strength, →1 = one dominant tie), integerized to 1e-7
+    * units and rolled up by degree class — the weighted-graph
+    * counterpart of [[knnProfile]]. Input is the (a,b) multigraph;
+    * weight = pair multiplicity. Per-node sw2/s are exact BIGINTs;
+    * the Y division runs in doubles (s² would overflow int64 at
+    * extreme strength) and is identical in both engines.
+    *
+    * Scale: one pair-count shuffle + one node rollup; output ≤
+    * |distinct degrees| rows. */
+  def disparity(pall: DataFrame): DataFrame = {
+    val w = pall.groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val sym = w.select(col("a").as("src"), col("w"))
+      .unionByName(w.select(col("b").as("src"), col("w")))
+    val per = sym.groupBy("src")
+      .agg(count(lit(1)).as("k"), sum("w").as("s"),
+        sum(col("w") * col("w")).as("sw2"))
+    per.select(col("k"),
+        floor(col("sw2").cast("double") /
+          (col("s").cast("double") * col("s").cast("double")) * lit(1e7)
+          + lit(0.5)).cast("long").as("yu"))
+      .groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n_nodes"), sum("yu").as("yusum"))
+      .select(col("k").cast("long").as("k"), col("n_nodes"),
+        round(col("yusum").cast("double") /
+          (col("n_nodes").cast("double") * lit(1e7)), 6)
+          .as("mean_disparity"))
+      .orderBy("k")
+  }
+
   /** k-truss — the maximal subgraph in which every edge closes at
     * least k−2 triangles WITHIN the subgraph (Cohen 2008): the
     * edge-level cohesion analogue of k-core (reference:

@@ -122,6 +122,60 @@ object Corpus {
           .as("rate"))
   }
 
+  /** Vocabulary-coverage planning curve: for each coverage target
+    * (50/80/90/95% of token instances), the EXACT minimum number of
+    * top-frequency terms needed — the inverse of [[zipfCoverage]]
+    * (which maps k → coverage) and the number a tokenizer-vocab-size
+    * decision actually wants. All arithmetic is integer: the
+    * qualifying frequency class is found by 100·cum ≥ pct·T compares
+    * and the within-class remainder by ceil-division — no float ever
+    * decides a boundary.
+    *
+    * Scale: the term count collapses to a (frequency, n_terms) class
+    * frame bounded by the distinct-frequency domain (Zipf: ~√N
+    * classes), and the cumulative windows run on THAT frame — never
+    * on the vocabulary. */
+  def vocabCoverage(docs: DataFrame,
+                    targets: Seq[Int] = Seq(50, 80, 90, 95)): DataFrame = {
+    require(targets.nonEmpty && targets.forall(p => p > 0 && p <= 100),
+      s"targets must be percentages in (0,100], got $targets")
+    val g = terms(docs)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("nt"))
+    val wDesc = Window.orderBy(col("cnt").desc)
+    val cum = g
+      .withColumn("mass", col("cnt") * col("nt"))
+      .withColumn("cum", sum("mass")
+        .over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tprev", coalesce(sum("nt")
+        .over(wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(g.agg(
+        sum(col("cnt") * col("nt")).as("tt"))))
+      .withColumn("pct",
+        explode(array(targets.map(p => lit(p.toLong)): _*)))
+    // first qualifying class in cnt-desc order = min cum among rows
+    // with 100·cum ≥ pct·T; carry its fields through one min-struct
+    val pick = cum
+      .filter(col("cum") * 100L >= col("pct") * col("tt"))
+      .groupBy("pct")
+      .agg(min(struct(col("cum"), col("cnt"), col("nt"), col("tprev"),
+        col("mass"), col("tt"))).as("f"))
+      .select(col("pct"), col("f.cum").as("cum"), col("f.cnt").as("cnt"),
+        col("f.tprev").as("tprev"), col("f.mass").as("mass"),
+        col("f.tt").as("tt"))
+    pick.select(col("pct"),
+        // j = ceil((pct·T − 100·cum_prev) / (100·cnt)), cum_prev =
+        // cum − mass; positive operands so DIV is the exact floor
+        expr("(pct * tt - 100 * (cum - mass) + 100 * cnt - 1) " +
+          "DIV (100 * cnt)").as("j"),
+        col("cum"), col("cnt"), col("tprev"), col("mass"), col("tt"))
+      .select(col("pct").cast("long").as("pct"),
+        (col("tprev") + col("j")).cast("long").as("k_terms"),
+        round(((col("cum") - col("mass")) + col("j") * col("cnt"))
+          .cast("double") / col("tt").cast("double"), 6).as("coverage"))
+      .orderBy("pct")
+  }
+
   /** BPE merge-pair statistics: adjacent character-pair counts WITHIN
     * words (the exact quantity byte-pair-encoding maximizes at its
     * first merge step — running this after each merge is the whole BPE
@@ -376,44 +430,12 @@ object Corpus {
     * offsets are computed from the ACTUAL partition sizes. */
   def pplBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, "pplBuckets needs nBuckets >= 2")
-    val (scored, mS) = graft.algorithms.Probe.checkpointObserved(
-      lmScore(docs), count(lit(1)).as("n"))
-    val n = mS("n").asInstanceOf[Long]
-    if (n <= graft.algorithms.Tuning.broadcastThreshold) {
-      val w = Window.orderBy(col("nll").asc, col("doc_id").asc)
-      scored.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
-    } else {
-      val spark = scored.sparkSession
-      val p = spark.sessionState.conf.numShufflePartitions
-      // Pin partition ids with the checkpoint: spark_partition_id is
-      // only meaningful on the materialized range layout.
-      val ranged = scored
-        .repartitionByRange(p, col("nll").asc, col("doc_id").asc)
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
-      val sizes = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets = (0 until p).scanLeft(0L)((acc, i) =>
-        acc + sizes.getOrElse(i, 0L))
-      import spark.implicits._
-      val offDf = broadcast(
-        (0 until p).map(i => (i, offsets(i))).toDF("pid", "off"))
-      val wp = Window.partitionBy("pid")
-        .orderBy(col("nll").asc, col("doc_id").asc)
-      // NTILE quota: first n%b tiers get n/b+1 rows, the rest n/b.
-      val q = n / nBuckets
-      val r0 = n % nBuckets
-      val cut = r0 * (q + 1)
-      val qSafe = math.max(q, 1L) // else-branch unreachable when q=0
-      ranged.join(offDf, Seq("pid"))
-        .withColumn("rk", row_number().over(wp).cast("long") + col("off"))
-        .withColumn("bucket",
-          when(col("rk") <= cut,
-            expr(s"(rk + $q) DIV ${q + 1}"))
-            .otherwise(lit(r0) + expr(s"(rk - $cut + $qSafe - 1) DIV $qSafe"))
-            .cast("long"))
-        .select(col("doc_id"), col("nll"), col("bucket"))
-    }
+    // Dual-regime global NTILE extracted to graft.ops.Ranks (round 10,
+    // when the revived PlanSpec invariant caught rfm with the same
+    // single-task NTILE this kernel fixed in round 8).
+    graft.ops.Ranks.globalNtile(lmScore(docs), nBuckets,
+        Seq(col("nll").asc, col("doc_id").asc), "bucket")
+      .select(col("doc_id"), col("nll"), col("bucket"))
   }
 
   /** Source × language CUBE rollup: doc counts and character volume at

@@ -27,8 +27,9 @@ object Pca {
     * component after `iters` power-iteration steps: per-dimension
     * loading of the dominant eigenvector, the Rayleigh eigenvalue
     * estimate vᵀCv, and its share of total variance (trace). */
-  def pcaTop(emb: DataFrame, iters: Int = 15): DataFrame = {
-    require(iters >= 1, "pcaTop needs iters >= 1")
+  /** The d×d covariance frame C_ij = Σx_i·x_j/n − μ_i·μ_j (one
+    * algebraic pass — see the module doc). */
+  private def covariance(emb: DataFrame): DataFrame = {
     val e = Similarity.exploded(emb)
     val n1 = e.agg(countDistinct("vec_id").cast("double").as("n"))
     val mu = e.groupBy("pos").agg(sum("x").as("sx"))
@@ -38,18 +39,59 @@ object Pca {
       .join(e.select(col("vec_id"), col("pos").as("j"), col("x").as("xj")),
         Seq("vec_id"))
       .groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("sxy"))
-    val cov = prod
+    prod
       .join(broadcast(mu.select(col("pos").as("i"), col("mu").as("mi"))), Seq("i"))
       .join(broadcast(mu.select(col("pos").as("j"), col("mu").as("mj"))), Seq("j"))
       .crossJoin(broadcast(n1))
       .select(col("i"), col("j"),
         (col("sxy") / col("n") - col("mi") * col("mj")).as("c"))
+  }
+
+  /** Dual-regime power iteration on a (not yet checkpointed) d×d
+    * matrix frame. */
+  private def powerTop(cov: DataFrame, iters: Int): DataFrame = {
     val (covCk, mC) = graft.algorithms.Probe.checkpointObserved(
       cov, count(lit(1)).as("cells"))
     val cells = mC("cells").asInstanceOf[Long]
     if (cells <= graft.algorithms.Tuning.broadcastThreshold)
       pcaLocal(covCk, iters)
     else pcaDistributed(covCk, iters)
+  }
+
+  def pcaTop(emb: DataFrame, iters: Int = 15): DataFrame = {
+    require(iters >= 1, "pcaTop needs iters >= 1")
+    powerTop(covariance(emb), iters)
+  }
+
+  /** Second principal component by deflation: C′ = C − λ̂₁·v̂₁v̂₁ᵀ
+    * with the ROUNDED first component exactly as [[pcaTop]] publishes
+    * it (6-dp loading and eigenvalue — the published-artifact
+    * convention [[pcaProject]] already follows, and what keeps the
+    * deflated matrix bit-identical across engines), then the same
+    * dual-regime power iteration on C′. `var_explained` is the share
+    * of the REMAINING variance (trace of C′) — the number that
+    * answers "after PC1, how much of what's left does PC2 carry".
+    *
+    * Scale: covariance is computed ONCE (checkpointed d×d frame);
+    * deflation is two broadcast d-row joins over d² cells; the
+    * iteration cost is identical to [[pcaTop]]'s. */
+  def pcaSecond(emb: DataFrame, iters: Int = 15): DataFrame = {
+    require(iters >= 1, "pcaSecond needs iters >= 1")
+    val (covCk, mC) = graft.algorithms.Probe.checkpointObserved(
+      covariance(emb), count(lit(1)).as("cells"))
+    val cells = mC("cells").asInstanceOf[Long]
+    val local = cells <= graft.algorithms.Tuning.broadcastThreshold
+    val first =
+      (if (local) pcaLocal(covCk, iters) else pcaDistributed(covCk, iters))
+        .select(col("pos"), col("loading"), col("eigval"))
+    val cov2 = covCk
+      .join(broadcast(first.select(col("pos").as("i"),
+        col("loading").as("li"), col("eigval").as("e"))), Seq("i"))
+      .join(broadcast(first.select(col("pos").as("j"),
+        col("loading").as("lj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("c") - col("e") * col("li") * col("lj")).as("c"))
+    if (local) pcaLocal(cov2, iters) else pcaDistributed(cov2, iters)
   }
 
   /** Project every vector onto the top component: coord(v) =

@@ -557,6 +557,81 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Label-balance report: one row — label count, vector count,
+    * Shannon entropy of the label distribution, effective number of
+    * classes exp(H) and the max/min imbalance ratio — the class-skew
+    * gate a training run checks before weighting its sampler.
+    *
+    * Scale: one ≤|labels|-key count + a 1-row fold. */
+  def labelBalance(emb: DataFrame): DataFrame = {
+    val lc = emb.filter(col("label").isNotNull)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val h = log(col("tot").cast("double")) -
+      col("slc") / col("tot").cast("double")
+    lc.agg(count(lit(1)).cast("long").as("n_labels"),
+        sum("n").as("tot"),
+        sum(col("n").cast("double") * log(col("n").cast("double")))
+          .as("slc"),
+        max("n").as("nmax"), min("n").as("nmin"))
+      .select(col("n_labels"), col("tot").cast("long").as("n_vecs"),
+        round(h, 6).as("entropy"),
+        round(exp(h), 6).as("eff_classes"),
+        round(col("nmax").cast("double") / col("nmin").cast("double"), 6)
+          .as("imbalance"))
+  }
+
+  /** Embedding outlier audit per label: vectors whose squared
+    * distance to their label centroid exceeds `factor`× the label's
+    * mean squared distance (dist > 2·RMS at the default 4) — the
+    * mislabeled/corrupt-vector screen run before centroid-based ops.
+    * Coordinates are quantized to exact 1e-7-unit BIGINTs and every
+    * compare is integer: n²·dist²(v) = Σ_p (n·q_vp − Sq_p)² in
+    * DECIMAL(38,0) (cast BEFORE multiply — the second-moment
+    * discipline), and the outlier test multiplies through by n so no
+    * division ever happens. Returns (label, n_vecs, n_outliers,
+    * outlier_share, rms_dist).
+    *
+    * Scale: one explode + two map-side-combined aggregates; the
+    * (label,pos) centroid frame broadcasts; compares are per-vector.
+    */
+  def embedOutliers(emb: DataFrame, factor: Int = 4): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val e = emb.filter(col("label").isNotNull &&
+        col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("vec_id"), col("pos"),
+        floor(col("x").cast("double") * lit(1e7) + lit(0.5)).cast("long")
+          .as("q"))
+    val dims = e.groupBy("label", "pos").agg(sum("q").as("sq"))
+    val sizes = e.select("label", "vec_id").distinct()
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val dist = e
+      .join(broadcast(dims), Seq("label", "pos"))
+      .join(broadcast(sizes), Seq("label"))
+      .select(col("label"), col("vec_id"), col("n"),
+        (col("n") * col("q") - col("sq")).cast("decimal(19,0)").as("dq"))
+      .groupBy("label", "vec_id", "n")
+      .agg(sum(col("dq") * col("dq")).as("d2"))
+    val per = dist.groupBy("label", "n")
+      .agg(count(lit(1)).as("nv"), sum("d2").as("d2sum"))
+    dist.join(per.select(col("label"), col("d2sum")), Seq("label"))
+      .select(col("label"), col("n"), col("d2"), col("d2sum"),
+        // n²·dist²·n > factor·Σ n²·dist²  ⇔  dist² > factor·mean
+        when(col("d2") * col("n").cast("decimal(19,0)") >
+          lit(factor) * col("d2sum"), 1L).otherwise(0L).as("out"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum("out").cast("long").as("n_outliers"),
+        round(sum("out").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("outlier_share"),
+        round(sqrt(avg(col("d2").cast("double")) /
+          (max("n") * max("n")).cast("double")) / lit(1e7), 6)
+          .as("rms_dist"))
+      .orderBy("label")
+  }
+
   /** IVF ANN in EXACT INTEGER arithmetic: vectors quantized to
     * floor(x·scale) BIGINTs, k-means iterated with integer squared
     * distances and floor-division means, probes scanning the `nprobe`

@@ -801,7 +801,6 @@ object EventStreams {
     * orders carry a user_id tiebreak. */
   def rfm(events: DataFrame, nTiles: Int = 5): DataFrame = {
     require(nTiles >= 2, "rfm needs nTiles >= 2")
-    val W = org.apache.spark.sql.expressions.Window
     val tmax = events.agg(max(unix_timestamp(col("ts"))).as("tmax"))
     val per = events.groupBy("user_id").agg(
         max(unix_timestamp(col("ts"))).as("tlast"),
@@ -811,13 +810,16 @@ object EventStreams {
       .select(col("user_id"),
         (col("tmax") - col("tlast")).as("recency_s"),
         col("frequency"), col("monetary"))
-    per
-      .withColumn("r", ntile(nTiles).over(
-        W.orderBy(col("recency_s").desc, col("user_id").asc)).cast("long"))
-      .withColumn("f", ntile(nTiles).over(
-        W.orderBy(col("frequency").asc, col("user_id").asc)).cast("long"))
-      .withColumn("m", ntile(nTiles).over(
-        W.orderBy(col("monetary").asc, col("user_id").asc)).cast("long"))
+    // Three dual-regime global NTILEs (graft.ops.Ranks): under the
+    // gate each is the exact single-window NTILE the oracle mirrors;
+    // past the gate each is the range-rank shuffle plan — never a
+    // |users|-sized single task.
+    val r1 = graft.ops.Ranks.globalNtile(per, nTiles,
+      Seq(col("recency_s").desc, col("user_id").asc), "r")
+    val r2 = graft.ops.Ranks.globalNtile(r1, nTiles,
+      Seq(col("frequency").asc, col("user_id").asc), "f")
+    graft.ops.Ranks.globalNtile(r2, nTiles,
+        Seq(col("monetary").asc, col("user_id").asc), "m")
       .withColumn("segment",
         (col("r") * 100L + col("f") * 10L + col("m")).cast("long"))
   }

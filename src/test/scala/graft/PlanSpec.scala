@@ -11,6 +11,24 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Typed collect of empty-partitionSpec windows that SEES THROUGH
+    * AQE: AdaptiveSparkPlanExec is a leaf to TreeNode.collect, so a
+    * plain `exec.collect` silently returns nothing for any plan with
+    * an exchange (i.e. every windowed plan) — the round-10 discovery
+    * that this invariant had never actually fired. Recurse into the
+    * wrapper's inputPlan explicitly. */
+  private def collectUnpartitionedWindows(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectUnpartitionedWindows(a.inputPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => Seq(w)
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => Seq(w)
+    }.flatten
+
   test("raw table predicate reaches the parquet scan (PushedFilters)") {
     val plan = planOf(GraphBuilder.table(spark, sfDir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select("c_name"))
@@ -79,7 +97,14 @@ class PlanSpec extends SparkSpec {
         + "value frame — bounded by the value domain, never the corpus"),
       "q_quality_calibration" -> ("decile rank cumulative over the "
         + "distinct-quality frame — bounded by the 6dp value domain, "
-        + "never the corpus"))
+        + "never the corpus"),
+      "q_vocab_coverage" -> ("cumulatives over the (frequency, "
+        + "n_terms) CLASS frame — bounded by the distinct-frequency "
+        + "domain (~√N under Zipf), never the vocabulary"),
+      "q_rfm" -> ("under-gate oracle regime; past-gate branch "
+        + "range-ranks via ops.Ranks.globalNtile (ShuffleRegimeSpec "
+        + "parity)"),
+      "q_rrf" -> "list ranks over limit(listK=50) frames")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
@@ -88,12 +113,7 @@ class PlanSpec extends SparkSpec {
         assert(!plan.contains("CartesianProduct"),
           s"$name plans a cartesian:\n${plan.take(1200)}")
       }
-      val unpartitioned = exec.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-          if w.partitionSpec.isEmpty => w
-      }
+      val unpartitioned = collectUnpartitionedWindows(exec)
       assert(unpartitioned.isEmpty || unpartitionedWindowBounded.contains(name),
         s"$name has an unpartitioned window (single-task at scale) and no " +
           s"documented bound:\n${unpartitioned.headOption.fold("")(_.toString.take(800))}")

@@ -792,4 +792,74 @@ class RobustSpec extends SparkSpec {
       math.rint(math.log(2) * 1e6) / 1e6)
     assert(got("fr").getAs[Double]("entropy_norm") == 1.0)
   }
+
+  test("pcaSecond: axis-aligned data — PC2 is the minor axis") {
+    val implicits = spark.implicits
+    import implicits._
+    // cov = diag(9, 1): PC1 = x (eig 9), deflated C' = diag(0, 1)
+    val emb = Seq(
+      (1L, Array(3.0f, 1.0f)), (2L, Array(-3.0f, -1.0f)),
+      (3L, Array(3.0f, -1.0f)), (4L, Array(-3.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = pipeline.Pca.pcaSecond(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(got(0L).getAs[Double]("loading")) <= 1e-6)
+    assert(math.abs(got(1L).getAs[Double]("loading")) == 1.0)
+    assert(got(1L).getAs[Double]("eigval") == 1.0)
+    assert(got(1L).getAs[Double]("var_explained") == 1.0) // all remaining var
+  }
+
+  test("labelBalance: uniform two-class corpus") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("vec_id", "label")
+    val r = Similarity.labelBalance(emb).collect().head
+    assert(r.getAs[Long]("n_labels") == 2L)
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Double]("entropy") == math.rint(math.log(2) * 1e6) / 1e6)
+    assert(r.getAs[Double]("eff_classes") == 2.0)
+    assert(r.getAs[Double]("imbalance") == 1.0)
+  }
+
+  test("embedOutliers: one far vector flagged, integer compare") {
+    val implicits = spark.implicits
+    import implicits._
+    // seven at (0,0), one at (8,0): only the far one has
+    // n^2 d^2 * n > 4 * sum(n^2 d^2)
+    val emb = ((1L to 7L).map(i => (i, Array(0.0f, 0.0f), 0)) :+
+      (8L, Array(8.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.embedOutliers(emb).collect().head
+    assert(r.getAs[Long]("n_vecs") == 8L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Double]("outlier_share") == 0.125)
+    // rms = sqrt(mean dist^2) = sqrt(7) here
+    assert(r.getAs[Double]("rms_dist") ==
+      math.rint(math.sqrt(7.0) * 1e6) / 1e6)
+  }
+
+  test("vocabCoverage: exact integer boundary classes") {
+    val docs = docsOf(Seq((1L, "s", "a a a a b b c d", 15L)))
+    val got = pipeline.Corpus.vocabCoverage(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(50L).getAs[Long]("k_terms") == 1L) // 'a' alone covers 4/8
+    assert(got(50L).getAs[Double]("coverage") == 0.5)
+    assert(got(80L).getAs[Long]("k_terms") == 3L) // a,b + one singleton
+    assert(got(80L).getAs[Double]("coverage") == 0.875)
+    assert(got(90L).getAs[Long]("k_terms") == 4L)
+    assert(got(95L).getAs[Double]("coverage") == 1.0)
+  }
+
+  test("disparity: dominant tie raises Y above 1/k") {
+    val implicits = spark.implicits
+    import implicits._
+    // (1,2) x3 + (1,3) x1: node 1 has k=2, s=4, Y = (9+1)/16
+    val pall = Seq((1L, 2L), (1L, 2L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    val got = algorithms.Structure.disparity(pall).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(2L).getAs[Long]("n_nodes") == 1L)
+    assert(got(2L).getAs[Double]("mean_disparity") == 0.625)
+    assert(got(1L).getAs[Long]("n_nodes") == 2L)
+    assert(got(1L).getAs[Double]("mean_disparity") == 1.0)
+  }
 }

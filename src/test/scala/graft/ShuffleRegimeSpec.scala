@@ -289,4 +289,22 @@ class ShuffleRegimeSpec extends SparkSpec {
     assert(b.values.groupBy(_._2).view.mapValues(_.size).toMap ==
       (1L to 5L).map(_ -> 60).toMap)
   }
+
+  test("rfm: shuffle regime ≡ broadcast regime (triple NTILE parity)") {
+    // 123 users (not divisible by 5 -> uneven quotas exercise the
+    // NTILE remainder path), heavy frequency/monetary ties so the
+    // user_id tiebreak must agree across regimes on all three tiles.
+    val ev = (1L to 123L).flatMap { u =>
+      (0L until (u % 4 + 1)).map(i =>
+        (u * 10 + i, u, (u % 9).toDouble, u * 3600 + i * 60))
+    }.toDF("event_id", "user_id", "value", "sec")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("sec").cast("timestamp").as("ts"))
+    def seg = graft.streaming.EventStreams.rfm(ev)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("segment")).toMap
+    val (b, s) = both(seg)
+    assert(b.size == 123 && b == s)
+    // all three digit positions populated across 1..5
+    assert((1L to 5L).forall(t => b.values.exists(_ / 100 == t)))
+  }
 }
