@@ -646,6 +646,46 @@ walk(id, comp) AS (
 comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
 SELECT comp AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM comps GROUP BY comp"""
 
+  /** Cluster-size-histogram mirror: the dedupClusters walk + a size
+    * rollup, singleton row = corpus total minus clustered. */
+  val clusterSizesSql: String =
+    s"""WITH RECURSIVE ${minhashCtes(16, 4)},
+sym AS MATERIALIZED (SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b, a FROM pairs),
+walk(id, comp) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.t, w.comp FROM walk w JOIN sym e ON e.s = w.id),
+comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+cl AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_docs FROM comps GROUP BY comp),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+icl AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS clustered FROM cl),
+hist AS (SELECT n_docs AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM cl GROUP BY 1
+  UNION ALL SELECT 1, total - clustered FROM tot, icl)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+  ROUND(CAST(cluster_size * n_clusters AS DOUBLE) / CAST(total AS DOUBLE), 6)
+    AS doc_share
+FROM hist CROSS JOIN tot ORDER BY cluster_size"""
+
+  /** Dedup-retention mirror: same walk, removed = member ≠ min-label
+    * component, per-source retention. */
+  val dedupRetentionSql: String =
+    s"""WITH RECURSIVE ${minhashCtes(16, 4)},
+sym AS MATERIALIZED (SELECT a AS s, b AS t FROM pairs UNION ALL SELECT b, a FROM pairs),
+walk(id, comp) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT e.t, w.comp FROM walk w JOIN sym e ON e.s = w.id),
+comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+rm AS (SELECT id AS doc_id FROM comps WHERE id <> comp)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  ROUND(1.0 - SUM(CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END) /
+    CAST(COUNT(*) AS DOUBLE), 6) AS retention
+FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source"""
+
   /** Segment dedup mirror: same fixed-width token windows, document
     * frequency over the same 60-bit segment hash (so an improbable
     * hash collision collides identically in both engines), survivors
@@ -2796,6 +2836,38 @@ SELECT wk, active, COALESCE(retained, 0) AS retained_next,
     CAST(active AS DOUBLE), 6) AS churn_rate
 FROM act LEFT JOIN ret USING (wk) CROSS JOIN mx
 WHERE wk < mx ORDER BY wk"""
+
+  /** Hour-profile mirror: same epoch-hour mod 24 integers, same
+    * share and lift operand order (the dowProfile formula). */
+  val hourProfileSql: String =
+    """WITH c AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+  event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+bh AS (SELECT hod, SUM(n) AS nh FROM c GROUP BY 1),
+bt AS (SELECT event_type, SUM(n) AS nt FROM c GROUP BY 1),
+t AS (SELECT SUM(nt) AS ntot FROM bt)
+SELECT hod, event_type, CAST(n AS BIGINT) AS n,
+  ROUND(n / CAST(nh AS DOUBLE), 6) AS hod_share,
+  ROUND((n / CAST(nh AS DOUBLE)) / (nt / CAST(ntot AS DOUBLE)), 6) AS lift
+FROM c JOIN bh USING (hod) JOIN bt USING (event_type) CROSS JOIN t
+ORDER BY hod, event_type"""
+
+  /** Cohort-value mirror: same first-seen epoch-week cohorts, weekly
+    * sums rounded BEFORE the age-ordered running cumulative. */
+  val cohortValueSql: String =
+    """WITH ev AS (SELECT user_id,
+  CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS wk, event_type, value
+  FROM events),
+f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+pv AS (SELECT cohort_wk, wk - cohort_wk AS age_wk,
+  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_buyers,
+  ROUND(SUM(value), 6) AS wk_value
+  FROM ev JOIN f ON f.user_id = ev.user_id
+  WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+  CAST(age_wk AS BIGINT) AS age_wk, n_buyers, wk_value,
+  ROUND(SUM(wk_value) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+    ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+FROM pv ORDER BY cohort_wk, age_wk"""
 
   /** Stickiness mirror: same epoch-day/epoch-week integers, same
     * observed-day mean, same exact BIGINT dau sums. */

@@ -705,6 +705,16 @@ object SparkEntry {
       Corpus.vocabCoverage(GraphBuilder.table(s, d, "documents"))),
     "q_disparity" -> ((s, d) =>
       algorithms.Structure.disparity(DerivedGraphs.partCooccurAll(s, d))),
+    "q_hour_profile" -> ((s, d) =>
+      EventStreams.hourProfile(EventStreams.eventsTable(s, d))),
+    "q_cohort_value" -> ((s, d) =>
+      EventStreams.cohortValue(EventStreams.eventsTable(s, d))),
+    "q_cluster_sizes" -> ((s, d) =>
+      Corpus.clusterSizes(GraphBuilder.table(s, d, "documents"),
+        minhashPairsCached(s, d))),
+    "q_dedup_retention" -> ((s, d) =>
+      Corpus.dedupRetention(GraphBuilder.table(s, d, "documents"),
+        minhashPairsCached(s, d))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1296,6 +1306,10 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_embed_outliers" -> PipelineOracles.embedOutliersSql(),
     "q_vocab_coverage" -> PipelineOracles.vocabCoverageSql(),
     "q_disparity" -> Oracles.disparitySql,
+    "q_hour_profile" -> PipelineOracles.hourProfileSql,
+    "q_cohort_value" -> PipelineOracles.cohortValueSql,
+    "q_cluster_sizes" -> PipelineOracles.clusterSizesSql,
+    "q_dedup_retention" -> PipelineOracles.dedupRetentionSql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

@@ -36,6 +36,64 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("n_docs"))
   }
 
+  /** Near-dup cluster-size histogram: how many clusters of each size
+    * the candidate-pair graph produces, with each size's share of the
+    * corpus — the "how duplicated is this corpus really" shape report
+    * (a fat tail of giant clusters means boilerplate, not true dups).
+    * Size-1 row = docs in NO pair (corpus total minus clustered).
+    *
+    * Scale: rides [[dedupClusters]]' dual-regime CC; histogram is a
+    * ≤|distinct sizes|-key rollup. */
+  def clusterSizes(docs: DataFrame, pairs: DataFrame,
+                   maxIter: Int = 15): DataFrame = {
+    val cl = dedupClusters(pairs, maxIter)
+    val nDocs = docs.agg(count(lit(1)).as("total"))
+    val inCl = cl.agg(coalesce(sum("n_docs"), lit(0L)).as("clustered"))
+    val multi = cl.groupBy(col("n_docs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = nDocs.crossJoin(inCl)
+      .select(lit(1L).as("cluster_size"),
+        (col("total") - col("clustered")).as("n_clusters"))
+    multi.select(col("cluster_size").cast("long").as("cluster_size"),
+        col("n_clusters").cast("long").as("n_clusters"))
+      .unionByName(singles)
+      .crossJoin(broadcast(nDocs))
+      .select(col("cluster_size"), col("n_clusters"),
+        round((col("cluster_size") * col("n_clusters")).cast("double") /
+          col("total").cast("double"), 6).as("doc_share"))
+      .orderBy("cluster_size")
+  }
+
+  /** Dedup survivorship per source: canonical keep = the min doc_id
+    * of each near-dup cluster (the dedupClusters contract — CC
+    * labels ARE min member ids), everything else removed; per source
+    * the doc count, removals and retention rate — the "which sources
+    * shrink under dedup" report a mix designer reads next to
+    * [[dupInflation]].
+    *
+    * Scale: the CC kernel is dual-regime; the removal flag is one
+    * |clustered-docs| left join into a per-source rollup. */
+  def dedupRetention(docs: DataFrame, pairs: DataFrame,
+                     maxIter: Int = 15): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val (cc, _, converged) =
+      graft.algorithms.Community.ccWithRounds(nodes, sym, maxIter)
+    if (!converged) throw new IllegalStateException(
+      s"dedupRetention: connected components did not converge within $maxIter rounds")
+    val removed = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"), lit(1L).as("rm"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(coalesce(col("rm"), lit(0L))).cast("long").as("n_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        round(lit(1.0) - col("n_removed").cast("double") /
+          col("n_docs").cast("double"), 6).as("retention"))
+      .orderBy("source")
+  }
+
   /** Deterministic hash sampling: keep a doc iff its 60-bit md5 bucket
     * over the doc_id (with a salt prefix) lands under `pct` of 100.
     * Reproducible across engines/runs, no RNG state, stable under

@@ -918,6 +918,60 @@ object EventStreams {
       .orderBy("dow", "event_type")
   }
 
+  /** Hour-of-day × type profile with lift ([[dowProfile]]'s twin at
+    * hour granularity — epoch-hour mod 24, no calendar locale): the
+    * intraday load curve plus which types over-index at which hours.
+    * Returns (hod, event_type, n, hod_share, lift).
+    *
+    * Scale: one (hod,type) map-side-combined count; the ≤24- and
+    * ≤|types|-row base frames broadcast. */
+  def hourProfile(events: DataFrame): DataFrame = {
+    val c = events.select(
+        pmod(floor(unix_timestamp(col("ts")) / lit(3600L)), lit(24L))
+          .as("hod"), col("event_type"))
+      .groupBy("hod", "event_type").agg(count(lit(1)).as("n"))
+    val byHod = c.groupBy("hod").agg(sum("n").as("nh"))
+    val byType = c.groupBy("event_type").agg(sum("n").as("nt"))
+    val tot = byType.agg(sum("nt").as("ntot"))
+    c.join(broadcast(byHod), Seq("hod"))
+      .join(broadcast(byType), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("hod"), col("event_type"), col("n").cast("long").as("n"),
+        round(col("n") / col("nh"), 6).as("hod_share"),
+        round((col("n") / col("nh")) / (col("nt") / col("ntot")), 6)
+          .as("lift"))
+      .orderBy("hod", "event_type")
+  }
+
+  /** Cohort-value (LTV) triangle: users grouped by first-seen
+    * epoch-week, purchase value summed per cohort-age week, with the
+    * running cumulative — the lifetime-value growth curve next to
+    * [[retention]]'s activity triangle. Weekly sums round to 6 dp
+    * BEFORE the cumulative, so the running sum adds the same rounded
+    * sequence in age order in both engines. Returns (cohort_wk,
+    * age_wk, n_buyers, wk_value, cum_value).
+    *
+    * Scale: one per-user min + one (cohort,age) rollup; the running
+    * window partitions by cohort over ≤|ages| rows. */
+  def cohortValue(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / lit(604800L)).as("wk"),
+      col("event_type"), col("value"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val pv = ev.filter(col("event_type") === "purchase")
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(countDistinct("user_id").cast("long").as("n_buyers"),
+        round(sum("value"), 6).as("wk_value"))
+    val w = Window.partitionBy("cohort_wk").orderBy("age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pv.withColumn("cum_value", round(sum("wk_value").over(w), 6))
+      .select(col("cohort_wk").cast("long").as("cohort_wk"),
+        col("age_wk").cast("long").as("age_wk"), col("n_buyers"),
+        col("wk_value"), col("cum_value"))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
   /** DAU/WAU stickiness per epoch-week: observed days, weekly-active
     * users, mean daily-active users and the stickiness ratio
     * mean_dau/wau — THE product-engagement headline ("what share of a

@@ -850,6 +850,66 @@ class RobustSpec extends SparkSpec {
     assert(got(95L).getAs[Double]("coverage") == 1.0)
   }
 
+  test("hourProfile: epoch-hour mod 24 shares and lift") {
+    val implicits = spark.implicits
+    import implicits._
+    val ev = Seq((0L, "click"), (3600L, "view"), (3660L, "click"))
+      .toDF("sec", "event_type")
+      .select(col("sec").cast("timestamp").as("ts"), col("event_type"))
+    val got = EventStreams.hourProfile(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got((0L, "click")).getAs[Double]("hod_share") == 1.0)
+    assert(got((0L, "click")).getAs[Double]("lift") == 1.5) // 1/(2/3)
+    assert(got((1L, "view")).getAs[Double]("hod_share") == 0.5)
+    assert(got((1L, "view")).getAs[Double]("lift") == 1.5) // .5/(1/3)
+    assert(got((1L, "click")).getAs[Double]("lift") == 0.75)
+  }
+
+  test("cohortValue: rounded weekly values, age-ordered cumulative") {
+    val implicits = spark.implicits
+    import implicits._
+    val ev = Seq(
+      (1L, 0L, 7L, "signup", 0.0), (2L, 10L, 7L, "purchase", 10.5),
+      (3L, 604800L, 7L, "purchase", 2.25))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), col("sec").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val got = EventStreams.cohortValue(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got((0L, 0L)).getAs[Long]("n_buyers") == 1L)
+    assert(got((0L, 0L)).getAs[Double]("wk_value") == 10.5)
+    assert(got((0L, 1L)).getAs[Double]("wk_value") == 2.25)
+    assert(got((0L, 1L)).getAs[Double]("cum_value") == 12.75)
+  }
+
+  test("clusterSizes: singleton row from corpus remainder") {
+    val implicits = spark.implicits
+    import implicits._
+    val docs = docsOf(Seq((1L, "a", "x", 1L), (2L, "a", "x", 1L),
+      (3L, "b", "x", 1L), (4L, "b", "x", 1L)))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = pipeline.Corpus.clusterSizes(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(3L).getAs[Long]("n_clusters") == 1L)
+    assert(got(3L).getAs[Double]("doc_share") == 0.75)
+    assert(got(1L).getAs[Long]("n_clusters") == 1L)
+    assert(got(1L).getAs[Double]("doc_share") == 0.25)
+  }
+
+  test("dedupRetention: min-id canonical kept per source") {
+    val implicits = spark.implicits
+    import implicits._
+    val docs = docsOf(Seq((1L, "a", "x", 1L), (2L, "a", "x", 1L),
+      (3L, "b", "x", 1L), (4L, "b", "x", 1L)))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = pipeline.Corpus.dedupRetention(docs, pairs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Long]("n_removed") == 1L) // doc 2
+    assert(got("a").getAs[Double]("retention") == 0.5)
+    assert(got("b").getAs[Long]("n_removed") == 1L) // doc 3
+    assert(got("b").getAs[Long]("n_docs") == 2L)    // doc 4 untouched
+  }
+
   test("disparity: dominant tie raises Y above 1/k") {
     val implicits = spark.implicits
     import implicits._
