@@ -152,7 +152,10 @@ FROM fin, unnest(generate_series(1, len(ord))) AS t(i)"""
     * converges within `iters` rounds; the Spark side throws past its
     * identical cap, so a too-shallow unroll fails loudly rather than
     * mismatching. */
-  def coreNumbersSql(iters: Int): String = {
+  def coreNumbersSql(iters: Int): String =
+    coreCtes(iters) + s" SELECT id, CAST(c AS BIGINT) AS core FROM c$iters"
+
+  private def coreCtes(iters: Int): String = {
     val sb = new StringBuilder("WITH " + DerivedGraphs.cooccurSql)
     sb ++= ", c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM psym GROUP BY src)"
     for (i <- 1 to iters) {
@@ -163,9 +166,42 @@ FROM fin, unnest(generate_series(1, len(ord))) AS t(i)"""
     FROM psym e JOIN c${i - 1} p ON p.id = e.dst) t
   GROUP BY src)"""
     }
-    sb ++= s" SELECT id, CAST(c AS BIGINT) AS core FROM c$iters"
     sb.toString
   }
+
+  /** Degree–coreness ratio mirror: the coreNumbers h-index unroll +
+    * a degree join, 1e-7-unit integerized ratios, class rollup. */
+  def degreeCoreRatioSql(iters: Int): String =
+    coreCtes(iters) + s""",
+dg AS (SELECT src AS id, COUNT(*) AS deg FROM psym GROUP BY 1),
+jr AS (SELECT dg.deg,
+  CAST(FLOOR(CAST(cz.c AS DOUBLE) / CAST(dg.deg AS DOUBLE) * 1e7 + 0.5)
+    AS BIGINT) AS ru
+  FROM dg JOIN c$iters cz ON cz.id = dg.id)
+SELECT CAST(deg AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  ROUND(CAST(SUM(ru) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e7), 6)
+    AS mean_core_ratio
+FROM jr GROUP BY 1 ORDER BY 1"""
+
+  /** C(k) mirror: the clusteringSql wedge-close WITHOUT the output
+    * cap, 1e-7-unit integerized coefficients, degree-class rollup
+    * (degree-1 nodes excluded — undefined coefficient). */
+  val ckCurveSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM pedges e1
+  JOIN pedges e2 ON e2.a = e1.b
+  JOIN pedges e3 ON e3.a = e1.a AND e3.b = e2.b),
+pertri AS (SELECT v, COUNT(*) AS t FROM (
+  SELECT x AS v FROM tri3 UNION ALL SELECT y FROM tri3 UNION ALL SELECT z FROM tri3) u GROUP BY v),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM psym GROUP BY src),
+cc AS (SELECT deg.id, d,
+  CAST(FLOOR(COALESCE(t, 0) / (d * (d - 1) / 2.0) * 1e7 + 0.5) AS BIGINT)
+    AS cu
+  FROM deg LEFT JOIN pertri ON pertri.v = deg.id WHERE d >= 2)
+SELECT CAST(d AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  ROUND(CAST(SUM(cu) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e7), 6)
+    AS mean_cc
+FROM cc GROUP BY 1 ORDER BY 1"""
 
   /** SCC of the nation trade graph via recursive transitive closure;
     * scc_id = min mutually-reachable id (= Community.scc's labels). */

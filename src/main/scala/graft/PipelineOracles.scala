@@ -2869,6 +2869,44 @@ SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
     ROWS UNBOUNDED PRECEDING), 6) AS cum_value
 FROM pv ORDER BY cohort_wk, age_wk"""
 
+  /** Day-N retention mirror: same epoch-day first-activity frame,
+    * same exploded checkpoint semi-join, zero rows kept. */
+  def dayNRetentionSql(days: Seq[Int] = Seq(1, 3, 7, 14)): String =
+    s"""WITH du AS (SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+    AS day, user_id FROM events),
+f AS (SELECT user_id, MIN(day) AS d0 FROM du GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM f),
+tg AS (SELECT unnest([${days.mkString(", ")}]) AS n),
+r AS (SELECT tg.n, CAST(COUNT(*) AS BIGINT) AS retained
+  FROM f CROSS JOIN tg
+  JOIN du ON du.user_id = f.user_id AND du.day = f.d0 + tg.n
+  GROUP BY 1)
+SELECT CAST(tg.n AS BIGINT) AS day_n, n_users,
+  COALESCE(retained, 0) AS retained,
+  ROUND(COALESCE(retained, 0) / CAST(n_users AS DOUBLE), 6) AS share
+FROM tg LEFT JOIN r ON r.n = tg.n CROSS JOIN t ORDER BY day_n"""
+
+  /** Dim-variance mirror: same 1e-7-unit quantization, HUGEINT-exact
+    * n·Σq² − (Σq)² numerators (the decimal(38,0) twin), exact-integer
+    * shares and desc-ordered cumulative. */
+  val dimVarianceSql: String =
+    s"""WITH $embCtes,
+qv AS (SELECT pos, CAST(FLOOR(x * 1e7 + 0.5) AS BIGINT) AS q FROM ex),
+per AS (SELECT pos, COUNT(*) AS n, SUM(q) AS sq,
+  SUM(CAST(q AS HUGEINT) * q) AS sqq FROM qv GROUP BY 1),
+nv AS (SELECT pos, n,
+  CAST(n AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq AS nvar FROM per),
+tt AS (SELECT SUM(nvar) AS tot FROM nv),
+cum AS (SELECT pos, n, nvar,
+  SUM(nvar) OVER (ORDER BY nvar DESC, pos ASC ROWS UNBOUNDED PRECEDING)
+    AS cum FROM nv)
+SELECT CAST(pos AS BIGINT) AS pos,
+  ROUND(CAST(nvar AS DOUBLE) /
+    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e14), 9) AS variance,
+  ROUND(CAST(nvar AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+  ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+FROM cum CROSS JOIN tt ORDER BY pos"""
+
   /** Stickiness mirror: same epoch-day/epoch-week integers, same
     * observed-day mean, same exact BIGINT dau sums. */
   val stickinessSql: String =

@@ -263,6 +263,23 @@ object ScaleProbe {
         // rows per key — expect ~linear
         time("audience_overlap")(graft.streaming.EventStreams
           .audienceOverlap(events)),
+        // per-doc gram counts combine BEFORE the lang join, so the
+        // lang shuffle carries doc×distinct-bigram rows (alphabet-
+        // bounded per doc) — expect ~linear in the gram stream
+        time("char_bigram_entropy")(TextOps.charBigramEntropy(docs)),
+        // (doc,term) count + per-term rollup + TakeOrdered top-k —
+        // expect the vocab_topk/tfidf curve (~linear)
+        time("term_burstiness")(Corpus.termBurstiness(docs)),
+        // windows on the (frequency, n_terms) CLASS frame — class
+        // count is frequency-domain-bounded (~√N under Zipf), so the
+        // cumulative side grows sublinearly; time tracks the term
+        // count — expect ~linear
+        time("vocab_coverage")(Corpus.vocabCoverage(docs)),
+        // lag + running-counter windows ride ONE user-partition sort;
+        // users grow K with constant per-user density — expect
+        // ~linear in the event scan
+        time("session_stats")(graft.streaming.EventStreams
+          .sessionStats(events)),
         // replicas = K× more orders over the SAME part catalog: item
         // counts grow K, per-order pair expansion is basket-bounded,
         // pair-group count is catalog-bounded — expect ~linear
@@ -337,7 +354,20 @@ object ScaleProbe {
         // two-join motif plan: sum-deg² wedge volume per replica is
         // constant and replicas are disjoint — expect ~linear
         time("triad_census")(graft.algorithms.Structure.triadCensus(
-          sym.select(col("src"), col("dst")))))
+          sym.select(col("src"), col("dst")))),
+        // covariance ONCE (checkpointed d² frame) + two d×d power
+        // iterations — expect the pca curve (~linear), NOT 2× slope:
+        // the n·d² product pass dominates and runs once
+        time("pca2")(graft.pipeline.Pca.pcaSecond(emb)),
+        // explode + two map-side aggregates + broadcast (label,pos)
+        // centroids; DECIMAL second moments are per-row state —
+        // expect ~linear
+        time("embed_outliers")(graft.pipeline.Similarity
+          .embedOutliers(emb)),
+        // one degree aggregate + one |E|-row degree join over K
+        // disjoint replicas — expect ~linear
+        time("knn_profile")(graft.algorithms.Structure.knnProfile(
+          pairs)))
     }
 
     val t1 = corpusTimes(1) ++ extraTimes(1)

@@ -715,6 +715,17 @@ object SparkEntry {
     "q_dedup_retention" -> ((s, d) =>
       Corpus.dedupRetention(GraphBuilder.table(s, d, "documents"),
         minhashPairsCached(s, d))),
+    "q_ck_curve" -> ((s, d) =>
+      algorithms.Structure.ckCurve(DerivedGraphs.partCooccur(s, d),
+        triangleCountsCached(s, d))),
+    "q_degree_core_ratio" -> ((s, d) =>
+      algorithms.Structure.degreeCoreRatio(
+        DerivedGraphs.sym(DerivedGraphs.partCooccur(s, d)))),
+    "q_dayn_retention" -> ((s, d) =>
+      EventStreams.dayNRetention(EventStreams.eventsTable(s, d))),
+    "q_dim_variance" -> ((s, d) =>
+      pipeline.Similarity.dimVariance(
+        GraphBuilder.table(s, d, "embeddings"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1310,6 +1321,10 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_cohort_value" -> PipelineOracles.cohortValueSql,
     "q_cluster_sizes" -> PipelineOracles.clusterSizesSql,
     "q_dedup_retention" -> PipelineOracles.dedupRetentionSql,
+    "q_ck_curve" -> Oracles.ckCurveSql,
+    "q_degree_core_ratio" -> Oracles.degreeCoreRatioSql(48),
+    "q_dayn_retention" -> PipelineOracles.dayNRetentionSql(),
+    "q_dim_variance" -> PipelineOracles.dimVarianceSql,
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,

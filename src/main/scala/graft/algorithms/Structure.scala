@@ -379,6 +379,62 @@ object Structure {
       .orderBy("k")
   }
 
+  /** Clustering-by-degree curve C(k) (the third Pastor-Satorras
+    * profile next to [[knnProfile]] and [[disparity]]): degree-class
+    * mean of the local clustering coefficient — falling C(k) is the
+    * hierarchical-network signature a single global coefficient
+    * hides. Takes the shared per-node triangle frame (id, tri_cnt)
+    * so the wedge-close runs ONCE per session; per-node coefficients
+    * integerize to 1e-7 units before the class mean. Degree-1 nodes
+    * (undefined coefficient) are excluded.
+    *
+    * Scale: one degree aggregate + one |V|-row left join + a
+    * ≤|distinct degrees|-key rollup on top of the session-cached
+    * triangle pass. */
+  def ckCurve(pedges: DataFrame, triPerNode: DataFrame): DataFrame = {
+    val deg = pedges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pedges.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    deg.join(triPerNode, Seq("id"), "left_outer")
+      .filter(col("d") >= 2)
+      .select(col("d"),
+        floor(coalesce(col("tri_cnt"), lit(0L)).cast("double") /
+          (col("d") * (col("d") - 1) / lit(2.0)) * lit(1e7) + lit(0.5))
+          .cast("long").as("cu"))
+      .groupBy(col("d").as("k"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"), sum("cu").as("cusum"))
+      .select(col("k").cast("long").as("k"), col("n_nodes"),
+        round(col("cusum").cast("double") /
+          (col("n_nodes").cast("double") * lit(1e7)), 6).as("mean_cc"))
+      .orderBy("k")
+  }
+
+  /** Degree–coreness ratio profile: per degree class, the mean of
+    * core(v)/deg(v) — low ratios at high degree expose "peripheral
+    * hubs" (stars whose neighbors are leaves), the structural lie in
+    * a raw degree ranking. Rides [[coreNumbers]]' dual-regime
+    * h-index kernel; ratios integerize to 1e-7 units before the
+    * class mean.
+    *
+    * Scale: coreNumbers' plan + one degree join + a ≤|distinct
+    * degrees|-key rollup. */
+  def degreeCoreRatio(symEdges: DataFrame): DataFrame = {
+    val core = coreNumbers(symEdges)
+    val deg = symEdges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    deg.join(core, Seq("id"))
+      .select(col("deg"),
+        floor(col("core").cast("double") / col("deg").cast("double") *
+          lit(1e7) + lit(0.5)).cast("long").as("ru"))
+      .groupBy(col("deg").as("k"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"), sum("ru").as("rusum"))
+      .select(col("k").cast("long").as("k"), col("n_nodes"),
+        round(col("rusum").cast("double") /
+          (col("n_nodes").cast("double") * lit(1e7)), 6)
+          .as("mean_core_ratio"))
+      .orderBy("k")
+  }
+
   /** Weight-disparity profile Y(k) (Barthélemy et al. 2005): per
     * node, Y = Σ(w/s)² over its incident edge weights (1/k = evenly
     * spread strength, →1 = one dominant tie), integerized to 1e-7

@@ -632,6 +632,50 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Per-dimension variance spectrum in EXACT integer arithmetic:
+    * coordinates quantized to 1e-7-unit BIGINTs, per-dimension
+    * numerator N_p = n·Σq² − (Σq)² held in DECIMAL(38,0) (cast
+    * BEFORE multiply), variance = N/(n²·1e14) only at output —
+    * share and the desc-ordered cumulative share divide EXACT
+    * integers, so the "how many dims carry 90% of the variance"
+    * readout never depends on float sum order. The cheap
+    * dimensionality screen run before paying for [[Pca.pcaTop]].
+    * Returns (pos, variance, share, cum_share) ordered by pos.
+    *
+    * Scale: one explode + one d-key map-side-combined aggregate; the
+    * cumulative window runs on the d-row dimension frame. */
+  def dimVariance(emb: DataFrame): DataFrame = {
+    val e = emb.filter(col("embedding").isNotNull &&
+        size(col("embedding")) > 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast("double") * lit(1e7) + lit(0.5)).cast("long")
+          .as("q"))
+    val per = e.groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(col("q").cast("decimal(19,0)") * col("q")).as("sqq"))
+      .select(col("pos"),
+        col("n"),
+        (col("n").cast("decimal(19,0)") * col("sqq") -
+          col("sq").cast("decimal(19,0)") * col("sq")).as("nvar"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nvar").desc, col("pos").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per
+      .crossJoin(broadcast(per.agg(sum("nvar").as("tot"))))
+      .withColumn("cum", sum("nvar").over(wDesc))
+      .select(col("pos").cast("long").as("pos"),
+        round(col("nvar").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * lit(1e14)),
+          9).as("variance"),
+        round(col("nvar").cast("double") / col("tot").cast("double"), 6)
+          .as("share"),
+        round(col("cum").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("pos")
+  }
+
   /** IVF ANN in EXACT INTEGER arithmetic: vectors quantized to
     * floor(x·scale) BIGINTs, k-means iterated with integer squared
     * distances and floor-division means, probes scanning the `nprobe`

@@ -918,6 +918,42 @@ object EventStreams {
       .orderBy("dow", "event_type")
   }
 
+  /** Day-N retention (the D1/D3/D7/D14 dashboard): share of all users
+    * active EXACTLY N epoch-days after their first active day —
+    * the bounded-window counterpart of [[retention]]'s growth
+    * triangle and [[churn]]'s week shift. Zero-retention checkpoints
+    * still emit (LEFT join from the target-day frame). Returns
+    * (day_n, n_users, retained, share).
+    *
+    * Scale: one (day,user) distinct + one per-user min + one
+    * (user, day)-keyed semi-join per checkpoint (exploded, not
+    * looped); output ≤ |checkpoints| rows. */
+  def dayNRetention(events: DataFrame,
+                    days: Seq[Int] = Seq(1, 3, 7, 14)): DataFrame = {
+    require(days.nonEmpty && days.forall(_ > 0),
+      s"days must be positive offsets, got $days")
+    val du = events.select(
+      floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+      col("user_id")).distinct()
+    val first = du.groupBy("user_id").agg(min("day").as("d0"))
+    val tot = first.agg(count(lit(1)).as("n_users"))
+    val hits = first
+      .withColumn("n", explode(array(days.map(d => lit(d.toLong)): _*)))
+      .join(du, du("user_id") === first("user_id") &&
+        du("day") === first("d0") + col("n"), "left_semi")
+      .groupBy("n").agg(count(lit(1)).as("retained"))
+    val tg = events.sparkSession.range(1)
+      .select(explode(array(days.map(d => lit(d.toLong)): _*)).as("n"))
+    tg.join(hits, Seq("n"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("n").cast("long").as("day_n"),
+        col("n_users").cast("long").as("n_users"),
+        coalesce(col("retained"), lit(0L)).cast("long").as("retained"),
+        round(coalesce(col("retained"), lit(0L)).cast("double") /
+          col("n_users").cast("double"), 6).as("share"))
+      .orderBy("day_n")
+  }
+
   /** Hour-of-day × type profile with lift ([[dowProfile]]'s twin at
     * hour granularity — epoch-hour mod 24, no calendar locale): the
     * intraday load curve plus which types over-index at which hours.

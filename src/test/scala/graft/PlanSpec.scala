@@ -104,7 +104,9 @@ class PlanSpec extends SparkSpec {
       "q_rfm" -> ("under-gate oracle regime; past-gate branch "
         + "range-ranks via ops.Ranks.globalNtile (ShuffleRegimeSpec "
         + "parity)"),
-      "q_rrf" -> "list ranks over limit(listK=50) frames")
+      "q_rrf" -> "list ranks over limit(listK=50) frames",
+      "q_dim_variance" -> ("cumulative over the d-row dimension "
+        + "frame — bounded by the embedding width, never the corpus"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

@@ -910,6 +910,61 @@ class RobustSpec extends SparkSpec {
     assert(got("b").getAs[Long]("n_docs") == 2L)    // doc 4 untouched
   }
 
+  test("ckCurve: degree-class mean local clustering, degree-1 excluded") {
+    val implicits = spark.implicits
+    import implicits._
+    val pe = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val tri = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "tri_cnt")
+    val got = algorithms.Structure.ckCurve(pe, tri).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(2L, 3L)) // node 4 (deg 1) dropped
+    assert(got(2L).getAs[Long]("n_nodes") == 2L)
+    assert(got(2L).getAs[Double]("mean_cc") == 1.0)
+    assert(got(3L).getAs[Double]("mean_cc") == 0.333333)
+  }
+
+  test("degreeCoreRatio: peripheral pendant at ratio 1, hub diluted") {
+    val implicits = spark.implicits
+    import implicits._
+    val pe = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val sym = pe.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pe.select(col("b").as("src"), col("a").as("dst")))
+    val got = algorithms.Structure.degreeCoreRatio(sym).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("mean_core_ratio") == 1.0) // node 4: 1/1
+    assert(got(2L).getAs[Double]("mean_core_ratio") == 1.0) // 2/2
+    assert(got(3L).getAs[Double]("mean_core_ratio") == 0.666667) // 2/3
+  }
+
+  test("dayNRetention: exact epoch-day checkpoints, zero rows kept") {
+    val implicits = spark.implicits
+    import implicits._
+    val ev = Seq((0L, 1L), (86400L, 1L), (0L, 2L), (0L, 3L),
+      (7L * 86400L, 3L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val got = EventStreams.dayNRetention(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("retained") == 1L)
+    assert(got(1L).getAs[Double]("share") == 0.333333)
+    assert(got(3L).getAs[Long]("retained") == 0L)
+    assert(got(7L).getAs[Long]("retained") == 1L)
+    assert(got(14L).getAs[Double]("share") == 0.0)
+  }
+
+  test("dimVariance: exact integer numerators, tie broken by pos") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimVariance(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Double]("variance") == 0.25)
+    assert(got(0L).getAs[Double]("share") == 0.5)
+    assert(got(0L).getAs[Double]("cum_share") == 0.5) // pos tiebreak
+    assert(got(1L).getAs[Double]("cum_share") == 1.0)
+  }
+
   test("disparity: dominant tie raises Y above 1/k") {
     val implicits = spark.implicits
     import implicits._
