@@ -1520,6 +1520,109 @@ FROM tp WHERE $hits
 GROUP BY doc_id"""
   }
 
+  /** Bloom-FPR-audit mirror: same position set, same exact anti-join
+    * ground truth, same k-fold fill multiply (never pow — libm pow
+    * is not bit-stable across engines). */
+  def bloomFprAuditSql(evalPct: Int, mBits: Int, k: Int): String = {
+    val posSelects = (0 until k).map(i =>
+      s"SELECT DISTINCT ${h60(s"'bl$i:' || sh")} % $mBits AS p FROM evg")
+      .mkString(" UNION ")
+    val probeCols = (0 until k).map(i =>
+      s"${h60(s"'bl$i:' || sh")} % $mBits AS p$i").mkString(",\n  ")
+    val hitCond = (0 until k).map(i =>
+      s"p$i IN (SELECT p FROM pos)").mkString(" AND ")
+    val fillChain = Seq.fill(k)("fl").mkString(" * ")
+    s"""WITH sh AS MATERIALIZED (
+  SELECT doc_id, substr(text, i, 8) AS sh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS t(i)),
+ev AS MATERIALIZED (SELECT doc_id FROM documents
+  WHERE ${h60("'ev:' || CAST(doc_id AS VARCHAR)")} % 100 < $evalPct),
+evg AS MATERIALIZED (SELECT DISTINCT sh FROM sh JOIN ev USING (doc_id)),
+pos AS MATERIALIZED ($posSelects),
+bits AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS bits_set FROM pos),
+ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train_grams FROM evg),
+pr AS MATERIALIZED (SELECT sh FROM (SELECT DISTINCT sh FROM sh
+  WHERE doc_id NOT IN (SELECT doc_id FROM ev))
+  WHERE sh NOT IN (SELECT sh FROM evg)),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pr),
+fh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_false FROM (
+  SELECT $probeCols FROM pr) WHERE $hitCond),
+fr AS (SELECT CAST(bits_set AS DOUBLE) / $mBits AS fl FROM bits)
+SELECT n_train_grams, bits_set,
+  ROUND(fl, 6) AS fill_ratio, n_probes, n_false,
+  ROUND(CAST(n_false AS DOUBLE) / CAST(n_probes AS DOUBLE), 6)
+    AS measured_fpr,
+  ROUND($fillChain, 9) AS est_fpr
+FROM ntr CROSS JOIN bits CROSS JOIN np CROSS JOIN fh CROSS JOIN fr"""
+  }
+
+  /** User-lifespan mirror: same epoch-day spans, same lifecycle
+    * bands, exact BIGINT sums. */
+  val userLifespanSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+    AS day, user_id FROM events),
+per AS (SELECT user_id, MAX(day) - MIN(day) + 1 AS span,
+  CAST(COUNT(*) AS BIGINT) AS active FROM du GROUP BY 1),
+b AS (SELECT CASE WHEN span = 1 THEN 'a_1d' WHEN span <= 7 THEN 'b_2_7d'
+    WHEN span <= 28 THEN 'c_8_28d' ELSE 'd_gt_28d' END AS bucket,
+  span, active FROM per),
+ag AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(span) AS BIGINT) AS ssum, CAST(SUM(active) AS BIGINT) AS asum
+  FROM b GROUP BY 1),
+t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tot FROM ag)
+SELECT bucket, n_users,
+  ROUND(CAST(n_users AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+  ROUND(CAST(ssum AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_span_d,
+  ROUND(CAST(asum AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+    AS mean_active_d,
+  ROUND(CAST(asum AS DOUBLE) / CAST(ssum AS DOUBLE), 6) AS density
+FROM ag CROSS JOIN t ORDER BY bucket"""
+
+  /** Probe-curve mirror: the annRecall body per plane count, each arm
+    * micro-aggregated, unioned. */
+  def annProbeCurveSql(planesSeq: Seq[Int] = Seq(2, 4, 6),
+                       k: Int = 3): String = {
+    def arm(p: Int): String =
+      s"""SELECT * FROM (WITH $embCtes,
+w AS MATERIALIZED (
+  SELECT p AS plane, d AS pos, ${h60("'lsh:' || p || ':' || d")} % 2001 - 1000 AS w
+  FROM unnest(generate_series(0, ${p - 1})) AS tp(p), unnest(generate_series(0, 63)) AS td(d)),
+proj AS MATERIALIZED (SELECT e.vec_id, w.plane, SUM(w.w * e.x) AS proj
+  FROM ex e JOIN w ON w.pos = e.pos GROUP BY 1, 2),
+bk AS MATERIALIZED (SELECT vec_id,
+  SUM(CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) << CAST(plane AS INT) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id),
+ldots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN bk qb ON qb.vec_id = q.vec_id
+         JOIN ex v ON v.pos = q.pos JOIN bk vb ON vb.vec_id = v.vec_id AND vb.bucket = qb.bucket
+         WHERE q.vec_id < 10 AND v.vec_id >= 10
+         GROUP BY 1, 2),
+lcos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
+        FROM ldots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+lsh AS (SELECT qid, vid FROM (
+  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn
+  FROM lcos) WHERE rn <= $k),
+edots AS (SELECT q.vec_id AS qid, v.vec_id AS vid, SUM(q.x * v.x) AS dot
+         FROM ex q JOIN ex v ON q.pos = v.pos AND q.vec_id < 10 AND v.vec_id >= 10
+         GROUP BY 1, 2),
+ecos AS (SELECT qid, vid, ROUND(dot / (qn.nrm * vn.nrm), 6) AS cosine
+        FROM edots JOIN nrm qn ON qn.vec_id = qid JOIN nrm vn ON vn.vec_id = vid),
+exact AS (SELECT qid, vid FROM (
+  SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rn
+  FROM ecos) WHERE rn <= $k),
+hits AS (SELECT e.qid, COUNT(*) AS n_hit FROM exact e
+  JOIN lsh l ON l.qid = e.qid AND l.vid = e.vid GROUP BY 1),
+exn AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT CAST($p AS BIGINT) AS planes,
+  CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(SUM(COALESCE(h.n_hit, 0)) AS BIGINT) AS n_hit,
+  CAST(SUM(x.n_exact) AS BIGINT) AS n_exact,
+  ROUND(CAST(SUM(COALESCE(h.n_hit, 0)) AS DOUBLE) /
+    CAST(SUM(x.n_exact) AS DOUBLE), 6) AS recall
+FROM exn x LEFT JOIN hits h ON h.qid = x.qid) arm$p"""
+    planesSeq.map(arm).mkString("\nUNION ALL\n") + "\nORDER BY planes"
+  }
+
   /** Bigram-LM mirror: positions from the zipped unnest, bigrams via
     * LEAD over the per-doc position window, conditional probability
     * c(w1,w2)/c(w1,·) with the context total derived from the bigram

@@ -726,6 +726,13 @@ object SparkEntry {
     "q_dim_variance" -> ((s, d) =>
       pipeline.Similarity.dimVariance(
         GraphBuilder.table(s, d, "embeddings"))),
+    "q_bloom_fpr" -> ((s, d) =>
+      pipeline.Bloom.bloomFprAudit(GraphBuilder.table(s, d, "documents"))),
+    "q_user_lifespan" -> ((s, d) =>
+      EventStreams.userLifespan(EventStreams.eventsTable(s, d))),
+    "q_ann_probe_curve" -> ((s, d) =>
+      pipeline.Similarity.annProbeCurve(
+        GraphBuilder.table(s, d, "embeddings"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1325,6 +1332,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_degree_core_ratio" -> Oracles.degreeCoreRatioSql(48),
     "q_dayn_retention" -> PipelineOracles.dayNRetentionSql(),
     "q_dim_variance" -> PipelineOracles.dimVarianceSql,
+    "q_bloom_fpr" -> PipelineOracles.bloomFprAuditSql(5, 1 << 20, 4),
+    "q_user_lifespan" -> PipelineOracles.userLifespanSql,
+    "q_ann_probe_curve" -> PipelineOracles.annProbeCurveSql(),
     "q_token_budget" -> PipelineOracles.tokenBudgetSql(200000L),
     "q_quality_dup_lift" -> PipelineOracles.qualityDupLiftSql,
     "q_centroid_sim" -> PipelineOracles.centroidSimSql,
@@ -1486,7 +1496,11 @@ FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""",
     "q_cms" -> PipelineOracles.cmsSql(3, 1024, 20),
     "q_window_cms" -> PipelineOracles.windowCmsSql(3, 256),
     "q_hll" -> PipelineOracles.hllSql(8),
-    "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 23, 4),
+    // mBits MUST equal the Scala default (1 << 20): the two engines'
+    // accepted sets only agree when the bit space is identical (the
+    // corpus' shared vocabulary makes FPs vanishingly rare, which let
+    // a 1 << 23 oracle pass for nine rounds — fixed round 10)
+    "q_bloom_decontam" -> PipelineOracles.bloomDecontamSql(5, 1 << 20, 4),
     "q_pii_scan" -> PipelineOracles.piiScanSql,
     "q_lexical_diversity" -> PipelineOracles.lexicalDiversitySql,
     "q_token_entropy" -> PipelineOracles.tokenEntropySql,

@@ -101,6 +101,51 @@ object Bloom {
       .agg(bl(col("ps")).as("words"))
   }
 
+  /** Bloom false-positive-rate audit: the honesty check next to the
+    * filter itself. Ground truth from an exact anti-join (probe grams
+    * are non-eval-doc grams NOT in the eval set, so every filter
+    * accept is a false positive), measured FPR against the
+    * fill-ratio estimate fill^k (the k-fold multiply, not pow — libm
+    * pow differs across engines in the last ulp). bits_set counts
+    * DISTINCT occupied positions exactly. One row: (n_train_grams,
+    * bits_set, fill_ratio, n_probes, n_false, measured_fpr,
+    * est_fpr).
+    *
+    * Scale: the position/bit frames are ≤ m rows; probes ride the
+    * same broadcast-filter narrow map as [[bloomDecontaminate]];
+    * the exact anti-join exchanges only the DISTINCT gram frame. */
+  def bloomFprAudit(docs: DataFrame, evalPct: Int = 5,
+                    mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    val isEval =
+      pmod(TextOps.hash60(col("doc_id").cast("string"), "ev:"), lit(100L)) <
+        evalPct
+    val evg = TextOps.shingles(docs.filter(isEval), 8)
+      .select("sh").distinct().localCheckpoint()
+    val nTrain = evg.agg(count(lit(1)).as("n_train_grams"))
+    val bits = evg.select(explode(positions(col("sh"), k, mBits)).as("p"))
+      .distinct().agg(count(lit(1)).as("bits_set"))
+    val filterRow = buildFilter(docs.filter(isEval), mBits, k)
+    val probes = TextOps.shingles(docs.filter(!isEval), 8)
+      .select("sh").distinct()
+      .join(evg, Seq("sh"), "left_anti")
+    val pAgg = probes.agg(count(lit(1)).as("n_probes"))
+    val falseHits = probes.crossJoin(broadcast(filterRow))
+      .filter(mightContain(col("words"), col("sh"), k, mBits))
+      .agg(count(lit(1)).as("n_false"))
+    val fill = col("bits_set").cast("double") / lit(mBits.toDouble)
+    nTrain.crossJoin(broadcast(bits)).crossJoin(broadcast(pAgg))
+      .crossJoin(broadcast(falseHits))
+      .select(col("n_train_grams").cast("long").as("n_train_grams"),
+        col("bits_set").cast("long").as("bits_set"),
+        round(fill, 6).as("fill_ratio"),
+        col("n_probes").cast("long").as("n_probes"),
+        col("n_false").cast("long").as("n_false"),
+        round(col("n_false").cast("double") /
+          col("n_probes").cast("double"), 6).as("measured_fpr"),
+        round(Seq.fill(k)(fill).reduce(_ * _), 9).as("est_fpr"))
+  }
+
   def bloomDecontaminate(docs: DataFrame, evalPct: Int = 5,
                          mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")

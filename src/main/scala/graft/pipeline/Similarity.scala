@@ -632,6 +632,32 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** LSH plane-count tuning curve: micro-averaged recall@k of
+    * [[annLsh]] against the exact [[cosineTopK]] baseline at each
+    * plane count — MORE planes = narrower buckets = faster probes and
+    * lower recall; this is the curve that decision is read off.
+    * Micro-average = Σhits/Σexact over the probe set, exact integer
+    * counts. Returns (planes, n_queries, n_hit, n_exact, recall).
+    *
+    * Scale: each arm is [[annRecall]]'s probe-bounded plan; arms are
+    * independent branches of one union. */
+  def annProbeCurve(emb: DataFrame, planesSeq: Seq[Int] = Seq(2, 4, 6),
+                    probeMax: Long = 10L, k: Int = 3): DataFrame = {
+    require(planesSeq.nonEmpty && planesSeq.forall(p => p >= 1 && p <= 62),
+      s"planesSeq must be plane counts in [1,62], got $planesSeq")
+    planesSeq.map { p =>
+      annRecall(emb, p, probeMax, k)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hit").as("nh"),
+          sum("n_exact").as("ne"))
+        .select(lit(p.toLong).as("planes"),
+          col("n_queries").cast("long").as("n_queries"),
+          col("nh").cast("long").as("n_hit"),
+          col("ne").cast("long").as("n_exact"),
+          round(col("nh").cast("double") / col("ne").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy("planes")
+  }
+
   /** Per-dimension variance spectrum in EXACT integer arithmetic:
     * coordinates quantized to 1e-7-unit BIGINTs, per-dimension
     * numerator N_p = n·Σq² − (Σq)² held in DECIMAL(38,0) (cast

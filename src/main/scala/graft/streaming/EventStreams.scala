@@ -918,6 +918,44 @@ object EventStreams {
       .orderBy("dow", "event_type")
   }
 
+  /** User-lifespan histogram: per user the active span (last − first
+    * epoch-day + 1) and active-day count, rolled into lifecycle
+    * bands with mean span, mean active days, and activity density
+    * (Σactive/Σspan) — "are users here for a day, a week, or the
+    * duration, and how densely do they show up". Returns (bucket,
+    * n_users, share, mean_span_d, mean_active_d, density).
+    *
+    * Scale: one (day,user) distinct + one per-user min/max/count;
+    * 4-key rollup, all sums exact BIGINTs. */
+  def userLifespan(events: DataFrame): DataFrame = {
+    val du = events.select(
+      floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+      col("user_id")).distinct()
+    val per = du.groupBy("user_id")
+      .agg((max("day") - min("day") + 1L).as("span"),
+        count(lit(1)).as("active"))
+    val b = per.select(
+      when(col("span") === 1L, "a_1d")
+        .when(col("span") <= 7L, "b_2_7d")
+        .when(col("span") <= 28L, "c_8_28d")
+        .otherwise("d_gt_28d").as("bucket"),
+      col("span"), col("active"))
+    val agg = b.groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), sum("span").as("ssum"),
+        sum("active").as("asum"))
+    agg.crossJoin(broadcast(agg.agg(sum("n_users").as("tot"))))
+      .select(col("bucket"), col("n_users").cast("long").as("n_users"),
+        round(col("n_users").cast("double") / col("tot").cast("double"),
+          6).as("share"),
+        round(col("ssum").cast("double") / col("n_users").cast("double"),
+          6).as("mean_span_d"),
+        round(col("asum").cast("double") / col("n_users").cast("double"),
+          6).as("mean_active_d"),
+        round(col("asum").cast("double") / col("ssum").cast("double"), 6)
+          .as("density"))
+      .orderBy("bucket")
+  }
+
   /** Day-N retention (the D1/D3/D7/D14 dashboard): share of all users
     * active EXACTLY N epoch-days after their first active day —
     * the bounded-window counterpart of [[retention]]'s growth

@@ -965,6 +965,51 @@ class RobustSpec extends SparkSpec {
     assert(got(1L).getAs[Double]("cum_share") == 1.0)
   }
 
+  test("bloomFprAudit: exact anti-join ground truth, shared gram excluded") {
+    // doc 11 hashes into the 5% eval bucket ('ev:11' % 100 = 4);
+    // doc 1 shares its gram (a member -> not a probe), doc 2's gram
+    // is the single true non-member probe
+    val docs = docsOf(Seq(
+      (11L, "s", "abcdefgh", 8L), (1L, "s", "abcdefgh", 8L),
+      (2L, "s", "zzzzzzzz", 8L)))
+    val r = pipeline.Bloom.bloomFprAudit(docs).collect().head
+    assert(r.getAs[Long]("n_train_grams") == 1L)
+    assert(r.getAs[Long]("bits_set") == 4L) // k=4 distinct positions
+    assert(r.getAs[Long]("n_probes") == 1L)
+    assert(r.getAs[Long]("n_false") == 0L)
+    assert(r.getAs[Double]("measured_fpr") == 0.0)
+  }
+
+  test("userLifespan: span bands with density") {
+    val implicits = spark.implicits
+    import implicits._
+    val ev = Seq((0L, 1L), (86400L, 1L), (0L, 2L), (0L, 3L),
+      (30L * 86400L, 3L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val got = EventStreams.userLifespan(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a_1d", "b_2_7d", "d_gt_28d"))
+    assert(got("b_2_7d").getAs[Double]("mean_span_d") == 2.0)
+    assert(got("b_2_7d").getAs[Double]("density") == 1.0)
+    assert(got("d_gt_28d").getAs[Double]("mean_span_d") == 31.0)
+    assert(got("d_gt_28d").getAs[Double]("density") == 0.064516) // 2/31
+  }
+
+  test("annProbeCurve: identical vectors give full recall at any planes") {
+    val implicits = spark.implicits
+    import implicits._
+    val emb = (0L to 11L).map(i => (i, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.annProbeCurve(emb).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 4L, 6L))
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 10L)
+      assert(r.getAs[Long]("n_exact") == 20L) // only 2 corpus vectors
+      assert(r.getAs[Double]("recall") == 1.0) // one shared bucket
+    }
+  }
+
   test("disparity: dominant tie raises Y above 1/k") {
     val implicits = spark.implicits
     import implicits._
