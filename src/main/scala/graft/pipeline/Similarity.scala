@@ -645,9 +645,22 @@ object Similarity {
                     probeMax: Long = 10L, k: Int = 3): DataFrame = {
     require(planesSeq.nonEmpty && planesSeq.forall(p => p >= 1 && p <= 62),
       s"planesSeq must be plane counts in [1,62], got $planesSeq")
+    // the exact baseline is plane-independent: compute it ONCE and
+    // checkpoint — each arm pays only its own LSH probe (the bench
+    // caught the naive form paying cosineTopK per arm)
+    val exact = cosineTopK(emb, probeMax, k)
+      .select(col("qid"), col("vid")).localCheckpoint()
+    val exn = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
     planesSeq.map { p =>
-      annRecall(emb, p, probeMax, k)
-        .agg(count(lit(1)).as("n_queries"), sum("n_hit").as("nh"),
+      val approx = annLsh(emb, p, probeMax, k)
+        .select(col("qid"), col("vid").as("avid"))
+      val hits = exact
+        .join(approx, exact("qid") === approx("qid") &&
+          exact("vid") === approx("avid"))
+        .groupBy(exact("qid")).agg(count(lit(1)).as("n_hit"))
+      exn.join(hits, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("n_hit"), lit(0L))).as("nh"),
           sum("n_exact").as("ne"))
         .select(lit(p.toLong).as("planes"),
           col("n_queries").cast("long").as("n_queries"),
