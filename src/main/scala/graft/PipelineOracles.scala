@@ -3410,4 +3410,137 @@ SELECT CAST(u.n_users AS BIGINT) AS n_users,
     AS conv_rate,
   d.p50_s, d.p90_s, d.max_s
 FROM u CROSS JOIN d"""
+
+  /** Shared zero-filled daily-series CTE text (epoch days) — the
+    * grid contract of ewmaDailySql/dailyAcfSql. */
+  private val dailySeriesCte: String =
+    """dc AS (SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dc),
+grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
+ser AS (SELECT g.day, COALESCE(dc.c, 0) AS c
+  FROM grid g LEFT JOIN dc ON dc.day = g.day)"""
+
+  /** Mann–Kendall mirror: exact-BIGINT S and tie sums off the day-pair
+    * join, the same ±1-corrected z and τ-b closed form. */
+  val mannKendallSql: String =
+    s"""WITH $dailySeriesCte,
+pr AS (SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+    WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM ser a JOIN ser b ON a.day < b.day),
+tg AS (SELECT c, COUNT(*) AS t FROM ser GROUP BY 1),
+ti AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_var,
+  CAST(SUM(t * (t - 1)) AS BIGINT) AS tie2 FROM tg),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ser)
+SELECT nn.n AS n_days, pr.s,
+  ROUND(CASE WHEN (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+      - CAST(tie_var AS DOUBLE)) / 18.0 > 0.0 THEN
+    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) /
+        sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+          - CAST(tie_var AS DOUBLE)) / 18.0)
+      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) /
+        sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+          - CAST(tie_var AS DOUBLE)) / 18.0)
+      ELSE 0.0 END END, 6) AS z,
+  ROUND(CASE WHEN CAST(n AS DOUBLE) * (n - 1) / 2.0
+      - CAST(tie2 AS DOUBLE) / 2.0 > 0.0 THEN
+    CAST(s AS DOUBLE) / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2.0) *
+      (CAST(n AS DOUBLE) * (n - 1) / 2.0 - CAST(tie2 AS DOUBLE) / 2.0))
+    END, 6) AS tau_b
+FROM pr CROSS JOIN ti CROSS JOIN nn"""
+
+  /** Theil–Sen mirror: IEEE pairwise slopes, tie-averaged median via
+    * the same two order-statistic picks. */
+  val theilSenSql: String =
+    s"""WITH $dailySeriesCte,
+sl AS (SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+    AS slope
+  FROM ser a JOIN ser b ON a.day < b.day),
+rk AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+  COUNT(*) OVER () AS p FROM sl)
+SELECT CAST(MAX(p) AS BIGINT) AS n_pairs, ROUND(AVG(slope), 6) AS slope
+FROM rk WHERE rn = (p + 1) // 2 OR rn = (p + 2) // 2"""
+
+  /** Runs-test mirror: half-unit-integer median pick, median-equal
+    * days dropped, runs counted off the lag sign change. */
+  val runsTestSql: String =
+    s"""WITH $dailySeriesCte,
+rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, day) AS rn,
+  COUNT(*) OVER () AS n FROM ser),
+m AS (SELECT CAST(SUM(CASE WHEN n % 2 = 1 THEN c * 2 ELSE c END)
+    AS BIGINT) AS m2
+  FROM rk WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+sg AS (SELECT day, (c * 2 > m2) AS up FROM ser CROSS JOIN m
+  WHERE c * 2 <> m2),
+br AS (SELECT up, CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL
+    OR LAG(up) OVER (ORDER BY day) <> up THEN 1 ELSE 0 END AS brk
+  FROM sg),
+ag AS (SELECT CAST(SUM(brk) AS BIGINT) AS runs,
+  CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2 FROM br)
+SELECT n1, n2, runs,
+  ROUND(CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) /
+      (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)) > 0.0
+    THEN (CAST(runs AS DOUBLE) -
+      (1.0 + 2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE))) /
+      sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) /
+        (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+    END, 6) AS z
+FROM ag"""
+
+  /** Kendall τ-b mirror over the (x=purchase, y=view) daily pair
+    * series — exact concordant/discordant/tie counts. */
+  def kendallTauSql(typeX: String = "purchase",
+                    typeY: String = "view"): String =
+    s"""WITH dc AS (SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+    CAST(SUM(CASE WHEN event_type = '$typeX' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN event_type = '$typeY' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+rng AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dc),
+grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
+ser AS (SELECT g.day, COALESCE(dc.x, 0) AS x, COALESCE(dc.y, 0) AS y
+  FROM grid g LEFT JOIN dc ON dc.day = g.day),
+pr AS (SELECT
+  CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS nc,
+  CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS nd,
+  CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+  CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+  CAST(COUNT(*) AS BIGINT) AS d0
+  FROM ser a JOIN ser b ON a.day < b.day),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM ser)
+SELECT nn.n_days, pr.nc, pr.nd,
+  ROUND(CASE WHEN CAST(d0 - tx AS DOUBLE) * CAST(d0 - ty AS DOUBLE) > 0.0
+    THEN CAST(nc - nd AS DOUBLE) /
+      sqrt(CAST(d0 - tx AS DOUBLE) * CAST(d0 - ty AS DOUBLE)) END, 6)
+    AS tau_b
+FROM pr CROSS JOIN nn"""
+
+  /** Seasonality-strength mirror: DECIMAL(38,0) sufficient statistics
+    * per dow, the same R²/F closed form. */
+  val seasonalitySql: String =
+    s"""WITH $dailySeriesCte,
+sd AS (SELECT day % 7 AS dow, CAST(c AS DECIMAL(38,0)) AS c FROM ser),
+g AS (SELECT dow, COUNT(*) AS n_g, SUM(c) AS s_g FROM sd GROUP BY 1),
+t AS (SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss FROM sd),
+sb AS (SELECT SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+    CAST(n_g AS DOUBLE)) AS sb_sum, COUNT(*) AS k FROM g)
+SELECT CAST(t.n AS BIGINT) AS n_days, CAST(sb.k AS BIGINT) AS n_groups,
+  ROUND(CASE WHEN CAST(ss AS DOUBLE) -
+      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+    THEN (sb_sum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        CAST(n AS DOUBLE)) END, 6) AS r2,
+  ROUND(CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(n AS DOUBLE)) -
+      (sb_sum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0
+      AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE) AND k > 1
+    THEN ((sb_sum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        (CAST(k AS DOUBLE) - 1.0)) /
+      (((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+          CAST(n AS DOUBLE)) -
+        (sb_sum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
+        (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS f
+FROM t CROSS JOIN sb"""
 }

@@ -8,7 +8,7 @@ import graft.ops.GraphQuery
 import graft.algorithms.{Centrality, Community, Structure, Traversal}
 import graft.cypher.Cypher
 import graft.pipeline.{Corpus, Dedup, Similarity, TextOps}
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, Trend}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -733,6 +733,16 @@ object SparkEntry {
     "q_ann_probe_curve" -> ((s, d) =>
       pipeline.Similarity.annProbeCurve(
         GraphBuilder.table(s, d, "embeddings"))),
+    "q_mann_kendall" -> ((s, d) =>
+      Trend.mannKendall(EventStreams.eventsTable(s, d))),
+    "q_theil_sen" -> ((s, d) =>
+      Trend.theilSen(EventStreams.eventsTable(s, d))),
+    "q_runs_test" -> ((s, d) =>
+      Trend.runsTest(EventStreams.eventsTable(s, d))),
+    "q_kendall_tau" -> ((s, d) =>
+      Trend.kendallTau(EventStreams.eventsTable(s, d))),
+    "q_seasonality" -> ((s, d) =>
+      Trend.seasonalityStrength(EventStreams.eventsTable(s, d))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1273,6 +1283,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_readability" -> PipelineOracles.readabilitySql,
     "q_heaps" -> PipelineOracles.heapsFitSql,
     "q_ewma" -> PipelineOracles.ewmaDailySql(30),
+    "q_mann_kendall" -> PipelineOracles.mannKendallSql,
+    "q_theil_sen" -> PipelineOracles.theilSenSql,
+    "q_runs_test" -> PipelineOracles.runsTestSql,
+    "q_kendall_tau" -> PipelineOracles.kendallTauSql(),
+    "q_seasonality" -> PipelineOracles.seasonalitySql,
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

@@ -1,0 +1,204 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trend / seasonality statistics over the daily event-volume series —
+  * the monitoring questions a pipeline operator asks of an intake
+  * stream after [[EventStreams.dailyAcf]] says "there is structure":
+  * is volume trending (Mann–Kendall), at what robust rate (Theil–Sen),
+  * is the sequence random (Wald–Wolfowitz runs), do two event types
+  * co-move (Kendall τ-b), and how much variance does day-of-week
+  * explain (seasonality strength).
+  *
+  * Reference scope note: rs-graphdb has no time-series surface
+  * (`src/query.rs` stops at scalar aggregates); this module is part of
+  * the brief-mandated training-pipeline extension.
+  *
+  * Scale shape shared by every operator: ONE corpus-sized shuffle (the
+  * daily groupBy), then everything runs on the zero-filled day grid —
+  * bounded by the OBSERVATION WINDOW (30 days in the test data, ~3.6k
+  * days for a decade), never by event volume. Pairwise statistics
+  * self-join that day grid (≤ n_days²/2 rows — ~6.6M pairs for a
+  * decade, one task's work) with the grid explicitly broadcast, so the
+  * plan is identical at 100 TB. Counts and pair sums are exact BIGINT;
+  * doubles appear only in the final closed form (round 6dp). */
+object Trend {
+
+  /** Zero-filled daily count series (epoch days) — same grid contract
+    * as [[EventStreams.ewmaDaily]]/[[EventStreams.dailyAcf]]: missing
+    * days count 0, so gap structure is data, not absence. */
+  private[streaming] def dailySeries(events: DataFrame): DataFrame = {
+    val dc = events
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).cast("long").as("c"))
+    val grid = dc.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(dc, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) on daily
+    * volume: S = Σ_{i<j} sign(c_j − c_i) over all day pairs, the
+    * tie-corrected variance Var(S) = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18,
+    * the ±1-continuity-corrected z, and τ-b (time axis has no ties, so
+    * the denominator is √(D₀(D₀ − T_c)) with D₀ = n(n−1)/2). S and
+    * both tie sums are exact BIGINT off the broadcast day-grid
+    * self-join; z/τ are the only doubles. */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val ser = dailySeries(events)
+    val a = ser.select(col("day").as("di"), col("c").as("ci"))
+    val b = ser.select(col("day").as("dj"), col("c").as("cj"))
+    val s = a.join(broadcast(b), col("di") < col("dj"))
+      .agg(sum(when(col("cj") > col("ci"), 1L)
+        .when(col("cj") < col("ci"), -1L).otherwise(0L)).as("s"))
+    val ties = ser.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_var"),
+        sum(col("t") * (col("t") - 1)).as("tie2"))
+    val n = ser.agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("tie_var").cast("double")) / lit(18.0)
+    val d0 = nD * (nD - 1.0) / lit(2.0)
+    val tc = col("tie2").cast("double") / lit(2.0)
+    val sD = col("s").cast("double")
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n").as("n_days"), col("s"),
+        round(when(varS > 0.0,
+          when(col("s") > 0, (sD - 1.0) / sqrt(varS))
+            .when(col("s") < 0, (sD + 1.0) / sqrt(varS))
+            .otherwise(0.0)), 6).as("z"),
+        round(when(d0 - tc > 0.0, sD / sqrt(d0 * (d0 - tc))), 6).as("tau_b"))
+  }
+
+  /** Theil–Sen robust trend slope (Theil 1950, Sen 1968): the median
+    * of all pairwise slopes (c_j − c_i)/(d_j − d_i) over the day grid.
+    * Tie-averaged median: mean of the ⌈P/2⌉-th and ⌈(P+1)/2⌉-th order
+    * statistics. Slopes are one IEEE division each (identical across
+    * engines); the rank window runs over the day-PAIR domain — bounded
+    * by the observation window squared, never event volume. */
+  def theilSen(events: DataFrame): DataFrame = {
+    val ser = dailySeries(events)
+    val a = ser.select(col("day").as("di"), col("c").as("ci"))
+    val b = ser.select(col("day").as("dj"), col("c").as("cj"))
+    val slopes = a.join(broadcast(b), col("di") < col("dj"))
+      .select(((col("cj") - col("ci")).cast("double") /
+        (col("dj") - col("di")).cast("double")).as("slope"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(Window.orderBy("slope")))
+      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("p"))))
+    ranked
+      .filter(col("rn") === floor((col("p") + 1) / 2) ||
+        col("rn") === floor((col("p") + 2) / 2))
+      .agg(max(col("p")).as("n_pairs"),
+        round(avg(col("slope")), 6).as("slope"))
+  }
+
+  /** Wald–Wolfowitz runs test on daily volume: the sign sequence
+    * above/below the tie-averaged median (median-equal days dropped,
+    * the standard convention), R = number of maximal same-sign runs,
+    * and the normal z = (R − E[R])/√Var with E[R] = 1 + 2n₁n₂/n. The
+    * median is picked from half-unit integers (2c vs c₍ₗₒ₎+c₍ₕᵢ₎ — no
+    * float compare); both windows run over the day grid. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val ser = dailySeries(events)
+    val ranked = ser
+      .withColumn("rn", row_number().over(Window.orderBy("c", "day")))
+      .crossJoin(broadcast(ser.agg(count(lit(1)).as("n"))))
+    val m2 = ranked
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
+      .agg(sum(when(col("n") % 2 === 1, col("c") * 2).otherwise(col("c")))
+        .as("m2"))
+    val signs = ser.crossJoin(broadcast(m2))
+      .filter(col("c") * 2 =!= col("m2"))
+      .select(col("day"), (col("c") * 2 > col("m2")).as("up"))
+    val runs = signs
+      .withColumn("brk",
+        when(lag("up", 1).over(Window.orderBy("day")).isNull ||
+          lag("up", 1).over(Window.orderBy("day")) =!= col("up"), 1L)
+          .otherwise(0L))
+      .agg(sum("brk").as("runs"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("up"), 0L).otherwise(1L)).as("n2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nT = n1 + n2
+    val e = lit(1.0) + lit(2.0) * n1 * n2 / nT
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nT) /
+      (nT * nT * (nT - 1.0))
+    runs.select(col("n1"), col("n2"), col("runs"),
+      round(when(v > 0.0, (col("runs").cast("double") - e) / sqrt(v)), 6)
+        .as("z"))
+  }
+
+  /** Kendall τ-b between the daily volumes of two event types
+    * (default purchase vs view) on the shared zero-filled grid:
+    * concordant/discordant/tie pair counts are exact BIGINT off the
+    * broadcast day-pair join; τ-b = (C − D)/√((D₀−T_x)(D₀−T_y)) with
+    * the standard tie treatment (pairs tied on BOTH axes count in
+    * both T's, per Kendall 1945). */
+  def kendallTau(events: DataFrame, typeX: String = "purchase",
+                 typeY: String = "view"): DataFrame = {
+    val dc = events
+      .select(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .agg(sum(when(col("event_type") === typeX, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeY, 1L).otherwise(0L)).as("y"))
+    val grid = dc.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val ser = grid.join(dc, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val a = ser.select(col("day").as("di"), col("x").as("xi"), col("y").as("yi"))
+    val b = ser.select(col("day").as("dj"), col("x").as("xj"), col("y").as("yj"))
+    val dx = col("xj") - col("xi"); val dy = col("yj") - col("yi")
+    val agg = a.join(broadcast(b), col("di") < col("dj"))
+      .agg(sum(when(dx * dy > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(dx * dy < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(dx === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(dy === 0, 1L).otherwise(0L)).as("ty"),
+        count(lit(1)).as("d0"))
+    val den = (col("d0") - col("tx")).cast("double") *
+      (col("d0") - col("ty")).cast("double")
+    agg.crossJoin(broadcast(ser.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("nc"), col("nd"),
+        round(when(den > 0.0,
+          (col("nc") - col("nd")).cast("double") / sqrt(den)), 6).as("tau_b"))
+  }
+
+  /** Day-of-week seasonality strength: one-way variance decomposition
+    * of daily volume by dow (epoch-day mod 7) — R² = SS_between/SS_total
+    * and the ANOVA F for the dow effect. The companion to
+    * [[EventStreams.dowProfile]]'s shares: R² near 1 says the weekly
+    * cycle explains the series, near 0 says volume is dow-flat.
+    * Sufficient statistics (Σc, Σc² per dow) accumulate in
+    * DECIMAL(38,0) — exact even when a 100 TB day holds ~1e12 events
+    * (c² ~ 1e24 overflows BIGINT). */
+  def seasonalityStrength(events: DataFrame): DataFrame = {
+    val ser = dailySeries(events)
+      .select(pmod(col("day"), lit(7L)).as("dow"),
+        col("c").cast("decimal(38,0)").as("c"))
+    val byDow = ser.groupBy("dow")
+      .agg(count(lit(1)).as("n_g"), sum("c").as("s_g"))
+    val tot = ser.agg(count(lit(1)).as("n"), sum("c").as("s"),
+      sum(col("c") * col("c")).as("ss"))
+    val stats = byDow
+      .select((col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")).as("sb_term"))
+      .agg(sum("sb_term").as("sb_sum"), count(lit(1)).as("k"))
+    val nD = col("n").cast("double")
+    val ssTot = col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD
+    val ssB = col("sb_sum") -
+      col("s").cast("double") * col("s").cast("double") / nD
+    val ssW = ssTot - ssB
+    val kD = col("k").cast("double")
+    stats.crossJoin(broadcast(tot))
+      .select(col("n").as("n_days"), col("k").as("n_groups"),
+        round(when(ssTot > 0.0, ssB / ssTot), 6).as("r2"),
+        round(when(ssW > 0.0 && nD > kD && kD > 1.0,
+          (ssB / (kD - 1.0)) / (ssW / (nD - kD))), 6).as("f"))
+  }
+}

@@ -106,7 +106,12 @@ class PlanSpec extends SparkSpec {
         + "parity)"),
       "q_rrf" -> "list ranks over limit(listK=50) frames",
       "q_dim_variance" -> ("cumulative over the d-row dimension "
-        + "frame — bounded by the embedding width, never the corpus"))
+        + "frame — bounded by the embedding width, never the corpus"),
+      "q_theil_sen" -> ("rank over the day-pair slope frame — bounded "
+        + "by the observation window squared (time domain), never "
+        + "event volume"),
+      "q_runs_test" -> ("rank + lag over the zero-filled day grid — "
+        + "time-domain bounded, never event volume"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.Trend
+
+/** Trend statistics vs brute-force local recomputation on seeded
+  * random and hand-built daily series. */
+class TrendSpec extends SparkSpec {
+
+  /** One event per (day, i) — builds an events frame whose daily
+    * series equals `counts` (day 0 = 2024-01-01). */
+  private lazy val testImplicits = spark.implicits
+
+  private def eventsFromCounts(counts: Seq[Int]): DataFrame = {
+    import testImplicits._
+    val rows = for {
+      (c, d) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (d.toLong * 1000 + i, d, i)
+    rows.toDF("event_id", "d", "i")
+      .select(col("event_id"),
+        timestamp_seconds(lit(1704110400L) + col("d") * 86400L).as("ts"),
+        col("i").cast("long").as("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+  }
+
+  private def bruteMannKendall(c: Seq[Int]): (Long, Double) = {
+    val n = c.length
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      s += java.lang.Integer.signum(c(j) - c(i))
+    val tieVar = c.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n.toDouble * (n - 1) * (2 * n + 5) - tieVar) / 18.0
+    val z =
+      if (varS <= 0) Double.NaN
+      else if (s > 0) (s - 1.0) / math.sqrt(varS)
+      else if (s < 0) (s + 1.0) / math.sqrt(varS)
+      else 0.0
+    (s, z)
+  }
+
+  test("mannKendall matches brute force on seeded random series") {
+    val rnd = new scala.util.Random(7)
+    val counts = Seq.fill(25)(rnd.nextInt(8))
+    val r = Trend.mannKendall(eventsFromCounts(counts)).collect()(0)
+    val (s, z) = bruteMannKendall(counts)
+    assert(r.getAs[Long]("n_days") == 25L)
+    assert(r.getAs[Long]("s") == s)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+  }
+
+  test("mannKendall: strictly increasing series has S = n(n-1)/2, tau_b = 1") {
+    val counts = (1 to 10).toSeq
+    val r = Trend.mannKendall(eventsFromCounts(counts)).collect()(0)
+    assert(r.getAs[Long]("s") == 45L)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+  }
+
+  test("theilSen recovers an exact linear trend's slope") {
+    // c_d = 3 + 2d → every pairwise slope is exactly 2
+    val counts = (0 until 12).map(d => 3 + 2 * d)
+    val r = Trend.theilSen(eventsFromCounts(counts)).collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 66L)
+    assert(r.getAs[Double]("slope") == 2.0)
+  }
+
+  test("theilSen median vs brute force on random series (even and odd pair counts)") {
+    for (n <- Seq(8, 9)) {
+      val rnd = new scala.util.Random(n)
+      val counts = Seq.fill(n)(rnd.nextInt(20))
+      val slopes = (for {
+        i <- 0 until n; j <- i + 1 until n
+      } yield (counts(j) - counts(i)).toDouble / (j - i)).sorted
+      val p = slopes.length
+      val med = (slopes((p - 1) / 2) + slopes(p / 2)) / 2.0
+      val r = Trend.theilSen(eventsFromCounts(counts)).collect()(0)
+      assert(math.abs(r.getAs[Double]("slope") - med) < 1e-5, s"n=$n")
+    }
+  }
+
+  test("runsTest counts runs around the median correctly") {
+    // series: 5 5 1 1 5 5 1 1 (median-equal days dropped: median of
+    // sorted(1,1,1,1,5,5,5,5) = 3 → signs + + - - + + - - → 4 runs
+    val counts = Seq(5, 5, 1, 1, 5, 5, 1, 1)
+    val r = Trend.runsTest(eventsFromCounts(counts)).collect()(0)
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 4L)
+    assert(r.getAs[Long]("runs") == 4L)
+  }
+
+  test("kendallTau: y = x co-movement gives tau_b = 1, opposing gives -1") {
+    import testImplicits._
+    // x buys on even days, y views proportionally (co-moving)
+    def ev(counts: Seq[(Int, Int)]): DataFrame = {
+      val rows = for {
+        ((cx, cy), d) <- counts.zipWithIndex
+        (tpe, idx) <- Seq.fill(cx)("purchase").zipWithIndex ++
+          Seq.fill(cy)("view").zipWithIndex.map(t => (t._1, cx + t._2))
+      } yield (d.toLong * 1000 + idx, d, tpe)
+      rows.toDF("event_id", "d", "event_type")
+        .select(col("event_id"),
+          timestamp_seconds(lit(1704110400L) + col("d") * 86400L).as("ts"),
+          lit(1L).as("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+    }
+    val co = ev(Seq((1, 2), (2, 4), (3, 6), (4, 8)))
+    assert(Trend.kendallTau(co).collect()(0).getAs[Double]("tau_b") == 1.0)
+    val anti = ev(Seq((1, 8), (2, 6), (3, 4), (4, 2)))
+    assert(Trend.kendallTau(anti).collect()(0).getAs[Double]("tau_b") == -1.0)
+  }
+
+  test("seasonalityStrength: pure weekly cycle gives r2 = 1, flat series r2 = 0-ish") {
+    // 21 days of exact weekly pattern → dow explains everything
+    val cycle = Seq(10, 2, 3, 4, 5, 6, 7)
+    val r = Trend.seasonalityStrength(
+      eventsFromCounts(Seq.fill(3)(cycle).flatten)).collect()(0)
+    assert(r.getAs[Long]("n_days") == 21L && r.getAs[Long]("n_groups") == 7L)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("f"))) // ssw = 0 → F undefined
+    // flat series: ss_total = 0 → r2 undefined (NULL)
+    val flat = Trend.seasonalityStrength(
+      eventsFromCounts(Seq.fill(14)(4))).collect()(0)
+    assert(flat.isNullAt(flat.fieldIndex("r2")))
+  }
+}
