@@ -3411,6 +3411,113 @@ SELECT CAST(u.n_users AS BIGINT) AS n_users,
   d.p50_s, d.p90_s, d.max_s
 FROM u CROSS JOIN d"""
 
+  /** Cohen's d / Hedges' g mirror: same sufficient statistics and
+    * pair-join closed form as the engine. */
+  val cohensDSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS n,
+  SUM(CAST(n_chars AS BIGINT)) AS sx,
+  SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+  FROM documents GROUP BY 1),
+sd AS (SELECT source, n, CAST(sx AS DOUBLE) / n AS m,
+  CASE WHEN n >= 2 THEN (CAST(sxx AS DOUBLE) -
+    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+    CAST(n - 1 AS DOUBLE) END AS v FROM s),
+p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a,
+  b.n AS n_b, a.m AS m_a, b.m AS m_b,
+  (CAST(a.n - 1 AS DOUBLE) * a.v + CAST(b.n - 1 AS DOUBLE) * b.v) /
+    (CAST(a.n + b.n AS DOUBLE) - 2.0) AS pooled
+  FROM sd a JOIN sd b ON a.source < b.source)
+SELECT src_a, src_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(CASE WHEN n_a + n_b > 2 AND pooled > 0.0
+    THEN (m_a - m_b) / sqrt(pooled) END, 6) AS d,
+  ROUND(CASE WHEN n_a + n_b > 2 AND pooled > 0.0
+    THEN (m_a - m_b) / sqrt(pooled) *
+      (1.0 - 3.0 / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0)) END, 6) AS g
+FROM p ORDER BY src_a, src_b"""
+
+  /** Cliff's delta mirror: the mannWhitneySql 2U accumulation with the
+    * δ = 2U/(n₁n₂) − 1 closed form and Romano magnitude bands off the
+    * rounded δ. */
+  val cliffsDeltaSql: String =
+    """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, source,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+al AS (SELECT v, SUM(c) AS c_all FROM cnt GROUP BY 1),
+alc AS (SELECT v, c_all, SUM(c_all) OVER (ORDER BY v) AS cum_all FROM al),
+cs AS (SELECT v, source, c,
+  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum_s FROM cnt),
+ts AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+gr AS (SELECT SUM(c_all) AS n_all FROM al),
+u AS (SELECT source,
+  SUM(c * (2 * ((cum_all - c_all) - (cum_s - c)) + (c_all - c))) AS u2
+  FROM cs JOIN alc USING (v) GROUP BY 1),
+dl AS (SELECT u.source, CAST(ts.n_s AS BIGINT) AS n_s,
+  ROUND(CAST(u2 AS DOUBLE) /
+    (CAST(ts.n_s AS DOUBLE) * CAST(gr.n_all - ts.n_s AS DOUBLE)) - 1.0, 6)
+    AS delta
+  FROM u JOIN ts USING (source) CROSS JOIN gr)
+SELECT source, n_s, delta,
+  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+    WHEN abs(delta) < 0.33 THEN 'small'
+    WHEN abs(delta) < 0.474 THEN 'medium'
+    ELSE 'large' END AS magnitude
+FROM dl ORDER BY source"""
+
+  /** Brown–Forsythe mirror: half-unit-integer per-source medians off
+    * the cumulative range, then the one-way ANOVA closed form on
+    * z = |2x − m2|. */
+  val brownForsytheSql: String =
+    """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, source,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+cc AS (SELECT v, source, c,
+  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum FROM cnt),
+ts AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+md AS (SELECT cc.source,
+  SUM(CASE WHEN cum - c < (n_s + 1) // 2 AND (n_s + 1) // 2 <= cum
+    THEN v ELSE 0 END) +
+  SUM(CASE WHEN cum - c < (n_s + 2) // 2 AND (n_s + 2) // 2 <= cum
+    THEN v ELSE 0 END) AS m2
+  FROM cc JOIN ts USING (source) GROUP BY 1),
+z AS (SELECT d.source, abs(CAST(d.n_chars AS BIGINT) * 2 - md.m2) AS z2
+  FROM documents d JOIN md ON md.source = d.source),
+g AS (SELECT source, COUNT(*) AS n_g, SUM(z2) AS sz,
+  SUM(z2 * z2) AS szz FROM z GROUP BY 1),
+a AS (SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(sz) AS sz,
+  SUM(szz) AS szz,
+  SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE))
+    AS sb FROM g)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN k > 1 AND CAST(szz AS DOUBLE) - sb > 0.0 THEN
+    ((sb - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) /
+      CAST(k - 1 AS DOUBLE)) /
+    ((CAST(szz AS DOUBLE) - sb) / CAST(n - k AS DOUBLE)) END, 6) AS w
+FROM a"""
+
+  /** Jarque–Bera mirror: HUGEINT power sums, the same raw→central
+    * expansion term-for-term. */
+  val jarqueBeraSql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS n,
+  SUM(CAST(n_chars AS BIGINT)) AS s1,
+  SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS s2,
+  SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT) *
+    CAST(n_chars AS BIGINT)) AS s3,
+  SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT) *
+    CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS s4
+  FROM documents GROUP BY 1),
+m AS (SELECT source, n, CAST(s1 AS DOUBLE) / n AS mu,
+  CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3,
+  CAST(s4 AS DOUBLE) / n AS r4 FROM s),
+c AS (SELECT source, n, mu, r2 - mu * mu AS m2,
+  r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+  r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 -
+    3.0 * mu * mu * mu * mu AS m4 FROM m)
+SELECT source, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END, 6) AS skewness,
+  ROUND(CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END, 6) AS kurtosis,
+  ROUND(CASE WHEN m2 > 0.0 THEN CAST(n AS DOUBLE) / 6.0 *
+    ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2))) +
+     (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0) END, 6) AS jb
+FROM c ORDER BY source"""
+
   /** Shared zero-filled daily-series CTE text (epoch days) — the
     * grid contract of ewmaDailySql/dailyAcfSql. */
   private val dailySeriesCte: String =

@@ -743,6 +743,14 @@ object SparkEntry {
       Trend.kendallTau(EventStreams.eventsTable(s, d))),
     "q_seasonality" -> ((s, d) =>
       Trend.seasonalityStrength(EventStreams.eventsTable(s, d))),
+    "q_cohens_d" -> ((s, d) =>
+      pipeline.Stats.cohensD(GraphBuilder.table(s, d, "documents"))),
+    "q_cliffs_delta" -> ((s, d) =>
+      pipeline.Stats.cliffsDelta(GraphBuilder.table(s, d, "documents"))),
+    "q_brown_forsythe" -> ((s, d) =>
+      pipeline.Stats.brownForsythe(GraphBuilder.table(s, d, "documents"))),
+    "q_jarque_bera" -> ((s, d) =>
+      pipeline.Stats.jarqueBera(GraphBuilder.table(s, d, "documents"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1288,6 +1296,10 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_runs_test" -> PipelineOracles.runsTestSql,
     "q_kendall_tau" -> PipelineOracles.kendallTauSql(),
     "q_seasonality" -> PipelineOracles.seasonalitySql,
+    "q_cohens_d" -> PipelineOracles.cohensDSql,
+    "q_cliffs_delta" -> PipelineOracles.cliffsDeltaSql,
+    "q_brown_forsythe" -> PipelineOracles.brownForsytheSql,
+    "q_jarque_bera" -> PipelineOracles.jarqueBeraSql,
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

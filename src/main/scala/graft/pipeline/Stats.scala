@@ -700,4 +700,156 @@ object Stats {
         round(col("dsum") / col("k_used").cast("double"), 6).as("delta"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Cohen's d (pooled-SD standardized mean difference) between all
+    * source pairs over an integer column, with the Hedges' g
+    * small-sample correction — the effect-size companion to
+    * [[welchT]]: t says "statistically different", d says "by how
+    * much, in SD units". Same sufficient-statistics shape: one
+    * corpus pass for (n, Σx, Σx²) per source, then an |S|²-bounded
+    * broadcast pair join of closed forms. */
+  def cohensD(docs: DataFrame, valueCol: String = "n_chars"): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val s = docs.groupBy("source").agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sumSq(x, x).as("sxx"))
+    def side(tag: String): DataFrame =
+      s.select(col("source").as(s"src_$tag"), col("n").as(s"n_$tag"),
+        (col("sx").cast("double") / col("n")).as(s"m_$tag"),
+        when(col("n") >= 2,
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") /
+              col("n").cast("double")) / (col("n") - 1).cast("double"))
+          .as(s"v_$tag"))
+    val nT = (col("n_a") + col("n_b")).cast("double")
+    val pooled = ((col("n_a") - 1).cast("double") * col("v_a") +
+      (col("n_b") - 1).cast("double") * col("v_b")) / (nT - 2.0)
+    val d = (col("m_a") - col("m_b")) / sqrt(pooled)
+    side("a").join(broadcast(side("b")), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(when(col("n_a") + col("n_b") > 2 && pooled > 0.0, d), 6)
+          .as("d"),
+        round(when(col("n_a") + col("n_b") > 2 && pooled > 0.0,
+          d * (lit(1.0) - lit(3.0) / (lit(4.0) * nT - 9.0))), 6).as("g"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Cliff's delta per source vs the rest of the corpus — the
+    * ordinal (distribution-free) effect size that pairs with
+    * [[mannWhitneyBySource]]'s z: δ = P(x_s > x_r) − P(x_s < x_r) =
+    * 2U/(n_s·n_r) − 1, computed from the SAME exact half-unit 2U
+    * accumulation; the Romano et al. 2006 magnitude band is read off
+    * the 6dp-rounded δ so both engines band identically. */
+  def cliffsDelta(docs: DataFrame,
+                  valueCol: String = "n_chars"): DataFrame = {
+    val cnt = docs
+      .groupBy(col(valueCol).cast("long").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val all = cnt.groupBy("v").agg(sum("c").as("c_all"))
+      .withColumn("cum_all", sum("c_all").over(Window.orderBy("v")))
+    val cumS = cnt.withColumn("cum_s",
+      sum("c").over(Window.partitionBy("source").orderBy("v")))
+    val totals = cnt.groupBy("source").agg(sum("c").as("n_s"))
+    val grand = all.agg(sum("c_all").as("n_all"))
+    val cRestBelow = (col("cum_all") - col("c_all")) -
+      (col("cum_s") - col("c"))
+    val cRest = col("c_all") - col("c")
+    val u2 = cumS.join(all, Seq("v"))
+      .groupBy("source")
+      .agg(sum(col("c") * (lit(2L) * cRestBelow + cRest)).as("u2"))
+    val nS = col("n_s").cast("double")
+    val nR = (col("n_all") - col("n_s")).cast("double")
+    val deltaR = round(col("u2").cast("double") / (nS * nR) - lit(1.0), 6)
+    u2.join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("n_s"), deltaR.as("delta"),
+        when(abs(deltaR) < 0.147, "negligible")
+          .when(abs(deltaR) < 0.33, "small")
+          .when(abs(deltaR) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+      .orderBy("source")
+  }
+
+  /** Brown–Forsythe test (Levene with medians — Brown & Forsythe
+    * 1974): one-way ANOVA on z = |x − median_source|, the robust
+    * variance-homogeneity check that decides whether [[anovaF]]'s
+    * equal-variance assumption holds across sources. The per-source
+    * median is picked as EXACT half-unit integers off the (value,
+    * source) count frame (tie-averaged order statistics located by
+    * cumulative range, windows partitioned by source), so z doubles
+    * are really integers /2 and the sufficient statistics accumulate
+    * exactly: Σ(2z) in BIGINT, Σ(2z)² in DECIMAL via [[sumSq]]. */
+  def brownForsythe(docs: DataFrame,
+                    valueCol: String = "n_chars"): DataFrame = {
+    val cnt = docs
+      .groupBy(col(valueCol).cast("long").as("v"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy("v")))
+    val totals = cnt.groupBy("source").agg(sum("c").as("n_s"))
+    val withN = cnt.join(broadcast(totals), Seq("source"))
+    val r1 = floor((col("n_s") + 1) / 2)
+    val r2 = floor((col("n_s") + 2) / 2)
+    val m2 = withN.groupBy("source")
+      .agg((sum(when(col("cum") - col("c") < r1 && r1 <= col("cum"),
+        col("v")).otherwise(0L)) +
+        sum(when(col("cum") - col("c") < r2 && r2 <= col("cum"),
+          col("v")).otherwise(0L))).as("m2"))
+    // z2 = 2·|x − median| — exact integers (half units folded out)
+    val z2 = abs(col(valueCol).cast("long") * 2 - col("m2"))
+    val zdocs = docs.select(col("source"), col(valueCol))
+      .join(broadcast(m2), Seq("source"))
+      .select(col("source"), z2.as("z2"))
+    val g = zdocs.groupBy("source").agg(count(lit(1)).as("n_g"),
+      sum("z2").as("sz"), sumSq(col("z2"), col("z2")).as("szz"))
+    val a = g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+      sum("sz").as("sz"), sum("szz").as("szz"),
+      sum(col("sz").cast("double") * col("sz").cast("double") /
+        col("n_g").cast("double")).as("sb"))
+    val ssb = col("sb") -
+      col("sz").cast("double") * col("sz").cast("double") /
+        col("n").cast("double")
+    val ssw = col("szz").cast("double") - col("sb")
+    a.select(col("k"), col("n"),
+      round(when(col("k") > 1L && ssw > 0.0,
+        (ssb / (col("k") - lit(1L)).cast("double")) /
+          (ssw / (col("n") - col("k")).cast("double"))), 6).as("w"))
+  }
+
+  /** Jarque–Bera normality screen per source: sample skewness g₁,
+    * excess kurtosis g₂ and JB = n/6·(g₁² + g₂²/4) from the first
+    * four raw power sums — one corpus pass, exact accumulation (Σx
+    * BIGINT; Σx², Σx³, Σx⁴ per-row exact longs cast to DECIMAL(38,0)
+    * before summing — x⁴ ≤ 6.25e14 for 10⁴-char docs, the sums exact
+    * to ~10³⁸; the DuckDB mirror rides HUGEINT). Central moments by
+    * the standard raw→central expansion, mirrored term-for-term. */
+  def jarqueBera(docs: DataFrame,
+                 valueCol: String = "n_chars"): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val x2 = x * x; val x3 = x2 * x; val x4 = x2 * x2
+    val s = docs.groupBy("source").agg(count(lit(1)).as("n"),
+      sum(x).as("s1"), sum(x2.cast("decimal(38,0)")).as("s2"),
+      sum(x3.cast("decimal(38,0)")).as("s3"),
+      sum(x4.cast("decimal(38,0)")).as("s4"))
+    val m = s.select(col("source"), col("n"),
+      (col("s1").cast("double") / col("n")).as("mu"),
+      (col("s2").cast("double") / col("n")).as("r2"),
+      (col("s3").cast("double") / col("n")).as("r3"),
+      (col("s4").cast("double") / col("n")).as("r4"))
+    val c = m.select(col("source"), col("n"), col("mu"),
+      (col("r2") - col("mu") * col("mu")).as("m2"),
+      (col("r3") - lit(3.0) * col("mu") * col("r2") +
+        lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+      (col("r4") - lit(4.0) * col("mu") * col("r3") +
+        lit(6.0) * col("mu") * col("mu") * col("r2") -
+        lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")).as("m4"))
+    val skew = col("m3") / (col("m2") * sqrt(col("m2")))
+    val kurt = col("m4") / (col("m2") * col("m2")) - lit(3.0)
+    c.select(col("source"), col("n"),
+        round(when(col("m2") > 0.0, skew), 6).as("skewness"),
+        round(when(col("m2") > 0.0, kurt), 6).as("kurtosis"),
+        round(when(col("m2") > 0.0,
+          col("n").cast("double") / lit(6.0) *
+            (skew * skew + kurt * kurt / lit(4.0))), 6).as("jb"))
+      .orderBy("source")
+  }
 }

@@ -111,7 +111,9 @@ class PlanSpec extends SparkSpec {
         + "by the observation window squared (time domain), never "
         + "event volume"),
       "q_runs_test" -> ("rank + lag over the zero-filled day grid — "
-        + "time-domain bounded, never event volume"))
+        + "time-domain bounded, never event volume"),
+      "q_cliffs_delta" -> ("pooled cumulative over the distinct-value "
+        + "frame — bounded by the value domain, not the corpus"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

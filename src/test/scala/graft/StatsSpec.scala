@@ -302,4 +302,53 @@ class StatsSpec extends SparkSpec {
       (3L, "a b", "en", "s0"))
     assert(Stats.spearman(tied).collect()(0).getDouble(1) == 1.0)
   }
+
+  private def lenDocs(rows: (Long, Int, String)*): DataFrame =
+    docs(rows.map { case (id, len, src) => (id, "a" * len, "en", src) }: _*)
+
+  test("cohensD: hand-computed two-group effect size + Hedges correction") {
+    // s0 = {1,3} (mean 2, var 2), s1 = {5,7} (mean 6, var 2)
+    // pooled sd = sqrt(2) → d = -4/sqrt(2), g = d * (1 - 3/7)
+    val d = lenDocs((1L, 1, "s0"), (2L, 3, "s0"), (3L, 5, "s1"), (4L, 7, "s1"))
+    val r = Stats.cohensD(d).collect()(0)
+    assert(r.getAs[Double]("d") == BigDecimal(-4.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("g") == BigDecimal(-4.0 / math.sqrt(2.0) * 4.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("cliffsDelta: fully separated groups give delta ±1, large") {
+    val d = lenDocs((1L, 1, "s0"), (2L, 2, "s0"), (3L, 3, "s1"), (4L, 4, "s1"))
+    val rows = Stats.cliffsDelta(d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("delta"),
+        r.getAs[String]("magnitude"))).toMap
+    assert(rows("s0") == ((-1.0, "large")))
+    assert(rows("s1") == ((1.0, "large")))
+  }
+
+  test("brownForsythe: hand-computed W on two 3-doc groups") {
+    // s0 = {1, 2, 10} median 2 → z2 = {2,0,16}... using engine's
+    // z2 = |2x − 2·med|: {2·1−4|=2? no: |2−4|=2, |4−4|=0, |20−4|=16}
+    // wait: x={1,2,10}, med=2, z2 = {|2-4|=2, |4-4|=0, |20-4|=16}
+    // s1 = {5, 6, 7} med 6 → z2 = {2, 0, 2}
+    // group means: 6, 4/3; grand 22/6=11/3
+    // ssb = 3(6-11/3)^2 + 3(4/3-11/3)^2 = 3(49/9) + 3(49/9) = 98/3
+    // ssw = (2-6)^2+(0-6)^2+(16-6)^2 + (2-4/3)^2+(0-4/3)^2+(2-4/3)^2
+    //     = 16+36+100 + (4+16+4)/9 = 152 + 8/3 = 464/3
+    // W = (98/3)/1 / ((464/3)/4) = 98*4/464 = 392/464
+    val d = lenDocs((1L, 1, "s0"), (2L, 2, "s0"), (3L, 10, "s0"),
+      (4L, 5, "s1"), (5L, 6, "s1"), (6L, 7, "s1"))
+    val r = Stats.brownForsythe(d).collect()(0)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("w") == BigDecimal(392.0 / 464.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("jarqueBera: symmetric 3-point distribution has skew 0, excess kurtosis -1.5") {
+    val d = lenDocs((1L, 1, "s0"), (2L, 2, "s0"), (3L, 3, "s0"))
+    val r = Stats.jarqueBera(d).collect()(0)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis") == -1.5)
+    assert(r.getAs[Double]("jb") == 0.28125)
+  }
 }
