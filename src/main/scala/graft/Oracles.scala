@@ -1152,4 +1152,33 @@ FROM rk ORDER BY id"""
     sb ++= s" SELECT id, dist AS $outCol FROM d$rounds ORDER BY id"
     sb.toString
   }
+
+  /** Square-census mirror: wedge self-join on the center vertex over
+    * the symmetric co-occurrence view, ¼·Σ cn(cn−1) closed form. */
+  val squareCountSql: String =
+    s"""WITH ${graft.graph.DerivedGraphs.cooccurSql},
+cn AS (SELECT e1.dst AS u, e2.dst AS w, COUNT(*) AS cn
+  FROM psym e1 JOIN psym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2)
+SELECT CAST(SUM(cn * (cn - 1)) // 4 AS BIGINT) AS squares,
+  CAST(MAX(cn) AS BIGINT) AS max_cn,
+  CAST(SUM(CASE WHEN cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS linked_pairs
+FROM cn"""
+
+  /** Degree-distribution summary mirror: same degree-class entropy and
+    * density closed forms. */
+  val graphEntropySql: String =
+    s"""WITH ${graft.graph.DerivedGraphs.cooccurSql},
+dg AS (SELECT src, COUNT(*) AS deg FROM psym GROUP BY 1),
+cls AS (SELECT deg, COUNT(*) AS n_k FROM dg GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(deg) AS BIGINT) AS sum_deg FROM dg),
+h AS (SELECT SUM(-(CAST(n_k AS DOUBLE) / t.n) *
+    ln(CAST(n_k AS DOUBLE) / t.n)) AS h FROM cls CROSS JOIN t)
+SELECT t.n AS n_nodes, CAST(t.sum_deg // 2 AS BIGINT) AS n_edges,
+  ROUND(CAST(sum_deg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_deg,
+  ROUND(CAST(sum_deg AS DOUBLE) /
+    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS density,
+  ROUND(h.h, 6) AS degree_entropy
+FROM t CROSS JOIN h"""
 }

@@ -751,6 +751,10 @@ object SparkEntry {
       pipeline.Stats.brownForsythe(GraphBuilder.table(s, d, "documents"))),
     "q_jarque_bera" -> ((s, d) =>
       pipeline.Stats.jarqueBera(GraphBuilder.table(s, d, "documents"))),
+    "q_square_count" -> ((s, d) =>
+      algorithms.Structure.squareCount(DerivedGraphs.partCooccur(s, d))),
+    "q_graph_entropy" -> ((s, d) =>
+      algorithms.Structure.graphEntropy(DerivedGraphs.partCooccur(s, d))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1300,6 +1304,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_cliffs_delta" -> PipelineOracles.cliffsDeltaSql,
     "q_brown_forsythe" -> PipelineOracles.brownForsytheSql,
     "q_jarque_bera" -> PipelineOracles.jarqueBeraSql,
+    "q_square_count" -> Oracles.squareCountSql,
+    "q_graph_entropy" -> Oracles.graphEntropySql,
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

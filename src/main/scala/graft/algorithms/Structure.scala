@@ -936,4 +936,59 @@ object Structure {
       .join(members.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(members.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+
+  /** 4-cycle (square) census over a simple a<b pair graph — the
+    * quadrilateral counterpart of the triangle family: squares =
+    * ¼·Σ_{u<w} cn(u,w)·(cn(u,w)−1) where cn is the common-neighbor
+    * count of the (ordered) distance-2 pair — each square is counted
+    * once per diagonal, hence the ¼ (K₄ sanity: six pairs of cn 2 →
+    * 6·2/4 = 3 squares). Also reports the densest co-neighborhood
+    * (max cn) and the count of linked pairs (cn ≥ 2) — the candidate
+    * space a butterfly/bi-clique miner would enumerate.
+    *
+    * Scale: the wedge self-join on the center vertex is the
+    * clustering/edge_jaccard shape — Σ deg² work, output-bound on the
+    * co-neighbor pair frame; counts stay exact BIGINT, and the ÷4 is
+    * exact by construction (Σ cn(cn−1) ≡ 4·squares). */
+  def squareCount(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val e1 = sym.select(col("src").as("v"), col("dst").as("u"))
+    val e2 = sym.select(col("src").as("v"), col("dst").as("w"))
+    val cn = e1.join(e2, Seq("v")).filter(col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+    cn.agg(sum(col("cn") * (col("cn") - 1)).as("s4"),
+        max("cn").as("max_cn"),
+        sum(when(col("cn") >= 2, 1L).otherwise(0L)).as("linked_pairs"))
+      .select(expr("s4 DIV 4").as("squares"), col("max_cn"),
+        col("linked_pairs"))
+  }
+
+  /** Whole-graph degree-distribution summary: node/edge counts, mean
+    * degree, simple-graph density 2m/(n(n−1)), and the Shannon entropy
+    * of the degree distribution (H = −Σ p_k ln p_k over degree
+    * classes) — the one-row structural fingerprint that says
+    * "regular-ish" (H → 0) vs "heterogeneous/power-law" (H large).
+    * One degree shuffle, then a degree-CLASS-bounded aggregate. */
+  def graphEntropy(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val classes = deg.groupBy("deg").agg(count(lit(1)).as("n_k"))
+    val tot = deg.agg(count(lit(1)).as("n"), sum("deg").as("sum_deg"))
+    val nD = col("n").cast("double")
+    classes.crossJoin(broadcast(tot))
+      .select(col("n"), col("sum_deg"),
+        (col("n_k").cast("double") / nD).as("p"))
+      .groupBy("n", "sum_deg")
+      .agg(sum(-col("p") * log(col("p"))).as("h"))
+      .select(col("n").as("n_nodes"),
+        expr("sum_deg DIV 2").as("n_edges"),
+        round(col("sum_deg").cast("double") / col("n").cast("double"), 6)
+          .as("mean_deg"),
+        round(col("sum_deg").cast("double") /
+          (col("n").cast("double") * (col("n").cast("double") - 1.0)), 6)
+          .as("density"),
+        round(col("h"), 6).as("degree_entropy"))
+  }
 }

@@ -658,4 +658,32 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got((1L, 4L)) == ((0L, 0.0)))  // local bridge to the pendant
     assert(got((5L, 6L)) == ((0L, 0.0)))  // denominator-0 convention
   }
+
+  test("squareCount: K4 has 3 squares, C4 has 1, a path has 0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val rK4 = Structure.squareCount(k4).collect()(0)
+    assert(rK4.getAs[Long]("squares") == 3L)
+    assert(rK4.getAs[Long]("max_cn") == 2L)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Structure.squareCount(c4).collect()(0).getAs[Long]("squares") == 1L)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Structure.squareCount(path).collect()(0).getAs[Long]("squares") == 0L)
+  }
+
+  test("graphEntropy: regular graph has zero degree entropy, correct density") {
+    // C4: all degrees 2 -> one degree class -> H = 0; density = 8/12
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r = Structure.graphEntropy(c4).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4L && r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Double]("degree_entropy") == 0.0)
+    assert(r.getAs[Double]("mean_deg") == 2.0)
+    assert(r.getAs[Double]("density") == 0.666667)
+    // star K1,3: degrees {3,1,1,1} -> H = -(1/4 ln 1/4 + 3/4 ln 3/4)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val h = Structure.graphEntropy(star).collect()(0)
+      .getAs[Double]("degree_entropy")
+    val expect = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+    assert(math.abs(h - expect) < 1e-5)
+  }
 }
