@@ -2322,6 +2322,101 @@ pairs AS (SELECT DISTINCT x.name AS a, y.name AS b
 SELECT a, b, ROUND(jaro_winkler_similarity(a, b), 6) AS jw
 FROM pairs WHERE ROUND(jaro_winkler_similarity(a, b), 6) >= $minSim"""
 
+  /** Levenshtein-linkage mirror: the jaroMatchSql blocking with the
+    * exact unit-cost edit distance. */
+  def editMatchSql(maxDist: Int, maxDf: Long): String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part
+  WHERE p_name IS NOT NULL),
+bl AS (SELECT DISTINCT name, w
+  FROM (SELECT name, unnest(string_split(name, ' ')) AS w FROM n)
+  WHERE w <> ''),
+kept AS (SELECT bl.name, bl.w FROM bl
+  JOIN (SELECT w, COUNT(*) AS df FROM bl GROUP BY 1) d
+    ON d.w = bl.w AND d.df <= $maxDf),
+pairs AS (SELECT DISTINCT x.name AS a, y.name AS b
+  FROM kept x JOIN kept y ON x.w = y.w AND x.name < y.name)
+SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+FROM pairs WHERE levenshtein(a, b) <= $maxDist"""
+
+  /** Simplified-silhouette mirror: the annIvfExactSql k-means skeleton
+    * (same init, same truncated integer means), then the per-cluster
+    * decile histogram of s = (√b²−√a²)/√b². */
+  def silhouetteSql(k: Int, iters: Int, scale: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH iv AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos,
+    CAST(floor(embedding[i]::DOUBLE * $scale) AS BIGINT) AS xi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+c0 AS (SELECT vec_id - 10 AS cid, pos, xi AS c FROM iv
+  WHERE vec_id >= 10 AND vec_id < ${10 + k})""")
+    for (t <- 1 to iters) {
+      sb ++= s""",
+d$t AS MATERIALIZED (SELECT iv.vec_id, c.cid,
+  SUM((iv.xi - c.c) * (iv.xi - c.c)) AS dist
+  FROM iv JOIN c${t - 1} c ON c.pos = iv.pos GROUP BY 1, 2),
+a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d$t)
+  WHERE rn = 1),
+c$t AS MATERIALIZED (SELECT a.cid, iv.pos,
+  CAST(SUM(iv.xi) // COUNT(*) AS BIGINT) AS c
+  FROM a$t a JOIN iv ON iv.vec_id = a.vec_id GROUP BY 1, 2)"""
+    }
+    sb ++= s""",
+fd AS MATERIALIZED (SELECT iv.vec_id, c.cid,
+  SUM((iv.xi - c.c) * (iv.xi - c.c)) AS dist
+  FROM iv JOIN c$iters c ON c.pos = iv.pos GROUP BY 1, 2),
+fr AS (SELECT vec_id, cid, dist, ROW_NUMBER() OVER (
+  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM fd),
+ab AS (SELECT vec_id, MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+  MAX(CASE WHEN rn = 1 THEN dist END) AS a2,
+  MAX(CASE WHEN rn = 2 THEN dist END) AS b2
+  FROM fr WHERE rn <= 2 GROUP BY 1),
+sv AS (SELECT cid, LEAST(CAST(floor((CASE WHEN b2 > 0
+    THEN (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+      sqrt(CAST(b2 AS DOUBLE)) ELSE 0.0 END) * 10) AS BIGINT), 9)
+    AS bucket FROM ab)
+SELECT CAST(cid AS BIGINT) AS cid, bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM sv GROUP BY 1, 2 ORDER BY 1, 2"""
+    sb.toString
+  }
+
+  /** Phrase-mining mirror: raw-split adjacency via toks[i]/toks[i+1],
+    * the same (c_ab − δ)·N/(c_a·c_b) score and lexical tiebreak. */
+  def phraseStatsSql(minCount: Long, delta: Double, topK: Int): String =
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, i AS pos, toks[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  unnest(generate_series(1, len(toks))) AS t(i)),
+uni AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM tk WHERE w <> ''
+  GROUP BY 1),
+nn AS (SELECT SUM(c) AS n_toks FROM uni),
+bi AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_ab
+  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.w <> '' AND b.w <> ''
+  GROUP BY 1, 2 HAVING COUNT(*) >= $minCount)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+  ROUND((CAST(c_ab AS DOUBLE) - $delta) * CAST(n_toks AS DOUBLE) /
+    (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)), 6) AS score
+FROM bi JOIN uni ua ON ua.w = bi.w1 JOIN uni ub ON ub.w = bi.w2
+CROSS JOIN nn
+ORDER BY score DESC, w1, w2 LIMIT $topK"""
+
+  /** Stopword-profile mirror: the same fixed function-word list. */
+  def stopwordProfileSql(stopwords: Seq[String]): String = {
+    val lst = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tk AS (SELECT source, w
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w <> '')
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+  CAST(SUM(CASE WHEN w IN ($lst) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+  ROUND(CAST(SUM(CASE WHEN w IN ($lst) THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(COUNT(*) AS DOUBLE), 6) AS stop_ratio,
+  CAST(COUNT(DISTINCT CASE WHEN w IN ($lst) THEN w END) AS BIGINT)
+    AS n_distinct_stop
+FROM tk GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Naive-Bayes confusion mirror: same folded smoothing (absent
     * tokens collapse into the T_d·ln(N_c+V) term), same 6dp-then-
     * argmax tiebreak on class name. */

@@ -755,6 +755,14 @@ object SparkEntry {
       algorithms.Structure.squareCount(DerivedGraphs.partCooccur(s, d))),
     "q_graph_entropy" -> ((s, d) =>
       algorithms.Structure.graphEntropy(DerivedGraphs.partCooccur(s, d))),
+    "q_silhouette" -> ((s, d) =>
+      Similarity.silhouetteExact(GraphBuilder.table(s, d, "embeddings"))),
+    "q_phrase_stats" -> ((s, d) =>
+      Corpus.phraseStats(GraphBuilder.table(s, d, "documents"))),
+    "q_stopword_profile" -> ((s, d) =>
+      Corpus.stopwordProfile(GraphBuilder.table(s, d, "documents"))),
+    "q_edit_match" -> ((s, d) =>
+      Dedup.editMatch(GraphBuilder.table(s, d, "part"), "p_name")),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1306,6 +1314,11 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_jarque_bera" -> PipelineOracles.jarqueBeraSql,
     "q_square_count" -> Oracles.squareCountSql,
     "q_graph_entropy" -> Oracles.graphEntropySql,
+    "q_silhouette" -> PipelineOracles.silhouetteSql(8, 3, 1000),
+    "q_phrase_stats" -> PipelineOracles.phraseStatsSql(5L, 5.0, 20),
+    "q_stopword_profile" ->
+      PipelineOracles.stopwordProfileSql(Corpus.stopwords),
+    "q_edit_match" -> PipelineOracles.editMatchSql(4, 1000L),
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

@@ -1710,4 +1710,66 @@ object Corpus {
           .as("dup_rate"))
       .orderBy("decile")
   }
+
+  /** Word2vec-style phrase mining (Mikolov et al. 2013 §4): adjacent
+    * whitespace-token bigrams scored by (c_ab − δ)·N / (c_a·c_b) —
+    * PMI with a min-count discount — and the top-k returned. Adjacency
+    * is over the RAW whitespace split (both sides non-empty), so the
+    * engine and oracle agree on positions without re-ranking. Counts
+    * are exact BIGINT off two token passes (bigram join on (doc_id,
+    * pos+1) — no window); the score is one double closed form per
+    * surviving bigram, ties broken lexically. */
+  def phraseStats(docs: DataFrame, minCount: Long = 5L, delta: Double = 5.0,
+                  topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val uni = toks.filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_toks"))
+    val bi = toks.select(col("doc_id"), col("pos"), col("w").as("w1"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("w").as("w2")), Seq("doc_id", "pos"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round((col("c_ab").cast("double") - lit(delta)) *
+          col("n_toks").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Fixed function-word list shared by [[stopwordProfile]] and its
+    * oracle — the 15 highest-frequency English closed-class words. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in",
+    "is", "it", "that", "for", "on", "as", "with", "at", "by")
+
+  /** Per-source stopword profile: token share of closed-class
+    * function words + how many distinct stopwords appear — the
+    * classic text-vs-template quality signal (natural prose sits near
+    * 0.3–0.5, keyword soup near 0). One token pass, |S|-bounded
+    * output, exact counts. */
+  def stopwordProfile(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    toks.groupBy("source").agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L))
+          .as("n_stop"),
+        countDistinct(when(col("w").isin(stopwords: _*), col("w")))
+          .as("n_distinct_stop"))
+      .select(col("source"), col("n_toks"), col("n_stop"),
+        round(col("n_stop").cast("double") / col("n_toks").cast("double"),
+          6).as("stop_ratio"),
+        col("n_distinct_stop"))
+      .orderBy("source")
+  }
 }

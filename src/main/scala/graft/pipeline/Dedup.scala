@@ -460,4 +460,31 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_pairs"),
         round(avg("cosine"), 6).as("avg_cosine"))
   }
+
+  /** Levenshtein record linkage over a name column — the edit-distance
+    * twin of [[jaroMatch]] with the same df-capped token blocking:
+    * candidate pairs share a sub-`maxDf` word block (never all-pairs),
+    * then the exact unit-cost edit distance keeps pairs at most
+    * `maxDist` apart. Both engines implement classic
+    * Wagner–Fischer, so the integer distance is hash-exact. */
+  def editMatch(names: DataFrame, nameCol: String, maxDist: Int = 4,
+                maxDf: Long = 1000L): DataFrame = {
+    require(maxDist >= 1, "editMatch needs maxDist >= 1")
+    val n = names.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val blocks = n.select(col("name"),
+        explode(split(col("name"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val kept = blocks.join(
+      blocks.groupBy("w").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      Seq("w"))
+    kept.select(col("w"), col("name").as("a"))
+      .join(kept.select(col("w"), col("name").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

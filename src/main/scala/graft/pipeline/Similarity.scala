@@ -1023,4 +1023,61 @@ object Similarity {
         round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos"))
       .orderBy("la", "lb")
   }
+
+  /** Simplified-silhouette quality audit of the exact-integer IVF
+    * clustering (the [[annIvfExact]] kernel with the same quantized
+    * vectors, init rule and truncated-integer means): per vector,
+    * a² = squared distance to its own centroid, b² = to the second-
+    * nearest, s = (√b²−√a²)/√b² ∈ [0,1] (b ≥ a by nearest
+    * assignment, so the max(a,b) of the classic formula is b). The
+    * result is the per-cluster DECILE HISTOGRAM of s (+1-clamped at
+    * s = 1) — counting integers, not averaged doubles, so the output
+    * is hash-stable cross-engine, and the shape (mass near bucket 9 =
+    * tight clusters, near 0 = boundary soup) is the actual decision
+    * signal a clustering audit reads.
+    *
+    * Scale: the k-means fold of annIvfExact (n·k·d map-side-combined
+    * per iteration) plus one n·k distance pass; the histogram is a
+    * k×10-bounded aggregate. */
+  def silhouetteExact(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                      initFrom: Long = 10L, scale: Int = 1000): DataFrame = {
+    require(k >= 2 && iters >= 1, "silhouetteExact needs k >= 2, iters >= 1")
+    val iv = exploded(emb)
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(scale)).cast("long").as("xi"))
+      .localCheckpoint()
+    var ct = iv
+      .filter(col("vec_id") >= initFrom && col("vec_id") < initFrom + k)
+      .select((col("vec_id") - initFrom).as("cid"), col("pos"),
+        col("xi").as("c"))
+      .localCheckpoint()
+    def dists(cts: DataFrame): DataFrame =
+      iv.join(cts, Seq("pos"))
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("xi") - col("c")) * (col("xi") - col("c"))).as("dist"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("cid").asc)
+    for (_ <- 1 to iters) {
+      val a = dists(ct).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+      // truncated (toward-zero) integer mean — the annIvfExact rule
+      ct = a.join(iv, Seq("vec_id"))
+        .groupBy("cid", "pos")
+        .agg((sum("xi") / count(lit(1))).cast("long").as("c"))
+        .localCheckpoint()
+    }
+    val r2 = dists(ct).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val ab = r2.groupBy("vec_id").agg(
+      max(when(col("rn") === 1, col("cid"))).as("cid"),
+      max(when(col("rn") === 1, col("dist"))).as("a2"),
+      max(when(col("rn") === 2, col("dist"))).as("b2"))
+    val s = when(col("b2") > 0L,
+      (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+        sqrt(col("b2").cast("double"))).otherwise(0.0)
+    ab.select(col("cid"),
+        least(floor(s * 10).cast("long"), lit(9L)).as("bucket"))
+      .groupBy("cid", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("cid", "bucket")
+  }
 }

@@ -1446,4 +1446,56 @@ class PipelineSpec extends SparkSpec {
     val tot = m.values.map(r => r.getAs[Double]("epochs") * r.getAs[Long]("n_docs")).sum
     assert(math.abs(tot - 10.0) < 1e-5)
   }
+
+  test("editMatch: one-word-off names link within the block, far names do not") {
+    val implicits = spark.implicits
+    import implicits._
+    val names = Seq("alpha beta", "alpha betx", "alpha omega zz")
+      .map(Tuple1(_)).toDF("p_name")
+    val r = Dedup.editMatch(names, "p_name", maxDist = 4)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSet == Set(("alpha beta", "alpha betx", 1L)))
+  }
+
+  test("phraseStats: a dominant adjacent bigram ranks first with the word2vec score") {
+    val implicits = spark.implicits
+    import implicits._
+    // "new york" appears 6x; filler tokens keep unigram counts known:
+    // c(new)=6, c(york)=6, c_ab=6, N=18 -> score=(6-5)*18/36=0.5
+    val docs = Seq.tabulate(6)(i =>
+        (i.toLong, "new york w" + i, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.pipeline.Corpus.phraseStats(docs, minCount = 5L).collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getString(1)) == (("new", "york")))
+    assert(r(0).getAs[Long]("c_ab") == 6L)
+    assert(r(0).getAs[Double]("score") == 0.5)
+  }
+
+  test("stopwordProfile: hand-computed ratio") {
+    val implicits = spark.implicits
+    import implicits._
+    // 4 tokens, 2 stopwords (the, of), 2 distinct stopwords
+    val docs = Seq((1L, "the cat of doom", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.pipeline.Corpus.stopwordProfile(docs).collect()(0)
+    assert(r.getAs[Long]("n_toks") == 4L && r.getAs[Long]("n_stop") == 2L)
+    assert(r.getAs[Double]("stop_ratio") == 0.5)
+    assert(r.getAs[Long]("n_distinct_stop") == 2L)
+  }
+
+  test("silhouetteExact: two tight separated clusters land all mass in bucket 9") {
+    val implicits = spark.implicits
+    import implicits._
+    // vectors 10..11 seed the 2 centroids; members sit exactly on them
+    val emb = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(base, base, base, base))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.silhouetteExact(emb, k = 2, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // every vector coincides with its centroid: a2=0 -> s=1 -> bucket 9
+    assert(r.forall(_._2 == 9L), r.mkString(", "))
+    assert(r.map(_._3).sum == 20L)
+  }
 }
