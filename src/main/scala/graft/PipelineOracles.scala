@@ -3623,6 +3623,63 @@ grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
 ser AS (SELECT g.day, COALESCE(dc.c, 0) AS c
   FROM grid g LEFT JOIN dc ON dc.day = g.day)"""
 
+  /** Holt mirror: the SAME impulse-response weights (one source of
+    * truth — Trend.holtWeights) as explicit literals, identical
+    * left-associated dot-product order. */
+  def holtDailySql(window: Int): String = {
+    val (wl, wb) = graft.streaming.Trend.holtWeights(window)
+    // CAST each weight: a bare decimal literal is DECIMAL in DuckDB,
+    // which would drag the whole kernel into DECIMAL(38,6) arithmetic
+    def kernel(ws: Array[Double]): String = ws.zipWithIndex.map {
+      case (v, k) =>
+        s"COALESCE(LAG(c, $k) OVER (ORDER BY day), 0) * CAST($v AS DOUBLE)"
+    }.mkString(" + ")
+    s"""WITH $dailySeriesCte,
+lg AS (SELECT day, c, ${kernel(wl)} AS l, ${kernel(wb)} AS b FROM ser)
+SELECT day, c, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+  ROUND(l + b, 6) AS forecast
+FROM lg ORDER BY day"""
+  }
+
+  /** Bounce-rate mirror: the sessionStatsSql split, entry type via
+    * rn = 1 over the same (us, event_id) order. */
+  def bounceRateSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+  FROM events),
+m AS (SELECT user_id, us, event_id, event_type,
+  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       THEN 1 ELSE 0 END AS new_s
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sd AS (SELECT user_id, us, event_id, event_type,
+  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+sess AS (SELECT user_id, sid, COUNT(*) AS n_ev FROM sd GROUP BY 1, 2),
+fst AS (SELECT user_id, sid, event_type FROM (
+  SELECT user_id, sid, event_type, ROW_NUMBER() OVER (
+    PARTITION BY user_id, sid ORDER BY us, event_id) AS rn FROM sd)
+  WHERE rn = 1)
+SELECT f.event_type AS entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN s.n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  ROUND(CAST(SUM(CASE WHEN s.n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM fst f JOIN sess s ON s.user_id = f.user_id AND s.sid = f.sid
+GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** New-vs-returning mirror. */
+  val newReturningSql: String =
+    """WITH d AS (SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+    AS day, user_id FROM events),
+f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY 1),
+a AS (SELECT DISTINCT day, user_id FROM d)
+SELECT a.day, CAST(COUNT(*) AS BIGINT) AS active_users,
+  CAST(SUM(CASE WHEN f.d0 = a.day THEN 1 ELSE 0 END) AS BIGINT)
+    AS new_users,
+  CAST(COUNT(*) - SUM(CASE WHEN f.d0 = a.day THEN 1 ELSE 0 END) AS BIGINT)
+    AS returning
+FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1"""
+
   /** Mann–Kendall mirror: exact-BIGINT S and tie sums off the day-pair
     * join, the same ±1-corrected z and τ-b closed form. */
   val mannKendallSql: String =

@@ -763,6 +763,12 @@ object SparkEntry {
       Corpus.stopwordProfile(GraphBuilder.table(s, d, "documents"))),
     "q_edit_match" -> ((s, d) =>
       Dedup.editMatch(GraphBuilder.table(s, d, "part"), "p_name")),
+    "q_holt" -> ((s, d) =>
+      Trend.holtDaily(EventStreams.eventsTable(s, d))),
+    "q_bounce_rate" -> ((s, d) =>
+      EventStreams.bounceRate(EventStreams.eventsTable(s, d))),
+    "q_new_returning" -> ((s, d) =>
+      EventStreams.newReturning(EventStreams.eventsTable(s, d))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1319,6 +1325,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_stopword_profile" ->
       PipelineOracles.stopwordProfileSql(Corpus.stopwords),
     "q_edit_match" -> PipelineOracles.editMatchSql(4, 1000L),
+    "q_holt" -> PipelineOracles.holtDailySql(16),
+    "q_bounce_rate" -> PipelineOracles.bounceRateSql(30),
+    "q_new_returning" -> PipelineOracles.newReturningSql,
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

@@ -1536,4 +1536,57 @@ object EventStreams {
         date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
   }
+
+  /** Session bounce profile per entry event type: sessions (the
+    * sessionStats 30-min-gap split) grouped by their FIRST event's
+    * type, with the single-event ("bounce") share — the landing-
+    * quality read of web analytics. Exact (us, event_id)-ordered
+    * first pick via min-struct; per-user windows only; output bounded
+    * by the event-type domain. */
+  def bounceRate(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val marked = events
+      .select(col("user_id"), ntzMicros.as("us"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = marked.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"),
+        min(struct(col("us"), col("event_id"), col("event_type")))
+          .as("f"))
+    sess.groupBy(col("f.event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double"), 6).as("bounce_rate"))
+      .orderBy("entry_type")
+  }
+
+  /** Daily new-vs-returning split: per day, distinct active users,
+    * those whose FIRST-EVER event lands that day (new), and the
+    * remainder (returning) — the simplest growth-accounting read.
+    * One min-day pass per user + one distinct-actives pass; exact
+    * counts. */
+  def newReturning(events: DataFrame): DataFrame = {
+    val days = events.select(
+      floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"),
+      col("user_id"))
+    val first = days.groupBy("user_id").agg(min("day").as("d0"))
+    days.distinct()
+      .join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("d0") === col("day"), 1L).otherwise(0L))
+          .as("new_users"))
+      .select(col("day"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning"))
+      .orderBy("day")
+  }
 }

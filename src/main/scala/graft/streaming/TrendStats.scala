@@ -168,6 +168,51 @@ object Trend {
           (col("nc") - col("nd")).cast("double") / sqrt(den)), 6).as("tau_b"))
   }
 
+  /** Impulse-response weights of the zero-initialized Holt linear
+    * recurrence l_t = α c_t + (1−α)(l_{t−1}+b_{t−1}), b_t =
+    * β(l_t−l_{t−1}) + (1−β)b_{t−1} with dyadic α = 1/4, β = 1/8:
+    * (l_t, b_t) = Σ_k A^k g · c_{t−k} for the 2×2 companion matrix, so
+    * the windowed smoother is one dot product of these weights with
+    * the lagged series. Dyadic inputs keep every weight an exactly-
+    * representable double, and both engines receive the SAME literal
+    * constants (this function is the single source of truth for the
+    * Spark expression and the oracle SQL). */
+  def holtWeights(window: Int): (Array[Double], Array[Double]) = {
+    val alpha = 0.25; val beta = 0.125
+    // A = [[1−α, 1−α], [−αβ, β(1−α) + 1−β]], g = (α, αβ)
+    val a11 = 1 - alpha; val a12 = 1 - alpha
+    val a21 = -alpha * beta; val a22 = beta * (1 - alpha) + (1 - beta)
+    val wl = new Array[Double](window); val wb = new Array[Double](window)
+    var l = alpha; var b = alpha * beta
+    for (k <- 0 until window) {
+      wl(k) = l; wb(k) = b
+      val l2 = a11 * l + a12 * b; val b2 = a21 * l + a22 * b
+      l = l2; b = b2
+    }
+    (wl, wb)
+  }
+
+  /** Holt double-exponential smoothing of daily volume (level +
+    * trend + one-step forecast), as the truncated impulse-response
+    * dot product over the zero-filled day grid — the trend-aware
+    * upgrade of [[EventStreams.ewmaDaily]], zero-initialized before
+    * the window (the EWMA convention). Same scale shape: one daily
+    * shuffle, then a lag kernel bounded by the observation window. */
+  def holtDaily(events: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 62, "holt window must be in [1,62]")
+    val (wl, wb) = holtWeights(window)
+    val ser = dailySeries(events)
+    val w = Window.orderBy("day")
+    def kernel(ws: Array[Double]) = (0 until window).map { k =>
+      coalesce(lag("c", k).over(w), lit(0L)) * lit(ws(k))
+    }.reduce(_ + _)
+    ser.select(col("day"), col("c"), kernel(wl).as("l"), kernel(wb).as("b"))
+      .select(col("day"), col("c"), round(col("l"), 6).as("level"),
+        round(col("b"), 6).as("trend"),
+        round(col("l") + col("b"), 6).as("forecast"))
+      .orderBy("day")
+  }
+
   /** Day-of-week seasonality strength: one-way variance decomposition
     * of daily volume by dow (epoch-day mod 7) — R² = SS_between/SS_total
     * and the ANOVA F for the dow effect. The companion to

@@ -113,7 +113,9 @@ class PlanSpec extends SparkSpec {
       "q_runs_test" -> ("rank + lag over the zero-filled day grid — "
         + "time-domain bounded, never event volume"),
       "q_cliffs_delta" -> ("pooled cumulative over the distinct-value "
-        + "frame — bounded by the value domain, not the corpus"))
+        + "frame — bounded by the value domain, not the corpus"),
+      "q_holt" -> ("lag kernel over the daily-count series — bounded "
+        + "by the observation window's day count, not the event count"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

@@ -124,4 +124,57 @@ class TrendSpec extends SparkSpec {
       eventsFromCounts(Seq.fill(14)(4))).collect()(0)
     assert(flat.isNullAt(flat.fieldIndex("r2")))
   }
+
+  test("holtDaily matches the direct zero-initialized recurrence while t <= window") {
+    val rnd = new scala.util.Random(11)
+    val counts = Seq.fill(12)(rnd.nextInt(50))
+    val alpha = 0.25; val beta = 0.125
+    var l = 0.0; var b = 0.0
+    val expect = counts.map { c =>
+      val lPrev = l
+      l = alpha * c + (1 - alpha) * (l + b)
+      b = beta * (l - lPrev) + (1 - beta) * b
+      (l, b)
+    }
+    val rows = Trend.holtDaily(eventsFromCounts(counts)).collect()
+      .sortBy(_.getAs[Long]("day"))
+    rows.zip(expect).foreach { case (r, (el, eb)) =>
+      assert(math.abs(r.getAs[Double]("level") - el) < 1e-5)
+      assert(math.abs(r.getAs[Double]("trend") - eb) < 1e-5)
+      assert(math.abs(r.getAs[Double]("forecast") - (el + eb)) < 1e-5)
+    }
+  }
+
+  test("bounceRate: single-event session bounces, multi-event does not") {
+    import testImplicits._
+    val ev = Seq(
+      (1L, 0L, "view"),       // session 1: alone -> bounce
+      (2L, 2400L, "click"),    // session 2 (40 min later): click then...
+      (3L, 2700L, "purchase")) // ...purchase 5 min later -> no bounce
+      .toDF("event_id", "sec", "event_type")
+      .select(col("event_id"),
+        timestamp_seconds(lit(1704110400L) + col("sec")).as("ts"),
+        lit(7L).as("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val r = graft.streaming.EventStreams.bounceRate(ev).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("view") == ((1L, 1L)))
+    assert(r("click") == ((1L, 0L)))
+  }
+
+  test("newReturning: first-ever day is new, later days returning") {
+    import testImplicits._
+    val ev = Seq((1L, 0, 1L), (2L, 1, 1L), (3L, 1, 2L))
+      .toDF("event_id", "d", "user_id")
+      .select(col("event_id"),
+        timestamp_seconds(lit(1704110400L) + col("d") * 86400L).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val r = graft.streaming.EventStreams.newReturning(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    val d0 = 1704110400L / 86400L
+    assert(r(d0) == ((1L, 1L, 0L)))
+    assert(r(d0 + 1) == ((2L, 1L, 1L)))
+  }
 }
