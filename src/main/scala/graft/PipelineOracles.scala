@@ -3623,6 +3623,82 @@ grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM rng),
 ser AS (SELECT g.day, COALESCE(dc.c, 0) AS c
   FROM grid g LEFT JOIN dc ON dc.day = g.day)"""
 
+  /** Banding-curve mirror: one signature build, per-tiling band+pair
+    * CTEs, one exact-Jaccard verify over the union (distinct-shingle
+    * match counts ≡ the engine's sorted-set intersect). */
+  def bandingCurveSql(k: Int, bandings: Seq[(Int, Int)],
+                      tauNum: Int, tauDen: Int): String = {
+    val mins = (0 until k).map(j => s"MIN(ha + $j * hb) AS m$j").mkString(", ")
+    val perBand = bandings.map { case (b, r) =>
+      val bandSel = (0 until b).map { bi =>
+        val ms = (0 until r).map(x => s"m${bi * r + x}").mkString(", ")
+        s"SELECT doc_id, CAST($bi AS BIGINT) AS band, " +
+          s"md5(concat_ws('_', $ms)) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""bands_$b AS MATERIALIZED (
+  $bandSel),
+pairs_$b AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands_$b x
+  JOIN bands_$b y ON x.band = y.band AND x.bh = y.bh
+    AND x.doc_id < y.doc_id)"""
+    }.mkString(",\n")
+    val unionSel = bandings.map { case (b, _) => s"SELECT a, b FROM pairs_$b" }
+      .mkString(" UNION ")
+    val arms = bandings.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$b) AS candidates,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$b p
+     JOIN truth t ON t.a = p.a AND t.b = p.b) AS verified,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth"""
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+hs AS MATERIALIZED (SELECT doc_id, ${h60("'a:' || sh")} AS ha,
+  ${h60("'b:' || sh")} % (CAST(1 AS BIGINT) << 55) AS hb FROM shingles),
+sig AS MATERIALIZED (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+$perBand,
+un AS MATERIALIZED (SELECT DISTINCT a, b FROM ($unionSel)),
+had AS MATERIALIZED (SELECT DISTINCT doc_id, ha FROM hs),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM had GROUP BY 1),
+cm AS (SELECT u.a, u.b, COUNT(*) AS common FROM un u
+  JOIN had x ON x.doc_id = u.a
+  JOIN had y ON y.doc_id = u.b AND y.ha = x.ha
+  GROUP BY 1, 2),
+truth AS MATERIALIZED (SELECT u.a, u.b FROM un u
+  JOIN sz za ON za.doc_id = u.a JOIN sz zb ON zb.doc_id = u.b
+  LEFT JOIN cm ON cm.a = u.a AND cm.b = u.b
+  WHERE COALESCE(cm.common, 0) * $tauDen >=
+    (za.sz + zb.sz - COALESCE(cm.common, 0)) * $tauNum),
+ar AS (
+  $arms)
+SELECT bands, rows_per_band, candidates, verified, n_truth,
+  ROUND(CASE WHEN candidates > 0
+    THEN CAST(verified AS DOUBLE) / candidates END, 6) AS "precision",
+  ROUND(CASE WHEN n_truth > 0
+    THEN CAST(verified AS DOUBLE) / n_truth END, 6) AS recall
+FROM ar ORDER BY bands"""
+  }
+
+  /** k-anonymity mirror. */
+  def kAnonymitySql(bucket: Long, ks: Seq[Int]): String = {
+    val arms = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+  (SELECT CAST(SUM(CASE WHEN csize < $k THEN csize ELSE 0 END) AS BIGINT)
+     FROM cls) AS exposed"""
+    }.mkString("\n  UNION ALL ")
+    s"""WITH cls AS (SELECT lang, source,
+  CAST(n_chars AS BIGINT) // $bucket AS len_b, COUNT(*) AS csize
+  FROM documents GROUP BY 1, 2, 3),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(csize) AS BIGINT) AS n_docs,
+  CAST(MIN(csize) AS BIGINT) AS min_class,
+  CAST(MAX(csize) AS BIGINT) AS max_class FROM cls),
+ar AS (
+  $arms)
+SELECT k, n_classes, n_docs, min_class, max_class, exposed,
+  ROUND(CAST(exposed AS DOUBLE) / n_docs, 6) AS exposed_rate
+FROM ar CROSS JOIN t ORDER BY k"""
+  }
+
   /** Holt mirror: the SAME impulse-response weights (one source of
     * truth — Trend.holtWeights) as explicit literals, identical
     * left-associated dot-product order. */

@@ -769,6 +769,12 @@ object SparkEntry {
       EventStreams.bounceRate(EventStreams.eventsTable(s, d))),
     "q_new_returning" -> ((s, d) =>
       EventStreams.newReturning(EventStreams.eventsTable(s, d))),
+    "q_banding_curve" -> ((s, d) =>
+      Dedup.bandingCurve(GraphBuilder.table(s, d, "documents"),
+        hashedIn = Some(hashedShinglesCached(s, d)),
+        shArrIn = Some(shingleArraysCached(s, d)))),
+    "q_k_anonymity" -> ((s, d) =>
+      Corpus.kAnonymity(GraphBuilder.table(s, d, "documents"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1328,6 +1334,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_holt" -> PipelineOracles.holtDailySql(16),
     "q_bounce_rate" -> PipelineOracles.bounceRateSql(30),
     "q_new_returning" -> PipelineOracles.newReturningSql,
+    "q_banding_curve" ->
+      PipelineOracles.bandingCurveSql(16, Seq((2, 8), (4, 4), (8, 2)), 1, 2),
+    "q_k_anonymity" -> PipelineOracles.kAnonymitySql(100L, Seq(2, 5, 10)),
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

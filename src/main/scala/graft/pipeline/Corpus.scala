@@ -1772,4 +1772,31 @@ object Corpus {
         col("n_distinct_stop"))
       .orderBy("source")
   }
+
+  /** k-anonymity audit over the release-style quasi-identifier
+    * (lang, source, n_chars DIV `bucket`): for each k, how many
+    * documents sit in an equivalence class smaller than k — i.e. are
+    * re-identifiable from the quasi-identifier alone (Sweeney 2002).
+    * The tabular counterpart of the graph-side degree-anonymity
+    * screen. One groupBy to the class frame, then class-domain-
+    * bounded aggregates per k. */
+  def kAnonymity(docs: DataFrame, bucket: Long = 100L,
+                 ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    val cls = docs
+      .select(col("lang"), col("source"),
+        expr(s"CAST(n_chars AS BIGINT) DIV $bucket").as("len_b"))
+      .groupBy("lang", "source", "len_b")
+      .agg(count(lit(1)).as("csize"))
+    val tot = cls.agg(count(lit(1)).as("n_classes"), sum("csize").as("n_docs"),
+      min("csize").as("min_class"), max("csize").as("max_class"))
+    ks.map { kk =>
+      cls.agg(sum(when(col("csize") < kk, col("csize")).otherwise(0L))
+          .as("exposed"))
+        .crossJoin(broadcast(tot))
+        .select(lit(kk.toLong).as("k"), col("n_classes"), col("n_docs"),
+          col("min_class"), col("max_class"), col("exposed"),
+          round(col("exposed").cast("double") / col("n_docs").cast("double"),
+            6).as("exposed_rate"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
 }

@@ -487,4 +487,59 @@ object Dedup {
         levenshtein(col("a"), col("b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** MinHash BANDING tuning curve — the LSH-side counterpart of the
+    * ANN plane-count curve: for each (bands, rows) tiling of the k
+    * signature slots, the candidate count, the exactly-verified pairs
+    * (shingle Jaccard ≥ tauNum/tauDen, integer cross-multiplied),
+    * precision, and recall RELATIVE TO THE UNION of verified pairs
+    * across all tilings (absolute recall would need the all-pairs
+    * join the banding exists to avoid — the union baseline is the
+    * honest distributed-computable reference, and it contains every
+    * pair any candidate tiling would accept). More bands × fewer rows
+    * = more candidates = higher recall, lower precision — this table
+    * is where a dedup config reads its operating point.
+    *
+    * Scale: one shared shingle scan + signature build; per tiling one
+    * band-bucket join (never all-pairs); ONE exact-verify pass over
+    * the union. */
+  def bandingCurve(docs: DataFrame, k: Int = 16,
+                   bandings: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2)),
+                   tauNum: Int = 1, tauDen: Int = 2,
+                   hashedIn: Option[DataFrame] = None,
+                   shArrIn: Option[DataFrame] = None): DataFrame = {
+    val hashed = hashedIn.getOrElse(hashedShingles(docs))
+    val sigs = minhashSignatures(docs, k, Some(hashed))
+    val pairsBy = bandings.map { case (b, r) =>
+      require(b * r == k, s"banding ($b x $r) must tile k = $k")
+      val bd = minhashBands(sigs, b, r)
+      val p = bd.select(col("band"), col("bh"), col("doc_id").as("a"))
+        .join(bd.select(col("band"), col("bh"), col("doc_id").as("b")),
+          Seq("band", "bh"))
+        .filter(col("a") < col("b")).select("a", "b").distinct()
+        .localCheckpoint()
+      (b, r, p)
+    }
+    val union = pairsBy.map(_._3).reduce(_ unionByName _).distinct()
+    val ov = pairOverlap(docs, union, Some(hashed), shArrIn)
+    val truth = ov
+      .filter(col("common") * tauDen >=
+        (col("sza") + col("szb") - col("common")) * tauNum)
+      .select("a", "b").localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    pairsBy.map { case (b, r, p) =>
+      val c = p.agg(count(lit(1)).as("candidates"))
+      val v = p.join(truth, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("verified"))
+      c.crossJoin(broadcast(v)).crossJoin(broadcast(nTruth))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("candidates"), col("verified"), col("n_truth"),
+          round(when(col("candidates") > 0,
+            col("verified").cast("double") / col("candidates").cast("double")),
+            6).as("precision"),
+          round(when(col("n_truth") > 0,
+            col("verified").cast("double") / col("n_truth").cast("double")),
+            6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
 }

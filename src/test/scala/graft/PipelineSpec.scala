@@ -1498,4 +1498,41 @@ class PipelineSpec extends SparkSpec {
     assert(r.forall(_._2 == 9L), r.mkString(", "))
     assert(r.map(_._3).sum == 20L)
   }
+
+  test("bandingCurve: identical docs verify at every tiling with recall 1") {
+    val implicits = spark.implicits
+    import implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val docs = Seq(
+      (1L, base, "en", "s0"), (2L, base, "en", "s0"),
+      (3L, "completely different text about spark shuffles and joins zz",
+        "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.bandingCurve(docs).collect()
+    assert(r.length == 3)
+    r.foreach { x =>
+      assert(x.getAs[Long]("verified") >= 1L)
+      assert(x.getAs[Double]("recall") == 1.0 ||
+        x.getAs[Long]("n_truth") > x.getAs[Long]("verified"))
+    }
+    // the identical pair must be truth everywhere -> n_truth >= 1
+    assert(r.forall(_.getAs[Long]("n_truth") >= 1L))
+  }
+
+  test("kAnonymity: hand-built classes expose singletons") {
+    val implicits = spark.implicits
+    import implicits._
+    // class (en,s0,0): 3 docs; class (de,s1,0): 1 doc (exposed at all k)
+    val docs = Seq(
+      (1L, "aa", "en", "s0"), (2L, "ab", "en", "s0"), (3L, "ac", "en", "s0"),
+      (4L, "zz", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("int"))
+    val r = graft.pipeline.Corpus.kAnonymity(docs).collect()
+      .map(x => x.getAs[Long]("k") -> x).toMap
+    assert(r(2L).getAs[Long]("n_classes") == 2L)
+    assert(r(2L).getAs[Long]("exposed") == 1L)   // the singleton
+    assert(r(5L).getAs[Long]("exposed") == 4L)   // both classes < 5
+    assert(r(2L).getAs[Double]("exposed_rate") == 0.25)
+  }
 }
