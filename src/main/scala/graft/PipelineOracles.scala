@@ -3678,6 +3678,22 @@ SELECT bands, rows_per_band, candidates, verified, n_truth,
 FROM ar ORDER BY bands"""
   }
 
+  /** DP-histogram mirror: same salted 60-bit hash, same Laplace
+    * quantile transform. */
+  def dpHistogramSql(epsilon: Double, salt: String = "dp:"): String =
+    s"""WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1),
+n AS (SELECT source, n_docs,
+  CAST(${h60(s"'$salt' || source")} AS DOUBLE) /
+    CAST(${1L << 60} AS DOUBLE) - 0.5 AS d FROM cnt)
+SELECT source, n_docs,
+  ROUND(CAST(n_docs AS DOUBLE) +
+    (CASE WHEN d >= 0.0 THEN -ln(1.0 - 2.0 * d)
+      ELSE ln(1.0 + 2.0 * d) END) / CAST($epsilon AS DOUBLE), 6)
+    AS noised,
+  CAST($epsilon AS DOUBLE) AS epsilon
+FROM n ORDER BY source"""
+
   /** k-anonymity mirror. */
   def kAnonymitySql(bucket: Long, ks: Seq[Int]): String = {
     val arms = ks.map { k =>

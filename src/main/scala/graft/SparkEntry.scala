@@ -775,6 +775,8 @@ object SparkEntry {
         shArrIn = Some(shingleArraysCached(s, d)))),
     "q_k_anonymity" -> ((s, d) =>
       Corpus.kAnonymity(GraphBuilder.table(s, d, "documents"))),
+    "q_dp_histogram" -> ((s, d) =>
+      Corpus.dpHistogram(GraphBuilder.table(s, d, "documents"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1337,6 +1339,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_banding_curve" ->
       PipelineOracles.bandingCurveSql(16, Seq((2, 8), (4, 4), (8, 2)), 1, 2),
     "q_k_anonymity" -> PipelineOracles.kAnonymitySql(100L, Seq(2, 5, 10)),
+    "q_dp_histogram" -> PipelineOracles.dpHistogramSql(1.0),
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

@@ -1799,4 +1799,29 @@ object Corpus {
             6).as("exposed_rate"))
     }.reduce(_ unionByName _).orderBy("k")
   }
+
+  /** Differentially-private per-source histogram via the Laplace
+    * mechanism with DETERMINISTIC inverse-CDF noise: u = h/2⁶⁰ from
+    * the salted 60-bit hash of the source name, noise = −(1/ε)·
+    * sign(u−½)·ln(1−2|u−½|) — the exact Laplace quantile transform,
+    * bit-identical across engines because both apply the same ln to
+    * the same hash-derived double. Mechanism DEMO: the true count is
+    * emitted beside the noised one for auditability here; a real
+    * release drops it (and re-salts per release — a fixed salt reuses
+    * its privacy budget). Sensitivity 1 (one document moves one
+    * count), so b = 1/ε. One groupBy; |S|-bounded output. */
+  def dpHistogram(docs: DataFrame, epsilon: Double = 1.0,
+                  salt: String = "dp:"): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be positive")
+    val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val u = hash60(col("source"), salt).cast("double") /
+      lit((1L << 60).toDouble)
+    val d = u - lit(0.5)
+    val noise = when(d >= 0.0, -log(lit(1.0) - lit(2.0) * d))
+      .otherwise(log(lit(1.0) + lit(2.0) * d)) / lit(epsilon)
+    cnt.select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") + noise, 6).as("noised"),
+        lit(epsilon).as("epsilon"))
+      .orderBy("source")
+  }
 }

@@ -1535,4 +1535,31 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L).getAs[Long]("exposed") == 4L)   // both classes < 5
     assert(r(2L).getAs[Double]("exposed_rate") == 0.25)
   }
+
+  test("dpHistogram: noise equals the Laplace quantile of the salted hash, deterministic") {
+    val implicits = spark.implicits
+    import implicits._
+    val docs = Seq((1L, "x", "en", "s0"), (2L, "y", "en", "s0"),
+      (3L, "z", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val r1 = graft.pipeline.Corpus.dpHistogram(docs).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("noised")).toMap
+    // recompute expected noise from the same hash
+    val hs = docs.select(col("source"),
+        TextOps.hash60(col("source"), "dp:").as("h"))
+      .distinct().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    def expected(src: String, n: Long): Double = {
+      val u = hs(src).toDouble / (1L << 60).toDouble
+      val d = u - 0.5
+      val noise = if (d >= 0) -math.log(1.0 - 2.0 * d)
+        else math.log(1.0 + 2.0 * d)
+      BigDecimal(n + noise).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(r1("s0") == expected("s0", 2L))
+    assert(r1("s1") == expected("s1", 1L))
+    // determinism: second run identical
+    val r2 = graft.pipeline.Corpus.dpHistogram(docs).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("noised")).toMap
+    assert(r1 == r2)
+  }
 }
