@@ -280,6 +280,42 @@ object ScaleProbe {
         // ~linear in the event scan
         time("session_stats")(graft.streaming.EventStreams
           .sessionStats(events)),
+        // trend family: replicas share the TIME SPAN, so the daily
+        // grid — and every pairwise day join — is K-INVARIANT; only
+        // the first daily count shuffle grows K. Expect ~linear then
+        // flat (the statistical-wave value-domain argument, time axis
+        // edition)
+        time("mann_kendall")(graft.streaming.Trend.mannKendall(events)),
+        time("kendall_tau")(graft.streaming.Trend.kendallTau(events)),
+        // lag-kernel representative: the Holt dot product runs on the
+        // K-invariant day grid — expect the ewma/cusum curve
+        time("holt")(graft.streaming.Trend.holtDaily(events)),
+        // effect sizes: per-source sufficient statistics (|S|-row
+        // aggregate at any K); jarque_bera carries 4 power sums,
+        // cliffs_delta the value-domain rank windows, brown_forsythe
+        // one extra median-rejoin corpus pass — all expect ~linear
+        time("jarque_bera")(graft.pipeline.Stats.jarqueBera(docs)),
+        time("cliffs_delta")(graft.pipeline.Stats.cliffsDelta(docs)),
+        time("brown_forsythe")(graft.pipeline.Stats.brownForsythe(docs)),
+        // bigram join on (doc_id, pos+1): token-linear; the surviving
+        // bigram frame is vocab²-bounded with the min-count prune
+        time("phrase_stats")(Corpus.phraseStats(docs)),
+        // quasi-identifier class frame is (lang × source × bucket)-
+        // bounded — K-invariant; the groupBy scan grows K
+        time("k_anonymity")(Corpus.kAnonymity(docs)),
+        // rides the minhash candidate curve ×3 tilings + ONE verify
+        // pass over the union — replicas are near-dups of each other,
+        // so like minhash_pairs the TRUE pair output grows ~K²: the
+        // designed output-bound contrast, not a plan defect
+        time("banding_curve")(Dedup.bandingCurve(docs)),
+        // user-partitioned session windows over K disjoint user
+        // spaces + a |types|-bounded rollup — expect ~linear
+        time("bounce_rate")(graft.streaming.EventStreams
+          .bounceRate(events)),
+        // min-day per user + daily distinct actives: two user-keyed
+        // aggregates over K× users — expect ~linear
+        time("new_returning")(graft.streaming.EventStreams
+          .newReturning(events)),
         // replicas = K× more orders over the SAME part catalog: item
         // counts grow K, per-order pair expansion is basket-bounded,
         // pair-group count is catalog-bounded — expect ~linear
@@ -367,7 +403,16 @@ object ScaleProbe {
         // one degree aggregate + one |E|-row degree join over K
         // disjoint replicas — expect ~linear
         time("knn_profile")(graft.algorithms.Structure.knnProfile(
-          pairs)))
+          pairs)),
+        // the annIvfExact k-means fold (n·k·d map-side-combined) over
+        // K× vectors + one extra n·k distance pass; histogram output
+        // is k×10-bounded — expect ~linear
+        time("silhouette")(graft.pipeline.Similarity
+          .silhouetteExact(emb)),
+        // wedge self-join over K disjoint graph replicas: Σ deg² per
+        // replica constant, co-neighbor pair frame grows K — ~linear
+        time("square_count")(graft.algorithms.Structure
+          .squareCount(pairs)))
     }
 
     val t1 = corpusTimes(1) ++ extraTimes(1)
