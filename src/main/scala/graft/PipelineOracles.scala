@@ -3678,6 +3678,80 @@ SELECT bands, rows_per_band, candidates, verified, n_truth,
 FROM ar ORDER BY bands"""
   }
 
+  /** SimHash-curve mirror: dedupSimhashSql's signature/chunk CTEs, one
+    * overlap verify (LEFT JOIN + COALESCE — inter drops zero-common
+    * pairs that the engine keeps as common = 0), conditional-sum arms. */
+  def simhashCurveSql(tauNum: Int, tauDen: Int): String = {
+    val sums = (0 until 32)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(i => s"(CASE WHEN s$i >= 0 THEN CAST(1 AS BIGINT) << $i ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val aggs = (0 to 3).map { t =>
+      s"""CAST(SUM(CASE WHEN hamming <= $t THEN 1 ELSE 0 END) AS BIGINT) AS c_$t,
+  CAST(SUM(CASE WHEN hamming <= $t AND dup THEN 1 ELSE 0 END) AS BIGINT) AS v_$t"""
+    }.mkString(",\n  ")
+    val arms = (0 to 3).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS max_hamming, c_$t AS candidates, " +
+        s"v_$t AS verified, v_3 AS v_base FROM ag"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+hsim AS MATERIALIZED (SELECT doc_id, ${h60("'a:' || sh")} AS h FROM shingles),
+ssum AS MATERIALIZED (SELECT doc_id, $sums FROM hsim GROUP BY doc_id),
+simh AS MATERIALIZED (SELECT doc_id, $fp AS simhash FROM ssum),
+chunks AS MATERIALIZED (
+  SELECT doc_id, CAST(c AS BIGINT) AS chunk, (simhash >> (c * 8)) & 255 AS cv, simhash
+  FROM simh, unnest(generate_series(0, 3)) AS t(c)),
+cand AS MATERIALIZED (SELECT a, b, hamming FROM (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.cv = y.cv
+    AND x.doc_id < y.doc_id) WHERE hamming <= 3),
+${overlapCtes("cand")},
+j AS (SELECT c.hamming,
+  (COALESCE(i.common, 0) * $tauDen >=
+    (za.sz + zb.sz - COALESCE(i.common, 0)) * $tauNum) AS dup
+  FROM cand c JOIN sizes za ON za.doc_id = c.a
+  JOIN sizes zb ON zb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b),
+ag AS (SELECT $aggs FROM j),
+ar AS (
+  $arms)
+SELECT max_hamming, candidates, verified,
+  ROUND(CASE WHEN candidates > 0
+    THEN CAST(verified AS DOUBLE) / candidates END, 6) AS "precision",
+  ROUND(CASE WHEN v_base > 0
+    THEN CAST(verified AS DOUBLE) / v_base END, 6) AS recall
+FROM ar ORDER BY max_hamming"""
+  }
+
+  /** Jaccard-sweep mirror: one overlap pass over the minhash pairs,
+    * the nine exact integer-compare arms off one aggregate. */
+  val jaccardSweepSql: String = {
+    val ges = (1 to 9).map(b =>
+      s"CAST(SUM(CASE WHEN common * 10 >= un * $b THEN 1 ELSE 0 END) AS BIGINT) AS ge_$b")
+      .mkString(",\n  ")
+    val arms = (1 to 9).map(b =>
+      s"SELECT CAST($b AS BIGINT) AS tau_tenths, candidates, ge_$b AS pairs_ge FROM ag")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${minhashCtes(16, 4)},
+${overlapCtes("pairs")},
+ov AS (SELECT COALESCE(i.common, 0) AS common,
+  za.sz + zb.sz - COALESCE(i.common, 0) AS un
+  FROM pairs p JOIN sizes za ON za.doc_id = p.a
+  JOIN sizes zb ON zb.doc_id = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b),
+ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS candidates,
+  $ges FROM ov),
+ar AS (
+  $arms)
+SELECT tau_tenths, candidates, pairs_ge,
+  ROUND(CASE WHEN candidates > 0
+    THEN CAST(pairs_ge AS DOUBLE) / candidates END, 6) AS share
+FROM ar ORDER BY tau_tenths"""
+  }
+
   /** DP-histogram mirror: same salted 60-bit hash, same Laplace
     * quantile transform. */
   def dpHistogramSql(epsilon: Double, salt: String = "dp:"): String =

@@ -777,6 +777,15 @@ object SparkEntry {
       Corpus.kAnonymity(GraphBuilder.table(s, d, "documents"))),
     "q_dp_histogram" -> ((s, d) =>
       Corpus.dpHistogram(GraphBuilder.table(s, d, "documents"))),
+    "q_simhash_curve" -> ((s, d) =>
+      Dedup.simhashCurve(GraphBuilder.table(s, d, "documents"),
+        hashedIn = Some(hashedShinglesCached(s, d)),
+        shArrIn = Some(shingleArraysCached(s, d)))),
+    "q_jaccard_sweep" -> ((s, d) =>
+      Dedup.jaccardSweep(GraphBuilder.table(s, d, "documents"),
+        pairsIn = Some(minhashPairsCached(s, d)),
+        hashedIn = Some(hashedShinglesCached(s, d)),
+        shArrIn = Some(shingleArraysCached(s, d)))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1340,6 +1349,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
       PipelineOracles.bandingCurveSql(16, Seq((2, 8), (4, 4), (8, 2)), 1, 2),
     "q_k_anonymity" -> PipelineOracles.kAnonymitySql(100L, Seq(2, 5, 10)),
     "q_dp_histogram" -> PipelineOracles.dpHistogramSql(1.0),
+    "q_simhash_curve" -> PipelineOracles.simhashCurveSql(1, 2),
+    "q_jaccard_sweep" -> PipelineOracles.jaccardSweepSql,
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

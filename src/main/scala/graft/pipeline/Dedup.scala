@@ -542,4 +542,70 @@ object Dedup {
             6).as("recall"))
     }.reduce(_ unionByName _).orderBy("bands")
   }
+
+  /** SimHash hamming-threshold tuning curve — the SimHash twin of
+    * [[bandingCurve]]: for each max-hamming t ∈ 0..3 (the range the
+    * 4×8-bit pigeonhole blocking is COMPLETE for), the candidate
+    * count, exactly-verified near-dups (shingle Jaccard ≥
+    * tauNum/tauDen), precision, and recall relative to the t = 3 set
+    * (thresholds nest, so the base is the true t ≤ 3 reference).
+    * One chunk join at t = 3 + ONE exact-verify pass; the per-arm
+    * numbers are conditional sums off a single aggregation. */
+  def simhashCurve(docs: DataFrame, tauNum: Int = 1, tauDen: Int = 2,
+                   hashedIn: Option[DataFrame] = None,
+                   shArrIn: Option[DataFrame] = None): DataFrame = {
+    val cand = simhashPairs(docs, 3, hashedIn).localCheckpoint()
+    // pairOverlap keeps every pair (shingleArrays covers all docs;
+    // zero overlap surfaces as common = 0), so the inner join is safe
+    val j = cand.join(pairOverlap(docs, cand.select("a", "b"),
+        hashedIn, shArrIn), Seq("a", "b"))
+      .select(col("hamming"),
+        (col("common") * tauDen >=
+          (col("sza") + col("szb") - col("common")) * tauNum).as("dup"))
+    val aggCols = (0 to 3).flatMap { t =>
+      Seq(sum(when(col("hamming") <= t, 1L).otherwise(0L)).as(s"c_$t"),
+        sum(when(col("hamming") <= t && col("dup"), 1L).otherwise(0L))
+          .as(s"v_$t"))
+    }
+    j.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr("stack(4, " +
+        (0 to 3).map(t => s"CAST($t AS BIGINT), c_$t, v_$t").mkString(", ") +
+        ") as (max_hamming, candidates, verified)"), col("v_3").as("v_base"))
+      .select(col("max_hamming"), col("candidates"), col("verified"),
+        round(when(col("candidates") > 0,
+          col("verified").cast("double") / col("candidates").cast("double")),
+          6).as("precision"),
+        round(when(col("v_base") > 0,
+          col("verified").cast("double") / col("v_base").cast("double")),
+          6).as("recall"))
+      .orderBy("max_hamming")
+  }
+
+  /** Jaccard threshold sweep over the near-dup candidate pairs: for
+    * each gate τ = b/10 (b ∈ 1..9), how many candidate pairs clear it
+    * — the "what would a stricter dedup drop" table, read before
+    * committing a threshold. EXACT integer compares (common·10 ≥
+    * b·union) off ONE overlap pass; the nine arms are conditional
+    * sums in one aggregation unpivoted by stack. */
+  def jaccardSweep(docs: DataFrame, pairsIn: Option[DataFrame] = None,
+                   hashedIn: Option[DataFrame] = None,
+                   shArrIn: Option[DataFrame] = None): DataFrame = {
+    val ov = pairOverlap(docs,
+        pairsIn.getOrElse(minhashPairs(docs, hashedIn = hashedIn)),
+        hashedIn, shArrIn)
+      .select(col("common"),
+        (col("sza") + col("szb") - col("common")).as("un"))
+    val aggCols = count(lit(1)).as("candidates") +: (1 to 9).map(b =>
+      sum(when(col("common") * 10 >= col("un") * b, 1L).otherwise(0L))
+        .as(s"ge_$b"))
+    ov.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr("stack(9, " +
+        (1 to 9).map(b => s"CAST($b AS BIGINT), ge_$b").mkString(", ") +
+        ") as (tau_tenths, pairs_ge)"), col("candidates"))
+      .select(col("tau_tenths"), col("candidates"), col("pairs_ge"),
+        round(when(col("candidates") > 0,
+          col("pairs_ge").cast("double") / col("candidates").cast("double")),
+          6).as("share"))
+      .orderBy("tau_tenths")
+  }
 }

@@ -1562,4 +1562,33 @@ class PipelineSpec extends SparkSpec {
       .map(x => x.getString(0) -> x.getAs[Double]("noised")).toMap
     assert(r1 == r2)
   }
+
+  test("simhashCurve: identical docs are candidates at hamming 0 and verify; recall 1 at t=3") {
+    val implicits = spark.implicits
+    import implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val docs = Seq((1L, base, "en", "s0"), (2L, base, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Dedup.simhashCurve(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getAs[Double]("recall"))).toMap
+    assert(r(0L) == ((1L, 1L, 1.0)))   // hamming 0: the identical pair
+    assert(r(3L)._2 == 1L && r(3L)._3 == 1.0)
+  }
+
+  test("jaccardSweep: an identical pair clears every threshold, a disjoint one none") {
+    val implicits = spark.implicits
+    import implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta " * 2
+    val docs = Seq((1L, a, "en", "s0"), (2L, a, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val r = Dedup.jaccardSweep(docs, pairsIn = Some(pairs)).collect()
+    assert(r.length == 9)
+    r.foreach { x =>
+      assert(x.getAs[Long]("candidates") == 1L)
+      assert(x.getAs[Long]("pairs_ge") == 1L)   // jaccard = 1 clears all
+      assert(x.getAs[Double]("share") == 1.0)
+    }
+  }
 }
