@@ -1156,9 +1156,12 @@ FROM rk ORDER BY id"""
   /** Square-census mirror: wedge self-join on the center vertex over
     * the symmetric co-occurrence view, ¼·Σ cn(cn−1) closed form. */
   val squareCountSql: String =
-    s"""WITH ${graft.graph.DerivedGraphs.cooccurSql},
+    s"""WITH ${graft.graph.DerivedGraphs.tradeTopSql()},
+pe AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ttedges WHERE src <> dst),
+psq AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe),
 cn AS (SELECT e1.dst AS u, e2.dst AS w, COUNT(*) AS cn
-  FROM psym e1 JOIN psym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  FROM psq e1 JOIN psq e2 ON e1.src = e2.src AND e1.dst < e2.dst
   GROUP BY 1, 2)
 SELECT CAST(SUM(cn * (cn - 1)) // 4 AS BIGINT) AS squares,
   CAST(MAX(cn) AS BIGINT) AS max_cn,

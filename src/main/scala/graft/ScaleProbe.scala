@@ -32,6 +32,13 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated kernel filter: probe only these names
+    // (re-certifying a new wave without paying the full heavy sweep)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(n => System.err.println(
+      s"PROBE FILTER ACTIVE: ${n.size} kernels — partial certification run"))
+
     val base = spark.read.parquet(s"$dir/documents.parquet")
     val n = base.count()
     val evBase = graft.streaming.EventStreams.eventsTable(spark, dir)
@@ -59,6 +66,7 @@ object ScaleProbe {
           col("event_type"), col("value"))
       }.reduce(_ unionByName _).localCheckpoint()
       def time(name: String)(df: => DataFrame): (String, Double) = {
+        if (only.exists(!_.contains(name))) return name -> -1.0
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.foreach(_ => ())
         name -> (System.nanoTime() - t0) / 1e9
@@ -353,6 +361,7 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       val sym = graft.graph.DerivedGraphs.sym(pairs).localCheckpoint()
       def time(name: String)(df: => DataFrame): (String, Double) = {
+        if (only.exists(!_.contains(name))) return name -> -1.0
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.foreach(_ => ())
         name -> (System.nanoTime() - t0) / 1e9
@@ -415,8 +424,8 @@ object ScaleProbe {
           .squareCount(pairs)))
     }
 
-    val t1 = corpusTimes(1) ++ extraTimes(1)
-    val tk = corpusTimes(k) ++ extraTimes(k)
+    val t1 = (corpusTimes(1) ++ extraTimes(1)).filter(_._2 >= 0)
+    val tk = (corpusTimes(k) ++ extraTimes(k)).filter(_._2 >= 0)
     val ratios = t1.keys.map(q => q -> BigDecimal(tk(q) / t1(q))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     println(

@@ -751,8 +751,16 @@ object SparkEntry {
       pipeline.Stats.brownForsythe(GraphBuilder.table(s, d, "documents"))),
     "q_jarque_bera" -> ((s, d) =>
       pipeline.Stats.jarqueBera(GraphBuilder.table(s, d, "documents"))),
+    // trade-top graph (the triad_census precedent): the per-query row
+    // prices the motif plan, not the 3e8-wedge co-occurrence volume —
+    // ScaleProbe certifies the heavy-graph shape separately
     "q_square_count" -> ((s, d) =>
-      algorithms.Structure.squareCount(DerivedGraphs.partCooccur(s, d))),
+      algorithms.Structure.squareCount(
+        DerivedGraphs.nationTradeTop(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct())),
     "q_graph_entropy" -> ((s, d) =>
       algorithms.Structure.graphEntropy(DerivedGraphs.partCooccur(s, d))),
     "q_silhouette" -> ((s, d) =>
