@@ -3678,6 +3678,48 @@ SELECT bands, rows_per_band, candidates, verified, n_truth,
 FROM ar ORDER BY bands"""
   }
 
+  /** Skyline mirror: the shared quality CTE, per-quality min length,
+    * one running min over the quality domain descending. */
+  val skylineSql: String =
+    """WITH qq AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\b(the|a|is)\b')) AS BIGINT) AS stop,
+  CAST(n_chars AS BIGINT) AS len
+  FROM documents),
+sc AS (SELECT doc_id, len,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS quality
+  FROM qq),
+q AS (SELECT quality, MIN(len) AS min_len FROM sc GROUP BY 1),
+dom AS (SELECT quality, min_len, MIN(min_len) OVER (
+  ORDER BY quality DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  AS best_above FROM q)
+SELECT sc.doc_id, sc.quality, sc.len
+FROM sc JOIN dom ON dom.quality = sc.quality
+WHERE sc.len = dom.min_len
+  AND (dom.best_above IS NULL OR sc.len < dom.best_above)
+ORDER BY sc.quality DESC, sc.doc_id"""
+
+  /** Anisotropy mirror: HUGEINT per-dimension sums, same closed form. */
+  def anisotropySql(scale: Int): String =
+    s"""WITH iv AS (SELECT vec_id, i - 1 AS pos,
+  CAST(floor(embedding[i]::DOUBLE * $scale) AS BIGINT) AS xi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+pd AS (SELECT pos, SUM(xi) AS s_p, SUM(xi * xi) AS t_p FROM iv GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+  SUM(s_p * s_p) AS ss, SUM(t_p) AS t FROM pd)
+SELECT nn.n, ag.dims,
+  ROUND(CAST(ss AS DOUBLE) /
+    (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS anisotropy,
+  ROUND(sqrt(CAST(ss AS DOUBLE)) /
+    (CAST(n AS DOUBLE) * CAST($scale AS DOUBLE)), 6) AS mean_vec_norm,
+  ROUND(sqrt(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) /
+    CAST($scale AS DOUBLE), 6) AS mean_norm
+FROM ag CROSS JOIN nn"""
+
   /** SimHash-curve mirror: dedupSimhashSql's signature/chunk CTEs, one
     * overlap verify (LEFT JOIN + COALESCE — inter drops zero-common
     * pairs that the engine keeps as common = 0), conditional-sum arms. */

@@ -794,6 +794,10 @@ object SparkEntry {
         pairsIn = Some(minhashPairsCached(s, d)),
         hashedIn = Some(hashedShinglesCached(s, d)),
         shArrIn = Some(shingleArraysCached(s, d)))),
+    "q_skyline" -> ((s, d) =>
+      Corpus.skyline(GraphBuilder.table(s, d, "documents"))),
+    "q_anisotropy" -> ((s, d) =>
+      Similarity.anisotropy(GraphBuilder.table(s, d, "embeddings"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1359,6 +1363,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_dp_histogram" -> PipelineOracles.dpHistogramSql(1.0),
     "q_simhash_curve" -> PipelineOracles.simhashCurveSql(1, 2),
     "q_jaccard_sweep" -> PipelineOracles.jaccardSweepSql,
+    "q_skyline" -> PipelineOracles.skylineSql,
+    "q_anisotropy" -> PipelineOracles.anisotropySql(1000),
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

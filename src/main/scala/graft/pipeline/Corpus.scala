@@ -1824,4 +1824,29 @@ object Corpus {
         lit(epsilon).as("epsilon"))
       .orderBy("source")
   }
+
+  /** 2-D skyline (Pareto frontier) over (quality MAX, n_chars MIN) —
+    * the preference-query operator: a document survives iff no other
+    * document is at least as good on both axes and strictly better on
+    * one ("the shortest document at every quality level anything
+    * longer cannot beat"). Computed on the (quality, length) VALUE
+    * domain, not the corpus: per-quality min length, then one running
+    * min over the quality domain ordered descending — a document is
+    * on the skyline iff it achieves its quality's min length AND is
+    * strictly shorter than everything at higher quality. Ties on both
+    * axes all survive (domination requires a strict edge). */
+  def skyline(docs: DataFrame): DataFrame = {
+    val scored = TextOps.withQuality(docs)
+      .select(col("doc_id"), col("quality"),
+        col("n_chars").cast("long").as("len"))
+    val q = scored.groupBy("quality").agg(min("len").as("min_len"))
+    val w = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dom = q.withColumn("best_above", min("min_len").over(w))
+    scored.join(broadcast(dom), Seq("quality"))
+      .filter(col("len") === col("min_len") &&
+        (col("best_above").isNull || col("len") < col("best_above")))
+      .select(col("doc_id"), col("quality"), col("len"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
 }

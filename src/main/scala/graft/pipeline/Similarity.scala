@@ -1080,4 +1080,36 @@ object Similarity {
       .groupBy("cid", "bucket").agg(count(lit(1)).as("n"))
       .orderBy("cid", "bucket")
   }
+
+  /** Embedding anisotropy audit (Ethayarajh 2019): the expected
+    * cosine between random vectors ≈ ‖μ‖²/E‖x‖² — near 0 for an
+    * isotropic (well-spread) embedding space, near 1 when everything
+    * points the same way (a degenerate space that breaks cosine
+    * retrieval). Exact integer arithmetic on the floor(x·1000)
+    * quantization: per-dimension sums S_p and square sums T_p are
+    * BIGINT off one exploded pass (d-row aggregate frame at any
+    * corpus size), anisotropy = Σ S_p² / (n·ΣT_p) with the squares
+    * accumulated in DECIMAL(38,0). Also reports the quantized mean
+    * vector norm and mean L2 norm. */
+  def anisotropy(emb: DataFrame, scale: Int = 1000): DataFrame = {
+    val iv = exploded(emb)
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(scale)).cast("long").as("xi"))
+    val perDim = iv.groupBy("pos")
+      .agg(sum("xi").as("s_p"), sum(col("xi") * col("xi")).as("t_p"))
+    val nRow = emb.agg(count(lit(1)).as("n"))
+    val agg = perDim.agg(count(lit(1)).as("dims"),
+      sum(col("s_p").cast("decimal(19,0)") * col("s_p").cast("decimal(19,0)"))
+        .as("ss"),
+      sum("t_p").as("t"))
+    val nD = col("n").cast("double")
+    agg.crossJoin(broadcast(nRow))
+      .select(col("n"), col("dims"),
+        round(col("ss").cast("double") / (nD * col("t").cast("double")), 6)
+          .as("anisotropy"),
+        round(sqrt(col("ss").cast("double")) / (nD * lit(scale.toDouble)), 6)
+          .as("mean_vec_norm"),
+        round(sqrt(col("t").cast("double") / nD) / lit(scale.toDouble), 6)
+          .as("mean_norm"))
+  }
 }

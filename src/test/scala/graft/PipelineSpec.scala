@@ -1591,4 +1591,40 @@ class PipelineSpec extends SparkSpec {
       assert(x.getAs[Double]("share") == 1.0)
     }
   }
+
+  test("skyline: hand-built frontier keeps non-dominated docs, strict-edge rule") {
+    val implicits = spark.implicits
+    import implicits._
+    // hand-computed qualities (0.4 len-term + 0.3 punct-term + 0.3
+    // stopword-term): doc1 "a b" -> q=0.608, len 3; doc2 "aa bb" ->
+    // q=0.308, len 5 (dominated by doc1: lower q, longer); doc3 has
+    // six stopwords -> q=0.628 > doc1 but len 16: a true tradeoff,
+    // both 1 and 3 are on the frontier
+    val docs = Seq(
+      (1L, "a b", "en", "s0"),
+      (2L, "aa bb", "en", "s0"),
+      (3L, "a a a a is the x", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("int"))
+    val ids = graft.pipeline.Corpus.skyline(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), ids.toString)
+  }
+
+  test("anisotropy: identical vectors give 1, mirrored vectors give 0") {
+    val implicits = spark.implicits
+    import implicits._
+    val same = (0 until 8).map(i => (i.toLong, Array(0.5f, 0.25f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.anisotropy(same).collect()(0)
+    assert(r1.getAs[Double]("anisotropy") == 1.0)
+    // half the vectors exactly negate the other half -> mean is 0
+    val anti = (0 until 8).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(0.5f * s, 0.25f * s, 0.125f * s))
+    }.toDF("vec_id", "embedding")
+    val r2 = Similarity.anisotropy(anti).collect()(0)
+    assert(r2.getAs[Double]("anisotropy") <= 0.00001,
+      r2.getAs[Double]("anisotropy").toString)
+  }
 }

@@ -115,7 +115,9 @@ class PlanSpec extends SparkSpec {
       "q_cliffs_delta" -> ("pooled cumulative over the distinct-value "
         + "frame — bounded by the value domain, not the corpus"),
       "q_holt" -> ("lag kernel over the daily-count series — bounded "
-        + "by the observation window's day count, not the event count"))
+        + "by the observation window's day count, not the event count"),
+      "q_skyline" -> ("running min over the distinct-quality frame — "
+        + "bounded by the 6dp value domain, never the corpus"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
