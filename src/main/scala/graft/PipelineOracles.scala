@@ -3678,6 +3678,54 @@ SELECT bands, rows_per_band, candidates, verified, n_truth,
 FROM ar ORDER BY bands"""
   }
 
+  /** Winsorized-mean mirror: same order-statistic clamp values off
+    * the cumulative range, same closed form. */
+  def winsorizedMeanSql(alpha: Double): String =
+    s"""WITH cnt AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+  COUNT(*) AS c FROM documents GROUP BY 1, 2),
+cc AS (SELECT source, v, c,
+  SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+  SUM(c) OVER (PARTITION BY source) AS n_s FROM cnt),
+cc2 AS (SELECT *, CAST(floor(CAST(n_s AS DOUBLE) * $alpha) AS BIGINT)
+  AS lo FROM cc),
+g AS (SELECT source, ANY_VALUE(n_s) AS n_docs, MAX(lo) AS k,
+  SUM(v * GREATEST(LEAST(cum, n_s - lo) - GREATEST(cum - c, lo), 0))
+    AS mass,
+  SUM(CASE WHEN cum - c < lo + 1 AND lo + 1 <= cum THEN v ELSE 0 END)
+    AS v_lo,
+  SUM(CASE WHEN cum - c < n_s - lo AND n_s - lo <= cum THEN v ELSE 0 END)
+    AS v_hi
+  FROM cc2 GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(v_lo AS BIGINT) AS v_lo, CAST(v_hi AS BIGINT) AS v_hi,
+  ROUND((CAST(mass AS DOUBLE) +
+    CAST(k AS DOUBLE) * CAST(v_lo + v_hi AS DOUBLE)) /
+    CAST(n_docs AS DOUBLE), 6) AS winsor_mean
+FROM g ORDER BY source"""
+
+  /** Zipf-fit mirror: same top-k cut (count desc, term tiebreak),
+    * same ln-ln OLS closed form. */
+  def zipfFitSql(k: Int): String =
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+  FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tk WHERE t <> '' GROUP BY 1
+  ORDER BY c DESC, t LIMIT $k),
+rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r FROM cnt),
+pt AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM rk),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+  SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy FROM pt)
+SELECT n AS k_used,
+  ROUND(CASE WHEN sxx - sx * sx / n > 0.0
+    THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END, 6) AS slope,
+  ROUND(CASE WHEN sxx - sx * sx / n > 0.0
+    THEN (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n END, 6)
+    AS intercept,
+  ROUND(CASE WHEN sxx - sx * sx / n > 0.0 AND syy - sy * sy / n > 0.0
+    THEN (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+      ((sxx - sx * sx / n) * (syy - sy * sy / n)) END, 6) AS r2
+FROM a"""
+
   /** Skyline mirror: the shared quality CTE, per-quality min length,
     * one running min over the quality domain descending. */
   val skylineSql: String =

@@ -798,6 +798,10 @@ object SparkEntry {
       Corpus.skyline(GraphBuilder.table(s, d, "documents"))),
     "q_anisotropy" -> ((s, d) =>
       Similarity.anisotropy(GraphBuilder.table(s, d, "embeddings"))),
+    "q_winsor_mean" -> ((s, d) =>
+      pipeline.Robust.winsorizedMean(GraphBuilder.table(s, d, "documents"))),
+    "q_zipf_fit" -> ((s, d) =>
+      Corpus.zipfFit(GraphBuilder.table(s, d, "documents"))),
     "q_token_budget" -> ((s, d) =>
       Corpus.tokenBudget(GraphBuilder.table(s, d, "documents"))),
     "q_quality_dup_lift" -> ((s, d) =>
@@ -1365,6 +1369,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_jaccard_sweep" -> PipelineOracles.jaccardSweepSql,
     "q_skyline" -> PipelineOracles.skylineSql,
     "q_anisotropy" -> PipelineOracles.anisotropySql(1000),
+    "q_winsor_mean" -> PipelineOracles.winsorizedMeanSql(0.1),
+    "q_zipf_fit" -> PipelineOracles.zipfFitSql(200),
     "q_quantile_norm" -> PipelineOracles.quantileNormSql,
     "q_neyman_alloc" -> PipelineOracles.neymanAllocationSql(1000L),
     "q_mad_outliers" -> PipelineOracles.madOutliersSql(3),

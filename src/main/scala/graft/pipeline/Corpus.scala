@@ -1849,4 +1849,33 @@ object Corpus {
       .select(col("doc_id"), col("quality"), col("len"))
       .orderBy(col("quality").desc, col("doc_id"))
   }
+
+  /** Zipf-exponent fit: OLS of ln(frequency) on ln(rank) over the
+    * top-k vocabulary (rank ties broken lexically) — the companion of
+    * [[zipfCoverage]]: coverage says how much the head holds, the
+    * exponent says how fast the tail decays (natural text ≈ −1;
+    * flatter means template/ID-heavy tokens). The fit runs on a
+    * k-row frame at any corpus size. */
+  def zipfFit(docs: DataFrame, k: Int = 200): DataFrame = {
+    val cnt = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(k)
+    val ranked = cnt.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("t"))))
+    val pts = ranked.select(log(col("r").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val a = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val vx = col("sxx") - col("sx") * col("sx") / nD
+    val vy = col("syy") - col("sy") * col("sy") / nD
+    val cxy = col("sxy") - col("sx") * col("sy") / nD
+    a.select(col("n").as("k_used"),
+      round(when(vx > 0.0, cxy / vx), 6).as("slope"),
+      round(when(vx > 0.0, (col("sy") - cxy / vx * col("sx")) / nD), 6)
+        .as("intercept"),
+      round(when(vx > 0.0 && vy > 0.0, cxy * cxy / (vx * vy)), 6).as("r2"))
+  }
 }

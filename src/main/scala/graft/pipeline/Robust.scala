@@ -156,4 +156,42 @@ object Robust {
           .as("trimmed_mean"))
       .orderBy("source")
   }
+
+  /** Winsorized mean per source — [[trimmedMean]]'s clamping twin:
+    * the k = ⌊n·α⌋ lowest values are REPLACED by the α-quantile value
+    * and the k highest by the (1−α)-quantile, so outliers lose their
+    * leverage without losing their count. Exact off the same (source,
+    * value) count frame: the two clamp values are order statistics
+    * located by cumulative range, the middle mass is trimmedMean's
+    * kept sum, and the closed form is (mass + k·(v_lo + v_hi))/n. */
+  def winsorizedMean(docs: DataFrame, valueCol: String = "n_chars",
+                     alpha: Double = 0.1): DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5, "alpha must be in [0, 0.5)")
+    val cnt = docs.groupBy(col("source"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("v")
+    val lo = floor(col("n_s").cast("double") * lit(alpha)).cast("long")
+    val kept = greatest(
+      least(col("cum"), col("n_s") - lo) - greatest(col("cum") - col("c"), lo),
+      lit(0L))
+    val rLo = lo + 1
+    val rHi = col("n_s") - lo
+    cnt
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n_s", sum("c").over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(first("n_s").as("n_docs"),
+        max(lo).as("k"),
+        sum(col("v").cast("decimal(19,0)") * kept.cast("decimal(19,0)"))
+          .as("mass"),
+        sum(when(col("cum") - col("c") < rLo && rLo <= col("cum"),
+          col("v")).otherwise(0L)).as("v_lo"),
+        sum(when(col("cum") - col("c") < rHi && rHi <= col("cum"),
+          col("v")).otherwise(0L)).as("v_hi"))
+      .select(col("source"), col("n_docs"), col("v_lo"), col("v_hi"),
+        round((col("mass").cast("double") +
+          col("k").cast("double") * (col("v_lo") + col("v_hi")).cast("double"))
+          / col("n_docs").cast("double"), 6).as("winsor_mean"))
+      .orderBy("source")
+  }
 }

@@ -117,7 +117,8 @@ class PlanSpec extends SparkSpec {
       "q_holt" -> ("lag kernel over the daily-count series — bounded "
         + "by the observation window's day count, not the event count"),
       "q_skyline" -> ("running min over the distinct-quality frame — "
-        + "bounded by the 6dp value domain, never the corpus"))
+        + "bounded by the 6dp value domain, never the corpus"),
+      "q_zipf_fit" -> "rank over limit(k) vocab frame")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan

@@ -1022,4 +1022,33 @@ class RobustSpec extends SparkSpec {
     assert(got(1L).getAs[Long]("n_nodes") == 2L)
     assert(got(1L).getAs[Double]("mean_disparity") == 1.0)
   }
+
+  test("winsorizedMean: hand-computed clamp on 10 values") {
+    val implicits = spark.implicits
+    import implicits._
+    // values 1..10, alpha 0.1 -> k=1: clamp 1->2 and 10->9
+    // winsorized mean = (2 + 2..9 + 9)/10 = (55 - 1 - 10 + 2 + 9)/10 = 5.5
+    val docs = (1 to 10).map(i => (i.toLong, "a" * i, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("int"))
+    val r = graft.pipeline.Robust.winsorizedMean(docs).collect()(0)
+    assert(r.getAs[Long]("v_lo") == 2L && r.getAs[Long]("v_hi") == 9L)
+    assert(r.getAs[Double]("winsor_mean") == 5.5)
+  }
+
+  test("zipfFit: exact power law recovers its exponent") {
+    val implicits = spark.implicits
+    import implicits._
+    // terms t1..t4 with frequencies 8,4,2,1 plus rank ties broken
+    // lexically; ln f = ln 8 - 1.0 * ln ... not an exact -1 law on
+    // ranks 1..4 (freqs 8/4/2/1 vs ranks 1/2/3/4) — instead build
+    // freq = 24/r exactly: r=1:24, r=2:12, r=3:8, r=4:6 -> slope -1, r2 1
+    val words = Seq(("aa", 24), ("bb", 12), ("cc", 8), ("dd", 6))
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text, "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val r = graft.pipeline.Corpus.zipfFit(docs, k = 4).collect()(0)
+    assert(r.getAs[Long]("k_used") == 4L)
+    assert(r.getAs[Double]("slope") == -1.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
 }
