@@ -31,6 +31,22 @@ object Bench {
   def controlOk(measured: Double, frozen: Double): Boolean =
     measured <= frozen * 2.0 + 0.1
 
+  /** Per-row host-contention forensics (BASELINE.md appendix rule,
+    * automated): a multi-second row whose process-CPU delta shows the
+    * JVM held only a small fraction of the machine's cores — with GC
+    * quiet, so the missing time wasn't collector pauses — spent its
+    * wall time CPU-starved by a co-tenant, not computing. Calibrated
+    * against the round-10 contended artifact (poisoned heavy rows at
+    * 1–3 effective cores of 32 vs 10–18 for genuinely parallel rows):
+    * wall ≥ 5 s, effective cores < cores/8, gc < 20% of wall. A
+    * heuristic ADVISORY (a legitimately serial 5 s row would flag), so
+    * it ships as a count + name list next to controls_ok, never a
+    * gate; cpuSec < 0 (no JVM support) never flags. */
+  def hostSuspect(wallSec: Double, cpuSec: Double, gcMs: Long, cores: Int): Boolean =
+    wallSec >= 5.0 && cpuSec >= 0.0 &&
+      cpuSec / wallSec < cores / 8.0 &&
+      gcMs < 0.2 * wallSec * 1000.0
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -143,9 +159,22 @@ object Bench {
       .mkString("{", ",", "}")
     val ctl = ratios.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Row-level contention forensics: count + name the rows matching
+    // the CPU-steal signature so a contended artifact self-labels
+    // (BENCH_r09/r10 both shipped poisoned numbers that needed the
+    // appendix recipe by hand).
+    val nCores = cpus.toInt
+    val suspects = all.filter(r => hostSuspect(r.sec, r.cpuSec, r.gcMs, nCores))
+    if (suspects.nonEmpty)
+      System.err.println(s"BENCH HOST-SUSPECT ROWS (${suspects.size}): " +
+        suspects.map(_.name).mkString(", ") +
+        " — wall >> cpu/cores with flat GC; treat this artifact as contended")
+    val suspectNames = suspects.map(r => "\"" + r.name + "\"")
+      .mkString("[", ",", "]")
     val total = all.map(_.sec).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""controls_ok":$controlsOk,"control_ratios":$ctl,""" +
+      s""""host_suspect_rows":${suspects.size},"host_suspect":$suspectNames,""" +
       s""""gc_ms":$gcs,"cpu_sec":$cpu,"sf":"$sfDir"}"""
     println(json)
     // Also persist the artifact: the driver captures only a bounded tail

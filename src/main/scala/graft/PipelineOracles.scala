@@ -3848,7 +3848,7 @@ FROM ar ORDER BY tau_tenths"""
     s"""WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY 1),
 n AS (SELECT source, n_docs,
-  CAST(${h60(s"'$salt' || source")} AS DOUBLE) /
+  (CAST(${h60(s"'$salt' || source")} AS DOUBLE) + 0.5) /
     CAST(${1L << 60} AS DOUBLE) - 0.5 AS d FROM cnt)
 SELECT source, n_docs,
   ROUND(CAST(n_docs AS DOUBLE) +

@@ -1782,6 +1782,7 @@ object Corpus {
     * bounded aggregates per k. */
   def kAnonymity(docs: DataFrame, bucket: Long = 100L,
                  ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    require(ks.nonEmpty, "kAnonymity needs at least one k")
     val cls = docs
       .select(col("lang"), col("source"),
         expr(s"CAST(n_chars AS BIGINT) DIV $bucket").as("len_b"))
@@ -1800,21 +1801,26 @@ object Corpus {
     }.reduce(_ unionByName _).orderBy("k")
   }
 
-  /** Differentially-private per-source histogram via the Laplace
-    * mechanism with DETERMINISTIC inverse-CDF noise: u = h/2⁶⁰ from
-    * the salted 60-bit hash of the source name, noise = −(1/ε)·
+  /** ==== NOT DIFFERENTIAL PRIVACY — Laplace-mechanism DEMO ====
+    * Per-source histogram with DETERMINISTIC inverse-CDF "noise":
+    * u = (h+½)/2⁶⁰ from the salted 60-bit hash of the source name
+    * (the +½ keeps u strictly inside (0,1), so the quantile transform
+    * can never hit ln(0) = −∞ at either tail), noise = −(1/ε)·
     * sign(u−½)·ln(1−2|u−½|) — the exact Laplace quantile transform,
     * bit-identical across engines because both apply the same ln to
-    * the same hash-derived double. Mechanism DEMO: the true count is
-    * emitted beside the noised one for auditability here; a real
-    * release drops it (and re-salts per release — a fixed salt reuses
-    * its privacy budget). Sensitivity 1 (one document moves one
-    * count), so b = 1/ε. One groupBy; |S|-bounded output. */
+    * the same hash-derived double. This provides NO privacy guarantee:
+    * the noise is a deterministic function of the group key (an
+    * adversary recomputes it exactly), and the TRUE count is emitted
+    * beside the noised one. It demonstrates the mechanism's algebra /
+    * plan shape only; a real ε-DP release draws fresh randomness per
+    * release, drops the true count, and never reuses a salt (a fixed
+    * salt reuses its privacy budget). Sensitivity 1 (one document
+    * moves one count), so b = 1/ε. One groupBy; |S|-bounded output. */
   def dpHistogram(docs: DataFrame, epsilon: Double = 1.0,
                   salt: String = "dp:"): DataFrame = {
     require(epsilon > 0.0, "epsilon must be positive")
     val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val u = hash60(col("source"), salt).cast("double") /
+    val u = (hash60(col("source"), salt).cast("double") + lit(0.5)) /
       lit((1L << 60).toDouble)
     val d = u - lit(0.5)
     val noise = when(d >= 0.0, -log(lit(1.0) - lit(2.0) * d))

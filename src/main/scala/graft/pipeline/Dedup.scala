@@ -508,6 +508,7 @@ object Dedup {
                    tauNum: Int = 1, tauDen: Int = 2,
                    hashedIn: Option[DataFrame] = None,
                    shArrIn: Option[DataFrame] = None): DataFrame = {
+    require(bandings.nonEmpty, "bandingCurve needs at least one (bands, rows) tiling")
     val hashed = hashedIn.getOrElse(hashedShingles(docs))
     val sigs = minhashSignatures(docs, k, Some(hashed))
     val pairsBy = bandings.map { case (b, r) =>

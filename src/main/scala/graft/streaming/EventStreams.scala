@@ -1212,7 +1212,7 @@ object EventStreams {
       .groupBy("event_type").agg(count(lit(1)).as("n_first"))
     val vol = e.groupBy("event_type").agg(count(lit(1)).as("n_ev"))
     val tot = first.agg(sum("n_first").as("n_users"))
-      .crossJoin(vol.agg(sum("n_ev").as("n_events")))
+      .crossJoin(broadcast(vol.agg(sum("n_ev").as("n_events"))))
     first.join(vol, Seq("event_type"))
       .crossJoin(broadcast(tot))
       .select(col("event_type"), col("n_first").cast("long").as("n_first"),
