@@ -353,6 +353,34 @@ pn AS (SELECT ${PartTag * TAG} + CAST(p_partkey AS BIGINT) AS id FROM part)
 SELECT pn.id, COALESCE(mv.community, pn.id) AS community
 FROM pn LEFT JOIN mv ON mv.id = pn.id"""
 
+  /** Multi-level Louvain mirror: `levels` unrolled (move, coarsen)
+    * blocks — each level's move is the same deterministic max-weight
+    * argmax as [[louvainSql]] (communities are singletons at every
+    * level start, so the weighted-community argmax IS the max-weight-
+    * neighbor argmax), then edges contract through the assignment and
+    * intra-community edges drop. MATERIALIZED per level: e/a frames
+    * are referenced 2-3 times each and DuckDB inlines plain CTEs. */
+  def louvainMultiSql(levels: Int): String = {
+    val sb = new StringBuilder(s"WITH ${DerivedGraphs.cooccurAllSql}")
+    sb ++= s",\npn AS (SELECT ${PartTag * TAG} + CAST(p_partkey AS BIGINT) AS id FROM part)"
+    sb ++= ",\nm0 AS (SELECT id, id AS c FROM pn)"
+    sb ++= ",\ne0 AS MATERIALIZED (SELECT src, dst FROM psymall)"
+    for (l <- 1 to levels) {
+      sb ++= s""",
+w$l AS (SELECT src, dst, COUNT(*) AS wt FROM e${l - 1} GROUP BY 1, 2),
+a$l AS MATERIALIZED (SELECT src AS id, dst AS community FROM (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY wt DESC, dst ASC) AS rn
+  FROM w$l) t WHERE rn = 1),
+m$l AS MATERIALIZED (SELECT m.id, COALESCE(a.community, m.c) AS c
+  FROM m${l - 1} m LEFT JOIN a$l a ON a.id = m.c),
+e$l AS MATERIALIZED (SELECT sa.community AS src, sb.community AS dst
+  FROM e${l - 1} e JOIN a$l sa ON e.src = sa.id JOIN a$l sb ON e.dst = sb.id
+  WHERE sa.community <> sb.community)"""
+    }
+    sb ++= s"\nSELECT id, CAST(c AS BIGINT) AS community FROM m$levels ORDER BY id"
+    sb.toString
+  }
+
   /** Global triangle count + global clustering coefficient on the simple
     * co-occurrence graph. */
   val trianglesSql: String =
@@ -1167,6 +1195,30 @@ SELECT CAST(SUM(cn * (cn - 1)) // 4 AS BIGINT) AS squares,
   CAST(MAX(cn) AS BIGINT) AS max_cn,
   CAST(SUM(CASE WHEN cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS linked_pairs
 FROM cn"""
+
+  /** Hub-capped square-census mirror: same wedge close on the induced
+    * degree ≤ cap subgraph, plus the excluded-hub count. */
+  def squareCountCappedSql(cap: Long): String =
+    s"""WITH ${graft.graph.DerivedGraphs.tradeTopSql()},
+pe AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ttedges WHERE src <> dst),
+psq AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe),
+dg AS (SELECT src, COUNT(*) AS deg FROM psq GROUP BY 1),
+kept AS (SELECT src FROM dg WHERE deg <= $cap),
+e AS (SELECT src, dst FROM psq
+  WHERE src IN (SELECT src FROM kept) AND dst IN (SELECT src FROM kept)),
+cn AS (SELECT e1.dst AS u, e2.dst AS w, COUNT(*) AS cn
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2),
+s AS (SELECT CAST(COALESCE(SUM(cn * (cn - 1)), 0) AS BIGINT) AS s4,
+  CAST(COALESCE(MAX(cn), 0) AS BIGINT) AS max_cn,
+  CAST(COALESCE(SUM(CASE WHEN cn >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS linked_pairs FROM cn),
+h AS (SELECT CAST(COALESCE(SUM(CASE WHEN deg > $cap THEN 1 ELSE 0 END), 0)
+    AS BIGINT) AS n_hubs_excluded FROM dg)
+SELECT CAST(s4 // 4 AS BIGINT) AS squares, s.max_cn, s.linked_pairs,
+  h.n_hubs_excluded, CAST($cap AS BIGINT) AS max_deg
+FROM s CROSS JOIN h"""
 
   /** Degree-distribution summary mirror: same degree-class entropy and
     * density closed forms. */

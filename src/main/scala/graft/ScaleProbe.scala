@@ -417,15 +417,19 @@ object ScaleProbe {
         // K× vectors + one extra n·k distance pass; histogram output
         // is k×10-bounded — expect ~linear
         time("silhouette")(graft.pipeline.Similarity
-          .silhouetteExact(emb)))
-        // square_count deliberately NOT probed on the co-occurrence
-        // replicas: measured once (round 10, quiet host) at 40 s →
-        // 219 s for K=4 — on a near-complete 20k-node graph the
-        // co-neighbor pair frame approaches n²/2 and spills, which is
-        // the operator's honest dense-graph property, not a plan
-        // defect; the bench row runs the sparse trade-top motif graph
-        // and dense-graph use needs degree capping/sampling (the
-        // edge_jaccard family, one rung heavier)
+          .silhouetteExact(emb)),
+        // square_count (exact) deliberately NOT probed on the
+        // co-occurrence replicas: measured once (round 10, quiet host)
+        // at 40 s → 219 s for K=4 — on a near-complete 20k-node graph
+        // the co-neighbor pair frame approaches n²/2 and spills, which
+        // is the operator's honest dense-graph property, not a plan
+        // defect; the bench row runs the sparse trade-top motif graph.
+        // The CAPPED variant is the production answer and IS probed:
+        // the degree ≤ 64 induced subgraph bounds the wedge frame at
+        // |V|·64² regardless of the hub profile — expect ~linear
+        // (degree prefilter scan) over K disjoint replicas
+        time("square_count_capped")(graft.algorithms.Structure
+          .squareCountCapped(pairs, 64L)))
     }
 
     val t1 = (corpusTimes(1) ++ extraTimes(1)).filter(_._2 >= 0)

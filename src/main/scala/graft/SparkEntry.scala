@@ -314,6 +314,13 @@ object SparkEntry {
         GraphBuilder.table(s, d, "part")
           .select((lit(PartTag * TAG) + col("p_partkey")).as("id")),
         DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)), 1)),
+    // the full multi-level loop (3 move+coarsen levels) the reference's
+    // single pass is level 1 of; same node universe / edge multigraph
+    "q_louvain_multi" -> ((s, d) =>
+      Community.louvainMulti(
+        GraphBuilder.table(s, d, "part")
+          .select((lit(PartTag * TAG) + col("p_partkey")).as("id")),
+        DerivedGraphs.sym(DerivedGraphs.partCooccurAll(s, d)), 3)),
     // depth 24 = n-1 on the 25-node graph, a hard eccentricity bound;
     // levels past the true fixpoint are empty no-ops in both engines
     "q_closeness" -> ((s, d) =>
@@ -761,6 +768,16 @@ object SparkEntry {
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct())),
+    // cap 24 = n−1 on the 25-nation graph, so the capped census equals
+    // the exact one here (n_hubs_excluded = 0 pins that in the oracle);
+    // the cap's scale behavior is certified by the dense-replica probe
+    "q_square_count_capped" -> ((s, d) =>
+      algorithms.Structure.squareCountCapped(
+        DerivedGraphs.nationTradeTop(s, d)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct(), 24L)),
     "q_graph_entropy" -> ((s, d) =>
       algorithms.Structure.graphEntropy(DerivedGraphs.partCooccur(s, d))),
     "q_silhouette" -> ((s, d) =>
@@ -1226,6 +1243,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_kcore" -> Oracles.kcoreSql(80, 10),
     "q_core_numbers" -> Oracles.coreNumbersSql(48),
     "q_louvain" -> Oracles.louvainSql,
+    "q_louvain_multi" -> Oracles.louvainMultiSql(3),
     "q_closeness" -> Oracles.closenessSql(24),
     "q_eccentricity" -> Oracles.eccentricitySql(24),
     "q_diameter" -> Oracles.diameterSql(24),
@@ -1352,6 +1370,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_brown_forsythe" -> PipelineOracles.brownForsytheSql,
     "q_jarque_bera" -> PipelineOracles.jarqueBeraSql,
     "q_square_count" -> Oracles.squareCountSql,
+    "q_square_count_capped" -> Oracles.squareCountCappedSql(24L),
     "q_graph_entropy" -> Oracles.graphEntropySql,
     "q_silhouette" -> PipelineOracles.silhouetteSql(8, 3, 1000),
     "q_phrase_stats" -> PipelineOracles.phraseStatsSql(5L, 5.0, 20),

@@ -250,6 +250,52 @@ object Community {
     nodes.select("id").join(louvain(symEdges, passes), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("community"), col("id")).as("community"))
 
+  /** MULTI-LEVEL Louvain — the full loop the reference's single pass
+    * (louvain.rs:6) is one level of: at each level apply the
+    * deterministic synchronous move rule ([[louvain]], one pass), then
+    * COARSEN — contract every community to a super-node and aggregate
+    * the edge multiset between communities (intra-community edges
+    * drop; multiplicity is the coarse weight, exactly the Blondel et
+    * al. 2008 phase-2 contraction) — and repeat on the coarse
+    * multigraph for `levels` levels. The returned assignment maps each
+    * ORIGINAL node to its top-level super-community (the composition
+    * of the per-level moves); isolated nodes stay singletons at every
+    * level.
+    *
+    * Deterministic end to end: each level's move is the max-incident-
+    * multiplicity argmax with smallest-community-id ties, and the
+    * contraction introduces no order dependence (a community's
+    * super-node id IS the community id). Dual-regime for free: each
+    * level's move pass runs through [[louvain]], which gates between
+    * the driver kernel and the two-level distributed aggregation.
+    *
+    * Scale: level ℓ's coarsening is two hash joins on the level-ℓ edge
+    * frame (strictly shrinking — coarse edges ≤ input edges, and in
+    * practice orders of magnitude fewer after one level); the mapping
+    * composition is one |V|-row join per level. localCheckpoint per
+    * level cuts the lineage the way every iterative kernel here does. */
+  def louvainMulti(nodes: DataFrame, symEdges: DataFrame,
+                   levels: Int): DataFrame = {
+    require(levels >= 1, "louvainMulti needs levels >= 1")
+    var e = symEdges.select("src", "dst")
+    var m = nodes.select(col("id"), col("id").as("c"))
+    for (_ <- 1 to levels) {
+      val a = louvain(e, 1).localCheckpoint()
+      // compose: nodes whose current super-node moved follow it;
+      // isolated super-nodes (absent from the edge universe) stay put
+      m = m.join(a.withColumnRenamed("id", "c"), Seq("c"), "left_outer")
+        .select(col("id"), coalesce(col("community"), col("c")).as("c"))
+        .localCheckpoint()
+      val aSrc = a.select(col("id").as("src"), col("community").as("csrc"))
+      val aDst = a.select(col("id").as("dst"), col("community").as("cdst"))
+      e = e.join(aSrc, Seq("src")).join(aDst, Seq("dst"))
+        .filter(col("csrc") =!= col("cdst"))
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .localCheckpoint()
+    }
+    m.select(col("id"), col("c").as("community"))
+  }
+
   /** SCC count / single-SCC test (reference scc.rs:160 count_scc, :233
     * is_strongly_connected) on top of scc. */
   def countScc(nodes: DataFrame, edges: DataFrame): Long =

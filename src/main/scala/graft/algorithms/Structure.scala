@@ -964,6 +964,51 @@ object Structure {
         col("linked_pairs"))
   }
 
+  /** Hub-capped square census — the PRODUCTION variant of
+    * [[squareCount]] for dense graphs: the exact census's co-neighbor
+    * pair frame approaches n²/2 when hubs exist (measured 40 s → 219 s
+    * at K=4 dense replicas), because one degree-d center emits d²
+    * wedge rows. Here nodes of degree > `maxDeg` are EXCLUDED first
+    * and the exact census runs on the induced ≤ maxDeg-degree
+    * subgraph — the same hot-key-cap discipline as winnowPairs' maxDf
+    * and linkPredict's hub cap. Semantics: squares all four of whose
+    * corners have (full-graph) degree ≤ maxDeg — a hub-free
+    * quadrilateral census, which equals the exact census whenever
+    * maxDeg ≥ the graph's max degree (the spec-pinned equivalence).
+    * `n_hubs_excluded` reports what the cap dropped, so a reader knows
+    * whether the number is exact (0 excluded) or hub-censored.
+    *
+    * Scale: the induced subgraph has max degree ≤ maxDeg by
+    * construction, so the wedge frame is ≤ |V|·maxDeg² rows — bounded
+    * per node regardless of the hub profile; the degree prefilter is
+    * one groupBy + two semi-joins. */
+  def squareCountCapped(pairs: DataFrame, maxDeg: Long): DataFrame = {
+    require(maxDeg >= 1L, "squareCountCapped needs maxDeg >= 1")
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val kept = deg.filter(col("deg") <= maxDeg).select("src")
+    val nHubs = deg.agg(
+      sum(when(col("deg") > maxDeg, 1L).otherwise(0L)).as("h"))
+      .select(coalesce(col("h"), lit(0L)).as("n_hubs_excluded"))
+    val e = sym
+      .join(kept, Seq("src"), "left_semi")
+      .join(kept.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    val e1 = e.select(col("src").as("v"), col("dst").as("u"))
+    val e2 = e.select(col("src").as("v"), col("dst").as("w"))
+    val cn = e1.join(e2, Seq("v")).filter(col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+    cn.agg(coalesce(sum(col("cn") * (col("cn") - 1)), lit(0L)).as("s4"),
+        coalesce(max("cn"), lit(0L)).as("max_cn"),
+        coalesce(sum(when(col("cn") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("linked_pairs"))
+      .crossJoin(broadcast(nHubs))
+      .select(expr("s4 DIV 4").as("squares"), col("max_cn").cast("long").as("max_cn"),
+        col("linked_pairs").cast("long").as("linked_pairs"),
+        col("n_hubs_excluded").cast("long").as("n_hubs_excluded"),
+        lit(maxDeg).as("max_deg"))
+  }
+
   /** Whole-graph degree-distribution summary: node/edge counts, mean
     * degree, simple-graph density 2m/(n(n−1)), and the Shannon entropy
     * of the degree distribution (H = −Σ p_k ln p_k over degree

@@ -176,6 +176,38 @@ class AlgorithmsSpec extends SparkSpec {
     assert(cE == Set(1L, 2L, 3L))
   }
 
+  test("louvainMulti: levels=1 equals one-pass louvain; isolated nodes survive") {
+    val e = symm(edges(1L -> 2L, 2L -> 3L))
+    val one = Community.louvain(ids(1, 2, 3, 99), e, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = Community.louvainMulti(ids(1, 2, 3, 99), e, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == one)
+    assert(multi(99L) == 99L)
+  }
+
+  test("louvainMulti: coarsened weights drive level 2 (two triangles + bridge)") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4. Level 1 (all weights
+    // tie -> smallest neighbor): a1 = {1->2, 2->1, 3->1, 4->3, 5->4,
+    // 6->4}; coarse multigraph: 1-2 (w2), 1-3 (w1), 3-4 (w2). Level 2:
+    // super-node 3 picks 4 (w2 beats w1 toward 1) — the accumulated
+    // contraction weight decides, which is exactly what separates
+    // multi-level from iterated one-pass moves. Composed mapping:
+    val e = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L, 3L -> 4L))
+    val m2 = Community.louvainMulti(ids(1, 2, 3, 4, 5, 6), e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // iterated one-pass WITHOUT coarsening differs (no weight pooling)
+    val twoPass = Community.louvain(ids(1, 2, 3, 4, 5, 6), e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 != twoPass)
+    // deterministic across runs
+    val again = Community.louvainMulti(ids(1, 2, 3, 4, 5, 6), e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == again)
+  }
+
   test("louvain passes stay inside components and are deterministic") {
     // two disconnected triangles: communities can never cross
     val e = symm(edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
@@ -669,6 +701,30 @@ class AlgorithmsSpec extends SparkSpec {
     assert(Structure.squareCount(c4).collect()(0).getAs[Long]("squares") == 1L)
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     assert(Structure.squareCount(path).collect()(0).getAs[Long]("squares") == 0L)
+  }
+
+  test("squareCountCapped: equals exact when cap >= max degree; excludes hubs below") {
+    // C4 (all degrees 2) + hub 9 wired to every corner: hub degree 4,
+    // corners degree 3. Exact census: the C4 square + squares through
+    // the hub (hub is a common neighbor of every corner pair).
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("a", "b")
+    val exact = Structure.squareCount(g).collect()(0)
+    // cap >= max degree (4): identical counts, zero excluded
+    val full = Structure.squareCountCapped(g, 4L).collect()(0)
+    assert(full.getAs[Long]("squares") == exact.getAs[Long]("squares"))
+    assert(full.getAs[Long]("max_cn") == exact.getAs[Long]("max_cn"))
+    assert(full.getAs[Long]("linked_pairs") == exact.getAs[Long]("linked_pairs"))
+    assert(full.getAs[Long]("n_hubs_excluded") == 0L)
+    // cap 3 drops the degree-4 hub: only the pure C4 square survives
+    val capped = Structure.squareCountCapped(g, 3L).collect()(0)
+    assert(capped.getAs[Long]("n_hubs_excluded") == 1L)
+    assert(capped.getAs[Long]("squares") == 1L)
+    assert(capped.getAs[Long]("squares") < exact.getAs[Long]("squares"))
+    // cap 1 empties the wedge frame entirely: zero-row-safe
+    val empty = Structure.squareCountCapped(g, 1L).collect()(0)
+    assert(empty.getAs[Long]("squares") == 0L && empty.getAs[Long]("max_cn") == 0L)
+    assert(empty.getAs[Long]("n_hubs_excluded") == 5L)
   }
 
   test("graphEntropy: regular graph has zero degree entropy, correct density") {
