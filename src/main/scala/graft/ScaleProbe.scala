@@ -327,6 +327,18 @@ object ScaleProbe {
         // replicas = K× more orders over the SAME part catalog: item
         // counts grow K, per-order pair expansion is basket-bounded,
         // pair-group count is catalog-bounded — expect ~linear
+        // perceptual image dedup: one REAL PNG encode+decode+dHash per
+        // doc (map-side, constant per row) + the 4x16 hamming-blocked
+        // pair join; replica families are disjoint (doc_id offsets are
+        // multiples of 4) so pair volume grows linearly — expect
+        // ~linear, decode-bound
+        time("image_dedup")(graft.pipeline.Multimodal.imageDedupPairs(
+          graft.pipeline.Multimodal.syntheticImageCorpus(docs, "doc_id"), 3)),
+        // audio twin: one WAV synth+decode+band-energy hash per doc
+        // (map-side, constant per row) + the same blocked pair join —
+        // expect ~linear, decode-bound like image_dedup
+        time("audio_dedup")(graft.pipeline.Multimodal.audioDedupPairs(
+          graft.pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3)),
         time("basket_pairs") {
           val li = (0 until rep).map { r =>
             liBase.select(

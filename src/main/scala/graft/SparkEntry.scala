@@ -1021,6 +1021,31 @@ object SparkEntry {
     // media schema + mapPartitions batch plumbing end-to-end; the
     // decode inside is the documented deterministic stub, and Java
     // wrap-around hash semantics aren't expressible in the oracle
+    // rows-only driver check (no oracleSql): the pixels come from REAL
+    // PNG payloads through the REAL ImageIO decode + integer-grid
+    // dHash — DuckDB can decode none of it. Deterministic synthetic
+    // near-dup families (4 docs per family, one exact-dup pair each)
+    // → hamming-blocked pairs → the per-hamming histogram a dedup
+    // config reads. Hash values + blocking completeness spec-pinned in
+    // MultimodalSpec.
+    "q_image_dedup" -> ((s, d) =>
+      pipeline.Multimodal.imageDedupPairs(
+        pipeline.Multimodal.syntheticImageCorpus(
+          GraphBuilder.table(s, d, "documents"), "doc_id"), 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy("hamming")),
+    // rows-only driver check (no oracleSql): REAL WAV payloads through
+    // the REAL javax.sound.sampled decode + integer band-energy sign
+    // hash — same contract as q_image_dedup; spec-pinned in
+    // MultimodalSpec.
+    "q_audio_dedup" -> ((s, d) =>
+      pipeline.Multimodal.audioDedupPairs(
+        pipeline.Multimodal.syntheticAudioCorpus(
+          GraphBuilder.table(s, d, "documents"), "doc_id"), 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy("hamming")),
     "q_multimodal" -> ((s, d) => {
       val implicits = s.implicits
       import implicits._

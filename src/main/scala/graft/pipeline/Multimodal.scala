@@ -549,4 +549,346 @@ object Multimodal {
       .filter(col("kind") === "video")
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  // ==== Perceptual image hashing + near-dup detection ====
+  // The missing modality of the dedup matrix (text ✓ MinHash/SimHash,
+  // embeddings ✓ cosine-LSH): a multimodal training pipeline dedups
+  // IMAGES too. dHash/aHash over the REAL decoded raster (same ImageIO
+  // path as extractFeatures), hamming-blocked candidate pairs reusing
+  // the SimHash pigeonhole discipline.
+
+  /** Deterministic gw×gh grayscale grid of a decoded raster: integer
+    * Rec.601 luma (299·R + 587·G + 114·B, kept in milli-luma 0..255000)
+    * box-filter-averaged per cell with floor division. Deliberately NOT
+    * Graphics2D (its scaler is implementation/JVM-flag dependent) —
+    * pure integer arithmetic makes every perceptual hash below
+    * bit-identical across machines. Cell (gx, gy) covers pixels
+    * [gx·w/gw, (gx+1)·w/gw) × [gy·h/gh, (gy+1)·h/gh) (at least one
+    * pixel each — requires w ≥ gw, h ≥ gh handled by clamping). */
+  def lumaGrid(img: java.awt.image.BufferedImage,
+                                 gw: Int, gh: Int): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = (gy.toLong * h / gh).toInt
+      val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / gh).toInt)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = (gx.toLong * w / gw).toInt
+        val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / gw).toInt)
+        var sum = 0L
+        var cnt = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            cnt += 1; x += 1
+          }
+          y += 1
+        }
+        out(gy * gw + gx) = if (cnt == 0) 0L else sum / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash): 9×8 luma grid, bit (x, y) set iff
+    * the cell to the right is strictly brighter — the horizontal
+    * gradient signature, robust to global brightness/contrast shifts
+    * and (with the integer grid) fully deterministic. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** 64-bit average hash (aHash): 8×8 luma grid, bit set iff the cell
+    * is strictly brighter than the (floor) grid mean. */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val g = lumaGrid(img, 8, 8)
+    val mean = g.sum / 64L
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (g(i) > mean) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** Per-image perceptual hashes over the REAL decode path: one row per
+    * image-kind payload ImageIO accepts — (media_id, dhash, ahash,
+    * width, height). Undecodable rows are dropped (survivor count = the
+    * decode-health signal, the audioStats discipline). mapPartitions so
+    * a heavier codec would init once per partition. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { r =>
+        decodeImage(r.media).map { img =>
+          (r.media_id, dHash64(img), aHash64(img), img.getWidth, img.getHeight)
+        }
+      }
+    }.toDF("media_id", "dhash", "ahash", "width", "height")
+  }
+
+  /** Hamming-blocked candidate pairs over a 64-bit hash column — the
+    * pigeonhole blocking of [[graft.pipeline.Dedup.simhashPairs]]
+    * lifted to 64 bits: 4 chunks of 16 bits; any pair within hamming
+    * ≤ 3 agrees on at least one full chunk (≤ 3 flipped bits cannot
+    * touch all 4 chunks), so the equi-join on (chunk, value) is
+    * COMPLETE for maxHamming ≤ 3 and never all-pairs. Exact hamming is
+    * verified per candidate with one codegen'd bit_count. Ties of
+    * identical hashes land in the same bucket — output is bounded by
+    * the true near-dup volume, a data property not a plan one. */
+  def hammingPairs64(hashed: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "hammingPairs64's 4x16-bit blocking is complete only for maxHamming <= 3")
+    val h = hashed.select(col(idCol).as("id"), col(hashCol).as("h"))
+    val chunks = (0 until 4).map { c =>
+      h.select(col("id"), lit(c).cast("long").as("chunk"),
+        shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"),
+        col("h"))
+    }.reduce(_ unionByName _)
+    chunks.select(col("chunk"), col("cv"), col("id").as("a"), col("h").as("fa"))
+      .join(chunks.select(col("chunk"), col("cv"), col("id").as("b"),
+        col("h").as("fb")), Seq("chunk", "cv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Perceptual near-duplicate image pairs: [[imageHashes]] dHash →
+    * [[hammingPairs64]]. The image twin of SimHash text dedup. */
+  def imageDedupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hammingPairs64(imageHashes(media), "media_id", "dhash", maxHamming)
+
+  /** Deterministic 16×16 RGB PNG from a 64-bit seed — the near-dup
+    * FAMILY generator behind q_image_dedup and the specs: pixel (x, y)
+    * gray level is a splitmix-style integer mix of (seed, x·16+y);
+    * `variant` inverts that many fixed seed-derived pixels, so
+    * variants of one seed are perceptual near-dups (small hamming) and
+    * different seeds are unrelated. Encoded through the real ImageIO
+    * PNG writer, so consumers exercise the REAL decode path. */
+  def syntheticPng(seed: Long, variant: Int): Array[Byte] = {
+    def mix(a: Long, b: Long): Long = {
+      var z = a ^ (b * 0x9e3779b97f4a7c15L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 256) {
+      val gray = (mix(seed, p.toLong) & 0xffL).toInt
+      img.setRGB(p % 16, p / 16, (gray << 16) | (gray << 8) | gray)
+      p += 1
+    }
+    var v = 0
+    while (v < variant) {
+      val pos = (math.abs(mix(seed, 1000L + v)) % 256L).toInt
+      val old = img.getRGB(pos % 16, pos / 16) & 0xff
+      val inv = 255 - old
+      img.setRGB(pos % 16, pos / 16, (inv << 16) | (inv << 8) | inv)
+      v += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic near-dup image corpus off a driver table: one REAL PNG
+    * payload per row, family = id DIV 4 (4 members), variant = id MOD 3
+    * (members 0 and 3 are EXACT dups; 1 and 2 near-dups) — the
+    * deterministic stand-in for a crawl's resized/re-encoded image
+    * variants, bounded pair volume (≤ 6 per family) by construction. */
+  def syntheticImageCorpus(ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "image", syntheticPng(id / 4L, (id % 3L).toInt))
+        }
+      }
+  }
+
+  // ==== Audio fingerprinting + near-dup detection ====
+  // Completes the dedup modality matrix (text ✓, embeddings ✓,
+  // images ✓ above): a chromaprint-style band-energy SIGN hash over
+  // the real javax.sound.sampled PCM decode — FFT-free, exact
+  // integers — then the same 4×16 hamming-blocked pair join.
+
+  /** 64-bit band-energy sign fingerprint of a decoded 16-bit PCM
+    * stream: the first channel's |sample| envelope is box-filtered
+    * onto a 9 (time) × 8 (sub-band) integer grid — time cell t covers
+    * samples [t·N/9, (t+1)·N/9) and band b is the b-th eighth of that
+    * cell (consecutive sub-window energy sums: the zero-phase,
+    * FFT-free stand-in for spectral bands) — and bit (t, b) is set
+    * iff energy(t+1, b) > energy(t, b): the dHash of the energy
+    * envelope, invariant to global gain-by-shift and deterministic
+    * (integer floor means end to end). None for payloads the JDK
+    * can't read or with non-16-bit encoding. The whole PCM buffers in
+    * memory (same as [[decodeAudio]]) — per-row bounded, fine for
+    * clip-scale payloads; a streaming two-pass would replace this for
+    * hour-long masters. */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val frameSize = fmt.getFrameSize
+          val bigEndian = fmt.isBigEndian
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          val pcm = buf.toByteArray
+          val nFrames = pcm.length / frameSize
+          if (nFrames < 72) None // fewer samples than grid cells
+          else {
+            // 9×8 grid of mean |sample| (integer floor), dHash over time
+            val grid = new Array[Long](72)
+            var t = 0
+            while (t < 9) {
+              val t0 = (t.toLong * nFrames / 9).toInt
+              val t1 = ((t + 1).toLong * nFrames / 9).toInt
+              val len = t1 - t0
+              var b = 0
+              while (b < 8) {
+                val s0 = t0 + (b.toLong * len / 8).toInt
+                val s1 = t0 + ((b + 1).toLong * len / 8).toInt
+                var sum = 0L
+                var f = s0
+                while (f < s1) {
+                  val off = f * frameSize
+                  val s =
+                    if (bigEndian) ((pcm(off) << 8) | (pcm(off + 1) & 0xff)).toShort
+                    else ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
+                  sum += math.abs(s.toLong)
+                  f += 1
+                }
+                grid(t * 8 + b) = if (s1 > s0) sum / (s1 - s0) else 0L
+                b += 1
+              }
+              t += 1
+            }
+            var h = 0L
+            var tt = 0
+            while (tt < 8) {
+              var b = 0
+              while (b < 8) {
+                if (grid((tt + 1) * 8 + b) > grid(tt * 8 + b))
+                  h |= 1L << (tt * 8 + b)
+                b += 1
+              }
+              tt += 1
+            }
+            Some(h)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Per-clip audio fingerprints over the REAL decode path: one row
+    * per audio-kind payload the JDK reads — (media_id, afp). Rows no
+    * reader accepts (or shorter than the 72-cell grid) are dropped —
+    * the audioStats decode-health discipline. */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { r => audioFingerprint(r.media).map(h => (r.media_id, h)) }
+    }.toDF("media_id", "afp")
+  }
+
+  /** Near-duplicate audio pairs: [[audioFingerprints]] →
+    * [[hammingPairs64]] — the audio twin of [[imageDedupPairs]]. */
+  def audioDedupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hammingPairs64(audioFingerprints(media), "media_id", "afp", maxHamming)
+
+  /** Deterministic mono 16-bit WAV from a 64-bit seed: an integer
+    * triangle wave (period and amplitude seed-derived — NO
+    * platform-sensitive trig anywhere) of 3600 samples at 8 kHz;
+    * `variant` boosts the energy of grid cell (t = variant,
+    * b = variant) by 25% (integer s + s/4), flipping at most the two
+    * gradient bits that touch that cell — a near-dup by construction.
+    * Encoded through the real JDK WAV writer so consumers exercise
+    * the REAL decode path. */
+  def syntheticWav(seed: Long, variant: Int): Array[Byte] = {
+    def mix(a: Long, b: Long): Long = {
+      var z = a ^ (b * 0x9e3779b97f4a7c15L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val n = 3600
+    val period = 40 + (math.abs(mix(seed, 1L)) % 64L).toInt * 2
+    val amp = 8000 + (math.abs(mix(seed, 2L)) % 8000L).toInt
+    val pcm = new Array[Byte](n * 2)
+    // the boosted cell's sample range (t = b = variant), matching the
+    // fingerprint's integer grid bounds exactly
+    val t0 = variant.toLong * n / 9; val t1 = (variant + 1).toLong * n / 9
+    val len = t1 - t0
+    val b0 = t0 + variant.toLong * len / 8
+    val b1 = t0 + (variant + 1).toLong * len / 8
+    var i = 0
+    while (i < n) {
+      val ph = i % period
+      val tri = if (ph < period / 2) ph * 4 - period else period * 3 - ph * 4
+      // slow seed-derived AM (×12/16..×19/16 per 200-sample block):
+      // a FLAT envelope would leave all 72 cell energies near-equal,
+      // collapse many seeds onto the same sign hash, and send the
+      // blocked join quadratic on that bucket — the modulation keeps
+      // fingerprints well-spread across seeds
+      val f = 12 + (math.abs(mix(seed, 100L + i / 200)) % 8L).toInt
+      var s = tri * amp / period * f / 16
+      if (variant > 0 && i >= b0 && i < b1) s += s / 4
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Synthetic near-dup audio corpus — the WAV twin of
+    * [[syntheticImageCorpus]]: family = id DIV 4, variant = id MOD 3
+    * (one exact-dup pair per full family, the rest near-dups). */
+  def syntheticAudioCorpus(ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "audio", syntheticWav(id / 4L, (id % 3L).toInt))
+        }
+      }
+  }
 }

@@ -422,6 +422,163 @@ class MultimodalSpec extends SparkSpec {
     assert(thumb.getWidth == 8 && thumb.getHeight == 4)
   }
 
+  test("dHash64/aHash64: pinned values on gradient and half-plane rasters") {
+    // horizontal ramp (brighter to the right): every right-neighbor
+    // cell is strictly brighter -> all 64 dHash bits set
+    val ramp = new java.awt.image.BufferedImage(
+      18, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 18; y <- 0 until 8) {
+      val g = x * 14
+      ramp.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    assert(Multimodal.dHash64(ramp) == -1L)
+    // vertical ramp: zero horizontal gradient -> dHash 0
+    val vert = new java.awt.image.BufferedImage(
+      18, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 18; y <- 0 until 8) {
+      val g = y * 30
+      vert.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    assert(Multimodal.dHash64(vert) == 0L)
+    // left half black / right half white, 16x16: aHash bits set exactly
+    // on grid columns 4..7 of each row -> 0xf0 per row byte
+    val half = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 16)
+      half.setRGB(x, y, if (x >= 8) 0xffffff else 0x000000)
+    assert(Multimodal.aHash64(half) == 0xf0f0f0f0f0f0f0f0L)
+  }
+
+  test("lumaGrid uses integer Rec.601 box means (floor division)") {
+    // 2x1 image: pure red (299000 milli-luma) and pure blue (114000);
+    // a 1x1 grid averages them with floor division
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+    val g = Multimodal.lumaGrid(img, 1, 1)
+    assert(g.toSeq == Seq((299L * 255 + 114L * 255) / 2))
+    // 2x1 grid separates them
+    assert(Multimodal.lumaGrid(img, 2, 1).toSeq ==
+      Seq(299L * 255, 114L * 255))
+  }
+
+  test("hammingPairs64: 4x16 pigeonhole blocking is complete for hamming <= 3") {
+    val implicits = spark.implicits
+    import implicits._
+    val base = 0x123456789abcdef0L
+    val rows = Seq(
+      1L -> base,
+      2L -> base,                                        // hamming 0
+      3L -> (base ^ 1L),                                 // hamming 1 (chunk 0)
+      4L -> (base ^ (1L << 5) ^ (1L << 21) ^ (1L << 40)), // 3 bits, 3 chunks
+      5L -> (base ^ (1L << 1) ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)), // 4 bits
+      6L -> ~base)                                       // unrelated
+    val df = rows.toDF("media_id", "h")
+    val got = Multimodal.hammingPairs64(df, "media_id", "h", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L)
+    assert(got((1L, 3L)) == 1L && got((2L, 3L)) == 1L)
+    assert(got((1L, 4L)) == 3L && got((2L, 4L)) == 3L) // bits across 3 chunks
+    assert(!got.contains((3L, 4L))) // bits {0,5,21,40}: hamming 4 -> filtered
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L ||
+      a == 6L || b == 6L }) // hamming-4 row and unrelated row pair with nobody
+    // maxHamming 0 keeps only the exact-dup pair
+    val exact = Multimodal.hammingPairs64(df, "media_id", "h", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+  }
+
+  test("imageHashes + imageDedupPairs over REAL PNG payloads") {
+    val implicits = spark.implicits
+    import implicits._
+    // two synthetic families of 4 (ids 0..7): variant = id % 3 makes
+    // (0,3) and (4,7) EXACT image dups; other within-family pairs are
+    // near-dups (a couple of inverted pixels)
+    val ids = (0L to 7L).toDF("doc_id")
+    val media = Multimodal.syntheticImageCorpus(ids, "doc_id")
+    val hashes = Multimodal.imageHashes(media)
+    assert(hashes.count() == 8L) // every PNG decodes
+    // determinism + partition independence of the hash values
+    val h1 = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.imageHashes(media.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+    assert(h1(0L) == h1(3L) && h1(4L) == h1(7L)) // exact dups hash equal
+    val pairs = Multimodal.imageDedupPairs(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 3L)) == 0L && pairs((4L, 7L)) == 0L)
+    // every surviving pair stays within its family (unrelated seeds
+    // landing within hamming 3 would be a ~2^-48 coincidence)
+    assert(pairs.keySet.forall { case (a, b) => a / 4 == b / 4 })
+    // undecodable payloads are dropped, not stubbed, by imageHashes
+    val broken = Seq(Multimodal.MediaRow(99L, "image",
+      "not a png".getBytes("UTF-8"))).toDS()
+    assert(Multimodal.imageHashes(broken).count() == 0L)
+  }
+
+  test("audioFingerprints + audioDedupPairs over REAL WAV payloads") {
+    val implicits = spark.implicits
+    import implicits._
+    // two synthetic families of 4 (ids 0..7): (0,3) and (4,7) are
+    // byte-identical WAVs; other within-family pairs are one boosted
+    // energy cell apart (<= 2 gradient bits)
+    val ids = (0L to 7L).toDF("doc_id")
+    val media = Multimodal.syntheticAudioCorpus(ids, "doc_id")
+    val fps = Multimodal.audioFingerprints(media)
+    assert(fps.count() == 8L) // every WAV decodes
+    val f1 = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f2 = Multimodal.audioFingerprints(media.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f1 == f2) // deterministic, partition-independent
+    assert(f1(0L) == f1(3L) && f1(4L) == f1(7L)) // exact dups
+    // variants flip at most 2 bits vs their family's base
+    assert(java.lang.Long.bitCount(f1(0L) ^ f1(1L)) <= 2)
+    assert(java.lang.Long.bitCount(f1(0L) ^ f1(2L)) <= 2)
+    // different seeds produce well-separated fingerprints
+    assert(java.lang.Long.bitCount(f1(0L) ^ f1(4L)) > 3)
+    val pairs = Multimodal.audioDedupPairs(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 3L)) == 0L && pairs((4L, 7L)) == 0L)
+    assert(pairs.keySet.forall { case (a, b) => a / 4 == b / 4 })
+    // undecodable / too-short payloads are dropped, not stubbed
+    val broken = Seq(
+      Multimodal.MediaRow(98L, "audio", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRow(99L, "audio", wavBytes(440.0, 0.005, 8000f, 0.5)))
+    assert(Multimodal.audioFingerprints(broken.toDS()).count() == 0L)
+  }
+
+  test("audioFingerprint is gain-shift tolerant on the sign grid") {
+    // the same envelope SHAPE at half gain flips no sign bits: scale
+    // every sample of a synthetic clip by 1/2 via a re-synthesized wav
+    val a = Multimodal.syntheticWav(7L, 0)
+    val fpA = Multimodal.audioFingerprint(a).get
+    // decode, halve, re-encode through the same JDK path
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(a))
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    val pcm = buf.toByteArray
+    var i = 0
+    while (i < pcm.length / 2) {
+      val s = (((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort / 2).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val fpHalf = Multimodal.audioFingerprint(out.toByteArray).get
+    // halving is s/2 with truncation — cell means halve (±1), so
+    // strict inequalities can flip only on near-ties: allow a couple
+    assert(java.lang.Long.bitCount(fpA ^ fpHalf) <= 4)
+  }
+
   test("frame sampling explodes every stride-th frame for videos") {
     val implicits = spark.implicits
     import implicits._
