@@ -19,13 +19,15 @@ import org.apache.spark.sql.functions._
   * duration — and VIDEO frame PIXELS are real for MJPEG (each frame a
   * complete JPEG): AVI/RIFF `movi` chunks and BMFF stsz/stsc/stco
   * sample tables are walked and every frame decoded through the same
-  * ImageIO path as still images (`videoFrames`, `videoThumbnails`).
-  * Only non-MJPEG codecs (H.264 etc.) have no JDK decoder. Payloads no
-  * parser accepts (arbitrary bytes, non-BMFF/AVI video) fall back to
-  * `decodeStub` — a deterministic fake derived from the bytes, kept so
-  * the pipeline shape is exercisable on synthetic payloads; swap it
-  * for a media library (javacv etc.) without touching the surrounding
-  * plumbing.
+  * ImageIO path as still images (`videoFrames`, `videoThumbnails`) —
+  * and for UNCOMPRESSED tracks (AVI BI_RGB 24bpp, BMFF 'raw ' sample
+  * entries): pure byte slicing, losslessly exact per-frame luma.
+  * Only entropy-coded codecs (H.264 etc.) have no JDK decoder.
+  * Payloads no parser accepts (arbitrary bytes, non-BMFF/AVI video)
+  * fall back to `decodeStub` — a deterministic fake derived from the
+  * bytes, kept so the pipeline shape is exercisable on synthetic
+  * payloads; swap it for a media library (javacv etc.) without
+  * touching the surrounding plumbing.
   */
 object Multimodal {
 
@@ -260,8 +262,29 @@ object Multimodal {
     * a chunk); samples that start with the JPEG SOI marker are MJPEG
     * frames. Empty for non-BMFF or non-MJPEG payloads. */
   private[pipeline] def bmffMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
+    bmffSamples(bytes).filter(s => isJpeg(s, 0, s.length))
+
+  /** The video trak's stsd first-entry sample format fourcc ('mp4v',
+    * 'raw ', …) — how a demuxer decides which decoder a track needs.
+    * None when the payload is not BMFF / has no stsd. */
+  def bmffSampleFormat(bytes: Array[Byte]): Option[String] =
     try {
-      val stblOpt = for {
+      videoStbl(bytes).flatMap { case (cs, ce) =>
+        boxes(bytes, cs, ce).find(_._1 == "stsd").flatMap { case (_, s, e) =>
+          // version/flags (4) + entry_count (4), then the first sample
+          // entry is itself a box: size (4) + format fourcc (4)
+          if (e - s >= 16)
+            Some(new String(bytes, s + 12, 4,
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+          else None
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** The stbl payload range of the dimensioned (video) trak. */
+  private def videoStbl(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      (for {
         (_, ms, me) <- boxes(bytes, 0, bytes.length).find(_._1 == "moov")
         trak <- boxes(bytes, ms, me).filter(_._1 == "trak").find { case (_, ts, te) =>
           boxes(bytes, ts, te).exists { case (t, s, e) =>
@@ -275,8 +298,16 @@ object Multimodal {
         (_, as, ae) <- boxes(bytes, trak._2, trak._3).find(_._1 == "mdia")
         (_, bs, be) <- boxes(bytes, as, ae).find(_._1 == "minf")
         stbl <- boxes(bytes, bs, be).find(_._1 == "stbl")
-      } yield stbl
-      stblOpt.toSeq.flatMap { case (_, cs, ce) =>
+      } yield (stbl._2, stbl._3))
+    } catch { case _: Exception => None }
+
+  /** All samples of the dimensioned (video) trak, in sample-table
+    * order, codec-agnostic: stsz sizes × stsc runs × stco/co64 chunk
+    * offsets give each sample's absolute byte range (samples are
+    * contiguous within a chunk). Empty for non-BMFF payloads. */
+  private[pipeline] def bmffSamples(bytes: Array[Byte]): Seq[Array[Byte]] =
+    try {
+      videoStbl(bytes).toSeq.flatMap { case (cs, ce) =>
         val in = boxes(bytes, cs, ce)
         val sizes = in.find(_._1 == "stsz").toSeq.flatMap { case (_, s, e) =>
           if (e - s < 12) Seq.empty
@@ -319,8 +350,7 @@ object Multimodal {
             var k = 0
             while (k < perChunk && sample < sizes.length) {
               val sz = sizes(sample)
-              if (off >= 0 && sz > 0 && off + sz <= bytes.length &&
-                  isJpeg(bytes, off.toInt, sz.toInt))
+              if (off >= 0 && sz > 0 && off + sz <= bytes.length)
                 out += java.util.Arrays.copyOfRange(
                   bytes, off.toInt, (off + sz).toInt)
               off += sz
@@ -340,6 +370,138 @@ object Multimodal {
   private[pipeline] def mjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val avi = aviMjpegFrames(bytes)
     if (avi.nonEmpty) avi else bmffMjpegFrames(bytes)
+  }
+
+  // ---- UNCOMPRESSED (raw-RGB) video-pixel decode: pure byte slicing,
+  // no codec — AVI BI_RGB 24bpp ('DIB '/fourcc-0 streams, bottom-up
+  // BGR rows DWORD-padded) and BMFF 'raw ' sample entries (top-down
+  // RGB, unpadded). Shrinks the decode stub to entropy-coded codecs
+  // (H.264 etc.) only.
+
+  /** Decoded raw video: per-frame byte planes plus the layout needed
+    * to address pixels — `bgr` (AVI order blue-green-red vs BMFF RGB),
+    * `bottomUp` (AVI rows run bottom-to-top), `stride` (AVI rows pad
+    * to 4 bytes; BMFF rows are packed). */
+  final case class RawVideo(width: Int, height: Int,
+                                              stride: Int, bgr: Boolean,
+                                              bottomUp: Boolean,
+                                              frames: Seq[Array[Byte]])
+
+  /** AVI BI_RGB detection + frame slicing: LIST hdrl → LIST strl →
+    * strh of type 'vids' followed by its strf BITMAPINFOHEADER; a raw
+    * stream has biCompression == 0 (BI_RGB) and biBitCount == 24.
+    * Frames are the '##db'/'##dc' movi chunks of exactly stride·h
+    * bytes (stride = w·3 padded to 4), bottom-up BGR — the classic
+    * uncompressed-AVI layout. None when the header says any other
+    * codec (those chunks are MJPEG's or truly undecodable). */
+  def aviRawVideo(bytes: Array[Byte]): Option[RawVideo] = {
+    if (bytes.length < 12 ||
+        new String(bytes, 0, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "RIFF" ||
+        new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "AVI ")
+      return None
+    var w = 0; var h = 0
+    var isRaw = false
+    var lastVids = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var at = start
+      var ok = true
+      while (ok && at + 8 <= end) {
+        val id = new String(bytes, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val size = le32(bytes, at + 4)
+        if (size < 0 || at + 8 + size > end) ok = false
+        else {
+          val ds = at + 8; val de = (ds + size).toInt
+          if (id == "LIST" && size >= 4) walk(ds + 4, de)
+          else if (id == "strh" && size >= 4)
+            lastVids = new String(bytes, ds, 4,
+              java.nio.charset.StandardCharsets.ISO_8859_1) == "vids"
+          else if (id == "strf" && lastVids && size >= 20) {
+            // BITMAPINFOHEADER: biWidth @4, biHeight @8, biBitCount @14,
+            // biCompression @16 (all little-endian)
+            w = le32(bytes, ds + 4).toInt
+            h = math.abs(le32(bytes, ds + 8).toInt)
+            val bitCount = (bytes(ds + 14) & 0xff) | ((bytes(ds + 15) & 0xff) << 8)
+            isRaw = le32(bytes, ds + 16) == 0L && bitCount == 24
+            lastVids = false
+          }
+          else if (id.length == 4 && id.charAt(2) == 'd' &&
+                   (id.charAt(3) == 'c' || id.charAt(3) == 'b') &&
+                   !isJpeg(bytes, ds, de - ds))
+            frames += java.util.Arrays.copyOfRange(bytes, ds, de)
+          at = de + (size & 1L).toInt
+        }
+      }
+    }
+    walk(12, bytes.length)
+    val stride = (w * 3 + 3) & ~3
+    if (isRaw && w > 0 && h > 0 &&
+        frames.nonEmpty && frames.forall(_.length == stride * h))
+      Some(RawVideo(w, h, stride, bgr = true, bottomUp = true, frames.toSeq))
+    else None
+  }
+
+  /** BMFF 'raw ' sample-entry detection: dims from the container parse,
+    * frames from the codec-agnostic sample walk — accepted only when
+    * every sample is exactly w·h·3 bytes (top-down packed RGB, the
+    * QuickTime 'raw ' 24bpp layout). */
+  def bmffRawVideo(bytes: Array[Byte]): Option[RawVideo] =
+    if (!bmffSampleFormat(bytes).contains("raw ")) None
+    else decodeVideoMeta(bytes).flatMap { v =>
+      val frames = bmffSamples(bytes)
+      if (v.width > 0 && v.height > 0 && frames.nonEmpty &&
+          frames.forall(_.length == v.width * v.height * 3))
+        Some(RawVideo(v.width, v.height, v.width * 3, bgr = false,
+          bottomUp = false, frames))
+      else None
+    }
+
+  /** Raw video of either container, AVI first (mirrors [[mjpegFrames]]
+    * precedence). */
+  def rawVideo(bytes: Array[Byte]): Option[RawVideo] =
+    aviRawVideo(bytes).orElse(bmffRawVideo(bytes))
+
+  /** Mean 8-bit Rec.601 luma of one raw frame — row order is
+    * irrelevant for a mean, channel order is not. */
+  def rawMeanLuma(rv: RawVideo, frame: Array[Byte]): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < rv.height) {
+      var x = 0
+      while (x < rv.width) {
+        val o = y * rv.stride + x * 3
+        val c0 = frame(o) & 0xff; val c1 = frame(o + 1) & 0xff
+        val c2 = frame(o + 2) & 0xff
+        val (r, g, b) = if (rv.bgr) (c2, c1, c0) else (c0, c1, c2)
+        sum += 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    math.rint(sum / (rv.width.toLong * rv.height) * 1e4) / 1e4
+  }
+
+  /** One raw frame as a BufferedImage (for the thumbnail/resize path). */
+  def rawFrameImage(rv: RawVideo,
+                                      frame: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      rv.width, rv.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < rv.height) {
+      val srcY = if (rv.bottomUp) rv.height - 1 - y else y
+      var x = 0
+      while (x < rv.width) {
+        val o = srcY * rv.stride + x * 3
+        val c0 = frame(o) & 0xff; val c1 = frame(o + 1) & 0xff
+        val c2 = frame(o + 2) & 0xff
+        val rgb = if (rv.bgr) (c2 << 16) | (c1 << 8) | c0
+                  else (c0 << 16) | (c1 << 8) | c2
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
   /** (width, height, n_frames) for one payload: a real ImageIO decode
@@ -366,7 +528,10 @@ object Multimodal {
           val frames = aviMjpegFrames(bytes)
           frames.headOption.flatMap(decodeImage) match {
             case Some(first) => (first.getWidth, first.getHeight, frames.length)
-            case None        => decodeStub(kind, bytes)
+            case None => aviRawVideo(bytes) match {
+              case Some(rv) => (rv.width, rv.height, rv.frames.length)
+              case None     => decodeStub(kind, bytes)
+            }
           }
       }
       case _ => decodeStub(kind, bytes)
@@ -502,23 +667,32 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { r =>
-        mjpegFrames(r.media).iterator.zipWithIndex.flatMap { case (jpg, i) =>
-          decodeImage(jpg).map { img =>
-            val w = img.getWidth; val h = img.getHeight
-            var sum = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                x += 1
+        val mjpeg = mjpegFrames(r.media)
+        if (mjpeg.nonEmpty)
+          mjpeg.iterator.zipWithIndex.flatMap { case (jpg, i) =>
+            decodeImage(jpg).map { img =>
+              val w = img.getWidth; val h = img.getHeight
+              var sum = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              (r.media_id, i.toLong, w, h,
+                math.rint(sum / (w.toLong * h) * 1e4) / 1e4)
             }
-            (r.media_id, i.toLong, w, h,
-              math.rint(sum / (w.toLong * h) * 1e4) / 1e4)
+          }
+        else rawVideo(r.media).iterator.flatMap { rv =>
+          // uncompressed track: the luma comes straight off the byte
+          // plane — no codec, and (unlike JPEG) losslessly exact
+          rv.frames.iterator.zipWithIndex.map { case (f, i) =>
+            (r.media_id, i.toLong, rv.width, rv.height, rawMeanLuma(rv, f))
           }
         }
       }
@@ -534,9 +708,13 @@ object Multimodal {
     require(w > 0 && h > 0, "thumbnail dims must be positive")
     media.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { r =>
-        mjpegFrames(r.media).headOption.flatMap(decodeImage).map { img =>
-          (r.media_id, img.getWidth, img.getHeight, resizeImage(img, w, h))
-        }
+        mjpegFrames(r.media).headOption.flatMap(decodeImage)
+          .orElse(rawVideo(r.media).collect {
+            case rv if rv.frames.nonEmpty => rawFrameImage(rv, rv.frames.head)
+          })
+          .map { img =>
+            (r.media_id, img.getWidth, img.getHeight, resizeImage(img, w, h))
+          }
       }
     }.toDF("media_id", "src_width", "src_height", "thumb_png")
   }

@@ -407,6 +407,138 @@ class MultimodalSpec extends SparkSpec {
     assert((stub.width, stub.height, stub.n_frames) != ((20, 10, 2)))
   }
 
+  /** Raw BI_RGB AVI: hdrl (strh 'vids' + strf BITMAPINFOHEADER,
+    * biCompression 0, 24 bpp) + movi with one 00db chunk per frame —
+    * bottom-up BGR rows DWORD-padded, the classic uncompressed-AVI
+    * layout. Each frame is a flat gray level. */
+  private def rawAviBytes(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val strh = riffChunk("strh", "vids".getBytes("ISO-8859-1") ++
+      new Array[Byte](52))
+    val bih = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0) ++ Array[Byte](24, 0) ++ le32(0) ++ // planes, bits, BI_RGB
+      le32(stride * h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strf = riffChunk("strf", bih)
+    val strl = riffChunk("LIST", "strl".getBytes("ISO-8859-1") ++ strh ++ strf)
+    val hdrl = riffChunk("LIST", "hdrl".getBytes("ISO-8859-1") ++ strl)
+    val frames = grays.map { g =>
+      val f = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        f(y * stride + x * 3 + c) = g.toByte
+      riffChunk("00db", f)
+    }
+    val movi = riffChunk("LIST",
+      "movi".getBytes("ISO-8859-1") ++ frames.flatten)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  test("videoFrames decodes UNCOMPRESSED AVI (BI_RGB) frames exactly") {
+    val implicits = spark.implicits
+    import implicits._
+    // flat-gray raw frames: mean luma is EXACT (no JPEG loss)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", rawAviBytes(5, 3, Seq(40, 128, 220))),
+      Multimodal.MediaRow(2L, "video", Array[Byte](1, 2, 3)))
+    val got = Multimodal.videoFrames(rows.toDS())
+      .orderBy("media_id", "frame_idx").collect()
+    assert(got.length == 3 && got.forall(_.getLong(0) == 1L))
+    got.foreach(r => assert(r.getInt(2) == 5 && r.getInt(3) == 3))
+    assert(got.map(_.getDouble(4)).toSeq == Seq(40.0, 128.0, 220.0))
+  }
+
+  test("raw AVI with a non-gradient pattern: BGR order + bottom-up rows honored") {
+    // 1x2 image, two frames is overkill — one frame: bottom row pure
+    // red (BGR bytes 0,0,255), top row pure blue (255,0,0); the
+    // thumbnail path must reproduce the TOP-DOWN orientation
+    val w = 1; val h = 2
+    val stride = (w * 3 + 3) & ~3
+    val f = new Array[Byte](stride * h)
+    // row 0 in the byte plane = BOTTOM row (red)
+    f(2) = -1 // R of bottom row (BGR: bytes b=0,g=1,r=2)
+    f(stride) = -1 // B of top row
+    val strh = riffChunk("strh", "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52))
+    val bih = le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0) ++
+      Array[Byte](24, 0) ++ le32(0) ++ le32(stride * h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strl = riffChunk("LIST", "strl".getBytes("ISO-8859-1") ++ strh ++
+      riffChunk("strf", bih))
+    val hdrl = riffChunk("LIST", "hdrl".getBytes("ISO-8859-1") ++ strl)
+    val movi = riffChunk("LIST", "movi".getBytes("ISO-8859-1") ++ riffChunk("00db", f))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+    val rv = Multimodal.aviRawVideo(avi).get
+    assert(rv.width == 1 && rv.height == 2 && rv.bgr && rv.bottomUp)
+    val img = Multimodal.rawFrameImage(rv, rv.frames.head)
+    assert((img.getRGB(0, 0) & 0xffffff) == 0x0000ff) // top = blue
+    assert((img.getRGB(0, 1) & 0xffffff) == 0xff0000) // bottom = red
+  }
+
+  /** BMFF with a 'raw ' stsd sample entry: top-down packed RGB
+    * samples of exactly w·h·3 bytes in mdat. */
+  private def rawMp4Bytes(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val mvhd = mkBox("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(600), be32(600L * grays.length))
+    val tkhd = mkBox("tkhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(1), be32(0), be32(600L * grays.length),
+      new Array[Byte](8 + 2 + 2 + 2 + 2 + 36),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    val stts = mkBox("stts", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(grays.length), be32(600))
+    // stsd with one 'raw ' visual sample entry (minimal body)
+    val entry = mkBox("raw ", new Array[Byte](70))
+    val stsd = mkBox("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+    val fsize = w * h * 3
+    val stsz = mkBox("stsz", Array[Byte](0, 0, 0, 0), be32(fsize),
+      be32(grays.length))
+    val stsc = mkBox("stsc", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(1), be32(grays.length), be32(1))
+    def moovOf(stco: Array[Byte]): Array[Byte] =
+      mkBox("moov", mvhd, mkBox("trak", tkhd, mkBox("mdia", mkBox("minf",
+        mkBox("stbl", stsd, stts, stsz, stsc, stco)))))
+    val probeLen = moovOf(mkBox("stco", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(0))).length
+    val moov = moovOf(mkBox("stco", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(probeLen + 8L)))
+    val frames = grays.map(g => Array.fill[Byte](fsize)(g.toByte))
+    moov ++ mkBox("mdat", frames.flatten.toArray)
+  }
+
+  test("videoFrames decodes BMFF 'raw ' sample entries exactly") {
+    val implicits = spark.implicits
+    import implicits._
+    val rows = Seq(Multimodal.MediaRow(5L, "video",
+      rawMp4Bytes(4, 2, Seq(10, 200))))
+    assert(Multimodal.bmffSampleFormat(rows.head.media).contains("raw "))
+    val got = Multimodal.videoFrames(rows.toDS())
+      .orderBy("frame_idx").collect()
+    assert(got.length == 2)
+    got.foreach(r => assert(r.getInt(2) == 4 && r.getInt(3) == 2))
+    assert(got.map(_.getDouble(4)).toSeq == Seq(10.0, 200.0))
+    // the MJPEG fixture still reports an 'mp4v'-free format: its stsd
+    // is absent, so the raw path never claims it
+    assert(Multimodal.bmffSampleFormat(mjpegMp4Bytes(
+      Seq(jpegBytes(16, 8, 90)))).isEmpty)
+  }
+
+  test("videoThumbnails + extractFeatures cover raw AVI tracks") {
+    val implicits = spark.implicits
+    import implicits._
+    val avi = rawAviBytes(6, 4, Seq(90, 150))
+    val f = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(1L, "video", avi)).toDS()).collect().head
+    assert(f.width == 6 && f.height == 4 && f.n_frames == 2)
+    val thumbs = Multimodal.videoThumbnails(
+      Seq(Multimodal.MediaRow(1L, "video", avi)).toDS(), 3, 2).collect()
+    assert(thumbs.length == 1)
+    assert(thumbs.head.getInt(1) == 6 && thumbs.head.getInt(2) == 4)
+    val png = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs.head.getAs[Array[Byte]](3)))
+    assert(png.getWidth == 3 && png.getHeight == 2)
+    // flat gray 90 survives the resize exactly
+    assert((png.getRGB(0, 0) & 0xff) == 90)
+  }
+
   test("videoThumbnails re-encodes frame 0 through the real PNG path") {
     val implicits = spark.implicits
     import implicits._
