@@ -998,6 +998,25 @@ object SparkEntry {
     "q_training_mix" -> ((s, d) =>
       Corpus.trainingMixReport(GraphBuilder.table(s, d, "documents"),
         mixWeights.toMap)),
+    // rows-only driver check (no oracleSql): the FLAGSHIP composition
+    // with the MULTIMODAL gates folded in — every near-dup image/audio
+    // member (perceptual dHash + band-energy fingerprint over real
+    // PNG/WAV payloads, min-id canonical kept) also leaves the mix.
+    // The text-gate composition stays oracle-certified via
+    // q_training_mix; the binary gates are spec-pinned
+    // (CorpusPrepSpec + MultimodalSpec).
+    "q_training_mix_mm" -> ((s, d) => {
+      val docs = GraphBuilder.table(s, d, "documents")
+      val drops = pipeline.Multimodal.imageDedupPairs(
+          pipeline.Multimodal.syntheticImageCorpus(docs, "doc_id"), 3)
+        .select(col("b").as("doc_id"))
+        .unionByName(pipeline.Multimodal.audioDedupPairs(
+            pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3)
+          .select(col("b").as("doc_id")))
+        .distinct()
+      Corpus.trainingMixReport(docs, mixWeights.toMap,
+        mediaDropIds = Some(drops))
+    }),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_mmr" -> ((s, d) =>

@@ -1363,11 +1363,19 @@ object Corpus {
     * into one pass over the corpus plus the semi-join sides the
     * dedup/decontam stages genuinely need. All joins are keyed on
     * doc_id; nothing materializes doc×doc state. */
+  /** `mediaDropIds`: optional extra exclusion frame (one doc_id
+    * column) — the hook the MULTIMODAL gates plug into (perceptual
+    * image / audio fingerprint near-dup members,
+    * `Multimodal.imageDedupPairs` / `audioDedupPairs`): one more
+    * doc_id-keyed anti-join on the survivor frame, nothing else in
+    * the plan changes. None ≡ the text-only mix (the oracle-checked
+    * q_training_mix row). */
   def trainingMixReport(docs: DataFrame,
                         weights: Map[String, Double],
                         minQuality: Double = 0.5, evalPct: Int = 5,
                         gram: Int = 24,
-                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+                        trainPct: Int = 90, valPct: Int = 5,
+                        mediaDropIds: Option[DataFrame] = None): DataFrame = {
     // exact dedup keeps each fingerprint cluster's min-id
     // REPRESENTATIVE — dedup keeps one copy of the content, it
     // doesn't erase it; only non-canonical members leave the mix
@@ -1383,13 +1391,19 @@ object Corpus {
     val evalSlice = docs.filter(
       pmod(TextOps.hash60(col("doc_id").cast("string"), "ev:"),
         lit(100L)) < evalPct).select("doc_id")
-    val survivors = TextOps.langId(docs).filter(col("matches"))
+    val textSurvivors = TextOps.langId(docs).filter(col("matches"))
       .select("doc_id", "lang")
       .join(TextOps.quality(docs).filter(col("quality") >= minQuality)
         .select("doc_id"), Seq("doc_id"))
       .join(dup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(evalSlice, Seq("doc_id"), "left_anti")
+    val survivors = mediaDropIds match {
+      case Some(ids) => textSurvivors.join(
+        ids.select(col(ids.columns.head).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      case None => textSurvivors
+    }
     mixSample(docs, weights)
       .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(splitAssign(docs, trainPct, valPct), Seq("doc_id"))

@@ -65,6 +65,44 @@ class CorpusPrepSpec extends SparkSpec {
     assert(math.abs(m(1L) - BigDecimal(expected1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("trainingMixReport mediaDropIds gate: complementary drops partition the mix") {
+    val implicits = spark.implicits
+    import implicits._
+    // 40 English docs that pass the lang/quality gates, with unique
+    // leading tokens (no exact-dup fingerprints) and per-doc salted
+    // words (no shared 24-char decontam grams)
+    val d = (0L until 40L).map { i =>
+      (i, s"doc $i alpha$i the bravo$i a charlie$i is delta$i the echo$i here", "en")
+    }.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val w = Map("en" -> 1.0)
+    def cells(df: DataFrame): Map[(String, String), (Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val plain = cells(Corpus.trainingMixReport(d, w))
+    assert(plain.values.map(_._1).sum > 10L) // the fixture isn't vacuous
+    // the gate is one anti-join on the survivor frame, so dropping the
+    // evens and dropping the odds must partition every (lang, split)
+    // cell of the plain report — additivity needs no knowledge of the
+    // other gates
+    val evens = d.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val odds = d.filter(col("doc_id") % 2 === 1).select("doc_id")
+    val mmE = cells(Corpus.trainingMixReport(d, w, mediaDropIds = Some(evens)))
+    val mmO = cells(Corpus.trainingMixReport(d, w, mediaDropIds = Some(odds)))
+    assert(mmE.values.map(_._1).sum > 0L && mmO.values.map(_._1).sum > 0L)
+    val keys = plain.keySet
+    assert(mmE.keySet.subsetOf(keys) && mmO.keySet.subsetOf(keys))
+    keys.foreach { k =>
+      val (pn, pc) = plain(k)
+      val (en_, ec) = mmE.getOrElse(k, (0L, 0L))
+      val (on_, oc) = mmO.getOrElse(k, (0L, 0L))
+      assert(en_ + on_ == pn && ec + oc == pc, s"cell $k not partitioned")
+    }
+    // dropping everything empties the mix
+    assert(Corpus.trainingMixReport(d, w,
+      mediaDropIds = Some(d.select("doc_id"))).count() == 0L)
+  }
+
   test("mix sample keeps weight-1 langs fully, weight-0 langs never") {
     val implicits = spark.implicits
     import implicits._
