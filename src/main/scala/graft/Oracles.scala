@@ -875,47 +875,57 @@ ORDER BY aa DESC, c.a ASC, c.b ASC LIMIT $n"""
     * distributed kernel exactly. */
   def misSql(): String = {
     val h = s"('0x' || substr(md5('mis:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT"
-    s"""WITH RECURSIVE ${DerivedGraphs.tradeTopSql()},
+    // UNROLLED (not recursive): the correlated-subquery-inside-
+    // WITH-RECURSIVE formulation intermittently returned a wrong row
+    // count and segfaulted DuckDB under repeated execution (round-11
+    // full-sweep flake, reproduced) — 25 plain CTE steps over a
+    // prebuilt (rk, id, nbrs) adjacency with pure list functions are
+    // bit-stable. The nation graph has exactly 25 nodes at every SF,
+    // so the unroll length is invariant.
+    val steps = (1 to 25).map { r =>
+      val p = r - 1
+      s"""m$r AS (SELECT CASE WHEN list_has_any(m$p.mis, a.nbrs) THEN m$p.mis
+    ELSE list_append(m$p.mis, a.id) END AS mis
+  FROM m$p CROSS JOIN adj a WHERE a.rk = $r)"""
+    }.mkString(",\n")
+    s"""WITH ${DerivedGraphs.tradeTopSql()},
 tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation),
 tts AS (SELECT src, dst FROM ttedges UNION SELECT dst, src FROM ttedges),
 pr AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY $h, id) AS rk FROM tn),
-step(rk, mis) AS (
-  SELECT 0, CAST([] AS BIGINT[])
-  UNION ALL
-  SELECT s.rk + 1,
-    CASE WHEN EXISTS (SELECT 1 FROM tts e
-                      WHERE e.src = (SELECT id FROM pr WHERE rk = s.rk + 1)
-                        AND list_contains(s.mis, e.dst))
-         THEN s.mis
-         ELSE list_append(s.mis, (SELECT id FROM pr WHERE rk = s.rk + 1)) END
-  FROM step s WHERE s.rk < (SELECT COUNT(*) FROM pr))
-SELECT unnest(mis) AS id FROM step WHERE rk = (SELECT COUNT(*) FROM pr)
-ORDER BY id"""
+adj AS MATERIALIZED (SELECT p.rk, p.id, COALESCE(list(e.dst), CAST([] AS BIGINT[])) AS nbrs
+  FROM pr p LEFT JOIN tts e ON e.src = p.id GROUP BY p.rk, p.id),
+m0 AS (SELECT CAST([] AS BIGINT[]) AS mis),
+$steps
+SELECT unnest(mis) AS id FROM m25 ORDER BY id"""
   }
 
   /** Sequential Jones–Plassmann replay — the coloring twin of
     * [[misSql]]: parallel-list state machine (ids, cols); step r
-    * colors node(r) with the mex of its already-colored neighbors. */
+    * colors node(r) with the mex of its already-colored neighbors.
+    * Unrolled for the same DuckDB-stability reason as [[misSql]];
+    * the mex is pure list algebra (filter/transform/min), no
+    * correlated subqueries. */
   def coloringSql(): String = {
     val h = s"('0x' || substr(md5('mis:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT"
-    s"""WITH RECURSIVE ${DerivedGraphs.tradeTopSql()},
+    val steps = (1 to 25).map { r =>
+      val p = r - 1
+      val used = s"list_transform(list_filter(a.nbrs, nb -> " +
+        s"list_contains(c$p.ids, nb)), nb -> c$p.cols[list_position(c$p.ids, nb)])"
+      val mex = s"list_min(list_filter(generate_series(CAST(0 AS BIGINT), " +
+        s"CAST(len(c$p.ids) AS BIGINT) + 1), i -> NOT list_contains($used, i)))"
+      s"""c$r AS (SELECT list_append(c$p.ids, a.id) AS ids,
+  list_append(c$p.cols, $mex) AS cols
+  FROM c$p CROSS JOIN adj a WHERE a.rk = $r)"""
+    }.mkString(",\n")
+    s"""WITH ${DerivedGraphs.tradeTopSql()},
 tn AS (SELECT ${NationTag * TAG} + CAST(n_nationkey AS BIGINT) AS id FROM nation),
 tts AS (SELECT src, dst FROM ttedges UNION SELECT dst, src FROM ttedges),
 pr AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY $h, id) AS rk FROM tn),
-step(rk, ids, cols) AS (
-  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
-  UNION ALL
-  SELECT s.rk + 1,
-    list_append(s.ids, (SELECT id FROM pr WHERE rk = s.rk + 1)),
-    list_append(s.cols, (
-      SELECT MIN(i) FROM unnest(generate_series(0, len(s.ids) + 1)) AS t(i)
-      WHERE i NOT IN (
-        SELECT s.cols[list_position(s.ids, e.dst)]
-        FROM tts e WHERE e.src = (SELECT id FROM pr WHERE rk = s.rk + 1)
-          AND list_contains(s.ids, e.dst))))
-  FROM step s WHERE s.rk < (SELECT COUNT(*) FROM pr))
-SELECT unnest(ids) AS id, unnest(cols) AS color
-FROM step WHERE rk = (SELECT COUNT(*) FROM pr) ORDER BY id"""
+adj AS MATERIALIZED (SELECT p.rk, p.id, COALESCE(list(e.dst), CAST([] AS BIGINT[])) AS nbrs
+  FROM pr p LEFT JOIN tts e ON e.src = p.id GROUP BY p.rk, p.id),
+c0 AS (SELECT CAST([] AS BIGINT[]) AS ids, CAST([] AS BIGINT[]) AS cols),
+$steps
+SELECT unnest(ids) AS id, unnest(cols) AS color FROM c25 ORDER BY id"""
   }
 
   /** Unrolled Borůvka on the weighted trade graph, mirroring
