@@ -901,7 +901,12 @@ object Multimodal {
   def syntheticImageCorpus(ids: DataFrame, idCol: String): Dataset[MediaRow] = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // encode/decode is CPU-bound per row: fan out to every core — a
+    // small parquet id source is often ONE scan partition, which
+    // would serialize the whole synthesis (measured 1.7 effective
+    // cores of 32 on the audio twin before this repartition)
     ids.select(col(idCol).cast("long").as("media_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long].mapPartitions { it =>
         it.map { id =>
           MediaRow(id, "image", syntheticPng(id / 4L, (id % 3L).toInt))
@@ -929,65 +934,114 @@ object Multimodal {
     * clip-scale payloads; a streaming two-pass would replace this for
     * hour-long masters. */
   def audioFingerprint(bytes: Array[Byte]): Option[Long] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
-        else {
-          val frameSize = fmt.getFrameSize
-          val bigEndian = fmt.isBigEndian
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          val pcm = buf.toByteArray
-          val nFrames = pcm.length / frameSize
-          if (nFrames < 72) None // fewer samples than grid cells
+    // Fast path: parse the RIFF/WAVE PCM16 layout directly — a real
+    // WAV parser, pure byte arithmetic, and LOCK-FREE: the JDK
+    // AudioSystem provider registry serializes concurrent
+    // getAudioInputStream calls (measured ~3 effective cores of 32 on
+    // a WAV corpus), which would bottleneck the whole fingerprint
+    // stage on exactly the payloads a crawl has most of. AIFF/AU and
+    // anything else falls back to the JDK path; both paths feed the
+    // identical grid/hash kernel (equality spec-pinned via the
+    // same-samples WAV-vs-AIFF fixture).
+    wavPcm16(bytes) match {
+      case Some((frameSize, off, end)) =>
+        val nFrames = (end - off) / frameSize
+        if (nFrames < 72) None
+        else Some(energySignHash(f => {
+          val o = off + f * frameSize
+          ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toLong
+        }, nFrames))
+      case None => try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
           else {
-            // 9×8 grid of mean |sample| (integer floor), dHash over time
-            val grid = new Array[Long](72)
-            var t = 0
-            while (t < 9) {
-              val t0 = (t.toLong * nFrames / 9).toInt
-              val t1 = ((t + 1).toLong * nFrames / 9).toInt
-              val len = t1 - t0
-              var b = 0
-              while (b < 8) {
-                val s0 = t0 + (b.toLong * len / 8).toInt
-                val s1 = t0 + ((b + 1).toLong * len / 8).toInt
-                var sum = 0L
-                var f = s0
-                while (f < s1) {
-                  val off = f * frameSize
-                  val s =
-                    if (bigEndian) ((pcm(off) << 8) | (pcm(off + 1) & 0xff)).toShort
-                    else ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
-                  sum += math.abs(s.toLong)
-                  f += 1
-                }
-                grid(t * 8 + b) = if (s1 > s0) sum / (s1 - s0) else 0L
-                b += 1
-              }
-              t += 1
-            }
-            var h = 0L
-            var tt = 0
-            while (tt < 8) {
-              var b = 0
-              while (b < 8) {
-                if (grid((tt + 1) * 8 + b) > grid(tt * 8 + b))
-                  h |= 1L << (tt * 8 + b)
-                b += 1
-              }
-              tt += 1
-            }
-            Some(h)
+            val frameSize = fmt.getFrameSize
+            val bigEndian = fmt.isBigEndian
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            val pcm = buf.toByteArray
+            val nFrames = pcm.length / frameSize
+            if (nFrames < 72) None // fewer samples than grid cells
+            else Some(energySignHash(f => {
+              val off = f * frameSize
+              val s =
+                if (bigEndian) ((pcm(off) << 8) | (pcm(off + 1) & 0xff)).toShort
+                else ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
+              s.toLong
+            }, nFrames))
           }
-        }
-      } finally in.close()
-    } catch { case _: Exception => None }
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+  /** Minimal RIFF/WAVE chunk walk for 16-bit PCM mono/stereo
+    * little-endian payloads: (frameSize, dataStart, dataEnd). None for
+    * anything else — the caller falls back to the JDK decoder. */
+  def wavPcm16(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 44 ||
+        new String(bytes, 0, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "RIFF" ||
+        new String(bytes, 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "WAVE")
+      return None
+    var at = 12
+    var frameSize = -1
+    var data: Option[(Int, Int)] = None
+    while (at + 8 <= bytes.length && (frameSize < 0 || data.isEmpty)) {
+      val id = new String(bytes, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val size = le32(bytes, at + 4)
+      if (size < 0 || at + 8 + size > bytes.length) return None
+      val ds = at + 8; val de = (ds + size).toInt
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = (bytes(ds) & 0xff) | ((bytes(ds + 1) & 0xff) << 8)
+        val channels = (bytes(ds + 2) & 0xff) | ((bytes(ds + 3) & 0xff) << 8)
+        val bits = (bytes(ds + 14) & 0xff) | ((bytes(ds + 15) & 0xff) << 8)
+        if (audioFormat != 1 || bits != 16 || channels < 1) return None
+        frameSize = channels * 2
+      } else if (id == "data") data = Some((ds, de))
+      at = de + (size & 1L).toInt // chunks are word-aligned
+    }
+    for ((ds, de) <- data; if frameSize > 0) yield (frameSize, ds, de)
+  }
+
+  /** The shared fingerprint kernel: 9 (time) × 8 (sub-band) grid of
+    * integer mean |sample| over `sample(frameIdx)`, temporal-gradient
+    * sign bits — both decode paths call exactly this. */
+  private def energySignHash(sample: Int => Long, nFrames: Int): Long = {
+    val grid = new Array[Long](72)
+    var t = 0
+    while (t < 9) {
+      val t0 = (t.toLong * nFrames / 9).toInt
+      val t1 = ((t + 1).toLong * nFrames / 9).toInt
+      val len = t1 - t0
+      var b = 0
+      while (b < 8) {
+        val s0 = t0 + (b.toLong * len / 8).toInt
+        val s1 = t0 + ((b + 1).toLong * len / 8).toInt
+        var sum = 0L
+        var f = s0
+        while (f < s1) { sum += math.abs(sample(f)); f += 1 }
+        grid(t * 8 + b) = if (s1 > s0) sum / (s1 - s0) else 0L
+        b += 1
+      }
+      t += 1
+    }
+    var h = 0L
+    var tt = 0
+    while (tt < 8) {
+      var b = 0
+      while (b < 8) {
+        if (grid((tt + 1) * 8 + b) > grid(tt * 8 + b))
+          h |= 1L << (tt * 8 + b)
+        b += 1
+      }
+      tt += 1
+    }
+    h
+  }
 
   /** Per-clip audio fingerprints over the REAL decode path: one row
     * per audio-kind payload the JDK reads — (media_id, afp). Rows no
@@ -1047,13 +1101,20 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // canonical 44-byte RIFF/WAVE header written inline: AudioSystem
+    // .write goes through the same provider registry whose lock
+    // serializes the fingerprint's decode side — the synthesis side
+    // must not reintroduce it (JDK readers accept this layout; the
+    // WAV-vs-AIFF spec pins decode equivalence)
+    val hdr = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("ISO-8859-1"))
+      .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000 * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("ISO-8859-1")).putInt(pcm.length)
+    hdr.array() ++ pcm
   }
 
   /** Synthetic near-dup audio corpus — the WAV twin of
@@ -1062,7 +1123,10 @@ object Multimodal {
   def syntheticAudioCorpus(ids: DataFrame, idCol: String): Dataset[MediaRow] = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // same core fan-out as syntheticImageCorpus — WAV synthesis +
+    // decode is the expensive per-row step
     ids.select(col(idCol).cast("long").as("media_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long].mapPartitions { it =>
         it.map { id =>
           MediaRow(id, "audio", syntheticWav(id / 4L, (id % 3L).toInt))

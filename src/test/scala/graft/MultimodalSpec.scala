@@ -679,6 +679,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprints(broken.toDS()).count() == 0L)
   }
 
+  test("audioFingerprint: lock-free WAV fast path equals the JDK path (AIFF twin)") {
+    // identical synthesized samples in WAV (fast path: inline RIFF
+    // parser) and AIFF (fallback path: AudioSystem, big-endian) must
+    // hash identically — pins the two decode paths to one kernel
+    val samples = pcmBytes(440.0, 0.5, 8000f, 0.5,
+      bigEndian = false, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val aiff = pcmBytes(440.0, 0.5, 8000f, 0.5,
+      bigEndian = true, javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    assert(Multimodal.wavPcm16(samples).isDefined)  // WAV takes the fast path
+    assert(Multimodal.wavPcm16(aiff).isEmpty)       // AIFF falls back to the JDK
+    assert(Multimodal.audioFingerprint(samples) == Multimodal.audioFingerprint(aiff))
+    assert(Multimodal.audioFingerprint(samples).isDefined)
+  }
+
   test("audioFingerprint is gain-shift tolerant on the sign grid") {
     // the same envelope SHAPE at half gain flips no sign bits: scale
     // every sample of a synthetic clip by 1/2 via a re-synthesized wav
