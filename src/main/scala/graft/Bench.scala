@@ -17,13 +17,13 @@ object Bench {
     * the WHOLE run must be discarded, not explained away. Update only
     * when a new BASELINE table is frozen. */
   val frozenControls: Map[String, Double] = Map(
-    // scan tier (round-10 freeze, best-of-two over clean runs 2/3)
-    "q_count" -> 0.13, "q_label_scan" -> 0.06, "q_prop_eq" -> 0.06,
-    "q_prop_gt" -> 0.05, "q_sum_avg" -> 0.13, "q_stats" -> 0.13,
-    "q_order_page" -> 0.08,
-    // shuffle tier (round-10 freeze; catches multi-stage contention)
-    "build:minhash_pairs" -> 3.64, "q_anf" -> 7.2,
-    "q_training_mix" -> 2.48)
+    // scan tier (round-11 freeze, best-of-two over clean runs 2/3)
+    "q_count" -> 0.12, "q_label_scan" -> 0.05, "q_prop_eq" -> 0.06,
+    "q_prop_gt" -> 0.062, "q_sum_avg" -> 0.11, "q_stats" -> 0.11,
+    "q_order_page" -> 0.082,
+    // shuffle tier (round-11 freeze; catches multi-stage contention)
+    "build:minhash_pairs" -> 3.24, "q_anf" -> 6.69,
+    "q_training_mix" -> 2.42)
 
   /** A control agrees when measured ≤ 2× frozen + 0.1 s (the ~2× rule
     * with an absolute floor so 50 ms rows aren't flagged by scheduler
