@@ -339,6 +339,10 @@ object ScaleProbe {
         // expect ~linear, decode-bound like image_dedup
         time("audio_dedup")(graft.pipeline.Multimodal.audioDedupPairs(
           graft.pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3)),
+        // video twin: raw-AVI assembly + first-frame byte decode +
+        // dHash per doc — pure byte work, no codec, ~linear
+        time("video_dedup")(graft.pipeline.Multimodal.videoDedupPairs(
+          graft.pipeline.Multimodal.syntheticVideoCorpus(docs, "doc_id"), 3)),
         time("basket_pairs") {
           val li = (0 until rep).map { r =>
             liBase.select(

@@ -1065,6 +1065,17 @@ object SparkEntry {
         .groupBy("hamming")
         .agg(count(lit(1)).cast("long").as("n_pairs"))
         .orderBy("hamming")),
+    // rows-only driver check (no oracleSql): REAL uncompressed-AVI
+    // payloads through the REAL raw-frame decode + first-frame dHash —
+    // completes the dedup modality matrix (text, embeddings, image,
+    // audio, video); spec-pinned in MultimodalSpec.
+    "q_video_dedup" -> ((s, d) =>
+      pipeline.Multimodal.videoDedupPairs(
+        pipeline.Multimodal.syntheticVideoCorpus(
+          GraphBuilder.table(s, d, "documents"), "doc_id"), 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy("hamming")),
     "q_multimodal" -> ((s, d) => {
       val implicits = s.implicits
       import implicits._

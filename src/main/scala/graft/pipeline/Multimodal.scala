@@ -1117,6 +1117,110 @@ object Multimodal {
     hdr.array() ++ pcm
   }
 
+  // ==== Video fingerprinting + near-dup detection ====
+  // Completes the dedup modality matrix (text, embeddings, image,
+  // audio above): the standard first-frame perceptual thumbprint —
+  // the first decodable frame (MJPEG via ImageIO, or an uncompressed
+  // track via the raw byte path) through the SAME integer-grid dHash
+  // as still images, then the shared 4×16 hamming-blocked pair join.
+
+  /** Per-video first-frame dHash over the REAL decode paths: one row
+    * per video-kind payload with at least one decodable frame —
+    * (media_id, vhash, width, height, n_frames). Payloads with no
+    * decodable frame (entropy-coded codecs, junk) are dropped — the
+    * decode-health discipline of [[audioStats]]. */
+  def videoHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val mj = mjpegFrames(r.media)
+        val viaMjpeg = mj.headOption.flatMap(decodeImage)
+          .map(img => (img, mj.length))
+        val first = viaMjpeg.orElse(rawVideo(r.media).collect {
+          case rv if rv.frames.nonEmpty =>
+            (rawFrameImage(rv, rv.frames.head), rv.frames.length)
+        })
+        first.map { case (img, n) =>
+          (r.media_id, dHash64(img), img.getWidth, img.getHeight, n.toLong)
+        }
+      }
+    }.toDF("media_id", "vhash", "width", "height", "n_frames")
+  }
+
+  /** Near-duplicate video pairs: [[videoHashes]] → [[hammingPairs64]]
+    * — re-encoded/rescaled copies of the same clip collide on the
+    * first-frame thumbprint exactly as re-encoded stills do on dHash. */
+  def videoDedupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hammingPairs64(videoHashes(media), "media_id", "vhash", maxHamming)
+
+  /** Deterministic 2-frame uncompressed AVI (BI_RGB 24bpp, 16×16) from
+    * a 64-bit seed — the video member of the synthetic near-dup family
+    * generators: frame pixels are seed-derived grays (splitmix mix, as
+    * [[syntheticPng]]), `variant` inverts that many fixed pixels of
+    * frame 0. Pure byte assembly — no encoder, no registry locks. */
+  def syntheticAvi(seed: Long, variant: Int): Array[Byte] = {
+    def mix(a: Long, b: Long): Long = {
+      var z = a ^ (b * 0x9e3779b97f4a7c15L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val w = 16; val h = 16
+    val stride = (w * 3 + 3) & ~3
+    def le(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le(body.length) ++ body ++ pad
+    }
+    val frames = (0 until 2).map { fi =>
+      val f = new Array[Byte](stride * h)
+      var p = 0
+      while (p < w * h) {
+        var g = (mix(seed, fi.toLong * 256L + p) & 0xffL).toInt
+        if (fi == 0) {
+          var v = 0
+          while (v < variant) {
+            if ((math.abs(mix(seed, 2000L + v)) % 256L).toInt == p) g = 255 - g
+            v += 1
+          }
+        }
+        val y = p / w; val x = p % w
+        val o = y * stride + x * 3
+        f(o) = g.toByte; f(o + 1) = g.toByte; f(o + 2) = g.toByte
+        p += 1
+      }
+      chunk("00db", f)
+    }
+    val strh = chunk("strh", "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52))
+    val bih = le(40) ++ le(w) ++ le(h) ++ Array[Byte](1, 0) ++
+      Array[Byte](24, 0) ++ le(0) ++ le(stride * h) ++
+      le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strl = chunk("LIST", "strl".getBytes("ISO-8859-1") ++ strh ++ chunk("strf", bih))
+    val hdrl = chunk("LIST", "hdrl".getBytes("ISO-8859-1") ++ strl)
+    val movi = chunk("LIST", "movi".getBytes("ISO-8859-1") ++ frames.flatten.toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+  }
+
+  /** Synthetic near-dup video corpus — the raw-AVI member of the
+    * family generators: family = id DIV 4, variant = id MOD 3 (one
+    * exact-dup pair per full family, the rest near-dups); same core
+    * fan-out as the image/audio twins. */
+  def syntheticVideoCorpus(ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "video", syntheticAvi(id / 4L, (id % 3L).toInt))
+        }
+      }
+  }
+
   /** Synthetic near-dup audio corpus — the WAV twin of
     * [[syntheticImageCorpus]]: family = id DIV 4, variant = id MOD 3
     * (one exact-dup pair per full family, the rest near-dups). */

@@ -679,6 +679,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprints(broken.toDS()).count() == 0L)
   }
 
+  test("videoHashes + videoDedupPairs over REAL raw-AVI payloads") {
+    val implicits = spark.implicits
+    import implicits._
+    val ids = (0L to 7L).toDF("doc_id")
+    val media = Multimodal.syntheticVideoCorpus(ids, "doc_id")
+    val hashes = Multimodal.videoHashes(media)
+    assert(hashes.count() == 8L) // every raw AVI decodes
+    val h1 = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.videoHashes(media.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2) // deterministic, partition-independent
+    assert(h1(0L) == h1(3L) && h1(4L) == h1(7L)) // exact dups
+    // different seeds produce well-separated first-frame hashes
+    assert(java.lang.Long.bitCount(h1(0L) ^ h1(4L)) > 3)
+    val pairs = Multimodal.videoDedupPairs(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 3L)) == 0L && pairs((4L, 7L)) == 0L)
+    assert(pairs.keySet.forall { case (a, b) => a / 4 == b / 4 })
+    // an MJPEG video hashes through the same ImageIO path: the same
+    // flat-gray first frame in MJPEG and raw AVI must dHash equal
+    // (flat frames have zero gradient -> hash 0 on both paths)
+    val mj = Seq(Multimodal.MediaRow(50L, "video",
+      mjpegAviBytes(Seq(jpegBytes(16, 16, 128))))).toDS()
+    val raw = Seq(Multimodal.MediaRow(51L, "video",
+      rawAviBytes(16, 16, Seq(128)))).toDS()
+    val hm = Multimodal.videoHashes(mj).collect().head.getLong(1)
+    val hr = Multimodal.videoHashes(raw).collect().head.getLong(1)
+    assert(hm == hr && hm == 0L)
+    // undecodable payloads are dropped, not stubbed
+    val broken = Seq(Multimodal.MediaRow(99L, "video",
+      Array[Byte](9, 9, 9, 9))).toDS()
+    assert(Multimodal.videoHashes(broken).count() == 0L)
+  }
+
   test("audioFingerprint: lock-free WAV fast path equals the JDK path (AIFF twin)") {
     // identical synthesized samples in WAV (fast path: inline RIFF
     // parser) and AIFF (fallback path: AudioSystem, big-endian) must
