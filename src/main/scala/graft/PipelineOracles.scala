@@ -4058,4 +4058,80 @@ SELECT CAST(t.n AS BIGINT) AS n_days, CAST(sb.k AS BIGINT) AS n_groups,
         (sb_sum - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) /
         (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END, 6) AS f
 FROM t CROSS JOIN sb"""
+
+  /** Good-Turing mirror: same word-trigram stream (list-index walk),
+    * N_r self-join for the (r+1)-class lookup, exact-integer products
+    * before the single division. */
+  def goodTuringSql(rMax: Int): String =
+    s"""WITH ws AS (SELECT string_split(text, ' ') AS ts FROM documents),
+w AS (SELECT ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS term
+  FROM ws, unnest(generate_series(1, len(ts) - 2)) AS t(i)
+  WHERE len(ts) >= 3),
+tf AS (SELECT term, COUNT(*) AS c FROM w GROUP BY term),
+nr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM tf)
+SELECT CAST(a.r AS BIGINT) AS r, a.n_r,
+  ROUND(CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE), 6) AS r_star,
+  ROUND(CAST(a.r * a.n_r AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mass_share,
+  ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS p_unseen
+FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot
+WHERE a.r <= $rMax ORDER BY r"""
+
+  /** Pettitt mirror: the same W prefix-sum identity over the day grid,
+    * argmax with the earliest-day tie rule, capped p approximation. */
+  val pettittSql: String =
+    s"""WITH $dailySeriesCte,
+wd AS (SELECT a.day, CAST(SUM(CASE WHEN b.c > a.c THEN 1
+    WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS w
+  FROM ser a JOIN ser b ON a.day <> b.day GROUP BY 1),
+uu AS (SELECT s.day, CAST(SUM(COALESCE(wd.w, 0))
+    OVER (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u
+  FROM ser s LEFT JOIN wd ON wd.day = s.day),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(day) AS d_last FROM ser),
+best AS (SELECT u.day, u.u, ABS(u.u) AS k FROM uu u CROSS JOIN nn
+  WHERE u.day < nn.d_last ORDER BY k DESC, u.day ASC LIMIT 1)
+SELECT nn.n AS n_days, best.day AS change_day, best.u AS u_at_k,
+  CAST(best.k AS BIGINT) AS k,
+  ROUND(LEAST(CAST(1 AS DOUBLE), 2 * exp(-6 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) /
+    (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6) AS p_approx
+FROM best CROSS JOIN nn"""
+
+  /** Poisson-bootstrap mirror: the identical salted-hash u -> Poisson
+    * inverse-CDF weights (same exact decimal thresholds), exact BIGINT
+    * per-resample sums, one division per mean, same (mean, rb) rank
+    * picks. */
+  def bootstrapMeanCiSql(valueCol: String, b: Int): String = {
+    val cdf = graft.pipeline.Stats.poissonCdf
+    def wExpr(i: Int): String = {
+      val u = s"((CAST(${h60(s"'bs$i:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5) / CAST(${1L << 60} AS DOUBLE))"
+      cdf.zipWithIndex.reverse.foldLeft(s"CAST(${cdf.length} AS BIGINT)") {
+        case (elseExpr, (c, k)) => s"CASE WHEN $u < $c THEN CAST($k AS BIGINT) ELSE $elseExpr END"
+      }
+    }
+    val aggCols = (0 until b).map(i =>
+      s"CAST(SUM(w_$i * x) AS BIGINT) AS num_$i, CAST(SUM(w_$i) AS BIGINT) AS den_$i").mkString(",\n  ")
+    val wCols = (0 until b).map(i => s"${wExpr(i)} AS w_$i").mkString(",\n  ")
+    val branches = (0 until b).map(i =>
+      s"SELECT source, n_docs, sx, CAST($i AS BIGINT) AS rb, num_$i AS num, den_$i AS den FROM per").mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT source, CAST($valueCol AS BIGINT) AS x,
+  $wCols
+  FROM documents),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(x) AS BIGINT) AS sx,
+  $aggCols
+  FROM base GROUP BY source),
+st AS ($branches),
+sm AS (SELECT source, n_docs, sx, rb,
+  CASE WHEN den > 0 THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS mean_b
+  FROM st),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY mean_b ASC NULLS LAST, rb ASC) AS rn FROM sm)
+SELECT source, MAX(n_docs) AS n_docs,
+  ROUND(CAST(MAX(sx) AS DOUBLE) / CAST(MAX(n_docs) AS DOUBLE), 6) AS mean,
+  MAX(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
+  MAX(CASE WHEN rn = ${b - 1} THEN mean_b END) AS boot_hi,
+  CAST(COUNT(CASE WHEN mean_b IS NOT NULL THEN 1 END) AS BIGINT) AS n_resamples
+FROM rk GROUP BY source ORDER BY source"""
+  }
 }

@@ -311,6 +311,13 @@ object ScaleProbe {
         // quasi-identifier class frame is (lang × source × bucket)-
         // bounded — K-invariant; the groupBy scan grows K
         time("k_anonymity")(Corpus.kAnonymity(docs)),
+        // 32 hash-weight columns folded into ONE map-side-combined
+        // per-source aggregate (65 BIGINTs of state) — scan-bound,
+        // expect ~linear in the doc count
+        time("bootstrap_ci")(graft.pipeline.Stats.bootstrapMeanCi(docs)),
+        // token-linear trigram explode + gram count; the N_r frame is
+        // max-count-bounded — expect the boilerplate/zipf curve
+        time("good_turing")(Corpus.goodTuring(docs)),
         // rides the minhash candidate curve ×3 tilings + ONE verify
         // pass over the union — replicas are near-dups of each other,
         // so like minhash_pairs the TRUE pair output grows ~K²: the

@@ -742,6 +742,12 @@ object SparkEntry {
         GraphBuilder.table(s, d, "embeddings"))),
     "q_mann_kendall" -> ((s, d) =>
       Trend.mannKendall(EventStreams.eventsTable(s, d))),
+    "q_pettitt" -> ((s, d) =>
+      Trend.pettitt(EventStreams.eventsTable(s, d))),
+    "q_good_turing" -> ((s, d) =>
+      Corpus.goodTuring(GraphBuilder.table(s, d, "documents"))),
+    "q_bootstrap_ci" -> ((s, d) =>
+      pipeline.Stats.bootstrapMeanCi(GraphBuilder.table(s, d, "documents"))),
     "q_theil_sen" -> ((s, d) =>
       Trend.theilSen(EventStreams.eventsTable(s, d))),
     "q_runs_test" -> ((s, d) =>
@@ -1416,6 +1422,9 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_heaps" -> PipelineOracles.heapsFitSql,
     "q_ewma" -> PipelineOracles.ewmaDailySql(30),
     "q_mann_kendall" -> PipelineOracles.mannKendallSql,
+    "q_pettitt" -> PipelineOracles.pettittSql,
+    "q_good_turing" -> PipelineOracles.goodTuringSql(10),
+    "q_bootstrap_ci" -> PipelineOracles.bootstrapMeanCiSql("n_chars", 32),
     "q_theil_sen" -> PipelineOracles.theilSenSql,
     "q_runs_test" -> PipelineOracles.runsTestSql,
     "q_kendall_tau" -> PipelineOracles.kendallTauSql(),

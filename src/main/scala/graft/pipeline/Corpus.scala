@@ -988,6 +988,49 @@ object Corpus {
     cum.crossJoin(broadcast(tot)).agg(covs.head, covs.tail: _*)
   }
 
+  /** Good–Turing frequency smoothing over word TRIGRAMS (Good 1953 —
+    * the Katz-backoff/SGT foundation, computed on the n-gram grain
+    * where the rare tail actually lives; the word-unigram vocabulary
+    * of a clean corpus has no N₁ mass to smooth): the frequency-of-
+    * frequencies table N_r for r ≤ rMax with the smoothed count
+    * r* = (r+1)·N_{r+1}/N_r, each class's raw probability mass
+    * r·N_r/N, and the unseen-mass estimate p₀ = N₁/N — the number an
+    * n-gram-LM / OOV-rate decision reads. r* NULL where N_{r+1} = 0
+    * (the classic sparse-tail condition SGT smoothing exists to fix —
+    * surfaced, not hidden).
+    *
+    * Scale: one token-linear trigram explode (array index walk, O(1)
+    * state per row) → gram-keyed counts; the N_r frame is ≤ max-count
+    * rows and the N_{r+1} lookup is a self-join on the ≤rMax slice —
+    * constant-size tail work at any corpus. */
+  def goodTuring(docs: DataFrame, rMax: Int = 10): DataFrame = {
+    val w = docs.select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3) // Spark sequence() DESCENDS when stop < start
+    val tf = w
+      .select(explode(sequence(lit(1), size(col("ts")) - 2)).as("i"), col("ts"))
+      .select(concat_ws(" ",
+        element_at(col("ts"), col("i")),
+        element_at(col("ts"), col("i") + 1),
+        element_at(col("ts"), col("i") + 2)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val nr = tf.groupBy(col("c").as("r"))
+      .agg(count(lit(1)).cast("long").as("n_r"))
+    val tot = tf.agg(sum("c").cast("long").as("n_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n1"))
+    nr.filter(col("r") <= rMax)
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+        Seq("r"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("r").cast("long").as("r"), col("n_r"),
+        round(((col("r") + 1) * col("n_next")).cast("double") /
+          col("n_r").cast("double"), 6).as("r_star"),
+        round((col("r") * col("n_r")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("mass_share"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"))
+      .orderBy("r")
+  }
+
   /** Per-language quality distribution: doc count and interpolated
     * quality quartiles — the dashboard a filtering-threshold decision
     * reads. One narrow quality projection + one map-side-combined

@@ -852,4 +852,70 @@ object Stats {
             (skew * skew + kurt * kurt / lit(4.0))), 6).as("jb"))
       .orderBy("source")
   }
+
+  /** Poisson(1) inverse-CDF thresholds (cumulative e⁻¹·Σ 1/k!): the
+    * weight of a doc in resample b is the k whose cumulative bucket
+    * holds u — the standard Poisson-bootstrap weight draw, capped at 7
+    * (P ≈ 1e-5 truncated; documented). Written as exact decimal
+    * literals so both engines compare the same constants. */
+  val poissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * per-source mean document length (Oza–Russell / Chamandy et al.:
+    * the bootstrap that works in one pass over distributed data —
+    * resample b gives every doc an independent Poisson(1) multiplicity
+    * instead of drawing n-of-n): B resamples whose weights come from
+    * the salted hash u_b(doc) = (hash60("bs<b>:"++doc_id)+½)/2⁶⁰
+    * through [[poissonCdf]] — fully deterministic, so the DuckDB
+    * oracle replays every weight exactly. Reports the point mean and
+    * the 2nd-smallest / 2nd-largest of the B resample means (the
+    * ~94% CI at B = 32), ties broken by resample index.
+    *
+    * Scale: ONE corpus pass with B weight columns folded into a
+    * map-side-combined per-source aggregate (exact BIGINT Σw·x and
+    * Σw); the unpivot + order statistics run on the |S|·B-row frame.
+    * Each resample mean is ONE division of exact integers — no
+    * summation-order doubles anywhere. */
+  def bootstrapMeanCi(docs: DataFrame, valueCol: String = "n_chars",
+                      b: Int = 32): DataFrame = {
+    require(b >= 4, "bootstrapMeanCi needs at least 4 resamples")
+    val x = col(valueCol).cast("long")
+    def weight(i: Int) = {
+      val u = (TextOps.hash60(col("doc_id").cast("string"), s"bs$i:")
+        .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+      poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.length.toLong)) {
+        case ((c, k), elseCol) => when(u < c, lit(k.toLong)).otherwise(elseCol)
+      }
+    }
+    val aggs = Seq(count(lit(1)).cast("long").as("n_docs"),
+      sum(x).cast("long").as("sx")) ++
+      (0 until b).flatMap(i => Seq(
+        sum(weight(i) * x).cast("long").as(s"num_$i"),
+        sum(weight(i)).cast("long").as(s"den_$i")))
+    val per = docs.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    // unpivot the B resample means; den = 0 (possible only for tiny
+    // groups) yields NULL and sorts last — excluded by the rank picks
+    val stacked = per.select(col("source"), col("n_docs"), col("sx"),
+      expr("stack(" + b + ", " + (0 until b).map(i =>
+        s"CAST($i AS BIGINT), num_$i, den_$i").mkString(", ") +
+        ") as (rb, num, den)"))
+      .select(col("source"), col("n_docs"), col("sx"), col("rb"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("mean_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("mean_b").asc_nulls_last, col("rb").asc)
+    stacked.withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        round(max(col("sx")).cast("double") /
+          max(col("n_docs")).cast("double"), 6).as("mean"),
+        max(when(col("rn") === 2, col("mean_b"))).as("boot_lo"),
+        max(when(col("rn") === b - 1, col("mean_b"))).as("boot_hi"),
+        count(when(col("mean_b").isNotNull, 1)).cast("long").as("n_resamples"))
+      .orderBy("source")
+  }
 }

@@ -246,4 +246,42 @@ object Trend {
         round(when(ssW > 0.0 && nD > kD && kD > 1.0,
           (ssB / (kD - 1.0)) / (ssW / (nD - kD))), 6).as("f"))
   }
+
+  /** Pettitt change-point test (Pettitt 1979) on daily volume — the
+    * rank-based single-change-point locator that pairs with CUSUM's
+    * mean-shift detector: U_t = Σ_{i≤t, j>t} sgn(c_j − c_i),
+    * K = max_t |U_t| over t = first..last−1, the day achieving it
+    * (ties → earliest day), and the approximate significance
+    * p ≈ 2·exp(−6K²/(n³+n²)) capped at 1. Computed via the prefix-sum
+    * identity U_t = Σ_{s≤t} W_s with W_s = Σ_j sgn(c_j − c_s) — one
+    * day-grid pair join for W (exact BIGINT), one ordered window for
+    * the prefix sum; the only double is the final p. Grid is bounded
+    * by the observation window, never event volume (the module-wide
+    * contract). */
+  def pettitt(events: DataFrame): DataFrame = {
+    val ser = dailySeries(events)
+    val a = ser.select(col("day").as("di"), col("c").as("ci"))
+    val b = ser.select(col("day").as("dj"), col("c").as("cj"))
+    // W per day: sgn sums over ALL other days (self-pair sgn(0) = 0)
+    val w = a.join(broadcast(b), col("di") =!= col("dj"))
+      .groupBy(col("di").as("day"))
+      .agg(sum(when(col("cj") > col("ci"), 1L)
+        .when(col("cj") < col("ci"), -1L).otherwise(0L)).as("w"))
+    val lastDay = ser.agg(max("day").as("d_last"), count(lit(1)).as("n"))
+    val u = ser.select("day").join(w, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("w"), lit(0L)).as("w"))
+      .withColumn("u", sum("w").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+    val best = u.crossJoin(broadcast(lastDay))
+      .filter(col("day") < col("d_last")) // U at the last day is 0 by construction
+      .select(col("day"), col("u"), abs(col("u")).as("k"), col("n"))
+      .orderBy(col("k").desc, col("day").asc).limit(1)
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    best.select(col("n").as("n_days"), col("day").as("change_day"),
+      col("u").as("u_at_k"), col("k"),
+      round(least(lit(1.0), lit(2.0) *
+        exp(lit(-6.0) * kD * kD / (nD * nD * nD + nD * nD))), 6)
+        .as("p_approx"))
+  }
 }

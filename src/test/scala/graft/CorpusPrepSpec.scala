@@ -103,6 +103,22 @@ class CorpusPrepSpec extends SparkSpec {
       mediaDropIds = Some(d.select("doc_id"))).count() == 0L)
   }
 
+  test("goodTuring: trigram frequency-of-frequencies with the classic r* formula") {
+    // trigrams: doc 1 "a b c d" -> {a b c, b c d}; doc 2 "a b c" ->
+    // {a b c}. Counts: "a b c" 2, "b c d" 1 -> N_1 = 1, N_2 = 1,
+    // N = 3 tokens; doc 3 is too short to emit any trigram.
+    val d = docs(1L -> "a b c d", 2L -> "a b c", 3L -> "x y")
+    val r = Corpus.goodTuring(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L))
+    assert(r(1L).getAs[Long]("n_r") == 1L)
+    assert(r(1L).getAs[Double]("r_star") == 2.0) // (1+1)*N_2/N_1 = 2
+    assert(r(1L).getAs[Double]("mass_share") == 0.333333) // 1*1/3
+    assert(r(1L).getAs[Double]("p_unseen") == 0.333333)   // N_1/N
+    assert(r(2L).getAs[Long]("n_r") == 1L)
+    assert(r(2L).isNullAt(r(2L).fieldIndex("r_star"))) // N_3 = 0 -> NULL
+    assert(r(2L).getAs[Double]("mass_share") == 0.666667) // 2*1/3
+  }
+
   test("mix sample keeps weight-1 langs fully, weight-0 langs never") {
     val implicits = spark.implicits
     import implicits._

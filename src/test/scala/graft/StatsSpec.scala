@@ -351,4 +351,47 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("kurtosis") == -1.5)
     assert(r.getAs[Double]("jb") == 0.28125)
   }
+
+  test("bootstrapMeanCi: constant values collapse the interval onto the mean") {
+    // 40 docs, all n_chars identical per source: every resample mean
+    // with any weight > 0 equals the constant, so lo = hi = mean
+    val d = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "s0" else "s1"
+      val text = if (i % 2 == 0) "aaaaaaaaaa" else "aaaaa" // 10 vs 5 chars
+      (i, text, "en", src)
+    }
+    val r = Stats.bootstrapMeanCi(docs(d: _*)).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("s0").getAs[Long]("n_docs") == 20L)
+    assert(r("s0").getAs[Double]("mean") == 10.0)
+    assert(r("s0").getAs[Double]("boot_lo") == 10.0)
+    assert(r("s0").getAs[Double]("boot_hi") == 10.0)
+    assert(r("s1").getAs[Double]("mean") == 5.0)
+    assert(r("s1").getAs[Double]("boot_lo") == 5.0 &&
+      r("s1").getAs[Double]("boot_hi") == 5.0)
+    assert(r("s0").getAs[Long]("n_resamples") <= 32L &&
+      r("s0").getAs[Long]("n_resamples") >= 30L) // den=0 resamples are rare
+  }
+
+  test("bootstrapMeanCi: interval brackets the mean and is deterministic") {
+    val rnd = new scala.util.Random(11)
+    val d = (0L until 60L).map { i =>
+      (i, "a" * (20 + rnd.nextInt(200)), "en", "s0")
+    }
+    val frame = docs(d: _*)
+    val a = Stats.bootstrapMeanCi(frame).collect()(0)
+    val b = Stats.bootstrapMeanCi(frame.repartition(7)).collect()(0)
+    assert(a.toSeq == b.toSeq) // hash weights: partition-independent
+    val (lo, mu, hi) = (a.getAs[Double]("boot_lo"), a.getAs[Double]("mean"),
+      a.getAs[Double]("boot_hi"))
+    assert(lo < mu && mu < hi, s"CI ($lo, $hi) should bracket mean $mu")
+    assert(hi - lo < 100.0) // sane width for 60 docs of range-200 lengths
+  }
+
+  test("poissonCdf weights: thresholds are a valid CDF prefix") {
+    val c = Stats.poissonCdf
+    assert(c.size == 7 && c.sliding(2).forall(p => p(0) < p(1)))
+    assert(math.abs(c.head - math.exp(-1.0)) < 1e-15)
+    assert(c.last > 0.9999 && c.last < 1.0)
+  }
 }

@@ -177,4 +177,49 @@ class TrendSpec extends SparkSpec {
     assert(r(d0) == ((1L, 1L, 0L)))
     assert(r(d0 + 1) == ((2L, 1L, 1L)))
   }
+
+  private def brutePettitt(c: Seq[Int]): (Int, Long) = {
+    val n = c.length
+    var bestT = -1; var bestK = -1L; var uAtBest = 0L
+    for (t <- 0 until n - 1) {
+      var u = 0L
+      for (i <- 0 to t; j <- t + 1 until n)
+        u += java.lang.Integer.signum(c(j) - c(i))
+      if (math.abs(u) > bestK) { bestK = math.abs(u); bestT = t; uAtBest = u }
+    }
+    (bestT, uAtBest)
+  }
+
+  test("pettitt locates a clean mean shift and matches brute force") {
+    // 5 quiet days then 5 loud days: the change point is day index 4
+    // (the last quiet day); U_4 = Σ sgn(loud − quiet) = +5·5 = 25
+    val counts = Seq(1, 1, 1, 1, 1, 10, 10, 10, 10, 10)
+    val r = Trend.pettitt(eventsFromCounts(counts)).collect()(0)
+    val d0 = 1704110400L / 86400L
+    val (bt, bu) = brutePettitt(counts)
+    assert(bt == 4 && bu == 25L)
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Long]("change_day") == d0 + bt)
+    assert(r.getAs[Long]("u_at_k") == bu)
+    assert(r.getAs[Long]("k") == 25L)
+    val p = 2.0 * math.exp(-6.0 * 25 * 25 / (1000.0 + 100.0))
+    assert(math.abs(r.getAs[Double]("p_approx") -
+      BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("pettitt matches brute force on a seeded random series; ties go earliest") {
+    val rnd = new scala.util.Random(13)
+    val counts = Seq.fill(20)(rnd.nextInt(6))
+    val r = Trend.pettitt(eventsFromCounts(counts)).collect()(0)
+    val d0 = 1704110400L / 86400L
+    // brute argmax with earliest-t tie rule (strict > in brutePettitt)
+    val (bt, bu) = brutePettitt(counts)
+    assert(r.getAs[Long]("change_day") == d0 + bt)
+    assert(r.getAs[Long]("u_at_k") == bu)
+    // flat series: K = 0, p capped at 1
+    val flat = Trend.pettitt(eventsFromCounts(Seq(3, 3, 3, 3))).collect()(0)
+    assert(flat.getAs[Long]("k") == 0L)
+    assert(flat.getAs[Double]("p_approx") == 1.0)
+    assert(flat.getAs[Long]("change_day") == d0) // earliest-day tie rule
+  }
 }
