@@ -118,7 +118,10 @@ class PlanSpec extends SparkSpec {
         + "by the observation window's day count, not the event count"),
       "q_skyline" -> ("running min over the distinct-quality frame — "
         + "bounded by the 6dp value domain, never the corpus"),
-      "q_zipf_fit" -> "rank over limit(k) vocab frame")
+      "q_zipf_fit" -> "rank over limit(k) vocab frame",
+      "q_pettitt" -> ("prefix sum over the zero-filled day grid — "
+        + "time-domain bounded (observation window's day count), "
+        + "never event volume"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
