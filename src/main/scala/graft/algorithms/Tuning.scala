@@ -16,6 +16,15 @@ package graft.algorithms
   * exercisable, oracle-checkable, and timeable without a large cluster.
   */
 object Tuning {
+  // Log-noise note: the value-domain window kernels (deciles, pooled
+  // rank cumulatives — every PlanSpec-whitelisted unpartitioned
+  // window) emit Spark's "WindowExec: No Partition Defined" warning
+  // by design; the frames are value/time-domain bounded, not
+  // corpus-sized (the whitelist documents each bound). Silence it in
+  // bench/verify logs with
+  //   log4j.logger.org.apache.spark.sql.execution.window=ERROR
+  // rather than per-call suppression — the warning stays useful for
+  // NEW windows that haven't passed review.
   val DefaultBroadcastThreshold = 4000000L
 
   def broadcastThreshold: Long =
