@@ -832,6 +832,25 @@ SELECT CAST(FLOOR((cum - tokens) / $capacity) AS BIGINT) AS bin,
        CAST(SUM(tokens) AS BIGINT) AS total_tokens
 FROM c GROUP BY 1"""
 
+  /** Fulltext OR/AND retrieval mirror (reference index_advanced.rs:129
+    * `search` / :168 `search_and`): the SAME tokenizer as the Spark
+    * plan — whitespace split, strip non-alphanumerics (Unicode classes,
+    * RE2 ≡ Java on \p{L}\p{N}), lowercase — then distinct-matched-term
+    * counts per doc; AND demands every query term. `terms` must already
+    * be tokenized (Fulltext.tokenizeQuery runs driver-side and both
+    * engines receive the same literal list). */
+  def fulltextSql(terms: Seq[String], requireAll: Boolean): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val having = if (requireAll) s"HAVING COUNT(DISTINCT term) = ${terms.size}" else ""
+    s"""WITH tk AS (SELECT doc_id,
+  lower(regexp_replace(w, '[^\\p{L}\\p{N}]', '', 'g')) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched
+FROM tk WHERE term IN ($inList) GROUP BY 1 $having"""
+  }
+
   /** BM25 against a literal term set — constants (k1, b, k1+1)
     * interpolated from the same Scala doubles the Spark plan uses, and
     * every arithmetic operator in the same order, so the doubles agree

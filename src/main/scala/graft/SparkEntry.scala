@@ -1111,6 +1111,17 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       Corpus.bm25TopK(GraphBuilder.table(s, d, "documents"),
         Seq("spark", "query", "join", "vector"))),
+    // reference fulltext retrieval (index_advanced.rs:129/168): the
+    // query string exercises the tokenizer (case fold + punctuation
+    // strip) exactly as advanced_index_test.rs does
+    "q_fulltext_or" -> ((s, d) =>
+      graft.ops.Fulltext.searchAny(
+        GraphBuilder.table(s, d, "documents"), "doc_id", "text",
+        "Spark, vector!")),
+    "q_fulltext_and" -> ((s, d) =>
+      graft.ops.Fulltext.searchAll(
+        GraphBuilder.table(s, d, "documents"), "doc_id", "text",
+        "Spark query join")),
     "q_rrf" -> ((s, d) =>
       Corpus.hybridRrf(GraphBuilder.table(s, d, "documents"),
         Seq("spark", "query", "join", "vector"))),
@@ -1653,6 +1664,12 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_gopher_rules" -> PipelineOracles.gopherRulesSql(),
     "q_bm25" -> PipelineOracles.bm25Sql(
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 20),
+    // both engines receive the SAME tokenized literal list (the query
+    // strings "Spark, vector!" / "Spark query join" tokenize driver-side)
+    "q_fulltext_or" -> PipelineOracles.fulltextSql(
+      graft.ops.Fulltext.tokenizeQuery("Spark, vector!"), requireAll = false),
+    "q_fulltext_and" -> PipelineOracles.fulltextSql(
+      graft.ops.Fulltext.tokenizeQuery("Spark query join"), requireAll = true),
     "q_rrf" -> PipelineOracles.hybridRrfSql(
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 2000.0, 50, 60, 20),
     "q_tfidf" -> PipelineOracles.tfidfSql(3),

@@ -1002,7 +1002,11 @@ object Corpus {
     * Scale: one token-linear trigram explode (array index walk, O(1)
     * state per row) → gram-keyed counts; the N_r frame is ≤ max-count
     * rows and the N_{r+1} lookup is a self-join on the ≤rMax slice —
-    * constant-size tail work at any corpus. */
+    * constant-size tail work at any corpus. The N_r frame is
+    * materialized once (`localCheckpoint`) and BOTH totals are derived
+    * from it (n_tokens = Σ r·N_r, n1 = N_1), so the plan carries
+    * exactly ONE corpus scan + ONE term shuffle — the unmaterialized
+    * form re-executed the trigram shuffle three times (plan-audited). */
   def goodTuring(docs: DataFrame, rMax: Int = 10): DataFrame = {
     val w = docs.select(split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3) // Spark sequence() DESCENDS when stop < start
@@ -1015,8 +1019,9 @@ object Corpus {
       .groupBy("term").agg(count(lit(1)).as("c"))
     val nr = tf.groupBy(col("c").as("r"))
       .agg(count(lit(1)).cast("long").as("n_r"))
-    val tot = tf.agg(sum("c").cast("long").as("n_tokens"),
-      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n1"))
+      .localCheckpoint() // ≤ max-count rows; every downstream read is free
+    val tot = nr.agg(sum(col("r") * col("n_r")).cast("long").as("n_tokens"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).cast("long").as("n1"))
     nr.filter(col("r") <= rMax)
       .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
         Seq("r"), "left_outer")

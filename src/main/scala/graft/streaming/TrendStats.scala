@@ -28,11 +28,20 @@ object Trend {
 
   /** Zero-filled daily count series (epoch days) — same grid contract
     * as [[EventStreams.ewmaDaily]]/[[EventStreams.dailyAcf]]: missing
-    * days count 0, so gap structure is data, not absence. */
+    * days count 0, so gap structure is data, not absence.
+    *
+    * The observed-day count frame is materialized (`localCheckpoint`,
+    * observation-window-bounded — ~3.6k rows for a decade) before the
+    * grid join: every trend operator references the series several
+    * times (pair join sides, total, spine), and without the pin each
+    * reference re-ran the full events scan + day shuffle (plan-audited
+    * ≥3 independent day-aggregate subtrees in q_pettitt). With it the
+    * whole family is ONE corpus scan per query at any volume. */
   private[streaming] def dailySeries(events: DataFrame): DataFrame = {
     val dc = events
       .select(floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("day"))
       .groupBy("day").agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
     val grid = dc.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     grid.join(dc, Seq("day"), "left")
@@ -146,6 +155,7 @@ object Trend {
       .groupBy("day")
       .agg(sum(when(col("event_type") === typeX, 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === typeY, 1L).otherwise(0L)).as("y"))
+      .localCheckpoint() // day-bounded; grid + pair join reread it, not events
     val grid = dc.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val ser = grid.join(dc, Seq("day"), "left")

@@ -156,6 +156,34 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("GreaterThan(c_nationkey,10)"), pushed)
   }
 
+  test("materialized sub-frames: trend family + goodTuring re-read NO base table") {
+    // goodTuring's N_r frame and the trend kit's day-count frame are
+    // localCheckpoint-pinned: the corpus scan + heavy shuffle run
+    // exactly once (eagerly, at construction) and every downstream
+    // reference reads the checkpointed RDD. A parquet FileScan in the
+    // RETURNED plan means a consuming subtree re-derived the base table
+    // — the round-11 plan-audit defect (q_good_turing executed its
+    // trigram shuffle 3×; q_pettitt's plan carried ≥3 independent
+    // events scans).
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.inputPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val pinned = Seq("q_good_turing", "q_pettitt", "q_mann_kendall",
+      "q_theil_sen", "q_runs_test", "q_kendall_tau", "q_seasonality",
+      "q_holt")
+    for (name <- pinned) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val scans = fileScans(df.queryExecution.executedPlan)
+      assert(scans.isEmpty,
+        s"$name: ${scans.length} base-table scan(s) survive in the final " +
+          "plan — the single-scan materialization pin regressed")
+    }
+  }
+
   test("label filter prunes a literal-labeled union down to one scan") {
     // The node table is a union of per-table projections with literal
     // labels — this shows Catalyst folds label = 'X' per branch and drops
