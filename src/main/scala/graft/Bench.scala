@@ -59,7 +59,8 @@ object Bench {
       case _ => -1L
     }
 
-  final case class Row(name: String, sec: Double, gcMs: Long, cpuSec: Double)
+  final case class Row(name: String, sec: Double, gcMs: Long, cpuSec: Double,
+                       tSec: Double, heapMb: Long, loadAvg: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,6 +102,7 @@ object Bench {
         "queries — totals are NOT comparable to full-suite runs")
       names
     }
+    val suiteT0 = System.nanoTime()
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Row = {
       val gc0 = gcMillis(); val cpu0 = processCpuNanos()
       val t0 = System.nanoTime()
@@ -114,8 +116,20 @@ object Bench {
       // Per-row JVM GC-time and process-CPU deltas: a co-tenant row is
       // diagnosable post hoc as wall ≫ cpu/cores with flat GC (CPU
       // steal), where a genuinely heavy row shows cpu ≈ wall·cores.
+      // Per-row host/JVM health (three independent runs showed an
+      // end-of-run over-gate cluster host_suspect only partially
+      // flagged): t_sec locates the row in suite time (a disturbance
+      // shows as a TIME block, not a name block), heap_mb exposes
+      // accumulated driver state, load_avg is the 1-min OS run queue —
+      // high while our cpu/wall is low = co-tenant, directly.
+      val rt = Runtime.getRuntime
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       Row(name, sec, gcMillis() - gc0,
-        if (cpu0 < 0 || cpu1 < 0) -1.0 else (cpu1 - cpu0) / 1e9)
+        if (cpu0 < 0 || cpu1 < 0) -1.0 else (cpu1 - cpu0) / 1e9,
+        (System.nanoTime() - suiteT0) / 1e9,
+        (rt.totalMemory - rt.freeMemory) / (1024 * 1024),
+        BigDecimal(load).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     // Shared derived-frame builds as explicit build:* pseudo-rows —
     // each cache is materialized (and persisted) HERE, so consumer
@@ -163,7 +177,15 @@ object Bench {
     // the CPU-steal signature so a contended artifact self-labels
     // (BENCH_r09/r10 both shipped poisoned numbers that needed the
     // appendix recipe by hand).
-    val nCores = cpus.toInt
+    // Defensive core derivation: the env default ("4") on a 32-core
+    // host made the cores/8 threshold 0.5 effective cores — inert for
+    // the 1-3-core steal signature it was calibrated on — and a
+    // malformed value threw mid-artifact-emit. Parse with toIntOption,
+    // never exceed the machine (local[N] caps our threads at N, but
+    // the calibration is against PHYSICAL starvation).
+    val nCores = cpus.toIntOption.filter(_ > 0)
+      .map(n => math.min(n, Runtime.getRuntime.availableProcessors))
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val suspects = all.filter(r => hostSuspect(r.sec, r.cpuSec, r.gcMs, nCores))
     if (suspects.nonEmpty)
       System.err.println(s"BENCH HOST-SUSPECT ROWS (${suspects.size}): " +
@@ -172,10 +194,18 @@ object Bench {
     val suspectNames = suspects.map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
     val total = all.map(_.sec).sum
+    val tsec = all.map(r => s"\"" + r.name + "\":" +
+      BigDecimal(r.tSec).setScale(1, BigDecimal.RoundingMode.HALF_UP))
+      .mkString("{", ",", "}")
+    val heap = all.map(r => s"\"" + r.name + "\":" + r.heapMb)
+      .mkString("{", ",", "}")
+    val load = all.map(r => s"\"" + r.name + "\":" + r.loadAvg)
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""controls_ok":$controlsOk,"control_ratios":$ctl,""" +
       s""""host_suspect_rows":${suspects.size},"host_suspect":$suspectNames,""" +
-      s""""gc_ms":$gcs,"cpu_sec":$cpu,"sf":"$sfDir"}"""
+      s""""gc_ms":$gcs,"cpu_sec":$cpu,"t_sec":$tsec,"heap_mb":$heap,""" +
+      s""""load_avg":$load,"sf":"$sfDir"}"""
     println(json)
     // Also persist the artifact: the driver captures only a bounded tail
     // of stdout, which truncated the one-line JSON mid-map two rounds

@@ -4145,11 +4145,12 @@ sm AS (SELECT source, n_docs, sx, rb,
   CASE WHEN den > 0 THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS mean_b
   FROM st),
 rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-    ORDER BY mean_b ASC NULLS LAST, rb ASC) AS rn FROM sm)
+    ORDER BY mean_b ASC NULLS LAST, rb ASC) AS rn,
+  COUNT(mean_b) OVER (PARTITION BY source) AS nn FROM sm)
 SELECT source, MAX(n_docs) AS n_docs,
   ROUND(CAST(MAX(sx) AS DOUBLE) / CAST(MAX(n_docs) AS DOUBLE), 6) AS mean,
   MAX(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
-  MAX(CASE WHEN rn = ${b - 1} THEN mean_b END) AS boot_hi,
+  MAX(CASE WHEN rn = nn - 1 THEN mean_b END) AS boot_hi,
   CAST(COUNT(CASE WHEN mean_b IS NOT NULL THEN 1 END) AS BIGINT) AS n_resamples
 FROM rk GROUP BY source ORDER BY source"""
   }

@@ -53,6 +53,18 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d + "#wp"),
       TextOps.winnowPairs(GraphBuilder.table(s, d, "documents"),
         fpIn = Some(winnowCached(s, d))).persist())
+  /** The three media pair graphs (synthetic near-dup corpora over real
+    * PNG/WAV/AVI payloads) — shared by the cluster report
+    * (q_media_clusters) and the flagship's cluster-canonical media gate
+    * (q_training_mix_mm). */
+  private def mediaPairsByModality(docs: DataFrame): Seq[(String, DataFrame)] = Seq(
+    "image" -> pipeline.Multimodal.imageDedupPairs(
+      pipeline.Multimodal.syntheticImageCorpus(docs, "doc_id"), 3),
+    "audio" -> pipeline.Multimodal.audioDedupPairs(
+      pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3),
+    "video" -> pipeline.Multimodal.videoDedupPairs(
+      pipeline.Multimodal.syntheticVideoCorpus(docs, "doc_id"), 3))
+
   /** Per-doc shingle-set arrays feed BOTH pair-scoring ops
     * (q_ngram_jaccard, q_containment) — one collect_set pass. */
   private def shingleArraysCached(s: SparkSession, d: String): DataFrame =
@@ -1005,24 +1017,45 @@ object SparkEntry {
       Corpus.trainingMixReport(GraphBuilder.table(s, d, "documents"),
         mixWeights.toMap)),
     // rows-only driver check (no oracleSql): the FLAGSHIP composition
-    // with the MULTIMODAL gates folded in — every near-dup image/audio
-    // member (perceptual dHash + band-energy fingerprint over real
-    // PNG/WAV payloads, min-id canonical kept) also leaves the mix.
+    // with the MULTIMODAL gates folded in — near-dup image/audio/video
+    // families (perceptual dHash + band-energy fingerprint + temporal
+    // video hash over real PNG/WAV/AVI payloads) are clustered by the
+    // shared dual-regime CC and every NON-REPRESENTATIVE member leaves
+    // the mix: exactly one copy per near-dup family survives
+    // (cluster-canonical keep, not pair-drop — a transitive dup that
+    // never appears as the larger pair member is still dropped).
     // The text-gate composition stays oracle-certified via
     // q_training_mix; the binary gates are spec-pinned
     // (CorpusPrepSpec + MultimodalSpec).
     "q_training_mix_mm" -> ((s, d) => {
       val docs = GraphBuilder.table(s, d, "documents")
-      val drops = pipeline.Multimodal.imageDedupPairs(
-          pipeline.Multimodal.syntheticImageCorpus(docs, "doc_id"), 3)
-        .select(col("b").as("doc_id"))
-        .unionByName(pipeline.Multimodal.audioDedupPairs(
-            pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3)
-          .select(col("b").as("doc_id")))
-        .distinct()
+      val drops = pipeline.Multimodal.mediaClusterDropIds(
+        mediaPairsByModality(docs))
       Corpus.trainingMixReport(docs, mixWeights.toMap,
         mediaDropIds = Some(drops))
     }),
+    // rows-only driver check (no oracleSql): the media completion of
+    // the text dedup contract (q_dedup_clusters) — per-modality
+    // (cluster representative, size) off the shared dual-regime CC
+    // over the image/audio/video pair graphs; cluster algebra
+    // spec-pinned in MultimodalSpec.
+    "q_media_clusters" -> ((s, d) =>
+      pipeline.Multimodal.mediaClusters(
+          mediaPairsByModality(GraphBuilder.table(s, d, "documents")))
+        .orderBy("modality", "rep_id")),
+    // rows-only driver check (no oracleSql): TEMPORAL video dedup —
+    // k-frame dHash signatures; clips sharing only a title card are
+    // candidates on frame 0 and rejected at the later slots. The
+    // synthetic corpus plants exactly that collision (family halves
+    // share frame 0, differ on frame 1); separation spec-pinned in
+    // MultimodalSpec.
+    "q_video_temporal" -> ((s, d) =>
+      pipeline.Multimodal.videoTemporalDedupPairs(
+        pipeline.Multimodal.syntheticTemporalVideoCorpus(
+          GraphBuilder.table(s, d, "documents"), "doc_id"), 3, 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy("hamming")),
     "q_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(GraphBuilder.table(s, d, "embeddings"))),
     "q_mmr" -> ((s, d) =>

@@ -36,6 +36,24 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("n_docs"))
   }
 
+  /** Near-dup cluster MEMBERSHIP: (id, rep_id) for every doc appearing
+    * in some pair — the per-member view of [[dedupClusters]] (CC labels
+    * are min member ids, so rep_id IS the canonical keeper and
+    * id ≠ rep_id IS the drop set). Pair-drop heuristics ("drop every b
+    * of a pair") over-keep: in the pair graph {(2,3), (1,3)} doc 2 is
+    * never a b yet is a transitive dup of 1 — cluster-canonical keep is
+    * the correct contract, and this frame is its primitive. */
+  def clusterMembership(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val (cc, _, converged) =
+      graft.algorithms.Community.ccWithRounds(nodes, sym, maxIter)
+    if (!converged) throw new IllegalStateException(
+      s"clusterMembership: connected components did not converge within $maxIter rounds")
+    cc.select(col("id"), col("component").as("rep_id"))
+  }
+
   /** Near-dup cluster-size histogram: how many clusters of each size
     * the candidate-pair graph produces, with each size's share of the
     * corpus — the "how duplicated is this corpus really" shape report

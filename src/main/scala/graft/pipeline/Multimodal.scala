@@ -402,6 +402,7 @@ object Multimodal {
     var w = 0; var h = 0
     var isRaw = false
     var lastVids = false
+    var topDown = false // negative biHeight = top-down row order (BMP rule)
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def walk(start: Int, end: Int): Unit = {
       var at = start
@@ -421,6 +422,7 @@ object Multimodal {
             // biCompression @16 (all little-endian)
             w = le32(bytes, ds + 4).toInt
             h = math.abs(le32(bytes, ds + 8).toInt)
+            topDown = le32(bytes, ds + 8).toInt < 0
             val bitCount = (bytes(ds + 14) & 0xff) | ((bytes(ds + 15) & 0xff) << 8)
             isRaw = le32(bytes, ds + 16) == 0L && bitCount == 24
             lastVids = false
@@ -437,7 +439,10 @@ object Multimodal {
     val stride = (w * 3 + 3) & ~3
     if (isRaw && w > 0 && h > 0 &&
         frames.nonEmpty && frames.forall(_.length == stride * h))
-      Some(RawVideo(w, h, stride, bgr = true, bottomUp = true, frames.toSeq))
+      // bottomUp from the biHeight sign: a legal top-down AVI (negative
+      // biHeight) must not decode vertically flipped, or a top-down and
+      // a bottom-up copy of the same clip get different dHashes
+      Some(RawVideo(w, h, stride, bgr = true, bottomUp = !topDown, frames.toSeq))
     else None
   }
 
@@ -831,17 +836,42 @@ object Multimodal {
     * COMPLETE for maxHamming ≤ 3 and never all-pairs. Exact hamming is
     * verified per candidate with one codegen'd bit_count. Ties of
     * identical hashes land in the same bucket — output is bounded by
-    * the true near-dup volume, a data property not a plan one. */
+    * the true near-dup volume, a data property not a plan one.
+    *
+    * `maxBucket` is the production hot-bucket cap (the winnowPairs
+    * maxDf / squareCountCapped discipline): a degenerate media corpus
+    * (monochrome thumbnails, silence-only audio → one shared chunk
+    * value) makes a (chunk, cv) bucket quadratic; buckets holding more
+    * than `maxBucket` ids are excluded from the join (candidate volume
+    * ≤ 4·maxBucket·n). A pair is still found if ANY of its ≤ 4 agreeing
+    * chunks stays under the cap; pairs agreeing ONLY inside capped
+    * buckets are dropped — audit what was skipped with
+    * [[hammingHotBuckets]] before trusting a capped run. Default
+    * uncapped (exact for maxHamming ≤ 3). */
   def hammingPairs64(hashed: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "hammingPairs64's 4x16-bit blocking is complete only for maxHamming <= 3")
+    require(maxBucket >= 2, "hammingPairs64 needs maxBucket >= 2 (a pair)")
     val h = hashed.select(col(idCol).as("id"), col(hashCol).as("h"))
-    val chunks = (0 until 4).map { c =>
+    val chunks0 = (0 until 4).map { c =>
       h.select(col("id"), lit(c).cast("long").as("chunk"),
         shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"),
         col("h"))
     }.reduce(_ unionByName _)
+    val chunks =
+      if (maxBucket == Long.MaxValue) chunks0
+      else {
+        // one extra map-side-combined count over the same keys; the
+        // sub-cap filter joins back on (chunk, cv) — broadcast-sized
+        // under any realistic cap, shuffle-safe when forced
+        val ok = chunks0.groupBy("chunk", "cv")
+          .agg(count(lit(1)).as("n_ids"))
+          .filter(col("n_ids") <= maxBucket)
+          .select("chunk", "cv")
+        chunks0.join(ok, Seq("chunk", "cv"), "left_semi")
+      }
     chunks.select(col("chunk"), col("cv"), col("id").as("a"), col("h").as("fa"))
       .join(chunks.select(col("chunk"), col("cv"), col("id").as("b"),
         col("h").as("fb")), Seq("chunk", "cv"))
@@ -850,6 +880,22 @@ object Multimodal {
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The capped-run audit for [[hammingPairs64]]: the (chunk, cv)
+    * buckets a cap of `maxBucket` would drop, with their population —
+    * the `n_capped_buckets` report squareCountCapped emits for excluded
+    * hubs, as a frame (empty ⇒ the capped run was exact). */
+  def hammingHotBuckets(hashed: DataFrame, idCol: String, hashCol: String,
+                        maxBucket: Long): DataFrame = {
+    val h = hashed.select(col(idCol).as("id"), col(hashCol).as("h"))
+    (0 until 4).map { c =>
+      h.select(col("id"), lit(c).cast("long").as("chunk"),
+        shiftright(col("h"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))
+    }.reduce(_ unionByName _)
+      .groupBy("chunk", "cv")
+      .agg(count(lit(1)).cast("long").as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
   }
 
   /** Perceptual near-duplicate image pairs: [[imageHashes]] dHash →
@@ -1154,6 +1200,61 @@ object Multimodal {
   def videoDedupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     hammingPairs64(videoHashes(media), "media_id", "vhash", maxHamming)
 
+  /** TEMPORAL video signature: dHash of k frames sampled evenly across
+    * the clip (slot s reads frame ⌊s·(n−1)/(k−1)⌋) — (media_id,
+    * vhashes[k], n_frames). Fixes the first-frame thumbprint's known
+    * collision: two different clips sharing a title card agree on
+    * frame 0 but nowhere else. Rows with ANY sampled frame undecodable
+    * are dropped (the decode-health discipline); only the k sampled
+    * frames are decoded, never the whole clip. */
+  def videoTemporalHashes(media: Dataset[MediaRow], k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 16, "videoTemporalHashes needs 1 <= k <= 16")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val mj = mjpegFrames(r.media)
+        val access: Option[(Int, Int => Option[java.awt.image.BufferedImage])] =
+          if (mj.nonEmpty) Some((mj.length, (i: Int) => decodeImage(mj(i))))
+          else rawVideo(r.media).filter(_.frames.nonEmpty)
+            .map(rv => (rv.frames.length,
+              (i: Int) => Some(rawFrameImage(rv, rv.frames(i)))))
+        access.flatMap { case (n, dec) =>
+          val idxs = (0 until k).map(s =>
+            if (k == 1) 0 else math.min(n - 1, s * (n - 1) / (k - 1)))
+          val hs = idxs.map(i => dec(i).map(dHash64))
+          if (hs.exists(_.isEmpty)) None
+          else Some((r.media_id, hs.map(_.get).toArray, n.toLong))
+        }
+      }
+    }.toDF("media_id", "vhashes", "n_frames")
+  }
+
+  /** Temporal near-dup video pairs: candidates from the SLOT-0 hash
+    * through the shared 4×16 pigeonhole join (complete for the
+    * all-slots-within semantics — a pair within maxHamming on EVERY
+    * slot is in particular within it on slot 0), verified with the max
+    * per-slot hamming over the full signature (one codegen'd
+    * zip_with + bit_count). Title-card clips survive candidacy but die
+    * at the later slots — exactly the separation the first-frame
+    * thumbprint cannot make. `maxBucket` caps hot slot-0 buckets (the
+    * [[hammingPairs64]] production knob). */
+  def videoTemporalDedupPairs(media: Dataset[MediaRow], k: Int = 3,
+                              maxHamming: Int = 3,
+                              maxBucket: Long = Long.MaxValue): DataFrame = {
+    val h = videoTemporalHashes(media, k)
+    val cand = hammingPairs64(
+      h.select(col("media_id"), element_at(col("vhashes"), 1).as("h0")),
+      "media_id", "h0", maxHamming, maxBucket)
+    cand.select("a", "b")
+      .join(h.select(col("media_id").as("a"), col("vhashes").as("ha")), Seq("a"))
+      .join(h.select(col("media_id").as("b"), col("vhashes").as("hb")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr("CAST(array_max(zip_with(ha, hb, (x, y) -> bit_count(x ^ y))) AS BIGINT)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic 2-frame uncompressed AVI (BI_RGB 24bpp, 16×16) from
     * a 64-bit seed — the video member of the synthetic near-dup family
     * generators: frame pixels are seed-derived grays (splitmix mix, as
@@ -1166,7 +1267,31 @@ object Multimodal {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    val w = 16; val h = 16
+    val grays = (0 until 2).map { fi =>
+      val g = new Array[Int](256)
+      var p = 0
+      while (p < 256) {
+        g(p) = (mix(seed, fi.toLong * 256L + p) & 0xffL).toInt
+        p += 1
+      }
+      if (fi == 0) {
+        var v = 0
+        while (v < variant) {
+          val pos = (math.abs(mix(seed, 2000L + v)) % 256L).toInt
+          g(pos) = 255 - g(pos)
+          v += 1
+        }
+      }
+      g
+    }
+    aviFromGrayFrames(grays, 16, 16)
+  }
+
+  /** Assemble a BI_RGB 24bpp uncompressed AVI from per-frame 8-bit gray
+    * rasters (row-major, length w·h each) — the shared byte-assembly
+    * behind the synthetic video generators. Pure bytes, no encoder. */
+  private[pipeline] def aviFromGrayFrames(grays: Seq[Array[Int]],
+                                          w: Int, h: Int): Array[Byte] = {
     val stride = (w * 3 + 3) & ~3
     def le(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -1175,18 +1300,12 @@ object Multimodal {
       val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
       id.getBytes("ISO-8859-1") ++ le(body.length) ++ body ++ pad
     }
-    val frames = (0 until 2).map { fi =>
+    val frames = grays.map { gr =>
+      require(gr.length == w * h, "aviFromGrayFrames: raster size mismatch")
       val f = new Array[Byte](stride * h)
       var p = 0
       while (p < w * h) {
-        var g = (mix(seed, fi.toLong * 256L + p) & 0xffL).toInt
-        if (fi == 0) {
-          var v = 0
-          while (v < variant) {
-            if ((math.abs(mix(seed, 2000L + v)) % 256L).toInt == p) g = 255 - g
-            v += 1
-          }
-        }
+        val g = gr(p)
         val y = p / w; val x = p % w
         val o = y * stride + x * 3
         f(o) = g.toByte; f(o + 1) = g.toByte; f(o + 2) = g.toByte
@@ -1205,6 +1324,59 @@ object Multimodal {
     "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
   }
 
+  /** Multi-frame seeded AVI: frame i's pixels derive from frameSeeds(i)
+    * alone — the fixture generator for temporal-signature tests (two
+    * clips sharing only frameSeeds.head are title-card collisions:
+    * first-frame-equal, rest-different). */
+  def syntheticAviSeeded(frameSeeds: Seq[Long]): Array[Byte] = {
+    def mix(a: Long, b: Long): Long = {
+      var z = a ^ (b * 0x9e3779b97f4a7c15L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    aviFromGrayFrames(frameSeeds.map { s =>
+      Array.tabulate(256)(p => (mix(s, p.toLong) & 0xffL).toInt)
+    }, 16, 16)
+  }
+
+  /** Synthetic TEMPORAL near-dup video corpus: family = id DIV 4,
+    * member = id MOD 4. All four members share frame 0 (one or two
+    * seed-derived pixel inversions apart — a title card); frame 1's
+    * seed splits the family into halves {0,1} / {2,3}. First-frame
+    * dedup sees one 4-clip family; the temporal signature must keep
+    * only the within-half pairs. */
+  def syntheticTemporalVideoCorpus(ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
+        def mix(a: Long, b: Long): Long = {
+          var z = a ^ (b * 0x9e3779b97f4a7c15L)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        it.map { id =>
+          val fam = id / 4L; val m = (id % 4L).toInt
+          val s0 = fam * 1000L + 1L
+          val s1 = fam * 1000L + 2L + (m / 2).toLong
+          val f0 = Array.tabulate(256)(p => (mix(s0, p.toLong) & 0xffL).toInt)
+          // m pixel inversions on the shared title card (near-dup, not
+          // exact, within the family — mirrors syntheticAvi's variants)
+          var v = 0
+          while (v < m) {
+            val pos = (math.abs(mix(s0, 3000L + v)) % 256L).toInt
+            f0(pos) = 255 - f0(pos)
+            v += 1
+          }
+          val f1 = Array.tabulate(256)(p => (mix(s1, p.toLong) & 0xffL).toInt)
+          MediaRow(id, "video", aviFromGrayFrames(Seq(f0, f1), 16, 16))
+        }
+      }
+  }
+
   /** Synthetic near-dup video corpus — the raw-AVI member of the
     * family generators: family = id DIV 4, variant = id MOD 3 (one
     * exact-dup pair per full family, the rest near-dups); same core
@@ -1220,6 +1392,42 @@ object Multimodal {
         }
       }
   }
+
+  // ==== Media dedup clusters + canonical keep ====
+  // The media families' completion of the text-dedup contract: pairs →
+  // connected-component clusters → min-id representative. Pair lists
+  // alone under-specify the keep decision (a transitive dup may never
+  // appear as the larger pair member); the cluster algebra below is
+  // the same dual-regime CC text dedup rides (Corpus.dedupClusters).
+
+  /** Per-modality near-dup clusters over the media pair graphs: one row
+    * per cluster — (modality, rep_id, n_members), rep_id = min member
+    * (the canonical keeper). Survivors per modality =
+    * n_media − Σ(n_members − 1). Scale: one CC fixpoint per modality
+    * over its pair edges (dual-regime: driver-local under the broadcast
+    * threshold, pointer-doubling shuffles above it). */
+  def mediaClusters(pairsByModality: Seq[(String, DataFrame)],
+                    maxIter: Int = 15): DataFrame =
+    pairsByModality.map { case (modality, pairs) =>
+      Corpus.clusterMembership(pairs, maxIter)
+        .groupBy("rep_id")
+        .agg(count(lit(1)).cast("long").as("n_members"))
+        .select(lit(modality).as("modality"), col("rep_id").cast("long"),
+          col("n_members"))
+    }.reduce(_ unionByName _)
+
+  /** The drop set of [[mediaClusters]]: every non-representative member
+    * across the given modalities, distinct — the frame
+    * trainingMixReport's media gate anti-joins, so the flagship keeps
+    * EXACTLY one copy per near-dup family (cluster-canonical, not
+    * pair-drop). */
+  def mediaClusterDropIds(pairsByModality: Seq[(String, DataFrame)],
+                          maxIter: Int = 15): DataFrame =
+    pairsByModality.map { case (_, pairs) =>
+      Corpus.clusterMembership(pairs, maxIter)
+        .filter(col("id") =!= col("rep_id"))
+        .select(col("id").as("doc_id"))
+    }.reduce(_ unionByName _).distinct()
 
   /** Synthetic near-dup audio corpus — the WAV twin of
     * [[syntheticImageCorpus]]: family = id DIV 4, variant = id MOD 3

@@ -871,8 +871,12 @@ object Stats {
     * the salted hash u_b(doc) = (hash60("bs<b>:"++doc_id)+½)/2⁶⁰
     * through [[poissonCdf]] — fully deterministic, so the DuckDB
     * oracle replays every weight exactly. Reports the point mean and
-    * the 2nd-smallest / 2nd-largest of the B resample means (the
-    * ~94% CI at B = 32), ties broken by resample index.
+    * the 2nd-smallest / 2nd-largest of the NON-NULL resample means
+    * (the ~94% CI at B = 32), ties broken by resample index. A den = 0
+    * resample (possible only for tiny sources, P ≈ e⁻ⁿ) is genuinely
+    * excluded: the high pick ranks against the non-null count, so a
+    * degenerate resample narrows nothing silently, and with fewer than
+    * 3 usable resamples the bound is an explicit NULL.
     *
     * Scale: ONE corpus pass with B weight columns folded into a
     * map-side-combined per-source aggregate (exact BIGINT Σw·x and
@@ -908,13 +912,18 @@ object Stats {
           .as("mean_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("mean_b").asc_nulls_last, col("rb").asc)
+    // NULLs sort last, so non-null means occupy rn 1..nn: the 2nd-largest
+    // NON-NULL is rn = nn - 1, not rn = b - 1 (which with one den = 0
+    // resample would silently hand boot_hi the largest mean instead)
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("source")
     stacked.withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(col("mean_b")).over(wp))
       .groupBy("source")
       .agg(max("n_docs").as("n_docs"),
         round(max(col("sx")).cast("double") /
           max(col("n_docs")).cast("double"), 6).as("mean"),
         max(when(col("rn") === 2, col("mean_b"))).as("boot_lo"),
-        max(when(col("rn") === b - 1, col("mean_b"))).as("boot_hi"),
+        max(when(col("rn") === col("nn") - 1, col("mean_b"))).as("boot_hi"),
         count(when(col("mean_b").isNotNull, 1)).cast("long").as("n_resamples"))
       .orderBy("source")
   }

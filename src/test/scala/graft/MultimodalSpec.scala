@@ -620,6 +620,81 @@ class MultimodalSpec extends SparkSpec {
     assert(exact == Set((1L, 2L)))
   }
 
+  test("hammingPairs64 hot-bucket cap: degenerate corpus bounded, generous cap exact") {
+    val implicits = spark.implicits
+    import implicits._
+    // the degenerate media corpus: 40 monochrome thumbnails share ONE
+    // hash (every chunk a hot bucket) + one spread near-dup pair
+    val flat = (1L to 40L).map(_ -> 0L)
+    val spread = Seq(100L -> 0x123456789abcdef0L, 101L -> 0x123456789abcdef1L)
+    val df = (flat ++ spread).toDF("media_id", "h")
+    // uncapped: the flat block alone is 40·39/2 = 780 pairs
+    assert(Multimodal.hammingPairs64(df, "media_id", "h", 3).count() == 781L)
+    // capped at 8: every flat bucket (population 40) drops — candidates
+    // bounded; the spread pair (bucket populations 2) survives
+    val capped = Multimodal.hammingPairs64(df, "media_id", "h", 3, maxBucket = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    // the audit reports exactly the dropped buckets: 4 chunks of the
+    // flat hash value 0 (cv = 0 in each chunk position), population 40
+    val hot = Multimodal.hammingHotBuckets(df, "media_id", "h", 8L).collect()
+    assert(hot.length == 4 && hot.forall(_.getAs[Long]("n_ids") == 40L))
+    // cap >= max bucket population == uncapped (the exactness pin)
+    val generous = Multimodal.hammingPairs64(df, "media_id", "h", 3, maxBucket = 40L)
+    assert(generous.count() == 781L)
+    assert(Multimodal.hammingHotBuckets(df, "media_id", "h", 40L).isEmpty)
+  }
+
+  test("mediaClusters + mediaClusterDropIds: cluster-canonical keep, not pair-drop") {
+    val implicits = spark.implicits
+    import implicits._
+    // pair graph {(2,3), (1,3)}: doc 2 is NEVER the larger pair member
+    // yet is a transitive dup of 1 — pair-drop would keep {1, 2},
+    // cluster-canonical must keep only the min member 1
+    val pairs = Seq((2L, 3L, 0L), (1L, 3L, 1L)).toDF("a", "b", "hamming")
+    val clusters = graft.pipeline.Multimodal.mediaClusters(Seq("image" -> pairs))
+      .collect()
+    assert(clusters.length == 1)
+    assert(clusters(0).getAs[String]("modality") == "image")
+    assert(clusters(0).getAs[Long]("rep_id") == 1L)
+    assert(clusters(0).getAs[Long]("n_members") == 3L)
+    val drops = graft.pipeline.Multimodal.mediaClusterDropIds(Seq("image" -> pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 3L)) // everything but the representative
+    // two modalities: drop sets union distinct; per-modality clusters stay apart
+    val audioPairs = Seq((2L, 9L, 0L)).toDF("a", "b", "hamming")
+    val multi = graft.pipeline.Multimodal.mediaClusters(
+      Seq("image" -> pairs, "audio" -> audioPairs)).collect()
+    assert(multi.length == 2 &&
+      multi.map(_.getAs[String]("modality")).toSet == Set("image", "audio"))
+    val allDrops = graft.pipeline.Multimodal.mediaClusterDropIds(
+      Seq("image" -> pairs, "audio" -> audioPairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(allDrops == Set(2L, 3L, 9L)) // 2 drops once despite both graphs
+  }
+
+  test("videoTemporalDedupPairs separates title-card collisions the first frame cannot") {
+    val implicits = spark.implicits
+    import implicits._
+    // one temporal family (ids 0..3): frame 0 shared (m inversions
+    // apart), frame 1 splits halves {0,1} / {2,3}
+    val media = Multimodal.syntheticTemporalVideoCorpus(
+      spark.range(4).toDF("id"), "id")
+    // first-frame dedup sees the whole family as near-dups...
+    val firstFrame = Multimodal.videoDedupPairs(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(firstFrame.contains((0L, 2L)) || firstFrame.contains((0L, 3L)) ||
+      firstFrame.contains((1L, 2L)) || firstFrame.contains((1L, 3L)),
+      s"fixture must plant a cross-half title-card collision, got $firstFrame")
+    // ...the temporal signature keeps ONLY the within-half pairs
+    val temporal = Multimodal.videoTemporalDedupPairs(media, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(temporal == Set((0L, 1L), (2L, 3L)), s"temporal pairs: $temporal")
+    // identical clips stay exact dups under the temporal signature
+    val h = Multimodal.videoTemporalHashes(media, 3).collect()
+    assert(h.length == 4 && h.forall(_.getAs[Seq[Long]]("vhashes").length == 3))
+  }
+
   test("imageHashes + imageDedupPairs over REAL PNG payloads") {
     val implicits = spark.implicits
     import implicits._

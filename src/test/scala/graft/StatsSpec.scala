@@ -388,6 +388,25 @@ class StatsSpec extends SparkSpec {
     assert(hi - lo < 100.0) // sane width for 60 docs of range-200 lengths
   }
 
+  test("bootstrapMeanCi: den=0 resamples rank OUT of the CI picks (tiny source)") {
+    // a 1-doc source: each resample is den=0 with P = e^-1 ≈ 37%, so at
+    // B = 32 some resamples are deterministically NULL for any fixed
+    // doc_id; the high pick must rank against the NON-NULL count (2nd-
+    // largest usable mean), not b-1 (which would land on a NULL or the
+    // largest). With one doc every usable mean equals the doc length, so
+    // the picks collapse onto it — but ONLY if the ranks stay in the
+    // non-null prefix.
+    val d = Seq((1L, "a" * 7, "en", "tiny")) ++
+      (10L until 30L).map(i => (i, "a" * 50, "en", "big"))
+    val r = Stats.bootstrapMeanCi(docs(d: _*)).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val nTiny = r("tiny").getAs[Long]("n_resamples")
+    assert(nTiny < 32L && nTiny > 3L) // NULL resamples exist, CI still formed
+    assert(r("tiny").getAs[Double]("boot_lo") == 7.0)
+    assert(r("tiny").getAs[Double]("boot_hi") == 7.0) // rn = nn-1 is non-null
+    assert(r("big").getAs[Long]("n_resamples") == 32L)
+  }
+
   test("poissonCdf weights: thresholds are a valid CDF prefix") {
     val c = Stats.poissonCdf
     assert(c.size == 7 && c.sliding(2).forall(p => p(0) < p(1)))
