@@ -851,6 +851,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM tk WHERE term IN ($inList) GROUP BY 1 $having"""
   }
 
+  /** Ranked fulltext mirror: the fulltextSql tokenizer (whitespace
+    * split → strip non-alphanumerics → lowercase) feeding the bm25Sql
+    * formula verbatim — same constants, same operator order, same
+    * 6-dp round, doc_id tiebreak at the LIMIT. */
+  def fulltextBm25Sql(terms: Seq[String], k1: Double, b: Double,
+                      k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id,
+  lower(regexp_replace(w, '[^\\p{L}\\p{N}]', '', 'g')) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+        FROM documents)
+  WHERE lower(regexp_replace(w, '[^\\p{L}\\p{N}]', '', 'g')) <> ''),
+ dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+ st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+  WHERE term IN ($inList) GROUP BY 1, 2),
+ dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ sc AS (SELECT tf.doc_id,
+     SUM(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * (tf.tf * ${k1 + 1.0}) /
+         (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl))) AS score,
+     CAST(COUNT(DISTINCT tf.term) AS BIGINT) AS n_matched
+   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_matched, ROUND(score, 6) AS bm25
+FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
+  }
+
   /** BM25 against a literal term set — constants (k1, b, k1+1)
     * interpolated from the same Scala doubles the Spark plan uses, and
     * every arithmetic operator in the same order, so the doubles agree

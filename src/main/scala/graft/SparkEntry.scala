@@ -1155,6 +1155,12 @@ object SparkEntry {
       graft.ops.Fulltext.searchAll(
         GraphBuilder.table(s, d, "documents"), "doc_id", "text",
         "Spark query join")),
+    // the reference's search composed with the engine's BM25 ranking
+    // (fulltext tokenizer end to end)
+    "q_fulltext_bm25" -> ((s, d) =>
+      graft.ops.Fulltext.rankedSearch(
+        GraphBuilder.table(s, d, "documents"), "doc_id", "text",
+        "Spark, vector! query")),
     "q_rrf" -> ((s, d) =>
       Corpus.hybridRrf(GraphBuilder.table(s, d, "documents"),
         Seq("spark", "query", "join", "vector"))),
@@ -1703,6 +1709,8 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
       graft.ops.Fulltext.tokenizeQuery("Spark, vector!"), requireAll = false),
     "q_fulltext_and" -> PipelineOracles.fulltextSql(
       graft.ops.Fulltext.tokenizeQuery("Spark query join"), requireAll = true),
+    "q_fulltext_bm25" -> PipelineOracles.fulltextBm25Sql(
+      graft.ops.Fulltext.tokenizeQuery("Spark, vector! query"), 1.2, 0.75, 20),
     "q_rrf" -> PipelineOracles.hybridRrfSql(
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 2000.0, 50, 60, 20),
     "q_tfidf" -> PipelineOracles.tfidfSql(3),

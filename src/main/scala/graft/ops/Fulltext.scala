@@ -78,6 +78,50 @@ object Fulltext {
     matchCounts(df, idCol, textCol, query).filter(col("n_matched") === n)
   }
 
+  /** Ranked fulltext retrieval — the reference's `search` composed with
+    * the engine's BM25 scorer (Robertson idf, Lucene-positive form —
+    * the q_bm25 formula op for op) over the REFERENCE tokenizer's
+    * cleaned token stream: docs matching ANY query term are candidates
+    * (the implicit OR retrieval — only matching docs ever reach the
+    * scorer), idf/avgdl come from the whole corpus, and the top k rank
+    * by score with a doc_id tiebreak. Output (id, n_matched, bm25) —
+    * n_matched grades the OR→AND spectrum for free.
+    *
+    * Scale: one token explode; dl/avgdl are map-side-combined
+    * aggregates; the query-term tf stream is IN-list-pruned before its
+    * shuffle; df broadcasts (≤ |query| rows); top-k is a distributed
+    * TakeOrdered, never a full sort. */
+  def rankedSearch(df: DataFrame, idCol: String, textCol: String,
+                   query: String, k1: Double = 1.2, b: Double = 0.75,
+                   k: Int = 20): DataFrame = {
+    val qTerms = tokenizeQuery(query)
+    require(qTerms.nonEmpty, "rankedSearch needs a non-empty tokenized query")
+    val toks = tokens(df, idCol, textCol)
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isInCollection(qTerms))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) — operator order
+    // mirrored verbatim in the DuckDB oracle so the doubles agree
+    val scored = tf
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))).as("s"),
+        col("term"))
+      .groupBy(idCol)
+      .agg(sum("s").as("score"),
+        count_distinct(col("term")).cast("long").as("n_matched"))
+    scored.select(col(idCol), col("n_matched"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc).limit(k)
+  }
+
   /** The reference's db-level surface (db.rs:518-563): search a (label,
     * property) of the property graph, returning matching node ids. The
     * label predicate prunes the union'd node table to one scan

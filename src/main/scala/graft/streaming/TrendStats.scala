@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Trend / seasonality statistics over the daily event-volume series —
   * the monitoring questions a pipeline operator asks of an intake
@@ -293,5 +294,94 @@ object Trend {
       round(least(lit(1.0), lit(2.0) *
         exp(lit(-6.0) * kD * kD / (nD * nD * nD + nD * nD))), 6)
         .as("p_approx"))
+  }
+
+  final case class PettittDayRow(day_closed: Long, n_days: Long,
+                                 change_day: Long, u_at_k: Long, k: Long,
+                                 p_approx: Double)
+  final case class PettittDayState(open: Long, openCnt: Long,
+                                   days: Map[Long, Long])
+
+  /** The [[pettitt]] decision over an in-memory closed-day map —
+    * identical semantics to the batch plan: zero-filled grid over the
+    * observed min..max day, U_t by the prefix-sum identity, K = max|U|
+    * over t = first..last−1 with the earliest-day tie rule, capped
+    * p ≈ 2·exp(−6K²/(n³+n²)). None for a < 2-day grid (batch emits no
+    * row there either). O(n log n) per call on the observation-window-
+    * bounded grid. */
+  private[streaming] def pettittOf(days: Map[Long, Long]): Option[(Long, Long, Long, Long, Double)] = {
+    if (days.isEmpty) return None
+    val d0 = days.keys.min; val d1 = days.keys.max
+    val n = (d1 - d0 + 1).toInt
+    if (n < 2) return None
+    val c = Array.tabulate(n)(i => days.getOrElse(d0 + i, 0L))
+    val sorted = c.sorted
+    def lowerBound(v: Long): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (sorted(m) < v) lo = m + 1 else hi = m }
+      lo
+    }
+    def upperBound(v: Long): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (sorted(m) <= v) lo = m + 1 else hi = m }
+      lo
+    }
+    var u = 0L; var bestK = -1L; var bestU = 0L; var bestDay = d0
+    var t = 0
+    while (t < n - 1) { // U at the last day is 0 by construction — excluded
+      val cs = c(t)
+      u += (n - upperBound(cs)).toLong - lowerBound(cs).toLong // W_t
+      val k = math.abs(u)
+      if (k > bestK) { bestK = k; bestU = u; bestDay = d0 + t }
+      t += 1
+    }
+    val nD = n.toDouble; val kD = bestK.toDouble
+    val p = math.min(1.0, 2.0 * math.exp(-6.0 * kD * kD / (nD * nD * nD + nD * nD)))
+    Some((n.toLong, bestDay, bestU, bestK, math.rint(p * 1e6) / 1e6))
+  }
+
+  /** Streaming twin of [[pettitt]] — the online change-point monitor
+    * completing stream ≡ batch for the trend family: ONE state row
+    * (the open day's partial count + the closed-day map, bounded by
+    * the observation window — the module-wide day-grid contract), each
+    * micro-batch closes every day strictly before the newest seen, and
+    * each CLOSE emits the full Pettitt decision over the closed prefix
+    * — exactly what batch [[pettitt]] returns on events up to that
+    * day (spec-pinned). Late events for an already-closed day are
+    * dropped, watermark-style (the [[EventStreams.cusumOnlineSteps]]
+    * convention). */
+  def pettittOnlineSteps(events: Dataset[EventStreams.Event]): Dataset[PettittDayRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[PettittDayState, PettittDayRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[PettittDayState]) =>
+          val tally = scala.collection.mutable.SortedMap.empty[Long, Long]
+          it.foreach { e =>
+            val day = e.ts.getTime / 86400000L
+            tally(day) = tally.getOrElse(day, 0L) + 1L
+          }
+          if (tally.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              PettittDayState(tally.head._1, 0L, Map.empty))
+            val out = Seq.newBuilder[PettittDayRow]
+            tally.foreach { case (day, cnt) =>
+              if (day > st.open) {
+                val closed = st.days + (st.open -> (st.days.getOrElse(st.open, 0L) + st.openCnt))
+                pettittOf(closed).foreach { case (n, cd, u, k, p) =>
+                  out += PettittDayRow(st.open, n, cd, u, k, p)
+                }
+                st = PettittDayState(day, 0L, closed)
+              }
+              if (day >= st.open) st = st.copy(openCnt = st.openCnt + cnt)
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
   }
 }

@@ -55,6 +55,26 @@ class FulltextSpec extends SparkSpec {
       assert(ids(Fulltext.searchFulltext(g, "User", "bio", t)) == Set(1L), t)
   }
 
+  test("rankedSearch: fulltext retrieval composed with BM25 scoring") {
+    val implicits = spark.implicits
+    import implicits._
+    // equal-length docs: the two-term match must outrank the one-term
+    // matches, non-matching docs never appear
+    val docs = Seq(
+      (1L, "spark query alpha beta"),
+      (2L, "spark omega alpha beta"),
+      (3L, "query omega alpha beta"),
+      (4L, "omega gamma alpha beta")).toDF("doc_id", "text")
+    val r = Fulltext.rankedSearch(docs, "doc_id", "text", "Spark, query!")
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // 4 never matches
+    assert(r(0).getAs[Long]("n_matched") == 2L)
+    assert(r(1).getAs[Long]("n_matched") == 1L && r(2).getAs[Long]("n_matched") == 1L)
+    assert(r(0).getAs[Double]("bm25") > r(1).getAs[Double]("bm25"))
+    // equal scores (same df, tf, dl) tiebreak by doc_id
+    assert(r(1).getAs[Double]("bm25") == r(2).getAs[Double]("bm25"))
+  }
+
   test("tokenizer: punctuation stripped, label scoping, empty query") {
     val implicits = spark.implicits
     import implicits._

@@ -454,6 +454,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batchClosed)
   }
 
+  test("online Pettitt stream ≡ batch twin on closed-day prefixes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val evs = EventStreams.readEvents(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = graft.streaming.Trend.pettittOnlineSteps(evs)
+      .writeStream.format("memory").queryName("pet").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("pet").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(streamed.nonEmpty)
+    // every close emits the batch pettitt decision over that prefix —
+    // check the first, a middle, and the last closed day
+    val keys = streamed.keys.toSeq.sorted
+    for (d <- Seq(keys.head, keys(keys.size / 2), keys.last)) {
+      val pre = events.filter(
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long") <= d)
+      val b = graft.streaming.Trend.pettitt(pre).collect()(0)
+      assert(streamed(d) == ((b.getLong(0), b.getLong(1), b.getLong(2),
+        b.getLong(3), b.getDouble(4))), s"prefix through day $d")
+    }
+    // one emission per OBSERVED closed day (the 1-day prefix emits
+    // nothing — batch has no row on a single-day grid either)
+    assert(keys.size >= 3 && keys.distinct.size == keys.size)
+  }
+
   test("stateful path steps: stream trigram counts ≡ batch eventPaths") {
     val sparkS = spark
     import sparkS.implicits._
