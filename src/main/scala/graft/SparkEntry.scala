@@ -56,14 +56,23 @@ object SparkEntry {
   /** The three media pair graphs (synthetic near-dup corpora over real
     * PNG/WAV/AVI payloads) — shared by the cluster report
     * (q_media_clusters) and the flagship's cluster-canonical media gate
-    * (q_training_mix_mm). */
-  private def mediaPairsByModality(docs: DataFrame): Seq[(String, DataFrame)] = Seq(
-    "image" -> pipeline.Multimodal.imageDedupPairs(
-      pipeline.Multimodal.syntheticImageCorpus(docs, "doc_id"), 3),
-    "audio" -> pipeline.Multimodal.audioDedupPairs(
-      pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3),
-    "video" -> pipeline.Multimodal.videoDedupPairs(
-      pipeline.Multimodal.syntheticVideoCorpus(docs, "doc_id"), 3))
+    * (q_training_mix_mm). Memo-persisted per modality: the payload
+    * synthesis + decode is the dominant cost and would otherwise run
+    * once per consuming query (a build:media_pairs pseudo-row times the
+    * materialization explicitly). */
+  private def mediaPairsCached(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    def docs = GraphBuilder.table(s, d, "documents")
+    Seq(
+      "image" -> mhCache.getOrElseUpdate((s, d + "#mp:image"),
+        pipeline.Multimodal.imageDedupPairs(
+          pipeline.Multimodal.syntheticImageCorpus(docs, "doc_id"), 3).persist()),
+      "audio" -> mhCache.getOrElseUpdate((s, d + "#mp:audio"),
+        pipeline.Multimodal.audioDedupPairs(
+          pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3).persist()),
+      "video" -> mhCache.getOrElseUpdate((s, d + "#mp:video"),
+        pipeline.Multimodal.videoDedupPairs(
+          pipeline.Multimodal.syntheticVideoCorpus(docs, "doc_id"), 3).persist()))
+  }
 
   /** Per-doc shingle-set arrays feed BOTH pair-scoring ops
     * (q_ngram_jaccard, q_containment) — one collect_set pass. */
@@ -108,7 +117,13 @@ object SparkEntry {
     // ordered BEFORE build:triangles so each row times its own work
     "build:part_cooccur" -> ((s, d) => DerivedGraphs.partCooccur(s, d)),
     "build:bpe_seg" -> ((s, d) => bpeSegCached(s, d)),
-    "build:triangles" -> ((s, d) => triangleCountsCached(s, d)))
+    "build:triangles" -> ((s, d) => triangleCountsCached(s, d)),
+    // the three media pair graphs (synthesis + decode dominate):
+    // consumed by q_media_clusters AND q_training_mix_mm
+    "build:media_pairs" -> ((s, d) =>
+      mediaPairsCached(s, d).map { case (m, p) =>
+        p.select(lit(m).as("modality"), col("a"), col("b"))
+      }.reduce(_ unionByName _)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
     * DerivedGraphs, minhash pairs) — for in-process session recycling. */
@@ -1030,7 +1045,7 @@ object SparkEntry {
     "q_training_mix_mm" -> ((s, d) => {
       val docs = GraphBuilder.table(s, d, "documents")
       val drops = pipeline.Multimodal.mediaClusterDropIds(
-        mediaPairsByModality(docs))
+        mediaPairsCached(s, d))
       Corpus.trainingMixReport(docs, mixWeights.toMap,
         mediaDropIds = Some(drops))
     }),
@@ -1040,8 +1055,7 @@ object SparkEntry {
     // over the image/audio/video pair graphs; cluster algebra
     // spec-pinned in MultimodalSpec.
     "q_media_clusters" -> ((s, d) =>
-      pipeline.Multimodal.mediaClusters(
-          mediaPairsByModality(GraphBuilder.table(s, d, "documents")))
+      pipeline.Multimodal.mediaClusters(mediaPairsCached(s, d))
         .orderBy("modality", "rep_id")),
     // rows-only driver check (no oracleSql): TEMPORAL video dedup —
     // k-frame dHash signatures; clips sharing only a title card are
