@@ -4142,6 +4142,60 @@ SELECT nn.n AS n_days, best.day AS change_day, best.u AS u_at_k,
     (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6) AS p_approx
 FROM best CROSS JOIN nn"""
 
+  /** Kaplan–Meier mirror: same per-user epoch-day spans, same
+    * horizon-censoring rule, same guarded exp-sum-ln product. */
+  def survivalSql(censorDays: Int): String =
+    s"""WITH per AS (SELECT user_id,
+  MIN(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d0,
+  MAX(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d1
+  FROM events GROUP BY 1),
+hor AS (SELECT MAX(d1) AS h FROM per),
+lab AS (SELECT d1 - d0 + 1 AS t,
+  CASE WHEN d1 <= h - $censorDays THEN 1 ELSE 0 END AS ev FROM per, hor),
+g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+  CAST(SUM(1 - ev) AS BIGINT) AS cns FROM lab GROUP BY 1),
+tot AS (SELECT CAST(SUM(d) + SUM(cns) AS BIGINT) AS n_total FROM g),
+r AS (SELECT t, d, cns,
+  n_total - COALESCE(SUM(d + cns) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM g, tot)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+  d AS n_event, cns AS n_censored,
+  ROUND(CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      OVER cum = 1 THEN CAST(0 AS DOUBLE)
+    ELSE exp(SUM(CASE WHEN d = 0 THEN CAST(0 AS DOUBLE)
+      WHEN d = n_risk THEN CAST(0 AS DOUBLE)
+      ELSE ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
+      OVER cum) END, 6) AS survival
+FROM r
+WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY t_days"""
+
+  /** Page–Hinkley mirror: same running-mean drift terms off the
+    * zero-filled day grid, same σ-scaled λ, same cumulative extrema. */
+  def pageHinkleySql(delta: Double, lambdaK: Double): String =
+    s"""WITH $dailySeriesCte,
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+  CAST(SUM(c * c) AS BIGINT) AS ss FROM ser),
+lam AS (SELECT CAST($lambdaK AS DOUBLE) * sqrt(GREATEST(
+    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
+    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+    CAST(0 AS DOUBLE))) AS lam FROM st),
+tm AS (SELECT day, c,
+  CAST(c AS DOUBLE) - CAST(SUM(c) OVER cum AS DOUBLE) /
+    CAST(COUNT(*) OVER cum AS DOUBLE) - CAST($delta AS DOUBLE) AS term
+  FROM ser
+  WINDOW cum AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+mm AS (SELECT day, c, SUM(term) OVER cum AS m FROM tm
+  WINDOW cum AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ph AS (SELECT day, c, m - MIN(m) OVER cum AS ph_inc,
+  MAX(m) OVER cum - m AS ph_dec FROM mm
+  WINDOW cum AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT ph.day, ph.c, ROUND(ph_inc, 6) AS ph_inc, ROUND(ph_dec, 6) AS ph_dec,
+  ph_inc > lam AS alarm_inc, ph_dec > lam AS alarm_dec
+FROM ph CROSS JOIN lam ORDER BY day"""
+
   /** Poisson-bootstrap mirror: the identical salted-hash u -> Poisson
     * inverse-CDF weights (same exact decimal thresholds), exact BIGINT
     * per-resample sums, one division per mean, same (mean, rb) rank
@@ -4180,4 +4234,71 @@ SELECT source, MAX(n_docs) AS n_docs,
   CAST(COUNT(CASE WHEN mean_b IS NOT NULL THEN 1 END) AS BIGINT) AS n_resamples
 FROM rk GROUP BY source ORDER BY source"""
   }
+
+  /** Shared PQ CTE chain: quantization + subspace key, per-subspace
+    * integer k-means unrolled `iters` times (same truncated `//`
+    * means, same (dist, cid) tie rule), ending at `fd` = every
+    * (vec, sub, cid) squared distance against the final codebook. */
+  private def pqCtes(m: Int, ksub: Int, iters: Int, scale: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH dm AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+iv AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos, ((i - 1) * $m) // d AS sub,
+    CAST(floor(embedding[i]::DOUBLE * $scale) AS BIGINT) AS xi
+  FROM embeddings, dm, unnest(generate_series(1, len(embedding))) AS t(i)),
+c0 AS (SELECT vec_id - 10 AS cid, sub, pos, xi AS c FROM iv
+  WHERE vec_id >= 10 AND vec_id < ${10 + ksub})""")
+    for (t <- 1 to iters) {
+      sb ++= s""",
+d$t AS MATERIALIZED (SELECT iv.vec_id, iv.sub, c.cid,
+  SUM((iv.xi - c.c) * (iv.xi - c.c)) AS dist
+  FROM iv JOIN c${t - 1} c ON c.pos = iv.pos GROUP BY 1, 2, 3),
+a$t AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM d$t)
+  WHERE rn = 1),
+c$t AS MATERIALIZED (SELECT a.cid, iv.sub, iv.pos,
+  CAST(SUM(iv.xi) // COUNT(*) AS BIGINT) AS c
+  FROM a$t a JOIN iv ON iv.vec_id = a.vec_id AND iv.sub = a.sub
+  GROUP BY 1, 2, 3)"""
+    }
+    sb ++= s""",
+fd AS MATERIALIZED (SELECT iv.vec_id, iv.sub, c.cid,
+  SUM((iv.xi - c.c) * (iv.xi - c.c)) AS dist
+  FROM iv JOIN c$iters c ON c.pos = iv.pos GROUP BY 1, 2, 3)"""
+    sb.toString
+  }
+
+  /** PQ-ADC mirror: the same per-subspace codebooks, corpus encode
+    * (argmin code per (vec, sub)), probe lookup tables and
+    * sum-of-lookups candidate distances — every value BIGINT. */
+  def annPqSql(m: Int, ksub: Int, iters: Int, topK: Int,
+               scale: Int): String =
+    pqCtes(m, ksub, iters, scale) + s""",
+codes AS (SELECT vec_id AS vid, sub, cid FROM (
+  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM fd)
+  WHERE rn = 1 AND vec_id >= 10),
+lut AS (SELECT vec_id AS qid, sub, cid, dist AS ld FROM fd
+  WHERE vec_id < 10),
+adc AS (SELECT l.qid, c.vid, SUM(l.ld) AS dist
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid GROUP BY 1, 2)
+SELECT qid, vid, CAST(dist AS BIGINT) AS dist, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT qid, vid, dist, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dist ASC, vid ASC) AS rnk FROM adc)
+WHERE rnk <= $topK ORDER BY qid, rnk"""
+
+  /** PQ quantization-error mirror: per-subspace nearest-centroid SSE
+    * off the same `fd` frame, mean squared error in original units. */
+  def pqErrorSql(m: Int, ksub: Int, iters: Int, scale: Int): String =
+    pqCtes(m, ksub, iters, scale) + s""",
+best AS (SELECT vec_id, sub, MIN(dist) AS dist FROM fd GROUP BY 1, 2),
+nd AS (SELECT sub, CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_dims
+  FROM iv GROUP BY 1),
+ag AS (SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(dist) AS BIGINT) AS sse FROM best GROUP BY 1)
+SELECT CAST(ag.sub AS BIGINT) AS sub, nd.n_dims, ag.n_vecs, ag.sse,
+  ROUND(CAST(ag.sse AS DOUBLE) / CAST(ag.n_vecs AS DOUBLE) /
+    CAST(${scale.toLong * scale} AS DOUBLE), 6) AS mean_sqerr
+FROM ag JOIN nd ON nd.sub = ag.sub ORDER BY sub"""
 }

@@ -771,6 +771,10 @@ object SparkEntry {
       Trend.mannKendall(EventStreams.eventsTable(s, d))),
     "q_pettitt" -> ((s, d) =>
       Trend.pettitt(EventStreams.eventsTable(s, d))),
+    "q_page_hinkley" -> ((s, d) =>
+      Trend.pageHinkley(EventStreams.eventsTable(s, d))),
+    "q_survival" -> ((s, d) =>
+      EventStreams.survival(EventStreams.eventsTable(s, d))),
     "q_good_turing" -> ((s, d) =>
       Corpus.goodTuring(GraphBuilder.table(s, d, "documents"))),
     "q_bootstrap_ci" -> ((s, d) =>
@@ -1078,6 +1082,10 @@ object SparkEntry {
       Similarity.annRecall(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_ivf_exact" -> ((s, d) =>
       Similarity.annIvfExact(GraphBuilder.table(s, d, "embeddings"))),
+    "q_ann_pq" -> ((s, d) =>
+      Similarity.annPq(GraphBuilder.table(s, d, "embeddings"))),
+    "q_pq_error" -> ((s, d) =>
+      Similarity.pqError(GraphBuilder.table(s, d, "embeddings"))),
     "q_pca" -> ((s, d) =>
       pipeline.Pca.pcaTop(GraphBuilder.table(s, d, "embeddings"))),
     "q_pca_project" -> ((s, d) =>
@@ -1487,6 +1495,8 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_ewma" -> PipelineOracles.ewmaDailySql(30),
     "q_mann_kendall" -> PipelineOracles.mannKendallSql,
     "q_pettitt" -> PipelineOracles.pettittSql,
+    "q_page_hinkley" -> PipelineOracles.pageHinkleySql(0.0, 3.0),
+    "q_survival" -> PipelineOracles.survivalSql(3),
     "q_good_turing" -> PipelineOracles.goodTuringSql(10),
     "q_bootstrap_ci" -> PipelineOracles.bootstrapMeanCiSql("n_chars", 32),
     "q_theil_sen" -> PipelineOracles.theilSenSql,
@@ -1704,6 +1714,8 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_mmr" -> PipelineOracles.mmrSql(20, 5, 7),
     "q_ann_recall" -> PipelineOracles.annRecallSql(3),
     "q_ann_ivf_exact" -> PipelineOracles.annIvfExactSql(8, 3, 2, 3, 1000),
+    "q_ann_pq" -> PipelineOracles.annPqSql(8, 4, 2, 3, 1000),
+    "q_pq_error" -> PipelineOracles.pqErrorSql(8, 4, 2, 1000),
     "q_pca" -> PipelineOracles.pcaTopSql(15),
     "q_pca_project" -> PipelineOracles.pcaProjectSql(15),
     "q_ann_lsh" -> PipelineOracles.annLshSql,

@@ -1112,4 +1112,129 @@ object Similarity {
         round(sqrt(col("t").cast("double") / nD) / lit(scale.toDouble), 6)
           .as("mean_norm"))
   }
+
+  /** Exploded quantized vectors with the PQ subspace key: (vec_id,
+    * pos, sub, xi) where xi = floor(x·scale) BIGINT and sub =
+    * ⌊pos·m/d⌋ splits the d dimensions into m contiguous,
+    * near-equal blocks (balanced for any d, exact d/m blocks when m
+    * divides d). d is derived in-plan from the widest vector — no
+    * driver collect. */
+  private def pqExploded(emb: DataFrame, m: Int, scale: Int): DataFrame = {
+    val dims = emb.agg(max(size(col("embedding"))).cast("long").as("d"))
+    exploded(emb)
+      .crossJoin(broadcast(dims))
+      .select(col("vec_id"), col("pos"),
+        (col("pos") * lit(m.toLong) / col("d")).cast("long").as("sub"),
+        floor(col("x") * lit(scale)).cast("long").as("xi"))
+  }
+
+  /** Per-(vec, sub) squared distance to every centroid of that
+    * subspace: (vec_id, sub, cid, dist). The codebook join key is
+    * `pos` alone (pos determines sub), so each vector row meets the
+    * ksub centroids of its own subspace only. */
+  private def pqDists(iv: DataFrame, ct: DataFrame): DataFrame =
+    iv.join(broadcast(ct.drop("sub")), Seq("pos"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("xi") - col("c")) * (col("xi") - col("c"))).as("dist"))
+
+  /** `iters` Lloyd rounds of per-subspace integer k-means: centroids
+    * init from the sub-chunks of vec_ids [probeMax, probeMax+ksub)
+    * (the annIvfExact seed rule applied per subspace), means truncated
+    * toward zero (cast of the double quotient — DuckDB `//` parity).
+    * Returns the codebook (cid, sub, pos, c) — m·ksub·(d/m) = ksub·d
+    * rows, broadcastable by construction at any corpus size. */
+  private def pqCodebook(iv: DataFrame, m: Int, ksub: Int, iters: Int,
+                         probeMax: Long): DataFrame = {
+    var ct = iv
+      .filter(col("vec_id") >= probeMax && col("vec_id") < probeMax + ksub)
+      .select((col("vec_id") - probeMax).as("cid"), col("sub"), col("pos"),
+        col("xi").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("dist").asc, col("cid").asc)
+      val a = pqDists(iv, ct)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "sub", "cid")
+      ct = a.join(iv, Seq("vec_id", "sub"))
+        .groupBy("cid", "sub", "pos")
+        .agg((sum("xi") / count(lit(1))).cast("long").as("c"))
+        .localCheckpoint()
+    }
+    ct
+  }
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011) in
+    * EXACT INTEGER arithmetic — the memory-side scale path the IVF
+    * family lacks: vectors are quantized to floor(x·scale) BIGINTs,
+    * each of the m dimension blocks is clustered with its own
+    * ksub-centroid integer k-means, the corpus is ENCODED as m small
+    * codes per vector (d floats → m bytes: a 32–64× compression that
+    * keeps a 100 TB embedding corpus RAM-resident), and probes score
+    * candidates by Asymmetric Distance Computation — per probe one
+    * m·ksub lookup table of exact sub-distances, a candidate's
+    * distance the SUM of m table lookups instead of d multiplies.
+    * Every step (floor quantization, truncated integer means,
+    * (dist, cid)/(dist, vid) tie ranks) is deterministic and
+    * engine-stable, so unlike float PQ this variant is fully
+    * DuckDB-oracle-able, hash check included.
+    *
+    * Scale: the codebook is ksub·d rows whatever the corpus
+    * (broadcast); encoding is the n·ksub·(d/m) assignment fold every
+    * PQ build pays (map-side combined); the ADC join moves n·m
+    * code rows against a broadcast probe LUT and the final top-k is
+    * a per-probe window over candidate sums. No corpus pair blowup
+    * anywhere. Returns (qid, vid, dist, rnk) for probes
+    * vec_id < probeMax, rnk ≤ topK by (adc distance, vid). */
+  def annPq(emb: DataFrame, m: Int = 8, ksub: Int = 4, iters: Int = 2,
+            topK: Int = 3, probeMax: Long = 10L,
+            scale: Int = 1000): DataFrame = {
+    require(m >= 1 && ksub >= 1 && iters >= 1 && topK >= 1,
+      "annPq needs m, ksub, iters, topK >= 1")
+    val iv = pqExploded(emb, m, scale).localCheckpoint()
+    val ct = pqCodebook(iv, m, ksub, iters, probeMax)
+    val fd = pqDists(iv, ct)
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("dist").asc, col("cid").asc)
+    val fa = fd.withColumn("rn", row_number().over(w))
+    val codes = fa.filter(col("rn") === 1 && col("vec_id") >= probeMax)
+      .select(col("vec_id").as("vid"), col("sub"), col("cid"))
+    val lut = fd.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        col("dist").as("ld"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy("qid", "vid").agg(sum("ld").as("dist"))
+    val wr = Window.partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+    adc.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("qid", "vid", "dist", "rnk")
+  }
+
+  /** PQ codebook quality audit: per subspace the dimension count,
+    * vector count, exact BIGINT sum of squared quantization errors
+    * (each vector's distance to its NEAREST centroid) and the mean
+    * squared error in original units (sse/n/scale²) — the number that
+    * decides m and ksub before anyone trusts ADC distances, and the
+    * regression canary after a codebook rebuild (reconstruction error
+    * drifting up means the centroids no longer fit the corpus).
+    *
+    * Scale: one assignment fold over the same broadcast codebook +
+    * one m-row aggregate; output is m rows whatever the corpus. */
+  def pqError(emb: DataFrame, m: Int = 8, ksub: Int = 4, iters: Int = 2,
+              probeMax: Long = 10L, scale: Int = 1000): DataFrame = {
+    val iv = pqExploded(emb, m, scale).localCheckpoint()
+    val ct = pqCodebook(iv, m, ksub, iters, probeMax)
+    val best = pqDists(iv, ct)
+      .groupBy("vec_id", "sub").agg(min("dist").as("dist"))
+    val nd = iv.groupBy("sub").agg(countDistinct("pos").as("n_dims"))
+    best.groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("sse"))
+      .join(broadcast(nd), Seq("sub"))
+      .select(col("sub"), col("n_dims").cast("long").as("n_dims"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        col("sse").cast("long").as("sse"),
+        round(col("sse").cast("double") / col("n_vecs").cast("double") /
+          lit(scale.toDouble * scale.toDouble), 6).as("mean_sqerr"))
+      .orderBy("sub")
+  }
 }

@@ -956,6 +956,70 @@ object EventStreams {
       .orderBy("bucket")
   }
 
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958) over user
+    * lifetimes with right-censoring — the estimator [[userLifespan]]'s
+    * band histogram cannot give: "what fraction of users survive past
+    * t days, correcting for the users we haven't watched long enough".
+    * A user's lifetime is their active span in epoch days (last −
+    * first + 1); a user whose last activity is within `censorDays` of
+    * the corpus horizon is right-CENSORED (still alive as far as the
+    * data can tell), everyone else is an observed churn event. At each
+    * distinct lifetime t: n_risk = users with lifetime ≥ t, n_event =
+    * churns at exactly t, and Ŝ(t) = ∏_{tᵢ≤t} (1 − dᵢ/nᵢ) — computed
+    * as exp(Σ ln((n−d)/n)) with the d = n absorbing step pinned to
+    * exactly 0 (both engines guard the ln(0)).
+    *
+    * Scale: one (day, user) distinct + one per-user min/max — the
+    * userLifespan shuffles — then everything runs on the distinct-
+    * lifetime frame, bounded by the OBSERVATION WINDOW in days, never
+    * by user or event volume; its cumulative windows are whitelisted
+    * on that bound. Returns (t_days, n_risk, n_event, n_censored,
+    * survival) ordered by t_days. */
+  def survival(events: DataFrame, censorDays: Int = 3): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    // no (day, user) distinct here: per-user min/max day is identical
+    // on raw events — one scan, ONE user-keyed shuffle (map-side
+    // combined). The per-user frame is pinned so the horizon aggregate
+    // and the lifetime rollup don't re-run the scan.
+    val per = events.select(
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        col("user_id"))
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .localCheckpoint()
+    // horizon = max last-active day over users ≡ global max event day
+    val hor = per.agg(max("d1").as("h"))
+    val lab = per.crossJoin(broadcast(hor))
+      .select((col("d1") - col("d0") + 1L).as("t"),
+        (col("d1") <= col("h") - censorDays).cast("long").as("ev"))
+    val g = lab.groupBy("t")
+      .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("cns"))
+      .localCheckpoint() // lifetime-domain bounded (≤ observation days)
+    val tot = g.agg((sum("d") + sum("cns")).as("n_total"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRisk = col("n_total") -
+      coalesce(sum(col("d") + col("cns")).over(wPrev), lit(0L))
+    val base = g.crossJoin(broadcast(tot))
+      .withColumn("n_risk", nRisk)
+    val lnTerm = when(col("d") === 0L, lit(0.0))
+      .when(col("d") === col("n_risk"), lit(0.0)) // absorbed: guarded below
+      .otherwise(log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk").cast("double")))
+    base
+      .withColumn("absorbed",
+        max((col("d") === col("n_risk")).cast("int")).over(wCum))
+      .select(col("t").cast("long").as("t_days"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("d").cast("long").as("n_event"),
+        col("cns").cast("long").as("n_censored"),
+        round(when(col("absorbed") === 1, lit(0.0))
+          .otherwise(exp(sum(lnTerm).over(wCum))), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
   /** Day-N retention (the D1/D3/D7/D14 dashboard): share of all users
     * active EXACTLY N epoch-days after their first active day —
     * the bounded-window counterpart of [[retention]]'s growth

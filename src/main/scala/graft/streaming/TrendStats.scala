@@ -296,6 +296,56 @@ object Trend {
         .as("p_approx"))
   }
 
+  /** Page–Hinkley drift monitor (Page 1954, the mean-shift test the
+    * streaming-drift literature standardized — Gama et al. 2014 §3.1)
+    * over the zero-filled daily series: mₜ = Σ_{i≤t}(xᵢ − x̄ᵢ − δ)
+    * with x̄ᵢ the RUNNING mean, PH⁺ₜ = mₜ − min_{j≤t} mⱼ (upward
+    * shift), PH⁻ₜ = max_{j≤t} mⱼ − mₜ (downward), alarms where PH
+    * exceeds λ = lambdaK·σ (population σ of the whole series — a
+    * scale-free threshold). Where [[pettitt]] locates ONE
+    * retrospective change point, Page–Hinkley is the sequential
+    * monitor: it says WHEN a drift became detectable, day by day.
+    *
+    * Determinism: counts and prefix sums are exact BIGINT; x̄ᵢ = Pᵢ/i
+    * is one exact-operand IEEE division; the only accumulation of
+    * doubles is the ordered cumulative of (xᵢ − x̄ᵢ − δ), rounded 6dp.
+    *
+    * Scale: the [[dailySeries]] contract — ONE corpus scan + day
+    * shuffle, then every window runs on the observation-window-bounded
+    * grid (whitelisted on that bound). Returns (day, c, ph_inc,
+    * ph_dec, alarm_inc, alarm_dec) ordered by day. */
+  def pageHinkley(events: DataFrame, delta: Double = 0.0,
+                  lambdaK: Double = 3.0): DataFrame = {
+    require(delta >= 0.0 && lambdaK > 0.0,
+      s"pageHinkley needs delta >= 0 and lambdaK > 0, got $delta, $lambdaK")
+    val ser = dailySeries(events)
+    val stats = ser.agg(count(lit(1)).as("n"), sum("c").as("s"),
+      sum(col("c") * col("c")).as("ss"))
+    val nD = col("n").cast("double")
+    val sigma = sqrt(greatest(
+      col("ss").cast("double") / nD -
+        (col("s").cast("double") / nD) * (col("s").cast("double") / nD),
+      lit(0.0)))
+    val lam = stats.select((lit(lambdaK) * sigma).as("lam"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = ser
+      .withColumn("i", count(lit(1)).over(wCum))
+      .withColumn("p", sum("c").over(wCum))
+      .withColumn("term", col("c").cast("double") -
+        col("p").cast("double") / col("i").cast("double") - lit(delta))
+      .withColumn("m", sum("term").over(wCum))
+    m.withColumn("ph_inc", col("m") - min("m").over(wCum))
+      .withColumn("ph_dec", max("m").over(wCum) - col("m"))
+      .crossJoin(broadcast(lam))
+      .select(col("day"), col("c"),
+        round(col("ph_inc"), 6).as("ph_inc"),
+        round(col("ph_dec"), 6).as("ph_dec"),
+        (col("ph_inc") > col("lam")).as("alarm_inc"),
+        (col("ph_dec") > col("lam")).as("alarm_dec"))
+      .orderBy("day")
+  }
+
   final case class PettittDayRow(day_closed: Long, n_days: Long,
                                  change_day: Long, u_at_k: Long, k: Long,
                                  p_approx: Double)

@@ -304,6 +304,71 @@ class DagRetrievalSpec extends SparkSpec {
     }
   }
 
+  // ---- Similarity.annPq ----
+
+  /** 12 vectors cycling through 3 fixed patterns: seeds (vec 3..5)
+    * ARE the patterns, so per-subspace k-means is a fixpoint and PQ
+    * codes reconstruct every vector exactly. */
+  private def pqLossless: DataFrame = {
+    val implicits = spark.implicits
+    import implicits._
+    val pats = Seq(
+      Array(0.1f, 0.2f, 0.3f, 0.4f),
+      Array(0.5f, 0.6f, 0.7f, 0.8f),
+      Array(0.9f, 1.0f, 1.1f, 1.2f))
+    (0L to 11L).map(i => (i, pats((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("annPq: lossless codebook gives exact ADC distances and ranks") {
+    // probe q's pattern copies are vec q+3, q+6, q+9 — ADC distance 0,
+    // ranked by vid (every step exact because codes reconstruct exactly)
+    val got = graft.pipeline.Similarity
+      .annPq(pqLossless, m = 2, ksub = 3, iters = 2, topK = 3, probeMax = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (q <- 0L until 3L) {
+      assert(got((q, 1L)) == (q + 3L, 0L))
+      assert(got((q, 2L)) == (q + 6L, 0L))
+      assert(got((q, 3L)) == (q + 9L, 0L))
+    }
+    assert(got.size == 9)
+  }
+
+  test("annPq: rank contract + shuffle-regime parity") {
+    val emb = GraphBuilder100
+    def run = graft.pipeline.Similarity
+      .annPq(emb, m = 2, ksub = 3, iters = 2, topK = 3, probeMax = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val local = run
+    val dist = graft.algorithms.Tuning.withBroadcastThreshold(0L)(run)
+    assert(local == dist && local.nonEmpty)
+    val byQ = local.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rs =>
+      val sorted = rs.toSeq.sortBy(_._4)
+      assert(sorted.map(_._4) == Seq(1L, 2L, 3L)) // dense ranks
+      assert(sorted.map(_._3) == sorted.map(_._3).sorted) // dist ↑ with rank
+      assert(rs.forall(_._2 >= 3L)) // corpus side only
+    }
+  }
+
+  test("pqError: zero reconstruction error when every vector is a centroid") {
+    val rows = graft.pipeline.Similarity
+      .pqError(pqLossless, m = 2, ksub = 3, iters = 2, probeMax = 3L)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dims") == 2L)
+      assert(r.getAs[Long]("n_vecs") == 12L)
+      assert(r.getAs[Long]("sse") == 0L)
+      assert(r.getAs[Double]("mean_sqerr") == 0.0)
+    }
+  }
+
   // ---- pipeline.Pca ----
 
   test("pcaTop: recovers the dominant axis of anisotropic data") {

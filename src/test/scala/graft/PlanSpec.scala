@@ -121,7 +121,13 @@ class PlanSpec extends SparkSpec {
       "q_zipf_fit" -> "rank over limit(k) vocab frame",
       "q_pettitt" -> ("prefix sum over the zero-filled day grid — "
         + "time-domain bounded (observation window's day count), "
-        + "never event volume"))
+        + "never event volume"),
+      "q_page_hinkley" -> ("running-mean/extrema cumulatives over the "
+        + "zero-filled day grid — time-domain bounded, never event "
+        + "volume"),
+      "q_survival" -> ("risk-set cumulatives over the distinct-"
+        + "lifetime frame — bounded by the observation window in "
+        + "days, never user or event volume"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
@@ -174,7 +180,7 @@ class PlanSpec extends SparkSpec {
       }.flatten
     val pinned = Seq("q_good_turing", "q_pettitt", "q_mann_kendall",
       "q_theil_sen", "q_runs_test", "q_kendall_tau", "q_seasonality",
-      "q_holt")
+      "q_holt", "q_page_hinkley", "q_survival")
     for (name <- pinned) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val scans = fileScans(df.queryExecution.executedPlan)

@@ -996,6 +996,42 @@ class RobustSpec extends SparkSpec {
     assert(got("d_gt_28d").getAs[Double]("density") == 0.064516) // 2/31
   }
 
+  test("survival: hand-computed Kaplan-Meier with censoring") {
+    val implicits = spark.implicits
+    import implicits._
+    // horizon day 9, censorDays 3 -> censored iff last day > 6
+    // u1,u2: days 0-1 (t=2, events); u3: days 2-4 (t=3, event);
+    // u4: days 5-9 (t=5, censored); u5: days 0+9 (t=10, censored)
+    val ev = Seq((0L, 1L), (86400L, 1L), (0L, 2L), (86400L, 2L),
+      (2L * 86400L, 3L), (4L * 86400L, 3L),
+      (5L * 86400L, 4L), (9L * 86400L, 4L),
+      (0L, 5L), (9L * 86400L, 5L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val got = EventStreams.survival(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (2L, 5L, 2L, 0L, 0.6),   // S = 3/5
+      (3L, 3L, 1L, 0L, 0.4),   // S = 0.6 * 2/3
+      (5L, 2L, 0L, 1L, 0.4),   // pure censoring: S unchanged
+      (10L, 1L, 0L, 1L, 0.4)))
+  }
+
+  test("survival: d = n_risk absorbing step pins S to exactly 0") {
+    val implicits = spark.implicits
+    import implicits._
+    // censorDays 0: every user is an observed event; all die at t=1
+    val ev = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val got = EventStreams.survival(ev, censorDays = 0).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(4) == 0.0)
+  }
+
   test("annProbeCurve: identical vectors give full recall at any planes") {
     val implicits = spark.implicits
     import implicits._

@@ -222,4 +222,53 @@ class TrendSpec extends SparkSpec {
     assert(flat.getAs[Double]("p_approx") == 1.0)
     assert(flat.getAs[Long]("change_day") == d0) // earliest-day tie rule
   }
+
+  /** Sequential Page–Hinkley replay: per day (ph_inc, ph_dec) plus
+    * the λ = k·σ threshold off the whole series. */
+  private def brutePageHinkley(c: Seq[Int], delta: Double = 0.0,
+                               k: Double = 3.0)
+      : (Seq[(Double, Double)], Double) = {
+    var p = 0L
+    var m = 0.0
+    var mn = Double.MaxValue
+    var mx = Double.MinValue
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (i <- 1 to c.length) {
+      p += c(i - 1)
+      m += c(i - 1) - p.toDouble / i - delta
+      mn = math.min(mn, m)
+      mx = math.max(mx, m)
+      out += ((m - mn, mx - m))
+    }
+    val n = c.length
+    val mean = c.map(_.toLong).sum.toDouble / n
+    val sq = c.map(x => x.toLong * x.toLong).sum.toDouble / n
+    (out.toSeq, k * math.sqrt(math.max(sq - mean * mean, 0.0)))
+  }
+
+  test("pageHinkley matches the sequential replay on a seeded series") {
+    val rnd = new scala.util.Random(11)
+    val counts = 3 +: Seq.fill(23)(rnd.nextInt(8)) :+ 5
+    val (ph, lam) = brutePageHinkley(counts)
+    val got = Trend.pageHinkley(eventsFromCounts(counts)).collect()
+    assert(got.length == counts.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == counts(i).toLong, s"day $i count")
+      assert(math.abs(r.getAs[Double]("ph_inc") - ph(i)._1) < 1e-6, s"day $i")
+      assert(math.abs(r.getAs[Double]("ph_dec") - ph(i)._2) < 1e-6, s"day $i")
+      assert(r.getAs[Boolean]("alarm_inc") == ph(i)._1 > lam, s"day $i")
+      assert(r.getAs[Boolean]("alarm_dec") == ph(i)._2 > lam, s"day $i")
+    }
+  }
+
+  test("pageHinkley alarms on an upward mean shift, upward side only") {
+    val counts = Seq.fill(10)(5) ++ Seq.fill(10)(60)
+    val (ph, lam) = brutePageHinkley(counts)
+    assert(ph.last._1 > lam) // the replay itself must cross
+    val got = Trend.pageHinkley(eventsFromCounts(counts)).collect()
+    assert(got.last.getAs[Boolean]("alarm_inc"))
+    assert(got.forall(!_.getAs[Boolean]("alarm_dec")))
+    // the flat prefix never alarms
+    got.take(10).foreach(r => assert(!r.getAs[Boolean]("alarm_inc")))
+  }
 }
