@@ -4171,6 +4171,47 @@ FROM r
 WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY t_days"""
 
+  /** Log-rank mirror: same per-user spans + id-parity arms, same
+    * per-lifetime risk sets and hypergeometric terms. */
+  def logRankSql(censorDays: Int): String =
+    s"""WITH per AS (SELECT user_id,
+  MIN(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d0,
+  MAX(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d1
+  FROM events GROUP BY 1),
+hor AS (SELECT MAX(d1) AS h FROM per),
+lab AS (SELECT d1 - d0 + 1 AS t,
+  CASE WHEN d1 <= h - $censorDays THEN 1 ELSE 0 END AS ev,
+  CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS grp FROM per, hor),
+byt AS (SELECT t, CAST(SUM(ev * grp) AS BIGINT) AS d1g,
+  CAST(SUM(ev * (1 - grp)) AS BIGINT) AS d0g,
+  CAST(SUM((1 - ev) * grp) AS BIGINT) AS c1g,
+  CAST(SUM((1 - ev) * (1 - grp)) AS BIGINT) AS c0g FROM lab GROUP BY 1),
+tot AS (SELECT CAST(SUM(d1g) + SUM(c1g) AS BIGINT) AS n1,
+  CAST(SUM(d0g) + SUM(c0g) AS BIGINT) AS n0 FROM byt),
+r AS (SELECT t, d1g, d0g, n1, n0,
+  n1 - COALESCE(SUM(d1g + c1g) OVER w, 0) AS n1r,
+  n0 - COALESCE(SUM(d0g + c0g) OVER w, 0) AS n0r
+  FROM byt, tot
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+ag AS (SELECT MAX(n1) AS n_g1, MAX(n0) AS n_g0,
+  CAST(SUM(d1g) AS BIGINT) AS o1,
+  SUM(CAST(d1g + d0g AS DOUBLE) * CAST(n1r AS DOUBLE) /
+    CAST(n1r + n0r AS DOUBLE)) AS e1r,
+  SUM(CASE WHEN n1r + n0r > 1 THEN
+    CAST(d1g + d0g AS DOUBLE) * (CAST(n1r AS DOUBLE) /
+      CAST(n1r + n0r AS DOUBLE)) * (CAST(n0r AS DOUBLE) /
+      CAST(n1r + n0r AS DOUBLE)) *
+      (CAST(n1r + n0r AS DOUBLE) - CAST(d1g + d0g AS DOUBLE)) /
+      (CAST(n1r + n0r AS DOUBLE) - CAST(1 AS DOUBLE))
+    ELSE CAST(0 AS DOUBLE) END) AS vr
+  FROM r WHERE d1g + d0g > 0)
+SELECT n_g1, n_g0, o1, ROUND(e1r, 6) AS e1, ROUND(vr, 6) AS var_o1,
+  ROUND(CASE WHEN vr > 0 THEN (CAST(o1 AS DOUBLE) - e1r) / sqrt(vr) END,
+    6) AS z,
+  ROUND(CASE WHEN vr > 0 THEN ((CAST(o1 AS DOUBLE) - e1r) / sqrt(vr)) *
+    ((CAST(o1 AS DOUBLE) - e1r) / sqrt(vr)) END, 6) AS chi2
+FROM ag"""
+
   /** Page–Hinkley mirror: same running-mean drift terms off the
     * zero-filled day grid, same σ-scaled λ, same cumulative extrema. */
   def pageHinkleySql(delta: Double, lambdaK: Double): String =
@@ -4287,6 +4328,92 @@ SELECT qid, vid, CAST(dist AS BIGINT) AS dist, CAST(rnk AS BIGINT) AS rnk
 FROM (SELECT qid, vid, dist, ROW_NUMBER() OVER (
     PARTITION BY qid ORDER BY dist ASC, vid ASC) AS rnk FROM adc)
 WHERE rnk <= $topK ORDER BY qid, rnk"""
+
+  /** IVFADC mirror: the coarse integer k-means unrolled, owner-cell
+    * residuals, the per-subspace residual k-means unrolled, probe
+    * LUTs per probed cell and sum-of-lookups candidate distances —
+    * every value BIGINT, same truncated means and tie rules. */
+  def annIvfPqSql(kCoarse: Int, itersCoarse: Int, m: Int, ksub: Int,
+                  itersPq: Int, nprobe: Int, topK: Int,
+                  scale: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH dm AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+iv AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS pos,
+    CAST(floor(embedding[i]::DOUBLE * $scale) AS BIGINT) AS xi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+g0 AS (SELECT vec_id - 10 AS cell, pos, xi AS c FROM iv
+  WHERE vec_id >= 10 AND vec_id < ${10 + kCoarse})""")
+    for (t <- 1 to itersCoarse) {
+      sb ++= s""",
+gd$t AS MATERIALIZED (SELECT iv.vec_id, g.cell,
+  SUM((iv.xi - g.c) * (iv.xi - g.c)) AS dist
+  FROM iv JOIN g${t - 1} g ON g.pos = iv.pos GROUP BY 1, 2),
+ga$t AS MATERIALIZED (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM gd$t)
+  WHERE rn = 1),
+g$t AS MATERIALIZED (SELECT a.cell, iv.pos,
+  CAST(SUM(iv.xi) // COUNT(*) AS BIGINT) AS c
+  FROM ga$t a JOIN iv ON iv.vec_id = a.vec_id GROUP BY 1, 2)"""
+    }
+    sb ++= s""",
+fcd AS MATERIALIZED (SELECT iv.vec_id, g.cell,
+  SUM((iv.xi - g.c) * (iv.xi - g.c)) AS dist
+  FROM iv JOIN g$itersCoarse g ON g.pos = iv.pos GROUP BY 1, 2),
+frk AS MATERIALIZED (SELECT vec_id, cell, ROW_NUMBER() OVER (
+  PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM fcd),
+own AS (SELECT vec_id, cell FROM frk WHERE rn = 1),
+prb AS (SELECT vec_id AS qid, cell FROM frk
+  WHERE rn <= $nprobe AND vec_id < 10),
+rv AS MATERIALIZED (SELECT iv.vec_id, iv.pos,
+  (iv.pos * $m) // dm.d AS sub, iv.xi - g.c AS ri
+  FROM iv JOIN own o ON o.vec_id = iv.vec_id
+  JOIN g$itersCoarse g ON g.cell = o.cell AND g.pos = iv.pos
+  CROSS JOIN dm),
+p0 AS (SELECT vec_id - 10 AS cid, sub, pos, ri AS c FROM rv
+  WHERE vec_id >= 10 AND vec_id < ${10 + ksub})"""
+    for (t <- 1 to itersPq) {
+      sb ++= s""",
+pd$t AS MATERIALIZED (SELECT rv.vec_id, rv.sub, p.cid,
+  SUM((rv.ri - p.c) * (rv.ri - p.c)) AS dist
+  FROM rv JOIN p${t - 1} p ON p.pos = rv.pos GROUP BY 1, 2, 3),
+pa$t AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM pd$t)
+  WHERE rn = 1),
+p$t AS MATERIALIZED (SELECT a.cid, rv.sub, rv.pos,
+  CAST(SUM(rv.ri) // COUNT(*) AS BIGINT) AS c
+  FROM pa$t a JOIN rv ON rv.vec_id = a.vec_id AND rv.sub = a.sub
+  GROUP BY 1, 2, 3)"""
+    }
+    sb ++= s""",
+pfd AS MATERIALIZED (SELECT rv.vec_id, rv.sub, p.cid,
+  SUM((rv.ri - p.c) * (rv.ri - p.c)) AS dist
+  FROM rv JOIN p$itersPq p ON p.pos = rv.pos GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id AS vid, sub, cid FROM (
+  SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
+    PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM pfd)
+  WHERE rn = 1 AND vec_id >= 10),
+lut AS MATERIALIZED (SELECT pr.qid, pr.cell,
+  (iv.pos * $m) // dm.d AS sub, p.cid,
+  SUM((iv.xi - g.c - p.c) * (iv.xi - g.c - p.c)) AS ld
+  FROM prb pr JOIN iv ON iv.vec_id = pr.qid
+  JOIN g$itersCoarse g ON g.cell = pr.cell AND g.pos = iv.pos
+  JOIN p$itersPq p ON p.pos = iv.pos CROSS JOIN dm GROUP BY 1, 2, 3, 4),
+cand AS (SELECT pr.qid, pr.cell, o.vec_id AS vid FROM prb pr
+  JOIN own o ON o.cell = pr.cell AND o.vec_id >= 10),
+adc AS (SELECT c.qid, c.vid, SUM(l.ld) AS dist
+  FROM cand c JOIN codes k ON k.vid = c.vid
+  JOIN lut l ON l.qid = c.qid AND l.cell = c.cell
+    AND l.sub = k.sub AND l.cid = k.cid
+  GROUP BY 1, 2)
+SELECT qid, vid, CAST(dist AS BIGINT) AS dist, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT qid, vid, dist, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dist ASC, vid ASC) AS rnk FROM adc)
+WHERE rnk <= $topK ORDER BY qid, rnk"""
+    sb.toString
+  }
 
   /** PQ quantization-error mirror: per-subspace nearest-centroid SSE
     * off the same `fd` frame, mean squared error in original units. */

@@ -775,6 +775,8 @@ object SparkEntry {
       Trend.pageHinkley(EventStreams.eventsTable(s, d))),
     "q_survival" -> ((s, d) =>
       EventStreams.survival(EventStreams.eventsTable(s, d))),
+    "q_logrank" -> ((s, d) =>
+      EventStreams.logRank(EventStreams.eventsTable(s, d))),
     "q_good_turing" -> ((s, d) =>
       Corpus.goodTuring(GraphBuilder.table(s, d, "documents"))),
     "q_bootstrap_ci" -> ((s, d) =>
@@ -1084,6 +1086,8 @@ object SparkEntry {
       Similarity.annIvfExact(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_pq" -> ((s, d) =>
       Similarity.annPq(GraphBuilder.table(s, d, "embeddings"))),
+    "q_ann_ivfpq" -> ((s, d) =>
+      Similarity.annIvfPq(GraphBuilder.table(s, d, "embeddings"))),
     "q_pq_error" -> ((s, d) =>
       Similarity.pqError(GraphBuilder.table(s, d, "embeddings"))),
     "q_pca" -> ((s, d) =>
@@ -1497,6 +1501,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_pettitt" -> PipelineOracles.pettittSql,
     "q_page_hinkley" -> PipelineOracles.pageHinkleySql(0.0, 3.0),
     "q_survival" -> PipelineOracles.survivalSql(3),
+    "q_logrank" -> PipelineOracles.logRankSql(3),
     "q_good_turing" -> PipelineOracles.goodTuringSql(10),
     "q_bootstrap_ci" -> PipelineOracles.bootstrapMeanCiSql("n_chars", 32),
     "q_theil_sen" -> PipelineOracles.theilSenSql,
@@ -1715,6 +1720,7 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_ann_recall" -> PipelineOracles.annRecallSql(3),
     "q_ann_ivf_exact" -> PipelineOracles.annIvfExactSql(8, 3, 2, 3, 1000),
     "q_ann_pq" -> PipelineOracles.annPqSql(8, 4, 2, 3, 1000),
+    "q_ann_ivfpq" -> PipelineOracles.annIvfPqSql(4, 2, 4, 4, 2, 2, 3, 1000),
     "q_pq_error" -> PipelineOracles.pqErrorSql(8, 4, 2, 1000),
     "q_pca" -> PipelineOracles.pcaTopSql(15),
     "q_pca_project" -> PipelineOracles.pcaProjectSql(15),

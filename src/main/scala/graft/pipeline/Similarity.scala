@@ -1164,6 +1164,118 @@ object Similarity {
     ct
   }
 
+  /** `iters` Lloyd rounds of whole-vector integer k-means (the
+    * [[annIvfExact]] kernel, factored for reuse as IVFADC's coarse
+    * quantizer): centroids init from vec_ids [probeMax, probeMax+k),
+    * means truncated toward zero. Returns (cell, pos, c) — k·d rows,
+    * broadcastable whatever the corpus. */
+  private def ivfCentroids(iv: DataFrame, k: Int, iters: Int,
+                           probeMax: Long): DataFrame = {
+    def assign(cts: DataFrame): DataFrame = {
+      val d = iv.join(broadcast(cts), Seq("pos"))
+        .groupBy("vec_id", "cell")
+        .agg(sum((col("xi") - col("c")) * (col("xi") - col("c"))).as("dist"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cell").asc)
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "cell")
+    }
+    var ct = iv
+      .filter(col("vec_id") >= probeMax && col("vec_id") < probeMax + k)
+      .select((col("vec_id") - probeMax).as("cell"), col("pos"),
+        col("xi").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ct = assign(ct).join(iv, Seq("vec_id"))
+        .groupBy("cell", "pos")
+        .agg((sum("xi") / count(lit(1))).cast("long").as("c"))
+        .localCheckpoint()
+    }
+    ct
+  }
+
+  /** IVFADC — the FAISS production ANN architecture (Jégou et al.
+    * TPAMI 2011 §IV: inverted file + asymmetric distance computation
+    * on RESIDUALS) in exact integer arithmetic. A coarse kCoarse-cell
+    * integer k-means partitions the corpus; each vector is stored as
+    * (owner cell, m PQ codes of its residual x − c_cell) — the index
+    * layout that serves billion-vector corpora from RAM. A probe
+    * scans only its `nprobe` nearest cells, building per probed cell
+    * one m·ksub lookup table of exact sub-distances between the
+    * probe's OWN residual and the residual codebook; a candidate's
+    * distance is m lookups. Combines [[annIvfExact]] (prunes the
+    * corpus but stores full vectors) with [[annPq]] (compresses but
+    * scans everything): IVFADC does both — scan nprobe/kCoarse of the
+    * corpus at m bytes per vector. Every step deterministic →
+    * DuckDB-oracle-able, hash check included.
+    *
+    * Scale: coarse codebook kCoarse·d rows and residual codebooks
+    * ksub·d rows, both broadcast; encode = the two assignment folds
+    * every IVFADC build pays; the candidate join moves
+    * nprobe/kCoarse of the code rows against a broadcast
+    * probes×nprobe×m×ksub LUT. Returns (qid, vid, dist, rnk),
+    * rnk ≤ topK by (adc distance, vid). */
+  def annIvfPq(emb: DataFrame, kCoarse: Int = 4, itersCoarse: Int = 2,
+               m: Int = 4, ksub: Int = 4, itersPq: Int = 2,
+               nprobe: Int = 2, topK: Int = 3, probeMax: Long = 10L,
+               scale: Int = 1000): DataFrame = {
+    require(kCoarse >= 1 && nprobe >= 1 && nprobe <= kCoarse &&
+      m >= 1 && ksub >= 1 && itersCoarse >= 1 && itersPq >= 1 && topK >= 1,
+      "annIvfPq needs 1 <= nprobe <= kCoarse and positive sizes")
+    val dims = emb.agg(max(size(col("embedding"))).cast("long").as("d"))
+    val iv = exploded(emb)
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(scale)).cast("long").as("xi"))
+      .localCheckpoint()
+    val cc = ivfCentroids(iv, kCoarse, itersCoarse, probeMax)
+    val cd = iv.join(broadcast(cc), Seq("pos"))
+      .groupBy("vec_id", "cell")
+      .agg(sum((col("xi") - col("c")) * (col("xi") - col("c"))).as("dist"))
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("cell").asc)
+    val ranked = cd.withColumn("rn", row_number().over(wc)).localCheckpoint()
+    val own = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+    val prb = ranked.filter(col("rn") <= nprobe && col("vec_id") < probeMax)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // corpus residuals against the OWNER cell, in PQ subspace layout
+    val rv = iv.join(own, Seq("vec_id"))
+      .join(broadcast(cc), Seq("cell", "pos"))
+      .crossJoin(broadcast(dims))
+      .select(col("vec_id"), col("pos"),
+        (col("pos") * lit(m.toLong) / col("d")).cast("long").as("sub"),
+        (col("xi") - col("c")).as("xi"))
+      .localCheckpoint()
+    val pqct = pqCodebook(rv, m, ksub, itersPq, probeMax)
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("dist").asc, col("cid").asc)
+    val codes = pqDists(rv, pqct)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("vec_id") >= probeMax)
+      .select(col("vec_id").as("vid"), col("sub"), col("cid"))
+    // per (probe, probed cell): the probe's residual vs every residual
+    // centroid — probeMax·nprobe·ksub·d rows pre-agg, LUT m·ksub after
+    val lut = prb
+      .join(iv.select(col("vec_id").as("qid"), col("pos"), col("xi")),
+        Seq("qid"))
+      .join(broadcast(cc), Seq("cell", "pos"))
+      .join(broadcast(pqct.select(col("cid"), col("pos"),
+        col("c").as("c2"))), Seq("pos"))
+      .crossJoin(broadcast(dims))
+      .withColumn("sub", (col("pos") * lit(m.toLong) / col("d")).cast("long"))
+      .groupBy("qid", "cell", "sub", "cid")
+      .agg(sum((col("xi") - col("c") - col("c2")) *
+        (col("xi") - col("c") - col("c2"))).as("ld"))
+    val cand = prb.join(own.select(col("vec_id").as("vid"), col("cell")),
+      Seq("cell"))
+    val adc = cand.join(codes, Seq("vid"))
+      .join(broadcast(lut), Seq("qid", "cell", "sub", "cid"))
+      .groupBy("qid", "vid").agg(sum("ld").as("dist"))
+    val wr = Window.partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+    adc.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("qid", "vid", "dist", "rnk")
+  }
+
   /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011) in
     * EXACT INTEGER arithmetic — the memory-side scale path the IVF
     * family lacks: vectors are quantized to floor(x·scale) BIGINTs,

@@ -1020,6 +1020,74 @@ object EventStreams {
       .orderBy("t_days")
   }
 
+  /** Two-cohort log-rank test (Mantel 1966; Peto & Peto 1972) on the
+    * [[survival]] lifetimes: "did arm B retain users longer than
+    * arm A, censoring-aware" — the significance test every A/B
+    * retention readout needs before anyone trusts a Kaplan–Meier gap.
+    * Cohorts default to the id-parity assignment (user_id % 2, the
+    * standard hash-bucket experiment arm); any user-level predicate
+    * on the grouped frame slots in via `groupExpr`. At each distinct
+    * lifetime t with dₜ > 0 events: O₁ += d₁ₜ, E₁ += dₜ·n₁ₜ/nₜ,
+    * V += dₜ·(n₁ₜ/nₜ)(1 − n₁ₜ/nₜ)(nₜ − dₜ)/(nₜ − 1); z =
+    * (O₁ − E₁)/√V, χ² = z². NULL z/χ² when V = 0 (degenerate arms).
+    *
+    * Scale: the [[survival]] shape — one events scan, one user-keyed
+    * shuffle, then per-arm risk-set cumulatives on the observation-
+    * window-bounded lifetime frame (whitelisted on that bound).
+    * Returns one row (n_g1, n_g0, o1, e1, var_o1, z, chi2). */
+  def logRank(events: DataFrame, censorDays: Int = 3,
+              groupExpr: Column = pmod(col("user_id"), lit(2L)) === 1L)
+      : DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val per = events.select(
+        floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
+        col("user_id"))
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .localCheckpoint()
+    val hor = per.agg(max("d1").as("h"))
+    val lab = per.crossJoin(broadcast(hor))
+      .select((col("d1") - col("d0") + 1L).as("t"),
+        (col("d1") <= col("h") - censorDays).cast("long").as("ev"),
+        groupExpr.cast("long").as("grp"))
+    val byT = lab.groupBy("t")
+      .agg(sum(col("ev") * col("grp")).as("d1g"),
+        sum(col("ev") * (lit(1L) - col("grp"))).as("d0g"),
+        sum((lit(1L) - col("ev")) * col("grp")).as("c1g"),
+        sum((lit(1L) - col("ev")) * (lit(1L) - col("grp"))).as("c0g"))
+      .localCheckpoint() // lifetime-domain bounded
+    val tot = byT.agg((sum("d1g") + sum("c1g")).as("n1"),
+      (sum("d0g") + sum("c0g")).as("n0"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = byT.crossJoin(broadcast(tot))
+      .withColumn("n1r", col("n1") -
+        coalesce(sum(col("d1g") + col("c1g")).over(wPrev), lit(0L)))
+      .withColumn("n0r", col("n0") -
+        coalesce(sum(col("d0g") + col("c0g")).over(wPrev), lit(0L)))
+      .withColumn("nr", col("n1r") + col("n0r"))
+      .withColumn("d", col("d1g") + col("d0g"))
+    val dD = col("d").cast("double")
+    val n1D = col("n1r").cast("double")
+    val n0D = col("n0r").cast("double")
+    val nD = col("nr").cast("double")
+    val agg = r.filter(col("d") > 0L)
+      .agg(first("n1").as("n_g1"), first("n0").as("n_g0"),
+        sum("d1g").as("o1"),
+        sum(dD * n1D / nD).as("_e1"),
+        sum(when(col("nr") > 1L,
+          dD * (n1D / nD) * (n0D / nD) * (nD - dD) / (nD - lit(1.0)))
+          .otherwise(lit(0.0))).as("_v"))
+    val z = (col("o1").cast("double") - col("_e1")) / sqrt(col("_v"))
+    agg.select(col("n_g1").cast("long").as("n_g1"),
+      col("n_g0").cast("long").as("n_g0"),
+      col("o1").cast("long").as("o1"),
+      round(col("_e1"), 6).as("e1"),
+      round(col("_v"), 6).as("var_o1"),
+      round(when(col("_v") > 0.0, z), 6).as("z"),
+      round(when(col("_v") > 0.0, z * z), 6).as("chi2"))
+  }
+
   /** Day-N retention (the D1/D3/D7/D14 dashboard): share of all users
     * active EXACTLY N epoch-days after their first active day —
     * the bounded-window counterpart of [[retention]]'s growth

@@ -356,6 +356,44 @@ class DagRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("annIvfPq: zero residuals when coarse seeds are the patterns") {
+    // kCoarse = 3 seeds ARE the 3 patterns -> every vector's residual
+    // is the zero vector, every residual codebook is zero, and ADC
+    // distance is exactly 0 to every member of the probed (own) cell:
+    // probe q's nearest are its pattern copies q+3, q+6, q+9 by vid.
+    val got = graft.pipeline.Similarity
+      .annIvfPq(pqLossless, kCoarse = 3, itersCoarse = 2, m = 2,
+        ksub = 2, itersPq = 1, nprobe = 1, topK = 3, probeMax = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (q <- 0L until 3L) {
+      assert(got((q, 1L)) == (q + 3L, 0L))
+      assert(got((q, 2L)) == (q + 6L, 0L))
+      assert(got((q, 3L)) == (q + 9L, 0L))
+    }
+    assert(got.size == 9)
+  }
+
+  test("annIvfPq: rank contract + shuffle-regime parity") {
+    val emb = GraphBuilder100
+    def run = graft.pipeline.Similarity
+      .annIvfPq(emb, kCoarse = 3, itersCoarse = 2, m = 2, ksub = 2,
+        itersPq = 2, nprobe = 2, topK = 3, probeMax = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val local = run
+    val dist = graft.algorithms.Tuning.withBroadcastThreshold(0L)(run)
+    assert(local == dist && local.nonEmpty)
+    local.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.toSeq.sortBy(_._4)
+      assert(sorted.map(_._4) == (1L to rs.size).toSeq) // dense ranks from 1
+      assert(sorted.map(_._3) == sorted.map(_._3).sorted)
+      assert(rs.forall(_._2 >= 3L))
+    }
+  }
+
   test("pqError: zero reconstruction error when every vector is a centroid") {
     val rows = graft.pipeline.Similarity
       .pqError(pqLossless, m = 2, ksub = 3, iters = 2, probeMax = 3L)

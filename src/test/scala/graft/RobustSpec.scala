@@ -1032,6 +1032,44 @@ class RobustSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("logRank: hand-computed two-arm statistic") {
+    val implicits = spark.implicits
+    import implicits._
+    // same lifetimes as the survival test; arms by id parity:
+    // grp1 = {u1, u3, u5} (n1 = 3), grp0 = {u2, u4} (n0 = 2)
+    // t=2: n1r=3 n0r=2 d=2 d1=1 -> e1 += 1.2,      v += 2*(3/5)(2/5)(3/4)
+    // t=3: n1r=2 n0r=1 d=1 d1=1 -> e1 += 2/3,      v += 1*(2/3)(1/3)(2/2)
+    val ev = Seq((0L, 1L), (86400L, 1L), (0L, 2L), (86400L, 2L),
+      (2L * 86400L, 3L), (4L * 86400L, 3L),
+      (5L * 86400L, 4L), (9L * 86400L, 4L),
+      (0L, 5L), (9L * 86400L, 5L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val r = EventStreams.logRank(ev).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    val e1 = 1.2 + 2.0 / 3.0
+    val v = 2.0 * 0.6 * 0.4 * 0.75 + 2.0 / 9.0
+    val z = (2.0 - e1) / math.sqrt(v)
+    assert(math.abs(r.getDouble(3) - e1) < 1e-6)
+    assert(math.abs(r.getDouble(4) - v) < 1e-6)
+    assert(math.abs(r.getDouble(5) - z) < 1e-5)
+    assert(math.abs(r.getDouble(6) - z * z) < 1e-5)
+  }
+
+  test("logRank: one-arm degenerate case reports NULL z") {
+    val implicits = spark.implicits
+    import implicits._
+    // all users odd -> n0 = 0, every event expected (e1 = o1), V = 0
+    val ev = Seq((0L, 1L), (0L, 3L), (86400L, 5L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val r = EventStreams.logRank(ev, censorDays = 0).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L)
+    assert(r.getLong(2).toDouble == r.getDouble(3)) // o1 == e1
+    assert(r.getDouble(4) == 0.0)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
   test("annProbeCurve: identical vectors give full recall at any planes") {
     val implicits = spark.implicits
     import implicits._
