@@ -295,6 +295,16 @@ object ScaleProbe {
         // edition)
         time("mann_kendall")(graft.streaming.Trend.mannKendall(events)),
         time("kendall_tau")(graft.streaming.Trend.kendallTau(events)),
+        // same time-axis argument: the drift statistic runs on the
+        // K-invariant day grid after ONE daily count shuffle —
+        // expect ~linear then flat
+        time("page_hinkley")(graft.streaming.Trend.pageHinkley(events)),
+        // one user-keyed min/max over K× users, then the KM product
+        // runs on the lifetime frame (observation-window-bounded,
+        // K-invariant) — expect ~linear in the user shuffle
+        time("survival")(graft.streaming.EventStreams.survival(events)),
+        // the survival shape with per-arm cumulatives — same curve
+        time("logrank")(graft.streaming.EventStreams.logRank(events)),
         // lag-kernel representative: the Holt dot product runs on the
         // K-invariant day grid — expect the ewma/cusum curve
         time("holt")(graft.streaming.Trend.holtDaily(events)),
@@ -452,7 +462,16 @@ object ScaleProbe {
         // |V|·64² regardless of the hub profile — expect ~linear
         // (degree prefilter scan) over K disjoint replicas
         time("square_count_capped")(graft.algorithms.Structure
-          .squareCountCapped(pairs, 64L)))
+          .squareCountCapped(pairs, 64L)),
+        // PQ: the per-subspace assignment fold (n·ksub·d map-side-
+        // combined) grows K; codebooks and probe LUTs are
+        // K-INVARIANT broadcasts; the ADC join moves n·m code rows —
+        // expect ~linear
+        time("ann_pq")(graft.pipeline.Similarity.annPq(emb)),
+        // IVFADC adds the coarse fold + residual subtraction, both
+        // n·d passes; probed-cell candidates are nprobe/kCoarse of
+        // the K× corpus — expect ~linear
+        time("ann_ivfpq")(graft.pipeline.Similarity.annIvfPq(emb)))
     }
 
     val t1 = (corpusTimes(1) ++ extraTimes(1)).filter(_._2 >= 0)

@@ -392,6 +392,93 @@ object Trend {
     Some((n.toLong, bestDay, bestU, bestK, math.rint(p * 1e6) / 1e6))
   }
 
+  final case class PhDayRow(day_closed: Long, c: Long, ph_inc: Double,
+                            ph_dec: Double, alarm_inc: Boolean,
+                            alarm_dec: Boolean)
+  final case class PhDayState(open: Long, openCnt: Long,
+                              days: Map[Long, Long])
+
+  /** The [[pageHinkley]] decision over an in-memory closed-day map —
+    * bit-identical arithmetic to the batch plan's LAST row (same
+    * left-to-right double accumulation the ordered window sum
+    * performs, same exact-BIGINT σ moments, Spark's HALF_UP 6dp
+    * round): zero-filled grid over min..max day, running-mean drift
+    * terms, cumulative extrema, λ = k·σ over the prefix. Alarms
+    * compare UNROUNDED values, as batch does. O(n) on the
+    * observation-window-bounded grid. */
+  private[streaming] def pageHinkleyOf(days: Map[Long, Long],
+      delta: Double = 0.0, lambdaK: Double = 3.0)
+      : Option[(Long, Double, Double, Boolean, Boolean)] = {
+    if (days.isEmpty) return None
+    val d0 = days.keys.min; val d1 = days.keys.max
+    val n = (d1 - d0 + 1).toInt
+    val c = Array.tabulate(n)(i => days.getOrElse(d0 + i, 0L))
+    var p = 0L; var m = 0.0
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var phInc = 0.0; var phDec = 0.0
+    var i = 1
+    while (i <= n) {
+      p += c(i - 1)
+      m += c(i - 1).toDouble - p.toDouble / i - delta
+      if (m < mn) mn = m
+      if (m > mx) mx = m
+      phInc = m - mn; phDec = mx - m
+      i += 1
+    }
+    var s = 0L; var ss = 0L
+    c.foreach { v => s += v; ss += v * v }
+    val nD = n.toDouble
+    val lam = lambdaK * math.sqrt(math.max(
+      ss.toDouble / nD - (s.toDouble / nD) * (s.toDouble / nD), 0.0))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Some((c(n - 1), r6(phInc), r6(phDec), phInc > lam, phDec > lam))
+  }
+
+  /** Streaming twin of [[pageHinkley]] — the drift monitor run the
+    * way production runs it, day by day as days close: ONE state row
+    * (open-day partial count + the closed-day map, bounded by the
+    * observation window), each micro-batch closes every day strictly
+    * before the newest seen, and each CLOSE emits the batch
+    * Page–Hinkley decision for that day over the closed prefix
+    * (spec-pinned stream ≡ batch). Late events for a closed day are
+    * dropped, watermark-style (the cusumOnlineSteps convention). */
+  def pageHinkleyOnlineSteps(events: Dataset[EventStreams.Event])
+      : Dataset[PhDayRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[PhDayState, PhDayRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[PhDayState]) =>
+          val tally = scala.collection.mutable.SortedMap.empty[Long, Long]
+          it.foreach { e =>
+            val day = e.ts.getTime / 86400000L
+            tally(day) = tally.getOrElse(day, 0L) + 1L
+          }
+          if (tally.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              PhDayState(tally.head._1, 0L, Map.empty))
+            val out = Seq.newBuilder[PhDayRow]
+            tally.foreach { case (day, cnt) =>
+              if (day > st.open) {
+                val closed = st.days +
+                  (st.open -> (st.days.getOrElse(st.open, 0L) + st.openCnt))
+                pageHinkleyOf(closed).foreach {
+                  case (cc, pi, pd, ai, ad) =>
+                    out += PhDayRow(st.open, cc, pi, pd, ai, ad)
+                }
+                st = PhDayState(day, 0L, closed)
+              }
+              if (day >= st.open) st = st.copy(openCnt = st.openCnt + cnt)
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming twin of [[pettitt]] — the online change-point monitor
     * completing stream ≡ batch for the trend family: ONE state row
     * (the open day's partial count + the closed-day map, bounded by

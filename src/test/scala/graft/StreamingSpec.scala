@@ -484,6 +484,35 @@ class StreamingSpec extends SparkSpec {
     assert(keys.size >= 3 && keys.distinct.size == keys.size)
   }
 
+  test("online Page-Hinkley stream ≡ batch twin on closed-day prefixes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val evs = EventStreams.readEvents(spark, sfDir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = graft.streaming.Trend.pageHinkleyOnlineSteps(evs)
+      .writeStream.format("memory").queryName("phq").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("phq").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(streamed.nonEmpty)
+    // every close emits the batch decision for that day over the
+    // closed prefix — check the first, a middle, and the last close
+    val keys = streamed.keys.toSeq.sorted
+    for (d <- Seq(keys.head, keys(keys.size / 2), keys.last)) {
+      val pre = events.filter(
+        floor(unix_timestamp(col("ts")) / lit(86400L)).cast("long") <= d)
+      val b = graft.streaming.Trend.pageHinkley(pre).collect().last
+      assert(b.getLong(0) == d)
+      assert(streamed(d) == ((b.getLong(1), b.getDouble(2), b.getDouble(3),
+        b.getBoolean(4), b.getBoolean(5))), s"prefix through day $d")
+    }
+    assert(keys.size >= 3 && keys.distinct.size == keys.size)
+  }
+
   test("stateful path steps: stream trigram counts ≡ batch eventPaths") {
     val sparkS = spark
     import sparkS.implicits._
