@@ -4142,9 +4142,9 @@ SELECT nn.n AS n_days, best.day AS change_day, best.u AS u_at_k,
     (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6) AS p_approx
 FROM best CROSS JOIN nn"""
 
-  /** Kaplan–Meier mirror: same per-user epoch-day spans, same
-    * horizon-censoring rule, same guarded exp-sum-ln product. */
-  def survivalSql(censorDays: Int): String =
+  /** Shared survival-family risk-set CTE chain: per-user epoch-day
+    * spans, horizon censoring, per-lifetime (d, cns, n_risk). */
+  private def riskSetCtes(censorDays: Int): String =
     s"""WITH per AS (SELECT user_id,
   MIN(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d0,
   MAX(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS d1
@@ -4158,7 +4158,12 @@ tot AS (SELECT CAST(SUM(d) + SUM(cns) AS BIGINT) AS n_total FROM g),
 r AS (SELECT t, d, cns,
   n_total - COALESCE(SUM(d + cns) OVER (ORDER BY t
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-  FROM g, tot)
+  FROM g, tot)"""
+
+  /** Kaplan–Meier mirror: same per-user epoch-day spans, same
+    * horizon-censoring rule, same guarded exp-sum-ln product. */
+  def survivalSql(censorDays: Int): String =
+    riskSetCtes(censorDays) + s"""
 SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
   d AS n_event, cns AS n_censored,
   ROUND(CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
@@ -4167,6 +4172,20 @@ SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
       WHEN d = n_risk THEN CAST(0 AS DOUBLE)
       ELSE ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END)
       OVER cum) END, 6) AS survival
+FROM r
+WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY t_days"""
+
+  /** Nelson–Aalen mirror: same risk sets, cumulative d/n and d/n². */
+  def hazardSql(censorDays: Int): String =
+    riskSetCtes(censorDays) + s"""
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+  d AS n_event, cns AS n_censored,
+  ROUND(SUM(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER cum, 6)
+    AS hazard,
+  ROUND(SUM(CAST(d AS DOUBLE) /
+    (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))) OVER cum, 6)
+    AS var_hazard
 FROM r
 WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY t_days"""
@@ -4310,12 +4329,10 @@ fd AS MATERIALIZED (SELECT iv.vec_id, iv.sub, c.cid,
     sb.toString
   }
 
-  /** PQ-ADC mirror: the same per-subspace codebooks, corpus encode
+  /** Shared PQ-ADC CTE block (append after [[pqCtes]]): corpus encode
     * (argmin code per (vec, sub)), probe lookup tables and
-    * sum-of-lookups candidate distances — every value BIGINT. */
-  def annPqSql(m: Int, ksub: Int, iters: Int, topK: Int,
-               scale: Int): String =
-    pqCtes(m, ksub, iters, scale) + s""",
+    * sum-of-lookups candidate distances. */
+  private val pqAdcCtes: String = s""",
 codes AS (SELECT vec_id AS vid, sub, cid FROM (
   SELECT vec_id, sub, cid, ROW_NUMBER() OVER (
     PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM fd)
@@ -4323,11 +4340,42 @@ codes AS (SELECT vec_id AS vid, sub, cid FROM (
 lut AS (SELECT vec_id AS qid, sub, cid, dist AS ld FROM fd
   WHERE vec_id < 10),
 adc AS (SELECT l.qid, c.vid, SUM(l.ld) AS dist
-  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid GROUP BY 1, 2)
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid GROUP BY 1, 2)"""
+
+  /** PQ-ADC mirror: the same per-subspace codebooks, corpus encode,
+    * probe lookup tables and sum-of-lookups candidate distances —
+    * every value BIGINT. */
+  def annPqSql(m: Int, ksub: Int, iters: Int, topK: Int,
+               scale: Int): String =
+    pqCtes(m, ksub, iters, scale) + pqAdcCtes + s"""
 SELECT qid, vid, CAST(dist AS BIGINT) AS dist, CAST(rnk AS BIGINT) AS rnk
 FROM (SELECT qid, vid, dist, ROW_NUMBER() OVER (
     PARTITION BY qid ORDER BY dist ASC, vid ASC) AS rnk FROM adc)
 WHERE rnk <= $topK ORDER BY qid, rnk"""
+
+  /** PQ recall mirror: the ADC top-k intersected with the exact
+    * integer brute-force top-k, per probe. */
+  def pqRecallSql(m: Int, ksub: Int, iters: Int, k: Int,
+                  scale: Int): String =
+    pqCtes(m, ksub, iters, scale) + pqAdcCtes + s""",
+apx AS (SELECT qid, vid FROM (SELECT qid, vid, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dist ASC, vid ASC) AS rnk FROM adc)
+  WHERE rnk <= $k),
+bf AS MATERIALIZED (SELECT q.vec_id AS qid, v.vec_id AS vid,
+  SUM((q.xi - v.xi) * (q.xi - v.xi)) AS dist
+  FROM iv q JOIN iv v ON v.pos = q.pos AND v.vec_id >= 10
+  WHERE q.vec_id < 10 GROUP BY 1, 2),
+ex AS (SELECT qid, vid FROM (SELECT qid, vid, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY dist ASC, vid ASC) AS rn FROM bf)
+  WHERE rn <= $k),
+hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ex e JOIN apx a ON a.qid = e.qid AND a.vid = e.vid GROUP BY 1)
+SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+  ROUND(CAST(COALESCE(MAX(h.n_hit), 0) AS DOUBLE) /
+    CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM ex e LEFT JOIN hits h ON h.qid = e.qid GROUP BY e.qid
+ORDER BY e.qid"""
 
   /** IVFADC mirror: the coarse integer k-means unrolled, owner-cell
     * residuals, the per-subspace residual k-means unrolled, probe

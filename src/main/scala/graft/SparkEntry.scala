@@ -1090,6 +1090,10 @@ object SparkEntry {
       Similarity.annIvfPq(GraphBuilder.table(s, d, "embeddings"))),
     "q_pq_error" -> ((s, d) =>
       Similarity.pqError(GraphBuilder.table(s, d, "embeddings"))),
+    "q_pq_recall" -> ((s, d) =>
+      Similarity.pqRecall(GraphBuilder.table(s, d, "embeddings"))),
+    "q_hazard" -> ((s, d) =>
+      EventStreams.hazard(EventStreams.eventsTable(s, d))),
     "q_pca" -> ((s, d) =>
       pipeline.Pca.pcaTop(GraphBuilder.table(s, d, "embeddings"))),
     "q_pca_project" -> ((s, d) =>
@@ -1722,6 +1726,8 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_ann_pq" -> PipelineOracles.annPqSql(8, 4, 2, 3, 1000),
     "q_ann_ivfpq" -> PipelineOracles.annIvfPqSql(4, 2, 4, 4, 2, 2, 3, 1000),
     "q_pq_error" -> PipelineOracles.pqErrorSql(8, 4, 2, 1000),
+    "q_pq_recall" -> PipelineOracles.pqRecallSql(8, 4, 2, 3, 1000),
+    "q_hazard" -> PipelineOracles.hazardSql(3),
     "q_pca" -> PipelineOracles.pcaTopSql(15),
     "q_pca_project" -> PipelineOracles.pcaProjectSql(15),
     "q_ann_lsh" -> PipelineOracles.annLshSql,

@@ -1322,6 +1322,45 @@ object Similarity {
       .select("qid", "vid", "dist", "rnk")
   }
 
+  /** PQ recall audit: per probe the recall@k of [[annPq]]'s ADC
+    * top-k against the EXACT integer brute-force top-k — the number
+    * that validates an (m, ksub) choice before anyone serves ADC
+    * distances, and the regression canary after a codebook rebuild
+    * (the [[annRecall]] contract, PQ edition). Probes with no ADC
+    * hits report 0, not a dropped row.
+    *
+    * Scale: ground truth is the probe-set-bounded brute-force join
+    * (probeMax·n·d, the [[cosineTopK]] shape — on 100 TB the audit
+    * runs over a sampled probe set, and the plan is already
+    * sample-shaped); the audit join moves ≤ 2k rows per probe. */
+  def pqRecall(emb: DataFrame, m: Int = 8, ksub: Int = 4,
+               iters: Int = 2, k: Int = 3, probeMax: Long = 10L,
+               scale: Int = 1000): DataFrame = {
+    val approx = annPq(emb, m, ksub, iters, k, probeMax, scale)
+      .select(col("qid"), col("vid").as("avid"))
+    val iv = exploded(emb).select(col("vec_id"), col("pos"),
+      floor(col("x") * lit(scale)).cast("long").as("xi"))
+    val bf = iv.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("qid"), col("pos"), col("xi").as("xq"))
+      .join(iv.filter(col("vec_id") >= probeMax)
+        .select(col("vec_id").as("vid"), col("pos"), col("xi").as("xm")),
+        Seq("pos"))
+      .groupBy("qid", "vid")
+      .agg(sum((col("xq") - col("xm")) * (col("xq") - col("xm"))).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("vid").asc)
+    val exact = bf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("qid", "vid")
+    val hits = exact.join(approx, exact("qid") === approx("qid") &&
+        exact("vid") === approx("avid"))
+      .groupBy(exact("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6))
+  }
+
   /** PQ codebook quality audit: per subspace the dimension count,
     * vector count, exact BIGINT sum of squared quantization errors
     * (each vector's distance to its NEAREST centroid) and the mean

@@ -975,12 +975,16 @@ object EventStreams {
     * by user or event volume; its cumulative windows are whitelisted
     * on that bound. Returns (t_days, n_risk, n_event, n_censored,
     * survival) ordered by t_days. */
-  def survival(events: DataFrame, censorDays: Int = 3): DataFrame = {
+  /** Shared risk-set frame for the survival family: per distinct
+    * lifetime t the event count `d`, censored count `cns`, and
+    * `n_risk` (users with lifetime ≥ t). No (day, user) distinct —
+    * per-user min/max day is identical on raw events — so the shape
+    * is one scan, ONE user-keyed shuffle (map-side combined), with
+    * the per-user frame pinned so the horizon aggregate and the
+    * lifetime rollup don't re-run the scan, then cumulatives on the
+    * observation-window-bounded lifetime frame. */
+  private def riskSets(events: DataFrame, censorDays: Int): DataFrame = {
     require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
-    // no (day, user) distinct here: per-user min/max day is identical
-    // on raw events — one scan, ONE user-keyed shuffle (map-side
-    // combined). The per-user frame is pinned so the horizon aggregate
-    // and the lifetime rollup don't re-run the scan.
     val per = events.select(
         floor(unix_timestamp(col("ts")) / lit(86400L)).as("day"),
         col("user_id"))
@@ -998,12 +1002,15 @@ object EventStreams {
     val tot = g.agg((sum("d") + sum("cns")).as("n_total"))
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nRisk = col("n_total") -
       coalesce(sum(col("d") + col("cns")).over(wPrev), lit(0L))
-    val base = g.crossJoin(broadcast(tot))
-      .withColumn("n_risk", nRisk)
+    g.crossJoin(broadcast(tot)).withColumn("n_risk", nRisk)
+  }
+
+  def survival(events: DataFrame, censorDays: Int = 3): DataFrame = {
+    val base = riskSets(events, censorDays)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lnTerm = when(col("d") === 0L, lit(0.0))
       .when(col("d") === col("n_risk"), lit(0.0)) // absorbed: guarded below
       .otherwise(log((col("n_risk") - col("d")).cast("double") /
@@ -1017,6 +1024,30 @@ object EventStreams {
         col("cns").cast("long").as("n_censored"),
         round(when(col("absorbed") === 1, lit(0.0))
           .otherwise(exp(sum(lnTerm).over(wCum))), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) on the
+    * [[survival]] risk sets: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance
+    * Σ dᵢ/nᵢ² — the additive twin of Kaplan–Meier (Ŝ ≈ e^{−Ĥ}) and
+    * the estimator of choice when hazard INCREMENTS (churn intensity
+    * per lifetime day) are the quantity being read, since sums of
+    * exact-operand divisions carry no product underflow. Same
+    * censoring rule, same single-scan single-shuffle shape, same
+    * bounded-lifetime cumulatives. Returns (t_days, n_risk, n_event,
+    * n_censored, hazard, var_hazard) ordered by t_days. */
+  def hazard(events: DataFrame, censorDays: Int = 3): DataFrame = {
+    val base = riskSets(events, censorDays)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("n_risk").cast("double")
+    base.select(col("t").cast("long").as("t_days"),
+      col("n_risk").cast("long").as("n_risk"),
+      col("d").cast("long").as("n_event"),
+      col("cns").cast("long").as("n_censored"),
+      round(sum(col("d").cast("double") / nD).over(wCum), 6).as("hazard"),
+      round(sum(col("d").cast("double") / (nD * nD)).over(wCum), 6)
+        .as("var_hazard"))
       .orderBy("t_days")
   }
 

@@ -394,6 +394,30 @@ class DagRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("pqRecall: perfect recall on the lossless corpus; bounded elsewhere") {
+    val perfect = graft.pipeline.Similarity
+      .pqRecall(pqLossless, m = 2, ksub = 3, iters = 2, k = 3, probeMax = 3L)
+      .collect()
+    assert(perfect.length == 3)
+    perfect.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 3L)
+      assert(r.getAs[Long]("n_hit") == 3L)
+      assert(r.getAs[Double]("recall") == 1.0)
+    }
+    val general = graft.pipeline.Similarity
+      .pqRecall(GraphBuilder100, m = 2, ksub = 3, iters = 2, k = 3,
+        probeMax = 3L)
+      .collect()
+    assert(general.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    general.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 3L)
+      val h = r.getAs[Long]("n_hit")
+      assert(h >= 0L && h <= 3L)
+      assert(r.getAs[Double]("recall") == h / 3.0 ||
+        math.abs(r.getAs[Double]("recall") - h / 3.0) < 1e-6)
+    }
+  }
+
   test("pqError: zero reconstruction error when every vector is a centroid") {
     val rows = graft.pipeline.Similarity
       .pqError(pqLossless, m = 2, ksub = 3, iters = 2, probeMax = 3L)

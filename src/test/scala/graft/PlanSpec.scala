@@ -130,7 +130,10 @@ class PlanSpec extends SparkSpec {
         + "days, never user or event volume"),
       "q_logrank" -> ("per-arm risk-set cumulatives over the distinct-"
         + "lifetime frame — bounded by the observation window in "
-        + "days, never user or event volume"))
+        + "days, never user or event volume"),
+      "q_hazard" -> ("risk-set cumulatives over the distinct-lifetime "
+        + "frame — bounded by the observation window in days, never "
+        + "user or event volume"))
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
@@ -183,7 +186,7 @@ class PlanSpec extends SparkSpec {
       }.flatten
     val pinned = Seq("q_good_turing", "q_pettitt", "q_mann_kendall",
       "q_theil_sen", "q_runs_test", "q_kendall_tau", "q_seasonality",
-      "q_holt", "q_page_hinkley", "q_survival", "q_logrank")
+      "q_holt", "q_page_hinkley", "q_survival", "q_logrank", "q_hazard")
     for (name <- pinned) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val scans = fileScans(df.queryExecution.executedPlan)

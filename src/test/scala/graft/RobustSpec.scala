@@ -1032,6 +1032,26 @@ class RobustSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("hazard: hand-computed Nelson-Aalen with censoring") {
+    val implicits = spark.implicits
+    import implicits._
+    // same lifetimes as the survival test: H and var accumulate at
+    // t=2 (2/5, 2/25) and t=3 (+1/3, +1/9); pure-censoring rows hold
+    val ev = Seq((0L, 1L), (86400L, 1L), (0L, 2L), (86400L, 2L),
+      (2L * 86400L, 3L), (4L * 86400L, 3L),
+      (5L * 86400L, 4L), (9L * 86400L, 4L),
+      (0L, 5L), (9L * 86400L, 5L))
+      .toDF("sec", "user_id")
+      .select(col("sec").cast("timestamp").as("ts"), col("user_id"))
+    val got = EventStreams.hazard(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(2L) == ((5L, 2L, 0.4, 0.08)))
+    assert(got(3L) == ((3L, 1L, 0.733333, 0.191111)))
+    assert(got(5L) == ((2L, 0L, 0.733333, 0.191111)))
+    assert(got(10L) == ((1L, 0L, 0.733333, 0.191111)))
+  }
+
   test("logRank: hand-computed two-arm statistic") {
     val implicits = spark.implicits
     import implicits._
