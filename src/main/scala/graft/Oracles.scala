@@ -534,6 +534,32 @@ FROM be JOIN sz sa ON sa.label = be.label_src
   JOIN sz sb ON sb.label = be.label_dst
 ORDER BY label_src, label_dst"""
 
+  /** Label-assortativity mirror: same mixing-matrix cells, margins
+    * cast to DOUBLE before the product, same guarded closed form. */
+  val labelAssortativitySql: String =
+    P + """, ce AS (SELECT ns.label AS ls, nd.label AS ld,
+  CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN nodes ns ON ns.id = e.src
+  JOIN nodes nd ON nd.id = e.dst GROUP BY 1, 2),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS m,
+  CAST(SUM(CASE WHEN ls = ld THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM ce),
+ma AS (SELECT ls, CAST(SUM(c) AS BIGINT) AS ca FROM ce GROUP BY 1),
+mb AS (SELECT ld AS ls, CAST(SUM(c) AS BIGINT) AS cb FROM ce GROUP BY 1),
+ab AS (SELECT SUM(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS sab
+  FROM ma JOIN mb USING (ls))
+SELECT CAST(m AS BIGINT) AS n_edges,
+  ROUND(CAST(diag AS DOUBLE) / CAST(m AS DOUBLE), 6) AS same_share,
+  ROUND(sab / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+    AS expected_same,
+  ROUND(CASE WHEN sab / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) <
+      CAST(1 AS DOUBLE)
+    THEN (CAST(diag AS DOUBLE) / CAST(m AS DOUBLE) -
+      sab / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))) /
+      (CAST(1 AS DOUBLE) - sab / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+    END, 6) AS assortativity
+FROM tt CROSS JOIN ab"""
+
   /** knn(k) mirror: same symmetric degree frame, same exact BIGINT
     * neighbor-degree sums, one double division at the end. */
   val knnProfileSql: String =

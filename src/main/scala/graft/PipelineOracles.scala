@@ -250,6 +250,80 @@ tr AS (SELECT SUM(c) AS trace FROM cv WHERE i = j)"""
     sb.toString
   }
 
+  /** Effective-rank mirror: same one-pass covariance cells, trace and
+    * Frobenius sums off the d×d frame. */
+  val effectiveRankSql: String =
+    s"""WITH $embCtes,
+nn AS (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM ex),
+mu AS MATERIALIZED (SELECT pos, SUM(x) / (SELECT n FROM nn) AS mu FROM ex GROUP BY pos),
+pr AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS sxy
+  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+cv AS MATERIALIZED (SELECT i, j, sxy / (SELECT n FROM nn) - mi.mu * mj.mu AS c
+  FROM pr JOIN mu mi ON mi.pos = pr.i JOIN mu mj ON mj.pos = pr.j),
+ag AS (SELECT COUNT(*) AS cells,
+  SUM(CASE WHEN i = j THEN c ELSE CAST(0 AS DOUBLE) END) AS tr,
+  SUM(c * c) AS fro2 FROM cv)
+SELECT CAST(CAST(sqrt(cells::DOUBLE) AS DOUBLE) AS BIGINT) AS n_dims,
+  ROUND(tr, 6) AS trace, ROUND(fro2, 6) AS frobenius2,
+  ROUND(tr * tr / fro2, 6) AS effective_rank,
+  ROUND(tr * tr / fro2 / sqrt(cells::DOUBLE), 6) AS rank_share
+FROM ag"""
+
+  /** Filter-agreement κ mirror: the shared 6-dp quality gate joined
+    * to the Gopher keep predicate, exact contingency counts, same
+    * double op order for po/pe/κ. */
+  def filterKappaSql(theta: Double = 0.5, minWords: Int = 20,
+                     maxTopFrac: Double = 0.2): String =
+    s"""WITH qq AS (SELECT doc_id,
+  CAST(len(text) AS BIGINT) AS chars,
+  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
+  CAST(len(regexp_extract_all(text, '\\b(the|a|is)\\b')) AS BIGINT) AS stop
+  FROM documents),
+ff AS (SELECT doc_id,
+  ROUND(0.4 * least(words / 100.0, 1.0) + 0.3 * (1.0 - punct / chars)
+      + 0.3 * least(5.0 * stop / words, 1.0), 6) AS q FROM qq),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY 1, 2),
+m AS (SELECT doc_id, SUM(c) AS words, MAX(c) AS topc,
+             SUM(c * length(term)) / SUM(c) AS mwl,
+             SUM(CASE WHEN regexp_full_match(term, '[A-Za-z]+') THEN c ELSE 0 END)
+               / SUM(c) AS alpha
+      FROM tc GROUP BY 1),
+s AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|is|and|of)\\b')) AS BIGINT)
+               AS stop_hits FROM documents),
+gp AS (SELECT m.doc_id,
+  (words >= $minWords AND mwl >= 3.0 AND mwl <= 10.0 AND alpha >= 0.8
+   AND s.stop_hits >= 2 AND topc / words <= $maxTopFrac) AS keep
+  FROM m JOIN s USING (doc_id)),
+ab AS (SELECT CASE WHEN ff.q >= $theta THEN 1 ELSE 0 END AS a,
+  CASE WHEN gp.keep THEN 1 ELSE 0 END AS b
+  FROM ff JOIN gp USING (doc_id)),
+ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(a * b) AS BIGINT) AS n11,
+  CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+  CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+  CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00 FROM ab)
+SELECT n, n11, n10, n01, n00,
+  ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+  ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+    CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) /
+    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+  ROUND(CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+      CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) /
+      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < CAST(1 AS DOUBLE)
+    THEN (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) -
+      (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+       CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) /
+      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+      (CAST(1 AS DOUBLE) -
+      (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+       CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) /
+      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+    END, 6) AS kappa
+FROM ct"""
+
   /** MMR mirror: the cosineTopK candidate formula, the same pairwise
     * 6-dp cosine sims, and the greedy loop unrolled into selectK
     * chained CTEs — each step a NOT EXISTS drop of the selected set, a

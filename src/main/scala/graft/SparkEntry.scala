@@ -698,6 +698,8 @@ object SparkEntry {
       algorithms.Structure.localBridges(DerivedGraphs.partCooccur(s, d))),
     "q_block_matrix" -> ((s, d) =>
       algorithms.Structure.blockMatrix(g(s, d).nodes, g(s, d).edges)),
+    "q_label_assort" -> ((s, d) =>
+      algorithms.Structure.labelAssortativity(g(s, d).nodes, g(s, d).edges)),
     "q_lang_confusion" -> ((s, d) =>
       pipeline.TextOps.langConfusion(GraphBuilder.table(s, d, "documents"))),
     "q_quality_calibration" -> ((s, d) =>
@@ -1096,6 +1098,10 @@ object SparkEntry {
       EventStreams.hazard(EventStreams.eventsTable(s, d))),
     "q_pca" -> ((s, d) =>
       pipeline.Pca.pcaTop(GraphBuilder.table(s, d, "embeddings"))),
+    "q_effective_rank" -> ((s, d) =>
+      pipeline.Pca.effectiveRank(GraphBuilder.table(s, d, "embeddings"))),
+    "q_filter_kappa" -> ((s, d) =>
+      pipeline.Stats.filterKappa(GraphBuilder.table(s, d, "documents"))),
     "q_pca_project" -> ((s, d) =>
       pipeline.Pca.pcaProject(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
@@ -1570,6 +1576,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_percolation" -> Oracles.percolationSql,
     "q_local_bridges" -> Oracles.localBridgesSql,
     "q_block_matrix" -> Oracles.blockMatrixSql,
+    "q_label_assort" -> Oracles.labelAssortativitySql,
     "q_lang_confusion" -> PipelineOracles.langConfusionSql,
     "q_quality_calibration" -> PipelineOracles.qualityCalibrationSql(),
     "q_norm_profile" -> PipelineOracles.normProfileSql,
@@ -1729,6 +1736,8 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_pq_recall" -> PipelineOracles.pqRecallSql(8, 4, 2, 3, 1000),
     "q_hazard" -> PipelineOracles.hazardSql(3),
     "q_pca" -> PipelineOracles.pcaTopSql(15),
+    "q_effective_rank" -> PipelineOracles.effectiveRankSql,
+    "q_filter_kappa" -> PipelineOracles.filterKappaSql(),
     "q_pca_project" -> PipelineOracles.pcaProjectSql(15),
     "q_ann_lsh" -> PipelineOracles.annLshSql,
     "q_dedup_cosine" -> PipelineOracles.cosineNearDupSql(8, 0.9),

@@ -350,6 +350,49 @@ object Structure {
       .orderBy("label_src", "label_dst")
   }
 
+  /** Categorical (label) assortativity (Newman 2003 "Mixing patterns
+    * in networks", eq. 2): with the mixing matrix e_ij = fraction of
+    * directed edges running label-i → label-j and margins aᵢ = Σⱼ eᵢⱼ,
+    * bⱼ = Σᵢ eᵢⱼ, r = (Σᵢ eᵢᵢ − Σᵢ aᵢbᵢ)/(1 − Σᵢ aᵢbᵢ) — "do edges
+    * stay inside a label class more than chance": +1 perfectly
+    * assortative, 0 random, negative disassortative. The scalar the
+    * [[blockMatrix]] fingerprint collapses to (same cells, one number),
+    * and the categorical twin of [[assortativity]]'s degree-Pearson r.
+    * NULL when Σaᵢbᵢ = 1 (single label — no off-diagonal mass
+    * possible).
+    *
+    * Scale: the blockMatrix shuffle (≤ |labels|² cells after map-side
+    * combine); margins and the three scalars come off the broadcast
+    * cell frame. Returns one row (n_edges, same_share, expected_same,
+    * assortativity). */
+  def labelAssortativity(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val lbl = nodes.select(col("id"), col("label"))
+    val cells = edges.select("src", "dst")
+      .join(lbl.select(col("id").as("src"), col("label").as("ls")),
+        Seq("src"))
+      .join(lbl.select(col("id").as("dst"), col("label").as("ld")),
+        Seq("dst"))
+      .groupBy("ls", "ld").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤ |labels|² rows
+    val tots = cells.agg(sum("c").as("m"),
+      sum(when(col("ls") === col("ld"), col("c")).otherwise(lit(0L)))
+        .as("diag"))
+    val ab = cells.groupBy("ls").agg(sum("c").as("ca"))
+      .join(cells.groupBy("ld").agg(sum("c").as("cb"))
+        .select(col("ld").as("ls"), col("cb")), Seq("ls"))
+      .agg(sum(col("ca").cast("double") * col("cb").cast("double"))
+        .as("sab"))
+    val mD = col("m").cast("double")
+    val same = col("diag").cast("double") / mD
+    val expd = col("sab") / (mD * mD)
+    tots.crossJoin(broadcast(ab))
+      .select(col("m").cast("long").as("n_edges"),
+        round(same, 6).as("same_share"),
+        round(expd, 6).as("expected_same"),
+        round(when(expd < 1.0, (same - expd) / (lit(1.0) - expd)), 6)
+          .as("assortativity"))
+  }
+
   /** Average-neighbor-degree curve knn(k) (Pastor-Satorras, Vázquez &
     * Vespignani 2001): for each degree class k, the degree-class mean
     * of the neighbor degree — THE degree-correlation profile (rising =

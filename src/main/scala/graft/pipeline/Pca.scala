@@ -171,4 +171,33 @@ object Pca {
         round(col("eigval"), 6).as("eigval"),
         round(col("eigval") / col("trace"), 6).as("var_explained"))
   }
+
+  /** Effective rank (participation ratio) of the embedding
+    * covariance: PR = (Σλ)²/Σλ² = tr(C)²/‖C‖²_F — since C is
+    * symmetric, the Frobenius norm IS Σλ², so no eigendecomposition
+    * is ever needed. The one-number answer to "how many dimensions
+    * does this embedding actually use": PR = d for isotropic
+    * embeddings, PR → 1 under rank collapse — the spectral
+    * complement of [[pcaTop]]'s single-direction reading and the
+    * [[Similarity.anisotropy]] mean-vector test. `rank_share` =
+    * PR/d is the dimension-free health number.
+    *
+    * Scale: the shared one-pass covariance fold (d² shuffle rows at
+    * any corpus size); everything after is one aggregate over the
+    * d×d frame. Returns one row (n_dims, trace, frobenius2,
+    * effective_rank, rank_share). */
+  def effectiveRank(emb: DataFrame): DataFrame = {
+    val cov = covariance(emb)
+    val pr = col("tr") * col("tr") / col("fro2")
+    cov.agg(count(lit(1)).as("cells"),
+        sum(when(col("i") === col("j"), col("c")).otherwise(lit(0.0)))
+          .as("tr"),
+        sum(col("c") * col("c")).as("fro2"))
+      .select(
+        sqrt(col("cells").cast("double")).cast("long").as("n_dims"),
+        round(col("tr"), 6).as("trace"),
+        round(col("fro2"), 6).as("frobenius2"),
+        round(pr, 6).as("effective_rank"),
+        round(pr / sqrt(col("cells").cast("double")), 6).as("rank_share"))
+  }
 }

@@ -927,4 +927,43 @@ object Stats {
         count(when(col("mean_b").isNotNull, 1)).cast("long").as("n_resamples"))
       .orderBy("source")
   }
+
+  /** Cohen's κ (Cohen 1960) agreement between the corpus's two
+    * independent document filters — the heuristic quality gate
+    * (quality ≥ θ on the shared 6-dp score) and the Gopher composite
+    * gate — "are my two filters redundant or complementary": κ = 1
+    * means one filter is dead weight, κ ≈ 0 means they prune
+    * independent slices (chance-corrected, unlike raw overlap).
+    * NULL κ when pₑ = 1 (both filters constant). Returns one row
+    * (n, n11, n10, n01, n00, po, pe, kappa).
+    *
+    * Scale: both gates are existing single-pass kernels; the join is
+    * doc_id-keyed; the contingency table is 4 exact BIGINTs of
+    * aggregate state — scan-bound at any corpus size. */
+  def filterKappa(docs: DataFrame, theta: Double = 0.5): DataFrame = {
+    val a = TextOps.quality(docs)
+      .select(col("doc_id"), (col("quality") >= theta).cast("long").as("a"))
+    val b = Corpus.gopherRules(docs)
+      .select(col("doc_id"), col("keep").cast("long").as("b"))
+    val ct = a.join(b, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")).cast("double") *
+      (col("n11") + col("n01")).cast("double") +
+      (col("n01") + col("n00")).cast("double") *
+        (col("n10") + col("n00")).cast("double")) / (nD * nD)
+    ct.select(col("n").cast("long").as("n"),
+      col("n11").cast("long").as("n11"),
+      col("n10").cast("long").as("n10"),
+      col("n01").cast("long").as("n01"),
+      col("n00").cast("long").as("n00"),
+      round(po, 6).as("po"),
+      round(pe, 6).as("pe"),
+      round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
 }

@@ -581,6 +581,33 @@ class RobustSpec extends SparkSpec {
     assert(got(("L1", "L1")).getAs[Double]("density") == 0.25) // 1/4
   }
 
+  test("labelAssortativity: ±1 extremes and the single-label NULL") {
+    val implicits = spark.implicits
+    import implicits._
+    val nodes = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("id", "label")
+    // all edges within label -> r = 1
+    val within = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val r1 = algorithms.Structure.labelAssortativity(nodes, within)
+      .collect().head
+    assert(r1.getAs[Long]("n_edges") == 2L)
+    assert(r1.getAs[Double]("same_share") == 1.0)
+    assert(r1.getAs[Double]("assortativity") == 1.0)
+    // all edges across -> r = -1 (balanced margins, expected 0.5)
+    val across = Seq((1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r2 = algorithms.Structure.labelAssortativity(nodes, across)
+      .collect().head
+    assert(r2.getAs[Double]("same_share") == 0.0)
+    assert(r2.getAs[Double]("expected_same") == 0.5)
+    assert(r2.getAs[Double]("assortativity") == -1.0)
+    // single label -> expected_same = 1, r undefined
+    val one = Seq((1L, "A"), (2L, "A")).toDF("id", "label")
+    val r3 = algorithms.Structure.labelAssortativity(one,
+      Seq((1L, 2L)).toDF("src", "dst")).collect().head
+    assert(r3.getAs[Double]("expected_same") == 1.0)
+    assert(r3.isNullAt(r3.fieldIndex("assortativity")))
+  }
+
   test("langConfusion: off-diagonal cell with row shares") {
     val docs = langDocsOf(Seq(
       (1L, "en", "the cat"), (2L, "de", "the cat"), (3L, "de", "der hund")))

@@ -413,4 +413,58 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(c.head - math.exp(-1.0)) < 1e-15)
     assert(c.last > 0.9999 && c.last < 1.0)
   }
+
+  test("filterKappa: matches the local replay of the two gates") {
+    // mixed corpus: some docs pass both gates, some fail one
+    val rows = (1L to 24L).map { i =>
+      val txt =
+        if (i % 4 == 0) "the cat is a dog and of the rest " * 8
+        else if (i % 4 == 1) "zz " * 30 // alpha-heavy single repeat: fails top_frac
+        else if (i % 4 == 2) "the quick brown fox is a very lazy kind of dog today " * 3
+        else "x" // too short
+      (i, txt.trim, "en", s"s${i % 3}")
+    }
+    val d = docs(rows: _*)
+    val a = graft.pipeline.TextOps.quality(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("quality") >= 0.5)).toMap
+    val b = graft.pipeline.Corpus.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val n = a.size
+    val n11 = a.keys.count(k => a(k) && b(k))
+    val n10 = a.keys.count(k => a(k) && !b(k))
+    val n01 = a.keys.count(k => !a(k) && b(k))
+    val n00 = a.keys.count(k => !a(k) && !b(k))
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) +
+      (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    val r = Stats.filterKappa(d).collect().head
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("n11") == n11.toLong)
+    assert(r.getAs[Long]("n00") == n00.toLong)
+    assert(math.abs(r.getAs[Double]("po") - po) < 1e-6)
+    assert(math.abs(r.getAs[Double]("pe") - pe) < 1e-6)
+    if (pe < 1.0)
+      assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-5)
+    // the fixture must actually exercise disagreement
+    assert(n10 + n01 > 0 && n11 + n00 > 0)
+  }
+
+  test("effectiveRank: isotropic 2-D data reads PR = 2; rank-1 reads 1") {
+    val implicits = spark.implicits
+    import implicits._
+    val iso = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(-1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.0f, -1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.pipeline.Pca.effectiveRank(iso).collect().head
+    assert(r.getAs[Long]("n_dims") == 3L)
+    assert(r.getAs[Double]("trace") == 1.0) // diag(.5, .5, 0)
+    assert(math.abs(r.getAs[Double]("effective_rank") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rank_share") - 2.0 / 3.0) < 1e-6)
+    val rank1 = (1L to 6L).map(i =>
+      (i, Array(i.toFloat, 2 * i.toFloat, 2 * i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val r1 = graft.pipeline.Pca.effectiveRank(rank1).collect().head
+    assert(math.abs(r1.getAs[Double]("effective_rank") - 1.0) < 1e-5)
+  }
 }
