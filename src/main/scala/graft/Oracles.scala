@@ -649,6 +649,98 @@ tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS transitive FROM wedge
 SELECT n_edges, mutual_dyads, cycles, transitive
 FROM m CROSS JOIN mu CROSS JOIN cy CROSS JOIN tr"""
 
+  /** Full-census mirror: same dyad codes, same c-relative wedge
+    * classification, triangles at the smallest corner, identical
+    * closed forms for 102/012/003. */
+  val triadCensusFullSql: String =
+    s"""WITH ${DerivedGraphs.tradeTopSql()},
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ttedges WHERE src <> dst),
+cp AS MATERIALIZED (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+  CASE WHEN MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) = 1
+        AND MIN(CASE WHEN src < dst THEN 1 ELSE 0 END) = 0 THEN 2
+       WHEN MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) = 1 THEN 1
+       ELSE 0 END AS code
+  FROM e GROUP BY 1, 2),
+und AS (SELECT lo AS c, hi AS o, code, TRUE AS cislo FROM cp
+  UNION ALL SELECT hi, lo, code, FALSE FROM cp),
+w AS MATERIALIZED (SELECT a.c, a.o AS u,
+  CASE WHEN a.code = 2 THEN 2 WHEN a.cislo THEN a.code
+       ELSE 1 - a.code END AS du,
+  b.o AS v,
+  CASE WHEN b.code = 2 THEN 2 WHEN b.cislo THEN b.code
+       ELSE 1 - b.code END AS dv
+  FROM und a JOIN und b ON b.c = a.c AND a.o < b.o),
+j AS MATERIALIZED (SELECT w.c, w.u, w.du, w.v, w.dv, cp.code AS uv
+  FROM w LEFT JOIN cp ON cp.lo = w.u AND cp.hi = w.v),
+cls AS (
+  SELECT CASE
+    WHEN du = 2 AND dv = 2 THEN '201'
+    WHEN du = 2 THEN CASE WHEN dv = 1 THEN '111U' ELSE '111D' END
+    WHEN dv = 2 THEN CASE WHEN du = 1 THEN '111U' ELSE '111D' END
+    WHEN du = 1 AND dv = 1 THEN '021D'
+    WHEN du = 0 AND dv = 0 THEN '021U'
+    ELSE '021C' END AS triad_class
+  FROM j WHERE uv IS NULL
+  UNION ALL
+  SELECT CASE
+    WHEN (CASE WHEN du = 2 THEN 1 ELSE 0 END) +
+         (CASE WHEN dv = 2 THEN 1 ELSE 0 END) +
+         (CASE WHEN uv = 2 THEN 1 ELSE 0 END) = 3 THEN '300'
+    WHEN (CASE WHEN du = 2 THEN 1 ELSE 0 END) +
+         (CASE WHEN dv = 2 THEN 1 ELSE 0 END) +
+         (CASE WHEN uv = 2 THEN 1 ELSE 0 END) = 2 THEN '210'
+    WHEN (CASE WHEN du = 2 THEN 1 ELSE 0 END) +
+         (CASE WHEN dv = 2 THEN 1 ELSE 0 END) +
+         (CASE WHEN uv = 2 THEN 1 ELSE 0 END) = 1 THEN
+      CASE WHEN uv = 2 THEN
+        CASE WHEN du = 1 AND dv = 1 THEN '120D'
+             WHEN du = 0 AND dv = 0 THEN '120U' ELSE '120C' END
+      WHEN du = 2 THEN
+        CASE WHEN dv = 0 AND uv = 0 THEN '120D'
+             WHEN dv = 1 AND uv = 1 THEN '120U' ELSE '120C' END
+      ELSE
+        CASE WHEN du = 0 AND uv = 1 THEN '120D'
+             WHEN du = 1 AND uv = 0 THEN '120U' ELSE '120C' END END
+    ELSE CASE WHEN (du = 1 AND uv = 1 AND dv = 0)
+               OR (dv = 1 AND uv = 0 AND du = 0)
+      THEN '030C' ELSE '030T' END
+  END
+  FROM j WHERE uv IS NOT NULL AND c < u),
+cnts AS (SELECT triad_class, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cls GROUP BY 1),
+sc AS (SELECT
+  CAST(SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mdy,
+  CAST(SUM(CASE WHEN code <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS ady
+  FROM cp),
+nn AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+sums AS (SELECT
+  CAST(COALESCE(SUM(cnt * CASE triad_class WHEN '300' THEN 3
+    WHEN '210' THEN 2 WHEN '201' THEN 2 WHEN '120D' THEN 1
+    WHEN '120U' THEN 1 WHEN '120C' THEN 1 WHEN '111D' THEN 1
+    WHEN '111U' THEN 1 ELSE 0 END), 0) AS BIGINT) AS sm,
+  CAST(COALESCE(SUM(cnt * CASE triad_class WHEN '210' THEN 1
+    WHEN '120D' THEN 2 WHEN '120U' THEN 2 WHEN '120C' THEN 2
+    WHEN '030T' THEN 3 WHEN '030C' THEN 3 WHEN '111D' THEN 1
+    WHEN '111U' THEN 1 WHEN '021D' THEN 2 WHEN '021U' THEN 2
+    WHEN '021C' THEN 2 ELSE 0 END), 0) AS BIGINT) AS sa,
+  CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS enumerated
+  FROM cnts),
+low AS (SELECT CAST(mdy * (n - 2) - sm AS BIGINT) AS c102,
+  CAST(ady * (n - 2) - sa AS BIGINT) AS c012,
+  CAST(n * (n - 1) * (n - 2) // 6 - (mdy * (n - 2) - sm) -
+    (ady * (n - 2) - sa) - enumerated AS BIGINT) AS c003
+  FROM sc CROSS JOIN nn CROSS JOIN sums),
+cl AS (SELECT unnest(['003','012','021C','021D','021U','030C','030T',
+  '102','111D','111U','120C','120D','120U','201','210','300'])
+  AS triad_class)
+SELECT cl.triad_class,
+  CAST(CASE cl.triad_class WHEN '003' THEN (SELECT c003 FROM low)
+    WHEN '012' THEN (SELECT c012 FROM low)
+    WHEN '102' THEN (SELECT c102 FROM low)
+    ELSE COALESCE(cnts.cnt, 0) END AS BIGINT) AS n_triads
+FROM cl LEFT JOIN cnts USING (triad_class) ORDER BY triad_class"""
+
   /** Degree-anonymity mirror: same both-direction incident-edge
     * convention as q_degree_dist, same 5-number signature, same global
     * class sizes, per-label rollup. */

@@ -668,6 +668,9 @@ object SparkEntry {
     "q_triad_census" -> ((s, d) =>
       algorithms.Structure.triadCensus(
         graph.DerivedGraphs.nationTradeTop(s, d))),
+    "q_triad_full" -> ((s, d) =>
+      algorithms.Structure.triadCensusFull(
+        graph.DerivedGraphs.nationTradeTop(s, d))),
     "q_lorenz" -> ((s, d) =>
       EventStreams.lorenz(EventStreams.eventsTable(s, d))),
     "q_audience_overlap" -> ((s, d) =>
@@ -1562,6 +1565,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_skipgram" -> PipelineOracles.skipgramSql(2, 30),
     "q_hubness" -> PipelineOracles.hubnessSql(3),
     "q_triad_census" -> Oracles.triadCensusSql,
+    "q_triad_full" -> Oracles.triadCensusFullSql,
     "q_lorenz" -> PipelineOracles.lorenzSql,
     "q_audience_overlap" -> PipelineOracles.audienceOverlapSql,
     "q_entity_density" -> PipelineOracles.entityDensitySql,

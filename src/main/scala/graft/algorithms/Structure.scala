@@ -201,6 +201,153 @@ object Structure {
       .crossJoin(broadcast(trans))
   }
 
+  /** FULL 16-class directed triad census (Holland & Leinhardt 1970;
+    * the [[triadCensus]] closed-class summary completed to the whole
+    * M-A-N catalog, igraph/statnet naming): every unordered node
+    * triple lands in exactly one of 003, 012, 102, 021D/U/C,
+    * 111D/U, 030T/C, 201, 120D/U/C, 210, 300 — the structural
+    * signature model-fitting (p*, SBM) reads off a directed graph.
+    * Orientation convention (the igraph catalog): D = the asym
+    * edge(s) run from the THIRD node into the pair (A←B→C is 021D;
+    * A↔B←C is 111D; A←B→C + A↔C is 120D), U = out of the pair
+    * toward the third, C = a chain, T = transitive.
+    *
+    * Plan: only triples with ≥ 2 connected dyads are ever
+    * enumerated — one dyad-typed pair frame (M/asym code per
+    * unordered pair), one wedge self-join on the undirected support
+    * (the triangle-family cost, Σdeg²-bounded — hub-cap upstream for
+    * dense graphs, the squareCountCapped discipline), each triangle
+    * classified once at its smallest-id corner. The 1-dyad classes
+    * (012, 102) and 003 come from exact closed forms: M·(n−2) and
+    * A·(n−2) minus the per-class dyad multiplicities of the
+    * enumerated triples, and C(n,3) minus everything else — no
+    * all-pairs or all-triples pass anywhere. n = distinct endpoint
+    * count (the graph's node universe; isolated nodes are not part
+    * of a derived edge view). Returns 16 rows (triad_class,
+    * n_triads). */
+  def triadCensusFull(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select("src", "dst").distinct()
+      .filter(col("src") =!= col("dst"))
+    // dyad code per unordered pair: 2 = mutual, 1 = lo→hi, 0 = hi→lo
+    val cp = e.select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"),
+        (col("src") < col("dst")).cast("int").as("f"))
+      .groupBy("lo", "hi")
+      .agg(max("f").as("fwd"), min("f").as("bwd"))
+      .select(col("lo"), col("hi"),
+        when(col("fwd") === 1 && col("bwd") === 0, 2)
+          .when(col("fwd") === 1, 1).otherwise(0).as("code"))
+      .localCheckpoint()
+    // direction of a dyad relative to a chosen endpoint x (other o):
+    // 2 = mutual, 1 = x→o, 0 = o→x
+    def rel(codeCol: org.apache.spark.sql.Column,
+            xIsLo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(codeCol === 2, 2)
+        .when(xIsLo, codeCol) // lo→hi = 1 when x is lo
+        .otherwise(lit(1) - codeCol)
+    val und = cp.select(col("lo").as("c"), col("hi").as("o"), col("code"),
+        lit(true).as("cIsLo"))
+      .unionByName(cp.select(col("hi").as("c"), col("lo").as("o"),
+        col("code"), lit(false).as("cIsLo")))
+    // wedges centered at c with endpoints u < v; relative codes from c
+    val w = und.select(col("c"), col("o").as("u"),
+        rel(col("code"), col("cIsLo")).as("du"))
+      .join(und.select(col("c"), col("o").as("v"),
+        rel(col("code"), col("cIsLo")).as("dv")), Seq("c"))
+      .filter(col("u") < col("v"))
+    // third dyad (u,v): present → triangle (classify at c < u only)
+    val j = w.join(cp.select(col("lo").as("u"), col("hi").as("v"),
+        col("code").as("uvCode")),
+      Seq("u", "v"), "left")
+    val duv = col("uvCode") // relative to u (u < v): 1 = u→v
+    val open = j.filter(col("uvCode").isNull)
+    val openCls =
+      when(col("du") === 2 && col("dv") === 2, "201")
+        .when(col("du") === 2, // mutual {c,u}, asym (c,v)
+          when(col("dv") === 1, "111U").otherwise("111D"))
+        .when(col("dv") === 2,
+          when(col("du") === 1, "111U").otherwise("111D"))
+        .when(col("du") === 1 && col("dv") === 1, "021D")
+        .when(col("du") === 0 && col("dv") === 0, "021U")
+        .otherwise("021C")
+    val tri = j.filter(col("uvCode").isNotNull && col("c") < col("u"))
+    val mCount = (col("du") === 2).cast("int") +
+      (col("dv") === 2).cast("int") + (duv === 2).cast("int")
+    // m = 1 cases: find the third node relative to the mutual pair
+    val m1 =
+      when(duv === 2, // pair {u,v}, third c: du/dv are c-relative
+        when(col("du") === 1 && col("dv") === 1, "120D") // c→u, c→v
+          .when(col("du") === 0 && col("dv") === 0, "120U")
+          .otherwise("120C"))
+        .when(col("du") === 2, // pair {c,u}, third v: (c,v) c-rel, (u,v) u-rel
+          when(col("dv") === 0 && duv === 0, "120D") // v→c, v→u
+            .when(col("dv") === 1 && duv === 1, "120U")
+            .otherwise("120C"))
+        // pair {c,v}, third u: (c,u) c-rel (0 = u→c), (u,v): 1 = u→v
+        .otherwise(
+          when(col("du") === 0 && duv === 1, "120D")
+            .when(col("du") === 1 && duv === 0, "120U")
+            .otherwise("120C"))
+    // m = 0: cycle iff c→u→v→c or c→v→u→c (all asym)
+    val cyc = (col("du") === 1 && duv === 1 && col("dv") === 0) ||
+      (col("dv") === 1 && duv === 0 && col("du") === 0)
+    val triCls =
+      when(mCount === 3, "300")
+        .when(mCount === 2, "210")
+        .when(mCount === 1, m1)
+        .otherwise(when(cyc, "030C").otherwise("030T"))
+    val counted = open.select(openCls.as("triad_class"))
+      .unionByName(tri.select(triCls.as("triad_class")))
+      .groupBy("triad_class").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ 13 rows
+    // closed forms for the ≤1-dyad classes off exact scalars
+    val scal = cp.agg(
+        sum(when(col("code") === 2, 1L).otherwise(0L)).as("mDy"),
+        sum(when(col("code") =!= 2, 1L).otherwise(0L)).as("aDy"))
+      .crossJoin(broadcast(
+        e.select(explode(array(col("src"), col("dst"))).as("id"))
+          .agg(countDistinct("id").as("n"))))
+    val mMult = Map("300" -> 3L, "210" -> 2L, "201" -> 2L,
+      "120D" -> 1L, "120U" -> 1L, "120C" -> 1L,
+      "111D" -> 1L, "111U" -> 1L)
+    val aMult = Map("210" -> 1L, "120D" -> 2L, "120U" -> 2L,
+      "120C" -> 2L, "030T" -> 3L, "030C" -> 3L,
+      "111D" -> 1L, "111U" -> 1L,
+      "021D" -> 2L, "021U" -> 2L, "021C" -> 2L)
+    val mExpr = mMult.map { case (k, f) =>
+      coalesce(max(when(col("triad_class") === k, col("cnt"))), lit(0L)) * f
+    }.reduce(_ + _)
+    val aExpr = aMult.map { case (k, f) =>
+      coalesce(max(when(col("triad_class") === k, col("cnt"))), lit(0L)) * f
+    }.reduce(_ + _)
+    val sums = counted.agg(mExpr.as("sm"), aExpr.as("sa"),
+      coalesce(sum("cnt"), lit(0L)).as("enumerated"))
+    val nD = col("n")
+    val low = scal.crossJoin(broadcast(sums))
+      .select(
+        (col("mDy") * (nD - 2) - col("sm")).as("c102"),
+        (col("aDy") * (nD - 2) - col("sa")).as("c012"),
+        (nD * (nD - 1) * (nD - 2) / 6 -
+          (col("mDy") * (nD - 2) - col("sm")) -
+          (col("aDy") * (nD - 2) - col("sa")) -
+          col("enumerated")).as("c003"))
+    val classes = Seq("003", "012", "021C", "021D", "021U", "030C",
+      "030T", "102", "111D", "111U", "120C", "120D", "120U", "201",
+      "210", "300").toDF("triad_class")
+    classes
+      .join(counted, Seq("triad_class"), "left")
+      .crossJoin(broadcast(low))
+      .select(col("triad_class"),
+        when(col("triad_class") === "003", col("c003"))
+          .when(col("triad_class") === "012", col("c012"))
+          .when(col("triad_class") === "102", col("c102"))
+          .otherwise(coalesce(col("cnt"), lit(0L)))
+          .cast("long").as("n_triads"))
+      .orderBy("triad_class")
+  }
+
   /** Degree-signature k-anonymity (the Hay et al. 2008 structural
     * re-identification screen): each node's signature is (degree,
     * min/max/sum of neighbor degrees, distinct-neighbor count) over

@@ -504,4 +504,100 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- full triad census ----
+
+  /** Independent driver-side triad classifier: dyad states per triple,
+    * then the Holland–Leinhardt M-A-N + orientation catalog via
+    * in/out-degree patterns WITHIN the triple (a different derivation
+    * than the kernel's c-relative wedge codes). */
+  private def classifyTriad(nodes: Seq[Long],
+                            has: Set[(Long, Long)]): String = {
+    val Seq(a, b, c) = nodes.sorted
+    val dyads = Seq((a, b), (a, c), (b, c))
+    def st(p: (Long, Long)): Int = {
+      val f = has(p); val r = has((p._2, p._1))
+      if (f && r) 2 else if (f || r) 1 else 0
+    }
+    val states = dyads.map(st)
+    val m = states.count(_ == 2)
+    val asym = states.count(_ == 1)
+    val within = has.filter(e => nodes.contains(e._1) && nodes.contains(e._2))
+    def outd(x: Long) = within.count(e => e._1 == x &&
+      !within((e._2, e._1))) // asym out-degree
+    def ind(x: Long) = within.count(e => e._2 == x && !within((e._2, e._1)))
+    (m, asym) match {
+      case (0, 0) => "003"
+      case (0, 1) => "012"
+      case (1, 0) => "102"
+      case (0, 2) =>
+        if (nodes.exists(outd(_) == 2)) "021D"
+        else if (nodes.exists(ind(_) == 2)) "021U" else "021C"
+      case (1, 1) =>
+        // the third node is the one outside the mutual pair
+        val pair = dyads(states.indexOf(2))
+        val third = nodes.find(x => x != pair._1 && x != pair._2).get
+        if (outd(third) == 1) "111D" else "111U"
+      case (0, 3) =>
+        if (nodes.forall(outd(_) == 1)) "030C" else "030T"
+      case (2, 0) => "201"
+      case (1, 2) =>
+        val pair = dyads(states.indexOf(2))
+        val third = nodes.find(x => x != pair._1 && x != pair._2).get
+        if (outd(third) == 2) "120D"
+        else if (ind(third) == 2) "120U" else "120C"
+      case (2, 1) => "210"
+      case _ => "300"
+    }
+  }
+
+  test("triadCensusFull: each canonical >=2-dyad config reads exactly itself") {
+    val configs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "021D" -> Seq((2L, 1L), (2L, 3L)),
+      "021U" -> Seq((1L, 2L), (3L, 2L)),
+      "021C" -> Seq((1L, 2L), (2L, 3L)),
+      "111D" -> Seq((1L, 2L), (2L, 1L), (3L, 2L)),
+      "111U" -> Seq((1L, 2L), (2L, 1L), (2L, 3L)),
+      "030T" -> Seq((1L, 2L), (2L, 3L), (1L, 3L)),
+      "030C" -> Seq((1L, 2L), (2L, 3L), (3L, 1L)),
+      "201" -> Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)),
+      "120D" -> Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L)),
+      "120U" -> Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L)),
+      "120C" -> Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L)),
+      "210" -> Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L)),
+      "300" -> Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L)))
+    for ((want, edges) <- configs) {
+      val got = Structure.triadCensusFull(df(edges)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got(want) == 1L, s"$want: $got")
+      assert(got.values.sum == 1L, s"$want: only one triple exists, $got")
+      // the driver classifier agrees on the same config
+      assert(classifyTriad(Seq(1L, 2L, 3L), edges.toSet) == want)
+    }
+  }
+
+  test("triadCensusFull matches the brute-force census on seeded digraphs") {
+    for (seed <- Seq(5L, 23L)) {
+      val edges = randomDigraph(10, 0.3, seed)
+      val has = edges.toSet
+      val endpoints = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for {
+        i <- endpoints.indices; j <- i + 1 until endpoints.size
+        k <- j + 1 until endpoints.size
+      } brute(classifyTriad(
+        Seq(endpoints(i), endpoints(j), endpoints(k)), has)) += 1L
+      val got = Structure.triadCensusFull(df(edges)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val classes = got.keySet
+      assert(classes.size == 16)
+      classes.foreach { cl =>
+        assert(got(cl) == brute(cl), s"seed $seed class $cl: " +
+          s"got ${got(cl)} brute ${brute(cl)}")
+      }
+      val n = endpoints.size.toLong
+      assert(got.values.sum == n * (n - 1) * (n - 2) / 6)
+    }
+  }
 }
