@@ -649,6 +649,56 @@ tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS transitive FROM wedge
 SELECT n_edges, mutual_dyads, cycles, transitive
 FROM m CROSS JOIN mu CROSS JOIN cy CROSS JOIN tr"""
 
+  /** Attack-curve mirror: same degree-threshold removal rule off the
+    * degree histogram, min-label CC unrolled `rounds` steps (the
+    * post-attack co-occur components are clique overlaps — label
+    * distance far under the unroll depth). */
+  def attackCurveSql(pcts: Seq[Double] = Seq(0.0, 0.01, 0.05, 0.1),
+                     rounds: Int = 24): String = {
+    val prefix = s"""WITH ${DerivedGraphs.cooccurSql},
+dg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM psym GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dg),
+dh AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS c FROM dg GROUP BY 1),
+ch AS (SELECT deg, CAST(SUM(c) OVER (ORDER BY deg DESC) AS BIGINT)
+  AS cumge FROM dh)"""
+    val arms = pcts.sorted.zipWithIndex.map { case (p, i) =>
+      val k = s"CAST(floor(CAST($p AS DOUBLE) * (SELECT n FROM nn)) AS BIGINT)"
+      s""",
+sel$i AS (SELECT COALESCE(MIN(CASE WHEN cumge <= $k THEN deg END),
+    (SELECT MAX(deg) FROM dh) + 1) AS dmin,
+  CAST(COALESCE(MAX(CASE WHEN cumge <= $k THEN cumge END), 0) AS BIGINT)
+    AS removed
+  FROM ch),
+kp$i AS MATERIALIZED (SELECT id FROM dg
+  WHERE deg < (SELECT dmin FROM sel$i)),
+se$i AS MATERIALIZED (SELECT e.src, e.dst FROM psym e
+  JOIN kp$i a ON a.id = e.src JOIN kp$i b ON b.id = e.dst),
+l${i}_0 AS (SELECT id, id AS lab FROM kp$i)""" +
+        (1 to rounds).map { r =>
+          s""",
+l${i}_$r AS MATERIALIZED (SELECT id, MIN(lab) AS lab FROM (
+  SELECT id, lab FROM l${i}_${r - 1}
+  UNION ALL
+  SELECT e.dst AS id, l.lab FROM l${i}_${r - 1} l
+    JOIN se$i e ON e.src = l.id)
+  GROUP BY id)"""
+        }.mkString +
+        s""",
+res$i AS (SELECT CAST($p AS DOUBLE) AS pct_target,
+  (SELECT removed FROM sel$i) AS n_removed,
+  CAST((SELECT COUNT(*) FROM kp$i) AS BIGINT) AS n_left,
+  CAST((SELECT COUNT(*) // 2 FROM se$i) AS BIGINT) AS e_left,
+  CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS lcc_size,
+  ROUND(CAST(MAX(sz) AS DOUBLE) /
+    CAST((SELECT COUNT(*) FROM kp$i) AS DOUBLE), 6) AS lcc_share
+  FROM (SELECT lab, COUNT(*) AS sz FROM l${i}_$rounds GROUP BY lab) t)"""
+    }.mkString
+    prefix + arms + "\n" +
+      pcts.sorted.indices.map(i => s"SELECT * FROM res$i")
+        .mkString("\nUNION ALL\n") + "\nORDER BY pct_target"
+  }
+
   /** Full-census mirror: same dyad codes, same c-relative wedge
     * classification, triangles at the smallest corner, identical
     * closed forms for 102/012/003. */

@@ -671,6 +671,8 @@ object SparkEntry {
     "q_triad_full" -> ((s, d) =>
       algorithms.Structure.triadCensusFull(
         graph.DerivedGraphs.nationTradeTop(s, d))),
+    "q_attack_curve" -> ((s, d) =>
+      algorithms.Structure.attackCurve(graph.DerivedGraphs.partCooccur(s, d))),
     "q_lorenz" -> ((s, d) =>
       EventStreams.lorenz(EventStreams.eventsTable(s, d))),
     "q_audience_overlap" -> ((s, d) =>
@@ -1566,6 +1568,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_hubness" -> PipelineOracles.hubnessSql(3),
     "q_triad_census" -> Oracles.triadCensusSql,
     "q_triad_full" -> Oracles.triadCensusFullSql,
+    "q_attack_curve" -> Oracles.attackCurveSql(),
     "q_lorenz" -> PipelineOracles.lorenzSql,
     "q_audience_overlap" -> PipelineOracles.audienceOverlapSql,
     "q_entity_density" -> PipelineOracles.entityDensitySql,

@@ -497,6 +497,72 @@ object Structure {
       .orderBy("label_src", "label_dst")
   }
 
+  /** Targeted-attack robustness curve (Albert, Jeong & Barabási 2000
+    * "Error and attack tolerance of complex networks"): for each
+    * target removal fraction, delete the highest-degree nodes by a
+    * pure DEGREE THRESHOLD (d* = smallest degree whose
+    * strictly-above count fits the target — no global id ranking, so
+    * the removal is one codegen filter at any scale; the actually
+    * removed count is reported) and measure how the largest connected
+    * component collapses — THE resilience readout for "what happens
+    * when the hubs go away".
+    *
+    * Scale: degree histogram collected once (bounded by the DEGREE
+    * DOMAIN, not node count — the lorenz/value-domain argument);
+    * per arm one anti-filtered edge view + the dual-regime CC kernel.
+    * Returns per target (pct_target, n_removed, n_left, e_left,
+    * lcc_size, lcc_share) ordered by pct_target. */
+  def attackCurve(pedges: DataFrame,
+                  pcts: Seq[Double] = Seq(0.0, 0.01, 0.05, 0.1),
+                  maxIter: Int = 50): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0.0 && p < 1.0),
+      s"pcts must be fractions in [0, 1), got $pcts")
+    val und = pedges.select(col("a"), col("b")).distinct()
+      .filter(col("a") =!= col("b")).localCheckpoint()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val (deg, _) = Probe.checkpointObserved(
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+      count(lit(1)).as("n"))
+    // degree histogram: bounded by the degree domain, never node count
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val arms = pcts.sorted.map { pct =>
+      val k = math.floor(pct * n).toLong
+      // remove all nodes with deg > dstar; largest removal <= k
+      var cum = 0L
+      var dstar = hist.headOption.fold(0L)(_._1) // max degree: removes 0
+      var removed = 0L
+      var stop = false
+      for ((d, c) <- hist if !stop) {
+        if (cum + c <= k) { cum += c; dstar = d - 1; removed = cum }
+        else stop = true // classes are degree-descending: stop at the first overflow
+      }
+      val keep = deg.filter(col("deg") <= dstar).select("id")
+        .localCheckpoint()
+      val es = sym.join(keep.select(col("id").as("src")), Seq("src"),
+          "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val cc = Community.connectedComponents(keep, es, maxIter)
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+      sizes.agg(coalesce(max("sz"), lit(0L)).as("lcc"),
+          coalesce(sum("sz"), lit(0L)).as("nl"))
+        .crossJoin(broadcast(
+          es.agg((count(lit(1)) / 2).cast("long").as("el"))))
+        .select(lit(pct).as("pct_target"),
+          lit(removed).as("n_removed"),
+          col("nl").cast("long").as("n_left"),
+          col("el").as("e_left"),
+          col("lcc").cast("long").as("lcc_size"),
+          round(col("lcc").cast("double") / col("nl").cast("double"), 6)
+            .as("lcc_share"))
+    }
+    arms.reduce(_ unionByName _).orderBy("pct_target")
+  }
+
   /** Categorical (label) assortativity (Newman 2003 "Mixing patterns
     * in networks", eq. 2): with the mixing matrix e_ij = fraction of
     * directed edges running label-i → label-j and margins aᵢ = Σⱼ eᵢⱼ,

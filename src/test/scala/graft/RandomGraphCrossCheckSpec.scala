@@ -576,6 +576,58 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("attackCurve matches the brute-force threshold attack") {
+    for (seed <- Seq(7L, 41L)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = for {
+        a <- 0L until 14L; b <- a + 1 until 14L
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)
+      val got = Structure.attackCurve(pairs.toDF("a", "b")).collect()
+        .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val deg = nodes.map(x => x -> adj(x).size.toLong).toMap
+      for (pct <- Seq(0.0, 0.01, 0.05, 0.1)) {
+        val k = math.floor(pct * nodes.size).toLong
+        val classesDesc = deg.values.groupBy(identity)
+          .map { case (d, v) => (d, v.size.toLong) }.toSeq.sortBy(-_._1)
+        var cum = 0L
+        var dmin = classesDesc.head._1 + 1
+        var removed = 0L
+        var stop = false
+        for ((d, c) <- classesDesc if !stop) {
+          if (cum + c <= k) { cum += c; dmin = d; removed = cum }
+          else stop = true
+        }
+        val keep = nodes.filter(x => deg(x) < dmin).toSet
+        val keptEdges = pairs.filter(p => keep(p._1) && keep(p._2))
+        // BFS component sizes over the kept subgraph
+        var seen = Set.empty[Long]
+        var lcc = 0L
+        for (s <- keep if !seen(s)) {
+          var comp = Set(s); var frontier = Set(s)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(x => adj(x).filter(y =>
+              keep(y) && !comp(y) &&
+                (keptEdges.contains((math.min(x, y), math.max(x, y))))))
+            comp ++= frontier
+          }
+          seen ++= comp
+          lcc = math.max(lcc, comp.size.toLong)
+        }
+        val g = got(pct)
+        assert(g._1 == removed, s"seed $seed pct $pct removed")
+        assert(g._2 == keep.size.toLong, s"seed $seed pct $pct n_left")
+        assert(g._3 == keptEdges.size.toLong, s"seed $seed pct $pct e_left")
+        assert(g._4 == lcc, s"seed $seed pct $pct lcc")
+        assert(math.abs(g._5 - lcc.toDouble / keep.size) < 1e-6)
+      }
+    }
+  }
+
   test("triadCensusFull matches the brute-force census on seeded digraphs") {
     for (seed <- Seq(5L, 23L)) {
       val edges = randomDigraph(10, 0.3, seed)
