@@ -524,11 +524,22 @@ object Structure {
     val (deg, _) = Probe.checkpointObserved(
       sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
       count(lit(1)).as("n"))
-    // degree histogram: bounded by the degree domain, never node count
+    // every arm's edge view is a filter on the max endpoint degree —
+    // annotate once (two degree joins), then each arm is codegen
+    val symE = sym
+      .join(deg.select(col("id").as("src"), col("deg").as("ds")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        greatest(col("ds"), col("dd")).as("emax"))
+      .localCheckpoint()
+    // degree histograms: bounded by the degree DOMAIN, never node count
     val hist = deg.groupBy("deg").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .sortBy(-_._1)
+    val eHist = symE.groupBy("emax").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = hist.map(_._2).sum
+    case class Arm(pct: Double, dstar: Long, removed: Long)
     val arms = pcts.sorted.map { pct =>
       val k = math.floor(pct * n).toLong
       // remove all nodes with deg > dstar; largest removal <= k
@@ -540,27 +551,63 @@ object Structure {
         if (cum + c <= k) { cum += c; dstar = d - 1; removed = cum }
         else stop = true // classes are degree-descending: stop at the first overflow
       }
-      val keep = deg.filter(col("deg") <= dstar).select("id")
-        .localCheckpoint()
-      val es = sym.join(keep.select(col("id").as("src")), Seq("src"),
-          "left_semi")
-        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
-      val cc = Community.connectedComponents(keep, es, maxIter)
-      val sizes = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+      Arm(pct, dstar, removed)
+    }
+    // ONE full CC on the MOST-attacked (smallest) graph, then as each
+    // hub class returns, contract: solved components become supernodes
+    // (their min-id labels ARE canonical node ids), only edges touching
+    // the returning hubs enter a tiny follow-up CC — the big edge frame
+    // is iterated over exactly once however many arms the curve has
+    var labels: DataFrame = null
+    var prevDstar = -1L
+    val rows = arms.sortBy(-_.removed).map { arm =>
+      if (labels == null) {
+        val keep = deg.filter(col("deg") <= arm.dstar).select("id")
+          .localCheckpoint()
+        val es = symE.filter(col("emax") <= arm.dstar)
+          .select("src", "dst").localCheckpoint()
+        labels = Community.connectedComponents(keep, es, maxIter)
+          .localCheckpoint()
+      } else {
+        val returning = deg
+          .filter(col("deg") > prevDstar && col("deg") <= arm.dstar)
+          .select("id")
+        val m = labels.select(col("id"), col("component").as("lab"))
+          .unionByName(returning.select(col("id"), col("id").as("lab")))
+          .localCheckpoint()
+        val newE = symE
+          .filter(col("emax") > prevDstar && col("emax") <= arm.dstar)
+          .select("src", "dst")
+        val ce = newE
+          .join(m.select(col("id").as("src"), col("lab").as("ls")),
+            Seq("src"))
+          .join(m.select(col("id").as("dst"), col("lab").as("ld")),
+            Seq("dst"))
+          .select(col("ls").as("src"), col("ld").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val cNodes = m.select(col("lab").as("id")).distinct()
+        val cc2 = Community.connectedComponents(cNodes, ce, maxIter)
+        labels = m
+          .join(cc2.select(col("id").as("lab"), col("component")),
+            Seq("lab"))
+          .select("id", "component").localCheckpoint()
+      }
+      prevDstar = arm.dstar
+      val eLeft = eHist.collect {
+        case (d, c) if d <= arm.dstar => c
+      }.sum / 2
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("sz"))
       sizes.agg(coalesce(max("sz"), lit(0L)).as("lcc"),
           coalesce(sum("sz"), lit(0L)).as("nl"))
-        .crossJoin(broadcast(
-          es.agg((count(lit(1)) / 2).cast("long").as("el"))))
-        .select(lit(pct).as("pct_target"),
-          lit(removed).as("n_removed"),
+        .select(lit(arm.pct).as("pct_target"),
+          lit(arm.removed).as("n_removed"),
           col("nl").cast("long").as("n_left"),
-          col("el").as("e_left"),
+          lit(eLeft).as("e_left"),
           col("lcc").cast("long").as("lcc_size"),
           round(col("lcc").cast("double") / col("nl").cast("double"), 6)
             .as("lcc_share"))
     }
-    arms.reduce(_ unionByName _).orderBy("pct_target")
+    rows.reduce(_ unionByName _).orderBy("pct_target")
   }
 
   /** Categorical (label) assortativity (Newman 2003 "Mixing patterns
