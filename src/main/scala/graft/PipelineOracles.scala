@@ -269,12 +269,10 @@ SELECT CAST(CAST(sqrt(cells::DOUBLE) AS DOUBLE) AS BIGINT) AS n_dims,
   ROUND(tr * tr / fro2 / sqrt(cells::DOUBLE), 6) AS rank_share
 FROM ag"""
 
-  /** Filter-agreement κ mirror: the shared 6-dp quality gate joined
-    * to the Gopher keep predicate, exact contingency counts, same
-    * double op order for po/pe/κ. */
-  def filterKappaSql(theta: Double = 0.5, minWords: Int = 20,
-                     maxTopFrac: Double = 0.2): String =
-    s"""WITH qq AS (SELECT doc_id,
+  /** Shared CTE prefix for the filter-agreement family: the 6-dp
+    * quality score (ff.q) and the Gopher keep predicate (gp.keep). */
+  private def qualityGateCtes(minWords: Int, maxTopFrac: Double): String =
+    s"""qq AS (SELECT doc_id,
   CAST(len(text) AS BIGINT) AS chars,
   CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS punct,
@@ -296,7 +294,14 @@ s AS (SELECT doc_id,
 gp AS (SELECT m.doc_id,
   (words >= $minWords AND mwl >= 3.0 AND mwl <= 10.0 AND alpha >= 0.8
    AND s.stop_hits >= 2 AND topc / words <= $maxTopFrac) AS keep
-  FROM m JOIN s USING (doc_id)),
+  FROM m JOIN s USING (doc_id))"""
+
+  /** Filter-agreement κ mirror: the shared 6-dp quality gate joined
+    * to the Gopher keep predicate, exact contingency counts, same
+    * double op order for po/pe/κ. */
+  def filterKappaSql(theta: Double = 0.5, minWords: Int = 20,
+                     maxTopFrac: Double = 0.2): String =
+    s"""WITH ${qualityGateCtes(minWords, maxTopFrac)},
 ab AS (SELECT CASE WHEN ff.q >= $theta THEN 1 ELSE 0 END AS a,
   CASE WHEN gp.keep THEN 1 ELSE 0 END AS b
   FROM ff JOIN gp USING (doc_id)),
@@ -323,6 +328,28 @@ SELECT n, n11, n10, n01, n00,
       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
     END, 6) AS kappa
 FROM ct"""
+
+  /** ECE mirror: same 10-bin split of the 6-dp quality score against
+    * the Gopher keep rate, same Σ(n/N)·|acc − conf|. */
+  def calibrationEceSql(minWords: Int = 20,
+                        maxTopFrac: Double = 0.2): String =
+    s"""WITH ${qualityGateCtes(minWords, maxTopFrac)},
+b AS (SELECT CAST(LEAST(floor(ff.q * 10.0), 9.0) AS BIGINT) AS bin,
+  ff.q, CASE WHEN gp.keep THEN 1 ELSE 0 END AS y
+  FROM ff JOIN gp USING (doc_id)),
+per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(q) AS sq,
+  CAST(SUM(y) AS BIGINT) AS sy FROM b GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS nn FROM per),
+ec AS (SELECT SUM((CAST(n_docs AS DOUBLE) / nn) *
+  ABS(CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE) -
+    sq / CAST(n_docs AS DOUBLE))) AS ece FROM per, tot)
+SELECT bin, n_docs,
+  ROUND(sq / CAST(n_docs AS DOUBLE), 6) AS conf,
+  ROUND(CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS acc,
+  ROUND(ABS(CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE) -
+    sq / CAST(n_docs AS DOUBLE)), 6) AS gap,
+  ROUND((SELECT ece FROM ec), 6) AS ece
+FROM per ORDER BY bin"""
 
   /** MMR mirror: the cosineTopK candidate formula, the same pairwise
     * 6-dp cosine sims, and the greedy loop unrolled into selectK

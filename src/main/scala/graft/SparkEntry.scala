@@ -1107,6 +1107,10 @@ object SparkEntry {
       pipeline.Pca.effectiveRank(GraphBuilder.table(s, d, "embeddings"))),
     "q_filter_kappa" -> ((s, d) =>
       pipeline.Stats.filterKappa(GraphBuilder.table(s, d, "documents"))),
+    "q_ece" -> ((s, d) =>
+      pipeline.Stats.calibrationEce(GraphBuilder.table(s, d, "documents"))),
+    "q_compress_ratio" -> ((s, d) =>
+      pipeline.TextOps.compressionRatio(GraphBuilder.table(s, d, "documents"))),
     "q_pca_project" -> ((s, d) =>
       pipeline.Pca.pcaProject(GraphBuilder.table(s, d, "embeddings"))),
     "q_ann_lsh" -> ((s, d) =>
@@ -1745,6 +1749,10 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_pca" -> PipelineOracles.pcaTopSql(15),
     "q_effective_rank" -> PipelineOracles.effectiveRankSql,
     "q_filter_kappa" -> PipelineOracles.filterKappaSql(),
+    "q_ece" -> PipelineOracles.calibrationEceSql(),
+    // q_compress_ratio: deliberately NO oracle entry — DuckDB has no
+    // deflate; the driver records the rows-only check and the kernel
+    // is spec-pinned on known-ratio fixtures (TextOpsSpec)
     "q_pca_project" -> PipelineOracles.pcaProjectSql(15),
     "q_ann_lsh" -> PipelineOracles.annLshSql,
     "q_dedup_cosine" -> PipelineOracles.cosineNearDupSql(8, 0.9),

@@ -966,4 +966,42 @@ object Stats {
       round(pe, 6).as("pe"),
       round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
+
+  /** Expected-calibration-error table (Naeini et al. 2015; Guo et al.
+    * 2017) for the heuristic quality score read as a keep-probability
+    * against the Gopher gate's actual keep decision: ten equal-width
+    * probability bins, per bin the mean score (confidence), the
+    * empirical keep rate (accuracy) and their gap; `ece` = Σ
+    * (nᵦ/N)·|accᵦ − confᵦ| repeated on every row. A well-calibrated
+    * score hugs the diagonal; the table says WHERE the heuristic
+    * over- or under-promises before anyone thresholds on it.
+    *
+    * Scale: both inputs are single-pass kernels; the rollup is a
+    * ≤10-key hash aggregate; the ECE scalar broadcasts back. Returns
+    * (bin, n_docs, conf, acc, gap, ece) ordered by bin. */
+  def calibrationEce(docs: DataFrame): DataFrame = {
+    val p = TextOps.quality(docs).select(col("doc_id"), col("quality"))
+    val y = Corpus.gopherRules(docs)
+      .select(col("doc_id"), col("keep").cast("long").as("y"))
+    val b = p.join(y, Seq("doc_id"))
+      .select(least(floor(col("quality") * 10.0), lit(9.0)).cast("long")
+        .as("bin"), col("quality"), col("y"))
+    val per = b.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("quality").as("sq"),
+        sum("y").as("sy"))
+      .localCheckpoint() // ≤ 10 rows
+    val conf = col("sq") / col("n_docs").cast("double")
+    val acc = col("sy").cast("double") / col("n_docs").cast("double")
+    val ece = per.crossJoin(broadcast(per.agg(
+        sum("n_docs").cast("double").as("nn"))))
+      .agg(sum((col("n_docs").cast("double") / col("nn")) *
+        abs(col("sy").cast("double") / col("n_docs").cast("double") -
+          col("sq") / col("n_docs").cast("double"))).as("ece"))
+    per.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs").cast("long").as("n_docs"),
+        round(conf, 6).as("conf"), round(acc, 6).as("acc"),
+        round(abs(acc - conf), 6).as("gap"),
+        round(col("ece"), 6).as("ece"))
+      .orderBy("bin")
+  }
 }

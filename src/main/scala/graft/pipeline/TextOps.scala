@@ -442,4 +442,49 @@ object TextOps {
           .as("nonascii_frac"))
       .orderBy("source")
   }
+
+  /** Deflate compression-ratio quality signal — the zlib screen the
+    * Gopher/RefinedWeb-class pipelines run before training: templated
+    * or repetitive text compresses far below natural prose, and a
+    * source whose ratios collapse is boilerplate, not language. Per
+    * source: doc count, mean/min/max deflate ratio (compressed bytes /
+    * UTF-8 bytes, zlib level `level` — deterministic for a fixed JVM
+    * zlib) and the share of docs under `repetitiveBelow`.
+    *
+    * A scalar UDF is the honest implementation here (no Catalyst
+    * builtin deflates); the op is a pure per-row CPU map feeding a
+    * |sources|-row aggregate — embarrassingly parallel, no shuffle
+    * beyond the rollup. DuckDB exposes no deflate, so the driver
+    * records the rows-only check; the kernel is spec-pinned on
+    * known-ratio fixtures instead. */
+  def compressionRatio(docs: DataFrame, level: Int = 6,
+                       repetitiveBelow: Double = 0.35): DataFrame = {
+    require(level >= 1 && level <= 9, s"zlib level 1..9, got $level")
+    val ratio = udf { (s: String) =>
+      val bytes = Option(s).getOrElse("").getBytes("UTF-8")
+      if (bytes.isEmpty) 1.0
+      else {
+        val d = new java.util.zip.Deflater(level, false)
+        d.setInput(bytes)
+        d.finish()
+        val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.size.toDouble / bytes.length
+      }
+    }
+    docs.select(col("source"), ratio(col("text")).as("r"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(avg("r"), 6).as("mean_ratio"),
+        round(min("r"), 6).as("min_ratio"),
+        round(max("r"), 6).as("max_ratio"),
+        sum(when(col("r") < repetitiveBelow, 1L).otherwise(0L))
+          .cast("long").as("n_repetitive"))
+      .withColumn("repetitive_share",
+        round(col("n_repetitive").cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
 }

@@ -449,6 +449,60 @@ class StatsSpec extends SparkSpec {
     assert(n10 + n01 > 0 && n11 + n00 > 0)
   }
 
+  test("calibrationEce: matches the local replay of bins and the ECE sum") {
+    val rows = (1L to 24L).map { i =>
+      val txt =
+        if (i % 4 == 0) "the cat is a dog and of the rest " * 8
+        else if (i % 4 == 1) "zz " * 30
+        else if (i % 4 == 2) "the quick brown fox is a very lazy kind of dog today " * 3
+        else "x"
+      (i, txt.trim, "en", s"s${i % 3}")
+    }
+    val d = docs(rows: _*)
+    val q = graft.pipeline.TextOps.quality(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val keep = graft.pipeline.Corpus.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> (if (r.getAs[Boolean]("keep")) 1L else 0L))
+      .toMap
+    val byBin = q.keys.toSeq
+      .groupBy(k => math.min(math.floor(q(k) * 10.0), 9.0).toLong)
+    val n = q.size.toDouble
+    val eceLocal = byBin.map { case (_, ks) =>
+      val conf = ks.map(q).sum / ks.size
+      val acc = ks.map(keep).sum.toDouble / ks.size
+      (ks.size / n) * math.abs(acc - conf)
+    }.sum
+    val got = Stats.calibrationEce(d).collect()
+    assert(got.map(_.getLong(0)).toSet == byBin.keySet)
+    got.foreach { r =>
+      val ks = byBin(r.getLong(0))
+      assert(r.getLong(1) == ks.size.toLong)
+      assert(math.abs(r.getAs[Double]("conf") - ks.map(q).sum / ks.size) < 1e-6)
+      assert(math.abs(r.getAs[Double]("acc") -
+        ks.map(keep).sum.toDouble / ks.size) < 1e-6)
+      assert(math.abs(r.getAs[Double]("ece") - eceLocal) < 1e-6)
+    }
+  }
+
+  test("compressionRatio: repetitive text collapses, varied text does not") {
+    val rep = ("ab" * 1000, "en", "rep")
+    val varied = ((1 to 200).map(i => s"w${i * 7919 % 9973}")
+      .mkString(" "), "en", "var")
+    val d = docs(Seq(rep, varied).zipWithIndex.map { case ((t, l, s), i) =>
+      (i.toLong + 1L, t, l, s) }: _*)
+    val got = graft.pipeline.TextOps.compressionRatio(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("rep").getAs[Double]("mean_ratio") < 0.05)
+    assert(got("rep").getAs[Long]("n_repetitive") == 1L)
+    assert(got("var").getAs[Double]("mean_ratio") > 0.35)
+    assert(got("var").getAs[Long]("n_repetitive") == 0L)
+    // deterministic: a second run reads identical ratios
+    val again = graft.pipeline.TextOps.compressionRatio(d).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("mean_ratio")).toMap
+    got.foreach { case (s, r) =>
+      assert(again(s) == r.getAs[Double]("mean_ratio")) }
+  }
+
   test("effectiveRank: isotropic 2-D data reads PR = 2; rank-1 reads 1") {
     val implicits = spark.implicits
     import implicits._
