@@ -1000,6 +1000,58 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(score, 6) AS bm25
 FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
   }
 
+  /** RM3 mirror: same materialized (doc, term) counts, the bm25Sql
+    * formula both rounds, same 6-dp-then-rank discipline at the
+    * feedback-doc, feedback-term and final cuts. */
+  def rm3Sql(terms: Seq[String], k1: Double, b: Double, fbDocs: Int,
+             fbTerms: Int, lambda: Double, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val termVals = terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
+tfa AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
+  FROM tk GROUP BY 1, 2),
+dl AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+  FROM tfa GROUP BY 1),
+st AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl)::DOUBLE / COUNT(*) AS avgdl
+  FROM dl),
+tfq AS (SELECT doc_id, term, tf FROM tfa WHERE term IN ($inList)),
+dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+r1 AS (SELECT tfq.doc_id,
+  ROUND(SUM(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+    (tfq.tf * ${k1 + 1.0}) /
+    (tfq.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl))), 6) AS score
+  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+fb AS (SELECT doc_id FROM r1 ORDER BY score DESC, doc_id ASC
+  LIMIT $fbDocs),
+ex AS (SELECT term, CAST($lambda AS DOUBLE) AS w FROM (
+  SELECT tfa.term,
+    ROUND(SUM(CAST(tfa.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)), 6) AS fw
+  FROM tfa JOIN fb USING (doc_id) JOIN dl USING (doc_id)
+  WHERE tfa.term NOT IN ($inList) GROUP BY 1) t
+  ORDER BY fw DESC, term ASC LIMIT $fbTerms),
+q2 AS (SELECT term, CAST(1 AS DOUBLE) AS w FROM (VALUES $termVals) v(term)
+  UNION ALL SELECT term, w FROM ex),
+tf2 AS (SELECT tfa.doc_id, tfa.term, tfa.tf, q2.w
+  FROM tfa JOIN q2 USING (term)),
+df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY 1),
+sc2 AS (SELECT tf2.doc_id,
+  CAST(COUNT(DISTINCT tf2.term) AS BIGINT) AS n_matched,
+  ROUND(SUM(tf2.w * (ln((st.n - df2.df + 0.5) / (df2.df + 0.5) + 1.0) *
+    (tf2.tf * ${k1 + 1.0}) /
+    (tf2.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl)))), 6) AS score
+  FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+rk AS (SELECT doc_id, n_matched, score FROM sc2
+  ORDER BY score DESC, doc_id ASC LIMIT $k)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+    AS BIGINT) AS rank,
+  CAST(doc_id AS BIGINT) AS doc_id, score, n_matched
+FROM rk ORDER BY rank"""
+  }
+
   /** Hybrid-RRF mirror: same shared token stream, the same BM25 and
     * Dirichlet-QL formulas op for op (6-dp rounds BEFORE each rank,
     * doc_id tiebreaks), ranks cut at listK in a subquery, absent ranks

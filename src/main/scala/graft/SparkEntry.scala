@@ -1189,6 +1189,9 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       Corpus.bm25TopK(GraphBuilder.table(s, d, "documents"),
         Seq("spark", "query", "join", "vector"))),
+    "q_rm3" -> ((s, d) =>
+      Corpus.rm3Retrieval(GraphBuilder.table(s, d, "documents"),
+        Seq("spark", "query", "join", "vector"))),
     // reference fulltext retrieval (index_advanced.rs:129/168): the
     // query string exercises the tokenizer (case fold + punctuation
     // strip) exactly as advanced_index_test.rs does
@@ -1765,6 +1768,8 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_gopher_rules" -> PipelineOracles.gopherRulesSql(),
     "q_bm25" -> PipelineOracles.bm25Sql(
       Seq("spark", "query", "join", "vector"), 1.2, 0.75, 20),
+    "q_rm3" -> PipelineOracles.rm3Sql(
+      Seq("spark", "query", "join", "vector"), 1.2, 0.75, 5, 5, 0.5, 20),
     // both engines receive the SAME tokenized literal list (the query
     // strings "Spark, vector!" / "Spark query join" tokenize driver-side)
     "q_fulltext_or" -> PipelineOracles.fulltextSql(

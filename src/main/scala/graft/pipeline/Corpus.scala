@@ -425,6 +425,79 @@ object Corpus {
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
   }
 
+  /** Pseudo-relevance-feedback retrieval (the RM3 recipe — Lavrenko &
+    * Croft 2001 relevance models, Abdul-Jaleel et al. 2004's
+    * interpolated variant): run BM25 for the seed terms, harvest
+    * expansion terms from the top `fbDocs` results (relevance weight
+    * w(t) = Σ_{d∈fb} tf(t,d)/dl(d), seed terms excluded, top
+    * `fbTerms` by (6-dp weight, term)), then re-score the corpus with
+    * the expanded weighted query (seed weight 1, expansion weight
+    * `lambda`) — the classic one-round query expansion every lexical
+    * retrieval stack ships next to plain BM25.
+    *
+    * Scale: ONE corpus scan builds the (doc, term) count frame
+    * (materialized — dl, df, both retrieval rounds and the feedback
+    * harvest all derive from it, never a token re-explode); the
+    * expanded query is ≤ |seed|+fbTerms rows broadcast into the
+    * second scoring join; both rounds rank through distributed
+    * TakeOrdered. Returns (rank, doc_id, score, n_matched). */
+  def rm3Retrieval(docs: DataFrame, queryTerms: Seq[String],
+                   k1: Double = 1.2, b: Double = 0.75, fbDocs: Int = 5,
+                   fbTerms: Int = 5, lambda: Double = 0.5,
+                   k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && fbDocs >= 1 && fbTerms >= 1 && k >= 1,
+      "rm3Retrieval needs seed terms and positive fbDocs/fbTerms/k")
+    val tfAll = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint()
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    def bm25Scores(terms: DataFrame): DataFrame = {
+      // terms: (term, w) broadcast-sized; same operator order as
+      // bm25TopK so the doubles agree engine-to-engine
+      val tf = tfAll.join(broadcast(terms), Seq("term"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (col("w") *
+            (log((col("n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)) *
+              (col("tf") * lit(k1 + 1.0)) /
+              (col("tf") + lit(k1) *
+                (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))))
+            .as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_matched"),
+          round(sum("s"), 6).as("score"))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seed = queryTerms.map(t => (t, 1.0)).toDF("term", "w")
+    val fb = bm25Scores(seed)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(fbDocs)
+      .select("doc_id")
+    val exp = tfAll.join(broadcast(fb), Seq("doc_id"))
+      .filter(!col("term").isInCollection(queryTerms))
+      .join(dl, Seq("doc_id"))
+      .groupBy("term")
+      .agg(round(sum(col("tf").cast("double") /
+        col("dl").cast("double")), 6).as("fw"))
+      .orderBy(col("fw").desc, col("term").asc).limit(fbTerms)
+      .select(col("term"), lit(lambda).as("w"))
+    bm25Scores(seed.unionByName(exp))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id", "score", "n_matched")
+  }
+
   /** Per-document TF-IDF keywords: the `topN` most characteristic
     * terms of every document — (tf/dl)·ln(N/df) with N = documents
     * containing ≥ 1 term — the classic representation behind

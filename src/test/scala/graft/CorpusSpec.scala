@@ -74,6 +74,38 @@ class CorpusSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("rm3Retrieval: expansion terms recall docs plain BM25 cannot see") {
+    // seed term "spark" only; feedback docs co-mention "catalyst", so
+    // RM3's second round reaches the catalyst-only doc 5
+    val d = docs(
+      1L -> "spark catalyst spark engine",
+      2L -> "spark catalyst optimizer",
+      3L -> "unrelated text entirely",
+      4L -> "spark streaming guide",
+      5L -> "catalyst rules deep dive")
+    val rm3 = Corpus.rm3Retrieval(d, Seq("spark"), fbDocs = 2,
+      fbTerms = 2, k = 10).collect()
+    val ids = rm3.map(_.getLong(1)).toSet
+    assert(ids.contains(5L), s"expansion should recall doc 5: $ids")
+    assert(!ids.contains(3L))
+    // plain BM25 for the same seed cannot see doc 5
+    val plain = Corpus.bm25TopK(d, Seq("spark"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(5L))
+    // contract: dense ranks from 1, scores non-increasing, seed docs
+    // score above the expansion-only doc
+    val ranks = rm3.map(_.getLong(0)).toSeq
+    assert(ranks == (1L to rm3.length).toSeq)
+    val scores = rm3.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // deterministic
+    val again = Corpus.rm3Retrieval(d, Seq("spark"), fbDocs = 2,
+      fbTerms = 2, k = 10).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == rm3.map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq)
+  }
+
   test("tfidfKeywords: characteristic terms rank above shared terms") {
     val d = docs(
       1L -> "apple apple banana",

@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpec {
         + "days, never user or event volume"),
       "q_hazard" -> ("risk-set cumulatives over the distinct-lifetime "
         + "frame — bounded by the observation window in days, never "
-        + "user or event volume"))
+        + "user or event volume"),
+      "q_rm3" -> "rank over the limit(k) final result frame")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val exec = df.queryExecution.executedPlan
