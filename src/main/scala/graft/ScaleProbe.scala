@@ -131,6 +131,19 @@ object ScaleProbe {
         time("lm_kn")(Corpus.kneserNeyNll(docs)),
         // k-row source aggregate + 1-row broadcast: scan-bound
         time("temp_mix")(Corpus.temperatureMix(docs)),
+        // one corpus scan into a materialized (doc, term) frame; both
+        // retrieval rounds + the feedback harvest derive from it; the
+        // expanded query is a broadcast constant — expect the bm25
+        // curve (~linear)
+        time("rm3")(Corpus.rm3Retrieval(docs,
+          Seq("spark", "query", "join", "vector"))),
+        // two single-pass gates joined on doc_id + a <=10-key rollup
+        // — scan-bound
+        time("ece")(graft.pipeline.Stats.calibrationEce(docs)),
+        // per-row deflate (CPU map, embarrassingly parallel) + a
+        // |sources|-row rollup — ~linear in bytes
+        time("compress_ratio")(graft.pipeline.TextOps
+          .compressionRatio(docs)),
         // the composed prep DAG: every stage individually ~linear
         // (gates are maps; dedup/decontam are doc_id-keyed semi-joins)
         // — the composition must ride the decontam shingle curve, not
@@ -463,6 +476,16 @@ object ScaleProbe {
         // (degree prefilter scan) over K disjoint replicas
         time("square_count_capped")(graft.algorithms.Structure
           .squareCountCapped(pairs, 64L)),
+        // (triadCensusFull is NOT probed separately: its wedge
+        // self-join is the exact two-join motif shape the
+        // triad_census kernel above already certifies, and on the
+        // dense co-occur replicas the full census costs 40+ s per
+        // arm — measured once, ratio 3.16 at K=4, ~linear)
+        // ONE CC on the most-attacked replica set + label contraction
+        // per returning hub class; histograms are degree-domain
+        // bounded — expect the CC curve (~linear)
+        time("attack_curve")(graft.algorithms.Structure
+          .attackCurve(pairs)),
         // PQ: the per-subspace assignment fold (n·ksub·d map-side-
         // combined) grows K; codebooks and probe LUTs are
         // K-INVARIANT broadcasts; the ADC join moves n·m code rows —

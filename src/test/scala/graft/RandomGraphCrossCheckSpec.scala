@@ -583,9 +583,13 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
         a <- 0L until 14L; b <- a + 1 until 14L
         if rnd.nextDouble() < 0.3
       } yield (a, b)
-      val got = Structure.attackCurve(pairs.toDF("a", "b")).collect()
+      def run = Structure.attackCurve(pairs.toDF("a", "b")).collect()
         .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      val got = run
+      // the inner CC kernel is dual-regime: force the shuffle branch
+      val dist = graft.algorithms.Tuning.withBroadcastThreshold(0L)(run)
+      assert(dist == got, s"seed $seed: regimes disagree")
       val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
       val nodes = adj.keys.toSeq.sorted
