@@ -303,11 +303,15 @@ object Structure {
       .groupBy("triad_class").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // ≤ 13 rows
     // closed forms for the ≤1-dyad classes off exact scalars
+    // endpoint universe off the CHECKPOINTED pair frame (every
+    // endpoint of e appears in some connected pair), so the edge
+    // distinct shuffle runs exactly once — plan-audited: deriving n
+    // from `e` duplicated the whole dyad-build subtree
     val scal = cp.agg(
         sum(when(col("code") === 2, 1L).otherwise(0L)).as("mDy"),
         sum(when(col("code") =!= 2, 1L).otherwise(0L)).as("aDy"))
       .crossJoin(broadcast(
-        e.select(explode(array(col("src"), col("dst"))).as("id"))
+        cp.select(explode(array(col("lo"), col("hi"))).as("id"))
           .agg(countDistinct("id").as("n"))))
     val mMult = Map("300" -> 3L, "210" -> 2L, "201" -> 2L,
       "120D" -> 1L, "120U" -> 1L, "120C" -> 1L,
