@@ -649,6 +649,40 @@ tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS transitive FROM wedge
 SELECT n_edges, mutual_dyads, cycles, transitive
 FROM m CROSS JOIN mu CROSS JOIN cy CROSS JOIN tr"""
 
+  /** Onion-decomposition mirror: the wave peel unrolled `steps` times
+    * over a prebuilt list adjacency (the MIS/coloring replay
+    * discipline — no recursive-CTE state machine); a 25-node graph
+    * peels in ≤ 25 waves, so the unroll is always deep enough. */
+  def onionSql(steps: Int = 25): String = {
+    val sb = new StringBuilder(s"""WITH ${DerivedGraphs.tradeTopSql()},
+sed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM ttedges WHERE src <> dst
+  UNION ALL SELECT dst, src FROM ttedges WHERE src <> dst)),
+adj AS MATERIALIZED (SELECT src AS id, list(dst) AS nbrs
+  FROM sed GROUP BY 1),
+s0 AS (SELECT list(id) AS alive, CAST(0 AS BIGINT) AS c FROM adj)""")
+    // every step CTE is MATERIALIZED: the c/alive scalar chain would
+    // otherwise inline s→m→s→… recursively and the plan explodes
+    // exponentially in the unroll depth (measured: the planner hangs)
+    for (t <- 1 to steps) sb ++= s""",
+d$t AS MATERIALIZED (SELECT a.id,
+  CAST(len(list_filter(a.nbrs, x -> list_contains(s.alive, x)))
+    AS BIGINT) AS deg
+  FROM adj a, s${t - 1} s WHERE list_contains(s.alive, a.id)),
+m$t AS MATERIALIZED (SELECT CASE WHEN MIN(deg) IS NULL THEN NULL
+  ELSE GREATEST((SELECT c FROM s${t - 1}), MIN(deg)) END AS c FROM d$t),
+w$t AS MATERIALIZED (SELECT id, (SELECT c FROM m$t) AS core,
+  CAST($t AS BIGINT) AS layer
+  FROM d$t WHERE deg <= (SELECT c FROM m$t)),
+s$t AS MATERIALIZED (SELECT (SELECT list(id) FROM d$t
+    WHERE id NOT IN (SELECT id FROM w$t)) AS alive,
+  COALESCE((SELECT c FROM m$t), (SELECT c FROM s${t - 1})) AS c)"""
+    sb ++= "\n" + (1 to steps).map(t =>
+      s"SELECT CAST(id AS BIGINT) AS id, CAST(core AS BIGINT) AS core, " +
+        s"layer FROM w$t").mkString("\nUNION ALL\n") + "\nORDER BY id"
+    sb.toString
+  }
+
   /** Attack-curve mirror: same degree-threshold removal rule off the
     * degree histogram, min-label CC unrolled `rounds` steps (the
     * post-attack co-occur components are clique overlaps — label

@@ -673,6 +673,13 @@ object SparkEntry {
         graph.DerivedGraphs.nationTradeTop(s, d))),
     "q_attack_curve" -> ((s, d) =>
       algorithms.Structure.attackCurve(graph.DerivedGraphs.partCooccur(s, d))),
+    "q_onion" -> ((s, d) => {
+      val t = graph.DerivedGraphs.nationTradeTop(s, d)
+        .select("src", "dst").filter(col("src") =!= col("dst"))
+      algorithms.Structure.onionLayers(
+        t.unionByName(t.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct())
+    }),
     "q_lorenz" -> ((s, d) =>
       EventStreams.lorenz(EventStreams.eventsTable(s, d))),
     "q_audience_overlap" -> ((s, d) =>
@@ -1576,6 +1583,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_triad_census" -> Oracles.triadCensusSql,
     "q_triad_full" -> Oracles.triadCensusFullSql,
     "q_attack_curve" -> Oracles.attackCurveSql(),
+    "q_onion" -> Oracles.onionSql(),
     "q_lorenz" -> PipelineOracles.lorenzSql,
     "q_audience_overlap" -> PipelineOracles.audienceOverlapSql,
     "q_entity_density" -> PipelineOracles.entityDensitySql,

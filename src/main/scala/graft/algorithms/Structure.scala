@@ -352,6 +352,93 @@ object Structure {
       .orderBy("triad_class")
   }
 
+  /** Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016,
+    * Sci. Rep. 6:31708): the k-core peel with its CASCADE STRUCTURE
+    * kept — each wave simultaneously removes every node whose current
+    * degree is ≤ the running core value c (c = max(c, min alive
+    * degree) per wave), assigning (core = c, layer = wave index).
+    * Core numbers equal [[coreNumbers]]' (same peel, spec-pinned);
+    * the LAYER is the extra signal — within one core, early layers
+    * are the fringe and late layers the dense center, the network-
+    * structure fingerprint the plain core number flattens.
+    *
+    * Dual regime: under the driver gate one in-memory wave-peel (the
+    * corePeelLocal collection discipline); past it each wave is one
+    * driver-observed min, one filter, two semi-joins and a degree
+    * recount on the strictly-shrinking edge frame — rounds = onion
+    * depth (the cascade length, typically ≪ |V|; maxWaves guards
+    * pathological chains). Returns (id, core, layer). */
+  def onionLayers(symEdges: DataFrame, maxWaves: Int = 300): DataFrame = {
+    val (e, mE) = Probe.checkpointObserved(
+      symEdges.select("src", "dst"), count(lit(1)).as("m"))
+    if (mE("m").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+      return onionLocal(e)
+    var (alive, aM) = Probe.checkpointObserved(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+      count(lit(1)).as("n"))
+    var nAlive = aM("n").asInstanceOf[Long]
+    var ecur = e
+    var c = 0L
+    var layer = 0L
+    val waves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (nAlive > 0L) {
+      layer += 1
+      if (layer > maxWaves) throw new IllegalStateException(
+        s"onionLayers exceeded $maxWaves waves")
+      val mn = alive.agg(min("deg")).head.getLong(0)
+      c = math.max(c, mn)
+      waves += alive.filter(col("deg") <= c)
+        .select(col("id"), lit(c).as("core"), lit(layer).as("layer"))
+        .localCheckpoint()
+      val keep = alive.filter(col("deg") > c).select("id").localCheckpoint()
+      ecur = ecur
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val dg = ecur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val (a2, m2) = Probe.checkpointObserved(
+        keep.join(dg, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")),
+        count(lit(1)).as("n"))
+      alive = a2
+      nAlive = m2("n").asInstanceOf[Long]
+    }
+    waves.reduceOption(_ unionByName _)
+      .getOrElse(e.sparkSession.emptyDataFrame
+        .withColumn("id", lit(0L)).withColumn("core", lit(0L))
+        .withColumn("layer", lit(0L)).limit(0))
+      .orderBy("id")
+  }
+
+  /** Driver-side wave-peel for [[onionLayers]] under the gate. */
+  private def onionLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toArray }
+    val alive = scala.collection.mutable.Set.empty[Long] ++ adj.keys
+    val deg = scala.collection.mutable.Map.empty[Long, Int] ++
+      adj.map { case (k, v) => k -> v.count(alive) }
+    var c = 0L
+    var layer = 0L
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    while (alive.nonEmpty) {
+      layer += 1
+      c = math.max(c, deg.filter(kv => alive(kv._1)).values.min.toLong)
+      val wave = alive.filter(v => deg(v) <= c).toSeq.sorted
+      wave.foreach { v =>
+        out += ((v, c, layer))
+        alive -= v
+      }
+      wave.foreach { v =>
+        adj(v).foreach(u => if (alive(u)) deg(u) = deg(u) - 1)
+      }
+    }
+    out.result().toDF("id", "core", "layer").orderBy("id")
+  }
+
   /** Degree-signature k-anonymity (the Hay et al. 2008 structural
     * re-identification screen): each node's signature is (degree,
     * min/max/sum of neighbor degrees, distinct-neighbor count) over

@@ -576,6 +576,42 @@ class RandomGraphCrossCheckSpec extends SparkSpec {
     }
   }
 
+  test("onionLayers: brute wave-peel, regime parity, cores == coreNumbers") {
+    for (seed <- Seq(3L, 17L)) {
+      val digest = randomDigraph(12, 0.25, seed)
+      val symPairs = digest.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .distinct.filter(p => p._1 != p._2)
+      val sdf = symPairs.toDF("src", "dst")
+      def run = Structure.onionLayers(sdf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val got = run
+      val dist = graft.algorithms.Tuning.withBroadcastThreshold(0L)(run)
+      assert(got == dist, s"seed $seed: regimes disagree")
+      // brute sequential wave-peel
+      val adj = symPairs.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toSet }
+      val alive = scala.collection.mutable.Set.empty[Long] ++ adj.keys
+      val deg = scala.collection.mutable.Map.empty[Long, Int] ++
+        adj.map { case (k, v) => k -> v.size }
+      var c = 0L
+      var layer = 0L
+      val brute = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      while (alive.nonEmpty) {
+        layer += 1
+        c = math.max(c, alive.map(deg(_)).min.toLong)
+        val wave = alive.filter(deg(_) <= c).toSeq
+        wave.foreach { v => brute(v) = (c, layer); alive -= v }
+        wave.foreach(v => adj(v).foreach(u =>
+          if (alive(u)) deg(u) = deg(u) - 1))
+      }
+      assert(got == brute.toMap, s"seed $seed")
+      // core numbers agree with the h-index kernel on the same graph
+      val cores = Structure.coreNumbers(sdf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.view.mapValues(_._1).toMap == cores, s"seed $seed cores")
+    }
+  }
+
   test("attackCurve matches the brute-force threshold attack") {
     for (seed <- Seq(7L, 41L)) {
       val rnd = new scala.util.Random(seed)
