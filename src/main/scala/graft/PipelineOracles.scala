@@ -4056,6 +4056,32 @@ SELECT source, n_docs,
   CAST($epsilon AS DOUBLE) AS epsilon
 FROM n ORDER BY source"""
 
+  /** DP-mean mirror: same clipped sums, the same two salted
+    * inverse-CDF Laplace draws, same scales and guard. */
+  def dpMeanSql(valueCol: String = "n_chars", clip: Double = 2000.0,
+                epsilon: Double = 1.0, salt: String = "dpm:"): String =
+    s"""WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+  SUM(LEAST(GREATEST(CAST($valueCol AS DOUBLE), CAST(0 AS DOUBLE)),
+    CAST($clip AS DOUBLE))) AS csum
+  FROM documents GROUP BY 1),
+nz AS (SELECT source, n, csum,
+  (CAST(${h60(s"'${salt}n:' || source")} AS DOUBLE) + 0.5) /
+    CAST(${1L << 60} AS DOUBLE) - 0.5 AS dn,
+  (CAST(${h60(s"'${salt}s:' || source")} AS DOUBLE) + 0.5) /
+    CAST(${1L << 60} AS DOUBLE) - 0.5 AS ds
+  FROM g),
+nv AS (SELECT source, n,
+  CAST(n AS DOUBLE) + (CASE WHEN dn >= 0.0 THEN -ln(1.0 - 2.0 * dn)
+    ELSE ln(1.0 + 2.0 * dn) END) * ${2.0 / epsilon} AS dpn,
+  csum + (CASE WHEN ds >= 0.0 THEN -ln(1.0 - 2.0 * ds)
+    ELSE ln(1.0 + 2.0 * ds) END) * ${2.0 * clip / epsilon} AS dps
+  FROM nz)
+SELECT source, n AS n_docs, ROUND(dpn, 6) AS dp_count,
+  ROUND(dps, 6) AS dp_sum,
+  ROUND(dps / GREATEST(dpn, CAST(1 AS DOUBLE)), 6) AS dp_mean,
+  CAST($epsilon AS DOUBLE) AS epsilon
+FROM nv ORDER BY source"""
+
   /** k-anonymity mirror. */
   def kAnonymitySql(bucket: Long, ks: Seq[Int]): String = {
     val arms = ks.map { k =>

@@ -1116,6 +1116,8 @@ object SparkEntry {
       pipeline.Stats.filterKappa(GraphBuilder.table(s, d, "documents"))),
     "q_ece" -> ((s, d) =>
       pipeline.Stats.calibrationEce(GraphBuilder.table(s, d, "documents"))),
+    "q_dp_mean" -> ((s, d) =>
+      Corpus.dpMean(GraphBuilder.table(s, d, "documents"))),
     "q_compress_ratio" -> ((s, d) =>
       pipeline.TextOps.compressionRatio(GraphBuilder.table(s, d, "documents"))),
     "q_pca_project" -> ((s, d) =>
@@ -1761,6 +1763,7 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_effective_rank" -> PipelineOracles.effectiveRankSql,
     "q_filter_kappa" -> PipelineOracles.filterKappaSql(),
     "q_ece" -> PipelineOracles.calibrationEceSql(),
+    "q_dp_mean" -> PipelineOracles.dpMeanSql(),
     // q_compress_ratio: deliberately NO oracle entry — DuckDB has no
     // deflate; the driver records the rows-only check and the kernel
     // is spec-pinned on known-ratio fixtures (TextOpsSpec)

@@ -1984,6 +1984,47 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Differentially-private per-source mean (the Laplace
+    * sum-and-count mechanism, Dwork et al. 2006): values clipped to
+    * [0, clip] (the sensitivity bound every DP release needs), ε
+    * split evenly between the noised clipped sum (scale 2·clip/ε)
+    * and the noised count (scale 2/ε), mean = noised sum / max(1,
+    * noised count) — [[dpHistogram]]'s count release extended to the
+    * magnitude statistics a data-sharing report actually publishes.
+    * Noise is the same deterministic inverse-CDF-of-hash draw as
+    * dpHistogram (per-source, salted per release component), so the
+    * oracle replays it exactly; like there, a deployment wanting real
+    * DP swaps the hash u for a secret RNG.
+    *
+    * Scale: one |sources|-key aggregate (map-side combined), noise is
+    * per-group codegen. Returns (source, n_docs, dp_count, dp_sum,
+    * dp_mean, epsilon). */
+  def dpMean(docs: DataFrame, valueCol: String = "n_chars",
+             clip: Double = 2000.0, epsilon: Double = 1.0,
+             salt: String = "dpm:"): DataFrame = {
+    require(epsilon > 0.0 && clip > 0.0,
+      "dpMean needs epsilon > 0 and clip > 0")
+    def lap(saltN: String, scale: Double) = {
+      val u = (TextOps.hash60(col("source"), saltN).cast("double") +
+        lit(0.5)) / lit((1L << 60).toDouble)
+      val d = u - lit(0.5)
+      (when(d >= 0.0, -log(lit(1.0) - lit(2.0) * d))
+        .otherwise(log(lit(1.0) + lit(2.0) * d))) * lit(scale)
+    }
+    val g = docs.groupBy("source").agg(
+      sum(least(greatest(col(valueCol).cast("double"), lit(0.0)),
+        lit(clip))).as("csum"),
+      count(lit(1)).as("n"))
+    val dpN = col("n").cast("double") + lap(salt + "n:", 2.0 / epsilon)
+    val dpS = col("csum") + lap(salt + "s:", 2.0 * clip / epsilon)
+    g.select(col("source"), col("n").cast("long").as("n_docs"),
+        round(dpN, 6).as("dp_count"),
+        round(dpS, 6).as("dp_sum"),
+        round(dpS / greatest(dpN, lit(1.0)), 6).as("dp_mean"),
+        lit(epsilon).as("epsilon"))
+      .orderBy("source")
+  }
+
   /** 2-D skyline (Pareto frontier) over (quality MAX, n_chars MIN) —
     * the preference-query operator: a document survives iff no other
     * document is at least as good on both axes and strictly better on

@@ -1563,6 +1563,43 @@ class PipelineSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("dpMean: clipping binds, noise is the salted Laplace draw, huge epsilon recovers the mean") {
+    val implicits = spark.implicits
+    import implicits._
+    // n_chars: s0 -> {3, 10}, s1 -> {4}; clip 5 truncates the 10
+    val docs = Seq((1L, "abc", "en", "s0"), (2L, "y" * 10, "en", "s0"),
+      (3L, "wxyz", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("int"))
+    // epsilon huge -> noise ~ 1e-9: dp_mean == clipped mean at 6dp
+    val big = graft.pipeline.Corpus.dpMean(docs, clip = 5.0,
+      epsilon = 1e9).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("dp_mean")).toMap
+    assert(math.abs(big("s0") - 4.0) < 1e-5) // (3 + 5)/2
+    assert(math.abs(big("s1") - 4.0) < 1e-5)
+    // epsilon 1: replay the exact salted draws
+    val r = graft.pipeline.Corpus.dpMean(docs, clip = 5.0).collect()
+      .map(x => x.getString(0) -> x).toMap
+    def lap(src: String, saltN: String, scale: Double): Double = {
+      val h = docs.where(col("source") === src)
+        .select(TextOps.hash60(col("source"), saltN).as("h"))
+        .head.getLong(0)
+      val d = (h.toDouble + 0.5) / (1L << 60).toDouble - 0.5
+      (if (d >= 0) -math.log(1.0 - 2.0 * d)
+       else math.log(1.0 + 2.0 * d)) * scale
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dpn = 2.0 + lap("s0", "dpm:n:", 2.0)
+    val dps = 8.0 + lap("s0", "dpm:s:", 10.0)
+    assert(r("s0").getAs[Double]("dp_count") == r6(dpn))
+    assert(r("s0").getAs[Double]("dp_sum") == r6(dps))
+    assert(r("s0").getAs[Double]("dp_mean") == r6(dps / math.max(dpn, 1.0)))
+    // determinism
+    val again = graft.pipeline.Corpus.dpMean(docs, clip = 5.0).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("dp_mean")).toMap
+    assert(again("s0") == r("s0").getAs[Double]("dp_mean"))
+  }
+
   test("simhashCurve: identical docs are candidates at hamming 0 and verify; recall 1 at t=3") {
     val implicits = spark.implicits
     import implicits._
