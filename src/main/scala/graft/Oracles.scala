@@ -391,6 +391,29 @@ tri AS (SELECT COUNT(*) AS t FROM pedges e1
 wd AS (SELECT SUM(d * (d - 1) / 2) AS w FROM (SELECT COUNT(*) AS d FROM psym GROUP BY src) q)
 SELECT CAST(tri.t AS BIGINT) AS triangles, ROUND(3.0 * tri.t / wd.w, 6) AS global_clustering FROM tri, wd"""
 
+  /** Config-model clustering null mirror: same triangle join, same
+    * degree moments and operator order. */
+  val clusteringNullSql: String =
+    s"""WITH ${DerivedGraphs.cooccurSql},
+tri AS (SELECT COUNT(*) AS t FROM pedges e1
+  JOIN pedges e2 ON e2.a = e1.b
+  JOIN pedges e3 ON e3.a = e1.a AND e3.b = e2.b),
+dm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS s1,
+  CAST(SUM(d * d) AS BIGINT) AS s2, SUM(d * (d - 1) / 2) AS w
+  FROM (SELECT COUNT(*) AS d FROM psym GROUP BY src) q),
+base AS (SELECT n, s1, w, t,
+  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS k1,
+  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS k2
+  FROM tri, dm),
+v AS (SELECT n, s1, k1, 3.0 * t / w AS cobs,
+  (k2 - k1) * (k2 - k1) /
+    (CAST(n AS DOUBLE) * k1 * k1 * k1) AS ccm FROM base)
+SELECT CAST(n AS BIGINT) AS n_nodes, CAST(s1 // 2 AS BIGINT) AS n_edges,
+  ROUND(k1, 6) AS mean_deg, ROUND(cobs, 6) AS c_observed,
+  ROUND(ccm, 6) AS c_config,
+  ROUND(CASE WHEN ccm > 0.0 THEN cobs / ccm END, 6) AS surplus
+FROM v"""
+
   /** Local clustering coefficient for the first 100 parts. */
   val clusteringSql: String =
     s"""WITH ${DerivedGraphs.cooccurSql},

@@ -489,6 +489,34 @@ object SparkEntry {
         .select(col("t").cast("bigint").as("triangles"),
           round(lit(3.0) * col("t") / col("w"), 6).as("global_clustering"))
     }),
+    "q_clustering_null" -> ((s, d) => {
+      // Newman 2003 (SIAM Rev. §4.2.1): expected clustering under the
+      // configuration model C_cm = (⟨k²⟩−⟨k⟩)²/(n⟨k⟩³) — the degree
+      // moments fully determine the null; the surplus ratio says how
+      // much triangle structure is REAL vs forced by the degree
+      // sequence. Reuses the shared per-node triangle cache; the
+      // moment frame is one |V|-key aggregate folded to scalars.
+      val pe = DerivedGraphs.partCooccur(s, d)
+      val tri = triangleCountsCached(s, d)
+        .agg((sum("tri_cnt") / lit(3)).cast("bigint").as("t"))
+      val dm = DerivedGraphs.sym(pe).groupBy("src")
+        .agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("n"), sum("deg").as("s1"),
+          sum(col("deg") * col("deg")).as("s2"),
+          sum(col("deg") * (col("deg") - 1) / lit(2)).as("w"))
+      val nD = col("n").cast("double")
+      val k1 = col("s1").cast("double") / nD
+      val k2 = col("s2").cast("double") / nD
+      val cObs = lit(3.0) * col("t") / col("w")
+      val cCm = (k2 - k1) * (k2 - k1) / (nD * k1 * k1 * k1)
+      tri.crossJoin(broadcast(dm))
+        .select(col("n").cast("long").as("n_nodes"),
+          (col("s1") / lit(2)).cast("long").as("n_edges"),
+          round(k1, 6).as("mean_deg"),
+          round(cObs, 6).as("c_observed"),
+          round(cCm, 6).as("c_config"),
+          round(when(cCm > 0.0, cObs / cCm), 6).as("surplus"))
+    }),
     "q_clustering" -> ((s, d) => {
       val pe = DerivedGraphs.partCooccur(s, d)
       val deg = DerivedGraphs.sym(pe).groupBy(col("src").as("id"))
@@ -1441,6 +1469,7 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM r JOIN nodes n ON 
     "q_label_prop" -> Oracles.labelPropSql(5),
     "q_walks" -> Oracles.walksSql(8, 2),
     "q_triangles" -> Oracles.trianglesSql,
+    "q_clustering_null" -> Oracles.clusteringNullSql,
     "q_clustering" -> Oracles.clusteringSql,
 
     "q_constraints" ->
