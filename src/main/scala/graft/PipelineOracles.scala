@@ -2957,6 +2957,21 @@ pi$i AS (SELECT st.state,
     sb.toString
   }
 
+  /** Entropy-rate mirror: the markovStationary chain + per-state
+    * conditional entropies, same coalesce and op order. */
+  def entropyRateSql(iters: Int): String = {
+    val base = markovStationarySql(iters)
+    val prefix = base.substring(0, base.lastIndexOf("\nSELECT"))
+    prefix + s""",
+h AS (SELECT ft AS state, SUM(-p * ln(p)) AS hc FROM p GROUP BY 1),
+ag AS (SELECT SUM(x.pi * COALESCE(h.hc, 0.0)) AS hr
+  FROM pi$iters x LEFT JOIN h ON h.state = x.state)
+SELECT CAST(kk.k AS BIGINT) AS n_states, ROUND(hr, 6) AS h_rate,
+  ROUND(ln(kk.k), 6) AS h_max,
+  ROUND(CASE WHEN kk.k > 1 THEN hr / ln(kk.k) END, 6) AS h_ratio
+FROM ag CROSS JOIN kk"""
+  }
+
   private val budgetFeatCtes: String =
     """q0 AS (SELECT doc_id, lang,
   CAST(len(text) AS BIGINT) AS chars,

@@ -675,6 +675,8 @@ object SparkEntry {
       pipeline.TextOps.codeSwitch(GraphBuilder.table(s, d, "documents"))),
     "q_funnel_latency" -> ((s, d) =>
       EventStreams.funnelLatency(EventStreams.eventsTable(s, d))),
+    "q_entropy_rate" -> ((s, d) =>
+      EventStreams.entropyRate(EventStreams.eventsTable(s, d))),
     "q_markov_stationary" -> ((s, d) =>
       EventStreams.markovStationary(EventStreams.eventsTable(s, d))),
     "q_shard_mix" -> ((s, d) =>
@@ -1602,6 +1604,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_code_switch" -> PipelineOracles.codeSwitchSql(0.9),
     "q_funnel_latency" -> PipelineOracles.funnelLatencySql("signup", "purchase"),
     "q_markov_stationary" -> PipelineOracles.markovStationarySql(8),
+    "q_entropy_rate" -> PipelineOracles.entropyRateSql(8),
     "q_shard_mix" -> PipelineOracles.shardMixSql(16),
     "q_incremental_dedup" -> PipelineOracles.incrementalDedupSql(80),
     "q_vocab_overlap" -> PipelineOracles.vocabOverlapSql,

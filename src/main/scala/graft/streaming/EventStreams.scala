@@ -1589,7 +1589,11 @@ object EventStreams {
     * so the corpus is scanned exactly once no matter how many
     * iterations run. Dangling mass is recovered as 1 − Σflow (row-
     * stochastic rows sum to 1), so no per-iteration driver collect. */
-  def markovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
+  /** Shared Markov-chain build: the |types|²-bounded transition
+    * probability frame, the UNROUNDED stationary vector after `iters`
+    * smoothed power steps, and the state count. */
+  private def markovChain(events: DataFrame,
+                          iters: Int): (DataFrame, DataFrame, Long) = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
     val cnt = events
@@ -1619,7 +1623,34 @@ object EventStreams {
             (lit(1.0) - col("fs")) / lit(k.toDouble)).as("pi"))
         .localCheckpoint()
     }
+    (p, pi, k)
+  }
+
+  def markovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
+    val (_, pi, _) = markovChain(events, iters)
     pi.select(col("state"), round(col("pi"), 6).as("pi")).orderBy("state")
+  }
+
+  /** Entropy rate of the behavioral Markov chain (Shannon 1948 §7 —
+    * H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ): how predictable the NEXT event type
+    * is given the current one, stationary-weighted — the sequence-
+    * predictability scalar [[markovStationary]]'s vector and
+    * [[eventTransitions]]'s matrix both feed into. h_ratio = H/ln k
+    * is the dimension-free reading (1 = i.i.d.-uniform sequences, →
+    * 0 = deterministic flows). Conditional entropies and π come off
+    * the shared chain build; everything after is |types|-row algebra.
+    * Returns one row (n_states, h_rate, h_max, h_ratio). */
+  def entropyRate(events: DataFrame, iters: Int = 8): DataFrame = {
+    val (p, pi, k) = markovChain(events, iters)
+    val h = p.groupBy(col("from_type").as("state"))
+      .agg(sum(-col("p") * log(col("p"))).as("hc"))
+    pi.join(broadcast(h), Seq("state"), "left")
+      .agg(sum(col("pi") * coalesce(col("hc"), lit(0.0))).as("hr"))
+      .select(lit(k).as("n_states"),
+        round(col("hr"), 6).as("h_rate"),
+        round(log(lit(k.toDouble)), 6).as("h_max"),
+        round(when(lit(k) > 1L, col("hr") / log(lit(k.toDouble))), 6)
+          .as("h_ratio"))
   }
 
   /** Daily event-type pivot: one row per epoch-day, one BIGINT count

@@ -1023,6 +1023,30 @@ class RobustSpec extends SparkSpec {
     assert(got("d_gt_28d").getAs[Double]("density") == 0.064516) // 2/31
   }
 
+  test("entropyRate: deterministic chain reads 0; known mixed chain matches") {
+    val implicits = spark.implicits
+    import implicits._
+    def ev(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, i.toLong * 60L, u, t) }
+        .toDF("event_id", "sec", "user_id", "event_type")
+        .select(col("event_id"), col("sec").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"))
+    // strict alternation: every transition deterministic -> H = 0
+    val det = ev(Seq.tabulate(10)(i => (1L, if (i % 2 == 0) "a" else "b")))
+    val r0 = EventStreams.entropyRate(det).collect().head
+    assert(r0.getLong(0) == 2L)
+    assert(r0.getDouble(1) == 0.0 && r0.getDouble(3) == 0.0)
+    // aperiodic chain (self-loop keeps the power iteration convergent):
+    // a -> {a, b} evenly, b -> a. pi = (2/3, 1/3), H = (2/3)·ln 2
+    val mix = ev(Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "a"),
+      (1L, "a"), (1L, "b"), (1L, "a")))
+    val r1 = EventStreams.entropyRate(mix).collect().head
+    assert(r1.getLong(0) == 2L)
+    assert(math.abs(r1.getDouble(1) - 2.0 / 3.0 * math.log(2.0)) < 0.01)
+    assert(math.abs(r1.getDouble(2) - math.log(2.0)) < 1e-6) // 6dp round
+  }
+
   test("survival: hand-computed Kaplan-Meier with censoring") {
     val implicits = spark.implicits
     import implicits._
