@@ -1003,8 +1003,9 @@ FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT $k"""
   /** RM3 mirror: same materialized (doc, term) counts, the bm25Sql
     * formula both rounds, same 6-dp-then-rank discipline at the
     * feedback-doc, feedback-term and final cuts. */
-  def rm3Sql(terms: Seq[String], k1: Double, b: Double, fbDocs: Int,
+  def rm3Sql(rawTerms: Seq[String], k1: Double, b: Double, fbDocs: Int,
              fbTerms: Int, lambda: Double, k: Int): String = {
+    val terms = rawTerms.distinct // mirror rm3Retrieval's seed dedupe
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val termVals = terms.map(t => s"('$t')").mkString(", ")
     s"""WITH tk AS (SELECT doc_id, term

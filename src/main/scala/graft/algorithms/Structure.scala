@@ -307,9 +307,13 @@ object Structure {
     // endpoint of e appears in some connected pair), so the edge
     // distinct shuffle runs exactly once — plan-audited: deriving n
     // from `e` duplicated the whole dyad-build subtree
+    // coalesce: sums over an EMPTY dyad frame are NULL — degrade the
+    // closed forms to 0 on an empty graph instead of NULL n_triads
     val scal = cp.agg(
-        sum(when(col("code") === 2, 1L).otherwise(0L)).as("mDy"),
-        sum(when(col("code") =!= 2, 1L).otherwise(0L)).as("aDy"))
+        coalesce(sum(when(col("code") === 2, 1L).otherwise(0L)), lit(0L))
+          .as("mDy"),
+        coalesce(sum(when(col("code") =!= 2, 1L).otherwise(0L)), lit(0L))
+          .as("aDy"))
       .crossJoin(broadcast(
         cp.select(explode(array(col("lo"), col("hi"))).as("id"))
           .agg(countDistinct("id").as("n"))))
@@ -695,7 +699,8 @@ object Structure {
           col("nl").cast("long").as("n_left"),
           lit(eLeft).as("e_left"),
           col("lcc").cast("long").as("lcc_size"),
-          round(col("lcc").cast("double") / col("nl").cast("double"), 6)
+          when(col("nl") > 0,
+            round(col("lcc").cast("double") / col("nl").cast("double"), 6))
             .as("lcc_share"))
     }
     rows.reduce(_ unionByName _).orderBy("pct_target")

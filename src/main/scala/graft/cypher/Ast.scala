@@ -140,4 +140,15 @@ object Ast {
     * ids that match no stored node are skipped. */
   final case class Foreach(variable: String, list: List[Literal],
                            assignments: List[(String, String, Literal)]) extends Statement
+
+  /** Transaction statements (ast.rs:13-16 BeginTransaction /
+    * CommitTransaction / RollbackTransaction; parser.rs:963-999 accepts
+    * BEGIN|START [TRANSACTION] / COMMIT [TRANSACTION] / ROLLBACK
+    * [TRANSACTION], each with an optional trailing `;`). Executed by
+    * [[Transactions.TxSession]] — on immutable Spark frames BEGIN is a
+    * free snapshot (keep the current graph reference), COMMIT publishes
+    * the staged graph, ROLLBACK discards it. */
+  case object BeginTx extends Statement
+  case object CommitTx extends Statement
+  case object RollbackTx extends Statement
 }

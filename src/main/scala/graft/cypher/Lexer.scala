@@ -19,6 +19,7 @@ object Lexer {
     "IN", "IS", "NULL", "EXISTS", "ORDER", "BY", "ASC", "DESC", "SKIP",
     "LIMIT", "DISTINCT", "UNION", "ALL", "CREATE", "MERGE", "SET", "DELETE",
     "ON", "FOREACH", "CALL",
+    "BEGIN", "START", "TRANSACTION", "COMMIT", "ROLLBACK",
     "TRUE", "FALSE", "COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT", "STDEV",
     "PERCENTILECONT", "PERCENTILEDISC", "GROUP")
 
@@ -61,7 +62,7 @@ object Lexer {
           case "<=" | ">=" | "<>" | "!=" | "=~" | "->" | "<-" | ".." =>
             out += Sym(two); i += 2
           case _ =>
-            "()[]{}:,.|=<>-+*/" .indexOf(c) match {
+            "()[]{}:,.|=<>-+*/;" .indexOf(c) match {
               case -1 => return Left(s"unexpected character '$c' at offset $i")
               case _  => out += Sym(c.toString); i += 1
             }

@@ -102,6 +102,18 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseSingle(): Statement = {
+    // transaction statements (parser.rs:963-999): BEGIN|START
+    // [TRANSACTION], COMMIT [TRANSACTION], ROLLBACK [TRANSACTION],
+    // optional trailing ';'
+    if (atKw("BEGIN") || atKw("START")) {
+      advance(); eatKw("TRANSACTION"); eatSym(";"); return BeginTx
+    }
+    if (atKw("COMMIT")) {
+      advance(); eatKw("TRANSACTION"); eatSym(";"); return CommitTx
+    }
+    if (atKw("ROLLBACK")) {
+      advance(); eatKw("TRANSACTION"); eatSym(";"); return RollbackTx
+    }
     if (atKw("CREATE")) { advance(); return Create(parsePattern()) }
     if (atKw("MERGE")) { advance(); return parseMerge() }
     if (atKw("FOREACH")) { advance(); return parseForeach() }

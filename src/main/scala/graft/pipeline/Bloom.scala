@@ -54,6 +54,36 @@ class BloomAgg(mWords: Int, k: Int)
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 }
 
+/** Second tree level of the Bloom build: OR-merge of FINISHED filter
+  * word arrays. Same element-wise OR as [[BloomAgg.merge]] — an
+  * associative, commutative, order-independent reduction, so a
+  * two-level (salted partial → final) tree computes bit-for-bit the
+  * same filter as one global agg while spreading the merge work over
+  * many tasks instead of one final reduce. */
+class BloomOrAgg(mWords: Int)
+    extends Aggregator[Array[Long], BloomBuf, Array[Long]] {
+  require(mWords >= 1, "Bloom OR-merge needs >= 1 word")
+
+  override def zero: BloomBuf = BloomBuf(new Array[Long](mWords))
+
+  override def reduce(b: BloomBuf, w: Array[Long]): BloomBuf = {
+    var i = 0
+    while (i < mWords) { b.words(i) |= w(i); i += 1 }
+    b
+  }
+
+  override def merge(a: BloomBuf, b: BloomBuf): BloomBuf = {
+    var i = 0
+    while (i < mWords) { a.words(i) |= b.words(i); i += 1 }
+    a
+  }
+
+  override def finish(s: BloomBuf): Array[Long] = s.words
+
+  override def bufferEncoder: Encoder[BloomBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
 object Bloom {
 
   /** The k codegen'd bit positions for `key`, as one int-array column:
@@ -87,18 +117,35 @@ object Bloom {
     * shuffle-free probe; sizing m at ~10 bits/key puts the FP rate
     * under 1% and the exact pass can then run on the ≤1% survivors.
     * Same split-before-shingle discipline as the exact operator. */
-  /** Build the m-bit filter over the 8-gram keys of `keyDocs` — ONE
-    * bounded aggregation producing a single (words: Array[Long]) row,
-    * the broadcast side of every downstream probe (batch decontam
-    * below, or the zero-state streaming gate in
-    * [[graft.streaming.CorpusStreams.bloomGate]]). */
+  /** Build the m-bit filter over the 8-gram keys of `keyDocs` —
+    * a TWO-LEVEL tree aggregation producing a single (words:
+    * Array[Long]) row, the broadcast side of every downstream probe
+    * (batch decontam below, or the zero-state streaming gate in
+    * [[graft.streaming.CorpusStreams.bloomGate]]).
+    *
+    * Tree shape: each input partition still builds ONE map-side
+    * partial buffer (the [[BloomAgg]] hash-agg partial), but those
+    * partials now land on `fanIn` salted reducers (salt =
+    * partition_id mod fanIn — already 1 row per partition, so the
+    * exchange moves P word-arrays either way) which OR-merge P/fanIn
+    * buffers each IN PARALLEL; the final 1-row reduce then ORs only
+    * `fanIn` arrays. At 1000 executors the old single final combine
+    * of P × 128 KiB states was the natural straggler (and the suite's
+    * one recurring host_suspect row); the tree caps the serial merge
+    * path at P/fanIn + fanIn arrays. OR is order-independent, so the
+    * result is bit-identical to the one-shot agg. */
   def buildFilter(keyDocs: DataFrame, mBits: Int = 1 << 20,
-                  k: Int = 4): DataFrame = {
+                  k: Int = 4, fanIn: Int = 8): DataFrame = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
-    val bl = udaf(new BloomAgg(mBits / 64, k), ExpressionEncoder[Seq[Int]]())
+    require(fanIn >= 1, "fanIn must be >= 1")
+    val mWords = mBits / 64
+    val bl = udaf(new BloomAgg(mWords, k), ExpressionEncoder[Seq[Int]]())
+    val orM = udaf(new BloomOrAgg(mWords), ExpressionEncoder[Array[Long]]())
     TextOps.shingles(keyDocs, 8)
-      .select(positions(col("sh"), k, mBits).as("ps"))
-      .agg(bl(col("ps")).as("words"))
+      .select(positions(col("sh"), k, mBits).as("ps"),
+        pmod(spark_partition_id().cast("long"), lit(fanIn.toLong)).as("g"))
+      .groupBy("g").agg(bl(col("ps")).as("w"))
+      .agg(orM(col("w")).as("words"))
   }
 
   /** Bloom false-positive-rate audit: the honesty check next to the

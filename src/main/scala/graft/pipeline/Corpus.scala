@@ -478,12 +478,15 @@ object Corpus {
     }
     val spark = docs.sparkSession
     import spark.implicits._
-    val seed = queryTerms.map(t => (t, 1.0)).toDF("term", "w")
+    // distinct: a repeated seed term must weigh 1.0 once, not once
+    // per repetition, in both rounds AND in the expansion exclusion
+    val seedTerms = queryTerms.distinct
+    val seed = seedTerms.map(t => (t, 1.0)).toDF("term", "w")
     val fb = bm25Scores(seed)
       .orderBy(col("score").desc, col("doc_id").asc).limit(fbDocs)
       .select("doc_id")
     val exp = tfAll.join(broadcast(fb), Seq("doc_id"))
-      .filter(!col("term").isInCollection(queryTerms))
+      .filter(!col("term").isInCollection(seedTerms))
       .join(dl, Seq("doc_id"))
       .groupBy("term")
       .agg(round(sum(col("tf").cast("double") /

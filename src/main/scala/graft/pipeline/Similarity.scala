@@ -1137,6 +1137,21 @@ object Similarity {
       .groupBy("vec_id", "sub", "cid")
       .agg(sum((col("xi") - col("c")) * (col("xi") - col("c"))).as("dist"))
 
+  /** Seed precondition for the integer k-means kernels: the corpus
+    * must actually CONTAIN vec_ids [probeMax, probeMax+k) — a corpus
+    * smaller than the seed range would otherwise yield an empty or
+    * partial codebook and the ANN queries would silently return no
+    * rows. One count over the tiny checkpointed seed frame (≤ k·d
+    * rows, driver-gated like every iterative kernel here). */
+  private def requireSeedRange(seeded: DataFrame, idCol: String, k: Int,
+                               probeMax: Long, op: String): Unit = {
+    val have = seeded.select(idCol).distinct().count()
+    require(have == k,
+      s"$op: corpus must contain the $k seed vec_ids " +
+        s"[$probeMax, ${probeMax + k}) (the annIvfExact seed rule); " +
+        s"found $have of $k — corpus too small for this (probeMax, k)")
+  }
+
   /** `iters` Lloyd rounds of per-subspace integer k-means: centroids
     * init from the sub-chunks of vec_ids [probeMax, probeMax+ksub)
     * (the annIvfExact seed rule applied per subspace), means truncated
@@ -1150,6 +1165,7 @@ object Similarity {
       .select((col("vec_id") - probeMax).as("cid"), col("sub"), col("pos"),
         col("xi").as("c"))
       .localCheckpoint()
+    requireSeedRange(ct, "cid", ksub, probeMax, "pqCodebook")
     for (_ <- 1 to iters) {
       val w = Window.partitionBy("vec_id", "sub")
         .orderBy(col("dist").asc, col("cid").asc)
@@ -1185,6 +1201,7 @@ object Similarity {
       .select((col("vec_id") - probeMax).as("cell"), col("pos"),
         col("xi").as("c"))
       .localCheckpoint()
+    requireSeedRange(ct, "cell", k, probeMax, "ivfCentroids")
     for (_ <- 1 to iters) {
       ct = assign(ct).join(iv, Seq("vec_id"))
         .groupBy("cell", "pos")

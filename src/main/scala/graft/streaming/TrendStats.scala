@@ -442,8 +442,12 @@ object Trend {
     * before the newest seen, and each CLOSE emits the batch
     * Page–Hinkley decision for that day over the closed prefix
     * (spec-pinned stream ≡ batch). Late events for a closed day are
-    * dropped, watermark-style (the cusumOnlineSteps convention). */
-  def pageHinkleyOnlineSteps(events: Dataset[EventStreams.Event])
+    * dropped, watermark-style (the cusumOnlineSteps convention).
+    * delta/lambdaK default to the batch [[pageHinkley]] defaults and
+    * are threaded into every per-close decision, so stream ≡ batch
+    * holds for ANY configuration, not just the default one. */
+  def pageHinkleyOnlineSteps(events: Dataset[EventStreams.Event],
+      delta: Double = 0.0, lambdaK: Double = 3.0)
       : Dataset[PhDayRow] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -465,7 +469,7 @@ object Trend {
               if (day > st.open) {
                 val closed = st.days +
                   (st.open -> (st.days.getOrElse(st.open, 0L) + st.openCnt))
-                pageHinkleyOf(closed).foreach {
+                pageHinkleyOf(closed, delta, lambdaK).foreach {
                   case (cc, pi, pd, ai, ad) =>
                     out += PhDayRow(st.open, cc, pi, pd, ai, ad)
                 }
