@@ -2063,6 +2063,52 @@ seg AS MATERIALIZED (
   def bpeApplySql(merges: Int): String =
     s"WITH RECURSIVE ${bpeCtes(merges)}\nSELECT word, seg, n_tokens FROM seg"
 
+  /** Full BPE TRAINER mirror (bpeTrain): the iterated loop unrolled as
+    * plain CTE steps — per round one pair count over the CURRENT
+    * segmentation (occurrence-weighted), a 1-row argmax (n desc, pair
+    * asc), and the same two-pass boundary replace. EVERY step CTE is
+    * MATERIALIZED (the deep-chain planner-inlining lesson). Valid when
+    * the vocabulary supports >= merges rounds, which every test corpus
+    * does — the Spark side stops early on exhaustion instead. */
+  private def bpeTrainCtes(merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """wc AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT w, cnt, regexp_replace(w, '(.)', ' \1', 'g') || ' ' AS seg FROM wc)"""
+    for (i <- 1 to merges) {
+      sb ++= s""",
+p$i AS MATERIALIZED (
+  SELECT s.syms[j] || ' ' || s.syms[j + 1] AS pair, CAST(SUM(s.cnt) AS BIGINT) AS n
+  FROM (SELECT cnt, string_split(trim(seg), ' ') AS syms FROM s${i - 1}) s,
+       unnest(generate_series(1, len(s.syms) - 1)) AS t(j)
+  WHERE len(s.syms) >= 2 GROUP BY 1),
+m$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+s$i AS MATERIALIZED (
+  SELECT s.w, s.cnt,
+    replace(replace(s.seg, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' '),
+            ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' ') AS seg
+  FROM s${i - 1} s CROSS JOIN m$i m)"""
+    }
+    sb.toString
+  }
+
+  def bpeTrainSql(merges: Int): String = {
+    val rows = (1 to merges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, split_part(pair, ' ', 1) AS lhs, " +
+        s"split_part(pair, ' ', 2) AS rhs, n FROM m$i"
+    }.mkString("\n  UNION ALL ")
+    s"WITH ${bpeTrainCtes(merges)}\nSELECT * FROM (\n  $rows\n) ORDER BY rank"
+  }
+
+  def bpeTrainSegSql(merges: Int): String =
+    s"""WITH ${bpeTrainCtes(merges)}
+SELECT w AS word, trim(seg) AS seg,
+       CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_tokens
+FROM s$merges"""
+
   /** Subword-fertility mirror: the bpe CTE chain joined back to the
     * word occurrence stream, per-source token mass over word mass. */
   def tokenFertilitySql(merges: Int): String =

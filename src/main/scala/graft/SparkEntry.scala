@@ -556,6 +556,17 @@ object SparkEntry {
     "q_cypher_in" -> ((s, d) => Cypher.query(g(s, d),
       "MATCH (n:Nation) WHERE n.name IN ['NATION_3', 'NATION_7', 'NATION_12'] " +
       "RETURN n.id AS id, n.name AS name")),
+    // LIST-VALUED property (values/value.rs:11 Value::List): membership
+    // in the Order node's partkeys array column via Cypher IN
+    "q_cypher_listprop" -> ((s, d) => Cypher.query(g(s, d),
+      "MATCH (o:Order) WHERE 500000000000042 IN o.partkeys " +
+      "RETURN o.id AS id, o.totalprice AS totalprice")),
+    // list-prop shape audit: per-order list length histogram
+    "q_listprop_size" -> ((s, d) =>
+      g(s, d).nodes.filter(col("label") === "Order")
+        .select(when(col("partkeys").isNotNull, size(col("partkeys")))
+          .cast("bigint").as("n_parts"))
+        .groupBy("n_parts").agg(count(lit(1)).as("n_orders"))),
     "q_cypher_agg" -> ((s, d) => Cypher.query(g(s, d),
       "MATCH (c:Customer)-[:PLACED]->(o:Order) " +
       "RETURN c.mktsegment AS seg, COUNT(*) AS cnt, SUM(o.totalprice) AS total")
@@ -956,6 +967,12 @@ object SparkEntry {
     "q_contam_score" -> ((s, d) =>
       Corpus.contamScore(GraphBuilder.table(s, d, "documents"))),
     "q_bpe_apply" -> ((s, d) => bpeSegCached(s, d)),
+    // the ITERATED trainer (pair counts over the current segmentation,
+    // not the round-0 one) — merge table + the segmentation it induces
+    "q_bpe_train" -> ((s, d) =>
+      Corpus.bpeTrain(GraphBuilder.table(s, d, "documents"))),
+    "q_bpe_train_seg" -> ((s, d) =>
+      Corpus.bpeTrainSegments(GraphBuilder.table(s, d, "documents"))),
     "q_jl_project" -> ((s, d) =>
       Similarity.jlProject(GraphBuilder.table(s, d, "embeddings"))),
     "q_inverted_index" -> ((s, d) =>
@@ -1502,6 +1519,10 @@ SELECT n.label AS label, CAST(COUNT(*) AS BIGINT) AS cnt FROM w JOIN nodes n ON 
       "SELECT 200000000000000 + CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation WHERE regexp_matches(n_name, 'NATION_1')",
     "q_cypher_in" ->
       "SELECT 200000000000000 + CAST(n_nationkey AS BIGINT) AS id, n_name AS name FROM nation WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')",
+    "q_cypher_listprop" -> (P +
+      "SELECT id, totalprice FROM nodes WHERE label = 'Order' AND list_contains(partkeys, 500000000000042)"),
+    "q_listprop_size" -> (P +
+      "SELECT CAST(len(partkeys) AS BIGINT) AS n_parts, CAST(COUNT(*) AS BIGINT) AS n_orders FROM nodes WHERE label = 'Order' GROUP BY 1"),
     "q_cypher_agg" ->
       "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(o_totalprice), 4) AS total FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1",
     "q_cypher_order" ->
@@ -1832,6 +1853,8 @@ SELECT ROUND((2.0 * iw) / (k * tot) - (k + 1.0) / k, 6) AS gini,
     "q_split" -> PipelineOracles.splitSql(90, 5),
     "q_contam_score" -> PipelineOracles.contamScoreSql(5),
     "q_bpe_apply" -> PipelineOracles.bpeApplySql(12),
+    "q_bpe_train" -> PipelineOracles.bpeTrainSql(10),
+    "q_bpe_train_seg" -> PipelineOracles.bpeTrainSegSql(10),
     "q_jl_project" -> PipelineOracles.jlProjectSql(16),
     "q_inverted_index" -> PipelineOracles.invertedIndexSql(20),
     "q_token_fertility" -> PipelineOracles.tokenFertilitySql(12),

@@ -59,6 +59,10 @@ object Ast {
   final case class IsNull(e: Expr) extends Cond
   final case class IsNotNull(e: Expr) extends Cond
   final case class In(e: Expr, items: List[Expr]) extends Cond
+  /** `x IN v.prop` where the property is LIST-VALUED (values/value.rs:11
+    * Value::List → an array column): membership in the stored list, not
+    * in a literal list. */
+  final case class InProp(e: Expr, listExpr: Expr) extends Cond
 
   sealed trait AggFunc
   object AggFunc {

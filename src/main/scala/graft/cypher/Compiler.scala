@@ -374,6 +374,12 @@ final class Compiler(graph: PropertyGraph,
       val cols = items.map { x => val (c2, c) = exprCol(ctx, x); ctx = c2; c }
       // `x IN []` is false, not an error
       (ctx, cols.map(ec === _).foldLeft(lit(false))(_ || _))
+    case InProp(e, le) =>
+      // membership in a LIST-VALUED property column (Value::List);
+      // NULL list → NULL → filtered out, like SQL IN over empty
+      val (c1, ec) = exprCol(ctx0, e)
+      val (c2, lc) = exprCol(c1, le)
+      (c2, array_contains(lc, ec))
   }
 
   private def filterCond(ctx: Ctx, c: Cond): Ctx = {

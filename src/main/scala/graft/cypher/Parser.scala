@@ -376,14 +376,16 @@ final class Parser(tokens: Vector[Token]) {
         else { expectKw("NULL"); IsNull(lhs) }
       case Kw("IN") =>
         advance()
-        expectSym("[")
-        val items = List.newBuilder[Expr]
-        if (!at("]")) {
-          items += parseExpr()
-          while (eatSym(",")) items += parseExpr()
-        }
-        expectSym("]")
-        In(lhs, items.result())
+        if (at("[")) {
+          advance()
+          val items = List.newBuilder[Expr]
+          if (!at("]")) {
+            items += parseExpr()
+            while (eatSym(",")) items += parseExpr()
+          }
+          expectSym("]")
+          In(lhs, items.result())
+        } else InProp(lhs, parseExpr()) // x IN v.listProp (Value::List)
       case t => fail(s"expected comparison operator, got $t")
     }
   }

@@ -110,6 +110,17 @@ object GraphBuilder {
       col("p_retailprice").as("retailprice"), nullS.as("orderstatus"),
       nullD.as("totalprice"), nullS.as("orderpriority"))
 
+    // LIST-VALUED property (values/value.rs:11 Value::List → an array
+    // column): each Order node carries the sorted distinct Part NODE ids
+    // it contains — one key-partitioned lineitem aggregation at build
+    // time, bounded per order (≤7 lineitems in TPC-H), sort_array for a
+    // deterministic element order both engines agree on.
+    val orderParts = t("lineitem")
+      .groupBy((lit(OrderTag * TAG) + col("l_orderkey")).as("id"))
+      .agg(sort_array(collect_set(
+        (lit(PartTag * TAG) + col("l_partkey")).cast("bigint")))
+        .as("partkeys"))
+
     val order = t("orders").select(
       (lit(OrderTag * TAG) + col("o_orderkey")).as("id"),
       lit("Order").as("label"),
@@ -119,9 +130,13 @@ object GraphBuilder {
       nullD.as("retailprice"), col("o_orderstatus").as("orderstatus"),
       col("o_totalprice").as("totalprice"),
       col("o_orderpriority").as("orderpriority"))
+      .join(orderParts, Seq("id"), "left_outer")
 
-    val nodes = Seq(region, nation, customer, supplier, part, order)
+    val nullA = lit(null).cast("array<bigint>")
+    val nodes = Seq(region, nation, customer, supplier, part)
+      .map(_.withColumn("partkeys", nullA))
       .reduce(_ unionByName _)
+      .unionByName(order)
 
     def edge(df: DataFrame, srcTag: Long, srcKey: String, dstTag: Long,
              dstKey: String, rel: String, weight: org.apache.spark.sql.Column,
@@ -161,12 +176,12 @@ object GraphBuilder {
   val oraclePreamble: String = {
     def tag(t: Long) = (t * TAG).toString
     s"""WITH nodes AS (
-  SELECT ${tag(RegionTag)} + CAST(r_regionkey AS BIGINT) AS id, 'Region' AS label, r_name AS name, CAST(NULL AS BIGINT) AS nationkey, CAST(NULL AS DOUBLE) AS acctbal, CAST(NULL AS VARCHAR) AS mktsegment, CAST(NULL AS VARCHAR) AS brand, CAST(NULL AS VARCHAR) AS ptype, CAST(NULL AS BIGINT) AS psize, CAST(NULL AS DOUBLE) AS retailprice, CAST(NULL AS VARCHAR) AS orderstatus, CAST(NULL AS DOUBLE) AS totalprice, CAST(NULL AS VARCHAR) AS orderpriority FROM region
-  UNION ALL SELECT ${tag(NationTag)} + CAST(n_nationkey AS BIGINT), 'Nation', n_name, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM nation
-  UNION ALL SELECT ${tag(CustomerTag)} + c_custkey, 'Customer', c_name, CAST(c_nationkey AS BIGINT), c_acctbal, c_mktsegment, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM customer
-  UNION ALL SELECT ${tag(SupplierTag)} + s_suppkey, 'Supplier', s_name, CAST(s_nationkey AS BIGINT), s_acctbal, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM supplier
-  UNION ALL SELECT ${tag(PartTag)} + p_partkey, 'Part', p_name, NULL, NULL, NULL, p_brand, p_type, CAST(p_size AS BIGINT), p_retailprice, NULL, NULL, NULL FROM part
-  UNION ALL SELECT ${tag(OrderTag)} + o_orderkey, 'Order', 'O' || CAST(o_orderkey AS VARCHAR), NULL, NULL, NULL, NULL, NULL, NULL, NULL, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+  SELECT ${tag(RegionTag)} + CAST(r_regionkey AS BIGINT) AS id, 'Region' AS label, r_name AS name, CAST(NULL AS BIGINT) AS nationkey, CAST(NULL AS DOUBLE) AS acctbal, CAST(NULL AS VARCHAR) AS mktsegment, CAST(NULL AS VARCHAR) AS brand, CAST(NULL AS VARCHAR) AS ptype, CAST(NULL AS BIGINT) AS psize, CAST(NULL AS DOUBLE) AS retailprice, CAST(NULL AS VARCHAR) AS orderstatus, CAST(NULL AS DOUBLE) AS totalprice, CAST(NULL AS VARCHAR) AS orderpriority, CAST(NULL AS BIGINT[]) AS partkeys FROM region
+  UNION ALL SELECT ${tag(NationTag)} + CAST(n_nationkey AS BIGINT), 'Nation', n_name, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM nation
+  UNION ALL SELECT ${tag(CustomerTag)} + c_custkey, 'Customer', c_name, CAST(c_nationkey AS BIGINT), c_acctbal, c_mktsegment, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM customer
+  UNION ALL SELECT ${tag(SupplierTag)} + s_suppkey, 'Supplier', s_name, CAST(s_nationkey AS BIGINT), s_acctbal, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL FROM supplier
+  UNION ALL SELECT ${tag(PartTag)} + p_partkey, 'Part', p_name, NULL, NULL, NULL, p_brand, p_type, CAST(p_size AS BIGINT), p_retailprice, NULL, NULL, NULL, NULL FROM part
+  UNION ALL SELECT ${tag(OrderTag)} + o_orderkey, 'Order', 'O' || CAST(o_orderkey AS VARCHAR), NULL, NULL, NULL, NULL, NULL, NULL, NULL, o_orderstatus, o_totalprice, o_orderpriority, op.partkeys FROM orders LEFT JOIN (SELECT l_orderkey, list_sort(list(DISTINCT ${tag(PartTag)} + l_partkey)) AS partkeys FROM lineitem GROUP BY 1) op ON o_orderkey = op.l_orderkey
 ), edges AS (
   SELECT ${tag(NationTag)} + CAST(n_nationkey AS BIGINT) AS src, ${tag(RegionTag)} + CAST(n_regionkey AS BIGINT) AS dst, 'IN_REGION' AS rel_type, CAST(1.0 AS DOUBLE) AS weight, CAST(NULL AS DOUBLE) AS quantity, CAST(NULL AS DOUBLE) AS extendedprice, CAST(NULL AS DOUBLE) AS discount FROM nation
   UNION ALL SELECT ${tag(CustomerTag)} + c_custkey, ${tag(NationTag)} + CAST(c_nationkey AS BIGINT), 'IN_NATION', 1.0, NULL, NULL, NULL FROM customer

@@ -310,6 +310,83 @@ object Corpus {
         size(split(col("seg"), " ")).cast("long"))
   }
 
+  /** The FULL BPE trainer loop (Sennrich et al. 2016 §3.2 — the
+    * algorithm [[bpePairs]] computes only the first step of): start
+    * from the character-spaced word-count vocabulary, then `merges`
+    * times (a) count adjacent SYMBOL pairs over the CURRENT
+    * segmentation, occurrence-weighted by word count, (b) pick the
+    * argmax pair (count desc, pair asc — deterministic tiebreak),
+    * (c) rewrite every ` l r ` → ` lr ` in all segmentations via the
+    * two-pass fixpoint replace ([[bpeApply]]'s boundary-chain
+    * discipline, identical in both engines), and record the merge.
+    * Unlike [[bpeApply]] — which applies the top-N FIRST-ROUND pairs —
+    * later merges here operate on merged symbols (the real trainer:
+    * 'th'+'e' can win round 2 only because 't h' won round 1).
+    *
+    * Scale: the loop runs over the DISTINCT word-count frame (a
+    * vocab-sized dim at any corpus size — the exact artifact real BPE
+    * trainers aggregate to before iterating); per round one map-side-
+    * combined pair count (alphabet²-bounded state) + one codegen'd
+    * replace projection; the argmax is a 1-row driver pick (the merge
+    * table is a model artifact, driver-sized by definition — the
+    * [[Tuning]] gate discipline). localCheckpoint per round keeps the
+    * plan linear in `merges`, not exponential.
+    *
+    * Returns the merge table (rank, lhs, rhs, n). */
+  def bpeTrain(docs: DataFrame, merges: Int = 10): DataFrame = {
+    val (table, seg) = bpeTrainLoop(docs, merges)
+    val spark = docs.sparkSession
+    seg.unpersist()
+    import spark.implicits._
+    table.toDF("rank", "lhs", "rhs", "n")
+  }
+
+  /** The trained segmentation [[bpeTrain]]'s merge table induces:
+    * (word, seg, n_tokens) over the distinct vocabulary — the
+    * apply-side artifact, but segmented by the ITERATED trainer. */
+  def bpeTrainSegments(docs: DataFrame, merges: Int = 10): DataFrame =
+    bpeTrainLoop(docs, merges)._2
+      .select(col("w").as("word"), trim(col("seg")).as("seg"))
+      .withColumn("n_tokens", size(split(col("seg"), " ")).cast("long"))
+
+  private def bpeTrainLoop(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(merges >= 1, "bpeTrain needs merges >= 1")
+    val wc = terms(docs).groupBy(col("term").as("w"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // ' h e l l o ' — explicit boundary separators, as bpeApply
+    var seg = wc.select(col("w"), col("cnt"),
+        concat(regexp_replace(col("w"), "(.)", " $1"), lit(" ")).as("seg"))
+      .localCheckpoint()
+    val table = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val pairs = seg
+        .select(col("cnt"), split(trim(col("seg")), " ").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => concat(element_at(col("syms"), i), lit(" "),
+              element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum("cnt").cast("long").as("n"))
+      val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = top(0).getString(0)
+        val Array(l, rr) = pair.split(" ", 2)
+        table += ((r.toLong, l, rr, top(0).getLong(1)))
+        val pat = lit(s" $pair ")
+        val rep = lit(" " + l + rr + " ")
+        val once = call_function("replace", col("seg"), pat, rep)
+        seg = seg.withColumn("seg", call_function("replace", once, pat, rep))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    (table.result(), seg)
+  }
+
   /** Inverted-index construction with capped postings — the retrieval
     * artifact behind [[bm25TopK]]: per term, its document frequency
     * and the top `maxPostings` postings by (tf desc, doc_id asc) in

@@ -310,4 +310,36 @@ class CypherSpec extends SparkSpec {
     assert(pager.page(3).data.count() == 0L && !pager.page(3).hasMore)
     pager.close()
   }
+
+  // ---- list-valued properties (values/value.rs:11 Value::List) ----
+
+  test("parser: x IN v.prop parses to InProp, x IN [list] stays In") {
+    val q = Parser.parse(
+      "MATCH (o:Order) WHERE 42 IN o.partkeys RETURN o.id AS id")
+      .asInstanceOf[Query]
+    assert(q.clauses.head.asInstanceOf[MatchClause].where
+      .contains(InProp(Lit(IntLit(42)), Prop("o", "partkeys"))))
+    val lit = Parser.parse(
+      "MATCH (n:Nation) WHERE n.name IN ['A', 'B'] RETURN n.id AS id")
+      .asInstanceOf[Query]
+    assert(lit.clauses.head.asInstanceOf[MatchClause].where.exists(_.isInstanceOf[In]))
+  }
+
+  test("IN over the partkeys list property matches the CONTAINS edges") {
+    // every order whose list contains part P is exactly every order
+    // with a CONTAINS edge to P — the list column is derived from the
+    // same lineitem rows
+    val pid = GraphBuilder.PartTag * GraphBuilder.TAG + 42L
+    val viaList = Cypher.query(graph,
+      s"MATCH (o:Order) WHERE $pid IN o.partkeys RETURN o.id AS id")
+      .collect().map(_.getLong(0)).sorted
+    val viaEdges = graph.edges
+      .filter(col("rel_type") === "CONTAINS" && col("dst") === pid)
+      .select("src").distinct().collect().map(_.getLong(0)).sorted
+    assert(viaList.nonEmpty && viaList.sameElements(viaEdges))
+    // non-Order nodes carry a NULL list: membership is never satisfied
+    val nonOrder = Cypher.query(graph,
+      s"MATCH (c:Customer) WHERE $pid IN c.partkeys RETURN c.id AS id")
+    assert(nonOrder.count() == 0L)
+  }
 }

@@ -1214,6 +1214,29 @@ class PipelineSpec extends SparkSpec {
     assert(r("zz") == ("zz", 1L), s"got $r")
   }
 
+  test("bpeTrain: later merges operate on merged symbols (iterated, not first-round)") {
+    val d = docs(1L -> "abab abab abab")
+    // round 1 over ' a b a b ': 'a b' 6 (2/word ×3) beats 'b a' 3;
+    // round 2 over ' ab ab ': the pair ('ab','ab') EXISTS ONLY after
+    // round 1 merged it — bpeApply's first-round table can never pick it
+    val t = graft.pipeline.Corpus.bpeTrain(d, merges = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(t(1L) == (("a", "b", 6L)), s"got $t")
+    assert(t(2L) == (("ab", "ab", 3L)), s"got $t")
+    val seg = graft.pipeline.Corpus.bpeTrainSegments(d, merges = 2).collect()
+    assert(seg.length == 1 && seg(0).getString(1) == "abab"
+      && seg(0).getLong(2) == 1L)
+  }
+
+  test("bpeTrain stops early when every word is fully merged") {
+    val d = docs(1L -> "aa aa")
+    val t = graft.pipeline.Corpus.bpeTrain(d, merges = 5).collect()
+    assert(t.length == 1
+      && t(0).getString(1) == "a" && t(0).getString(2) == "a"
+      && t(0).getLong(3) == 2L)
+  }
+
   test("jlProject: linear in the input, outDims rows per vector") {
     val implicits = spark.implicits
     import implicits._
