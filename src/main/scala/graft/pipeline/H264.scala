@@ -1,0 +1,248 @@
+package graft.pipeline
+
+/** Baseline-profile H.264 parsing + I_PCM pixel decode — pure JVM, no
+  * external codec (reference has no video at all; this closes the
+  * brief-mandated multimodal matrix's one remaining stub for the codec
+  * family production corpora actually contain).
+  *
+  * Scope (the honest contract): ISO/IEC 14496-10 Annex-B-free BMFF
+  * `avc1` tracks whose every macroblock is I_PCM (mb_type 25 in an I
+  * slice) under CAVLC entropy coding. I_PCM macroblocks carry their
+  * 16×16 luma + 2×8×8 chroma samples as RAW BYTES after a bit
+  * alignment — the one H.264 macroblock mode with no entropy decode,
+  * prediction, or transform, which is why a bounded parser can decode
+  * it bit-exactly. Real SPS/PPS/slice-header parsing (Exp-Golomb,
+  * emulation-prevention stripping, frame cropping) so the path accepts
+  * conformant streams, not just our fixtures; any non-I_PCM macroblock
+  * or unsupported shape (CABAC, FMO, fields, MMCO) returns None and
+  * the caller falls back to the documented stub.
+  *
+  * 4:2:0 only (chroma_format_idc 1 — baseline's only legal format).
+  * YCbCr→RGB is full-range BT.601 (the JFIF matrix the MJPEG path
+  * uses), nearest-neighbor chroma upsample; grayscale samples
+  * (Cb=Cr=128) round-trip exactly.
+  */
+object H264 {
+
+  /** RBSP of one NAL payload: emulation_prevention_three_byte
+    * (00 00 03) stripped (7.3.1 / 7.4.1.1). */
+  private[pipeline] def rbspOf(nal: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(to - from)
+    var i = from
+    var zeros = 0
+    while (i < to) {
+      val b = nal(i) & 0xff
+      if (zeros >= 2 && b == 3) { zeros = 0 } // skip the escape byte
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** MSB-first bit reader with Exp-Golomb (9.1) — the only coded
+    * syntax I_PCM streams need. Throws on exhaustion; callers wrap. */
+  private[pipeline] final class BitReader(b: Array[Byte]) {
+    private var bit = 0
+    def pos: Int = bit
+    def remaining: Int = b.length * 8 - bit
+    def u1(): Int = {
+      if (bit >= b.length * 8) throw new IllegalStateException("eof")
+      val v = (b(bit >>> 3) >> (7 - (bit & 7))) & 1
+      bit += 1; v
+    }
+    def u(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+    def ue(): Int = {
+      var zeros = 0
+      while (u1() == 0) { zeros += 1; if (zeros > 31) throw new IllegalStateException("ue") }
+      if (zeros == 0) 0 else ((1 << zeros) - 1) + u(zeros)
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+    def byteAligned: Boolean = (bit & 7) == 0
+    def alignToByte(): Unit = while (!byteAligned) u1()
+    def readByte(): Int = { // byte-aligned fast path not required
+      u(8)
+    }
+  }
+
+  final case class Sps(widthMbs: Int, heightMbs: Int,
+                       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
+                       log2MaxFrameNum: Int, pocType: Int,
+                       log2MaxPocLsb: Int, frameMbsOnly: Boolean) {
+    def width: Int = widthMbs * 16 - 2 * (cropL + cropR)
+    def height: Int = heightMbs * 16 - 2 * (cropT + cropB)
+  }
+
+  final case class Pps(cabac: Boolean, bottomFieldPoc: Boolean,
+                       sliceGroups: Int, deblockControl: Boolean,
+                       redundantPicCnt: Boolean)
+
+  /** Parse a seq_parameter_set_rbsp (7.3.2.1.1) far enough for I_PCM
+    * decode. None for shapes outside scope (interlace, high-profile
+    * chroma formats other than 4:2:0). */
+  private[pipeline] def parseSps(rbsp: Array[Byte]): Option[Sps] =
+    try {
+      val r = new BitReader(rbsp)
+      val profile = r.u(8)
+      r.u(8) // constraint flags + reserved
+      r.u(8) // level_idc
+      r.ue() // sps_id
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+          .contains(profile)) {
+        val chroma = r.ue()
+        if (chroma != 1) return None // 4:2:0 only
+        r.ue(); r.ue() // bit_depth_luma/chroma_minus8
+        r.u1() // qpprime_y_zero_transform_bypass
+        if (r.u1() == 1) return None // seq_scaling_matrix out of scope
+      }
+      val log2MaxFrameNum = r.ue() + 4
+      val pocType = r.ue()
+      var log2MaxPocLsb = 0
+      if (pocType == 0) log2MaxPocLsb = r.ue() + 4
+      else if (pocType == 1) return None // needs full POC machinery
+      r.ue() // max_num_ref_frames
+      r.u1() // gaps_in_frame_num_value_allowed
+      val wMbs = r.ue() + 1
+      val hMapUnits = r.ue() + 1
+      val frameMbsOnly = r.u1() == 1
+      if (!frameMbsOnly) return None // fields/MBAFF out of scope
+      r.u1() // direct_8x8_inference
+      var (cl, cr, ct, cb) = (0, 0, 0, 0)
+      if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+      Some(Sps(wMbs, hMapUnits, cl, cr, ct, cb, log2MaxFrameNum, pocType,
+        log2MaxPocLsb, frameMbsOnly))
+    } catch { case _: Exception => None }
+
+  /** Parse a pic_parameter_set_rbsp (7.3.2.2) — enough to know the
+    * slice-header shape. */
+  private[pipeline] def parsePps(rbsp: Array[Byte]): Option[Pps] =
+    try {
+      val r = new BitReader(rbsp)
+      r.ue(); r.ue() // pps_id, sps_id
+      val cabac = r.u1() == 1
+      val bottomPoc = r.u1() == 1
+      val groups = r.ue() + 1
+      if (groups != 1) return None // FMO out of scope
+      r.ue(); r.ue() // num_ref_idx defaults
+      r.u1() // weighted_pred
+      r.u(2) // weighted_bipred_idc
+      r.se(); r.se(); r.se() // pic_init_qp/qs, chroma_qp_offset
+      val deblock = r.u1() == 1
+      r.u1() // constrained_intra_pred
+      val redundant = r.u1() == 1
+      Some(Pps(cabac, bottomPoc, groups, deblock, redundant))
+    } catch { case _: Exception => None }
+
+  /** Decode one coded slice NAL (types 1/5) whose macroblocks are ALL
+    * I_PCM into (Y, Cb, Cr) planes. None on any out-of-scope syntax. */
+  private[pipeline] def decodeIPcmSlice(rbsp: Array[Byte], idr: Boolean,
+      nalRefIdc: Int, sps: Sps, pps: Pps)
+      : Option[(Array[Byte], Array[Byte], Array[Byte])] =
+    try {
+      if (pps.cabac) return None
+      val r = new BitReader(rbsp)
+      val firstMb = r.ue()
+      val sliceType = r.ue()
+      if (sliceType != 2 && sliceType != 7) return None // I slices only
+      r.ue() // pps_id
+      r.u(sps.log2MaxFrameNum) // frame_num
+      if (idr) r.ue() // idr_pic_id
+      if (sps.pocType == 0) {
+        r.u(sps.log2MaxPocLsb) // pic_order_cnt_lsb
+        if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt_bottom
+      }
+      if (pps.redundantPicCnt) r.ue()
+      if (nalRefIdc != 0) {
+        if (idr) { r.u1(); r.u1() } // no_output_of_prior / long_term_ref
+        else if (r.u1() == 1) return None // MMCO out of scope
+      }
+      r.se() // slice_qp_delta
+      if (pps.deblockControl) {
+        val idc = r.ue()
+        if (idc != 1) { r.se(); r.se() }
+      }
+      val nMbs = sps.widthMbs * sps.heightMbs
+      if (firstMb != 0) return None // single-slice pictures only
+      val y = new Array[Byte](sps.widthMbs * 16 * sps.heightMbs * 16)
+      val cbP = new Array[Byte](sps.widthMbs * 8 * sps.heightMbs * 8)
+      val crP = new Array[Byte](sps.widthMbs * 8 * sps.heightMbs * 8)
+      var mb = 0
+      while (mb < nMbs) {
+        val mbType = r.ue()
+        if (mbType != 25) return None // only I_PCM is decodable raw
+        r.alignToByte() // pcm_alignment_zero_bit
+        val mx = mb % sps.widthMbs; val my = mb / sps.widthMbs
+        var i = 0
+        while (i < 256) { // pcm_sample_luma, raster within the MB
+          val px = mx * 16 + (i % 16); val py = my * 16 + (i / 16)
+          y(py * sps.widthMbs * 16 + px) = r.u(8).toByte
+          i += 1
+        }
+        var c = 0
+        while (c < 2) { // pcm_sample_chroma: Cb then Cr, 8×8 each
+          val plane = if (c == 0) cbP else crP
+          var j = 0
+          while (j < 64) {
+            val px = mx * 8 + (j % 8); val py = my * 8 + (j / 8)
+            plane(py * sps.widthMbs * 8 + px) = r.u(8).toByte
+            j += 1
+          }
+          c += 1
+        }
+        mb += 1
+      }
+      Some((y, cbP, crP))
+    } catch { case _: Exception => None }
+
+  /** Decode one length-prefixed BMFF sample (avcC lengthSize) whose
+    * coded slice is all-I_PCM → packed top-down RGB (w·3 stride),
+    * cropped per the SPS. None when no slice NAL decodes. */
+  private[pipeline] def decodeSample(sample: Array[Byte], lengthSize: Int,
+      sps: Sps, pps: Pps): Option[Array[Byte]] = {
+    var at = 0
+    var planes: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
+    while (planes.isEmpty && at + lengthSize <= sample.length) {
+      var len = 0L
+      var i = 0
+      while (i < lengthSize) { len = (len << 8) | (sample(at + i) & 0xffL); i += 1 }
+      val ns = at + lengthSize
+      val ne = ns + len
+      if (len <= 0 || ne > sample.length) return None
+      val hdr = sample(ns) & 0xff
+      val nalType = hdr & 0x1f
+      val refIdc = (hdr >> 5) & 3
+      if (nalType == 1 || nalType == 5)
+        planes = decodeIPcmSlice(rbspOf(sample, ns + 1, ne.toInt),
+          idr = nalType == 5, refIdc, sps, pps)
+      at = ne.toInt
+    }
+    planes.map { case (y, cb, cr) =>
+      val w = sps.width; val h = sps.height
+      val lumaW = sps.widthMbs * 16
+      val chromaW = sps.widthMbs * 8
+      val rgb = new Array[Byte](w * h * 3)
+      var py = 0
+      while (py < h) {
+        val sy = py + 2 * sps.cropT
+        var px = 0
+        while (px < w) {
+          val sx = px + 2 * sps.cropL
+          val yy = y(sy * lumaW + sx) & 0xff
+          val cbV = cb((sy / 2) * chromaW + sx / 2) & 0xff
+          val crV = cr((sy / 2) * chromaW + sx / 2) & 0xff
+          // full-range BT.601 (the JFIF matrix), round-half-up + clamp
+          def cl(v: Double): Int = math.max(0, math.min(255, math.rint(v).toInt))
+          val o = (py * w + px) * 3
+          rgb(o) = cl(yy + 1.402 * (crV - 128)).toByte
+          rgb(o + 1) = cl(yy - 0.344136 * (cbV - 128) - 0.714136 * (crV - 128)).toByte
+          rgb(o + 2) = cl(yy + 1.772 * (cbV - 128)).toByte
+          px += 1
+        }
+        py += 1
+      }
+      rgb
+    }
+  }
+}

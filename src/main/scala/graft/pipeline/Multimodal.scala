@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * sample tables are walked and every frame decoded through the same
   * ImageIO path as still images (`videoFrames`, `videoThumbnails`) —
   * and for UNCOMPRESSED tracks (AVI BI_RGB 24bpp, BMFF 'raw ' sample
-  * entries): pure byte slicing, losslessly exact per-frame luma.
-  * Only entropy-coded codecs (H.264 etc.) have no JDK decoder.
+  * entries): pure byte slicing, losslessly exact per-frame luma —
+  * and for baseline H.264 whose macroblocks are all I_PCM (the raw-
+  * byte macroblock mode): real SPS/PPS/slice parsing + pixel decode
+  * via [[H264]], through the same RawVideo surface. Only entropy-
+  * CODED macroblocks (CAVLC/CABAC residuals) have no JDK decoder.
   * Payloads no parser accepts (arbitrary bytes, non-BMFF/AVI video)
   * fall back to `decodeStub` — a deterministic fake derived from the
   * bytes, kept so the pipeline shape is exercisable on synthetic
@@ -461,10 +464,96 @@ object Multimodal {
       else None
     }
 
-  /** Raw video of either container, AVI first (mirrors [[mjpegFrames]]
-    * precedence). */
+  // ---- H.264 baseline I_PCM pixel decode (real, pure JVM — see
+  // [[H264]]): BMFF 'avc1' tracks whose every macroblock is I_PCM
+  // decode through the same RawVideo surface as the uncompressed
+  // paths, so dHash/temporal/thumbnail consumers need no new code.
+  // Shrinks the decode stub to entropy-CODED H.264 (and other
+  // entropy codecs) only.
+
+  /** The avc1 sample entry's avcC decoder configuration: parsed SPS +
+    * PPS + NAL length-prefix size. None when the track is not avc1 or
+    * the configuration is outside [[H264]] scope. */
+  private[pipeline] def avcConfig(bytes: Array[Byte])
+      : Option[(H264.Sps, H264.Pps, Int)] =
+    try {
+      videoStbl(bytes).flatMap { case (cs, ce) =>
+        boxes(bytes, cs, ce).find(_._1 == "stsd").flatMap { case (_, s, e) =>
+          // version/flags + entry_count, then the first sample entry box
+          if (e - s < 16) None
+          else {
+            val fmt = new String(bytes, s + 12, 4,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val entryEnd = math.min(e.toLong, s + 8 + be32(bytes, s + 8)).toInt
+            // VisualSampleEntry fixed part is 78 bytes after the 8-byte
+            // entry box header; child boxes (avcC, …) follow
+            if (fmt != "avc1" || entryEnd < s + 16 + 78) None
+            else boxes(bytes, s + 16 + 78, entryEnd).find(_._1 == "avcC")
+              .flatMap { case (_, as, ae) =>
+                // avcC: version, profile, compat, level,
+                // 0xFC|lengthSizeMinusOne, 0xE0|numSPS, then SPS/PPS sets
+                if (ae - as < 7) None
+                else {
+                  val lengthSize = (bytes(as + 4) & 0x3) + 1
+                  val nSps = bytes(as + 5) & 0x1f
+                  var at = as + 6
+                  var sps: Option[H264.Sps] = None
+                  var i = 0
+                  while (i < nSps && at + 2 <= ae) {
+                    val len = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+                    if (sps.isEmpty && at + 2 + len <= ae && len >= 1)
+                      sps = H264.parseSps(
+                        H264.rbspOf(bytes, at + 3, at + 2 + len)) // skip NAL hdr
+                    at += 2 + len
+                    i += 1
+                  }
+                  var pps: Option[H264.Pps] = None
+                  if (at < ae) {
+                    val nPps = bytes(at) & 0xff
+                    at += 1
+                    var j = 0
+                    while (j < nPps && at + 2 <= ae) {
+                      val len = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+                      if (pps.isEmpty && at + 2 + len <= ae && len >= 1)
+                        pps = H264.parsePps(
+                          H264.rbspOf(bytes, at + 3, at + 2 + len))
+                      at += 2 + len
+                      j += 1
+                    }
+                  }
+                  for (s1 <- sps; p1 <- pps) yield (s1, p1, lengthSize)
+                }
+              }
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** All-I_PCM baseline H.264 decode → the shared [[RawVideo]] surface
+    * (top-down packed RGB, like BMFF raw). Accepted only when EVERY
+    * sample decodes — a mixed stream (any entropy-coded macroblock)
+    * falls through to the documented stub. */
+  def avcIPcmVideo(bytes: Array[Byte]): Option[RawVideo] =
+    avcConfig(bytes).flatMap { case (sps, pps, lengthSize) =>
+      val w = sps.width; val h = sps.height
+      if (w <= 0 || h <= 0) None
+      else {
+        val samples = bmffSamples(bytes)
+        if (samples.isEmpty) None
+        else {
+          val frames = samples.map(H264.decodeSample(_, lengthSize, sps, pps))
+          if (frames.exists(_.isEmpty)) None
+          else Some(RawVideo(w, h, w * 3, bgr = false, bottomUp = false,
+            frames.map(_.get)))
+        }
+      }
+    }
+
+  /** Raw video of any supported container/codec, AVI first (mirrors
+    * [[mjpegFrames]] precedence), then BMFF uncompressed, then
+    * baseline H.264 I_PCM. */
   def rawVideo(bytes: Array[Byte]): Option[RawVideo] =
-    aviRawVideo(bytes).orElse(bmffRawVideo(bytes))
+    aviRawVideo(bytes).orElse(bmffRawVideo(bytes)).orElse(avcIPcmVideo(bytes))
 
   /** Mean 8-bit Rec.601 luma of one raw frame — row order is
     * irrelevant for a mean, channel order is not. */

@@ -754,6 +754,222 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprints(broken.toDS()).count() == 0L)
   }
 
+  // ---- H.264 baseline I_PCM fixtures: hand-assembled SPS/PPS/IDR
+  // NALs (a tiny conforming encoder for the one raw-byte macroblock
+  // mode), exactly like the raw-AVI/BMFF fixtures — no external codec.
+
+  /** MSB-first bit writer with Exp-Golomb — the fixture-side twin of
+    * H264.BitReader. */
+  private final class BitW {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0; private var n = 0
+    def u(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) { out += cur.toByte; cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, len - 1); u(k, len)
+    }
+    def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def align0(): Unit = while (n != 0) u(0, 1)
+    def trail(): Unit = { u(1, 1); align0() }
+    def bytes: Array[Byte] = { require(n == 0, "not byte aligned"); out.toArray }
+  }
+
+  /** Insert emulation_prevention_three_byte after any 00 00 run that
+    * precedes a byte <= 3 (7.4.1.1 — what a conforming encoder does). */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    for (b <- rbsp) {
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  private def spsNal(wMbs: Int, hMbs: Int): Array[Byte] = {
+    val b = new BitW
+    b.u(66, 8); b.u(0, 8); b.u(10, 8) // baseline, constraints, level 1.0
+    b.ue(0) // sps_id
+    b.ue(0) // log2_max_frame_num_minus4 → 4 bits
+    b.ue(2) // pic_order_cnt_type 2 (no POC fields in slices)
+    b.ue(0) // max_num_ref_frames
+    b.u(0, 1) // gaps_in_frame_num_value_allowed
+    b.ue(wMbs - 1); b.ue(hMbs - 1)
+    b.u(1, 1) // frame_mbs_only
+    b.u(0, 1) // direct_8x8_inference
+    b.u(0, 1) // frame_cropping
+    b.u(0, 1) // vui_parameters_present
+    b.trail()
+    Array(0x67.toByte) ++ escapeRbsp(b.bytes)
+  }
+
+  private def ppsNal(): Array[Byte] = {
+    val b = new BitW
+    b.ue(0); b.ue(0) // pps_id, sps_id
+    b.u(0, 1) // entropy_coding_mode = CAVLC
+    b.u(0, 1) // bottom_field_pic_order_in_frame_present
+    b.ue(0) // num_slice_groups_minus1
+    b.ue(0); b.ue(0) // num_ref_idx defaults
+    b.u(0, 1); b.u(0, 2) // weighted_pred, weighted_bipred_idc
+    b.se(0); b.se(0); b.se(0) // pic_init_qp/qs, chroma_qp_offset
+    b.u(0, 1) // deblocking_filter_control_present
+    b.u(0, 1) // constrained_intra_pred
+    b.u(0, 1) // redundant_pic_cnt_present
+    b.trail()
+    Array(0x68.toByte) ++ escapeRbsp(b.bytes)
+  }
+
+  /** One IDR slice whose every macroblock is I_PCM; `luma(x, y)` fills
+    * the Y plane, chroma is neutral gray (128) so RGB == Y exactly.
+    * `mbType` overridable to build a NON-I_PCM stream for the
+    * fallback test. */
+  private def idrNal(wMbs: Int, hMbs: Int, luma: (Int, Int) => Int,
+                     mbType: Int = 25): Array[Byte] = {
+    val b = new BitW
+    b.ue(0) // first_mb_in_slice
+    b.ue(7) // slice_type: I (all slices of the picture)
+    b.ue(0) // pps_id
+    b.u(0, 4) // frame_num (log2MaxFrameNum = 4)
+    b.ue(0) // idr_pic_id
+    b.u(0, 1); b.u(0, 1) // dec_ref_pic_marking for IDR
+    b.se(0) // slice_qp_delta
+    for (mb <- 0 until wMbs * hMbs) {
+      b.ue(mbType)
+      if (mbType == 25) {
+        b.align0() // pcm_alignment_zero_bit
+        val mx = mb % wMbs; val my = mb / wMbs
+        for (i <- 0 until 256)
+          b.u(luma(mx * 16 + i % 16, my * 16 + i / 16) & 0xff, 8)
+        for (_ <- 0 until 128) b.u(128, 8) // Cb then Cr, neutral
+      }
+    }
+    b.trail()
+    Array(0x65.toByte) ++ escapeRbsp(b.bytes)
+  }
+
+  /** BMFF with an 'avc1' stsd entry (avcC carrying the SPS/PPS) and
+    * length-prefixed IDR samples in mdat — the fixture mirror of
+    * rawMp4Bytes for the H.264 I_PCM path. */
+  private def avcMp4Bytes(w: Int, h: Int,
+                          lumas: Seq[(Int, Int) => Int],
+                          mbType: Int = 25): Array[Byte] = {
+    val wMbs = w / 16; val hMbs = h / 16
+    val sps = spsNal(wMbs, hMbs); val pps = ppsNal()
+    def len16(a: Array[Byte]) =
+      Array(((a.length >> 8) & 0xff).toByte, (a.length & 0xff).toByte)
+    val avcC = mkBox("avcC",
+      Array[Byte](1, 66, 0, 10, (0xFC | 3).toByte, (0xE0 | 1).toByte),
+      len16(sps), sps, Array[Byte](1), len16(pps), pps)
+    val entry = mkBox("avc1", new Array[Byte](78), avcC)
+    val stsd = mkBox("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+    val samples = lumas.map { f =>
+      val nal = idrNal(wMbs, hMbs, f, mbType)
+      be32(nal.length.toLong) ++ nal // 4-byte length prefix (avcC 0xFF)
+    }
+    val mvhd = mkBox("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(600), be32(600L * samples.length))
+    val tkhd = mkBox("tkhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(1), be32(0), be32(600L * samples.length),
+      new Array[Byte](8 + 2 + 2 + 2 + 2 + 36),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    val stts = mkBox("stts", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(samples.length), be32(600))
+    val stsz = mkBox("stsz", Array[Byte](0, 0, 0, 0), be32(0),
+      be32(samples.length), samples.map(s => be32(s.length)).flatten.toArray)
+    val stsc = mkBox("stsc", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(1), be32(samples.length), be32(1))
+    def moovOf(stco: Array[Byte]): Array[Byte] =
+      mkBox("moov", mvhd, mkBox("trak", tkhd, mkBox("mdia", mkBox("minf",
+        mkBox("stbl", stsd, stts, stsz, stsc, stco)))))
+    val probeLen = moovOf(mkBox("stco", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(0))).length
+    val moov = moovOf(mkBox("stco", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(probeLen + 8L)))
+    moov ++ mkBox("mdat", samples.flatten.toArray)
+  }
+
+  test("H.264 baseline I_PCM: real pixel decode, grayscale exact") {
+    // 32×32 = 2×2 macroblocks, horizontal luma ramp, neutral chroma
+    val lum = (x: Int, _: Int) => math.min(255, 30 + x * 6)
+    val clip = avcMp4Bytes(32, 32, Seq(lum))
+    assert(Multimodal.bmffSampleFormat(clip).contains("avc1"))
+    val rv = Multimodal.avcIPcmVideo(clip).get
+    assert(rv.width == 32 && rv.height == 32 && rv.frames.length == 1)
+    assert(!rv.bgr && !rv.bottomUp && rv.stride == 96)
+    val f = rv.frames.head
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val o = y * rv.stride + x * 3
+      val exp = lum(x, y)
+      assert((f(o) & 0xff) == exp && (f(o + 1) & 0xff) == exp &&
+        (f(o + 2) & 0xff) == exp, s"pixel ($x,$y)")
+    }
+  }
+
+  test("I_PCM clip flows through the SAME integer-grid dHash path as raw video") {
+    val lum = (x: Int, y: Int) => math.min(255, 16 + x * 5 + y * 2)
+    val implicits = spark.implicits
+    import implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(60L, "video", avcMp4Bytes(32, 32, Seq(lum))))
+    val got = Multimodal.videoHashes(rows.toDS()).collect()
+    assert(got.length == 1 && got(0).getInt(2) == 32 && got(0).getInt(3) == 32)
+    // expected dHash via the shared rawFrameImage + dHash64 kernel on
+    // a directly-constructed image with the same grayscale pixels
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = lum(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val expected = Multimodal.dHash64(img)
+    assert(got(0).getLong(1) == expected && expected != 0L)
+  }
+
+  test("I_PCM emulation-prevention bytes round-trip exactly") {
+    // plant a luma run 0,0,1 inside the PCM bytes: the fixture encoder
+    // must insert 0x03 and the decoder must strip it
+    val lum = (x: Int, y: Int) =>
+      if (y == 0 && (x == 4 || x == 5)) 0 else if (y == 0 && x == 6) 1 else 77
+    val clip = avcMp4Bytes(16, 16, Seq(lum))
+    // the escape byte is actually present in the coded sample
+    val rv = Multimodal.avcIPcmVideo(clip).get
+    val f = rv.frames.head
+    assert((f(4 * 3) & 0xff) == 0 && (f(5 * 3) & 0xff) == 0 &&
+      (f(6 * 3) & 0xff) == 1 && (f(7 * 3) & 0xff) == 77)
+  }
+
+  test("entropy-coded (non-I_PCM) H.264 still falls back, never mis-decodes") {
+    // same container, mb_type 0 (I_4x4 — entropy-coded residuals):
+    // out of scope by contract, must return None and be dropped
+    val clip = avcMp4Bytes(16, 16, Seq((_, _) => 50), mbType = 0)
+    assert(Multimodal.avcIPcmVideo(clip).isEmpty)
+    val implicits = spark.implicits
+    import implicits._
+    val rows = Seq(Multimodal.MediaRow(61L, "video", clip))
+    assert(Multimodal.videoHashes(rows.toDS()).count() == 0L)
+  }
+
+  test("I_PCM temporal signature: k frames decode through videoTemporalHashes") {
+    val implicits = spark.implicits
+    import implicits._
+    val mk = (base: Int) => (x: Int, y: Int) =>
+      math.min(255, base + x * 4 + y)
+    val rows = Seq(Multimodal.MediaRow(62L, "video",
+      avcMp4Bytes(32, 32, Seq(mk(10), mk(60), mk(120)))))
+    val got = Multimodal.videoTemporalHashes(rows.toDS(), k = 3).collect()
+    assert(got.length == 1)
+    val hashes = got(0).getSeq[Long](1)
+    assert(hashes.length == 3 && got(0).getLong(2) == 3L)
+  }
+
   test("videoHashes + videoDedupPairs over REAL raw-AVI payloads") {
     val implicits = spark.implicits
     import implicits._
