@@ -67,9 +67,12 @@ object ScaleProbe {
       }.reduce(_ unionByName _).localCheckpoint()
       def time(name: String)(df: => DataFrame): (String, Double) = {
         if (only.exists(!_.contains(name))) return name -> -1.0
+        System.err.println(s"[probe] start $name (rep=$rep)")
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.foreach(_ => ())
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[probe] done  $name (rep=$rep) $sec%.1f s")
+        name -> sec
       }
       Map(
         time("minhash_pairs")(Dedup.minhashPairs(docs)),
@@ -373,6 +376,23 @@ object ScaleProbe {
         // dHash per doc — pure byte work, no codec, ~linear
         time("video_dedup")(graft.pipeline.Multimodal.videoDedupPairs(
           graft.pipeline.Multimodal.syntheticVideoCorpus(docs, "doc_id"), 3)),
+        // the FLAGSHIP multimodal composition: all three media pair
+        // builds (decode-bound, ~linear each) + per-modality CC on
+        // family-bounded pair graphs + the text gates — expect the
+        // slowest constituent's curve (~linear), since the gates are
+        // maps and the drops a doc_id semi-join
+        time("training_mix_mm") {
+          val drops = graft.pipeline.Multimodal.mediaClusterDropIds(Seq(
+            "image" -> graft.pipeline.Multimodal.imageDedupPairs(
+              graft.pipeline.Multimodal.syntheticImageCorpus(docs, "doc_id"), 3),
+            "audio" -> graft.pipeline.Multimodal.audioDedupPairs(
+              graft.pipeline.Multimodal.syntheticAudioCorpus(docs, "doc_id"), 3),
+            "video" -> graft.pipeline.Multimodal.videoDedupPairs(
+              graft.pipeline.Multimodal.syntheticVideoCorpus(docs, "doc_id"), 3)))
+          Corpus.trainingMixReport(docs,
+            Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.29, "fr" -> 0.1),
+            mediaDropIds = Some(drops))
+        },
         time("basket_pairs") {
           val li = (0 until rep).map { r =>
             liBase.select(
@@ -408,9 +428,12 @@ object ScaleProbe {
       val sym = graft.graph.DerivedGraphs.sym(pairs).localCheckpoint()
       def time(name: String)(df: => DataFrame): (String, Double) = {
         if (only.exists(!_.contains(name))) return name -> -1.0
+        System.err.println(s"[probe] start $name (rep=$rep)")
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.foreach(_ => ())
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[probe] done  $name (rep=$rep) $sec%.1f s")
+        name -> sec
       }
       Map(
         time("semdedup")(graft.pipeline.Similarity.semDedup(emb)),
@@ -494,7 +517,26 @@ object ScaleProbe {
         // IVFADC adds the coarse fold + residual subtraction, both
         // n·d passes; probed-cell candidates are nprobe/kCoarse of
         // the K× corpus — expect ~linear
-        time("ann_ivfpq")(graft.pipeline.Similarity.annIvfPq(emb)))
+        time("ann_ivfpq")(graft.pipeline.Similarity.annIvfPq(emb)),
+        // 3 move+coarsen levels, each two hash joins on a strictly
+        // shrinking edge frame over K disjoint replicas — expect the
+        // louvain level-1 curve (~linear)
+        time("louvain_multi")(graft.algorithms.Community.louvainMulti(
+          sym.select(col("src").as("id")).distinct(),
+          sym.select(col("src"), col("dst")), 3)),
+        // Adamic-Adar over common neighbors. The EXACT all-pairs form
+        // is deliberately NOT probed (the square_count discipline):
+        // its wedge stream is Σdeg(w)² — ~3×10⁸ rows on ONE sf0.1
+        // co-occur replica, spilling past memory as K grows (measured
+        // once, K=4 ratio 5.54 at t1=37 s — the honest dense-graph
+        // property of the exact form, which the scaladoc reserves for
+        // label-bounded subgraphs; production serves the focal form).
+        // The hub-capped variant IS the production all-pairs answer
+        // (1/ln(deg) is flat for hubs — they add wedge rows, not
+        // signal): wedge volume ≤ |V|·cap² per replica — expect
+        // ~linear over K disjoint replicas
+        time("link_predict")(graft.algorithms.LinkPrediction.topPredictions(
+          sym.select(col("src"), col("dst")), None, 50, hubCap = 64)))
     }
 
     val t1 = (corpusTimes(1) ++ extraTimes(1)).filter(_._2 >= 0)

@@ -117,8 +117,8 @@ object LinkPrediction {
     * report a recommender actually serves. TakeOrdered on the scored
     * frame: no full sort materializes. */
   def topPredictions(symEdges: DataFrame, focal: Option[DataFrame],
-                     n: Int): DataFrame =
-    scores(symEdges, focal)
+                     n: Int, hubCap: Int = 0): DataFrame =
+    scores(symEdges, focal, hubCap)
       .orderBy(col("aa").desc, col("a").asc, col("b").asc)
       .limit(n)
 }

@@ -917,6 +917,27 @@ object Multimodal {
     }.toDF("media_id", "dhash", "ahash", "width", "height")
   }
 
+  /** ONE per-payload 64-bit perceptual fingerprint per modality — the
+    * shared kernel of [[imageHashes]] (integer-grid dHash),
+    * [[audioFingerprints]] (band-energy sign hash) and [[videoHashes]]
+    * (first-decodable-frame dHash across the MJPEG / uncompressed /
+    * I_PCM paths), factored as a pure payload function so the
+    * streaming intake gate ([[graft.streaming.MediaStreams]]) computes
+    * bit-identical hashes to the batch jobs. None when no real decoder
+    * accepts the payload (the decode-health drop discipline). */
+  def mediaFingerprint(kind: String, bytes: Array[Byte]): Option[Long] =
+    kind match {
+      case "image" => decodeImage(bytes).map(dHash64)
+      case "audio" => audioFingerprint(bytes)
+      case "video" =>
+        val mj = mjpegFrames(bytes)
+        mj.headOption.flatMap(decodeImage).map(dHash64)
+          .orElse(rawVideo(bytes).collect {
+            case rv if rv.frames.nonEmpty => dHash64(rawFrameImage(rv, rv.frames.head))
+          })
+      case _ => None
+    }
+
   /** Hamming-blocked candidate pairs over a 64-bit hash column — the
     * pigeonhole blocking of [[graft.pipeline.Dedup.simhashPairs]]
     * lifted to 64 bits: 4 chunks of 16 bits; any pair within hamming
