@@ -791,6 +791,57 @@ GROUP BY d.source ORDER BY d.source"""
     * frequency over the same 60-bit segment hash (so an improbable
     * hash collision collides identically in both engines), survivors
     * re-joined in position order. */
+  /** dupSpans mirror: stride-1 windows, df over the window hash, the
+    * same gaps-and-islands run grouping and running-max interval
+    * union, every step MATERIALIZED. */
+  def dupSpansSql(width: Int, minDf: Int): String = {
+    val w = width
+    s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+wins AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         ${h60(s"'sw:' || array_to_string(a[i : i + $w - 1], ' ')")} AS g
+  FROM arr, unnest(generate_series(1, len(a) - $w + 1)) AS t(i)
+  WHERE len(a) >= $w),
+base AS MATERIALIZED (
+  SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(a) - $w + 1, 0) AS BIGINT) AS n_positions
+  FROM arr),
+dfreq AS MATERIALIZED (
+  SELECT g, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY g),
+dup AS MATERIALIZED (
+  SELECT w.doc_id, w.pos,
+    w.pos - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS run
+  FROM wins w JOIN dfreq USING (g) WHERE dfreq.df >= $minDf),
+runs AS MATERIALIZED (
+  SELECT doc_id, run, COUNT(*) AS n_dup_pos,
+    MIN(pos) AS cov0, MAX(pos) + $w - 1 AS cov1
+  FROM dup GROUP BY 1, 2),
+mg AS MATERIALIZED (
+  SELECT doc_id, n_dup_pos, cov0, cov1,
+    CASE WHEN cov0 > COALESCE(MAX(cov1) OVER (PARTITION BY doc_id
+      ORDER BY cov0 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS newspan
+  FROM runs),
+grpd AS MATERIALIZED (
+  SELECT doc_id, n_dup_pos, cov0, cov1,
+    SUM(newspan) OVER (PARTITION BY doc_id ORDER BY cov0) AS grp
+  FROM mg),
+spans AS MATERIALIZED (
+  SELECT doc_id, grp, SUM(n_dup_pos) AS dp, MIN(cov0) AS c0, MAX(cov1) AS c1
+  FROM grpd GROUP BY 1, 2),
+agg AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(dp) AS BIGINT) AS n_dup_positions,
+    CAST(COUNT(*) AS BIGINT) AS n_spans,
+    CAST(SUM(c1 - c0 + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_positions,
+  COALESCE(a.n_dup_positions, 0) AS n_dup_positions,
+  COALESCE(a.n_spans, 0) AS n_spans,
+  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+  ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_share
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+  }
+
   def segmentDedupSql(width: Int, minDf: Int): String =
     s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 segs AS MATERIALIZED (

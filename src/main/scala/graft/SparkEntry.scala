@@ -938,6 +938,11 @@ object SparkEntry {
       Corpus.hashSample(GraphBuilder.table(s, d, "documents"))),
     "q_segment_dedup" -> ((s, d) =>
       Corpus.segmentDedup(GraphBuilder.table(s, d, "documents"))),
+    // stride-1 maximal duplicated spans (the Lee-et-al exact-substring
+    // statistic at window granularity — catches boundary-straddling
+    // repeats the fixed segments miss)
+    "q_dup_spans" -> ((s, d) =>
+      Corpus.dupSpans(GraphBuilder.table(s, d, "documents"))),
     "q_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(GraphBuilder.table(s, d, "documents"),
         minhashPairsCached(s, d))),
@@ -1551,6 +1556,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_containment" -> PipelineOracles.containmentSql,
     "q_sample_hash" -> PipelineOracles.hashSampleSql(10),
     "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
+    "q_dup_spans" -> PipelineOracles.dupSpansSql(10, 2),
     "q_source_overlap" -> PipelineOracles.sourceOverlapSql,
     "q_mix_report" -> PipelineOracles.mixReportSql,
     "q_temp_mix" -> PipelineOracles.temperatureMixSql(0.5, 100000L),

@@ -196,9 +196,40 @@ object H264 {
       Some((y, cbP, crP))
     } catch { case _: Exception => None }
 
+  /** Decoded planes → packed top-down RGB (w·3 stride), cropped per
+    * the SPS: full-range BT.601 (the JFIF matrix the MJPEG path uses),
+    * nearest-neighbor chroma upsample, round-half-up + clamp. */
+  private[pipeline] def toRgb(sps: Sps,
+      planes: (Array[Byte], Array[Byte], Array[Byte])): Array[Byte] = {
+    val (y, cb, cr) = planes
+    val w = sps.width; val h = sps.height
+    val lumaW = sps.widthMbs * 16
+    val chromaW = sps.widthMbs * 8
+    val rgb = new Array[Byte](w * h * 3)
+    var py = 0
+    while (py < h) {
+      val sy = py + 2 * sps.cropT
+      var px = 0
+      while (px < w) {
+        val sx = px + 2 * sps.cropL
+        val yy = y(sy * lumaW + sx) & 0xff
+        val cbV = cb((sy / 2) * chromaW + sx / 2) & 0xff
+        val crV = cr((sy / 2) * chromaW + sx / 2) & 0xff
+        def cl(v: Double): Int = math.max(0, math.min(255, math.rint(v).toInt))
+        val o = (py * w + px) * 3
+        rgb(o) = cl(yy + 1.402 * (crV - 128)).toByte
+        rgb(o + 1) = cl(yy - 0.344136 * (cbV - 128) - 0.714136 * (crV - 128)).toByte
+        rgb(o + 2) = cl(yy + 1.772 * (cbV - 128)).toByte
+        px += 1
+      }
+      py += 1
+    }
+    rgb
+  }
+
   /** Decode one length-prefixed BMFF sample (avcC lengthSize) whose
-    * coded slice is all-I_PCM → packed top-down RGB (w·3 stride),
-    * cropped per the SPS. None when no slice NAL decodes. */
+    * coded slice is all-I_PCM → packed top-down RGB, cropped per the
+    * SPS. None when no slice NAL decodes. */
   private[pipeline] def decodeSample(sample: Array[Byte], lengthSize: Int,
       sps: Sps, pps: Pps): Option[Array[Byte]] = {
     var at = 0
@@ -218,31 +249,65 @@ object H264 {
           idr = nalType == 5, refIdc, sps, pps)
       at = ne.toInt
     }
-    planes.map { case (y, cb, cr) =>
-      val w = sps.width; val h = sps.height
-      val lumaW = sps.widthMbs * 16
-      val chromaW = sps.widthMbs * 8
-      val rgb = new Array[Byte](w * h * 3)
-      var py = 0
-      while (py < h) {
-        val sy = py + 2 * sps.cropT
-        var px = 0
-        while (px < w) {
-          val sx = px + 2 * sps.cropL
-          val yy = y(sy * lumaW + sx) & 0xff
-          val cbV = cb((sy / 2) * chromaW + sx / 2) & 0xff
-          val crV = cr((sy / 2) * chromaW + sx / 2) & 0xff
-          // full-range BT.601 (the JFIF matrix), round-half-up + clamp
-          def cl(v: Double): Int = math.max(0, math.min(255, math.rint(v).toInt))
-          val o = (py * w + px) * 3
-          rgb(o) = cl(yy + 1.402 * (crV - 128)).toByte
-          rgb(o + 1) = cl(yy - 0.344136 * (cbV - 128) - 0.714136 * (crV - 128)).toByte
-          rgb(o + 2) = cl(yy + 1.772 * (cbV - 128)).toByte
-          px += 1
-        }
-        py += 1
-      }
-      rgb
+    planes.map(toRgb(sps, _))
+  }
+
+  /** NAL payload ranges of an Annex-B byte stream (B.1.1 start codes
+    * 00 00 01 / 00 00 00 01): (payloadStart, payloadEnd) per NAL, end
+    * = next start code's first zero (trailing zeros before a start
+    * code are ignorable RBSP trailing bytes — the bit reader never
+    * reads past the stop bit it needs). */
+  private[pipeline] def annexBNals(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val codes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    val n = bytes.length
+    while (i + 3 <= n) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        codes += ((i, i + 3)); i += 3
+      } else if (i + 4 <= n && bytes(i) == 0 && bytes(i + 1) == 0 &&
+                 bytes(i + 2) == 0 && bytes(i + 3) == 1) {
+        codes += ((i, i + 4)); i += 4
+      } else i += 1
     }
+    codes.toSeq.zipWithIndex.map { case ((codePos, payloadStart), k) =>
+      val end = if (k + 1 < codes.length) codes(k + 1)._1 else n
+      (payloadStart, end)
+    }.filter { case (s, e) => e > s }
+  }
+
+  /** Decode a bare Annex-B baseline H.264 stream whose every coded
+    * slice is all-I_PCM: SPS/PPS picked up in stream order, one RGB
+    * frame per slice NAL. None unless the stream starts with a start
+    * code, carries usable SPS+PPS, and EVERY slice decodes (mixed
+    * streams fall back to the caller's stub). */
+  def decodeAnnexB(bytes: Array[Byte]): Option[(Sps, Seq[Array[Byte]])] = {
+    if (bytes.length < 5 ||
+        !(bytes(0) == 0 && bytes(1) == 0 &&
+          (bytes(2) == 1 || (bytes(2) == 0 && bytes(3) == 1)))) return None
+    var sps: Option[Sps] = None
+    var pps: Option[Pps] = None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    for ((s, e) <- annexBNals(bytes)) {
+      val hdr = bytes(s) & 0xff
+      val nalType = hdr & 0x1f
+      val refIdc = (hdr >> 5) & 3
+      nalType match {
+        case 7 => if (sps.isEmpty) sps = parseSps(rbspOf(bytes, s + 1, e))
+        case 8 => if (pps.isEmpty) pps = parsePps(rbspOf(bytes, s + 1, e))
+        case 1 | 5 =>
+          val f = for {
+            s1 <- sps; p1 <- pps
+            pl <- decodeIPcmSlice(rbspOf(bytes, s + 1, e),
+              idr = nalType == 5, refIdc, s1, p1)
+          } yield toRgb(s1, pl)
+          f match {
+            case Some(rgb) => frames += rgb
+            case None => return None // any undecodable slice → stub
+          }
+        case _ => () // SEI/AUD/filler: ignorable for pixel decode
+      }
+    }
+    for (s1 <- sps if frames.nonEmpty && s1.width > 0 && s1.height > 0)
+      yield (s1, frames.toSeq)
   }
 }

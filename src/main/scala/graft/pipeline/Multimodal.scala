@@ -549,11 +549,21 @@ object Multimodal {
       }
     }
 
+  /** Bare Annex-B baseline H.264 all-I_PCM stream (the other common
+    * storage form — raw `.h264` elementary streams with 00 00 [00] 01
+    * start codes, no container) through the same RawVideo surface. */
+  def avcAnnexBVideo(bytes: Array[Byte]): Option[RawVideo] =
+    H264.decodeAnnexB(bytes).map { case (sps, frames) =>
+      RawVideo(sps.width, sps.height, sps.width * 3, bgr = false,
+        bottomUp = false, frames)
+    }
+
   /** Raw video of any supported container/codec, AVI first (mirrors
     * [[mjpegFrames]] precedence), then BMFF uncompressed, then
-    * baseline H.264 I_PCM. */
+    * baseline H.264 I_PCM in BMFF, then bare Annex-B I_PCM. */
   def rawVideo(bytes: Array[Byte]): Option[RawVideo] =
-    aviRawVideo(bytes).orElse(bmffRawVideo(bytes)).orElse(avcIPcmVideo(bytes))
+    aviRawVideo(bytes).orElse(bmffRawVideo(bytes))
+      .orElse(avcIPcmVideo(bytes)).orElse(avcAnnexBVideo(bytes))
 
   /** Mean 8-bit Rec.601 luma of one raw frame — row order is
     * irrelevant for a mean, channel order is not. */

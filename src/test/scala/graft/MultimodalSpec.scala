@@ -957,6 +957,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoHashes(rows.toDS()).count() == 0L)
   }
 
+  test("bare Annex-B I_PCM stream decodes through the same RawVideo surface") {
+    val sc4 = Array[Byte](0, 0, 0, 1); val sc3 = Array[Byte](0, 0, 1)
+    val lum1 = (x: Int, y: Int) => math.min(255, 20 + x * 7 + y)
+    val lum2 = (x: Int, _: Int) => math.min(255, 200 - x * 3)
+    val stream = sc4 ++ spsNal(2, 2) ++ sc3 ++ ppsNal() ++
+      sc3 ++ idrNal(2, 2, lum1) ++ sc3 ++ idrNal(2, 2, lum2)
+    val rv = Multimodal.avcAnnexBVideo(stream).get
+    assert(rv.width == 32 && rv.height == 32 && rv.frames.length == 2)
+    for (x <- 0 until 32) {
+      assert((rv.frames(0)(x * 3) & 0xff) == lum1(x, 0), s"f0 x=$x")
+      assert((rv.frames(1)(x * 3) & 0xff) == lum2(x, 0), s"f1 x=$x")
+    }
+    // flows through videoHashes like every other decodable payload
+    val implicits = spark.implicits
+    import implicits._
+    val got = Multimodal.videoHashes(
+      Seq(Multimodal.MediaRow(63L, "video", stream)).toDS()).collect()
+    assert(got.length == 1 && got(0).getLong(4) == 2L)
+    // a non-I_PCM Annex-B stream falls back (dropped, never mis-decoded)
+    val bad = sc4 ++ spsNal(1, 1) ++ sc3 ++ ppsNal() ++
+      sc3 ++ idrNal(1, 1, (_, _) => 50, mbType = 0)
+    assert(Multimodal.avcAnnexBVideo(bad).isEmpty)
+  }
+
   test("I_PCM temporal signature: k frames decode through videoTemporalHashes") {
     val implicits = spark.implicits
     import implicits._

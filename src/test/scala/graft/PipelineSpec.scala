@@ -1214,6 +1214,48 @@ class PipelineSpec extends SparkSpec {
     assert(r("zz") == ("zz", 1L), s"got $r")
   }
 
+  test("dupSpans: maximal runs, boundary-straddling repeats, short docs") {
+    // docs 1/2 share the 6-token substring "a b c d e f" which
+    // STRADDLES every width-3 segment boundary — segmentDedup-style
+    // fixed windows would miss it, stride-1 windows cannot
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "x a b c d e f y",
+      3L -> "p q r",
+      4L -> "z z")
+    val r = graft.pipeline.Corpus.dupSpans(d, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5), x.getDouble(6)))).toMap
+    // doc 1: dup positions 0..3 (windows abc bcd cde def), one run
+    // covering tokens 0..5 = 6 of 8
+    assert(r(1L) == ((8L, 6L, 4L, 1L, 6L, 0.75)), s"got ${r(1L)}")
+    assert(r(2L) == ((8L, 6L, 4L, 1L, 6L, 0.75)), s"got ${r(2L)}")
+    assert(r(3L) == ((3L, 1L, 0L, 0L, 0L, 0.0)), s"got ${r(3L)}")
+    // shorter than one window: zero positions, kept with zeros
+    assert(r(4L) == ((2L, 0L, 0L, 0L, 0L, 0.0)), s"got ${r(4L)}")
+  }
+
+  test("dupSpans: overlapping run coverages merge into one span") {
+    // doc 8's dup positions 0 and 2 (window 1 unique): coverages 0-2
+    // and 2-4 overlap -> ONE merged span of 5 tokens
+    val d = docs(
+      8L -> "a1 a2 a3 a4 a5",
+      9L -> "a1 a2 a3",
+      10L -> "a3 a4 a5")
+    val r = graft.pipeline.Corpus.dupSpans(d, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5), x.getDouble(6)))).toMap
+    assert(r(8L) == ((2L, 1L, 5L, 1.0)), s"got ${r(8L)}")
+    assert(r(9L) == ((1L, 1L, 3L, 1.0)), s"got ${r(9L)}")
+    // disjoint coverages stay separate spans
+    val d2 = docs(5L -> "s t u W1 W2 s t u", 6L -> "s t u")
+    val r2 = graft.pipeline.Corpus.dupSpans(d2, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r2(5L) == ((2L, 2L, 6L)), s"got ${r2(5L)}")
+  }
+
   test("bpeTrain: later merges operate on merged symbols (iterated, not first-round)") {
     val d = docs(1L -> "abab abab abab")
     // round 1 over ' a b a b ': 'a b' 6 (2/word ×3) beats 'b a' 3;
