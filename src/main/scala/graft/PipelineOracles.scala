@@ -842,6 +842,17 @@ SELECT b.doc_id, b.n_tokens, b.n_positions,
 FROM base b LEFT JOIN agg a USING (doc_id)"""
   }
 
+  /** unicodeAudit mirror: DuckDB's built-in nfc_normalize against the
+    * native graft_nfc expression — both UAX #15 canonical composition,
+    * lengths in code points on both engines. */
+  val unicodeAuditSql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnfc,
+  CAST(SUM(length(text) - length(nfc_normalize(text))) AS BIGINT) AS nfc_len_delta,
+  CAST(SUM(CASE WHEN length(text) > length(replace(text, chr(65533), '')) THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement_docs,
+  CAST(SUM(length(text) - length(replace(text, chr(65533), ''))) AS BIGINT) AS n_replacement_chars
+FROM documents GROUP BY 1"""
+
   def segmentDedupSql(width: Int, minDf: Int): String =
     s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 segs AS MATERIALIZED (

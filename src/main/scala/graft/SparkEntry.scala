@@ -943,6 +943,10 @@ object SparkEntry {
     // repeats the fixed segments miss)
     "q_dup_spans" -> ((s, d) =>
       Corpus.dupSpans(GraphBuilder.table(s, d, "documents"))),
+    // UAX #15 NFC audit (native graft_nfc expression ↔ DuckDB's
+    // nfc_normalize — both implement the same canonical composition)
+    "q_unicode_audit" -> ((s, d) =>
+      pipeline.TextOps.unicodeAudit(GraphBuilder.table(s, d, "documents"))),
     "q_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(GraphBuilder.table(s, d, "documents"),
         minhashPairsCached(s, d))),
@@ -1557,6 +1561,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_sample_hash" -> PipelineOracles.hashSampleSql(10),
     "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
     "q_dup_spans" -> PipelineOracles.dupSpansSql(10, 2),
+    "q_unicode_audit" -> PipelineOracles.unicodeAuditSql,
     "q_source_overlap" -> PipelineOracles.sourceOverlapSql,
     "q_mix_report" -> PipelineOracles.mixReportSql,
     "q_temp_mix" -> PipelineOracles.temperatureMixSql(0.5, 100000L),

@@ -185,6 +185,43 @@ object TextOps {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"))
         .cast("long").as("bpe_tokens"))
 
+  /** Unicode-normalization audit per source (UAX #15 NFC): documents
+    * whose text is NOT in canonical composed form — the silent-dedup-
+    * defeat signal every multilingual ingest screens before hashing
+    * (two byte encodings of the same visible string tokenize and hash
+    * DIFFERENTLY, so exact dedup misses them) — plus U+FFFD
+    * replacement-character carriers (upstream decode damage). NFC via
+    * the native codegen'd [[graft.sql.NfcNormalize]] (Spark ships no
+    * normalizer; DuckDB mirrors with its built-in nfc_normalize —
+    * both implement UAX #15, so the forms agree). Returns per source:
+    * (source, n_docs, n_nonnfc, nfc_len_delta, n_replacement_docs,
+    * n_replacement_chars). The synthetic corpus is ASCII-clean, so
+    * the oracle validates the expressions agree engine-to-engine;
+    * the spec exercises real decomposed/damaged strings (the
+    * piiDensity precedent).
+    *
+    * Scale: ONE narrow scan (isNormalized fast path — allocation-free
+    * on clean data) + a |sources|-key map-side-combined aggregate. */
+  def unicodeAudit(docs: DataFrame): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.sql.NfcNormalize.register)
+    val nfc = call_function("graft_nfc", col("text"))
+    docs
+      .select(col("source"),
+        (nfc =!= col("text")).cast("long").as("_nonnfc"),
+        (length(col("text")) - length(nfc)).cast("long").as("_delta"),
+        (length(col("text")) -
+          length(translate(col("text"), "\uFFFD", ""))).cast("long")
+          .as("_repl"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("_nonnfc").cast("long").as("n_nonnfc"),
+        sum("_delta").cast("long").as("nfc_len_delta"),
+        sum((col("_repl") > 0).cast("long")).cast("long")
+          .as("n_replacement_docs"),
+        sum("_repl").cast("long").as("n_replacement_chars"))
+  }
+
   /** Document fingerprint: min 8-gram rolling-window hash (min-sampling,
     * the 1-fingerprint case of winnowing). */
   def fingerprint(docs: DataFrame): DataFrame =

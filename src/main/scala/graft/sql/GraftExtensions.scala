@@ -34,5 +34,9 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       JaroWinkler.info,
       (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

@@ -1214,6 +1214,30 @@ class PipelineSpec extends SparkSpec {
     assert(r("zz") == ("zz", 1L), s"got $r")
   }
 
+  test("unicodeAudit: decomposed accents and replacement chars flagged per source") {
+    val implicits = spark.implicits
+    import implicits._
+    val d = Seq(
+      (1L, "café menu", "src1"), // decomposed é → non-NFC, 1 char saved
+      (2L, "café menu", "src1"),  // composed — NFC-clean
+      (3L, "bad �� bytes", "src2"), // decode damage, NFC-clean
+      (4L, "plain ascii", "src2")).toDF("doc_id", "text", "source")
+    val r = graft.pipeline.TextOps.unicodeAudit(d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5)))).toMap
+    assert(r("src1") == ((2L, 1L, 1L, 0L, 0L)), s"got ${r("src1")}")
+    assert(r("src2") == ((2L, 0L, 0L, 1L, 2L)), s"got ${r("src2")}")
+    // engine parity on a NON-ASCII frame: graft_nfc must agree with
+    // java.text.Normalizer directly (the expression under the audit)
+    val got = d.select(call_function("graft_nfc", col("text"))).collect()
+      .map(_.getString(0))
+    val exp = d.select("text").collect().map(x =>
+      java.text.Normalizer.normalize(x.getString(0),
+        java.text.Normalizer.Form.NFC))
+    assert(got.sameElements(exp))
+  }
+
   test("dupSpans: maximal runs, boundary-straddling repeats, short docs") {
     // docs 1/2 share the 6-token substring "a b c d e f" which
     // STRADDLES every width-3 segment boundary — segmentDedup-style

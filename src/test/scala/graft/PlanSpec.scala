@@ -197,6 +197,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dupSpans: ONE corpus scan (checkpoint-pinned), no cartesian") {
+    // the window stream is localCheckpoint-materialized and feeds BOTH
+    // the df aggregate and the join back — a parquet FileScan in the
+    // returned plan means a subtree re-derived the corpus (the
+    // goodTuring defect class); the run/merge analysis must join on
+    // keys, never cross
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.inputPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val df = SparkEntry.queries("q_dup_spans")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    assert(fileScans(plan).isEmpty,
+      "q_dup_spans re-derives the corpus — the checkpoint pin regressed")
+    assert(!plan.toString.contains("CartesianProduct"),
+      "q_dup_spans plan contains a cartesian product")
+  }
+
   test("label filter prunes a literal-labeled union down to one scan") {
     // The node table is a union of per-table projections with literal
     // labels — this shows Catalyst folds label = 'X' per branch and drops
