@@ -1203,6 +1203,21 @@ object SparkEntry {
         .groupBy("hamming")
         .agg(count(lit(1)).cast("long").as("n_pairs"))
         .orderBy("hamming")),
+    // rows-only driver check (no oracleSql): the thumbnail-extraction
+    // channel — every clip's poster still (REAL PNG re-encode of the
+    // decoded first frame) pairs back to its source video through the
+    // shared dHash kernel; within-modality dedup never sees the pair.
+    // Spec-pinned in MultimodalSpec.
+    "q_cross_modal_dedup" -> ((s, d) => {
+      val docs = GraphBuilder.table(s, d, "documents")
+      val vids = pipeline.Multimodal.syntheticVideoCorpus(docs, "doc_id")
+      val stills = pipeline.Multimodal.syntheticPosterStills(
+        docs, "doc_id", 1000000L)
+      pipeline.Multimodal.crossModalDedupPairs(vids.union(stills), 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy("hamming")
+    }),
     // rows-only driver check (no oracleSql): REAL WAV payloads through
     // the REAL javax.sound.sampled decode + integer band-energy sign
     // hash — same contract as q_image_dedup; spec-pinned in

@@ -1320,6 +1320,61 @@ object Multimodal {
   def videoDedupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     hammingPairs64(videoHashes(media), "media_id", "vhash", maxHamming)
 
+  /** Poster-still corpus: for each id, the FIRST FRAME of its
+    * [[syntheticVideoCorpus]] clip re-encoded as a REAL PNG still —
+    * the thumbnail-extraction channel [[crossModalDedupPairs]] exists
+    * to catch (a clip and its extracted poster are one piece of
+    * content in two modalities). `offset` shifts the still ids so the
+    * mixed corpus carries both copies under distinct media_ids. */
+  def syntheticPosterStills(ids: DataFrame, idCol: String,
+                            offset: Long): Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    syntheticVideoCorpus(ids, idCol).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        rawVideo(r.media).map { rv =>
+          val img = rawFrameImage(rv, rv.frames.head)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRow(r.media_id + offset, "image", baos.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** CROSS-MODALITY near-dup pairs: a video's first-frame thumbprint
+    * against the still-image dHashes — the thumbnail-extraction
+    * duplicate channel (a clip and its poster/preview still are the
+    * SAME content twice; within-modality dedup alone never sees the
+    * pair because the two copies live in different kind partitions).
+    * The image and video hash kernels share [[dHash64]] over the same
+    * integer luma grid, so identical rasters collide exactly. One
+    * [[hammingPairs64]] over the kind-tagged union, cross-kind pairs
+    * kept. Output (image_id, video_id, hamming).
+    *
+    * Scale: the union is one narrow decode map per modality; the pair
+    * join is the shared pigeonhole blocking — never all-pairs. */
+  def crossModalDedupPairs(media: Dataset[MediaRow],
+                           maxHamming: Int = 3): DataFrame = {
+    val img = imageHashes(media)
+      .select(col("media_id"), col("dhash").as("h"), lit(0L).as("k"))
+    val vid = videoHashes(media)
+      .select(col("media_id"), col("vhash").as("h"), lit(1L).as("k"))
+    // composite id keeps kinds distinct through the shared pair kernel:
+    // even ids = images, odd = videos (kind bit in the low bit)
+    val all = img.unionByName(vid)
+      .select((col("media_id") * 2L + col("k")).as("mk"), col("h"))
+    hammingPairs64(all, "mk", "h", maxHamming)
+      .filter(pmod(col("a"), lit(2L)) =!= pmod(col("b"), lit(2L)))
+      .select(
+        (when(pmod(col("a"), lit(2L)) === 0L, col("a")).otherwise(col("b"))
+          / 2L).cast("long").as("image_id"),
+        (when(pmod(col("a"), lit(2L)) === 1L, col("a")).otherwise(col("b"))
+          / 2L).cast("long").as("video_id"),
+        col("hamming"))
+  }
+
   /** TEMPORAL video signature: dHash of k frames sampled evenly across
     * the clip (slot s reads frame ⌊s·(n−1)/(k−1)⌋) — (media_id,
     * vhashes[k], n_frames). Fixes the first-frame thumbprint's known

@@ -994,6 +994,28 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes.length == 3 && got(0).getLong(2) == 3L)
   }
 
+  test("crossModalDedupPairs: a clip and its extracted poster still pair up") {
+    val implicits = spark.implicits
+    import implicits._
+    val ids = (0L to 5L).toDF("doc_id")
+    val vids = Multimodal.syntheticVideoCorpus(ids, "doc_id")
+    val stills = Multimodal.syntheticPosterStills(ids, "doc_id", 1000L)
+    val pairs = Multimodal.crossModalDedupPairs(vids.union(stills), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PNG re-encode is lossless: every poster (id+1000) collides with
+    // its own clip (id) at hamming 0 through the shared dHash kernel
+    for (id <- 0L to 5L)
+      assert(pairs.exists { case (img, vid, h) =>
+        img == id + 1000L && vid == id && h == 0L }, s"id=$id missing")
+    // only cross-kind pairs are emitted (kind parity is in the low bit)
+    assert(pairs.forall { case (img, vid, _) => img >= 1000L && vid < 1000L })
+    // within-modality dedup alone NEVER produces these pairs: the two
+    // copies live in different kind partitions by construction
+    val withinV = Multimodal.videoDedupPairs(vids.union(stills), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(withinV.forall { case (a, b) => a < 1000L && b < 1000L })
+  }
+
   test("videoHashes + videoDedupPairs over REAL raw-AVI payloads") {
     val implicits = spark.implicits
     import implicits._
