@@ -794,9 +794,9 @@ GROUP BY d.source ORDER BY d.source"""
   /** dupSpans mirror: stride-1 windows, df over the window hash, the
     * same gaps-and-islands run grouping and running-max interval
     * union, every step MATERIALIZED. */
-  def dupSpansSql(width: Int, minDf: Int): String = {
+  private def dupSpanCtes(width: Int, minDf: Int): String = {
     val w = width
-    s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    s"""arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 wins AS MATERIALIZED (
   SELECT doc_id, i - 1 AS pos,
          ${h60(s"'sw:' || array_to_string(a[i : i + $w - 1], ' ')")} AS g
@@ -828,7 +828,11 @@ grpd AS MATERIALIZED (
   FROM mg),
 spans AS MATERIALIZED (
   SELECT doc_id, grp, SUM(n_dup_pos) AS dp, MIN(cov0) AS c0, MAX(cov1) AS c1
-  FROM grpd GROUP BY 1, 2),
+  FROM grpd GROUP BY 1, 2)"""
+  }
+
+  def dupSpansSql(width: Int, minDf: Int): String =
+    s"""WITH ${dupSpanCtes(width, minDf)},
 agg AS MATERIALIZED (
   SELECT doc_id, CAST(SUM(dp) AS BIGINT) AS n_dup_positions,
     CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -840,7 +844,25 @@ SELECT b.doc_id, b.n_tokens, b.n_positions,
   COALESCE(a.dup_tokens, 0) AS dup_tokens,
   ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6) AS dup_share
 FROM base b LEFT JOIN agg a USING (doc_id)"""
-  }
+
+  /** stripDupSpans mirror: the same span chain, tokens marked covered
+    * via the doc-bounded range join, ordered reassembly of survivors. */
+  def stripDupSpansSql(width: Int, minDf: Int): String =
+    s"""WITH ${dupSpanCtes(width, minDf)},
+toks AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS tpos, a[i] AS tok
+  FROM arr, unnest(generate_series(1, len(a))) AS t(i)),
+marked AS MATERIALIZED (
+  SELECT t.doc_id, t.tpos, t.tok,
+    MAX(CASE WHEN s.c0 IS NOT NULL AND t.tpos BETWEEN s.c0 AND s.c1
+      THEN 1 ELSE 0 END) AS covered
+  FROM toks t LEFT JOIN spans s ON t.doc_id = s.doc_id
+  GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+  COALESCE(string_agg(tok, ' ' ORDER BY tpos) FILTER (WHERE covered = 0), '')
+    AS clean_text
+FROM marked GROUP BY 1"""
 
   /** unicodeAudit mirror: DuckDB's built-in nfc_normalize against the
     * native graft_nfc expression — both UAX #15 canonical composition,

@@ -947,6 +947,8 @@ object SparkEntry {
     // nfc_normalize — both implement the same canonical composition)
     "q_unicode_audit" -> ((s, d) =>
       pipeline.TextOps.unicodeAudit(GraphBuilder.table(s, d, "documents"))),
+    "q_strip_dup_spans" -> ((s, d) =>
+      Corpus.stripDupSpans(GraphBuilder.table(s, d, "documents"))),
     "q_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(GraphBuilder.table(s, d, "documents"),
         minhashPairsCached(s, d))),
@@ -1577,6 +1579,7 @@ FROM region LEFT JOIN (SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation
     "q_segment_dedup" -> PipelineOracles.segmentDedupSql(10, 2),
     "q_dup_spans" -> PipelineOracles.dupSpansSql(10, 2),
     "q_unicode_audit" -> PipelineOracles.unicodeAuditSql,
+    "q_strip_dup_spans" -> PipelineOracles.stripDupSpansSql(10, 2),
     "q_source_overlap" -> PipelineOracles.sourceOverlapSql,
     "q_mix_report" -> PipelineOracles.mixReportSql,
     "q_temp_mix" -> PipelineOracles.temperatureMixSql(0.5, 100000L),

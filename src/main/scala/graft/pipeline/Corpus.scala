@@ -1459,6 +1459,30 @@ object Corpus {
     * windows — partitioned by doc_id, bounded by document length,
     * never corpus-wide. Never doc×doc. */
   def dupSpans(docs: DataFrame, width: Int = 10, minDf: Int = 2): DataFrame = {
+    val (wins, spans) = dupSpanFrames(docs, width, minDf)
+    val merged = spans
+      .groupBy("doc_id")
+      .agg(sum("dp").cast("long").as("n_dup_positions"),
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(col("c1") - col("c0") + 1L).cast("long").as("dup_tokens"))
+    wins.groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        sum(col("seg").isNotNull.cast("long")).cast("long").as("n_positions"))
+      .join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_share"))
+  }
+
+  /** Shared kernel of [[dupSpans]] / [[stripDupSpans]]: the
+    * checkpointed window stream and the coverage-merged span frame
+    * (doc_id, grp, dp = duplicated positions, c0..c1 = covered token
+    * range). */
+  private def dupSpanFrames(docs: DataFrame, width: Int,
+                            minDf: Int): (DataFrame, DataFrame) = {
     require(width >= 1 && minDf >= 1, "dupSpans needs width, minDf >= 1")
     val wins = docs
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
@@ -1483,7 +1507,7 @@ object Corpus {
     // interval-union of run coverages: a new merged span starts where
     // cov0 exceeds the running max cov1 of all earlier runs
     val byCov = Window.partitionBy("doc_id").orderBy("cov0")
-    val merged = runs
+    val spans = runs
       .withColumn("prevMax",
         max("cov1").over(byCov.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("newSpan",
@@ -1492,20 +1516,40 @@ object Corpus {
       .groupBy("doc_id", "grp")
       .agg(sum("n_dup_pos").as("dp"),
         min("cov0").as("c0"), max("cov1").as("c1"))
-      .groupBy("doc_id")
-      .agg(sum("dp").cast("long").as("n_dup_positions"),
-        count(lit(1)).cast("long").as("n_spans"),
-        sum(col("c1") - col("c0") + 1L).cast("long").as("dup_tokens"))
-    wins.groupBy("doc_id")
-      .agg(max("n_tokens").as("n_tokens"),
-        sum(col("seg").isNotNull.cast("long")).cast("long").as("n_positions"))
-      .join(merged, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_tokens"), col("n_positions"),
-        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-          col("n_tokens").cast("double"), 6).as("dup_share"))
+    (wins, spans)
+  }
+
+  /** The APPLY side of [[dupSpans]] (the segmentDedup report/strip
+    * symmetry at stride-1 granularity): remove every token covered by
+    * a duplicated span, reassemble the survivors in original order.
+    * Returns (doc_id, n_tokens, dup_tokens, clean_text) — clean_text
+    * "" marks an all-duplicated doc.
+    *
+    * Scale: the token stream joins the span frame on doc_id (each
+    * token row meets only ITS document's spans — bounded per doc) and
+    * the coverage test is a range predicate after the equi-join;
+    * reassembly is the segmentDedup ordered-collect aggregation. */
+  def stripDupSpans(docs: DataFrame, width: Int = 10,
+                    minDf: Int = 2): DataFrame = {
+    val (_, spans) = dupSpanFrames(docs, width, minDf)
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
+    val marked = toks
+      .join(spans.select(col("doc_id"), col("c0"), col("c1")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("inSpan",
+        col("c0").isNotNull && col("tpos") >= col("c0") &&
+          col("tpos") <= col("c1"))
+      .groupBy("doc_id", "tpos", "tok")
+      .agg(max(col("inSpan").cast("long")).as("covered"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("covered").cast("long").as("dup_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(col("covered") === 0L,
+            struct(col("tpos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("clean_text"))
   }
 
   /** Segment-level exact dedup (the fixed-window approximation of

@@ -1280,6 +1280,25 @@ class PipelineSpec extends SparkSpec {
     assert(r2(5L) == ((2L, 2L, 6L)), s"got ${r2(5L)}")
   }
 
+  test("stripDupSpans removes exactly the covered tokens, order kept") {
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "x a b c d e f y",
+      3L -> "p q r")
+    val r = graft.pipeline.Corpus.stripDupSpans(d, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // doc 1: tokens 0..5 covered → "g h" survives; doc 2: 1..6 covered
+    assert(r(1L) == ((8L, 6L, "g h")), s"got ${r(1L)}")
+    assert(r(2L) == ((8L, 6L, "x y")), s"got ${r(2L)}")
+    assert(r(3L) == ((3L, 0L, "p q r")), s"got ${r(3L)}")
+    // an all-duplicated doc strips to ""
+    val d2 = docs(5L -> "s t u", 6L -> "s t u")
+    val r2 = graft.pipeline.Corpus.stripDupSpans(d2, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r2(5L) == "" && r2(6L) == "")
+  }
+
   test("bpeTrain: later merges operate on merged symbols (iterated, not first-round)") {
     val d = docs(1L -> "abab abab abab")
     // round 1 over ' a b a b ': 'a b' 6 (2/word ×3) beats 'b a' 3;
