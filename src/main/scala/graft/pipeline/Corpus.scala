@@ -1467,7 +1467,7 @@ object Corpus {
         sum(col("c1") - col("c0") + 1L).cast("long").as("dup_tokens"))
     wins.groupBy("doc_id")
       .agg(max("n_tokens").as("n_tokens"),
-        sum(col("seg").isNotNull.cast("long")).cast("long").as("n_positions"))
+        sum(col("g").isNotNull.cast("long")).cast("long").as("n_positions"))
       .join(merged, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_tokens"), col("n_positions"),
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
@@ -1484,18 +1484,25 @@ object Corpus {
   private def dupSpanFrames(docs: DataFrame, width: Int,
                             minDf: Int): (DataFrame, DataFrame) = {
     require(width >= 1 && minDf >= 1, "dupSpans needs width, minDf >= 1")
+    // checkpoint HASHES, not window strings: downstream reads only
+    // (doc_id, n_tokens, pos, g), and the string column would 10× the
+    // pinned block footprint (a ~1 GB block per call at sf0.1 — enough
+    // to evict the session's shared caches and slow every LATER query;
+    // measured as a uniform ~1.3× drift across the whole bench suite
+    // before this projection landed)
     val wins = docs
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"),
         posexplode_outer(slidingWindows(col("arr"), width))
           .as(Seq("pos", "seg")))
-      .withColumn("g", TextOps.hash60(col("seg"), "sw:"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        TextOps.hash60(col("seg"), "sw:").as("g"))
       .localCheckpoint() // feeds the df aggregate AND the join back
-    val dfreq = wins.filter(col("seg").isNotNull)
+    val dfreq = wins.filter(col("g").isNotNull)
       .select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = wins.filter(col("seg").isNotNull)
+    val runs = wins.filter(col("g").isNotNull)
       .join(dfreq, Seq("g"))
       .filter(col("df") >= minDf)
       .withColumn("run", col("pos") - row_number().over(byPos))
