@@ -2151,9 +2151,12 @@ seg AS MATERIALIZED (
     * plain CTE steps — per round one pair count over the CURRENT
     * segmentation (occurrence-weighted), a 1-row argmax (n desc, pair
     * asc), and the same two-pass boundary replace. EVERY step CTE is
-    * MATERIALIZED (the deep-chain planner-inlining lesson). Valid when
-    * the vocabulary supports >= merges rounds, which every test corpus
-    * does — the Spark side stops early on exhaustion instead. */
+    * MATERIALIZED (the deep-chain planner-inlining lesson). A round
+    * whose vocabulary is EXHAUSTED (empty m$i) is a no-op — the LEFT
+    * JOIN + COALESCE carries the previous segmentation forward, so the
+    * final s$merges equals the Spark side's early-stopped result (and
+    * the merge-table UNION simply contributes no row for that round),
+    * not an engine-divergent empty frame. */
   private def bpeTrainCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= """wc AS MATERIALIZED (
@@ -2172,9 +2175,11 @@ p$i AS MATERIALIZED (
 m$i AS MATERIALIZED (SELECT pair, n FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
 s$i AS MATERIALIZED (
   SELECT s.w, s.cnt,
-    replace(replace(s.seg, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' '),
-            ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' ') AS seg
-  FROM s${i - 1} s CROSS JOIN m$i m)"""
+    COALESCE(
+      replace(replace(s.seg, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' '),
+              ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '') || ' '),
+      s.seg) AS seg
+  FROM s${i - 1} s LEFT JOIN m$i m ON TRUE)"""
     }
     sb.toString
   }

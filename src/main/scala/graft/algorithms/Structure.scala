@@ -455,29 +455,56 @@ object Structure {
     *
     * Scale: bounded-state aggregates only — the neighbor multiset is
     * never materialized (a hub's signature is 5 numbers regardless of
-    * its degree); one neighbor-degree join (the assortativity shape)
-    * + two hash groupBys. */
+    * its degree). ONE edge scan (explode-symmetrized) feeds ONE
+    * checkpointed (id, nb, multiplicity) pre-aggregate; deg = Σmult and
+    * k_nb = count(*) read it directly, so neither countDistinct Expand
+    * from the naive plan exists, and the 5-number signature is a single
+    * join to the |V|-row degree table. The per-label uniqueness report
+    * rolls up (label, signature) once — global class sizes are the
+    * signature-sum of that roll-up, never a second node scan. */
   def degreeAnonymity(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("src").as("id"), col("dst").as("nb"))
-      .unionByName(edges.select(col("dst").as("id"), col("src").as("nb")))
-    val deg = sym.groupBy("id").agg(count(lit(1)).as("deg"))
-    val feats = sym
-      .join(deg.select(col("id").as("nb"), col("deg").as("nd")), Seq("nb"))
+    // both directions of every edge off ONE scan (a union of two
+    // selects re-reads the edge frame)
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("id"), col("dst").as("nb")),
+        struct(col("dst").as("id"), col("src").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
+    // (id, nb, multiplicity): deg and the neighbor-degree join both
+    // consume it — materialize once (the assortativity discipline)
+    val (pairs, _) = Probe.checkpointObserved(
+      sym.groupBy("id", "nb").agg(count(lit(1)).as("mult")),
+      count(lit(1)).as("n"))
+    val (deg, mD) = Probe.checkpointObserved(
+      pairs.groupBy("id").agg(sum("mult").as("deg")),
+      count(lit(1)).as("n"))
+    def dim(df: DataFrame): DataFrame =
+      if (mD("n").asInstanceOf[Long] <= Tuning.broadcastThreshold)
+        broadcast(df)
+      else df
+    val feats = pairs
+      .join(dim(deg.select(col("id").as("nb"), col("deg").as("nd"))), Seq("nb"))
       .groupBy("id")
       .agg(min("nd").as("min_nd"), max("nd").as("max_nd"),
-        sum("nd").as("sum_nd"), countDistinct("nb").as("k_nb"))
+        sum(col("nd") * col("mult")).as("sum_nd"),
+        count(lit(1)).as("k_nb"))
     val sigCols = Seq("deg", "min_nd", "max_nd", "sum_nd", "k_nb")
     val full = nodes.select(col("id"), col("label"))
       .join(deg, Seq("id"), "left")
       .join(feats, Seq("id"), "left")
       .na.fill(0L, sigCols)
-    val cls = full.groupBy(sigCols.map(col): _*)
-      .agg(count(lit(1)).as("csize"))
-    full.join(cls, sigCols)
+    // (label, signature) roll-up: n_sigs = rows per label, n_nodes =
+    // Σ lcnt; the GLOBAL class size is the roll-up summed across
+    // labels, so n_unique (size-1 global classes) also reads it
+    val labelSig = full.groupBy((col("label") +: sigCols.map(col)): _*)
+      .agg(count(lit(1)).as("lcnt"))
+    val cls = labelSig.groupBy(sigCols.map(col): _*)
+      .agg(sum("lcnt").as("csize"))
+    labelSig.join(cls, sigCols)
       .groupBy("label")
-      .agg(count(lit(1)).cast("long").as("n_nodes"),
-        countDistinct(struct(sigCols.map(col): _*)).cast("long").as("n_sigs"),
-        sum(when(col("csize") === 1L, 1L).otherwise(0L)).cast("long")
+      .agg(sum("lcnt").cast("long").as("n_nodes"),
+        count(lit(1)).cast("long").as("n_sigs"),
+        sum(when(col("csize") === 1L, col("lcnt")).otherwise(0L)).cast("long")
           .as("n_unique"))
       .select(col("label"), col("n_nodes"), col("n_sigs"), col("n_unique"),
         round(col("n_unique").cast("double") / col("n_nodes"), 6)

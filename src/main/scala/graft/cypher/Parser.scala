@@ -260,9 +260,12 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseNode(): NodePattern = {
     expectSym("(")
+    // keywords bind as node variables too (the k.raw fallback): the
+    // variable position is unambiguous — only ':', '{' or ')' can follow
     val variable = peek match {
-      case Id(s) => advance(); Some(s)
-      case _     => None
+      case Id(s)  => advance(); Some(s)
+      case k: Kw  => advance(); Some(k.raw)
+      case _      => None
     }
     val label = if (eatSym(":")) Some(ident()) else None
     val props = if (at("{")) parseProps() else Nil
@@ -291,8 +294,9 @@ final class Parser(tokens: Vector[Token]) {
     var varLength: Option[(Int, Option[Int])] = None
     if (eatSym("[")) {
       peek match {
-        case Id(s) => advance(); variable = Some(s)
-        case _     => ()
+        case Id(s)  => advance(); variable = Some(s)
+        case k: Kw  => advance(); variable = Some(k.raw) // same fallback
+        case _      => ()
       }
       if (eatSym(":")) {
         val ts = List.newBuilder[String]
@@ -404,12 +408,23 @@ final class Parser(tokens: Vector[Token]) {
     case t => fail(s"expected literal, got $t")
   }
 
+  /** Keywords that keep their keyword meaning at expression start —
+    * literals and condition operators. Every OTHER keyword in
+    * expression position is a variable reference (the same k.raw
+    * fallback ident() applies to labels/properties): reserving
+    * BEGIN/START/… for transactions must not break a query whose
+    * variable is named `start` (MATCH (start:Person) RETURN start). */
+  private val exprReserved = Set("TRUE", "FALSE", "NULL", "NOT", "EXISTS")
+
   private def parseExpr(): Expr = peek match {
     case Id(v) =>
       advance()
       if (eatSym(".")) Prop(v, ident()) else Ident(v)
     case Str(_) | Num(_) | Kw("TRUE") | Kw("FALSE") | Kw("NULL") | Sym("-") =>
       Lit(parseLiteral())
+    case k: Kw if !exprReserved(k.s) =>
+      advance()
+      if (eatSym(".")) Prop(k.raw, ident()) else Ident(k.raw)
     case Sym("[") =>
       advance()
       val items = List.newBuilder[Expr]

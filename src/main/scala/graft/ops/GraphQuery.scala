@@ -38,6 +38,23 @@ final class GraphQuery private (
   def wherePropIntGt(key: String, min: Long): GraphQuery =
     next(withProps.filter(col(key) > min), props = true)
 
+  // range-index lookups (reference src/index_advanced.rs:330-470 —
+  // greater_or_equal / less_than / less_or_equal / range); each is a
+  // plain comparison Catalyst pushes into the parquet scan exactly
+  // like wherePropIntGt
+  def wherePropIntGe(key: String, min: Long): GraphQuery =
+    next(withProps.filter(col(key) >= min), props = true)
+
+  def wherePropIntLt(key: String, max: Long): GraphQuery =
+    next(withProps.filter(col(key) < max), props = true)
+
+  def wherePropIntLe(key: String, max: Long): GraphQuery =
+    next(withProps.filter(col(key) <= max), props = true)
+
+  /** Inclusive [lo, hi] range lookup (index_advanced.rs:470 `range`). */
+  def wherePropIntBetween(key: String, lo: Long, hi: Long): GraphQuery =
+    next(withProps.filter(col(key) >= lo && col(key) <= hi), props = true)
+
   def where(cond: Column): GraphQuery =
     next(withProps.filter(cond), props = true)
 

@@ -323,6 +323,17 @@ object Corpus {
     * later merges here operate on merged symbols (the real trainer:
     * 'th'+'e' can win round 2 only because 't h' won round 1).
     *
+    * DOCUMENTED DEVIATION from Sennrich's reference merge application:
+    * the two space-delimited replace passes consume the shared space
+    * delimiter, so on a run of >= 5 identical symbols alternate pairs
+    * are skipped in the second pass ('a a a a a' with merge a+a yields
+    * 'aa a aa', where strict left-to-right greedy gives 'aa aa a') —
+    * which can shift later-round pair counts and the trained table on
+    * such runs. The DuckDB oracle applies the identical two-pass
+    * replace, so engine parity is exact; the deviation affects only
+    * fidelity to the canonical algorithm on same-symbol runs, a corpus
+    * shape the word-level pre-tokenization makes rare.
+    *
     * Scale: the loop runs over the DISTINCT word-count frame (a
     * vocab-sized dim at any corpus size — the exact artifact real BPE
     * trainers aggregate to before iterating); per round one map-side-
@@ -1458,8 +1469,9 @@ object Corpus {
     * (map-side combined); the run/merge analysis is two per-document
     * windows — partitioned by doc_id, bounded by document length,
     * never corpus-wide. Never doc×doc. */
-  def dupSpans(docs: DataFrame, width: Int = 10, minDf: Int = 2): DataFrame = {
-    val (wins, spans) = dupSpanFrames(docs, width, minDf)
+  def dupSpans(docs: DataFrame, width: Int = 10, minDf: Int = 2,
+               framesIn: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (wins, spans) = framesIn.getOrElse(dupSpanFrames(docs, width, minDf))
     val merged = spans
       .groupBy("doc_id")
       .agg(sum("dp").cast("long").as("n_dup_positions"),
@@ -1480,9 +1492,11 @@ object Corpus {
   /** Shared kernel of [[dupSpans]] / [[stripDupSpans]]: the
     * checkpointed window stream and the coverage-merged span frame
     * (doc_id, grp, dp = duplicated positions, c0..c1 = covered token
-    * range). */
-  private def dupSpanFrames(docs: DataFrame, width: Int,
-                            minDf: Int): (DataFrame, DataFrame) = {
+    * range). Exposed so a session can compute it ONCE and feed both
+    * consumers via their `framesIn` (the report/strip pair otherwise
+    * pays two full token-explode + df + window passes). */
+  private[graft] def dupSpanFrames(docs: DataFrame, width: Int = 10,
+                                   minDf: Int = 2): (DataFrame, DataFrame) = {
     require(width >= 1 && minDf >= 1, "dupSpans needs width, minDf >= 1")
     // checkpoint HASHES, not window strings: downstream reads only
     // (doc_id, n_tokens, pos, g), and the string column would 10× the
@@ -1532,24 +1546,35 @@ object Corpus {
     * Returns (doc_id, n_tokens, dup_tokens, clean_text) — clean_text
     * "" marks an all-duplicated doc.
     *
-    * Scale: the token stream joins the span frame on doc_id (each
-    * token row meets only ITS document's spans — bounded per doc) and
-    * the coverage test is a range predicate after the equi-join;
-    * reassembly is the segmentDedup ordered-collect aggregation. */
-  def stripDupSpans(docs: DataFrame, width: Int = 10,
-                    minDf: Int = 2): DataFrame = {
-    val (_, spans) = dupSpanFrames(docs, width, minDf)
+    * Scale: the merged span set rides as ONE (sorted-starts,
+    * sorted-ends) array pair per document — the token stream joins one
+    * row per doc (no token×span row fan-out; the previous equi-join-
+    * then-range-filter shape replicated every token row once per span
+    * of its document, O(tokens·spans) inside one partition for a
+    * heavily-duplicated doc) and containment is a codegen'd binary
+    * search ([[graft.sql.SortedRangesContain]], O(log spans) per
+    * token). Reassembly is the segmentDedup ordered-collect
+    * aggregation; the span arrays are bounded by n_tokens/width per
+    * doc (spans are disjoint after the coverage merge). */
+  def stripDupSpans(docs: DataFrame, width: Int = 10, minDf: Int = 2,
+                    framesIn: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    graft.sql.SortedRangesContain.register(docs.sparkSession)
+    val (_, spans) = framesIn.getOrElse(dupSpanFrames(docs, width, minDf))
+    // disjoint spans sorted by start: struct sort orders by c0 first,
+    // and disjointness makes the end array co-sorted
+    val spanArr = spans
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("c0"), col("c1")))).as("sp"))
+      .select(col("doc_id"), col("sp.c0").as("c0s"), col("sp.c1").as("c1s"))
     val toks = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("tpos", "tok")))
     val marked = toks
-      .join(spans.select(col("doc_id"), col("c0"), col("c1")),
-        Seq("doc_id"), "left_outer")
-      .withColumn("inSpan",
-        col("c0").isNotNull && col("tpos") >= col("c0") &&
-          col("tpos") <= col("c1"))
-      .groupBy("doc_id", "tpos", "tok")
-      .agg(max(col("inSpan").cast("long")).as("covered"))
+      .join(spanArr, Seq("doc_id"), "left_outer")
+      .withColumn("covered",
+        when(col("c0s").isNull, lit(0L))
+          .otherwise(call_function("sorted_ranges_contain",
+            col("c0s"), col("c1s"), col("tpos").cast("long")).cast("long")))
     marked.groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum("covered").cast("long").as("dup_tokens"),

@@ -1327,13 +1327,19 @@ object Multimodal {
     * content in two modalities). `offset` shifts the still ids so the
     * mixed corpus carries both copies under distinct media_ids. */
   def syntheticPosterStills(ids: DataFrame, idCol: String,
-                            offset: Long): Dataset[MediaRow] = {
+                            offset: Long,
+                            corpusIn: Option[Dataset[MediaRow]] = None): Dataset[MediaRow] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    syntheticVideoCorpus(ids, idCol).mapPartitions { it =>
+    // corpusIn: a session that already synthesized the clip corpus
+    // (build:media_pairs) must not pay the synthesis again
+    corpusIn.getOrElse(syntheticVideoCorpus(ids, idCol)).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { r =>
-        rawVideo(r.media).map { rv =>
+        // zero-frame guard: the sibling consumers (videoHashes,
+        // mediaFingerprint) drop undecodable/empty containers rather
+        // than throw — same contract here
+        rawVideo(r.media).collect { case rv if rv.frames.nonEmpty =>
           val img = rawFrameImage(rv, rv.frames.head)
           val baos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", baos)
@@ -1356,14 +1362,22 @@ object Multimodal {
     * Scale: the union is one narrow decode map per modality; the pair
     * join is the shared pigeonhole blocking — never all-pairs. */
   def crossModalDedupPairs(media: Dataset[MediaRow],
-                           maxHamming: Int = 3): DataFrame = {
-    val img = imageHashes(media)
-      .select(col("media_id"), col("dhash").as("h"), lit(0L).as("k"))
-    val vid = videoHashes(media)
-      .select(col("media_id"), col("vhash").as("h"), lit(1L).as("k"))
+                           maxHamming: Int = 3): DataFrame =
+    crossModalPairsFromHashes(
+      imageHashes(media).select(col("media_id"), col("dhash").as("h")),
+      videoHashes(media).select(col("media_id"), col("vhash").as("h")),
+      maxHamming)
+
+  /** [[crossModalDedupPairs]] from PRE-COMPUTED hash frames (media_id,
+    * h) — a session that already decoded one side (the memoized video
+    * fingerprints behind build:media_pairs) pays only the other side's
+    * decode, not both. */
+  def crossModalPairsFromHashes(img: DataFrame, vid: DataFrame,
+                                maxHamming: Int = 3): DataFrame = {
     // composite id keeps kinds distinct through the shared pair kernel:
     // even ids = images, odd = videos (kind bit in the low bit)
-    val all = img.unionByName(vid)
+    val all = img.select(col("media_id"), col("h"), lit(0L).as("k"))
+      .unionByName(vid.select(col("media_id"), col("h"), lit(1L).as("k")))
       .select((col("media_id") * 2L + col("k")).as("mk"), col("h"))
     hammingPairs64(all, "mk", "h", maxHamming)
       .filter(pmod(col("a"), lit(2L)) =!= pmod(col("b"), lit(2L)))

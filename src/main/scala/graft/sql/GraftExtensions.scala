@@ -38,5 +38,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_ranges_contain"),
+      SortedRangesContain.info,
+      (children: Seq[Expression]) =>
+        SortedRangesContain(children(0), children(1), children(2))))
   }
 }

@@ -28,6 +28,34 @@ class CypherSpec extends SparkSpec {
     assert(q.ret.skip.contains(1) && q.ret.limit.contains(5))
   }
 
+  test("parser: reserved words usable as variable names in expressions") {
+    // BEGIN/START/… are transaction keywords, but a variable named
+    // `start` (or `count`, unparenthesized) must still parse in
+    // expression position — the same k.raw fallback ident() gives
+    // labels/properties (ADVICE r13)
+    val q = Parser.parse(
+      "MATCH (start:Customer) WHERE start.nationkey = 1 " +
+      "RETURN start.name AS n, start AS s").asInstanceOf[Query]
+    val m = q.clauses.head.asInstanceOf[MatchClause]
+    assert(m.pattern.start.variable.contains("start"))
+    assert(m.where.contains(Cmp("=", Prop("start", "nationkey"), Lit(IntLit(1)))))
+    assert(q.ret.items == List(
+      RetExpr(Prop("start", "name"), Some("n")),
+      RetExpr(Ident("start"), Some("s"))))
+    // an aggregate keyword WITHOUT '(' is a plain variable reference
+    val q2 = Parser.parse("MATCH (count:Order) RETURN count.orderkey AS k")
+      .asInstanceOf[Query]
+    assert(q2.ret.items == List(RetExpr(Prop("count", "orderkey"), Some("k"))))
+    // end-to-end through the compiler
+    val viaStart = Cypher.query(graph,
+      "MATCH (start:Customer {nationkey: 1}) RETURN COUNT(*) AS c")
+      .head.getLong(0)
+    val viaC = Cypher.query(graph,
+      "MATCH (c:Customer {nationkey: 1}) RETURN COUNT(*) AS c")
+      .head.getLong(0)
+    assert(viaStart == viaC && viaC > 0)
+  }
+
   test("parser: directions and var-length") {
     val q = Parser.parse("MATCH (a)<-[:T]-(b)--(c)-[*2..3]->(d) RETURN a.id").asInstanceOf[Query]
     val steps = q.clauses.head.asInstanceOf[MatchClause].pattern.steps

@@ -1299,6 +1299,50 @@ class PipelineSpec extends SparkSpec {
     assert(r2(5L) == "" && r2(6L) == "")
   }
 
+  test("stripDupSpans: many disjoint spans per doc (binary-search containment)") {
+    // one doc with MANY separated duplicated spans — the worst case the
+    // sorted-span-array rewrite exists for (the old doc_id-equi-join
+    // shape replicated every token row once per span); each span "s<i>
+    // t<i> u<i>" is width-3-duplicated via a partner doc, separated by
+    // unique fillers so coverages never merge
+    val n = 40
+    val body = (0 until n).map(i => s"s$i t$i u$i F$i G$i").mkString(" ")
+    val partners = (0 until n).map(i => (100L + i) -> s"s$i t$i u$i")
+    val d = docs(((1L -> body) +: partners): _*)
+    val r = graft.pipeline.Corpus.stripDupSpans(d, width = 3, minDf = 2)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(r.getLong(1) == 5L * n, s"n_tokens ${r.getLong(1)}")
+    assert(r.getLong(2) == 3L * n, s"dup_tokens ${r.getLong(2)}")
+    assert(r.getString(3) ==
+      (0 until n).map(i => s"F$i G$i").mkString(" "), s"got ${r.getString(3)}")
+    // report/strip parity: dupSpans sees the same n spans + coverage
+    val rep = graft.pipeline.Corpus.dupSpans(d, width = 3, minDf = 2)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(rep.getLong(4) == n.toLong && rep.getLong(5) == 3L * n,
+      s"n_spans ${rep.getLong(4)} dup_tokens ${rep.getLong(5)}")
+  }
+
+  test("sorted_ranges_contain: boundaries, gaps, nulls, binary-search parity") {
+    graft.sql.SortedRangesContain.register(spark)
+    val rows = spark.sql(
+      """SELECT pos, sorted_ranges_contain(array(2L, 10L, 20L),
+        |                                  array(4L, 10L, 25L), pos) AS c
+        |FROM VALUES (0L),(1L),(2L),(3L),(4L),(5L),(9L),(10L),(11L),
+        |            (19L),(20L),(25L),(26L) AS t(pos)""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exp = Map(0L -> false, 1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false, 9L -> false, 10L -> true, 11L -> false,
+      19L -> false, 20L -> true, 25L -> true, 26L -> false)
+    assert(rows == exp, s"got $rows")
+    // empty range set: nothing contained; null input: null out
+    val e = spark.sql(
+      """SELECT sorted_ranges_contain(CAST(array() AS array<bigint>),
+        |                             CAST(array() AS array<bigint>), 5L),
+        |       sorted_ranges_contain(CAST(NULL AS array<bigint>), array(1L), 5L)
+        |""".stripMargin).collect().head
+    assert(!e.getBoolean(0) && e.isNullAt(1))
+  }
+
   test("bpeTrain: later merges operate on merged symbols (iterated, not first-round)") {
     val d = docs(1L -> "abab abab abab")
     // round 1 over ' a b a b ': 'a b' 6 (2/word ×3) beats 'b a' 3;

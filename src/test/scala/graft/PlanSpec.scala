@@ -36,6 +36,47 @@ class PlanSpec extends SparkSpec {
       || plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan.take(2000))
   }
 
+  test("range predicates reach the parquet scan (index_advanced lookups)") {
+    // the raw-table analogue of q_prop_ge / q_prop_between
+    // (index_advanced.rs:362/470): >=, < and BETWEEN push down exactly
+    // like the equality row above
+    val ge = planOf(GraphBuilder.table(spark, sfDir, "part")
+      .filter(col("p_size") >= 45).select("p_name"))
+    assert(ge.contains("GreaterThanOrEqual(p_size,45)"), ge.take(2000))
+    val bt = planOf(GraphBuilder.table(spark, sfDir, "part")
+      .filter(col("p_size").between(10, 15)).select("p_name"))
+    assert(bt.contains("GreaterThanOrEqual(p_size,10)") &&
+      bt.contains("LessThanOrEqual(p_size,15)"), bt.take(2000))
+  }
+
+  test("shared builds: dup-span frames and media pairs are session-memoized") {
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.inputPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    // q_dup_spans reads ONLY the memoized frames (checkpointed window
+    // stream + persisted span frame) — zero base-table scans
+    val ds = SparkEntry.queries("q_dup_spans")(spark, sfDir)
+    assert(fileScans(ds.queryExecution.executedPlan).isEmpty,
+      "q_dup_spans re-derives the shared dup-span frames from the base table")
+    // q_strip_dup_spans pays exactly its OWN token explode: one
+    // documents scan, spans from the shared cache
+    val st = SparkEntry.queries("q_strip_dup_spans")(spark, sfDir)
+    assert(fileScans(st.queryExecution.executedPlan).length <= 1,
+      "q_strip_dup_spans re-derives the shared span frame")
+    // the media dedup histograms and the cross-modal channel read the
+    // memoized pair/fingerprint caches — zero re-synthesis, zero scans
+    for (name <- Seq("q_image_dedup", "q_audio_dedup", "q_video_dedup",
+        "q_cross_modal_dedup")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(fileScans(df.queryExecution.executedPlan).isEmpty,
+        s"$name re-synthesizes a media corpus the session already decoded")
+    }
+  }
+
   test("column pruning: two-column projection reads a two-column schema") {
     val plan = planOf(GraphBuilder.table(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_quantity"))
