@@ -170,36 +170,52 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) => timed(name, fn) }
     val firstPass = builds ++ results
-    // End-of-suite SELF-HEAL: any QUERY row over the 2×+0.1 s gate vs
-    // the frozen BASELINE table gets ONE re-measure after the suite —
-    // a transient co-tenancy cluster self-resolves (the round-12 dirty
-    // artifact carried 16 such rows), a real regression reproduces.
-    // Both values ship: `queries` carries the better (the BASELINE
-    // best-of discipline applied within a run), `self_heal` records
-    // first/second. build:* rows are excluded — their caches are
-    // already materialized, so a re-run would time the cache hit, not
-    // the build. Bounded at 60 re-measures so a globally-poisoned run
-    // can't double its own wall time.
+    // End-of-suite SELF-HEAL, ITERATED: any QUERY row over the 2×+0.1 s
+    // gate vs the frozen BASELINE table is re-measured after the suite
+    // — a transient co-tenancy cluster self-resolves (the round-12
+    // dirty artifact carried 16 such rows), a real regression
+    // reproduces. Unlike the round-13 single pass (which healed only
+    // the rows over gate AT FIRST MEASURE — 7 of the final 63 in the
+    // contended artifact), this loops on the rows STILL over gate
+    // after each pass, so every finally-over-gate row has been
+    // re-measured at least once, up to 3 passes / 120 re-measures
+    // total so a globally-poisoned run can't triple its wall time.
+    // `queries` carries the best value per row (the BASELINE best-of
+    // discipline applied within a run); `self_heal` records every
+    // attempt. build:* rows are excluded — their caches are already
+    // materialized, so a re-run would time the cache hit, not the
+    // build.
     val frozen = frozenTable()
     val queryFns = SparkEntry.queries
-    val toHeal = firstPass.filter(r => queryFns.contains(r.name) &&
-      frozen.get(r.name).exists(f => !controlOk(r.sec, f))).take(60)
-    val healedPairs = toHeal.map { r =>
-      val again = timed(r.name, queryFns(r.name))
-      r.name -> ((r, again))
-    }.toMap
-    if (healedPairs.nonEmpty)
-      System.err.println(s"BENCH SELF-HEAL (${healedPairs.size} rows over the " +
-        "2x+0.1s gate re-measured): " + healedPairs.map { case (n, (a, b)) =>
-          f"$n ${a.sec}%.2f->${b.sec}%.2f" }.mkString(", "))
-    val all = firstPass.map { r =>
-      healedPairs.get(r.name) match {
-        case Some((first, second)) => if (second.sec < first.sec) second else first
-        case None => r
+    val healHistory = scala.collection.mutable.Map.empty[String, Vector[Row]]
+    var best = firstPass.map(r => r.name -> r).toMap
+    var healBudget = 120
+    var pass = 0
+    var progressed = true
+    while (pass < 3 && progressed && healBudget > 0) {
+      pass += 1
+      val toHeal = firstPass.map(_.name)
+        .filter(n => queryFns.contains(n) &&
+          frozen.get(n).exists(f => !controlOk(best(n).sec, f)))
+        .take(healBudget)
+      healBudget -= toHeal.size
+      progressed = false
+      toHeal.foreach { n =>
+        val again = timed(n, queryFns(n))
+        healHistory(n) = healHistory.getOrElse(n, Vector(best(n))) :+ again
+        if (again.sec < best(n).sec) { best += (n -> again); progressed = true }
       }
+      if (toHeal.nonEmpty)
+        System.err.println(s"BENCH SELF-HEAL pass $pass (${toHeal.size} rows " +
+          "over the 2x+0.1s gate re-measured): " + toHeal.map { n =>
+            f"$n ${healHistory(n).head.sec}%.2f->${healHistory(n).last.sec}%.2f"
+          }.mkString(", "))
     }
-    val selfHeal = healedPairs.toSeq.sortBy(_._1).map { case (n, (a, b)) =>
-      s"\"" + n + "\":{\"first\":" + a.sec + ",\"second\":" + b.sec + "}"
+    val all = firstPass.map(r => best(r.name))
+    val selfHeal = healHistory.toSeq.sortBy(_._1).map { case (n, hs) =>
+      s"\"" + n + "\":{\"first\":" + hs.head.sec +
+        ",\"second\":" + hs(1).sec + ",\"attempts\":" +
+        hs.map(_.sec).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val resultMap = all.map(r => r.name -> r.sec).toMap
     // Self-validation: compare the untouched control queries (scan AND
@@ -248,6 +264,24 @@ object Bench {
         " — wall >> cpu/cores with flat GC; treat this artifact as contended")
     val suspectNames = suspects.map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
+    // HOST GATE: the run's own per-row 1-min load_avg telemetry. The
+    // control rule catches shape-level disturbance but NOT uniform
+    // cycle-level drift — the round-13 driver artifact shipped
+    // controls_ok at per-row load 3.5-19.1 (median 9.2 on 32 cores)
+    // with 63 rows over gate. A median run-queue deeper than ~cores/16
+    // (2 on a 32-core box) means something else was burning the
+    // machine for most of the suite: the artifact self-labels
+    // host_ok=false and MUST NOT be compared or frozen.
+    val loadsSorted = all.map(_.loadAvg).sorted
+    val medianLoad =
+      if (loadsSorted.isEmpty) 0.0
+      else loadsSorted(loadsSorted.length / 2)
+    val hostThreshold = math.max(2.0, nCores / 16.0)
+    val hostOk = medianLoad <= hostThreshold
+    if (!hostOk)
+      System.err.println(f"BENCH HOST GATE FAILED: median load_avg $medianLoad%.2f " +
+        f"> $hostThreshold%.1f on $nCores cores — this artifact is contended; " +
+        "re-measure on a quiet host, do not compare or freeze")
     val total = all.map(_.sec).sum
     val tsec = all.map(r => s"\"" + r.name + "\":" +
       BigDecimal(r.tSec).setScale(1, BigDecimal.RoundingMode.HALF_UP))
@@ -256,12 +290,17 @@ object Bench {
       .mkString("{", ",", "}")
     val load = all.map(r => s"\"" + r.name + "\":" + r.loadAvg)
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // `queries` goes LAST: the driver parses a bounded stdout TAIL and
+    // the round-13 artifact's parsed field was null because the line
+    // ended in the load_avg map — the map the driver wants must be the
+    // one a tail always contains.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""controls_ok":$controlsOk,"control_ratios":$ctl,""" +
+      s""""host_ok":$hostOk,"median_load":$medianLoad,""" +
       s""""host_suspect_rows":${suspects.size},"host_suspect":$suspectNames,""" +
       s""""self_heal":$selfHeal,""" +
       s""""gc_ms":$gcs,"cpu_sec":$cpu,"t_sec":$tsec,"heap_mb":$heap,""" +
-      s""""load_avg":$load,"sf":"$sfDir"}"""
+      s""""load_avg":$load,"sf":"$sfDir","queries":$qs}"""
     println(json)
     // Also persist the artifact: the driver captures only a bounded tail
     // of stdout, which truncated the one-line JSON mid-map two rounds
