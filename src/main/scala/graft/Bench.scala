@@ -17,13 +17,13 @@ object Bench {
     * the WHOLE run must be discarded, not explained away. Update only
     * when a new BASELINE table is frozen. */
   val frozenControls: Map[String, Double] = Map(
-    // scan tier (round-11 freeze, best-of-two over clean runs 2/3)
-    "q_count" -> 0.12, "q_label_scan" -> 0.05, "q_prop_eq" -> 0.06,
-    "q_prop_gt" -> 0.062, "q_sum_avg" -> 0.11, "q_stats" -> 0.11,
-    "q_order_page" -> 0.082,
-    // shuffle tier (round-11 freeze; catches multi-stage contention)
-    "build:minhash_pairs" -> 3.24, "q_anf" -> 6.69,
-    "q_training_mix" -> 2.42)
+    // scan tier (round-14 freeze, best-of-two over clean runs 1/2)
+    "q_count" -> 0.10, "q_label_scan" -> 0.06, "q_prop_eq" -> 0.052,
+    "q_prop_gt" -> 0.042, "q_sum_avg" -> 0.085, "q_stats" -> 0.106,
+    "q_order_page" -> 0.083,
+    // shuffle tier (round-14 freeze; catches multi-stage contention)
+    "build:minhash_pairs" -> 3.56, "q_anf" -> 5.35,
+    "q_training_mix" -> 2.47)
 
   /** A control agrees when measured ≤ 2× frozen + 0.1 s (the ~2× rule
     * with an absolute floor so 50 ms rows aren't flagged by scheduler
@@ -264,24 +264,33 @@ object Bench {
         " — wall >> cpu/cores with flat GC; treat this artifact as contended")
     val suspectNames = suspects.map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
-    // HOST GATE: the run's own per-row 1-min load_avg telemetry. The
-    // control rule catches shape-level disturbance but NOT uniform
-    // cycle-level drift — the round-13 driver artifact shipped
-    // controls_ok at per-row load 3.5-19.1 (median 9.2 on 32 cores)
-    // with 63 rows over gate. A median run-queue deeper than ~cores/16
-    // (2 on a 32-core box) means something else was burning the
-    // machine for most of the suite: the artifact self-labels
-    // host_ok=false and MUST NOT be compared or frozen.
-    val loadsSorted = all.map(_.loadAvg).sorted
+    // HOST GATE: median FOREIGN load over the suite — per-row 1-min
+    // load_avg MINUS our own runnable-thread contribution (cpuSec/wall,
+    // the cores this JVM actually held). Raw load_avg cannot gate: a
+    // fully-loaded clean local[32] suite legitimately reads ~6 (its own
+    // threads ARE the run queue). Foreign load separates cleanly
+    // (calibrated round 14 on this host): quiet-host full suite 0.32,
+    // the round-13 committed close the judge found ~1.37-drifted 2.29,
+    // the contended driver artifact (load 3.5-19.1, 63 rows over gate)
+    // far above. Sub-second rows are excluded — the 1-min EWMA lags
+    // across them and smears neighbors' load in. The control rule
+    // catches shape-level disturbance but NOT this uniform cycle-level
+    // drift, which is exactly how that artifact shipped controls_ok.
+    // A failed gate means: re-measure on a quiet host, never freeze.
+    val foreign = all.collect {
+      case r if r.sec >= 1.0 && r.cpuSec >= 0.0 =>
+        math.max(0.0, r.loadAvg - r.cpuSec / r.sec)
+    }.sorted
     val medianLoad =
-      if (loadsSorted.isEmpty) 0.0
-      else loadsSorted(loadsSorted.length / 2)
-    val hostThreshold = math.max(2.0, nCores / 16.0)
-    val hostOk = medianLoad <= hostThreshold
+      if (foreign.isEmpty) 0.0 else foreign(foreign.length / 2)
+    val hostThreshold = 2.0
+    // fewer than 10 multi-second rows (filtered profiling run): no
+    // stable signal, gate passes vacuously
+    val hostOk = foreign.length < 10 || medianLoad <= hostThreshold
     if (!hostOk)
-      System.err.println(f"BENCH HOST GATE FAILED: median load_avg $medianLoad%.2f " +
-        f"> $hostThreshold%.1f on $nCores cores — this artifact is contended; " +
-        "re-measure on a quiet host, do not compare or freeze")
+      System.err.println(f"BENCH HOST GATE FAILED: median foreign load $medianLoad%.2f " +
+        f"> $hostThreshold%.1f over ${foreign.length} multi-second rows — " +
+        "this artifact is contended; re-measure on a quiet host, do not compare or freeze")
     val total = all.map(_.sec).sum
     val tsec = all.map(r => s"\"" + r.name + "\":" +
       BigDecimal(r.tSec).setScale(1, BigDecimal.RoundingMode.HALF_UP))
@@ -296,7 +305,7 @@ object Bench {
     // one a tail always contains.
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""controls_ok":$controlsOk,"control_ratios":$ctl,""" +
-      s""""host_ok":$hostOk,"median_load":$medianLoad,""" +
+      s""""host_ok":$hostOk,"median_foreign_load":$medianLoad,""" +
       s""""host_suspect_rows":${suspects.size},"host_suspect":$suspectNames,""" +
       s""""self_heal":$selfHeal,""" +
       s""""gc_ms":$gcs,"cpu_sec":$cpu,"t_sec":$tsec,"heap_mb":$heap,""" +
