@@ -90,6 +90,13 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d + "#vh"),
       pipeline.Multimodal.videoHashes(videoCorpusCached(s, d)).persist())
 
+  /** The per-edge neighborhood-Jaccard frame feeds BOTH q_edge_jaccard
+    * (the per-edge table) and q_local_bridges (its one-row summary) —
+    * one sorted-adjacency intersect pass over the co-occur graph. */
+  private def edgeJaccardCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d + "#ej"),
+      algorithms.Structure.edgeJaccard(DerivedGraphs.partCooccur(s, d)).persist())
+
   /** The stride-1 duplicated-span frames (window stream + merged span
     * set) feed BOTH q_dup_spans (report) and q_strip_dup_spans (apply)
     * — one token-explode + document-frequency + window pass, not two. */
@@ -144,6 +151,9 @@ object SparkEntry {
     // triangle build below plus q_label_prop and q_link_predict —
     // ordered BEFORE build:triangles so each row times its own work
     "build:part_cooccur" -> ((s, d) => DerivedGraphs.partCooccur(s, d)),
+    // per-edge neighborhood Jaccard over the co-occur graph: consumed
+    // by q_edge_jaccard AND q_local_bridges
+    "build:edge_jaccard" -> ((s, d) => edgeJaccardCached(s, d)),
     "build:bpe_seg" -> ((s, d) => bpeSegCached(s, d)),
     "build:triangles" -> ((s, d) => triangleCountsCached(s, d)),
     // stride-1 duplicated-span frames: consumed by q_dup_spans AND
@@ -464,8 +474,7 @@ object SparkEntry {
         DerivedGraphs.nationTradeAll(s, d), 0.85, 10)),
     "q_rich_club" -> ((s, d) =>
       algorithms.Structure.richClub(DerivedGraphs.partCooccur(s, d))),
-    "q_edge_jaccard" -> ((s, d) =>
-      algorithms.Structure.edgeJaccard(DerivedGraphs.partCooccur(s, d))),
+    "q_edge_jaccard" -> ((s, d) => edgeJaccardCached(s, d)),
     "q_ktruss" -> ((s, d) => {
       val tt = DerivedGraphs.nationTradeTop(s, d)
       algorithms.Structure.kTruss(
@@ -809,7 +818,8 @@ object SparkEntry {
     "q_percolation" -> ((s, d) =>
       Community.percolation(DerivedGraphs.nationTradeWeighted(s, d))),
     "q_local_bridges" -> ((s, d) =>
-      algorithms.Structure.localBridges(DerivedGraphs.partCooccur(s, d))),
+      algorithms.Structure.localBridges(DerivedGraphs.partCooccur(s, d),
+        jaccardIn = Some(edgeJaccardCached(s, d)))),
     "q_block_matrix" -> ((s, d) =>
       algorithms.Structure.blockMatrix(g(s, d).nodes, g(s, d).edges)),
     "q_label_assort" -> ((s, d) =>

@@ -583,9 +583,11 @@ object Structure {
     * removing one lengthens its endpoints' path to ≥ 3). Rides the
     * [[edgeJaccard]] kernel (sorted-adjacency intersect, no triangle
     * materialization) and reduces it to one row: (n_edges, n_bridges,
-    * bridge_rate). */
-  def localBridges(pedges: DataFrame): DataFrame =
-    edgeJaccard(pedges)
+    * bridge_rate). `jaccardIn` feeds a session-shared edgeJaccard
+    * frame so the report and the per-edge table pay ONE kernel pass. */
+  def localBridges(pedges: DataFrame,
+                   jaccardIn: Option[DataFrame] = None): DataFrame =
+    jaccardIn.getOrElse(edgeJaccard(pedges))
       .agg(count(lit(1)).cast("long").as("n_edges"),
         sum(when(col("common") === 0L, 1L).otherwise(0L)).cast("long")
           .as("n_bridges"))
