@@ -90,6 +90,16 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d + "#vh"),
       pipeline.Multimodal.videoHashes(videoCorpusCached(s, d)).persist())
 
+  /** Per-modality media cluster MEMBERSHIP (the dual-regime CC over
+    * the cached pair graphs) — consumed by q_media_clusters AND
+    * q_training_mix_mm's cluster-canonical drop set: one CC per
+    * modality per session, not per consumer. */
+  private def mediaMembershipCached(s: SparkSession, d: String): Seq[(String, DataFrame)] =
+    mediaPairsCached(s, d).map { case (m, p) =>
+      m -> mhCache.getOrElseUpdate((s, d + "#mcc:" + m),
+        Corpus.clusterMembership(p).persist())
+    }
+
   /** The per-edge neighborhood-Jaccard frame feeds BOTH q_edge_jaccard
     * (the per-edge table) and q_local_bridges (its one-row summary) —
     * one sorted-adjacency intersect pass over the co-occur graph. */
@@ -167,6 +177,12 @@ object SparkEntry {
     "build:media_pairs" -> ((s, d) =>
       mediaPairsCached(s, d).map { case (m, p) =>
         p.select(lit(m).as("modality"), col("a"), col("b"))
+      }.reduce(_ unionByName _)),
+    // per-modality CC membership over the pair graphs: consumed by
+    // q_media_clusters AND q_training_mix_mm's drop set
+    "build:media_cc" -> ((s, d) =>
+      mediaMembershipCached(s, d).map { case (m, ms) =>
+        ms.select(lit(m).as("modality"), col("id"), col("rep_id"))
       }.reduce(_ unionByName _)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
@@ -1195,8 +1211,8 @@ object SparkEntry {
     // (CorpusPrepSpec + MultimodalSpec).
     "q_training_mix_mm" -> ((s, d) => {
       val docs = GraphBuilder.table(s, d, "documents")
-      val drops = pipeline.Multimodal.mediaClusterDropIds(
-        mediaPairsCached(s, d))
+      val drops = pipeline.Multimodal.mediaClusterDropIdsFromMembership(
+        mediaMembershipCached(s, d))
       Corpus.trainingMixReport(docs, mixWeights.toMap,
         mediaDropIds = Some(drops))
     }),
@@ -1206,7 +1222,8 @@ object SparkEntry {
     // over the image/audio/video pair graphs; cluster algebra
     // spec-pinned in MultimodalSpec.
     "q_media_clusters" -> ((s, d) =>
-      pipeline.Multimodal.mediaClusters(mediaPairsCached(s, d))
+      pipeline.Multimodal.mediaClustersFromMembership(
+        mediaMembershipCached(s, d))
         .orderBy("modality", "rep_id")),
     // rows-only driver check (no oracleSql): TEMPORAL video dedup —
     // k-frame dHash signatures; clips sharing only a title card are

@@ -495,9 +495,17 @@ object Structure {
       .na.fill(0L, sigCols)
     // (label, signature) roll-up: n_sigs = rows per label, n_nodes =
     // Σ lcnt; the GLOBAL class size is the roll-up summed across
-    // labels, so n_unique (size-1 global classes) also reads it
-    val labelSig = full.groupBy((col("label") +: sigCols.map(col)): _*)
-      .agg(count(lit(1)).as("lcnt"))
+    // labels, so n_unique (size-1 global classes) also reads it.
+    // Checkpointed: cls derives from it AND the final join consumes
+    // it, so the printed plan carries the node+signature lineage twice
+    // (plan-read round 14). AQE's exchange reuse usually dedupes the
+    // identical subtrees at runtime (measured: pin is time-neutral at
+    // sf0.1) — the ≤|V|-row pin makes single execution unconditional
+    // instead of reuse-dependent across AQE boundaries.
+    val (labelSig, _) = Probe.checkpointObserved(
+      full.groupBy((col("label") +: sigCols.map(col)): _*)
+        .agg(count(lit(1)).as("lcnt")),
+      count(lit(1)).as("n"))
     val cls = labelSig.groupBy(sigCols.map(col): _*)
       .agg(sum("lcnt").as("csize"))
     labelSig.join(cls, sigCols)

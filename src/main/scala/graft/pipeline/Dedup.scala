@@ -274,6 +274,11 @@ object Dedup {
     * one per-doc roll-up — the novelty/boilerplate family shape, no
     * doc×doc work anywhere. */
   def substringDupRate(docs: DataFrame, k: Int = 20): DataFrame = {
+    // NOT checkpointed although grams feeds both the count and the
+    // join back: measured round 14, pinning the ~|chars| hash rows
+    // costs more than re-running the codegen'd explode+hash
+    // (3.70 → 3.81 s at sf0.1) — the opposite verdict from
+    // segmentDedup, whose window STRINGS are 10× wider per row
     val grams = TextOps.shingles(docs, k)
       .select(col("doc_id"), TextOps.hash60(col("sh"), "sd:").as("g"))
     val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))

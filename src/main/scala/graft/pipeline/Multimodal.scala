@@ -1597,9 +1597,17 @@ object Multimodal {
     * threshold, pointer-doubling shuffles above it). */
   def mediaClusters(pairsByModality: Seq[(String, DataFrame)],
                     maxIter: Int = 15): DataFrame =
-    pairsByModality.map { case (modality, pairs) =>
-      Corpus.clusterMembership(pairs, maxIter)
-        .groupBy("rep_id")
+    mediaClustersFromMembership(pairsByModality.map { case (m, p) =>
+      m -> Corpus.clusterMembership(p, maxIter)
+    })
+
+  /** [[mediaClusters]] from PRE-COMPUTED per-modality membership frames
+    * (id, rep_id) — a session that memoizes the CC (it feeds BOTH the
+    * cluster report and the flagship's drop set) runs it once. */
+  def mediaClustersFromMembership(
+      membershipByModality: Seq[(String, DataFrame)]): DataFrame =
+    membershipByModality.map { case (modality, ms) =>
+      ms.groupBy("rep_id")
         .agg(count(lit(1)).cast("long").as("n_members"))
         .select(lit(modality).as("modality"), col("rep_id").cast("long"),
           col("n_members"))
@@ -1612,9 +1620,15 @@ object Multimodal {
     * pair-drop). */
   def mediaClusterDropIds(pairsByModality: Seq[(String, DataFrame)],
                           maxIter: Int = 15): DataFrame =
-    pairsByModality.map { case (_, pairs) =>
-      Corpus.clusterMembership(pairs, maxIter)
-        .filter(col("id") =!= col("rep_id"))
+    mediaClusterDropIdsFromMembership(pairsByModality.map { case (m, p) =>
+      m -> Corpus.clusterMembership(p, maxIter)
+    })
+
+  /** [[mediaClusterDropIds]] from pre-computed membership frames. */
+  def mediaClusterDropIdsFromMembership(
+      membershipByModality: Seq[(String, DataFrame)]): DataFrame =
+    membershipByModality.map { case (_, ms) =>
+      ms.filter(col("id") =!= col("rep_id"))
         .select(col("id").as("doc_id"))
     }.reduce(_ unionByName _).distinct()
 
