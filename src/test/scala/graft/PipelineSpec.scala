@@ -1322,6 +1322,78 @@ class PipelineSpec extends SparkSpec {
       s"n_spans ${rep.getLong(4)} dup_tokens ${rep.getLong(5)}")
   }
 
+  test("sorted_ranges_contain: seeded random disjoint ranges == naive linear scan") {
+    graft.sql.SortedRangesContain.register(spark)
+    val rnd = new scala.util.Random(1405L)
+    // 60 random disjoint sorted range sets (incl. empty and singleton),
+    // each probed at every position 0..60 — binary search must agree
+    // with the naive any-range containment everywhere
+    val cases = (0 until 60).map { i =>
+      val n = rnd.nextInt(6) // 0..5 ranges
+      var cursor = 0L
+      val ranges = (0 until n).map { _ =>
+        val c0 = cursor + 1 + rnd.nextInt(4)
+        val c1 = c0 + rnd.nextInt(5)
+        cursor = c1 + 1 // +1 gap keeps them disjoint and non-adjacent-safe
+        (c0, c1)
+      }
+      (i.toLong, ranges.map(_._1).toArray, ranges.map(_._2).toArray)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (id, c0s, c1s) =>
+        org.apache.spark.sql.Row(id, c0s.toSeq, c1s.toSeq)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c0s",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("c1s",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    val got = df
+      .select(col("id"), explode(sequence(lit(0L), lit(60L))).as("pos"),
+        col("c0s"), col("c1s"))
+      .select(col("id"), col("pos"),
+        call_function("sorted_ranges_contain",
+          col("c0s"), col("c1s"), col("pos")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    for ((id, c0s, c1s) <- cases; pos <- 0L to 60L) {
+      val naive = c0s.indices.exists(j => c0s(j) <= pos && pos <= c1s(j))
+      assert(got((id, pos)) == naive,
+        s"case $id pos $pos: got ${got((id, pos))}, naive $naive " +
+          s"(${c0s.mkString(",")} / ${c1s.mkString(",")})")
+    }
+  }
+
+  test("dupSpans/stripDupSpans parity on a seeded random corpus") {
+    // report and strip must agree per doc: same n_tokens, same
+    // dup_tokens, and the surviving text is exactly the uncovered
+    // token count — on a corpus of random small-vocab docs (heavy
+    // incidental repetition ⇒ many overlapping runs to merge)
+    val rnd = new scala.util.Random(1414L)
+    val vocab = Vector("a", "b", "c", "d")
+    val d = docs((1L to 30L).map { id =>
+      val len = 5 + rnd.nextInt(30)
+      id -> (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }: _*)
+    val rep = graft.pipeline.Corpus.dupSpans(d, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(5)))).toMap
+    val str = graft.pipeline.Corpus.stripDupSpans(d, width = 3, minDf = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(rep.keySet == str.keySet)
+    for ((id, (nTok, dupTok)) <- rep) {
+      val (sTok, sDup, clean) = str(id)
+      assert(sTok == nTok, s"doc $id n_tokens: strip $sTok vs report $nTok")
+      assert(sDup == dupTok, s"doc $id dup_tokens: strip $sDup vs report $dupTok")
+      val survivors = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(survivors == nTok - dupTok,
+        s"doc $id survivors $survivors != ${nTok - dupTok}")
+    }
+  }
+
   test("sorted_ranges_contain: boundaries, gaps, nulls, binary-search parity") {
     graft.sql.SortedRangesContain.register(spark)
     val rows = spark.sql(
