@@ -21,9 +21,16 @@ object Bench {
     "q_count" -> 0.098, "q_label_scan" -> 0.06, "q_prop_eq" -> 0.052,
     "q_prop_gt" -> 0.042, "q_sum_avg" -> 0.085, "q_stats" -> 0.095,
     "q_order_page" -> 0.083,
-    // shuffle tier (round-14 freeze; catches multi-stage contention)
+    // shuffle tier (round-14 freeze; catches multi-stage contention).
+    // q_decontam replaced q_training_mix when the mix report's text
+    // gates moved into the shared build (the leftover 0.4 s report
+    // join is no longer a useful shuffle sentinel); q_decontam's
+    // gram-hash + semi-join pipeline measured 2.32-2.80 s across all
+    // six round-14 runs — the steadiest multi-stage row in the suite
+    // (build:mix_gates was tried first and rejected: 2.5-6.9 s swing
+    // on BACK-TO-BACK quiet runs, decontaminate's first-touch JIT).
     "build:minhash_pairs" -> 2.65, "q_anf" -> 4.58,
-    "q_training_mix" -> 2.00)
+    "q_decontam" -> 2.32)
 
   /** A control agrees when measured ≤ 2× frozen + 0.1 s (the ~2× rule
     * with an absolute floor so 50 ms rows aren't flagged by scheduler

@@ -107,6 +107,13 @@ object SparkEntry {
     mhCache.getOrElseUpdate((s, d + "#ej"),
       algorithms.Structure.edgeJaccard(DerivedGraphs.partCooccur(s, d)).persist())
 
+  /** The training-mix TEXT-gate survivor frame (langId ∧ quality ∧
+    * ¬dup ∧ ¬contaminated ∧ ¬eval-slice) — consumed by q_training_mix
+    * AND q_training_mix_mm: the gates run once per session. */
+  private def mixSurvivorsCached(s: SparkSession, d: String): DataFrame =
+    mhCache.getOrElseUpdate((s, d + "#mix"),
+      Corpus.mixTextSurvivors(GraphBuilder.table(s, d, "documents")).persist())
+
   /** The stride-1 duplicated-span frames (window stream + merged span
     * set) feed BOTH q_dup_spans (report) and q_strip_dup_spans (apply)
     * — one token-explode + document-frequency + window pass, not two. */
@@ -183,7 +190,10 @@ object SparkEntry {
     "build:media_cc" -> ((s, d) =>
       mediaMembershipCached(s, d).map { case (m, ms) =>
         ms.select(lit(m).as("modality"), col("id"), col("rep_id"))
-      }.reduce(_ unionByName _)))
+      }.reduce(_ unionByName _)),
+    // training-mix text-gate survivors: consumed by q_training_mix AND
+    // q_training_mix_mm
+    "build:mix_gates" -> ((s, d) => mixSurvivorsCached(s, d)))
 
   /** Release every session-keyed memo in the library (GraphBuilder,
     * DerivedGraphs, minhash pairs) — for in-process session recycling. */
@@ -1197,7 +1207,7 @@ object SparkEntry {
         minhashPairsCached(s, d))),
     "q_training_mix" -> ((s, d) =>
       Corpus.trainingMixReport(GraphBuilder.table(s, d, "documents"),
-        mixWeights.toMap)),
+        mixWeights.toMap, survivorsIn = Some(mixSurvivorsCached(s, d)))),
     // rows-only driver check (no oracleSql): the FLAGSHIP composition
     // with the MULTIMODAL gates folded in — near-dup image/audio/video
     // families (perceptual dHash + band-energy fingerprint + temporal
@@ -1214,7 +1224,8 @@ object SparkEntry {
       val drops = pipeline.Multimodal.mediaClusterDropIdsFromMembership(
         mediaMembershipCached(s, d))
       Corpus.trainingMixReport(docs, mixWeights.toMap,
-        mediaDropIds = Some(drops))
+        mediaDropIds = Some(drops),
+        survivorsIn = Some(mixSurvivorsCached(s, d)))
     }),
     // rows-only driver check (no oracleSql): the media completion of
     // the text dedup contract (q_dedup_clusters) — per-modality

@@ -1752,7 +1752,36 @@ object Corpus {
                         minQuality: Double = 0.5, evalPct: Int = 5,
                         gram: Int = 24,
                         trainPct: Int = 90, valPct: Int = 5,
-                        mediaDropIds: Option[DataFrame] = None): DataFrame = {
+                        mediaDropIds: Option[DataFrame] = None,
+                        survivorsIn: Option[DataFrame] = None): DataFrame = {
+    // survivorsIn: the text-gate survivor frame is identical for every
+    // media-gate variant of the report — a session serving both the
+    // text and multimodal mixes computes it once
+    val textSurvivors = survivorsIn.getOrElse(
+      mixTextSurvivors(docs, minQuality, evalPct, gram))
+    val survivors = mediaDropIds match {
+      case Some(ids) => textSurvivors.join(
+        ids.select(col(ids.columns.head).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      case None => textSurvivors
+    }
+    mixSample(docs, weights)
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(splitAssign(docs, trainPct, valPct), Seq("doc_id"))
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** The TEXT-gate survivor frame of [[trainingMixReport]] (doc_id,
+    * lang): language-ID pass ∧ quality ≥ threshold ∧ NOT a
+    * non-canonical exact-dup ∧ NOT benchmark-contaminated ∧ NOT in the
+    * held-out eval slice. Split out so the text and multimodal mix
+    * reports share one computation. */
+  def mixTextSurvivors(docs: DataFrame, minQuality: Double = 0.5,
+                       evalPct: Int = 5, gram: Int = 24): DataFrame = {
     // exact dedup keeps each fingerprint cluster's min-id
     // REPRESENTATIVE — dedup keeps one copy of the content, it
     // doesn't erase it; only non-canonical members leave the mix
@@ -1768,27 +1797,13 @@ object Corpus {
     val evalSlice = docs.filter(
       pmod(TextOps.hash60(col("doc_id").cast("string"), "ev:"),
         lit(100L)) < evalPct).select("doc_id")
-    val textSurvivors = TextOps.langId(docs).filter(col("matches"))
+    TextOps.langId(docs).filter(col("matches"))
       .select("doc_id", "lang")
       .join(TextOps.quality(docs).filter(col("quality") >= minQuality)
         .select("doc_id"), Seq("doc_id"))
       .join(dup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(evalSlice, Seq("doc_id"), "left_anti")
-    val survivors = mediaDropIds match {
-      case Some(ids) => textSurvivors.join(
-        ids.select(col(ids.columns.head).cast("long").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-      case None => textSurvivors
-    }
-    mixSample(docs, weights)
-      .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
-      .join(splitAssign(docs, trainPct, valPct), Seq("doc_id"))
-      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
-      .groupBy("lang", "split")
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("n_chars")).cast("long").as("chars"))
-      .orderBy("lang", "split")
   }
 
   def corpusClean(docs: DataFrame, pairs: DataFrame,
